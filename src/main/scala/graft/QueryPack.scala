@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named group of driver-facing queries with their DuckDB oracles.
+  *
+  * Each pack covers a slice of SURVEY.md §2's operator inventory; the
+  * query names carry the operator ids (p1_, m2_, f1_, …) so the
+  * coverage can be checked line-by-line. `SparkEntry` concatenates all
+  * packs. Every query takes `(spark, sfDir)` and must be deterministic
+  * in content (set semantics — the driver sorts before hashing).
+  */
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+
+  /** DuckDB-equivalent ANSI SQL per query name. Names absent here get
+    * the driver's weaker rows-only check (reserved for ops whose
+    * semantics are not SQL-expressible, e.g. xpath).
+    */
+  def oracles: Map[String, String]
+}

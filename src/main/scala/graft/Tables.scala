@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * The reference (c0mm4nd/labelmain) has no file sources at all — it
+  * scrapes HTTP (bitcoinabuse/main.go:89, walletexplorer/main.go:144,
+  * chainabuse/main.py:31). The rebuild's "bronze" layer is these
+  * parquet fixtures; `documents.text` / `events.props` stand in for
+  * scraped page/API payloads (FIXTURES.md §A).
+  *
+  * Scale note: plain `spark.read.parquet` gives the vectorized columnar
+  * reader, predicate pushdown and column pruning for free — at 100 TB
+  * the same call reads a partitioned lake path; nothing here assumes
+  * local mode.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
+      // default; read the raw int64 nanos and truncate to micros —
+      // exactly what DuckDB's CAST(ts AS TIMESTAMP) does on the oracle
+      // side, so values stay comparable.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      // integer `div`, not `/`: nanos ~1e18 exceed double's 53-bit
+      // mantissa, so a float divide would corrupt the low digits.
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = read(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Extraction/projection operators (SURVEY.md §2 P1–P10, A1) as
+  * composable column transforms. The reference does all of this
+  * imperatively over scraped page bodies (regex at
+  * bitcoinabuse/main.go:100-109, xpath at :279-289, cell fold at
+  * :281-289, string normalize at walletexplorer/main.go:229-241, JSON
+  * decode at chainabuse/main.py:34).
+  *
+  * Everything here is a Catalyst expression — no UDFs — so it stays
+  * inside WholeStageCodegen and is pipelined with the parquet scan:
+  * at 100 TB the extraction runs at scan speed with zero shuffles.
+  */
+object Extract {
+
+  /** P1/P3: all regex capture-group matches, exploded to rows. */
+  def regexTokens(df: DataFrame, input: Column, pattern: String,
+                  as: String): DataFrame =
+    df.select(df.columns.map(col) :+
+      explode(regexp_extract_all(input, lit(pattern), lit(1))).as(as): _*)
+
+  /** P2/A1: max over integer matches of a regex (the reference's
+    * `getTodayMaxPage`, bitcoinabuse/main.go:186-206). */
+  def maxIntMatch(input: Column, pattern: String): Column =
+    max(regexp_extract(input, pattern, 1).cast("int"))
+
+  /** P4/P5: XPath extraction over an XML/HTML-shaped string column.
+    * Spark's builtin `xpath` returns array<string>. Not
+    * SQL-oracle-able (DuckDB has no xpath) → rows-only check. */
+  def xpathAll(input: Column, path: String): Column =
+    xpath(input, lit(path))
+
+  /** P6: fold a flat cell array into records of `width` fields — the
+    * reference's `i%3` td-grouping (bitcoinabuse/main.go:281-289).
+    * Pure array expression (sequence+transform): no explode-and-
+    * regroup shuffle; trailing ragged cells are dropped exactly like
+    * the reference's loop bound.
+    */
+  def foldCells(cells: Column, width: Int): Column =
+    transform(
+      sequence(lit(0), (size(cells) / width).cast("int") - 1),
+      i => struct(
+        (0 until width).map(j => element_at(cells, i * width + j + 1)
+          .as(s"c$j")): _*))
+
+  /** P7: the reference's string normalization chain — lower, strip a
+    * trailing ':', trim (walletexplorer/main.go:229-241). */
+  def normalize(input: Column): Column =
+    trim(regexp_replace(lower(input), ":$", ""))
+
+  /** P8: substring predicate (rate-limit detection,
+    * walletexplorer/main.go:162-176). */
+  def containsAny(input: Column, needles: Seq[String]): Column =
+    needles.map(n => input.contains(n)).reduce(_ || _)
+
+  /** P10: label-struct assembly (bitcoinabuse/main.go:226-242):
+    * constants fold at plan time. */
+  def labelStruct(name: Column, date: Column, typ: Column, desc: Column,
+                  src: String): Column =
+    struct(name.as("name"), date.as("date"), typ.as("type"),
+      desc.as("desc"), lit(src).as("src"))
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extraction/projection operator queries (SURVEY.md §2 P1–P10, A1).
+  * `documents.text` / `events.props` stand in for the scraped page /
+  * API payloads the reference parses (FIXTURES.md §A role mapping).
+  */
+object ExtractPack extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1/P3 (bitcoinabuse/main.go:100-109): all regex capture matches,
+    // exploded; aggregated to token frequencies so the result is small
+    // and set-comparable. Filter+project reach the parquet scan.
+    "p1_regex_token_counts" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("text"))
+      Extract.regexTokens(docs, col("text"), "(\\w{5,})", "token")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+    }),
+
+    // P2+A1 (bitcoinabuse/main.go:186-206 getTodayMaxPage): ints out of
+    // a regex match, max-aggregated per group.
+    "p2_a1_max_page" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(Extract.maxIntMatch(col("props"), "(\\d+)").as("max_page"))),
+
+    // P4/P5 (bitcoinabuse/main.go:279-289 xpath row extraction): build
+    // an XML doc per row, extract cells via Spark's builtin xpath.
+    // Oracle is the semantic equivalent (plain tokenization) — DuckDB
+    // has no xpath, but the RESULT is SQL-expressible.
+    "p4_xpath_cells" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("text"))
+      val html = concat(lit("<r>"),
+        concat_ws("", transform(split(col("text"), " "),
+          w => concat(lit("<c>"), w, lit("</c>")))), lit("</r>"))
+      docs.select(explode(Extract.xpathAll(html, "/r/c/text()")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+    }),
+
+    // P6 (bitcoinabuse/main.go:281-289 i%3 cell fold): flat cell stream
+    // → fixed-width records, as a pure array expression (no shuffle).
+    "p6_fold_cells" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(Extract.foldCells(split(col("text"), " "), 3)))
+        .select(col("doc_id"), col("pos").cast("long").as("rec_no"),
+          col("col.c0").as("c0"), col("col.c1").as("c1"),
+          col("col.c2").as("c2"))),
+
+    // P7 (walletexplorer/main.go:229-241): lower/trim/strip-colon
+    // normalize + empty filter, distinct per lang.
+    "p7_normalize_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("raw"))
+        .select(col("lang"), Extract.normalize(col("raw")).as("token"))
+        .filter(length(col("token")) > 0)
+        .distinct()),
+
+    // P8 (walletexplorer/main.go:162-176 rate-limit substring check).
+    "p8_contains_ratelimit" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(Extract.containsAny(col("text"), Seq("limit", "slow")))
+        .groupBy("source").agg(count(lit(1)).as("n"))),
+
+    // P9 (chainabuse/main.py:34 JSON decode): JSON field extraction +
+    // stats. get_json_object is codegen'd; no UDF.
+    "p9_json_stats" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+
+    // P10 (bitcoinabuse/main.go:226-242 label-struct assembly):
+    // constants + scraped fields → label struct; flattened for compare.
+    "p10_label_assembly" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.select(col("user_id").cast("string").as("addr"),
+          Extract.labelStruct(lit("abuse"),
+            date_format(col("ts"), "yyyy-MM-dd"),
+            col("event_type"), get_json_object(col("props"), "$.k"),
+            "bitcoinAbuse").as("label"))
+        .select(col("addr"), col("label.name").as("name"),
+          col("label.date").as("date"), col("label.type").as("type"),
+          col("label.desc").as("desc"), col("label.src").as("src"))
+        .distinct()
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "p1_regex_token_counts" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(regexp_extract_all(text, '(\w{5,})', 1)) AS token
+        |      FROM documents)
+        |GROUP BY token""".stripMargin,
+
+    "p2_a1_max_page" ->
+      """SELECT event_type,
+        |       max(CAST(regexp_extract(props, '(\d+)', 1) AS INTEGER)) AS max_page
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "p4_xpath_cells" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token""".stripMargin,
+
+    "p6_fold_cells" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS rec_no,
+        |       ts[3*i+1] AS c0, ts[3*i+2] AS c1, ts[3*i+3] AS c2
+        |FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |     UNNEST(generate_series(0, len(ts)//3 - 1)) AS g(i)""".stripMargin,
+
+    "p7_normalize_tokens" ->
+      """SELECT DISTINCT lang,
+        |       trim(regexp_replace(lower(raw), ':$', '')) AS token
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS raw FROM documents)
+        |WHERE length(trim(regexp_replace(lower(raw), ':$', ''))) > 0""".stripMargin,
+
+    "p8_contains_ratelimit" ->
+      """SELECT source, count(*) AS n FROM documents
+        |WHERE text LIKE '%limit%' OR text LIKE '%slow%'
+        |GROUP BY source""".stripMargin,
+
+    "p9_json_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+        |       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "p10_label_assembly" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS addr,
+        |       'abuse' AS name,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date,
+        |       event_type AS type,
+        |       json_extract_string(props, '$.k') AS "desc",
+        |       'bitcoinAbuse' AS src
+        |FROM events""".stripMargin
+  )
+}

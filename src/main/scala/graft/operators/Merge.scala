@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyed MERGE semantics of the reference's three upsert flavors, as
+  * pure DataFrame transforms (SURVEY.md §2 M1–M3, F1).
+  *
+  * The reference implements these as per-document MongoDB writes:
+  *  - M1 `$set` whole-doc replace-upsert: bitcoinabuse/main.go:244-246
+  *  - M2 `$addToSet` set-union array append: walletexplorer/main.go:98-114
+  *  - M3 `$set` replace-upsert keyed by node.id: chainabuse/main.py:83-89
+  *  - F1 TTL seen-set dedup: bitcoinabuse/main.go:43-45,218-221
+  *
+  * Here each is a relational merge over the full snapshot — the form
+  * that scales: a single shuffle on the merge key, no per-row
+  * round-trips. At 100 TB both sides are bucketed/partitioned by the
+  * key so the full-outer join is co-located; AQE handles skewed keys
+  * (exchange wallets with 10^5-10^6 addresses).
+  */
+object Merge {
+
+  /** M1/M3: upsert-replace. Whole-ROW semantics: if `updates` has the
+    * key, every field comes from `updates` (even null fields) —
+    * matching `$set` doc replacement, not per-field coalesce.
+    * Requires `updates` keys to be unique and non-null.
+    */
+  def upsertReplace(target: DataFrame, updates: DataFrame,
+                    keys: Seq[String]): DataFrame = {
+    val t = target.alias("t")
+    val u = updates.alias("u")
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
+    val present = keys.map(k => col(s"u.$k").isNotNull).reduce(_ && _)
+    val keyCols = keys.map(k => coalesce(col(s"u.$k"), col(s"t.$k")).as(k))
+    val valCols = target.columns.filterNot(keys.contains).toSeq
+      .map(c => when(present, col(s"u.$c")).otherwise(col(s"t.$c")).as(c))
+    t.join(u, cond, "full_outer").select(keyCols ++ valCols: _*)
+  }
+
+  /** M2 on the normalized (exploded) form: labels as flat rows — the
+    * `$addToSet` union is then just UNION + DISTINCT. This is the
+    * scale-friendly shape (no per-key array rebuild).
+    */
+  def labelUnionFlat(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
+  /** M2 on the array form: per-key `labels` arrays merged with set
+    * semantics. `array_union` works element-wise on struct elements;
+    * `sort_array` keeps the result deterministic. Fixes the
+    * reference's heterogeneous-array quirk (SURVEY §1.1 quirk 1) by
+    * keeping a single flat struct element type.
+    */
+  def labelUnionArrays(target: DataFrame, updates: DataFrame,
+                       key: String, labelsCol: String): DataFrame = {
+    val t = target.alias("t")
+    val u = updates.alias("u")
+    t.join(u, col(s"t.$key") <=> col(s"u.$key"), "full_outer")
+      .select(
+        coalesce(col(s"u.$key"), col(s"t.$key")).as(key),
+        sort_array(array_union(
+          coalesce(col(s"t.$labelsCol"), array()),
+          coalesce(col(s"u.$labelsCol"), array()))).as(labelsCol))
+  }
+
+  /** F1: dedup against a seen-set — the batch-exact form of the
+    * reference's 12 h TTL cache. The anti-join runs BEFORE any
+    * expensive downstream work (semi-join reduction), mirroring the
+    * reference's skip-before-fetch ordering.
+    */
+  def antiJoinDedup(incoming: DataFrame, seen: DataFrame,
+                    keys: Seq[String]): DataFrame =
+    incoming.join(seen, keys, "left_anti")
+
+  /** Per-source merge policy replacing the reference's cross-source
+    * clobbering (SURVEY §1.1 quirk 2): replace WITHIN a source,
+    * union ACROSS sources. Input: flat label rows with a `src` column.
+    */
+  def mergeBySource(current: DataFrame, incoming: DataFrame,
+                    srcCol: String): DataFrame = {
+    val incomingSrcs = incoming.select(srcCol).distinct()
+    // USING-join puts the key column first; restore the input order so
+    // unionByName and positional consumers agree.
+    val kept = current.join(incomingSrcs, Seq(srcCol), "left_anti")
+      .select(current.columns.map(col).toSeq: _*)
+    kept.unionByName(incoming).distinct()
+  }
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Merge/dedup operator queries (SURVEY.md §2 M1–M4, F1–F2) — the
+  * core of the reference: three upsert flavors plus the TTL seen-set.
+  * `events` keyed by `event_id`/`user_id` stands in for the label
+  * store keyed by `addr`/`node.id` (FIXTURES.md §A).
+  */
+object MergePack extends QueryPack {
+
+  /** Flagship (SURVEY §7.3): labels of every address with provenance —
+    * two sources assembled (P10), set-union merged (M2), queryable by
+    * addr. Mirrors bitcoinabuse/main.go:216-252 + walletexplorer
+    * /main.go:96-117 feeding one store.
+    */
+  def flagship(s: SparkSession, dir: String): DataFrame = {
+    val fromEvents = Tables.events(s, dir)
+      .select(col("user_id").cast("string").as("addr"),
+        col("event_type").as("name"), lit("events").as("src"))
+    val fromDocs = Tables.documents(s, dir)
+      .select((col("doc_id") % 300).cast("string").as("addr"),
+        col("lang").as("name"), lit("docs").as("src"))
+    Merge.labelUnionFlat(fromEvents, fromDocs)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // M1 ($set whole-doc replace-upsert, bitcoinabuse/main.go:244-246):
+    // one shuffle on the key; whole-ROW replace semantics.
+    "m1_upsert_replace" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val target = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("value"))
+      val updates = ev.filter(col("event_id") % 3 === 0)
+        .select(col("event_id"), (col("value") * 2).as("value"))
+      Merge.upsertReplace(target, updates, Seq("event_id"))
+    }),
+
+    // M2 ($addToSet set-union, walletexplorer/main.go:98-114) on the
+    // normalized flat form: UNION + DISTINCT.
+    "m2_label_set_union" -> ((s, dir) => flagship(s, dir)),
+
+    // M3 (upsert by node.id, chainabuse/main.py:83-89): last-writer-
+    // wins per key = window row_number over arrival order.
+    "m3_upsert_by_id" -> ((s, dir) => {
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+          col("event_id"), col("event_type"), col("value"), col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("k"), col("event_id"), col("event_type"), col("value"))
+    }),
+
+    // F1 (12 h TTL seen-set, bitcoinabuse/main.go:43-45,218-221):
+    // batch-exact anti-join form at (key, time-window) granularity —
+    // "skip if seen within the window" — applied BEFORE downstream work.
+    "f1_anti_join_dedup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+      val seen = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("day"))
+      val incoming = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("day"))
+      Merge.antiJoinDedup(incoming, seen, Seq("user_id", "day")).distinct()
+    }),
+
+    // F2 (guard filters, walletexplorer/main.go:86-94): empty/blank
+    // skip + positive-balance guard.
+    "f2_guard_filters" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 0 && length(trim(col("c_name"))) > 0)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))),
+
+    // Quirk-2 fix (SURVEY §1.1/§7.4): replace WITHIN source, union
+    // ACROSS sources — instead of the reference's cross-source
+    // clobbering. Incoming 'events' rows fully replace the current
+    // 'events' slice; 'docs' slice survives.
+    "m_merge_by_source" -> ((s, dir) => {
+      val current = flagship(s, dir)
+      val incoming = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").cast("string").as("addr"),
+          col("event_type").as("name"), lit("events").as("src"))
+      Merge.mergeBySource(current, incoming, "src")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "m1_upsert_replace" ->
+      """SELECT COALESCE(u.event_id, t.event_id) AS event_id,
+        |       CASE WHEN u.event_id IS NOT NULL THEN u.value ELSE t.value END AS value
+        |FROM (SELECT event_id, value FROM events WHERE event_id % 2 = 0) t
+        |FULL OUTER JOIN
+        |     (SELECT event_id, value * 2 AS value FROM events WHERE event_id % 3 = 0) u
+        |ON t.event_id = u.event_id""".stripMargin,
+
+    "m2_label_set_union" ->
+      """SELECT DISTINCT addr, name, src FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS addr, event_type AS name,
+        |         'events' AS src FROM events
+        |  UNION ALL
+        |  SELECT CAST(doc_id % 300 AS VARCHAR), lang, 'docs' FROM documents)""".stripMargin,
+
+    "m3_upsert_by_id" ->
+      """SELECT k, event_id, event_type, value FROM (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |         event_id, event_type, value,
+        |         row_number() OVER (
+        |           PARTITION BY CAST(json_extract_string(props, '$.k') AS INTEGER)
+        |           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    "f1_anti_join_dedup" ->
+      """SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |FROM events e
+        |WHERE event_type = 'purchase'
+        |  AND NOT EXISTS (SELECT 1 FROM events s
+        |                  WHERE s.event_type = 'signup'
+        |                    AND s.user_id = e.user_id
+        |                    AND CAST(CAST(s.ts AS TIMESTAMP) AS DATE) =
+        |                        CAST(CAST(e.ts AS TIMESTAMP) AS DATE))""".stripMargin,
+
+    "f2_guard_filters" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE c_acctbal > 0 AND length(trim(c_name)) > 0
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "m_merge_by_source" ->
+      """SELECT DISTINCT addr, name, src FROM (
+        |  SELECT CAST(doc_id % 300 AS VARCHAR) AS addr, lang AS name,
+        |         'docs' AS src FROM documents
+        |  UNION ALL
+        |  SELECT CAST(user_id AS VARCHAR), event_type, 'events'
+        |  FROM events WHERE event_type IN ('click', 'view'))""".stripMargin
+  )
+}

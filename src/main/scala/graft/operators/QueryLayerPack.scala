@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The query surface over the label store (SURVEY.md §2.1/§2.2):
+  * aggregations A1–A3, joins, windows, cube/rollup, top-k, set ops —
+  * the analytics layer the reference's MongoDB collections imply but
+  * never expose. Runs over the TPC-H-ish star schema (orders ×
+  * customer × nation × region exercise the join/agg/window layer per
+  * FIXTURES.md §A).
+  */
+object QueryLayerPack extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pricing summary (TPC-H Q1 shape): single hash-agg with partial
+    // aggregation map-side; only 4 columns read from the scan.
+    "q1_pricing_summary" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2023-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // A2 (running upsert counters, chainabuse/main.py:58-60,92-94):
+    // merge-outcome classification + counts, as a post-merge agg
+    // instead of driver-side mutable counters.
+    "a2_merge_counters" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val target = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"))
+      val updates = ev.filter(col("event_id") % 3 === 0)
+        .select(col("event_id"))
+      target.alias("t").join(updates.alias("u"),
+          col("t.event_id") === col("u.event_id"), "full_outer")
+        .select(when(col("u.event_id").isNull, "untouched")
+          .when(col("t.event_id").isNull, "upserted")
+          .otherwise("modified").as("outcome"))
+        .groupBy("outcome").agg(count(lit(1)).as("n"))
+    }),
+
+    // A3 (group-to-directory map, walletexplorer/main.go:226-243):
+    // category → sorted member list; string-joined for a stable,
+    // order-insensitive compare.
+    "a3_group_to_map" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .groupBy("p_brand")
+        .agg(array_join(array_sort(collect_set(col("p_type"))), ",")
+          .as("types"),
+          countDistinct(col("p_type")).as("n_types")))
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2023-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a2_merge_counters" ->
+      """SELECT outcome, count(*) AS n FROM (
+        |  SELECT CASE WHEN u.event_id IS NULL THEN 'untouched'
+        |              WHEN t.event_id IS NULL THEN 'upserted'
+        |              ELSE 'modified' END AS outcome
+        |  FROM (SELECT event_id FROM events WHERE event_id % 2 = 0) t
+        |  FULL OUTER JOIN
+        |       (SELECT event_id FROM events WHERE event_id % 3 = 0) u
+        |  ON t.event_id = u.event_id)
+        |GROUP BY outcome""".stripMargin,
+
+    "a3_group_to_map" ->
+      """SELECT p_brand,
+        |       string_agg(DISTINCT p_type, ',' ORDER BY p_type) AS types,
+        |       count(DISTINCT p_type) AS n_types
+        |FROM part GROUP BY p_brand""".stripMargin
+  )
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Merge semantics unit tests — the quirk cases from SURVEY.md §1.1:
+  * whole-doc replace (M1), set-union idempotence (M2), cross-source
+  * clobbering fix, anti-join dedup (F1).
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("M1 upsertReplace: whole-row replace, upsert of new keys") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "s", "v")
+    val updates = Seq((2L, "B2", 99.0), (3L, "c", 30.0)).toDF("id", "s", "v")
+    val out = Merge.upsertReplace(target, updates, Seq("id"))
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "B2", 99.0), (3L, "c", 30.0)))
+  }
+
+  test("M1 upsertReplace: null fields in update still replace (whole-doc $set)") {
+    val target = Seq((1L, Some("keepme"))).toDF("id", "s")
+    val updates = Seq((1L, None: Option[String])).toDF("id", "s")
+    val out = Merge.upsertReplace(target, updates, Seq("id"))
+      .as[(Long, Option[String])].collect().toSeq
+    assert(out == Seq((1L, None)), "update row must win wholesale, not per-field")
+  }
+
+  test("M2 labelUnionArrays: set semantics on struct elements, idempotent") {
+    val mk = (n: String, src: String) => (n, src)
+    val target = Seq(("addr1", Seq(mk("abuse", "bitcoinAbuse")))).toDF("addr", "labels")
+    val updates = Seq(
+      ("addr1", Seq(mk("abuse", "bitcoinAbuse"), mk("Ex", "walletExplorer"))),
+      ("addr2", Seq(mk("Pool", "walletExplorer")))).toDF("addr", "labels")
+
+    val once = Merge.labelUnionArrays(target, updates, "addr", "labels")
+    val twice = Merge.labelUnionArrays(once, updates, "addr", "labels")
+    val got = twice.orderBy("addr").as[(String, Seq[(String, String)])].collect().toSeq
+    assert(got == Seq(
+      ("addr1", Seq(("Ex", "walletExplorer"), ("abuse", "bitcoinAbuse"))),
+      ("addr2", Seq(("Pool", "walletExplorer")))))
+    // duplicate suppressed: abuse label appears once despite being in both sides
+    assert(got.head._2.size == 2)
+  }
+
+  test("mergeBySource: replace within src, union across src (quirk-2 fix)") {
+    val current = Seq(
+      ("a1", "old-events-label", "events"),
+      ("a1", "doc-label", "docs")).toDF("addr", "name", "src")
+    val incoming = Seq(("a1", "new-events-label", "events")).toDF("addr", "name", "src")
+    val out = Merge.mergeBySource(current, incoming, "src")
+      .orderBy("src").as[(String, String, String)].collect().toSeq
+    // events slice replaced wholesale; docs slice untouched
+    assert(out == Seq(
+      ("a1", "doc-label", "docs"),
+      ("a1", "new-events-label", "events")))
+  }
+
+  test("F1 antiJoinDedup drops only seen keys") {
+    val incoming = Seq(("x", 1), ("y", 2), ("z", 3)).toDF("k", "v")
+    val seen = Seq(Tuple1("y")).toDF("k")
+    val out = Merge.antiJoinDedup(incoming, seen, Seq("k"))
+      .orderBy("k").as[(String, Int)].collect().toSeq
+    assert(out == Seq(("x", 1), ("z", 3)))
+  }
+
+  test("M2 labelUnionFlat is idempotent and commutative on content") {
+    val a = Seq(("a1", "n1", "s1"), ("a2", "n2", "s2")).toDF("addr", "name", "src")
+    val b = Seq(("a1", "n1", "s1"), ("a3", "n3", "s1")).toDF("addr", "name", "src")
+    val ab = Merge.labelUnionFlat(a, b).collect().toSet
+    val ba = Merge.labelUnionFlat(b, a).collect().toSet
+    val abb = Merge.labelUnionFlat(Merge.labelUnionFlat(a, b), b).collect().toSet
+    assert(ab == ba && ab == abb && ab.size == 3)
+  }
+}

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 gate: run graft.Verify first, then
+compare each spark parquet result against its DuckDB oracle.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+"""
+import duckdb, json, sys, os, glob
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def main():
+    sf, out = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    failures = 0
+    names = sorted(os.listdir(out))
+    for name in names:
+        d = os.path.join(out, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            print(f"[MISS ] {name}: no spark output")
+            failures += 1
+            continue
+        if name not in oracle:
+            n = con.sql(f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+            print(f"[ROWS ] {name}: rows-only check, {n} rows")
+            continue
+        try:
+            o = con.sql(oracle[name])
+            ocols = sorted(o.columns)
+            s = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
+            scols = sorted(s.columns)
+            if ocols != scols:
+                print(f"[COLS ] {name}: spark={scols} oracle={ocols}")
+                failures += 1
+                continue
+            cols = ", ".join(f'"{c}"' for c in ocols)
+            con.sql(f"CREATE OR REPLACE TEMP TABLE _o AS SELECT {cols} FROM o")
+            con.sql(f"CREATE OR REPLACE TEMP TABLE _s AS SELECT {cols} FROM s")
+            no = con.sql("SELECT count(*) FROM _o").fetchone()[0]
+            ns = con.sql("SELECT count(*) FROM _s").fetchone()[0]
+            d1 = con.sql("SELECT count(*) FROM (SELECT * FROM _o EXCEPT ALL SELECT * FROM _s)").fetchone()[0]
+            d2 = con.sql("SELECT count(*) FROM (SELECT * FROM _s EXCEPT ALL SELECT * FROM _o)").fetchone()[0]
+            if no == ns and d1 == 0 and d2 == 0:
+                print(f"[OK   ] {name}: {ns} rows")
+            else:
+                failures += 1
+                print(f"[DIFF ] {name}: spark={ns} oracle={no} o-s={d1} s-o={d2}")
+                con.sql("SELECT * FROM (SELECT 'oracle_only' AS side, * FROM (SELECT * FROM _o EXCEPT ALL SELECT * FROM _s) UNION ALL SELECT 'spark_only', * FROM (SELECT * FROM _s EXCEPT ALL SELECT * FROM _o)) LIMIT 6").show()
+        except Exception as e:
+            failures += 1
+            print(f"[ERR  ] {name}: {e}")
+    extra = [k for k in oracle if not os.path.isdir(os.path.join(out, k))]
+    for k in extra:
+        print(f"[MISS ] oracle without output: {k}")
+        failures += 1
+    print(f"== {failures} failures")
+    sys.exit(1 if failures else 0)
+
+main()
