@@ -1,38 +1,206 @@
 package graft.operators
 
 import graft.{QueryPack, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The query surface over the label store (SURVEY.md §2.1/§2.2):
-  * aggregations A1–A3, joins, windows, cube/rollup, top-k, set ops —
-  * the analytics layer the reference's MongoDB collections imply but
-  * never expose. Runs over the TPC-H-ish star schema (orders ×
-  * customer × nation × region exercise the join/agg/window layer per
-  * FIXTURES.md §A).
+  * aggregations A1–A3, joins (broadcast/sort-merge/semi/anti), window
+  * functions, cube/rollup, top-k, set ops, as-of join — the analytics
+  * layer the reference's MongoDB collections imply but never expose.
+  * Runs over the TPC-H-ish star schema (FIXTURES.md §A role mapping).
+  *
+  * Determinism note: double sums are summed as DECIMAL(18,4) (exact,
+  * order-independent) and only then rounded/cast back — a plain
+  * double sum depends on partition order, which would make the
+  * driver's hash compare flaky.
   */
 object QueryLayerPack extends QueryPack {
 
+  /** Exact, order-independent sum of a double column: cast each term
+    * to decimal, sum, round, back to double. Same expression shape is
+    * used in the DuckDB oracle. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast("decimal(18,4)")), scale).cast("double")
+
+  private def davg(c: Column, scale: Int = 4): Column =
+    round(sum(c.cast("decimal(18,4)")).cast("double") / count(lit(1)), scale)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Pricing summary (TPC-H Q1 shape): single hash-agg with partial
-    // aggregation map-side; only 4 columns read from the scan.
+    // Pricing summary (TPC-H Q1 shape): single hash-agg, partial
+    // aggregation map-side; only the 7 needed columns are read.
     "q1_pricing_summary" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= lit("2023-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))),
 
+    // Star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+    // Dims are broadcast (explicit hint); only the fact join shuffles.
+    "q2_star_join_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_regionkey"))
+      val r = Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
+    // §2.2 q1: point lookup — labels of one address, with provenance.
+    "q22_point_lookup" -> ((s, dir) =>
+      MergePack.flagship(s, dir).filter(col("addr") === "42")),
+
+    // §2.2 q2: reverse lookup — all addresses carrying entity label W.
+    "q22_reverse_lookup" -> ((s, dir) =>
+      MergePack.flagship(s, dir).filter(col("name") === "click")
+        .select(col("addr")).distinct()),
+
+    // §2.2 q3: category stats over time (chainAbuse scamCategory ×
+    // createdAt month).
+    "q22_category_stats" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("month", col("ts")).as("month"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))),
+
+    // §2.2 q4: cross-source reconciliation — addrs labeled by ≥2
+    // sources (exact distinct count; HLL variant is q_approx_distinct).
+    "q22_cross_source" -> ((s, dir) =>
+      MergePack.flagship(s, dir)
+        .groupBy("addr")
+        .agg(countDistinct(col("src")).as("n_src"))
+        .filter(col("n_src") >= 2)),
+
+    // §2.2 q5: co-occurrence — key pairs sharing ≥5 (type, day) cells;
+    // self-join on the cell key, aggregated pair counts.
+    "q22_cooccurrence" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("user_id")).distinct()
+      val a = cells.alias("a")
+      val b = cells.alias("b")
+      a.join(b,
+          col("a.event_type") === col("b.event_type") &&
+          col("a.day") === col("b.day") &&
+          col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.user_id").as("user_a"),
+          col("b.user_id").as("user_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 5)
+    }),
+
+    // Window functions: latest label per (addr, src) — the implied
+    // "current view" query (SURVEY §2.1 windows row).
+    "q_window_latest" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"))
+    }),
+
+    // Running aggregates per key (ordered window frame).
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          row_number().over(w).as("rn"),
+          round(sum(col("value").cast("decimal(18,4)")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .cast("double").as("running_total"))
+    }),
+
+    // ROLLUP hierarchy totals (SURVEY §2.1 aggregations row).
+    "q_rollup_stats" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))),
+
+    // CUBE over customer nation × segment.
+    "q_cube_stats" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .cube(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal"))),
+
+    // Global top-k (TakeOrderedAndProject — no full sort at scale).
+    "q_topk_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(10)),
+
+    // Top-k per group via rank window.
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Tables.part(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("p_brand"), col("rn"), col("p_partkey"),
+          col("p_retailprice"))
+    }),
+
+    // Set ops (SURVEY §2.1): (user, day) cells with clicks but no
+    // purchase, minus error days — EXCEPT chain (set semantics).
+    "q_set_ops" -> ((s, dir) => {
+      def cells(et: String) = Tables.events(s, dir)
+        .filter(col("event_type") === et)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      cells("click").except(cells("purchase")).except(cells("error"))
+    }),
+
+    // Semi-join (EXISTS): customers having ≥1 urgent order.
+    "q_semi_join" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      Tables.customer(s, dir)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+
+    // As-of join (backward): each purchase matched to the user's
+    // latest click at-or-before it. Implemented as union + ordered
+    // window (one shuffle, no range cross-join) — the scalable form.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("tag"),
+          col("event_id"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("tag"),
+          col("event_id"), lit(null).cast("long").as("click_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("matched", last(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("matched").as("click_id"))
+    }),
+
     // A2 (running upsert counters, chainabuse/main.py:58-60,92-94):
-    // merge-outcome classification + counts, as a post-merge agg
-    // instead of driver-side mutable counters.
+    // merge-outcome classification + counts as a post-merge agg.
     "a2_merge_counters" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val target = ev.filter(col("event_id") % 2 === 0)
@@ -48,28 +216,149 @@ object QueryLayerPack extends QueryPack {
     }),
 
     // A3 (group-to-directory map, walletexplorer/main.go:226-243):
-    // category → sorted member list; string-joined for a stable,
-    // order-insensitive compare.
+    // category → sorted member list, string-joined for stable compare.
     "a3_group_to_map" -> ((s, dir) =>
       Tables.part(s, dir)
         .groupBy("p_brand")
         .agg(array_join(array_sort(collect_set(col("p_type"))), ",")
           .as("types"),
-          countDistinct(col("p_type")).as("n_types")))
+          countDistinct(col("p_type")).as("n_types"))),
+
+    // approx_count_distinct (HLL): algorithm-specific → rows-only
+    // check; the exact variant is oracled in q22_cross_source.
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users")))
   )
 
   override def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       round(avg(l_quantity), 4) AS avg_qty,
-        |       round(avg(l_discount), 4) AS avg_disc,
-        |       count(*) AS count_order
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2023-12-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_star_join_revenue" ->
+      """SELECT r_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q22_point_lookup" ->
+      """SELECT addr, name, src FROM (
+        |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS addr, event_type AS name,
+        |         'events' AS src FROM events
+        |  UNION
+        |  SELECT DISTINCT CAST(doc_id % 300 AS VARCHAR), lang, 'docs' FROM documents)
+        |WHERE addr = '42'""".stripMargin,
+
+    "q22_reverse_lookup" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS addr
+        |FROM events WHERE event_type = 'click'""".stripMargin,
+
+    "q22_category_stats" ->
+      """SELECT event_type, date_trunc('month', CAST(ts AS TIMESTAMP)) AS month,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type, month""".stripMargin,
+
+    "q22_cross_source" ->
+      """SELECT addr, count(DISTINCT src) AS n_src FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS addr, 'events' AS src FROM events
+        |  UNION ALL
+        |  SELECT CAST(doc_id % 300 AS VARCHAR), 'docs' FROM documents)
+        |GROUP BY addr HAVING count(DISTINCT src) >= 2""".stripMargin,
+
+    "q22_cooccurrence" ->
+      """SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS shared
+        |FROM (SELECT DISTINCT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events) a
+        |JOIN (SELECT DISTINCT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events) b
+        |  ON a.event_type = b.event_type AND a.day = b.day AND a.user_id < b.user_id
+        |GROUP BY a.user_id, b.user_id
+        |HAVING count(*) >= 5""".stripMargin,
+
+    "q_window_latest" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+        |  row_number() OVER w AS rn,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,4))) OVER
+        |    (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+        |    AS running_total
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin,
+
+    "q_rollup_stats" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_cube_stats" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS bal
+        |FROM customer GROUP BY CUBE (c_nationkey, c_mktsegment)""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |         row_number() OVER (PARTITION BY p_brand
+        |           ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) WHERE rn <= 3""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT event_id AS purchase_id, user_id, click_id FROM (
+        |  SELECT user_id, tag, event_id,
+        |         last_value(click_id IGNORE NULLS) OVER (
+        |           PARTITION BY user_id
+        |           ORDER BY ts, tag, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+        |  FROM (
+        |    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, 0 AS tag,
+        |           event_id, event_id AS click_id
+        |    FROM events WHERE event_type = 'click'
+        |    UNION ALL
+        |    SELECT user_id, CAST(ts AS TIMESTAMP), 1, event_id, NULL
+        |    FROM events WHERE event_type = 'purchase'))
+        |WHERE tag = 1""".stripMargin,
 
     "a2_merge_counters" ->
       """SELECT outcome, count(*) AS n FROM (
