@@ -10,6 +10,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * packs. Every query takes `(spark, sfDir)` and must be deterministic
   * in content (set semantics — the driver sorts before hashing).
   */
+/** Cross-engine-deterministic rounding of doubles.
+  *
+  * `round(x, s)` on a double disagrees between Spark (exact
+  * BigDecimal of the binary value) and DuckDB (float multiply) when x
+  * sits within an ulp of a decimal .5 boundary — observed on ratio
+  * combinations like 0.4a+0.3b+0.3c. `floor(x*10^s + 0.5)/10^s` runs
+  * the SAME float ops in both engines, so results are bit-identical.
+  * Use for ratios/averages of doubles; plain `round` stays fine for
+  * exact DECIMAL sums.
+  */
+object Det {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{floor, lit}
+
+  def dround(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    floor(c * lit(f) + lit(0.5)) / lit(f)
+  }
+
+  /** The identical DuckDB SQL form. */
+  def droundSql(expr: String, scale: Int): String = {
+    val f = s"1e$scale"
+    s"floor(($expr) * $f + 0.5) / $f"
+  }
+}
+
 trait QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame]
 

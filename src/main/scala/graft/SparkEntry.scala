@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
-    ExtractPack, MergePack, QueryLayerPack)
+    ExtractPack, MergePack, QueryLayerPack, DedupPack, SimilarityPack,
+    TextPack)
 
   /** Flagship query (SURVEY §7.3: labels of every address with
     * provenance) on sf0.001; driver smoke-checks rows>0. */

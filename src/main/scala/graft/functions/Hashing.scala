@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hashing for the dedup/similarity
+  * operators (the north-star LLM-pipeline extensions, SURVEY §7.2.6).
+  *
+  * All hashes are md5-derived: both Spark and DuckDB produce the same
+  * lowercase md5 hex, so every hash here can be replayed exactly in
+  * the SQL oracle — unlike murmur3 `hash()`, which differs between
+  * engines. Everything is a Catalyst expression (codegen'd, no UDF):
+  * at 100 TB the hashing runs at scan speed inside the parquet-read
+  * stage with zero extra shuffles.
+  */
+object Hashing {
+
+  /** Prime just above 2^32 for minhash permutations. */
+  val MinhashPrime: Long = 4294967311L
+
+  /** Number of minhash permutations / LSH banding shape. */
+  val NumPerms = 8
+  val NumBands = 4 // 2 rows per band
+
+  /** 32-bit hash of a string: first 8 hex chars of md5 as a long. */
+  def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** i-th universal-hash permutation of a 32-bit hash:
+    * (h * (2i+1) + 7919i+1) mod p. Products stay < 2^37, no overflow
+    * in either engine. */
+  def permuted(h: Column, i: Int): Column =
+    (h * lit(2L * i + 1) + lit(7919L * i + 1)) % lit(MinhashPrime)
+
+  /** k-token shingles of a token array, as 'tok1 tok2 tok3' strings.
+    * Pure array expression; empty array for docs shorter than k
+    * (Spark's `sequence` would otherwise count DOWN for a negative
+    * range — guard required). */
+  def shingles(tokens: Column, k: Int): Column =
+    when(size(tokens) >= k,
+      transform(sequence(lit(0), size(tokens) - k),
+        j => concat_ws(" ", (0 until k).map(o => get(tokens, j + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** i-th minhash of a shingle array: min over permuted shingle
+    * hashes. NULL-free input assumed (shingles of non-null text). */
+  def minhash(shingleCol: Column, i: Int): Column =
+    array_min(transform(shingleCol, s => permuted(h32(s), i)))
+
+  /** LSH band key b for a minhash signature (2 rows/band): string
+    * 'mh_{2b} _ mh_{2b+1}' — string-typed so Spark and DuckDB concat
+    * identically. */
+  def bandKey(sig: Seq[Column], b: Int): Column =
+    concat_ws("_", sig(2 * b).cast("string"), sig(2 * b + 1).cast("string"))
+}

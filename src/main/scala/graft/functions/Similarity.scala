@@ -1,0 +1,58 @@
+package graft.functions
+
+import java.security.MessageDigest
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity: exact cosine (higher-order expressions, no
+  * UDF) and deterministic random-hyperplane LSH for the ANN path.
+  *
+  * Cross-engine determinism: the fold is sequential with a 0.0 init,
+  * so Spark's `aggregate` and DuckDB's `list_reduce` produce
+  * bit-identical doubles — thresholds and rankings then agree exactly.
+  * LSH plane weights are md5-derived integers (see [[planeWeight]]),
+  * reproducible in SQL, so bucket ids match the oracle too.
+  */
+object Similarity {
+
+  /** Sequential left-fold sum of an array<double>. */
+  private def fsum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    fsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  // ---- deterministic random-hyperplane LSH ----
+
+  val NumPlanes = 8
+  val Dims = 64
+
+  /** Plane weight w(j,d) = (int(md5("p{j}_{d}")[0:8], 16) % 2001) - 1000
+    * — an integer in [-1000, 1000], identical to the SQL
+    * ('0x'||substr(md5('p'||j||'_'||d),1,8))::BIGINT % 2001 - 1000. */
+  def planeWeight(j: Int, d: Int): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"p${j}_$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+  }
+
+  /** Plane j as a literal array<double> expression (constant-folded). */
+  private def plane(j: Int): Column =
+    array((0 until Dims).map(d => lit(planeWeight(j, d).toDouble)): _*)
+
+  /** Sign-bucket of an embedding: bit j set iff dot(v, plane_j) > 0.
+    * 8 planes → 256 buckets; bucket-equality is the ANN candidate
+    * filter (the scale path: candidates shrink ~256× before any
+    * pairwise cosine). */
+  def lshBucket(emb: Column): Column =
+    (0 until NumPlanes).map { j =>
+      when(fsum(zip_with(emb, plane(j),
+        (x, w) => x.cast("double") * w)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

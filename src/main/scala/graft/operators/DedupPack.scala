@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.functions.Hashing
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication (north-star LLM-pipeline ops, SURVEY §7.2.6):
+  * exact hash dedup, MinHash+LSH, SimHash, and n-gram Jaccard — all as
+  * pure Catalyst expressions over `documents`, all oracle-checked
+  * (md5-derived hashes replay exactly in DuckDB).
+  *
+  * Scale design: signatures are computed in the scan stage (no
+  * shuffle); candidate generation is an equi-join on band/bucket keys
+  * — the only shuffles are on those short keys, never on full text.
+  * At 100 TB the band join partitions by band key; skewed bands (all
+  * boilerplate docs sharing a shingle) are AQE-split.
+  */
+object DedupPack extends QueryPack {
+
+  private def toks = split(col("text"), " ")
+
+  /** doc_id + minhash signature columns mh0..mh7. */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    val sh = Hashing.shingles(toks, 3)
+    Tables.documents(s, dir).select(
+      col("doc_id") +: (0 until Hashing.NumPerms)
+        .map(i => Hashing.minhash(sh, i).as(s"mh$i")): _*)
+  }
+
+  /** (doc_id, band, key) — one row per LSH band. */
+  private def bands(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir)
+    val sigCols = (0 until Hashing.NumPerms).map(i => col(s"mh$i"))
+    val bandStructs = (0 until Hashing.NumBands).map(b =>
+      struct(lit(b).as("band"), Hashing.bandKey(sigCols, b).as("key")))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: content-hash groupBy; keeper = min doc_id. At scale
+    // this is one shuffle on a 32-char key, never on the text itself.
+    "ds_exact_dedup" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))),
+
+    // MinHash signatures (8 perms over 3-token shingles).
+    "ds_minhash_sig" -> ((s, dir) => signatures(s, dir)),
+
+    // MinHash-LSH candidate pairs: band equi-join (4 bands × 2 rows).
+    "ds_minhash_pairs" -> ((s, dir) => {
+      val b = bands(s, dir)
+      b.alias("a").join(b.alias("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    }),
+
+    // SimHash (32-bit, token-set weighted bit votes).
+    "ds_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks).as("tok")).distinct()
+        .select(col("doc_id"), Hashing.h32(col("tok")).as("h"))
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(31))).as("j"))
+        .groupBy("doc_id", "j")
+        .agg(sum(expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END"))
+          .as("vote"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("vote") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
+          .as("simhash"))),
+
+    // N-gram (3-token shingle) Jaccard near-dup pairs, fully
+    // relational: distinct (doc, shingle) self-join → shared counts →
+    // |A∩B| / (|A|+|B|-|A∩B|). No arrays cross the shuffle.
+    "ds_jaccard_pairs" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(Hashing.shingles(toks, 3)).as("shingle"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val shared = sh.alias("a").join(sh.alias("b"),
+          col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.alias("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.alias("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          graft.Det.dround(col("shared").cast("double") /
+            (col("sa.sz") + col("sb.sz") - col("shared")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.2)
+    })
+  )
+
+  private val sigSqlCols = (0 until Hashing.NumPerms).map(i =>
+    s"min((h * ${2 * i + 1} + ${7919 * i + 1}) % ${Hashing.MinhashPrime}) AS mh$i")
+    .mkString(",\n         ")
+
+  private val sigCte =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |sh AS (SELECT doc_id, ts[j+1] || ' ' || ts[j+2] || ' ' || ts[j+3] AS s
+       |       FROM t, UNNEST(generate_series(0, len(ts) - 3)) AS g(j)),
+       |hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+       |sig AS (SELECT doc_id,
+       |         $sigSqlCols
+       |        FROM hh GROUP BY doc_id)""".stripMargin
+
+  private val bandsSql = (0 until Hashing.NumBands).map(b =>
+    s"SELECT doc_id, $b AS band, concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS key FROM sig")
+    .mkString("\nUNION ALL\n")
+
+  override def oracles: Map[String, String] = Map(
+    "ds_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "ds_minhash_sig" -> s"$sigCte\nSELECT * FROM sig",
+
+    "ds_minhash_pairs" ->
+      s"""$sigCte,
+         |bands AS ($bandsSql)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
+
+    "ds_simhash" ->
+      """WITH tk AS (SELECT DISTINCT doc_id, tok FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tk),
+        |bits AS (SELECT doc_id, j,
+        |           sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |         FROM h, UNNEST(generate_series(0, 31)) AS g(j)
+        |         GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |       sum(CASE WHEN vote > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "ds_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         ts[j+1] || ' ' || ts[j+2] || ' ' || ts[j+3] AS shingle
+        |       FROM t, UNNEST(generate_series(0, len(ts) - 3)) AS g(j)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |           FROM sh a JOIN sh b
+        |             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |           GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       floor((CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared)) * 1e4 + 0.5) / 1e4 AS jaccard
+        |FROM shared
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE floor((CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared)) * 1e4 + 0.5) / 1e4 >= 0.2""".stripMargin
+  )
+}

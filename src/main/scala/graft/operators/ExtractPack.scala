@@ -72,7 +72,9 @@ object ExtractPack extends QueryPack {
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"),
+        .agg(count(lit(1)).as("n"),
+          graft.Det.dround(sum(col("k")).cast("double") / count(lit(1)), 4)
+            .as("avg_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
 
     // P10 (bitcoinabuse/main.go:226-242 label-struct assembly):
@@ -127,7 +129,7 @@ object ExtractPack extends QueryPack {
 
     "p9_json_stats" ->
       """SELECT event_type, count(*) AS n,
-        |       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+        |       floor((CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS avg_k,
         |       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
         |       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,

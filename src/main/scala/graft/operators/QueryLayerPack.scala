@@ -25,7 +25,8 @@ object QueryLayerPack extends QueryPack {
     round(sum(c.cast("decimal(18,4)")), scale).cast("double")
 
   private def davg(c: Column, scale: Int = 4): Column =
-    round(sum(c.cast("decimal(18,4)")).cast("double") / count(lit(1)), scale)
+    graft.Det.dround(
+      sum(c.cast("decimal(18,4)")).cast("double") / count(lit(1)), scale)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Pricing summary (TPC-H Q1 shape): single hash-agg, partial
@@ -239,8 +240,8 @@ object QueryLayerPack extends QueryPack {
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
         |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
-        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |  floor((CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS avg_qty,
+        |  floor((CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2023-12-01 00:00:00'

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.functions.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (north-star LLM-pipeline ops): exact
+  * brute-force cosine top-k as the correctness baseline, and
+  * LSH-bucketed ANN as the scale path. All higher-order expressions —
+  * no UDFs, no driver-side collect.
+  *
+  * Scale design: brute-force is O(|Q|·N) with the small query side
+  * broadcast; the LSH path first buckets every vector in the scan
+  * stage (no shuffle), then joins on the 8-bit bucket key, cutting
+  * candidate pairs ~256× before any cosine is computed. At 100 TB the
+  * bucket join is the only exchange, and bucket skew is AQE-split.
+  */
+object SimilarityPack extends QueryPack {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-3 per query (queries = vec_id < 10),
+    // query side broadcast; ranking on the exact double (bit-identical
+    // to the oracle's sequential fold), vec_id tiebreak.
+    "sim_cosine_topk" -> ((s, dir) => {
+      val q = emb(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val v = emb(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      val scored = v.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          Similarity.cosine(col("qe"), col("embedding")).as("cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          graft.Det.dround(col("cos"), 6).as("cos"))
+    }),
+
+    // Deterministic random-hyperplane LSH bucket per vector.
+    "sim_lsh_buckets" -> ((s, dir) =>
+      emb(s, dir).select(col("vec_id"),
+        Similarity.lshBucket(col("embedding")).as("bucket"))),
+
+    // ANN near-pairs: bucket equi-join, then exact cosine ≥ 0.3 on
+    // the ~256×-reduced candidate set.
+    "sim_ann_pairs" -> ((s, dir) => {
+      val b = emb(s, dir).select(col("vec_id"),
+        col("embedding"), Similarity.lshBucket(col("embedding")).as("bucket"))
+      b.alias("a").join(b.alias("b"),
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .select(col("vec_a"), col("vec_b"),
+          graft.Det.dround(col("cos"), 6).as("cos"))
+    })
+  )
+
+  /** Shared SQL fragments (dot/cosine as sequential list folds —
+    * bit-identical to the Spark expressions). */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform($a, (x, i) -> CAST(x AS DOUBLE) * CAST($b[i] AS DOUBLE)), (p, q) -> p + q)"
+
+  private def sqlCos(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+
+  private val planesCte =
+    """planes AS (SELECT j, d,
+      |    ((('0x' || substr(md5('p' || j || '_' || d), 1, 8))::BIGINT) % 2001) - 1000 AS w
+      |  FROM UNNEST(generate_series(0, 7)) AS a(j),
+      |       UNNEST(generate_series(0, 63)) AS b(d)),
+      |parr AS (SELECT j, list(CAST(w AS DOUBLE) ORDER BY d) AS warr
+      |         FROM planes GROUP BY j),
+      |dots AS (SELECT e.vec_id, p.j,
+      |    list_reduce(list_transform(e.embedding,
+      |      (x, i) -> CAST(x AS DOUBLE) * p.warr[i]), (a, b) -> a + b) AS dot
+      |  FROM embeddings e CROSS JOIN parr p),
+      |buckets AS (SELECT vec_id,
+      |    sum(CASE WHEN dot > 0 THEN 1::BIGINT << j ELSE 0 END) AS bucket
+      |  FROM dots GROUP BY vec_id)""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      s"""SELECT query_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos FROM (
+         |  SELECT q.vec_id AS query_id, v.vec_id,
+         |         ${sqlCos("q.embedding", "v.embedding")} AS cos,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY ${sqlCos("q.embedding", "v.embedding")} DESC,
+         |                    v.vec_id) AS rank
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+         |  CROSS JOIN embeddings v
+         |  WHERE v.vec_id <> q.vec_id)
+         |WHERE rank <= 3""".stripMargin,
+
+    "sim_lsh_buckets" ->
+      s"""WITH $planesCte
+         |SELECT vec_id, bucket FROM buckets""".stripMargin,
+
+    "sim_ann_pairs" ->
+      s"""WITH $planesCte,
+         |be AS (SELECT b.vec_id, b.bucket, e.embedding
+         |       FROM buckets b JOIN embeddings e ON b.vec_id = e.vec_id)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       floor(${sqlCos("a.embedding", "b.embedding")} * 1e6 + 0.5) / 1e6 AS cos
+         |FROM be a JOIN be b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.3""".stripMargin
+  )
+}

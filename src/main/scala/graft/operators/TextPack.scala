@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.{Det, QueryPack, Tables}
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (north-star ops):
+  * token stats, language-ID heuristic, quality scoring, document
+  * fingerprinting. All per-row column expressions — at 100 TB these
+  * run in the scan stage with zero shuffles. Ratio rounding uses
+  * [[Det.dround]] for cross-engine determinism.
+  */
+object TextPack extends QueryPack {
+
+  private def toks = split(col("text"), " ")
+
+  /** Integer sum over an array (exact; order-free). */
+  private def isum(arr: Column): Column =
+    aggregate(arr, lit(0L), (acc, x) => acc + x)
+
+  private val stopEn = Seq("the", "a", "of", "in", "and")
+  private val stopEs = Seq("el", "la", "de", "en", "y")
+  private val stopDe = Seq("der", "die", "das", "und", "ein")
+
+  private def stopCount(words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens + a BPE-ish word/punct regex.
+    "tx_token_stats" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        Det.dround(size(array_distinct(toks)).cast("double") / size(toks), 4)
+          .as("diversity"),
+        Det.dround(isum(transform(toks, t => length(t).cast("long")))
+          .cast("double") / size(toks), 4).as("avg_token_len"),
+        size(regexp_extract_all(col("text"), lit("([a-z]+|[0-9]+|[^a-z0-9 ])"),
+          lit(1))).as("n_bpe_ish"),
+        col("n_chars"))),
+
+    // Language-ID heuristic: stopword-set votes with fixed precedence.
+    "tx_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"), col("lang").as("labeled_lang"),
+          stopCount(stopEn).as("s_en"), stopCount(stopEs).as("s_es"),
+          stopCount(stopDe).as("s_de"))
+        .withColumn("predicted",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+            .when(col("s_es") >= col("s_de"), "es")
+            .otherwise("de"))),
+
+    // Quality scoring: length/stopword/diversity ratios combined.
+    "tx_quality" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          Det.dround(stopCount(stopEn).cast("double") / size(toks), 4)
+            .as("stop_ratio"),
+          Det.dround(size(array_distinct(toks)).cast("double") / size(toks), 4)
+            .as("diversity"),
+          Det.dround(size(filter(toks, t => length(t) >= 6)).cast("double")
+            / size(toks), 4).as("long_ratio"))
+        .withColumn("quality",
+          Det.dround(lit(0.4) * col("diversity") + lit(0.3) * col("stop_ratio")
+            + lit(0.3) * col("long_ratio"), 4))),
+
+    // Document fingerprinting: whole-text 32-bit hash + min-sampled
+    // rolling shingle hash (winnowing-style representative).
+    "tx_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Hashing.h32(col("text")).as("fp_text"),
+        array_min(transform(Hashing.shingles(toks, 3),
+          s2 => Hashing.h32(s2))).as("fp_min_shingle")))
+  )
+
+  private def sqlStop(words: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> list_contains([${words.map(w => s"'$w'").mkString(", ")}], t)))"
+
+  private val nToks = "len(string_split(text, ' '))"
+  private val nDistinct = "len(list_distinct(string_split(text, ' ')))"
+
+  override def oracles: Map[String, String] = Map(
+    "tx_token_stats" ->
+      s"""SELECT doc_id,
+         |  $nToks AS n_tokens,
+         |  $nDistinct AS n_distinct,
+         |  ${Det.droundSql(s"CAST($nDistinct AS DOUBLE) / $nToks", 4)} AS diversity,
+         |  ${Det.droundSql(
+             s"CAST(list_sum(list_transform(string_split(text, ' '), t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / $nToks",
+             4)} AS avg_token_len,
+         |  len(regexp_extract_all(text, '([a-z]+|[0-9]+|[^a-z0-9 ])', 1)) AS n_bpe_ish,
+         |  n_chars
+         |FROM documents""".stripMargin,
+
+    "tx_lang_id" ->
+      s"""SELECT doc_id, lang AS labeled_lang,
+         |  ${sqlStop(stopEn)} AS s_en,
+         |  ${sqlStop(stopEs)} AS s_es,
+         |  ${sqlStop(stopDe)} AS s_de,
+         |  CASE WHEN ${sqlStop(stopEn)} >= ${sqlStop(stopEs)}
+         |        AND ${sqlStop(stopEn)} >= ${sqlStop(stopDe)} THEN 'en'
+         |       WHEN ${sqlStop(stopEs)} >= ${sqlStop(stopDe)} THEN 'es'
+         |       ELSE 'de' END AS predicted
+         |FROM documents""".stripMargin,
+
+    "tx_quality" ->
+      s"""SELECT doc_id, n_tokens, stop_ratio, diversity, long_ratio,
+         |  ${Det.droundSql("0.4 * diversity + 0.3 * stop_ratio + 0.3 * long_ratio", 4)} AS quality
+         |FROM (SELECT doc_id,
+         |  $nToks AS n_tokens,
+         |  ${Det.droundSql(s"CAST(${sqlStop(stopEn)} AS DOUBLE) / $nToks", 4)} AS stop_ratio,
+         |  ${Det.droundSql(s"CAST($nDistinct AS DOUBLE) / $nToks", 4)} AS diversity,
+         |  ${Det.droundSql(
+             s"CAST(len(list_filter(string_split(text, ' '), t -> length(t) >= 6)) AS DOUBLE) / $nToks",
+             4)} AS long_ratio
+         |  FROM documents)""".stripMargin,
+
+    "tx_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+        |mn AS (SELECT doc_id,
+        |         min(('0x' || substr(md5(ts[j+1] || ' ' || ts[j+2] || ' ' || ts[j+3]), 1, 8))::BIGINT) AS fp_min_shingle
+        |       FROM t, UNNEST(generate_series(0, len(ts) - 3)) AS g(j)
+        |       GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |       ('0x' || substr(md5(t.text), 1, 8))::BIGINT AS fp_text,
+        |       mn.fp_min_shingle
+        |FROM t JOIN mn ON t.doc_id = mn.doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,53 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class HashingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("h32 matches the md5-prefix reference value") {
+    // md5('hello') = 5d41402abc4b2a76..., first 8 hex = 0x5d41402a
+    val got = Seq("hello").toDF("s")
+      .select(Hashing.h32(col("s"))).as[Long].head()
+    assert(got == 0x5d41402aL)
+  }
+
+  test("shingles: k-grams, and empty for short docs (no descending sequence)") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(Hashing.shingles(split(col("text"), " "), 3).as("sh"))
+    val got = df.as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("a b c", "b c d"), Seq()))
+  }
+
+  test("minhash is order-insensitive over shingle multisets") {
+    val a = Seq("x y z w").toDF("text")
+    val b = Seq("w x y z").toDF("text") // shares shingle 'x y z'
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.select(Hashing.minhash(
+        Hashing.shingles(split(col("text"), " "), 3), 0)).as[Long].head()
+    // deterministic across invocations
+    assert(sig(a) == sig(a) && sig(b) == sig(b))
+  }
+
+  test("lshBucket lands in [0, 256) and is deterministic") {
+    val df = Seq(Tuple1(Array.tabulate(64)(i => (i % 7 - 3).toFloat / 10)))
+      .toDF("embedding")
+    val b1 = df.select(Similarity.lshBucket(col("embedding"))).as[Long].head()
+    val b2 = df.select(Similarity.lshBucket(col("embedding"))).as[Long].head()
+    assert(b1 == b2 && b1 >= 0 && b1 < 256)
+  }
+
+  test("cosine of identical vectors is 1.0") {
+    val v = Array.tabulate(64)(i => (i + 1).toFloat / 64)
+    val got = Seq((v, v)).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+
+  test("planeWeight matches the SQL md5 formula shape") {
+    val w = Similarity.planeWeight(0, 0)
+    assert(w >= -1000 && w <= 1000)
+    assert(w == Similarity.planeWeight(0, 0)) // deterministic
+  }
+}
