@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.sources.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-facing multimodal queries. The decode is a deterministic
+  * stub (see [[graft.sources.Multimodal.FakeCodec]]), so the oracle
+  * can replay the formulas in SQL — verifying the whole
+  * Dataset/mapPartitions plumbing end-to-end, not the codec.
+  */
+object MultimodalPack extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_meta" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.decodeMeta(
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir))).toDF()
+    }),
+
+    "mm_frame_sample" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.sampleFrames(
+        Multimodal.decodeMeta(
+          Multimodal.mediaFromDocuments(Tables.documents(s, dir))), step = 5)
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    // text is ASCII so char length == byte length.
+    "mm_decode_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS mime,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(64 + length(text) % 577 AS INTEGER) AS width,
+        |  CAST(64 + (length(text) * 31 + doc_id) % 353 AS INTEGER) AS height,
+        |  CAST(1 + doc_id % 24 AS INTEGER) AS n_frames
+        |FROM documents""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(f AS INTEGER) AS frame_no
+        |FROM (SELECT doc_id, 1 + doc_id % 24 AS n_frames FROM documents
+        |      WHERE doc_id % 3 = 2),
+        |     UNNEST(generate_series(0, n_frames - 1, 5)) AS g(f)""".stripMargin
+  )
+}

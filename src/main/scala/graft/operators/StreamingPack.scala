@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-mode checks of the streaming operators: `window` and
+  * `session_window` produce identical results in batch and streaming
+  * plans, so the DuckDB oracle verifies the same semantics the
+  * streaming package (graft.streaming.LabelStream) runs with
+  * watermarks. The streaming-only behaviors (watermark dedup,
+  * checkpointed foreachBatch ingest) are covered by StreamingSpec.
+  */
+object StreamingPack extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour windows (I2 polling cadence → event-time agg).
+    "st_tumbling_hourly" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"))),
+
+    // Session windows: 30-min-gap activity bursts per user.
+    "st_session_windows" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("session_window.start").as("session_start"),
+          col("user_id"), col("n")))
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "st_tumbling_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY window_start, event_type""".stripMargin,
+
+    // Gaps-and-islands sessionization ≡ session_window: a new session
+    // starts when the gap to the previous event is >= 30 min (Spark
+    // merges sessions only on STRICT interval overlap).
+    "st_session_windows" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |l AS (SELECT user_id, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM e),
+        |m AS (SELECT user_id, ts,
+        |        CASE WHEN pts IS NULL OR ts >= pts + INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS brk FROM l),
+        |sids AS (SELECT user_id, ts,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |        FROM m)
+        |SELECT min(ts) AS session_start, user_id, count(*) AS n
+        |FROM sids GROUP BY user_id, sid""".stripMargin
+  )
+}

@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing for training-data pipelines: media as
+  * opaque `binary` columns with typed metadata, decoded per-partition.
+  *
+  * The Spark-side machinery is real — schema, encoders, partition-wise
+  * batching via `mapPartitions` (the JVM analog of `mapInPandas`:
+  * one iterator per partition, no per-row scheduling, no driver
+  * collect) — while the decoder itself is a STUB: this container has
+  * no image/audio codecs, so [[FakeCodec]] derives metadata
+  * deterministically from the bytes. Swapping in a real codec changes
+  * only the function body, not the dataflow.
+  *
+  * Scale: decode runs in the scan stage (narrow), frames explode via
+  * flatMap (still narrow); the only shuffle anywhere is whatever
+  * aggregation the caller adds.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, mime: String, content: Array[Byte])
+  case class MediaMeta(doc_id: Long, mime: String, n_bytes: Long,
+                       width: Int, height: Int, n_frames: Int)
+
+  /** STUB decoder — deterministic fake in place of a real codec.
+    * Formulas are pure functions of (doc_id, n_bytes) so the DuckDB
+    * oracle can replay them. A real implementation would parse
+    * `content` headers here (e.g. PNG IHDR / WAV fmt chunk). */
+  object FakeCodec {
+    def decode(r: MediaRow): MediaMeta = {
+      val n = r.content.length.toLong
+      MediaMeta(r.doc_id, r.mime, n,
+        width = (64 + n % 577).toInt,
+        height = (64 + (n * 31 + r.doc_id) % 353).toInt,
+        n_frames = (1 + r.doc_id % 24).toInt)
+    }
+  }
+
+  /** Synthesize a media table from `documents` (text bytes stand in
+    * for encoded media; mime assigned round-robin by doc_id). */
+  def mediaFromDocuments(docs: DataFrame)(implicit s: SparkSession): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image/png")
+          .when(col("doc_id") % 3 === 1, "audio/wav")
+          .otherwise("video/mp4").as("mime"),
+        col("text").cast("binary").as("content"))
+      .as[MediaRow]
+  }
+
+  /** Partition-wise decode: one codec instance per partition, rows
+    * streamed through an iterator — the batch shape a real
+    * (expensive-to-init) codec needs. */
+  def decodeMeta(media: Dataset[MediaRow])(implicit s: SparkSession): Dataset[MediaMeta] = {
+    import s.implicits._
+    media.mapPartitions { it =>
+      // real codec: init native lib once per partition here
+      it.map(FakeCodec.decode)
+    }
+  }
+
+  /** Frame sampling: every `step`-th frame of video media, exploded
+    * to (doc_id, frame_no) — narrow flatMap, no shuffle. */
+  def sampleFrames(meta: Dataset[MediaMeta], step: Int)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    meta.filter(_.mime == "video/mp4")
+      .flatMap(m => (0 until m.n_frames by step).map(f => (m.doc_id, f)))
+      .toDF("doc_id", "frame_no")
+  }
+}

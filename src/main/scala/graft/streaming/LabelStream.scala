@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.operators.Merge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming form of the reference's unbounded polling
+  * loops (SURVEY §2 I1–I3, §3): the cursor becomes a checkpointed
+  * offset, the 12 h TTL seen-set becomes `dropDuplicatesWithinWatermark`,
+  * the polling cadence becomes a trigger, and the per-batch Mongo
+  * upsert becomes a `foreachBatch` merge.
+  *
+  * Sink pattern (no table format with row-level merge is in scope, so
+  * no Delta/Iceberg): bronze is APPEND-ONLY parquet — the only write
+  * mode that is safe and scalable on plain parquet — and the gold
+  * view is merge-on-read: latest-record-per-key via window, exactly
+  * the reference's upsert-by-id semantics (chainabuse/main.py:83-89).
+  * Restart safety = idempotent upsert + checkpointed offsets, which
+  * is strictly stronger than the reference (its cursor was in-memory
+  * only, chainabuse/main.py:107-109).
+  */
+object LabelStream {
+
+  /** The reference's 12 h TTL dedup (bitcoinabuse/main.go:43-45) in
+    * streaming form: state is bounded by the watermark, so it cannot
+    * grow without bound at scale. */
+  def dedupWithinWatermark(df: DataFrame, eventTime: String,
+                           delay: String, keys: Seq[String]): DataFrame =
+    df.withWatermark(eventTime, delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Tumbling-window counts (the category-stats query, streaming). */
+  def tumblingCounts(df: DataFrame, eventTime: String,
+                     width: String): DataFrame =
+    df.groupBy(window(col(eventTime), width), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session windows per user (gap-merged activity bursts). */
+  def sessionCounts(df: DataFrame, eventTime: String,
+                    gap: String): DataFrame =
+    df.groupBy(session_window(col(eventTime), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Start the ingest: watermarked dedup → append-only bronze parquet
+    * via foreachBatch, AvailableNow trigger (the reference's
+    * "catch up, then stop until next tick"). */
+  def startIngest(source: DataFrame, bronzePath: String,
+                  checkpoint: String): StreamingQuery =
+    dedupWithinWatermark(source, "ts", "12 hours", Seq("user_id", "event_type"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(bronzePath)
+      }
+      .start()
+
+  /** Merge-on-read gold view over bronze: latest record per key —
+    * M3 upsert semantics applied at read time. At scale this is the
+    * standard compact-later pattern; a periodic job can rewrite
+    * bronze with [[Merge.upsertReplace]] to keep read amplification
+    * bounded. */
+  def goldView(spark: SparkSession, bronzePath: String,
+               keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("ts").desc, col("event_id").desc)
+    spark.read.parquet(bronzePath)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming-only behaviors: watermarked dedup, checkpointed
+  * AvailableNow ingest into append-only bronze, merge-on-read gold.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dropDuplicatesWithinWatermark drops in-window duplicate keys") {
+    val ms = MemoryStream[(Timestamp, Long, String)]
+    val df = ms.toDF().toDF("ts", "user_id", "event_type")
+    val q = LabelStream.dedupWithinWatermark(df, "ts", "1 hour", Seq("user_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "click"),
+        (ts("2024-01-01 10:05:00"), 1L, "view"),   // dup key within window
+        (ts("2024-01-01 10:10:00"), 2L, "click"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").as[(Timestamp, Long, String)]
+        .collect().toSeq.sortBy(_._2)
+      assert(got.map(_._2) == Seq(1L, 2L), s"expected dedup by user_id, got $got")
+    } finally q.stop()
+  }
+
+  test("AvailableNow ingest: checkpointed dedup to bronze, merge-on-read gold") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val bronze = s"$dir/bronze"
+    val ckpt = s"$dir/ckpt"
+    val ms = MemoryStream[(Timestamp, Long, String, Long, Double)]
+    val df = ms.toDF().toDF("ts", "user_id", "event_type", "event_id", "value")
+
+    ms.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "click", 100L, 1.0),
+      (ts("2024-01-01 10:05:00"), 1L, "click", 101L, 2.0), // in-window dup key
+      (ts("2024-01-01 11:00:00"), 2L, "view", 102L, 3.0))
+    val q1 = LabelStream.startIngest(df, bronze, ckpt)
+    q1.awaitTermination()
+
+    val bronzeRows = spark.read.parquet(bronze)
+    assert(bronzeRows.count() == 2, "duplicate (user,type) within watermark must be dropped")
+
+    // a key re-seen while still in dedup state is dropped (the 12 h
+    // TTL semantics), even across a checkpointed restart
+    ms.addData((ts("2024-01-01 12:00:00"), 1L, "click", 150L, 5.0))
+    val q2 = LabelStream.startIngest(df, bronze, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(bronze).count() == 2,
+      "re-seen key within TTL window must stay deduped across restarts")
+
+    // advance the watermark past (first event + 12 h), expiring state…
+    ms.addData((ts("2024-01-02 23:00:00"), 3L, "view", 160L, 6.0))
+    val q3 = LabelStream.startIngest(df, bronze, ckpt)
+    q3.awaitTermination()
+    // …then the same key is ingestable again; gold shows the latest
+    ms.addData((ts("2024-01-03 09:00:00"), 1L, "click", 200L, 9.0))
+    val q4 = LabelStream.startIngest(df, bronze, ckpt)
+    q4.awaitTermination()
+
+    val gold = LabelStream.goldView(spark, bronze, Seq("user_id", "event_type"))
+      .as[(Timestamp, Long, String, Long, Double)].collect()
+      .map(r => (r._2, r._3) -> r._4).toMap
+    assert(gold((1L, "click")) == 200L, "gold must expose latest record per key")
+    assert(gold((2L, "view")) == 102L)
+  }
+}
