@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: print the formatted plan and timing for one query.
+  * Usage: runMain graft.DevExplain <queryName> [sfDir] [explain]
+  */
+object DevExplain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    name.split(",").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      if (args.length > 2) df.explain("formatted")
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"[dev] $q rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

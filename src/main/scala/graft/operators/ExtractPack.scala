@@ -32,9 +32,12 @@ object ExtractPack extends QueryPack {
     // Oracle is the semantic equivalent (plain tokenization) — DuckDB
     // has no xpath, but the RESULT is SQL-expressible.
     "p4_xpath_cells" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("text"))
+      // tokens projected first: a split() nested inside the transform
+      // lambda would re-split per element (lambdas are interpreted)
+      val docs = Tables.documents(s, dir)
+        .select(split(col("text"), " ").as("toks"))
       val html = concat(lit("<r>"),
-        concat_ws("", transform(split(col("text"), " "),
+        concat_ws("", transform(col("toks"),
           w => concat(lit("<c>"), w, lit("</c>")))), lit("</r>"))
       docs.select(explode(Extract.xpathAll(html, "/r/c/text()")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
@@ -44,8 +47,9 @@ object ExtractPack extends QueryPack {
     // → fixed-width records, as a pure array expression (no shuffle).
     "p6_fold_cells" -> ((s, dir) =>
       Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("cells"))
         .select(col("doc_id"),
-          posexplode(Extract.foldCells(split(col("text"), " "), 3)))
+          posexplode(Extract.foldCells(col("cells"), 3)))
         .select(col("doc_id"), col("pos").cast("long").as("rec_no"),
           col("col.c0").as("c0"), col("col.c1").as("c1"),
           col("col.c2").as("c2"))),

@@ -87,22 +87,23 @@ object QueryLayerPack extends QueryPack {
         .agg(countDistinct(col("src")).as("n_src"))
         .filter(col("n_src") >= 2)),
 
-    // §2.2 q5: co-occurrence — key pairs sharing ≥5 (type, day) cells;
-    // self-join on the cell key, aggregated pair counts.
+    // §2.2 q5: co-occurrence — users sharing ≥2 purchase days ("same
+    // report" analog); self-join on the cell key, aggregated pair
+    // counts. Restricting to one type keeps pair blowup proportional
+    // to actual co-reports, the way a report-id join would at scale.
     "q22_cooccurrence" -> ((s, dir) => {
       val cells = Tables.events(s, dir)
-        .select(col("event_type"), to_date(col("ts")).as("day"),
-          col("user_id")).distinct()
+        .filter(col("event_type") === "purchase")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
       val a = cells.alias("a")
       val b = cells.alias("b")
       a.join(b,
-          col("a.event_type") === col("b.event_type") &&
           col("a.day") === col("b.day") &&
           col("a.user_id") < col("b.user_id"))
         .groupBy(col("a.user_id").as("user_a"),
           col("b.user_id").as("user_b"))
         .agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 5)
+        .filter(col("shared") >= 2)
     }),
 
     // Window functions: latest label per (addr, src) — the implied
@@ -285,11 +286,13 @@ object QueryLayerPack extends QueryPack {
 
     "q22_cooccurrence" ->
       """SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS shared
-        |FROM (SELECT DISTINCT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events) a
-        |JOIN (SELECT DISTINCT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events) b
-        |  ON a.event_type = b.event_type AND a.day = b.day AND a.user_id < b.user_id
+        |FROM (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+        |      FROM events WHERE event_type = 'purchase') a
+        |JOIN (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+        |      FROM events WHERE event_type = 'purchase') b
+        |  ON a.day = b.day AND a.user_id < b.user_id
         |GROUP BY a.user_id, b.user_id
-        |HAVING count(*) >= 5""".stripMargin,
+        |HAVING count(*) >= 2""".stripMargin,
 
     "q_window_latest" ->
       """SELECT user_id, event_type, event_id, value FROM (

@@ -27,14 +27,19 @@ object SimilarityPack extends QueryPack {
     // query side broadcast; ranking on the exact double (bit-identical
     // to the oracle's sequential fold), vec_id tiebreak.
     "sim_cosine_topk" -> ((s, dir) => {
+      // norms precomputed per side: cosine inside the join would
+      // re-fold each side's self-dot once per PAIR instead of per row
       val q = emb(s, dir).filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          Similarity.norm(col("embedding")).as("qn"))
       val v = emb(s, dir)
-        .select(col("vec_id"), col("embedding"))
+        .select(col("vec_id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("vn"))
       val scored = v.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
-          Similarity.cosine(col("qe"), col("embedding")).as("cos"))
+          (Similarity.dot(col("qe"), col("embedding"))
+            / (col("qn") * col("vn"))).as("cos"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w))
@@ -51,13 +56,15 @@ object SimilarityPack extends QueryPack {
     // ANN near-pairs: bucket equi-join, then exact cosine ≥ 0.3 on
     // the ~256×-reduced candidate set.
     "sim_ann_pairs" -> ((s, dir) => {
-      val b = emb(s, dir).select(col("vec_id"),
-        col("embedding"), Similarity.lshBucket(col("embedding")).as("bucket"))
+      val b = emb(s, dir).select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"),
+        Similarity.lshBucket(col("embedding")).as("bucket"))
       b.alias("a").join(b.alias("b"),
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+          (Similarity.dot(col("a.embedding"), col("b.embedding"))
+            / (col("a.nrm") * col("b.nrm"))).as("cos"))
         .filter(col("cos") >= 0.3)
         .select(col("vec_a"), col("vec_b"),
           graft.Det.dround(col("cos"), 6).as("cos"))

@@ -13,8 +13,6 @@ import org.apache.spark.sql.functions._
   */
 object TextPack extends QueryPack {
 
-  private def toks = split(col("text"), " ")
-
   /** Integer sum over an array (exact; order-free). */
   private def isum(arr: Column): Column =
     aggregate(arr, lit(0L), (acc, x) => acc + x)
@@ -23,30 +21,40 @@ object TextPack extends QueryPack {
   private val stopEs = Seq("el", "la", "de", "en", "y")
   private val stopDe = Seq("der", "die", "das", "und", "ein")
 
-  private def stopCount(words: Seq[String]): Column =
+  private def stopCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
+
+  /** Tokens pre-projected as an attribute: lambdas over a projected
+    * array read it O(1); a `split(...)` nested inside an interpreted
+    * lambda would re-split per element access (see DedupPack). */
+  private def tokenized(s: SparkSession, dir: String,
+                        extra: String*): DataFrame =
+    Tables.documents(s, dir).select(
+      (Seq(col("doc_id"), split(col("text"), " ").as("toks")) ++
+        extra.map(col)): _*)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + a BPE-ish word/punct regex.
     "tx_token_stats" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
+      tokenized(s, dir, "text", "n_chars").select(
         col("doc_id"),
-        size(toks).as("n_tokens"),
-        size(array_distinct(toks)).as("n_distinct"),
-        Det.dround(size(array_distinct(toks)).cast("double") / size(toks), 4)
-          .as("diversity"),
-        Det.dround(isum(transform(toks, t => length(t).cast("long")))
-          .cast("double") / size(toks), 4).as("avg_token_len"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        Det.dround(size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks")), 4).as("diversity"),
+        Det.dround(isum(transform(col("toks"), t => length(t).cast("long")))
+          .cast("double") / size(col("toks")), 4).as("avg_token_len"),
         size(regexp_extract_all(col("text"), lit("([a-z]+|[0-9]+|[^a-z0-9 ])"),
           lit(1))).as("n_bpe_ish"),
         col("n_chars"))),
 
     // Language-ID heuristic: stopword-set votes with fixed precedence.
     "tx_lang_id" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
+      tokenized(s, dir, "lang").select(
           col("doc_id"), col("lang").as("labeled_lang"),
-          stopCount(stopEn).as("s_en"), stopCount(stopEs).as("s_es"),
-          stopCount(stopDe).as("s_de"))
+          stopCount(col("toks"), stopEn).as("s_en"),
+          stopCount(col("toks"), stopEs).as("s_es"),
+          stopCount(col("toks"), stopDe).as("s_de"))
         .withColumn("predicted",
           when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
             .when(col("s_es") >= col("s_de"), "es")
@@ -54,15 +62,15 @@ object TextPack extends QueryPack {
 
     // Quality scoring: length/stopword/diversity ratios combined.
     "tx_quality" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
+      tokenized(s, dir).select(
           col("doc_id"),
-          size(toks).as("n_tokens"),
-          Det.dround(stopCount(stopEn).cast("double") / size(toks), 4)
-            .as("stop_ratio"),
-          Det.dround(size(array_distinct(toks)).cast("double") / size(toks), 4)
-            .as("diversity"),
-          Det.dround(size(filter(toks, t => length(t) >= 6)).cast("double")
-            / size(toks), 4).as("long_ratio"))
+          size(col("toks")).as("n_tokens"),
+          Det.dround(stopCount(col("toks"), stopEn).cast("double")
+            / size(col("toks")), 4).as("stop_ratio"),
+          Det.dround(size(array_distinct(col("toks"))).cast("double")
+            / size(col("toks")), 4).as("diversity"),
+          Det.dround(size(filter(col("toks"), t => length(t) >= 6))
+            .cast("double") / size(col("toks")), 4).as("long_ratio"))
         .withColumn("quality",
           Det.dround(lit(0.4) * col("diversity") + lit(0.3) * col("stop_ratio")
             + lit(0.3) * col("long_ratio"), 4))),
@@ -70,11 +78,14 @@ object TextPack extends QueryPack {
     // Document fingerprinting: whole-text 32-bit hash + min-sampled
     // rolling shingle hash (winnowing-style representative).
     "tx_fingerprint" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        Hashing.h32(col("text")).as("fp_text"),
-        array_min(transform(Hashing.shingles(toks, 3),
-          s2 => Hashing.h32(s2))).as("fp_min_shingle")))
+      tokenized(s, dir, "text")
+        .select(col("doc_id"), col("text"),
+          transform(Hashing.shingles(col("toks"), 3),
+            s2 => Hashing.h32(s2)).as("hs"))
+        .select(
+          col("doc_id"),
+          Hashing.h32(col("text")).as("fp_text"),
+          array_min(col("hs")).as("fp_min_shingle")))
   )
 
   private def sqlStop(words: Seq[String]): String =
