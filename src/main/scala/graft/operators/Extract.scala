@@ -46,10 +46,11 @@ object Extract {
         (0 until width).map(j => element_at(cells, i * width + j + 1)
           .as(s"c$j")): _*))
 
-  /** P7: the reference's string normalization chain — lower, strip a
-    * trailing ':', trim (walletexplorer/main.go:229-241). */
+  /** P7: the reference's string normalization chain — trim, lower,
+    * strip a trailing ':' (walletexplorer/main.go:229-241; trim must
+    * precede the colon strip or "Exchanges:  " keeps its colon). */
   def normalize(input: Column): Column =
-    trim(regexp_replace(lower(input), ":$", ""))
+    regexp_replace(trim(lower(input)), ":$", "")
 
   /** P8: substring predicate (rate-limit detection,
     * walletexplorer/main.go:162-176). */

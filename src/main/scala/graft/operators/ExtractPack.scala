@@ -122,9 +122,9 @@ object ExtractPack extends QueryPack {
 
     "p7_normalize_tokens" ->
       """SELECT DISTINCT lang,
-        |       trim(regexp_replace(lower(raw), ':$', '')) AS token
+        |       regexp_replace(trim(lower(raw)), ':$', '') AS token
         |FROM (SELECT lang, unnest(string_split(text, ' ')) AS raw FROM documents)
-        |WHERE length(trim(regexp_replace(lower(raw), ':$', ''))) > 0""".stripMargin,
+        |WHERE length(regexp_replace(trim(lower(raw)), ':$', '')) > 0""".stripMargin,
 
     "p8_contains_ratelimit" ->
       """SELECT source, count(*) AS n FROM documents

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Extraction operators against reference-shaped fixture strings
+  * (FIXTURES.md §B): index-page regex, detail-cell fold (incl. ragged
+  * rows), normalization, and the S7 dead-letter path (PERMISSIVE JSON
+  * parse → quarantine instead of the reference's panic-on-error).
+  */
+class ExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P1: address regex over an index-page-shaped body") {
+    // shape of bitcoinabuse report anchors (bitcoinabuse/main.go:100)
+    val html =
+      """<a href="/reports/1C2ek9b57xdVY9rPUaUnczxN5vGjVS8EhA">x</a>
+        |<a href="/reports/bc1qxy2kgdygjrsqtzq2n0yrf2493p83kkfjhx0wlh">y</a>
+        |<a href="/other/zzz">n</a>""".stripMargin
+    val got = Extract.regexTokens(Seq(html).toDF("body"), col("body"),
+        "href=\"/reports/(\\w{8,})\"", "addr")
+      .select("addr").as[String].collect().toSeq
+    assert(got == Seq("1C2ek9b57xdVY9rPUaUnczxN5vGjVS8EhA",
+      "bc1qxy2kgdygjrsqtzq2n0yrf2493p83kkfjhx0wlh"))
+  }
+
+  test("A1: max page number over pagination links") {
+    val html = """<a href="?page=2">2</a><a href="?page=17">17</a><a href="?page=3">3</a>"""
+    val got = Seq(html).toDF("body")
+      .select(explode(expr("regexp_extract_all(body, 'page=([0-9]+)', 1)")).as("p"))
+      .agg(max(col("p").cast("int"))).as[Int].head()
+    assert(got == 17)
+  }
+
+  test("P6: cell fold groups by 3, drops ragged tail like the reference loop") {
+    val cells = Seq(Seq("d1", "t1", "x1", "d2", "t2", "x2", "ragged"))
+      .toDF("cells")
+    val got = cells.select(Extract.foldCells(col("cells"), 3).as("recs"))
+      .select(explode(col("recs")).as("r"))
+      .select("r.c0", "r.c1", "r.c2").as[(String, String, String)]
+      .collect().toSeq
+    assert(got == Seq(("d1", "t1", "x1"), ("d2", "t2", "x2")))
+  }
+
+  test("P7: normalize lowercases, strips trailing colon, trims") {
+    val got = Seq("  Exchanges:  ", "POOLS", "x").toDF("s")
+      .select(Extract.normalize(col("s"))).as[String].collect().toSeq
+    assert(got == Seq("exchanges", "pools", "x"))
+  }
+
+  test("S7: malformed JSON routes to quarantine instead of failing the job") {
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    val rows = Seq("""{"k": 42}""", """{"k": oops not json""", """{"k": 7}""")
+      .toDF("props")
+      .withColumn("parsed", from_json(col("props"), schema))
+    val good = rows.filter(col("parsed.k").isNotNull)
+    val quarantined = rows.filter(col("parsed.k").isNull)
+    assert(good.count() == 2 && quarantined.count() == 1)
+    assert(quarantined.select("props").as[String].head().contains("oops"))
+  }
+}
