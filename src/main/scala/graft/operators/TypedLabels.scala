@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed edge of the label store (SURVEY §1.3: `Dataset[T]` at API
+  * edges where merge semantics benefit from case classes; DataFrame
+  * everywhere else).
+  *
+  * [[LabelSetUnion]] is the `Aggregator` form of M2 — the fallback
+  * the survey reserves for when expression-level `array_union` on
+  * struct elements misbehaves (§7.5). The expression form is the
+  * default (`Merge.labelUnionArrays`); this typed aggregator is the
+  * API-stable alternative and doubles as its differential test
+  * oracle (TypedLabelsSpec checks they agree).
+  */
+object TypedLabels {
+
+  /** One provenance-tagged label observation (normalized flat shape —
+    * the §1.1 quirk-1 fix: no heterogeneous nested arrays). */
+  case class Label(name: String, typ: String, src: String)
+
+  case class LabelRow(addr: String, label: Label)
+
+  case class AddressLabels(addr: String, labels: Seq[Label])
+
+  /** Set-union of labels per address ($addToSet semantics,
+    * walletexplorer/main.go:98-114): buffer is a Set (dedup on
+    * merge, both within and across partitions — map-side partial
+    * aggregation for free), output sorted for determinism. */
+  object LabelSetUnion extends Aggregator[LabelRow, Set[Label], Seq[Label]] {
+    override def zero: Set[Label] = Set.empty
+    override def reduce(b: Set[Label], a: LabelRow): Set[Label] = b + a.label
+    override def merge(b1: Set[Label], b2: Set[Label]): Set[Label] = b1 | b2
+    override def finish(r: Set[Label]): Seq[Label] =
+      r.toSeq.sortBy(l => (l.name, l.typ, l.src))
+    override def bufferEncoder: Encoder[Set[Label]] =
+      Encoders.kryo[Set[Label]]
+    override def outputEncoder: Encoder[Seq[Label]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Label]]()
+  }
+
+  /** Gold view: labels per address via the typed aggregator. */
+  def collectLabels(rows: Dataset[LabelRow])
+                   (implicit s: SparkSession): Dataset[AddressLabels] = {
+    import s.implicits._
+    rows.groupByKey(_.addr)
+      .agg(LabelSetUnion.toColumn.name("labels"))
+      .map { case (addr, labels) => AddressLabels(addr, labels) }
+  }
+}

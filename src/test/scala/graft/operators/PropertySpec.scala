@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic laws of the merge/dedup operators (SURVEY §5.3):
+  * idempotence, commutativity-of-content, and round-trips, over
+  * ScalaCheck-generated inputs (driven directly with fixed seeds —
+  * deterministic, no scalatestplus bridge needed).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val addrGen = Gen.oneOf("a1", "a2", "a3", "a4")
+  private val nameGen = Gen.oneOf("n1", "n2", "n3")
+  private val srcGen = Gen.oneOf("s1", "s2")
+  private val rowsGen: Gen[List[(String, String, String)]] =
+    Gen.listOfN(12, Gen.zip(addrGen, nameGen, srcGen))
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g(Gen.Parameters.default, Seed(seed)).get
+
+  private def df(rows: List[(String, String, String)]): DataFrame =
+    rows.toDF("addr", "name", "src")
+
+  private def content(d: DataFrame) = d.collect().toSet
+
+  private val Trials = 8
+
+  test("M2 labelUnionFlat: idempotent and commutative (content)") {
+    (1 to Trials).foreach { i =>
+      val da = df(sample(rowsGen, i))
+      val db = df(sample(rowsGen, i + 100))
+      val ab = Merge.labelUnionFlat(da, db)
+      assert(content(Merge.labelUnionFlat(ab, db)) == content(ab), s"seed $i")
+      assert(content(Merge.labelUnionFlat(db, da)) == content(ab), s"seed $i")
+    }
+  }
+
+  test("M1 upsertReplace: applying the same update twice = once") {
+    (1 to Trials).foreach { i =>
+      val tgt = df(sample(rowsGen, i)).dropDuplicates("addr")
+      val upd = df(sample(rowsGen, i + 100)).dropDuplicates("addr")
+      val once = Merge.upsertReplace(tgt, upd, Seq("addr"))
+      val twice = Merge.upsertReplace(once, upd, Seq("addr"))
+      assert(content(twice) == content(once), s"seed $i")
+    }
+  }
+
+  test("F1 antiJoinDedup: idempotent, and output disjoint from seen") {
+    (1 to Trials).foreach { i =>
+      val inc = df(sample(rowsGen, i))
+      val sn = df(sample(rowsGen, i + 100)).select("addr").distinct()
+      val once = Merge.antiJoinDedup(inc, sn, Seq("addr"))
+      val twice = Merge.antiJoinDedup(once, sn, Seq("addr"))
+      assert(content(twice) == content(once), s"seed $i")
+      assert(once.join(sn, Seq("addr"), "left_semi").count() == 0, s"seed $i")
+    }
+  }
+
+  test("mergeBySource: incoming source slice fully replaced, others inert") {
+    (1 to Trials).foreach { i =>
+      val cur = df(sample(rowsGen, i))
+      val incoming = df(sample(rowsGen, i + 100)).filter($"src" === "s1")
+      val merged = Merge.mergeBySource(cur, incoming, "src")
+      if (incoming.count() > 0)
+        assert(content(merged.filter($"src" === "s1")) ==
+          content(incoming.distinct()), s"seed $i")
+      assert(content(merged.filter($"src" === "s2")) ==
+        content(cur.filter($"src" === "s2").distinct()), s"seed $i")
+    }
+  }
+
+  test("P6 foldCells ∘ flatten = identity on width-aligned arrays") {
+    val cellsGen = Gen.listOfN(9, Gen.identifier.map(_.take(3)))
+    (1 to Trials).foreach { i =>
+      val cells = sample(cellsGen, i)
+      val d = Seq(Tuple1(cells)).toDF("cells")
+      val rebuilt = d.select(Extract.foldCells($"cells", 3).as("recs"))
+        .select(flatten(transform($"recs",
+          r => array(r.getField("c0"), r.getField("c1"), r.getField("c2")))))
+        .as[Seq[String]].head()
+      assert(rebuilt == cells, s"seed $i")
+    }
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import TypedLabels._
+
+/** The typed Aggregator form of M2 must agree with the expression
+  * form (differential test, SURVEY §7.5). */
+class TypedLabelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("LabelSetUnion aggregator: set semantics, sorted output") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val rows = Seq(
+      LabelRow("a1", Label("abuse", "ransomware", "bitcoinAbuse")),
+      LabelRow("a1", Label("abuse", "ransomware", "bitcoinAbuse")), // dup
+      LabelRow("a1", Label("CoinJar.com", "exchange", "walletExplorer")),
+      LabelRow("a2", Label("HelixMixer", "mixer", "walletExplorer"))
+    ).toDS()
+    val got = collectLabels(rows).collect().map(a => a.addr -> a.labels).toMap
+    assert(got("a1") == Seq(
+      Label("CoinJar.com", "exchange", "walletExplorer"),
+      Label("abuse", "ransomware", "bitcoinAbuse")))
+    assert(got("a2") == Seq(Label("HelixMixer", "mixer", "walletExplorer")))
+  }
+
+  test("aggregator agrees with the expression form (array collect)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      LabelRow("a1", Label("n1", "t1", "s1")),
+      LabelRow("a1", Label("n2", "t2", "s2")),
+      LabelRow("a1", Label("n1", "t1", "s1")),
+      LabelRow("a3", Label("n3", "t3", "s1"))).toDS()
+    val typed = collectLabels(rows).collect()
+      .map(a => a.addr -> a.labels.map(l => (l.name, l.typ, l.src))).toMap
+    val exprForm = rows.toDF()
+      .select($"addr", $"label.name", $"label.typ", $"label.src")
+      .groupBy("addr")
+      .agg(sort_array(collect_set(struct($"name", $"typ", $"src"))).as("ls"))
+      .as[(String, Seq[(String, String, String)])].collect().toMap
+    assert(typed == exprForm)
+  }
+}
