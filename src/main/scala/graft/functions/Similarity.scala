@@ -19,8 +19,16 @@ object Similarity {
   private def fsum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product of two float-array columns, accumulated in double. */
+  /** Dot product of two float-array columns, accumulated in double.
+    * Codegen'd native expression ([[graft.plans.FloatDot]]); the
+    * higher-order fold [[dotHof]] is the semantically-identical
+    * reference implementation (differentially tested). */
   def dot(a: Column, b: Column): Column =
+    graft.plans.FloatDot.dot(a, b)
+
+  /** Interpreted higher-order-function form of [[dot]] — same strict
+    * left-to-right double fold, kept as the differential oracle. */
+  def dotHof(a: Column, b: Column): Column =
     fsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -42,9 +50,10 @@ object Similarity {
     java.lang.Long.parseLong(hex, 16) % 2001 - 1000
   }
 
-  /** Plane j as a literal array<double> expression (constant-folded). */
+  /** Plane j as a literal array<float> expression (weights are small
+    * integers, exact in float; float keeps [[dot]] applicable). */
   private def plane(j: Int): Column =
-    array((0 until Dims).map(d => lit(planeWeight(j, d).toDouble)): _*)
+    array((0 until Dims).map(d => lit(planeWeight(j, d).toFloat)): _*)
 
   /** Sign-bucket of an embedding: bit j set iff dot(v, plane_j) > 0.
     * 8 planes → 256 buckets; bucket-equality is the ANN candidate
@@ -52,7 +61,6 @@ object Similarity {
     * pairwise cosine). */
   def lshBucket(emb: Column): Column =
     (0 until NumPlanes).map { j =>
-      when(fsum(zip_with(emb, plane(j),
-        (x, w) => x.cast("double") * w)) > 0, lit(1L << j)).otherwise(lit(0L))
+      when(dot(emb, plane(j)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 }

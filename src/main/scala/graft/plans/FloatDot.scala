@@ -1,0 +1,62 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Codegen'd dot product of two array<float> columns, accumulated in
+  * double with a strict left-to-right fold — bit-identical to the
+  * `aggregate(zip_with(...))` higher-order form it replaces (so the
+  * DuckDB `list_reduce` oracles keep matching), but compiled into
+  * WholeStageCodegen instead of interpreted per element.
+  *
+  * This is the survey's §7.5 escape hatch: builtins first, a native
+  * `Expression` only where the builtin form measurably underperforms
+  * — higher-order lambdas are interpreted, and the 64-float folds
+  * dominate the similarity queries' profile.
+  */
+case class FloatDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatDot {
+  /** Column wrapper (classic API). Inputs must be array<float>. */
+  def dot(a: Column, b: Column): Column =
+    GraftShim.column(FloatDot(GraftShim.expression(a), GraftShim.expression(b)))
+}

@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` classic Column↔Expression
+  * converters — the standard extension-library shim for exposing
+  * custom Catalyst expressions as user-facing Columns in Spark 4
+  * (the public `Column(expr)` constructor was removed with the
+  * Connect-compatible Column API).
+  */
+object GraftShim {
+  def column(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+}

@@ -45,6 +45,22 @@ class HashingSpec extends SparkSpec {
     assert(math.abs(got - 1.0) < 1e-12)
   }
 
+  test("codegen FloatDot agrees bit-exactly with the higher-order fold") {
+    val vs = (0 until 20).map { i =>
+      (Array.tabulate(64)(d => ((d * 31 + i * 7) % 97 - 48).toFloat / 7),
+        Array.tabulate(64)(d => ((d * 17 + i * 3) % 89 - 44).toFloat / 5))
+    }
+    val df = vs.toDF("a", "b")
+    val got = df.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) ==
+        java.lang.Double.doubleToLongBits(h))
+    }
+  }
+
   test("planeWeight matches the SQL md5 formula shape") {
     val w = Similarity.planeWeight(0, 0)
     assert(w >= -1000 && w <= 1000)
