@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Optimizer rule: recognize the idiomatic higher-order dot-product
+  * pattern
+  * {{{ aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0.0, (p,q) -> p+q) }}}
+  * over float arrays and replace it with the codegen'd [[FloatDot]].
+  * Users write the declarative builtin form; the plan runs native.
+  *
+  * Assumes dense, equal-length, null-free vectors (embedding
+  * columns): on ragged or null-holding input the builtin form yields
+  * NULL where FloatDot computes over the common prefix — the usual
+  * contract for vector columns.
+  */
+object DotProductRewrite extends Rule[LogicalPlan] {
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(a, b,
+              LambdaFunction(
+                Multiply(Cast(x: NamedLambdaVariable, DoubleType, _, _),
+                         Cast(y: NamedLambdaVariable, DoubleType, _, _), _),
+                Seq(lx: NamedLambdaVariable, ly: NamedLambdaVariable), _)),
+            Literal(0.0, DoubleType),
+            LambdaFunction(
+              Add(p: NamedLambdaVariable, q: NamedLambdaVariable, _),
+              Seq(mp: NamedLambdaVariable, mq: NamedLambdaVariable), _),
+            LambdaFunction(fv: NamedLambdaVariable,
+              Seq(fp: NamedLambdaVariable), _))
+          if x.exprId == lx.exprId && y.exprId == ly.exprId &&
+             p.exprId == mp.exprId && q.exprId == mq.exprId &&
+             fv.exprId == fp.exprId &&
+             isFloatArray(a) && isFloatArray(b) =>
+        FloatDot(a, b)
+    }
+}
+
+/** Session extensions: the dot-product rewrite plus `graft_dot` as a
+  * SQL-callable function. Installed by every graft entry point via
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => DotProductRewrite)
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.functions.Similarity
+import org.apache.spark.sql.functions._
+
+/** SparkSessionExtensions wiring: the optimizer rewrites the
+  * higher-order dot pattern into FloatDot, and graft_dot is callable
+  * from SQL. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("optimizer rewrites aggregate(zip_with(...)) into FloatDot") {
+    // parquet-backed input: a literal LocalRelation would be
+    // constant-folded away before the rewrite is observable
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val df = emb.select(
+      Similarity.dotHof(col("embedding"), col("embedding")).as("d"))
+    val optimized = df.queryExecution.optimizedPlan
+    val fired = optimized.expressions.exists(_.exists(_.isInstanceOf[FloatDot]))
+    assert(fired, s"rule did not fire:\n${optimized.treeString}")
+    // and agrees with the native form
+    val both = emb.select(
+        Similarity.dotHof(col("embedding"), col("embedding")).as("h"),
+        Similarity.dot(col("embedding"), col("embedding")).as("n"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (h, n) => assert(h == n) }
+  }
+
+  test("rule leaves non-float or non-dot folds alone") {
+    // sum of squares of one array — not the dot pattern
+    val df = Seq(Tuple1(Array(1.0, 2.0))).toDF("a")
+      .select(aggregate(col("a"), lit(0.0), (acc, x) => acc + x * x).as("s"))
+    assert(!df.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[FloatDot])))
+    assert(df.as[Double].head() == 5.0)
+  }
+
+  test("graft_dot is callable from SQL") {
+    val got = spark.sql(
+      """SELECT graft_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |                 CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS d""".stripMargin)
+      .as[Double].head()
+    assert(got == 11.0)
+  }
+}
