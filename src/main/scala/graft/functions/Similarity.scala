@@ -55,6 +55,41 @@ object Similarity {
   private def plane(j: Int): Column =
     array((0 until Dims).map(d => lit(planeWeight(j, d).toFloat)): _*)
 
+  // ---- IVF (inverted-file) coarse quantizer ----
+
+  val NumCentroids = 8
+
+  /** Deterministic "centroid" integer weight iw(j,d) ∈ [-1000,1000]
+    * (same md5 formula family as the planes); the centroid value is
+    * float(iw/1000). In production these would be k-means centroids
+    * broadcast from a training job; the plan shape (argmin assign →
+    * equi-join probe) is identical. Integer weights keep ||c||² an
+    * exact, order-free integer sum — replayable in SQL. */
+  def centroidInt(j: Int, d: Int): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"c${j}_$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+  }
+
+  private def centroid(j: Int): Column =
+    array((0 until Dims).map(d =>
+      lit((centroidInt(j, d).toDouble / 1000).toFloat)): _*)
+
+  /** IVF assignment: index of the nearest centroid by squared L2 =
+    * ||v||² - 2·v·c + ||c||² (||v||² constant per row → argmax of
+    * 2·v·c - ||c||²). First-match tie-break on equal scores. */
+  def ivfAssign(emb: Column): Column = {
+    val scores = (0 until NumCentroids).map { j =>
+      val c2 = (0 until Dims).map(d => centroidInt(j, d)).map(w => w * w).sum
+      lit(2.0) * dot(emb, centroid(j)) - lit(c2.toDouble / 1e6)
+    }
+    val best = greatest(scores: _*)
+    scores.zipWithIndex.foldRight(lit(-1)) { case ((sc, j), els) =>
+      when(sc === best, lit(j)).otherwise(els)
+    }
+  }
+
   /** Sign-bucket of an embedding: bit j set iff dot(v, plane_j) > 0.
     * 8 planes → 256 buckets; bucket-equality is the ANN candidate
     * filter (the scale path: candidates shrink ~256× before any

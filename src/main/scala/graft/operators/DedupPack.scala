@@ -89,12 +89,16 @@ object DedupPack extends QueryPack {
           }.reduce(_ + _).as("simhash"))),
 
     // N-gram (3-token shingle) Jaccard near-dup pairs, fully
-    // relational: distinct (doc, shingle) self-join → shared counts →
-    // |A∩B| / (|A|+|B|-|A∩B|). No arrays cross the shuffle.
+    // relational: distinct (doc, shingle-HASH) self-join → shared
+    // counts → |A∩B| / (|A|+|B|-|A∩B|). Shingles are identified by
+    // their 32-bit hash so the shuffle carries 8-byte keys instead of
+    // ~20-char strings (the oracle hashes identically; collisions are
+    // part of the declared semantics, as in any hashed-shingle dedup).
     "ds_jaccard_pairs" -> ((s, dir) => {
       val sh = tokenized(s, dir)
         .select(col("doc_id"),
-          explode(Hashing.shingles(col("toks"), 3)).as("shingle"))
+          explode(transform(Hashing.shingles(col("toks"), 3),
+            s2 => Hashing.h32(s2))).as("shingle"))
         .distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val shared = sh.alias("a").join(sh.alias("b"),
@@ -159,7 +163,7 @@ object DedupPack extends QueryPack {
     "ds_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
-        |         ts[j+1] || ' ' || ts[j+2] || ' ' || ts[j+3] AS shingle
+        |         ('0x' || substr(md5(ts[j+1] || ' ' || ts[j+2] || ' ' || ts[j+3]), 1, 8))::BIGINT AS shingle
         |       FROM t, UNNEST(generate_series(0, len(ts) - 3)) AS g(j)),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared

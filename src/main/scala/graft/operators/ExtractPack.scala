@@ -81,6 +81,26 @@ object ExtractPack extends QueryPack {
             .as("avg_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
 
+    // P10 nested (chainabuse/main.py:22 report fragments): assemble a
+    // report with a nested addresses array-of-structs, then explode
+    // it back to flat rows — exercises ArrayType(StructType) end to
+    // end. Address fan-out is 1 + (props.k % 3) per report.
+    "p10b_nested_report" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .select(struct(
+          col("event_id").as("id"),
+          transform(sequence(lit(0), col("k") % 3),
+            j => struct(
+              concat(lit("addr_"), col("user_id"), lit("_"), j).as("address"),
+              when(j % 2 === 0, "btc").otherwise("eth").as("chain")))
+            .as("addresses")).as("report"))
+        .select(col("report.id").as("report_id"),
+          explode(col("report.addresses")).as("a"))
+        .select(col("report_id"), col("a.address").as("address"),
+          col("a.chain").as("chain"))),
+
     // P10 (bitcoinabuse/main.go:226-242 label-struct assembly):
     // constants + scraped fields → label struct; flattened for compare.
     "p10_label_assembly" -> ((s, dir) => {
@@ -137,6 +157,14 @@ object ExtractPack extends QueryPack {
         |       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
         |       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "p10b_nested_report" ->
+      """SELECT event_id AS report_id,
+        |       concat('addr_', user_id, '_', j) AS address,
+        |       CASE WHEN j % 2 = 0 THEN 'btc' ELSE 'eth' END AS chain
+        |FROM events,
+        |     UNNEST(generate_series(0,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) % 3)) AS g(j)""".stripMargin,
 
     "p10_label_assembly" ->
       """SELECT DISTINCT CAST(user_id AS VARCHAR) AS addr,

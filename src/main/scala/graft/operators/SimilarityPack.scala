@@ -48,6 +48,13 @@ object SimilarityPack extends QueryPack {
           graft.Det.dround(col("cos"), 6).as("cos"))
     }),
 
+    // IVF coarse-quantizer assignment: nearest deterministic centroid
+    // (argmax of 2·v·c − ||c||²). The probe side of an IVF search is
+    // then an equi-join on this id — same plan shape as sim_ann_pairs.
+    "sim_ivf_assign" -> ((s, dir) =>
+      emb(s, dir).select(col("vec_id"),
+        Similarity.ivfAssign(col("embedding")).as("centroid"))),
+
     // Deterministic random-hyperplane LSH bucket per vector.
     "sim_lsh_buckets" -> ((s, dir) =>
       emb(s, dir).select(col("vec_id"),
@@ -106,6 +113,24 @@ object SimilarityPack extends QueryPack {
          |  CROSS JOIN embeddings v
          |  WHERE v.vec_id <> q.vec_id)
          |WHERE rank <= 3""".stripMargin,
+
+    "sim_ivf_assign" ->
+      """WITH cents AS (SELECT j, d,
+        |    ('0x' || substr(md5('c' || j || '_' || d), 1, 8))::BIGINT % 2001 - 1000 AS iw
+        |  FROM UNNEST(generate_series(0, 7)) AS a(j),
+        |       UNNEST(generate_series(0, 63)) AS b(d)),
+        |carr AS (SELECT j,
+        |    list(CAST(CAST(iw / 1000.0 AS FLOAT) AS DOUBLE) ORDER BY d) AS warr,
+        |    CAST(sum(iw * iw) AS DOUBLE) / 1e6 AS c2
+        |  FROM cents GROUP BY j),
+        |scores AS (SELECT e.vec_id, c.j,
+        |    2.0 * list_reduce(list_transform(e.embedding,
+        |      (x, i) -> CAST(x AS DOUBLE) * c.warr[i]), (a, b) -> a + b) - c.c2 AS score
+        |  FROM embeddings e CROSS JOIN carr c),
+        |ranked AS (SELECT vec_id, j,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, j) AS rn
+        |  FROM scores)
+        |SELECT vec_id, CAST(j AS INTEGER) AS centroid FROM ranked WHERE rn = 1""".stripMargin,
 
     "sim_lsh_buckets" ->
       s"""WITH $planesCte

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for power-law keys (SURVEY §4: address-label
+  * distribution is power-law — exchange wallets carry 10^5–10^6
+  * addresses). AQE's skew-join split is the first line of defense;
+  * these helpers are the explicit fallbacks for aggregations and
+  * broadcast-able skewed joins.
+  */
+object Skew {
+
+  /** Two-phase (salted) aggregation: partial-aggregate on
+    * (keys, salt), then final-aggregate on keys. The salt spreads one
+    * hot key over `salts` reducers; results are exactly those of the
+    * direct aggregation for decomposable aggregates (sum/count/min/
+    * max). `spread` must be deterministic per row (e.g. a row id).
+    */
+  def saltedSum(df: DataFrame, keys: Seq[String], spread: Column,
+                sums: Seq[String], salts: Int): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(hash(spread), lit(salts)))
+    val partial = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sums.head -> "sum", sums.tail.map(_ -> "sum"): _*)
+      .toDF(keys ++ Seq("__salt") ++ sums.map(s => s"p_$s"): _*)
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(s"p_${sums.head}")).as(sums.head),
+        sums.tail.map(s => sum(col(s"p_$s")).as(s)): _*)
+  }
+
+  /** Salted join of a skewed fact against a small dimension: the fact
+    * side gets a random-ish-but-deterministic salt in [0, salts); the
+    * dim side is exploded `salts`× so every (key, salt) matches.
+    * Correct for any join where the dim side is unique per key; use
+    * when the dim is too big to broadcast outright but the fact key
+    * distribution is too skewed for a plain shuffle join.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 spread: Column, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", pmod(hash(spread), lit(salts)))
+    val saltedDim = dim
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+}

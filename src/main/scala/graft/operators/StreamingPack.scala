@@ -22,6 +22,14 @@ object StreamingPack extends QueryPack {
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n"))),
 
+    // Sliding 1-hour windows every 30 min (each event in 2 windows).
+    "st_sliding_counts" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"))),
+
     // Session windows: 30-min-gap activity bursts per user.
     "st_session_windows" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -36,6 +44,17 @@ object StreamingPack extends QueryPack {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
         |       event_type, count(*) AS n
         |FROM events GROUP BY window_start, event_type""".stripMargin,
+
+    // Each event belongs to exactly two 1 h/30 min sliding windows:
+    // its 30-min bucket start and that minus 30 min (time_bucket's
+    // default origin is epoch-aligned for 30-min buckets).
+    "st_sliding_counts" ->
+      """SELECT ws AS window_start, event_type, count(*) AS n FROM (
+        |  SELECT event_type,
+        |         time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+        |           - k * INTERVAL 30 MINUTE AS ws
+        |  FROM events, UNNEST(generate_series(0, 1)) AS g(k))
+        |GROUP BY ws, event_type""".stripMargin,
 
     // Gaps-and-islands sessionization ≡ session_window: a new session
     // starts when the gap to the previous event is >= 30 min (Spark

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Co-located merge: when target and updates are bucketed on the
+  * merge key with the same bucket count, the join runs without any
+  * shuffle exchange — the 100 TB plan for M1/M2 (SCALE.md).
+  */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed-by-key tables join with zero shuffle exchanges") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      (1 to 1000).map(i => (i.toLong, s"t$i")).toDF("id", "v")
+        .write.mode("overwrite").bucketBy(4, "id")
+        .saveAsTable("bkt_target")
+      (1 to 1000 by 3).map(i => (i.toLong, s"u$i")).toDF("id", "v")
+        .write.mode("overwrite").bucketBy(4, "id")
+        .saveAsTable("bkt_updates")
+
+      val merged = Merge.upsertReplace(
+        spark.table("bkt_target"), spark.table("bkt_updates"), Seq("id"))
+      val shuffles = merged.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"expected shuffle-free co-located merge:\n${merged.queryExecution.executedPlan}")
+      // and the merge is still correct
+      val got = merged.as[(Long, String)].collect().toMap
+      assert(got(1L) == "u1" && got(2L) == "t2" && got(4L) == "u4")
+      assert(got.size == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_target")
+      spark.sql("DROP TABLE IF EXISTS bkt_updates")
+    }
+  }
+}

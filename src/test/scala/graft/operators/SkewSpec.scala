@@ -1,0 +1,31 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def skewed = (1 to 500).map(i =>
+    (if (i % 10 == 0) "cold" + i else "HOT", i.toLong, i * 1.0))
+    .toDF("k", "row_id", "v")
+
+  test("saltedSum equals direct aggregation on skewed keys") {
+    val direct = skewed.groupBy("k").agg(sum($"v").as("v"))
+      .as[(String, Double)].collect().toMap
+    val salted = Skew.saltedSum(skewed, Seq("k"), $"row_id", Seq("v"), 8)
+      .as[(String, Double)].collect().toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, v) => assert(math.abs(v - direct(k)) < 1e-9, k) }
+  }
+
+  test("saltedJoin equals plain join against a unique-key dim") {
+    val dim = Seq(("HOT", "hot-label"), ("cold10", "c10"), ("cold20", "c20"))
+      .toDF("k", "label")
+    val plain = skewed.join(dim, "k").select("k", "row_id", "label")
+      .collect().toSet
+    val salted = Skew.saltedJoin(skewed, dim, "k", $"row_id", 8)
+      .select("k", "row_id", "label").collect().toSet
+    assert(salted == plain)
+  }
+}
