@@ -157,7 +157,8 @@ object DedupPack extends QueryPack {
         |         FROM h, UNNEST(generate_series(0, 31)) AS g(j)
         |         GROUP BY doc_id, j)
         |SELECT doc_id,
-        |       sum(CASE WHEN vote > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
+        |       CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << j ELSE 0 END)
+        |            AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
 
     "ds_jaccard_pairs" ->

@@ -125,7 +125,7 @@ object QueryLayerPack extends QueryPack {
       Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"),
-          row_number().over(w).as("rn"),
+          row_number().over(w).cast("long").as("rn"),
           round(sum(col("value").cast("decimal(18,4)")).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
             .cast("double").as("running_total"))
@@ -157,7 +157,7 @@ object QueryLayerPack extends QueryPack {
       Tables.part(s, dir)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select(col("p_brand"), col("rn"), col("p_partkey"),
+        .select(col("p_brand"), col("rn").cast("long").as("rn"), col("p_partkey"),
           col("p_retailprice"))
     }),
 
@@ -272,7 +272,8 @@ object QueryLayerPack extends QueryPack {
         |FROM events WHERE event_type = 'click'""".stripMargin,
 
     "q22_category_stats" ->
-      """SELECT event_type, date_trunc('month', CAST(ts AS TIMESTAMP)) AS month,
+      """SELECT event_type,
+        |  CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS month,
         |  count(*) AS n,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM events GROUP BY event_type, month""".stripMargin,

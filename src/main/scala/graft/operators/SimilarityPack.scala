@@ -44,7 +44,7 @@ object SimilarityPack extends QueryPack {
         .orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
-        .select(col("query_id"), col("rank"), col("vec_id"),
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"),
           graft.Det.dround(col("cos"), 6).as("cos"))
     }),
 
@@ -98,7 +98,8 @@ object SimilarityPack extends QueryPack {
       |      (x, i) -> CAST(x AS DOUBLE) * p.warr[i]), (a, b) -> a + b) AS dot
       |  FROM embeddings e CROSS JOIN parr p),
       |buckets AS (SELECT vec_id,
-      |    sum(CASE WHEN dot > 0 THEN 1::BIGINT << j ELSE 0 END) AS bucket
+      |    CAST(sum(CASE WHEN dot > 0 THEN 1::BIGINT << j ELSE 0 END)
+      |         AS BIGINT) AS bucket
       |  FROM dots GROUP BY vec_id)""".stripMargin
 
   override def oracles: Map[String, String] = Map(

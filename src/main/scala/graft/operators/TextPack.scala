@@ -38,23 +38,23 @@ object TextPack extends QueryPack {
     "tx_token_stats" -> ((s, dir) =>
       tokenized(s, dir, "text", "n_chars").select(
         col("doc_id"),
-        size(col("toks")).as("n_tokens"),
-        size(array_distinct(col("toks"))).as("n_distinct"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
         Det.dround(size(array_distinct(col("toks"))).cast("double")
           / size(col("toks")), 4).as("diversity"),
         Det.dround(isum(transform(col("toks"), t => length(t).cast("long")))
           .cast("double") / size(col("toks")), 4).as("avg_token_len"),
         size(regexp_extract_all(col("text"), lit("([a-z]+|[0-9]+|[^a-z0-9 ])"),
-          lit(1))).as("n_bpe_ish"),
+          lit(1))).cast("long").as("n_bpe_ish"),
         col("n_chars"))),
 
     // Language-ID heuristic: stopword-set votes with fixed precedence.
     "tx_lang_id" -> ((s, dir) =>
       tokenized(s, dir, "lang").select(
           col("doc_id"), col("lang").as("labeled_lang"),
-          stopCount(col("toks"), stopEn).as("s_en"),
-          stopCount(col("toks"), stopEs).as("s_es"),
-          stopCount(col("toks"), stopDe).as("s_de"))
+          stopCount(col("toks"), stopEn).cast("long").as("s_en"),
+          stopCount(col("toks"), stopEs).cast("long").as("s_es"),
+          stopCount(col("toks"), stopDe).cast("long").as("s_de"))
         .withColumn("predicted",
           when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
             .when(col("s_es") >= col("s_de"), "es")
@@ -64,7 +64,7 @@ object TextPack extends QueryPack {
     "tx_quality" -> ((s, dir) =>
       tokenized(s, dir).select(
           col("doc_id"),
-          size(col("toks")).as("n_tokens"),
+          size(col("toks")).cast("long").as("n_tokens"),
           Det.dround(stopCount(col("toks"), stopEn).cast("double")
             / size(col("toks")), 4).as("stop_ratio"),
           Det.dround(size(array_distinct(col("toks"))).cast("double")

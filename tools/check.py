@@ -38,6 +38,14 @@ def main():
                 print(f"[COLS ] {name}: spark={scols} oracle={ocols}")
                 failures += 1
                 continue
+            otypes = dict(zip(o.columns, map(str, o.types)))
+            stypes = dict(zip(s.columns, map(str, s.types)))
+            mism = {c: (stypes[c], otypes[c]) for c in ocols if stypes[c] != otypes[c]}
+            if mism:
+                # values may still compare equal via coercion, but the
+                # driver's hash may be dtype-sensitive — treat as failure
+                print(f"[TYPE ] {name}: {mism}")
+                failures += 1
             cols = ", ".join(f'"{c}"' for c in ocols)
             con.sql(f"CREATE OR REPLACE TEMP TABLE _o AS SELECT {cols} FROM o")
             con.sql(f"CREATE OR REPLACE TEMP TABLE _s AS SELECT {cols} FROM s")
