@@ -35,7 +35,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // merge throughput (BASELINE.md): rows/s through the M1/M2 merge
+    // operators — the comparable for the reference's ≤20 addr/s ceiling
+    val mergeRows = Seq("m1_upsert_replace", "m2_label_set_union")
+      .map(n => SparkEntry.queries(n)(spark, sfDir).count()).sum
+    val mergeSecs = Seq("m1_upsert_replace", "m2_label_set_union")
+      .flatMap(results.toMap.get).sum
+    val mergeRate = if (mergeSecs > 0) mergeRows / mergeSecs else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","merge_rows_per_sec":$mergeRate}""")
     spark.stop()
   }
 }

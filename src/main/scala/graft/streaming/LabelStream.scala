@@ -45,7 +45,11 @@ object LabelStream {
 
   /** Start the ingest: watermarked dedup → append-only bronze parquet
     * via foreachBatch, AvailableNow trigger (the reference's
-    * "catch up, then stop until next tick"). */
+    * "catch up, then stop until next tick"). Bronze is partitioned by
+    * event day, so incremental consumers (the reference's delta
+    * re-scan I1, bitcoinabuse/main.go:175-182) read only new
+    * partitions — partition pruning does the page-range bookkeeping.
+    */
   def startIngest(source: DataFrame, bronzePath: String,
                   checkpoint: String): StreamingQuery =
     dedupWithinWatermark(source, "ts", "12 hours", Seq("user_id", "event_type"))
@@ -53,9 +57,20 @@ object LabelStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(bronzePath)
+        batch.withColumn("day", to_date(col("ts")))
+          .write.mode("append").partitionBy("day").parquet(bronzePath)
       }
       .start()
+
+  /** Compaction: rewrite bronze as one latest-record-per-key snapshot
+    * (bounded read amplification for the merge-on-read gold view).
+    * Writes to a NEW path — plain parquet cannot be rewritten in
+    * place while being read; at scale the snapshot path rotates and
+    * old bronze partitions are retired. */
+  def compactTo(spark: SparkSession, bronzePath: String,
+                snapshotPath: String, keys: Seq[String]): Unit =
+    goldView(spark, bronzePath, keys)
+      .write.mode("overwrite").parquet(snapshotPath)
 
   /** Merge-on-read gold view over bronze: latest record per key —
     * M3 upsert semantics applied at read time. At scale this is the

@@ -66,10 +66,30 @@ class StreamingSpec extends SparkSpec {
     val q4 = LabelStream.startIngest(df, bronze, ckpt)
     q4.awaitTermination()
 
-    val gold = LabelStream.goldView(spark, bronze, Seq("user_id", "event_type"))
-      .as[(Timestamp, Long, String, Long, Double)].collect()
-      .map(r => (r._2, r._3) -> r._4).toMap
+    def latestByKey(df: org.apache.spark.sql.DataFrame) =
+      df.select("ts", "user_id", "event_type", "event_id", "value")
+        .as[(Timestamp, Long, String, Long, Double)].collect()
+        .map(r => (r._2, r._3) -> r._4).toMap
+
+    val gold = latestByKey(
+      LabelStream.goldView(spark, bronze, Seq("user_id", "event_type")))
     assert(gold((1L, "click")) == 200L, "gold must expose latest record per key")
     assert(gold((2L, "view")) == 102L)
+
+    // bronze is day-partitioned: an incremental (I1 delta) read prunes
+    // old partitions at planning time
+    val delta = spark.read.parquet(bronze)
+      .filter($"day" >= java.sql.Date.valueOf("2024-01-03"))
+    val scan = delta.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("day"),
+      s"expected day partition filter, got ${scan.metadata("PartitionFilters")}")
+    assert(delta.count() == 1)
+
+    // compaction: snapshot holds exactly the gold content
+    val snap = s"$dir/snapshot"
+    LabelStream.compactTo(spark, bronze, snap, Seq("user_id", "event_type"))
+    assert(latestByKey(spark.read.parquet(snap)) == gold)
   }
 }
