@@ -22,10 +22,14 @@ object Extract {
     df.select(df.columns.map(col) :+
       explode(regexp_extract_all(input, lit(pattern), lit(1))).as(as): _*)
 
-  /** P2/A1: max over integer matches of a regex (the reference's
-    * `getTodayMaxPage`, bitcoinabuse/main.go:186-206). */
+  /** P2/A1: max over ALL integer matches of a regex (the reference's
+    * `getTodayMaxPage` collects every pagination link then maxes,
+    * bitcoinabuse/main.go:186-206 — `regexp_extract` alone would see
+    * only the first link per page body). */
   def maxIntMatch(input: Column, pattern: String): Column =
-    max(regexp_extract(input, pattern, 1).cast("int"))
+    max(array_max(transform(
+      regexp_extract_all(input, lit(pattern), lit(1)),
+      m => m.cast("int"))))
 
   /** P4/P5: XPath extraction over an XML/HTML-shaped string column.
     * Spark's builtin `xpath` returns array<string>. Not

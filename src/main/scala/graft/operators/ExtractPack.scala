@@ -126,7 +126,8 @@ object ExtractPack extends QueryPack {
 
     "p2_a1_max_page" ->
       """SELECT event_type,
-        |       max(CAST(regexp_extract(props, '(\d+)', 1) AS INTEGER)) AS max_page
+        |       max(list_max(list_transform(regexp_extract_all(props, '(\d+)', 1),
+        |                                   x -> CAST(x AS INTEGER)))) AS max_page
         |FROM events GROUP BY event_type""".stripMargin,
 
     "p4_xpath_cells" ->

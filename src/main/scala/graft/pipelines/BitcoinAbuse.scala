@@ -1,0 +1,66 @@
+package graft.pipelines
+
+import graft.operators.{Extract, Merge}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The bitcoinabuse pipeline (reference: bitcoinabuse/main.go) as
+  * declarative dataflow over captured page bodies ("bronze"):
+  *
+  *   index pages --P1--> addresses --F1 dedup--> detail fan-out
+  *   --P4 xpath/P6 fold--> report rows --P10--> labels --M1--> store
+  *
+  * The reference runs this as two goroutines over live HTTP
+  * (main.go:80-81); here each hop is a DataFrame transform, so the
+  * whole flow is one Catalyst plan — pipelined, shuffle only at the
+  * dedup and merge keys.
+  */
+object BitcoinAbuse {
+
+  /** Address anchor pattern (bitcoinabuse/main.go:100). */
+  val AddrPattern = "href=\"/reports/(\\w{8,}?)\""
+
+  /** Pagination link pattern (bitcoinabuse/main.go:187). */
+  val PagePattern = "page=([0-9]+)\""
+
+  /** P1: index page bodies → one row per report address.
+    * Input: (page_no, body); output: (page_no, addr). */
+  def extractAddrs(indexPages: DataFrame): DataFrame =
+    Extract.regexTokens(indexPages, col("body"), AddrPattern, "addr")
+      .select(col("page_no"), col("addr"))
+
+  /** A1: today's max page number over the pagination links
+    * (getTodayMaxPage, main.go:186-206). */
+  def maxPage(indexPages: DataFrame): DataFrame =
+    indexPages.agg(Extract.maxIntMatch(col("body"), PagePattern)
+      .as("max_page"))
+
+  /** P4+P6: detail page bodies → (addr, date, type, desc) report
+    * rows. The reference XPaths
+    * `/html/body/div/main/div[2]/table/tbody/tr/td` (main.go:279)
+    * then folds cells by i%3 (main.go:281-289).
+    * Input: (addr, body). */
+  def extractReports(detailPages: DataFrame): DataFrame =
+    detailPages
+      .select(col("addr"),
+        Extract.xpathAll(col("body"),
+          "/html/body/div/main/div[2]/table/tbody/tr/td/text()").as("cells"))
+      .select(col("addr"),
+        explode(Extract.foldCells(col("cells"), 3)).as("r"))
+      .select(col("addr"), col("r.c0").as("date"), col("r.c1").as("type"),
+        col("r.c2").as("desc"))
+
+  /** P10: report rows → provenance-tagged label rows
+    * (main.go:226-242: name="abuse", src="bitcoinAbuse"). */
+  def assembleLabels(reports: DataFrame): DataFrame =
+    reports.select(col("addr"),
+        Extract.labelStruct(lit("abuse"), col("date"), col("type"),
+          col("desc"), "bitcoinAbuse").as("label"))
+      .select(col("addr"), col("label.*"))
+
+  /** M1 within this source's slice: whole-doc replace per addr over a
+    * label-rows store (combined with other sources via
+    * [[Merge.mergeBySource]], the §1.1 quirk-2 fix). */
+  def mergeIntoStore(store: DataFrame, labels: DataFrame): DataFrame =
+    Merge.mergeBySource(store, labels, "src")
+}

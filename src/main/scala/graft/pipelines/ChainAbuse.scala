@@ -1,0 +1,134 @@
+package graft.pipelines
+
+import graft.operators.Merge
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The chainabuse pipeline (reference: chainabuse/main.py): GraphQL
+  * response pages → typed nested reports → upsert-by-id store →
+  * flat address labels.
+  *
+  *   response JSON --P9 from_json(PERMISSIVE)--> edges --explode-->
+  *   reports --S7 DLQ split--> good/quarantine --M3 by node.id-->
+  *   store --explode addresses--> labels
+  *
+  * The node schema mirrors the GraphQL fragments declared at
+  * chainabuse/main.py:22 exactly (ReportPreviewDetails,
+  * ReportAccusedScammers, ReportAuthor, ReportAddresses,
+  * ReportEvidences, ReportCompromiseIndicators, ReportTokenIDs,
+  * ReportTransactionHashes).
+  */
+object ChainAbuse {
+
+  private def arr(fields: StructField*): ArrayType =
+    ArrayType(StructType(fields.toSeq))
+
+  /** The full report-node schema (chainabuse/main.py:22). */
+  val nodeSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("isPrivate", BooleanType),
+    StructField("createdAt", StringType), // ISO string in bronze (§1.2)
+    StructField("scamCategory", StringType),
+    StructField("categoryDescription", StringType),
+    StructField("biDirectionalVoteCount", LongType),
+    StructField("viewerDidVote", BooleanType),
+    StructField("description", StringType),
+    StructField("lexicalSerializedDescription", StringType),
+    StructField("commentsCount", LongType),
+    StructField("source", StringType),
+    StructField("checked", BooleanType),
+    StructField("accusedScammers", arr(
+      StructField("id", StringType),
+      StructField("info", StructType(Seq(
+        StructField("id", StringType),
+        StructField("contact", StringType),
+        StructField("type", StringType)))))),
+    StructField("reportedBy", StructType(Seq(
+      StructField("id", StringType),
+      StructField("username", StringType),
+      StructField("trusted", BooleanType)))),
+    StructField("addresses", arr(
+      StructField("id", StringType),
+      StructField("address", StringType),
+      StructField("chain", StringType),
+      StructField("domain", StringType),
+      StructField("label", StringType))),
+    StructField("evidences", arr(
+      StructField("id", StringType),
+      StructField("description", StringType),
+      StructField("photo", StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType),
+        StructField("description", StringType),
+        StructField("url", StringType)))))),
+    StructField("compromiseIndicators", arr(
+      StructField("id", StringType),
+      StructField("type", StringType),
+      StructField("value", StringType))),
+    StructField("tokens", arr(
+      StructField("id", StringType),
+      StructField("tokenId", StringType))),
+    StructField("transactionHashes", arr(
+      StructField("id", StringType),
+      StructField("hash", StringType),
+      StructField("chain", StringType),
+      StructField("label", StringType)))))
+
+  /** One GraphQL response page (chainabuse/main.py:10-39). */
+  val responseSchema: StructType = StructType(Seq(
+    StructField("data", StructType(Seq(
+      StructField("reports", StructType(Seq(
+        StructField("pageInfo", StructType(Seq(
+          StructField("hasNextPage", BooleanType),
+          StructField("endCursor", StringType)))),
+        StructField("edges", arr(
+          StructField("cursor", StringType),
+          StructField("node", nodeSchema),
+          StructField("__typename", StringType))),
+        StructField("count", LongType),
+        StructField("totalCount", LongType)))))))))
+
+  /** P9 + S7: parse response bodies PERMISSIVEly; rows whose `data`
+    * or `data.reports` is missing go to the dead-letter side
+    * (chainabuse/main.py:63-75 writes them to error_{time}.log and
+    * sleeps — here they are a quarantine DataFrame the caller routes).
+    * Input: (fetched_at, body). Returns (good, quarantined). */
+  def parseResponses(pages: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = pages.withColumn("resp",
+      from_json(col("body"), responseSchema))
+    val ok = parsed.filter(col("resp.data.reports").isNotNull)
+    val dlq = parsed.filter(col("resp.data.reports").isNull)
+      .select(col("fetched_at"), col("body"))
+    (ok, dlq)
+  }
+
+  /** Edges → one typed report row per node, keyed by node.id
+    * (chainabuse/main.py:82-89 upserts the raw edge verbatim). */
+  def reports(good: DataFrame): DataFrame =
+    good.select(explode(col("resp.data.reports.edges")).as("edge"))
+      .select(col("edge.cursor").as("cursor"), col("edge.node").as("node"))
+
+  /** M3: last-writer-wins upsert by node.id across batches — the
+    * reference's idempotent re-read safety (main.py:56,107-109). Uses
+    * arrival order = (cursor, then later batch wins) via row_number. */
+  def upsertById(allBatches: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("node.id"))
+      .orderBy(col("batch_id").desc, col("cursor").desc)
+    allBatches.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Flat address labels out of the nested store: one row per
+    * (report, address), provenance-tagged — the chainAbuse side of
+    * the unified label surface (§2.2). */
+  def addressLabels(store: DataFrame): DataFrame =
+    store.select(col("node.id").as("report_id"),
+        col("node.scamCategory").as("name"),
+        col("node.createdAt").as("date"),
+        explode(col("node.addresses")).as("a"))
+      .select(col("a.address").as("addr"), col("name"),
+        col("date"), col("a.chain").as("type"),
+        lit("chainAbuse").as("src"))
+}

@@ -1,0 +1,73 @@
+package graft.pipelines
+
+import graft.operators.{Extract, Merge}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The walletexplorer pipeline (reference: walletexplorer/main.go):
+  *
+  *   homepage --S4--> wallet directory (type → names, broadcast dim)
+  *   --S3 fan-out--> per-wallet address pages --P5 xpath--> addresses
+  *   --P10--> labels --M2 set-union--> store
+  */
+object WalletExplorer {
+
+  /** Wallet link pattern inside a category cell
+    * (walletexplorer/main.go:233-236). */
+  val WalletPattern = "/wallet/([\\w_.-]+)\""
+
+  /** S4+A3: homepage body → (wallet_type, wallet_name) directory.
+    * The reference walks `//table/tbody/tr/td` cells, each holding an
+    * `<h3>Type:</h3>` heading and a `<ul>` of wallet links
+    * (main.go:226-243), normalizing the type (lower, strip ':',
+    * trim — main.go:229-241). Input: (body). */
+  def walletDirectory(home: DataFrame): DataFrame = {
+    // cell splitting by regex: Spark's xpath() yields node TEXT, not
+    // serialized markup, so the <h3>/<a href> structure inside a cell
+    // is recovered with regexes — which is what the reference does
+    // for the links too (main.go:233-236)
+    val cells = home.select(
+      explode(regexp_extract_all(col("body"),
+        lit("(?s)<td>(.*?)</td>"), lit(1))).as("cell"))
+    cells.select(
+        Extract.normalize(
+          regexp_extract(col("cell"), "<h3>([^<]*)</h3>", 1)).as("wallet_type"),
+        explode(regexp_extract_all(col("cell"), lit(WalletPattern), lit(1)))
+          .as("wallet_name"))
+      .filter(length(col("wallet_type")) > 0 && length(col("wallet_name")) > 0)
+  }
+
+  /** A3: directory → type → sorted names (the reference's
+    * map[string][]string, main.go:203). */
+  def directoryMap(dir: DataFrame): DataFrame =
+    dir.groupBy("wallet_type")
+      .agg(array_sort(collect_set(col("wallet_name"))).as("wallets"))
+
+  /** P5: per-wallet address pages → (wallet_name, addr). The
+    * reference XPaths `//table/tbody/tr/td[1]` (main.go:187-191).
+    * Input: (wallet_name, wallet_type, body). */
+  def extractAddrs(walletPages: DataFrame): DataFrame =
+    walletPages.select(col("wallet_name"), col("wallet_type"),
+        explode(Extract.xpathAll(col("body"),
+          "//table/tbody/tr/td[1]/text()")).as("addr"))
+      .filter(length(trim(col("addr"))) > 0)
+
+  /** P8: rate-limited page bodies (to be retried, not dropped —
+    * main.go:162-176). */
+  def rateLimited(walletPages: DataFrame): DataFrame =
+    walletPages.filter(Extract.containsAny(col("body"),
+      Seq("limit", "Too many requests")))
+
+  /** P10: addresses → label rows (name=<wallet>, type=<walletType>,
+    * src="walletExplorer" — main.go:98-107); date empty like the
+    * reference's element (no date field there). */
+  def assembleLabels(addrs: DataFrame): DataFrame =
+    addrs.select(col("addr"),
+        Extract.labelStruct(col("wallet_name"), lit(""),
+          col("wallet_type"), lit(""), "walletExplorer").as("label"))
+      .select(col("addr"), col("label.*"))
+
+  /** M2: $addToSet set-union into the store (main.go:98-114). */
+  def mergeIntoStore(store: DataFrame, labels: DataFrame): DataFrame =
+    Merge.labelUnionFlat(store, labels)
+}

@@ -1,0 +1,127 @@
+package graft.pipelines
+
+import scala.io.Source
+import graft.SparkSpec
+import graft.operators.Merge
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline tests over reference-shaped fixtures
+  * (FIXTURES.md §B): each pipeline from captured page/API bodies to
+  * provenance-tagged labels, then the cross-source store merge.
+  */
+class PipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(name: String): String = {
+    val src = Source.fromResource(name)
+    try src.mkString finally src.close()
+  }
+
+  test("bitcoinabuse: index → addrs → details → labels") {
+    val index = Seq((1, fixture("bitcoinabuse_index.html")))
+      .toDF("page_no", "body")
+    val addrs = BitcoinAbuse.extractAddrs(index).as[(Int, String)]
+      .collect().map(_._2).toSeq
+    assert(addrs == Seq(
+      "1C2ek9b57xdVY9rPUaUnczxN5vGjVS8EhA",
+      "bc1qxy2kgdygjrsqtzq2n0yrf2493p83kkfjhx0wlh",
+      "3J98t1WpEZ73CNmQviecrnyiWrnqRhWNLy"))
+
+    assert(BitcoinAbuse.maxPage(index).as[Int].head() == 17)
+
+    val details = Seq(("1C2ek9b57xdVY9rPUaUnczxN5vGjVS8EhA",
+      fixture("bitcoinabuse_detail.html"))).toDF("addr", "body")
+    val labels = BitcoinAbuse.assembleLabels(
+      BitcoinAbuse.extractReports(details))
+    val got = labels.orderBy("date").collect().map(_.toSeq).toSeq
+    assert(got.size == 3)
+    assert(got.head == Seq("1C2ek9b57xdVY9rPUaUnczxN5vGjVS8EhA",
+      "abuse", "Aug 1, 2023", "blackmail scam", "Demanded bitcoin",
+      "bitcoinAbuse"))
+  }
+
+  test("walletexplorer: home directory → wallet pages → labels") {
+    val home = Seq(Tuple1(fixture("walletexplorer_home.html"))).toDF("body")
+    val dir = WalletExplorer.walletDirectory(home)
+      .as[(String, String)].collect().toSet
+    // normalize: lower, trailing colon stripped, trimmed; empty cell dropped
+    assert(dir == Set(
+      ("exchanges", "CoinJar.com"), ("exchanges", "Bitstamp.net"),
+      ("pools", "SlushPool.com"), ("old/historic", "HelixMixer-old32")))
+
+    val dmap = WalletExplorer.directoryMap(
+        WalletExplorer.walletDirectory(home))
+      .as[(String, Seq[String])].collect().toMap
+    assert(dmap("exchanges") == Seq("Bitstamp.net", "CoinJar.com"))
+
+    val pages = Seq(("CoinJar.com", "exchange",
+      fixture("walletexplorer_addresses.html"))).toDF(
+      "wallet_name", "wallet_type", "body")
+    val labels = WalletExplorer.assembleLabels(
+      WalletExplorer.extractAddrs(pages))
+    assert(labels.count() == 3)
+    val one = labels.filter($"addr" === "1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa")
+      .collect().head.toSeq
+    assert(one == Seq("1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa",
+      "CoinJar.com", "", "exchange", "", "walletExplorer"))
+
+    // rate-limit detection routes to retry, not drop (P8)
+    val limited = Seq(("W", "t", "<html>Too many requests</html>"))
+      .toDF("wallet_name", "wallet_type", "body")
+    assert(WalletExplorer.rateLimited(limited).count() == 1)
+    assert(WalletExplorer.rateLimited(pages).count() == 0)
+  }
+
+  test("chainabuse: responses → typed reports → upsert by id → labels, DLQ") {
+    val good = fixture("chainabuse_reports.json")
+    val pages = Seq(
+      ("t1", good),
+      ("t2", """{"errors": [{"message": "rate limited"}]}"""),
+      ("t3", """not json at all""")).toDF("fetched_at", "body")
+
+    val (ok, dlq) = ChainAbuse.parseResponses(pages)
+    assert(ok.count() == 1 && dlq.count() == 2)
+
+    val batch1 = ChainAbuse.reports(ok).withColumn("batch_id", lit(1L))
+    // re-read of the same page (the reference's restart-from-genesis):
+    // idempotent upsert keeps one row per node.id
+    val batch2 = ChainAbuse.reports(ok).withColumn("batch_id", lit(2L))
+    val store = ChainAbuse.upsertById(batch1.unionByName(batch2))
+    assert(store.count() == 2)
+    assert(store.filter($"batch_id" === 2).count() == 2, "last writer wins")
+
+    val labels = ChainAbuse.addressLabels(store)
+    val byAddr = labels.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(byAddr.count(_._1 == "1C2ek9b57xdVY9rPUaUnczxN5vGjVS8EhA") == 2)
+    assert(byAddr.map(_._2).toSet == Set("SEXTORTION", "RANSOMWARE"))
+    // nested fragments survived typed parsing
+    // get() not [0]: ANSI mode errors on empty arrays of sibling rows
+    val deep = store.filter($"node.id" === "report-1")
+      .select(get($"node.evidences", lit(0))("photo")("url"),
+        get($"node.transactionHashes", lit(0))("hash"),
+        $"node.reportedBy.username").collect().head.toSeq
+    assert(deep == Seq("https://example.com/x.png",
+      "f4184fc596403b9d638783cf57adfe4c75c605f6356fbc91338530e9831e9e16",
+      "victim1"))
+  }
+
+  test("cross-source store: all three pipelines into one label surface") {
+    val store0 = Seq.empty[(String, String, String, String, String, String)]
+      .toDF("addr", "name", "date", "type", "desc", "src")
+    val ba = BitcoinAbuse.assembleLabels(BitcoinAbuse.extractReports(
+      Seq(("addr1", fixture("bitcoinabuse_detail.html"))).toDF("addr", "body")))
+    val we = WalletExplorer.assembleLabels(WalletExplorer.extractAddrs(
+      Seq(("CoinJar.com", "exchange", fixture("walletexplorer_addresses.html")))
+        .toDF("wallet_name", "wallet_type", "body")))
+      .withColumnRenamed("type", "typ") // align columns below
+      .select($"addr", $"name", lit("").as("date"), $"typ".as("type"),
+        lit("").as("desc"), $"src")
+    val merged = Merge.mergeBySource(Merge.mergeBySource(store0, ba, "src"),
+      we, "src")
+    assert(merged.select("src").distinct().count() == 2)
+    assert(merged.count() == 6) // 3 reports + 3 wallet addrs
+    // point lookup across sources (§2.2 q1)
+    assert(merged.filter($"addr" === "1C2ek9b57xdVY9rPUaUnczxN5vGjVS8EhA")
+      .count() == 1)
+  }
+}
