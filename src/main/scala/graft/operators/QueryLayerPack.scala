@@ -226,6 +226,32 @@ object QueryLayerPack extends QueryPack {
           .as("types"),
           countDistinct(col("p_type")).as("n_types"))),
 
+    // Exact percentiles (linear interpolation — same definition as
+    // DuckDB's quantile_cont).
+    "q_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          graft.Det.dround(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          graft.Det.dround(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          graft.Det.dround(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+          graft.Det.dround(expr("percentile(l_extendedprice, 0.9)"), 4)
+            .as("p90_price"))),
+
+    // lag/lead/first ordered-window navigation.
+    "q_window_nav" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          lag(col("event_id"), 1).over(w).as("prev_id"),
+          lead(col("event_id"), 1).over(w).as("next_id"),
+          first(col("event_id")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("first_id"))
+    }),
+
     // approx_count_distinct (HLL): algorithm-specific → rows-only
     // check; the exact variant is oracled in q22_cross_source.
     "q_approx_distinct" -> ((s, dir) =>
@@ -364,6 +390,24 @@ object QueryLayerPack extends QueryPack {
         |    SELECT user_id, CAST(ts AS TIMESTAMP), 1, event_id, NULL
         |    FROM events WHERE event_type = 'purchase'))
         |WHERE tag = 1""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  floor(quantile_cont(l_quantity, 0.25) * 1e4 + 0.5) / 1e4 AS p25,
+        |  floor(quantile_cont(l_quantity, 0.5) * 1e4 + 0.5) / 1e4 AS p50,
+        |  floor(quantile_cont(l_quantity, 0.75) * 1e4 + 0.5) / 1e4 AS p75,
+        |  floor(quantile_cont(l_extendedprice, 0.9) * 1e4 + 0.5) / 1e4 AS p90_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_window_nav" ->
+      """SELECT user_id, event_id,
+        |  lag(event_id, 1) OVER w AS prev_id,
+        |  lead(event_id, 1) OVER w AS next_id,
+        |  first_value(event_id) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_id
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin,
 
     "a2_merge_counters" ->
       """SELECT outcome, count(*) AS n FROM (
