@@ -170,6 +170,14 @@ object QueryLayerPack extends QueryPack {
       cells("click").except(cells("purchase")).except(cells("error"))
     }),
 
+    // INTERSECT: (user, day) cells with both a click and a purchase.
+    "q_intersect" -> ((s, dir) => {
+      def cells(et: String) = Tables.events(s, dir)
+        .filter(col("event_type") === et)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      cells("click").intersect(cells("purchase"))
+    }),
+
     // Semi-join (EXISTS): customers having ≥1 urgent order.
     "q_semi_join" -> ((s, dir) => {
       val urgent = Tables.orders(s, dir)
@@ -368,6 +376,13 @@ object QueryLayerPack extends QueryPack {
         |EXCEPT
         |SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
         |FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer

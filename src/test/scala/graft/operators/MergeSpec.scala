@@ -64,6 +64,19 @@ class MergeSpec extends SparkSpec {
     assert(out == Seq(("x", 1), ("z", 3)))
   }
 
+  test("A3 at-rest map form: map_from_entries over the directory") {
+    import org.apache.spark.sql.functions._
+    val dir = Seq(("exchange", "CoinJar"), ("exchange", "Bitstamp"),
+      ("pool", "Slush")).toDF("typ", "name")
+    val asMap = dir.groupBy("typ")
+      .agg(collect_set(col("name")).as("names"))
+      .agg(map_from_entries(collect_list(struct(col("typ"), col("names"))))
+        .as("directory"))
+      .as[Map[String, Seq[String]]].head()
+    assert(asMap.keySet == Set("exchange", "pool"))
+    assert(asMap("exchange").toSet == Set("CoinJar", "Bitstamp"))
+  }
+
   test("M2 labelUnionFlat is idempotent and commutative on content") {
     val a = Seq(("a1", "n1", "s1"), ("a2", "n2", "s2")).toDF("addr", "name", "src")
     val b = Seq(("a1", "n1", "s1"), ("a3", "n3", "s1")).toDF("addr", "name", "src")
