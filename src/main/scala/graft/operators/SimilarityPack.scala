@@ -55,6 +55,28 @@ object SimilarityPack extends QueryPack {
       emb(s, dir).select(col("vec_id"),
         Similarity.ivfAssign(col("embedding")).as("centroid"))),
 
+    // IVF search: probe = equi-join on the assigned centroid, exact
+    // cosine re-rank within the list, top-2 per query.
+    "sim_ivf_topk" -> ((s, dir) => {
+      val assigned = emb(s, dir).select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"),
+        Similarity.ivfAssign(col("embedding")).as("centroid"))
+      val q = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("centroid"))
+      val cands = assigned.join(q, Seq("centroid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (Similarity.dot(col("qe"), col("embedding"))
+            / (col("qn") * col("nrm"))).as("cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      cands.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), graft.Det.dround(col("cos"), 6).as("cos"))
+    }),
+
     // Deterministic random-hyperplane LSH bucket per vector.
     "sim_lsh_buckets" -> ((s, dir) =>
       emb(s, dir).select(col("vec_id"),
@@ -102,6 +124,25 @@ object SimilarityPack extends QueryPack {
       |         AS BIGINT) AS bucket
       |  FROM dots GROUP BY vec_id)""".stripMargin
 
+  private val ivfCte =
+    """cents AS (SELECT j, d,
+      |    ('0x' || substr(md5('c' || j || '_' || d), 1, 8))::BIGINT % 2001 - 1000 AS iw
+      |  FROM UNNEST(generate_series(0, 7)) AS a(j),
+      |       UNNEST(generate_series(0, 63)) AS b(d)),
+      |carr AS (SELECT j,
+      |    list(CAST(CAST(iw / 1000.0 AS FLOAT) AS DOUBLE) ORDER BY d) AS warr,
+      |    CAST(sum(iw * iw) AS DOUBLE) / 1e6 AS c2
+      |  FROM cents GROUP BY j),
+      |iscores AS (SELECT e.vec_id, c.j,
+      |    2.0 * list_reduce(list_transform(e.embedding,
+      |      (x, i) -> CAST(x AS DOUBLE) * c.warr[i]), (a, b) -> a + b) - c.c2 AS score
+      |  FROM embeddings e CROSS JOIN carr c),
+      |iranked AS (SELECT vec_id, j,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, j) AS rn
+      |  FROM iscores),
+      |assign AS (SELECT vec_id, CAST(j AS INTEGER) AS centroid
+      |           FROM iranked WHERE rn = 1)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "sim_cosine_topk" ->
       s"""SELECT query_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos FROM (
@@ -116,22 +157,22 @@ object SimilarityPack extends QueryPack {
          |WHERE rank <= 3""".stripMargin,
 
     "sim_ivf_assign" ->
-      """WITH cents AS (SELECT j, d,
-        |    ('0x' || substr(md5('c' || j || '_' || d), 1, 8))::BIGINT % 2001 - 1000 AS iw
-        |  FROM UNNEST(generate_series(0, 7)) AS a(j),
-        |       UNNEST(generate_series(0, 63)) AS b(d)),
-        |carr AS (SELECT j,
-        |    list(CAST(CAST(iw / 1000.0 AS FLOAT) AS DOUBLE) ORDER BY d) AS warr,
-        |    CAST(sum(iw * iw) AS DOUBLE) / 1e6 AS c2
-        |  FROM cents GROUP BY j),
-        |scores AS (SELECT e.vec_id, c.j,
-        |    2.0 * list_reduce(list_transform(e.embedding,
-        |      (x, i) -> CAST(x AS DOUBLE) * c.warr[i]), (a, b) -> a + b) - c.c2 AS score
-        |  FROM embeddings e CROSS JOIN carr c),
-        |ranked AS (SELECT vec_id, j,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, j) AS rn
-        |  FROM scores)
-        |SELECT vec_id, CAST(j AS INTEGER) AS centroid FROM ranked WHERE rn = 1""".stripMargin,
+      s"""WITH $ivfCte
+         |SELECT vec_id, centroid FROM assign""".stripMargin,
+
+    "sim_ivf_topk" ->
+      s"""WITH $ivfCte,
+         |av AS (SELECT a.vec_id, a.centroid, e.embedding
+         |       FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id),
+         |pairs AS (SELECT q.vec_id AS query_id, v.vec_id,
+         |    ${sqlCos("q.embedding", "v.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCos("q.embedding", "v.embedding")} DESC,
+         |               v.vec_id) AS rank
+         |  FROM (SELECT * FROM av WHERE vec_id < 10) q
+         |  JOIN av v ON q.centroid = v.centroid AND v.vec_id <> q.vec_id)
+         |SELECT query_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos
+         |FROM pairs WHERE rank <= 2""".stripMargin,
 
     "sim_lsh_buckets" ->
       s"""WITH $planesCte
