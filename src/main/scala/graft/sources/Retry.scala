@@ -1,0 +1,38 @@
+package graft.sources
+
+import scala.annotation.tailrec
+
+/** I3: retry with linear backoff — the reference's `lastSleep +=
+  * defaultLastSleep; goto RETRY` loops (bitcoinabuse/main.go:29-41,
+  * 88-94; walletexplorer/main.go:148,165; chainabuse/main.py:29-39).
+  *
+  * In the rebuild this wraps SOURCE-side effects only (a live
+  * connector's fetch); inside Spark jobs, task retry is the
+  * platform's job (`spark.task.maxFailures`) — never hand-rolled
+  * per-row. The sleeper is injected so specs run instantly.
+  */
+object Retry {
+
+  final case class Backoff(baseMillis: Long, maxAttempts: Int)
+
+  /** Linear backoff: attempt n sleeps n * baseMillis (the reference
+    * adds the base each round — main.go:91-92 `lastSleep +=
+    * defaultLastSleep`). Throws the last error when attempts are
+    * exhausted. */
+  def withLinearBackoff[T](policy: Backoff,
+                           sleep: Long => Unit = Thread.sleep)
+                          (f: () => T): T = {
+    @tailrec
+    def go(attempt: Int): T = {
+      val r = try Right(f()) catch { case e: Exception => Left(e) }
+      r match {
+        case Right(v) => v
+        case Left(e) if attempt >= policy.maxAttempts => throw e
+        case Left(_) =>
+          sleep(attempt * policy.baseMillis)
+          go(attempt + 1)
+      }
+    }
+    go(1)
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants: pack query names must be globally
+  * unique (flatMap.toMap would silently drop a duplicate), and every
+  * oracle must have a query. */
+class SparkEntrySpec extends AnyFunSuite {
+  private val packs: Seq[(String, QueryPack)] = Seq(
+    "ExtractPack" -> ExtractPack, "MergePack" -> MergePack,
+    "QueryLayerPack" -> QueryLayerPack, "DedupPack" -> DedupPack,
+    "SimilarityPack" -> SimilarityPack, "TextPack" -> TextPack,
+    "MultimodalPack" -> MultimodalPack, "StreamingPack" -> StreamingPack)
+
+  test("no query name collisions across packs") {
+    val all = packs.flatMap { case (n, p) => p.queries.keys.map(_ -> n) }
+    val dups = all.groupBy(_._1).filter(_._2.size > 1)
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+    assert(SparkEntry.queries.size == all.size)
+  }
+
+  test("every oracle key has a query; oracles are non-empty SQL") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+    SparkEntry.oracleSql.values.foreach(sql =>
+      assert(sql.trim.toUpperCase.startsWith("SELECT") ||
+        sql.trim.toUpperCase.startsWith("WITH")))
+  }
+
+  test("coverage floor: the driver-facing surface keeps its breadth") {
+    assert(SparkEntry.queries.size >= 56,
+      s"query count regressed: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size >= SparkEntry.queries.size - 1,
+      "at most one rows-only query (approx_count_distinct) expected")
+  }
+}

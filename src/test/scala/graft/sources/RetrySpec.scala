@@ -1,0 +1,27 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrySpec extends AnyFunSuite {
+  test("linear backoff: sleeps grow by the base, succeeds when f does") {
+    var sleeps = Vector.empty[Long]
+    var calls = 0
+    val got = Retry.withLinearBackoff(Retry.Backoff(5000, 5),
+        s => sleeps :+= s) { () =>
+      calls += 1
+      if (calls < 3) sys.error("boom") else "ok"
+    }
+    assert(got == "ok" && calls == 3)
+    assert(sleeps == Vector(5000L, 10000L), "reference's lastSleep += base")
+  }
+
+  test("exhausted attempts rethrow the last error") {
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      Retry.withLinearBackoff(Retry.Backoff(1, 3), _ => ()) { () =>
+        calls += 1; sys.error(s"fail $calls")
+      }
+    }
+    assert(calls == 3 && e.getMessage == "fail 3")
+  }
+}
