@@ -143,6 +143,17 @@ object QueryLayerPack extends QueryPack {
         .cube(col("c_nationkey"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal"))),
 
+    // Explicit GROUPING SETS through the SQL front-end (cube/rollup
+    // cover the DataFrame route).
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |                        (o_orderstatus), ())""".stripMargin)
+    }),
+
     // Global top-k (TakeOrderedAndProject — no full sort at scale).
     "q_topk_orders" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -355,6 +366,12 @@ object QueryLayerPack extends QueryPack {
       """SELECT c_nationkey, c_mktsegment, count(*) AS n,
         |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS bal
         |FROM customer GROUP BY CUBE (c_nationkey, c_mktsegment)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())""".stripMargin,
 
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
