@@ -172,6 +172,19 @@ object QueryLayerPack extends QueryPack {
           col("p_retailprice"))
     }),
 
+    // Top-k per group through the NATIVE operator (custom LogicalPlan
+    // + Strategy + partial/final bounded-heap execs, graft.plans.
+    // TopKPerKey): only k rows per key per partition cross the
+    // exchange, and no per-key full sort. Same result as the window
+    // form, verified by the same oracle shape.
+    "q_topk_native" -> ((s, dir) =>
+      graft.plans.TopKPerKey.topKPerKey(
+        Tables.part(s, dir).select(col("p_brand"), col("p_partkey"),
+          col("p_retailprice")),
+        keys = Seq(col("p_brand")),
+        order = Seq(col("p_retailprice").desc, col("p_partkey").asc),
+        k = 3)),
+
     // Set ops (SURVEY §2.1): (user, day) cells with clicks but no
     // purchase, minus error days — EXCEPT chain (set semantics).
     "q_set_ops" -> ((s, dir) => {
@@ -379,6 +392,13 @@ object QueryLayerPack extends QueryPack {
 
     "q_topk_per_group" ->
       """SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |         row_number() OVER (PARTITION BY p_brand
+        |           ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) WHERE rn <= 3""".stripMargin,
+
+    "q_topk_native" ->
+      """SELECT p_brand, p_partkey, p_retailprice FROM (
         |  SELECT p_brand, p_partkey, p_retailprice,
         |         row_number() OVER (PARTITION BY p_brand
         |           ORDER BY p_retailprice DESC, p_partkey) AS rn

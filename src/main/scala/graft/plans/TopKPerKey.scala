@@ -1,0 +1,110 @@
+package graft.plans
+
+import scala.collection.mutable
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Group-wise top-k as a first-class operator (SURVEY §7.5's
+  * anticipated custom `SparkStrategy`): logical node → strategy →
+  * physical bounded-heap execs.
+  *
+  * Why not `row_number().over(window)`: the window form SORTS every
+  * row of every key (full sort + spill at scale) to keep only k. This
+  * operator keeps a k-bounded heap per key, and plans as
+  *
+  *   TopKPerKeyExec(final)            — requires clustering by key
+  *     +- Exchange(hash by key)       — inserted by EnsureRequirements
+  *        +- TopKPerKeyExec(partial)  — BEFORE the shuffle
+  *           +- child
+  *
+  * so at most k rows per key per input partition ever cross the
+  * exchange — the same partial/final shape as hash aggregation.
+  * Memory per task is O(distinct keys in partition × k).
+  */
+case class TopKPerKey(k: Int, keyExprs: Seq[Expression],
+                      order: Seq[SortOrder], child: LogicalPlan)
+    extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerKey =
+    copy(child = c)
+}
+
+case class TopKPerKeyExec(k: Int, keyExprs: Seq[Expression],
+                          order: Seq[SortOrder], child: SparkPlan,
+                          partial: Boolean)
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(keyExprs))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val ks = keyExprs
+    val so = order
+    val limit = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(ks, childOutput)
+      val ordering = new LazilyGeneratedOrdering(so, childOutput)
+      // max-heap on the sort order: head = worst of the kept k
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        heaps.get(key) match {
+          case Some(pq) =>
+            if (pq.size < limit) {
+              pq += row.copy().asInstanceOf[UnsafeRow]
+            } else if (ordering.compare(row, pq.head) < 0) {
+              pq.dequeue()
+              pq += row.copy().asInstanceOf[UnsafeRow]
+            }
+          case None =>
+            val pq = mutable.PriorityQueue.empty[UnsafeRow](
+              ordering.on[UnsafeRow](identity))
+            pq += row.copy().asInstanceOf[UnsafeRow]
+            heaps.put(key.copy(), pq)
+        }
+      }
+      // emit each key's survivors in sort order (deterministic output)
+      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+        .map(_.asInstanceOf[InternalRow])
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
+    copy(child = c)
+}
+
+/** Plans the logical node as partial-then-final bounded heaps. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(k, keys, order, child) =>
+      val partial = TopKPerKeyExec(k, keys, order, planLater(child),
+        partial = true)
+      TopKPerKeyExec(k, keys, order, partial, partial = false) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKey {
+  /** User-facing form: top `k` rows per key group by `order`. */
+  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                 k: Int): DataFrame = {
+    val plan = TopKPerKey(k,
+      keys.map(GraftShim.eagerExpression),
+      order.map(c => GraftShim.eagerExpression(c) match {
+        case s: SortOrder => s
+        case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+      }),
+      GraftShim.logicalPlan(df))
+    GraftShim.ofRows(df.sparkSession, plan)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom top-k-per-key operator: differential vs the window
+  * form, plan shape (partial → one exchange → final), and edge cases.
+  */
+class TopKPerKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Tables.events(spark, "/root/testdata/sf0.001")
+
+  test("agrees with the row_number window form on real data") {
+    val native = TopKPerKey.topKPerKey(
+        events.select($"user_id", $"event_id", $"value"),
+        keys = Seq($"user_id"),
+        order = Seq($"value".desc, $"event_id".asc), k = 3)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"value".desc, $"event_id".asc)
+    val viaWindow = events.select($"user_id", $"event_id", $"value")
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+
+    assert(native == viaWindow && native.nonEmpty)
+  }
+
+  test("plans as partial → single exchange → final (no sort)") {
+    val df = TopKPerKey.topKPerKey(
+      events.select($"user_id", $"event_id", $"value"),
+      Seq($"user_id"), Seq($"value".desc, $"event_id".asc), 2)
+    df.collect() // force execution (and AQE finalization)
+    // AQE wraps stages, so assert on the final plan rendering
+    // keep only the final-plan section (AQE rendering repeats the
+    // initial plan below it)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    def topkLines(suffix: String) = plan.linesIterator
+      .filter(l => l.contains("TopKPerKey 2") && l.trim.endsWith(suffix))
+    assert(topkLines("true").size == 1, s"partial exec missing:\n$plan")
+    assert(topkLines("false").size == 1, s"final exec missing:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one exchange:\n$plan")
+    assert(!plan.contains("Sort "), "no full sort expected")
+  }
+
+  test("k larger than group size returns whole groups; ties break by order") {
+    val df = Seq((1L, "a", 10.0), (1L, "b", 10.0), (2L, "c", 1.0))
+      .toDF("k", "n", "v")
+    val got = TopKPerKey.topKPerKey(df, Seq($"k"),
+        Seq($"v".desc, $"n".asc), 5)
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "a", 10.0), (1L, "b", 10.0), (2L, "c", 1.0)))
+    val top1 = TopKPerKey.topKPerKey(df, Seq($"k"),
+        Seq($"v".desc, $"n".asc), 1)
+      .as[(Long, String, Double)].collect().toSet
+    assert(top1 == Set((1L, "a", 10.0), (2L, "c", 1.0)),
+      "tie on v must break by n asc")
+  }
+}
