@@ -64,6 +64,19 @@ class MergeSpec extends SparkSpec {
     assert(out == Seq(("x", 1), ("z", 3)))
   }
 
+  test("M2 array_union: struct equality with NULL fields (SURVEY §7.5 early check)") {
+    // structs differing only in a null field must NOT collapse; exact
+    // duplicates with null fields MUST collapse
+    val target = Seq(("a1", Seq(("n1", null.asInstanceOf[String]))))
+      .toDF("addr", "labels")
+    val updates = Seq(("a1", Seq(("n1", null.asInstanceOf[String]),
+      ("n1", "typed")))).toDF("addr", "labels")
+    val out = Merge.labelUnionArrays(target, updates, "addr", "labels")
+      .as[(String, Seq[(String, Option[String])])].collect().head
+    assert(out._2.toSet == Set(("n1", None), ("n1", Some("typed"))),
+      s"null-field struct identity broken: ${out._2}")
+  }
+
   test("A3 at-rest map form: map_from_entries over the directory") {
     import org.apache.spark.sql.functions._
     val dir = Seq(("exchange", "CoinJar"), ("exchange", "Bitstamp"),

@@ -48,6 +48,25 @@ class TopKPerKeySpec extends SparkSpec {
     assert(!plan.contains("Sort "), "no full sort expected")
   }
 
+  test("differential fuzz vs window form: string keys, nulls, dup keys") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val rows = Seq.fill(200)((
+        s"k${rnd.nextInt(6)}",
+        if (rnd.nextInt(10) == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(rnd.nextInt(50).toDouble),
+        rnd.nextInt(1000).toLong))
+      val df = rows.toDF("key", "score", "row_id")
+      val native = TopKPerKey.topKPerKey(df, Seq($"key"),
+          Seq($"score".desc, $"row_id".asc), 4)
+        .collect().map(_.toSeq).toSet
+      val w = Window.partitionBy($"key").orderBy($"score".desc, $"row_id".asc)
+      val viaWindow = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 4).drop("rn").collect().map(_.toSeq).toSet
+      assert(native == viaWindow, s"trial $trial diverged")
+    }
+  }
+
   test("k larger than group size returns whole groups; ties break by order") {
     val df = Seq((1L, "a", 10.0), (1L, "b", 10.0), (2L, "c", 1.0))
       .toDF("k", "n", "v")
