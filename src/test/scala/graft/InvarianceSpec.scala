@@ -1,0 +1,36 @@
+package graft
+
+/** Partition-count invariance: every value the driver hash-compares
+  * must be identical whatever the shuffle width — the decimal-sum /
+  * deterministic-rounding machinery exists exactly for this. Runs a
+  * representative slice of the query surface at 4 and 13 shuffle
+  * partitions and compares full result sets.
+  */
+class InvarianceSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val sensitive = Seq(
+    "q1_pricing_summary",   // decimal-summed aggregates
+    "q2_star_join_revenue", // joins + decimal sums
+    "m1_upsert_replace",    // full-outer merge
+    "ds_minhash_pairs",     // hash pipeline + band join
+    "ds_simhash",           // 32 array folds
+    "q_window_running",     // ordered window decimal sums
+    "sim_ann_pairs",        // float folds + threshold
+    "tx_quality")           // dround ratio combinations
+
+  test("results identical at 4 vs 13 shuffle partitions") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      sensitive.foreach { name =>
+        val q = SparkEntry.queries(name)
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        val a = q(spark, sfDir).collect().map(_.toSeq).toSet
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        val b = q(spark, sfDir).collect().map(_.toSeq).toSet
+        assert(a == b, s"$name diverges across partition counts")
+        assert(a.nonEmpty, s"$name empty at sf0.001 — weak invariance check")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
