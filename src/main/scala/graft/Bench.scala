@@ -27,7 +27,10 @@ object Bench {
       // GC pause triggered by query N isn't billed to query N+1
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink, not count(): count() lets Catalyst prune away the
+      // per-row expression work of map-only queries, timing a skeleton
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[bench] $name%-24s $dt%8.2f s")
       name -> dt

@@ -22,8 +22,13 @@ object Hashing {
   val NumPerms = 8
   val NumBands = 4 // 2 rows per band
 
-  /** 32-bit hash of a string: first 8 hex chars of md5 as a long. */
-  def h32(c: Column): Column =
+  /** 32-bit hash of a string: first 8 hex chars of md5 as a long.
+    * Native codegen'd expression ([[graft.plans.Md5Prefix32]]);
+    * [[h32Builtin]] is the value-identical builtin composition kept
+    * as the differential oracle. */
+  def h32(c: Column): Column = graft.plans.Md5Prefix32.h32(c)
+
+  def h32Builtin(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** i-th universal-hash permutation of a 32-bit hash:

@@ -1,0 +1,51 @@
+package graft.plans
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The 32-bit md5-prefix hash (graft.functions.Hashing.h32) as one
+  * native expression: digest + big-endian fold of the first 4 bytes.
+  * Value-identical to `conv(substring(md5(s),1,8),16,10)::long` — the
+  * form every oracle replays — but skips the hex-string render,
+  * substring, and base-16 string parse (three allocations per call on
+  * the dedup hot path: one hash per shingle per document).
+  */
+case class Md5Prefix32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Prefix32Helper.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val h = ctx.addReferenceObj("md5prefix", Md5Prefix32Helper,
+      Md5Prefix32Helper.getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $h.hash($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Md5Prefix32 =
+    copy(child = c)
+}
+
+object Md5Prefix32Helper extends Serializable {
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  def hash(s: UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+}
+
+object Md5Prefix32 {
+  def h32(c: Column): Column =
+    GraftShim.column(Md5Prefix32(GraftShim.eagerExpression(c.cast("string"))))
+}

@@ -13,6 +13,15 @@ class HashingSpec extends SparkSpec {
     assert(got == 0x5d41402aL)
   }
 
+  test("native h32 agrees with the builtin composition on real tokens") {
+    val toks = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(split(col("text"), " ")).as("t"))
+    val diff = toks.select(Hashing.h32(col("t")).as("a"),
+        Hashing.h32Builtin(col("t")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
   test("shingles: k-grams, and empty for short docs (no descending sequence)") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(Hashing.shingles(split(col("text"), " "), 3).as("sh"))
