@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a candidate-pair graph — the step that
+  * turns near-dup PAIRS into dedup GROUPS (keep one representative
+  * per component). Iterative min-label propagation: each node adopts
+  * the smallest label among itself and its neighbors until fixpoint.
+  *
+  * Scale: each iteration is one join + one aggregation on (node,
+  * label) — both shuffle on node id; iterations ≤ graph diameter
+  * (near-dup components are tiny cliques, so 2–3 rounds). The loop
+  * runs on the driver but every step is distributed; intermediate
+  * labels are localCheckpointed to keep lineage (and replanning
+  * cost) constant across rounds.
+  */
+object Components {
+
+  /** pairs: (a, b) undirected edges with a < b; returns
+    * (node, rep) where rep = min node id of the component. */
+  def connectedComponents(pairs: DataFrame, a: String = "doc_a",
+                          b: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      it += 1
+      val neighborMin = edges
+        .join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      val next = labels
+        .join(neighborMin, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      converged = next.alias("n")
+        .join(labels.alias("o"), col("n.node") === col("o.node"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .isEmpty
+      labels = next
+    }
+    labels.select(col("node"), col("comp").as("rep"))
+  }
+}

@@ -88,6 +88,21 @@ object DedupPack extends QueryPack {
                 .otherwise(-1L)) > 0, lit(1L << j)).otherwise(lit(0L))
           }.reduce(_ + _).as("simhash"))),
 
+    // Dedup GROUPS: connected components over the MinHash-LSH
+    // candidate pairs — each doc mapped to its component's min doc_id
+    // (the keeper). Iterative min-label propagation, distributed per
+    // step (see Components).
+    "ds_dup_groups" -> ((s, dir) => {
+      val b = bands(s, dir)
+      val pairs = b.alias("a").join(b.alias("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      Components.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("rep"))
+    }),
+
     // N-gram (3-token shingle) Jaccard near-dup pairs, fully
     // relational: distinct (doc, shingle-HASH) self-join → shared
     // counts → |A∩B| / (|A|+|B|-|A∩B|). Shingles are identified by
@@ -147,6 +162,27 @@ object DedupPack extends QueryPack {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
+
+    // Transitive closure over the candidate pairs via recursive CTE;
+    // rep = min over the reachable set ∪ self.
+    "ds_dup_groups" ->
+      s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key
+         |          AND a.doc_id < b.doc_id),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM cand
+         |      UNION SELECT doc_b, doc_a FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+         |SELECT n AS doc_id, min(m) AS rep FROM (
+         |  SELECT a AS n, least(a, b) AS m FROM reach
+         |  UNION ALL
+         |  SELECT DISTINCT a, a FROM e)
+         |GROUP BY n""".stripMargin,
 
     "ds_simhash" ->
       """WITH tk AS (SELECT DISTINCT doc_id, tok FROM

@@ -1,0 +1,26 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chains converge to the component minimum (multi-iteration)") {
+    // path 1-2-3-4 (diameter 3) + pair 7-9 + singleton-free graph
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L))
+      .toDF("doc_a", "doc_b")
+    val got = Components.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 9L -> 7L))
+  }
+
+  test("cycles and cross-links keep a single representative") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 5L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val got = Components.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L) && got.keySet ==
+      Set(1L, 2L, 3L, 4L, 5L))
+  }
+}
