@@ -103,6 +103,24 @@ object DedupPack extends QueryPack {
         .select(col("node").as("doc_id"), col("rep"))
     }),
 
+    // Dedup APPLIED: the corpus with non-representative near-dups
+    // removed — anti-join against the groups' losers. The complete
+    // pipeline a training-data run executes: shingle → minhash → LSH
+    // bands → components → filtered corpus.
+    "ds_dedup_apply" -> ((s, dir) => {
+      val b = bands(s, dir)
+      val pairs = b.alias("a").join(b.alias("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val losers = Components.connectedComponents(pairs)
+        .filter(col("node") =!= col("rep"))
+        .select(col("node").as("doc_id"))
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+        .join(losers, Seq("doc_id"), "left_anti")
+    }),
+
     // N-gram (3-token shingle) Jaccard near-dup pairs, fully
     // relational: distinct (doc, shingle-HASH) self-join → shared
     // counts → |A∩B| / (|A|+|B|-|A∩B|). Shingles are identified by
@@ -183,6 +201,28 @@ object DedupPack extends QueryPack {
          |  UNION ALL
          |  SELECT DISTINCT a, a FROM e)
          |GROUP BY n""".stripMargin,
+
+    "ds_dedup_apply" ->
+      s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key
+         |          AND a.doc_id < b.doc_id),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM cand
+         |      UNION SELECT doc_b, doc_a FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |groups AS (SELECT n AS doc_id, min(m) AS rep FROM (
+         |    SELECT a AS n, least(a, b) AS m FROM reach
+         |    UNION ALL
+         |    SELECT DISTINCT a, a FROM e)
+         |  GROUP BY n)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM groups g
+         |                  WHERE g.doc_id = d.doc_id AND g.doc_id <> g.rep)""".stripMargin,
 
     "ds_simhash" ->
       """WITH tk AS (SELECT DISTINCT doc_id, tok FROM

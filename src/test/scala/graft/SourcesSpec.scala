@@ -35,6 +35,16 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 3)
   }
 
+  test("ORC round-trip preserves schema and values") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    sample.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    // files round-trip as nullable; compare names/types, not nullability
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      sample.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().toSet == sample.collect().toSet)
+  }
+
   test("Det.dround: floor(x*10^s+0.5)/10^s semantics, incl. negatives") {
     val got = Seq(0.12344999, 0.12345001, -0.5, 2.5, 0.0)
       .toDF("x").select(Det.dround(col("x"), 4)).as[Double].collect().toSeq
