@@ -25,8 +25,12 @@ object Components {
       .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
+    // seed with the first neighbor-min pass (saves one iteration):
+    // comp0 = min(node, min neighbor)
+    var labels = edges
+      .groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("comp"))
+      .withColumnRenamed("src", "node")
       .localCheckpoint(true)
     var converged = false
     var it = 0
@@ -35,16 +39,15 @@ object Components {
       val neighborMin = edges
         .join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      // convergence flag computed IN the same pass — no extra join
       val next = labels
         .join(neighborMin, col("node") === col("src"), "left")
         .select(col("node"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("changed"))
         .localCheckpoint(true)
-      converged = next.alias("n")
-        .join(labels.alias("o"), col("n.node") === col("o.node"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
     }
     labels.select(col("node"), col("comp").as("rep"))
   }
