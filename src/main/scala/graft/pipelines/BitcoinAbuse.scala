@@ -1,7 +1,7 @@
 package graft.pipelines
 
 import graft.operators.{Extract, Merge}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The bitcoinabuse pipeline (reference: bitcoinabuse/main.go) as
@@ -22,6 +22,11 @@ object BitcoinAbuse {
 
   /** Pagination link pattern (bitcoinabuse/main.go:187). */
   val PagePattern = "page=([0-9]+)\""
+
+  /** URL building (the reference's Sprintf at bitcoinabuse
+    * /main.go:89,260): detail-page URL per (addr, page). */
+  def detailUrl(addr: Column, page: Column): Column =
+    format_string("/reports/%s?page=%d", addr, page)
 
   /** P1: index page bodies → one row per report address.
     * Input: (page_no, body); output: (page_no, addr). */

@@ -29,6 +29,11 @@ class PipelinesSpec extends SparkSpec {
 
     assert(BitcoinAbuse.maxPage(index).as[Int].head() == 17)
 
+    // URL building (Sprintf → format_string)
+    val url = Seq(("1C2ek9b", 3)).toDF("addr", "page")
+      .select(BitcoinAbuse.detailUrl($"addr", $"page")).as[String].head()
+    assert(url == "/reports/1C2ek9b?page=3")
+
     val details = Seq(("1C2ek9b57xdVY9rPUaUnczxN5vGjVS8EhA",
       fixture("bitcoinabuse_detail.html"))).toDF("addr", "body")
     val labels = BitcoinAbuse.assembleLabels(
