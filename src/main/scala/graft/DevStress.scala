@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale probe: replicate documents/events N× (with shifted
+  * ids so dedup semantics stay meaningful) and time the heavy
+  * operator families — evidence for the linearity claims in SCALE.md.
+  * Usage: runMain graft.DevStress [factor]
+  */
+object DevStress {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 20
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    val big = docs.crossJoin(
+        spark.range(factor).select(col("id").as("rep")))
+      .select((col("doc_id") * factor + col("rep")).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    big.write.mode("overwrite").parquet("/tmp/stress_docs")
+    val n = spark.read.parquet("/tmp/stress_docs").count()
+
+    def time(name: String)(f: => Unit): Unit = {
+      System.gc()
+      val t0 = System.nanoTime()
+      f
+      println(f"[stress] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n docs)")
+    }
+
+    val stressDir = "/tmp"
+    val renamed = spark.read.parquet("/tmp/stress_docs")
+    renamed.createOrReplaceTempView("stress_docs")
+    // run the minhash signature pipeline directly over the big table
+    import graft.functions.Hashing
+    val toks = renamed.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    time("minhash_signatures") {
+      toks.select(col("doc_id"),
+          transform(Hashing.shingles(col("toks"), 3),
+            s2 => Hashing.h32(s2)).as("hs"))
+        .select(col("doc_id") +: (0 until Hashing.NumPerms)
+          .map(i => array_min(transform(col("hs"),
+            h => Hashing.permuted(h, i))).as(s"mh$i")): _*)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("simhash") {
+      DedupStressHelper.simhash(renamed)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("exact_dedup") {
+      renamed.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")), count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}
+
+private object DedupStressHelper {
+  import org.apache.spark.sql.DataFrame
+  import graft.functions.Hashing
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        transform(array_distinct(col("toks")), t => Hashing.h32(t)).as("hs"))
+      .select(col("doc_id"),
+        (0 until 32).map { j =>
+          when(aggregate(col("hs"), lit(0L), (acc, h) =>
+            acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
+              .otherwise(-1L)) > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+}

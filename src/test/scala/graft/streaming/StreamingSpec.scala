@@ -32,6 +32,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tumbling window counts in streaming mode match the batch plan") {
+    val ms = MemoryStream[(Timestamp, String)]
+    val df = ms.toDF().toDF("ts", "event_type")
+    val q = LabelStream.tumblingCounts(df, "ts", "1 hour")
+      .select($"window.start".as("ws"), $"event_type", $"n")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      ms.addData(
+        (ts("2024-01-01 10:05:00"), "click"),
+        (ts("2024-01-01 10:45:00"), "click"),
+        (ts("2024-01-01 11:05:00"), "click"),
+        (ts("2024-01-01 10:30:00"), "view"))
+      q.processAllAvailable()
+      val got = spark.table("tumbling_out")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(got == Set(
+        (ts("2024-01-01 10:00:00"), "click", 2L),
+        (ts("2024-01-01 11:00:00"), "click", 1L),
+        (ts("2024-01-01 10:00:00"), "view", 1L)))
+      // late-ish arrival updates the open window (upsert-on-rereport
+      // semantics, like the reference accepting any-time re-reports)
+      ms.addData((ts("2024-01-01 10:50:00"), "view"))
+      q.processAllAvailable()
+      val upd = spark.table("tumbling_out")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(upd.contains((ts("2024-01-01 10:00:00"), "view", 2L)))
+    } finally q.stop()
+  }
+
+  test("session windows in streaming mode merge gap-overlapping events") {
+    val ms = MemoryStream[(Timestamp, Long)]
+    val df = ms.toDF().toDF("ts", "user_id")
+    val q = df.withWatermark("ts", "1 hour")
+      .groupBy(org.apache.spark.sql.functions.session_window(
+        $"ts", "30 minutes"), $"user_id")
+      .count()
+      .select($"session_window.start".as("ss"), $"user_id", $"count")
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    try {
+      ms.addData(
+        (ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:20:00"), 1L),  // merges (gap < 30 min)
+        (ts("2024-01-01 11:30:00"), 1L),  // new session
+        (ts("2024-01-01 10:10:00"), 2L))
+      q.processAllAvailable()
+      val got = spark.table("session_out")
+        .as[(Timestamp, Long, Long)].collect().toSet
+      assert(got == Set(
+        (ts("2024-01-01 10:00:00"), 1L, 2L),
+        (ts("2024-01-01 11:30:00"), 1L, 1L),
+        (ts("2024-01-01 10:10:00"), 2L, 1L)))
+    } finally q.stop()
+  }
+
   test("AvailableNow ingest: checkpointed dedup to bronze, merge-on-read gold") {
     val dir = Files.createTempDirectory("graft-stream").toString
     val bronze = s"$dir/bronze"
