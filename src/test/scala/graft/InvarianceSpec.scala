@@ -19,6 +19,10 @@ class InvarianceSpec extends SparkSpec {
     "sim_ann_pairs",        // float folds + threshold
     "tx_quality")           // dround ratio combinations
 
+  test("entry (driver smoke) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("results identical at 4 vs 13 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {

@@ -88,6 +88,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late-data policy: append-mode windowed agg drops events behind the watermark") {
+    val ms = MemoryStream[(Timestamp, String)]
+    val df = ms.toDF().toDF("ts", "event_type")
+    val q = df.withWatermark("ts", "10 minutes")
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour"),
+        $"event_type")
+      .count()
+      .select($"window.start".as("ws"), $"event_type", $"count")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((ts("2024-01-01 10:20:00"), "click"))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window's close
+      ms.addData((ts("2024-01-01 13:00:00"), "click"))
+      q.processAllAvailable()
+      // a late event for the CLOSED 10:00 window must be dropped
+      ms.addData((ts("2024-01-01 10:40:00"), "click"))
+      // and one more to flush
+      ms.addData((ts("2024-01-01 15:00:00"), "click"))
+      q.processAllAvailable()
+      val tenOClock = spark.table("late_out")
+        .as[(Timestamp, String, Long)].collect()
+        .filter(_._1 == ts("2024-01-01 10:00:00"))
+      assert(tenOClock.map(_._3).toSeq == Seq(1L),
+        s"late event must not reopen the closed window: ${tenOClock.toSeq}")
+    } finally q.stop()
+  }
+
   test("AvailableNow ingest: checkpointed dedup to bronze, merge-on-read gold") {
     val dir = Files.createTempDirectory("graft-stream").toString
     val bronze = s"$dir/bronze"
