@@ -87,7 +87,7 @@ object QueryLayerPack extends QueryPack {
         .agg(countDistinct(col("src")).as("n_src"))
         .filter(col("n_src") >= 2)),
 
-    // §2.2 q5: co-occurrence — users sharing ≥2 purchase days ("same
+    // §2.2 q5: co-occurrence — users sharing ≥3 purchase days ("same
     // report" analog); self-join on the cell key, aggregated pair
     // counts. Restricting to one type keeps pair blowup proportional
     // to actual co-reports, the way a report-id join would at scale.
@@ -103,7 +103,7 @@ object QueryLayerPack extends QueryPack {
         .groupBy(col("a.user_id").as("user_a"),
           col("b.user_id").as("user_b"))
         .agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 2)
+        .filter(col("shared") >= 3)
     }),
 
     // Window functions: latest label per (addr, src) — the implied
@@ -351,7 +351,7 @@ object QueryLayerPack extends QueryPack {
         |      FROM events WHERE event_type = 'purchase') b
         |  ON a.day = b.day AND a.user_id < b.user_id
         |GROUP BY a.user_id, b.user_id
-        |HAVING count(*) >= 2""".stripMargin,
+        |HAVING count(*) >= 3""".stripMargin,
 
     "q_window_latest" ->
       """SELECT user_id, event_type, event_id, value FROM (
