@@ -31,9 +31,12 @@ object DedupPack extends QueryPack {
 
   /** doc_id + minhash signature columns mh0..mh7. Staged projections:
     * tokens → shingle hashes (ONE md5 per shingle) → 8 cheap
-    * arithmetic permutation-mins over the hash array. */
+    * arithmetic permutation-mins over the hash array. Docs shorter
+    * than one shingle are excluded (they have no signature — and the
+    * SQL oracle naturally omits them, so the Spark side must too). */
   private def signatures(s: SparkSession, dir: String): DataFrame =
     tokenized(s, dir)
+      .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         transform(Hashing.shingles(col("toks"), 3),
           sh => Hashing.h32(sh)).as("hs"))

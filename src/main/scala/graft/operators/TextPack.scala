@@ -79,6 +79,9 @@ object TextPack extends QueryPack {
     // rolling shingle hash (winnowing-style representative).
     "tx_fingerprint" -> ((s, dir) =>
       tokenized(s, dir, "text")
+        // sub-shingle docs have no min-shingle fingerprint; the
+        // oracle's inner join omits them, so exclude here too
+        .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), col("text"),
           transform(Hashing.shingles(col("toks"), 3),
             s2 => Hashing.h32(s2)).as("hs"))
