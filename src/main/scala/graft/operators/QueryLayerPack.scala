@@ -106,6 +106,22 @@ object QueryLayerPack extends QueryPack {
         .filter(col("shared") >= 3)
     }),
 
+    // §2.2 follow-on: provenance timeline — per (src, month) label
+    // volume plus how many addresses are NEW that month (first-seen
+    // cohort via a min-over-window compare).
+    "q22_provenance_timeline" -> ((s, dir) => {
+      val w = Window.partitionBy(col("addr"), col("src"))
+      Tables.events(s, dir)
+        .select(col("user_id").cast("string").as("addr"),
+          col("event_type").as("src"),
+          date_trunc("month", col("ts")).as("month"))
+        .withColumn("first_month", min(col("month")).over(w))
+        .groupBy(col("src"), col("month"))
+        .agg(count(lit(1)).as("n_labels"),
+          countDistinct(when(col("month") === col("first_month"),
+            col("addr"))).as("n_new_addrs"))
+    }),
+
     // Window functions: latest label per (addr, src) — the implied
     // "current view" query (SURVEY §2.1 windows row).
     "q_window_latest" -> ((s, dir) => {
@@ -352,6 +368,18 @@ object QueryLayerPack extends QueryPack {
         |  ON a.day = b.day AND a.user_id < b.user_id
         |GROUP BY a.user_id, b.user_id
         |HAVING count(*) >= 3""".stripMargin,
+
+    "q22_provenance_timeline" ->
+      """SELECT src, month, count(*) AS n_labels,
+        |  count(DISTINCT CASE WHEN month = first_month THEN addr END)
+        |    AS n_new_addrs
+        |FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS addr, event_type AS src,
+        |         CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS month,
+        |         min(CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS TIMESTAMP))
+        |           OVER (PARTITION BY user_id, event_type) AS first_month
+        |  FROM events)
+        |GROUP BY src, month""".stripMargin,
 
     "q_window_latest" ->
       """SELECT user_id, event_type, event_id, value FROM (

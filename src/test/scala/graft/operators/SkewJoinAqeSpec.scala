@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** AQE skew-join split — the mechanism SCALE.md leans on for
+  * power-law label keys — demonstrated by forcing the skew thresholds
+  * down and joining a hot-key fact against a dim.
+  */
+class SkewJoinAqeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("AQE splits a skewed join partition") {
+    val conf = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      // 200k rows, 95% on one key; join against a small unique dim
+      val fact = spark.range(200000)
+        .select(when($"id" % 20 === 0, $"id" % 50).otherwise(0L).as("k"),
+          concat(lit("payload_payload_payload_"), $"id").as("v"))
+      val dim = spark.range(50).select($"id".as("k"), ($"id" * 2).as("w"))
+      val joined = fact.join(dim, "k")
+      // execute THIS plan instance (count() would build a different
+      // one and leave this AdaptiveSparkPlan unfinalized)
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-split in final plan:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
