@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Driver benchmark: one JSON line with per-query wall seconds over
   * SPARK_GRAFT_SF_DIR. Queries run in sorted-name order after a
@@ -22,30 +23,51 @@ object Bench {
     // warmup: scheduler + parquet reader + a first shuffle
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.names.foreach(n => Tables.read(spark, sfDir, n).limit(1).count())
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // reclaim finished-query state (broadcasts, shuffle files) so a
       // GC pause triggered by query N isn't billed to query N+1
       System.gc()
+      val obs = new Observation()
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune away the
-      // per-row expression work of map-only queries, timing a skeleton
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[bench] $name%-24s $dt%8.2f s")
-      name -> dt
+      // per-row expression work of map-only queries, timing a skeleton.
+      // observe() rides the same action, so row counts are free.
+      val err: Option[String] =
+        try {
+          fn(spark, sfDir).observe(obs, count(lit(1)).as("rows"))
+            .write.format("noop").mode("overwrite").save()
+          None
+        } catch { case t: Throwable =>
+          Some(t.getClass.getSimpleName +
+            Option(t.getMessage).map(m =>
+              ": " + m.linesIterator.next().take(160)).getOrElse(""))
+        }
+      // failed query: -1 sentinel, never a healthy-looking time
+      val dt = if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0
+      val rows = if (err.isEmpty) obs.get("rows").asInstanceOf[Long] else -1L
+      println(f"[bench] $name%-24s $dt%8.2f s  $rows%9d rows" +
+        err.map("  FAILED " + _).getOrElse(""))
+      (name, dt, rows, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val rs = results.map { case (k, _, r, _) => jstr(k) + ":" + r }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     // merge throughput (BASELINE.md): rows/s through the M1/M2 merge
     // operators — the comparable for the reference's ≤20 addr/s ceiling
-    val mergeRows = Seq("m1_upsert_replace", "m2_label_set_union")
-      .map(n => SparkEntry.queries(n)(spark, sfDir).count()).sum
-    val mergeSecs = Seq("m1_upsert_replace", "m2_label_set_union")
-      .flatMap(results.toMap.get).sum
+    val times = results.map(r => r._1 -> r._2).toMap
+    val mergeNames = Seq("m1_upsert_replace", "m2_label_set_union")
+    val mergeRows = mergeNames
+      .map(n => try SparkEntry.queries(n)(spark, sfDir).count()
+                catch { case _: Throwable => 0L }).sum
+    val mergeSecs = mergeNames.flatMap(times.get).filter(_ >= 0).sum
     val mergeRate = if (mergeSecs > 0) mergeRows / mergeSecs else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","merge_rows_per_sec":$mergeRate}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"errors":$errs,"sf":"$sfDir","merge_rows_per_sec":$mergeRate}""")
     spark.stop()
   }
 }

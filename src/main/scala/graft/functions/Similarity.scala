@@ -80,14 +80,14 @@ object Similarity {
     * ||v||² - 2·v·c + ||c||² (||v||² constant per row → argmax of
     * 2·v·c - ||c||²). First-match tie-break on equal scores. */
   def ivfAssign(emb: Column): Column = {
-    val scores = (0 until NumCentroids).map { j =>
+    val scores = array((0 until NumCentroids).map { j =>
       val c2 = (0 until Dims).map(d => centroidInt(j, d)).map(w => w * w).sum
       lit(2.0) * dot(emb, centroid(j)) - lit(c2.toDouble / 1e6)
-    }
-    val best = greatest(scores: _*)
-    scores.zipWithIndex.foldRight(lit(-1)) { case ((sc, j), els) =>
-      when(sc === best, lit(j)).otherwise(els)
-    }
+    }: _*)
+    // each centroid dot referenced exactly ONCE (no reliance on
+    // codegen subexpression elimination); argmax = first position of
+    // the max, preserving the first-match tie-break
+    (array_position(scores, array_max(scores)) - 1).cast("int")
   }
 
   /** Sign-bucket of an embedding: bit j set iff dot(v, plane_j) > 0.

@@ -42,13 +42,22 @@ object Extract {
     * Pure array expression (sequence+transform): no explode-and-
     * regroup shuffle; trailing ragged cells are dropped exactly like
     * the reference's loop bound.
+    *
+    * Sub-width inputs (an empty/rowless detail page) need a guard:
+    * Spark's `sequence(0, -1)` counts DOWN to `[0, -1]`, which would
+    * fabricate a record with out-of-range accesses. The `greatest`
+    * keeps the range ascending (indices always ≥ 1, so ANSI-safe) and
+    * the `when` returns a correctly-typed empty array instead.
     */
-  def foldCells(cells: Column, width: Int): Column =
-    transform(
-      sequence(lit(0), (size(cells) / width).cast("int") - 1),
+  def foldCells(cells: Column, width: Int): Column = {
+    val recs = transform(
+      sequence(lit(0), greatest((size(cells) / width).cast("int"), lit(1)) - 1),
       i => struct(
-        (0 until width).map(j => element_at(cells, i * width + j + 1)
+        (0 until width).map(j => try_element_at(cells, i * width + j + 1)
           .as(s"c$j")): _*))
+    // slice(recs, 1, 0) = empty array of recs' exact element type
+    when(size(cells) >= width, recs).otherwise(slice(recs, lit(1), lit(0)))
+  }
 
   /** P7: the reference's string normalization chain — trim, lower,
     * strip a trailing ':' (walletexplorer/main.go:229-241; trim must

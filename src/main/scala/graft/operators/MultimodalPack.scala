@@ -27,15 +27,17 @@ object MultimodalPack extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
-    // text is ASCII so char length == byte length.
+    // strlen = BYTE length in DuckDB, matching the Spark side's
+    // UTF-8 cast-to-binary length even for non-ASCII text (plain
+    // length() counts characters and would diverge).
     "mm_decode_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
         |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
         |       ELSE 'video/mp4' END AS mime,
-        |  CAST(length(text) AS BIGINT) AS n_bytes,
-        |  CAST(64 + length(text) % 577 AS INTEGER) AS width,
-        |  CAST(64 + (length(text) * 31 + doc_id) % 353 AS INTEGER) AS height,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(64 + strlen(text) % 577 AS INTEGER) AS width,
+        |  CAST(64 + (strlen(text) * 31 + doc_id) % 353 AS INTEGER) AS height,
         |  CAST(1 + doc_id % 24 AS INTEGER) AS n_frames
         |FROM documents""".stripMargin,
 

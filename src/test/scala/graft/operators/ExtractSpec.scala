@@ -43,6 +43,16 @@ class ExtractSpec extends SparkSpec {
     assert(got == Seq(("d1", "t1", "x1"), ("d2", "t2", "x2")))
   }
 
+  test("P6: sub-width and empty cell arrays fold to zero records") {
+    // sequence(0, -1) counts DOWN in Spark — the guard must keep an
+    // empty/rowless page from fabricating a spurious record
+    val cells = Seq(Seq("only", "two"), Seq.empty[String],
+      Seq("a", "b", "c")).toDF("cells")
+    val got = cells.select(size(Extract.foldCells(col("cells"), 3)).as("n"))
+      .as[Int].collect().toSeq
+    assert(got == Seq(0, 0, 1))
+  }
+
   test("P7: normalize lowercases, strips trailing colon, trims") {
     val got = Seq("  Exchanges:  ", "POOLS", "x").toDF("s")
       .select(Extract.normalize(col("s"))).as[String].collect().toSeq
