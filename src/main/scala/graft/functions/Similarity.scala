@@ -37,7 +37,15 @@ object Similarity {
 
   // ---- deterministic random-hyperplane LSH ----
 
-  val NumPlanes = 8
+  /** Banded LSH: `NumBands` independent hyperplane tables, each keyed
+    * by `PlanesPerBand` sign bits. Deeper keys (4096 buckets per band
+    * vs the naive 256) shrink the quadratic co-bucket residual
+    * ~16×/band; OR-ing bands buys back the recall a single deep table
+    * loses. At 10⁹ vectors each band bucket holds ~N/4096 vectors and
+    * the pair join is per-(band, bucket) — see SCALE.md. */
+  val NumBands = 2
+  val PlanesPerBand = 12
+  val NumPlanes: Int = NumBands * PlanesPerBand
   val Dims = 64
 
   /** Plane weight w(j,d) = (int(md5("p{j}_{d}")[0:8], 16) % 2001) - 1000
@@ -90,12 +98,21 @@ object Similarity {
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }
 
-  /** Sign-bucket of an embedding: bit j set iff dot(v, plane_j) > 0.
-    * 8 planes → 256 buckets; bucket-equality is the ANN candidate
-    * filter (the scale path: candidates shrink ~256× before any
-    * pairwise cosine). */
-  def lshBucket(emb: Column): Column =
-    (0 until NumPlanes).map { j =>
-      when(dot(emb, plane(j)) > 0, lit(1L << j)).otherwise(lit(0L))
+  /** Sign-bucket of an embedding within one band: bit j set iff
+    * dot(v, plane_{band·PlanesPerBand+j}) > 0. 12 planes → 4096
+    * buckets per band; (band, bucket)-equality in ANY band is the ANN
+    * candidate filter. */
+  def lshBucket(emb: Column, band: Int = 0): Column =
+    (0 until PlanesPerBand).map { j =>
+      when(dot(emb, plane(band * PlanesPerBand + j)) > 0, lit(1L << j))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** All band buckets of an embedding, as array<struct<band,bucket>>
+    * — computed in the scan stage, exploded into the (band, bucket)
+    * join key. */
+  def lshBands(emb: Column): Column =
+    array((0 until NumBands).map(b =>
+      struct(lit(b).cast("long").as("band"),
+        lshBucket(emb, b).as("bucket"))): _*)
 }

@@ -11,27 +11,44 @@ import org.apache.spark.sql.functions._
   * Scale: each iteration is one join + one aggregation on (node,
   * label) — both shuffle on node id; iterations ≤ graph diameter
   * (near-dup components are tiny cliques, so 2–3 rounds). The loop
-  * runs on the driver but every step is distributed; intermediate
-  * labels are localCheckpointed to keep lineage (and replanning
-  * cost) constant across rounds.
+  * runs on the driver but every step is distributed. Exactly ONE
+  * action per iteration: the changed-label count rides the job that
+  * materializes the iteration's checkpoint, so convergence detection
+  * costs no extra pass. Checkpoints are RELIABLE (HDFS/object-store)
+  * whenever `sparkContext.setCheckpointDir` is configured — an
+  * executor loss mid-loop then recovers from storage instead of
+  * killing the lineage; executor-local otherwise (single-JVM runs).
   */
 object Components {
 
   /** pairs: (a, b) undirected edges with a < b; returns
-    * (node, rep) where rep = min node id of the component. */
+    * (node, rep) where rep = min node id of the component.
+    *
+    * @throws IllegalStateException if the fixpoint is not reached in
+    *         `maxIter` iterations — a partially-propagated labeling
+    *         must never be consumed as a correct grouping. Min-label
+    *         propagation needs ≤ diameter rounds; near-dup components
+    *         are tiny cliques (2–3 rounds). Hitting the cap means the
+    *         input is not the graph this operator is tuned for (use
+    *         large-star/small-star for boilerplate mega-components).
+    */
   def connectedComponents(pairs: DataFrame, a: String = "doc_a",
                           b: String = "doc_b", maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    // non-eager: materialization happens on (and is shared with) the
+    // first action over the frame — the per-iteration count below
+    def mat(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+    val edges = mat(pairs.select(col(a).as("src"), col(b).as("dst"))
       .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     // seed with the first neighbor-min pass (saves one iteration):
     // comp0 = min(node, min neighbor)
-    var labels = edges
+    var labels = mat(edges
       .groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("comp"))
-      .withColumnRenamed("src", "node")
-      .localCheckpoint(true)
+      .withColumnRenamed("src", "node"))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -40,15 +57,20 @@ object Components {
         .join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
       // convergence flag computed IN the same pass — no extra join
-      val next = labels
+      val next = mat(labels
         .join(neighborMin, col("node") === col("src"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("changed"))
-        .localCheckpoint(true)
-      converged = next.filter(col("changed")).isEmpty
+          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("changed")))
+      // the single per-iteration action: materializes `next`'s
+      // checkpoint and yields the changed count in the same job
+      converged = next.filter(col("changed")).count() == 0
       labels = next.drop("changed")
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIter iterations — " +
+          "refusing to return a partially-propagated labeling")
     labels.select(col("node"), col("comp").as("rep"))
   }
 }

@@ -130,27 +130,50 @@ object DedupPack extends QueryPack {
     // their 32-bit hash so the shuffle carries 8-byte keys instead of
     // ~20-char strings (the oracle hashes identically; collisions are
     // part of the declared semantics, as in any hashed-shingle dedup).
-    "ds_jaccard_pairs" -> ((s, dir) => {
-      val sh = tokenized(s, dir)
-        .select(col("doc_id"),
-          explode(transform(Hashing.shingles(col("toks"), 3),
-            s2 => Hashing.h32(s2))).as("shingle"))
-        .distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val shared = sh.alias("a").join(sh.alias("b"),
-          col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-      shared
-        .join(sizes.alias("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sizes.alias("sb"), col("doc_b") === col("sb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          graft.Det.dround(col("shared").cast("double") /
-            (col("sa.sz") + col("sb.sz") - col("shared")), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.2)
-    })
+    //
+    // Scale guard: shingles with document frequency > JaccardDfCap are
+    // dropped from the shingle UNIVERSE (numerator and denominator)
+    // before the self-join — a boilerplate shingle in n docs would
+    // otherwise emit n² candidate rows, making a handful of keys
+    // quadratic at corpus scale. Jaccard is then declared over the
+    // non-boilerplate shingle space; the oracle applies the same cap.
+    "ds_jaccard_pairs" -> ((s, dir) => jaccardPairs(tokenized(s, dir))),
   )
+
+  /** Shingles with df ≤ [[JaccardDfCap]] survive into the pair join.
+    * 5 is exercised at sf0.01 (29 shingles dropped); at corpus scale
+    * the cap would be set from the df distribution of the boilerplate
+    * tail. [[graft.DevStress]] scales it with the replication factor
+    * so the linearity probe measures the join, not the cap. */
+  val JaccardDfCap = 5
+
+  /** The ds_jaccard_pairs body over any (doc_id, toks) frame —
+    * factored out so DevStress can drive it at replicated scale. */
+  def jaccardPairs(tokens: DataFrame, dfCap: Int = JaccardDfCap): DataFrame = {
+    val sh0 = tokens
+      .select(col("doc_id"),
+        explode(transform(Hashing.shingles(col("toks"), 3),
+          s2 => Hashing.h32(s2))).as("shingle"))
+      .distinct()
+    // df cap: one extra agg + semi-join, both on the same 8-byte
+    // shingle key the pair join shuffles on (partitioning reused)
+    val keep = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("shingle")
+    val sh = sh0.join(keep, Seq("shingle"), "left_semi")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shared = sh.alias("a").join(sh.alias("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.alias("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.alias("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.Det.dround(col("shared").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("shared")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+  }
 
   private val sigSqlCols = (0 until Hashing.NumPerms).map(i =>
     s"min((h * ${2 * i + 1} + ${7919 * i + 1}) % ${Hashing.MinhashPrime}) AS mh$i")
@@ -241,10 +264,13 @@ object DedupPack extends QueryPack {
         |FROM bits GROUP BY doc_id""".stripMargin,
 
     "ds_jaccard_pairs" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id,
         |         ('0x' || substr(md5(ts[j+1] || ' ' || ts[j+2] || ' ' || ts[j+3]), 1, 8))::BIGINT AS shingle
         |       FROM t, UNNEST(generate_series(0, len(ts) - 3)) AS g(j)),
+        |keep AS (SELECT shingle FROM sh0 GROUP BY shingle
+        |         HAVING count(*) <= $JaccardDfCap),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
         |           FROM sh a JOIN sh b

@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object QueryLayerPack extends QueryPack {
 
+  /** Per-day contribution cap for q22_cooccurrence: at most this many
+    * user_ids pair up per day, bounding per-day pair output at
+    * K(K-1)/2 however hot the day is (exercised at sf0.01, where days
+    * carry up to 66 users). */
+  val CoocDayCap = 48
+
   /** Exact, order-independent sum of a double column: cast each term
     * to decimal, sum, round, back to double. Same expression shape is
     * used in the DuckDB oracle. */
@@ -89,14 +95,21 @@ object QueryLayerPack extends QueryPack {
 
     // §2.2 q5: co-occurrence — users sharing ≥3 purchase days ("same
     // report" analog); self-join on the cell key, aggregated pair
-    // counts. Restricting to one type keeps pair blowup proportional
-    // to actual co-reports, the way a report-id join would at scale.
+    // counts. Day is a high-fanout key, so contributions are CAPPED
+    // per day (first CoocDayCap user_ids, deterministic): per-day
+    // pairs are then ≤ K(K-1)/2 regardless of how hot the day is, and
+    // total output grows linearly in days — the size-bounded form a
+    // report-id join degenerates to when a key goes viral. The cap is
+    // declared semantics, mirrored exactly in the oracle.
     "q22_cooccurrence" -> ((s, dir) => {
       val cells = Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
         .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-      val a = cells.alias("a")
-      val b = cells.alias("b")
+      val wcap = Window.partitionBy(col("day")).orderBy(col("user_id"))
+      val capped = cells.withColumn("rn", row_number().over(wcap))
+        .filter(col("rn") <= CoocDayCap).drop("rn")
+      val a = capped.alias("a")
+      val b = capped.alias("b")
       a.join(b,
           col("a.day") === col("b.day") &&
           col("a.user_id") < col("b.user_id"))
@@ -360,14 +373,20 @@ object QueryLayerPack extends QueryPack {
         |GROUP BY addr HAVING count(DISTINCT src) >= 2""".stripMargin,
 
     "q22_cooccurrence" ->
-      """SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS shared
-        |FROM (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
-        |      FROM events WHERE event_type = 'purchase') a
-        |JOIN (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
-        |      FROM events WHERE event_type = 'purchase') b
-        |  ON a.day = b.day AND a.user_id < b.user_id
-        |GROUP BY a.user_id, b.user_id
-        |HAVING count(*) >= 3""".stripMargin,
+      s"""WITH cells AS (
+         |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+         |  FROM events WHERE event_type = 'purchase'),
+         |capped AS (
+         |  SELECT day, user_id FROM (
+         |    SELECT day, user_id,
+         |           row_number() OVER (PARTITION BY day ORDER BY user_id) AS rn
+         |    FROM cells)
+         |  WHERE rn <= $CoocDayCap)
+         |SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS shared
+         |FROM capped a JOIN capped b
+         |  ON a.day = b.day AND a.user_id < b.user_id
+         |GROUP BY a.user_id, b.user_id
+         |HAVING count(*) >= 3""".stripMargin,
 
     "q22_provenance_timeline" ->
       """SELECT src, month, count(*) AS n_labels,

@@ -12,10 +12,14 @@ import org.apache.spark.sql.functions._
   * no UDFs, no driver-side collect.
   *
   * Scale design: brute-force is O(|Q|·N) with the small query side
-  * broadcast; the LSH path first buckets every vector in the scan
-  * stage (no shuffle), then joins on the 8-bit bucket key, cutting
-  * candidate pairs ~256× before any cosine is computed. At 100 TB the
-  * bucket join is the only exchange, and bucket skew is AQE-split.
+  * broadcast; the LSH path buckets every vector in the scan stage (no
+  * shuffle) under 2 independent 12-bit band keys, joins on
+  * (band, bucket) — a per-band ~4096× pair reduction, OR'd across
+  * bands for recall — dedupes candidate ids, and only then re-joins
+  * the wide embedding arrays for the exact cosine. At 100 TB the
+  * bucket join carries only (band, bucket, vec_id); bucket skew is
+  * AQE-split, and a per-bucket TopKPerKey cap can bound the residual
+  * further (see SCALE.md).
   */
 object SimilarityPack extends QueryPack {
 
@@ -77,23 +81,39 @@ object SimilarityPack extends QueryPack {
           col("vec_id"), graft.Det.dround(col("cos"), 6).as("cos"))
     }),
 
-    // Deterministic random-hyperplane LSH bucket per vector.
+    // Deterministic random-hyperplane LSH buckets per vector: one row
+    // per band (2 bands × 12 planes = 4096 buckets each).
     "sim_lsh_buckets" -> ((s, dir) =>
       emb(s, dir).select(col("vec_id"),
-        Similarity.lshBucket(col("embedding")).as("bucket"))),
+          explode(Similarity.lshBands(col("embedding"))).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"),
+          col("bb.bucket").as("bucket"))),
 
-    // ANN near-pairs: bucket equi-join, then exact cosine ≥ 0.3 on
-    // the ~256×-reduced candidate set.
+    // ANN near-pairs: candidates = same bucket in ANY band (union of
+    // per-band equi-joins via the exploded (band, bucket) key), then
+    // exact cosine ≥ 0.3. Candidate pairs are deduped BEFORE the
+    // embedding re-join, so a pair colliding in both bands costs one
+    // cosine — and the wide arrays never travel through the pair
+    // shuffle (ids only; embeddings re-join per side).
     "sim_ann_pairs" -> ((s, dir) => {
-      val b = emb(s, dir).select(col("vec_id"), col("embedding"),
-        Similarity.norm(col("embedding")).as("nrm"),
-        Similarity.lshBucket(col("embedding")).as("bucket"))
-      b.alias("a").join(b.alias("b"),
+      val b = emb(s, dir).select(col("vec_id"),
+        explode(Similarity.lshBands(col("embedding"))).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"),
+          col("bb.bucket").as("bucket"))
+      val cand = b.alias("a").join(b.alias("b"),
+          col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          (Similarity.dot(col("a.embedding"), col("b.embedding"))
-            / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      val v = emb(s, dir).select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+      cand
+        .join(v.alias("ea"), col("vec_a") === col("ea.vec_id"))
+        .join(v.alias("eb"), col("vec_b") === col("eb.vec_id"))
+        .select(col("vec_a"), col("vec_b"),
+          (Similarity.dot(col("ea.embedding"), col("eb.embedding"))
+            / (col("ea.nrm") * col("eb.nrm"))).as("cos"))
         .filter(col("cos") >= 0.3)
         .select(col("vec_a"), col("vec_b"),
           graft.Det.dround(col("cos"), 6).as("cos"))
@@ -109,9 +129,9 @@ object SimilarityPack extends QueryPack {
     s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
 
   private val planesCte =
-    """planes AS (SELECT j, d,
+    s"""planes AS (SELECT j, d,
       |    ((('0x' || substr(md5('p' || j || '_' || d), 1, 8))::BIGINT) % 2001) - 1000 AS w
-      |  FROM UNNEST(generate_series(0, 7)) AS a(j),
+      |  FROM UNNEST(generate_series(0, ${Similarity.NumPlanes - 1})) AS a(j),
       |       UNNEST(generate_series(0, 63)) AS b(d)),
       |parr AS (SELECT j, list(CAST(w AS DOUBLE) ORDER BY d) AS warr
       |         FROM planes GROUP BY j),
@@ -119,10 +139,11 @@ object SimilarityPack extends QueryPack {
       |    list_reduce(list_transform(e.embedding,
       |      (x, i) -> CAST(x AS DOUBLE) * p.warr[i]), (a, b) -> a + b) AS dot
       |  FROM embeddings e CROSS JOIN parr p),
-      |buckets AS (SELECT vec_id,
-      |    CAST(sum(CASE WHEN dot > 0 THEN 1::BIGINT << j ELSE 0 END)
-      |         AS BIGINT) AS bucket
-      |  FROM dots GROUP BY vec_id)""".stripMargin
+      |buckets AS (SELECT vec_id, j // ${Similarity.PlanesPerBand} AS band,
+      |    CAST(sum(CASE WHEN dot > 0
+      |             THEN 1::BIGINT << (j % ${Similarity.PlanesPerBand})
+      |             ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id, j // ${Similarity.PlanesPerBand})""".stripMargin
 
   private val ivfCte =
     """cents AS (SELECT j, d,
@@ -176,16 +197,19 @@ object SimilarityPack extends QueryPack {
 
     "sim_lsh_buckets" ->
       s"""WITH $planesCte
-         |SELECT vec_id, bucket FROM buckets""".stripMargin,
+         |SELECT vec_id, band, bucket FROM buckets""".stripMargin,
 
     "sim_ann_pairs" ->
       s"""WITH $planesCte,
-         |be AS (SELECT b.vec_id, b.bucket, e.embedding
-         |       FROM buckets b JOIN embeddings e ON b.vec_id = e.vec_id)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |       floor(${sqlCos("a.embedding", "b.embedding")} * 1e6 + 0.5) / 1e6 AS cos
-         |FROM be a JOIN be b
-         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.3""".stripMargin
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM buckets a JOIN buckets b
+         |           ON a.band = b.band AND a.bucket = b.bucket
+         |          AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b,
+         |       floor(${sqlCos("ea.embedding", "eb.embedding")} * 1e6 + 0.5) / 1e6 AS cos
+         |FROM cand
+         |JOIN embeddings ea ON vec_a = ea.vec_id
+         |JOIN embeddings eb ON vec_b = eb.vec_id
+         |WHERE ${sqlCos("ea.embedding", "eb.embedding")} >= 0.3""".stripMargin
   )
 }

@@ -13,10 +13,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * over float arrays and replace it with the codegen'd [[FloatDot]].
   * Users write the declarative builtin form; the plan runs native.
   *
-  * Assumes dense, equal-length, null-free vectors (embedding
-  * columns): on ragged or null-holding input the builtin form yields
-  * NULL where FloatDot computes over the common prefix — the usual
-  * contract for vector columns.
+  * Semantics-preserving on ALL inputs, so it is safe session-wide:
+  * FloatDot mirrors the builtin form's NULL contract exactly (ragged
+  * arrays and null elements yield NULL — differentially tested in
+  * ExtensionsSpec), not a common-prefix dot.
   */
 object DotProductRewrite extends Rule[LogicalPlan] {
   private def isFloatArray(e: Expression): Boolean = e.dataType match {

@@ -39,12 +39,21 @@ class HashingSpec extends SparkSpec {
     assert(sig(a) == sig(a) && sig(b) == sig(b))
   }
 
-  test("lshBucket lands in [0, 256) and is deterministic") {
+  test("lshBucket lands in [0, 2^PlanesPerBand) per band, deterministic, bands differ") {
     val df = Seq(Tuple1(Array.tabulate(64)(i => (i % 7 - 3).toFloat / 10)))
       .toDF("embedding")
-    val b1 = df.select(Similarity.lshBucket(col("embedding"))).as[Long].head()
-    val b2 = df.select(Similarity.lshBucket(col("embedding"))).as[Long].head()
-    assert(b1 == b2 && b1 >= 0 && b1 < 256)
+    val hi = 1L << Similarity.PlanesPerBand
+    val b1 = df.select(Similarity.lshBucket(col("embedding"), 0)).as[Long].head()
+    val b2 = df.select(Similarity.lshBucket(col("embedding"), 0)).as[Long].head()
+    val c1 = df.select(Similarity.lshBucket(col("embedding"), 1)).as[Long].head()
+    assert(b1 == b2 && b1 >= 0 && b1 < hi && c1 >= 0 && c1 < hi)
+    // independent plane sets: the two band keys should not coincide
+    // for a generic vector (they use disjoint plane indices)
+    assert(b1 != c1)
+    val bands = df.select(Similarity.lshBands(col("embedding"))
+      .cast("array<struct<band:long,bucket:long>>")).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(bands.map(_.getLong(0)) == (0 until Similarity.NumBands).map(_.toLong))
+    assert(bands.map(_.getLong(1)) == Seq(b1, c1))
   }
 
   test("cosine of identical vectors is 1.0") {

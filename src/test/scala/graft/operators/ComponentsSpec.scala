@@ -15,6 +15,20 @@ class ComponentsSpec extends SparkSpec {
       7L -> 7L, 9L -> 7L))
   }
 
+  test("deep path graph (diameter 9) converges to the minimum") {
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Components.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 9L).map(_ -> 0L).toMap)
+  }
+
+  test("maxIter exhaustion throws instead of returning partial labels") {
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Components.connectedComponents(pairs, maxIter = 2).collect()
+    }
+  }
+
   test("cycles and cross-links keep a single representative") {
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 5L), (4L, 5L))
       .toDF("doc_a", "doc_b")

@@ -36,6 +36,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.as[Double].head() == 5.0)
   }
 
+  test("FloatDot matches the HOF NULL contract on ragged and null-element input") {
+    // (label, a, b): ragged lengths, a null element on either side,
+    // a null array, and a clean pair as control
+    val rows = Seq(
+      ("ragged", Array[java.lang.Float](1f, 2f, 3f), Array[java.lang.Float](1f, 2f)),
+      ("null_left_elem", Array[java.lang.Float](1f, null, 3f), Array[java.lang.Float](1f, 2f, 3f)),
+      ("null_right_elem", Array[java.lang.Float](1f, 2f, 3f), Array[java.lang.Float](null, 2f, 3f)),
+      ("null_array", null, Array[java.lang.Float](1f, 2f, 3f)),
+      ("clean", Array[java.lang.Float](1f, 2f, 3f), Array[java.lang.Float](4f, 5f, 6f)))
+    val df = rows.toDF("label", "a", "b")
+      .select(col("label"),
+        Similarity.dotHof(col("a"), col("b")).as("h"),
+        Similarity.dot(col("a"), col("b")).as("n"))
+    df.collect().foreach { r =>
+      val (h, n) = (r.get(1), r.get(2))
+      assert(h == n, s"${r.getString(0)}: hof=$h native=$n")
+    }
+    // and the clean row is actually non-null (the test isn't vacuous)
+    assert(df.filter(col("label") === "clean").select("n")
+      .as[Double].head() == 32.0)
+  }
+
   test("graft_dot is callable from SQL") {
     val got = spark.sql(
       """SELECT graft_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
