@@ -23,8 +23,14 @@ object Bench {
     // warmup: scheduler + parquet reader + a first shuffle
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.names.foreach(n => Tables.read(spark, sfDir, n).limit(1).count())
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full JSON escape incl. control chars — exception messages can
+    // carry tabs etc. which would make the emitted line unparseable
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // reclaim finished-query state (broadcasts, shuffle files) so a
       // GC pause triggered by query N isn't billed to query N+1

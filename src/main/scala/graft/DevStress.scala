@@ -1,12 +1,29 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import graft.operators.{DedupPack, QueryLayerPack, SimilarityPack}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev-only scale probe: replicate documents/events N× (with shifted
-  * ids so dedup semantics stay meaningful) and time the heavy
-  * operator families — evidence for the linearity claims in SCALE.md.
-  * Usage: runMain graft.DevStress [factor]
+/** Dev-only scale probe: replicate documents/events/embeddings N×
+  * (with shifted ids so dedup semantics stay meaningful) and time the
+  * heavy operator families — the measured evidence for the linearity
+  * claims in SCALE.md. Usage: runMain graft.DevStress [factor]
+  *
+  * Probes:
+  *  - minhash / simhash / exact dedup over replicated documents
+  *    (scan-stage pipelines; wall should track input bytes)
+  *  - jaccardPairs over replicated documents, dfCap scaled by the
+  *    replication factor (replication multiplies every shingle's df
+  *    by the factor, so a fixed cap would drop everything and the
+  *    probe would measure the cap, not the join); wall should track
+  *    input + output-pair count
+  *  - capped cooccurrence over events with factor× users per day,
+  *    TopKPerKey form vs the old row_number-window form — the hot-day
+  *    evidence: output is cap-bounded either way, but the window form
+  *    funnels every cell of a day through one task
+  *  - ANN candidate generation over replicated embeddings (copies
+  *    collide into the same LSH buckets → bucket size grows ~factor×),
+  *    capped vs uncapped — the measured candidate-reduction factor
   */
 object DevStress {
   def main(args: Array[String]): Unit = {
@@ -21,7 +38,8 @@ object DevStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    val sf = "/root/testdata/sf0.1"
+    val docs = Tables.documents(spark, sf)
     val big = docs.crossJoin(
         spark.range(factor).select(col("id").as("rep")))
       .select((col("doc_id") * factor + col("rep")).as("doc_id"),
@@ -29,37 +47,84 @@ object DevStress {
     big.write.mode("overwrite").parquet("/tmp/stress_docs")
     val n = spark.read.parquet("/tmp/stress_docs").count()
 
-    def time(name: String)(f: => Unit): Unit = {
+    /** Times a noop-sink materialization; row count rides the action. */
+    def time(name: String, df: DataFrame): Long = {
       System.gc()
+      val obs = new Observation()
       val t0 = System.nanoTime()
-      f
-      println(f"[stress] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n docs)")
+      df.observe(obs, count(lit(1)).as("rows"))
+        .write.format("noop").mode("overwrite").save()
+      val rows = obs.get("rows").asInstanceOf[Long]
+      println(f"[stress] x$factor%-3d $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $rows%10d rows")
+      rows
     }
 
-    val stressDir = "/tmp"
     val renamed = spark.read.parquet("/tmp/stress_docs")
-    renamed.createOrReplaceTempView("stress_docs")
-    // run the minhash signature pipeline directly over the big table
     import graft.functions.Hashing
     val toks = renamed.select(col("doc_id"), split(col("text"), " ").as("toks"))
-    time("minhash_signatures") {
+    time("minhash_signatures",
       toks.select(col("doc_id"),
           transform(Hashing.shingles(col("toks"), 3),
             s2 => Hashing.h32(s2)).as("hs"))
         .select(col("doc_id") +: (0 until Hashing.NumPerms)
           .map(i => array_min(transform(col("hs"),
-            h => Hashing.permuted(h, i))).as(s"mh$i")): _*)
-        .write.format("noop").mode("overwrite").save()
-    }
-    time("simhash") {
-      DedupStressHelper.simhash(renamed)
-        .write.format("noop").mode("overwrite").save()
-    }
-    time("exact_dedup") {
+            h => Hashing.permuted(h, i))).as(s"mh$i")): _*))
+    time("simhash", DedupStressHelper.simhash(renamed))
+    time("exact_dedup",
       renamed.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")), count(lit(1)))
-        .write.format("noop").mode("overwrite").save()
-    }
+        .agg(min(col("doc_id")), count(lit(1))))
+
+    // jaccard: dfCap scales with the factor (see scaladoc above)
+    time("jaccard_pairs",
+      DedupPack.jaccardPairs(toks, dfCap = DedupPack.JaccardDfCap * factor))
+
+    // cooccurrence: factor× users per day, cap fixed — TopKPerKey vs
+    // the window form the round-2 code used
+    val cells = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val bigCells = cells.crossJoin(
+        spark.range(factor).select(col("id").as("rep")))
+      .select(col("day"), (col("user_id") * factor + col("rep")).as("user_id"))
+    time("cooc_topk", QueryLayerPack.cooccurrence(bigCells))
+    time("cooc_window", {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("day")).orderBy(col("user_id"))
+      val capped = bigCells.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= QueryLayerPack.CoocDayCap).drop("rn")
+      capped.alias("a").join(capped.alias("b"),
+          col("a.day") === col("b.day") &&
+          col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
+        .agg(count(lit(1)).as("shared")).filter(col("shared") >= 3)
+    })
+
+    // ANN candidates: replicated embeddings collide into the same
+    // buckets; compare capped vs uncapped candidate-pair counts
+    import graft.functions.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val bigEmb = emb.crossJoin(
+        spark.range(factor).select(col("id").as("rep")))
+      .select((col("vec_id") * factor + col("rep")).as("vec_id"),
+        col("embedding"))
+    val buckets = bigEmb.select(col("vec_id"),
+        explode(Similarity.lshBands(col("embedding"))).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    def pairs(side: DataFrame): DataFrame =
+      side.alias("a").join(side.alias("b"),
+          col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+        .distinct()
+    val capped = graft.plans.TopKPerKey.topKPerKey(buckets,
+      keys = Seq(col("band"), col("bucket")),
+      order = Seq(col("vec_id").asc), k = SimilarityPack.AnnBucketCap)
+    val nUncapped = time("ann_cand_uncapped", pairs(buckets))
+    val nCapped = time("ann_cand_capped", pairs(capped))
+    if (nCapped > 0)
+      println(f"[stress] x$factor%-3d ann candidate reduction   ${nUncapped.toDouble / nCapped}%8.2fx")
     spark.stop()
   }
 }

@@ -94,8 +94,11 @@ object Similarity {
     }: _*)
     // each centroid dot referenced exactly ONCE (no reliance on
     // codegen subexpression elimination); argmax = first position of
-    // the max, preserving the first-match tie-break
-    (array_position(scores, array_max(scores)) - 1).cast("int")
+    // the max, preserving the first-match tie-break. A null embedding
+    // yields an all-null scores array → null position → -1 sentinel
+    // (the contract of the original fold-chain form).
+    coalesce((array_position(scores, array_max(scores)) - 1).cast("int"),
+      lit(-1))
   }
 
   /** Sign-bucket of an embedding within one band: bit j set iff

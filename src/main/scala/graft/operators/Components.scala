@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * Scale: each iteration is one join + one aggregation on (node,
   * label) — both shuffle on node id; iterations ≤ graph diameter
   * (near-dup components are tiny cliques, so 2–3 rounds). The loop
-  * runs on the driver but every step is distributed. Exactly ONE
-  * action per iteration: the changed-label count rides the job that
-  * materializes the iteration's checkpoint, so convergence detection
-  * costs no extra pass. Checkpoints are RELIABLE (HDFS/object-store)
+  * runs on the driver but every step is distributed. ONE computation
+  * per iteration: the changed-label count's job computes (and caches)
+  * the iteration's frame, and on the reliable path the checkpoint
+  * write that follows reads that cache rather than recomputing the
+  * join from lineage. Checkpoints are RELIABLE (HDFS/object-store)
   * whenever `sparkContext.setCheckpointDir` is configured — an
   * executor loss mid-loop then recovers from storage instead of
   * killing the lineage; executor-local otherwise (single-JVM runs).
@@ -35,10 +36,16 @@ object Components {
   def connectedComponents(pairs: DataFrame, a: String = "doc_a",
                           b: String = "doc_b", maxIter: Int = 20): DataFrame = {
     val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
     // non-eager: materialization happens on (and is shared with) the
-    // first action over the frame — the per-iteration count below
+    // first action over the frame — the per-iteration count below.
+    // Reliable path: the checkpoint WRITE runs as a separate job after
+    // that action, so the frame is also persisted — the write then
+    // reads the cache instead of recomputing the iteration's join
+    // from lineage (caches dropped before returning; the checkpoint
+    // files back every frame by then).
     def mat(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = false)
+      if (reliable) { val d = df.checkpoint(eager = false); d.persist(); persisted += d; d }
       else df.localCheckpoint(eager = false)
     val edges = mat(pairs.select(col(a).as("src"), col(b).as("dst"))
       .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
@@ -71,6 +78,9 @@ object Components {
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter iterations — " +
           "refusing to return a partially-propagated labeling")
+    // every frame is checkpoint-backed now; the caches only existed to
+    // feed the checkpoint writes without lineage recomputation
+    persisted.foreach(_.unpersist(blocking = false))
     labels.select(col("node"), col("comp").as("rep"))
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Keyed MERGE semantics of the reference's three upsert flavors, as
@@ -70,6 +71,26 @@ object Merge {
   def antiJoinDedup(incoming: DataFrame, seen: DataFrame,
                     keys: Seq[String]): DataFrame =
     incoming.join(seen, keys, "left_anti")
+
+  /** F1 exact form: rolling-TTL dedup — keep a sighting iff no other
+    * sighting of the same key falls in the preceding `hours` hours
+    * (bitcoinabuse/main.go:43-45's 12 h seen-cache, without the
+    * calendar-day coarsening of [[antiJoinDedup]] at (key, day)).
+    * One shuffle on the key + an ordered window: only the
+    * immediately-previous DISTINCT timestamp can violate the TTL
+    * window, so lag() decides it — no range self-join (which is
+    * O(sightings²) per key at scale). Boundary: a sighting exactly
+    * `hours` after the previous one is KEPT (strict interior window),
+    * matching `NOT EXISTS (.. s.ts > e.ts - INTERVAL h HOUR ..)`. */
+  def ttlDedup(sightings: DataFrame, key: String, ts: String,
+               hours: Int): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    sightings.distinct()
+      .withColumn("__prev", lag(col(ts), 1).over(w))
+      .filter(col("__prev").isNull ||
+        col("__prev") <= col(ts) - expr(s"INTERVAL $hours HOURS"))
+      .drop("__prev")
+  }
 
   /** Per-source merge policy replacing the reference's cross-source
     * clobbering (SURVEY §1.1 quirk 2): replace WITHIN a source,

@@ -43,6 +43,23 @@ object MergePack extends QueryPack {
     // normalized flat form: UNION + DISTINCT.
     "m2_label_set_union" -> ((s, dir) => flagship(s, dir)),
 
+    // M2 on the ARRAY form — the reference's actual persistent shape
+    // {addr, labels: [...]} (bitcoinabuse/main.go:226-242,
+    // walletexplorer/main.go:98-107): per-addr struct arrays merged
+    // with array_union set semantics (the §7.5-flagged risk —
+    // array_union on struct elements — pinned to the oracle here).
+    "m2b_label_arrays" -> ((s, dir) => {
+      def side(df: DataFrame) = df.groupBy("addr")
+        .agg(collect_set(struct(col("name"), col("src"))).as("labels"))
+      val fromEvents = side(Tables.events(s, dir)
+        .select(col("user_id").cast("string").as("addr"),
+          col("event_type").as("name"), lit("events").as("src")))
+      val fromDocs = side(Tables.documents(s, dir)
+        .select((col("doc_id") % 300).cast("string").as("addr"),
+          col("lang").as("name"), lit("docs").as("src")))
+      Merge.labelUnionArrays(fromEvents, fromDocs, "addr", "labels")
+    }),
+
     // M3 (upsert by node.id, chainabuse/main.py:83-89): last-writer-
     // wins per key = window row_number over arrival order.
     "m3_upsert_by_id" -> ((s, dir) => {
@@ -68,6 +85,30 @@ object MergePack extends QueryPack {
         .select(col("user_id"), col("day"))
       Merge.antiJoinDedup(incoming, seen, Seq("user_id", "day")).distinct()
     }),
+
+    // F1 EXACT form (rolling 12 h TTL, bitcoinabuse/main.go:43-45,
+    // 218-221): keep a sighting iff NO other sighting of the same key
+    // falls in the preceding 12 h — 23:00 vs 01:00 dedups across the
+    // calendar-day boundary, unlike f1_anti_join_dedup's (key, day)
+    // granularity (kept alongside). One shuffle on the key + an
+    // ordered window: only the immediately-previous DISTINCT sighting
+    // can violate the 12 h window, so lag() decides it without a
+    // range self-join (O(sightings²) per key at scale).
+    "f1b_ttl_dedup_12h" -> ((s, dir) =>
+      Merge.ttlDedup(
+        Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts")),
+        key = "user_id", ts = "ts", hours = 12)),
+
+    // M3 end-to-end (chainabuse/main.py:31-109): sf-scaled response
+    // pages → from_json(full nested nodeSchema) → explode edges →
+    // upsert by node.id (latest page wins) → exploded address labels.
+    // The one query that pins the whole GraphQL data contract — page
+    // envelope, nested report node, addresses array — to the oracle.
+    "m3b_chainabuse_e2e" -> ((s, dir) =>
+      graft.pipelines.ChainAbuse.endToEnd(
+        graft.pipelines.ChainAbuse.syntheticPages(Tables.events(s, dir)))),
 
     // F2 (guard filters, walletexplorer/main.go:86-94): empty/blank
     // skip + positive-balance guard.
@@ -105,6 +146,44 @@ object MergePack extends QueryPack {
         |         'events' AS src FROM events
         |  UNION ALL
         |  SELECT CAST(doc_id % 300 AS VARCHAR), lang, 'docs' FROM documents)""".stripMargin,
+
+    "m2b_label_arrays" ->
+      """SELECT addr, list(struct_pack(name := name, src := src)
+        |                  ORDER BY name, src) AS labels
+        |FROM (SELECT DISTINCT addr, name, src FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS addr, event_type AS name,
+        |         'events' AS src FROM events
+        |  UNION ALL
+        |  SELECT CAST(doc_id % 300 AS VARCHAR), lang, 'docs' FROM documents))
+        |GROUP BY addr""".stripMargin,
+
+    "f1b_ttl_dedup_12h" ->
+      """WITH sight AS (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |               FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, ts FROM sight e
+        |WHERE NOT EXISTS (SELECT 1 FROM sight s
+        |                  WHERE s.user_id = e.user_id
+        |                    AND s.ts < e.ts
+        |                    AND s.ts > e.ts - INTERVAL 12 HOUR)""".stripMargin,
+
+    "m3b_chainabuse_e2e" ->
+      """WITH nodes AS (
+        |  SELECT CAST(event_id % 500 AS VARCHAR) AS id,
+        |         event_type AS name,
+        |         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS date,
+        |         CAST(user_id AS VARCHAR) AS addr_a,
+        |         'alt_' || CAST(user_id AS VARCHAR) AS addr_b,
+        |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS batch_id,
+        |         lpad(CAST(event_id AS VARCHAR), 12, '0') AS cursor
+        |  FROM events),
+        |latest AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id
+        |            ORDER BY batch_id DESC, cursor DESC) AS rn
+        |  FROM nodes) WHERE rn = 1)
+        |SELECT addr_a AS addr, name, date, 'BTC' AS type,
+        |       'chainAbuse' AS src FROM latest
+        |UNION ALL
+        |SELECT addr_b, name, date, 'ETH', 'chainAbuse' FROM latest""".stripMargin,
 
     "m3_upsert_by_id" ->
       """SELECT k, event_id, event_type, value FROM (

@@ -24,6 +24,32 @@ object QueryLayerPack extends QueryPack {
     * carry up to 66 users). */
   val CoocDayCap = 48
 
+  /** The q22_cooccurrence body over any (day, user_id) cell frame —
+    * factored out so DevStress can probe it at replicated scale.
+    *
+    * The per-day cap is selected by the native [[graft.plans.TopKPerKey]]
+    * operator, not a row_number window: a window partitioned by `day`
+    * shuffles EVERY cell of a hot day into one task before discarding
+    * all but `cap` rows (AQE does not split window partitions — a
+    * viral day at 100 TB concentrates ~10⁸ rows on one task).
+    * TopKPerKey keeps a cap-bounded heap per day per input partition
+    * BEFORE the exchange, so at most `cap` rows per day per partition
+    * cross the shuffle — same deterministic lowest-`cap` user_ids,
+    * same oracle. */
+  def cooccurrence(cells: DataFrame, cap: Int = CoocDayCap): DataFrame = {
+    val capped = graft.plans.TopKPerKey.topKPerKey(
+      cells, keys = Seq(col("day")), order = Seq(col("user_id").asc), k = cap)
+    val a = capped.alias("a")
+    val b = capped.alias("b")
+    a.join(b,
+        col("a.day") === col("b.day") &&
+        col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("user_a"),
+        col("b.user_id").as("user_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+  }
+
   /** Exact, order-independent sum of a double column: cast each term
     * to decimal, sum, round, back to double. Same expression shape is
     * used in the DuckDB oracle. */
@@ -100,37 +126,33 @@ object QueryLayerPack extends QueryPack {
     // pairs are then ≤ K(K-1)/2 regardless of how hot the day is, and
     // total output grows linearly in days — the size-bounded form a
     // report-id join degenerates to when a key goes viral. The cap is
-    // declared semantics, mirrored exactly in the oracle.
-    "q22_cooccurrence" -> ((s, dir) => {
-      val cells = Tables.events(s, dir)
+    // declared semantics, mirrored exactly in the oracle; see
+    // [[cooccurrence]] for how it is selected without a hot-day
+    // window shuffle.
+    "q22_cooccurrence" -> ((s, dir) =>
+      cooccurrence(Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
-        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-      val wcap = Window.partitionBy(col("day")).orderBy(col("user_id"))
-      val capped = cells.withColumn("rn", row_number().over(wcap))
-        .filter(col("rn") <= CoocDayCap).drop("rn")
-      val a = capped.alias("a")
-      val b = capped.alias("b")
-      a.join(b,
-          col("a.day") === col("b.day") &&
-          col("a.user_id") < col("b.user_id"))
-        .groupBy(col("a.user_id").as("user_a"),
-          col("b.user_id").as("user_b"))
-        .agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 3)
-    }),
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct())),
 
     // §2.2 follow-on: provenance timeline — per (src, month) label
     // volume plus how many addresses are NEW that month (first-seen
-    // cohort via a min-over-window compare).
+    // cohort). Pre-aggregated form: events are partially aggregated
+    // map-side to (addr, src, month) cells FIRST, so the raw event
+    // stream is never sorted or shuffled whole (the former
+    // min-over-(addr,src) window did exactly that); every shuffle
+    // after the first touches only the distinct-cell frame.
     "q22_provenance_timeline" -> ((s, dir) => {
-      val w = Window.partitionBy(col("addr"), col("src"))
-      Tables.events(s, dir)
+      val cells = Tables.events(s, dir)
         .select(col("user_id").cast("string").as("addr"),
           col("event_type").as("src"),
           date_trunc("month", col("ts")).as("month"))
-        .withColumn("first_month", min(col("month")).over(w))
+        .groupBy(col("addr"), col("src"), col("month"))
+        .agg(count(lit(1)).as("n"))
+      val firsts = cells.groupBy(col("addr"), col("src"))
+        .agg(min(col("month")).as("first_month"))
+      cells.join(firsts, Seq("addr", "src"))
         .groupBy(col("src"), col("month"))
-        .agg(count(lit(1)).as("n_labels"),
+        .agg(sum(col("n")).as("n_labels"),
           countDistinct(when(col("month") === col("first_month"),
             col("addr"))).as("n_new_addrs"))
     }),

@@ -18,10 +18,23 @@ import org.apache.spark.sql.functions._
   * bands for recall — dedupes candidate ids, and only then re-joins
   * the wide embedding arrays for the exact cosine. At 100 TB the
   * bucket join carries only (band, bucket, vec_id); bucket skew is
-  * AQE-split, and a per-bucket TopKPerKey cap can bound the residual
-  * further (see SCALE.md).
+  * AQE-split, and per-bucket membership is HARD-capped at
+  * [[SimilarityPack.AnnBucketCap]] through the native TopKPerKey
+  * operator (bounded heaps before the exchange), so the co-bucket
+  * residual is ≤ C(C−1)/2 pairs per bucket however the corpus grows
+  * (see SCALE.md for the sizing rule).
   */
 object SimilarityPack extends QueryPack {
+
+  /** Per-(band, bucket) membership cap for sim_ann_pairs: only the
+    * lowest `AnnBucketCap` vec_ids of a bucket enter the pair join.
+    * A dense cluster (or a degenerate all-zeros bucket) would
+    * otherwise make the co-bucket self-join quadratic in its size;
+    * with the cap, per-bucket candidates are bounded at C(C−1)/2 and
+    * total ANN work is linear in buckets. Deterministic (lowest ids)
+    * and mirrored in the oracle — recall within a mega-bucket is the
+    * declared trade, exactly as in IVF probe-list truncation. */
+  val AnnBucketCap = 48
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -96,10 +109,16 @@ object SimilarityPack extends QueryPack {
     // cosine — and the wide arrays never travel through the pair
     // shuffle (ids only; embeddings re-join per side).
     "sim_ann_pairs" -> ((s, dir) => {
-      val b = emb(s, dir).select(col("vec_id"),
+      val b0 = emb(s, dir).select(col("vec_id"),
         explode(Similarity.lshBands(col("embedding"))).as("bb"))
         .select(col("vec_id"), col("bb.band").as("band"),
           col("bb.bucket").as("bucket"))
+      // per-bucket membership cap through the native bounded-heap
+      // operator: ≤ AnnBucketCap rows per (band, bucket) per input
+      // partition cross the exchange, so no bucket is ever quadratic
+      val b = graft.plans.TopKPerKey.topKPerKey(b0,
+        keys = Seq(col("band"), col("bucket")),
+        order = Seq(col("vec_id").asc), k = AnnBucketCap)
       val cand = b.alias("a").join(b.alias("b"),
           col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
@@ -201,8 +220,13 @@ object SimilarityPack extends QueryPack {
 
     "sim_ann_pairs" ->
       s"""WITH $planesCte,
+         |bcap AS (SELECT vec_id, band, bucket FROM (
+         |  SELECT vec_id, band, bucket,
+         |         row_number() OVER (PARTITION BY band, bucket
+         |                            ORDER BY vec_id) AS rn
+         |  FROM buckets) WHERE rn <= $AnnBucketCap),
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |         FROM buckets a JOIN buckets b
+         |         FROM bcap a JOIN bcap b
          |           ON a.band = b.band AND a.bucket = b.bucket
          |          AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b,

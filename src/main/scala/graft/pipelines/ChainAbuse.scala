@@ -131,4 +131,58 @@ object ChainAbuse {
       .select(col("a.address").as("addr"), col("name"),
         col("date"), col("a.chain").as("type"),
         lit("chainAbuse").as("src"))
+
+  /** Deterministic sf-scaled GraphQL response pages built from an
+    * `events` frame — one page per calendar day, each edge a report
+    * node. Report ids recur across pages (event_id % 500), so the M3
+    * upsert genuinely discards stale versions; every node carries a
+    * 2-element `addresses` array so the explode path is non-trivial.
+    * Stands in for the paginated fetch at chainabuse/main.py:31-55
+    * (zero-egress sandbox). The per-day collect_list is the page
+    * shape itself, not an aggregation strategy — page size is bounded
+    * by the API's page limit at any corpus scale. */
+  def syntheticPages(events: DataFrame): DataFrame =
+    events.select(
+        to_date(col("ts")).as("batch_id"),
+        struct(
+          lpad(col("event_id").cast("string"), 12, "0").as("cursor"),
+          struct(
+            (col("event_id") % 500).cast("string").as("id"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("createdAt"),
+            col("event_type").as("scamCategory"),
+            array(
+              struct(
+                concat(lit("a-"), col("event_id")).as("id"),
+                col("user_id").cast("string").as("address"),
+                lit("BTC").as("chain")),
+              struct(
+                concat(lit("b-"), col("event_id")).as("id"),
+                concat(lit("alt_"), col("user_id")).as("address"),
+                lit("ETH").as("chain"))).as("addresses")).as("node")).as("edge"))
+      .groupBy(col("batch_id"))
+      .agg(collect_list(col("edge")).as("edges"), count(lit(1)).as("cnt"))
+      .select(col("batch_id"),
+        date_format(col("batch_id"), "yyyy-MM-dd").as("fetched_at"),
+        to_json(struct(
+          struct(
+            struct(
+              struct(lit(false).as("hasNextPage"),
+                lit(null).cast("string").as("endCursor")).as("pageInfo"),
+              col("edges").as("edges"),
+              col("cnt").as("count"),
+              col("cnt").as("totalCount")).as("reports")).as("data")))
+          .as("body"))
+
+  /** The full reference pipeline as one batch query over response
+    * pages carrying a `batch_id`: P9 parse → explode edges → M3
+    * upsert by node.id (latest (batch_id, cursor) wins) → flat
+    * address labels. Mirrors chainabuse/main.py:56-109 end to end. */
+  def endToEnd(pages: DataFrame): DataFrame = {
+    val (good, _) = parseResponses(pages)
+    val reps = good.select(col("batch_id"),
+        explode(col("resp.data.reports.edges")).as("edge"))
+      .select(col("batch_id"), col("edge.cursor").as("cursor"),
+        col("edge.node").as("node"))
+    addressLabels(upsertById(reps))
+  }
 }

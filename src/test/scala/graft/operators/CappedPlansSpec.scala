@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The two round-2 scale flags, pinned by plan-shape assertions:
+  * the cooccurrence day cap and the ANN bucket cap must both run
+  * through the native TopKPerKey execs (bounded per-partition heaps
+  * BEFORE the exchange), not a row_number window that concentrates a
+  * hot key in one task. Plus behavior: the ANN cap must actually
+  * bound a mega-bucket.
+  */
+class CappedPlansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final-plan section (AQE repeats the initial plan below it). */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+
+  private def topkCount(plan: String, k: Int): Int =
+    plan.linesIterator.count(_.contains(s"TopKPerKey $k"))
+
+  test("q22_cooccurrence cap runs through TopKPerKey (partial+final per side)") {
+    val df = QueryLayerPack.queries("q22_cooccurrence")(spark, sf)
+    val n = df.count()
+    assert(n > 0)
+    val plan = finalPlan(df)
+    // self-join: the capped side appears twice, each partial+final
+    assert(topkCount(plan, QueryLayerPack.CoocDayCap) == 4,
+      s"expected 4 TopKPerKey ${QueryLayerPack.CoocDayCap} execs:\n$plan")
+    // and agrees with the window form it replaced
+    val cells = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day")).orderBy(col("user_id"))
+    val capped = cells.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= QueryLayerPack.CoocDayCap).drop("rn")
+    val viaWindow = capped.alias("a").join(capped.alias("b"),
+        col("a.day") === col("b.day") && col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
+      .agg(count(lit(1)).as("shared")).filter(col("shared") >= 3)
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet == viaWindow)
+  }
+
+  test("sim_ann_pairs bucket cap runs through TopKPerKey and bounds a mega-bucket") {
+    // 100 identical vectors -> every band maps them to ONE bucket.
+    // Uncapped, the co-bucket join would emit C(100,2)=4950 pairs;
+    // the cap must keep only the lowest AnnBucketCap ids.
+    val base = (0 until 64).map(d => (d % 7 + 1).toFloat).toArray
+    val dir = java.nio.file.Files.createTempDirectory("annsf").toString
+    spark.range(100).select(col("id").as("vec_id"),
+        typedLit(base).as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val df = SimilarityPack.queries("sim_ann_pairs")(spark, dir)
+    val pairs = df.select("vec_a", "vec_b").as[(Long, Long)].collect()
+    val c = SimilarityPack.AnnBucketCap
+    assert(pairs.length == c * (c - 1) / 2,
+      s"expected C($c,2) capped pairs, got ${pairs.length}")
+    assert(pairs.forall { case (a, b) => a < c && b < c },
+      "survivors must be the lowest vec_ids (deterministic cap)")
+    val plan = finalPlan(df)
+    assert(topkCount(plan, c) >= 2,
+      s"expected TopKPerKey $c partial+final in plan:\n$plan")
+  }
+}

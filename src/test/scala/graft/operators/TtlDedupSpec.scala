@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+/** Exact rolling 12 h TTL dedup (Merge.ttlDedup) — the semantics the
+  * day-granularity anti-join coarsens: cross-midnight suppression,
+  * strict-interior window boundary, and suppressed-but-still-seen
+  * sightings (the NOT EXISTS is over ALL sightings, matching the
+  * reference's seen-cache which records every processed timestamp).
+  */
+class TtlDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("dedups across the calendar-day boundary (23:00 vs 01:00)") {
+    val df = Seq(
+      (1L, t("2024-01-01 23:00:00")),
+      (1L, t("2024-01-02 01:00:00"))).toDF("user_id", "ts")
+    val kept = Merge.ttlDedup(df, "user_id", "ts", 12)
+      .as[(Long, Timestamp)].collect().toSet
+    assert(kept == Set((1L, t("2024-01-01 23:00:00"))),
+      "01:00 is 2 h after 23:00 — must be suppressed despite the new day")
+    // the day-granularity form keeps both (different calendar days):
+    // the two operators genuinely differ, which is the point of f1b
+    val byDay = Merge.antiJoinDedup(
+      df.selectExpr("user_id", "CAST(ts AS DATE) AS day"),
+      spark.emptyDataset[(Long, java.sql.Date)].toDF("user_id", "day"),
+      Seq("user_id", "day")).distinct()
+    assert(byDay.count() == 2)
+  }
+
+  test("a sighting within 12 h of a SUPPRESSED sighting is also dropped") {
+    // 01:00 suppressed by 23:00? no — 23:00 prev day +2h. Chain:
+    // 23:00 kept; 01:00 dropped (2 h later); 11:30 dropped because
+    // 01:00 (a sighting, even though dropped) is within its window
+    val df = Seq(
+      (1L, t("2024-01-01 23:00:00")),
+      (1L, t("2024-01-02 01:00:00")),
+      (1L, t("2024-01-02 11:30:00")),
+      (1L, t("2024-01-02 13:30:00"))).toDF("user_id", "ts")
+    val kept = Merge.ttlDedup(df, "user_id", "ts", 12)
+      .as[(Long, Timestamp)].collect().toSet
+    assert(kept == Set((1L, t("2024-01-01 23:00:00"))))
+  }
+
+  test("exactly 12 h apart is kept (strict interior window); dups collapse") {
+    val df = Seq(
+      (2L, t("2024-03-01 00:00:00")),
+      (2L, t("2024-03-01 00:00:00")), // duplicate sighting
+      (2L, t("2024-03-01 12:00:00")), // exactly TTL later -> kept
+      (3L, t("2024-03-01 06:00:00"))  // other key unaffected
+    ).toDF("user_id", "ts")
+    val kept = Merge.ttlDedup(df, "user_id", "ts", 12)
+      .as[(Long, Timestamp)].collect().toSet
+    assert(kept == Set(
+      (2L, t("2024-03-01 00:00:00")),
+      (2L, t("2024-03-01 12:00:00")),
+      (3L, t("2024-03-01 06:00:00"))))
+  }
+}

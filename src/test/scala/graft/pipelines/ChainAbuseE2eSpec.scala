@@ -1,0 +1,57 @@
+package graft.pipelines
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+/** End-to-end chainabuse pipeline over synthetic pages: the JSON
+  * round-trip through the full nested nodeSchema, last-writer-wins
+  * upsert across pages, multi-address explode, and the quarantine
+  * split on malformed bodies.
+  */
+class ChainAbuseE2eSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("syntheticPages → endToEnd: latest page wins per report id") {
+    // event_id 7 and 507 share report id 7 % 500 == 507 % 500; the
+    // Jan-5 version (event_id 507) must fully replace the Jan-1 one
+    val ev = Seq(
+      (7L, 100L, "scam", t("2024-01-01 10:00:00")),
+      (507L, 200L, "phishing", t("2024-01-05 10:00:00")),
+      (12L, 300L, "ransom", t("2024-01-01 11:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = ChainAbuse.endToEnd(ChainAbuse.syntheticPages(ev))
+      .select("addr", "name", "type").as[(String, String, String)]
+      .collect().toSet
+    assert(out == Set(
+      ("200", "phishing", "BTC"), ("alt_200", "phishing", "ETH"),
+      ("300", "ransom", "BTC"), ("alt_300", "ransom", "ETH")),
+      s"got $out")
+    // the stale Jan-1 version of report 7 must be fully gone
+    assert(!out.exists(_._1 == "100"))
+  }
+
+  test("within one page, the higher cursor (later event) wins") {
+    val ev = Seq(
+      (3L, 100L, "scam", t("2024-02-01 10:00:00")),
+      (503L, 200L, "phishing", t("2024-02-01 12:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = ChainAbuse.endToEnd(ChainAbuse.syntheticPages(ev))
+      .select("addr").as[String].collect().toSet
+    assert(out == Set("200", "alt_200"))
+  }
+
+  test("malformed bodies go to quarantine, not the good path") {
+    val pages = ChainAbuse.syntheticPages(
+        Seq((1L, 10L, "scam", t("2024-01-01 00:00:00")))
+          .toDF("event_id", "user_id", "event_type", "ts"))
+      .unionByName(Seq(("bad", "not json at all"),
+          ("bad2", """{"data": {"something_else": 1}}"""))
+        .toDF("fetched_at", "body")
+        .selectExpr("CAST(NULL AS DATE) AS batch_id", "fetched_at", "body"))
+    val (good, dlq) = ChainAbuse.parseResponses(pages)
+    assert(dlq.count() == 2)
+    assert(ChainAbuse.reports(good).count() == 1)
+  }
+}
