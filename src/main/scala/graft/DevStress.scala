@@ -86,18 +86,28 @@ object DevStress {
     val bigCells = cells.crossJoin(
         spark.range(factor).select(col("id").as("rep")))
       .select(col("day"), (col("user_id") * factor + col("rep")).as("user_id"))
-    time("cooc_topk", QueryLayerPack.cooccurrence(bigCells))
-    time("cooc_window", {
+    def coocWindow(cells2: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("day")).orderBy(col("user_id"))
-      val capped = bigCells.withColumn("rn", row_number().over(w))
+      val capped = cells2.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= QueryLayerPack.CoocDayCap).drop("rn")
       capped.alias("a").join(capped.alias("b"),
           col("a.day") === col("b.day") &&
           col("a.user_id") < col("b.user_id"))
         .groupBy(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
         .agg(count(lit(1)).as("shared")).filter(col("shared") >= 3)
-    })
+    }
+    time("cooc_topk", QueryLayerPack.cooccurrence(bigCells))
+    time("cooc_window", coocWindow(bigCells))
+    // the VIRAL-day case the native cap exists for: factor×1M distinct
+    // users all on one day — the window form must funnel every cell of
+    // that day through a single task's sort; TopKPerKey crosses the
+    // exchange with ≤ cap rows per input partition
+    val hotDay = spark.range(factor * 1000000L)
+      .select(lit(java.sql.Date.valueOf("2024-01-01")).as("day"),
+        col("id").as("user_id"))
+    time("cooc_topk_hotday", QueryLayerPack.cooccurrence(hotDay))
+    time("cooc_window_hotday", coocWindow(hotDay))
 
     // ANN candidates: replicated embeddings collide into the same
     // buckets; compare capped vs uncapped candidate-pair counts
@@ -125,6 +135,23 @@ object DevStress {
     val nCapped = time("ann_cand_capped", pairs(capped))
     if (nCapped > 0)
       println(f"[stress] x$factor%-3d ann candidate reduction   ${nUncapped.toDouble / nCapped}%8.2fx")
+    // mega-bucket case: factor×1000 copies of ONE vector collide into
+    // a single (band, bucket) — uncapped residual is C(n,2); the cap
+    // bounds it at C(AnnBucketCap,2) per band
+    val hot = emb.filter(col("vec_id") === 0)
+      .crossJoin(spark.range(factor * 1000L).select(col("id").as("hid")))
+      .select(col("hid").as("vec_id"), col("embedding"))
+    val hotBuckets = hot.select(col("vec_id"),
+        explode(Similarity.lshBands(col("embedding"))).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val hotCapped = graft.plans.TopKPerKey.topKPerKey(hotBuckets,
+      keys = Seq(col("band"), col("bucket")),
+      order = Seq(col("vec_id").asc), k = SimilarityPack.AnnBucketCap)
+    val hu = time("ann_hotbucket_uncapped", pairs(hotBuckets))
+    val hc = time("ann_hotbucket_capped", pairs(hotCapped))
+    if (hc > 0)
+      println(f"[stress] x$factor%-3d hot-bucket reduction      ${hu.toDouble / hc}%8.2fx")
     spark.stop()
   }
 }
