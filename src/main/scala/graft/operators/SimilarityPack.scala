@@ -39,6 +39,42 @@ object SimilarityPack extends QueryPack {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
 
+  /** (vec_id, band, bucket) with the per-bucket membership cap
+    * applied — the candidate universe every ANN query works from. */
+  private def cappedBuckets(s: SparkSession, dir: String): DataFrame = {
+    val b0 = emb(s, dir).select(col("vec_id"),
+        explode(Similarity.lshBands(col("embedding"))).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    graft.plans.TopKPerKey.topKPerKey(b0,
+      keys = Seq(col("band"), col("bucket")),
+      order = Seq(col("vec_id").asc), k = AnnBucketCap)
+  }
+
+  /** Near-pairs (vec_a < vec_b) whose EXACT cosine clears `minCos`:
+    * co-bucket candidates (any band), id-deduped before the embedding
+    * re-join. The filter runs on the unrounded double — bit-identical
+    * to the oracle's sequential fold — so the pair set is exact. */
+  private def closePairs(s: SparkSession, dir: String,
+                         minCos: Double): DataFrame = {
+    val b = cappedBuckets(s, dir)
+    val cand = b.alias("a").join(b.alias("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val v = emb(s, dir).select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    cand
+      .join(v.alias("ea"), col("vec_a") === col("ea.vec_id"))
+      .join(v.alias("eb"), col("vec_b") === col("eb.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        (Similarity.dot(col("ea.embedding"), col("eb.embedding"))
+          / (col("ea.nrm") * col("eb.nrm"))).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-3 per query (queries = vec_id < 10),
     // query side broadcast; ranking on the exact double (bit-identical
@@ -108,33 +144,55 @@ object SimilarityPack extends QueryPack {
     // embedding re-join, so a pair colliding in both bands costs one
     // cosine — and the wide arrays never travel through the pair
     // shuffle (ids only; embeddings re-join per side).
-    "sim_ann_pairs" -> ((s, dir) => {
-      val b0 = emb(s, dir).select(col("vec_id"),
-        explode(Similarity.lshBands(col("embedding"))).as("bb"))
-        .select(col("vec_id"), col("bb.band").as("band"),
-          col("bb.bucket").as("bucket"))
-      // per-bucket membership cap through the native bounded-heap
-      // operator: ≤ AnnBucketCap rows per (band, bucket) per input
-      // partition cross the exchange, so no bucket is ever quadratic
-      val b = graft.plans.TopKPerKey.topKPerKey(b0,
-        keys = Seq(col("band"), col("bucket")),
-        order = Seq(col("vec_id").asc), k = AnnBucketCap)
-      val cand = b.alias("a").join(b.alias("b"),
-          col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .distinct()
+    "sim_ann_pairs" -> ((s, dir) =>
+      closePairs(s, dir, minCos = 0.3)
+        .select(col("vec_a"), col("vec_b"),
+          graft.Det.dround(col("cos"), 6).as("cos"))),
+
+    // Embedding-cosine near-dup DEDUP — the full training-data path:
+    // ANN close pairs (cos ≥ 0.3 over capped buckets) → connected
+    // components → every non-representative vector dropped. The
+    // embedding analog of ds_dedup_apply (same Components operator,
+    // same anti-join-of-losers shape); output is the surviving corpus.
+    "ds_embed_dedup" -> ((s, dir) => {
+      val losers = Components.connectedComponents(
+          closePairs(s, dir, minCos = 0.3).select(col("vec_a"), col("vec_b")),
+          a = "vec_a", b = "vec_b")
+        .filter(col("node") =!= col("rep"))
+        .select(col("node").as("vec_id"))
+      emb(s, dir).select(col("vec_id"))
+        .join(losers, Seq("vec_id"), "left_anti")
+    }),
+
+    // ANN top-k SEARCH (the user-facing query the pairs feed): each
+    // query vector (vec_id < 10) ranked against its co-bucket
+    // candidates, exact-cosine re-rank, top-3. Rank selection runs
+    // through the native TopKPerKey (bounded heaps — no per-query
+    // sort of the candidate list); the row_number that labels the ≤
+    // 3·|Q| survivors touches only the already-selected rows.
+    "sim_ann_topk" -> ((s, dir) => {
+      val bc = cappedBuckets(s, dir)
+      val qb = bc.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("band"), col("bucket"))
+      val cand = qb.join(bc, Seq("band", "bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id")).distinct()
       val v = emb(s, dir).select(col("vec_id"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm"))
-      cand
-        .join(v.alias("ea"), col("vec_a") === col("ea.vec_id"))
-        .join(v.alias("eb"), col("vec_b") === col("eb.vec_id"))
-        .select(col("vec_a"), col("vec_b"),
-          (Similarity.dot(col("ea.embedding"), col("eb.embedding"))
-            / (col("ea.nrm") * col("eb.nrm"))).as("cos"))
-        .filter(col("cos") >= 0.3)
-        .select(col("vec_a"), col("vec_b"),
+      val q = emb(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          Similarity.norm(col("embedding")).as("qn"))
+      val scored = cand.join(v, Seq("vec_id")).join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (Similarity.dot(col("qe"), col("embedding"))
+            / (col("qn") * col("nrm"))).as("cos"))
+      val top = graft.plans.TopKPerKey.topKPerKey(scored,
+        keys = Seq(col("query_id")),
+        order = Seq(col("cos").desc, col("vec_id").asc), k = 3)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("query_id"), col("rank"), col("vec_id"),
           graft.Det.dround(col("cos"), 6).as("cos"))
     })
   )
@@ -183,6 +241,19 @@ object SimilarityPack extends QueryPack {
       |assign AS (SELECT vec_id, CAST(j AS INTEGER) AS centroid
       |           FROM iranked WHERE rn = 1)""".stripMargin
 
+  /** Capped bucket membership + deduped candidate pairs — the SQL
+    * mirror of [[cappedBuckets]] / [[closePairs]]'s candidate stage. */
+  private val bcapCandCtes =
+    s"""bcap AS (SELECT vec_id, band, bucket FROM (
+       |  SELECT vec_id, band, bucket,
+       |         row_number() OVER (PARTITION BY band, bucket
+       |                            ORDER BY vec_id) AS rn
+       |  FROM buckets) WHERE rn <= $AnnBucketCap),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM bcap a JOIN bcap b
+       |           ON a.band = b.band AND a.bucket = b.bucket
+       |          AND a.vec_id < b.vec_id)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "sim_cosine_topk" ->
       s"""SELECT query_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos FROM (
@@ -220,20 +291,55 @@ object SimilarityPack extends QueryPack {
 
     "sim_ann_pairs" ->
       s"""WITH $planesCte,
-         |bcap AS (SELECT vec_id, band, bucket FROM (
-         |  SELECT vec_id, band, bucket,
-         |         row_number() OVER (PARTITION BY band, bucket
-         |                            ORDER BY vec_id) AS rn
-         |  FROM buckets) WHERE rn <= $AnnBucketCap),
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |         FROM bcap a JOIN bcap b
-         |           ON a.band = b.band AND a.bucket = b.bucket
-         |          AND a.vec_id < b.vec_id)
+         |$bcapCandCtes
          |SELECT vec_a, vec_b,
          |       floor(${sqlCos("ea.embedding", "eb.embedding")} * 1e6 + 0.5) / 1e6 AS cos
          |FROM cand
          |JOIN embeddings ea ON vec_a = ea.vec_id
          |JOIN embeddings eb ON vec_b = eb.vec_id
-         |WHERE ${sqlCos("ea.embedding", "eb.embedding")} >= 0.3""".stripMargin
+         |WHERE ${sqlCos("ea.embedding", "eb.embedding")} >= 0.3""".stripMargin,
+
+    // transitive closure over the close pairs, then drop every
+    // non-representative node — same recursive-CTE shape as
+    // ds_dup_groups/ds_dedup_apply
+    "ds_embed_dedup" ->
+      s"""WITH RECURSIVE $planesCte,
+         |$bcapCandCtes,
+         |close AS (SELECT vec_a, vec_b FROM cand
+         |  JOIN embeddings ea ON vec_a = ea.vec_id
+         |  JOIN embeddings eb ON vec_b = eb.vec_id
+         |  WHERE ${sqlCos("ea.embedding", "eb.embedding")} >= 0.3),
+         |e AS (SELECT vec_a AS a, vec_b AS b FROM close
+         |      UNION SELECT vec_b, vec_a FROM close),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |groups AS (SELECT n AS vec_id, min(m) AS rep FROM (
+         |    SELECT a AS n, least(a, b) AS m FROM reach
+         |    UNION ALL
+         |    SELECT DISTINCT a, a FROM e)
+         |  GROUP BY n)
+         |SELECT v.vec_id FROM embeddings v
+         |WHERE NOT EXISTS (SELECT 1 FROM groups g
+         |                  WHERE g.vec_id = v.vec_id AND g.vec_id <> g.rep)""".stripMargin,
+
+    "sim_ann_topk" ->
+      s"""WITH $planesCte,
+         |$bcapCandCtes,
+         |qcand AS (SELECT DISTINCT q.vec_id AS query_id, v.vec_id
+         |          FROM (SELECT * FROM bcap WHERE vec_id < 10) q
+         |          JOIN bcap v ON q.band = v.band AND q.bucket = v.bucket
+         |           AND v.vec_id <> q.vec_id),
+         |scored AS (SELECT c.query_id, c.vec_id,
+         |    ${sqlCos("qe.embedding", "ve.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY ${sqlCos("qe.embedding", "ve.embedding")} DESC,
+         |               c.vec_id) AS rank
+         |  FROM qcand c
+         |  JOIN embeddings qe ON c.query_id = qe.vec_id
+         |  JOIN embeddings ve ON c.vec_id = ve.vec_id)
+         |SELECT query_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos
+         |FROM scored WHERE rank <= 3""".stripMargin
   )
 }

@@ -65,5 +65,22 @@ class CappedPlansSpec extends SparkSpec {
     val plan = finalPlan(df)
     assert(topkCount(plan, c) >= 2,
       s"expected TopKPerKey $c partial+final in plan:\n$plan")
+
+    // embedding-cosine dedup over the same mega-bucket: the capped
+    // members collapse to ONE representative; the cap-dropped ids
+    // (48..99) never pair, so they survive as singleton components —
+    // the declared recall trade of bucket truncation, pinned here
+    val dedup = SimilarityPack.queries("ds_embed_dedup")(spark, dir)
+      .as[Long].collect().toSet
+    assert(dedup == (Set(0L) ++ (c.toLong until 100L)), s"got $dedup")
+
+    // ANN top-k search: every query id < 10 is in the (single) capped
+    // bucket; identical vectors -> cos 1.0, ties broken by vec_id
+    val topk = SimilarityPack.queries("sim_ann_topk")(spark, dir)
+      .select("query_id", "rank", "vec_id")
+      .as[(Long, Long, Long)].collect()
+    assert(topk.length == 30, s"10 queries x top-3, got ${topk.length}")
+    val q0 = topk.filter(_._1 == 0L).sortBy(_._2).map(_._3).toSeq
+    assert(q0 == Seq(1L, 2L, 3L), s"query 0 neighbors: $q0")
   }
 }
