@@ -85,7 +85,10 @@ object Merge {
   def ttlDedup(sightings: DataFrame, key: String, ts: String,
                hours: Int): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(ts))
-    sightings.distinct()
+    // one exchange total: hash(key) satisfies both the distinct's
+    // ClusteredDistribution(key, ts) (subset rule) and the window's
+    // ClusteredDistribution(key), so neither inserts another shuffle
+    sightings.repartition(col(key)).distinct()
       .withColumn("__prev", lag(col(ts), 1).over(w))
       .filter(col("__prev").isNull ||
         col("__prev") <= col(ts) - expr(s"INTERVAL $hours HOURS"))

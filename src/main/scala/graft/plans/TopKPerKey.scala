@@ -46,6 +46,14 @@ case class TopKPerKeyExec(k: Int, keyExprs: Seq[Expression],
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(keyExprs))
 
+  // row-preserving per partition: the child's partitioning survives,
+  // so a downstream operator clustered on the same keys (the final
+  // exec's own exchange, a join on the capped key, a window) reuses
+  // it instead of inserting another exchange
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val ks = keyExprs
