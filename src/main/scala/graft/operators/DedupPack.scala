@@ -79,17 +79,39 @@ object DedupPack extends QueryPack {
     // expressions: distinct-token hashes materialized once, then 32
     // per-bit vote folds — zero shuffles and no 32× row blowup, so it
     // runs at scan speed at any scale.
-    "ds_simhash" -> ((s, dir) =>
-      tokenized(s, dir)
-        .select(col("doc_id"),
-          transform(array_distinct(col("toks")),
-            t => Hashing.h32(t)).as("hs"))
-        .select(col("doc_id"),
-          (0 until 32).map { j =>
-            when(aggregate(col("hs"), lit(0L), (acc, h) =>
-              acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
-                .otherwise(-1L)) > 0, lit(1L << j)).otherwise(lit(0L))
-          }.reduce(_ + _).as("simhash"))),
+    "ds_simhash" -> ((s, dir) => simhashed(s, dir)),
+
+    // SimHash near-dup PAIRS: hamming(simhash_a, simhash_b) ≤ HamCap
+    // without an all-pairs scan — pigeonhole banding: 3 bit errors
+    // cannot touch all 4 bytes of a 32-bit fingerprint, so every
+    // qualifying pair shares at least one (band, byte) key; the
+    // equi-join on that key generates candidates, exact popcount
+    // filters them. Shuffle carries (doc_id, simhash, band, byte) —
+    // ~25 bytes/row. At corpus scale the per-band residual is n²/256;
+    // production uses a 64-bit fingerprint with 8 byte-bands (same
+    // plan, 256× deeper key space per band) — the 32-bit form here
+    // matches ds_simhash's oracled fingerprint.
+    "ds_simhash_pairs" -> ((s, dir) => {
+      val banded = simhashed(s, dir).select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(b0 => struct(
+            lit(b0.toLong).as("band"),
+            shiftright(col("simhash"), b0 * 8).bitwiseAND(lit(255L))
+              .as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      // popcount-filter INSIDE the join projection, BEFORE the dedup
+      // shuffle: hamming is a function of the pair, so the distinct
+      // sees only qualifying (narrow) rows instead of every banded
+      // collision with both fingerprints attached
+      banded.alias("a").join(banded.alias("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)")
+            .as("hamming"))
+        .filter(col("hamming") <= SimHamCap)
+        .distinct()
+    }),
 
     // Dedup GROUPS: connected components over the MinHash-LSH
     // candidate pairs — each doc mapped to its component's min doc_id
@@ -139,6 +161,25 @@ object DedupPack extends QueryPack {
     // non-boilerplate shingle space; the oracle applies the same cap.
     "ds_jaccard_pairs" -> ((s, dir) => jaccardPairs(tokenized(s, dir))),
   )
+
+  /** Max hamming distance for ds_simhash_pairs (3 = the classic
+    * near-dup radius; pigeonhole over 4 bytes is valid for ≤ 3 bit
+    * errors — 4 would need only ⌈32/(4+1)⌉-bit blocks or more bands). */
+  val SimHamCap = 3
+
+  /** (doc_id, simhash) — the ds_simhash body, shared with the banded
+    * pair query. */
+  private def simhashed(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir)
+      .select(col("doc_id"),
+        transform(array_distinct(col("toks")),
+          t => Hashing.h32(t)).as("hs"))
+      .select(col("doc_id"),
+        (0 until 32).map { j =>
+          when(aggregate(col("hs"), lit(0L), (acc, h) =>
+            acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
+              .otherwise(-1L)) > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
 
   /** Shingles with df ≤ [[JaccardDfCap]] survive into the pair join.
     * 5 is exercised at sf0.01 (29 shingles dropped); at corpus scale
@@ -191,6 +232,19 @@ object DedupPack extends QueryPack {
   private val bandsSql = (0 until Hashing.NumBands).map(b =>
     s"SELECT doc_id, $b AS band, concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS key FROM sig")
     .mkString("\nUNION ALL\n")
+
+  private val simhashCte =
+    """tk AS (SELECT DISTINCT doc_id, tok FROM
+      |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tk),
+      |bits AS (SELECT doc_id, j,
+      |           sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |         FROM h, UNNEST(generate_series(0, 31)) AS g(j)
+      |         GROUP BY doc_id, j),
+      |sim AS (SELECT doc_id,
+      |          CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << j ELSE 0 END)
+      |               AS BIGINT) AS simhash
+      |        FROM bits GROUP BY doc_id)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "ds_exact_dedup" ->
@@ -250,18 +304,20 @@ object DedupPack extends QueryPack {
          |WHERE NOT EXISTS (SELECT 1 FROM groups g
          |                  WHERE g.doc_id = d.doc_id AND g.doc_id <> g.rep)""".stripMargin,
 
-    "ds_simhash" ->
-      """WITH tk AS (SELECT DISTINCT doc_id, tok FROM
-        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
-        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tk),
-        |bits AS (SELECT doc_id, j,
-        |           sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-        |         FROM h, UNNEST(generate_series(0, 31)) AS g(j)
-        |         GROUP BY doc_id, j)
-        |SELECT doc_id,
-        |       CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << j ELSE 0 END)
-        |            AS BIGINT) AS simhash
-        |FROM bits GROUP BY doc_id""".stripMargin,
+    "ds_simhash" -> s"WITH $simhashCte\nSELECT doc_id, simhash FROM sim",
+
+    "ds_simhash_pairs" ->
+      s"""WITH $simhashCte,
+         |banded AS (SELECT doc_id, simhash, band,
+         |             (simhash >> (band * 8)) & 255 AS key
+         |           FROM sim, (SELECT unnest(generate_series(0, 3)) AS band)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
+         |                b.doc_id AS doc_b, b.simhash AS sb
+         |         FROM banded a JOIN banded b
+         |           ON a.band = b.band AND a.key = b.key
+         |          AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= $SimHamCap""".stripMargin,
 
     "ds_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
