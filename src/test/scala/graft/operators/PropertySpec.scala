@@ -86,4 +86,32 @@ class PropertySpec extends SparkSpec {
       assert(rebuilt == cells, s"seed $i")
     }
   }
+
+  test("F1 ttlDedup ≡ brute-force range NOT EXISTS (differential fuzz)") {
+    // timestamps drawn on an hour grid in a 3-day span so the 12 h
+    // boundary (exactly-TTL-apart) is hit often, across few keys so
+    // chains get long; duplicates included on purpose
+    val keyGen = Gen.oneOf(1L, 2L, 3L)
+    val hourGen = Gen.choose(0, 71)
+    val sightGen = Gen.listOfN(40, Gen.zip(keyGen, hourGen))
+    (1 to Trials).foreach { i =>
+      val rows = sample(sightGen, i).map { case (k, h) =>
+        (k, java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(h)))
+      }
+      val d = rows.toDF("user_id", "ts")
+      val fast = Merge.ttlDedup(d, "user_id", "ts", 12)
+        .as[(Long, java.sql.Timestamp)].collect().toSet
+      // oracle form: keep s iff no distinct sighting of the same key
+      // in (ts - 12h, ts)
+      val dist = rows.distinct
+      val brute = dist.filter { case (k, t) =>
+        !dist.exists { case (k2, t2) =>
+          k2 == k && t2.before(t) &&
+            t2.getTime > t.getTime - 12L * 3600 * 1000
+        }
+      }.toSet
+      assert(fast == brute, s"seed $i")
+    }
+  }
 }
