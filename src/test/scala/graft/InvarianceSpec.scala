@@ -17,6 +17,13 @@ class InvarianceSpec extends SparkSpec {
     "ds_simhash",           // 32 array folds
     "q_window_running",     // ordered window decimal sums
     "sim_ann_pairs",        // float folds + threshold
+    "sim_ann_topk",         // TopKPerKey heaps + float ranking
+    "m2b_label_arrays",     // collect_set + array_union + sort_array
+    "f1b_ttl_dedup_12h",    // lag window over distinct sightings
+    "m3b_chainabuse_e2e",   // collect_list page order must not leak
+    "ds_simhash_pairs",     // banded join + popcount
+    "ds_embed_dedup",       // components fixpoint
+    "mm_feature_extract",   // float histogram division
     "tx_quality")           // dround ratio combinations
 
   test("entry (driver smoke) returns rows") {
