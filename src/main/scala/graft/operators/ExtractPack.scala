@@ -114,7 +114,23 @@ object ExtractPack extends QueryPack {
           col("label.date").as("date"), col("label.type").as("type"),
           col("label.desc").as("desc"), col("label.src").as("src"))
         .distinct()
-    })
+    }),
+
+    // bitcoinabuse extraction end-to-end (main.go:260-289): sf-scaled
+    // per-address detail pages → xpath → i%3 cell fold → label rows.
+    // One oracled query covering the whole HTML→labels chain.
+    "p_bitcoinabuse_e2e" -> ((s, dir) =>
+      graft.pipelines.BitcoinAbuse.endToEnd(
+        graft.pipelines.BitcoinAbuse.syntheticDetailPages(
+          Tables.events(s, dir)))),
+
+    // walletexplorer directory end-to-end (main.go:203-243):
+    // sf-scaled homepage → cell split → type normalize + wallet-link
+    // extraction → type → sorted wallet array.
+    "a3b_walletexplorer_e2e" -> ((s, dir) =>
+      graft.pipelines.WalletExplorer.endToEnd(
+        graft.pipelines.WalletExplorer.syntheticHome(
+          Tables.part(s, dir))))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -174,6 +190,23 @@ object ExtractPack extends QueryPack {
         |       event_type AS type,
         |       json_extract_string(props, '$.k') AS "desc",
         |       'bitcoinAbuse' AS src
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    // semantic equivalent of the HTML round-trip: each event is one
+    // table row on its address's detail page
+    "p_bitcoinabuse_e2e" ->
+      """SELECT CAST(user_id AS VARCHAR) AS addr, 'abuse' AS name,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date,
+        |       event_type AS type,
+        |       'd' || CAST(event_id AS VARCHAR) AS "desc",
+        |       'bitcoinAbuse' AS src
+        |FROM events""".stripMargin,
+
+    "a3b_walletexplorer_e2e" ->
+      """SELECT wallet_type, list(wallet_name ORDER BY wallet_name) AS wallets
+        |FROM (SELECT DISTINCT lower(p_brand) AS wallet_type,
+        |             replace(p_type, ' ', '_') AS wallet_name
+        |      FROM part)
+        |GROUP BY wallet_type""".stripMargin
   )
 }

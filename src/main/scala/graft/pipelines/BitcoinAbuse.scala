@@ -68,4 +68,29 @@ object BitcoinAbuse {
     * [[Merge.mergeBySource]], the §1.1 quirk-2 fix). */
   def mergeIntoStore(store: DataFrame, labels: DataFrame): DataFrame =
     Merge.mergeBySource(store, labels, "src")
+
+  /** Deterministic sf-scaled detail pages from `events`: one page per
+    * address (user_id), its reports rendered as the 3-column table
+    * the reference XPaths (main.go:279-289) — the exact
+    * `/html/body/div/main/div[2]/table/tbody` skeleton. Stands in
+    * for the live fetch (zero-egress sandbox); page size is the
+    * per-address report count, as on the real site. */
+  def syntheticDetailPages(events: DataFrame): DataFrame =
+    events.select(col("user_id").cast("string").as("addr"),
+        concat(lit("<tr><td>"), date_format(col("ts"), "yyyy-MM-dd"),
+          lit("</td><td>"), col("event_type"),
+          lit("</td><td>d"), col("event_id"),
+          lit("</td></tr>")).as("row"))
+      .groupBy("addr")
+      .agg(concat_ws("", collect_list(col("row"))).as("rows"))
+      .select(col("addr"),
+        concat(lit("<html><body><div><main><div>i</div><div><table><tbody>"),
+          col("rows"),
+          lit("</tbody></table></div></main></div></body></html>"))
+          .as("body"))
+
+  /** The extraction half of the pipeline end-to-end over detail
+    * pages: P4 xpath → P6 cell fold → P10 label assembly. */
+  def endToEnd(detailPages: DataFrame): DataFrame =
+    assembleLabels(extractReports(detailPages))
 }

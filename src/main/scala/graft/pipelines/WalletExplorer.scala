@@ -70,4 +70,30 @@ object WalletExplorer {
   /** M2: $addToSet set-union into the store (main.go:98-114). */
   def mergeIntoStore(store: DataFrame, labels: DataFrame): DataFrame =
     Merge.labelUnionFlat(store, labels)
+
+  /** Deterministic sf-scaled homepage from `part`: one `<td>` cell
+    * per brand (the category heading the reference parses at
+    * main.go:226-243), holding a `<ul>` of /wallet/ links derived
+    * from the brand's part types. A single page, as on the real site
+    * — the directory is small; the SCALE story is the fan-out it
+    * drives, not the page itself. */
+  def syntheticHome(part: DataFrame): DataFrame =
+    part.select(col("p_brand").as("btype"),
+        concat(lit("<li><a href=\"/wallet/"),
+          regexp_replace(col("p_type"), " ", "_"),
+          lit("\">x</a></li>")).as("link"))
+      .distinct()
+      .groupBy("btype")
+      .agg(concat_ws("", array_sort(collect_set(col("link")))).as("ls"))
+      .select(concat(lit("<td><h3>"), col("btype"), lit(":</h3><ul>"),
+        col("ls"), lit("</ul></td>")).as("cell"))
+      .agg(concat_ws("", collect_list(col("cell"))).as("cells"))
+      .select(concat(lit("<html><body><table><tbody><tr>"), col("cells"),
+        lit("</tr></tbody></table></body></html>")).as("body"))
+
+  /** Directory end-to-end: homepage → cell split → type normalize +
+    * link extraction → type → sorted wallet list (the reference's
+    * map[string][]string, main.go:203). */
+  def endToEnd(home: DataFrame): DataFrame =
+    directoryMap(walletDirectory(home))
 }
