@@ -83,4 +83,75 @@ object Components {
     persisted.foreach(_.unpersist(blocking = false))
     labels.select(col("node"), col("comp").as("rep"))
   }
+
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * escape hatch [[connectedComponents]]'s docs point to for graphs
+    * whose DIAMETER, not just size, is large (boilerplate
+    * mega-components, long near-dup chains): min-label propagation
+    * needs diameter rounds, the star alternation O(log² n).
+    *
+    * Each round is two grouped-min joins on node id (same shuffle
+    * keys as the simple loop, so the same bucketing carries it at
+    * scale); convergence = the edge set reaching a fixpoint, checked
+    * exactly with a count + one-sided EXCEPT on the checkpointed
+    * frames. Returns (node, rep) with rep = component min, identical
+    * contract to [[connectedComponents]] (differentially tested).
+    */
+  def largeSmallStar(pairs: DataFrame, a: String = "doc_a",
+                     b: String = "doc_b", maxIter: Int = 25): DataFrame = {
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    def mat(df: DataFrame): DataFrame =
+      if (reliable) { val d = df.checkpoint(eager = false); d.persist(); persisted += d; d }
+      else df.localCheckpoint(eager = false)
+
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+
+    // large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+    def largeStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      e.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+    // small-star(u): over N≤ = {v ∈ N(u): v ≤ u}: m = min(N≤ ∪ {u});
+    // emit (v, m) for v ∈ N≤ ∪ {u}, v ≠ m
+    def smallStar(e: DataFrame): DataFrame = {
+      val le = e.filter(col("v") <= col("u"))
+      val mins = le.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      le.join(mins, "u")
+        .select(col("v").as("n"), col("m"))
+        .unionByName(mins.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // edges held in DIRECTED canonical form (u > v); symmetrized at
+    // each star step so every node sees its full neighborhood
+    var edges = mat(pairs.select(
+      greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      it += 1
+      val next = mat(smallStar(sym(largeStar(sym(edges)))))
+      // exact fixpoint test: same cardinality and nothing new
+      val (nNext, nEdges) = (next.count(), edges.count())
+      converged = nNext == nEdges &&
+        next.exceptAll(edges).limit(1).count() == 0
+      edges = next
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"largeSmallStar: no fixpoint after $maxIter rounds")
+    persisted.foreach(_.unpersist(blocking = false))
+    // fixpoint is a star forest: (child → root) edges; roots appear
+    // only as destinations. rep(child) = root; rep(root) = root.
+    edges.select(col("u").as("node"), col("v").as("rep"))
+      .unionByName(edges.select(col("v").as("node"), col("v").as("rep")))
+      .distinct()
+  }
 }

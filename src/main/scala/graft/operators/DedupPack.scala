@@ -44,6 +44,17 @@ object DedupPack extends QueryPack {
         .map(i => array_min(transform(col("hs"),
           h => Hashing.permuted(h, i))).as(s"mh$i")): _*)
 
+  /** MinHash-LSH candidate pairs (doc_a < doc_b): the shared input of
+    * the grouping/apply queries. */
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val b = bands(s, dir)
+    b.alias("a").join(b.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** (doc_id, band, key) — one row per LSH band. */
   private def bands(s: SparkSession, dir: String): DataFrame = {
     val sig = signatures(s, dir)
@@ -66,14 +77,7 @@ object DedupPack extends QueryPack {
     "ds_minhash_sig" -> ((s, dir) => signatures(s, dir)),
 
     // MinHash-LSH candidate pairs: band equi-join (4 bands × 2 rows).
-    "ds_minhash_pairs" -> ((s, dir) => {
-      val b = bands(s, dir)
-      b.alias("a").join(b.alias("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-    }),
+    "ds_minhash_pairs" -> ((s, dir) => candidatePairs(s, dir)),
 
     // SimHash (32-bit, token-set weighted bit votes) as pure array
     // expressions: distinct-token hashes materialized once, then 32
@@ -117,29 +121,25 @@ object DedupPack extends QueryPack {
     // candidate pairs — each doc mapped to its component's min doc_id
     // (the keeper). Iterative min-label propagation, distributed per
     // step (see Components).
-    "ds_dup_groups" -> ((s, dir) => {
-      val b = bands(s, dir)
-      val pairs = b.alias("a").join(b.alias("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      Components.connectedComponents(pairs)
-        .select(col("node").as("doc_id"), col("rep"))
-    }),
+    "ds_dup_groups" -> ((s, dir) =>
+      Components.connectedComponents(candidatePairs(s, dir))
+        .select(col("node").as("doc_id"), col("rep"))),
+
+    // Same grouping through the large-star/small-star alternation —
+    // the O(log² n)-round algorithm for graphs whose DIAMETER defies
+    // min-label propagation (boilerplate mega-components, long
+    // near-dup chains). Same oracle as ds_dup_groups: both engines
+    // must produce the identical (doc_id, rep) map.
+    "ds_dup_groups_star" -> ((s, dir) =>
+      Components.largeSmallStar(candidatePairs(s, dir))
+        .select(col("node").as("doc_id"), col("rep"))),
 
     // Dedup APPLIED: the corpus with non-representative near-dups
     // removed — anti-join against the groups' losers. The complete
     // pipeline a training-data run executes: shingle → minhash → LSH
     // bands → components → filtered corpus.
     "ds_dedup_apply" -> ((s, dir) => {
-      val b = bands(s, dir)
-      val pairs = b.alias("a").join(b.alias("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val losers = Components.connectedComponents(pairs)
+      val losers = Components.connectedComponents(candidatePairs(s, dir))
         .filter(col("node") =!= col("rep"))
         .select(col("node").as("doc_id"))
       Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
@@ -233,6 +233,26 @@ object DedupPack extends QueryPack {
     s"SELECT doc_id, $b AS band, concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS key FROM sig")
     .mkString("\nUNION ALL\n")
 
+  /** Groups oracle (shared by the min-label and star engine paths). */
+  private val dupGroupsSql =
+    s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |bands AS ($bandsSql),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.key = b.key
+       |          AND a.doc_id < b.doc_id),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM cand
+       |      UNION SELECT doc_b, doc_a FROM cand),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+       |SELECT n AS doc_id, min(m) AS rep FROM (
+       |  SELECT a AS n, least(a, b) AS m FROM reach
+       |  UNION ALL
+       |  SELECT DISTINCT a, a FROM e)
+       |GROUP BY n""".stripMargin
+
   private val simhashCte =
     """tk AS (SELECT DISTINCT doc_id, tok FROM
       |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
@@ -263,24 +283,10 @@ object DedupPack extends QueryPack {
 
     // Transitive closure over the candidate pairs via recursive CTE;
     // rep = min over the reachable set ∪ self.
-    "ds_dup_groups" ->
-      s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |bands AS ($bandsSql),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.key = b.key
-         |          AND a.doc_id < b.doc_id),
-         |e AS (SELECT doc_a AS a, doc_b AS b FROM cand
-         |      UNION SELECT doc_b, doc_a FROM cand),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM e
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
-         |SELECT n AS doc_id, min(m) AS rep FROM (
-         |  SELECT a AS n, least(a, b) AS m FROM reach
-         |  UNION ALL
-         |  SELECT DISTINCT a, a FROM e)
-         |GROUP BY n""".stripMargin,
+    "ds_dup_groups" -> dupGroupsSql,
+
+    // the star-alternation engine path must land on the SAME map
+    "ds_dup_groups_star" -> dupGroupsSql,
 
     "ds_dedup_apply" ->
       s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

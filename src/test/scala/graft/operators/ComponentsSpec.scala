@@ -37,4 +37,38 @@ class ComponentsSpec extends SparkSpec {
     assert(got.values.toSet == Set(1L) && got.keySet ==
       Set(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("largeSmallStar agrees with min-label propagation (differential fuzz)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val pairs = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (x, y) => x != y }
+        .toDF("doc_a", "doc_b")
+      val simple = Components.connectedComponents(pairs, maxIter = 40)
+        .as[(Long, Long)].collect().toMap
+      val star = Components.largeSmallStar(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(star == simple, s"trial $trial diverged")
+    }
+  }
+
+  test("largeSmallStar resolves a diameter-40 path the simple loop's default cap cannot") {
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // min-label propagation needs ~diameter rounds — at its default
+    // cap it throws (by design); the star alternation needs O(log² n)
+    intercept[IllegalStateException] {
+      Components.connectedComponents(pairs) // default maxIter = 20
+    }
+    val got = Components.largeSmallStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 40L).map(_ -> 0L).toMap)
+  }
+
+  test("largeSmallStar: mega-star and duplicate/reversed edges") {
+    val star = (1L until 200L).map(i => (0L, i))
+    val withDups = star ++ star.map(_.swap) ++ Seq((5L, 0L), (0L, 5L))
+    val got = Components.largeSmallStar(withDups.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 200 && got.values.toSet == Set(0L))
+  }
 }
