@@ -133,15 +133,18 @@ object Components {
     var edges = mat(pairs.select(
       greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
       .filter(col("u") =!= col("v")).distinct())
+    var prevCount = edges.count()
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       it += 1
       val next = mat(smallStar(sym(largeStar(sym(edges)))))
-      // exact fixpoint test: same cardinality and nothing new
-      val (nNext, nEdges) = (next.count(), edges.count())
-      converged = nNext == nEdges &&
+      // exact fixpoint test: same cardinality (carried over from the
+      // previous round — no recount of `edges`) and nothing new
+      val nNext = next.count()
+      converged = nNext == prevCount &&
         next.exceptAll(edges).limit(1).count() == 0
+      prevCount = nNext
       edges = next
     }
     if (!converged)
