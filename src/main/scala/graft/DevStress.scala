@@ -110,29 +110,20 @@ object DevStress {
     time("cooc_window_hotday", coocWindow(hotDay))
 
     // ANN candidates: replicated embeddings collide into the same
-    // buckets; compare capped vs uncapped candidate-pair counts
-    import graft.functions.Similarity
+    // buckets; compare capped vs uncapped candidate-pair counts —
+    // driving SimilarityPack's OWN stages so the probe measures the
+    // production plan, not a re-implementation
     val emb = Tables.embeddings(spark, sf)
     val bigEmb = emb.crossJoin(
         spark.range(factor).select(col("id").as("rep")))
       .select((col("vec_id") * factor + col("rep")).as("vec_id"),
         col("embedding"))
-    val buckets = bigEmb.select(col("vec_id"),
-        explode(Similarity.lshBands(col("embedding"))).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"),
-        col("bb.bucket").as("bucket"))
+    val buckets = SimilarityPack.bucketize(bigEmb)
     def pairs(side: DataFrame): DataFrame =
-      side.alias("a").join(side.alias("b"),
-          col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
-        .distinct()
-    val capped = graft.plans.TopKPerKey.topKPerKey(buckets,
-      keys = Seq(col("band"), col("bucket")),
-      order = Seq(col("vec_id").asc), k = SimilarityPack.AnnBucketCap)
+      SimilarityPack.candidateIdPairs(side)
     val nUncapped = time("ann_cand_uncapped", pairs(buckets))
-    val nCapped = time("ann_cand_capped", pairs(capped))
+    val nCapped = time("ann_cand_capped",
+      pairs(SimilarityPack.capBuckets(buckets)))
     if (nCapped > 0)
       println(f"[stress] x$factor%-3d ann candidate reduction   ${nUncapped.toDouble / nCapped}%8.2fx")
     // mega-bucket case: factor×1000 copies of ONE vector collide into
@@ -141,15 +132,10 @@ object DevStress {
     val hot = emb.filter(col("vec_id") === 0)
       .crossJoin(spark.range(factor * 1000L).select(col("id").as("hid")))
       .select(col("hid").as("vec_id"), col("embedding"))
-    val hotBuckets = hot.select(col("vec_id"),
-        explode(Similarity.lshBands(col("embedding"))).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"),
-        col("bb.bucket").as("bucket"))
-    val hotCapped = graft.plans.TopKPerKey.topKPerKey(hotBuckets,
-      keys = Seq(col("band"), col("bucket")),
-      order = Seq(col("vec_id").asc), k = SimilarityPack.AnnBucketCap)
+    val hotBuckets = SimilarityPack.bucketize(hot)
     val hu = time("ann_hotbucket_uncapped", pairs(hotBuckets))
-    val hc = time("ann_hotbucket_capped", pairs(hotCapped))
+    val hc = time("ann_hotbucket_capped",
+      pairs(SimilarityPack.capBuckets(hotBuckets)))
     if (hc > 0)
       println(f"[stress] x$factor%-3d hot-bucket reduction      ${hu.toDouble / hc}%8.2fx")
     spark.stop()

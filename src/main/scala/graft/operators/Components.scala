@@ -40,12 +40,15 @@ object Components {
     // non-eager: materialization happens on (and is shared with) the
     // first action over the frame — the per-iteration count below.
     // Reliable path: the checkpoint WRITE runs as a separate job after
-    // that action, so the frame is also persisted — the write then
-    // reads the cache instead of recomputing the iteration's join
-    // from lineage (caches dropped before returning; the checkpoint
-    // files back every frame by then).
+    // that action, so the INPUT plan is persisted BEFORE checkpoint()
+    // captures its RDD — the checkpointed lineage then bottoms out at
+    // the cache (InMemoryTableScan), so the write job reads cached
+    // partitions instead of recomputing the iteration's join.
+    // (Persisting the checkpoint RESULT would not help: the write
+    // iterates the internal RDD below that cache.) Caches are dropped
+    // before returning; the checkpoint files back every frame by then.
     def mat(df: DataFrame): DataFrame =
-      if (reliable) { val d = df.checkpoint(eager = false); d.persist(); persisted += d; d }
+      if (reliable) { df.persist(); persisted += df; df.checkpoint(eager = false) }
       else df.localCheckpoint(eager = false)
     val edges = mat(pairs.select(col(a).as("src"), col(b).as("dst"))
       .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
@@ -102,12 +105,20 @@ object Components {
                      b: String = "doc_b", maxIter: Int = 25): DataFrame = {
     val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
     val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    // input persisted BEFORE checkpoint() captures the RDD — see
+    // connectedComponents.mat for why the order matters
     def mat(df: DataFrame): DataFrame =
-      if (reliable) { val d = df.checkpoint(eager = false); d.persist(); persisted += d; d }
+      if (reliable) { df.persist(); persisted += df; df.checkpoint(eager = false) }
       else df.localCheckpoint(eager = false)
 
-    def sym(e: DataFrame): DataFrame =
-      e.unionByName(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+    // full-neighborhood view. `dedup` is needed only when the input
+    // can hold duplicates (largeStar output); the canonical u > v
+    // frame and its swap are provably disjoint, so deduping that
+    // union would shuffle the whole edge set to remove nothing.
+    def sym(e: DataFrame, dedup: Boolean): DataFrame = {
+      val u = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      if (dedup) u.distinct() else u
+    }
 
     // large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
     def largeStar(e: DataFrame): DataFrame = {
@@ -129,7 +140,12 @@ object Components {
     }
 
     // edges held in DIRECTED canonical form (u > v); symmetrized at
-    // each star step so every node sees its full neighborhood
+    // each star step so every node sees its full neighborhood.
+    // Self-pairs carry no connectivity but their node must stay in
+    // the output (same contract as connectedComponents) — tracked
+    // via the full node set and re-attached at the end.
+    val nodes = pairs.select(col(a).as("node"))
+      .unionByName(pairs.select(col(b).as("node"))).distinct()
     var edges = mat(pairs.select(
       greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
       .filter(col("u") =!= col("v")).distinct())
@@ -138,7 +154,8 @@ object Components {
     var it = 0
     while (!converged && it < maxIter) {
       it += 1
-      val next = mat(smallStar(sym(largeStar(sym(edges)))))
+      val next = mat(smallStar(sym(largeStar(sym(edges, dedup = false)),
+        dedup = true)))
       // exact fixpoint test: same cardinality (carried over from the
       // previous round — no recount of `edges`) and nothing new
       val nNext = next.count()
@@ -150,11 +167,13 @@ object Components {
     if (!converged)
       throw new IllegalStateException(
         s"largeSmallStar: no fixpoint after $maxIter rounds")
+    // fixpoint is a star forest: (child → root) edges. rep(child) =
+    // root; every other node (roots, self-pair-only nodes) = itself.
+    val result = nodes
+      .join(edges.select(col("u").as("node"), col("v").as("rep")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("rep"), col("node")).as("rep"))
     persisted.foreach(_.unpersist(blocking = false))
-    // fixpoint is a star forest: (child → root) edges; roots appear
-    // only as destinations. rep(child) = root; rep(root) = root.
-    edges.select(col("u").as("node"), col("v").as("rep"))
-      .unionByName(edges.select(col("v").as("node"), col("v").as("rep")))
-      .distinct()
+    result
   }
 }

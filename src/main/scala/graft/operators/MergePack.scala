@@ -147,9 +147,12 @@ object MergePack extends QueryPack {
         |  UNION ALL
         |  SELECT CAST(doc_id % 300 AS VARCHAR), lang, 'docs' FROM documents)""".stripMargin,
 
+    // NULLS FIRST matches Spark's sort_array struct-field comparator
+    // (ascending, nulls first) — inert for the current non-null data,
+    // load-bearing the day a null label name appears
     "m2b_label_arrays" ->
       """SELECT addr, list(struct_pack(name := name, src := src)
-        |                  ORDER BY name, src) AS labels
+        |                  ORDER BY name NULLS FIRST, src NULLS FIRST) AS labels
         |FROM (SELECT DISTINCT addr, name, src FROM (
         |  SELECT CAST(user_id AS VARCHAR) AS addr, event_type AS name,
         |         'events' AS src FROM events

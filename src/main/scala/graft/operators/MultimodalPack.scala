@@ -78,10 +78,14 @@ object MultimodalPack extends QueryPack {
 
     // the corpus is ASCII (verified at all SFs), so a per-CHAR code
     // histogram in SQL equals the Spark side's per-BYTE histogram
+    // the tc <> '' guard covers empty documents: string_split_regex
+    // of '' yields [''] with ascii 0, which would fabricate a bucket-0
+    // count the Spark byte loop (0 iterations) never sees
     "mm_feature_extract" ->
-      """WITH chars AS (SELECT doc_id,
-        |    ascii(unnest(string_split_regex(text, ''))) // 32 AS bkt
-        |  FROM documents),
+      """WITH chars AS (SELECT doc_id, ascii(tc) // 32 AS bkt
+        |  FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS tc
+        |        FROM documents)
+        |  WHERE tc <> ''),
         |counts AS (SELECT doc_id, bkt, count(*) AS c
         |           FROM chars GROUP BY doc_id, bkt),
         |grid AS (SELECT d.doc_id, g.d FROM documents d,

@@ -39,17 +39,36 @@ object SimilarityPack extends QueryPack {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
 
-  /** (vec_id, band, bucket) with the per-bucket membership cap
-    * applied — the candidate universe every ANN query works from. */
-  private def cappedBuckets(s: SparkSession, dir: String): DataFrame = {
-    val b0 = emb(s, dir).select(col("vec_id"),
+  /** (vec_id, band, bucket) LSH bucket assignments of an embedding
+    * frame — scan stage, zero shuffle. Public so DevStress probes the
+    * exact production stage, not a re-implementation. */
+  def bucketize(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
         explode(Similarity.lshBands(col("embedding"))).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
-    graft.plans.TopKPerKey.topKPerKey(b0,
+
+  /** The per-(band, bucket) membership cap through the native
+    * bounded-heap operator. */
+  def capBuckets(buckets: DataFrame): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(buckets,
       keys = Seq(col("band"), col("bucket")),
       order = Seq(col("vec_id").asc), k = AnnBucketCap)
-  }
+
+  /** Deduped co-bucket candidate id pairs (vec_a < vec_b) of a bucket
+    * frame — ids only, no embeddings through the shuffle. */
+  def candidateIdPairs(buckets: DataFrame): DataFrame =
+    buckets.alias("a").join(buckets.alias("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+
+  /** (vec_id, band, bucket) with the per-bucket membership cap
+    * applied — the candidate universe every ANN query works from. */
+  private def cappedBuckets(s: SparkSession, dir: String): DataFrame =
+    capBuckets(bucketize(emb(s, dir)))
 
   /** Near-pairs (vec_a < vec_b) whose EXACT cosine clears `minCos`:
     * co-bucket candidates (any band), id-deduped before the embedding
@@ -57,13 +76,7 @@ object SimilarityPack extends QueryPack {
     * to the oracle's sequential fold — so the pair set is exact. */
   private def closePairs(s: SparkSession, dir: String,
                          minCos: Double): DataFrame = {
-    val b = cappedBuckets(s, dir)
-    val cand = b.alias("a").join(b.alias("b"),
-        col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
+    val cand = candidateIdPairs(cappedBuckets(s, dir))
     val v = emb(s, dir).select(col("vec_id"), col("embedding"),
       Similarity.norm(col("embedding")).as("nrm"))
     cand

@@ -41,8 +41,9 @@ class ComponentsSpec extends SparkSpec {
   test("largeSmallStar agrees with min-label propagation (differential fuzz)") {
     val rnd = new scala.util.Random(7)
     (1 to 5).foreach { trial =>
+      // self-pairs included on purpose: both engines must keep a node
+      // whose only appearance is a reflexive pair
       val pairs = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
-        .filter { case (x, y) => x != y }
         .toDF("doc_a", "doc_b")
       val simple = Components.connectedComponents(pairs, maxIter = 40)
         .as[(Long, Long)].collect().toMap
@@ -70,5 +71,14 @@ class ComponentsSpec extends SparkSpec {
     val got = Components.largeSmallStar(withDups.toDF("doc_a", "doc_b"))
       .as[(Long, Long)].collect().toMap
     assert(got.size == 200 && got.values.toSet == Set(0L))
+  }
+
+  test("both engines keep a node whose only row is a self-pair") {
+    val pairs = Seq((1L, 2L), (5L, 5L)).toDF("doc_a", "doc_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 5L -> 5L)
+    assert(Components.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap == expected)
+    assert(Components.largeSmallStar(pairs)
+      .as[(Long, Long)].collect().toMap == expected)
   }
 }
