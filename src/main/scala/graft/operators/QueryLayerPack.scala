@@ -157,6 +157,32 @@ object QueryLayerPack extends QueryPack {
             col("addr"))).as("n_new_addrs"))
     }),
 
+    // §2.2 follow-on: label churn — per DAY snapshot, how many
+    // (addr, label) pairs are NEW vs the previous day and how many
+    // DISAPPEARED. The snapshot-diff the reference's upsert store
+    // implies but never exposes. All joins/antis run on the distinct
+    // (addr, name, day) cell frame (partial-agg'd map-side), never
+    // the raw event stream.
+    "q22_label_churn" -> ((s, dir) => {
+      val labels = Tables.events(s, dir)
+        .select(col("user_id").cast("string").as("addr"),
+          col("event_type").as("name"),
+          to_date(col("ts")).as("day")).distinct()
+      val days = labels.select(col("day")).distinct()
+      val prev = labels.select(col("addr"), col("name"),
+        date_add(col("day"), 1).as("day"))
+      val added = labels.join(prev, Seq("addr", "name", "day"), "left_anti")
+        .groupBy("day").agg(count(lit(1)).as("n_added"))
+      val removed = prev.join(days, Seq("day"), "left_semi")
+        .join(labels, Seq("addr", "name", "day"), "left_anti")
+        .groupBy("day").agg(count(lit(1)).as("n_removed"))
+      days.join(added, Seq("day"), "left")
+        .join(removed, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n_added"), lit(0L)).as("n_added"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+    }),
+
     // Window functions: latest label per (addr, src) — the implied
     // "current view" query (SURVEY §2.1 windows row).
     "q_window_latest" -> ((s, dir) => {
@@ -421,6 +447,28 @@ object QueryLayerPack extends QueryPack {
         |           OVER (PARTITION BY user_id, event_type) AS first_month
         |  FROM events)
         |GROUP BY src, month""".stripMargin,
+
+    "q22_label_churn" ->
+      """WITH labels AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS addr,
+        |    event_type AS name,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM labels),
+        |prev AS (SELECT addr, name, day + 1 AS day FROM labels),
+        |added AS (SELECT day, count(*) AS n_added FROM labels l
+        |  WHERE NOT EXISTS (SELECT 1 FROM prev p
+        |    WHERE p.addr = l.addr AND p.name = l.name AND p.day = l.day)
+        |  GROUP BY day),
+        |removed AS (SELECT p.day, count(*) AS n_removed FROM prev p
+        |  JOIN days d ON p.day = d.day
+        |  WHERE NOT EXISTS (SELECT 1 FROM labels l
+        |    WHERE l.addr = p.addr AND l.name = p.name AND l.day = p.day)
+        |  GROUP BY p.day)
+        |SELECT d.day, COALESCE(a.n_added, 0) AS n_added,
+        |       COALESCE(r.n_removed, 0) AS n_removed
+        |FROM days d
+        |LEFT JOIN added a ON d.day = a.day
+        |LEFT JOIN removed r ON d.day = r.day""".stripMargin,
 
     "q_window_latest" ->
       """SELECT user_id, event_type, event_id, value FROM (

@@ -187,28 +187,57 @@ object SimilarityPack extends QueryPack {
       val bc = cappedBuckets(s, dir)
       val qb = bc.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("band"), col("bucket"))
-      val cand = qb.join(bc, Seq("band", "bucket"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id")).distinct()
-      val v = emb(s, dir).select(col("vec_id"), col("embedding"),
-        Similarity.norm(col("embedding")).as("nrm"))
-      val q = emb(s, dir).filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          Similarity.norm(col("embedding")).as("qn"))
-      val scored = cand.join(v, Seq("vec_id")).join(broadcast(q), Seq("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          (Similarity.dot(col("qe"), col("embedding"))
-            / (col("qn") * col("nrm"))).as("cos"))
-      val top = graft.plans.TopKPerKey.topKPerKey(scored,
-        keys = Seq(col("query_id")),
-        order = Seq(col("cos").desc, col("vec_id").asc), k = 3)
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      top.withColumn("rank", row_number().over(w).cast("long"))
-        .select(col("query_id"), col("rank"), col("vec_id"),
-          graft.Det.dround(col("cos"), 6).as("cos"))
+      annTopK(s, dir, queryCandidates(qb, bc))
+    }),
+
+    // Multi-probe variant: each query probes its own bucket PLUS all
+    // 1-bit flips of the band key (13 buckets/band at 12 bits) — the
+    // standard recall knob that avoids adding bands (probing is
+    // query-side only: candidate generation fans out per QUERY, the
+    // corpus index is untouched and stays capped). Same exact-cosine
+    // re-rank and native top-k selection as sim_ann_topk.
+    "sim_ann_topk_probe" -> ((s, dir) => {
+      val bc = cappedBuckets(s, dir)
+      val qprobe = bc.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("band"),
+          explode(array(col("bucket") +:
+            (0 until Similarity.PlanesPerBand).map(j =>
+              col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+      annTopK(s, dir, queryCandidates(qprobe, bc))
     })
   )
+
+  /** Deduped (query_id, vec_id) candidates of a query-side bucket
+    * probe frame against the corpus bucket index. */
+  private def queryCandidates(queryBuckets: DataFrame,
+                              corpusBuckets: DataFrame): DataFrame =
+    queryBuckets.join(corpusBuckets, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+
+  /** Exact-cosine re-rank of candidate ids, top-3 per query through
+    * the native TopKPerKey; the rank-labeling window touches only the
+    * ≤ 3·|Q| survivors. */
+  private def annTopK(s: SparkSession, dir: String,
+                      cand: DataFrame): DataFrame = {
+    val v = emb(s, dir).select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    val q = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        Similarity.norm(col("embedding")).as("qn"))
+    val scored = cand.join(v, Seq("vec_id")).join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (Similarity.dot(col("qe"), col("embedding"))
+          / (col("qn") * col("nrm"))).as("cos"))
+    val top = graft.plans.TopKPerKey.topKPerKey(scored,
+      keys = Seq(col("query_id")),
+      order = Seq(col("cos").desc, col("vec_id").asc), k = 3)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        graft.Det.dround(col("cos"), 6).as("cos"))
+  }
 
   /** Shared SQL fragments (dot/cosine as sequential list folds —
     * bit-identical to the Spark expressions). */
@@ -344,15 +373,34 @@ object SimilarityPack extends QueryPack {
          |          FROM (SELECT * FROM bcap WHERE vec_id < 10) q
          |          JOIN bcap v ON q.band = v.band AND q.bucket = v.bucket
          |           AND v.vec_id <> q.vec_id),
-         |scored AS (SELECT c.query_id, c.vec_id,
-         |    ${sqlCos("qe.embedding", "ve.embedding")} AS cos,
-         |    row_number() OVER (PARTITION BY c.query_id
-         |      ORDER BY ${sqlCos("qe.embedding", "ve.embedding")} DESC,
-         |               c.vec_id) AS rank
-         |  FROM qcand c
-         |  JOIN embeddings qe ON c.query_id = qe.vec_id
-         |  JOIN embeddings ve ON c.vec_id = ve.vec_id)
-         |SELECT query_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos
-         |FROM scored WHERE rank <= 3""".stripMargin
+         |$annTopKSql""".stripMargin,
+
+    "sim_ann_topk_probe" ->
+      s"""WITH $planesCte,
+         |$bcapCandCtes,
+         |qprobe AS (SELECT vec_id AS query_id, band,
+         |    CASE WHEN j = -1 THEN bucket
+         |         ELSE xor(bucket, 1::BIGINT << j) END AS bucket
+         |  FROM (SELECT * FROM bcap WHERE vec_id < 10),
+         |       UNNEST(generate_series(-1, ${Similarity.PlanesPerBand - 1})) AS g(j)),
+         |qcand AS (SELECT DISTINCT q.query_id, v.vec_id
+         |          FROM qprobe q
+         |          JOIN bcap v ON q.band = v.band AND q.bucket = v.bucket
+         |           AND v.vec_id <> q.query_id),
+         |$annTopKSql""".stripMargin
   )
+
+  /** Shared tail of the two ANN top-k oracles: exact-cosine scoring +
+    * rank ≤ 3 over a `qcand(query_id, vec_id)` CTE. */
+  private lazy val annTopKSql =
+    s"""scored AS (SELECT c.query_id, c.vec_id,
+       |    ${sqlCos("qe.embedding", "ve.embedding")} AS cos,
+       |    row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY ${sqlCos("qe.embedding", "ve.embedding")} DESC,
+       |               c.vec_id) AS rank
+       |  FROM qcand c
+       |  JOIN embeddings qe ON c.query_id = qe.vec_id
+       |  JOIN embeddings ve ON c.vec_id = ve.vec_id)
+       |SELECT query_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos
+       |FROM scored WHERE rank <= 3""".stripMargin
 }

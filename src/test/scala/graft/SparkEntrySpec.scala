@@ -30,7 +30,7 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("coverage floor: the driver-facing surface keeps its breadth") {
-    assert(SparkEntry.queries.size >= 60,
+    assert(SparkEntry.queries.size >= 72,
       s"query count regressed: ${SparkEntry.queries.size}")
     assert(SparkEntry.oracleSql.size >= SparkEntry.queries.size - 1,
       "at most one rows-only query (approx_count_distinct) expected")
