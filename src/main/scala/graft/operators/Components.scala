@@ -142,13 +142,16 @@ object Components {
     // edges held in DIRECTED canonical form (u > v); symmetrized at
     // each star step so every node sees its full neighborhood.
     // Self-pairs carry no connectivity but their node must stay in
-    // the output (same contract as connectedComponents) — tracked
-    // via the full node set and re-attached at the end.
-    val nodes = pairs.select(col(a).as("node"))
-      .unionByName(pairs.select(col(b).as("node"))).distinct()
-    var edges = mat(pairs.select(
+    // the output (same contract as connectedComponents) — so the
+    // ONE materialization of the (possibly expensive) input keeps
+    // self-rows, and both the edge frame and the node universe are
+    // cheap derivations of that checkpoint.
+    val base = mat(pairs.select(
       greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
-      .filter(col("u") =!= col("v")).distinct())
+      .distinct())
+    val nodes = base.select(col("u").as("node"))
+      .unionByName(base.select(col("v").as("node"))).distinct()
+    var edges = base.filter(col("u") =!= col("v"))
     var prevCount = edges.count()
     var converged = false
     var it = 0
