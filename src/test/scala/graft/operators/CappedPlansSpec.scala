@@ -83,4 +83,23 @@ class CappedPlansSpec extends SparkSpec {
     val q0 = topk.filter(_._1 == 0L).sortBy(_._2).map(_._3).toSeq
     assert(q0 == Seq(1L, 2L, 3L), s"query 0 neighbors: $q0")
   }
+
+  test("multi-probe candidates dominate single-bucket search rank-by-rank") {
+    // probing supersets the candidate pool, so at every (query, rank)
+    // the probe variant's cosine can only be >= the plain variant's
+    def ranks(name: String) =
+      SimilarityPack.queries(name)(spark, sf)
+        .select("query_id", "rank", "cos")
+        .as[(Long, Long, Double)].collect()
+        .map { case (q, r, c) => (q, r) -> c }.toMap
+    val plain = ranks("sim_ann_topk")
+    val probe = ranks("sim_ann_topk_probe")
+    assert(plain.nonEmpty, "plain ANN top-k empty at sf0.001 — vacuous test")
+    // every plain (query, rank) must exist in probe with cos >= plain
+    plain.foreach { case (qr, c) =>
+      assert(probe.contains(qr), s"probe lost rank $qr")
+      assert(probe(qr) >= c, s"probe cos regressed at $qr: ${probe(qr)} < $c")
+    }
+    assert(probe.size >= plain.size)
+  }
 }
