@@ -1,0 +1,37 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Unit edges of the multimodal stages the sf oracles can't reach:
+  * empty media bytes, resize clamping, and mime routing. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val s: org.apache.spark.sql.SparkSession = spark
+
+  test("extractFeatures: empty content yields a zero vector, not NaN") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/png", Array.emptyByteArray),
+      Multimodal.MediaRow(2L, "image/png", Array[Byte](0, 64, -1)))
+    val got = Multimodal.extractFeatures(media.toDS())
+      .collect().map(m => m.doc_id -> m.feature.toSeq).toMap
+    assert(got(1L) == Seq.fill(8)(0.0f))
+    // bytes 0, 64, 255 -> buckets 0, 2, 7; each 1/3
+    val t = (1.0 / 3).toFloat
+    assert(got(2L) == Seq(t, 0f, t, 0f, 0f, 0f, 0f, t))
+  }
+
+  test("resizePlan: downscale-only, aspect kept, min-1 clamp, images only") {
+    val meta = Seq(
+      Multimodal.MediaMeta(1L, "image/png", 10, 640, 120, 1),  // wide
+      Multimodal.MediaMeta(2L, "image/png", 10, 100, 100, 1),  // fits
+      Multimodal.MediaMeta(3L, "image/png", 10, 5000, 1, 1),   // clamp
+      Multimodal.MediaMeta(4L, "video/mp4", 10, 999, 999, 9))  // not image
+    val got = Multimodal.resizePlan(meta.toDS(), box = 224)
+      .collect().map(r => r.doc_id -> ((r.out_w, r.out_h))).toMap
+    assert(got == Map(
+      1L -> ((224, 42)),   // 640x120 -> fit 224 wide
+      2L -> ((100, 100)),  // already inside the box
+      3L -> ((224, 1))))   // height clamps to 1, never 0
+    assert(!got.contains(4L))
+  }
+}
