@@ -361,6 +361,25 @@ object QueryLayerPack extends QueryPack {
             .as("first_id"))
     }),
 
+    // Salted two-phase aggregation over a 3-hot-key input (SURVEY §4
+    // skew fallback, operators/Skew): l_returnflag has THREE distinct
+    // values, so a direct groupBy concentrates ~600 k rows on 3
+    // reducers however wide the cluster — the salt spreads each key
+    // over 32 partial groups first. Decimal accumulation keeps the
+    // two-phase result bit-equal to the direct aggregation, so the
+    // same oracle pins both the semantics and the exactness of the
+    // decomposition.
+    "q_salted_agg" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,4)").as("q"),
+          col("l_orderkey"))
+      Skew.saltedSum(li, Seq("l_returnflag"), spread = col("l_orderkey"),
+          sums = Seq("q"), salts = 32)
+        .select(col("l_returnflag"),
+          round(col("q"), 2).cast("double").as("sum_qty"))
+    }),
+
     // approx_count_distinct (HLL): algorithm-specific → rows-only
     // check; the exact variant is oracled in q22_cross_source.
     "q_approx_distinct" -> ((s, dir) =>
@@ -588,6 +607,12 @@ object QueryLayerPack extends QueryPack {
         |       (SELECT event_id FROM events WHERE event_id % 3 = 0) u
         |  ON t.event_id = u.event_id)
         |GROUP BY outcome""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "a3_group_to_map" ->
       """SELECT p_brand,
