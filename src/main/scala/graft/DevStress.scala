@@ -69,7 +69,8 @@ object DevStress {
         .select(col("doc_id") +: (0 until Hashing.NumPerms)
           .map(i => array_min(transform(col("hs"),
             h => Hashing.permuted(h, i))).as(s"mh$i")): _*))
-    time("simhash", DedupStressHelper.simhash(renamed))
+    time("simhash_fold", DedupStressHelper.simhash(renamed, native = false))
+    time("simhash_native", DedupStressHelper.simhash(renamed, native = true))
     time("exact_dedup",
       renamed.groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")), count(lit(1))))
@@ -145,14 +146,13 @@ object DevStress {
 private object DedupStressHelper {
   import org.apache.spark.sql.DataFrame
   import graft.functions.Hashing
-  def simhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+  def simhash(docs: DataFrame, native: Boolean): DataFrame = {
+    val hs = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         transform(array_distinct(col("toks")), t => Hashing.h32(t)).as("hs"))
-      .select(col("doc_id"),
-        (0 until 32).map { j =>
-          when(aggregate(col("hs"), lit(0L), (acc, h) =>
-            acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
-              .otherwise(-1L)) > 0, lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _).as("simhash"))
+    val bits =
+      if (native) graft.plans.SimHash32.simhash(col("hs"))
+      else graft.operators.DedupPack.simhashFold(col("hs"))
+    hs.select(col("doc_id"), bits.as("simhash"))
+  }
 }

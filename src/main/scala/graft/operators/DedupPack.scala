@@ -168,18 +168,26 @@ object DedupPack extends QueryPack {
   val SimHamCap = 3
 
   /** (doc_id, simhash) — the ds_simhash body, shared with the banded
-    * pair query. */
+    * pair query. The bit votes run through the codegen'd
+    * [[graft.plans.SimHash32]] (one pass over the hash array) instead
+    * of 32 interpreted folds that each re-walk it. */
   private def simhashed(s: SparkSession, dir: String): DataFrame =
     tokenized(s, dir)
       .select(col("doc_id"),
         transform(array_distinct(col("toks")),
           t => Hashing.h32(t)).as("hs"))
       .select(col("doc_id"),
-        (0 until 32).map { j =>
-          when(aggregate(col("hs"), lit(0L), (acc, h) =>
-            acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
-              .otherwise(-1L)) > 0, lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _).as("simhash"))
+        graft.plans.SimHash32.simhash(col("hs")).as("simhash"))
+
+  /** Interpreted 32-fold form of the simhash bit votes — kept as the
+    * differential reference for [[graft.plans.SimHash32]] (same role
+    * as Similarity.dotHof for FloatDot). */
+  def simhashFold(hs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 32).map { j =>
+      when(aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Shingles with df ≤ [[JaccardDfCap]] survive into the pair join.
     * 5 is exercised at sf0.01 (29 shingles dropped); at corpus scale

@@ -1,0 +1,109 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Codegen'd 32-bit SimHash over an array<long> of token hashes: ONE
+  * pass accumulating all 32 bit votes, replacing the 32 interpreted
+  * `aggregate(...)` higher-order folds of the expression form (each of
+  * which re-walks the whole array per row). Bit j of the result is set
+  * iff strictly more elements have bit j set than clear — identical to
+  * the fold form and to the DuckDB oracle's vote CTE, so the
+  * `ds_simhash` oracle is unchanged.
+  *
+  * NULL semantics: a null ARRAY yields null (standard unary-null
+  * propagation). A null ELEMENT votes −1 on every bit — exactly what
+  * the fold form's `when(shiftright(null,j)...).otherwise(-1)` does —
+  * so the two forms agree element-for-element (differentially tested
+  * in SimHash32Spec).
+  *
+  * Reference: the per-token hashing loop this summarizes is the dedup
+  * analog of bitcoinabuse/main.go:100's per-page token scan; SimHash
+  * itself is Charikar's similarity estimation (public algorithm).
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  private def elemsNullable: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      if (elemsNullable && xs.isNullAt(i)) {
+        var j = 0
+        while (j < 32) { votes(j) -= 1; j += 1 }
+      } else {
+        val h = xs.getLong(i)
+        var j = 0
+        while (j < 32) {
+          if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) {
+      if (votes(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val votes = ctx.freshName("votes")
+      val out = ctx.freshName("out")
+      val elemVote =
+        if (elemsNullable)
+          s"""if ($a.isNullAt($i)) {
+             |  for (int $j = 0; $j < 32; $j++) $votes[$j]--;
+             |} else {
+             |  long $h = $a.getLong($i);
+             |  for (int $j = 0; $j < 32; $j++) {
+             |    if ((($h >> $j) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;
+             |  }
+             |}""".stripMargin
+        else
+          s"""long $h = $a.getLong($i);
+             |for (int $j = 0; $j < 32; $j++) {
+             |  if ((($h >> $j) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;
+             |}""".stripMargin
+      s"""
+         |int $n = $a.numElements();
+         |int[] $votes = new int[32];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $elemVote
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 32; $j++) {
+         |  if ($votes[$j] > 0) $out |= 1L << $j;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash32 {
+  /** Column wrapper (classic API). Input must be array<long>. */
+  def simhash(hashes: Column): Column =
+    GraftShim.column(SimHash32(GraftShim.expression(hashes)))
+}

@@ -1,0 +1,51 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.functions.Hashing
+import graft.operators.DedupPack
+import org.apache.spark.sql.functions._
+
+/** The codegen'd SimHash32 against the interpreted 32-fold reference
+  * form — on real documents and on the edge inputs (null elements,
+  * empty array, null array) where the two could plausibly diverge. */
+class SimHash32Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("agrees with the fold form on real document token hashes") {
+    val hs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        transform(array_distinct(col("toks")), t => Hashing.h32(t)).as("hs"))
+    val both = hs.select(
+        SimHash32.simhash(col("hs")).as("native"),
+        DedupPack.simhashFold(col("hs")).as("fold"))
+      .as[(Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, f) => assert(n == f) }
+  }
+
+  test("null element votes -1 everywhere, like the fold; empty array = 0") {
+    val rows = Seq(
+      ("clean", Seq[java.lang.Long](3L, 3L, 1L)),
+      ("with_null", Seq[java.lang.Long](3L, null, 3L)),
+      ("empty", Seq.empty[java.lang.Long]))
+    val df = rows.toDF("label", "hs")
+    val got = df.select(col("label"),
+        SimHash32.simhash(col("hs")).as("native"),
+        DedupPack.simhashFold(col("hs")).as("fold"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    got.foreach { case (label, (n, f)) => assert(n == f, label) }
+    // votes for (3,3,1): bit0 3x+1 -> set; bit1 2x+1,1x-1 -> set
+    assert(got("clean")._1 == 3L)
+    // (3, null, 3): bit0 +1+1-1 -> set; bit1 +1-1+1 -> set
+    assert(got("with_null")._1 == 3L)
+    assert(got("empty")._1 == 0L)
+  }
+
+  test("null array propagates null (nullSafeEval contract)") {
+    val df = Seq(Tuple1(null.asInstanceOf[Seq[java.lang.Long]])).toDF("hs")
+    val r = df.select(SimHash32.simhash(col("hs"))).collect().head
+    assert(r.isNullAt(0))
+  }
+}
