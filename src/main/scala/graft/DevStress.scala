@@ -62,13 +62,14 @@ object DevStress {
     val renamed = spark.read.parquet("/tmp/stress_docs")
     import graft.functions.Hashing
     val toks = renamed.select(col("doc_id"), split(col("text"), " ").as("toks"))
-    time("minhash_signatures",
-      toks.select(col("doc_id"),
-          transform(Hashing.shingles(col("toks"), 3),
-            s2 => Hashing.h32(s2)).as("hs"))
-        .select(col("doc_id") +: (0 until Hashing.NumPerms)
-          .map(i => array_min(transform(col("hs"),
-            h => Hashing.permuted(h, i))).as(s"mh$i")): _*))
+    val hsFrame = toks.select(col("doc_id"),
+      transform(Hashing.shingles(col("toks"), 3),
+        s2 => Hashing.h32(s2)).as("hs"))
+    time("minhash_fold",
+      hsFrame.select(col("doc_id") +: DedupPack.sigFoldCols(col("hs")): _*))
+    time("minhash_native",
+      hsFrame.select(col("doc_id"),
+        graft.plans.MinHash8.sig(col("hs")).as("sig")))
     time("simhash_fold", DedupStressHelper.simhash(renamed, native = false))
     time("simhash_native", DedupStressHelper.simhash(renamed, native = true))
     time("exact_dedup",

@@ -30,19 +30,29 @@ object DedupPack extends QueryPack {
     Tables.documents(s, dir).select(col("doc_id"), toks.as("toks"))
 
   /** doc_id + minhash signature columns mh0..mh7. Staged projections:
-    * tokens → shingle hashes (ONE md5 per shingle) → 8 cheap
-    * arithmetic permutation-mins over the hash array. Docs shorter
-    * than one shingle are excluded (they have no signature — and the
-    * SQL oracle naturally omits them, so the Spark side must too). */
+    * tokens → shingle hashes (ONE md5 per shingle) → all 8
+    * permutation minima in ONE pass over the hash array via the
+    * codegen'd [[graft.plans.MinHash8]] (the 8 interpreted
+    * `array_min(transform(...))` projections it replaces each
+    * re-walked the array — kept as [[sigFoldCols]] for the
+    * differential spec). Docs shorter than one shingle are excluded
+    * (they have no signature — and the SQL oracle naturally omits
+    * them, so the Spark side must too). */
   private def signatures(s: SparkSession, dir: String): DataFrame =
     tokenized(s, dir)
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         transform(Hashing.shingles(col("toks"), 3),
           sh => Hashing.h32(sh)).as("hs"))
+      .select(col("doc_id"), graft.plans.MinHash8.sig(col("hs")).as("sig"))
       .select(col("doc_id") +: (0 until Hashing.NumPerms)
-        .map(i => array_min(transform(col("hs"),
-          h => Hashing.permuted(h, i))).as(s"mh$i")): _*)
+        .map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+
+  /** The interpreted per-permutation fold columns over a shingle-hash
+    * array — the differential reference for [[graft.plans.MinHash8]]. */
+  def sigFoldCols(hs: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    (0 until Hashing.NumPerms).map(i =>
+      array_min(transform(hs, h => Hashing.permuted(h, i))).as(s"mh$i"))
 
   /** MinHash-LSH candidate pairs (doc_a < doc_b): the shared input of
     * the grouping/apply queries. */

@@ -1,0 +1,101 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Codegen'd minhash signature over an array<long> of shingle hashes:
+  * ONE pass computing the minima of all `numPerms` universal-hash
+  * permutations h_i(x) = (x·(2i+1) + 7919i+1) mod p — replacing
+  * `numPerms` interpreted `array_min(transform(...))` projections
+  * that each re-walk the array. Identical arithmetic to
+  * [[graft.functions.Hashing.permuted]], so the DuckDB signature
+  * oracle is unchanged.
+  *
+  * NULL semantics match the fold form: null ELEMENTS are skipped
+  * (array_min ignores nulls); an EMPTY or all-null array yields a
+  * null signature (array_min of nothing is null). A null ARRAY
+  * propagates null.
+  */
+case class MinHash8(child: Expression, numPerms: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  private val p = graft.functions.Hashing.MinhashPrime
+
+  private def elemsNullable: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val mins = Array.fill(numPerms)(Long.MaxValue)
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!(elemsNullable && xs.isNullAt(i))) {
+        seen = true
+        val h = xs.getLong(i)
+        var j = 0
+        while (j < numPerms) {
+          val v = (h * (2L * j + 1) + (7919L * j + 1)) % p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!seen) null else new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val mins = ctx.freshName("mins")
+      val seen = ctx.freshName("seen")
+      val skipNull =
+        if (elemsNullable) s"if ($a.isNullAt($i)) continue;" else ""
+      s"""
+         |int $n = $a.numElements();
+         |long[] $mins = new long[$numPerms];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |boolean $seen = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $skipNull
+         |  $seen = true;
+         |  long $h = $a.getLong($i);
+         |  for (int $j = 0; $j < $numPerms; $j++) {
+         |    long $v = ($h * (2L * $j + 1) + (7919L * $j + 1)) % ${p}L;
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
+         |  }
+         |}
+         |if (!$seen) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHash8 {
+  /** Column wrapper: array<long> shingle hashes → array<long> of
+    * `numPerms` permutation minima. */
+  def sig(hashes: Column,
+          numPerms: Int = graft.functions.Hashing.NumPerms): Column =
+    GraftShim.column(MinHash8(GraftShim.expression(hashes), numPerms))
+}

@@ -1,0 +1,48 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.functions.Hashing
+import graft.operators.DedupPack
+import org.apache.spark.sql.functions._
+
+/** The codegen'd one-pass MinHash8 against the 8 interpreted
+  * per-permutation folds, on real shingle hashes and edge inputs. */
+class MinHash8Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("agrees with the per-permutation fold columns on real shingles") {
+    val hs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        transform(Hashing.shingles(col("toks"), 3),
+          sh => Hashing.h32(sh)).as("hs"))
+    val native = hs.select(col("doc_id"),
+        MinHash8.sig(col("hs")).as("sig"))
+      .select(col("doc_id") +: (0 until Hashing.NumPerms)
+        .map(i => element_at(col("sig"), i + 1)): _*)
+      .collect().map(_.toSeq).toSet
+    val fold = hs.select(col("doc_id") +: DedupPack.sigFoldCols(col("hs")): _*)
+      .collect().map(_.toSeq).toSet
+    assert(native == fold && native.nonEmpty)
+  }
+
+  test("null elements skipped; empty and all-null arrays yield null") {
+    val rows = Seq(
+      ("mixed", Seq[java.lang.Long](100L, null, 7L)),
+      ("empty", Seq.empty[java.lang.Long]),
+      ("all_null", Seq[java.lang.Long](null, null)))
+    val df = rows.toDF("label", "hs")
+    val got = df.select(col("label"), MinHash8.sig(col("hs")).as("sig"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("empty").isEmpty && got("all_null").isEmpty)
+    // mixed: mins over {100, 7} per permutation — matches the fold
+    val fold = df.filter(col("label") === "mixed")
+      .select(DedupPack.sigFoldCols(col("hs")): _*).collect().head.toSeq
+    val native = df.filter(col("label") === "mixed")
+      .select((0 until Hashing.NumPerms)
+        .map(i => element_at(MinHash8.sig(col("hs")), i + 1)): _*)
+      .collect().head.toSeq
+    assert(native == fold)
+  }
+}
