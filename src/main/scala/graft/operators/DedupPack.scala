@@ -156,6 +156,35 @@ object DedupPack extends QueryPack {
         .join(losers, Seq("doc_id"), "left_anti")
     }),
 
+    // The at-scale composition SCALE.md prescribes: LSH candidates
+    // FIRST (bounded equi-join), exact Jaccard verification only on
+    // those pairs — so the quadratic-risk shingle self-join never
+    // runs over the corpus, and no DF cap is needed (the candidate
+    // set, not the shingle universe, bounds the work). Full hashed
+    // shingle sets, threshold 0.5.
+    "ds_lsh_jaccard_verify" -> ((s, dir) => {
+      val cand = candidatePairs(s, dir)
+      val sh = tokenized(s, dir)
+        .select(col("doc_id"),
+          explode(transform(Hashing.shingles(col("toks"), 3),
+            s2 => Hashing.h32(s2))).as("shingle"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val shared = cand
+        .join(sh.alias("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.alias("sb"), col("doc_b") === col("sb.doc_id") &&
+          col("sa.shingle") === col("sb.shingle"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.alias("za"), col("doc_a") === col("za.doc_id"))
+        .join(sizes.alias("zb"), col("doc_b") === col("zb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          graft.Det.dround(col("shared").cast("double") /
+            (col("za.sz") + col("zb.sz") - col("shared")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    }),
+
     // N-gram (3-token shingle) Jaccard near-dup pairs, fully
     // relational: distinct (doc, shingle-HASH) self-join → shared
     // counts → |A∩B| / (|A|+|B|-|A∩B|). Shingles are identified by
@@ -305,6 +334,29 @@ object DedupPack extends QueryPack {
 
     // the star-alternation engine path must land on the SAME map
     "ds_dup_groups_star" -> dupGroupsSql,
+
+    // hh in sigCte is the hashed shingle multiset; DISTINCT it for
+    // the set Jaccard over the LSH candidate pairs
+    "ds_lsh_jaccard_verify" ->
+      s"""$sigCte,
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key
+         |          AND a.doc_id < b.doc_id),
+         |shd AS (SELECT DISTINCT doc_id, h FROM hh),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+         |shared AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
+         |           FROM cand c
+         |           JOIN shd a ON a.doc_id = c.doc_a
+         |           JOIN shd b ON b.doc_id = c.doc_b AND b.h = a.h
+         |           GROUP BY c.doc_a, c.doc_b)
+         |SELECT doc_a, doc_b,
+         |       floor((CAST(shared AS DOUBLE) / (za.sz + zb.sz - shared)) * 1e4 + 0.5) / 1e4 AS jaccard
+         |FROM shared
+         |JOIN sizes za ON doc_a = za.doc_id
+         |JOIN sizes zb ON doc_b = zb.doc_id
+         |WHERE floor((CAST(shared AS DOUBLE) / (za.sz + zb.sz - shared)) * 1e4 + 0.5) / 1e4 >= 0.5""".stripMargin,
 
     "ds_dedup_apply" ->
       s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
