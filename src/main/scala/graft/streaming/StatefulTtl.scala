@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The reference's 12 h seen-cache with its TRUE sequential semantics,
+  * as custom streaming state (`flatMapGroupsWithState` — SURVEY §2
+  * I-rows' stateful form).
+  *
+  * bitcoinabuse/main.go:43-45,218-221 keeps `seen[addr] = time` and
+  * skips an address seen less than TTL ago, updating the time only
+  * when it PROCESSES — so suppression chains from the last ACCEPTED
+  * sighting. That accepted-chain semantics is genuinely stateful:
+  *  - `dropDuplicatesWithinWatermark` dedups exact keys in a window;
+  *  - `Merge.ttlDedup` (batch) suppresses on ANY earlier sighting in
+  *    the window — a sighting that was itself suppressed still
+  *    suppresses its successors;
+  *  - here, only accepted sightings arm the timer: 23:00 accepted,
+  *    01:00 suppressed, 11:30 ACCEPTED (≥ 12 h after 23:00 — the
+  *    batch form would drop it because of the 01:00 sighting).
+  *
+  * Scale/state story: one `(key → last-accepted millis)` entry per
+  * live key, evicted by `EventTimeTimeout` once the watermark passes
+  * last-accepted + TTL — state is bounded by the number of keys
+  * active inside one TTL window, not history. Within a micro-batch
+  * the group iterator is unordered, so the batch's sightings are
+  * sorted by event time before the fold — cross-batch order is the
+  * stream's own arrival order, exactly like the reference's loop.
+  */
+object StatefulTtl {
+
+  case class Sighting(user_id: Long, ts: Timestamp)
+
+  def ttlDedupStream(sightings: Dataset[Sighting], hours: Int,
+                     watermarkDelay: String = "1 hour"): Dataset[Sighting] = {
+    val s = sightings.sparkSession
+    import s.implicits._
+    val gapMs = hours * 3600L * 1000L
+    sightings
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (_: Long, batch: Iterator[Sighting], state: GroupState[Long]) => {
+          if (state.hasTimedOut) {
+            // watermark passed last-accepted + TTL: no future sighting
+            // can be suppressed by this entry — evict
+            state.remove()
+            Iterator.empty
+          } else {
+            var last: Option[Long] = state.getOption
+            val accepted = batch.toVector.sortBy(_.ts.getTime).flatMap { x =>
+              val t = x.ts.getTime
+              if (last.forall(l => t - l >= gapMs)) { last = Some(t); Some(x) }
+              else None
+            }
+            last.foreach { l =>
+              state.update(l)
+              // never set a timeout at-or-behind the watermark: late
+              // batches would otherwise throw; clamp forward one tick
+              val floor = Option(state.getCurrentWatermarkMs()).getOrElse(0L)
+              state.setTimeoutTimestamp(math.max(l + gapMs, floor + 1))
+            }
+            accepted.iterator
+          }
+        })
+  }
+}

@@ -32,6 +32,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState TTL: suppression chains from ACCEPTED sightings across batches") {
+    val ms = MemoryStream[(Long, Timestamp)]
+    val in = ms.toDF().toDF("user_id", "ts")
+      .as[StatefulTtl.Sighting]
+    val q = StatefulTtl.ttlDedupStream(in, hours = 12)
+      .writeStream.format("memory").queryName("ttl_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: 23:00 accepted; 23:30 suppressed (30 min after accept)
+      ms.addData((1L, ts("2024-01-01 23:00:00")), (1L, ts("2024-01-01 23:30:00")))
+      q.processAllAvailable()
+      // batch 2 (state crosses the micro-batch boundary):
+      // 01:00 suppressed (2 h after the ACCEPTED 23:00);
+      // 11:30 ACCEPTED — 12.5 h after 23:00; the suppressed 01:00 does
+      // NOT arm the timer (the batch any-sighting form would drop it);
+      // other key unaffected
+      ms.addData((1L, ts("2024-01-02 01:00:00")),
+        (1L, ts("2024-01-02 11:30:00")),
+        (2L, ts("2024-01-02 01:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("ttl_out").as[(Long, Timestamp)]
+        .collect().toSet
+      assert(got == Set(
+        (1L, ts("2024-01-01 23:00:00")),
+        (1L, ts("2024-01-02 11:30:00")),
+        (2L, ts("2024-01-02 01:00:00"))), s"got $got")
+      // and the batch form differs exactly where documented: 11:30 is
+      // dropped there because the suppressed 01:00 still suppresses
+      val batchForm = graft.operators.Merge.ttlDedup(
+          spark.table("ttl_out").sparkSession
+            .createDataset(Seq(
+              StatefulTtl.Sighting(1L, ts("2024-01-01 23:00:00")),
+              StatefulTtl.Sighting(1L, ts("2024-01-02 01:00:00")),
+              StatefulTtl.Sighting(1L, ts("2024-01-02 11:30:00")))).toDF(),
+          "user_id", "ts", 12)
+        .as[(Long, Timestamp)].collect().toSet
+      assert(batchForm == Set((1L, ts("2024-01-01 23:00:00"))))
+    } finally q.stop()
+  }
+
   test("tumbling window counts in streaming mode match the batch plan") {
     val ms = MemoryStream[(Timestamp, String)]
     val df = ms.toDF().toDF("ts", "event_type")
