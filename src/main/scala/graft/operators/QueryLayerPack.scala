@@ -310,6 +310,30 @@ object QueryLayerPack extends QueryPack {
           col("matched").as("click_id"))
     }),
 
+    // As-of join (FORWARD): each purchase matched to the user's
+    // EARLIEST click at-or-after it — same union + ordered-window
+    // shape as the backward form (one shuffle, no range join). At
+    // equal timestamps the purchase sorts BEFORE clicks (tag 0 < 1)
+    // so a same-instant click counts as "at-or-after".
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(0).as("tag"),
+          col("event_id"), lit(null).cast("long").as("click_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("tag"),
+          col("event_id"), col("event_id").as("click_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      purchases.unionByName(clicks)
+        .withColumn("matched",
+          first(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 0)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("matched").as("click_id"))
+    }),
+
     // A2 (running upsert counters, chainabuse/main.py:58-60,92-94):
     // merge-outcome classification + counts as a post-merge agg.
     "a2_merge_counters" -> ((s, dir) => {
@@ -578,6 +602,22 @@ object QueryLayerPack extends QueryPack {
         |    SELECT user_id, CAST(ts AS TIMESTAMP), 1, event_id, NULL
         |    FROM events WHERE event_type = 'purchase'))
         |WHERE tag = 1""".stripMargin,
+
+    "q_asof_forward" ->
+      """SELECT event_id AS purchase_id, user_id, click_id FROM (
+        |  SELECT user_id, tag, event_id,
+        |         first_value(click_id IGNORE NULLS) OVER (
+        |           PARTITION BY user_id
+        |           ORDER BY ts, tag, event_id
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS click_id
+        |  FROM (
+        |    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, 0 AS tag,
+        |           event_id, NULL AS click_id
+        |    FROM events WHERE event_type = 'purchase'
+        |    UNION ALL
+        |    SELECT user_id, CAST(ts AS TIMESTAMP), 1, event_id, event_id
+        |    FROM events WHERE event_type = 'click'))
+        |WHERE tag = 0""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,
