@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryPack, Tables}
 import graft.sources.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Driver-facing multimodal queries. The decode is a deterministic
   * stub (see [[graft.sources.Multimodal.FakeCodec]]), so the oracle
@@ -39,8 +40,64 @@ object MultimodalPack extends QueryPack {
       implicit val sp: SparkSession = s
       Multimodal.extractFeatures(
         Multimodal.mediaFromDocuments(Tables.documents(s, dir))).toDF()
+    }),
+
+    // ...and the bridge driven END-TO-END: media bytes → feature
+    // vectors → cosine top-3 per query through the similarity
+    // machinery (same broadcast brute-force shape as sim_cosine_topk,
+    // 8-dim vectors). The claim "features feed the sim_* operators"
+    // as a pinned query, not a comment.
+    "mm_feature_topk" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import graft.functions.Similarity
+      val v = Multimodal.extractFeatures(
+          Multimodal.mediaFromDocuments(Tables.documents(s, dir))).toDF()
+        .select(col("doc_id"), col("feature"),
+          Similarity.norm(col("feature")).as("nrm"))
+      val q = v.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("feature").as("qf"),
+          col("nrm").as("qn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("doc_id"))
+      v.crossJoin(broadcast(q))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          (Similarity.dot(col("qf"), col("feature"))
+            / (col("qn") * col("nrm"))).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          graft.Det.dround(col("cos"), 6).as("cos"))
     })
   )
+
+  /** The mm_feature_extract oracle body, reused as a CTE by the
+    * feature-topk oracle. */
+  private val featureCte =
+    """chars AS (SELECT doc_id, ascii(tc) // 32 AS bkt
+      |  FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS tc
+      |        FROM documents)
+      |  WHERE tc <> ''),
+      |counts AS (SELECT doc_id, bkt, count(*) AS c
+      |           FROM chars GROUP BY doc_id, bkt),
+      |grid AS (SELECT d.doc_id, g.d FROM documents d,
+      |         UNNEST(generate_series(0, 7)) AS g(d)),
+      |j AS (SELECT grid.doc_id, grid.d, COALESCE(counts.c, 0) AS c
+      |      FROM grid LEFT JOIN counts
+      |        ON grid.doc_id = counts.doc_id AND grid.d = counts.bkt),
+      |n AS (SELECT doc_id, greatest(strlen(text), 1) AS n FROM documents),
+      |feats AS (SELECT j.doc_id AS doc_id,
+      |       list(CAST(j.c / CAST(n.n AS DOUBLE) AS FLOAT)
+      |            ORDER BY j.d) AS feature
+      |FROM j JOIN n ON j.doc_id = n.doc_id
+      |GROUP BY j.doc_id)""".stripMargin
+
+  private def fDot(a: String, b: String): String =
+    s"list_reduce(list_transform($a, (x, i) -> CAST(x AS DOUBLE) * CAST($b[i] AS DOUBLE)), (p, q) -> p + q)"
+
+  private def fCos(a: String, b: String): String =
+    s"(${fDot(a, b)} / (sqrt(${fDot(a, a)}) * sqrt(${fDot(b, b)})))"
 
   override def oracles: Map[String, String] = Map(
     // strlen = BYTE length in DuckDB, matching the Spark side's
@@ -78,26 +135,25 @@ object MultimodalPack extends QueryPack {
 
     // the corpus is ASCII (verified at all SFs), so a per-CHAR code
     // histogram in SQL equals the Spark side's per-BYTE histogram
-    // the tc <> '' guard covers empty documents: string_split_regex
-    // of '' yields [''] with ascii 0, which would fabricate a bucket-0
-    // count the Spark byte loop (0 iterations) never sees
+    // the tc <> '' guard (inside featureCte) covers empty documents:
+    // string_split_regex of '' yields [''] with ascii 0, which would
+    // fabricate a bucket-0 count the Spark byte loop never sees
     "mm_feature_extract" ->
-      """WITH chars AS (SELECT doc_id, ascii(tc) // 32 AS bkt
-        |  FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS tc
-        |        FROM documents)
-        |  WHERE tc <> ''),
-        |counts AS (SELECT doc_id, bkt, count(*) AS c
-        |           FROM chars GROUP BY doc_id, bkt),
-        |grid AS (SELECT d.doc_id, g.d FROM documents d,
-        |         UNNEST(generate_series(0, 7)) AS g(d)),
-        |j AS (SELECT grid.doc_id, grid.d, COALESCE(counts.c, 0) AS c
-        |      FROM grid LEFT JOIN counts
-        |        ON grid.doc_id = counts.doc_id AND grid.d = counts.bkt),
-        |n AS (SELECT doc_id, greatest(strlen(text), 1) AS n FROM documents)
-        |SELECT j.doc_id AS doc_id,
-        |       list(CAST(j.c / CAST(n.n AS DOUBLE) AS FLOAT)
-        |            ORDER BY j.d) AS feature
-        |FROM j JOIN n ON j.doc_id = n.doc_id
-        |GROUP BY j.doc_id""".stripMargin
+      s"""WITH $featureCte
+         |SELECT doc_id, feature FROM feats""".stripMargin,
+
+    "mm_feature_topk" ->
+      s"""WITH $featureCte
+         |SELECT query_id, rank, doc_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos
+         |FROM (
+         |  SELECT q.doc_id AS query_id, v.doc_id,
+         |         ${fCos("q.feature", "v.feature")} AS cos,
+         |         row_number() OVER (PARTITION BY q.doc_id
+         |           ORDER BY ${fCos("q.feature", "v.feature")} DESC,
+         |                    v.doc_id) AS rank
+         |  FROM (SELECT * FROM feats WHERE doc_id < 10) q
+         |  CROSS JOIN feats v
+         |  WHERE v.doc_id <> q.doc_id)
+         |WHERE rank <= 3""".stripMargin
   )
 }
