@@ -35,6 +35,17 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  // ---- SQL mirrors (DuckDB) of the fold forms ----
+
+  /** DuckDB dot product with the same strict left-to-right double
+    * fold as [[dot]] — the single source of the cross-engine parity
+    * formula (used by every similarity oracle). */
+  def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform($a, (x, i) -> CAST(x AS DOUBLE) * CAST($b[i] AS DOUBLE)), (p, q) -> p + q)"
+
+  def sqlCos(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+
   // ---- deterministic random-hyperplane LSH ----
 
   /** Banded LSH: `NumBands` independent hyperplane tables, each keyed

@@ -50,10 +50,13 @@ object MultimodalPack extends QueryPack {
     "mm_feature_topk" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import graft.functions.Similarity
+      // zero-vector features (empty media) would make every cosine
+      // NaN and float to rank 1 — excluded on BOTH engine sides
       val v = Multimodal.extractFeatures(
           Multimodal.mediaFromDocuments(Tables.documents(s, dir))).toDF()
         .select(col("doc_id"), col("feature"),
           Similarity.norm(col("feature")).as("nrm"))
+        .filter(col("nrm") > 0)
       val q = v.filter(col("doc_id") < 10)
         .select(col("doc_id").as("query_id"), col("feature").as("qf"),
           col("nrm").as("qn"))
@@ -94,10 +97,10 @@ object MultimodalPack extends QueryPack {
       |GROUP BY j.doc_id)""".stripMargin
 
   private def fDot(a: String, b: String): String =
-    s"list_reduce(list_transform($a, (x, i) -> CAST(x AS DOUBLE) * CAST($b[i] AS DOUBLE)), (p, q) -> p + q)"
+    graft.functions.Similarity.sqlDot(a, b)
 
   private def fCos(a: String, b: String): String =
-    s"(${fDot(a, b)} / (sqrt(${fDot(a, a)}) * sqrt(${fDot(b, b)})))"
+    graft.functions.Similarity.sqlCos(a, b)
 
   override def oracles: Map[String, String] = Map(
     // strlen = BYTE length in DuckDB, matching the Spark side's
@@ -143,7 +146,9 @@ object MultimodalPack extends QueryPack {
          |SELECT doc_id, feature FROM feats""".stripMargin,
 
     "mm_feature_topk" ->
-      s"""WITH $featureCte
+      s"""WITH $featureCte,
+         |nz AS (SELECT doc_id, feature FROM feats
+         |       WHERE sqrt(${fDot("feature", "feature")}) > 0)
          |SELECT query_id, rank, doc_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos
          |FROM (
          |  SELECT q.doc_id AS query_id, v.doc_id,
@@ -151,8 +156,8 @@ object MultimodalPack extends QueryPack {
          |         row_number() OVER (PARTITION BY q.doc_id
          |           ORDER BY ${fCos("q.feature", "v.feature")} DESC,
          |                    v.doc_id) AS rank
-         |  FROM (SELECT * FROM feats WHERE doc_id < 10) q
-         |  CROSS JOIN feats v
+         |  FROM (SELECT * FROM nz WHERE doc_id < 10) q
+         |  CROSS JOIN nz v
          |  WHERE v.doc_id <> q.doc_id)
          |WHERE rank <= 3""".stripMargin
   )

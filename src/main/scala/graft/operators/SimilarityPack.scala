@@ -240,12 +240,11 @@ object SimilarityPack extends QueryPack {
   }
 
   /** Shared SQL fragments (dot/cosine as sequential list folds —
-    * bit-identical to the Spark expressions). */
-  private def sqlDot(a: String, b: String): String =
-    s"list_reduce(list_transform($a, (x, i) -> CAST(x AS DOUBLE) * CAST($b[i] AS DOUBLE)), (p, q) -> p + q)"
+    * bit-identical to the Spark expressions; single source in
+    * [[graft.functions.Similarity.sqlDot]]). */
+  private def sqlDot(a: String, b: String): String = Similarity.sqlDot(a, b)
 
-  private def sqlCos(a: String, b: String): String =
-    s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+  private def sqlCos(a: String, b: String): String = Similarity.sqlCos(a, b)
 
   private val planesCte =
     s"""planes AS (SELECT j, d,

@@ -59,7 +59,7 @@ object StatefulTtl {
               state.update(l)
               // never set a timeout at-or-behind the watermark: late
               // batches would otherwise throw; clamp forward one tick
-              val floor = Option(state.getCurrentWatermarkMs()).getOrElse(0L)
+              val floor = state.getCurrentWatermarkMs()
               state.setTimeoutTimestamp(math.max(l + gapMs, floor + 1))
             }
             accepted.iterator
