@@ -50,41 +50,50 @@ object Components {
     def mat(df: DataFrame): DataFrame =
       if (reliable) { df.persist(); persisted += df; df.checkpoint(eager = false) }
       else df.localCheckpoint(eager = false)
-    val edges = mat(pairs.select(col(a).as("src"), col(b).as("dst"))
-      .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
-      .distinct())
-    // seed with the first neighbor-min pass (saves one iteration):
-    // comp0 = min(node, min neighbor)
-    var labels = mat(edges
-      .groupBy(col("src"))
-      .agg(least(col("src"), min(col("dst"))).as("comp"))
-      .withColumnRenamed("src", "node"))
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIter) {
-      it += 1
-      val neighborMin = edges
-        .join(labels, col("dst") === col("node"))
-        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
-      // convergence flag computed IN the same pass — no extra join
-      val next = mat(labels
-        .join(neighborMin, col("node") === col("src"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("changed")))
-      // the single per-iteration action: materializes `next`'s
-      // checkpoint and yields the changed count in the same job
-      converged = next.filter(col("changed")).count() == 0
-      labels = next.drop("changed")
+    // A cache exists ONLY to feed its frame's checkpoint write; once an
+    // action has materialized the checkpoints fed so far, those caches
+    // are dead (the checkpointed frame reads its files, not the cache)
+    // — drop them per-iteration instead of accumulating to the end.
+    // The finally covers the no-fixpoint throw and mid-job failures,
+    // so an aborted loop never leaks block-manager entries.
+    def dropFed(): Unit = {
+      persisted.foreach(_.unpersist(blocking = false)); persisted.clear()
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents: no fixpoint after $maxIter iterations — " +
-          "refusing to return a partially-propagated labeling")
-    // every frame is checkpoint-backed now; the caches only existed to
-    // feed the checkpoint writes without lineage recomputation
-    persisted.foreach(_.unpersist(blocking = false))
-    labels.select(col("node"), col("comp").as("rep"))
+    try {
+      val edges = mat(pairs.select(col(a).as("src"), col(b).as("dst"))
+        .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
+        .distinct())
+      // seed with the first neighbor-min pass (saves one iteration):
+      // comp0 = min(node, min neighbor)
+      var labels = mat(edges
+        .groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("comp"))
+        .withColumnRenamed("src", "node"))
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIter) {
+        it += 1
+        val neighborMin = edges
+          .join(labels, col("dst") === col("node"))
+          .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+        // convergence flag computed IN the same pass — no extra join
+        val next = mat(labels
+          .join(neighborMin, col("node") === col("src"), "left")
+          .select(col("node"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+            (coalesce(col("ncomp"), col("comp")) < col("comp")).as("changed")))
+        // the single per-iteration action: materializes `next`'s
+        // checkpoint and yields the changed count in the same job
+        converged = next.filter(col("changed")).count() == 0
+        dropFed()
+        labels = next.drop("changed")
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents: no fixpoint after $maxIter iterations — " +
+            "refusing to return a partially-propagated labeling")
+      labels.select(col("node"), col("comp").as("rep"))
+    } finally dropFed()
   }
 
   /** Large-star/small-star connected components (Kiveris et al.,
@@ -110,6 +119,11 @@ object Components {
     def mat(df: DataFrame): DataFrame =
       if (reliable) { df.persist(); persisted += df; df.checkpoint(eager = false) }
       else df.localCheckpoint(eager = false)
+    // see connectedComponents.dropFed: caches feed checkpoint writes
+    // only; drop them once materialized, and always on abort
+    def dropFed(): Unit = {
+      persisted.foreach(_.unpersist(blocking = false)); persisted.clear()
+    }
 
     // full-neighborhood view. `dedup` is needed only when the input
     // can hold duplicates (largeStar output); the canonical u > v
@@ -146,37 +160,39 @@ object Components {
     // ONE materialization of the (possibly expensive) input keeps
     // self-rows, and both the edge frame and the node universe are
     // cheap derivations of that checkpoint.
-    val base = mat(pairs.select(
-      greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
-      .distinct())
-    val nodes = base.select(col("u").as("node"))
-      .unionByName(base.select(col("v").as("node"))).distinct()
-    var edges = base.filter(col("u") =!= col("v"))
-    var prevCount = edges.count()
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIter) {
-      it += 1
-      val next = mat(smallStar(sym(largeStar(sym(edges, dedup = false)),
-        dedup = true)))
-      // exact fixpoint test: same cardinality (carried over from the
-      // previous round — no recount of `edges`) and nothing new
-      val nNext = next.count()
-      converged = nNext == prevCount &&
-        next.exceptAll(edges).limit(1).count() == 0
-      prevCount = nNext
-      edges = next
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"largeSmallStar: no fixpoint after $maxIter rounds")
-    // fixpoint is a star forest: (child → root) edges. rep(child) =
-    // root; every other node (roots, self-pair-only nodes) = itself.
-    val result = nodes
-      .join(edges.select(col("u").as("node"), col("v").as("rep")),
-        Seq("node"), "left")
-      .select(col("node"), coalesce(col("rep"), col("node")).as("rep"))
-    persisted.foreach(_.unpersist(blocking = false))
-    result
+    try {
+      val base = mat(pairs.select(
+        greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
+        .distinct())
+      val nodes = base.select(col("u").as("node"))
+        .unionByName(base.select(col("v").as("node"))).distinct()
+      var edges = base.filter(col("u") =!= col("v"))
+      var prevCount = edges.count()
+      dropFed()
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIter) {
+        it += 1
+        val next = mat(smallStar(sym(largeStar(sym(edges, dedup = false)),
+          dedup = true)))
+        // exact fixpoint test: same cardinality (carried over from the
+        // previous round — no recount of `edges`) and nothing new
+        val nNext = next.count()
+        dropFed()
+        converged = nNext == prevCount &&
+          next.exceptAll(edges).limit(1).count() == 0
+        prevCount = nNext
+        edges = next
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"largeSmallStar: no fixpoint after $maxIter rounds")
+      // fixpoint is a star forest: (child → root) edges. rep(child) =
+      // root; every other node (roots, self-pair-only nodes) = itself.
+      nodes
+        .join(edges.select(col("u").as("node"), col("v").as("rep")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("rep"), col("node")).as("rep"))
+    } finally dropFed()
   }
 }

@@ -130,7 +130,11 @@ object ExtractPack extends QueryPack {
     "a3b_walletexplorer_e2e" -> ((s, dir) =>
       graft.pipelines.WalletExplorer.endToEnd(
         graft.pipelines.WalletExplorer.syntheticHome(
-          Tables.part(s, dir))))
+          Tables.part(s, dir)))
+        // pandas-harness cannot hash array cells: serialize the
+        // already-sorted wallet list to one canonical scalar (the
+        // array form stays under PipelinesSpec)
+        .withColumn("wallets", array_join(col("wallets"), "|")))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -203,7 +207,8 @@ object ExtractPack extends QueryPack {
         |FROM events""".stripMargin,
 
     "a3b_walletexplorer_e2e" ->
-      """SELECT wallet_type, list(wallet_name ORDER BY wallet_name) AS wallets
+      """SELECT wallet_type,
+        |       string_agg(wallet_name, '|' ORDER BY wallet_name) AS wallets
         |FROM (SELECT DISTINCT lower(p_brand) AS wallet_type,
         |             replace(p_type, ' ', '_') AS wallet_name
         |      FROM part)

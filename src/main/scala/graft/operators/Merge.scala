@@ -72,10 +72,15 @@ object Merge {
                     keys: Seq[String]): DataFrame =
     incoming.join(seen, keys, "left_anti")
 
-  /** F1 exact form: rolling-TTL dedup — keep a sighting iff no other
-    * sighting of the same key falls in the preceding `hours` hours
-    * (bitcoinabuse/main.go:43-45's 12 h seen-cache, without the
-    * calendar-day coarsening of [[antiJoinDedup]] at (key, day)).
+  /** F1 windowed/any-sighting form: rolling-TTL dedup — keep a
+    * sighting iff no other sighting of the same key falls in the
+    * preceding `hours` hours (finer than [[antiJoinDedup]]'s
+    * (key, day) coarsening, but deliberately NOT the reference's
+    * exact semantics: bitcoinabuse/main.go:43-45's ttlcache records
+    * only ACCEPTED sightings — a suppressed sighting doesn't extend
+    * the window there, while any earlier sighting suppresses here.
+    * The reference-exact accepted-chain semantics is
+    * [[graft.streaming.StatefulTtl.ttlDedupStream]]).
     * One shuffle on the key + an ordered window: only the
     * immediately-previous DISTINCT timestamp can violate the TTL
     * window, so lag() decides it — no range self-join (which is

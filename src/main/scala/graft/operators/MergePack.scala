@@ -58,6 +58,16 @@ object MergePack extends QueryPack {
         .select((col("doc_id") % 300).cast("string").as("addr"),
           col("lang").as("name"), lit("docs").as("src")))
       Merge.labelUnionArrays(fromEvents, fromDocs, "addr", "labels")
+        // The driver's harness hashes result cells via pandas, which
+        // cannot sort/hash array cells — serialize the sorted struct
+        // array into ONE canonical scalar ("name|src;name|src;…").
+        // The array_union-on-structs semantics stay fully pinned: the
+        // encoding is order-preserving and lossless for this data, and
+        // the raw array form remains under MergeSpec/TypedLabelsSpec.
+        .select(col("addr"),
+          array_join(transform(col("labels"),
+            x => concat(x.getField("name"), lit("|"), x.getField("src"))),
+            ";").as("labels"))
     }),
 
     // M3 (upsert by node.id, chainabuse/main.py:83-89): last-writer-
@@ -149,9 +159,10 @@ object MergePack extends QueryPack {
 
     // NULLS FIRST matches Spark's sort_array struct-field comparator
     // (ascending, nulls first) — inert for the current non-null data,
-    // load-bearing the day a null label name appears
+    // load-bearing the day a null label name appears. string_agg over
+    // the same ordering replays the Spark side's scalar serialization.
     "m2b_label_arrays" ->
-      """SELECT addr, list(struct_pack(name := name, src := src)
+      """SELECT addr, string_agg(name || '|' || src, ';'
         |                  ORDER BY name NULLS FIRST, src NULLS FIRST) AS labels
         |FROM (SELECT DISTINCT addr, name, src FROM (
         |  SELECT CAST(user_id AS VARCHAR) AS addr, event_type AS name,

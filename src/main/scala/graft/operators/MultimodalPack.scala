@@ -36,10 +36,19 @@ object MultimodalPack extends QueryPack {
 
     // byte-histogram feature vectors — the multimodal→embedding
     // bridge; unlike the decode stub this reads the actual bytes.
+    // Emitted in flat (doc_id, dim, value) form: the driver's pandas
+    // harness cannot hash array cells, and serializing floats to
+    // strings risks formatting divergence — exploding keeps the
+    // compare bit-exact. The array form itself is consumed (and so
+    // still pinned) by mm_feature_topk and MultimodalSpec.
     "mm_feature_extract" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.extractFeatures(
         Multimodal.mediaFromDocuments(Tables.documents(s, dir))).toDF()
+        .select(col("doc_id"),
+          posexplode(col("feature")).as(Seq("dim", "value")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"),
+          col("value"))
     }),
 
     // ...and the bridge driven END-TO-END: media bytes → feature
@@ -143,7 +152,9 @@ object MultimodalPack extends QueryPack {
     // fabricate a bucket-0 count the Spark byte loop never sees
     "mm_feature_extract" ->
       s"""WITH $featureCte
-         |SELECT doc_id, feature FROM feats""".stripMargin,
+         |SELECT j.doc_id AS doc_id, CAST(j.d AS BIGINT) AS dim,
+         |       CAST(j.c / CAST(n.n AS DOUBLE) AS FLOAT) AS value
+         |FROM j JOIN n ON j.doc_id = n.doc_id""".stripMargin,
 
     "mm_feature_topk" ->
       s"""WITH $featureCte,

@@ -3,11 +3,15 @@ package graft.operators
 import graft.SparkSpec
 import java.sql.Timestamp
 
-/** Exact rolling 12 h TTL dedup (Merge.ttlDedup) — the semantics the
-  * day-granularity anti-join coarsens: cross-midnight suppression,
-  * strict-interior window boundary, and suppressed-but-still-seen
-  * sightings (the NOT EXISTS is over ALL sightings, matching the
-  * reference's seen-cache which records every processed timestamp).
+/** Rolling 12 h TTL dedup (Merge.ttlDedup) — the windowed/any-sighting
+  * form: cross-midnight suppression (which the day-granularity
+  * anti-join coarsens away), strict-interior window boundary, and a
+  * NOT-EXISTS over ALL sightings. Note this is a deliberate batch
+  * approximation: the reference's ttlcache (bitcoinabuse/main.go
+  * cache.Has → continue, WITHOUT re-Set) records only ACCEPTED
+  * sightings, so a run suppressed by one sighting does not itself
+  * extend the window — that accepted-chain semantics lives in
+  * StatefulTtl.ttlDedupStream (see StreamingSpec's divergence case).
   */
 class TtlDedupSpec extends SparkSpec {
   import spark.implicits._

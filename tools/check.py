@@ -49,6 +49,17 @@ def main():
             cols = ", ".join(f'"{c}"' for c in ocols)
             con.sql(f"CREATE OR REPLACE TEMP TABLE _o AS SELECT {cols} FROM o")
             con.sql(f"CREATE OR REPLACE TEMP TABLE _s AS SELECT {cols} FROM s")
+            # replicate the driver's pandas path: it sort_values+hashes
+            # every cell, which dies on array/list cells ("unhashable
+            # type: numpy.ndarray") — catch that here, not in the gate
+            try:
+                pdf = s.df()
+                pdf.sort_values(by=list(pdf.columns), inplace=True)
+                pdf.map(hash)
+            except Exception as e:
+                print(f"[PANDA] {name}: driver-harness would fail: {type(e).__name__}: {e}")
+                failures += 1
+                continue
             no = con.sql("SELECT count(*) FROM _o").fetchone()[0]
             ns = con.sql("SELECT count(*) FROM _s").fetchone()[0]
             d1 = con.sql("SELECT count(*) FROM (SELECT * FROM _o EXCEPT ALL SELECT * FROM _s)").fetchone()[0]
