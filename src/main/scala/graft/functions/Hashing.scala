@@ -31,6 +31,12 @@ object Hashing {
   def h32Builtin(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** The DuckDB SQL form of [[h32]] over an SQL expression — for
+    * oracle strings (value-identical: same md5 hex, same 32-bit
+    * prefix). */
+  def sqlH32(e: String): String =
+    s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
   /** i-th universal-hash permutation of a 32-bit hash:
     * (h * (2i+1) + 7919i+1) mod p. Products stay < 2^37, no overflow
     * in either engine. */

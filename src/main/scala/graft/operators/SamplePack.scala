@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-facing dataset-curation queries over [[Sampling]] — the
+  * subsample / split / mix / pack layer a training-data pipeline runs
+  * after extraction and dedup (no counterpart in the reference, which
+  * ingests everything it scrapes; first-class here per the build
+  * brief's training-pipeline mandate, like the ds_/sim_/tx_ families).
+  *
+  * All decisions are salted-hash-deterministic (see [[Sampling]]), so
+  * every query replays exactly in the DuckDB oracle.
+  */
+object SamplePack extends QueryPack {
+
+  /** Fixed token budget for sp_pack_sequences — a context-window-ish
+    * size that yields multiple bins per (source, lang) shard at every
+    * test SF. */
+  val PackBudget = 2048
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic 10% Bernoulli sample: scan-stage codegen'd
+    // filter, zero shuffle, stable across runs/engines/partitionings.
+    "sp_hash_sample" -> ((s, dir) =>
+      Sampling.hashSample(Tables.documents(s, dir), col("doc_id"),
+          salt = "s1", pct = 10)
+        .select(col("doc_id"), col("source"), col("lang"))),
+
+    // Train/val/test carve keyed on the stable doc id (split survives
+    // corpus growth — no leakage on re-runs), aggregated per split ×
+    // source: one partial-agg shuffle over scan-stage assignment.
+    "sp_split_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("split",
+          Sampling.splitAssign(col("doc_id"), "s2", trainPct = 80,
+            valPct = 10))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))),
+
+    // Exact 5 docs per (source, lang) stratum in salted-hash order —
+    // a deterministic "random" stratified sample through the native
+    // TopKPerKey bounded heaps (≤ k rows per stratum per partition
+    // cross the shuffle; no hot-stratum window concentration).
+    "sp_stratified_k" -> ((s, dir) =>
+      Sampling.stratifiedK(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("lang")),
+        strata = Seq(col("source"), col("lang")), key = col("doc_id"),
+        salt = "s3", k = 5)),
+
+    // Weighted source mixing — per-source sampling rates (the
+    // "dataset weights" step of corpus assembly) as one scan-stage
+    // filter: rate lookup is a row expression, no shuffle at all.
+    "sp_weighted_mix" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(Sampling.bucket(col("doc_id"), "mix") <
+          when(col("source") === "src0", 50)
+            .when(col("source") === "src1", 25).otherwise(10))
+        .select(col("doc_id"), col("source"))),
+
+    // Contiguous sequence packing into fixed 2048-token bins per
+    // (source, lang) shard: one shuffle on the shard key, running sum
+    // within the shard, then per-bin stats ride the same partitioning.
+    "sp_pack_sequences" -> ((s, dir) =>
+      Sampling.packBins(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        shard = Seq(col("source"), col("lang")),
+        order = Seq(col("doc_id")), tokens = col("n_tokens"),
+        budget = PackBudget)
+        .groupBy(col("source"), col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"))),
+
+    // The curation chain end-to-end: quality gate → language gate →
+    // exact content dedup (keep lowest doc_id) → 50% deterministic
+    // sample. Composes the tx_/ds_/sp_ primitives exactly the way a
+    // corpus build does; emits the surviving docs so the oracle pins
+    // every stage's decision, not just counts.
+    "sp_curation_e2e" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("n_chars") >= 100 && col("lang") === "en")
+      val keep = base
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      Sampling.hashSample(base.join(keep, Seq("doc_id")),
+          col("doc_id"), salt = "cur", pct = 50)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "sp_hash_sample" ->
+      s"""SELECT doc_id, source, lang FROM documents
+         |WHERE ${Sampling.sqlBucket("doc_id", "s1")} < 10""".stripMargin,
+
+    // DuckDB sum(BIGINT) widens to HUGEINT — cast back to match Spark
+    "sp_split_stats" ->
+      s"""SELECT CASE WHEN b < 80 THEN 'train'
+         |            WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+         |       source, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM (SELECT source, n_chars,
+         |        ${Sampling.sqlBucket("doc_id", "s2")} AS b
+         |      FROM documents)
+         |GROUP BY 1, 2""".stripMargin,
+
+    "sp_stratified_k" ->
+      s"""SELECT doc_id, source, lang FROM (
+         |  SELECT doc_id, source, lang,
+         |         row_number() OVER (PARTITION BY source, lang
+         |           ORDER BY ${graft.functions.Hashing.sqlH32(
+                       "'s3#' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 5""".stripMargin,
+
+    "sp_weighted_mix" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${Sampling.sqlBucket("doc_id", "mix")} <
+         |      CASE WHEN source = 'src0' THEN 50
+         |           WHEN source = 'src1' THEN 25 ELSE 10 END""".stripMargin,
+
+    "sp_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, source, lang,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |b AS (SELECT source, lang, n_tokens,
+         |        (sum(n_tokens) OVER (PARTITION BY source, lang
+         |           ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |         - n_tokens) // $PackBudget AS bin
+         |      FROM t)
+         |SELECT source, lang, CAST(bin AS BIGINT) AS bin,
+         |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         |FROM b GROUP BY 1, 2, 3""".stripMargin,
+
+    "sp_curation_e2e" ->
+      s"""WITH base AS (SELECT doc_id, source, n_chars, text FROM documents
+         |              WHERE n_chars >= 100 AND lang = 'en'),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text))
+         |SELECT b.doc_id, b.source, b.n_chars
+         |FROM base b JOIN keep k ON b.doc_id = k.doc_id
+         |WHERE ${Sampling.sqlBucket("b.doc_id", "cur")} < 50""".stripMargin
+  )
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting / packing combinators — the
+  * dataset-curation layer of a training-data pipeline (subsample a
+  * corpus, carve train/val/test, mix sources by weight, pack
+  * documents into fixed token budgets).
+  *
+  * Everything is keyed on md5-derived hashes ([[Hashing.h32]]), never
+  * `rand()`: the same row gets the same decision on every run, every
+  * engine, every partition layout — re-running a 100 TB sample after
+  * an executor loss yields the identical corpus, and the DuckDB
+  * oracle can replay every decision exactly. Distinct decisions are
+  * decorrelated by salting the hash, the standard trick for
+  * independent deterministic draws (a row's sample draw must not
+  * predict its split draw).
+  *
+  * Scale: [[bucket]]/[[hashSample]]/[[splitAssign]] are scan-stage
+  * row expressions (codegen'd, zero shuffle — the filter reaches the
+  * parquet scan). [[stratifiedK]] rides the native bounded-heap
+  * TopKPerKey operator (at most k rows per stratum per input
+  * partition cross its shuffle). [[packBins]] shuffles once on the
+  * shard key; each shard's window is sized by the shard grain the
+  * caller picks (e.g. (source, day) at 100 TB), never the whole
+  * corpus.
+  */
+object Sampling {
+
+  /** Deterministic 0–99 sampling bucket of a key under a salt. */
+  def bucket(key: Column, salt: String): Column =
+    Hashing.h32(concat(lit(salt), lit("#"), key.cast("string"))) % 100
+
+  /** The identical DuckDB form of [[bucket]] over a VARCHAR-cast key
+    * expression. */
+  def sqlBucket(keyExpr: String, salt: String): String =
+    s"${Hashing.sqlH32(s"'$salt#' || CAST($keyExpr AS VARCHAR)")} % 100"
+
+  /** Deterministic Bernoulli sample: keep a row iff its bucket lands
+    * under `pct`. */
+  def hashSample(df: DataFrame, key: Column, salt: String,
+                 pct: Int): DataFrame =
+    df.filter(bucket(key, salt) < pct)
+
+  /** Deterministic train/val/test assignment: buckets [0, trainPct)
+    * → train, [trainPct, trainPct+valPct) → val, rest → test. Keyed
+    * on a stable id, so a document keeps its split across pipeline
+    * re-runs and incremental appends — the property that prevents
+    * train/test leakage when the corpus grows. */
+  def splitAssign(key: Column, salt: String, trainPct: Int,
+                  valPct: Int): Column = {
+    val b = bucket(key, salt)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Exact-k-per-stratum deterministic sample: the k rows of each
+    * stratum with the lowest salted key hash (hash order ≈ uniform
+    * draw; key ascending breaks 32-bit collisions). Selection runs
+    * through the native TopKPerKey bounded heaps, so a mega-stratum
+    * contributes at most k rows per input partition to the shuffle —
+    * a row_number window would concentrate the whole stratum in one
+    * task first. */
+  def stratifiedK(df: DataFrame, strata: Seq[Column], key: Column,
+                  salt: String, k: Int): DataFrame = {
+    val h = "__sample_h"
+    graft.plans.TopKPerKey.topKPerKey(
+      df.withColumn(h, Hashing.h32(
+        concat(lit(salt), lit("#"), key.cast("string")))),
+      keys = strata, order = Seq(col(h).asc, key.asc), k = k)
+      .drop(h)
+  }
+
+  /** Contiguous sequence packing: within each shard, rows ordered by
+    * `order` fill fixed `budget`-token bins; a row's bin is its
+    * EXCLUSIVE prefix token sum divided by the budget (so a bin
+    * closes once the docs placed in it reach the budget — the
+    * streaming-friendly contiguous form of bin packing that needs no
+    * global state, only a per-shard running sum). Emits the input
+    * plus a `bin` column. ROWS frame pinned explicitly: the default
+    * RANGE frame would pool order-value peers (inert while the order
+    * key is unique per shard, load-bearing the day it isn't). */
+  def packBins(df: DataFrame, shard: Seq[Column], order: Seq[Column],
+               tokens: Column, budget: Int): DataFrame = {
+    val w = Window.partitionBy(shard: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("bin",
+      floor((sum(tokens).over(w) - tokens) / lit(budget)).cast("long"))
+  }
+}

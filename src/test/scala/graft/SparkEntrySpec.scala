@@ -11,7 +11,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "ExtractPack" -> ExtractPack, "MergePack" -> MergePack,
     "QueryLayerPack" -> QueryLayerPack, "DedupPack" -> DedupPack,
     "SimilarityPack" -> SimilarityPack, "TextPack" -> TextPack,
-    "MultimodalPack" -> MultimodalPack, "StreamingPack" -> StreamingPack)
+    "MultimodalPack" -> MultimodalPack, "StreamingPack" -> StreamingPack,
+    "SamplePack" -> SamplePack)
 
   test("no query name collisions across packs") {
     val all = packs.flatMap { case (n, p) => p.queries.keys.map(_ -> n) }

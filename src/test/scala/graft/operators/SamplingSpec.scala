@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation combinators ([[Sampling]]): determinism,
+  * statistical sanity of the hash draws, split disjointness, exact-k
+  * strata, and the packing invariant (no bin exceeds its budget
+  * except by the single doc that closes it).
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (0L until 2000L)
+    .map(i => (i, s"src${i % 3}", if (i % 7 == 0) "de" else "en",
+      10L + i % 90))
+    .toDF("doc_id", "source", "lang", "n_tokens")
+
+  test("hashSample is deterministic and near its rate") {
+    val a = Sampling.hashSample(docs, col("doc_id"), "t", 10)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs.repartition(7), col("doc_id"), "t", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "same rows whatever the partitioning")
+    // 2000 draws at p=0.1: expect ~200, allow ±5 sigma (~±67)
+    assert(math.abs(a.size - 200) < 67, s"rate off: ${a.size}/2000")
+  }
+
+  test("different salts give decorrelated draws") {
+    val a = Sampling.hashSample(docs, col("doc_id"), "t", 10)
+      .select("doc_id").as[Long].collect().toSet
+    val c = Sampling.hashSample(docs, col("doc_id"), "u", 10)
+      .select("doc_id").as[Long].collect().toSet
+    val overlap = (a & c).size.toDouble
+    // independent 10% draws overlap ~1% of the corpus (~20 docs)
+    assert(overlap < a.size * 0.5, s"salts correlated: $overlap")
+  }
+
+  test("splitAssign partitions the corpus near 80/10/10, disjointly") {
+    val counts = docs
+      .groupBy(Sampling.splitAssign(col("doc_id"), "sp", 80, 10).as("s"))
+      .count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 2000, "every doc gets exactly one split")
+    assert(math.abs(counts("train") - 1600) < 120, counts.toString)
+    assert(math.abs(counts("val") - 200) < 67, counts.toString)
+  }
+
+  test("stratifiedK returns exactly k per stratum, stably") {
+    val k = 5
+    val out = Sampling.stratifiedK(docs, Seq(col("source"), col("lang")),
+      col("doc_id"), "st", k)
+    val sizes = out.groupBy("source", "lang").count()
+      .as[(String, String, Long)].collect()
+    assert(sizes.length == 6, "3 sources × 2 langs strata")
+    assert(sizes.forall(_._3 == k), sizes.mkString(","))
+    val again = Sampling.stratifiedK(docs.repartition(11),
+        Seq(col("source"), col("lang")), col("doc_id"), "st", k)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("packBins: bins are contiguous, budget-bounded, and complete") {
+    val budget = 500
+    val out = Sampling.packBins(docs, Seq(col("source"), col("lang")),
+        Seq(col("doc_id")), col("n_tokens"), budget)
+      .as[(Long, String, String, Long, Long)].collect()
+    assert(out.length == 2000, "packing drops no rows")
+    out.groupBy(r => (r._2, r._3)).foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_._1)
+      // bin ids start at 0 and never decrease along the shard order
+      assert(sorted.head._5 == 0L, s"$shard first bin")
+      assert(sorted.sliding(2).forall(p =>
+        p.length < 2 || p(1)._5 >= p(0)._5), s"$shard bins non-monotonic")
+      // a bin's token sum minus its LAST doc stays under the budget:
+      // the closing doc is the only permitted overflow
+      sorted.groupBy(_._5).foreach { case (bin, binRows) =>
+        val toks = binRows.sortBy(_._1).map(_._4)
+        assert(toks.sum - toks.last < budget,
+          s"$shard bin $bin overfilled before its closing doc")
+      }
+    }
+  }
+
+  test("sp_ queries run green at sf0.001") {
+    Seq("sp_hash_sample", "sp_split_stats", "sp_stratified_k",
+      "sp_weighted_mix", "sp_pack_sequences", "sp_curation_e2e")
+      .foreach { q =>
+        val n = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+          .count()
+        assert(n > 0, s"$q empty at sf0.001")
+      }
+  }
+}
