@@ -57,13 +57,15 @@ object Bench {
         err.map("  FAILED " + _).getOrElse(""))
       (name, dt, rows, err)
     }
-    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + v }
+    // Double.toString always uses '.' — locale-proof JSON numbers
+    def f3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + f3(v) }
       .mkString("{", ",", "}")
     val rs = results.map { case (k, _, r, _) => jstr(k) + ":" + r }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = f3(results.map(_._2).filter(_ >= 0).sum)
     // merge throughput (BASELINE.md): rows/s through the M1/M2 merge
     // operators — the comparable for the reference's ≤20 addr/s ceiling
     val times = results.map(r => r._1 -> r._2).toMap
@@ -72,8 +74,28 @@ object Bench {
       .map(n => try SparkEntry.queries(n)(spark, sfDir).count()
                 catch { case _: Throwable => 0L }).sum
     val mergeSecs = mergeNames.flatMap(times.get).filter(_ >= 0).sum
-    val mergeRate = if (mergeSecs > 0) mergeRows / mergeSecs else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"errors":$errs,"sf":"$sfDir","merge_rows_per_sec":$mergeRate}""")
+    val mergeRate = f3(if (mergeSecs > 0) mergeRows / mergeSecs else 0.0)
+    // Full per-query record — every timing, row count, and error —
+    // goes to a FILE: with 80+ queries the one-line form is ~5 KB,
+    // far over the driver's ~2 KB stdout-tail capture (BENCH_r02–r04
+    // all arrived truncated and unparseable).
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"errors":$errs,"sf":"$sfDir","merge_rows_per_sec":$mergeRate}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The stdout JSON line must survive that 2 KB tail whole (plus
+    // sbt's ~100-char epilogue), or the round has NO parsed bench.
+    // Slowest queries first — they are the performance story; the
+    // rest are in BENCH_FULL.json (committed alongside the round).
+    val budget = 1400
+    val top = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    var omitted = 0
+    results.sortBy(-_._2).foreach { case (k, v, _, _) =>
+      val ent = jstr(k) + ":" + f3(v)
+      if (used + ent.length + 1 <= budget) { top += ent; used += ent.length + 1 }
+      else omitted += 1
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${top.mkString("{", ",", "}")},"queries_omitted":$omitted,"full":"BENCH_FULL.json","errors":$errs,"sf":"$sfDir","merge_rows_per_sec":$mergeRate}""")
     spark.stop()
   }
 }

@@ -33,7 +33,15 @@ object Hashing {
 
   /** The DuckDB SQL form of [[h32]] over an SQL expression — for
     * oracle strings (value-identical: same md5 hex, same 32-bit
-    * prefix). */
+    * prefix).
+    *
+    * CONTRACT: `e` is spliced verbatim into the oracle statement, so
+    * callers pass trusted STATIC expressions only (compile-time
+    * literals in this repo) — never user- or data-derived strings. A
+    * quote inside `e` would break (or worse, silently alter) the
+    * oracle side alone. String literals embedded in `e` must stick to
+    * `[A-Za-z0-9_#]` — [[graft.operators.Sampling.sqlBucket]] asserts
+    * this for the salt it forwards here. */
   def sqlH32(e: String): String =
     s"('0x' || substr(md5($e), 1, 8))::BIGINT"
 

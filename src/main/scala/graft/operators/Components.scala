@@ -63,6 +63,17 @@ object Components {
       val edges = mat(pairs.select(col(a).as("src"), col(b).as("dst"))
         .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
         .distinct())
+      // Reliable path: write edges' checkpoint NOW with a direct action.
+      // doCheckpoint after a job walks up from the job's final RDD and
+      // stops at the FIRST checkpoint-marked RDD (checkpointAllMarked-
+      // Ancestors defaults to false), so iteration 1's count job would
+      // checkpoint only `next` — edges' files would never be written and
+      // dropFed() would leave the loop recomputing edges from the raw
+      // pairs lineage every iteration. A job whose final RDD IS edges'
+      // marked RDD writes them; edges then reads files for the whole
+      // loop and its feeder cache can drop immediately. (Local path:
+      // localCheckpoint persists internally, nothing to do.)
+      if (reliable) { edges.count(); dropFed() }
       // seed with the first neighbor-min pass (saves one iteration):
       // comp0 = min(node, min neighbor)
       var labels = mat(edges

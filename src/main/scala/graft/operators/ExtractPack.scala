@@ -133,8 +133,11 @@ object ExtractPack extends QueryPack {
           Tables.part(s, dir)))
         // pandas-harness cannot hash array cells: serialize the
         // already-sorted wallet list to one canonical scalar (the
-        // array form stays under PipelinesSpec)
-        .withColumn("wallets", array_join(col("wallets"), "|")))
+        // array form stays under PipelinesSpec); Serial.noSep turns a
+        // would-be separator collision into a loud failure
+        .withColumn("wallets",
+          array_join(transform(col("wallets"),
+            w => Serial.noSep(w, "|")), "|")))
   )
 
   override def oracles: Map[String, String] = Map(

@@ -64,9 +64,13 @@ object MergePack extends QueryPack {
         // The array_union-on-structs semantics stay fully pinned: the
         // encoding is order-preserving and lossless for this data, and
         // the raw array form remains under MergeSpec/TypedLabelsSpec.
+        // Serial.noSep: a name/src that ever contained '|' or ';'
+        // would make two different arrays encode identically — fail
+        // loudly instead of letting the oracle falsely match.
         .select(col("addr"),
           array_join(transform(col("labels"),
-            x => concat(x.getField("name"), lit("|"), x.getField("src"))),
+            x => concat(Serial.noSep(x.getField("name"), "|", ";"),
+              lit("|"), Serial.noSep(x.getField("src"), "|", ";"))),
             ";").as("labels"))
     }),
 

@@ -355,7 +355,8 @@ object QueryLayerPack extends QueryPack {
     "a3_group_to_map" -> ((s, dir) =>
       Tables.part(s, dir)
         .groupBy("p_brand")
-        .agg(array_join(array_sort(collect_set(col("p_type"))), ",")
+        .agg(array_join(transform(array_sort(collect_set(col("p_type"))),
+          t => Serial.noSep(t, ",")), ",")
           .as("types"),
           countDistinct(col("p_type")).as("n_types"))),
 

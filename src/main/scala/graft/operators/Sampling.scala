@@ -35,9 +35,16 @@ object Sampling {
     Hashing.h32(concat(lit(salt), lit("#"), key.cast("string"))) % 100
 
   /** The identical DuckDB form of [[bucket]] over a VARCHAR-cast key
-    * expression. */
-  def sqlBucket(keyExpr: String, salt: String): String =
+    * expression. The salt is spliced into a SQL string literal, so it
+    * is restricted to `[A-Za-z0-9_]+`: a quote/backslash/`%` would
+    * break the statement or silently hash a different string on one
+    * engine only (`keyExpr` is a trusted static expression by the
+    * same contract — see [[graft.functions.Hashing.sqlH32]]). */
+  def sqlBucket(keyExpr: String, salt: String): String = {
+    require(salt.matches("[A-Za-z0-9_]+"),
+      s"sqlBucket salt must match [A-Za-z0-9_]+ (got '$salt')")
     s"${Hashing.sqlH32(s"'$salt#' || CAST($keyExpr AS VARCHAR)")} % 100"
+  }
 
   /** Deterministic Bernoulli sample: keep a row iff its bucket lands
     * under `pct`. */

@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Guards for the scalar serializations the oracle hash gate compares.
+  *
+  * Several queries flatten an array cell into one separator-joined
+  * scalar because the driver's comparison harness cannot hash array
+  * cells. Two DIFFERENT arrays must never encode to the SAME scalar,
+  * so a field that itself contains the separator must fail loudly
+  * instead of silently colliding ("a|b" + "c" vs "a" + "b|c"). Inert
+  * for the current synthetic fields (no separator chars are ever
+  * derived), so the guarded output is byte-identical to the unguarded
+  * one — the guard only converts a future data change from a false
+  * hash match into an explicit failure.
+  */
+object Serial {
+
+  /** `c` verbatim, unless it contains one of `seps` — then raise.
+    * A codegen'd per-row branch, free against the aggregation that
+    * precedes every serialization site.
+    */
+  def noSep(c: Column, seps: String*): Column =
+    when(seps.map(s => c.contains(lit(s))).reduce(_ or _),
+      raise_error(concat(
+        lit("oracle serialization separator collision in value: "), c)))
+      .otherwise(c)
+}
