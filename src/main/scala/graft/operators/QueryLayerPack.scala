@@ -289,6 +289,23 @@ object QueryLayerPack extends QueryPack {
         .select(col("c_custkey"), col("c_mktsegment"))
     }),
 
+    // Bloom runtime-filter join ([[RuntimeFilter.bloomPrunedSemiJoin]]):
+    // lineitems of high-value orders. The order-key set is sketched in
+    // one scan-stage aggregation, probed by the codegen'd
+    // bloom_might_contain INSIDE lineitem's scan stage, and only
+    // survivors cross the semi-join shuffle — row-identical to the
+    // plain semi join the oracle replays (the sketch only prunes).
+    "q_bloom_prune" -> ((s, dir) => {
+      val hi = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 400000.0)
+      RuntimeFilter.bloomPrunedSemiJoin(
+        Tables.lineitem(s, dir), col("l_orderkey"),
+        hi, col("o_orderkey"), expectedKeys = 1000000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+    }),
+
     // As-of join (backward): each purchase matched to the user's
     // latest click at-or-before it. Implemented as union + ordered
     // window (one shuffle, no range cross-join) — the scalable form.
@@ -587,6 +604,15 @@ object QueryLayerPack extends QueryPack {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey
         |                AND o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey
+        |                AND o_totalprice > 400000)
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q_asof_join" ->
       """SELECT event_id AS purchase_id, user_id, click_id FROM (

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom runtime filter for shuffle joins — the standard 100 TB move
+  * for a semi/inner join whose filtering side is too LARGE to
+  * broadcast as rows but whose KEY SET fits a sketch (10⁸ keys at 1%
+  * fpp ≈ 120 MB of rows vs ≈ 110 MB of bloom — and the sketch needs
+  * no dedup shuffle to build: `putLong` is idempotent, so partial
+  * sketches merge associatively in one partial-aggregate pass).
+  *
+  * Shape: build the sketch over the filtering side's key (one
+  * scan-stage aggregation, merged on the driver exactly like any agg
+  * final step), probe it with the codegen'd
+  * [[graft.plans.BloomMightContainLong]] INSIDE the big side's scan
+  * stage, then run the exact join over the survivors. The probe
+  * admits false positives only, so the join's result is untouched —
+  * what changes is the exchange: at 1% fpp, ~99% of non-matching big
+  * rows never leave their input partition, the same effect Spark's
+  * own AQE runtime filters target, here as an explicit operator the
+  * caller can size (`expectedKeys`/`fpp`) from known table stats.
+  *
+  * Spark's builtin alternative at THIS scale band — broadcast the
+  * filtering side — stops at `autoBroadcastJoinThreshold` (default
+  * 10 MB ≈ 10⁶ keys); the sketch carries 100× past it at the same
+  * executor-memory budget.
+  */
+object RuntimeFilter {
+
+  /** `big` semi-joined to `small` on integral keys, with the shuffle
+    * pre-pruned by a bloom sketch of `small`'s keys. Result is
+    * row-identical to the plain semi join (the sketch only prunes).
+    */
+  def bloomPrunedSemiJoin(big: DataFrame, bigKey: Column,
+                          small: DataFrame, smallKey: Column,
+                          expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = small.stat.bloomFilter(smallKey.cast("long"), expectedKeys, fpp)
+    big.filter(graft.plans.BloomMightContainLong.probe(bigKey, bf))
+      .join(small.select(smallKey.cast("long").as("__rf_key")).distinct(),
+        bigKey.cast("long") === col("__rf_key"), "left_semi")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Bloom-filter membership probe as a codegen'd scalar expression —
+  * the executor half of a runtime join filter
+  * ([[graft.operators.RuntimeFilter]]).
+  *
+  * Holds the SERIALIZED sketch, not the live object: the expression
+  * travels to executors inside the task binary, and the byte-array
+  * form keeps that payload stable across sketch-impl changes while a
+  * transient lazy val rebuilds the probe-side object once per
+  * executor (not per row, not per task). Probing is `mightContainLong`
+  * on the raw key — the same `putLong` domain
+  * `DataFrameStatFunctions.bloomFilter` populates for integral
+  * columns, so build and probe agree with no extra hashing step.
+  *
+  * False positives only, never false negatives: callers use it as a
+  * PRE-filter in front of an exact join, so the sketch prunes shuffle
+  * volume without touching result semantics.
+  */
+case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(filterBytes)
+
+  override protected def nullSafeEval(input: Any): Any =
+    filter.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference the deserialized filter once; codegen probes it inline
+    val bf = ctx.addReferenceObj("bloomFilter", filter,
+      classOf[BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $bf.mightContainLong($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomMightContainLong =
+    copy(child = c)
+
+  override def toString: String = s"bloom_might_contain($child)"
+}
+
+object BloomMightContainLong {
+  def probe(key: Column, filter: BloomFilter): Column = {
+    val out = new java.io.ByteArrayOutputStream()
+    filter.writeTo(out)
+    GraftShim.column(BloomMightContainLong(
+      GraftShim.eagerExpression(key.cast("long")), out.toByteArray))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Bloom runtime-filter join: the sketch may only PRUNE shuffle
+  * volume, never change the result — pinned by comparing against the
+  * plain semi join on real data, plus a plan assertion that the probe
+  * really sits in the big side's scan stage (before the exchange) and
+  * an expression-level check that codegen and interpreted evaluation
+  * agree on the same serialized sketch.
+  */
+class RuntimeFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bloomPrunedSemiJoin is row-identical to the plain semi join") {
+    val hi = graft.Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 100000.0)
+    val pruned = RuntimeFilter.bloomPrunedSemiJoin(
+        graft.Tables.lineitem(spark, sf), col("l_orderkey"),
+        hi, col("o_orderkey"), expectedKeys = 100000L)
+      .select("l_orderkey", "l_linenumber")
+      .as[(Long, Long)].collect().toSet
+    val plain = graft.Tables.lineitem(spark, sf)
+      .join(hi, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber")
+      .as[(Long, Long)].collect().toSet
+    assert(plain.nonEmpty, "empty join — vacuous test")
+    assert(pruned == plain)
+  }
+
+  test("probe filter sits in the big side's scan stage, before the exchange") {
+    // force the shuffle join the operator targets (its whole point is
+    // the small side being too big to broadcast as rows)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hi = graft.Tables.orders(spark, sf)
+        .filter(col("o_totalprice") > 100000.0)
+      val df = RuntimeFilter.bloomPrunedSemiJoin(
+        graft.Tables.lineitem(spark, sf), col("l_orderkey"),
+        hi, col("o_orderkey"), expectedKeys = 100000L)
+      df.count() // let AQE settle the final plan
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // the probe must be a DataFilter of the lineitem SCAN (same
+      // stage as the read — rows die before reaching the exchange)
+      val scanLine = plan.linesIterator
+        .find(l => l.contains("FileScan") && l.contains("lineitem"))
+        .getOrElse(fail(s"no lineitem scan in plan:\n$plan"))
+      assert(scanLine.contains("DataFilters: [bloom_might_contain"),
+        s"probe not in lineitem scan's DataFilters:\n$plan")
+      assert(plan.contains("Exchange"), s"expected a shuffle join:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("BloomMightContainLong: codegen and interpreted eval agree; FP-only") {
+    val bf = BloomFilter.create(1000, 0.01)
+    (0L until 500L).foreach(bf.putLong)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    val probed = spark.range(0, 2000)
+      .withColumn("hit", graft.plans.BloomMightContainLong.probe(
+        col("id"), bf))
+      .as[(Long, Boolean)].collect()
+    // no false negatives, ever
+    assert(probed.filter(_._1 < 500).forall(_._2), "false negative!")
+    // fpp 1% on 1500 non-members: expect ~15, allow generous slack
+    val fps = probed.count { case (id, hit) => id >= 500 && hit }
+    assert(fps < 150, s"implausible false-positive count $fps")
+    // interpreted path agrees with codegen on every input
+    val expr = graft.plans.BloomMightContainLong(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.LongType, nullable = false),
+      out.toByteArray)
+    probed.foreach { case (id, hit) =>
+      val row = org.apache.spark.sql.catalyst.InternalRow(id)
+      assert(expr.eval(row) == hit, s"interpreted/codegen disagree at $id")
+    }
+  }
+}
