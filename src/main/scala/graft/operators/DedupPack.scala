@@ -199,7 +199,89 @@ object DedupPack extends QueryPack {
     // quadratic at corpus scale. Jaccard is then declared over the
     // non-boilerplate shingle space; the oracle applies the same cap.
     "ds_jaccard_pairs" -> ((s, dir) => jaccardPairs(tokenized(s, dir))),
+
+    // Passage-level corpus dedup (RefinedWeb-style line dedup; this
+    // corpus has no newlines, so the "line" is a fixed 16-token
+    // window): first global occurrence of each passage wins, every
+    // later copy — in the SAME doc or any other — is dropped, and
+    // docs are reassembled from their surviving passages in order.
+    "ds_chunk_dedup" -> ((s, dir) =>
+      chunkDedup(Tables.documents(s, dir), ChunkW)),
+
+    // Decontamination: flag training docs sharing full 8-token
+    // n-grams with the held-out eval slice (doc_id % 50 == 0 plays
+    // the benchmark suite). The eval n-gram set is tiny relative to
+    // the corpus at any scale (benchmarks are MBs, corpora TBs) —
+    // broadcast it; the train side never shuffles.
+    "ds_decontaminate" -> ((s, dir) => {
+      val ng = tokenized(s, dir)
+        .filter(size(col("toks")) >= ContamNgramW)
+        .select(col("doc_id"),
+          explode(array_distinct(
+            Hashing.shingles(col("toks"), ContamNgramW))).as("ng"))
+      val eval = ng.filter(col("doc_id") % 50 === 0)
+        .select("ng").distinct()
+      val train = ng.filter(col("doc_id") % 50 =!= 0)
+      val tot = train.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ngrams"))
+      val shared = train.join(broadcast(eval), Seq("ng"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      tot.join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_ngrams"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          graft.Det.dround(coalesce(col("n_shared"), lit(0L)).cast("double")
+            / col("n_ngrams"), 4).as("contam_frac"))
+    }),
   )
+
+  /** Passage width for [[chunkDedup]]'s corpus-level passage dedup. */
+  val ChunkW = 16
+
+  /** N-gram width for the decontamination overlap check (13 is the
+    * common published choice; 8 keeps the check non-vacuous at the
+    * test corpus's ~120-token docs while exercising the same plan). */
+  val ContamNgramW = 8
+
+  /** (doc_id, chunk_idx, chunk): non-overlapping w-token passages of
+    * each doc. Pure array expressions in the scan stage. */
+  private def chunked(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("toks")) - 1) / lit(w)).cast("int")),
+          i => array_join(slice(col("toks"), i * w + 1, lit(w)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk"))
+
+  /** Corpus-wide passage dedup over (doc_id, text) rows: chunk into
+    * w-token passages, keep only each passage's first occurrence
+    * (min (doc_id, chunk_idx) — deterministic), reassemble docs from
+    * survivors in passage order. Docs whose every passage was seen
+    * earlier disappear (the dedup semantics, not an accident).
+    *
+    * Scale shape: ONE shuffle on the 32-char passage hash with
+    * map-side partial min (groupBy+min(struct), never a window that
+    * would concentrate a boilerplate passage's occurrences on one
+    * task), a join back on the same key (partitioning reused), and
+    * the doc-grain regroup. Passage text crosses the wire once — it
+    * IS the output. */
+  def chunkDedup(docs: DataFrame, w: Int): DataFrame = {
+    val ch = chunked(docs, w)
+    val winners = ch
+      .groupBy(md5(col("chunk")).as("h"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
+      .select(col("h"), col("w.doc_id").as("w_doc"),
+        col("w.chunk_idx").as("w_idx"))
+    ch.join(winners, md5(col("chunk")) === col("h") &&
+        col("doc_id") === col("w_doc") && col("chunk_idx") === col("w_idx"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("dedup_text"),
+        count(lit(1)).as("n_kept"))
+  }
 
   /** Max hamming distance for ds_simhash_pairs (3 = the classic
     * near-dup radius; pigeonhole over 4 bytes is valid for ≤ 3 bit
@@ -413,6 +495,44 @@ object DedupPack extends QueryPack {
         |FROM shared
         |JOIN sizes sa ON doc_a = sa.doc_id
         |JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE floor((CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared)) * 1e4 + 0.5) / 1e4 >= 0.2""".stripMargin
+        |WHERE floor((CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared)) * 1e4 + 0.5) / 1e4 >= 0.2""".stripMargin,
+
+    // First-occurrence winner via window (method-independent — the
+    // engine side uses groupBy+min(struct) for map-side partials;
+    // both pick the unique min (doc_id, chunk_idx) per passage).
+    "ds_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |           FROM documents WHERE len(string_split(text, ' ')) > 0),
+         |chunks AS (SELECT doc_id, g.i AS chunk_idx,
+         |            array_to_string(ts[g.i*$ChunkW+1 : g.i*$ChunkW+$ChunkW], ' ') AS chunk
+         |           FROM t, UNNEST(range(0, (len(ts)-1)//$ChunkW + 1)) AS g(i)),
+         |ranked AS (SELECT doc_id, chunk_idx, chunk,
+         |            row_number() OVER (PARTITION BY md5(chunk)
+         |                               ORDER BY doc_id, chunk_idx) AS rn
+         |           FROM chunks)
+         |SELECT doc_id,
+         |       string_agg(chunk, ' ' ORDER BY chunk_idx) AS dedup_text,
+         |       count(*) AS n_kept
+         |FROM ranked WHERE rn = 1
+         |GROUP BY doc_id""".stripMargin,
+
+    "ds_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |           FROM documents
+         |           WHERE len(string_split(text, ' ')) >= $ContamNgramW),
+         |ng AS (SELECT DISTINCT doc_id,
+         |         array_to_string(ts[g.i+1 : g.i+$ContamNgramW], ' ') AS ng
+         |       FROM t, UNNEST(range(0, len(ts) - ${ContamNgramW - 1})) AS g(i)),
+         |ev AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 50 = 0),
+         |tr AS (SELECT * FROM ng WHERE doc_id % 50 <> 0),
+         |tot AS (SELECT doc_id, count(*) AS n_ngrams FROM tr GROUP BY doc_id),
+         |sh AS (SELECT doc_id, count(*) AS n_shared
+         |       FROM tr JOIN ev USING (ng) GROUP BY doc_id)
+         |SELECT tot.doc_id, tot.n_ngrams,
+         |       COALESCE(sh.n_shared, 0) AS n_shared,
+         |       ${graft.Det.droundSql(
+               "CAST(COALESCE(sh.n_shared, 0) AS DOUBLE) / tot.n_ngrams", 4)}
+         |         AS contam_frac
+         |FROM tot LEFT JOIN sh ON tot.doc_id = sh.doc_id""".stripMargin
   )
 }

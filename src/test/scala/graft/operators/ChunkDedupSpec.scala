@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Passage-level corpus dedup + decontamination semantics, pinned on
+  * handcrafted docs where the expected output is computable by hand.
+  */
+class ChunkDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkDedup: first occurrence wins, docs reassemble in order") {
+    // w=2 passages: doc0 = [a b][c d], doc1 = [c d][e f] (loses [c d]),
+    // doc2 = [a b][c d] (loses everything and disappears),
+    // doc3 = [e f g] -> [e f][g] ([e f] lost to doc1, tail chunk [g] kept)
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "c d e f"), (2L, "a b c d"), (3L, "e f g"))
+      .toDF("doc_id", "text")
+    val out = DedupPack.chunkDedup(docs, 2)
+      .select("doc_id", "dedup_text", "n_kept")
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set((0L, "a b c d", 2L), (1L, "e f", 1L), (3L, "g", 1L)))
+  }
+
+  test("chunkDedup: duplicate passage WITHIN one doc is dropped too") {
+    val docs = Seq((7L, "x y x y z")).toDF("doc_id", "text")
+    val out = DedupPack.chunkDedup(docs, 2)
+      .select("doc_id", "dedup_text", "n_kept")
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set((7L, "x y z", 2L)))
+  }
+
+  test("chunkDedup invariants on the real corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val out = DedupPack.chunkDedup(docs, DedupPack.ChunkW).cache()
+    // global distinctness: total kept passages == distinct passages
+    val kept = out.agg(sum("n_kept")).as[Long].head()
+    val distinctChunks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(explode(transform(
+        sequence(lit(0),
+          floor((size(col("toks")) - 1) / lit(DedupPack.ChunkW)).cast("int")),
+        i => array_join(slice(col("toks"),
+          i * DedupPack.ChunkW + 1, lit(DedupPack.ChunkW)), " "))).as("c"))
+      .agg(countDistinct("c")).as[Long].head()
+    assert(kept == distinctChunks, s"$kept kept != $distinctChunks distinct")
+    // a doc with all-unique passages survives verbatim: every output
+    // doc's text is a subsequence of the original's passage list, and
+    // at least one doc is fully intact
+    val joined = out.join(docs, "doc_id")
+      .select("text", "dedup_text").as[(String, String)].collect()
+    assert(joined.nonEmpty)
+    assert(joined.exists { case (t, d) => t == d }, "no doc fully intact")
+    out.unpersist()
+  }
+
+  test("decontaminate: train doc sharing an eval n-gram is flagged") {
+    val sf = "/root/testdata/sf0.001"
+    val out = DedupPack.queries("ds_decontaminate")(spark, sf)
+      .select("doc_id", "n_ngrams", "n_shared", "contam_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // eval docs never appear as train rows
+    assert(out.forall(_._1 % 50 != 0))
+    // shared <= total, frac consistent
+    out.foreach { case (id, tot, sh, fr) =>
+      assert(sh <= tot, s"doc $id: shared $sh > total $tot")
+      assert(math.abs(fr - math.floor(sh.toDouble / tot * 1e4 + 0.5) / 1e4) < 1e-12)
+    }
+  }
+}
