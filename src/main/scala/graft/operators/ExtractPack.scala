@@ -124,6 +124,23 @@ object ExtractPack extends QueryPack {
         graft.pipelines.BitcoinAbuse.syntheticDetailPages(
           Tables.events(s, dir)))),
 
+    // Redaction — the inverse of extraction, the scrub-before-release
+    // step of a corpus pipeline: dates then digit runs replaced by
+    // stable tokens over the same sf-scaled detail pages the e2e
+    // query extracts from. Pure scan-stage regexp_replace after the
+    // page synthesis; n_dates counts the spans the first pass hit.
+    "p_redact_pages" -> ((s, dir) =>
+      graft.pipelines.BitcoinAbuse.syntheticDetailPages(
+        Tables.events(s, dir))
+        .select(col("addr"),
+          regexp_replace(
+            regexp_replace(col("body"),
+              "[0-9]{4}-[0-9]{2}-[0-9]{2}", "[DATE]"),
+            "[0-9]+", "[NUM]").as("red_body"),
+          size(regexp_extract_all(col("body"),
+            lit("[0-9]{4}-[0-9]{2}-[0-9]{2}"), lit(0)))
+            .cast("long").as("n_dates"))),
+
     // walletexplorer directory end-to-end (main.go:203-243):
     // sf-scaled homepage → cell split → type normalize + wallet-link
     // extraction → type → sorted wallet array.
@@ -208,6 +225,28 @@ object ExtractPack extends QueryPack {
         |       'd' || CAST(event_id AS VARCHAR) AS "desc",
         |       'bitcoinAbuse' AS src
         |FROM events""".stripMargin,
+
+    "p_redact_pages" ->
+      """WITH pages AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS addr,
+        |         '<html><body><div><main><div>i</div><div><table><tbody>'
+        |         || string_agg('<tr><td>'
+        |              || strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+        |              || '</td><td>' || event_type
+        |              || '</td><td>d' || CAST(event_id AS VARCHAR)
+        |              || '</td></tr>', ''
+        |              ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |         || '</tbody></table></div></main></div></body></html>'
+        |           AS body
+        |  FROM events GROUP BY user_id)
+        |SELECT addr,
+        |       regexp_replace(
+        |         regexp_replace(body, '[0-9]{4}-[0-9]{2}-[0-9]{2}',
+        |                        '[DATE]', 'g'),
+        |         '[0-9]+', '[NUM]', 'g') AS red_body,
+        |       CAST(len(regexp_extract_all(body,
+        |         '[0-9]{4}-[0-9]{2}-[0-9]{2}')) AS BIGINT) AS n_dates
+        |FROM pages""".stripMargin,
 
     "a3b_walletexplorer_e2e" ->
       """SELECT wallet_type,

@@ -75,6 +75,39 @@ object TextPack extends QueryPack {
           Det.dround(lit(0.4) * col("diversity") + lit(0.3) * col("stop_ratio")
             + lit(0.3) * col("long_ratio"), 4))),
 
+    // Repetition metrics (Gopher-style quality filters): repeated-
+    // token fraction plus the most frequent bigram and the token
+    // share its occurrences cover (overlap double-counts — a
+    // heuristic filter, not an exact cover). Tie-break on the
+    // lexicographically smallest bigram for determinism. The bigram
+    // count is ONE shuffle on (doc_id, bigram) with map-side partial
+    // agg; the top pick partitions by doc_id only — Spark 4 inserts
+    // WindowGroupLimit so each partition forwards one candidate row
+    // per doc, not the whole bigram histogram.
+    "tx_repetition" -> ((s, dir) => {
+      val t = tokenized(s, dir)
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          col("toks"))
+      val counts = t.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          explode(transform(sequence(lit(0), size(col("toks")) - 2),
+            j => concat_ws(" ", get(col("toks"), j), get(col("toks"), j + 1))))
+            .as("bigram"))
+        .groupBy("doc_id", "n_tokens", "n_distinct", "bigram")
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("cnt").desc, col("bigram").asc)
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("n_tokens"),
+          Det.dround(lit(1.0) - col("n_distinct").cast("double")
+            / col("n_tokens"), 4).as("rep_token_frac"),
+          col("bigram").as("top_bigram"),
+          Det.dround(col("cnt").cast("double") * 2 / col("n_tokens"), 4)
+            .as("top_bigram_frac"))
+    }),
+
     // Document fingerprinting: whole-text 32-bit hash + min-sampled
     // rolling shingle hash (winnowing-style representative).
     "tx_fingerprint" -> ((s, dir) =>
@@ -132,6 +165,28 @@ object TextPack extends QueryPack {
              s"CAST(len(list_filter(string_split(text, ' '), t -> length(t) >= 6)) AS DOUBLE) / $nToks",
              4)} AS long_ratio
          |  FROM documents)""".stripMargin,
+
+    "tx_repetition" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         |st AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct, ts
+         |       FROM t),
+         |bg AS (SELECT doc_id, n_tokens, n_distinct,
+         |         ts[g.i+1] || ' ' || ts[g.i+2] AS bigram
+         |       FROM st, UNNEST(range(0, len(ts) - 1)) AS g(i)),
+         |cnts AS (SELECT doc_id, n_tokens, n_distinct, bigram,
+         |           count(*) AS cnt
+         |         FROM bg GROUP BY doc_id, n_tokens, n_distinct, bigram),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                 ORDER BY cnt DESC, bigram ASC) AS rn FROM cnts)
+         |SELECT doc_id, n_tokens,
+         |  ${Det.droundSql("1.0 - CAST(n_distinct AS DOUBLE) / n_tokens", 4)}
+         |    AS rep_token_frac,
+         |  bigram AS top_bigram,
+         |  ${Det.droundSql("CAST(cnt AS DOUBLE) * 2 / n_tokens", 4)}
+         |    AS top_bigram_frac
+         |FROM rk WHERE rn = 1""".stripMargin,
 
     "tx_fingerprint" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),

@@ -77,12 +77,17 @@ object BitcoinAbuse {
     * per-address report count, as on the real site. */
   def syntheticDetailPages(events: DataFrame): DataFrame =
     events.select(col("user_id").cast("string").as("addr"),
-        concat(lit("<tr><td>"), date_format(col("ts"), "yyyy-MM-dd"),
-          lit("</td><td>"), col("event_type"),
-          lit("</td><td>d"), col("event_id"),
-          lit("</td></tr>")).as("row"))
+        struct(col("ts"), col("event_id"),
+          concat(lit("<tr><td>"), date_format(col("ts"), "yyyy-MM-dd"),
+            lit("</td><td>"), col("event_type"),
+            lit("</td><td>d"), col("event_id"),
+            lit("</td></tr>")).as("row")).as("r"))
       .groupBy("addr")
-      .agg(concat_ws("", collect_list(col("row"))).as("rows"))
+      // rows sorted by (ts, event_id): page CONTENT is deterministic,
+      // so queries hashing the page string (p_redact_pages) replay —
+      // collect_list alone orders by task arrival
+      .agg(array_join(transform(array_sort(collect_list(col("r"))),
+        x => x.getField("row")), "").as("rows"))
       .select(col("addr"),
         concat(lit("<html><body><div><main><div>i</div><div><table><tbody>"),
           col("rows"),

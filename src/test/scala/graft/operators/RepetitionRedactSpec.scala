@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Handcrafted semantics for the repetition metrics and the page
+  * redaction (the two round-5 corpus-hygiene ops).
+  */
+class RepetitionRedactSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tx_repetition: handcrafted doc, deterministic tie-break") {
+    // "b a b a b": tokens 5, distinct 2 -> rep 0.6;
+    // bigrams: "b a"(2) "a b"(2) -> tie broken to "a b"; 2*2/5 = 0.8
+    val dir = java.nio.file.Files.createTempDirectory("repsf").toString
+    Seq((1L, "b a b a b", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextPack.queries("tx_repetition")(spark, dir)
+      .as[(Long, Long, Double, String, Double)].collect().toSet
+    assert(out == Set((1L, 5L, 0.6, "a b", 0.8)))
+  }
+
+  test("p_redact_pages: no digits survive, and extraction finds nothing") {
+    val sf = "/root/testdata/sf0.001"
+    val red = ExtractPack.queries("p_redact_pages")(spark, sf).cache()
+    val bodies = red.select("red_body").as[String].collect()
+    assert(bodies.nonEmpty)
+    assert(bodies.forall(!_.exists(_.isDigit)), "digits survived redaction")
+    assert(bodies.forall(_.contains("[DATE]")))
+    // idempotent: replacement tokens contain no digits
+    val twice = red.select(col("addr"),
+        regexp_replace(regexp_replace(col("red_body"),
+          "[0-9]{4}-[0-9]{2}-[0-9]{2}", "[DATE]"), "[0-9]+", "[NUM]")
+          .as("again"))
+      .join(red, "addr")
+      .filter(col("again") =!= col("red_body")).count()
+    assert(twice == 0L, "redaction not idempotent")
+    // n_dates equals the address's report count
+    val nd = red.select(col("addr").cast("long").as("uid"), col("n_dates"))
+    val ev = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id").as("uid")).agg(count(lit(1)).as("n"))
+    val mismatch = nd.join(ev, "uid")
+      .filter(col("n_dates") =!= col("n")).count()
+    assert(mismatch == 0L)
+    red.unpersist()
+  }
+}
