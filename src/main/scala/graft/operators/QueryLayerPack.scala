@@ -306,6 +306,16 @@ object QueryLayerPack extends QueryPack {
           sum(col("l_quantity").cast("long")).as("qty"))
     }),
 
+    // Z-order clustering key ([[graft.plans.ZInterleave]], layout op
+    // [[ZOrderLayout.cluster]]): the Morton code zorder writes sort
+    // by, oracled bit-for-bit against an unrolled SQL interleave.
+    "q_zorder_key" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.plans.ZInterleave.z(
+          col("l_partkey").bitwiseAND(lit(65535L)),
+          col("l_suppkey").bitwiseAND(lit(65535L))).as("zval"))),
+
     // As-of join (backward): each purchase matched to the user's
     // latest click at-or-before it. Implemented as union + ordered
     // window (one shuffle, no range cross-join) — the scalable form.
@@ -613,6 +623,12 @@ object QueryLayerPack extends QueryPack {
         |              WHERE o_orderkey = l_orderkey
         |                AND o_totalprice > 400000)
         |GROUP BY l_returnflag""".stripMargin,
+
+    "q_zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${graft.plans.ZInterleave.sqlZ("l_partkey & 65535",
+             "l_suppkey & 65535")} AS zval
+         |FROM lineitem""".stripMargin,
 
     "q_asof_join" ->
       """SELECT event_id AS purchase_id, user_id, click_id FROM (

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering for write layout — the standard move
+  * for tables filtered on TWO key columns at 100 TB.
+  *
+  * A one-column sort gives perfect file pruning on its own column and
+  * NONE on the other: a y-only predicate reads every file. Range-
+  * partitioning by the interleaved z-value instead tiles (x, y) space
+  * into axis-aligned boxes, so parquet min/max stats prune on either
+  * dimension at ~√F of the files (F = file count) — the bounded-
+  * worst-case layout, measured by ZOrderLayoutSpec.
+  *
+  * Scale shape: `repartitionByRange` samples the z-column (one pass)
+  * and range-exchanges once — the same cost as any global sort-write;
+  * `sortWithinPartitions` then orders rows inside each file so row-
+  * group stats inside a file stay tight too. The z-column is dropped
+  * before the write: layout is free to reads, no schema change.
+  */
+object ZOrderLayout {
+
+  /** `df` re-laid-out so each of `nFiles` output partitions covers a
+    * small (x, y) box. x and y must be integral; callers with wider
+    * domains bucket to 16 bits first (`& 0xFFFF`, or a range rank for
+    * non-uniform keys). */
+  def cluster(df: DataFrame, x: Column, y: Column, nFiles: Int): DataFrame =
+    df.withColumn("__z", graft.plans.ZInterleave.z(x, y))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+
+  /** Per-file (x, y) bounding boxes of a written parquet dir — the
+    * measurement half (what parquet footer min/max would prune on). */
+  def fileBoxes(df: DataFrame, x: Column, y: Column): DataFrame =
+    df.select(input_file_name().as("f"), x.as("x"), y.as("y"))
+      .groupBy("f")
+      .agg(min("x").as("xmin"), max("x").as("xmax"),
+        min("y").as("ymin"), max("y").as("ymax"))
+}
