@@ -260,28 +260,26 @@ object DedupPack extends QueryPack {
     * survivors in passage order. Docs whose every passage was seen
     * earlier disappear (the dedup semantics, not an accident).
     *
-    * Scale shape: ONE shuffle on the 32-char passage hash with
-    * map-side partial min (groupBy+min(struct), never a window that
-    * would concentrate a boilerplate passage's occurrences on one
-    * task), a join back on the same key (partitioning reused), and
-    * the doc-grain regroup. Passage text crosses the wire once — it
-    * IS the output. */
-  def chunkDedup(docs: DataFrame, w: Int): DataFrame = {
-    val ch = chunked(docs, w)
-    val winners = ch
+    * Scale shape: TWO shuffles total. Winner selection is ONE
+    * groupBy on the passage hash with the winner's text riding
+    * inside the min struct — identical hash means identical text,
+    * so no join-back is needed to recover it, and map-side partial
+    * min forwards a single candidate struct per hash per input
+    * partition (a window partitioned by the hash would concentrate
+    * a boilerplate passage's 10⁸ copies on one task). The doc-grain
+    * regroup is the second shuffle. */
+  def chunkDedup(docs: DataFrame, w: Int): DataFrame =
+    chunked(docs, w)
       .groupBy(md5(col("chunk")).as("h"))
-      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
-      .select(col("h"), col("w.doc_id").as("w_doc"),
-        col("w.chunk_idx").as("w_idx"))
-    ch.join(winners, md5(col("chunk")) === col("h") &&
-        col("doc_id") === col("w_doc") && col("chunk_idx") === col("w_idx"))
-      .groupBy(col("doc_id"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"), col("chunk")))
+        .as("w"))
+      .groupBy(col("w.doc_id").as("doc_id"))
       .agg(
         array_join(transform(
-          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          array_sort(collect_list(struct(col("w.chunk_idx").as("chunk_idx"),
+            col("w.chunk").as("chunk")))),
           x => x.getField("chunk")), " ").as("dedup_text"),
         count(lit(1)).as("n_kept"))
-  }
 
   /** Max hamming distance for ds_simhash_pairs (3 = the classic
     * near-dup radius; pigeonhole over 4 bytes is valid for ≤ 3 bit
