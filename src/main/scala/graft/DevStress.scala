@@ -80,6 +80,17 @@ object DevStress {
     time("jaccard_pairs",
       DedupPack.jaccardPairs(toks, dfCap = DedupPack.JaccardDfCap * factor))
 
+    // passage dedup: replication multiplies every passage's copy
+    // count by factor; the min-struct groupBy forwards one candidate
+    // per hash per partition, so wall should track input chunks
+    time("chunk_dedup",
+      DedupPack.chunkDedup(renamed, DedupPack.ChunkW))
+    // decontamination: eval n-gram set broadcast, train side never
+    // shuffles — wall should track the train-side n-gram explode
+    time("decontaminate",
+      DedupPack.decontaminate(toks, DedupPack.ContamNgramW,
+        col("doc_id") % 50 === 0))
+
     // cooccurrence: factor× users per day, cap fixed — TopKPerKey vs
     // the window form the round-2 code used
     val cells = Tables.events(spark, sf)
@@ -140,6 +151,16 @@ object DevStress {
       pairs(SimilarityPack.capBuckets(hotBuckets)))
     if (hc > 0)
       println(f"[stress] x$factor%-3d hot-bucket reduction      ${hu.toDouble / hc}%8.2fx")
+
+    // k-means: one Lloyd step over the replicated embeddings — per
+    // iteration ONE scan (literal-centroid argmin) + a ≤ k·d-row
+    // shuffle, so wall should track input vectors
+    {
+      val vq = graft.operators.KMeans.quantize(bigEmb)
+      val t0 = System.nanoTime()
+      graft.operators.KMeans.train(vq, iters = 1)
+      println(f"[stress] x$factor%-3d kmeans_step               ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
     spark.stop()
   }
 }

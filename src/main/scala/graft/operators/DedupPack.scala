@@ -213,26 +213,34 @@ object DedupPack extends QueryPack {
     // the benchmark suite). The eval n-gram set is tiny relative to
     // the corpus at any scale (benchmarks are MBs, corpora TBs) —
     // broadcast it; the train side never shuffles.
-    "ds_decontaminate" -> ((s, dir) => {
-      val ng = tokenized(s, dir)
-        .filter(size(col("toks")) >= ContamNgramW)
-        .select(col("doc_id"),
-          explode(array_distinct(
-            Hashing.shingles(col("toks"), ContamNgramW))).as("ng"))
-      val eval = ng.filter(col("doc_id") % 50 === 0)
-        .select("ng").distinct()
-      val train = ng.filter(col("doc_id") % 50 =!= 0)
-      val tot = train.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_ngrams"))
-      val shared = train.join(broadcast(eval), Seq("ng"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      tot.join(shared, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_ngrams"),
-          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-          graft.Det.dround(coalesce(col("n_shared"), lit(0L)).cast("double")
-            / col("n_ngrams"), 4).as("contam_frac"))
-    }),
+    "ds_decontaminate" -> ((s, dir) =>
+      decontaminate(tokenized(s, dir), ContamNgramW,
+        col("doc_id") % 50 === 0)),
   )
+
+  /** The ds_decontaminate body over any (doc_id, toks) frame:
+    * `evalPred` rows play the held-out benchmark; their distinct
+    * n-gram set is broadcast against every training doc's n-grams.
+    * Factored out so [[graft.DevStress]] probes the production
+    * stages at replicated scale. */
+  def decontaminate(tokens: DataFrame, w: Int,
+                    evalPred: org.apache.spark.sql.Column): DataFrame = {
+    val ng = tokens
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        explode(array_distinct(Hashing.shingles(col("toks"), w))).as("ng"))
+    val eval = ng.filter(evalPred).select("ng").distinct()
+    val train = ng.filter(!evalPred)
+    val tot = train.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"))
+    val shared = train.join(broadcast(eval), Seq("ng"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    tot.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        graft.Det.dround(coalesce(col("n_shared"), lit(0L)).cast("double")
+          / col("n_ngrams"), 4).as("contam_frac"))
+  }
 
   /** Passage width for [[chunkDedup]]'s corpus-level passage dedup. */
   val ChunkW = 16

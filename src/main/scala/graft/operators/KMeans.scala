@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding column — the
+  * TRAINING half of the IVF index ([[graft.functions.Similarity]]'s
+  * scaladoc: "in production these would be k-means centroids
+  * broadcast from a training job"; this is that job).
+  *
+  * Scale shape (the MLlib-KMeans pattern): each iteration is ONE full
+  * scan — assignment is a literal-centroid argmin evaluated inside the
+  * scan stage (k·d doubles live in the plan, no join) — plus one tiny
+  * shuffle of ≤ k·d partial-sum rows per input partition
+  * (`groupBy(cluster, pos)` with map-side combine). The k·d result
+  * (8×64 here) is collected and folded into the next iteration's
+  * literals: centroids ride the PLAN, vectors never leave their
+  * partitions. At 100 TB that is t scans + t negligible shuffles —
+  * there is no cheaper exact-Lloyd plan.
+  *
+  * Cross-engine determinism (what makes the oracle hash-exact):
+  * embeddings are quantized to integers (`floor(x·1000 + 0.5)`, the
+  * [[graft.Det]] primitive), so per-cluster sums are ORDER-FREE exact
+  * longs — no float summation order to disagree on. New centroids are
+  * `sum.toDouble / count` (one IEEE division, identical in DuckDB),
+  * and distances are sequential left-folds, bit-identical to
+  * `list_reduce` (same parity contract as [[graft.functions.Similarity.sqlDot]]).
+  */
+object KMeans {
+
+  /** Cluster count; init = the quantized vectors of the k smallest
+    * vec_ids (deterministic, oracle-replayable). */
+  val K = 8
+
+  /** Quantization scale: float embeddings → integer grid of 1/1000. */
+  val QuantScale = 1000
+
+  /** array<long> quantized embedding — exact in both engines. */
+  def quantized(emb: Column): Column =
+    transform(emb, x =>
+      floor(x.cast("double") * QuantScale + lit(0.5)).cast("long"))
+
+  /** Squared L2 distance of a quantized vector to one literal
+    * centroid, as a sequential double fold (list_reduce parity). */
+  private def sqDist(vq: Column, cent: Array[Double]): Column =
+    aggregate(
+      zip_with(vq, array(cent.map(lit): _*), (x, c) =>
+        (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Per-row distance vector to every centroid (k fold expressions,
+    * each centroid referenced exactly once — no reliance on codegen
+    * subexpression elimination; see Similarity.ivfAssign). */
+  def distances(vq: Column, cents: Seq[Array[Double]]): Column =
+    array(cents.map(c => sqDist(vq, c)): _*)
+
+  /** Nearest-centroid index with first-match tie-break (argmin =
+    * first position of the min — mirrors the oracle's
+    * `row_number() OVER (ORDER BY d, j)`). */
+  def assign(dists: Column): Column =
+    (array_position(dists, array_min(dists)) - 1).cast("long")
+
+  /** `(vec_id, vq)` quantized projection of an embedding frame. */
+  def quantize(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), quantized(col("embedding")).as("vq"))
+
+  /** One Lloyd step: assign every vector to `cents`, return the k new
+    * mean centroids. Empty clusters keep their previous centroid.
+    * The collect is the ≤ k·d finalized partial sums — the broadcast-
+    * centroids pattern, NOT a data collect. */
+  def step(vq: DataFrame, cents: Seq[Array[Double]]): Seq[Array[Double]] = {
+    val dims = cents.head.length
+    val parts = vq
+      .select(assign(distances(col("vq"), cents)).as("cluster"),
+        posexplode(col("vq")))
+      .groupBy("cluster", "pos")
+      .agg(sum("col").as("s"), count(lit(1)).as("n"))
+      .collect()
+    val mean = Array.fill(cents.size, dims)(0.0)
+    val seen = Array.fill(cents.size)(false)
+    parts.foreach { r =>
+      val (cl, pos) = (r.getLong(0).toInt, r.getInt(1))
+      seen(cl) = true
+      mean(cl)(pos) = r.getLong(2).toDouble / r.getLong(3)
+    }
+    cents.indices.map(j => if (seen(j)) mean(j) else cents(j))
+  }
+
+  /** `iters` Lloyd steps from the deterministic init; returns the
+    * final centroids, ready to broadcast into an IVF assign/probe. */
+  def train(vq: DataFrame, iters: Int): Seq[Array[Double]] = {
+    val init: Seq[Array[Double]] = vq.filter(col("vec_id") < K)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Long](1).map(_.toDouble).toArray).toSeq
+    require(init.size == K, s"need vec_ids 0..${K - 1} for init, got ${init.size}")
+    (1 to iters).foldLeft(init)((c, _) => step(vq, c))
+  }
+
+  // ---- SQL mirrors (DuckDB oracle fragments) ----
+
+  /** Quantized-embedding CTE: `vq(vec_id, vq)`. */
+  def sqlVqCte: String =
+    s"""vq AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $QuantScale + 0.5) AS BIGINT)) AS vq
+       |  FROM embeddings)""".stripMargin
+
+  /** Squared-distance fold between a vq list and a centroid list —
+    * the same sequential left-fold as [[sqDist]]. */
+  def sqlSqDist(v: String, c: String): String =
+    s"list_reduce(list_transform($v, (x, i) -> (CAST(x AS DOUBLE) - $c[i]) * (CAST(x AS DOUBLE) - $c[i])), (a, b) -> a + b)"
+
+  /** One unrolled Lloyd iteration as CTEs: given centroids `cin(j, c)`,
+    * emits `d{t}` (distances), `a{t}` (assignment) and `c{t}` (new
+    * centroids, empty clusters inheriting from `cin`). */
+  def sqlStepCtes(t: Int, cin: String): String =
+    s"""d$t AS (SELECT v.vec_id, c.j, ${sqlSqDist("v.vq", "c.c")} AS d
+       |  FROM vq v CROSS JOIN $cin c),
+       |a$t AS (SELECT vec_id, j AS cluster, d AS dist FROM (
+       |    SELECT vec_id, j, d,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+       |    FROM d$t) WHERE rn = 1),
+       |m$t AS (SELECT a.cluster, unnest(generate_series(1, len(v.vq))) AS pos,
+       |               unnest(v.vq) AS val
+       |        FROM a$t a JOIN vq v USING (vec_id)),
+       |c$t AS (SELECT p.j, coalesce(n.c, p.c) AS c
+       |        FROM $cin p LEFT JOIN (
+       |          SELECT cluster AS j, list(m ORDER BY pos) AS c FROM (
+       |            SELECT cluster, pos, CAST(sum(val) AS DOUBLE) / count(*) AS m
+       |            FROM m$t GROUP BY cluster, pos)
+       |          GROUP BY cluster) n USING (j))""".stripMargin
+}

@@ -204,6 +204,22 @@ object SimilarityPack extends QueryPack {
             (0 until Similarity.PlanesPerBand).map(j =>
               col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
       annTopK(s, dir, queryCandidates(qprobe, bc))
+    }),
+
+    // K-means TRAINING (2 Lloyd steps) + final assignment — the job
+    // that produces real IVF centroids (Similarity.ivfAssign's
+    // deterministic stand-ins note exactly this). Each iteration is
+    // one scan (literal-centroid argmin, zero joins) + one ≤ k·d-row
+    // shuffle; see KMeans scaladoc for the 100 TB story and the
+    // integer-quantization trick that makes Lloyd's oracle-replayable.
+    "sim_kmeans_assign" -> ((s, dir) => {
+      val vq = KMeans.quantize(emb(s, dir))
+      val cents = KMeans.train(vq, iters = 2)
+      vq.select(col("vec_id"),
+          KMeans.distances(col("vq"), cents).as("dists"))
+        .select(col("vec_id"),
+          KMeans.assign(col("dists")).as("cluster"),
+          graft.Det.dround(array_min(col("dists")), 6).as("dist"))
     })
   )
 
@@ -386,7 +402,24 @@ object SimilarityPack extends QueryPack {
          |          FROM qprobe q
          |          JOIN bcap v ON q.band = v.band AND q.bucket = v.bucket
          |           AND v.vec_id <> q.query_id),
-         |$annTopKSql""".stripMargin
+         |$annTopKSql""".stripMargin,
+
+    // two unrolled Lloyd steps over the quantized embeddings (init =
+    // vec_id 0..k-1, c1/c2 = per-cluster exact-integer means), then
+    // the final assignment against c2 — a3 mirrors the engine's
+    // post-train assign; step 3's own m3/c3 CTEs go unreferenced.
+    // (KMeans.sqlStepCtes is the shared fragment source, like
+    // Similarity.sqlDot for the cosine family.)
+    "sim_kmeans_assign" ->
+      s"""WITH ${KMeans.sqlVqCte},
+         |c0 AS (SELECT CAST(vec_id AS BIGINT) AS j,
+         |              list_transform(vq, x -> CAST(x AS DOUBLE)) AS c
+         |       FROM vq WHERE vec_id < ${KMeans.K}),
+         |${KMeans.sqlStepCtes(1, "c0")},
+         |${KMeans.sqlStepCtes(2, "c1")},
+         |${KMeans.sqlStepCtes(3, "c2")}
+         |SELECT vec_id, cluster, ${graft.Det.droundSql("dist", 6)} AS dist
+         |FROM a3""".stripMargin
   )
 
   /** Shared tail of the two ANN top-k oracles: exact-cosine scoring +

@@ -108,6 +108,18 @@ object TextPack extends QueryPack {
             .as("top_bigram_frac"))
     }),
 
+    // Corpus vocabulary: global top-50 bigrams by frequency. ONE
+    // shuffle (groupBy with map-side partial counts); the global
+    // top-k is TakeOrderedAndProject — per-partition bounded heaps
+    // merged on the driver, k rows per partition max — NOT a global
+    // sort. (cnt, ng) is unique per ng, so the cut is deterministic.
+    "tx_top_ngrams" -> ((s, dir) =>
+      tokenized(s, dir)
+        .select(explode(Hashing.shingles(col("toks"), 2)).as("ng"))
+        .groupBy("ng").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ng"))
+        .limit(50)),
+
     // Document fingerprinting: whole-text 32-bit hash + min-sampled
     // rolling shingle hash (winnowing-style representative).
     "tx_fingerprint" -> ((s, dir) =>
@@ -187,6 +199,14 @@ object TextPack extends QueryPack {
          |  ${Det.droundSql("CAST(cnt AS DOUBLE) * 2 / n_tokens", 4)}
          |    AS top_bigram_frac
          |FROM rk WHERE rn = 1""".stripMargin,
+
+    "tx_top_ngrams" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ts
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |ng AS (SELECT ts[j+1] || ' ' || ts[j+2] AS ng
+        |       FROM t, UNNEST(generate_series(0, len(ts) - 2)) AS g(j))
+        |SELECT ng, count(*) AS cnt FROM ng
+        |GROUP BY ng ORDER BY cnt DESC, ng LIMIT 50""".stripMargin,
 
     "tx_fingerprint" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** KMeans: Lloyd-step semantics against a hand-computed reference on
+  * a tiny planted-cluster input, plus the empty-cluster and
+  * convergence invariants the oracle can't see in isolation.
+  */
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two planted 2-d clusters (quantized space would be ×1000; the
+    * operator only sees the float column). vec_ids 0..3; init takes
+    * 0..K-1 so we shrink K via the real embeddings table instead —
+    * here we drive step() directly with explicit centroids. */
+  private def vq2(rows: (Long, Seq[Long])*) =
+    rows.toDF("vec_id", "vq")
+
+  test("step: per-cluster means match a hand computation") {
+    // cluster 0 ≈ {(0,0), (2,0)}, cluster 1 ≈ {(10,10)}
+    val vq = vq2((0L, Seq(0L, 0L)), (1L, Seq(2L, 0L)), (2L, Seq(10L, 10L)))
+    val cents = Seq(Array(0.0, 0.0), Array(9.0, 9.0))
+    val next = KMeans.step(vq, cents)
+    assert(next(0).toSeq == Seq(1.0, 0.0)) // mean of (0,0) and (2,0)
+    assert(next(1).toSeq == Seq(10.0, 10.0))
+  }
+
+  test("step: an empty cluster keeps its previous centroid") {
+    val vq = vq2((0L, Seq(0L, 0L)), (1L, Seq(1L, 0L)))
+    val far = Array(1e6, 1e6) // captures nothing
+    val next = KMeans.step(vq, Seq(Array(0.0, 0.0), far))
+    assert(next(1).toSeq == far.toSeq)
+    assert(next(0).toSeq == Seq(0.5, 0.0))
+  }
+
+  test("assign: first-match tie-break (equidistant point goes to the lower index)") {
+    val vq = vq2((0L, Seq(1L, 0L))) // exactly between (0,0) and (2,0)
+    val cents = Seq(Array(0.0, 0.0), Array(2.0, 0.0))
+    val got = vq.select(KMeans.assign(KMeans.distances(col("vq"), cents)))
+      .as[Long].head()
+    assert(got == 0L)
+  }
+
+  test("train on real embeddings: within-cluster distance never increases across a step") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val vq = KMeans.quantize(emb).cache()
+    def cost(cents: Seq[Array[Double]]): Double =
+      vq.select(array_min(KMeans.distances(col("vq"), cents)).as("d"))
+        .agg(sum("d")).as[Double].head()
+    val c1 = KMeans.train(vq, iters = 1)
+    val c2 = KMeans.step(vq, c1)
+    // Lloyd monotonicity: each full step can only lower the objective
+    assert(cost(c2) <= cost(c1))
+    // k clusters over a real corpus: every centroid ends non-empty
+    val sizes = vq
+      .select(KMeans.assign(KMeans.distances(col("vq"), c2)).as("c"))
+      .groupBy("c").count().collect()
+    assert(sizes.length == KMeans.K)
+    vq.unpersist()
+  }
+}
