@@ -24,10 +24,17 @@ import org.apache.spark.sql.functions._
   *  - ANN candidate generation over replicated embeddings (copies
   *    collide into the same LSH buckets → bucket size grows ~factor×),
   *    capped vs uncapped — the measured candidate-reduction factor
+  *
+  * Usage: runMain graft.DevStress [factor] [probe-substring] — the
+  * optional filter skips probes whose name doesn't contain it
+  * (skipped probes report -1 rows, no wall line). One probe per
+  * process is also the honest measurement: concurrent local[32]
+  * sessions starve each other.
   */
 object DevStress {
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 20
+    val only = if (args.length > 1) args(1) else ""
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -47,8 +54,10 @@ object DevStress {
     big.write.mode("overwrite").parquet("/tmp/stress_docs")
     val n = spark.read.parquet("/tmp/stress_docs").count()
 
-    /** Times a noop-sink materialization; row count rides the action. */
+    /** Times a noop-sink materialization; row count rides the action.
+      * Probes not matching the CLI filter are skipped (-1). */
     def time(name: String, df: DataFrame): Long = {
+      if (only.nonEmpty && !name.contains(only)) return -1L
       System.gc()
       val obs = new Observation()
       val t0 = System.nanoTime()
@@ -153,9 +162,10 @@ object DevStress {
       println(f"[stress] x$factor%-3d hot-bucket reduction      ${hu.toDouble / hc}%8.2fx")
 
     // k-means: one Lloyd step over the replicated embeddings — per
-    // iteration ONE scan (literal-centroid argmin) + a ≤ k·d-row
-    // shuffle, so wall should track input vectors
-    {
+    // iteration ONE scan (literal-centroid argmax via codegen'd
+    // FloatDot) + a ≤ k·d-row shuffle, so wall should track input
+    // vectors
+    if (only.isEmpty || "kmeans_step".contains(only)) {
       val vq = graft.operators.KMeans.quantize(bigEmb)
       val t0 = System.nanoTime()
       graft.operators.KMeans.train(vq, iters = 1)

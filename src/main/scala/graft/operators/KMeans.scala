@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   * broadcast from a training job"; this is that job).
   *
   * Scale shape (the MLlib-KMeans pattern): each iteration is ONE full
-  * scan — assignment is a literal-centroid argmin evaluated inside the
-  * scan stage (k·d doubles live in the plan, no join) — plus one tiny
+  * scan — assignment is a literal-centroid argmax evaluated inside the
+  * scan stage (k·d floats live in the plan, no join) — plus one tiny
   * shuffle of ≤ k·d partial-sum rows per input partition
   * (`groupBy(cluster, pos)` with map-side combine). The k·d result
   * (8×64 here) is collected and folded into the next iteration's
@@ -18,13 +18,22 @@ import org.apache.spark.sql.functions._
   * partitions. At 100 TB that is t scans + t negligible shuffles —
   * there is no cheaper exact-Lloyd plan.
   *
+  * The per-row distance is NOT a `zip_with`+`aggregate` fold —
+  * interpreted higher-order lambdas cost ~20× here (measured by the
+  * DevStress kmeans probe). Instead, argmin ‖v−c‖² = argmax
+  * (2·v·c − ‖c‖²) with v·c through the codegen'd
+  * [[graft.plans.FloatDot]] — the ivfAssign plan shape — and the
+  * reported distance recovered as ‖v‖² − bestScore.
+  *
   * Cross-engine determinism (what makes the oracle hash-exact):
   * embeddings are quantized to integers (`floor(x·1000 + 0.5)`, the
-  * [[graft.Det]] primitive), so per-cluster sums are ORDER-FREE exact
-  * longs — no float summation order to disagree on. New centroids are
-  * `sum.toDouble / count` (one IEEE division, identical in DuckDB),
-  * and distances are sequential left-folds, bit-identical to
-  * `list_reduce` (same parity contract as [[graft.functions.Similarity.sqlDot]]).
+  * [[graft.Det]] primitive, exact in float), so per-cluster sums are
+  * ORDER-FREE exact longs — no float summation order to disagree on.
+  * New centroids are `sum.toDouble / count` rounded through FLOAT
+  * (both engines cast the same double to the same float), and all
+  * dots/norms are sequential double folds, bit-identical to
+  * `list_reduce` (the [[graft.functions.Similarity.sqlDot]] parity
+  * contract).
   */
 object KMeans {
 
@@ -35,46 +44,62 @@ object KMeans {
   /** Quantization scale: float embeddings → integer grid of 1/1000. */
   val QuantScale = 1000
 
-  /** array<long> quantized embedding — exact in both engines. */
+  /** array<float> quantized embedding — integer-valued, exact in both
+    * engines (|values| ≪ 2²⁴), float-typed so the codegen'd FloatDot
+    * applies. */
   def quantized(emb: Column): Column =
     transform(emb, x =>
-      floor(x.cast("double") * QuantScale + lit(0.5)).cast("long"))
-
-  /** Squared L2 distance of a quantized vector to one literal
-    * centroid, as a sequential double fold (list_reduce parity). */
-  private def sqDist(vq: Column, cent: Array[Double]): Column =
-    aggregate(
-      zip_with(vq, array(cent.map(lit): _*), (x, c) =>
-        (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0), (acc, d) => acc + d)
-
-  /** Per-row distance vector to every centroid (k fold expressions,
-    * each centroid referenced exactly once — no reliance on codegen
-    * subexpression elimination; see Similarity.ivfAssign). */
-  def distances(vq: Column, cents: Seq[Array[Double]]): Column =
-    array(cents.map(c => sqDist(vq, c)): _*)
-
-  /** Nearest-centroid index with first-match tie-break (argmin =
-    * first position of the min — mirrors the oracle's
-    * `row_number() OVER (ORDER BY d, j)`). */
-  def assign(dists: Column): Column =
-    (array_position(dists, array_min(dists)) - 1).cast("long")
+      floor(x.cast("double") * QuantScale + lit(0.5)).cast("float"))
 
   /** `(vec_id, vq)` quantized projection of an embedding frame. */
   def quantize(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), quantized(col("embedding")).as("vq"))
 
+  /** Centroid as a literal array<float> (the broadcast-through-the-
+    * plan representation; both engines round the double mean to float
+    * identically). */
+  private def centLit(cent: Array[Double]): Column =
+    array(cent.map(c => lit(c.toFloat)): _*)
+
+  /** ‖c‖² of the float-rounded centroid, as the same sequential
+    * left-fold of doubles the oracle's list_reduce performs. */
+  private def centNorm2(cent: Array[Double]): Double =
+    cent.foldLeft(0.0)((acc, c) => acc + c.toFloat.toDouble * c.toFloat.toDouble)
+
+  /** Per-row score vector: s_j = 2·(vq·c_j) − ‖c_j‖², one codegen'd
+    * FloatDot per centroid (each referenced exactly once — no
+    * reliance on codegen subexpression elimination; the ivfAssign
+    * pattern). argmin distance = argmax score. */
+  def scores(vq: Column, cents: Seq[Array[Double]]): Column =
+    array(cents.map(c =>
+      lit(2.0) * graft.plans.FloatDot.dot(vq, centLit(c)) - lit(centNorm2(c))): _*)
+
+  /** Nearest-centroid index with first-match tie-break (argmax =
+    * first position of the max — mirrors the oracle's
+    * `row_number() OVER (ORDER BY s DESC, j)`). */
+  def assign(scores: Column): Column =
+    (array_position(scores, array_max(scores)) - 1).cast("long")
+
+  /** Squared distance to the assigned centroid, recovered from the
+    * best score: ‖v‖² − max s = ‖v‖² − 2·v·c + ‖c‖². ‖v‖² is one
+    * more codegen'd FloatDot; the identity is exact in ℝ and the
+    * oracle evaluates the SAME float expression, so parity holds. */
+  def bestDist(vq: Column, scores: Column): Column =
+    graft.plans.FloatDot.dot(vq, vq) - array_max(scores)
+
   /** One Lloyd step: assign every vector to `cents`, return the k new
     * mean centroids. Empty clusters keep their previous centroid.
     * The collect is the ≤ k·d finalized partial sums — the broadcast-
-    * centroids pattern, NOT a data collect. */
+    * centroids pattern, NOT a data collect. Sums are exact: the
+    * float-typed vq values are integers, so the long cast is lossless
+    * and the aggregation order-free. */
   def step(vq: DataFrame, cents: Seq[Array[Double]]): Seq[Array[Double]] = {
     val dims = cents.head.length
     val parts = vq
-      .select(assign(distances(col("vq"), cents)).as("cluster"),
+      .select(assign(scores(col("vq"), cents)).as("cluster"),
         posexplode(col("vq")))
       .groupBy("cluster", "pos")
-      .agg(sum("col").as("s"), count(lit(1)).as("n"))
+      .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
       .collect()
     val mean = Array.fill(cents.size, dims)(0.0)
     val seen = Array.fill(cents.size)(false)
@@ -91,41 +116,52 @@ object KMeans {
   def train(vq: DataFrame, iters: Int): Seq[Array[Double]] = {
     val init: Seq[Array[Double]] = vq.filter(col("vec_id") < K)
       .orderBy("vec_id").collect()
-      .map(_.getSeq[Long](1).map(_.toDouble).toArray).toSeq
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
     require(init.size == K, s"need vec_ids 0..${K - 1} for init, got ${init.size}")
     (1 to iters).foldLeft(init)((c, _) => step(vq, c))
   }
 
   // ---- SQL mirrors (DuckDB oracle fragments) ----
 
-  /** Quantized-embedding CTE: `vq(vec_id, vq)`. */
+  /** Quantized-embedding CTE: `vq(vec_id, vq)` as BIGINT lists (the
+    * engine's float values are integer-exact, so BIGINT replays them;
+    * dots cast per-element to DOUBLE exactly like FloatDot). */
   def sqlVqCte: String =
     s"""vq AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * $QuantScale + 0.5) AS BIGINT)) AS vq
        |  FROM embeddings)""".stripMargin
 
-  /** Squared-distance fold between a vq list and a centroid list —
-    * the same sequential left-fold as [[sqDist]]. */
-  def sqlSqDist(v: String, c: String): String =
-    s"list_reduce(list_transform($v, (x, i) -> (CAST(x AS DOUBLE) - $c[i]) * (CAST(x AS DOUBLE) - $c[i])), (a, b) -> a + b)"
+  /** Sequential-double-fold dot between a vq list and a centroid
+    * list — the FloatDot parity form. */
+  def sqlVqDot(v: String, c: String): String =
+    s"list_reduce(list_transform($v, (x, i) -> CAST(x AS DOUBLE) * $c[i]), (a, b) -> a + b)"
 
-  /** One unrolled Lloyd iteration as CTEs: given centroids `cin(j, c)`,
-    * emits `d{t}` (distances), `a{t}` (assignment) and `c{t}` (new
-    * centroids, empty clusters inheriting from `cin`). */
+  /** One unrolled Lloyd iteration as CTEs: given centroids
+    * `cin(j, c, c2)` (float-rounded mean list + its ‖c‖² fold), emits
+    * `d{t}` (scores + ‖v‖²), `a{t}` (assignment + distance) and
+    * `c{t}` (new centroids, empty clusters inheriting from `cin`). */
   def sqlStepCtes(t: Int, cin: String): String =
-    s"""d$t AS (SELECT v.vec_id, c.j, ${sqlSqDist("v.vq", "c.c")} AS d
+    s"""d$t AS (SELECT v.vec_id, c.j,
+       |    2.0 * ${sqlVqDot("v.vq", "c.c")} - c.c2 AS s,
+       |    ${sqlVqDot("v.vq", "v.vq")} AS vn2
        |  FROM vq v CROSS JOIN $cin c),
-       |a$t AS (SELECT vec_id, j AS cluster, d AS dist FROM (
-       |    SELECT vec_id, j, d,
-       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+       |a$t AS (SELECT vec_id, j AS cluster, vn2 - s AS dist FROM (
+       |    SELECT vec_id, j, s, vn2,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn
        |    FROM d$t) WHERE rn = 1),
        |m$t AS (SELECT a.cluster, unnest(generate_series(1, len(v.vq))) AS pos,
        |               unnest(v.vq) AS val
        |        FROM a$t a JOIN vq v USING (vec_id)),
-       |c$t AS (SELECT p.j, coalesce(n.c, p.c) AS c
+       |c$t AS (SELECT p.j, coalesce(n.c, p.c) AS c,
+       |               coalesce(n.c2, p.c2) AS c2
        |        FROM $cin p LEFT JOIN (
-       |          SELECT cluster AS j, list(m ORDER BY pos) AS c FROM (
-       |            SELECT cluster, pos, CAST(sum(val) AS DOUBLE) / count(*) AS m
+       |          SELECT cluster AS j,
+       |                 list(m ORDER BY pos) AS c,
+       |                 list_reduce(list_transform(list(m ORDER BY pos),
+       |                   x -> x * x), (a, b) -> a + b) AS c2
+       |          FROM (
+       |            SELECT cluster, pos,
+       |              CAST(CAST(CAST(sum(val) AS DOUBLE) / count(*) AS FLOAT) AS DOUBLE) AS m
        |            FROM m$t GROUP BY cluster, pos)
        |          GROUP BY cluster) n USING (j))""".stripMargin
 }

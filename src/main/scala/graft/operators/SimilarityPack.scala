@@ -209,17 +209,18 @@ object SimilarityPack extends QueryPack {
     // K-means TRAINING (2 Lloyd steps) + final assignment — the job
     // that produces real IVF centroids (Similarity.ivfAssign's
     // deterministic stand-ins note exactly this). Each iteration is
-    // one scan (literal-centroid argmin, zero joins) + one ≤ k·d-row
-    // shuffle; see KMeans scaladoc for the 100 TB story and the
-    // integer-quantization trick that makes Lloyd's oracle-replayable.
+    // one scan (codegen'd FloatDot argmax against literal centroids,
+    // zero joins) + one ≤ k·d-row shuffle; see KMeans scaladoc for
+    // the 100 TB story and the integer-quantization trick that makes
+    // Lloyd's oracle-replayable.
     "sim_kmeans_assign" -> ((s, dir) => {
       val vq = KMeans.quantize(emb(s, dir))
       val cents = KMeans.train(vq, iters = 2)
-      vq.select(col("vec_id"),
-          KMeans.distances(col("vq"), cents).as("dists"))
+      vq.select(col("vec_id"), col("vq"),
+          KMeans.scores(col("vq"), cents).as("s"))
         .select(col("vec_id"),
-          KMeans.assign(col("dists")).as("cluster"),
-          graft.Det.dround(array_min(col("dists")), 6).as("dist"))
+          KMeans.assign(col("s")).as("cluster"),
+          graft.Det.dround(KMeans.bestDist(col("vq"), col("s")), 6).as("dist"))
     })
   )
 
@@ -405,15 +406,19 @@ object SimilarityPack extends QueryPack {
          |$annTopKSql""".stripMargin,
 
     // two unrolled Lloyd steps over the quantized embeddings (init =
-    // vec_id 0..k-1, c1/c2 = per-cluster exact-integer means), then
-    // the final assignment against c2 — a3 mirrors the engine's
-    // post-train assign; step 3's own m3/c3 CTEs go unreferenced.
-    // (KMeans.sqlStepCtes is the shared fragment source, like
-    // Similarity.sqlDot for the cosine family.)
+    // vec_id 0..k-1 with ‖c‖² folds; c1/c2 = per-cluster
+    // exact-integer means rounded through FLOAT like the engine's
+    // literal centroids), then the final assignment against c2 — a3
+    // mirrors the engine's post-train assign; step 3's own m3/c3
+    // CTEs go unreferenced. (KMeans.sqlStepCtes is the shared
+    // fragment source, like Similarity.sqlDot for the cosine family.)
     "sim_kmeans_assign" ->
       s"""WITH ${KMeans.sqlVqCte},
          |c0 AS (SELECT CAST(vec_id AS BIGINT) AS j,
-         |              list_transform(vq, x -> CAST(x AS DOUBLE)) AS c
+         |              list_transform(vq, x -> CAST(x AS DOUBLE)) AS c,
+         |              list_reduce(list_transform(vq,
+         |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         |                (a, b) -> a + b) AS c2
          |       FROM vq WHERE vec_id < ${KMeans.K}),
          |${KMeans.sqlStepCtes(1, "c0")},
          |${KMeans.sqlStepCtes(2, "c1")},

@@ -17,6 +17,12 @@ object TextPack extends QueryPack {
   private def isum(arr: Column): Column =
     aggregate(arr, lit(0L), (acc, x) => acc + x)
 
+  /** Posting-list cap for tx_inverted_index: only the lowest
+    * `PostingCap` doc_ids of a token survive into the list agg —
+    * bounds the per-token list a stopword would otherwise grow
+    * without limit (df stays exact, computed before the cap). */
+  val PostingCap = 32
+
   private val stopEn = Seq("the", "a", "of", "in", "and")
   private val stopEs = Seq("el", "la", "de", "en", "y")
   private val stopDe = Seq("der", "die", "das", "und", "ein")
@@ -120,6 +126,52 @@ object TextPack extends QueryPack {
         .orderBy(col("cnt").desc, col("ng"))
         .limit(50)),
 
+    // TF-IDF top terms per document. IDF uses the exact rational
+    // form N/df (not ln(N/df)): libm log is not guaranteed
+    // bit-identical across engines, while tf·N/df is two exact-long
+    // products and ONE IEEE division — hash-stable; the ranking is a
+    // declared scoring choice, documented here. Per-doc cut through
+    // the native TopKPerKey (bounded heaps, no per-doc sort).
+    "tx_tfidf_terms" -> ((s, dir) => {
+      val n = Tables.documents(s, dir).count()
+      val tf = tokenized(s, dir)
+        .select(col("doc_id"), explode(col("toks")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, Seq("token"))
+        .select(col("doc_id"), col("token"),
+          ((col("tf") * lit(n)).cast("double") / col("df")).as("score"))
+      val top = graft.plans.TopKPerKey.topKPerKey(scored,
+        keys = Seq(col("doc_id")),
+        order = Seq(col("score").desc, col("token").asc), k = 3)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("rank"), col("token"),
+          Det.dround(col("score"), 6).as("score"))
+    }),
+
+    // Inverted index: token → df + CAPPED posting list (first
+    // PostingCap doc_ids). The cap runs through the native
+    // TopKPerKey BEFORE the list aggregation, so a stopword's 10⁹
+    // postings never concentrate on one task — df stays exact via a
+    // separate count on the same token key (partitioning reused).
+    // Postings serialize to a '|'-joined string: the driver's hash
+    // gate can't hash array cells (doc_ids are longs — no separator
+    // collisions possible).
+    "tx_inverted_index" -> ((s, dir) => {
+      val tok = tokenized(s, dir)
+        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("token"))
+      val df = tok.groupBy("token").agg(count(lit(1)).as("df"))
+      val capped = graft.plans.TopKPerKey.topKPerKey(tok,
+        keys = Seq(col("token")),
+        order = Seq(col("doc_id").asc), k = PostingCap)
+      val pl = capped.groupBy("token")
+        .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), "|").as("postings"))
+      df.join(pl, Seq("token"))
+    }),
+
     // Document fingerprinting: whole-text 32-bit hash + min-sampled
     // rolling shingle hash (winnowing-style representative).
     "tx_fingerprint" -> ((s, dir) =>
@@ -199,6 +251,35 @@ object TextPack extends QueryPack {
          |  ${Det.droundSql("CAST(cnt AS DOUBLE) * 2 / n_tokens", 4)}
          |    AS top_bigram_frac
          |FROM rk WHERE rn = 1""".stripMargin,
+
+    "tx_tfidf_terms" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |tok AS (SELECT doc_id, unnest(ts) AS token FROM t),
+         |tf AS (SELECT doc_id, token, count(*) AS tf
+         |       FROM tok GROUP BY doc_id, token),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (SELECT tf.doc_id, tf.token,
+         |    CAST(tf.tf * n.n AS DOUBLE) / df.df AS score,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC,
+         |               tf.token) AS rank
+         |  FROM tf JOIN df USING (token) CROSS JOIN n)
+         |SELECT doc_id, rank, token, ${Det.droundSql("score", 6)} AS score
+         |FROM scored WHERE rank <= 3""".stripMargin,
+
+    "tx_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |tok AS (SELECT DISTINCT doc_id, unnest(ts) AS token FROM t),
+         |df AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+         |rk AS (SELECT token, doc_id,
+         |         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+         |       FROM tok),
+         |pl AS (SELECT token,
+         |         string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id) AS postings
+         |       FROM rk WHERE rn <= $PostingCap GROUP BY token)
+         |SELECT df.token, df.df, pl.postings
+         |FROM df JOIN pl USING (token)""".stripMargin,
 
     "tx_top_ngrams" ->
       """WITH t AS (SELECT string_split(text, ' ') AS ts

@@ -84,6 +84,25 @@ class CappedPlansSpec extends SparkSpec {
     assert(q0 == Seq(1L, 2L, 3L), s"query 0 neighbors: $q0")
   }
 
+  test("tfidf per-doc cut and posting-list cap run through TopKPerKey") {
+    val tfidf = TextPack.queries("tx_tfidf_terms")(spark, sf)
+    assert(tfidf.count() > 0)
+    assert(topkCount(finalPlan(tfidf), 3) >= 2,
+      "tx_tfidf_terms per-doc top-3 must plan as TopKPerKey partial+final")
+    val inv = TextPack.queries("tx_inverted_index")(spark, sf)
+    val rows = inv.select("df", "postings").as[(Long, String)].collect()
+    assert(rows.nonEmpty)
+    assert(topkCount(finalPlan(inv), TextPack.PostingCap) >= 2,
+      "tx_inverted_index cap must plan as TopKPerKey partial+final")
+    // posting list bounded at the cap; df keeps the true count
+    rows.foreach { case (df, pl) =>
+      val n = pl.split('|').length
+      assert(n <= TextPack.PostingCap)
+      assert(if (df <= TextPack.PostingCap) n == df
+             else n == TextPack.PostingCap)
+    }
+  }
+
   test("multi-probe candidates dominate single-bucket search rank-by-rank") {
     // probing supersets the candidate pool, so at every (query, rank)
     // the probe variant's cosine can only be >= the plain variant's

@@ -10,16 +10,15 @@ import org.apache.spark.sql.functions._
 class KMeansSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Two planted 2-d clusters (quantized space would be ×1000; the
-    * operator only sees the float column). vec_ids 0..3; init takes
-    * 0..K-1 so we shrink K via the real embeddings table instead —
-    * here we drive step() directly with explicit centroids. */
-  private def vq2(rows: (Long, Seq[Long])*) =
+  /** Tiny 2-d quantized frames (array<float>, integer-valued — the
+    * quantize() contract); step()/scores() are driven directly with
+    * explicit centroids. */
+  private def vq2(rows: (Long, Seq[Float])*) =
     rows.toDF("vec_id", "vq")
 
   test("step: per-cluster means match a hand computation") {
     // cluster 0 ≈ {(0,0), (2,0)}, cluster 1 ≈ {(10,10)}
-    val vq = vq2((0L, Seq(0L, 0L)), (1L, Seq(2L, 0L)), (2L, Seq(10L, 10L)))
+    val vq = vq2((0L, Seq(0f, 0f)), (1L, Seq(2f, 0f)), (2L, Seq(10f, 10f)))
     val cents = Seq(Array(0.0, 0.0), Array(9.0, 9.0))
     val next = KMeans.step(vq, cents)
     assert(next(0).toSeq == Seq(1.0, 0.0)) // mean of (0,0) and (2,0)
@@ -27,7 +26,7 @@ class KMeansSpec extends SparkSpec {
   }
 
   test("step: an empty cluster keeps its previous centroid") {
-    val vq = vq2((0L, Seq(0L, 0L)), (1L, Seq(1L, 0L)))
+    val vq = vq2((0L, Seq(0f, 0f)), (1L, Seq(1f, 0f)))
     val far = Array(1e6, 1e6) // captures nothing
     val next = KMeans.step(vq, Seq(Array(0.0, 0.0), far))
     assert(next(1).toSeq == far.toSeq)
@@ -35,18 +34,30 @@ class KMeansSpec extends SparkSpec {
   }
 
   test("assign: first-match tie-break (equidistant point goes to the lower index)") {
-    val vq = vq2((0L, Seq(1L, 0L))) // exactly between (0,0) and (2,0)
+    val vq = vq2((0L, Seq(1f, 0f))) // exactly between (0,0) and (2,0)
     val cents = Seq(Array(0.0, 0.0), Array(2.0, 0.0))
-    val got = vq.select(KMeans.assign(KMeans.distances(col("vq"), cents)))
+    val got = vq.select(KMeans.assign(KMeans.scores(col("vq"), cents)))
       .as[Long].head()
     assert(got == 0L)
+  }
+
+  test("bestDist equals the direct squared distance to the assigned centroid") {
+    val vq = vq2((0L, Seq(3f, 4f)))
+    val cents = Seq(Array(0.0, 0.0), Array(100.0, 100.0))
+    val (cl, d) = vq.select(
+        KMeans.assign(KMeans.scores(col("vq"), cents)),
+        KMeans.bestDist(col("vq"), KMeans.scores(col("vq"), cents)))
+      .as[(Long, Double)].head()
+    assert(cl == 0L)
+    assert(d == 25.0) // 3² + 4², exact in double
   }
 
   test("train on real embeddings: within-cluster distance never increases across a step") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val vq = KMeans.quantize(emb).cache()
     def cost(cents: Seq[Array[Double]]): Double =
-      vq.select(array_min(KMeans.distances(col("vq"), cents)).as("d"))
+      vq.select(KMeans.bestDist(col("vq"),
+          KMeans.scores(col("vq"), cents)).as("d"))
         .agg(sum("d")).as[Double].head()
     val c1 = KMeans.train(vq, iters = 1)
     val c2 = KMeans.step(vq, c1)
@@ -54,7 +65,7 @@ class KMeansSpec extends SparkSpec {
     assert(cost(c2) <= cost(c1))
     // k clusters over a real corpus: every centroid ends non-empty
     val sizes = vq
-      .select(KMeans.assign(KMeans.distances(col("vq"), c2)).as("c"))
+      .select(KMeans.assign(KMeans.scores(col("vq"), c2)).as("c"))
       .groupBy("c").count().collect()
     assert(sizes.length == KMeans.K)
     vq.unpersist()
