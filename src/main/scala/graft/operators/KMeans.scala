@@ -136,6 +136,25 @@ object KMeans {
   def sqlVqDot(v: String, c: String): String =
     s"list_reduce(list_transform($v, (x, i) -> CAST(x AS DOUBLE) * $c[i]), (a, b) -> a + b)"
 
+  /** Init-centroid CTE `c0(j, c, c2)`: the quantized vectors of
+    * vec_id 0..k-1 (integer-exact, so the float round-trip is
+    * lossless) with their ‖c‖² folds. */
+  def sqlInitCte: String =
+    s"""c0 AS (SELECT CAST(vec_id AS BIGINT) AS j,
+       |              list_transform(vq, x -> CAST(x AS DOUBLE)) AS c,
+       |              list_reduce(list_transform(vq,
+       |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |                (a, b) -> a + b) AS c2
+       |       FROM vq WHERE vec_id < $K)""".stripMargin
+
+  /** The full unrolled training oracle: vq + init + `iters` Lloyd
+    * steps + ONE extra step whose assignment `a{iters+1}` mirrors
+    * the engine's post-train assign (its own m/c CTEs go
+    * unreferenced). Splice after WITH; read from `a${iters + 1}`. */
+  def sqlTrainCtes(iters: Int): String =
+    (Seq(sqlVqCte, sqlInitCte) ++
+      (1 to iters + 1).map(t => sqlStepCtes(t, s"c${t - 1}"))).mkString(",\n")
+
   /** One unrolled Lloyd iteration as CTEs: given centroids
     * `cin(j, c, c2)` (float-rounded mean list + its ‖c‖² fold), emits
     * `d{t}` (scores + ‖v‖²), `a{t}` (assignment + distance) and

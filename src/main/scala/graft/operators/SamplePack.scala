@@ -91,6 +91,21 @@ object SamplePack extends QueryPack {
       Sampling.hashSample(base.join(keep, Seq("doc_id")),
           col("doc_id"), salt = "cur", pct = 50)
         .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // Cluster-balanced sample: k-means assignment (trained in-query,
+    // 2 Lloyd steps) as the stratum, then exact 16 vectors per
+    // cluster in salted-hash order. Uniform sampling over an
+    // embedding space reproduces its density; per-cluster k flattens
+    // it — the balanced subsample a fine-tuning mix draws. Same
+    // bounded-heap TopKPerKey cut as sp_stratified_k.
+    "sp_cluster_sample" -> ((s, dir) => {
+      val vq = KMeans.quantize(Tables.embeddings(s, dir))
+      val cents = KMeans.train(vq, iters = 2)
+      val assigned = vq.select(col("vec_id"),
+        KMeans.assign(KMeans.scores(col("vq"), cents)).as("cluster"))
+      Sampling.stratifiedK(assigned, strata = Seq(col("cluster")),
+        key = col("vec_id"), salt = "cs1", k = 16)
     })
   )
 
@@ -144,6 +159,17 @@ object SamplePack extends QueryPack {
          |keep AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text))
          |SELECT b.doc_id, b.source, b.n_chars
          |FROM base b JOIN keep k ON b.doc_id = k.doc_id
-         |WHERE ${Sampling.sqlBucket("b.doc_id", "cur")} < 50""".stripMargin
+         |WHERE ${Sampling.sqlBucket("b.doc_id", "cur")} < 50""".stripMargin,
+
+    // the trained assignment (a3, same unrolled CTEs as
+    // sim_kmeans_assign) re-cut per cluster in salted-hash order
+    "sp_cluster_sample" ->
+      s"""WITH ${KMeans.sqlTrainCtes(2)},
+         |sampled AS (SELECT vec_id, cluster,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY ${graft.functions.Hashing.sqlH32(
+                 "'cs1#' || CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+         |  FROM a3)
+         |SELECT vec_id, cluster FROM sampled WHERE rn <= 16""".stripMargin
   )
 }

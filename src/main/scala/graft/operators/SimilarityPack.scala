@@ -409,20 +409,11 @@ object SimilarityPack extends QueryPack {
     // vec_id 0..k-1 with ‖c‖² folds; c1/c2 = per-cluster
     // exact-integer means rounded through FLOAT like the engine's
     // literal centroids), then the final assignment against c2 — a3
-    // mirrors the engine's post-train assign; step 3's own m3/c3
-    // CTEs go unreferenced. (KMeans.sqlStepCtes is the shared
-    // fragment source, like Similarity.sqlDot for the cosine family.)
+    // mirrors the engine's post-train assign. (KMeans.sqlTrainCtes
+    // is the shared fragment source, like Similarity.sqlDot for the
+    // cosine family.)
     "sim_kmeans_assign" ->
-      s"""WITH ${KMeans.sqlVqCte},
-         |c0 AS (SELECT CAST(vec_id AS BIGINT) AS j,
-         |              list_transform(vq, x -> CAST(x AS DOUBLE)) AS c,
-         |              list_reduce(list_transform(vq,
-         |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-         |                (a, b) -> a + b) AS c2
-         |       FROM vq WHERE vec_id < ${KMeans.K}),
-         |${KMeans.sqlStepCtes(1, "c0")},
-         |${KMeans.sqlStepCtes(2, "c1")},
-         |${KMeans.sqlStepCtes(3, "c2")}
+      s"""WITH ${KMeans.sqlTrainCtes(2)}
          |SELECT vec_id, cluster, ${graft.Det.droundSql("dist", 6)} AS dist
          |FROM a3""".stripMargin
   )

@@ -172,6 +172,24 @@ object TextPack extends QueryPack {
       df.join(pl, Seq("token"))
     }),
 
+    // Percentile-band length filter (the Gopher/C4 "not too short,
+    // not too long" gate with data-derived thresholds): keep docs
+    // whose n_chars sits within [p05, p95] of the corpus. The
+    // thresholds are ONE exact-percentile aggregation broadcast back
+    // as a scalar frame (crossJoin(broadcast) — the distributed form
+    // of a scalar subquery; no driver round-trip in the plan), then
+    // the band test runs in the scan stage. Threshold comparison on
+    // Det.dround'd values so both engines cut on the same literal.
+    "tx_length_band" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val th = d.agg(
+        Det.dround(expr("percentile(n_chars, 0.05)"), 4).as("lo"),
+        Det.dround(expr("percentile(n_chars, 0.95)"), 4).as("hi"))
+      d.crossJoin(broadcast(th))
+        .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // Document fingerprinting: whole-text 32-bit hash + min-sampled
     // rolling shingle hash (winnowing-style representative).
     "tx_fingerprint" -> ((s, dir) =>
@@ -288,6 +306,14 @@ object TextPack extends QueryPack {
         |       FROM t, UNNEST(generate_series(0, len(ts) - 2)) AS g(j))
         |SELECT ng, count(*) AS cnt FROM ng
         |GROUP BY ng ORDER BY cnt DESC, ng LIMIT 50""".stripMargin,
+
+    "tx_length_band" ->
+      s"""WITH th AS (SELECT
+         |    ${Det.droundSql("quantile_cont(n_chars, 0.05)", 4)} AS lo,
+         |    ${Det.droundSql("quantile_cont(n_chars, 0.95)", 4)} AS hi
+         |  FROM documents)
+         |SELECT doc_id, n_chars FROM documents, th
+         |WHERE n_chars >= lo AND n_chars <= hi""".stripMargin,
 
     "tx_fingerprint" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
