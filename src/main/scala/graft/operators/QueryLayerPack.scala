@@ -438,7 +438,21 @@ object QueryLayerPack extends QueryPack {
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users")))
+          countDistinct(col("user_id")).as("exact_users"))),
+
+    // approx_percentile (KLL-style sketch): the 100 TB form of
+    // q_percentiles — exact `percentile` buffers every value of a
+    // group in executor memory, a sketch keeps a bounded summary and
+    // merges partials map-side. Sketch merge order isn't replayable
+    // cross-engine → rows-only check (like q_approx_distinct);
+    // accuracy vs the exact form is pinned by QuantileSketchSpec.
+    "q_percentiles_approx" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_quantity, 0.25, 1000)").as("p25"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(l_quantity, 0.75, 1000)").as("p75")))
   )
 
   override def oracles: Map[String, String] = Map(

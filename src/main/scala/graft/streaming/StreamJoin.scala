@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, expr}
+
+/** Stream-stream interval join — the streaming form of the batch
+  * attribution joins (q_asof_join / q_asof_forward): match each left
+  * event to the right events of the same key that occur within
+  * `[left.ts, left.ts + maxDelay]`, with BOTH sides watermarked so
+  * the join state is bounded.
+  *
+  * Scale/state story (what makes this safe on an unbounded stream):
+  * Spark buffers each side keyed by the equi-join key and evicts a
+  * buffered row once the other side's watermark passes the range the
+  * row can still match — the time-range condition is what gives the
+  * planner that eviction bound. Without it (plain equi-join on key)
+  * state grows with history; with it, state is bounded by events
+  * inside one (watermark delay + maxDelay) window per side. Per-key
+  * state lives on the shuffle partition of the key, so a 1000-
+  * executor cluster holds 1/1000th of the window each.
+  *
+  * Inner semantics; append output mode. Correctness is pinned by
+  * StreamingSpec's batch-parity test (same rows as the identical
+  * batch range join, modulo late data the policy drops by design).
+  */
+object StreamJoin {
+
+  /** `left` ⋈ `right` on `key` with `right.ts ∈ [left.ts,
+    * left.ts + maxDelay]`. Column names must differ across sides
+    * except `key` (rename before calling); both ts columns must be
+    * TimestampType. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   maxDelay: String, watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    val cond: Column =
+      l(key) === r(key) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay")
+    l.join(r, cond, "inner").drop(r(key))
+  }
+}

@@ -1,0 +1,32 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q_percentiles_approx has no SQL oracle (sketch merge order is not
+  * cross-engine replayable), so its accuracy contract is pinned here:
+  * at accuracy 1000 the rank error is ≤ n/1000, which on l_quantity's
+  * integer domain must land the sketch within 1 of the exact
+  * percentile at every test SF.
+  */
+class QuantileSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approx_percentile tracks exact percentile within rank-error bounds") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val both = li.groupBy("l_returnflag").agg(
+        expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
+          .as("approx"),
+        expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 1000000)")
+          .as("near_exact"),
+        expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("exact"))
+      .as[(String, Seq[Double], Seq[Double], Seq[Double])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (flag, approx, _, exact) =>
+      approx.zip(exact).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= 1.0,
+          s"$flag: sketch $a vs exact $e exceeds the rank-error bound")
+      }
+    }
+  }
+}
