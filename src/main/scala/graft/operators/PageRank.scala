@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank — the second iterative graph operator next to
+  * [[Components]] (link-based quality signals are a standard corpus
+  * filter: rank a page graph, gate documents on centrality).
+  *
+  * Arithmetic is INTEGER throughout — ranks carry a fixed scale
+  * (1e6), per-edge contributions are floor divisions, and the
+  * damping step is `(85 · Σ) div 100` — because that is what makes an
+  * iterative numeric algorithm exact-replayable: float contribution
+  * sums depend on aggregation order (nondeterministic across
+  * partitionings and engines), integer sums don't. The quantization
+  * error is ≤ outdeg ulps per node per round — the declared
+  * semantics, same trade as any fixed-point ranking system. Dangling
+  * nodes (no out-edges) keep their mass out of circulation, the
+  * standard simplification.
+  *
+  * Scale shape per iteration: ONE shuffle-join of ranks onto edges on
+  * `src` (ranks and outdeg share that partitioning; outdeg is
+  * computed once) + ONE map-side-combined groupBy on `dst`. Edges
+  * never change, so on a cluster they'd be cached/bucketed by src
+  * once and every iteration reuses the layout. Iterations are a
+  * fixed small count (PageRank converges geometrically; 3 here) —
+  * lineage stays shallow, no checkpointing needed at this depth
+  * (Components documents the deep-loop alternative).
+  */
+object PageRank {
+
+  /** Rank fixed-point scale: rank 1.0 ≡ 1e6. */
+  val Scale = 1000000L
+
+  /** `iters` damped fixed-point rounds over `edges(src, dst)`;
+    * returns (node, rank) for every node in src ∪ dst. */
+  def fixedPoint(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val base = lit(15L * Scale / 100)
+    var ranks = nodes.withColumn("rank", lit(Scale))
+    (1 to iters).foreach { _ =>
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          expr("rank div deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_sum"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (base + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
+    }
+    ranks
+  }
+
+  /** One unrolled iteration as oracle CTEs: needs `e(src, dst)`,
+    * `n(node)`, `d(src, deg)` and `r{t-1}(node, rank)` in scope;
+    * emits `c{t}` and `r{t}`. Integer ops mirror [[fixedPoint]]
+    * exactly (`//` is DuckDB floor division, as `div` in Spark). */
+  def sqlStepCtes(t: Int): String =
+    s"""c$t AS (SELECT e.dst AS node, sum(r.rank // d.deg) AS s
+       |  FROM e JOIN r${t - 1} r ON e.src = r.node
+       |  JOIN d ON e.src = d.src
+       |  GROUP BY e.dst),
+       |r$t AS (SELECT n.node,
+       |    CAST(${15 * Scale / 100} + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank
+       |  FROM n LEFT JOIN c$t c USING (node))""".stripMargin
+}

@@ -440,6 +440,23 @@ object QueryLayerPack extends QueryPack {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))),
 
+    // Fixed-point PageRank (3 damped rounds) over the supplier →
+    // customer fulfillment graph — link-centrality as a corpus
+    // quality signal, the second iterative graph op next to
+    // connected components. Integer arithmetic end-to-end is what
+    // lets an iterative numeric algorithm hash-match the unrolled
+    // oracle (float contribution sums are aggregation-order-
+    // dependent); customers are offset by 10⁶ so the two key spaces
+    // can't collide in one node universe.
+    "q_pagerank" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + lit(1000000L)).as("dst"))
+      PageRank.fixedPoint(edges, iters = 3)
+    }),
+
     // approx_percentile (KLL-style sketch): the 100 TB form of
     // q_percentiles — exact `percentile` buffers every value of a
     // group in executor memory, a sketch keeps a bounded summary and
@@ -675,6 +692,20 @@ object QueryLayerPack extends QueryPack {
         |    SELECT user_id, CAST(ts AS TIMESTAMP), 1, event_id, event_id
         |    FROM events WHERE event_type = 'click'))
         |WHERE tag = 0""".stripMargin,
+
+    // edges/nodes/outdeg once, then the 3 unrolled integer rounds
+    // (PageRank.sqlStepCtes is the shared fragment source)
+    "q_pagerank" ->
+      s"""WITH e AS (SELECT DISTINCT l_suppkey AS src,
+         |                  o_custkey + 1000000 AS dst
+         |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT node, CAST(${PageRank.Scale} AS BIGINT) AS rank FROM n),
+         |${PageRank.sqlStepCtes(1)},
+         |${PageRank.sqlStepCtes(2)},
+         |${PageRank.sqlStepCtes(3)}
+         |SELECT node, rank FROM r3""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,

@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** PageRank: the fixed-point rounds against a hand-computed
+  * reference, plus the invariants integer damping must keep.
+  */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1→{2,3}, 2→3, 3→1: deg(1)=2, deg(2)=deg(3)=1
+  private def triangle = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+    .toDF("src", "dst")
+
+  private def ranksAfter(iters: Int): Map[Long, Long] =
+    PageRank.fixedPoint(triangle, iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("two fixed-point rounds match the hand computation") {
+    // round 1: in(1)=1e6, in(2)=5e5, in(3)=1.5e6
+    assert(ranksAfter(1) == Map(
+      1L -> 1000000L, 2L -> 575000L, 3L -> 1425000L))
+    // round 2: in(1)=1425000, in(2)=500000, in(3)=1075000
+    assert(ranksAfter(2) == Map(
+      1L -> 1361250L, 2L -> 575000L, 3L -> 1063750L))
+  }
+
+  test("every node keeps at least the base rank; duplicate edges don't double-count") {
+    val withDups = triangle.union(triangle)
+    val r = PageRank.fixedPoint(withDups, 2).as[(Long, Long)].collect().toMap
+    assert(r == ranksAfter(2), "distinct() must collapse duplicate edges")
+    assert(r.values.forall(_ >= 15L * PageRank.Scale / 100))
+  }
+}
