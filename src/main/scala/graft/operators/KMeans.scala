@@ -51,9 +51,14 @@ object KMeans {
     transform(emb, x =>
       floor(x.cast("double") * QuantScale + lit(0.5)).cast("float"))
 
-  /** `(vec_id, vq)` quantized projection of an embedding frame. */
+  /** `(vec_id, vq)` quantized projection of an embedding frame.
+    * Null embeddings are EXCLUDED here — downstream, a null vq would
+    * yield a null cluster whose partial-sum Row reads back as
+    * cluster 0 via getLong (silent mean corruption), so the contract
+    * is: train/assign over non-null vectors only. */
   def quantize(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), quantized(col("embedding")).as("vq"))
+    emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), quantized(col("embedding")).as("vq"))
 
   /** Centroid as a literal array<float> (the broadcast-through-the-
     * plan representation; both engines round the double mean to float

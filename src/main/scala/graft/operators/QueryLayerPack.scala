@@ -208,6 +208,35 @@ object QueryLayerPack extends QueryPack {
             .cast("double").as("running_total"))
     }),
 
+    // RANGE-frame window: trailing-24h event count per user — the
+    // rate-limit/burst-detection primitive. The frame is over epoch
+    // SECONDS (floor on both engines), so peers at the same second
+    // aggregate together; per-user ordered state only, no global
+    // sort. Counts are integral — no float frame-sum to disagree on.
+    "q_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-86399, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_24h"))
+    }),
+
+    // Pivot (groupBy().pivot() with EXPLICIT category values — no
+    // extra distinct-scan pass, stable schema): per-day counts, one
+    // column per event type. Nulls from empty cells coalesce to 0 to
+    // match the oracle's conditional counts.
+    "q_pivot_daily" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .select(col("day"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("view"), lit(0L)).as("view"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"))),
+
     // ROLLUP hierarchy totals (SURVEY §2.1 aggregations row).
     "q_rollup_stats" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -588,6 +617,20 @@ object QueryLayerPack extends QueryPack {
         |    AS running_total
         |FROM events WHERE event_type = 'purchase'
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |    RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW) AS n_24h
+        |FROM events""".stripMargin,
+
+    "q_pivot_daily" ->
+      """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_rollup_stats" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

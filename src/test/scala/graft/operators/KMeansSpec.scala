@@ -52,6 +52,14 @@ class KMeansSpec extends SparkSpec {
     assert(d == 25.0) // 3² + 4², exact in double
   }
 
+  test("quantize drops null embeddings (a null vq would corrupt cluster 0's mean)") {
+    val df = Seq((0L, Some(Seq(1f, 2f))), (1L, None))
+      .toDF("vec_id", "embedding")
+    val vq = KMeans.quantize(df)
+    assert(vq.count() == 1)
+    assert(vq.select("vec_id").as[Long].head() == 0L)
+  }
+
   test("train on real embeddings: within-cluster distance never increases across a step") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val vq = KMeans.quantize(emb).cache()
