@@ -130,11 +130,14 @@ object KMeans {
 
   /** Quantized-embedding CTE: `vq(vec_id, vq)` as BIGINT lists (the
     * engine's float values are integer-exact, so BIGINT replays them;
-    * dots cast per-element to DOUBLE exactly like FloatDot). */
+    * dots cast per-element to DOUBLE exactly like FloatDot). The
+    * null filter mirrors [[quantize]]'s null-exclusion contract —
+    * without it a null-embedding row would survive on the oracle
+    * side only and break hash parity. */
   def sqlVqCte: String =
     s"""vq AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * $QuantScale + 0.5) AS BIGINT)) AS vq
-       |  FROM embeddings)""".stripMargin
+       |  FROM embeddings WHERE embedding IS NOT NULL)""".stripMargin
 
   /** Sequential-double-fold dot between a vq list and a centroid
     * list — the FloatDot parity form. */

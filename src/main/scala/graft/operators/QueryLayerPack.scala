@@ -24,6 +24,11 @@ object QueryLayerPack extends QueryPack {
     * carry up to 66 users). */
   val CoocDayCap = 48
 
+  /** q_pagerank customer-node offset: 2⁴⁰, far above any TPC-H
+    * suppkey at any SF, so supplier and customer ids never collide
+    * in the shared node universe. */
+  val CustOffset: Long = 1L << 40
+
   /** The q22_cooccurrence body over any (day, user_id) cell frame —
     * factored out so DevStress can probe it at replicated scale.
     *
@@ -475,14 +480,16 @@ object QueryLayerPack extends QueryPack {
     // connected components. Integer arithmetic end-to-end is what
     // lets an iterative numeric algorithm hash-match the unrolled
     // oracle (float contribution sums are aggregation-order-
-    // dependent); customers are offset by 10⁶ so the two key spaces
-    // can't collide in one node universe.
+    // dependent); customers are offset by 2⁴⁰ (≈1.1e12 — above any
+    // TPC-H suppkey at any SF, unlike a 10⁶ offset which collides
+    // past SF ~100) so the two key spaces share one node universe
+    // safely.
     "q_pagerank" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
       val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("src"),
-          (col("o_custkey") + lit(1000000L)).as("dst"))
+          (col("o_custkey") + lit(CustOffset)).as("dst"))
       PageRank.fixedPoint(edges, iters = 3)
     }),
 
@@ -740,7 +747,7 @@ object QueryLayerPack extends QueryPack {
     // (PageRank.sqlStepCtes is the shared fragment source)
     "q_pagerank" ->
       s"""WITH e AS (SELECT DISTINCT l_suppkey AS src,
-         |                  o_custkey + 1000000 AS dst
+         |                  o_custkey + $CustOffset AS dst
          |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),

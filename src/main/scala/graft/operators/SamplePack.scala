@@ -95,7 +95,11 @@ object SamplePack extends QueryPack {
 
     // Cluster-balanced sample: k-means assignment (trained in-query,
     // 2 Lloyd steps) as the stratum, then exact 16 vectors per
-    // cluster in salted-hash order. Uniform sampling over an
+    // cluster in salted-hash order. Training is deliberately NOT
+    // shared with sim_kmeans_assign: driver queries are
+    // self-contained so per-query gate timings stay order-
+    // independent (a production pipeline would train once and
+    // broadcast the centroid table to both consumers). Uniform sampling over an
     // embedding space reproduces its density; per-cluster k flattens
     // it — the balanced subsample a fine-tuning mix draws. Same
     // bounded-heap TopKPerKey cut as sp_stratified_k.

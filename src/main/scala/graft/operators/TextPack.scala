@@ -130,17 +130,19 @@ object TextPack extends QueryPack {
     // form N/df (not ln(N/df)): libm log is not guaranteed
     // bit-identical across engines, while tf·N/df is two exact-long
     // products and ONE IEEE division — hash-stable; the ranking is a
-    // declared scoring choice, documented here. Per-doc cut through
-    // the native TopKPerKey (bounded heaps, no per-doc sort).
+    // declared scoring choice, documented here. N rides the plan as
+    // a broadcast scalar frame (the tx_length_band pattern — no
+    // eager driver count). Per-doc cut through the native TopKPerKey
+    // (bounded heaps, no per-doc sort).
     "tx_tfidf_terms" -> ((s, dir) => {
-      val n = Tables.documents(s, dir).count()
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
       val tf = tokenized(s, dir)
         .select(col("doc_id"), explode(col("toks")).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val scored = tf.join(df, Seq("token"))
+      val scored = tf.join(df, Seq("token")).crossJoin(broadcast(n))
         .select(col("doc_id"), col("token"),
-          ((col("tf") * lit(n)).cast("double") / col("df")).as("score"))
+          ((col("tf") * col("n")).cast("double") / col("df")).as("score"))
       val top = graft.plans.TopKPerKey.topKPerKey(scored,
         keys = Seq(col("doc_id")),
         order = Seq(col("score").desc, col("token").asc), k = 3)

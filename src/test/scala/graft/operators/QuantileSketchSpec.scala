@@ -17,12 +17,10 @@ class QuantileSketchSpec extends SparkSpec {
     val both = li.groupBy("l_returnflag").agg(
         expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
           .as("approx"),
-        expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 1000000)")
-          .as("near_exact"),
         expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("exact"))
-      .as[(String, Seq[Double], Seq[Double], Seq[Double])].collect()
+      .as[(String, Seq[Double], Seq[Double])].collect()
     assert(both.nonEmpty)
-    both.foreach { case (flag, approx, _, exact) =>
+    both.foreach { case (flag, approx, exact) =>
       approx.zip(exact).foreach { case (a, e) =>
         assert(math.abs(a - e) <= 1.0,
           s"$flag: sketch $a vs exact $e exceeds the rank-error bound")
