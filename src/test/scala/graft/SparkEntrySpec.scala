@@ -37,7 +37,7 @@ class SparkEntrySpec extends AnyFunSuite {
   private val rowsOnlyAllowed = Set("q_approx_distinct", "q_percentiles_approx")
 
   test("coverage floor: the driver-facing surface keeps its breadth") {
-    assert(SparkEntry.queries.size >= 72,
+    assert(SparkEntry.queries.size >= 100,
       s"query count regressed: ${SparkEntry.queries.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.subsetOf(rowsOnlyAllowed),
