@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Bloom runtime filter for shuffle joins — the standard 100 TB move
   * for a semi/inner join whose filtering side is too LARGE to
-  * broadcast as rows but whose KEY SET fits a sketch (10⁸ keys at 1%
-  * fpp ≈ 120 MB of rows vs ≈ 110 MB of bloom — and the sketch needs
-  * no dedup shuffle to build: `putLong` is idempotent, so partial
-  * sketches merge associatively in one partial-aggregate pass).
+  * broadcast as rows but whose KEY SET fits a sketch (10⁸ long keys
+  * ≈ 800 MB of raw key rows — more with HashedRelation overhead —
+  * vs ≈ 110 MB of bloom at 1% fpp; and the sketch needs no dedup
+  * shuffle to build: `putLong` is idempotent, so partial sketches
+  * merge associatively in one partial-aggregate pass).
   *
   * Shape: build the sketch over the filtering side's key (one
   * scan-stage aggregation, merged on the driver exactly like any agg
@@ -35,9 +36,14 @@ object RuntimeFilter {
   def bloomPrunedSemiJoin(big: DataFrame, bigKey: Column,
                           small: DataFrame, smallKey: Column,
                           expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    require(!big.columns.contains("__rf_key"),
+      "big side already has a __rf_key column — rename it first")
     val bf = small.stat.bloomFilter(smallKey.cast("long"), expectedKeys, fpp)
+    // no distinct() on the build side: semi-join semantics already
+    // ignore build duplicates, and a dedup pass over 10⁸ keys is a
+    // full extra aggregation for zero semantic effect
     big.filter(graft.plans.BloomMightContainLong.probe(bigKey, bf))
-      .join(small.select(smallKey.cast("long").as("__rf_key")).distinct(),
+      .join(small.select(smallKey.cast("long").as("__rf_key")),
         bigKey.cast("long") === col("__rf_key"), "left_semi")
   }
 }

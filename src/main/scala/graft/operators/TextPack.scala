@@ -83,13 +83,15 @@ object TextPack extends QueryPack {
 
     // Repetition metrics (Gopher-style quality filters): repeated-
     // token fraction plus the most frequent bigram and the token
-    // share its occurrences cover (overlap double-counts — a
-    // heuristic filter, not an exact cover). Tie-break on the
-    // lexicographically smallest bigram for determinism. The bigram
-    // count is ONE shuffle on (doc_id, bigram) with map-side partial
-    // agg; the top pick partitions by doc_id only — Spark 4 inserts
-    // WindowGroupLimit so each partition forwards one candidate row
-    // per doc, not the whole bigram histogram.
+    // share its occurrences cover (overlap double-counts, so the
+    // raw ratio can exceed 1 on self-repeating bigrams — capped at
+    // 1.0 so downstream thresholds can treat it as a fraction).
+    // Tie-break on the lexicographically smallest bigram for
+    // determinism. The bigram count is ONE shuffle on (doc_id,
+    // bigram) with map-side partial agg; the top pick partitions by
+    // doc_id only — Spark 4 inserts WindowGroupLimit so each
+    // partition forwards one candidate row per doc, not the whole
+    // bigram histogram.
     "tx_repetition" -> ((s, dir) => {
       val t = tokenized(s, dir)
         .filter(size(col("toks")) >= 2)
@@ -98,9 +100,7 @@ object TextPack extends QueryPack {
           size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
           col("toks"))
       val counts = t.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-          explode(transform(sequence(lit(0), size(col("toks")) - 2),
-            j => concat_ws(" ", get(col("toks"), j), get(col("toks"), j + 1))))
-            .as("bigram"))
+          explode(Hashing.shingles(col("toks"), 2)).as("bigram"))
         .groupBy("doc_id", "n_tokens", "n_distinct", "bigram")
         .agg(count(lit(1)).as("cnt"))
       val w = org.apache.spark.sql.expressions.Window
@@ -110,8 +110,8 @@ object TextPack extends QueryPack {
           Det.dround(lit(1.0) - col("n_distinct").cast("double")
             / col("n_tokens"), 4).as("rep_token_frac"),
           col("bigram").as("top_bigram"),
-          Det.dround(col("cnt").cast("double") * 2 / col("n_tokens"), 4)
-            .as("top_bigram_frac"))
+          Det.dround(least(col("cnt").cast("double") * 2 / col("n_tokens"),
+            lit(1.0)), 4).as("top_bigram_frac"))
     }),
 
     // Corpus vocabulary: global top-50 bigrams by frequency. ONE
@@ -268,7 +268,7 @@ object TextPack extends QueryPack {
          |  ${Det.droundSql("1.0 - CAST(n_distinct AS DOUBLE) / n_tokens", 4)}
          |    AS rep_token_frac,
          |  bigram AS top_bigram,
-         |  ${Det.droundSql("CAST(cnt AS DOUBLE) * 2 / n_tokens", 4)}
+         |  ${Det.droundSql("least(CAST(cnt AS DOUBLE) * 2 / n_tokens, 1.0)", 4)}
          |    AS top_bigram_frac
          |FROM rk WHERE rn = 1""".stripMargin,
 

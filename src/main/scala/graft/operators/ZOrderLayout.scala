@@ -25,11 +25,14 @@ object ZOrderLayout {
     * small (x, y) box. x and y must be integral; callers with wider
     * domains bucket to 16 bits first (`& 0xFFFF`, or a range rank for
     * non-uniform keys). */
-  def cluster(df: DataFrame, x: Column, y: Column, nFiles: Int): DataFrame =
+  def cluster(df: DataFrame, x: Column, y: Column, nFiles: Int): DataFrame = {
+    require(!df.columns.contains("__z"),
+      "input already has a __z column — rename it first (withColumn would silently clobber it)")
     df.withColumn("__z", graft.plans.ZInterleave.z(x, y))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+  }
 
   /** Per-file (x, y) bounding boxes of a written parquet dir — the
     * measurement half (what parquet footer min/max would prune on). */

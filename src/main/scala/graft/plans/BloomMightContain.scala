@@ -13,8 +13,13 @@ import org.apache.spark.util.sketch.BloomFilter
   * Holds the SERIALIZED sketch, not the live object: the expression
   * travels to executors inside the task binary, and the byte-array
   * form keeps that payload stable across sketch-impl changes while a
-  * transient lazy val rebuilds the probe-side object once per
-  * executor (not per row, not per task). Probing is `mightContainLong`
+  * transient lazy val rebuilds the probe-side object once per task
+  * deserialization (not per row). Codegen references THIS expression
+  * and reads the lazy filter into generated-class state — referencing
+  * the deserialized BloomFilter directly would java-serialize the
+  * live object into the references array NEXT TO the bytes already
+  * in the expression tree, doubling the task-binary payload exactly
+  * when the sketch is large. Probing is `mightContainLong`
   * on the raw key — the same `putLong` domain
   * `DataFrameStatFunctions.bloomFilter` populates for integral
   * columns, so build and probe agree with no extra hashing step.
@@ -31,13 +36,22 @@ case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
   @transient private lazy val filter: BloomFilter =
     BloomFilter.readFrom(filterBytes)
 
+  /** Probe-side object for generated code (rebuilt lazily from the
+    * bytes; public because codegen classes live outside this
+    * package). */
+  def probeFilter: BloomFilter = filter
+
   override protected def nullSafeEval(input: Any): Any =
     filter.mightContainLong(input.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // reference the deserialized filter once; codegen probes it inline
-    val bf = ctx.addReferenceObj("bloomFilter", filter,
-      classOf[BloomFilter].getName)
+    // ship the bytes once (inside this expression); materialize the
+    // probe object into generated-class state, resolved once per task
+    val self = ctx.addReferenceObj("bloomExpr", this,
+      classOf[BloomMightContainLong].getName)
+    val bf = ctx.freshName("graftBloom")
+    ctx.addImmutableStateIfNotExists(classOf[BloomFilter].getName, bf,
+      v => s"$v = $self.probeFilter();")
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $bf.mightContainLong($c);")
   }
 
