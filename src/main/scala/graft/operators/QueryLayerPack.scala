@@ -200,6 +200,24 @@ object QueryLayerPack extends QueryPack {
           col("value"))
     }),
 
+    // SCD2 version intervals — the warehouse-grade VERSIONED form of
+    // the label store (the reference keeps latest-only; m3 upserts
+    // discard history). Each (user, event_type) observation becomes
+    // a [valid_from, valid_to) version row, valid_to = the next
+    // observation's ts (null = current). ONE shuffle on the key; the
+    // lead() window holds per-key ordered state only. A versioned
+    // gold table is what makes point-in-time label queries ("what
+    // did we believe about addr X in March") answerable at all.
+    "m_scd2_intervals" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("valid_from"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), col("ts").as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+    }),
+
     // Running aggregates per key (ordered window frame).
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -614,6 +632,15 @@ object QueryLayerPack extends QueryPack {
         |         row_number() OVER (PARTITION BY user_id, event_type
         |           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "m_scd2_intervals" ->
+      """SELECT user_id, event_type, event_id, value,
+        |  CAST(ts AS TIMESTAMP) AS valid_from,
+        |  lead(CAST(ts AS TIMESTAMP), 1) OVER w AS valid_to,
+        |  lead(CAST(ts AS TIMESTAMP), 1) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id, event_type
+        |             ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin,
 
     "q_window_running" ->
       """SELECT user_id, event_id,
