@@ -200,6 +200,16 @@ object QueryLayerPack extends QueryPack {
           col("value"))
     }),
 
+    // Fixed-width histogram — the distribution-profiling primitive
+    // behind every "pick the filter threshold" decision. Binning is
+    // a scan-stage floor division (same IEEE op both engines), then
+    // one map-side-combined groupBy: output cardinality = bins, not
+    // rows, however large the table.
+    "q_histogram" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(floor(col("o_totalprice") / 50000).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))),
+
     // SCD2 version intervals — the warehouse-grade VERSIONED form of
     // the label store (the reference keeps latest-only; m3 upserts
     // discard history). Each (user, event_type) observation becomes
@@ -632,6 +642,11 @@ object QueryLayerPack extends QueryPack {
         |         row_number() OVER (PARTITION BY user_id, event_type
         |           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "m_scd2_intervals" ->
       """SELECT user_id, event_type, event_id, value,

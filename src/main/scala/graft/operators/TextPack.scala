@@ -174,6 +174,25 @@ object TextPack extends QueryPack {
       df.join(pl, Seq("token"))
     }),
 
+    // LM-style familiarity score (the CCNet idea with corpus-internal
+    // statistics standing in for the LM): a document whose bigrams
+    // are frequent across the corpus reads as in-distribution, one
+    // full of rare bigrams as noise. Score = mean corpus frequency
+    // of the doc's bigrams — integer sums / one division, so it
+    // hash-replays where a real log-perplexity (libm) would not.
+    // Same plan family as tfidf: bigram counts (one shuffle), join
+    // docs' bigrams back (narrow string keys), per-doc mean.
+    "tx_lm_familiarity" -> ((s, dir) => {
+      val bg = tokenized(s, dir)
+        .select(col("doc_id"), explode(Hashing.shingles(col("toks"), 2)).as("ng"))
+      val freq = bg.groupBy("ng").agg(count(lit(1)).as("cf"))
+      bg.join(freq, Seq("ng"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          Det.dround(sum(col("cf")).cast("double") / count(lit(1)), 4)
+            .as("familiarity"))
+    }),
+
     // Percentile-band length filter (the Gopher/C4 "not too short,
     // not too long" gate with data-derived thresholds): keep docs
     // whose n_chars sits within [p05, p95] of the corpus. The
@@ -308,6 +327,18 @@ object TextPack extends QueryPack {
         |       FROM t, UNNEST(generate_series(0, len(ts) - 2)) AS g(j))
         |SELECT ng, count(*) AS cnt FROM ng
         |GROUP BY ng ORDER BY cnt DESC, ng LIMIT 50""".stripMargin,
+
+    "tx_lm_familiarity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, ts[j+1] || ' ' || ts[j+2] AS ng
+        |       FROM t, UNNEST(generate_series(0, len(ts) - 2)) AS g(j)),
+        |freq AS (SELECT ng, count(*) AS cf FROM bg GROUP BY ng)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  floor((CAST(sum(cf) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4
+        |    AS familiarity
+        |FROM bg JOIN freq USING (ng)
+        |GROUP BY doc_id""".stripMargin,
 
     "tx_length_band" ->
       s"""WITH th AS (SELECT
