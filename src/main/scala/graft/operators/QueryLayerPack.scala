@@ -533,7 +533,63 @@ object QueryLayerPack extends QueryPack {
         .agg(
           expr("approx_percentile(l_quantity, 0.25, 1000)").as("p25"),
           expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50"),
-          expr("approx_percentile(l_quantity, 0.75, 1000)").as("p75")))
+          expr("approx_percentile(l_quantity, 0.75, 1000)").as("p75"))),
+
+    // Interval join via band bucketing ([[RangeJoin.bandJoin]] — see
+    // its scaladoc for the equi-key-vs-nested-loop scale story):
+    // events bucketed into the 50 value bands, per-band count + sum.
+    // RangeJoinSpec pins the hash-join plan shape and the overlap
+    // semantics; the oracle replays the naive theta form.
+    "q_range_join" -> ((s, dir) => {
+      val intervals = s.range(0, 50).select(
+        col("id").as("interval_id"),
+        (col("id") * 6.0 + 0.5).as("lo"),
+        (col("id") * 6.0 + 5.0).as("hi"))
+      RangeJoin.bandJoin(Tables.events(s, dir).select(col("value")),
+          col("value"), broadcast(intervals), col("lo"), col("hi"),
+          width = 4.0)
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    }),
+
+    // Latest event per user as ONE aggregation: argmax via
+    // max(struct(ts, …)) — struct ordering is field-by-field, so the
+    // (ts, event_id) prefix makes the winner unique and deterministic.
+    // The scale contrast to the q_window_latest form: a row_number
+    // window sorts every group's full history inside one task;
+    // max(struct) is a declarative agg with map-side partial
+    // aggregation — each input partition contributes ONE candidate row
+    // per user to the shuffle, unbounded history notwithstanding.
+    "q_argmax_latest" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("m"))
+        .select(col("user_id"), col("m.ts").as("ts"),
+          col("m.event_id").as("event_id"),
+          col("m.event_type").as("event_type"), col("m.value").as("value"))),
+
+    // Schema-evolution union: two event slices captured under
+    // different schema versions (v1 carries event_type, v2 added
+    // value) reconciled with unionByName(allowMissingColumns) —
+    // absent columns null-filled BY NAME, not by position (a
+    // positional UNION would silently zip event_type against value).
+    // The count(col)/count(*) split quantifies per-version coverage;
+    // the sum coalesces to 0 for users with no v2 rows.
+    "q_union_by_name" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val v1 = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val v2 = ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("value"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          count(col("event_type")).as("n_typed"),
+          count(col("value")).as("n_valued"),
+          coalesce(round(sum(col("value").cast("decimal(18,4)")), 2),
+            lit(0)).cast("double").as("sum_value"))
+    })
   )
 
   override def oracles: Map[String, String] = Map(
@@ -838,6 +894,38 @@ object QueryLayerPack extends QueryPack {
       """SELECT p_brand,
         |       string_agg(DISTINCT p_type, ',' ORDER BY p_type) AS types,
         |       count(DISTINCT p_type) AS n_types
-        |FROM part GROUP BY p_brand""".stripMargin
+        |FROM part GROUP BY p_brand""".stripMargin,
+
+    // the naive theta form the band-bucketed equi-join must equal
+    "q_range_join" ->
+      """WITH intervals AS (
+        |  SELECT CAST(i AS BIGINT) AS interval_id,
+        |         i * 6.0 + 0.5 AS lo, i * 6.0 + 5.0 AS hi
+        |  FROM UNNEST(generate_series(0, 49)) AS t(i))
+        |SELECT interval_id, count(*) AS n,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM events e JOIN intervals iv
+        |  ON e.value >= iv.lo AND e.value < iv.hi
+        |GROUP BY interval_id""".stripMargin,
+
+    "q_argmax_latest" ->
+      """SELECT user_id, (m).ts AS ts, (m).eid AS event_id,
+        |       (m).etype AS event_type, (m).v AS value
+        |FROM (SELECT user_id,
+        |        max(struct_pack(ts := CAST(ts AS TIMESTAMP), eid := event_id,
+        |                        etype := event_type, v := value)) AS m
+        |      FROM events GROUP BY user_id)""".stripMargin,
+
+    "q_union_by_name" ->
+      """WITH v1 AS (SELECT event_id, user_id, event_type
+        |            FROM events WHERE event_id % 2 = 0),
+        |     v2 AS (SELECT event_id, user_id, value
+        |            FROM events WHERE event_id % 2 = 1),
+        |     u AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+        |SELECT user_id, count(*) AS n_events,
+        |       count(event_type) AS n_typed, count(value) AS n_valued,
+        |       CAST(coalesce(round(sum(CAST(value AS DECIMAL(18,4))), 2), 0)
+        |         AS DOUBLE) AS sum_value
+        |FROM u GROUP BY user_id""".stripMargin
   )
 }

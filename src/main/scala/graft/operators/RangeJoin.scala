@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join via fixed-width band bucketing — the scale
+  * form of `point BETWEEN lo AND hi`.
+  *
+  * A raw range predicate has no equi-key, so Spark can only plan a
+  * nested-loop join: every (point, interval) combination is tested,
+  * O(N·M) however large the fact side — the classic 100 TB killer for
+  * point-in-interval enrichment (IP→geo ranges, value→band lookups,
+  * time→session windows). Banding restores an equi-key: each interval
+  * is exploded to every fixed-width bucket it overlaps
+  * (`sequence(floor(lo/w), floor(hi/w))`), each point maps to its ONE
+  * containing bucket, and the join becomes a hash equi-join on the
+  * bucket id — broadcastable when the interval side is small, a
+  * shuffled (AQE-skew-splittable) join when both sides are large —
+  * with the exact range predicate kept as a residual filter.
+  *
+  * Width is the fanout/selectivity dial: intervals replicate once per
+  * overlapped bucket (≈ span/width + 1 rows), while a too-wide bucket
+  * admits more false candidates for the residual filter to discard.
+  * Pick width on the order of the median interval span.
+  *
+  * The reference has no range join (its only joins are point lookups,
+  * SURVEY.md §2.1); this is the §2.2-style analytics surface addition,
+  * exercised as `q_range_join` against a naive-theta DuckDB oracle.
+  */
+object RangeJoin {
+
+  /** Join `points` to `intervals` on `lo <= p < hi` (half-open).
+    *
+    * Contract: `p`, `lo`, `hi` are numeric; column names of the two
+    * frames must not collide (the output carries both sides' columns).
+    * Empty (`hi <= lo`) intervals are dropped up front — beyond being
+    * unmatched under the half-open semantics, they would make
+    * `sequence` run DESCENDING (its start>stop behavior) and bucket
+    * them spuriously. Null points/bounds never match (inner join +
+    * null-rejecting predicates), exactly as in the theta form.
+    */
+  def bandJoin(points: DataFrame, p: Column, intervals: DataFrame,
+               lo: Column, hi: Column, width: Double): DataFrame = {
+    require(width > 0, s"bandJoin width must be positive (got $width)")
+    val expanded = intervals.filter(lo < hi).withColumn("__bkt",
+      explode(sequence(floor(lo / width).cast("long"),
+        floor(hi / width).cast("long"))))
+    points.withColumn("__bkt", floor(p / width).cast("long"))
+      .join(expanded, Seq("__bkt"))
+      .filter(p >= lo && p < hi)
+      .drop("__bkt")
+  }
+}

@@ -221,8 +221,50 @@ object SimilarityPack extends QueryPack {
         .select(col("vec_id"),
           KMeans.assign(col("s")).as("cluster"),
           graft.Det.dround(KMeans.bestDist(col("vq"), col("s")), 6).as("dist"))
+    }),
+
+    // SemDeDup (cluster-scoped semantic dedup, Abbas et al. 2023,
+    // arXiv:2303.09540): k-means the embeddings, compare pairs ONLY
+    // within a cluster, drop every vector with a close (cos ≥ τ)
+    // lower-id clustermate. The scale contract vs the LSH path: no
+    // recall loss to bucketing noise inside a cluster, and the
+    // all-pairs cost is confined to (N/k)² per cluster — in
+    // production k grows ∝ N (constant expected cluster size), so
+    // total work is N·(N/k) = linear, and the cluster-key join ships
+    // each embedding exactly ONCE (cost O(N·d), not per-pair; a
+    // skewed cluster is AQE-split like any equi-join). Assignment
+    // itself is the scan-stage literal-centroid argmax — no join.
+    // Training reuses the sim_kmeans_assign job (2 Lloyd steps,
+    // integer-quantized → oracle-replayable); dedup cosines run on
+    // the ORIGINAL float embeddings, exact-parity with the oracle's
+    // sequential folds.
+    "ds_semantic_dedup" -> ((s, dir) => {
+      val vq = KMeans.quantize(emb(s, dir))
+      val cents = KMeans.train(vq, iters = 2)
+      val assigned = emb(s, dir).filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("nrm"),
+          KMeans.assign(
+            KMeans.scores(KMeans.quantized(col("embedding")), cents))
+            .as("cluster"))
+      val dropped = assigned.alias("a").join(assigned.alias("b"),
+          col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .filter((Similarity.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm"))) >= SemDedupTau)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+        .withColumn("is_dup", lit(true))
+      assigned.select(col("vec_id"), col("cluster"))
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
     })
   )
+
+  /** SemDeDup cosine threshold: same near-dup bar as the LSH path
+    * (ds_embed_dedup), so the two strategies are comparable on the
+    * same corpus. */
+  val SemDedupTau = 0.3
 
   /** Deduped (query_id, vec_id) candidates of a query-side bucket
     * probe frame against the corpus bucket index. */
@@ -415,7 +457,22 @@ object SimilarityPack extends QueryPack {
     "sim_kmeans_assign" ->
       s"""WITH ${KMeans.sqlTrainCtes(2)}
          |SELECT vec_id, cluster, ${graft.Det.droundSql("dist", 6)} AS dist
-         |FROM a3""".stripMargin
+         |FROM a3""".stripMargin,
+
+    // same trained assignment (a3), then within-cluster close pairs
+    // and the lower-id domination rule as an EXISTS
+    "ds_semantic_dedup" ->
+      s"""WITH ${KMeans.sqlTrainCtes(2)},
+         |asg AS (SELECT a.vec_id, a.cluster, e.embedding
+         |        FROM a3 a JOIN embeddings e ON a.vec_id = e.vec_id),
+         |dropped AS (SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${sqlCos("a.embedding", "b.embedding")} >= $SemDedupTau)
+         |SELECT g.vec_id, g.cluster,
+         |       EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = g.vec_id)
+         |         AS is_dup
+         |FROM a3 g""".stripMargin
   )
 
   /** Shared tail of the two ANN top-k oracles: exact-cosine scoring +

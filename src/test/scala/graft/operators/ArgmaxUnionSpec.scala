@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** q_argmax_latest and q_union_by_name semantics pins.
+  *
+  * The argmax form must be row-identical to the window form it
+  * replaces (the whole point is swapping a full-history per-group
+  * sort for a partial-aggregating max(struct)); the union form must
+  * fill the absent columns BY NAME, not by position.
+  */
+class ArgmaxUnionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("max(struct) latest-per-user equals the row_number window form") {
+    val agg = graft.SparkEntry.queries("q_argmax_latest")(spark, sf)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val win = graft.Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(win.nonEmpty && agg == win)
+  }
+
+  test("the argmax plan is a partial-aggregating HashAggregate, no sort") {
+    val df = graft.SparkEntry.queries("q_argmax_latest")(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window"), s"argmax planned a window:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("partial_"),
+      s"no map-side partial aggregation in:\n$plan")
+  }
+
+  test("unionByName fills missing columns by NAME, not position") {
+    val v1 = Seq((1L, "click")).toDF("event_id", "event_type")
+    val v2 = Seq((2L, 9.5)).toDF("event_id", "value")
+    val u = v1.unionByName(v2, allowMissingColumns = true)
+      .select("event_id", "event_type", "value")
+      .as[(Long, Option[String], Option[Double])].collect().toSet
+    assert(u == Set((1L, Some("click"), None), (2L, None, Some(9.5))))
+  }
+}

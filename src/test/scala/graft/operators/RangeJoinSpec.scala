@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Band-bucketed range join: result-identical to the naive theta
+  * join (including OVERLAPPING intervals, which the q_range_join
+  * fixture doesn't exercise), empty/null intervals inert, and the
+  * plan a hash equi-join — never a nested loop.
+  */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bandJoin equals the theta join, with overlaps and edge cases") {
+    // points on and around every boundary; intervals overlap, touch,
+    // nest, sit empty (hi == lo), inverted (hi < lo), and null
+    val points = Seq(-8.0, -4.0, -0.1, 0.0, 0.5, 1.0, 2.9, 3.0, 3.1,
+      5.0, 7.5, 10.0, 12.0, 25.0).toDF("p")
+    val intervals = Seq(
+      (1L, -5.0, 1.0),   // crosses zero
+      (2L, 0.0, 3.0),    // overlaps 1 and 3
+      (3L, 2.0, 8.0),    // overlaps 2, nests 4
+      (4L, 3.0, 5.0),    // nested in 3
+      (5L, 5.0, 5.0),    // empty: hi == lo
+      (6L, 9.0, 7.0),    // inverted: hi < lo
+      (7L, 12.0, 12.5),  // sub-width sliver
+      (8L, -20.0, 30.0)  // spans everything
+    ).toDF("iid", "lo", "hi")
+      .unionByName(Seq((9L, null.asInstanceOf[java.lang.Double], 4.0))
+        .toDF("iid", "lo", "hi"))
+
+    for (width <- Seq(0.5, 4.0, 100.0)) {
+      val banded = RangeJoin.bandJoin(points, col("p"), intervals,
+          col("lo"), col("hi"), width)
+        .select("iid", "p").as[(Long, Double)].collect().toSet
+      val theta = points.join(intervals,
+          col("p") >= col("lo") && col("p") < col("hi"))
+        .select("iid", "p").as[(Long, Double)].collect().toSet
+      assert(theta.nonEmpty, "vacuous fixture")
+      assert(banded == theta, s"width=$width")
+      // overlap really exercised: some point matched >1 interval
+      assert(theta.groupBy(_._2).exists(_._2.size > 1))
+    }
+  }
+
+  test("the banded plan is a hash equi-join, not a nested loop") {
+    val df = graft.SparkEntry.queries("q_range_join")(
+      spark, "/root/testdata/sf0.001")
+    df.count() // settle AQE
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("NestedLoop"),
+      s"range join fell back to a nested loop:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast hash join on the band key:\n$plan")
+  }
+}

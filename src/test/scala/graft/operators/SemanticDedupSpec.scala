@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ds_semantic_dedup invariants, checked against an independent
+  * driver-side cosine recomputation over the sf0.001 embeddings
+  * (500 vectors — small enough to verify the all-pairs rule
+  * exactly): a vector is flagged `is_dup` iff some LOWER-id vector
+  * in the SAME cluster is within τ. Cluster assignment itself is
+  * pinned by the sim_kmeans_assign oracle; this spec pins the
+  * dedup rule on top of it.
+  */
+class SemanticDedupSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("is_dup == exists a close lower-id clustermate; minima never dup") {
+    val out = graft.SparkEntry.queries("ds_semantic_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 500)
+    assert(out.count(_._3) > 0, "fixture yields no dups — vacuous spec")
+
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    val byCluster = out.groupBy(_._2)
+    for ((_, members) <- byCluster) {
+      val sorted = members.sortBy(_._1)
+      // cluster minimum has no lower-id mate — must never be a dup
+      assert(!sorted.head._3, s"cluster min ${sorted.head._1} flagged dup")
+      for ((id, _, dup) <- sorted) {
+        val expected = sorted.takeWhile(_._1 < id)
+          .exists(m => cos(emb(m._1), emb(id)) >= SimilarityPack.SemDedupTau)
+        assert(dup == expected, s"vec $id: is_dup=$dup, recompute=$expected")
+      }
+    }
+  }
+}

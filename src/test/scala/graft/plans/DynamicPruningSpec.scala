@@ -1,0 +1,41 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dynamic partition pruning over the day-partitioned bronze layout
+  * (the LabelStream sink shape): a join against a filtered dimension
+  * must push a runtime partition filter into the fact scan, so at
+  * 100 TB only the dimension-selected day directories are read at
+  * all — the partition-level analog of the bloom runtime filter
+  * (q_bloom_prune), and the reason the bronze store is partitioned
+  * by day in the first place (SCALE.md).
+  */
+class DynamicPruningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("join through a filtered dim dynamically prunes fact partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    (0 until 1000).map(i => (i.toLong, i % 10))
+      .toDF("v", "day")
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // dim must be a SCANNED relation: a local (in-memory) dim folds
+    // its filter away eagerly, leaving no selective predicate for the
+    // PartitionPruning rule to key on
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    (0 until 10).map(i => (i, if (i < 3) "hot" else "cold"))
+      .toDF("day", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim, Seq("day")).filter(col("tag") === "hot")
+
+    // correctness: only the 3 hot days' rows survive
+    assert(joined.count() == 300)
+
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in fact scan:\n$plan")
+  }
+}
