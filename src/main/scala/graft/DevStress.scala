@@ -171,6 +171,44 @@ object DevStress {
       graft.operators.KMeans.train(vq, iters = 1)
       println(f"[stress] x$factor%-3d kmeans_step               ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
+
+    // SemDeDup sizing rule: with k FIXED, clusters swell ∝ N and the
+    // within-cluster all-pairs residual grows ~factor²; with k ∝ N
+    // (constant expected cluster size) pair count stays ~linear in
+    // input. Candidate-pair generation only (the part whose growth
+    // rate is at stake) — the cosine filter downstream is linear in
+    // these pairs either way. Run this probe at factor ≤ 5: the
+    // fixed-k side is not just quadratic in pairs, its join
+    // parallelism is capped at k tasks (8 keys → ≤ 8 non-empty
+    // shuffle partitions, AQE-coalesced further) — at ×20 the single
+    // hot task grinds for upwards of half an hour, which is the
+    // pathology itself, measured the expensive way.
+    if (only.isEmpty || "semdedup".contains(only)) {
+      import graft.operators.KMeans
+      // BLOCK id layout (vec_id + rep·N), not the interleaved one:
+      // interleaving would make ids 0..k·factor−1 copies of the first
+      // few vectors, collapsing the scaled-k init to ~K distinct
+      // centroids and voiding the comparison
+      val nEmb = emb.count()
+      val vqB = KMeans.quantize(emb.crossJoin(
+          spark.range(factor).select(col("id").as("rep")))
+        .select((col("vec_id") + col("rep") * nEmb).as("vec_id"),
+          col("embedding")))
+      def clusterPairs(k: Int): DataFrame = {
+        val cents = KMeans.train(vqB, iters = 1, k = k)
+        val assigned = vqB.select(col("vec_id"),
+          KMeans.assign(KMeans.scores(col("vq"), cents)).as("cluster"))
+        assigned.alias("a").join(assigned.alias("b"),
+            col("a.cluster") === col("b.cluster") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id"), col("b.vec_id"))
+      }
+      val fixed = time("semdedup_pairs_fixed_k", clusterPairs(KMeans.K))
+      val scaled = time("semdedup_pairs_scaled_k",
+        clusterPairs(KMeans.K * factor))
+      if (scaled > 0)
+        println(f"[stress] x$factor%-3d semdedup k~N reduction    ${fixed.toDouble / scaled}%8.2fx")
+    }
     spark.stop()
   }
 }

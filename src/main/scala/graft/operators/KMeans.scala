@@ -117,12 +117,17 @@ object KMeans {
   }
 
   /** `iters` Lloyd steps from the deterministic init; returns the
-    * final centroids, ready to broadcast into an IVF assign/probe. */
-  def train(vq: DataFrame, iters: Int): Seq[Array[Double]] = {
-    val init: Seq[Array[Double]] = vq.filter(col("vec_id") < K)
+    * final centroids, ready to broadcast into an IVF assign/probe.
+    *
+    * `k` defaults to [[K]] (the oracle-pinned fixture size); at scale
+    * it is the SemDeDup/IVF sizing dial — grow k ∝ N to hold the
+    * expected cluster size constant (DevStress `semdedup` probe
+    * measures the pair-count consequence of NOT doing so). */
+  def train(vq: DataFrame, iters: Int, k: Int = K): Seq[Array[Double]] = {
+    val init: Seq[Array[Double]] = vq.filter(col("vec_id") < k)
       .orderBy("vec_id").collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
-    require(init.size == K, s"need vec_ids 0..${K - 1} for init, got ${init.size}")
+    require(init.size == k, s"need vec_ids 0..${k - 1} for init, got ${init.size}")
     (1 to iters).foldLeft(init)((c, _) => step(vq, c))
   }
 
