@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Small-file compaction — the maintenance job every streaming sink
+  * eventually needs. `foreachBatch` parquet appends (the LabelStream
+  * bronze path) produce one file per micro-batch per partition; at
+  * 100 TB that is millions of kilobyte-files, and scan cost becomes
+  * driver file-listing + per-file open overhead instead of I/O.
+  * Compaction rewrites a directory into size-targeted files so
+  * downstream scans plan ~targetBytes splits again.
+  *
+  * Scale shape: sizing comes from the file system METADATA (sum of
+  * file lengths — no data read), the rewrite is one shuffle-free
+  * coalesce when shrinking file count (the normal compaction
+  * direction; a widening rewrite needs repartition's shuffle and is
+  * only worth it for parallelism recovery, so the caller opts in).
+  * The rewrite is offline-idempotent: output goes to a NEW directory
+  * and the swap is the caller's atomic-rename/metastore step —
+  * rewriting in place would race concurrent readers.
+  *
+  * Layout-aware variants compose instead of duplicating: compact
+  * then [[ZOrderLayout.cluster]] for multi-column pruning, or let
+  * the day-partitioned bronze keep its directories and compact each
+  * day independently.
+  */
+object Compaction {
+
+  /** Bytes under `dir` (recursive), parquet data files only —
+    * metadata-only, no data read. */
+  def dataBytes(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    }
+    total
+  }
+
+  /** Rewrite `inDir`'s parquet into ⌈bytes/targetBytes⌉ files at
+    * `outDir`; returns the file count written. `coalesce` (no
+    * shuffle) when shrinking — each output file is a union of input
+    * splits; `repartition` only if the caller asks to widen. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long, allowWiden: Boolean = false): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val bytes = dataBytes(spark, inDir)
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inDir)
+    val current = df.rdd.getNumPartitions
+    val parts =
+      if (n < current) n
+      else if (n > current && allowWiden) n
+      else current
+    val sized: DataFrame =
+      if (parts < current) df.coalesce(parts)
+      else if (parts > current) df.repartition(parts)
+      else df
+    sized.write.mode(SaveMode.Overwrite).parquet(outDir)
+    parts
+  }
+}

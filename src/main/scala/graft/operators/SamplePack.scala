@@ -110,6 +110,31 @@ object SamplePack extends QueryPack {
         KMeans.assign(KMeans.scores(col("vq"), cents)).as("cluster"))
       Sampling.stratifiedK(assigned, strata = Seq(col("cluster")),
         key = col("vec_id"), salt = "cs1", k = 16)
+    }),
+
+    // Curriculum decile binning: exact length deciles computed once,
+    // riding the plan as a broadcast one-row frame (the
+    // tx_length_band pattern — no driver round-trip), then every doc
+    // binned in the scan stage by counting cuts ≤ value. Equal-
+    // FREQUENCY bins by VALUE cuts — unlike ntile, a document's bin
+    // depends only on its length, not its rank, so the assignment is
+    // stable under corpus growth and needs no global sort (ntile is
+    // one unsplittable window over the whole table). The 9-element
+    // filter lambda is interpreted but O(9) per row; cuts are
+    // Det.dround'd so both engines cut on identical literals.
+    "sp_quantile_bins" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val cuts = d
+        .agg(expr("percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+          .as("raw"))
+        .select(transform(col("raw"), c => graft.Det.dround(c, 4)).as("cs"))
+      d.crossJoin(broadcast(cuts))
+        .select(col("n_chars"),
+          size(filter(col("cs"), c => col("n_chars") >= c))
+            .cast("long").as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), min(col("n_chars")).as("lo_chars"),
+          max(col("n_chars")).as("hi_chars"))
     })
   )
 
@@ -174,6 +199,18 @@ object SamplePack extends QueryPack {
          |      ORDER BY ${graft.functions.Hashing.sqlH32(
                  "'cs1#' || CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
          |  FROM a3)
-         |SELECT vec_id, cluster FROM sampled WHERE rn <= 16""".stripMargin
+         |SELECT vec_id, cluster FROM sampled WHERE rn <= 16""".stripMargin,
+
+    // same dround'd decile cuts, same cuts-≤-value bin rule
+    "sp_quantile_bins" ->
+      """WITH cuts AS (SELECT list_transform(
+        |    quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |    c -> floor(c * 1e4 + 0.5) / 1e4) AS cs FROM documents),
+        |b AS (SELECT d.n_chars,
+        |        len(list_filter(cs, c -> d.n_chars >= c)) AS bin
+        |      FROM documents d CROSS JOIN cuts)
+        |SELECT bin, count(*) AS n, min(n_chars) AS lo_chars,
+        |       max(n_chars) AS hi_chars
+        |FROM b GROUP BY bin""".stripMargin
   )
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Compaction: file count lands on the size target, content is
+  * row-identical, and the shrink path is shuffle-free (coalesce). */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parquetFiles(dir: String): Array[java.io.File] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.isFile)
+
+  test("fragmented writes compact to the byte-sized file count") {
+    val in = java.nio.file.Files.createTempDirectory("graft-cmp-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-cmp-out").toString
+    // the streaming-sink pathology: many tiny files
+    (1 to 10000).map(i => (i.toLong, s"row-$i")).toDF("id", "v")
+      .repartition(64).write.mode("overwrite").parquet(in)
+    assert(parquetFiles(in).length == 64)
+
+    val bytes = Compaction.dataBytes(spark, in)
+    assert(bytes > 0)
+    val target = bytes / 4 + 1 // aim for ~4 files
+    val n = Compaction.compact(spark, in, out, target)
+    assert(n >= 3 && n <= 5, s"expected ~4 output files, planned $n")
+    assert(parquetFiles(out).length == n)
+
+    val a = spark.read.parquet(in).as[(Long, String)].collect().toSet
+    val b = spark.read.parquet(out).as[(Long, String)].collect().toSet
+    assert(a == b && a.size == 10000)
+  }
+
+  test("widening is opt-in; default keeps the input partitioning") {
+    val in = java.nio.file.Files.createTempDirectory("graft-cmp2-in").toString
+    (1 to 100).map(i => (i.toLong, i.toString)).toDF("id", "v")
+      .coalesce(2).write.mode("overwrite").parquet(in)
+
+    val target = Compaction.dataBytes(spark, in) / 8 + 1 // → ~8 parts
+    val out1 = java.nio.file.Files.createTempDirectory("graft-cmp2-a").toString
+    val kept = Compaction.compact(spark, in, out1, target)
+    assert(kept == spark.read.parquet(in).rdd.getNumPartitions,
+      "default must not widen")
+
+    val out2 = java.nio.file.Files.createTempDirectory("graft-cmp2-b").toString
+    val widened = Compaction.compact(spark, in, out2, target,
+      allowWiden = true)
+    assert(widened > kept)
+    assert(parquetFiles(out2).length == widened)
+  }
+}

@@ -1,0 +1,25 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** sp_quantile_bins invariants: decile cuts partition the corpus into
+  * 10 value-disjoint, ordered, roughly-equal bins covering every doc. */
+class QuantileBinsSpec extends SparkSpec {
+
+  test("bins are disjoint, ordered, complete, and roughly balanced") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("sp_quantile_bins")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 9L), s"bins: ${rows.map(_._1).toSeq}")
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == total)
+    // value ranges ordered and disjoint: hi of bin b < lo of bin b+1
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 < b._3, s"overlap between bins ${a._1} and ${b._1}")
+    }
+    // equal-frequency up to tie mass at cuts
+    assert(rows.map(_._2).max <= total / 10 * 2,
+      s"badly unbalanced bins: ${rows.map(_._2).toSeq}")
+  }
+}
