@@ -39,6 +39,30 @@ object TextPack extends QueryPack {
       (Seq(col("doc_id"), split(col("text"), " ").as("toks")) ++
         extra.map(col)): _*)
 
+  /** Quality threshold for tx_corpus_profile's pass share — applied
+    * to the rounded score, so the cut is engine-exact. */
+  val QualityBar = 0.55
+
+  /** Per-doc quality scores (the tx_quality frame), with optional
+    * passthrough columns for downstream rollups. Ratios are rounded
+    * FIRST and the composite computed from the rounded values — the
+    * oracle replays the same two-stage rounding. */
+  private def qualityFrame(s: SparkSession, dir: String,
+                           extra: String*): DataFrame =
+    tokenized(s, dir, extra: _*).select(
+        (extra.map(col) ++ Seq(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          Det.dround(stopCount(col("toks"), stopEn).cast("double")
+            / size(col("toks")), 4).as("stop_ratio"),
+          Det.dround(size(array_distinct(col("toks"))).cast("double")
+            / size(col("toks")), 4).as("diversity"),
+          Det.dround(size(filter(col("toks"), t => length(t) >= 6))
+            .cast("double") / size(col("toks")), 4).as("long_ratio"))): _*)
+      .withColumn("quality",
+        Det.dround(lit(0.4) * col("diversity") + lit(0.3) * col("stop_ratio")
+          + lit(0.3) * col("long_ratio"), 4))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + a BPE-ish word/punct regex.
     "tx_token_stats" -> ((s, dir) =>
@@ -67,19 +91,27 @@ object TextPack extends QueryPack {
             .otherwise("de"))),
 
     // Quality scoring: length/stopword/diversity ratios combined.
-    "tx_quality" -> ((s, dir) =>
-      tokenized(s, dir).select(
-          col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          Det.dround(stopCount(col("toks"), stopEn).cast("double")
-            / size(col("toks")), 4).as("stop_ratio"),
-          Det.dround(size(array_distinct(col("toks"))).cast("double")
-            / size(col("toks")), 4).as("diversity"),
-          Det.dround(size(filter(col("toks"), t => length(t) >= 6))
-            .cast("double") / size(col("toks")), 4).as("long_ratio"))
-        .withColumn("quality",
-          Det.dround(lit(0.4) * col("diversity") + lit(0.3) * col("stop_ratio")
-            + lit(0.3) * col("long_ratio"), 4))),
+    "tx_quality" -> ((s, dir) => qualityFrame(s, dir)),
+
+    // Corpus health profile: the per-(source, lang) snapshot rollup a
+    // curation pipeline monitors between builds — doc/token volume,
+    // average length, and the share of docs clearing the quality bar.
+    // One partial-agg shuffle over the scan-stage per-doc scores;
+    // output cardinality = shards, however large the corpus. The bar
+    // compares against the already-rounded score, so both engines cut
+    // identically.
+    "tx_corpus_profile" -> ((s, dir) =>
+      qualityFrame(s, dir, "source", "lang", "n_chars")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          Det.dround(sum(col("n_chars").cast("decimal(18,4)"))
+            .cast("double") / count(lit(1)), 4).as("avg_chars"),
+          sum(when(col("quality") >= QualityBar, 1L).otherwise(0L))
+            .as("n_quality"),
+          Det.dround(sum(when(col("quality") >= QualityBar, 1L)
+            .otherwise(0L)).cast("double") / count(lit(1)), 4)
+            .as("quality_share"))),
 
     // Repetition metrics (Gopher-style quality filters): repeated-
     // token fraction plus the most frequent bigram and the token
@@ -268,6 +300,27 @@ object TextPack extends QueryPack {
              s"CAST(len(list_filter(string_split(text, ' '), t -> length(t) >= 6)) AS DOUBLE) / $nToks",
              4)} AS long_ratio
          |  FROM documents)""".stripMargin,
+
+    // same two-stage rounding as tx_quality, then the shard rollup
+    "tx_corpus_profile" ->
+      s"""WITH q AS (SELECT source, lang, n_chars, n_tokens,
+         |    ${Det.droundSql("0.4 * diversity + 0.3 * stop_ratio + 0.3 * long_ratio", 4)} AS quality
+         |  FROM (SELECT source, lang, n_chars,
+         |    $nToks AS n_tokens,
+         |    ${Det.droundSql(s"CAST(${sqlStop(stopEn)} AS DOUBLE) / $nToks", 4)} AS stop_ratio,
+         |    ${Det.droundSql(s"CAST($nDistinct AS DOUBLE) / $nToks", 4)} AS diversity,
+         |    ${Det.droundSql(
+             s"CAST(len(list_filter(string_split(text, ' '), t -> length(t) >= 6)) AS DOUBLE) / $nToks",
+             4)} AS long_ratio
+         |    FROM documents))
+         |SELECT source, lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  ${Det.droundSql(
+             "CAST(sum(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) / count(*)", 4)} AS avg_chars,
+         |  CAST(sum(CASE WHEN quality >= $QualityBar THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  ${Det.droundSql(
+             s"CAST(sum(CASE WHEN quality >= $QualityBar THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)} AS quality_share
+         |FROM q GROUP BY source, lang""".stripMargin,
 
     "tx_repetition" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts

@@ -43,6 +43,31 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("property: bandJoin == theta join on random intervals/widths") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], seed: Long): T =
+      g(Gen.Parameters.default, Seed(seed)).get
+    val ptGen = Gen.listOfN(60, Gen.chooseNum(-50.0, 50.0))
+    // bounds drawn independently → mix of empty, inverted, spanning
+    val ivGen = Gen.listOfN(25,
+      Gen.zip(Gen.chooseNum(-60.0, 60.0), Gen.chooseNum(-60.0, 60.0)))
+    (1 to 6).foreach { i =>
+      val points = sample(ptGen, i).toDF("p")
+      val intervals = sample(ivGen, i + 500).zipWithIndex
+        .map { case ((a, b), j) => (j.toLong, a, b) }.toDF("iid", "lo", "hi")
+      val theta = points.join(intervals,
+          col("p") >= col("lo") && col("p") < col("hi"))
+        .select("iid", "p").as[(Long, Double)].collect().toSet
+      for (width <- Seq(0.7, 13.0)) {
+        val banded = RangeJoin.bandJoin(points, col("p"), intervals,
+            col("lo"), col("hi"), width)
+          .select("iid", "p").as[(Long, Double)].collect().toSet
+        assert(banded == theta, s"seed $i width $width")
+      }
+    }
+  }
+
   test("the banded plan is a hash equi-join, not a nested loop") {
     val df = graft.SparkEntry.queries("q_range_join")(
       spark, "/root/testdata/sf0.001")
