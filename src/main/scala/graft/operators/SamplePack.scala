@@ -112,6 +112,47 @@ object SamplePack extends QueryPack {
         key = col("vec_id"), salt = "cs1", k = 16)
     }),
 
+    // Contrastive training triplets (anchor, positive, negative) —
+    // the pair-generation step an embedding-model fine-tune runs over
+    // a curated corpus. Positive = a same-k-means-cluster mate,
+    // negative = an other-cluster vector, both chosen by salted-hash
+    // order so the "random" draw replays deterministically in the
+    // oracle. Scale shape: positives ride the bounded cluster
+    // equi-join (anchors × their own cluster only); negatives come
+    // from a k=1-per-cluster pool cut by the native TopKPerKey and
+    // broadcast (k rows total), so no anchor ever scans the corpus —
+    // per-anchor work is O(cluster size) + O(k). Anchors whose
+    // cluster is a singleton have no positive and drop out (inner
+    // join), mirrored by the oracle.
+    "sp_contrastive_triplets" -> ((s, dir) => {
+      import graft.plans.TopKPerKey.topKPerKey
+      val vq = KMeans.quantize(Tables.embeddings(s, dir))
+      val cents = KMeans.train(vq, iters = 2)
+      val asg = vq.select(col("vec_id"),
+        KMeans.assign(KMeans.scores(col("vq"), cents)).as("cluster"))
+      val anchors = asg.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("anchor_id"), col("cluster"))
+      val mates = asg.select(col("cluster"), col("vec_id").as("cand_id"),
+        graft.functions.Hashing.h32(
+          concat(lit("tri#"), col("vec_id").cast("string"))).as("h"))
+      val pos = topKPerKey(
+        anchors.join(mates, Seq("cluster"))
+          .filter(col("cand_id") =!= col("anchor_id")),
+        keys = Seq(col("anchor_id")),
+        order = Seq(col("h").asc, col("cand_id").asc), k = 1)
+        .select(col("anchor_id"), col("cluster"),
+          col("cand_id").as("pos_id"))
+      val pool = topKPerKey(mates, keys = Seq(col("cluster")),
+        order = Seq(col("h").asc, col("cand_id").asc), k = 1)
+        .select(col("cluster").as("neg_cluster"),
+          col("cand_id").as("neg_id"), col("h").as("nh"))
+      topKPerKey(
+        pos.join(broadcast(pool), col("neg_cluster") =!= col("cluster")),
+        keys = Seq(col("anchor_id")),
+        order = Seq(col("nh").asc, col("neg_id").asc), k = 1)
+        .select(col("anchor_id"), col("pos_id"), col("neg_id"))
+    }),
+
     // Curriculum decile binning: exact length deciles computed once,
     // riding the plan as a broadcast one-row frame (the
     // tx_length_band pattern — no driver round-trip), then every doc
@@ -200,6 +241,36 @@ object SamplePack extends QueryPack {
                  "'cs1#' || CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
          |  FROM a3)
          |SELECT vec_id, cluster FROM sampled WHERE rn <= 16""".stripMargin,
+
+    // trained assignment (a3) → hash-ordered positive within the
+    // cluster, k=1-per-cluster pool → hash-ordered negative outside it
+    "sp_contrastive_triplets" ->
+      s"""WITH ${KMeans.sqlTrainCtes(2)},
+         |m AS (SELECT cluster, vec_id AS cand_id,
+         |        ${graft.functions.Hashing.sqlH32(
+                   "'tri#' || CAST(vec_id AS VARCHAR)")} AS h
+         |      FROM a3),
+         |anch AS (SELECT vec_id AS anchor_id, cluster FROM a3
+         |         WHERE vec_id < 50),
+         |p AS (SELECT anchor_id, cluster, cand_id AS pos_id FROM (
+         |    SELECT a.anchor_id, a.cluster, m.cand_id,
+         |           row_number() OVER (PARTITION BY a.anchor_id
+         |                              ORDER BY m.h, m.cand_id) AS rn
+         |    FROM anch a JOIN m ON a.cluster = m.cluster
+         |                      AND m.cand_id <> a.anchor_id)
+         |  WHERE rn = 1),
+         |pool AS (SELECT cluster AS neg_cluster, cand_id AS neg_id,
+         |                h AS nh FROM (
+         |    SELECT cluster, cand_id, h,
+         |           row_number() OVER (PARTITION BY cluster
+         |                              ORDER BY h, cand_id) AS rn
+         |    FROM m) WHERE rn = 1)
+         |SELECT anchor_id, pos_id, neg_id FROM (
+         |    SELECT p.anchor_id, p.pos_id, pool.neg_id,
+         |           row_number() OVER (PARTITION BY p.anchor_id
+         |                              ORDER BY pool.nh, pool.neg_id) AS rn
+         |    FROM p JOIN pool ON pool.neg_cluster <> p.cluster)
+         |WHERE rn = 1""".stripMargin,
 
     // same dround'd decile cuts, same cuts-≤-value bin rule
     "sp_quantile_bins" ->

@@ -43,6 +43,12 @@ object TextPack extends QueryPack {
     * to the rounded score, so the cut is engine-exact. */
   val QualityBar = 0.55
 
+  /** tx_chunk_windows geometry: window tokens / stride tokens. The
+    * 16-token overlap is the context-continuity margin a pretraining
+    * or retrieval chunker keeps across boundaries. */
+  val ChunkWin = 64
+  val ChunkStride = 48
+
   /** Per-doc quality scores (the tx_quality frame), with optional
     * passthrough columns for downstream rollups. Ratios are rounded
     * FIRST and the composite computed from the rounded values — the
@@ -92,6 +98,32 @@ object TextPack extends QueryPack {
 
     // Quality scoring: length/stopword/diversity ratios combined.
     "tx_quality" -> ((s, dir) => qualityFrame(s, dir)),
+
+    // Sliding-window chunking with stride — the long-document →
+    // context-window splitter (overlap keeps continuity across
+    // boundaries). Pure array expressions in the scan stage: chunk
+    // starts from an integer sequence, slices from the projected
+    // token array — no shuffle, no UDF; output grows ~n_tokens/stride
+    // per doc. Start count is exact integer arithmetic
+    // ((n−W+S−1) div S), identical in both engines; docs at or under
+    // one window yield exactly one chunk.
+    "tx_chunk_windows" -> ((s, dir) => {
+      val (w, st) = (ChunkWin, ChunkStride)
+      tokenized(s, dir)
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("n"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L),
+            when(col("n") <= w, lit(0L)).otherwise(
+              floor((col("n") - w + st - 1) / st).cast("long"))))
+            .as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          slice(col("toks"), (col("chunk_id") * st + 1).cast("int"), lit(w))
+            .as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast("long").as("chunk_tokens"),
+          element_at(col("chunk"), 1).as("head"))
+    }),
 
     // Corpus health profile: the per-(source, lang) snapshot rollup a
     // curation pipeline monitors between builds — doc/token volume,
@@ -300,6 +332,20 @@ object TextPack extends QueryPack {
              s"CAST(len(list_filter(string_split(text, ' '), t -> length(t) >= 6)) AS DOUBLE) / $nToks",
              4)} AS long_ratio
          |  FROM documents)""".stripMargin,
+
+    "tx_chunk_windows" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+         |             len(string_split(text, ' ')) AS n FROM documents),
+         |c AS (SELECT doc_id, i AS chunk_id,
+         |        ts[(i * $ChunkStride + 1):(i * $ChunkStride + $ChunkWin)] AS chunk
+         |      FROM t, UNNEST(generate_series(0,
+         |        CASE WHEN n <= $ChunkWin THEN 0
+         |             ELSE (n - $ChunkWin + $ChunkStride - 1) // $ChunkStride
+         |        END)) AS g(i))
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |       CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+         |       chunk[1] AS head
+         |FROM c""".stripMargin,
 
     // same two-stage rounding as tx_quality, then the shard rollup
     "tx_corpus_profile" ->

@@ -1,0 +1,28 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** sp_contrastive_triplets invariants against the (oracle-pinned)
+  * sim_kmeans_assign clustering: positive shares the anchor's
+  * cluster and is a different vector; negative sits in a different
+  * cluster; every non-singleton-cluster anchor is covered. */
+class TripletsSpec extends SparkSpec {
+
+  test("positives in-cluster, negatives out-of-cluster, anchors covered") {
+    val sf = "/root/testdata/sf0.001"
+    val cluster = graft.SparkEntry.queries("sim_kmeans_assign")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trips = graft.SparkEntry.queries("sp_contrastive_triplets")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(trips.nonEmpty)
+    trips.foreach { case (a, p, n) =>
+      assert(p != a, s"anchor $a is its own positive")
+      assert(cluster(p) == cluster(a), s"positive $p off-cluster for $a")
+      assert(cluster(n) != cluster(a), s"negative $n in-cluster for $a")
+    }
+    // anchors (vec_id < 50) in a cluster of ≥ 2 must all appear
+    val sizes = cluster.values.groupBy(identity).view.mapValues(_.size)
+    val expected = cluster.keys.filter(v => v < 50 && sizes(cluster(v)) > 1)
+    assert(trips.map(_._1).toSet == expected.toSet)
+  }
+}
