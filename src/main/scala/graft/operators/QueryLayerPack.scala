@@ -556,10 +556,14 @@ object QueryLayerPack extends QueryPack {
     // max(struct(ts, …)) — struct ordering is field-by-field, so the
     // (ts, event_id) prefix makes the winner unique and deterministic.
     // The scale contrast to the q_window_latest form: a row_number
-    // window sorts every group's full history inside one task;
-    // max(struct) is a declarative agg with map-side partial
-    // aggregation — each input partition contributes ONE candidate row
-    // per user to the shuffle, unbounded history notwithstanding.
+    // window SHUFFLES every historical row, then sorts each group
+    // inside one task; max(struct) aggregates with a map-side partial
+    // first, so each input partition contributes ONE candidate row
+    // per user to the exchange, unbounded history notwithstanding.
+    // (Struct buffers take Spark's SortAggregate path — a per-
+    // partition sort by group key, linearithmic CPU in local rows —
+    // but nothing beyond the per-user candidates ever crosses the
+    // wire, which is the property that matters at 100 TB.)
     "q_argmax_latest" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("user_id"))

@@ -27,12 +27,14 @@ class ArgmaxUnionSpec extends SparkSpec {
     assert(win.nonEmpty && agg == win)
   }
 
-  test("the argmax plan is a partial-aggregating HashAggregate, no sort") {
+  test("the argmax plan partially aggregates map-side, with no window") {
     val df = graft.SparkEntry.queries("q_argmax_latest")(spark, sf)
     df.count()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     assert(!plan.contains("Window"), s"argmax planned a window:\n$plan")
+    // struct buffers ride SortAggregate, but the partial phase must
+    // sit BEFORE the exchange so only per-key candidates shuffle
     assert(plan.contains("partial_max") || plan.contains("partial_"),
       s"no map-side partial aggregation in:\n$plan")
   }
