@@ -132,6 +132,10 @@ object KMeans {
   }
 
   // ---- SQL mirrors (DuckDB oracle fragments) ----
+  // Every fragment takes a CTE-name prefix `p` so independent
+  // trainings coexist in ONE oracle (PQ trains one codebook per
+  // sub-block: prefixes b0..b3); the unprefixed forms are the
+  // single-training originals, byte-identical via p = "".
 
   /** Quantized-embedding CTE: `vq(vec_id, vq)` as BIGINT lists (the
     * engine's float values are integer-exact, so BIGINT replays them;
@@ -139,8 +143,12 @@ object KMeans {
     * null filter mirrors [[quantize]]'s null-exclusion contract —
     * without it a null-embedding row would survive on the oracle
     * side only and break hash parity. */
-  def sqlVqCte: String =
-    s"""vq AS (SELECT vec_id, list_transform(embedding,
+  def sqlVqCte: String = sqlVqCte("", "embedding")
+
+  /** Prefixed form over any list-typed SQL expression of the
+    * embeddings row (e.g. a slice `embedding[1:16]`). */
+  def sqlVqCte(p: String, listExpr: String): String =
+    s"""${p}vq AS (SELECT vec_id, list_transform($listExpr,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * $QuantScale + 0.5) AS BIGINT)) AS vq
        |  FROM embeddings WHERE embedding IS NOT NULL)""".stripMargin
 
@@ -152,39 +160,50 @@ object KMeans {
   /** Init-centroid CTE `c0(j, c, c2)`: the quantized vectors of
     * vec_id 0..k-1 (integer-exact, so the float round-trip is
     * lossless) with their ‖c‖² folds. */
-  def sqlInitCte: String =
-    s"""c0 AS (SELECT CAST(vec_id AS BIGINT) AS j,
+  def sqlInitCte: String = sqlInitCte("", K)
+
+  def sqlInitCte(p: String, k: Int): String =
+    s"""${p}c0 AS (SELECT CAST(vec_id AS BIGINT) AS j,
        |              list_transform(vq, x -> CAST(x AS DOUBLE)) AS c,
        |              list_reduce(list_transform(vq,
        |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
        |                (a, b) -> a + b) AS c2
-       |       FROM vq WHERE vec_id < $K)""".stripMargin
+       |       FROM ${p}vq WHERE vec_id < $k)""".stripMargin
 
   /** The full unrolled training oracle: vq + init + `iters` Lloyd
     * steps + ONE extra step whose assignment `a{iters+1}` mirrors
     * the engine's post-train assign (its own m/c CTEs go
     * unreferenced). Splice after WITH; read from `a${iters + 1}`. */
-  def sqlTrainCtes(iters: Int): String =
-    (Seq(sqlVqCte, sqlInitCte) ++
-      (1 to iters + 1).map(t => sqlStepCtes(t, s"c${t - 1}"))).mkString(",\n")
+  def sqlTrainCtes(iters: Int): String = sqlTrainCtes("", iters, "embedding", K)
+
+  /** Prefixed training over any embeddings-row list expression: all
+    * CTE names gain `p`, so e.g. `sqlTrainCtes("b2", 2, "embedding[33:48]")`
+    * trains sub-block 2 and exposes `b2a3` / `b2c2`. */
+  def sqlTrainCtes(p: String, iters: Int, listExpr: String,
+                   k: Int = K): String =
+    (Seq(sqlVqCte(p, listExpr), sqlInitCte(p, k)) ++
+      (1 to iters + 1).map(t => sqlStepCtes(p, t, s"${p}c${t - 1}")))
+      .mkString(",\n")
 
   /** One unrolled Lloyd iteration as CTEs: given centroids
     * `cin(j, c, c2)` (float-rounded mean list + its ‖c‖² fold), emits
     * `d{t}` (scores + ‖v‖²), `a{t}` (assignment + distance) and
     * `c{t}` (new centroids, empty clusters inheriting from `cin`). */
-  def sqlStepCtes(t: Int, cin: String): String =
-    s"""d$t AS (SELECT v.vec_id, c.j,
+  def sqlStepCtes(t: Int, cin: String): String = sqlStepCtes("", t, cin)
+
+  def sqlStepCtes(p: String, t: Int, cin: String): String =
+    s"""${p}d$t AS (SELECT v.vec_id, c.j,
        |    2.0 * ${sqlVqDot("v.vq", "c.c")} - c.c2 AS s,
        |    ${sqlVqDot("v.vq", "v.vq")} AS vn2
-       |  FROM vq v CROSS JOIN $cin c),
-       |a$t AS (SELECT vec_id, j AS cluster, vn2 - s AS dist FROM (
+       |  FROM ${p}vq v CROSS JOIN $cin c),
+       |${p}a$t AS (SELECT vec_id, j AS cluster, vn2 - s AS dist FROM (
        |    SELECT vec_id, j, s, vn2,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn
-       |    FROM d$t) WHERE rn = 1),
-       |m$t AS (SELECT a.cluster, unnest(generate_series(1, len(v.vq))) AS pos,
+       |    FROM ${p}d$t) WHERE rn = 1),
+       |${p}m$t AS (SELECT a.cluster, unnest(generate_series(1, len(v.vq))) AS pos,
        |               unnest(v.vq) AS val
-       |        FROM a$t a JOIN vq v USING (vec_id)),
-       |c$t AS (SELECT p.j, coalesce(n.c, p.c) AS c,
+       |        FROM ${p}a$t a JOIN ${p}vq v USING (vec_id)),
+       |${p}c$t AS (SELECT p.j, coalesce(n.c, p.c) AS c,
        |               coalesce(n.c2, p.c2) AS c2
        |        FROM $cin p LEFT JOIN (
        |          SELECT cluster AS j,
@@ -194,6 +213,6 @@ object KMeans {
        |          FROM (
        |            SELECT cluster, pos,
        |              CAST(CAST(CAST(sum(val) AS DOUBLE) / count(*) AS FLOAT) AS DOUBLE) AS m
-       |            FROM m$t GROUP BY cluster, pos)
+       |            FROM ${p}m$t GROUP BY cluster, pos)
        |          GROUP BY cluster) n USING (j))""".stripMargin
 }

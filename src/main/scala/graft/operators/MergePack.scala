@@ -135,6 +135,25 @@ object MergePack extends QueryPack {
     // ACROSS sources — instead of the reference's cross-source
     // clobbering. Incoming 'events' rows fully replace the current
     // 'events' slice; 'docs' slice survives.
+    // Materialized-view maintenance ([[IncrementalAgg]]): the gold
+    // aggregate rebuilt by merging per-batch partial states (here the
+    // corpus split into an established base + a "new batch" slice)
+    // must equal the from-scratch aggregation bit-for-bit — decimal
+    // sums make the addition exact, so the oracle is simply the
+    // direct full-table aggregate.
+    "m_incremental_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def state(df: DataFrame) = df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).as("total"))
+      IncrementalAgg.merge(
+          state(ev.filter(col("event_id") % 10 =!= 0)),
+          state(ev.filter(col("event_id") % 10 === 0)),
+          keys = Seq("event_type"), adds = Seq("n", "total"))
+        .select(col("event_type"), col("n"),
+          round(col("total"), 2).cast("double").as("total"))
+    }),
+
     "m_merge_by_source" -> ((s, dir) => {
       val current = flagship(s, dir)
       val incoming = Tables.events(s, dir)
@@ -146,6 +165,12 @@ object MergePack extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // the from-scratch aggregation the incremental merge must equal
+    "m_incremental_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "m1_upsert_replace" ->
       """SELECT COALESCE(u.event_id, t.event_id) AS event_id,
         |       CASE WHEN u.event_id IS NOT NULL THEN u.value ELSE t.value END AS value

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryPack, Tables}
 import graft.functions.Similarity
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -258,6 +258,52 @@ object SimilarityPack extends QueryPack {
         .join(dropped, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cluster"),
           coalesce(col("is_dup"), lit(false)).as("is_dup"))
+    }),
+
+    // Product quantization — CODES: each vector's 4 sub-block
+    // centroid ids (Jégou et al., "Product Quantization for Nearest
+    // Neighbor Search", TPAMI 2011). Four independent KMeans
+    // codebooks train over the sliced sub-vectors; encoding is four
+    // scan-stage literal-centroid argmaxes — zero joins, zero
+    // shuffle. At 100 TB the code table (vec_id + M small ints) is
+    // what a search fleet keeps hot; the float vectors stay cold.
+    "sim_pq_codes" -> ((s, dir) => {
+      val vq = KMeans.quantize(emb(s, dir))
+      val cents = pqCodebooks(vq)
+      vq.select(col("vec_id") +: pqCodeCols(cents): _*)
+    }),
+
+    // Product quantization — ADC top-k search: each query computes a
+    // per-block lookup table of scores against ALL centroids ONCE
+    // (4×8 FloatDots per query, broadcast), then every candidate
+    // costs 4 array lookups + 3 adds — no per-pair dot products at
+    // all. Approximate by construction (scores quantize to the
+    // codebook grid); ranking through the native TopKPerKey, ties on
+    // vec_id. Fixed left-to-right add order keeps the double sum
+    // bit-identical to the oracle's join chain.
+    "sim_pq_topk" -> ((s, dir) => {
+      val vq = KMeans.quantize(emb(s, dir))
+      val cents = pqCodebooks(vq)
+      val codes = vq.select(col("vec_id") +: pqCodeCols(cents): _*)
+      val q = vq.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id") +:
+          cents.zipWithIndex.map { case (c, m) =>
+            KMeans.scores(
+              slice(col("vq"), m * PqSubDim + 1, PqSubDim), c).as(s"s$m")
+          }: _*)
+      val scored = codes.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (col("s0")(col("c0")) + col("s1")(col("c1"))
+            + col("s2")(col("c2")) + col("s3")(col("c3"))).as("score"))
+      val top = graft.plans.TopKPerKey.topKPerKey(scored,
+        keys = Seq(col("query_id")),
+        order = Seq(col("score").desc, col("vec_id").asc), k = 2)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          graft.Det.dround(col("score"), 6).as("score"))
     })
   )
 
@@ -265,6 +311,34 @@ object SimilarityPack extends QueryPack {
     * (ds_embed_dedup), so the two strategies are comparable on the
     * same corpus. */
   val SemDedupTau = 0.3
+
+  /** Product-quantization geometry: 64 dims → [[PqBlocks]] sub-blocks
+    * of [[PqSubDim]], one KMeans codebook (k = [[KMeans.K]]) per
+    * block. A vector's PQ code is its 4 sub-centroid ids — the
+    * 256-byte float vector compressed to ~1.5 bytes. Production PQ
+    * uses k = 256 per block (8-bit codes); k = 8 here keeps the
+    * codebooks on the oracle-pinned KMeans fixture — the geometry,
+    * not the k, is the operator. */
+  val PqBlocks = 4
+  val PqSubDim = 16
+
+  /** One trained codebook per sub-block, over the sliced QUANTIZED
+    * vectors (slicing commutes with the element-wise quantization,
+    * so `embedding[lo:hi]` quantized replays it in SQL). */
+  private def pqCodebooks(vq: DataFrame): Seq[Seq[Array[Double]]] =
+    (0 until PqBlocks).map { m =>
+      KMeans.train(vq.select(col("vec_id"),
+        slice(col("vq"), m * PqSubDim + 1, PqSubDim).as("vq")), iters = 2)
+    }
+
+  /** Per-block code columns c0..c3 for a quantized-vector frame —
+    * the same scan-stage literal-centroid argmax as IVF assignment,
+    * once per block. */
+  private def pqCodeCols(cents: Seq[Seq[Array[Double]]]): Seq[Column] =
+    cents.zipWithIndex.map { case (c, m) =>
+      KMeans.assign(KMeans.scores(
+        slice(col("vq"), m * PqSubDim + 1, PqSubDim), c)).as(s"c$m")
+    }
 
   /** Deduped (query_id, vec_id) candidates of a query-side bucket
     * probe frame against the corpus bucket index. */
@@ -340,6 +414,15 @@ object SimilarityPack extends QueryPack {
       |  FROM iscores),
       |assign AS (SELECT vec_id, CAST(j AS INTEGER) AS centroid
       |           FROM iranked WHERE rn = 1)""".stripMargin
+
+  /** The four PQ sub-block trainings as prefixed CTE groups
+    * (b0..b3), each over its 16-dim embedding slice. */
+  private lazy val pqTrainAllSql: String =
+    (0 until PqBlocks).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      KMeans.sqlTrainCtes(s"b$m", 2, s"embedding[$lo:$hi]")
+    }.mkString(",\n")
 
   /** Capped bucket membership + deduped candidate pairs — the SQL
     * mirror of [[cappedBuckets]] / [[closePairs]]'s candidate stage. */
@@ -458,6 +541,45 @@ object SimilarityPack extends QueryPack {
       s"""WITH ${KMeans.sqlTrainCtes(2)}
          |SELECT vec_id, cluster, ${graft.Det.droundSql("dist", 6)} AS dist
          |FROM a3""".stripMargin,
+
+    // four prefixed sub-block trainings (b0..b3 over embedding
+    // slices); codes = the four per-block assignments joined on id
+    "sim_pq_codes" ->
+      s"""WITH $pqTrainAllSql
+         |SELECT a0.vec_id, a0.cluster AS c0, a1.cluster AS c1,
+         |       a2.cluster AS c2, a3m.cluster AS c3
+         |FROM b0a3 a0 JOIN b1a3 a1 USING (vec_id)
+         |     JOIN b2a3 a2 USING (vec_id) JOIN b3a3 a3m USING (vec_id)""".stripMargin,
+
+    // same trainings; per-query LUT against each block's trained
+    // centroids (b{m}c2), then the ADC score as the fixed-order
+    // l0+l1+l2+l3 join chain
+    "sim_pq_topk" ->
+      s"""WITH $pqTrainAllSql,
+         |codes AS (SELECT a0.vec_id, a0.cluster AS c0, a1.cluster AS c1,
+         |       a2.cluster AS c2, a3m.cluster AS c3
+         |  FROM b0a3 a0 JOIN b1a3 a1 USING (vec_id)
+         |       JOIN b2a3 a2 USING (vec_id) JOIN b3a3 a3m USING (vec_id)),
+         |${(0 until PqBlocks).map(m =>
+            s"""lut$m AS (SELECT q.vec_id AS query_id, c.j,
+               |    2.0 * ${KMeans.sqlVqDot("q.vq", "c.c")} - c.c2 AS s
+               |  FROM (SELECT * FROM b${m}vq WHERE vec_id < 10) q
+               |  CROSS JOIN b${m}c2 c)""".stripMargin).mkString(",\n")},
+         |scored AS (SELECT l0.query_id, v.vec_id,
+         |    l0.s + l1.s + l2.s + l3.s AS score
+         |  FROM codes v
+         |  JOIN lut0 l0 ON l0.j = v.c0
+         |  JOIN lut1 l1 ON l1.query_id = l0.query_id AND l1.j = v.c1
+         |  JOIN lut2 l2 ON l2.query_id = l0.query_id AND l2.j = v.c2
+         |  JOIN lut3 l3 ON l3.query_id = l0.query_id AND l3.j = v.c3
+         |  WHERE v.vec_id <> l0.query_id)
+         |SELECT query_id, rank, vec_id,
+         |       floor(score * 1e6 + 0.5) / 1e6 AS score FROM (
+         |  SELECT query_id, vec_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 2""".stripMargin,
 
     // same trained assignment (a3), then within-cluster close pairs
     // and the lower-id domination rule as an EXISTS

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IncrementalAgg: merging per-slice partial states must replay the
+  * from-scratch aggregation exactly, for ANY slicing and any merge
+  * order — the property that makes micro-batch maintenance safe. */
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def state(df: DataFrame): DataFrame =
+    df.groupBy("k").agg(count(lit(1)).as("n"),
+      sum(col("v").cast("decimal(18,4)")).as("s"))
+
+  private def norm(df: DataFrame): Set[(String, Long, String)] =
+    df.select(col("k"), col("n").cast("long"),
+        col("s").cast("decimal(20,4)").cast("string"))
+      .as[(String, Long, String)].collect().toSet
+
+  test("slice + merge == from-scratch, for random slicings") {
+    val rows = (1 to 300).map(i =>
+      (s"k${i % 7}", (i * 37 % 1000) / 100.0 + 0.01))
+    val df = rows.toDF("k", "v")
+    val full = norm(state(df))
+    for (seed <- 1 to 5) {
+      val m = 3 + seed % 3
+      val slices = (0 until m).map(j =>
+        df.filter(pmod(hash(col("v") * (seed * 31)), lit(m)) === j))
+      val merged = slices.map(state).reduce(
+        IncrementalAgg.merge(_, _, Seq("k"), Seq("n", "s")))
+      assert(norm(merged) == full, s"seed $seed")
+    }
+  }
+
+  test("empty delta is identity; disjoint keys pass through") {
+    val base = state(Seq(("a", 1.5), ("b", 2.5)).toDF("k", "v"))
+    val none = state(Seq.empty[(String, Double)].toDF("k", "v"))
+    assert(norm(IncrementalAgg.merge(base, none, Seq("k"), Seq("n", "s")))
+      == norm(base))
+    val other = state(Seq(("c", 9.0)).toDF("k", "v"))
+    val merged = IncrementalAgg.merge(base, other, Seq("k"), Seq("n", "s"))
+    assert(norm(merged) == norm(base) ++ norm(other))
+  }
+}

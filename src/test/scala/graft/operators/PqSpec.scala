@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Product quantization: encoding is a pure scan-stage projection
+  * (no exchange), codes stay inside the codebook range, and the ADC
+  * search returns well-formed descending top-k per query. */
+class PqSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("sim_pq_codes: scan-stage encode, codes within codebooks") {
+    val df = graft.SparkEntry.queries("sim_pq_codes")(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"),
+      s"PQ encoding must not shuffle:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      (1 to 4).foreach { i =>
+        val c = r.getLong(i)
+        assert(c >= 0 && c < KMeans.K, s"code $c out of range in $r")
+      }
+    }
+  }
+
+  test("sim_pq_topk: two descending-score neighbors per query") {
+    val rows = graft.SparkEntry.queries("sim_pq_topk")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(rows.keySet == (0L to 9L).toSet)
+    rows.values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == Seq(1L, 2L))
+      assert(sorted(0)._4 >= sorted(1)._4, s"ranks out of order: $g")
+      g.foreach { case (q, _, v, _) => assert(v != q) }
+    }
+  }
+}
