@@ -304,6 +304,44 @@ object SimilarityPack extends QueryPack {
       top.withColumn("rank", row_number().over(w).cast("long"))
         .select(col("query_id"), col("rank"), col("vec_id"),
           graft.Det.dround(col("score"), 6).as("score"))
+    }),
+
+    // IVF-PQ — the standard production composition (FAISS's default
+    // index family): the IVF centroid prunes the candidate set to
+    // one posting list (equi-join, ~1/k of the corpus), then ADC
+    // ranks within the list via the same broadcast per-query LUT —
+    // candidate cost stays 4 lookups, and neither the float vectors
+    // nor full pairwise dots appear anywhere in the search path.
+    // The index frame (vec_id, centroid, c0..c3) is built in ONE
+    // scan-stage projection.
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val base = emb(s, dir).filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"),
+          KMeans.quantized(col("embedding")).as("vq"))
+      val cents = pqCodebooks(base.select(col("vec_id"), col("vq")))
+      val index = base.select(Seq(col("vec_id"),
+        Similarity.ivfAssign(col("embedding")).as("centroid")) ++
+        pqCodeCols(cents): _*)
+      val q = base.filter(col("vec_id") < 10)
+        .select(Seq(col("vec_id").as("query_id"),
+          Similarity.ivfAssign(col("embedding")).as("centroid")) ++
+          cents.zipWithIndex.map { case (c, m) =>
+            KMeans.scores(
+              slice(col("vq"), m * PqSubDim + 1, PqSubDim), c).as(s"s$m")
+          }: _*)
+      val scored = index.join(broadcast(q), Seq("centroid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (col("s0")(col("c0")) + col("s1")(col("c1"))
+            + col("s2")(col("c2")) + col("s3")(col("c3"))).as("score"))
+      val top = graft.plans.TopKPerKey.topKPerKey(scored,
+        keys = Seq(col("query_id")),
+        order = Seq(col("score").desc, col("vec_id").asc), k = 2)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          graft.Det.dround(col("score"), 6).as("score"))
     })
   )
 
@@ -423,6 +461,15 @@ object SimilarityPack extends QueryPack {
       val hi = (m + 1) * PqSubDim
       KMeans.sqlTrainCtes(s"b$m", 2, s"embedding[$lo:$hi]")
     }.mkString(",\n")
+
+  /** Per-query ADC lookup tables: each block's query sub-vectors
+    * scored against its trained centroids (`b{m}c2`). */
+  private lazy val pqLutSql: String =
+    (0 until PqBlocks).map(m =>
+      s"""lut$m AS (SELECT q.vec_id AS query_id, c.j,
+         |    2.0 * ${KMeans.sqlVqDot("q.vq", "c.c")} - c.c2 AS s
+         |  FROM (SELECT * FROM b${m}vq WHERE vec_id < 10) q
+         |  CROSS JOIN b${m}c2 c)""".stripMargin).mkString(",\n")
 
   /** Capped bucket membership + deduped candidate pairs — the SQL
     * mirror of [[cappedBuckets]] / [[closePairs]]'s candidate stage. */
@@ -560,11 +607,7 @@ object SimilarityPack extends QueryPack {
          |       a2.cluster AS c2, a3m.cluster AS c3
          |  FROM b0a3 a0 JOIN b1a3 a1 USING (vec_id)
          |       JOIN b2a3 a2 USING (vec_id) JOIN b3a3 a3m USING (vec_id)),
-         |${(0 until PqBlocks).map(m =>
-            s"""lut$m AS (SELECT q.vec_id AS query_id, c.j,
-               |    2.0 * ${KMeans.sqlVqDot("q.vq", "c.c")} - c.c2 AS s
-               |  FROM (SELECT * FROM b${m}vq WHERE vec_id < 10) q
-               |  CROSS JOIN b${m}c2 c)""".stripMargin).mkString(",\n")},
+         |$pqLutSql,
          |scored AS (SELECT l0.query_id, v.vec_id,
          |    l0.s + l1.s + l2.s + l3.s AS score
          |  FROM codes v
@@ -573,6 +616,35 @@ object SimilarityPack extends QueryPack {
          |  JOIN lut2 l2 ON l2.query_id = l0.query_id AND l2.j = v.c2
          |  JOIN lut3 l3 ON l3.query_id = l0.query_id AND l3.j = v.c3
          |  WHERE v.vec_id <> l0.query_id)
+         |SELECT query_id, rank, vec_id,
+         |       floor(score * 1e6 + 0.5) / 1e6 AS score FROM (
+         |  SELECT query_id, vec_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 2""".stripMargin,
+
+    // ivf assignment CTEs + the PQ trainings: probe = equi-join on
+    // the assigned centroid, ADC scoring within the list
+    "sim_ivfpq_topk" ->
+      s"""WITH $ivfCte,
+         |$pqTrainAllSql,
+         |codes AS (SELECT a0.vec_id, a0.cluster AS c0, a1.cluster AS c1,
+         |       a2.cluster AS c2, a3m.cluster AS c3
+         |  FROM b0a3 a0 JOIN b1a3 a1 USING (vec_id)
+         |       JOIN b2a3 a2 USING (vec_id) JOIN b3a3 a3m USING (vec_id)),
+         |$pqLutSql,
+         |cand AS (SELECT q.vec_id AS query_id, v.vec_id
+         |         FROM assign q JOIN assign v
+         |           ON q.centroid = v.centroid AND v.vec_id <> q.vec_id
+         |         WHERE q.vec_id < 10),
+         |scored AS (SELECT c.query_id, c.vec_id,
+         |    l0.s + l1.s + l2.s + l3.s AS score
+         |  FROM cand c JOIN codes v ON v.vec_id = c.vec_id
+         |  JOIN lut0 l0 ON l0.query_id = c.query_id AND l0.j = v.c0
+         |  JOIN lut1 l1 ON l1.query_id = c.query_id AND l1.j = v.c1
+         |  JOIN lut2 l2 ON l2.query_id = c.query_id AND l2.j = v.c2
+         |  JOIN lut3 l3 ON l3.query_id = c.query_id AND l3.j = v.c3)
          |SELECT query_id, rank, vec_id,
          |       floor(score * 1e6 + 0.5) / 1e6 AS score FROM (
          |  SELECT query_id, vec_id, score,

@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 /** Streaming-only behaviors: watermarked dedup, checkpointed
   * AvailableNow ingest into append-only bronze, merge-on-read gold.
@@ -216,6 +217,52 @@ class StreamingSpec extends SparkSpec {
     val snap = s"$dir/snapshot"
     LabelStream.compactTo(spark, bronze, snap, Seq("user_id", "event_type"))
     assert(latestByKey(spark.read.parquet(snap)) == gold)
+  }
+
+  test("foreachBatch + IncrementalAgg maintains the gold aggregate exactly") {
+    val ms = MemoryStream[(String, Double)]
+    val goldDir = Files.createTempDirectory("graft-mv").toString
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("v").cast("decimal(18,4)"))
+          .as("s"))
+    val q = ms.toDF().toDF("k", "v").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val delta = state(batch)
+        val merged =
+          if (id == 0) delta
+          else graft.operators.IncrementalAgg.merge(
+            spark.read.parquet(goldDir), delta, Seq("k"), Seq("n", "s"))
+        // stage-then-swap: parquet can't be read and overwritten in
+        // the same job (the production form swaps directories)
+        val staged = merged.collect()
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(staged.toSeq), merged.schema)
+          .write.mode("overwrite").parquet(goldDir)
+        ()
+      }
+      .start()
+    try {
+      ms.addData(("a", 1.5), ("a", 2.0), ("b", 3.25))
+      q.processAllAvailable()
+      ms.addData(("a", 0.25), ("c", 9.0))
+      q.processAllAvailable()
+      val gold = spark.read.parquet(goldDir)
+        .select(col("k"), col("n").cast("long"),
+          col("s").cast("decimal(20,4)").cast("string"))
+        .as[(String, Long, String)].collect().toSet
+      val scratch = state(
+          Seq(("a", 1.5), ("a", 2.0), ("b", 3.25), ("a", 0.25), ("c", 9.0))
+            .toDF("k", "v"))
+        .select(col("k"), col("n").cast("long"),
+          col("s").cast("decimal(20,4)").cast("string"))
+        .as[(String, Long, String)].collect().toSet
+      assert(gold == scratch && gold.map(_._1) == Set("a", "b", "c"))
+    } finally q.stop()
   }
 
   test("stream-stream interval join matches the batch range join; out-of-range never matches") {
