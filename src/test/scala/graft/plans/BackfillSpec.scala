@@ -1,0 +1,47 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Partition backfill: repairing ONE day of the day-partitioned
+  * bronze store by dynamic partition overwrite — only the partitions
+  * present in the incoming frame are replaced, every other day's
+  * files stay untouched. This is the repair/reprocess primitive the
+  * append-only bronze + Compaction + DPP trio needs to be a complete
+  * maintenance story (static overwrite mode would silently drop the
+  * rest of the table).
+  */
+class BackfillSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dynamic partition overwrite replaces only the backfilled day") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bf").toString
+    (0 until 300).map(i => (i.toLong, s"v$i", i % 3))
+      .toDF("id", "v", "day")
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // day 1 recomputed: half the rows, corrected values
+      (0 until 300).filter(i => i % 3 == 1 && i % 2 == 0)
+        .map(i => (i.toLong, s"fixed$i", 1))
+        .toDF("id", "v", "day")
+        .write.partitionBy("day").mode("overwrite").parquet(dir)
+
+      val got = spark.read.parquet(dir)
+        .select("id", "v", "day").as[(Long, String, Int)].collect()
+      val byDay = got.groupBy(_._3)
+      assert(byDay(0).length == 100 && byDay(2).length == 100,
+        "untouched days must keep all rows")
+      assert(byDay(0).forall(_._2.startsWith("v")))
+      assert(byDay(1).length == 50, s"backfilled day: ${byDay(1).length}")
+      assert(byDay(1).forall(_._2.startsWith("fixed")))
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+}
