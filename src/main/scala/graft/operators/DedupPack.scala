@@ -216,6 +216,24 @@ object DedupPack extends QueryPack {
     "ds_decontaminate" -> ((s, dir) =>
       decontaminate(tokenized(s, dir), ContamNgramW,
         col("doc_id") % 50 === 0)),
+
+    // Incremental (cross-snapshot) dedup: a new batch deduped
+    // against accumulated history WITHOUT anti-joining the history
+    // wholesale — the bloom sketch of history keys clears
+    // definitely-unseen rows in the batch's scan stage (bloom has no
+    // false negatives), and only the ~fpp "maybe seen" sliver takes
+    // the exact anti-join ([[RuntimeFilter.bloomPrunedAntiJoin]]).
+    // Row-identical to the plain anti-join — here keyed on the
+    // 32-bit content hash (production widens to 128-bit; the
+    // operator is key-width-agnostic).
+    "ds_incremental_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), Hashing.h32(col("text")).as("h"))
+      RuntimeFilter.bloomPrunedAntiJoin(
+        batch = d.filter(col("doc_id") % 5 === 0), batchKey = col("h"),
+        history = d.filter(col("doc_id") % 5 =!= 0), histKey = col("h"),
+        expectedKeys = 100000L)
+    }),
   )
 
   /** The ds_decontaminate body over any (doc_id, toks) frame:
@@ -539,6 +557,16 @@ object DedupPack extends QueryPack {
          |       ${graft.Det.droundSql(
                "CAST(COALESCE(sh.n_shared, 0) AS DOUBLE) / tot.n_ngrams", 4)}
          |         AS contam_frac
-         |FROM tot LEFT JOIN sh ON tot.doc_id = sh.doc_id""".stripMargin
+         |FROM tot LEFT JOIN sh ON tot.doc_id = sh.doc_id""".stripMargin,
+
+    // the plain anti-join the bloom-pruned form must equal (the
+    // sketch only reroutes rows, never changes the result)
+    "ds_incremental_dedup" ->
+      s"""WITH d AS (SELECT doc_id, ${Hashing.sqlH32("text")} AS h
+         |           FROM documents)
+         |SELECT doc_id, h FROM d b
+         |WHERE doc_id % 5 = 0
+         |  AND NOT EXISTS (SELECT 1 FROM d h2
+         |                  WHERE h2.doc_id % 5 <> 0 AND h2.h = b.h)""".stripMargin
   )
 }

@@ -46,4 +46,29 @@ object RuntimeFilter {
       .join(small.select(smallKey.cast("long").as("__rf_key")),
         bigKey.cast("long") === col("__rf_key"), "left_semi")
   }
+
+  /** The ANTI dual — incremental dedup of a new `batch` against a
+    * `history` too large to anti-join wholesale. Bloom has NO false
+    * negatives, so a key the sketch rejects is DEFINITELY unseen and
+    * passes with zero history I/O; only the ~fpp "maybe seen" sliver
+    * takes the exact anti-join. Result is row-identical to the plain
+    * left_anti; what changes is that the history-side exchange
+    * carries `|batch|·fpp` probes instead of `|batch|`, and at
+    * 100 TB the history stays on disk for all but the sliver (the
+    * sketch itself persists across batches in production — rebuild
+    * cost is one scan-stage aggregation, amortized by appending new
+    * keys batch-over-batch).
+    */
+  def bloomPrunedAntiJoin(batch: DataFrame, batchKey: Column,
+                          history: DataFrame, histKey: Column,
+                          expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    require(!batch.columns.contains("__rf_key"),
+      "batch side already has a __rf_key column — rename it first")
+    val bf = history.stat.bloomFilter(histKey.cast("long"), expectedKeys, fpp)
+    val probe = graft.plans.BloomMightContainLong.probe(batchKey, bf)
+    val hist = history.select(histKey.cast("long").as("__rf_key"))
+    batch.filter(!probe)
+      .unionByName(batch.filter(probe)
+        .join(hist, batchKey.cast("long") === col("__rf_key"), "left_anti"))
+  }
 }

@@ -57,6 +57,28 @@ class RuntimeFilterSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("bloomPrunedAntiJoin is row-identical to the plain anti join") {
+    val d = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.Hashing.h32(col("text")).as("h"))
+    val batch = d.filter(col("doc_id") % 5 === 0)
+    val history = d.filter(col("doc_id") % 5 =!= 0)
+    val pruned = RuntimeFilter.bloomPrunedAntiJoin(batch, col("h"),
+        history, col("h"), expectedKeys = 10000L)
+      .select("doc_id").as[Long].collect().toSet
+    val plain = batch.join(
+        history.select(col("h").as("hh")), col("h") === col("hh"),
+        "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain.nonEmpty && pruned == plain)
+    // synthetic overlap: seen keys must drop, unseen pass
+    val b2 = Seq(1L, 2L, 3L, 4L).toDF("k")
+    val h2 = Seq(2L, 4L, 6L).toDF("k2")
+    val got = RuntimeFilter.bloomPrunedAntiJoin(b2, col("k"), h2, col("k2"),
+        expectedKeys = 100L)
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+  }
+
   test("BloomMightContainLong: codegen and interpreted eval agree; FP-only") {
     val bf = BloomFilter.create(1000, 0.01)
     (0L until 500L).foreach(bf.putLong)
