@@ -20,6 +20,11 @@ object SamplePack extends QueryPack {
     * test SF. */
   val PackBudget = 2048
 
+  /** sp_time_split cutoff — mid-range of the events fixture's
+    * 2024-01 span at every SF, so both splits are populated. */
+  val TimeSplitCutoff: java.sql.Timestamp =
+    java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic 10% Bernoulli sample: scan-stage codegen'd
     // filter, zero shuffle, stable across runs/engines/partitionings.
@@ -111,6 +116,23 @@ object SamplePack extends QueryPack {
       Sampling.stratifiedK(assigned, strata = Seq(col("cluster")),
         key = col("vec_id"), salt = "cs1", k = 16)
     }),
+
+    // Out-of-time (temporal) split — the third split flavor next to
+    // the random-by-key (sp_split_stats) and group-stable forms:
+    // train strictly before the cutoff, eval strictly after, leakage
+    // impossible by construction (the evaluation regime for anything
+    // forecasting-shaped, where a random split would let the model
+    // see the future). Scan-stage comparison against a literal
+    // timestamp; pushed to the parquet scan as a predicate.
+    "sp_time_split" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("split",
+          when(col("ts") < lit(TimeSplitCutoff), "train").otherwise("eval"))
+        .groupBy("split", "event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_value"))),
 
     // Contrastive training triplets (anchor, positive, negative) —
     // the pair-generation step an embedding-model fine-tune runs over
@@ -241,6 +263,15 @@ object SamplePack extends QueryPack {
                  "'cs1#' || CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
          |  FROM a3)
          |SELECT vec_id, cluster FROM sampled WHERE rn <= 16""".stripMargin,
+
+    "sp_time_split" ->
+      """SELECT CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
+        |            THEN 'train' ELSE 'eval' END AS split,
+        |       event_type, count(*) AS n,
+        |       count(DISTINCT user_id) AS n_users,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // trained assignment (a3) → hash-ordered positive within the
     // cluster, k=1-per-cluster pool → hash-ordered negative outside it

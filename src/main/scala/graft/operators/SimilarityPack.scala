@@ -260,6 +260,43 @@ object SimilarityPack extends QueryPack {
           coalesce(col("is_dup"), lit(false)).as("is_dup"))
     }),
 
+    // Index self-measurement ("measure, don't guess" applied to the
+    // index itself): candidate recall AND precision of the capped
+    // banded-LSH stage against exact ground truth, on a bounded probe
+    // subset (vec_id < RecallProbeN keeps the brute-force quadratic
+    // at C(N,2) over the subset only — the standard offline recall
+    // audit a search fleet runs per index build). The measured number
+    // is brutally honest on THIS corpus: near-random vectors whose
+    // "close" pairs sit barely over τ=0.3, where a 12-bit band
+    // collides with probability (1−θ/π)¹² ≈ 0.2% — sign-LSH recalls
+    // the nearly-parallel (true near-dup, cos ≳ 0.9 → ~30%/2 bands
+    // before multi-probe) pairs, not the barely-similar ones. That
+    // gap is precisely what sizes PlanesPerBand / bands / multi-probe
+    // in SCALE.md, and why SemDeDup exists as the no-recall-loss
+    // alternative within clusters.
+    "ds_lsh_recall" -> ((s, dir) => {
+      val sub = emb(s, dir).filter(col("vec_id") < RecallProbeN)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("nrm"))
+      val truth = sub.alias("a").join(sub.alias("b"),
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          (Similarity.dot(col("a.embedding"), col("b.embedding"))
+            / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .filter(col("cos") >= 0.3)
+      val cand = candidateIdPairs(cappedBuckets(s, dir))
+        .filter(col("vec_a") < RecallProbeN && col("vec_b") < RecallProbeN)
+      val hit = truth.join(cand, Seq("vec_a", "vec_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          when(col("n_true") > 0, graft.Det.dround(
+            col("n_hit").cast("double") / col("n_true"), 4)).as("recall"),
+          when(col("n_cand") > 0, graft.Det.dround(
+            col("n_hit").cast("double") / col("n_cand"), 4)).as("precision"))
+    }),
+
     // Product quantization — CODES: each vector's 4 sub-block
     // centroid ids (Jégou et al., "Product Quantization for Nearest
     // Neighbor Search", TPAMI 2011). Four independent KMeans
@@ -349,6 +386,10 @@ object SimilarityPack extends QueryPack {
     * (ds_embed_dedup), so the two strategies are comparable on the
     * same corpus. */
   val SemDedupTau = 0.3
+
+  /** ds_lsh_recall probe-subset bound: ground truth is brute-forced
+    * over C(RecallProbeN, 2) pairs only, whatever the corpus size. */
+  val RecallProbeN = 200
 
   /** Product-quantization geometry: 64 dims → [[PqBlocks]] sub-blocks
     * of [[PqSubDim]], one KMeans codebook (k = [[KMeans.K]]) per
@@ -623,6 +664,32 @@ object SimilarityPack extends QueryPack {
          |                            ORDER BY score DESC, vec_id) AS rank
          |  FROM scored)
          |WHERE rank <= 2""".stripMargin,
+
+    // brute-force truth over the probe subset vs the capped-LSH
+    // candidate set — counts + guarded ratio metrics
+    "ds_lsh_recall" ->
+      s"""WITH $planesCte,
+         |$bcapCandCtes,
+         |sub AS (SELECT vec_id, embedding FROM embeddings
+         |        WHERE vec_id < $RecallProbeN),
+         |truth AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+         |  WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.3),
+         |c2 AS (SELECT vec_a, vec_b FROM cand
+         |       WHERE vec_a < $RecallProbeN AND vec_b < $RecallProbeN),
+         |m AS (SELECT
+         |  (SELECT count(*) FROM truth) AS n_true,
+         |  (SELECT count(*) FROM c2) AS n_cand,
+         |  (SELECT count(*) FROM truth t JOIN c2
+         |     ON t.vec_a = c2.vec_a AND t.vec_b = c2.vec_b) AS n_hit)
+         |SELECT n_true, n_cand, n_hit,
+         |  CASE WHEN n_true > 0 THEN
+         |    floor(CAST(n_hit AS DOUBLE) / n_true * 1e4 + 0.5) / 1e4
+         |  END AS recall,
+         |  CASE WHEN n_cand > 0 THEN
+         |    floor(CAST(n_hit AS DOUBLE) / n_cand * 1e4 + 0.5) / 1e4
+         |  END AS precision
+         |FROM m""".stripMargin,
 
     // ivf assignment CTEs + the PQ trainings: probe = equi-join on
     // the assigned centroid, ADC scoring within the list
