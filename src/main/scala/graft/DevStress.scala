@@ -89,6 +89,37 @@ object DevStress {
     time("jaccard_pairs",
       DedupPack.jaccardPairs(toks, dfCap = DedupPack.JaccardDfCap * factor))
 
+    // incremental dedup: how much of a new batch the history bloom
+    // clears WITHOUT touching history. Batch = 1/5 of the replicated
+    // corpus; replication makes every batch text a true duplicate of
+    // history (worst case — every row "maybe seen"), so the honest
+    // pair of numbers is this sliver ratio vs the fresh-batch one
+    // where only hash fp-rate routes rows to the exact join.
+    if (only.isEmpty || "increm_dedup".contains(only)) {
+      import graft.functions.Hashing
+      val d = renamed.select(col("doc_id"), Hashing.h32(col("text")).as("h"))
+      val hist = d.filter(col("doc_id") % 5 =!= 0)
+      val dupBatch = d.filter(col("doc_id") % 5 === 0)
+      val bf = hist.stat.bloomFilter(col("h").cast("long"), n, 0.01)
+      val probe = graft.plans.BloomMightContainLong.probe(col("h"), bf)
+      val dupSliver = dupBatch.filter(probe).count()
+      // fresh batch: texts history has never seen (salted rewrite)
+      val freshBatch = renamed.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          Hashing.h32(concat(lit("fresh#"), col("text"))).as("h"))
+      val freshSliver = freshBatch.filter(
+        graft.plans.BloomMightContainLong.probe(col("h"), bf)).count()
+      println(f"[stress] x$factor%-3d increm_dedup sliver       " +
+        f"dup-batch ${dupSliver * 100.0 / dupBatch.count()}%6.2f%%  " +
+        f"fresh-batch ${freshSliver * 100.0 / freshBatch.count()}%6.2f%%")
+      time("increm_dedup_bloom",
+        graft.operators.RuntimeFilter.bloomPrunedAntiJoin(
+          dupBatch, col("h"), hist, col("h"), expectedKeys = n))
+      time("increm_dedup_plain",
+        dupBatch.join(hist.select(col("h").as("hh")),
+          col("h") === col("hh"), "left_anti"))
+    }
+
     // passage dedup: replication multiplies every passage's copy
     // count by factor; the min-struct groupBy forwards one candidate
     // per hash per partition, so wall should track input chunks
