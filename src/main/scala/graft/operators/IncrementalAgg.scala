@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * totals per run, which stops being possible once history outgrows
   * a scan budget.
   *
-  * Exactness contract: additive states must be decomposable (count /
-  * sum / min / max) and float sums must be carried as DECIMAL —
-  * decimal addition is associative and exact, so ANY batch slicing
-  * replays to the bit-identical result of a from-scratch aggregation
-  * (the m_incremental_agg oracle IS the from-scratch form; the
+  * Exactness contract: [[merge]] combines ADDITIVE states (counts,
+  * sums) — min/max states would need a least/greatest combiner, and
+  * avg must be carried as (sum, count), never merged as a ratio.
+  * Float sums are carried as DECIMAL — decimal addition is
+  * associative and exact, so ANY batch slicing replays to the
+  * bit-identical result of a from-scratch aggregation (the
+  * m_incremental_agg oracle IS the from-scratch form; the
   * associativity property is spec-checked over random splits).
   */
 object IncrementalAgg {

@@ -42,6 +42,9 @@ object RangeJoin {
   def bandJoin(points: DataFrame, p: Column, intervals: DataFrame,
                lo: Column, hi: Column, width: Double): DataFrame = {
     require(width > 0, s"bandJoin width must be positive (got $width)")
+    require(!points.columns.contains("__bkt") &&
+      !intervals.columns.contains("__bkt"),
+      "a side already has a __bkt column — rename it first")
     val expanded = intervals.filter(lo < hi).withColumn("__bkt",
       explode(sequence(floor(lo / width).cast("long"),
         floor(hi / width).cast("long"))))

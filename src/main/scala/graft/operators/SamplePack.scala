@@ -185,6 +185,11 @@ object SamplePack extends QueryPack {
     // one unsplittable window over the whole table). The 9-element
     // filter lambda is interpreted but O(9) per row; cuts are
     // Det.dround'd so both engines cut on identical literals.
+    // Exact `percentile` buffers the whole column in ONE agg buffer —
+    // fine here, wrong at 10⁹ rows: at scale swap the cut source for
+    // approx_percentile (same binning expression, approximate cuts;
+    // the q_percentiles/q_percentiles_approx split, which is also
+    // why the exact form keeps the oracle hash-exact at test SF).
     "sp_quantile_bins" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val cuts = d
