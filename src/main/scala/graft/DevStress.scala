@@ -95,11 +95,16 @@ object DevStress {
     // history (worst case — every row "maybe seen"), so the honest
     // pair of numbers is this sliver ratio vs the fresh-batch one
     // where only hash fp-rate routes rows to the exact join.
-    if (only.isEmpty || "increm_dedup".contains(only)) {
+    // guard matches the probe NAMES time() prints, so a copied name
+    // (e.g. `DevStress 20 increm_dedup_bloom`) still selects the block
+    def wants(names: String*): Boolean =
+      only.isEmpty || names.exists(_.contains(only))
+    if (wants("increm_dedup_sliver", "increm_dedup_bloom",
+        "increm_dedup_plain")) {
       import graft.functions.Hashing
-      val d = renamed.select(col("doc_id"), Hashing.h32(col("text")).as("h"))
-      val hist = d.filter(col("doc_id") % 5 =!= 0)
-      val dupBatch = d.filter(col("doc_id") % 5 === 0)
+      // production wiring, not a re-implementation (DedupPack owns
+      // the split rule and key projection)
+      val (hist, dupBatch) = DedupPack.incrementalSlices(renamed)
       val bf = hist.stat.bloomFilter(col("h").cast("long"), n, 0.01)
       val probe = graft.plans.BloomMightContainLong.probe(col("h"), bf)
       val dupSliver = dupBatch.filter(probe).count()
@@ -109,7 +114,7 @@ object DevStress {
           Hashing.h32(concat(lit("fresh#"), col("text"))).as("h"))
       val freshSliver = freshBatch.filter(
         graft.plans.BloomMightContainLong.probe(col("h"), bf)).count()
-      println(f"[stress] x$factor%-3d increm_dedup sliver       " +
+      println(f"[stress] x$factor%-3d increm_dedup_sliver       " +
         f"dup-batch ${dupSliver * 100.0 / dupBatch.count()}%6.2f%%  " +
         f"fresh-batch ${freshSliver * 100.0 / freshBatch.count()}%6.2f%%")
       time("increm_dedup_bloom",
@@ -214,7 +219,12 @@ object DevStress {
     // shuffle partitions, AQE-coalesced further) — at ×20 the single
     // hot task grinds for upwards of half an hour, which is the
     // pathology itself, measured the expensive way.
-    if (only.isEmpty || "semdedup".contains(only)) {
+    // factor-guarded in the DEFAULT sweep: the fixed-k side at ×20 is
+    // the 30-minute hot task described above — only an explicit
+    // `semdedup` filter opts into running it at a large factor
+    if ((only.isEmpty && factor <= 5) ||
+        (only.nonEmpty && Seq("semdedup_pairs_fixed_k",
+          "semdedup_pairs_scaled_k").exists(_.contains(only)))) {
       import graft.operators.KMeans
       // BLOCK id layout (vec_id + rep·N), not the interleaved one:
       // interleaving would make ids 0..k·factor−1 copies of the first

@@ -227,14 +227,20 @@ object DedupPack extends QueryPack {
     // 32-bit content hash (production widens to 128-bit; the
     // operator is key-width-agnostic).
     "ds_incremental_dedup" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .select(col("doc_id"), Hashing.h32(col("text")).as("h"))
-      RuntimeFilter.bloomPrunedAntiJoin(
-        batch = d.filter(col("doc_id") % 5 === 0), batchKey = col("h"),
-        history = d.filter(col("doc_id") % 5 =!= 0), histKey = col("h"),
+      val (history, batch) = incrementalSlices(Tables.documents(s, dir))
+      RuntimeFilter.bloomPrunedAntiJoin(batch, col("h"), history, col("h"),
         expectedKeys = 100000L)
     }),
   )
+
+  /** The ds_incremental_dedup corpus split over any documents frame:
+    * (history, batch) as content-hash projections — batch plays the
+    * newly-ingested snapshot. Factored out so [[graft.DevStress]]
+    * probes the production wiring, not a re-implementation. */
+  def incrementalSlices(docs: DataFrame): (DataFrame, DataFrame) = {
+    val d = docs.select(col("doc_id"), Hashing.h32(col("text")).as("h"))
+    (d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0))
+  }
 
   /** The ds_decontaminate body over any (doc_id, toks) frame:
     * `evalPred` rows play the held-out benchmark; their distinct

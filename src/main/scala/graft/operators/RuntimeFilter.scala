@@ -65,7 +65,12 @@ object RuntimeFilter {
     require(!batch.columns.contains("__rf_key"),
       "batch side already has a __rf_key column — rename it first")
     val bf = history.stat.bloomFilter(histKey.cast("long"), expectedKeys, fpp)
-    val probe = graft.plans.BloomMightContainLong.probe(batchKey, bf)
+    // null-key rows: the probe evaluates to NULL (null-intolerant
+    // expression), but a plain left_anti KEEPS them (null equals no
+    // history key) — coalesce routes them to the definitely-new
+    // branch so the row-identical contract holds
+    val probe = coalesce(
+      graft.plans.BloomMightContainLong.probe(batchKey, bf), lit(false))
     val hist = history.select(histKey.cast("long").as("__rf_key"))
     batch.filter(!probe)
       .unionByName(batch.filter(probe)

@@ -21,9 +21,11 @@ object SamplePack extends QueryPack {
   val PackBudget = 2048
 
   /** sp_time_split cutoff — mid-range of the events fixture's
-    * 2024-01 span at every SF, so both splits are populated. */
-  val TimeSplitCutoff: java.sql.Timestamp =
-    java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    * 2024-01 span at every SF, so both splits are populated. Kept as
+    * a STRING and cast in the session (UTC) timezone —
+    * `Timestamp.valueOf` would parse it in the JVM-default zone and
+    * silently shift the split boundary on non-UTC machines. */
+  val TimeSplitCutoff = "2024-01-20 00:00:00"
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic 10% Bernoulli sample: scan-stage codegen'd
@@ -127,7 +129,8 @@ object SamplePack extends QueryPack {
     "sp_time_split" -> ((s, dir) =>
       Tables.events(s, dir)
         .withColumn("split",
-          when(col("ts") < lit(TimeSplitCutoff), "train").otherwise("eval"))
+          when(col("ts") < lit(TimeSplitCutoff).cast("timestamp"), "train")
+            .otherwise("eval"))
         .groupBy("split", "event_type")
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"),

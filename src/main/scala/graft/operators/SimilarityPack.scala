@@ -323,24 +323,10 @@ object SimilarityPack extends QueryPack {
       val cents = pqCodebooks(vq)
       val codes = vq.select(col("vec_id") +: pqCodeCols(cents): _*)
       val q = vq.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id") +:
-          cents.zipWithIndex.map { case (c, m) =>
-            KMeans.scores(
-              slice(col("vq"), m * PqSubDim + 1, PqSubDim), c).as(s"s$m")
-          }: _*)
-      val scored = codes.crossJoin(broadcast(q))
+        .select(col("vec_id").as("query_id") +: pqLutCols(cents): _*)
+      adcTop2(codes.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          (col("s0")(col("c0")) + col("s1")(col("c1"))
-            + col("s2")(col("c2")) + col("s3")(col("c3"))).as("score"))
-      val top = graft.plans.TopKPerKey.topKPerKey(scored,
-        keys = Seq(col("query_id")),
-        order = Seq(col("score").desc, col("vec_id").asc), k = 2)
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("vec_id"))
-      top.withColumn("rank", row_number().over(w).cast("long"))
-        .select(col("query_id"), col("rank"), col("vec_id"),
-          graft.Det.dround(col("score"), 6).as("score"))
+        .select(col("query_id"), col("vec_id"), adcScore.as("score")))
     }),
 
     // IVF-PQ — the standard production composition (FAISS's default
@@ -362,23 +348,10 @@ object SimilarityPack extends QueryPack {
       val q = base.filter(col("vec_id") < 10)
         .select(Seq(col("vec_id").as("query_id"),
           Similarity.ivfAssign(col("embedding")).as("centroid")) ++
-          cents.zipWithIndex.map { case (c, m) =>
-            KMeans.scores(
-              slice(col("vq"), m * PqSubDim + 1, PqSubDim), c).as(s"s$m")
-          }: _*)
-      val scored = index.join(broadcast(q), Seq("centroid"))
+          pqLutCols(cents): _*)
+      adcTop2(index.join(broadcast(q), Seq("centroid"))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          (col("s0")(col("c0")) + col("s1")(col("c1"))
-            + col("s2")(col("c2")) + col("s3")(col("c3"))).as("score"))
-      val top = graft.plans.TopKPerKey.topKPerKey(scored,
-        keys = Seq(col("query_id")),
-        order = Seq(col("score").desc, col("vec_id").asc), k = 2)
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("vec_id"))
-      top.withColumn("rank", row_number().over(w).cast("long"))
-        .select(col("query_id"), col("rank"), col("vec_id"),
-          graft.Det.dround(col("score"), 6).as("score"))
+        .select(col("query_id"), col("vec_id"), adcScore.as("score")))
     })
   )
 
@@ -418,6 +391,33 @@ object SimilarityPack extends QueryPack {
       KMeans.assign(KMeans.scores(
         slice(col("vq"), m * PqSubDim + 1, PqSubDim), c)).as(s"c$m")
     }
+
+  /** Query-side ADC lookup tables s0..s3: each block's sub-vector
+    * scored against that block's full codebook, ONCE per query. */
+  private def pqLutCols(cents: Seq[Seq[Array[Double]]]): Seq[Column] =
+    cents.zipWithIndex.map { case (c, m) =>
+      KMeans.scores(slice(col("vq"), m * PqSubDim + 1, PqSubDim), c)
+        .as(s"s$m")
+    }
+
+  /** ADC score of a (codes × luts) row: fixed left-to-right add
+    * order — bit-identical to the oracle's l0+l1+l2+l3 join chain. */
+  private def adcScore: Column =
+    col("s0")(col("c0")) + col("s1")(col("c1")) +
+      col("s2")(col("c2")) + col("s3")(col("c3"))
+
+  /** Top-2-per-query tail shared by the ADC searches: native
+    * bounded-heap selection, rank labels, dround'd score. */
+  private def adcTop2(scored: DataFrame): DataFrame = {
+    val top = graft.plans.TopKPerKey.topKPerKey(scored,
+      keys = Seq(col("query_id")),
+      order = Seq(col("score").desc, col("vec_id").asc), k = 2)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        graft.Det.dround(col("score"), 6).as("score"))
+  }
 
   /** Deduped (query_id, vec_id) candidates of a query-side bucket
     * probe frame against the corpus bucket index. */
@@ -502,6 +502,14 @@ object SimilarityPack extends QueryPack {
       val hi = (m + 1) * PqSubDim
       KMeans.sqlTrainCtes(s"b$m", 2, s"embedding[$lo:$hi]")
     }.mkString(",\n")
+
+  /** The PQ code table as a CTE: the four per-block assignments
+    * joined on id (shared by all three PQ oracles). */
+  private lazy val pqCodesCteSql: String =
+    """codes AS (SELECT a0.vec_id, a0.cluster AS c0, a1.cluster AS c1,
+      |       a2.cluster AS c2, a3m.cluster AS c3
+      |  FROM b0a3 a0 JOIN b1a3 a1 USING (vec_id)
+      |       JOIN b2a3 a2 USING (vec_id) JOIN b3a3 a3m USING (vec_id))""".stripMargin
 
   /** Per-query ADC lookup tables: each block's query sub-vectors
     * scored against its trained centroids (`b{m}c2`). */
@@ -633,21 +641,16 @@ object SimilarityPack extends QueryPack {
     // four prefixed sub-block trainings (b0..b3 over embedding
     // slices); codes = the four per-block assignments joined on id
     "sim_pq_codes" ->
-      s"""WITH $pqTrainAllSql
-         |SELECT a0.vec_id, a0.cluster AS c0, a1.cluster AS c1,
-         |       a2.cluster AS c2, a3m.cluster AS c3
-         |FROM b0a3 a0 JOIN b1a3 a1 USING (vec_id)
-         |     JOIN b2a3 a2 USING (vec_id) JOIN b3a3 a3m USING (vec_id)""".stripMargin,
+      s"""WITH $pqTrainAllSql,
+         |$pqCodesCteSql
+         |SELECT vec_id, c0, c1, c2, c3 FROM codes""".stripMargin,
 
     // same trainings; per-query LUT against each block's trained
     // centroids (b{m}c2), then the ADC score as the fixed-order
     // l0+l1+l2+l3 join chain
     "sim_pq_topk" ->
       s"""WITH $pqTrainAllSql,
-         |codes AS (SELECT a0.vec_id, a0.cluster AS c0, a1.cluster AS c1,
-         |       a2.cluster AS c2, a3m.cluster AS c3
-         |  FROM b0a3 a0 JOIN b1a3 a1 USING (vec_id)
-         |       JOIN b2a3 a2 USING (vec_id) JOIN b3a3 a3m USING (vec_id)),
+         |$pqCodesCteSql,
          |$pqLutSql,
          |scored AS (SELECT l0.query_id, v.vec_id,
          |    l0.s + l1.s + l2.s + l3.s AS score
@@ -696,10 +699,7 @@ object SimilarityPack extends QueryPack {
     "sim_ivfpq_topk" ->
       s"""WITH $ivfCte,
          |$pqTrainAllSql,
-         |codes AS (SELECT a0.vec_id, a0.cluster AS c0, a1.cluster AS c1,
-         |       a2.cluster AS c2, a3m.cluster AS c3
-         |  FROM b0a3 a0 JOIN b1a3 a1 USING (vec_id)
-         |       JOIN b2a3 a2 USING (vec_id) JOIN b3a3 a3m USING (vec_id)),
+         |$pqCodesCteSql,
          |$pqLutSql,
          |cand AS (SELECT q.vec_id AS query_id, v.vec_id
          |         FROM assign q JOIN assign v

@@ -33,10 +33,15 @@ class ArgmaxUnionSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     assert(!plan.contains("Window"), s"argmax planned a window:\n$plan")
-    // struct buffers ride SortAggregate, but the partial phase must
-    // sit BEFORE the exchange so only per-key candidates shuffle
-    assert(plan.contains("partial_max") || plan.contains("partial_"),
-      s"no map-side partial aggregation in:\n$plan")
+    // struct buffers ride SortAggregate, but the partial MAX phase
+    // must sit BEFORE the exchange so only per-key candidates
+    // shuffle. In the printed tree children follow parents, so
+    // "below the Exchange line" == upstream of the shuffle.
+    val pm = plan.indexOf("partial_max")
+    val ex = plan.indexOf("Exchange")
+    assert(pm >= 0, s"no partial max aggregation in:\n$plan")
+    assert(ex >= 0 && pm > ex,
+      s"partial_max not upstream of the exchange:\n$plan")
   }
 
   test("unionByName fills missing columns by NAME, not position") {

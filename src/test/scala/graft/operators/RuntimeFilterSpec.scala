@@ -77,6 +77,13 @@ class RuntimeFilterSpec extends SparkSpec {
         expectedKeys = 100L)
       .as[Long].collect().toSet
     assert(got == Set(1L, 3L))
+    // null batch keys: plain left_anti KEEPS them (null equals no
+    // history key) — the probe's null must not drop the row
+    val b3 = Seq(Some(1L), None, Some(2L)).toDF("k")
+    val got3 = RuntimeFilter.bloomPrunedAntiJoin(b3, col("k"), h2,
+        col("k2"), expectedKeys = 100L)
+      .as[Option[Long]].collect().toSet
+    assert(got3 == Set(Some(1L), None), s"null key mishandled: $got3")
   }
 
   test("BloomMightContainLong: codegen and interpreted eval agree; FP-only") {
