@@ -41,7 +41,9 @@ object SimilarityPack extends QueryPack {
 
   /** (vec_id, band, bucket) LSH bucket assignments of an embedding
     * frame — scan stage, zero shuffle. Public so DevStress probes the
-    * exact production stage, not a re-implementation. */
+    * exact production stage, not a re-implementation. Null embeddings
+    * drop here (explode of a null band array emits no rows); the
+    * planesCte oracle mirrors that with an IS NOT NULL filter. */
   def bucketize(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
         explode(Similarity.lshBands(col("embedding"))).as("bb"))
@@ -117,14 +119,20 @@ object SimilarityPack extends QueryPack {
     // IVF coarse-quantizer assignment: nearest deterministic centroid
     // (argmax of 2·v·c − ||c||²). The probe side of an IVF search is
     // then an equi-join on this id — same plan shape as sim_ann_pairs.
+    // Null embeddings are excluded per the KMeans.quantize contract
+    // (the ivfCte oracle mirrors the filter; without it a null row
+    // would get ivfAssign's -1 sentinel here but centroid 0 there).
     "sim_ivf_assign" -> ((s, dir) =>
-      emb(s, dir).select(col("vec_id"),
-        Similarity.ivfAssign(col("embedding")).as("centroid"))),
+      emb(s, dir).filter(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          Similarity.ivfAssign(col("embedding")).as("centroid"))),
 
     // IVF search: probe = equi-join on the assigned centroid, exact
-    // cosine re-rank within the list, top-2 per query.
+    // cosine re-rank within the list, top-2 per query. Same null
+    // exclusion as sim_ivf_assign.
     "sim_ivf_topk" -> ((s, dir) => {
-      val assigned = emb(s, dir).select(col("vec_id"), col("embedding"),
+      val assigned = emb(s, dir).filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm"),
         Similarity.ivfAssign(col("embedding")).as("centroid"))
       val q = assigned.filter(col("vec_id") < 10)
@@ -144,12 +152,9 @@ object SimilarityPack extends QueryPack {
     }),
 
     // Deterministic random-hyperplane LSH buckets per vector: one row
-    // per band (2 bands × 12 planes = 4096 buckets each).
-    "sim_lsh_buckets" -> ((s, dir) =>
-      emb(s, dir).select(col("vec_id"),
-          explode(Similarity.lshBands(col("embedding"))).as("bb"))
-        .select(col("vec_id"), col("bb.band").as("band"),
-          col("bb.bucket").as("bucket"))),
+    // per band (2 bands × 12 planes = 4096 buckets each) — the exact
+    // production [[bucketize]] stage, not a re-implementation.
+    "sim_lsh_buckets" -> ((s, dir) => bucketize(emb(s, dir))),
 
     // ANN near-pairs: candidates = same bucket in ANY band (union of
     // per-band equi-joins via the exploded (band, bucket) key), then
@@ -468,7 +473,8 @@ object SimilarityPack extends QueryPack {
       |dots AS (SELECT e.vec_id, p.j,
       |    list_reduce(list_transform(e.embedding,
       |      (x, i) -> CAST(x AS DOUBLE) * p.warr[i]), (a, b) -> a + b) AS dot
-      |  FROM embeddings e CROSS JOIN parr p),
+      |  FROM embeddings e CROSS JOIN parr p
+      |  WHERE e.embedding IS NOT NULL),
       |buckets AS (SELECT vec_id, j // ${Similarity.PlanesPerBand} AS band,
       |    CAST(sum(CASE WHEN dot > 0
       |             THEN 1::BIGINT << (j % ${Similarity.PlanesPerBand})
@@ -487,7 +493,8 @@ object SimilarityPack extends QueryPack {
       |iscores AS (SELECT e.vec_id, c.j,
       |    2.0 * list_reduce(list_transform(e.embedding,
       |      (x, i) -> CAST(x AS DOUBLE) * c.warr[i]), (a, b) -> a + b) - c.c2 AS score
-      |  FROM embeddings e CROSS JOIN carr c),
+      |  FROM embeddings e CROSS JOIN carr c
+      |  WHERE e.embedding IS NOT NULL),
       |iranked AS (SELECT vec_id, j,
       |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, j) AS rn
       |  FROM iscores),
