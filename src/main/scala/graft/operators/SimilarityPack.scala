@@ -42,10 +42,12 @@ object SimilarityPack extends QueryPack {
   /** (vec_id, band, bucket) LSH bucket assignments of an embedding
     * frame — scan stage, zero shuffle. Public so DevStress probes the
     * exact production stage, not a re-implementation. Null embeddings
-    * drop here (explode of a null band array emits no rows); the
-    * planesCte oracle mirrors that with an IS NOT NULL filter. */
+    * are excluded explicitly — lshBucket's per-plane when/otherwise
+    * would otherwise map them all to bucket 0 (a degenerate mega-
+    * bucket); the planesCte oracle carries the same IS NOT NULL. */
   def bucketize(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"),
+    embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
         explode(Similarity.lshBands(col("embedding"))).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))

@@ -105,10 +105,15 @@ object ChainAbuse {
   }
 
   /** Edges → one typed report row per node, keyed by node.id
-    * (chainabuse/main.py:82-89 upserts the raw edge verbatim). */
-  def reports(good: DataFrame): DataFrame =
-    good.select(explode(col("resp.data.reports.edges")).as("edge"))
-      .select(col("edge.cursor").as("cursor"), col("edge.node").as("node"))
+    * (chainabuse/main.py:82-89 upserts the raw edge verbatim).
+    * `passthrough` columns of the page row (e.g. `batch_id`) ride
+    * along unchanged — the one edge-flattening projection serves both
+    * the single-page and the multi-batch callers. */
+  def reports(good: DataFrame, passthrough: Seq[String] = Nil): DataFrame =
+    good.select((passthrough.map(col) :+
+        explode(col("resp.data.reports.edges")).as("edge")): _*)
+      .select((passthrough.map(col) :+ col("edge.cursor").as("cursor") :+
+        col("edge.node").as("node")): _*)
 
   /** M3: last-writer-wins upsert by node.id across batches — the
     * reference's idempotent re-read safety (main.py:56,107-109). Uses
@@ -160,7 +165,13 @@ object ChainAbuse {
                 concat(lit("alt_"), col("user_id")).as("address"),
                 lit("ETH").as("chain"))).as("addresses")).as("node")).as("edge"))
       .groupBy(col("batch_id"))
-      .agg(collect_list(col("edge")).as("edges"), count(lit(1)).as("cnt"))
+      // array_sort on the collected edges (cursor is a zero-padded
+      // sortable key, the struct's first field) — collect_list alone
+      // orders by task arrival, and the page BODY must be a
+      // deterministic string for replay/diffing (same defense as
+      // BitcoinAbuse.syntheticDetailPages)
+      .agg(array_sort(collect_list(col("edge"))).as("edges"),
+        count(lit(1)).as("cnt"))
       .select(col("batch_id"),
         date_format(col("batch_id"), "yyyy-MM-dd").as("fetched_at"),
         to_json(struct(
@@ -179,10 +190,6 @@ object ChainAbuse {
     * address labels. Mirrors chainabuse/main.py:56-109 end to end. */
   def endToEnd(pages: DataFrame): DataFrame = {
     val (good, _) = parseResponses(pages)
-    val reps = good.select(col("batch_id"),
-        explode(col("resp.data.reports.edges")).as("edge"))
-      .select(col("batch_id"), col("edge.cursor").as("cursor"),
-        col("edge.node").as("node"))
-    addressLabels(upsertById(reps))
+    addressLabels(upsertById(reports(good, passthrough = Seq("batch_id"))))
   }
 }

@@ -82,12 +82,16 @@ object WalletExplorer {
         concat(lit("<li><a href=\"/wallet/"),
           regexp_replace(col("p_type"), " ", "_"),
           lit("\">x</a></li>")).as("link"))
-      .distinct()
+      // no pre-distinct: collect_set below already dedups links
+      // within each btype group — a separate distinct() is one full
+      // extra shuffle for the same result
       .groupBy("btype")
       .agg(concat_ws("", array_sort(collect_set(col("link")))).as("ls"))
       .select(concat(lit("<td><h3>"), col("btype"), lit(":</h3><ul>"),
         col("ls"), lit("</ul></td>")).as("cell"))
-      .agg(concat_ws("", collect_list(col("cell"))).as("cells"))
+      // sorted cells: collect_list alone orders by task arrival and
+      // the homepage BODY must be byte-deterministic across runs
+      .agg(concat_ws("", array_sort(collect_list(col("cell")))).as("cells"))
       .select(concat(lit("<html><body><table><tbody><tr>"), col("cells"),
         lit("</tr></tbody></table></body></html>")).as("body"))
 

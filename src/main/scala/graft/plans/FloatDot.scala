@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Codegen'd dot product of two array<float> columns, accumulated in
   * double with a strict left-to-right fold — bit-identical to the
@@ -32,6 +33,23 @@ case class FloatDot(left: Expression, right: Expression)
   // NULL on ragged/null-element input even when both inputs are
   // non-null arrays
   override def nullable: Boolean = true
+
+  // Reject non-array<float> inputs at analysis time: the eval path
+  // reads raw 4-byte slots (ArrayData.getFloat), so e.g. an
+  // array<double> column would otherwise pass analysis and produce
+  // silently-wrong numbers. Matters for the SQL-exposed `graft_dot`,
+  // whose arguments are user-typed.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = Seq(left, right).map(_.dataType).exists {
+      case ArrayType(FloatType, _) => false
+      case _ => true
+    }
+    if (bad)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_dot requires two array<float> arguments, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
     case ArrayType(_, containsNull) => containsNull

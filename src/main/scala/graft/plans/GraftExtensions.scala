@@ -56,6 +56,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        // arity error here (wrong count would otherwise be a raw
+        // IndexOutOfBounds or silently-ignored extras); the
+        // array<float> type contract is enforced by FloatDot's own
+        // checkInputDataTypes at analysis
+        require(exprs.length == 2,
+          s"graft_dot requires exactly 2 arguments, got ${exprs.length}")
+        FloatDot(exprs(0), exprs(1))
+      }))
   }
 }

@@ -65,6 +65,10 @@ object Multimodal {
     * to (doc_id, frame_no) — narrow flatMap, no shuffle. */
   def sampleFrames(meta: Dataset[MediaMeta], step: Int)(implicit s: SparkSession): DataFrame = {
     import s.implicits._
+    // fail at the call site: step=0 would throw per-row inside the
+    // executor flatMap, and a negative step silently yields an empty
+    // frame table
+    require(step > 0, s"sampleFrames step must be positive, got $step")
     meta.filter(_.mime == "video/mp4")
       .flatMap(m => (0 until m.n_frames by step).map(f => (m.doc_id, f)))
       .toDF("doc_id", "frame_no")

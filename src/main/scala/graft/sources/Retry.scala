@@ -1,6 +1,7 @@
 package graft.sources
 
 import scala.annotation.tailrec
+import scala.util.control.NonFatal
 
 /** I3: retry with linear backoff — the reference's `lastSleep +=
   * defaultLastSleep; goto RETRY` loops (bitcoinabuse/main.go:29-41,
@@ -24,7 +25,9 @@ object Retry {
                           (f: () => T): T = {
     @tailrec
     def go(attempt: Int): T = {
-      val r = try Right(f()) catch { case e: Exception => Left(e) }
+      // NonFatal only: an InterruptedException (connector shutdown)
+      // must propagate immediately, not burn the backoff schedule
+      val r = try Right(f()) catch { case NonFatal(e) => Left(e) }
       r match {
         case Right(v) => v
         case Left(e) if attempt >= policy.maxAttempts => throw e

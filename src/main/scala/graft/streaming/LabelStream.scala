@@ -13,12 +13,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * upsert becomes a `foreachBatch` merge.
   *
   * Sink pattern (no table format with row-level merge is in scope, so
-  * no Delta/Iceberg): bronze is APPEND-ONLY parquet — the only write
-  * mode that is safe and scalable on plain parquet — and the gold
-  * view is merge-on-read: latest-record-per-key via window, exactly
-  * the reference's upsert-by-id semantics (chainabuse/main.py:83-89).
-  * Restart safety = idempotent upsert + checkpointed offsets, which
-  * is strictly stronger than the reference (its cursor was in-memory
+  * no Delta/Iceberg): bronze is append-only at the TABLE level, but
+  * each micro-batch owns an `ingest_batch=<id>` directory written
+  * with overwrite — a replayed batch rewrites its own directory
+  * instead of appending duplicates. The gold view is merge-on-read:
+  * latest-record-per-key via window, exactly the reference's
+  * upsert-by-id semantics (chainabuse/main.py:83-89). Restart safety
+  * = idempotent per-batch writes + checkpointed offsets, which is
+  * strictly stronger than the reference (its cursor was in-memory
   * only, chainabuse/main.py:107-109).
   */
 object LabelStream {
@@ -49,6 +51,13 @@ object LabelStream {
     * event day, so incremental consumers (the reference's delta
     * re-scan I1, bitcoinabuse/main.go:175-182) read only new
     * partitions — partition pruning does the page-range bookkeeping.
+    *
+    * Each micro-batch lands in its own `ingest_batch=<id>` directory
+    * with overwrite mode: a batch whose write succeeded but whose
+    * checkpoint commit didn't is simply rewritten on restart instead
+    * of appended twice — foreachBatch replays are idempotent on plain
+    * parquet. `day` stays a partition column below it, so I1 pruning
+    * is unchanged.
     */
   def startIngest(source: DataFrame, bronzePath: String,
                   checkpoint: String): StreamingQuery =
@@ -56,9 +65,10 @@ object LabelStream {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.withColumn("day", to_date(col("ts")))
-          .write.mode("append").partitionBy("day").parquet(bronzePath)
+          .write.mode("overwrite").partitionBy("day")
+          .parquet(s"$bronzePath/ingest_batch=$batchId")
       }
       .start()
 
