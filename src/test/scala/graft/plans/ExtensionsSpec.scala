@@ -65,4 +65,20 @@ class ExtensionsSpec extends SparkSpec {
       .as[Double].head()
     assert(got == 11.0)
   }
+
+  test("graft_dot rejects wrong arity and non-array<float> types at analysis") {
+    // wrong arity: a clear builder error, not IndexOutOfBounds or
+    // silently-ignored extras
+    val one = intercept[Exception] {
+      spark.sql("SELECT graft_dot(CAST(array(1.0) AS ARRAY<FLOAT>))").collect()
+    }
+    assert(one.getMessage.contains("exactly 2 arguments"), one.getMessage)
+    // array<double> must fail analysis — the eval path reads raw
+    // 4-byte float slots, so letting it through would be silently
+    // wrong numbers, not an error
+    val dbl = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0, 2.0), array(3.0, 4.0))").collect()
+    }
+    assert(dbl.getMessage.contains("array<float>"), dbl.getMessage)
+  }
 }

@@ -20,6 +20,17 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) == Seq(t, 0f, t, 0f, 0f, 0f, 0f, t))
   }
 
+  test("sampleFrames: non-positive step fails at the call site") {
+    val meta = Seq(Multimodal.MediaMeta(1L, "video/mp4", 10, 0, 0, 30)).toDS()
+    val zero = intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(meta, 0)
+    }
+    assert(zero.getMessage.contains("step must be positive"))
+    intercept[IllegalArgumentException] { Multimodal.sampleFrames(meta, -2) }
+    // positive step still works
+    assert(Multimodal.sampleFrames(meta, 10).count() == 3)
+  }
+
   test("resizePlan: downscale-only, aspect kept, min-1 clamp, images only") {
     val meta = Seq(
       Multimodal.MediaMeta(1L, "image/png", 10, 640, 120, 1),  // wide

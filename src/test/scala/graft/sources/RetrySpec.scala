@@ -24,4 +24,16 @@ class RetrySpec extends AnyFunSuite {
     }
     assert(calls == 3 && e.getMessage == "fail 3")
   }
+
+  test("thread interrupt propagates immediately, no retry") {
+    var calls = 0
+    var slept = false
+    intercept[InterruptedException] {
+      Retry.withLinearBackoff(Retry.Backoff(1, 5), _ => slept = true) { () =>
+        calls += 1; throw new InterruptedException("shutdown")
+      }
+    }
+    assert(calls == 1, "interrupt must abort, not burn the backoff schedule")
+    assert(!slept, "interrupt must not sleep before propagating")
+  }
 }

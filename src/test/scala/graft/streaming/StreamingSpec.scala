@@ -175,6 +175,13 @@ class StreamingSpec extends SparkSpec {
     val bronzeRows = spark.read.parquet(bronze)
     assert(bronzeRows.count() == 2, "duplicate (user,type) within watermark must be dropped")
 
+    // idempotency layout: each micro-batch owns an ingest_batch=<id>
+    // directory (overwrite on replay), with day partitions below it
+    val batchDirs = new java.io.File(bronze).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(batchDirs.exists(_.startsWith("ingest_batch=")),
+      s"bronze must be laid out per micro-batch, got $batchDirs")
+
     // a key re-seen while still in dedup state is dropped (the 12 h
     // TTL semantics), even across a checkpointed restart
     ms.addData((ts("2024-01-01 12:00:00"), 1L, "click", 150L, 5.0))
