@@ -91,7 +91,10 @@ object LabelStream {
                keys: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("ts").desc, col("event_id").desc)
+    // ingest_batch is sink plumbing (idempotent-replay bookkeeping),
+    // not part of the gold schema; day stays — it's semantic
     spark.read.parquet(bronzePath)
+      .drop("ingest_batch")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

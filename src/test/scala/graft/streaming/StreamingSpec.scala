@@ -204,8 +204,10 @@ class StreamingSpec extends SparkSpec {
         .as[(Timestamp, Long, String, Long, Double)].collect()
         .map(r => (r._2, r._3) -> r._4).toMap
 
-    val gold = latestByKey(
-      LabelStream.goldView(spark, bronze, Seq("user_id", "event_type")))
+    val goldDf = LabelStream.goldView(spark, bronze, Seq("user_id", "event_type"))
+    assert(!goldDf.columns.contains("ingest_batch"),
+      "sink plumbing must not leak into the gold schema")
+    val gold = latestByKey(goldDf)
     assert(gold((1L, "click")) == 200L, "gold must expose latest record per key")
     assert(gold((2L, "view")) == 102L)
 
