@@ -208,6 +208,19 @@ object DedupPack extends QueryPack {
     "ds_chunk_dedup" -> ((s, dir) =>
       chunkDedup(Tables.documents(s, dir), ChunkW)),
 
+    // Duplicated-SUBSTRING coverage (the ExactSubstr form of Lee et
+    // al., "Deduplicating Training Data Makes Language Models
+    // Better", ACL 2022 — approximated with fixed k-gram seeds
+    // instead of a suffix array): per doc, how many tokens sit
+    // inside ANY k-gram that occurs ≥ 2 times corpus-wide (same doc
+    // or another). Arbitrary span boundaries, unlike ds_chunk_dedup's
+    // fixed windows. One shuffle on the 8-byte gram hash (partial-agg
+    // df, partitioning reused by the semi-join back); positions
+    // regroup per doc (bounded by doc length), and the interval-union
+    // fold is a per-row array op over sorted starts — integer-exact,
+    // so it replays in SQL.
+    "ds_dup_spans" -> ((s, dir) => dupSpans(tokenized(s, dir))),
+
     // Decontamination: flag training docs sharing full 8-token
     // n-grams with the held-out eval slice (doc_id % 50 == 0 plays
     // the benchmark suite). The eval n-gram set is tiny relative to
@@ -312,6 +325,57 @@ object DedupPack extends QueryPack {
             col("w.chunk").as("chunk")))),
           x => x.getField("chunk")), " ").as("dedup_text"),
         count(lit(1)).as("n_kept"))
+
+  /** Seed gram width for ds_dup_spans: spans shorter than this many
+    * tokens are not considered duplication (Lee et al. use 50 BPE
+    * tokens at corpus scale; 8 fits the synthetic doc lengths — the
+    * operator, not the k, is the point). */
+  val SpanGram = 8
+
+  /** Position encoding base for the interval-union fold: state =
+    * covered * 2^20 + prevEnd packs both counters into one BIGINT, so
+    * the fold is a plain integer reduce in BOTH engines (DuckDB
+    * list_reduce has no struct accumulators). Bounds docs at 2^20
+    * tokens — generous (a 1M-token doc is pathological; a production
+    * corpus splits those upstream). */
+  val SpanPosBase = 1L << 20
+
+  /** Per-doc duplicated-substring coverage: (doc_id, n_toks,
+    * dup_toks). Seeds = [[SpanGram]]-token grams occurring ≥ 2 times
+    * corpus-wide; dup_toks = |union of their [pos, pos+k) intervals|,
+    * computed by a fold over the SORTED start positions — interval
+    * ends are monotone at fixed k, so one (covered, prevEnd) pass is
+    * exact. Docs shorter than one gram report dup_toks = 0. */
+  def dupSpans(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        posexplode(Hashing.shingles(col("toks"), SpanGram))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("n_toks"), col("pos").cast("long").as("pos"),
+        Hashing.h32(col("gram")).as("gh"))
+    val dupSeeds = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("gh"))
+    val k = lit(SpanGram.toLong)
+    val base = lit(SpanPosBase)
+    val covered = grams.join(dupSeeds, Seq("gh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"),
+        aggregate(col("ps"), lit(0L),
+          (st, p) => {
+            val prevEnd = st % base
+            val end = p + k
+            // covered*base stays in st - prevEnd; add the newly
+            // covered slice (end - max(p, prevEnd), never negative:
+            // ends are monotone over sorted starts) and roll prevEnd
+            st - prevEnd + (end - greatest(p, prevEnd)) * base + end
+          },
+          st => shiftright(st, 20)).as("dup_toks"))
+    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(covered, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("dup_toks"), lit(0L)).as("dup_toks"))
+  }
 
   /** Max hamming distance for ds_simhash_pairs (3 = the classic
     * near-dup radius; pigeonhole over 4 bytes is valid for ≤ 3 bit
@@ -530,6 +594,27 @@ object DedupPack extends QueryPack {
     // First-occurrence winner via window (method-independent — the
     // engine side uses groupBy+min(struct) for map-side partials;
     // both pick the unique min (doc_id, chunk_idx) per passage).
+    // Interval-union replay: the same packed (covered, prevEnd)
+    // integer fold over sorted starts, seeded by a prepended 0 state
+    // (DuckDB list_reduce uses the first element as the seed).
+    "ds_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |g AS (SELECT doc_id, j AS pos,
+         |        ${Hashing.sqlH32((1 to SpanGram).map(i => s"ts[j+$i]").mkString(" || ' ' || "))} AS gh
+         |      FROM t, UNNEST(generate_series(0, len(ts) - $SpanGram)) AS u(j)),
+         |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+         |hits AS (SELECT doc_id, list_sort(list(pos)) AS ps
+         |         FROM g JOIN dup USING (gh) GROUP BY doc_id),
+         |cov AS (SELECT doc_id,
+         |         list_reduce(list_prepend(0::BIGINT, ps),
+         |           (st, p) -> st - (st % $SpanPosBase)
+         |             + (p + $SpanGram - greatest(p, st % $SpanPosBase)) * $SpanPosBase
+         |             + p + $SpanGram) // $SpanPosBase AS dup_toks
+         |        FROM hits)
+         |SELECT t.doc_id, len(ts)::BIGINT AS n_toks,
+         |       COALESCE(cov.dup_toks, 0::BIGINT) AS dup_toks
+         |FROM t LEFT JOIN cov USING (doc_id)""".stripMargin,
+
     "ds_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
          |           FROM documents WHERE len(string_split(text, ' ')) > 0),

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Duplicated-substring span coverage (ds_dup_spans), pinned on
+  * handcrafted docs where the interval arithmetic is computable by
+  * hand. SpanGram = 8 throughout.
+  */
+class DupSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)]): Map[Long, (Long, Long)] =
+    DedupPack.dupSpans(
+        docs.toDF("doc_id", "text")
+          .select(col("doc_id"), split(col("text"), " ").as("toks")))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("cross-doc duplicate: overlapping gram hits merge into one span") {
+    // 10 shared tokens = three overlapping 8-gram matches at pos
+    // 0,1,2 -> union [0, 10), not 3*8
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val got = run(Seq(
+      (1L, s"$shared x1 x2 x3"),
+      (2L, s"$shared y1 y2 y3")))
+    assert(got(1L) == ((13L, 10L)), s"got $got")
+    assert(got(2L) == ((13L, 10L)))
+  }
+
+  test("disjoint duplicated spans in one doc count separately") {
+    // doc 1 shares its first 8 and last 8 tokens with docs 2/3, with
+    // 4 unique tokens between -> two disjoint [0,8) and [12,20) spans
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val got = run(Seq(
+      (1L, s"$a u1 u2 u3 u4 $b"),
+      (2L, s"$a v1 v2 v3 v4 v5 v6 v7 v8"),
+      (3L, s"w1 w2 w3 w4 w5 w6 w7 w8 $b")))
+    assert(got(1L) == ((20L, 16L)), s"got $got")
+  }
+
+  test("within-doc repetition is duplication too; short docs report 0") {
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val got = run(Seq(
+      (1L, s"$rep m1 m2 $rep"), // same 8-gram at pos 0 and 10
+      (2L, "t1 t2 t3")))         // shorter than one gram
+    assert(got(1L) == ((18L, 16L)), s"got $got")
+    assert(got(2L) == ((3L, 0L)))
+  }
+}
