@@ -89,6 +89,12 @@ object DevStress {
     time("jaccard_pairs",
       DedupPack.jaccardPairs(toks, dfCap = DedupPack.JaccardDfCap * factor))
 
+    // dup spans: replication makes EVERY gram a ≥2-occurrence seed,
+    // so this measures the operator's worst case — 100% semi-join
+    // selectivity and full-length per-doc interval folds. Output is
+    // one row per doc at any factor; wall should track input tokens.
+    time("dup_spans", DedupPack.dupSpans(toks))
+
     // incremental dedup: how much of a new batch the history bloom
     // clears WITHOUT touching history. Batch = 1/5 of the replicated
     // corpus; replication makes every batch text a true duplicate of
