@@ -221,6 +221,14 @@ object DedupPack extends QueryPack {
     // so it replays in SQL.
     "ds_dup_spans" -> ((s, dir) => dupSpans(tokenized(s, dir))),
 
+    // The APPLY step of span dedup (Lee et al. remove all but one
+    // copy): the globally-first occurrence of each duplicated gram
+    // survives; every later occurrence's span is excised and docs
+    // reassemble from surviving tokens — span-granularity
+    // deduplication, the third rung after doc-level (ds_dedup_apply)
+    // and passage-level (ds_chunk_dedup).
+    "ds_dup_spans_apply" -> ((s, dir) => dupSpansApply(tokenized(s, dir))),
+
     // Decontamination: flag training docs sharing full 8-token
     // n-grams with the held-out eval slice (doc_id % 50 == 0 plays
     // the benchmark suite). The eval n-gram set is tiny relative to
@@ -375,6 +383,40 @@ object DedupPack extends QueryPack {
       .join(covered, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_toks"),
         coalesce(col("dup_toks"), lit(0L)).as("dup_toks"))
+  }
+
+  /** Span-dedup APPLIED: excise every duplicated-gram occurrence
+    * except the global first (winner = min (doc_id, pos), encoded as
+    * doc_id·[[SpanPosBase]]+pos so both engines pick the identical
+    * lexicographic minimum), then rebuild each doc from the tokens
+    * outside every losing span. The kept-token scan is O(n·m) per doc
+    * (m = losing spans in that doc) — fine at real doc lengths; a
+    * coverage-bitmap fold is the upgrade if m ever tracks n. Returns
+    * every doc (fully-excised ones keep an empty dedup_text). */
+  def dupSpansApply(docs: DataFrame): DataFrame = {
+    val k = lit(SpanGram.toLong)
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(Hashing.shingles(col("toks"), SpanGram))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        Hashing.h32(col("gram")).as("gh"))
+    val winners = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id") * lit(SpanPosBase) + col("pos")).as("w"))
+      .filter(col("n") >= 2).select(col("gh"), col("w"))
+    val losers = grams.join(winners, Seq("gh"))
+      .filter(col("doc_id") * lit(SpanPosBase) + col("pos") =!= col("w"))
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("ps"))
+    val ps = coalesce(col("ps"), array().cast("array<long>"))
+    val keptToks = transform(
+      filter(sequence(lit(0L), size(col("toks")).cast("long") - 1),
+        i => !exists(ps, p => p <= i && i < p + k)),
+      i => element_at(col("toks"), (i + 1).cast("int")))
+    docs.join(losers, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        array_join(keptToks, " ").as("dedup_text"),
+        size(keptToks).cast("long").as("n_kept"))
   }
 
   /** Max hamming distance for ds_simhash_pairs (3 = the classic
@@ -614,6 +656,32 @@ object DedupPack extends QueryPack {
          |SELECT t.doc_id, len(ts)::BIGINT AS n_toks,
          |       COALESCE(cov.dup_toks, 0::BIGINT) AS dup_toks
          |FROM t LEFT JOIN cov USING (doc_id)""".stripMargin,
+
+    // Winner replay: min(doc_id·base + pos) is the same lexicographic
+    // (doc_id, pos) minimum the engine takes; the kept-token scan is
+    // a NOT EXISTS over losing spans instead of a nested lambda.
+    "ds_dup_spans_apply" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |g AS (SELECT doc_id, j AS pos,
+         |        ${Hashing.sqlH32((1 to SpanGram).map(i => s"ts[j+$i]").mkString(" || ' ' || "))} AS gh
+         |      FROM t, UNNEST(generate_series(0, len(ts) - $SpanGram)) AS u(j)),
+         |w AS (SELECT gh, min(doc_id * $SpanPosBase + pos) AS w
+         |      FROM g GROUP BY gh HAVING count(*) >= 2),
+         |lp AS (SELECT doc_id, pos FROM g JOIN w USING (gh)
+         |       WHERE doc_id * $SpanPosBase + pos <> w),
+         |k0 AS (SELECT t.doc_id, u.i AS i, ts[u.i+1] AS tok
+         |       FROM t, UNNEST(generate_series(0, len(ts) - 1)) AS u(i)),
+         |kx AS (SELECT doc_id, i, tok FROM k0
+         |       WHERE NOT EXISTS (SELECT 1 FROM lp
+         |                         WHERE lp.doc_id = k0.doc_id
+         |                           AND lp.pos <= k0.i
+         |                           AND k0.i < lp.pos + $SpanGram)),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS dedup_text,
+         |               count(*) AS n_kept
+         |        FROM kx GROUP BY doc_id)
+         |SELECT t.doc_id, COALESCE(agg.dedup_text, '') AS dedup_text,
+         |       COALESCE(agg.n_kept, 0::BIGINT) AS n_kept
+         |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     "ds_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts

@@ -40,6 +40,33 @@ class DupSpansSpec extends SparkSpec {
     assert(got(1L) == ((20L, 16L)), s"got $got")
   }
 
+  private def runApply(docs: Seq[(Long, String)]): Map[Long, (String, Long)] =
+    DedupPack.dupSpansApply(
+        docs.toDF("doc_id", "text")
+          .select(col("doc_id"), split(col("text"), " ").as("toks")))
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("apply: global first occurrence survives, later copies are excised") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val got = runApply(Seq(
+      (1L, s"$shared m1 m2"),
+      (2L, s"$shared z1 z2")))
+    assert(got(1L) == ((s"$shared m1 m2", 10L)), s"got $got")
+    assert(got(2L) == (("z1 z2", 2L)))
+  }
+
+  test("apply: within-doc repeat keeps the first copy; identical docs empty out") {
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val ident = (1 to 8).map(i => s"e$i").mkString(" ")
+    val got = runApply(Seq(
+      (1L, s"$rep q1 q2 $rep"),
+      (4L, ident), (5L, ident)))
+    assert(got(1L) == ((s"$rep q1 q2", 10L)), s"got $got")
+    assert(got(4L) == ((ident, 8L)))
+    assert(got(5L) == (("", 0L)), "fully-excised doc stays present with empty text")
+  }
+
   test("within-doc repetition is duplication too; short docs report 0") {
     val rep = (1 to 8).map(i => s"r$i").mkString(" ")
     val got = run(Seq(
