@@ -355,12 +355,7 @@ object DedupPack extends QueryPack {
     * ends are monotone at fixed k, so one (covered, prevEnd) pass is
     * exact. Docs shorter than one gram report dup_toks = 0. */
   def dupSpans(docs: DataFrame): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
-        posexplode(Hashing.shingles(col("toks"), SpanGram))
-          .as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("n_toks"), col("pos").cast("long").as("pos"),
-        Hashing.h32(col("gram")).as("gh"))
+    val grams = spanGrams(docs)
     val dupSeeds = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("gh"))
     val k = lit(SpanGram.toLong)
@@ -385,38 +380,73 @@ object DedupPack extends QueryPack {
         coalesce(col("dup_toks"), lit(0L)).as("dup_toks"))
   }
 
-  /** Span-dedup APPLIED: excise every duplicated-gram occurrence
-    * except the global first (winner = min (doc_id, pos), encoded as
-    * doc_id·[[SpanPosBase]]+pos so both engines pick the identical
-    * lexicographic minimum), then rebuild each doc from the tokens
-    * outside every losing span. The kept-token scan is O(n·m) per doc
-    * (m = losing spans in that doc) — fine at real doc lengths; a
-    * coverage-bitmap fold is the upgrade if m ever tracks n. Returns
-    * every doc (fully-excised ones keep an empty dedup_text). */
-  def dupSpansApply(docs: DataFrame): DataFrame = {
-    val k = lit(SpanGram.toLong)
-    val grams = docs
-      .select(col("doc_id"),
+  /** SQL twin of [[spanGrams]]: the `t` (tokenized docs) and `g`
+    * (gram occurrences) CTEs shared by both span-dedup oracles — one
+    * definition of a seed, spliced into both statements. */
+  private def spanGramCte: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |g AS (SELECT doc_id, j AS pos,
+       |        ${Hashing.sqlH32((1 to SpanGram).map(i => s"ts[j+$i]").mkString(" || ' ' || "))} AS gh
+       |      FROM t, UNNEST(generate_series(0, len(ts) - $SpanGram)) AS u(j))""".stripMargin
+
+  /** (doc_id, pos, gh): one row per [[SpanGram]]-token gram
+    * occurrence — the shared seed frame of both span-dedup steps
+    * (coverage and excision must agree on what a seed is). */
+  private def spanGrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         posexplode(Hashing.shingles(col("toks"), SpanGram))
           .as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         Hashing.h32(col("gram")).as("gh"))
+
+  /** Span-dedup APPLIED: excise every duplicated-gram occurrence
+    * except the global first (winner = min (doc_id, pos), encoded as
+    * doc_id·[[SpanPosBase]]+pos so both engines pick the identical
+    * lexicographic minimum), then rebuild each doc from the surviving
+    * tokens. Winning spans are PROTECTED: a token inside a winning
+    * occurrence is kept even when some other gram's losing span
+    * overlaps it — without that rule, interleaved grams can excise
+    * every copy of a duplicated substring (the winner of gram A
+    * shredded by a losing span of gram B), silently destroying
+    * content. With it, each duplicated gram's text survives intact in
+    * its winner doc. The kept-token scan is O(n·m) per doc (m = that
+    * doc's dup-gram occurrences) — fine at real doc lengths; a
+    * coverage-bitmap fold is the upgrade if m ever tracks n. Returns
+    * every doc (fully-excised ones keep an empty dedup_text). */
+  def dupSpansApply(docs: DataFrame): DataFrame = {
+    val k = lit(SpanGram.toLong)
+    val grams = spanGrams(docs)
     val winners = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("n"),
         min(col("doc_id") * lit(SpanPosBase) + col("pos")).as("w"))
       .filter(col("n") >= 2).select(col("gh"), col("w"))
-    val losers = grams.join(winners, Seq("gh"))
-      .filter(col("doc_id") * lit(SpanPosBase) + col("pos") =!= col("w"))
-      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("ps"))
-    val ps = coalesce(col("ps"), array().cast("array<long>"))
+    val enc = col("doc_id") * lit(SpanPosBase) + col("pos")
+    // one doc-grain regroup carrying both span kinds (collect_list
+    // drops the nulls the when() leaves on the other kind)
+    val spans = grams.join(winners, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(when(enc === col("w"), col("pos"))).as("wps"),
+        collect_list(when(enc =!= col("w"), col("pos"))).as("lps"))
+    val wps = coalesce(col("wps"), array().cast("array<long>"))
+    val lps = coalesce(col("lps"), array().cast("array<long>"))
+    // empty-toks guard: sequence(0, -1) would count DOWN (the
+    // Hashing.shingles gotcha) and element_at(toks, 0) throws
+    val idxs = when(size(col("toks")) > 0,
+        sequence(lit(0L), size(col("toks")).cast("long") - 1))
+      .otherwise(array().cast("array<long>"))
     val keptToks = transform(
-      filter(sequence(lit(0L), size(col("toks")).cast("long") - 1),
-        i => !exists(ps, p => p <= i && i < p + k)),
+      filter(idxs, i =>
+        exists(wps, p => p <= i && i < p + k) ||
+        !exists(lps, p => p <= i && i < p + k)),
       i => element_at(col("toks"), (i + 1).cast("int")))
-    docs.join(losers, Seq("doc_id"), "left_outer")
+    docs.join(spans, Seq("doc_id"), "left_outer")
+      // materialize the O(n·m) scan ONCE — HOF trees are interpreted
+      // and skipped by subexpression elimination, so deriving both
+      // outputs from it directly would run it twice per row
+      .select(col("doc_id"), keptToks.as("kept"))
       .select(col("doc_id"),
-        array_join(keptToks, " ").as("dedup_text"),
-        size(keptToks).cast("long").as("n_kept"))
+        array_join(col("kept"), " ").as("dedup_text"),
+        size(col("kept")).cast("long").as("n_kept"))
   }
 
   /** Max hamming distance for ds_simhash_pairs (3 = the classic
@@ -640,10 +670,7 @@ object DedupPack extends QueryPack {
     // integer fold over sorted starts, seeded by a prepended 0 state
     // (DuckDB list_reduce uses the first element as the seed).
     "ds_dup_spans" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |g AS (SELECT doc_id, j AS pos,
-         |        ${Hashing.sqlH32((1 to SpanGram).map(i => s"ts[j+$i]").mkString(" || ' ' || "))} AS gh
-         |      FROM t, UNNEST(generate_series(0, len(ts) - $SpanGram)) AS u(j)),
+      s"""WITH $spanGramCte,
          |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
          |hits AS (SELECT doc_id, list_sort(list(pos)) AS ps
          |         FROM g JOIN dup USING (gh) GROUP BY doc_id),
@@ -658,24 +685,28 @@ object DedupPack extends QueryPack {
          |FROM t LEFT JOIN cov USING (doc_id)""".stripMargin,
 
     // Winner replay: min(doc_id·base + pos) is the same lexicographic
-    // (doc_id, pos) minimum the engine takes; the kept-token scan is
-    // a NOT EXISTS over losing spans instead of a nested lambda.
+    // (doc_id, pos) minimum the engine takes; kept = inside a WINNING
+    // span (protected) OR outside every LOSING span, via EXISTS /
+    // NOT EXISTS instead of nested lambdas.
     "ds_dup_spans_apply" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |g AS (SELECT doc_id, j AS pos,
-         |        ${Hashing.sqlH32((1 to SpanGram).map(i => s"ts[j+$i]").mkString(" || ' ' || "))} AS gh
-         |      FROM t, UNNEST(generate_series(0, len(ts) - $SpanGram)) AS u(j)),
+      s"""WITH $spanGramCte,
          |w AS (SELECT gh, min(doc_id * $SpanPosBase + pos) AS w
          |      FROM g GROUP BY gh HAVING count(*) >= 2),
-         |lp AS (SELECT doc_id, pos FROM g JOIN w USING (gh)
-         |       WHERE doc_id * $SpanPosBase + pos <> w),
+         |occ AS (SELECT doc_id, pos,
+         |          (doc_id * $SpanPosBase + pos = w) AS is_win
+         |        FROM g JOIN w USING (gh)),
          |k0 AS (SELECT t.doc_id, u.i AS i, ts[u.i+1] AS tok
          |       FROM t, UNNEST(generate_series(0, len(ts) - 1)) AS u(i)),
          |kx AS (SELECT doc_id, i, tok FROM k0
-         |       WHERE NOT EXISTS (SELECT 1 FROM lp
-         |                         WHERE lp.doc_id = k0.doc_id
-         |                           AND lp.pos <= k0.i
-         |                           AND k0.i < lp.pos + $SpanGram)),
+         |       WHERE EXISTS (SELECT 1 FROM occ
+         |                     WHERE occ.doc_id = k0.doc_id AND occ.is_win
+         |                       AND occ.pos <= k0.i
+         |                       AND k0.i < occ.pos + $SpanGram)
+         |          OR NOT EXISTS (SELECT 1 FROM occ
+         |                         WHERE occ.doc_id = k0.doc_id
+         |                           AND NOT occ.is_win
+         |                           AND occ.pos <= k0.i
+         |                           AND k0.i < occ.pos + $SpanGram)),
          |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS dedup_text,
          |               count(*) AS n_kept
          |        FROM kx GROUP BY doc_id)

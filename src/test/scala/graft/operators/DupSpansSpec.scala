@@ -67,6 +67,37 @@ class DupSpansSpec extends SparkSpec {
     assert(got(5L) == (("", 0L)), "fully-excised doc stays present with empty text")
   }
 
+  test("apply: winning spans are protected from other grams' excisions") {
+    // gram A1..A8: winner (1,0), loser (2,1); gram X A1..A7: winner
+    // (2,0), loser (3,0). Without protection, doc2's losing span
+    // [1,9) would shred the WINNING occurrence of 'X A1..A7' and the
+    // content would survive nowhere.
+    val a = (1 to 8).map(i => s"A$i").mkString(" ")
+    val a7 = (1 to 7).map(i => s"A$i").mkString(" ")
+    val got = runApply(Seq(
+      (1L, s"$a f1 f2"),
+      (2L, s"X $a"),
+      (3L, s"X $a7 Y")))
+    assert(got(1L) == ((s"$a f1 f2", 10L)), s"got $got")
+    assert(got(2L) == ((s"X $a7", 8L)),
+      "the winning occurrence must survive intact")
+    assert(got(3L) == (("Y", 1L)))
+  }
+
+  test("apply: empty token array neither crashes nor emits rows of garbage") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("toks", ArrayType(StringType))))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(1L, Seq.empty[String]),
+        org.apache.spark.sql.Row(2L, Seq("a", "b"))), schema)
+    val got = DedupPack.dupSpansApply(df)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("", 0L)))
+    assert(got(2L) == (("a b", 2L)))
+  }
+
   test("within-doc repetition is duplication too; short docs report 0") {
     val rep = (1 to 8).map(i => s"r$i").mkString(" ")
     val got = run(Seq(
