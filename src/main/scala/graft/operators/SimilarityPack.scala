@@ -384,11 +384,18 @@ object SimilarityPack extends QueryPack {
   /** One trained codebook per sub-block, over the sliced QUANTIZED
     * vectors (slicing commutes with the element-wise quantization,
     * so `embedding[lo:hi]` quantized replays it in SQL). */
-  private def pqCodebooks(vq: DataFrame): Seq[Seq[Array[Double]]] =
-    (0 until PqBlocks).map { m =>
-      KMeans.train(vq.select(col("vec_id"),
+  private def pqCodebooks(vq: DataFrame): Seq[Seq[Array[Double]]] = {
+    // every training action (4 blocks × init + 2 Lloyd steps) happens
+    // inside this call, so cache the quantized frame for the 12 jobs
+    // that would otherwise each re-scan and re-quantize the source —
+    // and release it before returning (nothing leaks into the query)
+    val cached = vq.persist()
+    try (0 until PqBlocks).map { m =>
+      KMeans.train(cached.select(col("vec_id"),
         slice(col("vq"), m * PqSubDim + 1, PqSubDim).as("vq")), iters = 2)
     }
+    finally cached.unpersist(blocking = false)
+  }
 
   /** Per-block code columns c0..c3 for a quantized-vector frame —
     * the same scan-stage literal-centroid argmax as IVF assignment,
