@@ -124,11 +124,18 @@ object KMeans {
     * expected cluster size constant (DevStress `semdedup` probe
     * measures the pair-count consequence of NOT doing so). */
   def train(vq: DataFrame, iters: Int, k: Int = K): Seq[Array[Double]] = {
-    val init: Seq[Array[Double]] = vq.filter(col("vec_id") < k)
-      .orderBy("vec_id").collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
-    require(init.size == k, s"need vec_ids 0..${k - 1} for init, got ${init.size}")
-    (1 to iters).foldLeft(init)((c, _) => step(vq, c))
+    // init + every Lloyd step is an action over the same frame —
+    // cache it for the iters+1 jobs that would otherwise each re-scan
+    // the source, and release it before returning (training is fully
+    // driver-synchronous, so nothing escapes with a cache attached)
+    val cached = vq.persist()
+    try {
+      val init: Seq[Array[Double]] = cached.filter(col("vec_id") < k)
+        .orderBy("vec_id").collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+      require(init.size == k, s"need vec_ids 0..${k - 1} for init, got ${init.size}")
+      (1 to iters).foldLeft(init)((c, _) => step(cached, c))
+    } finally cached.unpersist(blocking = false)
   }
 
   // ---- SQL mirrors (DuckDB oracle fragments) ----
