@@ -129,6 +129,20 @@ object SimilarityPack extends QueryPack {
         .select(col("vec_id"),
           Similarity.ivfAssign(col("embedding")).as("centroid"))),
 
+    // IVF index observability: posting-list balance — rows and corpus
+    // share per centroid. The operational audit for the probe path's
+    // cost model (a skewed list makes nprobe=1 latency lumpy and is
+    // the signal to retrain or split centroids). One partial-agg
+    // shuffle to k rows; the share window runs on those k rows only.
+    "sim_ivf_balance" -> ((s, dir) => {
+      val byList = emb(s, dir).filter(col("embedding").isNotNull)
+        .select(Similarity.ivfAssign(col("embedding")).as("centroid"))
+        .groupBy(col("centroid")).agg(count(lit(1)).as("n_vecs"))
+      byList.select(col("centroid"), col("n_vecs"),
+        graft.Det.dround(col("n_vecs").cast("double") /
+          sum(col("n_vecs")).over(Window.partitionBy()), 4).as("share"))
+    }),
+
     // IVF search: probe = equi-join on the assigned centroid, exact
     // cosine re-rank within the list, top-2 per query. Same null
     // exclusion as sim_ivf_assign.
@@ -565,6 +579,13 @@ object SimilarityPack extends QueryPack {
     "sim_ivf_assign" ->
       s"""WITH $ivfCte
          |SELECT vec_id, centroid FROM assign""".stripMargin,
+
+    "sim_ivf_balance" ->
+      s"""WITH $ivfCte
+         |SELECT centroid, count(*) AS n_vecs,
+         |       floor(count(*)::DOUBLE / sum(count(*)) OVER () * 1e4 + 0.5) / 1e4
+         |         AS share
+         |FROM assign GROUP BY centroid""".stripMargin,
 
     "sim_ivf_topk" ->
       s"""WITH $ivfCte,
