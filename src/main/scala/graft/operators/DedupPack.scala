@@ -409,10 +409,17 @@ object DedupPack extends QueryPack {
     * every copy of a duplicated substring (the winner of gram A
     * shredded by a losing span of gram B), silently destroying
     * content. With it, each duplicated gram's text survives intact in
-    * its winner doc. The kept-token scan is O(n·m) per doc (m = that
-    * doc's dup-gram occurrences) — fine at real doc lengths; a
-    * coverage-bitmap fold is the upgrade if m ever tracks n. Returns
-    * every doc (fully-excised ones keep an empty dedup_text). */
+    * its winner doc. The protection is RETENTION-BIASED by design: a
+    * losing occurrence that happens to lie entirely inside winning
+    * spans of other grams survives too (two copies retained). That is
+    * the right direction of error for training data — never destroy
+    * the last copy, occasionally keep an extra — and any local
+    * per-gram rule has one such corner; maximal-span (suffix-array)
+    * excision is the escape hatch where exact copy counts matter.
+    * The kept-token scan is O(n·m) per doc (m = that doc's dup-gram
+    * occurrences) — fine at real doc lengths; a coverage-bitmap fold
+    * is the upgrade if m ever tracks n. Returns every doc
+    * (fully-excised ones keep an empty dedup_text). */
   def dupSpansApply(docs: DataFrame): DataFrame = {
     val k = lit(SpanGram.toLong)
     val grams = spanGrams(docs)

@@ -127,15 +127,20 @@ object KMeans {
     // init + every Lloyd step is an action over the same frame —
     // cache it for the iters+1 jobs that would otherwise each re-scan
     // the source, and release it before returning (training is fully
-    // driver-synchronous, so nothing escapes with a cache attached)
-    val cached = vq.persist()
+    // driver-synchronous, so nothing escapes with a cache attached).
+    // Respect a caller-managed cache: persisting an already-persisted
+    // frame throws, and unpersisting it here would silently evict the
+    // caller's cache out from under its later actions.
+    val callerCached =
+      vq.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (callerCached) vq else vq.persist()
     try {
       val init: Seq[Array[Double]] = cached.filter(col("vec_id") < k)
         .orderBy("vec_id").collect()
         .map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
       require(init.size == k, s"need vec_ids 0..${k - 1} for init, got ${init.size}")
       (1 to iters).foldLeft(init)((c, _) => step(cached, c))
-    } finally cached.unpersist(blocking = false)
+    } finally if (!callerCached) cached.unpersist(blocking = false)
   }
 
   // ---- SQL mirrors (DuckDB oracle fragments) ----

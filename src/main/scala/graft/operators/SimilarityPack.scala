@@ -583,7 +583,7 @@ object SimilarityPack extends QueryPack {
     "sim_ivf_balance" ->
       s"""WITH $ivfCte
          |SELECT centroid, count(*) AS n_vecs,
-         |       floor(count(*)::DOUBLE / sum(count(*)) OVER () * 1e4 + 0.5) / 1e4
+         |       ${graft.Det.droundSql("count(*)::DOUBLE / sum(count(*)) OVER ()", 4)}
          |         AS share
          |FROM assign GROUP BY centroid""".stripMargin,
 

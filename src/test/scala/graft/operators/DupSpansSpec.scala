@@ -84,6 +84,25 @@ class DupSpansSpec extends SparkSpec {
     assert(got(3L) == (("Y", 1L)))
   }
 
+  test("apply: retention bias — a loser buried under winning spans survives") {
+    // doc2 = a1..a3 b1..b8 c1..c3: gram A (pos 0) and gram C (pos 6)
+    // both WIN there, and their spans [0,8)∪[6,14) cover the whole
+    // doc — so gram B's LOSING occurrence at pos 3 is protected and
+    // B's text ends up in both doc1 (its winner) and doc2. The
+    // documented retention-biased corner: never destroy, may retain.
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val doc2 = s"a1 a2 a3 $b c1 c2 c3"
+    val got = runApply(Seq(
+      (1L, b),                                    // B's winner
+      (2L, doc2),                                 // A+C win, B loses
+      (3L, "a1 a2 a3 b1 b2 b3 b4 b5"),            // A's loser
+      (4L, "b4 b5 b6 b7 b8 c1 c2 c3")))           // C's loser
+    assert(got(1L) == ((b, 8L)), s"got $got")
+    assert(got(2L) == ((doc2, 14L)), "fully winner-covered doc survives whole")
+    assert(got(3L) == (("", 0L)))
+    assert(got(4L) == (("", 0L)))
+  }
+
   test("apply: empty token array neither crashes nor emits rows of garbage") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("doc_id", LongType),
