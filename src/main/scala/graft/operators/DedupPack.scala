@@ -144,6 +144,16 @@ object DedupPack extends QueryPack {
       Components.largeSmallStar(candidatePairs(s, dir))
         .select(col("node").as("doc_id"), col("rep"))),
 
+    // Dedup observability: the cluster-SIZE distribution of the dup
+    // groups (how much mass sits in pairs vs boilerplate
+    // mega-clusters — the QA signal that decides whether min-label
+    // CC suffices or the large/small-star path is needed). Two tiny
+    // aggs after the components: sizes per rep, then a histogram.
+    "ds_dup_group_sizes" -> ((s, dir) =>
+      Components.connectedComponents(candidatePairs(s, dir))
+        .groupBy(col("rep")).agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups"))),
+
     // Dedup APPLIED: the corpus with non-representative near-dups
     // removed — anti-join against the groups' losers. The complete
     // pipeline a training-data run executes: shingle → minhash → LSH
@@ -586,6 +596,13 @@ object DedupPack extends QueryPack {
     // Transitive closure over the candidate pairs via recursive CTE;
     // rep = min over the reachable set ∪ self.
     "ds_dup_groups" -> dupGroupsSql,
+
+    "ds_dup_group_sizes" ->
+      s"""SELECT group_size, count(*) AS n_groups FROM (
+         |  SELECT rep, count(*) AS group_size FROM (
+         |$dupGroupsSql
+         |  ) GROUP BY rep)
+         |GROUP BY group_size""".stripMargin,
 
     // the star-alternation engine path must land on the SAME map
     "ds_dup_groups_star" -> dupGroupsSql,
