@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryPack, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver-facing dataset-curation queries over [[Sampling]] — the
@@ -67,6 +68,27 @@ object SamplePack extends QueryPack {
           when(col("source") === "src0", 50)
             .when(col("source") === "src1", 25).otherwise(10))
         .select(col("doc_id"), col("source"))),
+
+    // Temperature-flattened source mixing (the multilingual-sampling
+    // τ knob): per-source rate ∝ n^(τ−1) with τ = 1/2, i.e. rate =
+    // min(90, round(10·√(N/n))) — small sources are up-weighted
+    // toward parity, big ones damped, exactly the share^τ
+    // re-weighting of multilingual corpus assembly. √ is IEEE-exact
+    // in both engines, so the rates (and the hash filter) replay
+    // bit-identically. Rates are a k-row broadcast dim; the filter
+    // stays in the scan stage.
+    "sp_temperature_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val rates = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+        .select(col("source"),
+          least(lit(90L), floor(lit(10.0) *
+              sqrt(col("total").cast("double") / col("n")) + lit(0.5))
+            .cast("long")).as("rate"))
+      docs.join(broadcast(rates), Seq("source"))
+        .filter(Sampling.bucket(col("doc_id"), "temp") < col("rate"))
+        .select(col("doc_id"), col("source"))
+    }),
 
     // Contiguous sequence packing into fixed 2048-token bins per
     // (source, lang) shard: one shuffle on the shard key, running sum
@@ -239,6 +261,18 @@ object SamplePack extends QueryPack {
          |WHERE ${Sampling.sqlBucket("doc_id", "mix")} <
          |      CASE WHEN source = 'src0' THEN 50
          |           WHEN source = 'src1' THEN 25 ELSE 10 END""".stripMargin,
+
+    "sp_temperature_mix" ->
+      s"""WITH r AS (SELECT source, count(*) AS n,
+         |             sum(count(*)) OVER () AS total
+         |           FROM documents GROUP BY source),
+         |rates AS (SELECT source,
+         |            least(90, CAST(floor(10.0 *
+         |              sqrt(CAST(total AS DOUBLE) / n) + 0.5) AS BIGINT))
+         |              AS rate
+         |          FROM r)
+         |SELECT d.doc_id, d.source FROM documents d JOIN rates USING (source)
+         |WHERE ${Sampling.sqlBucket("d.doc_id", "temp")} < rate""".stripMargin,
 
     "sp_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, source, lang,
