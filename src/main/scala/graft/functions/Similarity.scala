@@ -98,11 +98,17 @@ object Similarity {
   /** IVF assignment: index of the nearest centroid by squared L2 =
     * ||v||² - 2·v·c + ||c||² (||v||² constant per row → argmax of
     * 2·v·c - ||c||²). First-match tie-break on equal scores. */
-  def ivfAssign(emb: Column): Column = {
-    val scores = array((0 until NumCentroids).map { j =>
+  /** Per-centroid scores 2·v·c − ‖c‖² (argmax ⇔ nearest by L2) —
+    * shared by [[ivfAssign]] and [[ivfProbes]] so both rank the
+    * identical doubles. */
+  private def ivfScores(emb: Column): Column =
+    array((0 until NumCentroids).map { j =>
       val c2 = (0 until Dims).map(d => centroidInt(j, d)).map(w => w * w).sum
       lit(2.0) * dot(emb, centroid(j)) - lit(c2.toDouble / 1e6)
     }: _*)
+
+  def ivfAssign(emb: Column): Column = {
+    val scores = ivfScores(emb)
     // each centroid dot referenced exactly ONCE (no reliance on
     // codegen subexpression elimination); argmax = first position of
     // the max, preserving the first-match tie-break. A null embedding
@@ -111,6 +117,18 @@ object Similarity {
     coalesce((array_position(scores, array_max(scores)) - 1).cast("int"),
       lit(-1))
   }
+
+  /** The `n` nearest centroid ids in score order — the IVF nprobe
+    * list (FAISS's recall dial). Sorting (−score, j) ascending makes
+    * ties break on the LOWER centroid id, so element 1 equals
+    * [[ivfAssign]] exactly and the oracle's `ORDER BY score DESC, j`
+    * replays the whole list. Callers filter null embeddings first
+    * (the [[graft.operators.KMeans.quantize]] contract). */
+  def ivfProbes(emb: Column, n: Int): Column =
+    slice(transform(array_sort(
+        transform(ivfScores(emb),
+          (s, j) => struct((-s).as("negs"), j.as("j")))),
+      e => e.getField("j").cast("int")), 1, n)
 
   /** Sign-bucket of an embedding within one band: bit j set iff
     * dot(v, plane_{band·PlanesPerBand+j}) > 0. 12 planes → 4096

@@ -167,6 +167,36 @@ object SimilarityPack extends QueryPack {
           col("vec_id"), graft.Det.dround(col("cos"), 6).as("cos"))
     }),
 
+    // IVF multi-probe: each query fans out to its nprobe = 2 nearest
+    // centroids (the FAISS recall dial — a query near a Voronoi
+    // boundary reaches the neighbor list its true matches straddle
+    // into), then the same equi-join + exact re-rank. Probe fan-out
+    // multiplies only the QUERY side of the join; the index side
+    // still shuffles once on centroid.
+    "sim_ivf_topk_probe" -> ((s, dir) => {
+      val assigned = emb(s, dir).filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("nrm"),
+          Similarity.ivfAssign(col("embedding")).as("centroid"))
+      val q = emb(s, dir).filter(col("embedding").isNotNull)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          Similarity.norm(col("embedding")).as("qn"),
+          explode(Similarity.ivfProbes(col("embedding"), IvfNprobe))
+            .as("centroid"))
+      val cands = assigned.join(q, Seq("centroid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (Similarity.dot(col("qe"), col("embedding"))
+            / (col("qn") * col("nrm"))).as("cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      cands.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), graft.Det.dround(col("cos"), 6).as("cos"))
+    }),
+
     // Deterministic random-hyperplane LSH buckets per vector: one row
     // per band (2 bands × 12 planes = 4096 buckets each) — the exact
     // production [[bucketize]] stage, not a re-implementation.
@@ -385,6 +415,9 @@ object SimilarityPack extends QueryPack {
     * over C(RecallProbeN, 2) pairs only, whatever the corpus size. */
   val RecallProbeN = 200
 
+  /** sim_ivf_topk_probe nprobe: posting lists visited per query. */
+  val IvfNprobe = 2
+
   /** Product-quantization geometry: 64 dims → [[PqBlocks]] sub-blocks
     * of [[PqSubDim]], one KMeans codebook (k = [[KMeans.K]]) per
     * block. A vector's PQ code is its 4 sub-centroid ids — the
@@ -598,6 +631,25 @@ object SimilarityPack extends QueryPack {
          |               v.vec_id) AS rank
          |  FROM (SELECT * FROM av WHERE vec_id < 10) q
          |  JOIN av v ON q.centroid = v.centroid AND v.vec_id <> q.vec_id)
+         |SELECT query_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos
+         |FROM pairs WHERE rank <= 2""".stripMargin,
+
+    "sim_ivf_topk_probe" ->
+      s"""WITH $ivfCte,
+         |probes AS (SELECT vec_id, CAST(j AS INTEGER) AS centroid
+         |           FROM iranked WHERE rn <= $IvfNprobe),
+         |av AS (SELECT a.vec_id, a.centroid, e.embedding
+         |       FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id),
+         |qp AS (SELECT p.vec_id AS query_id, p.centroid, e.embedding AS qe
+         |       FROM probes p JOIN embeddings e ON p.vec_id = e.vec_id
+         |       WHERE p.vec_id < 10),
+         |pairs AS (SELECT q.query_id, v.vec_id,
+         |    ${sqlCos("q.qe", "v.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${sqlCos("q.qe", "v.embedding")} DESC,
+         |               v.vec_id) AS rank
+         |  FROM qp q JOIN av v
+         |    ON q.centroid = v.centroid AND v.vec_id <> q.query_id)
          |SELECT query_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos
          |FROM pairs WHERE rank <= 2""".stripMargin,
 
