@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{QueryPack, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver-facing dataset-curation queries over [[Sampling]] — the
@@ -79,12 +78,8 @@ object SamplePack extends QueryPack {
     // stays in the scan stage.
     "sp_temperature_mix" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-      val rates = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
-        .withColumn("total", sum(col("n")).over(Window.partitionBy()))
-        .select(col("source"),
-          least(lit(90L), floor(lit(10.0) *
-              sqrt(col("total").cast("double") / col("n")) + lit(0.5))
-            .cast("long")).as("rate"))
+      val rates = Sampling.temperatureRates(docs, col("source"),
+        basePct = 10, maxPct = 90)
       docs.join(broadcast(rates), Seq("source"))
         .filter(Sampling.bucket(col("doc_id"), "temp") < col("rate"))
         .select(col("doc_id"), col("source"))

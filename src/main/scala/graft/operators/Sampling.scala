@@ -65,6 +65,23 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Per-group temperature-flattened sampling rates: rate =
+    * min(maxPct, round(basePct·√(N/n))) — share^(τ−1) at τ = ½, the
+    * multilingual-sampling re-weighting (small groups up toward
+    * parity, large ones damped). √ is IEEE-exact in both engines, so
+    * the integer rates replay bit-identically in a SQL oracle.
+    * Returns one (group, rate) row per group — a broadcastable dim at
+    * any corpus scale. */
+  def temperatureRates(df: DataFrame, group: Column, basePct: Int,
+                       maxPct: Int): DataFrame =
+    df.groupBy(group).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(group,
+        least(lit(maxPct.toLong), floor(lit(basePct.toDouble) *
+            sqrt(col("total").cast("double") / col("n")) + lit(0.5))
+          .cast("long")).as("rate"))
+
   /** Exact-k-per-stratum deterministic sample: the k rows of each
     * stratum with the lowest salted key hash (hash order ≈ uniform
     * draw; key ascending breaks 32-bit collisions). Selection runs

@@ -1,0 +1,27 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** IVF multi-probe recall property: widening nprobe can only improve
+  * (or tie) the best match found per query — the candidate set of
+  * nprobe = 2 is a superset of nprobe = 1's, so the re-ranked top-1
+  * cosine is monotone in nprobe.
+  */
+class IvfProbeSpec extends SparkSpec {
+  test("nprobe=2 top-1 cosine is never worse than nprobe=1, per query") {
+    val dir = "/root/testdata/sf0.001"
+    def top1(name: String): Map[Long, Double] =
+      SimilarityPack.queries(name)(spark, dir)
+        .filter(col("rank") === 1)
+        .select("query_id", "cos").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val single = top1("sim_ivf_topk")
+    val multi = top1("sim_ivf_topk_probe")
+    assert(single.keySet == multi.keySet,
+      "both forms must answer the same query set")
+    single.foreach { case (q, c) =>
+      assert(multi(q) >= c, s"query $q regressed: multi=${multi(q)} single=$c")
+    }
+  }
+}

@@ -46,6 +46,19 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(counts("val") - 200) < 67, counts.toString)
   }
 
+  test("temperatureRates: small groups up-weighted toward parity, capped") {
+    // 1000 vs 10 docs: big source stays near base (10·√(1010/1000)
+    // ≈ 10), small one flattens up and hits the 90 cap
+    val skew = ((0L until 1000L).map(i => (i, "big")) ++
+        (1000L until 1010L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val rates = Sampling.temperatureRates(skew, col("source"),
+        basePct = 10, maxPct = 90)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("big") == 10L, s"got $rates")
+    assert(rates("small") == 90L, "√(1010/10) ≈ 10.05 → 100, capped at 90")
+  }
+
   test("stratifiedK returns exactly k per stratum, stably") {
     val k = 5
     val out = Sampling.stratifiedK(docs, Seq(col("source"), col("lang")),
