@@ -117,6 +117,21 @@ class DupSpansSpec extends SparkSpec {
     assert(got(2L) == (("a b", 2L)))
   }
 
+  test("plan: the seed df count partial-aggregates before its exchange") {
+    // the ≥2-occurrence seed selection must map-side combine on the
+    // gram hash — a boilerplate gram's 10⁸ occurrences collapse to
+    // one partial count per partition before the shuffle
+    val df = DedupPack.queries("ds_dup_spans")(spark, "/root/testdata/sf0.001")
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val aggLines = plan.linesIterator
+      .filter(l => l.contains("HashAggregate") && l.contains("partial_count"))
+      .toList
+    assert(aggLines.nonEmpty,
+      s"expected a partial_count HashAggregate below the gh exchange:\n$plan")
+  }
+
   test("within-doc repetition is duplication too; short docs report 0") {
     val rep = (1 to 8).map(i => s"r$i").mkString(" ")
     val got = run(Seq(
