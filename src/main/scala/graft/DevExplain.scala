@@ -19,10 +19,12 @@ object DevExplain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     name.split(",").foreach { q =>
-      val df = SparkEntry.queries(q)(spark, sfDir)
-      if (args.length > 2) df.explain("formatted")
+      if (args.length > 2) SparkEntry.queries(q)(spark, sfDir).explain("formatted")
+      // time a fresh build + count: operators that materialize inside
+      // the query lambda (eager checkpoints) must be on the clock,
+      // matching how Bench measures
       val t0 = System.nanoTime()
-      val n = df.count()
+      val n = SparkEntry.queries(q)(spark, sfDir).count()
       println(f"[dev] $q rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

@@ -32,41 +32,77 @@ object PageRank {
   /** Rank fixed-point scale: rank 1.0 ≡ 1e6. */
   val Scale = 1000000L
 
+  /** Edges per loop task: the iterative stages carry frames of at
+    * most |nodes| ≤ 2·|edges| rows, so one task per ~2M edges keeps
+    * per-task work in the right range without scheduling
+    * cluster-width micro-stages over kilobyte frames. */
+  val EdgesPerTask = 2000000L
+
   /** `iters` damped fixed-point rounds over `edges(src, dst)`;
-    * returns (node, rank) for every node in src ∪ dst.
+    * returns (node, rank) for every node in src ∪ dst, fully
+    * materialized (the iterative work runs HERE, not at the caller's
+    * action) with all loop caches released.
     *
-    * The loop-invariant frames (deduped edges, node universe,
-    * out-degrees) are persisted — every round references them, and
-    * without the cache round t's lineage recomputes the edge build t
-    * times inside one action. At the test SF that recomputation is
-    * noise (the local wall is the ~12 stages of scheduling overhead,
-    * ~1.6 s/round); at corpus scale the edge build IS the dominant
-    * cost and must run once. The MLlib iterative-algorithm lifecycle
-    * applies: blocks live until the caller's plan becomes
-    * unreachable, then the ContextCleaner reclaims them. */
+    * Scale shape. The edge build (the data-proportional part) runs at
+    * the session's shuffle width. The loop then runs at a width sized
+    * from the measured edge count — one task per [[EdgesPerTask]]
+    * edges, capped at the cluster parallelism — because a fixed-point
+    * loop schedules ~4 stages per round and at local[32]/sf0.1 that
+    * was 3 rounds × 4 stages × 32 near-empty tasks (the round-6
+    * driver bench measured the same commit at 5.7 s with 4-wide
+    * shuffles and 30 s with 32-wide: pure scheduling, zero data
+    * difference). Cached plans pin their partitioning (AQE does not
+    * re-coalesce them), so the width must be right when the cache is
+    * built, not fixed up afterwards.
+    *
+    * Inside the loop: edges and out-degrees are cached hash-partitioned
+    * by `src` and the node universe by `node`, so round t's rank join
+    * reshuffles ONLY the tiny rank frame and the `nodes ⟕ contrib`
+    * join is shuffle-free (both sides already hash(node)-partitioned).
+    * The final ranks are materialized via eager `localCheckpoint`
+    * (cuts the 3-round lineage so the caller's action replays
+    * nothing) and every invariant is unpersisted before returning —
+    * a shared long-lived session must not accumulate loop caches. */
   def fixedPoint(edges: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val e = edges.select(col("src"), col("dst")).distinct()
+    val spark = edges.sparkSession
+    val eRaw = edges.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val base = lit(15L * Scale / 100)
-    var ranks = nodes.withColumn("rank", lit(Scale))
-    (1 to iters).foreach { _ =>
-      val contrib = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
-        .select(col("dst").as("node"),
-          expr("rank div deg").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("in_sum"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (base + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
+    val nEdges = eRaw.count()
+    val p = math.min(
+      nEdges / EdgesPerTask + 1,
+      math.max(1, spark.sparkContext.defaultParallelism).toLong).toInt
+    val confKey = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(confKey)
+    val frames = scala.collection.mutable.ArrayBuffer(eRaw)
+    try {
+      spark.conf.set(confKey, p.toString)
+      val e = eRaw.repartition(p, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frames ++= Seq(e, nodes, outdeg)
+      val base = lit(15L * Scale / 100)
+      var ranks = nodes.withColumn("rank", lit(Scale))
+      (1 to iters).foreach { _ =>
+        val contrib = e
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(outdeg, "src")
+          .select(col("dst").as("node"),
+            expr("rank div deg").as("c"))
+          .groupBy("node").agg(sum(col("c")).as("in_sum"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (base + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
+      }
+      ranks.localCheckpoint(eager = true)
+    } finally {
+      spark.conf.set(confKey, saved)
+      frames.foreach(_.unpersist(blocking = false))
     }
-    ranks
   }
 
   /** One unrolled iteration as oracle CTEs: needs `e(src, dst)`,
