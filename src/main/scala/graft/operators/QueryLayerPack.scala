@@ -494,13 +494,21 @@ object QueryLayerPack extends QueryPack {
           round(col("q"), 2).cast("double").as("sum_qty"))
     }),
 
-    // approx_count_distinct (HLL): algorithm-specific → rows-only
-    // check; the exact variant is oracled in q22_cross_source.
+    // approx_count_distinct (HLL): the estimate itself is
+    // algorithm-specific (no SQL engine replays Spark's register
+    // layout), so the HASHED surface is the exact count plus a
+    // deterministic error-bound assertion — HLL registers are
+    // max-merged, hence order-insensitive: for a fixed dataset the
+    // estimate (and so the boolean) is replayable however the
+    // partials merge. The default rsd is 0.05; the gate allows 3σ.
     "q_approx_distinct" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))),
+        .agg(approx_count_distinct(col("user_id")).as("approx"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")).cast("double")
+            <= col("exact_users").cast("double") * 0.15).as("approx_ok"))),
 
     // Fixed-point PageRank (3 damped rounds) over the supplier →
     // customer fulfillment graph — link-centrality as a corpus
@@ -524,16 +532,29 @@ object QueryLayerPack extends QueryPack {
     // approx_percentile (KLL-style sketch): the 100 TB form of
     // q_percentiles — exact `percentile` buffers every value of a
     // group in executor memory, a sketch keeps a bounded summary and
-    // merges partials map-side. Sketch merge order isn't replayable
-    // cross-engine → rows-only check (like q_approx_distinct);
-    // accuracy vs the exact form is pinned by QuantileSketchSpec.
+    // merges partials map-side. The raw sketch output isn't
+    // replayable cross-engine, so the HASHED surface is the exact
+    // percentile plus per-quantile error-bound booleans: at accuracy
+    // 1000 the rank error is ≤ n/1000, which on l_quantity's integer
+    // domain lands within 1.0 of the exact value under ANY partial
+    // merge order (the same contract QuantileSketchSpec pins at
+    // every test SF) — so the booleans are deterministic even though
+    // the estimates are not.
     "q_percentiles_approx" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(
-          expr("approx_percentile(l_quantity, 0.25, 1000)").as("p25"),
-          expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50"),
-          expr("approx_percentile(l_quantity, 0.75, 1000)").as("p75"))),
+          expr("approx_percentile(l_quantity, 0.25, 1000)").as("a25"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("a50"),
+          expr("approx_percentile(l_quantity, 0.75, 1000)").as("a75"),
+          expr("percentile(l_quantity, 0.25)").as("e25"),
+          expr("percentile(l_quantity, 0.5)").as("e50"),
+          expr("percentile(l_quantity, 0.75)").as("e75"))
+        .select(col("l_returnflag"),
+          graft.Det.dround(col("e50"), 4).as("p50"),
+          (abs(col("a25").cast("double") - col("e25")) <= 1.0).as("ok25"),
+          (abs(col("a50").cast("double") - col("e50")) <= 1.0).as("ok50"),
+          (abs(col("a75").cast("double") - col("e75")) <= 1.0).as("ok75"))),
 
     // Interval join via band bucketing ([[RangeJoin.bandJoin]] — see
     // its scaladoc for the equi-key-vs-nested-loop scale story):
@@ -858,6 +879,20 @@ object QueryLayerPack extends QueryPack {
          |${PageRank.sqlStepCtes(2)},
          |${PageRank.sqlStepCtes(3)}
          |SELECT node, rank FROM r3""".stripMargin,
+
+    // The sketch queries hash their deterministic surface: exact
+    // values + error-bound booleans the oracle asserts as TRUE (a
+    // FALSE on the Spark side = sketch out of contract = hash miss).
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_percentiles_approx" ->
+      """SELECT l_returnflag,
+        |  floor(quantile_cont(l_quantity, 0.5) * 1e4 + 0.5) / 1e4 AS p50,
+        |  TRUE AS ok25, TRUE AS ok50, TRUE AS ok75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,

@@ -30,11 +30,11 @@ class SparkEntrySpec extends AnyFunSuite {
         sql.trim.toUpperCase.startsWith("WITH")))
   }
 
-  /** The only queries allowed to skip the hash gate: sketch
-    * algorithms whose merge order a SQL engine can't replay. Each
-    * must carry its own accuracy spec (InvarianceSpec /
-    * QuantileSketchSpec). */
-  private val rowsOnlyAllowed = Set("q_approx_distinct", "q_percentiles_approx")
+  /** Queries allowed to skip the hash gate: none — the sketch
+    * queries hash their deterministic surface (exact value +
+    * error-bound booleans the oracle asserts TRUE), with accuracy
+    * additionally pinned by InvarianceSpec / QuantileSketchSpec. */
+  private val rowsOnlyAllowed = Set.empty[String]
 
   test("coverage floor: the driver-facing surface keeps its breadth") {
     assert(SparkEntry.queries.size >= 100,

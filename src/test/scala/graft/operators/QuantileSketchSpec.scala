@@ -3,11 +3,13 @@ package graft.operators
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** q_percentiles_approx has no SQL oracle (sketch merge order is not
-  * cross-engine replayable), so its accuracy contract is pinned here:
-  * at accuracy 1000 the rank error is ≤ n/1000, which on l_quantity's
-  * integer domain must land the sketch within 1 of the exact
-  * percentile at every test SF.
+/** q_percentiles_approx hashes exact percentiles plus error-bound
+  * booleans (the raw sketch output is not cross-engine replayable);
+  * those booleans are only deterministic if the accuracy contract
+  * holds under every merge order, which is pinned here: at accuracy
+  * 1000 the rank error is ≤ n/1000, which on l_quantity's integer
+  * domain must land the sketch within 1 of the exact percentile at
+  * every test SF.
   */
 class QuantileSketchSpec extends SparkSpec {
   import spark.implicits._
