@@ -40,10 +40,13 @@ object Compaction {
     total
   }
 
-  /** Rewrite `inDir`'s parquet into ⌈bytes/targetBytes⌉ files at
-    * `outDir`; returns the file count written. `coalesce` (no
-    * shuffle) when shrinking — each output file is a union of input
-    * splits; `repartition` only if the caller asks to widen. */
+  /** Rewrite `inDir`'s parquet into ~⌈bytes/targetBytes⌉ files at
+    * `outDir`; returns the parquet file count ACTUALLY written there
+    * (counted from the file system — coalesce can emit fewer files
+    * than planned partitions when some are empty, and AQE may adjust
+    * the plan, so the target is advisory). `coalesce` (no shuffle)
+    * when shrinking — each output file is a union of input splits;
+    * `repartition` only if the caller asks to widen. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long, allowWiden: Boolean = false): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
@@ -60,6 +63,13 @@ object Compaction {
       else if (parts > current) df.repartition(parts)
       else df
     sized.write.mode(SaveMode.Overwrite).parquet(outDir)
-    parts
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var files = 0
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) files += 1
+    }
+    files
   }
 }

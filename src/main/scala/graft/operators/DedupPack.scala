@@ -259,8 +259,13 @@ object DedupPack extends QueryPack {
     // operator is key-width-agnostic).
     "ds_incremental_dedup" -> ((s, dir) => {
       val (history, batch) = incrementalSlices(Tables.documents(s, dir))
+      // size the sketch from the history side so the realized fpp
+      // holds at every SF (a fixed constant silently degrades once
+      // history outgrows it, inflating the exact-anti-join sliver);
+      // the count is a column-pruned count(*) scan, far cheaper than
+      // the sketch-build scan that follows
       RuntimeFilter.bloomPrunedAntiJoin(batch, col("h"), history, col("h"),
-        expectedKeys = 100000L)
+        expectedKeys = math.max(history.count(), 1L))
     }),
   )
 

@@ -35,13 +35,24 @@ object RuntimeFilter {
     */
   def bloomPrunedSemiJoin(big: DataFrame, bigKey: Column,
                           small: DataFrame, smallKey: Column,
-                          expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
-    require(!big.columns.contains("__rf_key"),
-      "big side already has a __rf_key column — rename it first")
-    val bf = small.stat.bloomFilter(smallKey.cast("long"), expectedKeys, fpp)
+                          expectedKeys: Long, fpp: Double = 0.01): DataFrame =
     // no distinct() on the build side: semi-join semantics already
     // ignore build duplicates, and a dedup pass over 10⁸ keys is a
     // full extra aggregation for zero semantic effect
+    bloomPrunedSemiJoin(big, bigKey, small, smallKey,
+      small.stat.bloomFilter(smallKey.cast("long"), expectedKeys, fpp))
+
+  /** As above with a caller-supplied sketch — the amortized form the
+    * scaladoc describes: build (or load) the filter once, reuse it
+    * across joins/batches instead of re-scanning `small` per call.
+    * The sketch must cover `small`'s keys as longs; missing keys
+    * would prune true matches (false negatives break the
+    * row-identical contract), extra keys only cost fpp. */
+  def bloomPrunedSemiJoin(big: DataFrame, bigKey: Column,
+                          small: DataFrame, smallKey: Column,
+                          bf: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    require(!big.columns.contains("__rf_key"),
+      "big side already has a __rf_key column — rename it first")
     big.filter(graft.plans.BloomMightContainLong.probe(bigKey, bf))
       .join(small.select(smallKey.cast("long").as("__rf_key")),
         bigKey.cast("long") === col("__rf_key"), "left_semi")
@@ -61,10 +72,22 @@ object RuntimeFilter {
     */
   def bloomPrunedAntiJoin(batch: DataFrame, batchKey: Column,
                           history: DataFrame, histKey: Column,
-                          expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+                          expectedKeys: Long, fpp: Double = 0.01): DataFrame =
+    bloomPrunedAntiJoin(batch, batchKey, history, histKey,
+      history.stat.bloomFilter(histKey.cast("long"), expectedKeys, fpp))
+
+  /** As above with a caller-supplied sketch — the persistent form the
+    * scaladoc describes: keep one filter across batches, `putLong`
+    * each batch's keys into it after merging, and skip the per-batch
+    * history scan entirely. The sketch must cover EVERY history key
+    * as a long — a missing key is a false negative and lets a
+    * duplicate through; staleness in the other direction (keys of
+    * since-deleted rows) only costs fpp. */
+  def bloomPrunedAntiJoin(batch: DataFrame, batchKey: Column,
+                          history: DataFrame, histKey: Column,
+                          bf: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     require(!batch.columns.contains("__rf_key"),
       "batch side already has a __rf_key column — rename it first")
-    val bf = history.stat.bloomFilter(histKey.cast("long"), expectedKeys, fpp)
     // null-key rows: the probe evaluates to NULL (null-intolerant
     // expression), but a plain left_anti KEEPS them (null equals no
     // history key) — coalesce routes them to the definitely-new

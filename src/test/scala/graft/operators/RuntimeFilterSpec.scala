@@ -86,6 +86,27 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(got3 == Set(Some(1L), None), s"null key mishandled: $got3")
   }
 
+  test("prebuilt-sketch overloads: one filter reused across batches") {
+    // the amortized/persistent form: build the sketch ONCE, reuse it
+    // for every subsequent batch instead of re-scanning history
+    val h2 = Seq(2L, 4L, 6L).toDF("k2")
+    val bf = BloomFilter.create(100, 0.01)
+    Seq(2L, 4L, 6L).foreach(bf.putLong)
+    val batches = Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))
+    val got = batches.map { b =>
+      RuntimeFilter.bloomPrunedAntiJoin(b.toDF("k"), col("k"), h2,
+        col("k2"), bf).as[Long].collect().toSet
+    }
+    assert(got == Seq(Set(1L, 3L), Set(5L)))
+    // stale-in-the-extra-keys direction is safe for the SEMI form
+    // too: extra keys in the sketch only cost fpp, never rows
+    bf.putLong(999L)
+    val semi = RuntimeFilter.bloomPrunedSemiJoin(
+        Seq(1L, 2L, 6L, 999L).toDF("k"), col("k"), h2, col("k2"), bf)
+      .as[Long].collect().toSet
+    assert(semi == Set(2L, 6L))
+  }
+
   test("BloomMightContainLong: codegen and interpreted eval agree; FP-only") {
     val bf = BloomFilter.create(1000, 0.01)
     (0L until 500L).foreach(bf.putLong)
