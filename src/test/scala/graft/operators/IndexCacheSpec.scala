@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Build-once index reuse: the memo returns the SAME trained artifact
+  * on every call (no retraining), and that artifact is bit-identical
+  * to a direct in-query training — so memoization can never change a
+  * query's result, only remove redundant Lloyd jobs.
+  */
+class IndexCacheSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("centroids memoize per dir and equal a direct training") {
+    IndexCache.clear()
+    val first = IndexCache.centroids(spark, dir)
+    val again = IndexCache.centroids(spark, dir)
+    assert(first eq again, "second call must return the memoized instance")
+    val direct = KMeans.train(
+      KMeans.quantize(graft.Tables.embeddings(spark, dir)), iters = 2)
+    assert(first.size == direct.size &&
+      first.zip(direct).forall { case (a, b) => a.sameElements(b) },
+      "memoized centroids must be bit-identical to direct training")
+  }
+
+  test("pqCodebooks memoize and carry the PQ geometry") {
+    val first = IndexCache.pqCodebooks(spark, dir)
+    assert(first eq IndexCache.pqCodebooks(spark, dir))
+    assert(first.size == SimilarityPack.PqBlocks)
+    assert(first.forall(cb => cb.size == KMeans.K &&
+      cb.forall(_.length == SimilarityPack.PqSubDim)))
+    // clear() really drops the memo (a rebuilt artifact is a new
+    // instance with the same deterministic values)
+    IndexCache.clear()
+    val rebuilt = IndexCache.pqCodebooks(spark, dir)
+    assert(!(first eq rebuilt))
+    assert(first.zip(rebuilt).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+  }
+}
