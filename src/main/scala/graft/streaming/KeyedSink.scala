@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.operators.Merge
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's single sink contract — a keyed idempotent upsert
+  * (`UpdateOne(filter, $set, upsert: true)` per document,
+  * bitcoinabuse/main.go:244-246; chainabuse/main.py:83-89) — as a
+  * pluggable interface, so the ingest stream is sink-agnostic: the
+  * parquet implementations below are what the sandbox runs; a
+  * document-store deployment swaps in a connector-backed
+  * implementation without touching the stream.
+  *
+  * Contract: `upsert` lands one micro-batch keyed, and MUST be
+  * idempotent per `batchId` — foreachBatch replays a batch whose
+  * write succeeded but whose checkpoint commit didn't, and a replay
+  * must leave the store exactly as one delivery would.
+  */
+trait KeyedSink {
+  def upsert(batch: DataFrame, batchId: Long): Unit
+}
+
+/** Append-only bronze parquet: each micro-batch owns an
+  * `ingest_batch=<id>` directory written with overwrite (replay
+  * rewrites the same directory), day-partitioned below it for I1
+  * delta pruning. Latest-per-key is resolved at READ time
+  * ([[LabelStream.goldView]]) — merge-on-read, the bronze side of
+  * the lakehouse split. */
+class BronzeParquetSink(bronzePath: String) extends KeyedSink {
+  override def upsert(batch: DataFrame, batchId: Long): Unit =
+    batch.withColumn("day", to_date(col("ts")))
+      .write.mode(SaveMode.Overwrite).partitionBy("day")
+      .parquet(s"$bronzePath/ingest_batch=$batchId")
+}
+
+/** Materialized doc-store on parquet: ONE latest-per-key table
+  * maintained by merging each batch through [[Merge.upsertReplace]]
+  * (M1/M3 semantics — whole-row replace, the `$set` contract).
+  * Parquet can't be read and overwritten in place, so versions are
+  * staged as `v=<batchId>` directories; the current store is the
+  * highest version. Replay-idempotent by construction: batch `id`
+  * recomputes `v=id` from the highest version BELOW id — a replayed
+  * batch rebuilds the identical snapshot instead of double-merging.
+  * At scale the same layout is the standard snapshot-rotate pattern
+  * (old versions retire on a retention schedule); with a table format
+  * (Delta/Iceberg, out of scope) `upsert` becomes a row-level MERGE.
+  *
+  * `orderCols`: within one batch the latest row per key wins before
+  * the merge (descending order on these), mirroring the reference
+  * processing pages in cursor order — last write per key lands. */
+class ParquetDocStoreSink(storePath: String, keys: Seq[String],
+                          orderCols: Seq[String]) extends KeyedSink {
+
+  private def versionDirs: Seq[Long] = {
+    val root = new java.io.File(storePath)
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+  }
+
+  /** The materialized latest-per-key table (None before any batch). */
+  def current(spark: org.apache.spark.sql.SparkSession): Option[DataFrame] =
+    versionDirs.maxOption.map(v => spark.read.parquet(s"$storePath/v=$v"))
+
+  override def upsert(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col(_).desc): _*)
+    val latest = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val base = versionDirs.filter(_ < batchId).maxOption
+      .map(v => spark.read.parquet(s"$storePath/v=$v"))
+    val merged = base.fold(latest)(Merge.upsertReplace(_, latest, keys))
+    merged.write.mode(SaveMode.Overwrite).parquet(s"$storePath/v=$batchId")
+  }
+}
+
+/** Driver-local doc-store double — the literal UpdateOne-per-key
+  * analog, for specs and demos: a map key → latest row. The collect
+  * is what makes it a TEST double; a production document-store sink
+  * implements the same trait with `batch.foreachPartition` opening a
+  * connector client per partition (no driver involvement). Replays
+  * are idempotent because put-by-key is. */
+class InMemoryDocStoreSink(keys: Seq[String]) extends KeyedSink {
+  val store = new scala.collection.concurrent.TrieMap[Seq[Any], Map[String, Any]]()
+
+  override def upsert(batch: DataFrame, batchId: Long): Unit = {
+    val cols = batch.columns.toSeq
+    batch.collect().foreach { r =>
+      val row = cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap
+      store.put(keys.map(row), row)
+    }
+  }
+}

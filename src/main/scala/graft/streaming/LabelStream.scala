@@ -45,30 +45,31 @@ object LabelStream {
     df.groupBy(session_window(col(eventTime), gap), col("user_id"))
       .agg(count(lit(1)).as("n"))
 
-  /** Start the ingest: watermarked dedup → append-only bronze parquet
-    * via foreachBatch, AvailableNow trigger (the reference's
-    * "catch up, then stop until next tick"). Bronze is partitioned by
-    * event day, so incremental consumers (the reference's delta
-    * re-scan I1, bitcoinabuse/main.go:175-182) read only new
-    * partitions — partition pruning does the page-range bookkeeping.
-    *
-    * Each micro-batch lands in its own `ingest_batch=<id>` directory
-    * with overwrite mode: a batch whose write succeeded but whose
-    * checkpoint commit didn't is simply rewritten on restart instead
-    * of appended twice — foreachBatch replays are idempotent on plain
-    * parquet. `day` stays a partition column below it, so I1 pruning
-    * is unchanged.
+  /** Start the ingest: watermarked dedup → keyed sink via
+    * foreachBatch, AvailableNow trigger (the reference's "catch up,
+    * then stop until next tick"). The sink is pluggable
+    * ([[KeyedSink]]) — the reference's UpdateOne upsert contract; the
+    * default is the bronze parquet layout: each micro-batch owns an
+    * `ingest_batch=<id>` directory written with overwrite (a batch
+    * whose write succeeded but whose checkpoint commit didn't is
+    * rewritten on restart, not appended twice), day-partitioned below
+    * it so incremental consumers (the reference's delta re-scan I1,
+    * bitcoinabuse/main.go:175-182) prune to new partitions only.
     */
   def startIngest(source: DataFrame, bronzePath: String,
+                  checkpoint: String): StreamingQuery =
+    startIngest(source, new BronzeParquetSink(bronzePath), checkpoint)
+
+  /** Sink-agnostic form: any [[KeyedSink]] (bronze parquet,
+    * materialized doc-store, a connector-backed store). */
+  def startIngest(source: DataFrame, sink: KeyedSink,
                   checkpoint: String): StreamingQuery =
     dedupWithinWatermark(source, "ts", "12 hours", Seq("user_id", "event_type"))
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("day", to_date(col("ts")))
-          .write.mode("overwrite").partitionBy("day")
-          .parquet(s"$bronzePath/ingest_batch=$batchId")
+        sink.upsert(batch, batchId)
       }
       .start()
 
