@@ -69,6 +69,31 @@ object SimilarityPack extends QueryPack {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
 
+  /** Multi-probe candidate pairs: every vector probes its home bucket
+    * PLUS all 1-bit flips of the band key (the sim_ann_topk_probe
+    * knob applied to the symmetric pairs path) — a pair surfaces
+    * whenever one side's probe hits the other side's home bucket,
+    * i.e. the band keys are within Hamming distance 1. Recall rises
+    * steeply (a near-dup pair loses a 12-bit band collision to ONE
+    * flipped plane far more often than to two) at a 13× probe-side
+    * fan-out of ids only — the trade that beats 13× more bands, which
+    * would 13× the INDEX, not just the join's probe side. Probing is
+    * against the capped home buckets, so the budget cap still bounds
+    * every bucket's contribution. */
+  def probeCandidateIdPairs(buckets: DataFrame): DataFrame = {
+    val probes = buckets.select(col("vec_id"), col("band"),
+      explode(array(col("bucket") +:
+        (0 until Similarity.PlanesPerBand).map(j =>
+          col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+    probes.alias("a").join(buckets.alias("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
+      .distinct()
+  }
+
   /** (vec_id, band, bucket) with the per-bucket membership cap
     * applied — the candidate universe every ANN query works from. */
   private def cappedBuckets(s: SparkSession, dir: String): DataFrame =
@@ -79,8 +104,12 @@ object SimilarityPack extends QueryPack {
     * re-join. The filter runs on the unrounded double — bit-identical
     * to the oracle's sequential fold — so the pair set is exact. */
   private def closePairs(s: SparkSession, dir: String,
-                         minCos: Double): DataFrame = {
-    val cand = candidateIdPairs(cappedBuckets(s, dir))
+                         minCos: Double): DataFrame =
+    closePairsFrom(s, dir, candidateIdPairs(cappedBuckets(s, dir)), minCos)
+
+  /** As above over an arbitrary (vec_a, vec_b) candidate frame. */
+  private def closePairsFrom(s: SparkSession, dir: String,
+                             cand: DataFrame, minCos: Double): DataFrame = {
     val v = emb(s, dir).select(col("vec_id"), col("embedding"),
       Similarity.norm(col("embedding")).as("nrm"))
     cand
@@ -213,6 +242,17 @@ object SimilarityPack extends QueryPack {
         .select(col("vec_a"), col("vec_b"),
           graft.Det.dround(col("cos"), 6).as("cos"))),
 
+    // Multi-probe near-pairs: the recall path — candidates at band-key
+    // Hamming distance ≤ 1 (see probeCandidateIdPairs), same exact-
+    // cosine gate. Strict superset of sim_ann_pairs' result; the
+    // recall/candidate trade is MEASURED by ds_lsh_recall's
+    // before/after columns, not asserted.
+    "sim_ann_pairs_probe" -> ((s, dir) =>
+      closePairsFrom(s, dir,
+          probeCandidateIdPairs(cappedBuckets(s, dir)), minCos = 0.3)
+        .select(col("vec_a"), col("vec_b"),
+          graft.Det.dround(col("cos"), 6).as("cos"))),
+
     // Embedding-cosine near-dup DEDUP — the full training-data path:
     // ANN close pairs (cos ≥ 0.3 over capped buckets) → connected
     // components → every non-representative vector dropped. The
@@ -323,7 +363,10 @@ object SimilarityPack extends QueryPack {
     // before multi-probe) pairs, not the barely-similar ones. That
     // gap is precisely what sizes PlanesPerBand / bands / multi-probe
     // in SCALE.md, and why SemDeDup exists as the no-recall-loss
-    // alternative within clusters.
+    // alternative within clusters. The audit reports single-probe and
+    // multi-probe (Hamming ≤ 1) candidates side by side, so the
+    // recall/candidate trade of probing is a measured number, not a
+    // formula.
     "ds_lsh_recall" -> ((s, dir) => {
       val sub = emb(s, dir).filter(col("vec_id") < RecallProbeN)
         .select(col("vec_id"), col("embedding"),
@@ -334,17 +377,30 @@ object SimilarityPack extends QueryPack {
           (Similarity.dot(col("a.embedding"), col("b.embedding"))
             / (col("a.nrm") * col("b.nrm"))).as("cos"))
         .filter(col("cos") >= 0.3)
-      val cand = candidateIdPairs(cappedBuckets(s, dir))
+      val bc = cappedBuckets(s, dir)
+      val cand = candidateIdPairs(bc)
+        .filter(col("vec_a") < RecallProbeN && col("vec_b") < RecallProbeN)
+      val candP = probeCandidateIdPairs(bc)
         .filter(col("vec_a") < RecallProbeN && col("vec_b") < RecallProbeN)
       val hit = truth.join(cand, Seq("vec_a", "vec_b"), "left_semi")
+      val hitP = truth.join(candP, Seq("vec_a", "vec_b"), "left_semi")
       truth.agg(count(lit(1)).as("n_true"))
         .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(candP.agg(count(lit(1)).as("n_cand_probe")))
+        .crossJoin(hitP.agg(count(lit(1)).as("n_hit_probe")))
         .select(col("n_true"), col("n_cand"), col("n_hit"),
           when(col("n_true") > 0, graft.Det.dround(
             col("n_hit").cast("double") / col("n_true"), 4)).as("recall"),
           when(col("n_cand") > 0, graft.Det.dround(
-            col("n_hit").cast("double") / col("n_cand"), 4)).as("precision"))
+            col("n_hit").cast("double") / col("n_cand"), 4)).as("precision"),
+          col("n_cand_probe"), col("n_hit_probe"),
+          when(col("n_true") > 0, graft.Det.dround(
+            col("n_hit_probe").cast("double") / col("n_true"), 4))
+            .as("recall_probe"),
+          when(col("n_cand_probe") > 0, graft.Det.dround(
+            col("n_hit_probe").cast("double") / col("n_cand_probe"), 4))
+            .as("precision_probe"))
     }),
 
     // Product quantization — CODES: each vector's 4 sub-block
@@ -584,6 +640,20 @@ object SimilarityPack extends QueryPack {
        |           ON a.band = b.band AND a.bucket = b.bucket
        |          AND a.vec_id < b.vec_id)""".stripMargin
 
+  /** Multi-probe candidate pairs (band keys within Hamming distance
+    * 1) — the SQL mirror of [[probeCandidateIdPairs]] over bcap. */
+  private val probeCandCtes =
+    s"""pprobe AS (SELECT vec_id, band,
+       |    CASE WHEN j = -1 THEN bucket
+       |         ELSE xor(bucket, 1::BIGINT << j) END AS bucket
+       |  FROM bcap,
+       |       UNNEST(generate_series(-1, ${Similarity.PlanesPerBand - 1})) AS g(j)),
+       |pcand AS (SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
+       |                 greatest(a.vec_id, b.vec_id) AS vec_b
+       |          FROM pprobe a JOIN bcap b
+       |            ON a.band = b.band AND a.bucket = b.bucket
+       |           AND a.vec_id <> b.vec_id)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "sim_cosine_topk" ->
       s"""SELECT query_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos FROM (
@@ -651,6 +721,17 @@ object SimilarityPack extends QueryPack {
          |SELECT vec_a, vec_b,
          |       floor(${sqlCos("ea.embedding", "eb.embedding")} * 1e6 + 0.5) / 1e6 AS cos
          |FROM cand
+         |JOIN embeddings ea ON vec_a = ea.vec_id
+         |JOIN embeddings eb ON vec_b = eb.vec_id
+         |WHERE ${sqlCos("ea.embedding", "eb.embedding")} >= 0.3""".stripMargin,
+
+    "sim_ann_pairs_probe" ->
+      s"""WITH $planesCte,
+         |$bcapCandCtes,
+         |$probeCandCtes
+         |SELECT vec_a, vec_b,
+         |       floor(${sqlCos("ea.embedding", "eb.embedding")} * 1e6 + 0.5) / 1e6 AS cos
+         |FROM pcand
          |JOIN embeddings ea ON vec_a = ea.vec_id
          |JOIN embeddings eb ON vec_b = eb.vec_id
          |WHERE ${sqlCos("ea.embedding", "eb.embedding")} >= 0.3""".stripMargin,
@@ -750,6 +831,7 @@ object SimilarityPack extends QueryPack {
     "ds_lsh_recall" ->
       s"""WITH $planesCte,
          |$bcapCandCtes,
+         |$probeCandCtes,
          |sub AS (SELECT vec_id, embedding FROM embeddings
          |        WHERE vec_id < $RecallProbeN),
          |truth AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -757,18 +839,30 @@ object SimilarityPack extends QueryPack {
          |  WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.3),
          |c2 AS (SELECT vec_a, vec_b FROM cand
          |       WHERE vec_a < $RecallProbeN AND vec_b < $RecallProbeN),
+         |p2 AS (SELECT vec_a, vec_b FROM pcand
+         |       WHERE vec_a < $RecallProbeN AND vec_b < $RecallProbeN),
          |m AS (SELECT
          |  (SELECT count(*) FROM truth) AS n_true,
          |  (SELECT count(*) FROM c2) AS n_cand,
          |  (SELECT count(*) FROM truth t JOIN c2
-         |     ON t.vec_a = c2.vec_a AND t.vec_b = c2.vec_b) AS n_hit)
+         |     ON t.vec_a = c2.vec_a AND t.vec_b = c2.vec_b) AS n_hit,
+         |  (SELECT count(*) FROM p2) AS n_cand_probe,
+         |  (SELECT count(*) FROM truth t JOIN p2
+         |     ON t.vec_a = p2.vec_a AND t.vec_b = p2.vec_b) AS n_hit_probe)
          |SELECT n_true, n_cand, n_hit,
          |  CASE WHEN n_true > 0 THEN
          |    floor(CAST(n_hit AS DOUBLE) / n_true * 1e4 + 0.5) / 1e4
          |  END AS recall,
          |  CASE WHEN n_cand > 0 THEN
          |    floor(CAST(n_hit AS DOUBLE) / n_cand * 1e4 + 0.5) / 1e4
-         |  END AS precision
+         |  END AS precision,
+         |  n_cand_probe, n_hit_probe,
+         |  CASE WHEN n_true > 0 THEN
+         |    floor(CAST(n_hit_probe AS DOUBLE) / n_true * 1e4 + 0.5) / 1e4
+         |  END AS recall_probe,
+         |  CASE WHEN n_cand_probe > 0 THEN
+         |    floor(CAST(n_hit_probe AS DOUBLE) / n_cand_probe * 1e4 + 0.5) / 1e4
+         |  END AS precision_probe
          |FROM m""".stripMargin,
 
     // ivf assignment CTEs + the PQ trainings: probe = equi-join on

@@ -121,4 +121,29 @@ class CappedPlansSpec extends SparkSpec {
     }
     assert(probe.size >= plain.size)
   }
+
+  test("multi-probe PAIRS are a candidate superset and measurably lift recall") {
+    val bc = SimilarityPack.capBuckets(SimilarityPack.bucketize(
+      graft.Tables.embeddings(spark, sf)))
+    val cand = SimilarityPack.candidateIdPairs(bc)
+    val candP = SimilarityPack.probeCandidateIdPairs(bc)
+    // Hamming distance 0 (home∩home) is a subset of distance ≤ 1
+    assert(cand.exceptAll(candP).count() == 0,
+      "probe candidates must superset the single-probe pairs")
+    // so the close-pairs result supersets too
+    val pairs = SimilarityPack.queries("sim_ann_pairs")(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val pairsP = SimilarityPack.queries("sim_ann_pairs_probe")(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(pairsP))
+    // and the self-audit reports the lift: strictly more true pairs
+    // recalled on this corpus, where near-dup pairs lose a 12-bit
+    // collision to one flipped plane far more often than to two
+    val r = SimilarityPack.queries("ds_lsh_recall")(spark, sf)
+      .selectExpr("recall", "recall_probe", "n_cand", "n_cand_probe")
+      .as[(Double, Double, Long, Long)].collect().head
+    assert(r._2 > r._1,
+      s"multi-probe recall ${r._2} must beat single-probe ${r._1}")
+    assert(r._4 >= r._3)
+  }
 }
