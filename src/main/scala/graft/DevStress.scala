@@ -95,6 +95,26 @@ object DevStress {
     // one row per doc at any factor; wall should track input tokens.
     time("dup_spans", DedupPack.dupSpans(toks))
 
+    // mega-component span dedup: ONE 16-token boilerplate sentence
+    // appended to EVERY doc (the "sentence spanning 10^5 docs" case),
+    // natural tokens salted per-doc so the boiler grams are the ONLY
+    // seeds — the probe isolates a single gram hash carrying ~10^5
+    // occurrences. Scale shape under that skew: the seed count and
+    // the winner min() both partial-aggregate map-side (one row per
+    // gh out of each partition), the winners join back is a 1-row
+    // build per gh, and the doc-grain regroup spreads — wall must
+    // track doc count, not component size squared. The winning-span
+    // protection invariant (losers excise exactly the 16 boiler
+    // tokens; the winner keeps them) is pinned exactly in
+    // SpanDedupSpec; this probe is the wall-clock half.
+    val boilerText = (1 to 16).map(i => s"boiler$i").mkString(" ")
+    val megaToks = renamed.select(col("doc_id"),
+      split(concat(array_join(transform(split(col("text"), " "),
+          t => concat(t, lit("_"), col("doc_id"))), " "),
+        lit(" " + boilerText)), " ").as("toks"))
+    time("dup_spans_mega", DedupPack.dupSpans(megaToks))
+    time("dup_spans_apply_mega", DedupPack.dupSpansApply(megaToks))
+
     // incremental dedup: how much of a new batch the history bloom
     // clears WITHOUT touching history. Batch = 1/5 of the replicated
     // corpus; replication makes every batch text a true duplicate of

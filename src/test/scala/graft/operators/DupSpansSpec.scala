@@ -132,6 +132,35 @@ class DupSpansSpec extends SparkSpec {
       s"expected a partial_count HashAggregate below the gh exchange:\n$plan")
   }
 
+  test("mega-component: one boilerplate sentence across every doc excises exactly (N-1) copies") {
+    // the DevStress dup_spans_*_mega probe's correctness half, exact
+    // at small scale: 200 docs share ONE 16-token boilerplate tail,
+    // natural tokens salted per-doc so the boiler grams are the only
+    // seeds. Lowest (doc_id, pos) wins → doc 0 keeps its copy; every
+    // other doc excises exactly the 16 boiler tokens (its 9 losing
+    // 8-gram spans union to [off, off+16)), and no natural token is
+    // touched — sum(n_kept) = sum(n_toks) − 16·(N−1).
+    val n = 200
+    val boiler = (1 to 16).map(i => s"boiler$i").mkString(" ")
+    val docs = (0 until n).map { d =>
+      val natural = (1 to 5 + d % 7).map(i => s"w${i}_$d").mkString(" ")
+      (d.toLong, s"$natural $boiler")
+    }
+    val toks = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val got = DedupPack.dupSpansApply(toks)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val totToks = docs.map(_._2.split(" ").length.toLong).sum
+    assert(got.values.map(_._2).sum == totToks - 16L * (n - 1),
+      "losers must excise exactly the boiler span, winners keep it")
+    assert(got(0L)._1.endsWith(boiler), "global first occurrence survives intact")
+    (1 until n).foreach { d =>
+      assert(!got(d.toLong)._1.contains("boiler"),
+        s"doc $d must excise the boilerplate")
+      assert(got(d.toLong)._2 == 5 + d % 7, s"doc $d natural tokens intact")
+    }
+  }
+
   test("within-doc repetition is duplication too; short docs report 0") {
     val rep = (1 to 8).map(i => s"r$i").mkString(" ")
     val got = run(Seq(
