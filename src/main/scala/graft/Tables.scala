@@ -22,16 +22,25 @@ object Tables {
 
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
-      // default; read the raw int64 nanos and truncate to micros —
-      // exactly what DuckDB's CAST(ts AS TIMESTAMP) does on the oracle
-      // side, so values stay comparable.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some
+      // generator versions and TIMESTAMP(MICROS, ntz) in others; the
+      // oracle side is DuckDB's plain TIMESTAMP either way. Normalize
+      // every physical form to session-tz TimestampType (sessions run
+      // UTC, so NTZ→TZ is value-preserving) so downstream queries and
+      // specs see one schema.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      // integer `div`, not `/`: nanos ~1e18 exceed double's 53-bit
-      // mantissa, so a float divide would corrupt the low digits.
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      import org.apache.spark.sql.functions.expr
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      raw.schema("ts").dataType match {
+        case LongType =>
+          // integer `div`, not `/`: nanos ~1e18 exceed double's 53-bit
+          // mantissa, so a float divide would corrupt the low digits.
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          raw.withColumn("ts", expr("cast(ts as timestamp)"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
