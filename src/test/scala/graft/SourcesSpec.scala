@@ -45,6 +45,34 @@ class SourcesSpec extends SparkSpec {
     assert(back.collect().toSet == sample.collect().toSet)
   }
 
+  test("Tables.read(events) normalizes every ts encoding to one schema") {
+    // The driver's generator has shipped events.ts as TIMESTAMP(NANOS)
+    // (read as int64 under nanosAsLong) and as TIMESTAMP(MICROS, ntz);
+    // Tables.read must map BOTH to session-tz TimestampType with the
+    // same wall-clock values, so downstream queries see one schema
+    // regardless of generator version.
+    val instantMicros = 1700000000123456L // 2023-11-14T22:13:20.123456Z
+    val base = Seq((1L, instantMicros)).toDF("event_id", "us")
+
+    val nanosDir = Files.createTempDirectory("graft-ev-nanos").toString
+    base.select($"event_id", ($"us" * 1000L).as("ts"))
+      .write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
+
+    val ntzDir = Files.createTempDirectory("graft-ev-ntz").toString
+    base.select($"event_id", // UTC session: TS → NTZ keeps the instant
+        timestamp_micros($"us").cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+
+    val fromNanos = Tables.events(spark, nanosDir)
+    val fromNtz = Tables.events(spark, ntzDir)
+    assert(fromNanos.schema("ts").dataType == TimestampType)
+    assert(fromNtz.schema("ts").dataType == TimestampType)
+    val micros = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(unix_micros($"ts")).as[Long].head()
+    assert(micros(fromNanos) == instantMicros)
+    assert(micros(fromNtz) == instantMicros)
+  }
+
   test("Det.dround: floor(x*10^s+0.5)/10^s semantics, incl. negatives") {
     val got = Seq(0.12344999, 0.12345001, -0.5, 2.5, 0.0)
       .toDF("x").select(Det.dround(col("x"), 4)).as[Double].collect().toSeq
