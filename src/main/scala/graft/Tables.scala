@@ -41,6 +41,20 @@ object Tables {
           raw.withColumn("ts", expr("cast(ts as timestamp)"))
         case _ => raw
       }
+    } else if (name == "embeddings") {
+      // Same drift insurance for the vector table: every sim_*/ds_*
+      // operator (and the float-expression SQL oracles) assumes
+      // array<float>; normalize if a generator version ships doubles.
+      import org.apache.spark.sql.functions.expr
+      import org.apache.spark.sql.types.{ArrayType, FloatType}
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("embedding").dataType match {
+        case ArrayType(FloatType, _) => raw
+        case _: ArrayType =>
+          raw.withColumn("embedding", expr("cast(embedding as array<float>)"))
+        case other => throw new IllegalStateException(
+          s"embeddings.embedding must be an array, got $other")
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

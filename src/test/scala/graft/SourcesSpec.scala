@@ -73,6 +73,21 @@ class SourcesSpec extends SparkSpec {
     assert(micros(fromNtz) == instantMicros)
   }
 
+  test("Tables.read(embeddings) normalizes double vectors to array<float>") {
+    // Same drift class as events.ts: the sim_*/ds_* operators and the
+    // float-expression oracles assume array<float>; a generator that
+    // ships doubles must be coerced at the read boundary.
+    val dir = Files.createTempDirectory("graft-emb-dbl").toString
+    Seq((1L, Seq(0.5d, -1.25d), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val back = Tables.embeddings(spark, dir)
+    assert(back.schema("embedding").dataType ==
+      ArrayType(FloatType, containsNull = true))
+    assert(back.select($"embedding").as[Seq[Float]].head()
+      == Seq(0.5f, -1.25f))
+  }
+
   test("Det.dround: floor(x*10^s+0.5)/10^s semantics, incl. negatives") {
     val got = Seq(0.12344999, 0.12345001, -0.5, 2.5, 0.0)
       .toDF("x").select(Det.dround(col("x"), 4)).as[Double].collect().toSeq
