@@ -59,21 +59,30 @@ object Components {
     def dropFed(): Unit = {
       persisted.foreach(_.unpersist(blocking = false)); persisted.clear()
     }
+    val spark = pairs.sparkSession
+    val confKey = "spark.sql.shuffle.partitions"
+    val savedWidth = spark.conf.get(confKey)
     try {
       val edges = mat(pairs.select(col(a).as("src"), col(b).as("dst"))
         .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
         .distinct())
-      // Reliable path: write edges' checkpoint NOW with a direct action.
-      // doCheckpoint after a job walks up from the job's final RDD and
-      // stops at the FIRST checkpoint-marked RDD (checkpointAllMarked-
-      // Ancestors defaults to false), so iteration 1's count job would
-      // checkpoint only `next` — edges' files would never be written and
-      // dropFed() would leave the loop recomputing edges from the raw
-      // pairs lineage every iteration. A job whose final RDD IS edges'
-      // marked RDD writes them; edges then reads files for the whole
-      // loop and its feeder cache can drop immediately. (Local path:
-      // localCheckpoint persists internally, nothing to do.)
-      if (reliable) { edges.count(); dropFed() }
+      // Materialize edges NOW with a direct action. Reliable path: the
+      // checkpoint write — doCheckpoint after a job walks up from the
+      // job's final RDD and stops at the FIRST checkpoint-marked RDD
+      // (checkpointAllMarkedAncestors defaults to false), so iteration
+      // 1's count job would checkpoint only `next` — edges' files would
+      // never be written and dropFed() would leave the loop recomputing
+      // edges from the raw pairs lineage every iteration. A job whose
+      // final RDD IS edges' marked RDD writes them; edges then reads
+      // files for the whole loop and its feeder cache can drop
+      // immediately. The count also sizes the LOOP's shuffle width
+      // (see LoopWidth): the edge build above ran data-proportional at
+      // the session width; the label frames the loop shuffles are
+      // ≤ |nodes| ≤ 2·|edges| rows and must not be scheduled as
+      // cluster-width micro-stages when that is kilobytes.
+      val nEdges = edges.count()
+      if (reliable) dropFed()
+      spark.conf.set(confKey, LoopWidth.partitionsFor(nEdges, spark).toString)
       // seed with the first neighbor-min pass (saves one iteration):
       // comp0 = min(node, min neighbor)
       var labels = mat(edges
@@ -104,7 +113,7 @@ object Components {
           s"connectedComponents: no fixpoint after $maxIter iterations — " +
             "refusing to return a partially-propagated labeling")
       labels.select(col("node"), col("comp").as("rep"))
-    } finally dropFed()
+    } finally { spark.conf.set(confKey, savedWidth); dropFed() }
   }
 
   /** Large-star/small-star connected components (Kiveris et al.,
@@ -171,6 +180,9 @@ object Components {
     // ONE materialization of the (possibly expensive) input keeps
     // self-rows, and both the edge frame and the node universe are
     // cheap derivations of that checkpoint.
+    val spark = pairs.sparkSession
+    val confKey = "spark.sql.shuffle.partitions"
+    val savedWidth = spark.conf.get(confKey)
     try {
       val base = mat(pairs.select(
         greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
@@ -180,6 +192,11 @@ object Components {
       var edges = base.filter(col("u") =!= col("v"))
       var prevCount = edges.count()
       dropFed()
+      // loop width sized from the measured edge count (see LoopWidth;
+      // the star rounds shuffle edge-scale frames, and each round is
+      // 4+ stages — micro-stage scheduling dominates a small graph at
+      // cluster width). The base build above ran at the session width.
+      spark.conf.set(confKey, LoopWidth.partitionsFor(prevCount, spark).toString)
       var converged = false
       var it = 0
       while (!converged && it < maxIter) {
@@ -204,6 +221,6 @@ object Components {
         .join(edges.select(col("u").as("node"), col("v").as("rep")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("rep"), col("node")).as("rep"))
-    } finally dropFed()
+    } finally { spark.conf.set(confKey, savedWidth); dropFed() }
   }
 }

@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Shuffle-width sizing for ITERATIVE operators (PageRank, connected
+  * components): a fixed-point loop schedules several stages per round,
+  * and running those stages at the session's full shuffle width over
+  * a frame of a few thousand rows turns the loop into pure task-
+  * scheduling overhead (the round-6 driver bench measured the same
+  * PageRank commit at 5.7 s with 4-wide shuffles and 30 s with
+  * 32-wide — zero data difference). One task per [[RowsPerTask]]
+  * rows, capped at the cluster parallelism, keeps per-task work in
+  * the right range at BOTH ends: kilobyte frames get 1–2 tasks,
+  * a 10¹⁰-edge graph still uses every core.
+  *
+  * Callers set `spark.sql.shuffle.partitions` to this for the loop
+  * and restore it after (cached plans pin their partitioning when
+  * built — AQE does not re-coalesce them — so the width must be
+  * right at cache-build time, not fixed up afterwards).
+  */
+object LoopWidth {
+
+  /** Loop-frame rows per task. */
+  val RowsPerTask = 2000000L
+
+  def partitionsFor(rows: Long, spark: SparkSession): Int =
+    math.min(
+      rows / RowsPerTask + 1,
+      math.max(1, spark.sparkContext.defaultParallelism).toLong).toInt
+}

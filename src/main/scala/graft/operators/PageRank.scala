@@ -32,11 +32,9 @@ object PageRank {
   /** Rank fixed-point scale: rank 1.0 ≡ 1e6. */
   val Scale = 1000000L
 
-  /** Edges per loop task: the iterative stages carry frames of at
-    * most |nodes| ≤ 2·|edges| rows, so one task per ~2M edges keeps
-    * per-task work in the right range without scheduling
-    * cluster-width micro-stages over kilobyte frames. */
-  val EdgesPerTask = 2000000L
+  /** Edges per loop task — see [[LoopWidth]] (shared with the
+    * connected-components loops). */
+  val EdgesPerTask: Long = LoopWidth.RowsPerTask
 
   /** `iters` damped fixed-point rounds over `edges(src, dst)`;
     * returns (node, rank) for every node in src ∪ dst, fully
@@ -73,9 +71,7 @@ object PageRank {
     val eRaw = edges.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = eRaw.count()
-    val p = math.min(
-      nEdges / EdgesPerTask + 1,
-      math.max(1, spark.sparkContext.defaultParallelism).toLong).toInt
+    val p = LoopWidth.partitionsFor(nEdges, spark)
     val confKey = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(confKey)
     val frames = scala.collection.mutable.ArrayBuffer(eRaw)
