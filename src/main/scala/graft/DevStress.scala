@@ -223,6 +223,30 @@ object DevStress {
     if (hc > 0)
       println(f"[stress] x$factor%-3d hot-bucket reduction      ${hu.toDouble / hc}%8.2fx")
 
+    // pagerank: the q_pagerank edge graph replicated factor× with
+    // shifted node ids (disjoint copies of the original graph — same
+    // structure, factor× edges). Wall should track edge count: each
+    // round is one join of ranks onto the src-partitioned cached
+    // edges + one map-side-combined agg, and LoopWidth grows the loop
+    // width with the measured edges (disjoint copies also pin that
+    // ranks stay bit-identical per copy — integer arithmetic is
+    // replica-independent).
+    if (only.isEmpty || "pagerank".contains(only)) {
+      val li = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+      val e1 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + lit(1L << 40)).as("dst"))
+      val shift = 1L << 50 // copies live in disjoint id ranges
+      val eBig = e1.crossJoin(spark.range(factor).select(col("id").as("rep")))
+        .select((col("src") + col("rep") * shift).as("src"),
+          (col("dst") + col("rep") * shift).as("dst"))
+      val t0 = System.nanoTime()
+      val n2 = graft.operators.PageRank.fixedPoint(eBig, iters = 3).count()
+      println(f"[stress] x$factor%-3d pagerank_3rounds          ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n2%10d rows")
+    }
+
     // k-means: one Lloyd step over the replicated embeddings — per
     // iteration ONE scan (literal-centroid argmax via codegen'd
     // FloatDot) + a ≤ k·d-row shuffle, so wall should track input
