@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Per-query bench regression gate: compare a fresh BENCH_FULL.json
+against a reference run (default: the last committed one) and flag
+queries whose wall time grew beyond a threshold.
+
+The host swings +-25% intra-day, so the default threshold is 2x --
+the round-6 q_pagerank regression (4.5x) is the class of bug this
+catches pre-commit; sub-2x drift is noise here.
+
+Usage: python3 tools/bench_gate.py [new.json] [--ref <json|git>] [--ratio 2.0]
+       (git ref form: HEAD:BENCH_FULL.json)
+"""
+import json, subprocess, sys
+
+
+def load(src):
+    if ":" in src and not src.endswith(".json") or src.count(":") == 1 and "/" not in src.split(":")[0]:
+        out = subprocess.run(["git", "show", src], capture_output=True, text=True)
+        if out.returncode == 0:
+            return json.loads(out.stdout)
+    with open(src) as f:
+        return json.load(f)
+
+
+def main():
+    args = sys.argv[1:]
+    new_path, ref, ratio = "BENCH_FULL.json", "HEAD:BENCH_FULL.json", 2.0
+    while args:
+        a = args.pop(0)
+        if a == "--ref":
+            ref = args.pop(0)
+        elif a == "--ratio":
+            ratio = float(args.pop(0))
+        else:
+            new_path = a
+    new, old = load(new_path), load(ref)
+    nq, oq = new["queries"], old["queries"]
+    bad = []
+    for name, t in sorted(nq.items()):
+        t0 = oq.get(name)
+        if t0 is None or t0 <= 0 or t < 0:
+            continue  # new query / failed run -- not a regression signal
+        if t > t0 * ratio and t - t0 > 1.0:  # ratio AND absolute floor:
+            # a 0.2s->0.5s micro-query is scheduling noise, not a find
+            bad.append((name, t0, t))
+    print(f"[gate] {len(nq)} queries, ref={ref}, threshold {ratio}x (+1s floor)")
+    print(f"[gate] total {old['value']:.1f}s -> {new['value']:.1f}s")
+    for name, t0, t in sorted(bad, key=lambda x: -x[2] / x[1]):
+        print(f"[REGR] {name}: {t0:.2f}s -> {t:.2f}s ({t / t0:.1f}x)")
+    if not bad:
+        print("[gate] no per-query regressions")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
