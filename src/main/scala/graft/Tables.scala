@@ -28,15 +28,25 @@ object Tables {
       // every physical form to session-tz TimestampType (sessions run
       // UTC, so NTZ→TZ is value-preserving) so downstream queries and
       // specs see one schema.
+      // Deliberately session-wide and never restored: the flag is read
+      // at scan EXECUTION time, so restoring it after this (lazy) read
+      // would break the scan when the caller's action finally runs. It
+      // only affects TIMESTAMP(NANOS) parquet, which nothing else in
+      // this engine reads.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       import org.apache.spark.sql.functions.expr
       import org.apache.spark.sql.types.{LongType, TimestampNTZType}
       raw.schema("ts").dataType match {
         case LongType =>
-          // integer `div`, not `/`: nanos ~1e18 exceed double's 53-bit
+          // integer math, not `/`: nanos ~1e18 exceed double's 53-bit
           // mantissa, so a float divide would corrupt the low digits.
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          // FLOOR division (pmod makes the dividend exactly divisible),
+          // not `div`'s truncation toward zero: a pre-epoch instant
+          // whose nanos aren't a multiple of 1000 must round DOWN to
+          // the earlier microsecond, as every epoch conversion does.
+          raw.withColumn("ts",
+            expr("timestamp_micros((ts - pmod(ts, 1000L)) div 1000)"))
         case TimestampNTZType =>
           raw.withColumn("ts", expr("cast(ts as timestamp)"))
         case _ => raw

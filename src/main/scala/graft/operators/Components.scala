@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   * whenever `sparkContext.setCheckpointDir` is configured — an
   * executor loss mid-loop then recovers from storage instead of
   * killing the lineage; executor-local otherwise (single-JVM runs).
+  *
+  * Checkpoint FILE retention (reliable path): superseded iterations'
+  * checkpoint files stay under the checkpoint dir until their backing
+  * RDDs are garbage-collected — long-lived sessions that loop dedup
+  * batches should set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so the
+  * ContextCleaner deletes the files with the RDDs (block-manager
+  * CACHES are dropped eagerly here; the files are the cleaner's job,
+  * matching how Spark manages reliable checkpoints generally).
   */
 object Components {
 

@@ -32,10 +32,6 @@ object PageRank {
   /** Rank fixed-point scale: rank 1.0 ≡ 1e6. */
   val Scale = 1000000L
 
-  /** Edges per loop task — see [[LoopWidth]] (shared with the
-    * connected-components loops). */
-  val EdgesPerTask: Long = LoopWidth.RowsPerTask
-
   /** `iters` damped fixed-point rounds over `edges(src, dst)`;
     * returns (node, rank) for every node in src ∪ dst, fully
     * materialized (the iterative work runs HERE, not at the caller's
@@ -68,18 +64,24 @@ object PageRank {
   def fixedPoint(edges: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = edges.sparkSession
-    val eRaw = edges.select(col("src"), col("dst")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = eRaw.count()
-    val p = LoopWidth.partitionsFor(nEdges, spark)
     val confKey = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(confKey)
-    val frames = scala.collection.mutable.ArrayBuffer(eRaw)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // everything after the first persist sits inside try/finally: a
+    // failed count must not strand cached blocks in a shared session
     try {
+      val eRaw = edges.select(col("src"), col("dst")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frames += eRaw
+      val nEdges = eRaw.count()
+      val p = LoopWidth.partitionsFor(nEdges, spark)
       spark.conf.set(confKey, p.toString)
       val eCols = eRaw.repartition(p, col("src"))
-      val nodes = eCols.select(col("src").as("node"))
-        .union(eCols.select(col("dst").as("node"))).distinct()
+      // nodes read the CACHED eRaw, not the repartition: distinct()
+      // reshuffles by node either way, so going through eCols would
+      // just pay the by-src exchange twice for nothing
+      val nodes = eRaw.select(col("src").as("node"))
+        .union(eRaw.select(col("dst").as("node"))).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
       // deg rides on the cached edges: one groupBy at build time
       // instead of an outdeg join inside every round

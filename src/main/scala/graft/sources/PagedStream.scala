@@ -71,10 +71,21 @@ class PagedTableProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    val maxPages = Option(opts.get("maxPagesPerTrigger")).map { v =>
+      val n = try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"option 'maxPagesPerTrigger' must be a positive integer, got '$v'")
+      }
+      // 0 would make AvailableNow terminate 'successfully' having read
+      // nothing; a negative cap would move offsets BACKWARD — fail fast
+      require(n > 0,
+        s"option 'maxPagesPerTrigger' must be positive, got $n")
+      n
+    }
     new PagedTable(
       Option(opts.get("feed")).getOrElse(
         throw new IllegalArgumentException("option 'feed' is required")),
-      Option(opts.get("maxPagesPerTrigger")).map(_.toLong))
+      maxPages)
   }
 }
 
@@ -162,11 +173,16 @@ class PagedMicroBatchStream(feed: String, maxPagesPerTrigger: Option[Long])
     val avail = availableAtPrepare
       .fold(PageFeed.get(feed).size.toLong)(
         math.min(_, PageFeed.get(feed).size.toLong))
-    limit match {
-      case m: ReadMaxRows => PagedOffset(math.min(avail, from + m.maxRows()))
-      case _: ReadAllAvailable => PagedOffset(avail)
-      case _ => PagedOffset(avail)
+    // recursive so a CompositeReadLimit (e.g. maxRows + future minRows)
+    // still honors its embedded row cap instead of falling through to
+    // admit-everything and silently defeating the throttle
+    def admit(l: ReadLimit): Long = l match {
+      case m: ReadMaxRows => math.min(avail, from + m.maxRows())
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        c.getReadLimits.map(admit).min
+      case _ => avail // ReadAllAvailable and unknown limits
     }
+    PagedOffset(admit(limit))
   }
 
   override def reportLatestOffset(): Offset =
@@ -177,14 +193,17 @@ class PagedMicroBatchStream(feed: String, maxPagesPerTrigger: Option[Long])
     * bitcoinabuse/main.go:80-120); in production each partition
     * carries its cursor range and the reader fetches it. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[PagedOffset].position.toInt
-    val to = end.asInstanceOf[PagedOffset].position.toInt
+    val fromL = start.asInstanceOf[PagedOffset].position
+    val toL = end.asInstanceOf[PagedOffset].position
     val pages = PageFeed.get(feed)
-    require(to <= pages.size,
-      s"offset $to beyond feed size ${pages.size} — feed must be " +
-        "re-registered before restart (sandbox stand-in for the " +
-        "re-fetchable remote API)")
-    pages.slice(from, to).map(p => PagedInputPartition(Array(p))
+    // bound-check on the LONG values before narrowing: a position past
+    // Int.MaxValue would wrap negative in toInt, slice would clamp to
+    // 0, and committed pages would replay — breaking no-dup/no-gap
+    require(toL <= pages.size.toLong && fromL >= 0,
+      s"offset range [$fromL, $toL) beyond feed size ${pages.size} — " +
+        "feed must be re-registered before restart (sandbox stand-in " +
+        "for the re-fetchable remote API)")
+    pages.slice(fromL.toInt, toL.toInt).map(p => PagedInputPartition(Array(p))
       : InputPartition).toArray
   }
 

@@ -56,6 +56,9 @@ class SourcesSpec extends SparkSpec {
 
     val nanosDir = Files.createTempDirectory("graft-ev-nanos").toString
     base.select($"event_id", ($"us" * 1000L).as("ts"))
+      // pre-epoch row with nanos NOT a multiple of 1000: must FLOOR to
+      // the earlier microsecond (-2), not truncate toward zero (-1)
+      .union(Seq((2L, -1500L)).toDF("event_id", "ts"))
       .write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
 
     val ntzDir = Files.createTempDirectory("graft-ev-ntz").toString
@@ -68,9 +71,9 @@ class SourcesSpec extends SparkSpec {
     assert(fromNanos.schema("ts").dataType == TimestampType)
     assert(fromNtz.schema("ts").dataType == TimestampType)
     val micros = (df: org.apache.spark.sql.DataFrame) =>
-      df.select(unix_micros($"ts")).as[Long].head()
-    assert(micros(fromNanos) == instantMicros)
-    assert(micros(fromNtz) == instantMicros)
+      df.orderBy($"event_id").select(unix_micros($"ts")).as[Long].collect().toSeq
+    assert(micros(fromNanos) == Seq(instantMicros, -2L))
+    assert(micros(fromNtz) == Seq(instantMicros))
   }
 
   test("Tables.read(embeddings) normalizes double vectors to array<float>") {

@@ -81,4 +81,37 @@ class ComponentsSpec extends SparkSpec {
     assert(Components.largeSmallStar(pairs)
       .as[(Long, Long)].collect().toMap == expected)
   }
+
+  test("RELIABLE-checkpoint path: both engines, files written, caches dropped") {
+    // The persist-before-checkpoint ordering and the edges.count()
+    // materialization reasoning (scaladoc of mat/dropFed) only run
+    // when a checkpoint dir is set — this pins that branch instead of
+    // shipping it verified by comments. NOTE: SparkContext has no
+    // public unset, so the dir stays configured for suites that run
+    // after this one (they then exercise the reliable path too — a
+    // coverage widening, not interference: both paths share every
+    // contract this suite asserts).
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L))
+      .toDF("doc_a", "doc_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 9L -> 7L)
+    assert(Components.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap == expected)
+    assert(Components.largeSmallStar(pairs)
+      .as[(Long, Long)].collect().toMap == expected)
+    // the branch actually wrote reliable checkpoints...
+    def files(f: java.io.File): Seq[java.io.File] = {
+      val kids = Option(f.listFiles()).toSeq.flatten
+      kids ++ kids.filter(_.isDirectory).flatMap(files)
+    }
+    assert(files(new java.io.File(dir)).exists(_.isFile))
+    // ...and dropFed released every loop cache (no NEW persistent
+    // entries leak into the shared session; other suites' caches,
+    // if any, are not this test's business)
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+      .subsetOf(cachedBefore))
+  }
 }

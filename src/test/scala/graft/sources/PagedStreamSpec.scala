@@ -16,6 +16,24 @@ class PagedStreamSpec extends SparkSpec {
 
   private def page(n: Long) = (n, s"<html>page$n</html>")
 
+  test("invalid maxPagesPerTrigger fails fast, naming the option") {
+    val feed = "opt-validate-feed"
+    PageFeed.register(feed, Seq(page(1L)))
+    // 0 would let AvailableNow 'finish' having read nothing; a
+    // negative cap would move offsets backward; junk must not surface
+    // as a bare NumberFormatException
+    for (bad <- Seq("0", "-3", "abc")) {
+      val e = intercept[Exception] {
+        spark.readStream.format("graft-paged").option("feed", feed)
+          .option("maxPagesPerTrigger", bad).load()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("maxPagesPerTrigger")),
+        s"'$bad' must be rejected with the option named, got $e")
+    }
+  }
+
   test("maxPagesPerTrigger throttles each micro-batch (admission control)") {
     val feed = "throttle-feed"
     PageFeed.register(feed, (1L to 5L).map(page))
