@@ -174,11 +174,7 @@ object DedupPack extends QueryPack {
     // shingle sets, threshold 0.5.
     "ds_lsh_jaccard_verify" -> ((s, dir) => {
       val cand = candidatePairs(s, dir)
-      val sh = tokenized(s, dir)
-        .select(col("doc_id"),
-          explode(transform(Hashing.shingles(col("toks"), 3),
-            s2 => Hashing.h32(s2))).as("shingle"))
-        .distinct()
+      val sh = hashedShingles(tokenized(s, dir))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val shared = cand
         .join(sh.alias("sa"), col("doc_a") === col("sa.doc_id"))
@@ -361,7 +357,10 @@ object DedupPack extends QueryPack {
     * list_reduce has no struct accumulators). Bounds docs at 2^20
     * tokens — generous (a 1M-token doc is pathological; a production
     * corpus splits those upstream). */
-  val SpanPosBase = 1L << 20
+  /** log2 of [[SpanPosBase]] — retune the pair together (the fold's
+    * finish extracts the covered count with this shift). */
+  val SpanPosShift = 20
+  val SpanPosBase = 1L << SpanPosShift
 
   /** Per-doc duplicated-substring coverage: (doc_id, n_toks,
     * dup_toks). Seeds = [[SpanGram]]-token grams occurring ≥ 2 times
@@ -388,7 +387,7 @@ object DedupPack extends QueryPack {
             // ends are monotone over sorted starts) and roll prevEnd
             st - prevEnd + (end - greatest(p, prevEnd)) * base + end
           },
-          st => shiftright(st, 20)).as("dup_toks"))
+          st => shiftright(st, SpanPosShift)).as("dup_toks"))
     docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
       .join(covered, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_toks"),
@@ -505,14 +504,21 @@ object DedupPack extends QueryPack {
     * so the linearity probe measures the join, not the cap. */
   val JaccardDfCap = 5
 
-  /** The ds_jaccard_pairs body over any (doc_id, toks) frame —
-    * factored out so DevStress can drive it at replicated scale. */
-  def jaccardPairs(tokens: DataFrame, dfCap: Int = JaccardDfCap): DataFrame = {
-    val sh0 = tokens
+  /** THE distinct hashed-shingle set of a doc — (doc_id, shingle)
+    * with 3-token shingles through [[Hashing.h32]]. Single source for
+    * every Jaccard query (pairs + LSH-verify): the two are comparable
+    * only while they share this projection exactly. */
+  def hashedShingles(tokens: DataFrame): DataFrame =
+    tokens
       .select(col("doc_id"),
         explode(transform(Hashing.shingles(col("toks"), 3),
           s2 => Hashing.h32(s2))).as("shingle"))
       .distinct()
+
+  /** The ds_jaccard_pairs body over any (doc_id, toks) frame —
+    * factored out so DevStress can drive it at replicated scale. */
+  def jaccardPairs(tokens: DataFrame, dfCap: Int = JaccardDfCap): DataFrame = {
+    val sh0 = hashedShingles(tokens)
     // df cap: one extra agg + semi-join, both on the same 8-byte
     // shingle key the pair join shuffles on (partitioning reused)
     val keep = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -541,7 +547,7 @@ object DedupPack extends QueryPack {
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
        |sh AS (SELECT doc_id, ts[j+1] || ' ' || ts[j+2] || ' ' || ts[j+3] AS s
        |       FROM t, UNNEST(generate_series(0, len(ts) - 3)) AS g(j)),
-       |hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+       |hh AS (SELECT doc_id, ${Hashing.sqlH32("s")} AS h FROM sh),
        |sig AS (SELECT doc_id,
        |         $sigSqlCols
        |        FROM hh GROUP BY doc_id)""".stripMargin
@@ -571,9 +577,9 @@ object DedupPack extends QueryPack {
        |GROUP BY n""".stripMargin
 
   private val simhashCte =
-    """tk AS (SELECT DISTINCT doc_id, tok FROM
+    s"""tk AS (SELECT DISTINCT doc_id, tok FROM
       |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
-      |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tk),
+      |h AS (SELECT doc_id, ${Hashing.sqlH32("tok")} AS h FROM tk),
       |bits AS (SELECT doc_id, j,
       |           sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
       |         FROM h, UNNEST(generate_series(0, 31)) AS g(j)
@@ -675,7 +681,7 @@ object DedupPack extends QueryPack {
     "ds_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id,
-        |         ('0x' || substr(md5(ts[j+1] || ' ' || ts[j+2] || ' ' || ts[j+3]), 1, 8))::BIGINT AS shingle
+        |         ${Hashing.sqlH32("ts[j+1] || ' ' || ts[j+2] || ' ' || ts[j+3]")} AS shingle
         |       FROM t, UNNEST(generate_series(0, len(ts) - 3)) AS g(j)),
         |keep AS (SELECT shingle FROM sh0 GROUP BY shingle
         |         HAVING count(*) <= $JaccardDfCap),

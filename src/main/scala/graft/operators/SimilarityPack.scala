@@ -80,11 +80,28 @@ object SimilarityPack extends QueryPack {
     * would 13× the INDEX, not just the join's probe side. Probing is
     * against the capped home buckets, so the budget cap still bounds
     * every bucket's contribution. */
+  /** The Hamming≤1 probe set of a band key: the bucket itself plus
+    * every one-bit flip — THE definition of multi-probe fan-out,
+    * shared by the pairs and top-k paths (its SQL mirror is
+    * [[sqlProbeSelect]]; changing probe depth means changing both). */
+  def probeBuckets(bucket: Column): Column =
+    explode(array(bucket +:
+      (0 until Similarity.PlanesPerBand).map(j =>
+        bucket.bitwiseXOR(lit(1L << j))): _*))
+
+  /** SQL mirror of [[probeBuckets]]: one row per probe bucket of
+    * `src` (which must expose band, bucket and the id column named in
+    * `idSelect`). */
+  def sqlProbeSelect(src: String, idSelect: String): String =
+    s"""SELECT $idSelect, band,
+       |    CASE WHEN j = -1 THEN bucket
+       |         ELSE xor(bucket, 1::BIGINT << j) END AS bucket
+       |  FROM $src,
+       |       UNNEST(generate_series(-1, ${Similarity.PlanesPerBand - 1})) AS g(j)""".stripMargin
+
   def probeCandidateIdPairs(buckets: DataFrame): DataFrame = {
     val probes = buckets.select(col("vec_id"), col("band"),
-      explode(array(col("bucket") +:
-        (0 until Similarity.PlanesPerBand).map(j =>
-          col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+      probeBuckets(col("bucket")).as("bucket"))
     probes.alias("a").join(buckets.alias("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -291,9 +308,7 @@ object SimilarityPack extends QueryPack {
       val bc = cappedBuckets(s, dir)
       val qprobe = bc.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("band"),
-          explode(array(col("bucket") +:
-            (0 until Similarity.PlanesPerBand).map(j =>
-              col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+          probeBuckets(col("bucket")).as("bucket"))
       annTopK(s, dir, queryCandidates(qprobe, bc))
     }),
 
@@ -377,11 +392,16 @@ object SimilarityPack extends QueryPack {
           (Similarity.dot(col("a.embedding"), col("b.embedding"))
             / (col("a.nrm") * col("b.nrm"))).as("cos"))
         .filter(col("cos") >= 0.3)
-      val bc = cappedBuckets(s, dir)
+      // Subset the INDEX before candidate generation, not the pairs
+      // after: a candidate pair has both members in the subset, so
+      // filtering the capped index first yields the identical pair set
+      // — while the pair-side filter sits above least/greatest and
+      // cannot push down, leaving the 13× probe join running at corpus
+      // scale for a RecallProbeN-vector audit. (Caps are applied on
+      // the FULL corpus first, so bucket membership is unchanged.)
+      val bc = cappedBuckets(s, dir).filter(col("vec_id") < RecallProbeN)
       val cand = candidateIdPairs(bc)
-        .filter(col("vec_a") < RecallProbeN && col("vec_b") < RecallProbeN)
       val candP = probeCandidateIdPairs(bc)
-        .filter(col("vec_a") < RecallProbeN && col("vec_b") < RecallProbeN)
       val hit = truth.join(cand, Seq("vec_a", "vec_b"), "left_semi")
       val hitP = truth.join(candP, Seq("vec_a", "vec_b"), "left_semi")
       truth.agg(count(lit(1)).as("n_true"))
@@ -643,11 +663,7 @@ object SimilarityPack extends QueryPack {
   /** Multi-probe candidate pairs (band keys within Hamming distance
     * 1) — the SQL mirror of [[probeCandidateIdPairs]] over bcap. */
   private val probeCandCtes =
-    s"""pprobe AS (SELECT vec_id, band,
-       |    CASE WHEN j = -1 THEN bucket
-       |         ELSE xor(bucket, 1::BIGINT << j) END AS bucket
-       |  FROM bcap,
-       |       UNNEST(generate_series(-1, ${Similarity.PlanesPerBand - 1})) AS g(j)),
+    s"""pprobe AS (${sqlProbeSelect("bcap", "vec_id")}),
        |pcand AS (SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
        |                 greatest(a.vec_id, b.vec_id) AS vec_b
        |          FROM pprobe a JOIN bcap b
@@ -773,11 +789,8 @@ object SimilarityPack extends QueryPack {
     "sim_ann_topk_probe" ->
       s"""WITH $planesCte,
          |$bcapCandCtes,
-         |qprobe AS (SELECT vec_id AS query_id, band,
-         |    CASE WHEN j = -1 THEN bucket
-         |         ELSE xor(bucket, 1::BIGINT << j) END AS bucket
-         |  FROM (SELECT * FROM bcap WHERE vec_id < 10),
-         |       UNNEST(generate_series(-1, ${Similarity.PlanesPerBand - 1})) AS g(j)),
+         |qprobe AS (${sqlProbeSelect("(SELECT * FROM bcap WHERE vec_id < 10)",
+                        "vec_id AS query_id")}),
          |qcand AS (SELECT DISTINCT q.query_id, v.vec_id
          |          FROM qprobe q
          |          JOIN bcap v ON q.band = v.band AND q.bucket = v.bucket
