@@ -34,6 +34,16 @@ object Det {
     val f = s"1e$scale"
     s"floor(($expr) * $f + 0.5) / $f"
   }
+
+  /** Exact, order-independent SUM of a double column: each term cast
+    * to decimal(18,4), summed (exact decimal addition — no float
+    * summation-order dependence), rounded, widened back to double.
+    * The oracle side spells the same shape in SQL. One definition for
+    * every pack (a precision change must not be hunted across files). */
+  def dsum(c: Column, scale: Int = 2): Column = {
+    import org.apache.spark.sql.functions.{round, sum}
+    round(sum(c.cast("decimal(18,4)")), scale).cast("double")
+  }
 }
 
 trait QueryPack {

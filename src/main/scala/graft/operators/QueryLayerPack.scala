@@ -55,11 +55,10 @@ object QueryLayerPack extends QueryPack {
       .filter(col("shared") >= 3)
   }
 
-  /** Exact, order-independent sum of a double column: cast each term
-    * to decimal, sum, round, back to double. Same expression shape is
-    * used in the DuckDB oracle. */
+  /** See [[graft.Det.dsum]] — the one definition of the exact
+    * decimal-sum idiom (local alias for brevity). */
   private def dsum(c: Column, scale: Int = 2): Column =
-    round(sum(c.cast("decimal(18,4)")), scale).cast("double")
+    graft.Det.dsum(c, scale)
 
   private def davg(c: Column, scale: Int = 4): Column =
     graft.Det.dround(
@@ -82,7 +81,11 @@ object QueryLayerPack extends QueryPack {
           count(lit(1)).as("count_order"))),
 
     // Star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
-    // Dims are broadcast (explicit hint); only the fact join shuffles.
+    // BOUNDED dims (nation 25 rows, region 5 — fixed at every SF) are
+    // broadcast by explicit hint; customer GROWS with SF (15 M rows at
+    // SF 100), so it gets NO hint — locally the size-based threshold
+    // still broadcasts it, at warehouse scale it shuffle-joins like
+    // the facts instead of collecting GBs onto the driver.
     "q2_star_join_revenue" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
@@ -91,7 +94,7 @@ object QueryLayerPack extends QueryPack {
       val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_regionkey"))
       val r = Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
@@ -283,15 +286,16 @@ object QueryLayerPack extends QueryPack {
         .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal"))),
 
     // Explicit GROUPING SETS through the SQL front-end (cube/rollup
-    // cover the DataFrame route).
-    "q_grouping_sets" -> ((s, dir) => {
-      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    // cover the DataFrame route). The table is addressed by direct
+    // parquet path — a temp view would mutate the shared session
+    // catalog and could resolve to another sfDir's orders if two
+    // evaluations interleave.
+    "q_grouping_sets" -> ((s, dir) =>
       s.sql(
-        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
-          |FROM orders_v
+        s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          |FROM parquet.`$dir/orders.parquet`
           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-          |                        (o_orderstatus), ())""".stripMargin)
-    }),
+          |                        (o_orderstatus), ())""".stripMargin)),
 
     // Global top-k (TakeOrderedAndProject — no full sort at scale).
     "q_topk_orders" -> ((s, dir) =>

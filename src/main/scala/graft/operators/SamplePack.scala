@@ -137,7 +137,7 @@ object SamplePack extends QueryPack {
 
     // Out-of-time (temporal) split — the third split flavor next to
     // the random-by-key (sp_split_stats) and group-stable forms:
-    // train strictly before the cutoff, eval strictly after, leakage
+    // train strictly before the cutoff, eval at-or-after it, leakage
     // impossible by construction (the evaluation regime for anything
     // forecasting-shaped, where a random split would let the model
     // see the future). Scan-stage comparison against a literal
@@ -150,8 +150,7 @@ object SamplePack extends QueryPack {
         .groupBy("split", "event_type")
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"),
-          round(sum(col("value").cast("decimal(18,4)")), 2)
-            .cast("double").as("sum_value"))),
+          graft.Det.dsum(col("value")).as("sum_value"))),
 
     // Contrastive training triplets (anchor, positive, negative) —
     // the pair-generation step an embedding-model fine-tune runs over
@@ -301,7 +300,7 @@ object SamplePack extends QueryPack {
          |SELECT vec_id, cluster FROM sampled WHERE rn <= 16""".stripMargin,
 
     "sp_time_split" ->
-      """SELECT CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
+      s"""SELECT CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '$TimeSplitCutoff'
         |            THEN 'train' ELSE 'eval' END AS split,
         |       event_type, count(*) AS n,
         |       count(DISTINCT user_id) AS n_users,
