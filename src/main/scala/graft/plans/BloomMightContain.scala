@@ -33,6 +33,18 @@ case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
 
   override def dataType: DataType = BooleanType
 
+  // Array[Byte] compares by reference in the synthesized case-class
+  // equality, so two probes of the SAME serialized filter would never
+  // be equal — defeating common-subexpression elimination and
+  // exchange-reuse canonicalization. Compare the payload by value.
+  override def equals(other: Any): Boolean = other match {
+    case BloomMightContainLong(c, b) =>
+      c == child && java.util.Arrays.equals(b, filterBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
+
   @transient private lazy val filter: BloomFilter =
     BloomFilter.readFrom(filterBytes)
 

@@ -51,10 +51,12 @@ case class FloatDot(left: Expression, right: Expression)
     else TypeCheckResult.TypeCheckSuccess
   }
 
-  private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
-    case ArrayType(_, containsNull) => containsNull
-    case _ => true
-  })
+  // lazy val, not def: the interpreted loop reads this per element
+  private lazy val elemsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -28,7 +29,18 @@ case class MinHash8(child: Expression, numPerms: Int)
 
   private val p = graft.functions.Hashing.MinhashPrime
 
-  private def elemsNullable: Boolean = child.dataType match {
+  /** Analysis-time guard (same hardening as FloatDot): the eval path
+    * reads raw 8-byte slots, so an array<int> input (e.g. Spark's
+    * builtin hash()) would produce silently wrong signatures. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft minhash requires array<bigint>, got ${other.simpleString}")
+    }
+
+  // lazy val, not def: the interpreted loop reads this per element
+  private lazy val elemsNullable: Boolean = child.dataType match {
     case ArrayType(_, containsNull) => containsNull
     case _ => true
   }

@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -28,7 +29,18 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  private def elemsNullable: Boolean = child.dataType match {
+  /** Analysis-time guard (same hardening as FloatDot/MinHash8): the
+    * eval path reads raw 8-byte slots, so an array<int> input would
+    * produce silently wrong bit votes. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft simhash requires array<bigint>, got ${other.simpleString}")
+    }
+
+  // lazy val, not def: the interpreted loop reads this per element
+  private lazy val elemsNullable: Boolean = child.dataType match {
     case ArrayType(_, containsNull) => containsNull
     case _ => true
   }

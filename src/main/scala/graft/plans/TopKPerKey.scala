@@ -62,28 +62,35 @@ case class TopKPerKeyExec(k: Int, keyExprs: Seq[Expression],
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(ks, childOutput)
       val ordering = new LazilyGeneratedOrdering(so, childOutput)
-      // max-heap on the sort order: head = worst of the kept k
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+      // max-heap on the sort order: head = worst of the kept k.
+      // Heap rows are plain InternalRows — nothing here needs
+      // UnsafeRow, and the SparkPlan contract only promises
+      // RDD[InternalRow] from the child.
+      // MEMORY ENVELOPE (unaccounted on-heap, no spill): ≤ (distinct
+      // keys in this partition) × k retained rows. Right for capped
+      // keys with bounded per-partition cardinality (days, buckets,
+      // queries); for an UNBOUNDED key domain (raw tokens over a huge
+      // vocabulary) pre-aggregate or fall back to the window form,
+      // which sorts with spill.
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
         val key = keyProj(row)
         heaps.get(key) match {
           case Some(pq) =>
             if (pq.size < limit) {
-              pq += row.copy().asInstanceOf[UnsafeRow]
+              pq += row.copy()
             } else if (ordering.compare(row, pq.head) < 0) {
               pq.dequeue()
-              pq += row.copy().asInstanceOf[UnsafeRow]
+              pq += row.copy()
             }
           case None =>
-            val pq = mutable.PriorityQueue.empty[UnsafeRow](
-              ordering.on[UnsafeRow](identity))
-            pq += row.copy().asInstanceOf[UnsafeRow]
+            val pq = mutable.PriorityQueue.empty[InternalRow](ordering)
+            pq += row.copy()
             heaps.put(key.copy(), pq)
         }
       }
       // emit each key's survivors in sort order (deterministic output)
       heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
-        .map(_.asInstanceOf[InternalRow])
     }
   }
 
