@@ -68,7 +68,14 @@ object Hashing {
 
   /** LSH band key b for a minhash signature (2 rows/band): string
     * 'mh_{2b} _ mh_{2b+1}' — string-typed so Spark and DuckDB concat
-    * identically. */
+    * identically.
+    *
+    * CALLER CONTRACT: signatures must be non-null. A doc shorter than
+    * the shingle width has minhash() = array_min([]) = null, and
+    * concat_ws DROPS nulls — every signature-less doc would collapse
+    * into one shared band key per band, a quadratic false-pair blowup
+    * in the LSH join. Filter short docs first (DedupPack's
+    * size(toks) >= shingle-width guard is that filter). */
   def bandKey(sig: Seq[Column], b: Int): Column =
     concat_ws("_", sig(2 * b).cast("string"), sig(2 * b + 1).cast("string"))
 }

@@ -62,12 +62,18 @@ object Similarity {
   /** Plane weight w(j,d) = (int(md5("p{j}_{d}")[0:8], 16) % 2001) - 1000
     * — an integer in [-1000, 1000], identical to the SQL
     * ('0x'||substr(md5('p'||j||'_'||d),1,8))::BIGINT % 2001 - 1000. */
-  def planeWeight(j: Int, d: Int): Long = {
+  /** md5(s)[0:8] as int, mod 2001, shifted to [-1000, 1000] — the ONE
+    * definition of the deterministic-weight formula (its SQL mirror is
+    * `('0x'||substr(md5(s),1,8))::BIGINT % 2001 - 1000`); planes and
+    * stand-in centroids both derive from it. */
+  private def md5Mod2001(s: String): Long = {
     val hex = MessageDigest.getInstance("MD5")
-      .digest(s"p${j}_$d".getBytes("UTF-8"))
+      .digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.substring(0, 8)
     java.lang.Long.parseLong(hex, 16) % 2001 - 1000
   }
+
+  def planeWeight(j: Int, d: Int): Long = md5Mod2001(s"p${j}_$d")
 
   /** Plane j as a literal array<float> expression (weights are small
     * integers, exact in float; float keeps [[dot]] applicable). */
@@ -84,12 +90,7 @@ object Similarity {
     * broadcast from a training job; the plan shape (argmin assign →
     * equi-join probe) is identical. Integer weights keep ||c||² an
     * exact, order-free integer sum — replayable in SQL. */
-  def centroidInt(j: Int, d: Int): Long = {
-    val hex = MessageDigest.getInstance("MD5")
-      .digest(s"c${j}_$d".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.substring(0, 8)
-    java.lang.Long.parseLong(hex, 16) % 2001 - 1000
-  }
+  def centroidInt(j: Int, d: Int): Long = md5Mod2001(s"c${j}_$d")
 
   private def centroid(j: Int): Column =
     array((0 until Dims).map(d =>

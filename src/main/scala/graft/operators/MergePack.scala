@@ -210,14 +210,14 @@ object MergePack extends QueryPack {
         |                    AND s.ts > e.ts - INTERVAL 12 HOUR)""".stripMargin,
 
     "m3b_chainabuse_e2e" ->
-      """WITH nodes AS (
+      s"""WITH nodes AS (
         |  SELECT CAST(event_id % 500 AS VARCHAR) AS id,
         |         event_type AS name,
         |         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS date,
         |         CAST(user_id AS VARCHAR) AS addr_a,
         |         'alt_' || CAST(user_id AS VARCHAR) AS addr_b,
         |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS batch_id,
-        |         lpad(CAST(event_id AS VARCHAR), 12, '0') AS cursor
+        |         lpad(CAST(event_id AS VARCHAR), ${graft.pipelines.ChainAbuse.CursorPad}, '0') AS cursor
         |  FROM events),
         |latest AS (SELECT * FROM (
         |  SELECT *, row_number() OVER (PARTITION BY id

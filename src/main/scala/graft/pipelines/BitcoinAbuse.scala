@@ -44,7 +44,17 @@ object BitcoinAbuse {
     * rows. The reference XPaths
     * `/html/body/div/main/div[2]/table/tbody/tr/td` (main.go:279)
     * then folds cells by i%3 (main.go:281-289).
-    * Input: (addr, body). */
+    * Input: (addr, body).
+    *
+    * CELL CONTRACT: every `<td>` must carry direct text — the
+    * `/text()` step yields one entry per non-empty direct-text cell,
+    * so an EMPTY or element-wrapped cell would vanish and misalign
+    * the i%3 fold for the rest of the page. The fixture pages
+    * guarantee the contract (every cell populated, no nesting); a
+    * production parser must fold td NODES like the reference does
+    * (main.go:281-289 iterates nodes, preserving empties) — that is
+    * a parser swap in THIS function only, the fold and everything
+    * downstream are unchanged. */
   def extractReports(detailPages: DataFrame): DataFrame =
     detailPages
       .select(col("addr"),

@@ -22,6 +22,13 @@ import org.apache.spark.sql.types._
   */
 object ChainAbuse {
 
+  /** Cursor zero-pad width: 19 digits covers Long.MaxValue, so the
+    * string sort order equals numeric order for EVERY possible id —
+    * Spark's lpad TRUNCATES longer inputs, and a truncated cursor
+    * would collide and break last-writer-wins replay. The m3b oracle
+    * interpolates this same constant. */
+  val CursorPad = 19
+
   private def arr(fields: StructField*): ArrayType =
     ArrayType(StructType(fields.toSeq))
 
@@ -150,7 +157,8 @@ object ChainAbuse {
     events.select(
         to_date(col("ts")).as("batch_id"),
         struct(
-          lpad(col("event_id").cast("string"), 12, "0").as("cursor"),
+          lpad(col("event_id").cast("string"), ChainAbuse.CursorPad, "0")
+            .as("cursor"),
           struct(
             (col("event_id") % 500).cast("string").as("id"),
             date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("createdAt"),

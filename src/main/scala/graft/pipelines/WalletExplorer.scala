@@ -53,7 +53,12 @@ object WalletExplorer {
       .filter(length(trim(col("addr"))) > 0)
 
   /** P8: rate-limited page bodies (to be retried, not dropped —
-    * main.go:162-176). */
+    * main.go:162-176). The bare "limit" substring is the REFERENCE'S
+    * own detector (it checks body contains "limit"/"Too many
+    * requests"), reproduced as-is: over-matching (e.g. a page
+    * containing "unlimited") routes a page to retry, never drops it,
+    * so the failure mode is an extra fetch — the same trade the
+    * reference accepted. */
   def rateLimited(walletPages: DataFrame): DataFrame =
     walletPages.filter(Extract.containsAny(col("body"),
       Seq("limit", "Too many requests")))

@@ -53,11 +53,17 @@ class BronzeParquetSink(bronzePath: String) extends KeyedSink {
 class ParquetDocStoreSink(storePath: String, keys: Seq[String],
                           orderCols: Seq[String]) extends KeyedSink {
 
+  /** Committed versions only: a crash mid-write leaves a `v=` dir
+    * without the committer's _SUCCESS marker — exposing it would hand
+    * readers a torn latest-per-key table (missing keys), violating the
+    * exactly-one-delivery contract. Non-numeric `v=` strays are
+    * ignored rather than thrown on. */
   private def versionDirs: Seq[Long] = {
     val root = new java.io.File(storePath)
     Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong)
+      .filter(f => f.isDirectory && f.getName.startsWith("v=")
+        && new java.io.File(f, "_SUCCESS").isFile)
+      .flatMap(f => f.getName.stripPrefix("v=").toLongOption)
   }
 
   /** The materialized latest-per-key table (None before any batch). */
@@ -82,13 +88,23 @@ class ParquetDocStoreSink(storePath: String, keys: Seq[String],
   * is what makes it a TEST double; a production document-store sink
   * implements the same trait with `batch.foreachPartition` opening a
   * connector client per partition (no driver involvement). Replays
-  * are idempotent because put-by-key is. */
-class InMemoryDocStoreSink(keys: Seq[String]) extends KeyedSink {
+  * are idempotent because put-by-key is.
+  *
+  * `orderCols` resolves same-key duplicates WITHIN a batch exactly
+  * like [[ParquetDocStoreSink]] (descending — latest wins); without
+  * it, collect() partition order would pick a nondeterministic
+  * winner and the two sinks would diverge on the same batch. */
+class InMemoryDocStoreSink(keys: Seq[String],
+                           orderCols: Seq[String]) extends KeyedSink {
   val store = new scala.collection.concurrent.TrieMap[Seq[Any], Map[String, Any]]()
 
   override def upsert(batch: DataFrame, batchId: Long): Unit = {
-    val cols = batch.columns.toSeq
-    batch.collect().foreach { r =>
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col(_).desc): _*)
+    val latest = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val cols = latest.columns.toSeq
+    latest.collect().foreach { r =>
       val row = cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap
       store.put(keys.map(row), row)
     }

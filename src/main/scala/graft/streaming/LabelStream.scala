@@ -33,16 +33,24 @@ object LabelStream {
     df.withWatermark(eventTime, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
-  /** Tumbling-window counts (the category-stats query, streaming). */
-  def tumblingCounts(df: DataFrame, eventTime: String,
-                     width: String): DataFrame =
-    df.groupBy(window(col(eventTime), width), col("event_type"))
+  /** Tumbling-window counts (the category-stats query, streaming).
+    * Watermarked like every other entry point here: without it a
+    * streaming aggregation keeps EVERY window ever seen in the state
+    * store (and append mode refuses to plan at all). On a batch frame
+    * withWatermark is a no-op, so the same body serves both modes. */
+  def tumblingCounts(df: DataFrame, eventTime: String, width: String,
+                     delay: String = "1 hour"): DataFrame =
+    df.withWatermark(eventTime, delay)
+      .groupBy(window(col(eventTime), width), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
-  /** Session windows per user (gap-merged activity bursts). */
-  def sessionCounts(df: DataFrame, eventTime: String,
-                    gap: String): DataFrame =
-    df.groupBy(session_window(col(eventTime), gap), col("user_id"))
+  /** Session windows per user (gap-merged activity bursts) —
+    * watermarked for the same state-bound reason as
+    * [[tumblingCounts]]. */
+  def sessionCounts(df: DataFrame, eventTime: String, gap: String,
+                    delay: String = "1 hour"): DataFrame =
+    df.withWatermark(eventTime, delay)
+      .groupBy(session_window(col(eventTime), gap), col("user_id"))
       .agg(count(lit(1)).as("n"))
 
   /** Start the ingest: watermarked dedup → keyed sink via

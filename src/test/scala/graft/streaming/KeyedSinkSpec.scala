@@ -41,7 +41,8 @@ class KeyedSinkSpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("graft-sink-ckpt").toString
     val ms = MemoryStream[(Timestamp, Long, String, Long, Double)]
     val df = ms.toDF().toDF("ts", "user_id", "event_type", "event_id", "value")
-    val sink = new InMemoryDocStoreSink(Seq("user_id", "event_type"))
+    val sink = new InMemoryDocStoreSink(Seq("user_id", "event_type"),
+      orderCols = Seq("event_id"))
     ms.addData(
       (ts("2024-01-01 10:00:00"), 1L, "click", 100L, 1.0),
       (ts("2024-01-01 10:05:00"), 1L, "click", 101L, 2.0), // in-window dup key
