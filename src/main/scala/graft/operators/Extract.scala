@@ -27,9 +27,13 @@ object Extract {
     * bitcoinabuse/main.go:186-206 — `regexp_extract` alone would see
     * only the first link per page body). */
   def maxIntMatch(input: Column, pattern: String): Column =
+    // bigint, not int: a >2^31 digit run would cast to null here
+    // (silently excluded from the max) while DuckDB's INTEGER cast
+    // ABORTS its query — bigint keeps the two engines aligned up to
+    // 19 digits
     max(array_max(transform(
       regexp_extract_all(input, lit(pattern), lit(1)),
-      m => m.cast("int"))))
+      m => m.cast("bigint"))))
 
   /** P4/P5: XPath extraction over an XML/HTML-shaped string column.
     * Spark's builtin `xpath` returns array<string>. Not
@@ -66,9 +70,12 @@ object Extract {
     regexp_replace(trim(lower(input)), ":$", "")
 
   /** P8: substring predicate (rate-limit detection,
-    * walletexplorer/main.go:162-176). */
+    * walletexplorer/main.go:162-176). An empty needle list matches
+    * nothing (instead of throwing empty.reduceLeft at plan time —
+    * the natural result of a config-driven list filtering to zero). */
   def containsAny(input: Column, needles: Seq[String]): Column =
-    needles.map(n => input.contains(n)).reduce(_ || _)
+    needles.map(n => input.contains(n))
+      .foldLeft(lit(false))(_ || _)
 
   /** P10: label-struct assembly (bitcoinabuse/main.go:226-242):
     * constants fold at plan time. */

@@ -31,6 +31,13 @@ object ExtractPack extends QueryPack {
     // an XML doc per row, extract cells via Spark's builtin xpath.
     // Oracle is the semantic equivalent (plain tokenization) — DuckDB
     // has no xpath, but the RESULT is SQL-expressible.
+    // TOKEN CONTRACT (fixture-guaranteed, checked at all SFs): text is
+    // single-spaced ASCII with no XML metacharacters. A double space
+    // would make split() emit '' (no text node → Spark drops it, the
+    // oracle counts it), and a token containing '&'/'<' would malform
+    // the row's XML — Hive's xpath swallows the parse error and
+    // returns [], silently dropping the whole document's tokens. A
+    // production parser escapes entities before synthesis.
     "p4_xpath_cells" -> ((s, dir) => {
       // tokens projected first: a split() nested inside the transform
       // lambda would re-split per element (lambdas are interpreted)
@@ -88,10 +95,15 @@ object ExtractPack extends QueryPack {
     "p10b_nested_report" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"),
+          // pmod, not %: a NEGATIVE k would make `k % 3` negative and
+          // Spark's sequence(0, -n) counts DOWN ([0, -1] — fabricated
+          // rows with negative j) while DuckDB's generate_series(0,-n)
+          // is empty; pmod keeps the bound in [0, 2] for every k, the
+          // same guard Extract.foldCells carries for its sequence
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .select(struct(
           col("event_id").as("id"),
-          transform(sequence(lit(0), col("k") % 3),
+          transform(sequence(lit(0), pmod(col("k"), lit(3))),
             j => struct(
               concat(lit("addr_"), col("user_id"), lit("_"), j).as("address"),
               when(j % 2 === 0, "btc").otherwise("eth").as("chain")))
@@ -167,7 +179,7 @@ object ExtractPack extends QueryPack {
     "p2_a1_max_page" ->
       """SELECT event_type,
         |       max(list_max(list_transform(regexp_extract_all(props, '(\d+)', 1),
-        |                                   x -> CAST(x AS INTEGER)))) AS max_page
+        |                                   x -> CAST(x AS BIGINT)))) AS max_page
         |FROM events GROUP BY event_type""".stripMargin,
 
     "p4_xpath_cells" ->
@@ -205,7 +217,8 @@ object ExtractPack extends QueryPack {
         |       CASE WHEN j % 2 = 0 THEN 'btc' ELSE 'eth' END AS chain
         |FROM events,
         |     UNNEST(generate_series(0,
-        |       CAST(json_extract_string(props, '$.k') AS INTEGER) % 3)) AS g(j)""".stripMargin,
+        |       ((CAST(json_extract_string(props, '$.k') AS INTEGER) % 3) + 3) % 3))
+        |       AS g(j)""".stripMargin,
 
     "p10_label_assembly" ->
       """SELECT DISTINCT CAST(user_id AS VARCHAR) AS addr,

@@ -24,15 +24,22 @@ object Merge {
   /** M1/M3: upsert-replace. Whole-ROW semantics: if `updates` has the
     * key, every field comes from `updates` (even null fields) —
     * matching `$set` doc replacement, not per-field coalesce.
-    * Requires `updates` keys to be unique and non-null.
+    * Requires `updates` keys to be unique (null keys are allowed and
+    * match null-keyed target rows, <=> semantics).
     */
   def upsertReplace(target: DataFrame, updates: DataFrame,
                     keys: Seq[String]): DataFrame = {
     val t = target.alias("t")
-    val u = updates.alias("u")
+    // explicit row marker, not key-null-ness: with the null-safe <=>
+    // join a null-keyed update row MATCHES a null-keyed target row,
+    // and inferring "update present" from u.key.isNotNull would then
+    // silently keep the TARGET's values for exactly that match —
+    // the marker makes replace-on-match hold for every matched row
+    val u = updates.withColumn("__upd_marker", lit(true)).alias("u")
     val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
-    val present = keys.map(k => col(s"u.$k").isNotNull).reduce(_ && _)
-    val keyCols = keys.map(k => coalesce(col(s"u.$k"), col(s"t.$k")).as(k))
+    val present = col("u.__upd_marker").isNotNull
+    val keyCols = keys.map(k =>
+      when(present, col(s"u.$k")).otherwise(col(s"t.$k")).as(k))
     val valCols = target.columns.filterNot(keys.contains).toSeq
       .map(c => when(present, col(s"u.$c")).otherwise(col(s"t.$c")).as(c))
     t.join(u, cond, "full_outer").select(keyCols ++ valCols: _*)
@@ -90,14 +97,20 @@ object Merge {
   def ttlDedup(sightings: DataFrame, key: String, ts: String,
                hours: Int): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    // project to (key, ts) FIRST: the operator's contract is over
+    // sightings = (key, ts) pairs, and carrying payload columns
+    // through would let equal-ts rows survive the distinct, tie the
+    // ts-only ordering nondeterministically, and wrongly suppress on
+    // lag == ts (the window is strict-interior)
     // one exchange total: hash(key) satisfies both the distinct's
     // ClusteredDistribution(key, ts) (subset rule) and the window's
     // ClusteredDistribution(key), so neither inserts another shuffle
-    sightings.repartition(col(key)).distinct()
-      .withColumn("__prev", lag(col(ts), 1).over(w))
-      .filter(col("__prev").isNull ||
-        col("__prev") <= col(ts) - expr(s"INTERVAL $hours HOURS"))
-      .drop("__prev")
+    sightings.select(col(key), col(ts))
+      .repartition(col(key)).distinct()
+      .withColumn("__ttl_prev", lag(col(ts), 1).over(w))
+      .filter(col("__ttl_prev").isNull ||
+        col("__ttl_prev") <= col(ts) - expr(s"INTERVAL $hours HOURS"))
+      .drop("__ttl_prev")
   }
 
   /** Per-source merge policy replacing the reference's cross-source
@@ -107,8 +120,9 @@ object Merge {
   def mergeBySource(current: DataFrame, incoming: DataFrame,
                     srcCol: String): DataFrame = {
     val incomingSrcs = incoming.select(srcCol).distinct()
-    // USING-join puts the key column first; restore the input order so
-    // unionByName and positional consumers agree.
+    // the USING-form join (even left_anti) reorders the using column
+    // first (MergeSpec pins this); restore the input order so
+    // unionByName and positional consumers agree
     val kept = current.join(incomingSrcs, Seq(srcCol), "left_anti")
       .select(current.columns.map(col).toSeq: _*)
     kept.unionByName(incoming).distinct()

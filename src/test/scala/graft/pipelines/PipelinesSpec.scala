@@ -27,7 +27,7 @@ class PipelinesSpec extends SparkSpec {
       "bc1qxy2kgdygjrsqtzq2n0yrf2493p83kkfjhx0wlh",
       "3J98t1WpEZ73CNmQviecrnyiWrnqRhWNLy"))
 
-    assert(BitcoinAbuse.maxPage(index).as[Int].head() == 17)
+    assert(BitcoinAbuse.maxPage(index).as[Long].head() == 17L)
 
     // URL building (Sprintf → format_string)
     val url = Seq(("1C2ek9b", 3)).toDF("addr", "page")
