@@ -35,14 +35,47 @@ object Det {
     s"floor(($expr) * $f + 0.5) / $f"
   }
 
-  /** Exact, order-independent SUM of a double column: each term cast
-    * to decimal(18,4), summed (exact decimal addition — no float
-    * summation-order dependence), rounded, widened back to double.
-    * The oracle side spells the same shape in SQL. One definition for
-    * every pack (a precision change must not be hunted across files). */
+  /** Exact, order-independent SUM of a double column, accumulated as
+    * fixed-point LONG units at scale 4: each term becomes
+    * `floor(x·10⁴ + 0.5)` — the same IEEE double ops in both engines,
+    * so the units are bit-identical — then the units sum as integers
+    * (order-free), and only the per-GROUP total is scaled back and
+    * rounded to `scale`. Replaces the earlier decimal(18,4)
+    * accumulation: an integer hash-agg buffer runs ~2× faster than
+    * decimal (the r6→r7 `q1_pricing_summary` regression), with the
+    * same order-independence. Capacity: ±9.2e18 units ≈ ±9.2e14 in
+    * value per group (DuckDB sums BIGINT into HUGEINT, so the oracle
+    * side overflows later still); per-group money sums at any TPC-H
+    * SF sit far below that. One definition for every pack (a
+    * precision change must not be hunted across files);
+    * [[dsumSql]]/[[davgSql]] are the oracle-side twins. */
   def dsum(c: Column, scale: Int = 2): Column = {
-    import org.apache.spark.sql.functions.{round, sum}
-    round(sum(c.cast("decimal(18,4)")), scale).cast("double")
+    import org.apache.spark.sql.functions.{floor, sum}
+    floor(sum(units4(c)) / lit(math.pow(10, 4 - scale)) + lit(0.5)) /
+      lit(math.pow(10, scale))
+  }
+
+  /** The identical DuckDB SQL form of [[dsum]]. */
+  def dsumSql(expr: String, scale: Int = 2): String =
+    s"floor(sum(CAST(floor(($expr) * 1e4 + 0.5) AS BIGINT)) / 1e${4 - scale} + 0.5) / 1e$scale"
+
+  /** Order-independent AVG of a double column, same fixed-point
+    * accumulation as [[dsum]]: long-unit sum ÷ (count·10⁴), rounded
+    * with [[dround]] so both engines run identical float ops. */
+  def davg(c: Column, scale: Int = 4): Column = {
+    import org.apache.spark.sql.functions.{count, sum}
+    dround(sum(units4(c)) / (count(lit(1)) * lit(1e4)), scale)
+  }
+
+  /** The identical DuckDB SQL form of [[davg]]. */
+  def davgSql(expr: String, scale: Int = 4): String =
+    droundSql(s"sum(CAST(floor(($expr) * 1e4 + 0.5) AS BIGINT)) / (count(*) * 1e4)", scale)
+
+  /** Scale-4 fixed-point units of a double — the per-term half-up
+    * conversion shared by [[dsum]]/[[davg]]. */
+  private def units4(c: Column): Column = {
+    import org.apache.spark.sql.functions.floor
+    floor(c * lit(1e4) + lit(0.5)).cast("long")
   }
 }
 

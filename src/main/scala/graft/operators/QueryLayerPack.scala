@@ -56,13 +56,12 @@ object QueryLayerPack extends QueryPack {
   }
 
   /** See [[graft.Det.dsum]] — the one definition of the exact
-    * decimal-sum idiom (local alias for brevity). */
+    * fixed-point-sum idiom (local aliases for brevity). */
   private def dsum(c: Column, scale: Int = 2): Column =
     graft.Det.dsum(c, scale)
 
   private def davg(c: Column, scale: Int = 4): Column =
-    graft.Det.dround(
-      sum(c.cast("decimal(18,4)")).cast("double") / count(lit(1)), scale)
+    graft.Det.davg(c, scale)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Pricing summary (TPC-H Q1 shape): single hash-agg, partial
@@ -483,19 +482,20 @@ object QueryLayerPack extends QueryPack {
     // skew fallback, operators/Skew): l_returnflag has THREE distinct
     // values, so a direct groupBy concentrates ~600 k rows on 3
     // reducers however wide the cluster — the salt spreads each key
-    // over 32 partial groups first. Decimal accumulation keeps the
-    // two-phase result bit-equal to the direct aggregation, so the
+    // over 32 partial groups first. Fixed-point LONG accumulation
+    // (the Det.dsum idiom) keeps the two-phase result bit-equal to
+    // the direct aggregation — integer sums are associative — so the
     // same oracle pins both the semantics and the exactness of the
     // decomposition.
     "q_salted_agg" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
         .select(col("l_returnflag"),
-          col("l_quantity").cast("decimal(18,4)").as("q"),
+          floor(col("l_quantity") * lit(1e4) + lit(0.5)).cast("long").as("q"),
           col("l_orderkey"))
       Skew.saltedSum(li, Seq("l_returnflag"), spread = col("l_orderkey"),
           sums = Seq("q"), salts = 32)
         .select(col("l_returnflag"),
-          round(col("q"), 2).cast("double").as("sum_qty"))
+          (floor(col("q") / lit(1e2) + lit(0.5)) / lit(1e2)).as("sum_qty"))
     }),
 
     // approx_count_distinct (HLL): the estimate itself is
@@ -623,20 +623,20 @@ object QueryLayerPack extends QueryPack {
 
   override def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
-        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
-        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
-        |  floor((CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS avg_qty,
-        |  floor((CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '2023-12-01 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${graft.Det.dsumSql("l_quantity")} AS sum_qty,
+         |  ${graft.Det.dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${graft.Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${graft.Det.davgSql("l_quantity")} AS avg_qty,
+         |  ${graft.Det.davgSql("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2023-12-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q2_star_join_revenue" ->
-      """SELECT r_name,
-        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+      s"""SELECT r_name,
+        |  ${graft.Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -658,10 +658,10 @@ object QueryLayerPack extends QueryPack {
         |FROM events WHERE event_type = 'click'""".stripMargin,
 
     "q22_category_stats" ->
-      """SELECT event_type,
+      s"""SELECT event_type,
         |  CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS month,
         |  count(*) AS n,
-        |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |  ${graft.Det.dsumSql("value")} AS total
         |FROM events GROUP BY event_type, month""".stripMargin,
 
     "q22_cross_source" ->
@@ -767,13 +767,13 @@ object QueryLayerPack extends QueryPack {
         |FROM events GROUP BY 1""".stripMargin,
 
     "q_rollup_stats" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  ${graft.Det.dsumSql("o_totalprice")} AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "q_cube_stats" ->
-      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
-        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS bal
+      s"""SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  ${graft.Det.dsumSql("c_acctbal")} AS bal
         |FROM customer GROUP BY CUBE (c_nationkey, c_mktsegment)""".stripMargin,
 
     "q_grouping_sets" ->
@@ -928,10 +928,9 @@ object QueryLayerPack extends QueryPack {
         |GROUP BY outcome""".stripMargin,
 
     "q_salted_agg" ->
-      """SELECT l_returnflag,
-        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
-        |    AS sum_qty
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      s"""SELECT l_returnflag,
+         |  ${graft.Det.dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "a3_group_to_map" ->
       """SELECT p_brand,
@@ -941,12 +940,12 @@ object QueryLayerPack extends QueryPack {
 
     // the naive theta form the band-bucketed equi-join must equal
     "q_range_join" ->
-      """WITH intervals AS (
+      s"""WITH intervals AS (
         |  SELECT CAST(i AS BIGINT) AS interval_id,
         |         i * 6.0 + 0.5 AS lo, i * 6.0 + 5.0 AS hi
         |  FROM UNNEST(generate_series(0, 49)) AS t(i))
         |SELECT interval_id, count(*) AS n,
-        |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |       ${graft.Det.dsumSql("value")} AS sum_value
         |FROM events e JOIN intervals iv
         |  ON e.value >= iv.lo AND e.value < iv.hi
         |GROUP BY interval_id""".stripMargin,

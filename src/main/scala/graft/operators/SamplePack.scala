@@ -304,8 +304,7 @@ object SamplePack extends QueryPack {
         |            THEN 'train' ELSE 'eval' END AS split,
         |       event_type, count(*) AS n,
         |       count(DISTINCT user_id) AS n_users,
-        |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
-        |         AS sum_value
+        |       ${graft.Det.dsumSql("value")} AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     // trained assignment (a3) → hash-ordered positive within the
