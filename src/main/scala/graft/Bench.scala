@@ -23,6 +23,22 @@ object Bench {
     // warmup: scheduler + parquet reader + a first shuffle
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.names.foreach(n => Tables.read(spark, sfDir, n).limit(1).count())
+    // Fixed-work calibration sentinel, measured FIRST and LAST: a
+    // constant synthetic shuffle+agg whose cost depends only on the
+    // host (never on SF or the queries). Two runs of the same bench
+    // differ in sentinel time exactly by their ambient inflation
+    // (JVM overlap, host contention), so a cross-run per-query
+    // comparison can be normalized by the sentinel ratio instead of
+    // guessing whether a slowdown is a regression or the machine.
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(100000000L).selectExpr("id % 997 AS k")
+        .groupBy("k").count()
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinel() // untimed: pay the sentinel's own codegen first-touch
+    val sentinelFirst = sentinel()
     // full JSON escape incl. control chars — exception messages can
     // carry tabs etc. which would make the emitted line unparseable
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -75,11 +91,13 @@ object Bench {
                 catch { case _: Throwable => 0L }).sum
     val mergeSecs = mergeNames.flatMap(times.get).filter(_ >= 0).sum
     val mergeRate = f3(if (mergeSecs > 0) mergeRows / mergeSecs else 0.0)
+    val sentinelLast = sentinel()
+    val cal = s""""sentinel_first_sec":${f3(sentinelFirst)},"sentinel_last_sec":${f3(sentinelLast)}"""
     // Full per-query record — every timing, row count, and error —
     // goes to a FILE: with 80+ queries the one-line form is ~5 KB,
     // far over the driver's ~2 KB stdout-tail capture (BENCH_r02–r04
     // all arrived truncated and unparseable).
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"errors":$errs,"sf":"$sfDir","merge_rows_per_sec":$mergeRate}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"errors":$errs,"sf":"$sfDir","merge_rows_per_sec":$mergeRate,$cal}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The stdout JSON line must survive that 2 KB tail whole (plus
@@ -95,7 +113,7 @@ object Bench {
       if (used + ent.length + 1 <= budget) { top += ent; used += ent.length + 1 }
       else omitted += 1
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${top.mkString("{", ",", "}")},"queries_omitted":$omitted,"full":"BENCH_FULL.json","errors":$errs,"sf":"$sfDir","merge_rows_per_sec":$mergeRate}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${top.mkString("{", ",", "}")},"queries_omitted":$omitted,"full":"BENCH_FULL.json","errors":$errs,"sf":"$sfDir","merge_rows_per_sec":$mergeRate,$cal}""")
     spark.stop()
   }
 }

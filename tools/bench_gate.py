@@ -7,19 +7,37 @@ The host swings +-25% intra-day, so the default threshold is 2x --
 the round-6 q_pagerank regression (4.5x) is the class of bug this
 catches pre-commit; sub-2x drift is noise here.
 
+When both runs carry the calibration sentinel (sentinel_first_sec /
+sentinel_last_sec, Bench.scala), per-query times are normalized by
+the sentinel ratio first: the sentinel is fixed work, so its ratio
+IS the ambient inflation between the two runs, and what survives
+normalization is a real regression. merge_rows_per_sec is gated the
+same way (throughput shrinking beyond the threshold after
+normalization fails the gate).
+
 Usage: python3 tools/bench_gate.py [new.json] [--ref <json|git>] [--ratio 2.0]
-       (git ref form: HEAD:BENCH_FULL.json)
+       (git ref form: HEAD:BENCH_FULL.json or origin/main:BENCH_FULL.json)
 """
-import json, subprocess, sys
+import json, os, subprocess, sys
 
 
 def load(src):
-    if ":" in src and not src.endswith(".json") or src.count(":") == 1 and "/" not in src.split(":")[0]:
+    # A git ref is anything containing ':' that is not an existing file
+    # path (git refs may themselves contain '/' and end in .json, so no
+    # string heuristic is reliable -- the filesystem is).
+    if ":" in src and not os.path.exists(src):
         out = subprocess.run(["git", "show", src], capture_output=True, text=True)
-        if out.returncode == 0:
-            return json.loads(out.stdout)
+        if out.returncode != 0:
+            sys.exit(f"[gate] cannot load ref '{src}': {out.stderr.strip()}")
+        return json.loads(out.stdout)
     with open(src) as f:
         return json.load(f)
+
+
+def sentinel(run):
+    a = run.get("sentinel_first_sec", 0)
+    b = run.get("sentinel_last_sec", 0)
+    return (a + b) / 2 if a > 0 and b > 0 else None
 
 
 def main():
@@ -35,18 +53,36 @@ def main():
             new_path = a
     new, old = load(new_path), load(ref)
     nq, oq = new["queries"], old["queries"]
+    # ambient normalization: scale NEW times into the reference run's
+    # host conditions. Capped to [1/2, 2] so a sentinel outlier cannot
+    # mask a genuine regression entirely.
+    s_new, s_old = sentinel(new), sentinel(old)
+    cal = 1.0
+    if s_new and s_old:
+        cal = max(0.5, min(2.0, s_old / s_new))
+        print(f"[gate] sentinel {s_old:.2f}s -> {s_new:.2f}s "
+              f"(normalizing new times by {cal:.2f}x)")
     bad = []
     for name, t in sorted(nq.items()):
         t0 = oq.get(name)
         if t0 is None or t0 <= 0 or t < 0:
             continue  # new query / failed run -- not a regression signal
-        if t > t0 * ratio and t - t0 > 1.0:  # ratio AND absolute floor:
+        tn = t * cal
+        if tn > t0 * ratio and tn - t0 > 1.0:  # ratio AND absolute floor:
             # a 0.2s->0.5s micro-query is scheduling noise, not a find
-            bad.append((name, t0, t))
+            bad.append((name, t0, tn))
     print(f"[gate] {len(nq)} queries, ref={ref}, threshold {ratio}x (+1s floor)")
     print(f"[gate] total {old['value']:.1f}s -> {new['value']:.1f}s")
     for name, t0, t in sorted(bad, key=lambda x: -x[2] / x[1]):
-        print(f"[REGR] {name}: {t0:.2f}s -> {t:.2f}s ({t / t0:.1f}x)")
+        print(f"[REGR] {name}: {t0:.2f}s -> {t:.2f}s normalized ({t / t0:.1f}x)")
+    # merge throughput gate (ADVICE r7): rows/s through the M1/M2 path,
+    # normalized the other way (slower host -> lower measured rate).
+    m_new, m_old = new.get("merge_rows_per_sec", 0), old.get("merge_rows_per_sec", 0)
+    if m_new and m_old:
+        mn = m_new / cal if cal else m_new
+        if mn * ratio < m_old:
+            bad.append(("merge_rows_per_sec", m_old, mn))
+            print(f"[REGR] merge_rows_per_sec: {m_old:.0f} -> {mn:.0f} normalized")
     if not bad:
         print("[gate] no per-query regressions")
     sys.exit(1 if bad else 0)
