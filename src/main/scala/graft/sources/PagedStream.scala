@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -30,13 +30,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * gap (strictly stronger than the reference, whose cursor lived in
   * process memory only — chainabuse/main.py:107-109).
   *
-  * The page rows ride INSIDE the `InputPartition` (the MemoryStream
-  * pattern), so executors never touch the driver-side registry —
-  * cluster-correct even though the sandbox runs one JVM. In
-  * production the [[PageFeed]] registry is replaced by the remote API
-  * itself: `planInputPartitions` would carry (cursor range, URL)
-  * per partition and the reader would fetch — pages are re-fetchable
-  * by cursor, which is what makes offset replay safe there too.
+  * Page bodies are pulled by the READERS through a pluggable
+  * [[PageFetcher]]: `planInputPartitions` emits only (feed, position
+  * range, fetcher class), and each partition's reader instantiates
+  * the fetcher and fetches its range — the driver never holds page
+  * bodies, which is what makes the source cluster-correct at any
+  * feed size. The default [[RegistryPageFetcher]] serves the
+  * sandbox's in-memory [[PageFeed]] registry; a production
+  * deployment passes `option("fetcher", fqcn)` with an
+  * HTTP/API-backed implementation — the same fetch-by-cursor-range
+  * loop as the reference (bitcoinabuse/main.go:85-120,
+  * chainabuse/main.py:25-39), minus the hand-rolled scheduling.
   */
 object PageFeed {
   private val feeds =
@@ -62,6 +66,47 @@ object PageFeed {
   def remove(id: String): Unit = feeds.remove(id)
 }
 
+/** SPI between the source and wherever pages live. Implementations
+  * must have a no-arg constructor (instantiated by class name on both
+  * driver and executors) and be cheap to construct — a reader builds
+  * one per partition. `fetch` is keyed by POSITION in the feed's
+  * cursor order, not by raw cursor value: positions are what offsets
+  * checkpoint, and the monotone-cursor contract makes a position
+  * range re-fetchable, which is exactly what offset replay needs. */
+trait PageFetcher extends Serializable {
+  /** Pages currently available in `feed` (driver-side poll — the
+    * reference reading today's max page number first,
+    * bitcoinabuse/main.go:186-206). Must be monotone per feed. */
+  def latestAvailable(feed: String): Long
+
+  /** The pages at positions [from, until) as (cursor, body), in
+    * position order. Must yield exactly `until - from` pages — a
+    * short read would silently drop committed rows. */
+  def fetch(feed: String, from: Long, until: Long): Iterator[(Long, String)]
+}
+
+/** Default fetcher: the sandbox's driver-registered [[PageFeed]].
+  * Works in local mode because executors share the driver JVM; a
+  * cluster deployment substitutes a remote-API fetcher via
+  * `option("fetcher", ...)` — the registry is a test double for the
+  * remote site, not part of the source's contract. */
+class RegistryPageFetcher extends PageFetcher {
+  override def latestAvailable(feed: String): Long =
+    PageFeed.get(feed).size.toLong
+  override def fetch(feed: String, from: Long, until: Long): Iterator[(Long, String)] =
+    PageFeed.get(feed).slice(from.toInt, until.toInt).iterator
+}
+
+private[sources] object PageFetcher {
+  def instantiate(fqcn: String): PageFetcher =
+    Class.forName(fqcn, true, Thread.currentThread().getContextClassLoader)
+      .getDeclaredConstructor().newInstance() match {
+      case f: PageFetcher => f
+      case other => throw new IllegalArgumentException(
+        s"fetcher class $fqcn is not a PageFetcher: ${other.getClass}")
+    }
+}
+
 class PagedTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-paged"
 
@@ -82,10 +127,24 @@ class PagedTableProvider extends TableProvider with DataSourceRegister {
         s"option 'maxPagesPerTrigger' must be positive, got $n")
       n
     }
+    val fetcherClass = Option(opts.get("fetcher"))
+      .getOrElse(classOf[RegistryPageFetcher].getName)
+    // fail at load() time, not in a task: a typo'd class name must not
+    // surface as N executor-side ClassNotFoundExceptions
+    PageFetcher.instantiate(fetcherClass)
+    val pagesPerPartition = Option(opts.get("pagesPerPartition"))
+      .map { v =>
+        val n = try v.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"option 'pagesPerPartition' must be a positive integer, got '$v'")
+        }
+        require(n > 0, s"option 'pagesPerPartition' must be positive, got $n")
+        n
+      }.getOrElse(1L)
     new PagedTable(
       Option(opts.get("feed")).getOrElse(
         throw new IllegalArgumentException("option 'feed' is required")),
-      maxPages)
+      maxPages, fetcherClass, pagesPerPartition)
   }
 }
 
@@ -96,18 +155,38 @@ object PagedTable {
 
   /** Streaming handle with the idiomatic options spelled once. */
   def readStream(spark: SparkSession, feed: String,
-                 maxPagesPerTrigger: Option[Long] = None): DataFrame = {
+                 maxPagesPerTrigger: Option[Long] = None,
+                 fetcher: Option[String] = None): DataFrame = {
     val r = spark.readStream.format("graft-paged").option("feed", feed)
     maxPagesPerTrigger.foreach(n => r.option("maxPagesPerTrigger", n))
+    fetcher.foreach(c => r.option("fetcher", c))
     r.load()
   }
 
   /** Batch handle over the same feed (backfill / bootstrap reads). */
-  def read(spark: SparkSession, feed: String): DataFrame =
-    spark.read.format("graft-paged").option("feed", feed).load()
+  def read(spark: SparkSession, feed: String,
+           fetcher: Option[String] = None): DataFrame = {
+    val r = spark.read.format("graft-paged").option("feed", feed)
+    fetcher.foreach(c => r.option("fetcher", c))
+    r.load()
+  }
+
+  /** [from, until) chunked into fetch-task ranges. One page per
+    * partition is the default — the fetch-task unit of the reference,
+    * which fans out one goroutine per detail page
+    * (bitcoinabuse/main.go:80-120); a body-heavy remote feed raises
+    * `pagesPerPartition` to amortize fetcher setup per task. */
+  private[sources] def rangePartitions(feed: String, from: Long, until: Long,
+                                       fetcherClass: String,
+                                       pagesPerPartition: Long): Array[InputPartition] =
+    Iterator.iterate(from)(_ + pagesPerPartition).takeWhile(_ < until)
+      .map(lo => PagedRangePartition(feed, lo,
+        math.min(until, lo + pagesPerPartition), fetcherClass): InputPartition)
+      .toArray
 }
 
-class PagedTable(feed: String, maxPagesPerTrigger: Option[Long])
+class PagedTable(feed: String, maxPagesPerTrigger: Option[Long],
+                 fetcherClass: String, pagesPerPartition: Long)
   extends Table with SupportsRead {
 
   override def name(): String = s"graft-paged:$feed"
@@ -120,11 +199,13 @@ class PagedTable(feed: String, maxPagesPerTrigger: Option[Long])
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = PagedTable.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new PagedMicroBatchStream(feed, maxPagesPerTrigger)
+          new PagedMicroBatchStream(feed, maxPagesPerTrigger, fetcherClass,
+            pagesPerPartition)
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] =
-            PageFeed.get(feed).map(p => PagedInputPartition(Array(p))
-              : InputPartition).toArray
+            PagedTable.rangePartitions(feed, 0L,
+              PageFetcher.instantiate(fetcherClass).latestAvailable(feed),
+              fetcherClass, pagesPerPartition)
           override def createReaderFactory(): PartitionReaderFactory =
             new PagedReaderFactory
         }
@@ -138,9 +219,14 @@ case class PagedOffset(position: Long) extends Offset {
   override def json(): String = position.toString
 }
 
-class PagedMicroBatchStream(feed: String, maxPagesPerTrigger: Option[Long])
+class PagedMicroBatchStream(feed: String, maxPagesPerTrigger: Option[Long],
+                            fetcherClass: String, pagesPerPartition: Long)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
+
+  /** Driver-side fetcher: used only for availability polls (cheap);
+    * bodies are fetched by the per-partition reader instances. */
+  private val fetcher = PageFetcher.instantiate(fetcherClass)
 
   /** AvailableNow snapshot bound: "catch up to what existed when the
     * poll started, then stop" — the reference's per-tick scrape loop
@@ -152,7 +238,7 @@ class PagedMicroBatchStream(feed: String, maxPagesPerTrigger: Option[Long])
   private var availableAtPrepare: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableAtPrepare = Some(PageFeed.get(feed).size.toLong)
+    availableAtPrepare = Some(fetcher.latestAvailable(feed))
 
   override def initialOffset(): Offset = PagedOffset(0L)
 
@@ -171,40 +257,42 @@ class PagedMicroBatchStream(feed: String, maxPagesPerTrigger: Option[Long])
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[PagedOffset].position
     val avail = availableAtPrepare
-      .fold(PageFeed.get(feed).size.toLong)(
-        math.min(_, PageFeed.get(feed).size.toLong))
+      .fold(fetcher.latestAvailable(feed))(
+        math.min(_, fetcher.latestAvailable(feed)))
     // recursive so a CompositeReadLimit (e.g. maxRows + future minRows)
     // still honors its embedded row cap instead of falling through to
     // admit-everything and silently defeating the throttle
     def admit(l: ReadLimit): Long = l match {
-      case m: ReadMaxRows => math.min(avail, from + m.maxRows())
+      // saturating: maxRows() is caller-supplied and may be huge —
+      // from + maxRows would overflow negative and move the cursor
+      // BACKWARD, the exact failure planInputPartitions guards against
+      case m: ReadMaxRows =>
+        val room = math.max(0L, avail - from)
+        from + math.min(m.maxRows(), room)
       case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
         c.getReadLimits.map(admit).min
-      case _ => avail // ReadAllAvailable and unknown limits
+      case _ => math.max(from, avail) // ReadAllAvailable and unknown limits
     }
     PagedOffset(admit(limit))
   }
 
   override def reportLatestOffset(): Offset =
-    PagedOffset(PageFeed.get(feed).size.toLong)
+    PagedOffset(fetcher.latestAvailable(feed))
 
-  /** One partition per page: a page is the fetch-task unit (the
-    * reference fans out one goroutine per detail page,
-    * bitcoinabuse/main.go:80-120); in production each partition
-    * carries its cursor range and the reader fetches it. */
+  /** Partitions carry only (feed, position range, fetcher class) —
+    * bodies never touch the driver; each reader fetches its range. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val fromL = start.asInstanceOf[PagedOffset].position
     val toL = end.asInstanceOf[PagedOffset].position
-    val pages = PageFeed.get(feed)
-    // bound-check on the LONG values before narrowing: a position past
-    // Int.MaxValue would wrap negative in toInt, slice would clamp to
-    // 0, and committed pages would replay — breaking no-dup/no-gap
-    require(toL <= pages.size.toLong && fromL >= 0,
-      s"offset range [$fromL, $toL) beyond feed size ${pages.size} — " +
-        "feed must be re-registered before restart (sandbox stand-in " +
-        "for the re-fetchable remote API)")
-    pages.slice(fromL.toInt, toL.toInt).map(p => PagedInputPartition(Array(p))
-      : InputPartition).toArray
+    // a checkpointed position past what the fetcher can serve means
+    // the feed lost pages (for the sandbox registry: not re-registered
+    // before restart) — failing here beats readers fetching short and
+    // silently dropping committed rows
+    require(toL <= fetcher.latestAvailable(feed) && fromL >= 0,
+      s"offset range [$fromL, $toL) beyond feed availability " +
+        s"${fetcher.latestAvailable(feed)} — pages must stay " +
+        "re-fetchable by position (monotone-cursor contract)")
+    PagedTable.rangePartitions(feed, fromL, toL, fetcherClass, pagesPerPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -215,18 +303,31 @@ class PagedMicroBatchStream(feed: String, maxPagesPerTrigger: Option[Long])
   override def stop(): Unit = ()
 }
 
-/** Pages ride in the partition (MemoryStream pattern) — serializable,
-  * executor-local, no registry access off the driver. */
-case class PagedInputPartition(pages: Array[(Long, String)]) extends InputPartition
+/** A fetch task: positions [from, until) of `feed`, pulled by the
+  * reader through `fetcherClass` — serializable coordinates only, no
+  * page bodies (the production DSv2 shape). */
+case class PagedRangePartition(feed: String, from: Long, until: Long,
+                               fetcherClass: String) extends InputPartition
 
 class PagedReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val pages = partition.asInstanceOf[PagedInputPartition].pages
+    val p = partition.asInstanceOf[PagedRangePartition]
     new PartitionReader[InternalRow] {
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < pages.length }
+      private val pages =
+        PageFetcher.instantiate(p.fetcherClass).fetch(p.feed, p.from, p.until)
+      private var served = 0L
+      private var row: (Long, String) = _
+      override def next(): Boolean =
+        if (pages.hasNext) { row = pages.next(); served += 1; true }
+        else {
+          // short read = committed offsets would skip real pages
+          require(served == p.until - p.from,
+            s"fetcher served $served of [${p.from}, ${p.until}) for " +
+              s"feed ${p.feed} — short reads drop committed rows")
+          false
+        }
       override def get(): InternalRow = {
-        val (cursor, body) = pages(i)
+        val (cursor, body) = row
         InternalRow(cursor,
           if (body == null) null else UTF8String.fromString(body))
       }

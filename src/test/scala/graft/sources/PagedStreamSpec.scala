@@ -7,6 +7,23 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+/** A remote-API stand-in: pages are synthesized from the position, so
+  * nothing is registered driver-side — exercises the production shape
+  * where readers fetch by cursor range ([[PageFetcher]] SPI). */
+class SyntheticPageFetcher extends PageFetcher {
+  override def latestAvailable(feed: String): Long = 7L
+  override def fetch(feed: String, from: Long, until: Long): Iterator[(Long, String)] =
+    (from until until).iterator.map(i => (i + 1, s"<html>synth:${i + 1}</html>"))
+}
+
+/** Broken on purpose: serves one page fewer than asked — the reader
+  * must refuse rather than let committed offsets skip real pages. */
+class ShortReadPageFetcher extends PageFetcher {
+  override def latestAvailable(feed: String): Long = 3L
+  override def fetch(feed: String, from: Long, until: Long): Iterator[(Long, String)] =
+    (from until math.max(from, until - 1)).iterator.map(i => (i + 1, s"p${i + 1}"))
+}
+
 /** The DataSourceV2 paged source: admission-controlled throttling,
   * checkpointed offset resume (no dups, no gaps), batch parity, and
   * the bitcoinabuse extraction pipeline running on top of it.
@@ -86,6 +103,65 @@ class PagedStreamSpec extends SparkSpec {
     runOnce()
     assert(spark.read.parquet(out).select("cursor").as[Long].collect().toSeq
       .sorted == (1L to 5L))
+  }
+
+  test("fetcher-backed stream: readers pull by range, nothing registered") {
+    val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = PagedTable.readStream(spark, "unregistered-feed",
+        maxPagesPerTrigger = Some(3L),
+        fetcher = Some(classOf[SyntheticPageFetcher].getName))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.select("cursor").as[Long].collect()
+        sizes.add(rows.length.toLong)
+        rows.foreach(seen.add)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(sizes.asScala.toSeq.sorted == Seq(1L, 3L, 3L),
+      s"7 synthetic pages at 3/trigger must arrive 3+3+1, got ${sizes.asScala.toSeq}")
+    assert(seen.asScala.toSet == (1L to 7L).toSet,
+      "admission control + range fetch must cover every page exactly once")
+  }
+
+  test("fetcher-backed batch read matches the fetcher's pages") {
+    val got = PagedTable.read(spark, "unregistered-feed",
+        fetcher = Some(classOf[SyntheticPageFetcher].getName))
+      .as[(Long, String)].collect().toSet
+    assert(got == (1L to 7L).map(i => (i, s"<html>synth:$i</html>")).toSet)
+  }
+
+  test("a short-reading fetcher fails the task instead of dropping rows") {
+    val e = intercept[Exception] {
+      PagedTable.read(spark, "short-feed",
+        fetcher = Some(classOf[ShortReadPageFetcher].getName)).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("short reads drop committed rows")),
+      s"short read must be named in the failure, got $e")
+  }
+
+  test("an unknown fetcher class fails at load time, not in tasks") {
+    val e = intercept[Exception] {
+      spark.read.format("graft-paged").option("feed", "f")
+        .option("fetcher", "graft.sources.NoSuchFetcher").load()
+    }
+    assert(e.isInstanceOf[ClassNotFoundException]
+        || Option(e.getCause).exists(_.isInstanceOf[ClassNotFoundException]),
+      s"typo'd fetcher class must surface at load(), got $e")
+  }
+
+  test("pagesPerPartition chunks ranges without gap or overlap") {
+    val parts = PagedTable.rangePartitions("f", 2L, 11L,
+        classOf[RegistryPageFetcher].getName, pagesPerPartition = 4L)
+      .map(_.asInstanceOf[PagedRangePartition])
+    assert(parts.map(p => (p.from, p.until)).toSeq
+      == Seq((2L, 6L), (6L, 10L), (10L, 11L)))
   }
 
   test("batch read over the same feed matches the streamed rows") {
