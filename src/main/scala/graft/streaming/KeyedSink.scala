@@ -43,15 +43,31 @@ class BronzeParquetSink(bronzePath: String) extends KeyedSink {
   * highest version. Replay-idempotent by construction: batch `id`
   * recomputes `v=id` from the highest version BELOW id — a replayed
   * batch rebuilds the identical snapshot instead of double-merging.
-  * At scale the same layout is the standard snapshot-rotate pattern
-  * (old versions retire on a retention schedule); with a table format
-  * (Delta/Iceberg, out of scope) `upsert` becomes a row-level MERGE.
+  * At scale the same layout is the standard snapshot-rotate pattern;
+  * with a table format (Delta/Iceberg, out of scope) `upsert`
+  * becomes a row-level MERGE.
+  *
+  * Retention: after each successful write, committed versions beyond
+  * the newest `keepVersions` are retired (deleted) — the reference
+  * keeps exactly one mutable collection (bitcoinabuse/main.go:244-246);
+  * unbounded snapshot accumulation is what a real deployment hits
+  * first. Replay stays safe because Structured Streaming only ever
+  * replays the LAST batch (the one whose write landed but whose
+  * checkpoint commit didn't): with `keepVersions >= 2` the replayed
+  * batch's base — the highest surviving version below it — is still
+  * on disk, so the rebuild is identical. Reprocessing batches older
+  * than the retained window is NOT supported (their bases are gone);
+  * that is an operator rewind, which re-bootstraps the store instead.
   *
   * `orderCols`: within one batch the latest row per key wins before
   * the merge (descending order on these), mirroring the reference
   * processing pages in cursor order — last write per key lands. */
 class ParquetDocStoreSink(storePath: String, keys: Seq[String],
-                          orderCols: Seq[String]) extends KeyedSink {
+                          orderCols: Seq[String],
+                          keepVersions: Int = 3) extends KeyedSink {
+  require(keepVersions >= 2,
+    s"keepVersions must be >= 2 (latest + the base a replayed batch " +
+      s"rebuilds from), got $keepVersions")
 
   /** Committed versions only: a crash mid-write leaves a `v=` dir
     * without the committer's _SUCCESS marker — exposing it would hand
@@ -80,6 +96,22 @@ class ParquetDocStoreSink(storePath: String, keys: Seq[String],
       .map(v => spark.read.parquet(s"$storePath/v=$v"))
     val merged = base.fold(latest)(Merge.upsertReplace(_, latest, keys))
     merged.write.mode(SaveMode.Overwrite).parquet(s"$storePath/v=$batchId")
+    retire()
+  }
+
+  /** Retire committed versions beyond the newest `keepVersions` —
+    * only AFTER a successful write, so a failed batch never shrinks
+    * what a retry can rebuild from. (A reader holding a just-retired
+    * snapshot is the classic retention race; a deployment adds a
+    * retention lag, which is orthogonal to the rotate-and-retire
+    * shape pinned here.) */
+  private def retire(): Unit =
+    versionDirs.sorted(Ordering[Long].reverse).drop(keepVersions)
+      .foreach(v => deleteRecursively(new java.io.File(storePath, s"v=$v")))
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete()
   }
 }
 

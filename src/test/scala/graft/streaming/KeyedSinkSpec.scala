@@ -37,6 +37,35 @@ class KeyedSinkSpec extends SparkSpec {
       == after1, "replayed batch must not double-merge")
   }
 
+  test("retention retires old versions; replay of the LAST batch stays safe") {
+    val dir = Files.createTempDirectory("graft-docstore-ret").toString
+    val sink = new ParquetDocStoreSink(dir, keys = Seq("k"),
+      orderCols = Seq("ver"), keepVersions = 2)
+    def versions: Set[Long] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("v="))
+        .map(_.getName.stripPrefix("v=").toLong).toSet
+    sink.upsert(Seq(("a", 1L, "x1")).toDF("k", "ver", "v"), batchId = 0L)
+    sink.upsert(Seq(("b", 1L, "y1")).toDF("k", "ver", "v"), batchId = 1L)
+    sink.upsert(Seq(("a", 2L, "x2")).toDF("k", "ver", "v"), batchId = 2L)
+    assert(versions == Set(1L, 2L),
+      s"keepVersions=2 must retire v=0 after v=2 lands, got $versions")
+    // batch 2's write landed but its checkpoint commit didn't: the
+    // replay rebuilds v=2 from v=1 — the base the retention contract
+    // guarantees survives — and the store is exactly one delivery's
+    val expect = sink.current(spark).get.as[(String, Long, String)]
+      .collect().toSet
+    sink.upsert(Seq(("a", 2L, "x2")).toDF("k", "ver", "v"), batchId = 2L)
+    assert(sink.current(spark).get.as[(String, Long, String)].collect().toSet
+      == expect, "replay after retirement must not lose or double-merge")
+    assert(expect == Set(("a", 2L, "x2"), ("b", 1L, "y1")))
+    // fewer than two retained versions would leave a replayed batch
+    // without its base — constructor refuses
+    intercept[IllegalArgumentException] {
+      new ParquetDocStoreSink(dir, Seq("k"), Seq("ver"), keepVersions = 1)
+    }
+  }
+
   test("startIngest routes through a swapped-in doc-store sink") {
     val ckpt = Files.createTempDirectory("graft-sink-ckpt").toString
     val ms = MemoryStream[(Timestamp, Long, String, Long, Double)]
