@@ -81,6 +81,32 @@ object LabelStream {
       }
       .start()
 
+  /** Ingest with the cross-batch [[BloomSeenSet]] upstream of the
+    * sink: each micro-batch keeps only keys never stored before —
+    * the reference's seen-map-before-insert loop
+    * (bitcoinabuse/main.go:43-45,218-221) without re-scanning the
+    * store per batch. `history` must read the store the sink writes
+    * (the seen-set's exactness contract); it is only evaluated when
+    * the sketch needs building or a probe sliver needs the exact
+    * check — batch N+1 with fresh keys touches no history at all.
+    */
+  def startDedupedIngest(source: DataFrame, sink: KeyedSink,
+                         checkpoint: String, seen: BloomSeenSet,
+                         history: () => DataFrame): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // fresh is read twice (sink + sketch); persist so the probe
+        // split and any sliver join run once, not per consumer
+        val fresh = seen.filterNew(batch, history()).persist()
+        try {
+          sink.upsert(fresh, batchId)
+          seen.commit(fresh) // AFTER the sink accepted the rows
+        } finally fresh.unpersist()
+      }
+      .start()
+
   /** Compaction: rewrite bronze as one latest-record-per-key snapshot
     * (bounded read amplification for the merge-on-read gold view).
     * Writes to a NEW path — plain parquet cannot be rewritten in

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.operators.RuntimeFilter
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** The reference's cross-poll seen-set (bitcoinabuse/main.go:43-45 —
+  * an in-process map consulted before every insert) at warehouse
+  * scale: ONE bloom sketch threaded across micro-batches, so batch
+  * N+1 dedups against all accumulated history WITHOUT re-scanning it.
+  *
+  * Protocol per batch: [[filterNew]] splits the batch by a sketch
+  * probe — definitely-unseen rows (bloom has no false negatives)
+  * pass with zero history I/O; the ~fpp "maybe seen" sliver takes
+  * the exact anti-join, and when the sliver is EMPTY (the common
+  * case for a cursor-paginated feed, whose keys are fresh) the
+  * history side is not touched at all. After the sink lands the
+  * batch, [[commit]] folds the fresh keys into the sketch as a
+  * distributed partial-sketch aggregation (`putLong` is idempotent
+  * and sketch merge is associative — no driver-side row collect).
+  *
+  * The history scan therefore happens ONCE, when the first batch
+  * builds the sketch; every later batch pays only its own scan plus
+  * sliver-sized exact checks. In a deployment the sketch also
+  * persists across process restarts (it serializes); a fresh process
+  * rebuilds it with one history scan, which is the same cost this
+  * object's first batch pays.
+  *
+  * Exactness contract: `history` must cover every key ever
+  * [[commit]]ted (i.e. read the store the sink writes), otherwise a
+  * sliver row could pass the exact check while the sketch rightly
+  * flagged it. Result is then row-identical to anti-joining each
+  * batch against the full store.
+  *
+  * `expectedKeys` sizes EVERY sketch built here (the history build
+  * and each batch's partial) — sketches must be bit-compatible to
+  * merge, so one size is used throughout; size it for the store's
+  * eventual key count, not the first batch's.
+  */
+final class BloomSeenSet(key: String, expectedKeys: Long, fpp: Double = 0.01) {
+
+  private var bf: Option[BloomFilter] = None
+
+  /** The batch's rows whose `key` is not in history nor in any
+    * committed batch. `history` is by-name: not evaluated at all
+    * once the sketch exists and the sliver is empty. */
+  def filterNew(batch: DataFrame, history: => DataFrame): DataFrame = {
+    val k = col(key)
+    val sketch = bf.getOrElse {
+      // an EMPTY frame hands back a null-backed sketch from
+      // stat.bloomFilter (nothing aggregated) — probe would NPE;
+      // an explicitly-empty filter is the correct identity
+      val h = history
+      val s = if (h.isEmpty) BloomFilter.create(expectedKeys, fpp)
+              else h.stat.bloomFilter(k.cast("long"), expectedKeys, fpp)
+      bf = Some(s)
+      s
+    }
+    val probe = coalesce(graft.plans.BloomMightContainLong.probe(k, sketch),
+      lit(false))
+    // sliver-empty fast path: checking costs one scan of the BATCH
+    // (small); skipping the join saves a scan of the HISTORY (huge)
+    if (batch.filter(probe).isEmpty) batch.filter(!probe)
+    else RuntimeFilter.bloomPrunedAntiJoin(batch, k, history, k, sketch)
+  }
+
+  /** Fold a landed batch's keys into the sketch. Call AFTER the sink
+    * accepted the rows — committing first would make a crashed batch
+    * replay as "seen" against a store that never got it. */
+  def commit(fresh: DataFrame): Unit = if (!fresh.isEmpty) {
+    val add = fresh.stat.bloomFilter(col(key).cast("long"), expectedKeys, fpp)
+    bf = Some(bf.fold(add) { b => b.mergeInPlace(add); b })
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The cross-batch bloom seen-set: one history scan total across
+  * consecutive batches, exactness through the sliver path, and the
+  * foreachBatch wiring end to end.
+  */
+class SeenSetSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def keys(r: Range): DataFrame = r.map(_.toLong).toDF("k")
+
+  test("consecutive all-new batches scan history exactly once") {
+    val scans = new AtomicInteger(0)
+    val hist = keys(1 to 100)
+    def history: DataFrame = { scans.incrementAndGet(); hist }
+    val seen = new BloomSeenSet("k", expectedKeys = 1000)
+
+    val f1 = seen.filterNew(keys(101 to 200), history)
+    assert(f1.count() == 100, "all batch-1 keys are new")
+    assert(scans.get() == 1, "first batch builds the sketch: one scan")
+    seen.commit(f1)
+
+    val f2 = seen.filterNew(keys(201 to 300), history)
+    assert(f2.count() == 100, "all batch-2 keys are new")
+    assert(scans.get() == 1,
+      "batch N+1 with fresh keys must skip the history scan entirely")
+    seen.commit(f2)
+
+    val f3 = seen.filterNew(keys(301 to 320), history)
+    assert(f3.count() == 20 && scans.get() == 1,
+      "the sketch keeps absorbing batches without history I/O")
+  }
+
+  test("cross-batch duplicates drop via the exact sliver check; nothing is lost to fpp") {
+    val scans = new AtomicInteger(0)
+    // the store the sink would maintain: history plus committed keys
+    var store = keys(1 to 100)
+    def history: DataFrame = { scans.incrementAndGet(); store }
+    // fpp 0.5 forces false positives: fresh keys WILL be flagged
+    // "maybe seen" and must come back through the exact check
+    val seen = new BloomSeenSet("k", expectedKeys = 200, fpp = 0.5)
+
+    val f1 = seen.filterNew(keys(101 to 150), history)
+    assert(f1.as[Long].collect().toSet == (101L to 150L).toSet,
+      "false positives must be rescued by the exact check, not dropped")
+    seen.commit(f1)
+    store = store.union(f1)
+
+    // batch 2 repeats a committed key (150) among fresh ones
+    val f2 = seen.filterNew(keys(150 to 160), history)
+    assert(f2.as[Long].collect().toSet == (151L to 160L).toSet,
+      "a key committed in batch 1 must not re-enter in batch 2")
+  }
+
+  test("startDedupedIngest wires the seen-set upstream of the sink") {
+    val ckpt = Files.createTempDirectory("graft-seen-ckpt").toString
+    val dir = Files.createTempDirectory("graft-seen-store").toString
+    val sink = new ParquetDocStoreSink(dir, keys = Seq("k"),
+      orderCols = Seq("ver"))
+    val seen = new BloomSeenSet("k", expectedKeys = 1000)
+    val scans = new AtomicInteger(0)
+    def history: DataFrame = {
+      scans.incrementAndGet()
+      sink.current(spark).map(_.select("k"))
+        .getOrElse(Seq.empty[Long].toDF("k"))
+    }
+    val ms = MemoryStream[(Long, Long, String)]
+    val df = ms.toDF().toDF("k", "ver", "v")
+    def runOnce(): Unit = {
+      val q = LabelStream.startDedupedIngest(df, sink, ckpt, seen, () => history)
+      q.awaitTermination()
+    }
+    ms.addData((1L, 1L, "a"), (2L, 1L, "b"))
+    runOnce()
+    val scansAfterFirst = scans.get()
+    // second poll: one repeated key, one new
+    ms.addData((2L, 2L, "b2"), (3L, 1L, "c"))
+    runOnce()
+    val got = sink.current(spark).get.as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c")),
+      s"repeat of key 2 must not overwrite the stored row, got $got")
+    assert(scans.get() >= scansAfterFirst,
+      "sanity: the exact check may touch the store, never the reverse")
+  }
+}
