@@ -19,6 +19,17 @@ object MultimodalPack extends QueryPack {
         Multimodal.mediaFromDocuments(Tables.documents(s, dir))).toDF()
     }),
 
+    // REAL header decode (no stub): PNG IHDR + JPEG SOF marker walk
+    // over genuine byte layouts ([[graft.sources.Multimodal.HeaderCodec]]).
+    // The oracle replays the dimensions the generator encoded; a parser
+    // bug (wrong offset, wrong endianness, mis-hopped segment) breaks
+    // the hash.
+    "mm_decode_headers" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.decodeHeaders(
+        Multimodal.syntheticImages(Tables.documents(s, dir))).toDF()
+    }),
+
     "mm_frame_sample" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.sampleFrames(
@@ -124,6 +135,13 @@ object MultimodalPack extends QueryPack {
         |  CAST(64 + strlen(text) % 577 AS INTEGER) AS width,
         |  CAST(64 + (strlen(text) * 31 + doc_id) % 353 AS INTEGER) AS height,
         |  CAST(1 + doc_id % 24 AS INTEGER) AS n_frames
+        |FROM documents""".stripMargin,
+
+    "mm_decode_headers" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+        |  CAST(16 + doc_id % 1000 AS INTEGER) AS width,
+        |  CAST(16 + (doc_id * 7) % 800 AS INTEGER) AS height
         |FROM documents""".stripMargin,
 
     "mm_frame_sample" ->

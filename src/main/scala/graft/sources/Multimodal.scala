@@ -38,6 +38,74 @@ object Multimodal {
     }
   }
 
+  /** REAL header parsing — the part of a codec that needs no codec
+    * library: container signatures and dimension fields read straight
+    * off the bytes. PNG: the IHDR chunk that must open every file
+    * (width/height as big-endian u32 at offsets 16/20). JPEG: the
+    * SOF marker walk — segments are (0xFF, marker, u16 length)
+    * frames, so the parser hops APPn/DQT/COM/… until a
+    * start-of-frame marker (C0–CF minus C4/C8/CC, which are
+    * huffman/arithmetic tables) and reads height/width from the
+    * frame header. Runs partition-wise like [[FakeCodec]]; malformed
+    * or truncated bytes yield None, never an exception — a poisoned
+    * row must not kill a 100 TB scan task. */
+  object HeaderCodec {
+    private val PngSig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** (format, width, height) or None if not a recognizable image. */
+    def parse(b: Array[Byte]): Option[(String, Int, Int)] =
+      if (isPng(b)) parsePng(b)
+      else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+        parseJpeg(b)
+      else None
+
+    private def isPng(b: Array[Byte]): Boolean =
+      b.length >= 24 && PngSig.indices.forall(i => b(i) == PngSig(i)) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'
+
+    private def u16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+    private def u32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+    private def parsePng(b: Array[Byte]): Option[(String, Int, Int)] = {
+      val (w, h) = (u32(b, 16), u32(b, 20))
+      // spec bounds: zero or >2^31-1 dimensions are invalid
+      if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+        Some(("png", w.toInt, h.toInt))
+      else None
+    }
+
+    private def parseJpeg(b: Array[Byte]): Option[(String, Int, Int)] = {
+      var p = 2
+      while (p + 3 < b.length) {
+        if ((b(p) & 0xff) != 0xff) return None // lost framing: corrupt
+        val marker = b(p + 1) & 0xff
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          // frame header: len(2) precision(1) height(2) width(2)
+          if (p + 8 >= b.length) return None
+          val (h, w) = (u16(b, p + 5), u16(b, p + 7))
+          return if (w > 0 && h > 0) Some(("jpeg", w, h)) else None
+        }
+        if (marker == 0xff) p += 1 // fill byte before a marker
+        else if (marker == 0xd9) return None // EOI before any SOF
+        else if ((marker >= 0xd0 && marker <= 0xd8) || marker == 0x01)
+          p += 2 // standalone markers carry no length field
+        else {
+          val len = u16(b, p + 2)
+          if (len < 2) return None // segment length includes itself
+          p += 2 + len
+        }
+      }
+      None // ran out of bytes before any SOF
+    }
+  }
+
   /** Synthesize a media table from `documents` (text bytes stand in
     * for encoded media; mime assigned round-robin by doc_id). */
   def mediaFromDocuments(docs: DataFrame)(implicit s: SparkSession): Dataset[MediaRow] = {
@@ -48,6 +116,60 @@ object Multimodal {
           .otherwise("video/mp4").as("mime"),
         col("text").cast("binary").as("content"))
       .as[MediaRow]
+  }
+
+  case class ImageHeaderMeta(doc_id: Long, fmt: String, width: Int, height: Int)
+
+  /** Valid minimal PNG: signature + IHDR chunk (the parser does not
+    * require pixel data — neither does any header scan). */
+  def pngBytes(w: Int, h: Int): Array[Byte] = {
+    def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ be32(0) // bit depth…filter + CRC slot
+  }
+
+  /** Valid minimal JPEG header run: SOI, APP0 (JFIF), a DQT stub, then
+    * SOF0 carrying the dimensions — the parser must hop the first two
+    * segments by length to reach the frame header. */
+  def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val soi = Array(0xff, 0xd8).map(_.toByte)
+    val app0 = Array(0xff, 0xe0, 0x00, 0x10).map(_.toByte) ++
+      "JFIF".getBytes ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val dqt = Array(0xff, 0xdb, 0x00, 0x05, 1, 2, 3).map(_.toByte)
+    val sof0 = Array(0xff, 0xc0, 0x00, 0x11, 0x08,
+      (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+      0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+      .map(_.toByte)
+    soi ++ app0 ++ dqt ++ sof0
+  }
+
+  /** Deterministic REAL image binaries from `documents`: doc_id-derived
+    * dimensions wrapped in an actual PNG IHDR (even ids) or JPEG
+    * APP0+DQT+SOF0 sequence (odd ids). The parse is then a genuine
+    * byte walk while the oracle replays the recovered dimensions
+    * arithmetically — the codec plumbing is verified end to end
+    * without a codec library in the container. */
+  def syntheticImages(docs: DataFrame)(implicit s: SparkSession): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (16 + id % 1000).toInt
+      val h = (16 + (id * 7) % 800).toInt
+      if (id % 2 == 0) MediaRow(id, "image/png", pngBytes(w, h))
+      else MediaRow(id, "image/jpeg", jpegBytes(w, h))
+    })
+  }
+
+  /** Partition-wise REAL header decode ([[HeaderCodec]]); rows whose
+    * bytes don't parse are dropped (the dead-letter split is the
+    * caller's move — S7 semantics — and belongs upstream of here). */
+  def decodeHeaders(media: Dataset[MediaRow])(implicit s: SparkSession): Dataset[ImageHeaderMeta] = {
+    import s.implicits._
+    media.mapPartitions(_.flatMap(r =>
+      HeaderCodec.parse(r.content).map { case (fmt, w, h) =>
+        ImageHeaderMeta(r.doc_id, fmt, w, h)
+      }))
   }
 
   /** Partition-wise decode: one codec instance per partition, rows

@@ -31,6 +31,48 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(meta, 10).count() == 3)
   }
 
+  test("HeaderCodec: PNG IHDR and JPEG SOF walk recover the encoded dims") {
+    assert(Multimodal.HeaderCodec.parse(Multimodal.pngBytes(640, 480))
+      == Some(("png", 640, 480)))
+    assert(Multimodal.HeaderCodec.parse(Multimodal.jpegBytes(1023, 768))
+      == Some(("jpeg", 1023, 768)))
+    // progressive JPEG (SOF2) parses the same frame-header layout
+    val prog = Multimodal.jpegBytes(300, 200)
+    prog(prog.length - 18) = 0xc2.toByte // the SOF marker byte
+    assert(Multimodal.HeaderCodec.parse(prog) == Some(("jpeg", 300, 200)))
+    // fill bytes before a marker are legal framing
+    val soi = Multimodal.jpegBytes(64, 32)
+    val padded = soi.take(2) ++ Array(0xff.toByte) ++ soi.drop(2)
+    assert(Multimodal.HeaderCodec.parse(padded) == Some(("jpeg", 64, 32)))
+  }
+
+  test("HeaderCodec: malformed bytes yield None, never an exception") {
+    val cases = Seq(
+      Array.emptyByteArray,                          // nothing
+      "plain text".getBytes,                         // no signature
+      Multimodal.pngBytes(10, 10).take(20),          // truncated IHDR
+      Multimodal.jpegBytes(10, 10).take(6),          // truncated segment
+      Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte),   // EOI before SOF
+      Array(0xff, 0xd8, 0x00, 0x00).map(_.toByte),   // lost framing
+      Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x01).map(_.toByte)) // len < 2
+    for (c <- cases)
+      assert(Multimodal.HeaderCodec.parse(c).isEmpty,
+        s"bytes ${c.toSeq} must not parse")
+    // zero dimensions are out of spec for both containers
+    assert(Multimodal.HeaderCodec.parse(Multimodal.pngBytes(0, 10)).isEmpty)
+    assert(Multimodal.HeaderCodec.parse(Multimodal.jpegBytes(10, 0)).isEmpty)
+  }
+
+  test("decodeHeaders drops unparseable rows partition-wise") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/png", Multimodal.pngBytes(33, 44)),
+      Multimodal.MediaRow(2L, "image/jpeg", Multimodal.jpegBytes(55, 66)),
+      Multimodal.MediaRow(3L, "image/png", "garbage".getBytes))
+    val got = Multimodal.decodeHeaders(media.toDS())
+      .collect().map(m => m.doc_id -> ((m.fmt, m.width, m.height))).toMap
+    assert(got == Map(1L -> (("png", 33, 44)), 2L -> (("jpeg", 55, 66))))
+  }
+
   test("resizePlan: downscale-only, aspect kept, min-1 clamp, images only") {
     val meta = Seq(
       Multimodal.MediaMeta(1L, "image/png", 10, 640, 120, 1),  // wide
