@@ -69,10 +69,8 @@ object Components {
       persisted.foreach(_.unpersist(blocking = false)); persisted.clear()
     }
     val spark = pairs.sparkSession
-    val confKey = "spark.sql.shuffle.partitions"
-    val savedWidth = spark.conf.get(confKey)
     try {
-      val edges = mat(pairs.select(col(a).as("src"), col(b).as("dst"))
+      val edges0 = mat(pairs.select(col(a).as("src"), col(b).as("dst"))
         .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
         .distinct())
       // Materialize edges NOW with a direct action. Reliable path: the
@@ -89,40 +87,43 @@ object Components {
       // the session width; the label frames the loop shuffles are
       // ≤ |nodes| ≤ 2·|edges| rows and must not be scheduled as
       // cluster-width micro-stages when that is kilobytes.
-      val nEdges = edges.count()
+      val nEdges = edges0.count()
       if (reliable) dropFed()
-      spark.conf.set(confKey, LoopWidth.partitionsFor(nEdges, spark).toString)
-      // seed with the first neighbor-min pass (saves one iteration):
-      // comp0 = min(node, min neighbor)
-      var labels = mat(edges
-        .groupBy(col("src"))
-        .agg(least(col("src"), min(col("dst"))).as("comp"))
-        .withColumnRenamed("src", "node"))
-      var converged = false
-      var it = 0
-      while (!converged && it < maxIter) {
-        it += 1
-        val neighborMin = edges
-          .join(labels, col("dst") === col("node"))
-          .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
-        // convergence flag computed IN the same pass — no extra join
-        val next = mat(labels
-          .join(neighborMin, col("node") === col("src"), "left")
-          .select(col("node"),
-            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-            (coalesce(col("ncomp"), col("comp")) < col("comp")).as("changed")))
-        // the single per-iteration action: materializes `next`'s
-        // checkpoint and yields the changed count in the same job
-        converged = next.filter(col("changed")).count() == 0
-        dropFed()
-        labels = next.drop("changed")
+      // loop width applies on a session CLONE (LoopWidth.onSizedSession)
+      // — a concurrent query on the shared session keeps its width
+      LoopWidth.onSizedSession(edges0, LoopWidth.partitionsFor(nEdges, spark)) { edges =>
+        // seed with the first neighbor-min pass (saves one iteration):
+        // comp0 = min(node, min neighbor)
+        var labels = mat(edges
+          .groupBy(col("src"))
+          .agg(least(col("src"), min(col("dst"))).as("comp"))
+          .withColumnRenamed("src", "node"))
+        var converged = false
+        var it = 0
+        while (!converged && it < maxIter) {
+          it += 1
+          val neighborMin = edges
+            .join(labels, col("dst") === col("node"))
+            .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+          // convergence flag computed IN the same pass — no extra join
+          val next = mat(labels
+            .join(neighborMin, col("node") === col("src"), "left")
+            .select(col("node"),
+              least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+              (coalesce(col("ncomp"), col("comp")) < col("comp")).as("changed")))
+          // the single per-iteration action: materializes `next`'s
+          // checkpoint and yields the changed count in the same job
+          converged = next.filter(col("changed")).count() == 0
+          dropFed()
+          labels = next.drop("changed")
+        }
+        if (!converged)
+          throw new IllegalStateException(
+            s"connectedComponents: no fixpoint after $maxIter iterations — " +
+              "refusing to return a partially-propagated labeling")
+        labels.select(col("node"), col("comp").as("rep"))
       }
-      if (!converged)
-        throw new IllegalStateException(
-          s"connectedComponents: no fixpoint after $maxIter iterations — " +
-            "refusing to return a partially-propagated labeling")
-      labels.select(col("node"), col("comp").as("rep"))
-    } finally { spark.conf.set(confKey, savedWidth); dropFed() }
+    } finally dropFed()
   }
 
   /** Large-star/small-star connected components (Kiveris et al.,
@@ -190,46 +191,48 @@ object Components {
     // self-rows, and both the edge frame and the node universe are
     // cheap derivations of that checkpoint.
     val spark = pairs.sparkSession
-    val confKey = "spark.sql.shuffle.partitions"
-    val savedWidth = spark.conf.get(confKey)
     try {
       val base = mat(pairs.select(
         greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
         .distinct())
-      val nodes = base.select(col("u").as("node"))
-        .unionByName(base.select(col("v").as("node"))).distinct()
-      var edges = base.filter(col("u") =!= col("v"))
-      var prevCount = edges.count()
+      val prevCount0 = base.filter(col("u") =!= col("v")).count()
       dropFed()
       // loop width sized from the measured edge count (see LoopWidth;
       // the star rounds shuffle edge-scale frames, and each round is
       // 4+ stages — micro-stage scheduling dominates a small graph at
-      // cluster width). The base build above ran at the session width.
-      spark.conf.set(confKey, LoopWidth.partitionsFor(prevCount, spark).toString)
-      var converged = false
-      var it = 0
-      while (!converged && it < maxIter) {
-        it += 1
-        val next = mat(smallStar(sym(largeStar(sym(edges, dedup = false)),
-          dedup = true)))
-        // exact fixpoint test: same cardinality (carried over from the
-        // previous round — no recount of `edges`) and nothing new
-        val nNext = next.count()
-        dropFed()
-        converged = nNext == prevCount &&
-          next.exceptAll(edges).limit(1).count() == 0
-        prevCount = nNext
-        edges = next
+      // cluster width). The base build above ran at the session
+      // width; the loop runs on a sized session CLONE so the shared
+      // session's planning width is untouched.
+      LoopWidth.onSizedSession(base, LoopWidth.partitionsFor(prevCount0, spark)) { baseC =>
+        val nodes = baseC.select(col("u").as("node"))
+          .unionByName(baseC.select(col("v").as("node"))).distinct()
+        var edges = baseC.filter(col("u") =!= col("v"))
+        var prevCount = prevCount0
+        var converged = false
+        var it = 0
+        while (!converged && it < maxIter) {
+          it += 1
+          val next = mat(smallStar(sym(largeStar(sym(edges, dedup = false)),
+            dedup = true)))
+          // exact fixpoint test: same cardinality (carried over from the
+          // previous round — no recount of `edges`) and nothing new
+          val nNext = next.count()
+          dropFed()
+          converged = nNext == prevCount &&
+            next.exceptAll(edges).limit(1).count() == 0
+          prevCount = nNext
+          edges = next
+        }
+        if (!converged)
+          throw new IllegalStateException(
+            s"largeSmallStar: no fixpoint after $maxIter rounds")
+        // fixpoint is a star forest: (child → root) edges. rep(child) =
+        // root; every other node (roots, self-pair-only nodes) = itself.
+        nodes
+          .join(edges.select(col("u").as("node"), col("v").as("rep")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("rep"), col("node")).as("rep"))
       }
-      if (!converged)
-        throw new IllegalStateException(
-          s"largeSmallStar: no fixpoint after $maxIter rounds")
-      // fixpoint is a star forest: (child → root) edges. rep(child) =
-      // root; every other node (roots, self-pair-only nodes) = itself.
-      nodes
-        .join(edges.select(col("u").as("node"), col("v").as("rep")),
-          Seq("node"), "left")
-        .select(col("node"), coalesce(col("rep"), col("node")).as("rep"))
-    } finally { spark.conf.set(confKey, savedWidth); dropFed() }
+    } finally dropFed()
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shuffle-width sizing for ITERATIVE operators (PageRank, connected
   * components): a fixed-point loop schedules several stages per round,
@@ -13,10 +13,10 @@ import org.apache.spark.sql.SparkSession
   * the right range at BOTH ends: kilobyte frames get 1–2 tasks,
   * a 10¹⁰-edge graph still uses every core.
   *
-  * Callers set `spark.sql.shuffle.partitions` to this for the loop
-  * and restore it after (cached plans pin their partitioning when
-  * built — AQE does not re-coalesce them — so the width must be
-  * right at cache-build time, not fixed up afterwards).
+  * Loops apply the width through [[onSizedSession]] (cached plans pin
+  * their partitioning when built — AQE does not re-coalesce them — so
+  * the width must be right at cache-build time, not fixed up
+  * afterwards).
   */
 object LoopWidth {
 
@@ -27,4 +27,29 @@ object LoopWidth {
     math.min(
       rows / RowsPerTask + 1,
       math.max(1, spark.sparkContext.defaultParallelism).toLong).toInt
+
+  /** Run `body` with `df` re-based onto its OWN session whose shuffle
+    * width is `p`. Mutating the shared session's conf for the loop's
+    * duration would make a concurrent query on that session plan at
+    * the shrunken width (and a concurrent conf write corrupt the
+    * loop); `newSession()` has its own SQLConf while sharing the
+    * SparkContext, cache manager, and global temp views, so the
+    * loop's caches and checkpoints behave identically. The re-base
+    * rides a uniquely-named GLOBAL temp view (the public
+    * cross-session plan hand-off), dropped on exit; the name is
+    * collision-free so a concurrent loop cannot observe or clobber
+    * it. Frames `body` returns stay bound to the loop session —
+    * callers get fixed-width plans (loop results are
+    * checkpoint-backed, so their width is already decided). */
+  def onSizedSession[T](df: DataFrame, p: Int)(body: DataFrame => T): T = {
+    val spark = df.sparkSession
+    val name = "__graft_loop_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    df.createGlobalTempView(name)
+    try {
+      val loopSession = spark.newSession()
+      loopSession.conf.set("spark.sql.shuffle.partitions", p.toString)
+      body(loopSession.table(s"global_temp.$name"))
+    } finally spark.catalog.dropGlobalTempView(name)
+  }
 }

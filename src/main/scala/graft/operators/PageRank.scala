@@ -39,15 +39,17 @@ object PageRank {
     *
     * Scale shape. The edge build (the data-proportional part) runs at
     * the session's shuffle width. The loop then runs at a width sized
-    * from the measured edge count — one task per [[EdgesPerTask]]
-    * edges, capped at the cluster parallelism — because a fixed-point
-    * loop schedules ~4 stages per round and at local[32]/sf0.1 that
-    * was 3 rounds × 4 stages × 32 near-empty tasks (the round-6
-    * driver bench measured the same commit at 5.7 s with 4-wide
-    * shuffles and 30 s with 32-wide: pure scheduling, zero data
-    * difference). Cached plans pin their partitioning (AQE does not
-    * re-coalesce them), so the width must be right when the cache is
-    * built, not fixed up afterwards.
+    * from the measured edge count — one task per
+    * [[LoopWidth.RowsPerTask]] rows, capped at the cluster
+    * parallelism — because a fixed-point loop schedules ~4 stages per
+    * round and at local[32]/sf0.1 that was 3 rounds × 4 stages × 32
+    * near-empty tasks (the round-6 driver bench measured the same
+    * commit at 5.7 s with 4-wide shuffles and 30 s with 32-wide: pure
+    * scheduling, zero data difference). Cached plans pin their
+    * partitioning (AQE does not re-coalesce them), so the width must
+    * be right when the cache is built, not fixed up afterwards; the
+    * width applies through a session CLONE
+    * ([[LoopWidth.onSizedSession]]), never the shared session's conf.
     *
     * Inside the loop: out-degrees are joined into the edge frame ONCE
     * (deg is a loop invariant of its src — carrying it on the cached
@@ -64,8 +66,6 @@ object PageRank {
   def fixedPoint(edges: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = edges.sparkSession
-    val confKey = "spark.sql.shuffle.partitions"
-    val saved = spark.conf.get(confKey)
     val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // everything after the first persist sits inside try/finally: a
     // failed count must not strand cached blocks in a shared session
@@ -75,37 +75,36 @@ object PageRank {
       frames += eRaw
       val nEdges = eRaw.count()
       val p = LoopWidth.partitionsFor(nEdges, spark)
-      spark.conf.set(confKey, p.toString)
-      val eCols = eRaw.repartition(p, col("src"))
-      // nodes read the CACHED eRaw, not the repartition: distinct()
-      // reshuffles by node either way, so going through eCols would
-      // just pay the by-src exchange twice for nothing
-      val nodes = eRaw.select(col("src").as("node"))
-        .union(eRaw.select(col("dst").as("node"))).distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // deg rides on the cached edges: one groupBy at build time
-      // instead of an outdeg join inside every round
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
-      val e = eCols.withColumn("deg", count(lit(1)).over(w))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      frames ++= Seq(e, nodes)
-      val base = lit(15L * Scale / 100)
-      var ranks = nodes.withColumn("rank", lit(Scale))
-      (1 to iters).foreach { _ =>
-        val contrib = e
-          .join(ranks.withColumnRenamed("node", "src"), "src")
-          .select(col("dst").as("node"),
-            expr("rank div deg").as("c"))
-          .groupBy("node").agg(sum(col("c")).as("in_sum"))
-        ranks = nodes.join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            (base + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
+      LoopWidth.onSizedSession(eRaw, p) { eBase =>
+        val eCols = eBase.repartition(p, col("src"))
+        // nodes read the CACHED eRaw plan (the re-based view resolves
+        // to it), not the repartition: distinct() reshuffles by node
+        // either way, so going through eCols would just pay the
+        // by-src exchange twice for nothing
+        val nodes = eBase.select(col("src").as("node"))
+          .union(eBase.select(col("dst").as("node"))).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // deg rides on the cached edges: one groupBy at build time
+        // instead of an outdeg join inside every round
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+        val e = eCols.withColumn("deg", count(lit(1)).over(w))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        frames ++= Seq(e, nodes)
+        val base = lit(15L * Scale / 100)
+        var ranks = nodes.withColumn("rank", lit(Scale))
+        (1 to iters).foreach { _ =>
+          val contrib = e
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(col("dst").as("node"),
+              expr("rank div deg").as("c"))
+            .groupBy("node").agg(sum(col("c")).as("in_sum"))
+          ranks = nodes.join(contrib, Seq("node"), "left")
+            .select(col("node"),
+              (base + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
+        }
+        ranks.localCheckpoint(eager = true)
       }
-      ranks.localCheckpoint(eager = true)
-    } finally {
-      spark.conf.set(confKey, saved)
-      frames.foreach(_.unpersist(blocking = false))
-    }
+    } finally frames.foreach(_.unpersist(blocking = false))
   }
 
   /** One unrolled iteration as oracle CTEs: needs `e(src, dst)`,
