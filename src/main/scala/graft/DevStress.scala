@@ -300,6 +300,36 @@ object DevStress {
       if (scaled > 0)
         println(f"[stress] x$factor%-3d semdedup k~N reduction    ${fixed.toDouble / scaled}%8.2fx")
     }
+    // doc-store snapshot rotation at width: N batches through
+    // ParquetDocStoreSink, each upsert REWRITING the full store (the
+    // known trade of snapshot-rotate vs a table format's row-level
+    // MERGE). Batches half-overlap the store so every round exercises
+    // both replace and insert; the number to watch is per-batch wall
+    // GROWTH — it should track store size (linear rewrite), and the
+    // retention pass must hold the version count flat at keepVersions.
+    if (wants("docstore_rotate")) {
+      val dir = "/tmp/stress_docstore"
+      def rmdir(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rmdir); f.delete()
+      }
+      rmdir(new java.io.File(dir))
+      val sink = new graft.streaming.ParquetDocStoreSink(dir,
+        keys = Seq("k"), orderCols = Seq("ver"), keepVersions = 2)
+      val batchRows = 50000L * factor
+      (0 until 5).foreach { b =>
+        val batch = spark.range(b * batchRows / 2, b * batchRows / 2 + batchRows)
+          .select(col("id").as("k"), lit(b.toLong).as("ver"),
+            concat(lit("payload"), col("id")).as("v"))
+        System.gc()
+        val t0 = System.nanoTime()
+        sink.upsert(batch, b.toLong)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val stored = sink.current(spark).map(_.count()).getOrElse(0L)
+        val nVers = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+          .count(_.getName.startsWith("v="))
+        println(f"[stress] x$factor%-3d docstore_rotate_b$b%-8d $wall%8.2f s  $stored%10d rows  $nVers versions")
+      }
+    }
     spark.stop()
   }
 }
