@@ -30,6 +30,16 @@ object MultimodalPack extends QueryPack {
         Multimodal.syntheticImages(Tables.documents(s, dir))).toDF()
     }),
 
+    // REAL audio header decode: RIFF chunk walk over genuine WAV byte
+    // layouts ([[graft.sources.Multimodal.WavCodec]]) — little-endian
+    // fields, junk-chunk hops, word-alignment pad bytes. The oracle
+    // replays the PCM parameters the generator encoded.
+    "mm_wav_meta" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.decodeWav(
+        Multimodal.syntheticAudio(Tables.documents(s, dir))).toDF()
+    }),
+
     "mm_frame_sample" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.sampleFrames(
@@ -142,6 +152,24 @@ object MultimodalPack extends QueryPack {
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
         |  CAST(16 + doc_id % 1000 AS INTEGER) AS width,
         |  CAST(16 + (doc_id * 7) % 800 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
+
+    // integer arithmetic throughout (duration is floor division), so
+    // the compare is exact; a parser that misreads any LE field or
+    // desyncs on the junk chunk's pad byte diverges here
+    "mm_wav_meta" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |  CAST(CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |       WHEN 2 THEN 22050 WHEN 3 THEN 44100
+        |       ELSE 48000 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16
+        |       WHEN 2 THEN 24 ELSE 32 END AS INTEGER) AS bits,
+        |  CAST(1000 + (doc_id * 37) % 9000 AS BIGINT) AS n_frames,
+        |  (1000 + (doc_id * 37) % 9000) * 1000
+        |    // CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |       WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END
+        |    AS duration_ms
         |FROM documents""".stripMargin,
 
     "mm_frame_sample" ->

@@ -106,6 +106,116 @@ object Multimodal {
     }
   }
 
+  case class WavMeta(doc_id: Long, channels: Int, sample_rate: Int,
+                     bits: Int, n_frames: Long, duration_ms: Long)
+
+  /** REAL WAV (RIFF) header parsing — the audio leg of the codec-free
+    * header family. RIFF files are a walk of little-endian
+    * (id:4, size:u32le, payload:size) chunks under a "RIFF"…"WAVE"
+    * envelope; chunks are WORD-aligned, so an odd payload carries one
+    * pad byte the size field does not count — a walker that forgets
+    * the pad desyncs on the next chunk id. The parser hops unknown
+    * chunks (LIST/JUNK/…) until it has seen a "fmt " chunk (channels,
+    * sample rate, bits/sample, block align) and a "data" chunk, whose
+    * SIZE alone gives the frame count — no sample payload is read,
+    * the same header-only discipline as the PNG/JPEG walk. Malformed
+    * bytes yield None, never an exception. */
+  object WavCodec {
+    private def u16le(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+    private def u32le(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** (channels, sampleRate, bitsPerSample, nFrames) or None. */
+    def parse(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+        return None
+      var p = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, bits, blockAlign
+      var dataSize: Option[Long] = None
+      while (p + 8 <= b.length && (fmt.isEmpty || dataSize.isEmpty)) {
+        val id = tag(b, p)
+        val size = u32le(b, p + 4)
+        if (size < 0 || size > Int.MaxValue) return None
+        if (id == "fmt ") {
+          // PCM fmt payload: format(2) channels(2) rate(4) byteRate(4)
+          // blockAlign(2) bits(2); extensible formats append more,
+          // which the walk skips via the size field
+          if (size < 16 || p + 8 + 16 > b.length) return None
+          fmt = Some((u16le(b, p + 10), u32le(b, p + 12).toInt,
+            u16le(b, p + 22), u16le(b, p + 20)))
+        } else if (id == "data") {
+          // header-only contract: the size FIELD is the payload
+          // length; the payload itself need not be present (and at
+          // 100 TB should not be read for metadata)
+          dataSize = Some(size)
+        }
+        // word alignment: odd payloads carry one uncounted pad byte
+        p += 8 + size.toInt + (size % 2).toInt
+      }
+      for {
+        (ch, rate, bits, blockAlign) <- fmt
+        d <- dataSize
+        if ch > 0 && rate > 0 && bits > 0 && blockAlign > 0
+      } yield (ch, rate, bits, d / blockAlign)
+    }
+  }
+
+  /** Valid minimal WAV header: RIFF/WAVE + optional odd-sized JUNK
+    * chunk (forces the chunk hop AND the word-alignment pad) + PCM
+    * fmt + a data chunk SIZE with no payload. */
+  def wavBytes(channels: Int, sampleRate: Int, bits: Int,
+               nSamples: Long, withJunk: Boolean): Array[Byte] = {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Long) = Array(v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val blockAlign = channels * bits / 8
+    val junk = if (withJunk)
+      "JUNK".getBytes ++ le32(7) ++ Array.fill[Byte](7)(0x6a) ++
+        Array[Byte](0) // 7-byte payload + its alignment pad
+    else Array.emptyByteArray
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(sampleRate) ++ le32(sampleRate.toLong * blockAlign) ++
+      le16(blockAlign) ++ le16(bits)
+    val data = "data".getBytes ++ le32(nSamples * blockAlign)
+    val body = junk ++ fmt ++ data
+    "RIFF".getBytes ++ le32(4 + body.length) ++ "WAVE".getBytes ++ body
+  }
+
+  /** Deterministic REAL audio binaries from `documents`: doc_id-derived
+    * PCM parameters wrapped in a genuine RIFF layout (every third file
+    * opens with a junk chunk the walker must hop). The oracle replays
+    * the encoded parameters arithmetically — a wrong offset, a missed
+    * pad byte, or a big-endian read breaks the hash. */
+  def syntheticAudio(docs: DataFrame)(implicit s: SparkSession): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val channels = 1 + (id % 2).toInt
+      val rate = Array(8000, 16000, 22050, 44100, 48000)((id % 5).toInt)
+      val bits = Array(8, 16, 24, 32)((id % 4).toInt)
+      val nSamples = 1000 + (id * 37) % 9000
+      MediaRow(id, "audio/wav",
+        wavBytes(channels, rate, bits, nSamples, withJunk = id % 3 == 0))
+    })
+  }
+
+  /** Partition-wise WAV header decode ([[WavCodec]]); unparseable rows
+    * are dropped (dead-letter split is the caller's move, as with
+    * [[decodeHeaders]]). duration_ms uses integer floor division —
+    * exactly replayable in SQL. */
+  def decodeWav(media: Dataset[MediaRow])(implicit s: SparkSession): Dataset[WavMeta] = {
+    import s.implicits._
+    media.mapPartitions(_.flatMap(r =>
+      WavCodec.parse(r.content).map { case (ch, rate, bits, frames) =>
+        WavMeta(r.doc_id, ch, rate, bits, frames, frames * 1000L / rate)
+      }))
+  }
+
   /** Synthesize a media table from `documents` (text bytes stand in
     * for encoded media; mime assigned round-robin by doc_id). */
   def mediaFromDocuments(docs: DataFrame)(implicit s: SparkSession): Dataset[MediaRow] = {

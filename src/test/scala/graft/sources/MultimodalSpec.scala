@@ -63,6 +63,53 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.HeaderCodec.parse(Multimodal.jpegBytes(10, 0)).isEmpty)
   }
 
+  test("WavCodec: RIFF walk recovers PCM params through junk + pad bytes") {
+    // plain layout
+    assert(Multimodal.WavCodec.parse(
+      Multimodal.wavBytes(2, 44100, 16, 1000, withJunk = false))
+      == Some((2, 44100, 16, 1000L)))
+    // odd-sized junk chunk ahead of fmt: the walk must hop it AND
+    // skip its word-alignment pad byte or every later field desyncs
+    assert(Multimodal.WavCodec.parse(
+      Multimodal.wavBytes(1, 8000, 24, 333, withJunk = true))
+      == Some((1, 8000, 24, 333L)))
+    // frame count is data size / block align, not sample-payload bytes
+    assert(Multimodal.WavCodec.parse(
+      Multimodal.wavBytes(2, 48000, 32, 12345, withJunk = true))
+      == Some((2, 48000, 32, 12345L)))
+  }
+
+  test("WavCodec: malformed bytes yield None, never an exception") {
+    val good = Multimodal.wavBytes(2, 44100, 16, 100, withJunk = false)
+    val cases = Seq(
+      Array.emptyByteArray,
+      "RIFF1234WAV?".getBytes,              // wrong form tag
+      good.take(11),                        // truncated envelope
+      good.take(30),                        // truncated fmt chunk
+      good.dropRight(8))                    // fmt but no data chunk
+    for (c <- cases)
+      assert(Multimodal.WavCodec.parse(c).isEmpty,
+        s"bytes of length ${c.length} must not parse")
+    // zero block align would divide by zero — rejected, not thrown
+    val zeroAlign = good.clone()
+    zeroAlign(32) = 0; zeroAlign(33) = 0 // fmt blockAlign field
+    assert(Multimodal.WavCodec.parse(zeroAlign).isEmpty)
+  }
+
+  test("decodeWav: id-derived params round-trip the synthetic corpus") {
+    val docs = Seq((0L, "x"), (1L, "y"), (7L, "z"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.decodeWav(Multimodal.syntheticAudio(docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(got(0L).channels == 1 && got(0L).sample_rate == 8000 &&
+      got(0L).bits == 8 && got(0L).n_frames == 1000 &&
+      got(0L).duration_ms == 125) // 1000 * 1000 / 8000
+    assert(got(1L).channels == 2 && got(1L).sample_rate == 16000 &&
+      got(1L).bits == 16 && got(1L).n_frames == 1037)
+    assert(got(7L).sample_rate == 22050 && got(7L).bits == 32 &&
+      got(7L).n_frames == 1000 + (7 * 37) % 9000)
+  }
+
   test("decodeHeaders drops unparseable rows partition-wise") {
     val media = Seq(
       Multimodal.MediaRow(1L, "image/png", Multimodal.pngBytes(33, 44)),
