@@ -190,6 +190,53 @@ object TextPack extends QueryPack {
         .orderBy(col("cnt").desc, col("ng"))
         .limit(50)),
 
+    // One distributed BPE training step (the pair-count core of
+    // subword-vocabulary learning, Sennrich et al. 2016): every
+    // adjacent symbol pair in every word, counted corpus-wide, top-50
+    // merge candidates. The explode→substr→partial-count chain is one
+    // codegen stage; the only shuffle is the pair groupBy (map-side
+    // combined — symbol-pair cardinality is tiny vs corpus size), and
+    // the global cut is TakeOrderedAndProject, not a sort. Iterating
+    // the full BPE loop re-runs this step on re-segmented symbols;
+    // the per-step dataflow is what must scale. (cnt, pair) is unique,
+    // so the 50-cut is deterministic.
+    "tx_bpe_merge_step" -> ((s, dir) =>
+      tokenized(s, dir)
+        .select(explode(filter(col("toks"), w => length(w) >= 2)).as("w"))
+        .select(col("w"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(col("w").substr(col("i"), lit(2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(50)),
+
+    // PII detection — the audit complement of p_redact_pages: regex
+    // match counts per document, over text with deterministically
+    // INJECTED contacts (id-derived emails / IPv4s), so the expected
+    // counts are known non-zero and the compare pins the regex
+    // semantics, not just their absence from synthetic text. Patterns
+    // stay in the RE2 ∩ java.util.regex dialect (no backrefs, no
+    // lookaround) so both engines match identically. Scan-stage only.
+    "tx_pii_scan" -> ((s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" user"), col("doc_id").cast("string"),
+                lit("@example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" 10."), (col("doc_id") % 256).cast("string"),
+                lit(".0.1"))).otherwise(lit(""))).as("body"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("body"), lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("body"), lit(ipRe), lit(0)))
+            .cast("long").as("n_ips"))
+        .withColumn("has_pii", col("n_emails") > 0 || col("n_ips") > 0)
+    }),
+
     // TF-IDF top terms per document. IDF uses the exact rational
     // form N/df (not ln(N/df)): libm log is not guaranteed
     // bit-identical across engines, while tf·N/df is two exact-long
@@ -418,6 +465,32 @@ object TextPack extends QueryPack {
          |       FROM rk WHERE rn <= $PostingCap GROUP BY token)
          |SELECT df.token, df.df, pl.postings
          |FROM df JOIN pl USING (token)""".stripMargin,
+
+    "tx_bpe_merge_step" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |ww AS (SELECT w FROM w WHERE length(w) >= 2),
+        |p AS (SELECT substr(w, i, 2) AS pair
+        |      FROM ww, UNNEST(generate_series(1, length(w) - 1)) AS g(i))
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    "tx_pii_scan" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(body,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(body,
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  len(regexp_extract_all(body,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+        |    OR len(regexp_extract_all(body,
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) > 0 AS has_pii
+        |FROM (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 5 = 0
+        |          THEN ' user' || doc_id || '@example.com' ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0
+        |          THEN ' 10.' || (doc_id % 256) || '.0.1' ELSE '' END AS body
+        |  FROM documents)""".stripMargin,
 
     "tx_top_ngrams" ->
       """WITH t AS (SELECT string_split(text, ' ') AS ts

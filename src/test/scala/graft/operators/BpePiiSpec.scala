@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Handcrafted semantics for the BPE pair-count step and the PII
+  * scan — the oracle pins them on the sf corpus; these pin the exact
+  * pair/match rules on rows built to hit the edges.
+  */
+class BpePiiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("bpesf").toString
+    rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("tx_bpe_merge_step: adjacent pairs, overlap counted, 1-char words skipped") {
+    // "abab" pairs: ab, ba, ab -> ab:2 ba:1 ; "x" contributes nothing;
+    // "ab ab" is two words -> ab twice more (no cross-word pair)
+    val dir = docsDir(Seq((1L, "abab x"), (2L, "ab ab")))
+    val got = TextPack.queries("tx_bpe_merge_step")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("ab" -> 4L, "ba" -> 1L))
+  }
+
+  test("tx_pii_scan: injected email+ip counted; natural text adds matches") {
+    // id 35 (%5 and %7): email AND ip injected; id 3: neither, but the
+    // text itself carries one email and one ipv4 the scan must find
+    val dir = docsDir(Seq(
+      (35L, "clean words"),
+      (3L, "write bob@mail.org or ping 192.168.0.1 now"),
+      (4L, "dotted.but.not.an.ip and at@sign@double")))
+    val got = TextPack.queries("tx_pii_scan")(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(35L) == ((1L, 1L, true)))
+    assert(got(3L) == ((1L, 1L, true)))
+    // "at@sign@double" never forms local@domain.tld (no dot-TLD) and
+    // dotted words are not IPv4s — both lookalikes stay clean
+    assert(got(4L) == ((0L, 0L, false)))
+  }
+}
