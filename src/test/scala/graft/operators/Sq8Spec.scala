@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Scalar quantization (SQ8): code range, degenerate-dimension
+  * handling, exact-integer scoring, and ranking shape. */
+class Sq8Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("sim_sq8_topk: five descending-score neighbors per query") {
+    val rows = graft.SparkEntry.queries("sim_sq8_topk")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(rows.keySet == (0L to 9L).toSet)
+    rows.values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to 5L))
+      sorted.sliding(2).foreach { w =>
+        assert(w(0)._4 >= w(1)._4, s"scores out of rank order: $g")
+      }
+      g.foreach { case (q, _, v, _) => assert(v != q) }
+    }
+  }
+
+  test("sim_sq8_topk agrees with the exact-dot top-1 most of the time") {
+    // quantization is approximate BY DESIGN; the sanity bar is that
+    // the int8 grid preserves the exact inner-product top-1 for a
+    // majority of the 10 queries (it does far better in practice) —
+    // a broken scale or a per-dim offset bug collapses this to ~0.
+    // (cosine would be the wrong truth here: SQ8 scores raw dots.)
+    import org.apache.spark.sql.functions._
+    val sq8 = graft.SparkEntry.queries("sim_sq8_topk")(spark, sf)
+      .collect().filter(_.getLong(1) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val e = graft.Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val exact = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.Similarity.dot(col("qe"), col("embedding")).as("d"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d").desc, col("vec_id"))))
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exact.count { case (qid, v) => sq8.get(qid).contains(v) }
+    assert(hits >= 6, s"SQ8 top-1 matched exact dot on only $hits/10 queries")
+  }
+}
