@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryPack, Tables}
 import graft.functions.Hashing
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication (north-star LLM-pipeline ops, SURVEY §7.2.6):
@@ -205,6 +205,20 @@ object DedupPack extends QueryPack {
     // quadratic at corpus scale. Jaccard is then declared over the
     // non-boilerplate shingle space; the oracle applies the same cap.
     "ds_jaccard_pairs" -> ((s, dir) => jaccardPairs(tokenized(s, dir))),
+
+    // Typo-granularity near-dup pairs (edit distance ≤ 2 on the
+    // 3-token title key): the record-linkage rung UNDER the shingle
+    // methods — MinHash/Jaccard need shared tokens, but "labelmian"
+    // vs "labelmain" shares none at the token level. Candidates come
+    // from two blocking passes (4-char prefix ∪ 4-char suffix of the
+    // title — a single-character edit can break one of them, not
+    // both unless it straddles; the two-pass union is the standard
+    // multi-block trade, declared like LSH band recall); blocks are
+    // capped at [[FuzzyBlockCap]] lowest ids through the native
+    // bounded heap so a boilerplate title prefix can't go quadratic.
+    // levenshtein verifies pairs — identical semantics both engines.
+    "ds_fuzzy_pairs" -> ((s, dir) =>
+      fuzzyPairs(Tables.documents(s, dir))),
 
     // Passage-level corpus dedup (RefinedWeb-style line dedup; this
     // corpus has no newlines, so the "line" is a fixed 16-token
@@ -504,6 +518,37 @@ object DedupPack extends QueryPack {
     * so the linearity probe measures the join, not the cap. */
   val JaccardDfCap = 5
 
+  /** Per-block membership cap for [[fuzzyPairs]] — the AnnBucketCap
+    * of the blocking passes: only the lowest `cap` doc_ids of a
+    * (prefix|suffix) block enter the pair join, bounding any one
+    * block at C(cap−1)/2 pairs no matter how many titles share it. */
+  val FuzzyBlockCap = 64
+
+  /** The ds_fuzzy_pairs body over a documents frame: prefix- and
+    * suffix-blocked candidates, capped per block, verified by
+    * levenshtein ≤ `maxDist` on the 3-token title. */
+  def fuzzyPairs(docs: DataFrame, maxDist: Int = 2,
+                 cap: Int = FuzzyBlockCap): DataFrame = {
+    val t = docs.select(col("doc_id"),
+      array_join(slice(split(col("text"), " "), 1, 3), " ").as("title"))
+    def pass(key: Column): DataFrame = {
+      val m = graft.plans.TopKPerKey.topKPerKey(
+        t.select(col("doc_id"), col("title"), key.as("blk")),
+        keys = Seq(col("blk")), order = Seq(col("doc_id").asc), k = cap)
+      m.alias("x").join(m.alias("y"),
+          col("x.blk") === col("y.blk") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.title").as("ta"), col("y.title").as("tb"))
+    }
+    pass(substring(col("title"), 1, 4))
+      .unionByName(pass(substring(reverse(col("title")), 1, 4)))
+      .distinct()
+      .filter(levenshtein(col("ta"), col("tb")) <= maxDist)
+      .select(col("a"), col("b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+  }
+
   /** THE distinct hashed-shingle set of a doc — (doc_id, shingle)
     * with 3-token shingles through [[Hashing.h32]]. Single source for
     * every Jaccard query (pairs + LSH-verify): the two are comparable
@@ -677,6 +722,29 @@ object DedupPack extends QueryPack {
          |          AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= $SimHamCap""".stripMargin,
+
+    "ds_fuzzy_pairs" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    array_to_string(string_split(text, ' ')[1:3], ' ') AS title
+         |  FROM documents),
+         |pb AS (SELECT doc_id, title, substr(title, 1, 4) AS blk,
+         |         row_number() OVER (PARTITION BY substr(title, 1, 4)
+         |           ORDER BY doc_id) AS rn FROM t),
+         |sb AS (SELECT doc_id, title, substr(reverse(title), 1, 4) AS blk,
+         |         row_number() OVER (PARTITION BY substr(reverse(title), 1, 4)
+         |           ORDER BY doc_id) AS rn FROM t),
+         |cand AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, x.title AS ta, y.title AS tb
+         |  FROM (SELECT * FROM pb WHERE rn <= $FuzzyBlockCap) x
+         |  JOIN (SELECT * FROM pb WHERE rn <= $FuzzyBlockCap) y
+         |    ON x.blk = y.blk AND x.doc_id < y.doc_id
+         |  UNION
+         |  SELECT x.doc_id, y.doc_id, x.title, y.title
+         |  FROM (SELECT * FROM sb WHERE rn <= $FuzzyBlockCap) x
+         |  JOIN (SELECT * FROM sb WHERE rn <= $FuzzyBlockCap) y
+         |    ON x.blk = y.blk AND x.doc_id < y.doc_id)
+         |SELECT a, b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+         |FROM cand WHERE levenshtein(ta, tb) <= 2""".stripMargin,
 
     "ds_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Total-order global position — the "global shuffle" step of epoch
+  * assembly — WITHOUT a one-task window: `row_number()` over an
+  * unpartitioned ORDER BY funnels the whole table through a single
+  * task, which at 100 TB is not a plan but an outage. Shape instead:
+  * range-repartition on the order key (sampled split points — the
+  * terasort layout), sort within partitions, then zipWithIndex's two
+  * passes (per-partition row counts — one long per partition — to the
+  * driver, then offset-added local indexes). No task ever holds more
+  * than one partition of data; driver state is n_partitions longs.
+  *
+  * The RDD hop is deliberate: this is genuine per-partition
+  * imperative logic (prefix-sum offsets), the case the guide reserves
+  * RDDs for — there is no Catalyst operator for distributed
+  * enumeration. The reference has no ordering op anywhere (label sets
+  * are unordered; bitcoinabuse/main.go:244-246 upserts by key); this
+  * serves the training-data side: epoch permutations, curriculum
+  * orderings, pack-sequence feeds.
+  */
+object GlobalIndex {
+
+  /** Append `out` = 0-based position of each row in the TOTAL order of
+    * `order`. The caller must pass a tie-free (total) order — ties
+    * would leave positions run-dependent. Range boundaries come from
+    * sampling, so partition SIZES may vary run to run; the positions
+    * themselves depend only on the total order and are deterministic.
+    * `numPartitions` pins the range width explicitly (AQE coalesces a
+    * small exchange to one partition, which is correct at test scale
+    * and exactly what a 100 TB caller overrides by rows-per-task). */
+  def withPosition(df: DataFrame, order: Seq[Column], out: String,
+                   numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = numPartitions
+      .map(n => df.repartitionByRange(n, order: _*))
+      .getOrElse(df.repartitionByRange(order: _*))
+      .sortWithinPartitions(order: _*)
+    val schema = StructType(
+      ranged.schema.fields :+ StructField(out, LongType, nullable = false))
+    val rdd = ranged.rdd.zipWithIndex()
+      .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(rdd, schema)
+  }
+}

@@ -28,6 +28,27 @@ object SamplePack extends QueryPack {
   val TimeSplitCutoff = "2024-01-20 00:00:00"
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Epoch shuffle: each training epoch is a deterministic
+    // pseudo-random PERMUTATION of the corpus — position = total-order
+    // rank of an md5-derived key, materialized through
+    // [[GlobalIndex.withPosition]] (range-repartition + two-pass
+    // enumeration), NOT a one-task global window. Epochs iterate a
+    // driver loop (epoch count is small by nature); each epoch's
+    // passes are fully distributed. The key carries the epoch in its
+    // salt, so no two epochs share an ordering; doc_id tiebreaks the
+    // rare h32 collision to keep the order total.
+    "sp_epoch_shuffle" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      Seq(0, 1).map { ep =>
+        val keyed = docs.select(lit(ep).as("epoch"), col("doc_id"),
+          graft.functions.Hashing.h32(
+            concat(lit(s"e${ep}_"), col("doc_id").cast("string"))).as("k"))
+        GlobalIndex.withPosition(keyed,
+          Seq(col("k"), col("doc_id")), "pos")
+      }.reduce(_ unionByName _)
+        .select(col("epoch"), col("doc_id"), col("pos"))
+    }),
+
     // Deterministic 10% Bernoulli sample: scan-stage codegen'd
     // filter, zero shuffle, stable across runs/engines/partitionings.
     "sp_hash_sample" -> ((s, dir) =>
@@ -225,6 +246,17 @@ object SamplePack extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // the oracle MAY use the one-task window — it runs on a single
+    // DuckDB node by definition; the Spark side must not (GlobalIndex)
+    "sp_epoch_shuffle" ->
+      s"""SELECT epoch, doc_id,
+         |  CAST(row_number() OVER (PARTITION BY epoch
+         |    ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+         |FROM (SELECT e.epoch, d.doc_id,
+         |        ${graft.functions.Hashing.sqlH32(
+                    "'e' || e.epoch || '_' || d.doc_id")} AS k
+         |      FROM documents d, (VALUES (0), (1)) e(epoch))""".stripMargin,
+
     "sp_hash_sample" ->
       s"""SELECT doc_id, source, lang FROM documents
          |WHERE ${Sampling.sqlBucket("doc_id", "s1")} < 10""".stripMargin,

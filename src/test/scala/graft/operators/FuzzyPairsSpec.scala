@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Fuzzy (levenshtein) dedup: typo pairs the shingle methods cannot
+  * see, caught through either blocking pass. */
+class FuzzyPairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("prefix block catches a tail typo; suffix block a head typo") {
+    val d = docs(
+      (1L, "labelmain spark engine"),
+      (2L, "labelmian spark engine"),  // transposed -> dist 2, prefix block
+      (3L, "xabelmain spark engine"),  // head edit -> dist 1, suffix block
+      (4L, "completely different words"))
+    val got = DedupPack.fuzzyPairs(d)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L, 2L)), s"prefix-blocked typo missed: $got")
+    assert(got.contains((1L, 3L, 1L)), s"suffix-blocked typo missed: $got")
+    // 2 vs 3 differ at both ends (dist 3) — must NOT pair
+    assert(!got.exists(p => p._1 == 2L && p._2 == 3L), s"over-match: $got")
+    assert(!got.exists(p => p._2 == 4L), s"unrelated doc paired: $got")
+  }
+
+  test("identical titles pair at distance 0 exactly once") {
+    val d = docs((1L, "same title here"), (2L, "same title here"))
+    val got = DedupPack.fuzzyPairs(d).as[(Long, Long, Long)].collect().toSeq
+    // both blocking passes find the pair; the union must dedup it
+    assert(got == Seq((1L, 2L, 0L)))
+  }
+}

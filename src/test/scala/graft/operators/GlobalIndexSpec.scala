@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** GlobalIndex: positions are exactly the total-order ranks, with no
+  * single-task global sort in the plan. */
+class GlobalIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withPosition equals the window-rank oracle and is a permutation") {
+    val df = (1L to 1000L).map(i => (i, (i * 7919) % 1000))
+      .toDF("id", "key")
+    val got = GlobalIndex.withPosition(df,
+        Seq(col("key"), col("id")), "pos")
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(got.values.toSeq.sorted == (0L until 1000L))
+    val want = df.withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("key"), col("id"))) - 1)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("the enumeration is correct across many range partitions") {
+    // pin the width (AQE coalesces a test-sized exchange to one
+    // partition; a 100 TB caller pins it by rows-per-task) and check
+    // positions stay globally correct across partition boundaries
+    val df = (1L to 5000L).toDF("id")
+    val got = GlobalIndex.withPosition(df, Seq(col("id")), "pos",
+      numPartitions = Some(8))
+    assert(got.rdd.getNumPartitions == 8)
+    // spot-pin: id i (sorted ascending) sits at position i-1
+    val m = got.select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(m(1L) == 0L && m(2500L) == 2499L && m(5000L) == 4999L)
+    assert(m.values.toSeq.sorted == (0L until 5000L))
+  }
+}
