@@ -330,6 +330,28 @@ object DevStress {
         println(f"[stress] x$factor%-3d docstore_rotate_b$b%-8d $wall%8.2f s  $stored%10d rows  $nVers versions")
       }
     }
+    // total-order enumeration at width: GlobalIndex over the
+    // replicated corpus keyed by a per-row hash — the wall should
+    // track input rows (range shuffle + two linear passes); the
+    // sanity bound checks the enumeration stayed a permutation.
+    if (wants("global_index")) {
+      val keyed = spark.read.parquet("/tmp/stress_docs")
+        .select(col("doc_id"),
+          graft.functions.Hashing.h32(col("doc_id").cast("string")).as("k"))
+      val pos = graft.operators.GlobalIndex.withPosition(
+        keyed, Seq(col("k"), col("doc_id")), "pos")
+      time("global_index", pos)
+      val mx = pos.agg(max(col("pos"))).head().getLong(0)
+      println(f"[stress] x$factor%-3d global_index max_pos       ${mx}%10d (rows ${n}%d)")
+    }
+    // fuzzy blocking at width: replication floods every title block
+    // with `factor` copies — the membership cap is what keeps the
+    // self-join from going quadratic in the flood (same argument as
+    // ann_hotbucket); pair output is cap-bounded per block.
+    if (wants("fuzzy_pairs")) {
+      time("fuzzy_pairs",
+        DedupPack.fuzzyPairs(spark.read.parquet("/tmp/stress_docs")))
+    }
     spark.stop()
   }
 }
