@@ -35,9 +35,13 @@ def load(src):
 
 
 def sentinel(run):
+    # interference is additive, so the MIN of the two samples is the
+    # least-contaminated estimate of the host's clean sentinel cost
+    # (an average lets one contended end-of-run sample inflate the
+    # whole run's normalization factor)
     a = run.get("sentinel_first_sec", 0)
     b = run.get("sentinel_last_sec", 0)
-    return (a + b) / 2 if a > 0 and b > 0 else None
+    return min(a, b) if a > 0 and b > 0 else None
 
 
 def main():
@@ -63,10 +67,17 @@ def main():
         print(f"[gate] sentinel {s_old:.2f}s -> {s_new:.2f}s "
               f"(normalizing new times by {cal:.2f}x)")
     bad = []
+    # A retimed baseline query reports the MIN of its samples -- the
+    # right estimate of its cost, but a lucky sample makes a brittle
+    # regression REFERENCE (a 0.39s fluke vs a ~2s typical cost flags
+    # every normal run). For gating, use the max of the baseline's
+    # recorded samples when it has them.
+    o_ret = old.get("retimed", {})
     for name, t in sorted(nq.items()):
         t0 = oq.get(name)
         if t0 is None or t0 <= 0 or t < 0:
             continue  # new query / failed run -- not a regression signal
+        t0 = max([t0] + o_ret.get(name, []))
         tn = t * cal
         if tn > t0 * ratio and tn - t0 > 1.0:  # ratio AND absolute floor:
             # a 0.2s->0.5s micro-query is scheduling noise, not a find
