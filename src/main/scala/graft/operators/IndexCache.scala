@@ -57,6 +57,23 @@ object IndexCache {
       } finally vq.unpersist(blocking = false)
     }
 
+  /** Per-dimension [lo, hi] SQ8 training ranges over `dir`'s
+    * embeddings — a d-row collect (the centroid-collect class, never
+    * a data collect). sim_sq8_topk quantizes against the memoized
+    * literals: without the memo the stats subtree is duplicated into
+    * EVERY consumer branch of the plan (Spark does not materialize
+    * common subplans), re-scanning the corpus once per branch. */
+  def sq8Cuts(s: SparkSession, dir: String): (Array[Double], Array[Double]) =
+    cached(s"sq8:$dir") {
+      val rows = Tables.embeddings(s, dir)
+        .filter(col("embedding").isNotNull)
+        .select(posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("d").agg(min(col("x").cast("double")).as("lo"),
+          max(col("x").cast("double")).as("hi"))
+        .orderBy("d").collect()
+      (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+    }
+
   /** Drop every memoized artifact (tests that mutate a dir in place). */
   def clear(): Unit = memo.clear()
 }

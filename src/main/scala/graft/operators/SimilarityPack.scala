@@ -434,29 +434,26 @@ object SimilarityPack extends QueryPack {
     // x̂ᵢ = loᵢ + qᵢ·(hiᵢ−loᵢ)/255 and ranks by inner product of the
     // decoded vectors (ranking raw codes would fold the per-dim
     // offsets into the score and systematically distort it —
-    // measured: 0/10 top-1 agreement vs 10/10 decoded). Training is
-    // IN-PLAN — a 64-group partial-agged min/max folded to two
-    // literal arrays in a one-row broadcast frame (no driver
-    // collect); quantize and decode are scan-stage
+    // measured: 0/10 top-1 agreement vs 10/10 decoded). Training
+    // (the d-group min/max) runs ONCE per corpus via [[IndexCache]]
+    // and rides the plan as two literal arrays — the first in-plan
+    // form duplicated the whole stats subtree into both join
+    // branches (Spark materializes no common subplans), re-scanning
+    // the corpus per branch. Quantize and decode are scan-stage
     // transform-with-index; scoring is the codegen'd FloatDot over
     // the decoded floats. Decode is double IEEE ops rounded to
     // float — bit-identical in both engines, so the double dot fold
     // hash-matches. At 100 TB the SQ8 table is d bytes/vector (4×
-    // under float32) and the only shuffle is the 64-row stats agg.
+    // under float32); the search plan has no shuffle at all beyond
+    // the final per-query top-k.
     "sim_sq8_topk" -> ((s, dir) => {
       val e = emb(s, dir).filter(col("embedding").isNotNull)
-      val stats = e.select(posexplode(col("embedding")).as(Seq("d", "x")))
-        .groupBy("d").agg(min(col("x").cast("double")).as("lo"),
-          max(col("x").cast("double")).as("hi"))
-      val cuts = stats.agg(
-        transform(array_sort(collect_list(struct(col("d"), col("lo")))),
-          s => s.getField("lo")).as("lo"),
-        transform(array_sort(collect_list(struct(col("d"), col("hi")))),
-          s => s.getField("hi")).as("hi"))
-      val dec = e.crossJoin(broadcast(cuts))
+      val (loV, hiV) = IndexCache.sq8Cuts(s, dir)
+      val (loA, hiA) = (array(loV.map(lit): _*), array(hiV.map(lit): _*))
+      val dec = e
         .select(col("vec_id"), transform(col("embedding"), (x, i) => {
-          val lo = element_at(col("lo"), i + 1)
-          val hi = element_at(col("hi"), i + 1)
+          val lo = element_at(loA, i + 1)
+          val hi = element_at(hiA, i + 1)
           val code = when(hi === lo, lit(0.0)).otherwise(
             least(lit(255.0), greatest(lit(0.0),
               floor((x.cast("double") - lo) * 255.0 / (hi - lo) + 0.5))))
