@@ -40,6 +40,16 @@ object MultimodalPack extends QueryPack {
         Multimodal.syntheticAudio(Tables.documents(s, dir))).toDF()
     }),
 
+    // REAL video header decode: ISO-BMFF box walk to moov/mvhd
+    // ([[graft.sources.Multimodal.Mp4Codec]]) — big-endian sizes,
+    // unknown-box hops, and both mvhd versions (odd ids take the
+    // 64-bit v1 layout). The oracle replays the encoded parameters.
+    "mm_mp4_meta" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.decodeMp4(
+        Multimodal.syntheticVideos(Tables.documents(s, dir))).toDF()
+    }),
+
     "mm_frame_sample" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.sampleFrames(
@@ -170,6 +180,17 @@ object MultimodalPack extends QueryPack {
         |    // CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
         |       WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END
         |    AS duration_ms
+        |FROM documents""".stripMargin,
+
+    "mm_mp4_meta" ->
+      """SELECT doc_id, 'isom' AS brand,
+        |  CAST(doc_id % 2 AS INTEGER) AS mvhd_version,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |       WHEN 2 THEN 90000 ELSE 48000 END AS INTEGER) AS timescale,
+        |  CAST(1000 + (doc_id * 53) % 100000 AS BIGINT) AS duration,
+        |  (1000 + (doc_id * 53) % 100000) * 1000
+        |    // CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |       WHEN 2 THEN 90000 ELSE 48000 END AS duration_ms
         |FROM documents""".stripMargin,
 
     "mm_frame_sample" ->

@@ -216,6 +216,121 @@ object Multimodal {
       }))
   }
 
+  case class Mp4Meta(doc_id: Long, brand: String, mvhd_version: Int,
+                     timescale: Int, duration: Long, duration_ms: Long)
+
+  /** REAL MP4 (ISO-BMFF) header parsing — the video leg of the
+    * codec-free family. An MP4 is a walk of big-endian
+    * (size:u32be, type:4cc, payload) boxes; size 1 means a u64
+    * `largesize` follows the type, size 0 means to-EOF. The parser
+    * reads the major brand off `ftyp`, hops unknown top-level boxes
+    * (`free`/`mdat`/…) to `moov`, walks moov's CHILDREN to `mvhd`,
+    * and decodes timescale/duration at version-dependent offsets
+    * (v0: u32 fields, v1: u64 ctime/mtime/duration) — the same
+    * header-only discipline as the PNG/JPEG/WAV walks: duration
+    * comes from the movie header, no sample data touched. Malformed
+    * bytes yield None, never an exception. */
+  object Mp4Codec {
+    private def u32be(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+    private def u64be(b: Array[Byte], i: Int): Long =
+      (u32be(b, i) << 32) | u32be(b, i + 4)
+
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** (start offset of payload, end offset) of the first `typ` box
+      * in [from, until), hopping others; None if absent/corrupt. */
+    private def findBox(b: Array[Byte], from: Int, until: Int,
+                        typ: String): Option[(Int, Int)] = {
+      var p = from
+      while (p + 8 <= until) {
+        val size = u32be(b, p)
+        val id = tag(b, p + 4)
+        // size semantics: 0 = to end of enclosing space; 1 = u64
+        // largesize follows the type field
+        val (payload, end) =
+          if (size == 1) {
+            if (p + 16 > until) return None
+            val ls = u64be(b, p + 8)
+            if (ls < 16 || p + ls > until) return None
+            (p + 16, p + ls.toInt)
+          } else if (size == 0) (p + 8, until)
+          else {
+            if (size < 8 || p + size > until) return None
+            (p + 8, p + size.toInt)
+          }
+        if (id == typ) return Some((payload, end))
+        p = end
+      }
+      None
+    }
+
+    /** (brand, mvhdVersion, timescale, duration) or None. */
+    def parse(b: Array[Byte]): Option[(String, Int, Int, Long)] =
+      for {
+        (fp, _) <- findBox(b, 0, b.length, "ftyp")
+        brand <- if (fp + 4 <= b.length) Some(tag(b, fp)) else None
+        (mp, mEnd) <- findBox(b, 0, b.length, "moov")
+        (hp, hEnd) <- findBox(b, mp, mEnd, "mvhd")
+        version = if (hp < b.length) b(hp) & 0xff else -1
+        // v0: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+        // v1: ver/flags(4) ctime(8) mtime(8) timescale(4) duration(8)
+        meta <- version match {
+          case 0 if hp + 20 <= hEnd =>
+            Some((u32be(b, hp + 12).toInt, u32be(b, hp + 16)))
+          case 1 if hp + 32 <= hEnd =>
+            Some((u32be(b, hp + 20).toInt, u64be(b, hp + 24)))
+          case _ => None
+        }
+        if meta._1 > 0 && meta._2 >= 0
+      } yield (brand, version, meta._1, meta._2)
+  }
+
+  /** Valid minimal MP4 header: ftyp + a `free` box (forces the hop)
+    * + moov{mvhd} with a version-0 or version-1 movie header. */
+  def mp4Bytes(timescale: Int, duration: Long, v1: Boolean): Array[Byte] = {
+    def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(512)
+    val free = be32(11) ++ "free".getBytes ++ Array[Byte](1, 2, 3)
+    val mvhdPayload =
+      if (v1) Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+        be32(timescale) ++ be64(duration)
+      else Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(timescale) ++ be32(duration)
+    val mvhd = be32(8 + mvhdPayload.length) ++ "mvhd".getBytes ++ mvhdPayload
+    val moov = be32(8 + mvhd.length) ++ "moov".getBytes ++ mvhd
+    ftyp ++ free ++ moov
+  }
+
+  /** Deterministic REAL video binaries from `documents`: doc_id-derived
+    * timescale/duration in a genuine ISO-BMFF box layout; odd ids get
+    * a version-1 mvhd (64-bit duration path). The oracle replays the
+    * encoded values arithmetically. */
+  def syntheticVideos(docs: DataFrame)(implicit s: SparkSession): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val ts = Array(600, 1000, 90000, 48000)((id % 4).toInt)
+      val dur = 1000 + (id * 53) % 100000
+      MediaRow(id, "video/mp4", mp4Bytes(ts, dur, v1 = id % 2 == 1))
+    })
+  }
+
+  /** Partition-wise MP4 header decode ([[Mp4Codec]]); unparseable rows
+    * are dropped. duration_ms is integer floor division — exactly
+    * replayable in SQL. */
+  def decodeMp4(media: Dataset[MediaRow])(implicit s: SparkSession): Dataset[Mp4Meta] = {
+    import s.implicits._
+    media.mapPartitions(_.flatMap(r =>
+      Mp4Codec.parse(r.content).map { case (brand, v, ts, dur) =>
+        Mp4Meta(r.doc_id, brand, v, ts, dur, dur * 1000L / ts)
+      }))
+  }
+
   /** Synthesize a media table from `documents` (text bytes stand in
     * for encoded media; mime assigned round-robin by doc_id). */
   def mediaFromDocuments(docs: DataFrame)(implicit s: SparkSession): Dataset[MediaRow] = {

@@ -110,6 +110,50 @@ class MultimodalSpec extends SparkSpec {
       got(7L).n_frames == 1000 + (7 * 37) % 9000)
   }
 
+  test("Mp4Codec: box walk recovers mvhd params in both versions") {
+    assert(Multimodal.Mp4Codec.parse(
+      Multimodal.mp4Bytes(90000, 123456L, v1 = false))
+      == Some(("isom", 0, 90000, 123456L)))
+    // v1 layout: 64-bit ctime/mtime/duration at shifted offsets
+    assert(Multimodal.Mp4Codec.parse(
+      Multimodal.mp4Bytes(600, 5000000000L, v1 = true))
+      == Some(("isom", 1, 600, 5000000000L)))
+  }
+
+  test("Mp4Codec: largesize, to-EOF moov, and malformed bytes") {
+    val good = Multimodal.mp4Bytes(1000, 42L, v1 = false)
+    // rewrite moov's size field to the 64-bit largesize form: the
+    // box grows by 8 (largesize slot after the type), so every
+    // mvhd offset shifts — a parser that ignores size=1 desyncs
+    val idx = (0 until good.length - 4)
+      .find(i => good(i) == 'm' && good(i + 1) == 'o' &&
+        good(i + 2) == 'o' && good(i + 3) == 'v').get - 4
+    val moovBody = good.drop(idx + 8)
+    def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    val large = good.take(idx) ++ be32(1) ++ "moov".getBytes ++
+      be64(16L + moovBody.length) ++ moovBody
+    assert(Multimodal.Mp4Codec.parse(large)
+      == Some(("isom", 0, 1000, 42L)))
+    // size=0 (to end of file) on the last top-level box is legal
+    val toEof = good.clone()
+    System.arraycopy(be32(0), 0, toEof, idx, 4)
+    assert(Multimodal.Mp4Codec.parse(toEof)
+      == Some(("isom", 0, 1000, 42L)))
+    val cases = Seq(
+      Array.emptyByteArray,
+      "not a video at all".getBytes,
+      good.take(20),            // ftyp only, no moov
+      good.dropRight(6))        // truncated mvhd
+    for (c <- cases)
+      assert(Multimodal.Mp4Codec.parse(c).isEmpty,
+        s"bytes of length ${c.length} must not parse")
+    // zero timescale would divide by zero downstream — rejected
+    assert(Multimodal.Mp4Codec.parse(
+      Multimodal.mp4Bytes(0, 42L, v1 = false)).isEmpty)
+  }
+
   test("decodeHeaders drops unparseable rows partition-wise") {
     val media = Seq(
       Multimodal.MediaRow(1L, "image/png", Multimodal.pngBytes(33, 44)),
