@@ -220,6 +220,22 @@ object DedupPack extends QueryPack {
     "ds_fuzzy_pairs" -> ((s, dir) =>
       fuzzyPairs(Tables.documents(s, dir))),
 
+    // ...and its APPLY step: fuzzy pairs → connected components →
+    // lowest id per group survives — the same pairs→components→apply
+    // composition as ds_dedup_apply (MinHash) and ds_embed_dedup
+    // (ANN), closing the typo-granularity family. A doc that merely
+    // LOOKS like another through a chain of ≤ 2-edit steps
+    // transitively joins the group, exactly as in record linkage.
+    "ds_fuzzy_apply" -> ((s, dir) => {
+      val losers = Components.connectedComponents(
+          fuzzyPairs(Tables.documents(s, dir)).select(col("a"), col("b")),
+          a = "a", b = "b")
+        .filter(col("node") =!= col("rep"))
+        .select(col("node").as("doc_id"))
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(losers, Seq("doc_id"), "left_anti")
+    }),
+
     // Passage-level corpus dedup (RefinedWeb-style line dedup; this
     // corpus has no newlines, so the "line" is a fixed 16-token
     // window): first global occurrence of each passage wins, every
@@ -634,6 +650,30 @@ object DedupPack extends QueryPack {
       |               AS BIGINT) AS simhash
       |        FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** Shared oracle fragment: the fuzzy blocking candidates (t, pb,
+    * sb, cand CTEs) — the single SQL source for ds_fuzzy_pairs and
+    * ds_fuzzy_apply, mirroring [[fuzzyPairs]]'s candidate stage. */
+  private val fuzzyCandSql =
+    s"""t AS (SELECT doc_id,
+       |    array_to_string(string_split(text, ' ')[1:3], ' ') AS title
+       |  FROM documents),
+       |pb AS (SELECT doc_id, title, substr(title, 1, 4) AS blk,
+       |         row_number() OVER (PARTITION BY substr(title, 1, 4)
+       |           ORDER BY doc_id) AS rn FROM t),
+       |sb AS (SELECT doc_id, title, substr(reverse(title), 1, 4) AS blk,
+       |         row_number() OVER (PARTITION BY substr(reverse(title), 1, 4)
+       |           ORDER BY doc_id) AS rn FROM t),
+       |cand AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, x.title AS ta, y.title AS tb
+       |  FROM (SELECT * FROM pb WHERE rn <= $FuzzyBlockCap) x
+       |  JOIN (SELECT * FROM pb WHERE rn <= $FuzzyBlockCap) y
+       |    ON x.blk = y.blk AND x.doc_id < y.doc_id
+       |  UNION
+       |  SELECT x.doc_id, y.doc_id, x.title, y.title
+       |  FROM (SELECT * FROM sb WHERE rn <= $FuzzyBlockCap) x
+       |  JOIN (SELECT * FROM sb WHERE rn <= $FuzzyBlockCap) y
+       |    ON x.blk = y.blk AND x.doc_id < y.doc_id)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "ds_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
@@ -724,27 +764,28 @@ object DedupPack extends QueryPack {
          |FROM cand WHERE bit_count(xor(sa, sb)) <= $SimHamCap""".stripMargin,
 
     "ds_fuzzy_pairs" ->
-      s"""WITH t AS (SELECT doc_id,
-         |    array_to_string(string_split(text, ' ')[1:3], ' ') AS title
-         |  FROM documents),
-         |pb AS (SELECT doc_id, title, substr(title, 1, 4) AS blk,
-         |         row_number() OVER (PARTITION BY substr(title, 1, 4)
-         |           ORDER BY doc_id) AS rn FROM t),
-         |sb AS (SELECT doc_id, title, substr(reverse(title), 1, 4) AS blk,
-         |         row_number() OVER (PARTITION BY substr(reverse(title), 1, 4)
-         |           ORDER BY doc_id) AS rn FROM t),
-         |cand AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, x.title AS ta, y.title AS tb
-         |  FROM (SELECT * FROM pb WHERE rn <= $FuzzyBlockCap) x
-         |  JOIN (SELECT * FROM pb WHERE rn <= $FuzzyBlockCap) y
-         |    ON x.blk = y.blk AND x.doc_id < y.doc_id
-         |  UNION
-         |  SELECT x.doc_id, y.doc_id, x.title, y.title
-         |  FROM (SELECT * FROM sb WHERE rn <= $FuzzyBlockCap) x
-         |  JOIN (SELECT * FROM sb WHERE rn <= $FuzzyBlockCap) y
-         |    ON x.blk = y.blk AND x.doc_id < y.doc_id)
+      s"""WITH $fuzzyCandSql
          |SELECT a, b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
          |FROM cand WHERE levenshtein(ta, tb) <= 2""".stripMargin,
+
+    // same candidates, then the recursive-CTE components replay the
+    // engine's star-contraction result (both compute the SAME groups)
+    "ds_fuzzy_apply" ->
+      s"""WITH RECURSIVE $fuzzyCandSql,
+         |close AS (SELECT a, b FROM cand WHERE levenshtein(ta, tb) <= 2),
+         |e AS (SELECT a, b FROM close UNION SELECT b, a FROM close),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |groups AS (SELECT n AS doc_id, min(m) AS rep FROM (
+         |    SELECT a AS n, least(a, b) AS m FROM reach
+         |    UNION ALL
+         |    SELECT DISTINCT a, a FROM e)
+         |  GROUP BY n)
+         |SELECT d.doc_id FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM groups g
+         |                  WHERE g.doc_id = d.doc_id AND g.doc_id <> g.rep)""".stripMargin,
 
     "ds_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

@@ -26,6 +26,21 @@ class FuzzyPairsSpec extends SparkSpec {
     assert(!got.exists(p => p._2 == 4L), s"unrelated doc paired: $got")
   }
 
+  test("fuzzy apply: transitive chains collapse to the lowest id") {
+    // 1-2 pair directly; 2-3 pair directly; 1-3 are 4 edits apart —
+    // only transitivity through 2 joins all three. Lowest id wins.
+    val d = docs(
+      (1L, "aaaa shared suffix"),
+      (2L, "aabb shared suffix"),
+      (3L, "bbbb shared suffix"),
+      (9L, "untouched other doc"))
+    val dir = java.nio.file.Files.createTempDirectory("fzsf").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = DedupPack.queries("ds_fuzzy_apply")(spark, dir)
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 9L), s"kept $kept")
+  }
+
   test("identical titles pair at distance 0 exactly once") {
     val d = docs((1L, "same title here"), (2L, "same title here"))
     val got = DedupPack.fuzzyPairs(d).as[(Long, Long, Long)].collect().toSeq
