@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generator round-trip laws of the header codecs: any parameter
+  * combination a generator can encode, the parser must recover
+  * exactly — across the whole parameter space, not just the
+  * id-derived values the sf oracles exercise. Pure byte work, no
+  * Spark session needed. */
+class CodecPropertySpec extends AnyFunSuite {
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g(Gen.Parameters.default, Seed(seed)).get
+
+  private val Trials = 50
+
+  test("WAV round-trip: parse(wavBytes(p)) == p for random PCM params") {
+    val gen = for {
+      ch <- Gen.choose(1, 8)
+      rate <- Gen.choose(1, 192000)
+      bits <- Gen.oneOf(8, 16, 24, 32)
+      n <- Gen.choose(0L, 10000000L)
+      junk <- Gen.oneOf(true, false)
+    } yield (ch, rate, bits, n, junk)
+    (1 to Trials).foreach { i =>
+      val (ch, rate, bits, n, junk) = sample(gen, i)
+      assert(Multimodal.WavCodec.parse(
+        Multimodal.wavBytes(ch, rate, bits, n, junk))
+        == Some((ch, rate, bits, n)),
+        s"seed $i params ($ch, $rate, $bits, $n, $junk)")
+    }
+  }
+
+  test("MP4 round-trip: parse(mp4Bytes(p)) == p incl. 64-bit durations") {
+    val gen = for {
+      ts <- Gen.choose(1, 1000000)
+      // v1 durations exceed u32 — the field that forces the version
+      dur <- Gen.choose(0L, 20000000000L)
+      v1 <- Gen.oneOf(true, false)
+    } yield (ts, if (v1) dur else dur % 4294967296L, v1)
+    (1 to Trials).foreach { i =>
+      val (ts, dur, v1) = sample(gen, i)
+      assert(Multimodal.Mp4Codec.parse(Multimodal.mp4Bytes(ts, dur, v1))
+        == Some(("isom", if (v1) 1 else 0, ts, dur)),
+        s"seed $i params ($ts, $dur, $v1)")
+    }
+  }
+
+  test("PNG/JPEG round-trip for random dimensions") {
+    val gen = Gen.zip(Gen.choose(1, 65535), Gen.choose(1, 65535))
+    (1 to Trials).foreach { i =>
+      val (w, h) = sample(gen, i)
+      assert(Multimodal.HeaderCodec.parse(Multimodal.pngBytes(w, h))
+        == Some(("png", w, h)), s"png seed $i ($w, $h)")
+      assert(Multimodal.HeaderCodec.parse(Multimodal.jpegBytes(w, h))
+        == Some(("jpeg", w, h)), s"jpeg seed $i ($w, $h)")
+    }
+  }
+
+  test("codecs never throw on arbitrary byte garbage") {
+    val gen = Gen.choose(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    (1 to Trials).foreach { i =>
+      val bytes = sample(gen, i).toArray
+      Multimodal.WavCodec.parse(bytes)
+      Multimodal.Mp4Codec.parse(bytes)
+      Multimodal.HeaderCodec.parse(bytes)
+    }
+    // adversarial prefixes: real magics with garbage tails must not
+    // throw either (truncation mid-structure)
+    val prefixes = Seq("RIFF".getBytes, Array[Byte](0, 0, 0, 16) ++
+      "ftyp".getBytes, Array(0xff, 0xd8, 0xff).map(_.toByte))
+    for (p <- prefixes; i <- 1 to 10) {
+      val bytes = p ++ sample(gen, i + 500).toArray
+      Multimodal.WavCodec.parse(bytes)
+      Multimodal.Mp4Codec.parse(bytes)
+      Multimodal.HeaderCodec.parse(bytes)
+    }
+  }
+}
