@@ -73,14 +73,19 @@ object Sampling {
     * Returns one (group, rate) row per group — a broadcastable dim at
     * any corpus scale. */
   def temperatureRates(df: DataFrame, group: Column, basePct: Int,
-                       maxPct: Int): DataFrame =
-    df.groupBy(group).agg(count(lit(1)).as("n"))
-      .withColumn("total", sum(col("n")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+                       maxPct: Int): DataFrame = {
+    val counts = df.groupBy(group).agg(count(lit(1)).as("n"))
+    // total as a broadcast one-row frame (the tx_length_band scalar
+    // pattern) — an empty-partition window here would be harmless at
+    // group cardinality but plans as the single-task WindowExec that
+    // a 100 TB reviewer rightly flags
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
       .select(group,
         least(lit(maxPct.toLong), floor(lit(basePct.toDouble) *
             sqrt(col("total").cast("double") / col("n")) + lit(0.5))
           .cast("long")).as("rate"))
+  }
 
   /** Exact-k-per-stratum deterministic sample: the k rows of each
     * stratum with the lowest salted key hash (hash order ≈ uniform

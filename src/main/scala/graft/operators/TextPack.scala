@@ -210,6 +210,32 @@ object TextPack extends QueryPack {
         .orderBy(col("n").desc, col("pair"))
         .limit(50)),
 
+    // ...and one full BPE ITERATION: learn the top merge candidate,
+    // re-segment the corpus with that pair fused into a single
+    // symbol (sentinel U+0001 — absent from the ASCII corpus), and
+    // recount. The learned pair rides a one-row broadcast into the
+    // scan-stage replace (both engines' replace are left-to-right
+    // non-overlapping — identical greedy semantics); training the
+    // full vocabulary loops exactly this dataflow, swapping the
+    // sentinel for a growing symbol alphabet.
+    "tx_bpe_apply_merge" -> ((s, dir) => {
+      val words = tokenized(s, dir)
+        .select(explode(filter(col("toks"), w => length(w) >= 2)).as("w"))
+      def pairCounts(ws: DataFrame) = ws
+        .select(col("w"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(col("w").substr(col("i"), lit(2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+      val top1 = pairCounts(words)
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .select(col("pair").as("mp"))
+      val reseg = words.crossJoin(broadcast(top1))
+        .select(replace(col("w"), col("mp"), lit("\u0001")).as("w"))
+        .filter(length(col("w")) >= 2)
+      pairCounts(reseg)
+        .orderBy(col("n").desc, col("pair")).limit(50)
+    }),
+
     // PII detection — the audit complement of p_redact_pages: regex
     // match counts per document, over text with deterministically
     // INJECTED contacts (id-derived emails / IPv4s), so the expected
@@ -471,6 +497,21 @@ object TextPack extends QueryPack {
         |ww AS (SELECT w FROM w WHERE length(w) >= 2),
         |p AS (SELECT substr(w, i, 2) AS pair
         |      FROM ww, UNNEST(generate_series(1, length(w) - 1)) AS g(i))
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    "tx_bpe_apply_merge" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |ww AS (SELECT w FROM w WHERE length(w) >= 2),
+        |p0 AS (SELECT substr(w, i, 2) AS pair, count(*) AS n
+        |       FROM ww, UNNEST(generate_series(1, length(w) - 1)) AS g(i)
+        |       GROUP BY pair),
+        |top1 AS (SELECT pair FROM p0 ORDER BY n DESC, pair LIMIT 1),
+        |w2 AS (SELECT replace(w, (SELECT pair FROM top1), chr(1)) AS w
+        |       FROM ww),
+        |ww2 AS (SELECT w FROM w2 WHERE length(w) >= 2),
+        |p AS (SELECT substr(w, i, 2) AS pair
+        |      FROM ww2, UNNEST(generate_series(1, length(w) - 1)) AS g(i))
         |SELECT pair, count(*) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
 
