@@ -24,7 +24,10 @@ class InvarianceSpec extends SparkSpec {
     "ds_simhash_pairs",     // banded join + popcount
     "ds_embed_dedup",       // components fixpoint
     "mm_feature_extract",   // float histogram division
-    "tx_quality")           // dround ratio combinations
+    "tx_quality",           // dround ratio combinations
+    "sp_epoch_shuffle",     // zipWithIndex positions across range widths
+    "sim_sq8_topk",         // quantized-decode float ranking
+    "ds_fuzzy_apply")       // blocked pairs + components fixpoint
 
   test("entry (driver smoke) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
