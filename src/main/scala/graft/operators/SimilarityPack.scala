@@ -184,9 +184,14 @@ object SimilarityPack extends QueryPack {
       val byList = emb(s, dir).filter(col("embedding").isNotNull)
         .select(Similarity.ivfAssign(col("embedding")).as("centroid"))
         .groupBy(col("centroid")).agg(count(lit(1)).as("n_vecs"))
-      byList.select(col("centroid"), col("n_vecs"),
-        graft.Det.dround(col("n_vecs").cast("double") /
-          sum(col("n_vecs")).over(Window.partitionBy()), 4).as("share"))
+      // total as a broadcast one-row frame, not an empty-partition
+      // window — harmless at k rows, but it plans the single-task
+      // WindowExec the engine-wide PlanContractSpec bans
+      val total = byList.agg(sum(col("n_vecs")).as("total"))
+      byList.crossJoin(broadcast(total))
+        .select(col("centroid"), col("n_vecs"),
+          graft.Det.dround(col("n_vecs").cast("double") /
+            col("total").cast("double"), 4).as("share"))
     }),
 
     // IVF search: probe = equi-join on the assigned centroid, exact

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Engine-wide physical-plan contract: NO registered query may plan a
+  * cartesian product or an unpartitioned window — the two operators
+  * that funnel unbounded data through one task regardless of cluster
+  * size. Per-query specs pin the plans queries SHOULD have; this is
+  * the blanket guarantee over all of them, so a future query cannot
+  * quietly reintroduce either shape. Plans build at sf0.001 (loop
+  * operators execute their fixpoint during construction — that cost
+  * is the price of auditing their REAL final plan).
+  */
+class PlanContractSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("no query plans a CartesianProduct or a global WindowExec") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan: SparkPlan = fn(spark, sf).queryExecution.sparkPlan
+        val cartesian = plan.collect { case c: CartesianProductExec => c }
+        val globalWin = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        (if (cartesian.nonEmpty) Seq(s"$name: CartesianProduct") else Nil) ++
+          (if (globalWin.nonEmpty) Seq(s"$name: unpartitioned Window") else Nil)
+    }
+    assert(offenders.isEmpty, s"one-task operators planned:\n  " +
+      offenders.mkString("\n  "))
+  }
+}
