@@ -22,6 +22,30 @@ class GlobalIndexSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("positions are a permutation for random frames (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], seed: Long): T =
+      g(Gen.Parameters.default, Seed(seed)).get
+    // duplicate keys are legal as long as the FULL order is total —
+    // the id tiebreak supplies that; sizes hit the empty/1-row edges
+    val gen = Gen.choose(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 20L)))
+    (1 to 6).foreach { i =>
+      val keys = sample(gen, i)
+      val df = keys.zipWithIndex.map { case (k, id) => (id.toLong, k) }
+        .toDF("id", "key")
+      val got = GlobalIndex.withPosition(df,
+          Seq(col("key"), col("id")), "pos")
+        .select("id", "key", "pos")
+        .as[(Long, Long, Long)].collect().sortBy(_._3)
+      assert(got.map(_._3).toSeq == (0L until keys.length), s"seed $i")
+      // sorted-by-pos must equal sorted-by-(key, id)
+      assert(got.map(r => (r._2, r._1)).toSeq ==
+        got.map(r => (r._2, r._1)).sorted.toSeq, s"seed $i order broken")
+    }
+  }
+
   test("the enumeration is correct across many range partitions") {
     // pin the width (AQE coalesces a test-sized exchange to one
     // partition; a 100 TB caller pins it by rows-per-task) and check
