@@ -97,6 +97,40 @@ class RegistryPageFetcher extends PageFetcher {
     PageFeed.get(feed).slice(from.toInt, until.toInt).iterator
 }
 
+/** File-backed fetcher: the feed string IS a directory of page files
+  * (`page-<cursor>…`, cursor-ascending by filename) — the spooled
+  * crawl-archive backend. A fetch loop (the reference's scrapers)
+  * spools raw pages to storage; this source then replays them with
+  * the same offsets and admission control as a live feed — the
+  * bronze-replay shape of a production backfill. Position = rank in
+  * filename order, so the monotone-cursor contract is the sorted
+  * listing; works on any filesystem the executors see (local here, a
+  * shared store on a cluster). A short listing inside a committed
+  * range FAILS loudly — committed offsets must never skip pages. */
+class DirectoryPageFetcher extends PageFetcher {
+  private def pageFiles(feed: String): Array[java.io.File] =
+    Option(new java.io.File(feed).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.startsWith("page-"))
+      .sortBy(_.getName)
+
+  override def latestAvailable(feed: String): Long =
+    pageFiles(feed).length.toLong
+
+  override def fetch(feed: String, from: Long,
+                     until: Long): Iterator[(Long, String)] = {
+    val files = pageFiles(feed).slice(from.toInt, until.toInt)
+    require(files.length == until - from,
+      s"feed $feed lost pages: need [$from, $until) have ${files.length}")
+    files.iterator.map { f =>
+      val cursor = f.getName.stripPrefix("page-")
+        .takeWhile(_.isDigit).toLong
+      (cursor, new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+}
+
 private[sources] object PageFetcher {
   def instantiate(fqcn: String): PageFetcher =
     Class.forName(fqcn, true, Thread.currentThread().getContextClassLoader)

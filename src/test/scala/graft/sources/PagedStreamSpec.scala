@@ -128,6 +128,37 @@ class PagedStreamSpec extends SparkSpec {
       "admission control + range fetch must cover every page exactly once")
   }
 
+  test("directory fetcher: spooled page files replay with offsets + growth") {
+    val dir = java.nio.file.Files.createTempDirectory("spool").toString
+    def spool(c: Long): Unit = java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, f"page-$c%06d.html"),
+      s"<html>spooled:$c</html>".getBytes)
+    (1L to 4L).foreach(spool)
+    val got = PagedTable.read(spark, dir,
+        fetcher = Some(classOf[DirectoryPageFetcher].getName))
+      .as[(Long, String)].collect().toSet
+    assert(got == (1L to 4L).map(c => (c, s"<html>spooled:$c</html>")).toSet)
+    // the archive GROWS between polls — the stream resumes past the
+    // already-committed files and picks up only the new ones
+    val out = java.nio.file.Files.createTempDirectory("spoolout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("spoolck").toString
+    def runOnce(): Unit = {
+      val q = PagedTable.readStream(spark, dir,
+          fetcher = Some(classOf[DirectoryPageFetcher].getName))
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).format("parquet")
+        .option("path", out).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    (5L to 6L).foreach(spool)
+    runOnce()
+    val streamed = spark.read.parquet(out)
+      .select("cursor").as[Long].collect().toSeq.sorted
+    assert(streamed == (1L to 6L),
+      s"growth replay must add exactly the new files once, got $streamed")
+  }
+
   test("fetcher-backed batch read matches the fetcher's pages") {
     val got = PagedTable.read(spark, "unregistered-feed",
         fetcher = Some(classOf[SyntheticPageFetcher].getName))
