@@ -131,15 +131,16 @@ object DevStress {
       // production wiring, not a re-implementation (DedupPack owns
       // the split rule and key projection)
       val (hist, dupBatch) = DedupPack.incrementalSlices(renamed)
-      val bf = hist.stat.bloomFilter(col("h").cast("long"), n, 0.01)
-      val probe = graft.plans.BloomMightContainLong.probe(col("h"), bf)
+      val bf = hist.stat.bloomFilter(xxhash64(col("h")), n, 0.01)
+      val probe = graft.plans.BloomMightContainLong.probe(
+        xxhash64(col("h")), bf)
       val dupSliver = dupBatch.filter(probe).count()
       // fresh batch: texts history has never seen (salted rewrite)
       val freshBatch = renamed.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"),
           Hashing.h32(concat(lit("fresh#"), col("text"))).as("h"))
       val freshSliver = freshBatch.filter(
-        graft.plans.BloomMightContainLong.probe(col("h"), bf)).count()
+        graft.plans.BloomMightContainLong.probe(xxhash64(col("h")), bf)).count()
       println(f"[stress] x$factor%-3d increm_dedup_sliver       " +
         f"dup-batch ${dupSliver * 100.0 / dupBatch.count()}%6.2f%%  " +
         f"fresh-batch ${freshSliver * 100.0 / freshBatch.count()}%6.2f%%")

@@ -38,9 +38,16 @@ object GlobalIndex {
       .map(n => df.repartitionByRange(n, order: _*))
       .getOrElse(df.repartitionByRange(order: _*))
       .sortWithinPartitions(order: _*)
+    // zipWithIndex's count pass materializes this cache; the
+    // consuming action then reads it instead of re-running the
+    // per-partition sort (the exchange is reused via shuffle files
+    // either way — the sort is what the persist saves). The cache is
+    // released by the ContextCleaner when the result is unreferenced.
+    val sorted = ranged.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = StructType(
       ranged.schema.fields :+ StructField(out, LongType, nullable = false))
-    val rdd = ranged.rdd.zipWithIndex()
+    val rdd = sorted.zipWithIndex()
       .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
     spark.createDataFrame(rdd, schema)
   }

@@ -33,14 +33,22 @@ object LoopWidth {
     * duration would make a concurrent query on that session plan at
     * the shrunken width (and a concurrent conf write corrupt the
     * loop); `newSession()` has its own SQLConf while sharing the
-    * SparkContext, cache manager, and global temp views, so the
-    * loop's caches and checkpoints behave identically. The re-base
-    * rides a uniquely-named GLOBAL temp view (the public
-    * cross-session plan hand-off), dropped on exit; the name is
-    * collision-free so a concurrent loop cannot observe or clobber
-    * it. Frames `body` returns stay bound to the loop session —
-    * callers get fixed-width plans (loop results are
-    * checkpoint-backed, so their width is already decided). */
+    * SparkContext and cache manager, so the loop's caches and
+    * checkpoints behave identically. A bare new session starts from
+    * the DEFAULT confs though, and inheriting the parent's runtime
+    * confs is load-bearing: Tables.read sets `parquet.nanosAsLong`
+    * session-wide and scans read it at EXECUTION time, so a
+    * cache-evicted partition recomputed under a default-conf session
+    * would re-scan events with the flag unset and fail mid-loop —
+    * every parent runtime conf is copied over before the width
+    * override (cloneSession would do this natively but is
+    * private[sql]). The re-base rides a
+    * uniquely-named GLOBAL temp view (the public cross-session plan
+    * hand-off), dropped on exit; the name is collision-free so a
+    * concurrent loop cannot observe or clobber it. Frames `body`
+    * returns stay bound to the loop session — callers get
+    * fixed-width plans (loop results are checkpoint-backed, so their
+    * width is already decided). */
   def onSizedSession[T](df: DataFrame, p: Int)(body: DataFrame => T): T = {
     val spark = df.sparkSession
     val name = "__graft_loop_" +
@@ -48,6 +56,12 @@ object LoopWidth {
     df.createGlobalTempView(name)
     try {
       val loopSession = spark.newSession()
+      spark.conf.getAll.foreach { case (k, v) =>
+        // static/immutable confs reject runtime set — skip them (they
+        // are process-wide and thus already shared)
+        try loopSession.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+      }
       loopSession.conf.set("spark.sql.shuffle.partitions", p.toString)
       body(loopSession.table(s"global_temp.$name"))
     } finally spark.catalog.dropGlobalTempView(name)

@@ -29,9 +29,25 @@ import org.apache.spark.sql.functions._
   */
 object RuntimeFilter {
 
-  /** `big` semi-joined to `small` on integral keys, with the shuffle
-    * pre-pruned by a bloom sketch of `small`'s keys. Result is
-    * row-identical to the plain semi join (the sketch only prunes).
+  /** Build a sketch over `df`'s keys in THE keying this object's
+    * probes use — xxhash64 of the key value. Callers supplying
+    * prebuilt sketches to the overloads below (and folding later
+    * batches in) MUST build them here: raw `putLong` of key values
+    * does not match the probes and silently disables pruning (anti
+    * form: duplicates pass; semi form: rows vanish). */
+  def keySketch(df: DataFrame, key: Column, expectedKeys: Long,
+                fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    df.stat.bloomFilter(xxhash64(key), expectedKeys, fpp)
+
+  /** `big` semi-joined to `small`, with the shuffle pre-pruned by a
+    * bloom sketch of `small`'s keys. Result is row-identical to the
+    * plain semi join (the sketch only prunes). Sketches are keyed by
+    * xxhash64 of the key — NOT a long cast: casting a string key
+    * yields NULL, which builds an empty sketch and probes
+    * definitely-absent for every row (fail-open: no pruning damage
+    * here, but the anti-join twin below would let duplicates
+    * through). xxhash64 covers every key type; hash collisions only
+    * cost fpp because the exact join decides on the TRUE key.
     */
   def bloomPrunedSemiJoin(big: DataFrame, bigKey: Column,
                           small: DataFrame, smallKey: Column,
@@ -40,12 +56,12 @@ object RuntimeFilter {
     // ignore build duplicates, and a dedup pass over 10⁸ keys is a
     // full extra aggregation for zero semantic effect
     bloomPrunedSemiJoin(big, bigKey, small, smallKey,
-      small.stat.bloomFilter(smallKey.cast("long"), expectedKeys, fpp))
+      keySketch(small, smallKey, expectedKeys, fpp))
 
   /** As above with a caller-supplied sketch — the amortized form the
     * scaladoc describes: build (or load) the filter once, reuse it
     * across joins/batches instead of re-scanning `small` per call.
-    * The sketch must cover `small`'s keys as longs; missing keys
+    * The sketch must cover xxhash64 of `small`'s keys; missing keys
     * would prune true matches (false negatives break the
     * row-identical contract), extra keys only cost fpp. */
   def bloomPrunedSemiJoin(big: DataFrame, bigKey: Column,
@@ -53,9 +69,9 @@ object RuntimeFilter {
                           bf: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     require(!big.columns.contains("__rf_key"),
       "big side already has a __rf_key column — rename it first")
-    big.filter(graft.plans.BloomMightContainLong.probe(bigKey, bf))
-      .join(small.select(smallKey.cast("long").as("__rf_key")),
-        bigKey.cast("long") === col("__rf_key"), "left_semi")
+    big.filter(graft.plans.BloomMightContainLong.probe(xxhash64(bigKey), bf))
+      .join(small.select(smallKey.as("__rf_key")),
+        bigKey === col("__rf_key"), "left_semi")
   }
 
   /** The ANTI dual — incremental dedup of a new `batch` against a
@@ -74,13 +90,13 @@ object RuntimeFilter {
                           history: DataFrame, histKey: Column,
                           expectedKeys: Long, fpp: Double = 0.01): DataFrame =
     bloomPrunedAntiJoin(batch, batchKey, history, histKey,
-      history.stat.bloomFilter(histKey.cast("long"), expectedKeys, fpp))
+      keySketch(history, histKey, expectedKeys, fpp))
 
   /** As above with a caller-supplied sketch — the persistent form the
     * scaladoc describes: keep one filter across batches, `putLong`
     * each batch's keys into it after merging, and skip the per-batch
-    * history scan entirely. The sketch must cover EVERY history key
-    * as a long — a missing key is a false negative and lets a
+    * history scan entirely. The sketch must cover xxhash64 of EVERY
+    * history key — a missing key is a false negative and lets a
     * duplicate through; staleness in the other direction (keys of
     * since-deleted rows) only costs fpp. */
   def bloomPrunedAntiJoin(batch: DataFrame, batchKey: Column,
@@ -88,15 +104,17 @@ object RuntimeFilter {
                           bf: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     require(!batch.columns.contains("__rf_key"),
       "batch side already has a __rf_key column — rename it first")
-    // null-key rows: the probe evaluates to NULL (null-intolerant
-    // expression), but a plain left_anti KEEPS them (null equals no
-    // history key) — coalesce routes them to the definitely-new
-    // branch so the row-identical contract holds
+    // null-key rows: xxhash64(null) is the seed (a real long), so
+    // they probe to a real boolean; if maybe-seen they reach the
+    // exact join, where a null key matches no history row and the
+    // left_anti keeps them — the row-identical contract holds. The
+    // coalesce stays as a belt for exotic probe nulls.
     val probe = coalesce(
-      graft.plans.BloomMightContainLong.probe(batchKey, bf), lit(false))
-    val hist = history.select(histKey.cast("long").as("__rf_key"))
+      graft.plans.BloomMightContainLong.probe(xxhash64(batchKey), bf),
+      lit(false))
+    val hist = history.select(histKey.as("__rf_key"))
     batch.filter(!probe)
       .unionByName(batch.filter(probe)
-        .join(hist, batchKey.cast("long") === col("__rf_key"), "left_anti"))
+        .join(hist, batchKey === col("__rf_key"), "left_anti"))
   }
 }

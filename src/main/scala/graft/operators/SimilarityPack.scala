@@ -428,10 +428,6 @@ object SimilarityPack extends QueryPack {
             .as("precision_probe"))
     }),
 
-    // Product quantization — CODES: each vector's 4 sub-block
-    // centroid ids (Jégou et al., "Product Quantization for Nearest
-    // Neighbor Search", TPAMI 2011). Four independent KMeans
-    // codebooks train over the sliced sub-vectors; encoding is four
     // Scalar quantization (SQ8) top-k — the third quantization
     // scheme beside PQ and IVF-PQ (FAISS ScalarQuantizer): each
     // dimension maps independently to an 8-bit code against
@@ -478,6 +474,10 @@ object SimilarityPack extends QueryPack {
           col("vec_id"), graft.Det.dround(col("score"), 6).as("score"))
     }),
 
+    // Product quantization — CODES: each vector's 4 sub-block
+    // centroid ids (Jégou et al., "Product Quantization for Nearest
+    // Neighbor Search", TPAMI 2011). Four independent KMeans
+    // codebooks train over the sliced sub-vectors; encoding is four
     // scan-stage literal-centroid argmaxes — zero joins, zero
     // shuffle. At 100 TB the code table (vec_id + M small ints) is
     // what a search fleet keeps hot; the float vectors stay cold.
@@ -860,7 +860,6 @@ object SimilarityPack extends QueryPack {
          |SELECT vec_id, cluster, ${graft.Det.droundSql("dist", 6)} AS dist
          |FROM a3""".stripMargin,
 
-    // four prefixed sub-block trainings (b0..b3 over embedding
     // decode = double IEEE ops rounded to FLOAT (identical on both
     // engines); the dot is then the shared strict double fold
     "sim_sq8_topk" ->
@@ -892,6 +891,7 @@ object SimilarityPack extends QueryPack {
          |      ORDER BY score DESC, vec_id) AS rank
          |  FROM sc) WHERE rank <= 5""".stripMargin,
 
+    // four prefixed sub-block trainings (b0..b3 over embedding
     // slices); codes = the four per-block assignments joined on id
     "sim_pq_codes" ->
       s"""WITH $pqTrainAllSql,

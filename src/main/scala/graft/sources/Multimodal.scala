@@ -135,20 +135,23 @@ object Multimodal {
     def parse(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
       if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
         return None
-      var p = 12
+      // LONG position: a declared chunk size near u32-max added to an
+      // Int position wraps negative, and tag() on a negative index
+      // throws — breaking the never-throws contract on crafted bytes
+      var p = 12L
       var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, bits, blockAlign
       var dataSize: Option[Long] = None
       while (p + 8 <= b.length && (fmt.isEmpty || dataSize.isEmpty)) {
-        val id = tag(b, p)
-        val size = u32le(b, p + 4)
-        if (size < 0 || size > Int.MaxValue) return None
+        val i = p.toInt
+        val id = tag(b, i)
+        val size = u32le(b, i + 4)
         if (id == "fmt ") {
           // PCM fmt payload: format(2) channels(2) rate(4) byteRate(4)
           // blockAlign(2) bits(2); extensible formats append more,
           // which the walk skips via the size field
           if (size < 16 || p + 8 + 16 > b.length) return None
-          fmt = Some((u16le(b, p + 10), u32le(b, p + 12).toInt,
-            u16le(b, p + 22), u16le(b, p + 20)))
+          fmt = Some((u16le(b, i + 10), u32le(b, i + 12).toInt,
+            u16le(b, i + 22), u16le(b, i + 20)))
         } else if (id == "data") {
           // header-only contract: the size FIELD is the payload
           // length; the payload itself need not be present (and at
@@ -156,7 +159,7 @@ object Multimodal {
           dataSize = Some(size)
         }
         // word alignment: odd payloads carry one uncounted pad byte
-        p += 8 + size.toInt + (size % 2).toInt
+        p += 8 + size + size % 2
       }
       for {
         (ch, rate, bits, blockAlign) <- fmt
@@ -271,8 +274,11 @@ object Multimodal {
     /** (brand, mvhdVersion, timescale, duration) or None. */
     def parse(b: Array[Byte]): Option[(String, Int, Int, Long)] =
       for {
-        (fp, _) <- findBox(b, 0, b.length, "ftyp")
-        brand <- if (fp + 4 <= b.length) Some(tag(b, fp)) else None
+        (fp, fEnd) <- findBox(b, 0, b.length, "ftyp")
+        // bound by the ftyp box's OWN end: an empty ftyp followed by
+        // another box would otherwise serve that box's size field as
+        // a garbage "brand" instead of rejecting
+        brand <- if (fp + 4 <= fEnd) Some(tag(b, fp)) else None
         (mp, mEnd) <- findBox(b, 0, b.length, "moov")
         (hp, hEnd) <- findBox(b, mp, mEnd, "mvhd")
         version = if (hp < b.length) b(hp) & 0xff else -1

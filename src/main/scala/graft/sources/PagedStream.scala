@@ -108,23 +108,34 @@ class RegistryPageFetcher extends PageFetcher {
   * shared store on a cluster). A short listing inside a committed
   * range FAILS loudly — committed offsets must never skip pages. */
 class DirectoryPageFetcher extends PageFetcher {
-  private def pageFiles(feed: String): Array[java.io.File] =
+  /** (cursor, file), sorted NUMERICALLY by the parsed cursor — a
+    * lexicographic filename sort would reorder unpadded cursors
+    * (page-10 before page-9), remapping already-committed positions
+    * as the archive grows: the new tail position would re-serve an
+    * old page while the new page landed at a committed position and
+    * was never delivered. Files without a numeric cursor are ignored
+    * (strays like page-notes.txt are not pages). */
+  private def pages(feed: String): Array[(Long, java.io.File)] =
     Option(new java.io.File(feed).listFiles())
       .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && f.getName.startsWith("page-"))
-      .sortBy(_.getName)
+      .filter(_.isFile)
+      .flatMap { f =>
+        val digits = f.getName.stripPrefix("page-").takeWhile(_.isDigit)
+        if (f.getName.startsWith("page-") && digits.nonEmpty)
+          Some((digits.toLong, f))
+        else None
+      }
+      .sortBy(_._1)
 
   override def latestAvailable(feed: String): Long =
-    pageFiles(feed).length.toLong
+    pages(feed).length.toLong
 
   override def fetch(feed: String, from: Long,
                      until: Long): Iterator[(Long, String)] = {
-    val files = pageFiles(feed).slice(from.toInt, until.toInt)
+    val files = pages(feed).slice(from.toInt, until.toInt)
     require(files.length == until - from,
       s"feed $feed lost pages: need [$from, $until) have ${files.length}")
-    files.iterator.map { f =>
-      val cursor = f.getName.stripPrefix("page-")
-        .takeWhile(_.isDigit).toLong
+    files.iterator.map { case (cursor, f) =>
       (cursor, new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8))
     }
@@ -352,8 +363,16 @@ class PagedReaderFactory extends PartitionReaderFactory {
       private var served = 0L
       private var row: (Long, String) = _
       override def next(): Boolean =
-        if (pages.hasNext) { row = pages.next(); served += 1; true }
-        else {
+        if (pages.hasNext) {
+          // over-read = rows this range does not own; serving them
+          // would duplicate cursors with the adjacent partition (an
+          // off-by-one fetcher against an inclusive API is the
+          // classic case) — as loud as the short-read twin below
+          require(served < p.until - p.from,
+            s"fetcher over-served [${p.from}, ${p.until}) for feed " +
+              s"${p.feed} — extra rows would duplicate the next range")
+          row = pages.next(); served += 1; true
+        } else {
           // short read = committed offsets would skip real pages
           require(served == p.until - p.from,
             s"fetcher served $served of [${p.from}, ${p.until}) for " +

@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   */
 trait KeyedSink {
   def upsert(batch: DataFrame, batchId: Long): Unit
+
+  /** True when `batchId`'s write already landed durably — a replay
+    * (write succeeded, checkpoint commit didn't) must then change
+    * nothing. Plain replays are also idempotent through `upsert`,
+    * but an upstream dedup (seen-set) filters a replayed batch to
+    * EMPTY against the store containing its own first delivery, and
+    * an empty re-upsert is not a no-op for a snapshot-rotating sink
+    * — it would rebuild the snapshot without the batch's rows. Sinks
+    * with a durable per-batch marker override this; the default
+    * (false) preserves plain-replay behavior. */
+  def alreadyApplied(batchId: Long): Boolean = false
 }
 
 /** Append-only bronze parquet: each micro-batch owns an
@@ -33,6 +44,12 @@ class BronzeParquetSink(bronzePath: String) extends KeyedSink {
     batch.withColumn("day", to_date(col("ts")))
       .write.mode(SaveMode.Overwrite).partitionBy("day")
       .parquet(s"$bronzePath/ingest_batch=$batchId")
+
+  /** The committer's _SUCCESS marker in the batch's own directory is
+    * the durable applied signal (a torn write has no marker and the
+    * replay overwrite cleans it). */
+  override def alreadyApplied(batchId: Long): Boolean =
+    new java.io.File(s"$bronzePath/ingest_batch=$batchId/_SUCCESS").isFile
 }
 
 /** Materialized doc-store on parquet: ONE latest-per-key table
@@ -86,7 +103,16 @@ class ParquetDocStoreSink(storePath: String, keys: Seq[String],
   def current(spark: org.apache.spark.sql.SparkSession): Option[DataFrame] =
     versionDirs.maxOption.map(v => spark.read.parquet(s"$storePath/v=$v"))
 
+  override def alreadyApplied(batchId: Long): Boolean =
+    versionDirs.contains(batchId)
+
   override def upsert(batch: DataFrame, batchId: Long): Unit = {
+    // Replay short-circuit (defense in depth under alreadyApplied):
+    // a COMMITTED v=batchId means this batch was fully applied.
+    // Rebuilding would be identical for a plain replay — but a
+    // dedup-filtered replay arrives EMPTY, and an empty rebuild from
+    // the base below would erase the batch's rows from the store.
+    if (alreadyApplied(batchId)) { retire(); return }
     val spark = batch.sparkSession
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(orderCols.map(col(_).desc): _*)

@@ -97,13 +97,23 @@ object LabelStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // fresh is read twice (sink + sketch); persist so the probe
-        // split and any sliver join run once, not per consumer
-        val fresh = seen.filterNew(batch, history()).persist()
-        try {
-          sink.upsert(fresh, batchId)
-          seen.commit(fresh) // AFTER the sink accepted the rows
-        } finally fresh.unpersist()
+        // Replay guard: a batch whose write landed but whose
+        // checkpoint commit didn't arrives AGAIN, and the dedup
+        // filter would see its own first delivery in the store and
+        // strip the batch to empty — handing the sink an empty
+        // re-upsert that a snapshot-rotating store would apply as an
+        // erasure. Skip the whole body; the sketch re-folds the keys
+        // (idempotent) so a restarted process stays exact.
+        if (sink.alreadyApplied(batchId)) seen.commit(batch)
+        else {
+          // fresh is read twice (sink + sketch); persist so the
+          // probe split and any sliver join run once, not per consumer
+          val fresh = seen.filterNew(batch, history()).persist()
+          try {
+            sink.upsert(fresh, batchId)
+            seen.commit(fresh) // AFTER the sink accepted the rows
+          } finally fresh.unpersist()
+        }
       }
       .start()
 

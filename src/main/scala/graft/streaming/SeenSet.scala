@@ -52,12 +52,17 @@ final class BloomSeenSet(key: String, expectedKeys: Long, fpp: Double = 0.01) {
       // stat.bloomFilter (nothing aggregated) — probe would NPE;
       // an explicitly-empty filter is the correct identity
       val h = history
+      // xxhash64, never cast("long"): casting a STRING key yields
+      // NULL, which builds an empty sketch and probes definitely-new
+      // for every row — the dedup silently fails open and duplicates
+      // flow to the sink on every poll
       val s = if (h.isEmpty) BloomFilter.create(expectedKeys, fpp)
-              else h.stat.bloomFilter(k.cast("long"), expectedKeys, fpp)
+              else RuntimeFilter.keySketch(h, k, expectedKeys, fpp)
       bf = Some(s)
       s
     }
-    val probe = coalesce(graft.plans.BloomMightContainLong.probe(k, sketch),
+    val probe = coalesce(
+      graft.plans.BloomMightContainLong.probe(xxhash64(k), sketch),
       lit(false))
     // sliver-empty fast path: checking costs one scan of the BATCH
     // (small); skipping the join saves a scan of the HISTORY (huge)
@@ -69,7 +74,7 @@ final class BloomSeenSet(key: String, expectedKeys: Long, fpp: Double = 0.01) {
     * accepted the rows — committing first would make a crashed batch
     * replay as "seen" against a store that never got it. */
   def commit(fresh: DataFrame): Unit = if (!fresh.isEmpty) {
-    val add = fresh.stat.bloomFilter(col(key).cast("long"), expectedKeys, fpp)
+    val add = RuntimeFilter.keySketch(fresh, col(key), expectedKeys, fpp)
     bf = Some(bf.fold(add) { b => b.mergeInPlace(add); b })
   }
 }

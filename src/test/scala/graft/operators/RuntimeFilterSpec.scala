@@ -90,8 +90,9 @@ class RuntimeFilterSpec extends SparkSpec {
     // the amortized/persistent form: build the sketch ONCE, reuse it
     // for every subsequent batch instead of re-scanning history
     val h2 = Seq(2L, 4L, 6L).toDF("k2")
-    val bf = BloomFilter.create(100, 0.01)
-    Seq(2L, 4L, 6L).foreach(bf.putLong)
+    // the ONE sketch-keying authority — raw putLong of key values
+    // would not match the xxhash64 probes and disable pruning
+    val bf = RuntimeFilter.keySketch(h2, col("k2"), 100)
     val batches = Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))
     val got = batches.map { b =>
       RuntimeFilter.bloomPrunedAntiJoin(b.toDF("k"), col("k"), h2,
@@ -100,7 +101,7 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(got == Seq(Set(1L, 3L), Set(5L)))
     // stale-in-the-extra-keys direction is safe for the SEMI form
     // too: extra keys in the sketch only cost fpp, never rows
-    bf.putLong(999L)
+    bf.mergeInPlace(RuntimeFilter.keySketch(Seq(999L).toDF("k"), col("k"), 100))
     val semi = RuntimeFilter.bloomPrunedSemiJoin(
         Seq(1L, 2L, 6L, 999L).toDF("k"), col("k"), h2, col("k2"), bf)
       .as[Long].collect().toSet

@@ -94,6 +94,13 @@ class MultimodalSpec extends SparkSpec {
     val zeroAlign = good.clone()
     zeroAlign(32) = 0; zeroAlign(33) = 0 // fmt blockAlign field
     assert(Multimodal.WavCodec.parse(zeroAlign).isEmpty)
+    // a declared chunk size near u32-max must not wrap the walk
+    // position negative (Int overflow -> tag() on a negative index
+    // threw before the Long-position fix)
+    val huge = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVE".getBytes ++ "JUNK".getBytes ++
+      Array(0xf5, 0xff, 0xff, 0x7f).map(_.toByte)
+    assert(Multimodal.WavCodec.parse(huge).isEmpty)
   }
 
   test("decodeWav: id-derived params round-trip the synthetic corpus") {

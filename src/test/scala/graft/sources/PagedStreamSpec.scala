@@ -159,6 +159,30 @@ class PagedStreamSpec extends SparkSpec {
       s"growth replay must add exactly the new files once, got $streamed")
   }
 
+  test("directory fetcher: UNPADDED cursors keep committed positions stable") {
+    // page-10 sorts lexicographically before page-9 — a filename sort
+    // would remap committed positions when the archive grows past 9,
+    // re-serving an old page and never delivering the new one. The
+    // numeric cursor sort (plus monotone cursors) keeps positions
+    // append-only. A stray non-page file must be ignored, not thrown.
+    val dir = java.nio.file.Files.createTempDirectory("spoolraw").toString
+    def spool(c: Long): Unit = java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, s"page-$c.html"),
+      s"body:$c".getBytes)
+    (1L to 9L).foreach(spool)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "page-notes.txt"), "junk".getBytes)
+    val f = new DirectoryPageFetcher
+    assert(f.latestAvailable(dir) == 9L)
+    spool(10L); spool(11L)
+    // the GROWN suffix [9, 11) must be exactly the new pages
+    assert(f.fetch(dir, 9L, 11L).toSeq
+      == Seq((10L, "body:10"), (11L, "body:11")))
+    // and the committed prefix re-fetches identically
+    assert(f.fetch(dir, 0L, 2L).toSeq
+      == Seq((1L, "body:1"), (2L, "body:2")))
+  }
+
   test("fetcher-backed batch read matches the fetcher's pages") {
     val got = PagedTable.read(spark, "unregistered-feed",
         fetcher = Some(classOf[SyntheticPageFetcher].getName))

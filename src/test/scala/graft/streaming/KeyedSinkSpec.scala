@@ -37,6 +37,25 @@ class KeyedSinkSpec extends SparkSpec {
       == after1, "replayed batch must not double-merge")
   }
 
+  test("a dedup-FILTERED replay (empty re-upsert) must not erase the batch") {
+    // the crash window: batch 1's write landed (committed v=1), the
+    // checkpoint commit didn't; on replay an upstream seen-set sees
+    // the rows already in the store and hands the sink an EMPTY
+    // batch. Without the applied short-circuit the sink would rebuild
+    // v=1 from v=0 — erasing batch 1's rows forever (the source never
+    // re-delivers a committed cursor range).
+    val dir = Files.createTempDirectory("graft-docstore-replay").toString
+    val sink = new ParquetDocStoreSink(dir, keys = Seq("k"), orderCols = Seq("ver"))
+    sink.upsert(Seq(("a", 1L, "x1")).toDF("k", "ver", "v"), batchId = 0L)
+    sink.upsert(Seq(("b", 1L, "y1")).toDF("k", "ver", "v"), batchId = 1L)
+    assert(sink.alreadyApplied(1L) && !sink.alreadyApplied(2L))
+    sink.upsert(Seq.empty[(String, Long, String)].toDF("k", "ver", "v"),
+      batchId = 1L) // the filtered replay
+    assert(sink.current(spark).get.as[(String, Long, String)].collect().toSet
+      == Set(("a", 1L, "x1"), ("b", 1L, "y1")),
+      "empty replay of a committed batch erased its rows")
+  }
+
   test("retention retires old versions; replay of the LAST batch stays safe") {
     val dir = Files.createTempDirectory("graft-docstore-ret").toString
     val sink = new ParquetDocStoreSink(dir, keys = Seq("k"),

@@ -60,6 +60,22 @@ class SeenSetSpec extends SparkSpec {
       "a key committed in batch 1 must not re-enter in batch 2")
   }
 
+  test("STRING keys dedup too — a long cast would fail open") {
+    // cast("long") of a string key yields NULL: the sketch builds
+    // empty, every row probes definitely-new, and duplicates flow on
+    // every batch. The xxhash64 keying makes the type irrelevant.
+    def skeys(r: Range): DataFrame =
+      r.map(i => s"addr_$i").toDF("k")
+    val seen = new BloomSeenSet("k", expectedKeys = 1000)
+    val f1 = seen.filterNew(skeys(1 to 50), skeys(1 to 100))
+    assert(f1.count() == 0,
+      "every batch-1 key is already in history — none may pass")
+    val f2 = seen.filterNew(skeys(90 to 120), skeys(1 to 100))
+    assert(f2.as[String].collect().toSet
+      == (101 to 120).map(i => s"addr_$i").toSet,
+      "only the genuinely-new string keys may pass")
+  }
+
   test("startDedupedIngest wires the seen-set upstream of the sink") {
     val ckpt = Files.createTempDirectory("graft-seen-ckpt").toString
     val dir = Files.createTempDirectory("graft-seen-store").toString
