@@ -41,12 +41,7 @@ object Bench {
     val sentinelFirst = sentinel()
     // full JSON escape incl. control chars — exception messages can
     // carry tabs etc. which would make the emitted line unparseable
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def jstr(s: String): String = JsonStr.jstr(s)
     def time(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Long, Option[String]) = {
@@ -112,10 +107,11 @@ object Bench {
     // merge throughput (BASELINE.md): rows/s through the M1/M2 merge
     // operators — the comparable for the reference's ≤20 addr/s ceiling
     val times = results.map(r => r._1 -> r._2).toMap
+    val rowCounts = results.map(r => r._1 -> r._3).toMap
     val mergeNames = Seq("m1_upsert_replace", "m2_label_set_union")
-    val mergeRows = mergeNames
-      .map(n => try SparkEntry.queries(n)(spark, sfDir).count()
-                catch { case _: Throwable => 0L }).sum
+    // row counts were captured by observe() on the timed run — a
+    // count() here would re-execute both merges end to end
+    val mergeRows = mergeNames.flatMap(rowCounts.get).filter(_ >= 0).sum
     val mergeSecs = mergeNames.flatMap(times.get).filter(_ >= 0).sum
     val mergeRate = f3(if (mergeSecs > 0) mergeRows / mergeSecs else 0.0)
     val sentinelLast = sentinel()

@@ -209,7 +209,9 @@ object DevStress {
     val nUncapped = time("ann_cand_uncapped", pairs(buckets))
     val nCapped = time("ann_cand_capped",
       pairs(SimilarityPack.capBuckets(buckets)))
-    if (nCapped > 0)
+    // both sides must have RUN — a filtered probe returns the -1
+    // skip sentinel, which would print a nonsense negative ratio
+    if (nCapped > 0 && nUncapped >= 0)
       println(f"[stress] x$factor%-3d ann candidate reduction   ${nUncapped.toDouble / nCapped}%8.2fx")
     // mega-bucket case: factor×1000 copies of ONE vector collide into
     // a single (band, bucket) — uncapped residual is C(n,2); the cap
@@ -221,7 +223,7 @@ object DevStress {
     val hu = time("ann_hotbucket_uncapped", pairs(hotBuckets))
     val hc = time("ann_hotbucket_capped",
       pairs(SimilarityPack.capBuckets(hotBuckets)))
-    if (hc > 0)
+    if (hc > 0 && hu >= 0)
       println(f"[stress] x$factor%-3d hot-bucket reduction      ${hu.toDouble / hc}%8.2fx")
 
     // pagerank: the q_pagerank edge graph replicated factor× with
@@ -232,7 +234,7 @@ object DevStress {
     // width with the measured edges (disjoint copies also pin that
     // ranks stay bit-identical per copy — integer arithmetic is
     // replica-independent).
-    if (only.isEmpty || "pagerank".contains(only)) {
+    if (wants("pagerank_3rounds")) {
       val li = Tables.lineitem(spark, sf)
         .select(col("l_orderkey"), col("l_suppkey"))
       val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
@@ -252,7 +254,7 @@ object DevStress {
     // iteration ONE scan (literal-centroid argmax via codegen'd
     // FloatDot) + a ≤ k·d-row shuffle, so wall should track input
     // vectors
-    if (only.isEmpty || "kmeans_step".contains(only)) {
+    if (wants("kmeans_step")) {
       val vq = graft.operators.KMeans.quantize(bigEmb)
       val t0 = System.nanoTime()
       graft.operators.KMeans.train(vq, iters = 1)
@@ -298,7 +300,7 @@ object DevStress {
       val fixed = time("semdedup_pairs_fixed_k", clusterPairs(KMeans.K))
       val scaled = time("semdedup_pairs_scaled_k",
         clusterPairs(KMeans.K * factor))
-      if (scaled > 0)
+      if (scaled > 0 && fixed >= 0)
         println(f"[stress] x$factor%-3d semdedup k~N reduction    ${fixed.toDouble / scaled}%8.2fx")
     }
     // doc-store snapshot rotation at width: N batches through

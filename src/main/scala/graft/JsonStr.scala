@@ -1,0 +1,20 @@
+package graft
+
+/** THE JSON string escaper for the driver-contract mains — one
+  * definition so a future escaping fix cannot land in Bench's line
+  * but not Verify's oracle_sql.json (or vice versa). Escapes quote,
+  * backslash, the named control chars, and every other char < 0x20
+  * as \\uXXXX — a tab or CR in builder-authored SQL or an exception
+  * message would otherwise make the driver's json.load fail and
+  * silently zero the round's artifact. */
+private[graft] object JsonStr {
+  def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}

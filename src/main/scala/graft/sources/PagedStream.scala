@@ -121,8 +121,9 @@ class DirectoryPageFetcher extends PageFetcher {
       .filter(_.isFile)
       .flatMap { f =>
         val digits = f.getName.stripPrefix("page-").takeWhile(_.isDigit)
-        if (f.getName.startsWith("page-") && digits.nonEmpty)
-          Some((digits.toLong, f))
+        // toLongOption: digits that overflow Long are a stray file
+        // (ignored), not a feed-killing NumberFormatException
+        if (f.getName.startsWith("page-")) digits.toLongOption.map((_, f))
         else None
       }
       .sortBy(_._1)
