@@ -220,6 +220,32 @@ object DedupPack extends QueryPack {
     "ds_fuzzy_pairs" -> ((s, dir) =>
       fuzzyPairs(Tables.documents(s, dir))),
 
+    // ...the blocking scheme's own audit (the ds_lsh_recall pattern):
+    // ground truth = ALL-pairs levenshtein ≤ 2 on a bounded probe
+    // subset (exact, affordable at FuzzyRecallProbeN docs), compared
+    // against what the prefix ∪ suffix blocking surfaces on the same
+    // subset. Honest by construction: pairs whose single edit
+    // straddles both block keys are the declared recall loss, and
+    // this query REPORTS it instead of asserting it away.
+    "ds_fuzzy_recall" -> ((s, dir) => {
+      val sub = Tables.documents(s, dir)
+        .filter(col("doc_id") < FuzzyRecallProbeN)
+      val t = sub.select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 3), " ").as("title"))
+      val truth = t.alias("a").join(t.alias("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .filter(levenshtein(col("a.title"), col("b.title")) <= 2)
+        .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      val cand = fuzzyPairs(sub).select(col("a"), col("b"))
+      val hit = truth.join(cand, Seq("a", "b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          when(col("n_true") > 0, graft.Det.dround(
+            col("n_hit").cast("double") / col("n_true"), 4)).as("recall"))
+    }),
+
     // ...and its APPLY step: fuzzy pairs → connected components →
     // lowest id per group survives — the same pairs→components→apply
     // composition as ds_dedup_apply (MinHash) and ds_embed_dedup
@@ -540,6 +566,13 @@ object DedupPack extends QueryPack {
     * block at C(cap−1)/2 pairs no matter how many titles share it. */
   val FuzzyBlockCap = 64
 
+  /** Probe-subset size for ds_fuzzy_recall's exact all-pairs ground
+    * truth — C(N,2) levenshtein calls on 3-token titles, bounded by
+    * construction at any corpus scale. 500 keeps the truth set
+    * non-empty at the test SFs (100 found zero true pairs — a
+    * vacuous audit). */
+  val FuzzyRecallProbeN = 500
+
   /** The ds_fuzzy_pairs body over a documents frame: prefix- and
     * suffix-blocked candidates, capped per block, verified by
     * levenshtein ≤ `maxDist` on the 3-token title. */
@@ -653,10 +686,10 @@ object DedupPack extends QueryPack {
   /** Shared oracle fragment: the fuzzy blocking candidates (t, pb,
     * sb, cand CTEs) — the single SQL source for ds_fuzzy_pairs and
     * ds_fuzzy_apply, mirroring [[fuzzyPairs]]'s candidate stage. */
-  private val fuzzyCandSql =
+  private def fuzzyCandSql(where: String = ""): String =
     s"""t AS (SELECT doc_id,
        |    array_to_string(string_split(text, ' ')[1:3], ' ') AS title
-       |  FROM documents),
+       |  FROM documents $where),
        |pb AS (SELECT doc_id, title, substr(title, 1, 4) AS blk,
        |         row_number() OVER (PARTITION BY substr(title, 1, 4)
        |           ORDER BY doc_id) AS rn FROM t),
@@ -764,14 +797,32 @@ object DedupPack extends QueryPack {
          |FROM cand WHERE bit_count(xor(sa, sb)) <= $SimHamCap""".stripMargin,
 
     "ds_fuzzy_pairs" ->
-      s"""WITH $fuzzyCandSql
+      s"""WITH ${fuzzyCandSql()}
          |SELECT a, b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
          |FROM cand WHERE levenshtein(ta, tb) <= 2""".stripMargin,
+
+    "ds_fuzzy_recall" ->
+      s"""WITH ${fuzzyCandSql(s"WHERE doc_id < $FuzzyRecallProbeN")},
+         |truth AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM t x JOIN t y ON x.doc_id < y.doc_id
+         |  WHERE levenshtein(x.title, y.title) <= 2),
+         |cp AS (SELECT DISTINCT a, b FROM cand
+         |       WHERE levenshtein(ta, tb) <= 2),
+         |hit AS (SELECT * FROM truth
+         |        WHERE EXISTS (SELECT 1 FROM cp
+         |                      WHERE cp.a = truth.a AND cp.b = truth.b))
+         |SELECT (SELECT count(*) FROM truth) AS n_true,
+         |       (SELECT count(*) FROM cp) AS n_cand,
+         |       (SELECT count(*) FROM hit) AS n_hit,
+         |       CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
+         |         ${graft.Det.droundSql(
+                     "(SELECT count(*) FROM hit)::DOUBLE / (SELECT count(*) FROM truth)", 4)}
+         |       END AS recall""".stripMargin,
 
     // same candidates, then the recursive-CTE components replay the
     // engine's star-contraction result (both compute the SAME groups)
     "ds_fuzzy_apply" ->
-      s"""WITH RECURSIVE $fuzzyCandSql,
+      s"""WITH RECURSIVE ${fuzzyCandSql()},
          |close AS (SELECT a, b FROM cand WHERE levenshtein(ta, tb) <= 2),
          |e AS (SELECT a, b FROM close UNION SELECT b, a FROM close),
          |reach(a, b) AS (
