@@ -50,6 +50,40 @@ object MultimodalPack extends QueryPack {
         Multimodal.syntheticVideos(Tables.documents(s, dir))).toDF()
     }),
 
+    // Cross-modality corpus profile — the rollup a media curation
+    // pipeline monitors: every REAL decoder (PNG/JPEG dims, WAV and
+    // MP4 durations) feeding one per-kind summary. Decodes stay
+    // scan-stage; each branch is one partial-agg; the union is rows,
+    // not data. Averages are exact-long sums over one IEEE division,
+    // rounded the same on both engines.
+    "mm_media_profile" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = Tables.documents(s, dir)
+      val nulD = lit(null).cast("double")
+      val img = Multimodal.decodeHeaders(
+          Multimodal.syntheticImages(docs)).toDF()
+        .groupBy(col("fmt").as("kind"))
+        .agg(count(lit(1)).as("n"),
+          graft.Det.dround(sum(col("width")).cast("double")
+            / count(lit(1)), 4).as("avg_width"),
+          graft.Det.dround(sum(col("height")).cast("double")
+            / count(lit(1)), 4).as("avg_height"))
+        .select(col("kind"), col("n"),
+          lit(null).cast("long").as("total_duration_ms"),
+          col("avg_width"), col("avg_height"))
+      def av(kind: String, meta: org.apache.spark.sql.DataFrame) =
+        meta.agg(count(lit(1)).as("n"),
+            sum(col("duration_ms")).as("total_duration_ms"))
+          .select(lit(kind).as("kind"), col("n"),
+            col("total_duration_ms"), nulD.as("avg_width"),
+            nulD.as("avg_height"))
+      img
+        .unionByName(av("wav",
+          Multimodal.decodeWav(Multimodal.syntheticAudio(docs)).toDF()))
+        .unionByName(av("mp4",
+          Multimodal.decodeMp4(Multimodal.syntheticVideos(docs)).toDF()))
+    }),
+
     "mm_frame_sample" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.sampleFrames(
@@ -192,6 +226,39 @@ object MultimodalPack extends QueryPack {
         |    // CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
         |       WHEN 2 THEN 90000 ELSE 48000 END AS duration_ms
         |FROM documents""".stripMargin,
+
+    // replays each decoder's id-derived arithmetic; DuckDB integer
+    // sums widen to HUGEINT, so totals cast back to BIGINT
+    "mm_media_profile" ->
+      """WITH img AS (SELECT
+        |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS kind,
+        |    16 + doc_id % 1000 AS w, 16 + (doc_id * 7) % 800 AS h
+        |  FROM documents),
+        |ia AS (SELECT kind, count(*) AS n,
+        |         CAST(NULL AS BIGINT) AS total_duration_ms,
+        |         floor((CAST(sum(w) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4
+        |           AS avg_width,
+        |         floor((CAST(sum(h) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4
+        |           AS avg_height
+        |       FROM img GROUP BY kind),
+        |wa AS (SELECT 'wav' AS kind, count(*) AS n,
+        |         CAST(sum((1000 + (doc_id * 37) % 9000) * 1000
+        |           // CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |              WHEN 2 THEN 22050 WHEN 3 THEN 44100
+        |              ELSE 48000 END) AS BIGINT) AS total_duration_ms,
+        |         CAST(NULL AS DOUBLE) AS avg_width,
+        |         CAST(NULL AS DOUBLE) AS avg_height
+        |       FROM documents),
+        |ma AS (SELECT 'mp4' AS kind, count(*) AS n,
+        |         CAST(sum((1000 + (doc_id * 53) % 100000) * 1000
+        |           // CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |              WHEN 2 THEN 90000 ELSE 48000 END) AS BIGINT)
+        |           AS total_duration_ms,
+        |         CAST(NULL AS DOUBLE) AS avg_width,
+        |         CAST(NULL AS DOUBLE) AS avg_height
+        |       FROM documents)
+        |SELECT * FROM ia UNION ALL SELECT * FROM wa
+        |UNION ALL SELECT * FROM ma""".stripMargin,
 
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(f AS INTEGER) AS frame_no
