@@ -1,0 +1,38 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The running ingest counters: engine progress events folded into
+  * process-lifetime totals, per query and overall. */
+class IngestMetricsSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("totals accumulate across micro-batches and name queries") {
+    val m = IngestMetrics.attach(spark)
+    try {
+      val ms = MemoryStream[Long]
+      val q = ms.toDF().toDF("k")
+        .writeStream.format("memory").queryName("metrics_probe")
+        .outputMode("append").start()
+      try {
+        ms.addData(1L, 2L, 3L)
+        q.processAllAvailable()
+        ms.addData(4L, 5L)
+        q.processAllAvailable()
+        // listener events are async on the bus — drain them
+        spark.streams.awaitAnyTermination(1)
+        var waited = 0
+        while (m.rowsFor("metrics_probe") < 5 && waited < 100) {
+          Thread.sleep(50); waited += 1
+        }
+        assert(m.rowsFor("metrics_probe") == 5L,
+          s"expected 5 rows for the named query, got ${m.rowsFor("metrics_probe")}")
+        assert(m.totalRows >= 5L && m.totalBatches >= 2L,
+          s"running totals must cover both batches: " +
+            s"${m.totalRows} rows / ${m.totalBatches} batches")
+      } finally q.stop()
+    } finally IngestMetrics.detach(spark, m)
+  }
+}
