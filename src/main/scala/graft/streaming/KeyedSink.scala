@@ -113,6 +113,10 @@ class ParquetDocStoreSink(storePath: String, keys: Seq[String],
     // dedup-filtered replay arrives EMPTY, and an empty rebuild from
     // the base below would erase the batch's rows from the store.
     if (alreadyApplied(batchId)) { retire(); return }
+    // idle poll: an EMPTY fresh batch merges nothing — rotating a new
+    // snapshot would rewrite the entire store per empty trigger (most
+    // triggers, at the reference's 8 h polling cadence)
+    if (batch.isEmpty) return
     val spark = batch.sparkSession
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(orderCols.map(col(_).desc): _*)

@@ -54,6 +54,15 @@ class KeyedSinkSpec extends SparkSpec {
     assert(sink.current(spark).get.as[(String, Long, String)].collect().toSet
       == Set(("a", 1L, "x1"), ("b", 1L, "y1")),
       "empty replay of a committed batch erased its rows")
+    // idle poll: an empty FRESH batch must not rotate a new snapshot
+    // (that would rewrite the full store once per empty trigger)
+    def versions = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .count(_.getName.startsWith("v="))
+    val before = versions
+    sink.upsert(Seq.empty[(String, Long, String)].toDF("k", "ver", "v"),
+      batchId = 5L)
+    assert(versions == before, "idle poll rotated a snapshot")
+    assert(sink.current(spark).get.count() == 2)
   }
 
   test("retention retires old versions; replay of the LAST batch stays safe") {
