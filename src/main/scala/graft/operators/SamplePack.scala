@@ -121,6 +121,34 @@ object SamplePack extends QueryPack {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("bin_tokens"))),
 
+    // Packing QA — the metric a training-data pipeline actually
+    // watches over the packer: per-shard fill ratio, overflow bins
+    // (a doc starting near the boundary runs past the budget — the
+    // declared contiguous-fill trade), and under-filled bins (the
+    // padding waste that burns accelerator hours). Same packBins
+    // plan plus two tiny aggs; thresholds are integer so both
+    // engines cut identically.
+    "sp_pack_efficiency" -> ((s, dir) => {
+      val bins = Sampling.packBins(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"),
+            col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          shard = Seq(col("source"), col("lang")),
+          order = Seq(col("doc_id")), tokens = col("n_tokens"),
+          budget = PackBudget)
+        .groupBy(col("source"), col("lang"), col("bin"))
+        .agg(sum(col("n_tokens")).as("bin_tokens"))
+      bins.groupBy("source", "lang").agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("bin_tokens")).as("packed_tokens"),
+        graft.Det.dround(sum(col("bin_tokens")).cast("double")
+          / (count(lit(1)) * lit(PackBudget.toLong)), 4).as("fill_ratio"),
+        sum(when(col("bin_tokens") > PackBudget, 1L).otherwise(0L))
+          .as("n_over"),
+        sum(when(col("bin_tokens") < (PackBudget * 9L) / 10L, 1L)
+          .otherwise(0L)).as("n_under90"))
+    }),
+
     // The curation chain end-to-end: quality gate → language gate →
     // exact content dedup (keep lowest doc_id) → 50% deterministic
     // sample. Composes the tx_/ds_/sp_ primitives exactly the way a
@@ -311,6 +339,28 @@ object SamplePack extends QueryPack {
          |SELECT source, lang, CAST(bin AS BIGINT) AS bin,
          |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
          |FROM b GROUP BY 1, 2, 3""".stripMargin,
+
+    "sp_pack_efficiency" ->
+      s"""WITH t AS (SELECT doc_id, source, lang,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |b AS (SELECT source, lang, n_tokens,
+         |        (sum(n_tokens) OVER (PARTITION BY source, lang
+         |           ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |         - n_tokens) // $PackBudget AS bin
+         |      FROM t),
+         |bins AS (SELECT source, lang, bin, sum(n_tokens) AS bin_tokens
+         |         FROM b GROUP BY 1, 2, 3)
+         |SELECT source, lang, count(*) AS n_bins,
+         |       CAST(sum(bin_tokens) AS BIGINT) AS packed_tokens,
+         |       ${graft.Det.droundSql(
+                   s"CAST(sum(bin_tokens) AS DOUBLE) / (count(*) * $PackBudget)", 4)}
+         |         AS fill_ratio,
+         |       CAST(sum(CASE WHEN bin_tokens > $PackBudget THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_over,
+         |       CAST(sum(CASE WHEN bin_tokens < ($PackBudget * 9) // 10
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS n_under90
+         |FROM bins GROUP BY 1, 2""".stripMargin,
 
     "sp_curation_e2e" ->
       s"""WITH base AS (SELECT doc_id, source, n_chars, text FROM documents
