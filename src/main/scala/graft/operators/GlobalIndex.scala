@@ -23,6 +23,24 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object GlobalIndex {
 
+  /** Cached sort RDDs from [[withPosition]] calls, oldest-first.
+    * Bounds repeated-call storage growth: frames built here are often
+    * long-referenced (epoch loops, Bench/Verify rebuilding per query),
+    * so ContextCleaner GC alone lets executor storage accumulate one
+    * persisted sort per call. Beyond the cap the OLDEST cache is
+    * unpersisted eagerly — its frame stays CORRECT (the RDD lineage
+    * recomputes from shuffle files), it just loses the cached sort. */
+  private val cached =
+    new java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]()
+  private val MaxCached = 4
+
+  private def enroll(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    cached.synchronized {
+      cached.addLast(rdd)
+      while (cached.size > MaxCached)
+        cached.removeFirst().unpersist(blocking = false)
+    }
+
   /** Append `out` = 0-based position of each row in the TOTAL order of
     * `order`. The caller must pass a tie-free (total) order — ties
     * would leave positions run-dependent. Range boundaries come from
@@ -30,9 +48,29 @@ object GlobalIndex {
     * themselves depend only on the total order and are deterministic.
     * `numPartitions` pins the range width explicitly (AQE coalesces a
     * small exchange to one partition, which is correct at test scale
-    * and exactly what a 100 TB caller overrides by rows-per-task). */
+    * and exactly what a 100 TB caller overrides by rows-per-task).
+    *
+    * EAGER: zipWithIndex's per-partition count pass runs at CALL time
+    * (it is the first of the two enumeration passes), materializing a
+    * MEMORY_AND_DISK cache of the sorted rows that the consuming
+    * action then reads. The cache is released when the result frame
+    * is GC'd, when it ages out of the bounded in-flight window
+    * ([[MaxCached]] most recent calls), or immediately via
+    * [[withPositionReleasable]]. */
   def withPosition(df: DataFrame, order: Seq[Column], out: String,
                    numPartitions: Option[Int] = None): DataFrame = {
+    val (frame, _) = withPositionReleasable(df, order, out, numPartitions)
+    frame
+  }
+
+  /** As [[withPosition]], returning the explicit release handle for
+    * callers that consume the frame once (write it, then release):
+    * invoking it unpersists the sort cache NOW instead of waiting for
+    * GC or the bounded window. The frame remains valid afterwards —
+    * re-consuming it re-sorts from shuffle files. */
+  def withPositionReleasable(df: DataFrame, order: Seq[Column], out: String,
+                             numPartitions: Option[Int] = None)
+      : (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     val ranged = numPartitions
       .map(n => df.repartitionByRange(n, order: _*))
@@ -41,14 +79,14 @@ object GlobalIndex {
     // zipWithIndex's count pass materializes this cache; the
     // consuming action then reads it instead of re-running the
     // per-partition sort (the exchange is reused via shuffle files
-    // either way — the sort is what the persist saves). The cache is
-    // released by the ContextCleaner when the result is unreferenced.
+    // either way — the sort is what the persist saves).
     val sorted = ranged.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    enroll(sorted)
     val schema = StructType(
       ranged.schema.fields :+ StructField(out, LongType, nullable = false))
     val rdd = sorted.zipWithIndex()
       .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    spark.createDataFrame(rdd, schema)
+    (spark.createDataFrame(rdd, schema), () => sorted.unpersist(blocking = false))
   }
 }

@@ -29,6 +29,17 @@ import org.apache.spark.sql.functions._
   */
 object RuntimeFilter {
 
+  /** Keying-scheme version of sketches built by [[keySketch]]. v1
+    * (retired) keyed raw `putLong` of cast-long key values; v2 keys
+    * xxhash64 of the key. The schemes are silently incompatible: a
+    * long-lived sketch persisted under v1 probes FALSE for every true
+    * match under v2 probes — false negatives that drop rows before
+    * the exact join with no error. Persist sketches through
+    * [[saveSketch]]/[[loadSketch]], which stamp this version and
+    * REJECT mismatches instead of relying on a scaladoc warning. */
+  val KeyingVersion: Int = 2
+  private val SketchMagic: Int = 0x47525346 // "GRSF"
+
   /** Build a sketch over `df`'s keys in THE keying this object's
     * probes use — xxhash64 of the key value. Callers supplying
     * prebuilt sketches to the overloads below (and folding later
@@ -38,6 +49,34 @@ object RuntimeFilter {
   def keySketch(df: DataFrame, key: Column, expectedKeys: Long,
                 fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
     df.stat.bloomFilter(xxhash64(key), expectedKeys, fpp)
+
+  /** Persist a [[keySketch]]-built sketch in a versioned envelope
+    * (magic + keying version + the filter's own serialization). */
+  def saveSketch(bf: org.apache.spark.util.sketch.BloomFilter,
+                 out: java.io.OutputStream): Unit = {
+    val d = new java.io.DataOutputStream(out)
+    d.writeInt(SketchMagic)
+    d.writeInt(KeyingVersion)
+    bf.writeTo(d)
+    d.flush()
+  }
+
+  /** Load a sketch persisted by [[saveSketch]]; rejects bytes without
+    * the envelope or keyed under a different scheme — a stale-scheme
+    * sketch would prune true matches silently. */
+  def loadSketch(in: java.io.InputStream): org.apache.spark.util.sketch.BloomFilter = {
+    val d = new java.io.DataInputStream(in)
+    val magic = d.readInt()
+    require(magic == SketchMagic,
+      f"not a graft sketch envelope (magic 0x$magic%08x) — raw " +
+        "BloomFilter bytes carry no keying version; persist via saveSketch")
+    val v = d.readInt()
+    require(v == KeyingVersion,
+      s"sketch keyed under scheme v$v but probes expect v$KeyingVersion " +
+        "— rebuild it with keySketch (a mismatched sketch prunes true " +
+        "matches with no error)")
+    org.apache.spark.util.sketch.BloomFilter.readFrom(d)
+  }
 
   /** `big` semi-joined to `small`, with the shuffle pre-pruned by a
     * bloom sketch of `small`'s keys. Result is row-identical to the

@@ -150,6 +150,11 @@ object Multimodal {
           // blockAlign(2) bits(2); extensible formats append more,
           // which the walk skips via the size field
           if (size < 16 || p + 8 + 16 > b.length) return None
+          // header-only discipline: only integer PCM (format tag 1) is
+          // supported — a float/ADPCM/extensible (0xFFFE) file read
+          // under PCM assumptions yields plausible-but-wrong metadata
+          // (bits/blockAlign of the container, not the codec)
+          if (u16le(b, i + 8) != 1) return None
           fmt = Some((u16le(b, i + 10), u32le(b, i + 12).toInt,
             u16le(b, i + 22), u16le(b, i + 20)))
         } else if (id == "data") {

@@ -108,25 +108,73 @@ class RegistryPageFetcher extends PageFetcher {
   * shared store on a cluster). A short listing inside a committed
   * range FAILS loudly — committed offsets must never skip pages. */
 class DirectoryPageFetcher extends PageFetcher {
+  import DirectoryPageFetcher.ManifestName
+
+  /** Cursor parsed from a page filename, None for strays. STRICT: the
+    * entire basename (minus one extension) after `page-` must be
+    * numeric — a prefix parse would map `page-12.html` and
+    * `page-12old.html` to the SAME cursor 12, breaking the
+    * unique/monotone-cursor contract the stream and downstream
+    * cursor-keyed dedup rely on. `page-12old` is a stray (ignored);
+    * a genuine duplicate (`page-12.html` + `page-12.txt`) fails
+    * loudly in [[pages]]. toLongOption: digits that overflow Long are
+    * a stray, not a feed-killing NumberFormatException. */
+  private def parseCursor(name: String): Option[Long] =
+    if (!name.startsWith("page-")) None
+    else {
+      val stem = name.stripPrefix("page-")
+      val base = stem.lastIndexOf('.') match {
+        case -1 => stem
+        case i => stem.substring(0, i)
+      }
+      if (base.nonEmpty && base.forall(_.isDigit)) base.toLongOption else None
+    }
+
   /** (cursor, file), sorted NUMERICALLY by the parsed cursor — a
     * lexicographic filename sort would reorder unpadded cursors
     * (page-10 before page-9), remapping already-committed positions
     * as the archive grows: the new tail position would re-serve an
     * old page while the new page landed at a committed position and
-    * was never delivered. Files without a numeric cursor are ignored
-    * (strays like page-notes.txt are not pages). */
-  private def pages(feed: String): Array[(Long, java.io.File)] =
-    Option(new java.io.File(feed).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.isFile)
-      .flatMap { f =>
-        val digits = f.getName.stripPrefix("page-").takeWhile(_.isDigit)
-        // toLongOption: digits that overflow Long are a stray file
-        // (ignored), not a feed-killing NumberFormatException
-        if (f.getName.startsWith("page-")) digits.toLongOption.map((_, f))
-        else None
+    * was never delivered.
+    *
+    * When the spooler wrote a `_manifest` (one page filename per
+    * line, position order), it is authoritative and the directory is
+    * NOT listed — at millions of spooled pages a full list+sort per
+    * fetch task is O(P log P) metadata work × N tasks; the manifest
+    * makes each task one small sequential read. Without a manifest
+    * the listing fallback keeps manifest-less feeds working.
+    * Duplicate parsed cursors fail loudly either way — two files
+    * occupying adjacent positions under one cursor value would
+    * corrupt cursor-keyed dedup downstream. */
+  private def pages(feed: String): Array[(Long, java.io.File)] = {
+    val manifest = new java.io.File(feed, ManifestName)
+    val entries: Array[(Long, java.io.File)] =
+      if (manifest.isFile) {
+        scala.io.Source.fromFile(manifest, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).toArray
+          .map { name =>
+            val cursor = parseCursor(name).getOrElse(throw new IllegalStateException(
+              s"feed $feed manifest lists '$name', not a page-<cursor> name"))
+            (cursor, new java.io.File(feed, name))
+          }
+      } else {
+        Option(new java.io.File(feed).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(_.isFile)
+          .flatMap(f => parseCursor(f.getName).map((_, f)))
+          .sortBy(_._1)
       }
-      .sortBy(_._1)
+    val dups = entries.groupBy(_._1).filter(_._2.length > 1).keys
+    require(dups.isEmpty,
+      s"feed $feed has multiple files for cursor(s) ${dups.mkString(",")} " +
+        "— duplicate cursors break the unique-cursor contract")
+    // manifest order must be cursor-ascending, or positions would not
+    // be monotone in cursor as the committed-offset contract assumes
+    require(entries.iterator.map(_._1).sliding(2).forall(
+      w => w.length < 2 || w(0) < w(1)),
+      s"feed $feed manifest is not cursor-ascending")
+    entries
+  }
 
   override def latestAvailable(feed: String): Long =
     pages(feed).length.toLong
@@ -140,6 +188,41 @@ class DirectoryPageFetcher extends PageFetcher {
       (cursor, new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8))
     }
+  }
+}
+
+object DirectoryPageFetcher {
+  /** Spooler-written listing: one page filename per line, position
+    * (cursor-ascending) order. Presence switches [[DirectoryPageFetcher]]
+    * from per-task directory listing to one-small-file reads. */
+  val ManifestName = "_manifest"
+
+  /** Write the manifest for `feed` from its current listing — what a
+    * spooler calls after appending pages (atomic rename so readers
+    * never see a torn manifest). */
+  def writeManifest(feed: String): Unit = {
+    val names = Option(new java.io.File(feed).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.startsWith("page-"))
+      .flatMap { f =>
+        val stem = f.getName.stripPrefix("page-")
+        val base = stem.lastIndexOf('.') match {
+          case -1 => stem
+          case i => stem.substring(0, i)
+        }
+        if (base.nonEmpty && base.forall(_.isDigit))
+          base.toLongOption.map((_, f.getName))
+        else None
+      }
+      .sortBy(_._1).map(_._2)
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(feed), "_manifest", ".tmp")
+    java.nio.file.Files.write(tmp,
+      names.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(feed, ManifestName),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 }
 

@@ -33,6 +33,41 @@ trait KeyedSink {
   def alreadyApplied(batchId: Long): Boolean = false
 }
 
+/** Filesystem access for the parquet sinks, resolved through Hadoop's
+  * [[org.apache.hadoop.fs.FileSystem]] so the durable-applied markers
+  * and version listings work on ANY filesystem the writer can target
+  * (hdfs://, s3a://, file:/, plain local paths) — a `java.io.File`
+  * check silently returns false on a URI path, which would disengage
+  * the replay-erasure guard exactly where it matters. The conf comes
+  * from the active session when one exists (always true inside
+  * foreachBatch) so cluster fs.* settings are honored. */
+private[streaming] object SinkFs {
+  import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+
+  private def conf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  def fs(p: String): (FileSystem, Path) = {
+    val path = new Path(p)
+    (path.getFileSystem(conf), path)
+  }
+
+  def exists(p: String): Boolean = { val (f, path) = fs(p); f.exists(path) }
+
+  def list(dir: String): Seq[FileStatus] = {
+    val (f, path) = fs(dir)
+    if (f.exists(path)) f.listStatus(path).toSeq else Seq.empty
+  }
+
+  def deleteRecursively(p: String): Unit = {
+    val (f, path) = fs(p)
+    f.delete(path, true)
+  }
+}
+
 /** Append-only bronze parquet: each micro-batch owns an
   * `ingest_batch=<id>` directory written with overwrite (replay
   * rewrites the same directory), day-partitioned below it for I1
@@ -47,9 +82,10 @@ class BronzeParquetSink(bronzePath: String) extends KeyedSink {
 
   /** The committer's _SUCCESS marker in the batch's own directory is
     * the durable applied signal (a torn write has no marker and the
-    * replay overwrite cleans it). */
+    * replay overwrite cleans it). Resolved through [[SinkFs]] so the
+    * signal holds on hdfs/s3a/file: URIs, not just local paths. */
   override def alreadyApplied(batchId: Long): Boolean =
-    new java.io.File(s"$bronzePath/ingest_batch=$batchId/_SUCCESS").isFile
+    SinkFs.exists(s"$bronzePath/ingest_batch=$batchId/_SUCCESS")
 }
 
 /** Materialized doc-store on parquet: ONE latest-per-key table
@@ -78,26 +114,42 @@ class BronzeParquetSink(bronzePath: String) extends KeyedSink {
   *
   * `orderCols`: within one batch the latest row per key wins before
   * the merge (descending order on these), mirroring the reference
-  * processing pages in cursor order — last write per key lands. */
+  * processing pages in cursor order — last write per key lands.
+  *
+  * `retentionLagMs`: minimum age (since commit) before a superseded
+  * version may be retired — the guard for the reader-holding-a-
+  * retired-snapshot race: a reader that resolved `current()` just
+  * before a rotate keeps a usable snapshot for at least the lag
+  * window. 0 (default) retires eagerly, the test-scale shape. */
 class ParquetDocStoreSink(storePath: String, keys: Seq[String],
                           orderCols: Seq[String],
-                          keepVersions: Int = 3) extends KeyedSink {
+                          keepVersions: Int = 3,
+                          retentionLagMs: Long = 0L) extends KeyedSink {
   require(keepVersions >= 2,
     s"keepVersions must be >= 2 (latest + the base a replayed batch " +
       s"rebuilds from), got $keepVersions")
+  require(retentionLagMs >= 0, s"retentionLagMs must be >= 0, got $retentionLagMs")
 
   /** Committed versions only: a crash mid-write leaves a `v=` dir
     * without the committer's _SUCCESS marker — exposing it would hand
     * readers a torn latest-per-key table (missing keys), violating the
     * exactly-one-delivery contract. Non-numeric `v=` strays are
-    * ignored rather than thrown on. */
-  private def versionDirs: Seq[Long] = {
-    val root = new java.io.File(storePath)
-    Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v=")
-        && new java.io.File(f, "_SUCCESS").isFile)
-      .flatMap(f => f.getName.stripPrefix("v=").toLongOption)
-  }
+    * ignored rather than thrown on. Listed through [[SinkFs]] so the
+    * store can live on any Hadoop-visible filesystem. */
+  private def versionStatuses: Seq[(Long, Long)] = // (version, commitMtime)
+    SinkFs.list(storePath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .flatMap { st =>
+        val marker = s"${st.getPath.toString}/_SUCCESS"
+        st.getPath.getName.stripPrefix("v=").toLongOption
+          .filter(_ => SinkFs.exists(marker))
+          .map { v =>
+            val (f, p) = SinkFs.fs(marker)
+            (v, f.getFileStatus(p).getModificationTime)
+          }
+      }
+
+  private def versionDirs: Seq[Long] = versionStatuses.map(_._1)
 
   /** The materialized latest-per-key table (None before any batch). */
   def current(spark: org.apache.spark.sql.SparkSession): Option[DataFrame] =
@@ -131,17 +183,15 @@ class ParquetDocStoreSink(storePath: String, keys: Seq[String],
 
   /** Retire committed versions beyond the newest `keepVersions` —
     * only AFTER a successful write, so a failed batch never shrinks
-    * what a retry can rebuild from. (A reader holding a just-retired
-    * snapshot is the classic retention race; a deployment adds a
-    * retention lag, which is orthogonal to the rotate-and-retire
-    * shape pinned here.) */
-  private def retire(): Unit =
-    versionDirs.sorted(Ordering[Long].reverse).drop(keepVersions)
-      .foreach(v => deleteRecursively(new java.io.File(storePath, s"v=$v")))
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
-    f.delete()
+    * what a retry can rebuild from. A version inside the
+    * `retentionLagMs` window (measured from its _SUCCESS commit time)
+    * SURVIVES retirement even when superseded — the guard for the
+    * reader-holding-a-just-retired-snapshot race. */
+  private def retire(): Unit = {
+    val now = System.currentTimeMillis()
+    versionStatuses.sortBy(-_._1).drop(keepVersions)
+      .filter { case (_, committedAt) => now - committedAt >= retentionLagMs }
+      .foreach { case (v, _) => SinkFs.deleteRecursively(s"$storePath/v=$v") }
   }
 }
 

@@ -21,11 +21,20 @@ import org.apache.spark.util.sketch.BloomFilter
   * and sketch merge is associative — no driver-side row collect).
   *
   * The history scan therefore happens ONCE, when the first batch
-  * builds the sketch; every later batch pays only its own scan plus
-  * sliver-sized exact checks. In a deployment the sketch also
-  * persists across process restarts (it serializes); a fresh process
-  * rebuilds it with one history scan, which is the same cost this
-  * object's first batch pays.
+  * builds the sketch — and with `persistPath` set, once per
+  * DEPLOYMENT lifetime, not per process: [[commit]] writes the
+  * sketch (versioned envelope, [[RuntimeFilter.saveSketch]]) beside
+  * the checkpoint after folding each batch, and a fresh process
+  * loads it on construction instead of re-scanning history. The
+  * write is atomic (tmp + rename), so a crash mid-save leaves the
+  * previous sketch intact; a sketch missing keys of batches
+  * committed after its last save is NOT possible because the save
+  * happens inside the same `commit` call that folds them. A sketch
+  * persisted under a retired keying scheme or with a torn envelope
+  * is rejected at load with a loud warning and the one-scan rebuild
+  * runs instead — a stale-scheme sketch must never probe (it would
+  * flag every true duplicate as unseen), and a rebuild is always
+  * semantically identical, just one history scan more expensive.
   *
   * Exactness contract: `history` must cover every key ever
   * [[commit]]ted (i.e. read the store the sink writes), otherwise a
@@ -38,9 +47,28 @@ import org.apache.spark.util.sketch.BloomFilter
   * merge, so one size is used throughout; size it for the store's
   * eventual key count, not the first batch's.
   */
-final class BloomSeenSet(key: String, expectedKeys: Long, fpp: Double = 0.01) {
+final class BloomSeenSet(key: String, expectedKeys: Long,
+                         fpp: Double = 0.01,
+                         persistPath: Option[String] = None) {
 
-  private var bf: Option[BloomFilter] = None
+  private var bf: Option[BloomFilter] = persistPath.flatMap { p =>
+    val (fs, path) = SinkFs.fs(p)
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      try Some(RuntimeFilter.loadSketch(in))
+      catch {
+        case e: Exception =>
+          // fail-loud but recoverable: probing a stale-scheme or torn
+          // sketch would flag true duplicates as unseen; the rebuild
+          // is identical semantics at one-history-scan cost
+          System.err.println(
+            s"BloomSeenSet: rejecting persisted sketch at $p " +
+              s"(${e.getMessage}); rebuilding from history")
+          None
+      } finally in.close()
+    }
+  }
 
   /** The batch's rows whose `key` is not in history nor in any
     * committed batch. `history` is by-name: not evaluated at all
@@ -70,11 +98,30 @@ final class BloomSeenSet(key: String, expectedKeys: Long, fpp: Double = 0.01) {
     else RuntimeFilter.bloomPrunedAntiJoin(batch, k, history, k, sketch)
   }
 
-  /** Fold a landed batch's keys into the sketch. Call AFTER the sink
-    * accepted the rows — committing first would make a crashed batch
-    * replay as "seen" against a store that never got it. */
-  def commit(fresh: DataFrame): Unit = if (!fresh.isEmpty) {
-    val add = RuntimeFilter.keySketch(fresh, col(key), expectedKeys, fpp)
-    bf = Some(bf.fold(add) { b => b.mergeInPlace(add); b })
+  /** Fold a landed batch's keys into the sketch, then persist it when
+    * `persistPath` is set. Call AFTER the sink accepted the rows —
+    * committing first would make a crashed batch replay as "seen"
+    * against a store that never got it. The save sits INSIDE commit
+    * so the durable sketch can never lag the committed key set. */
+  def commit(fresh: DataFrame): Unit = {
+    if (!fresh.isEmpty) {
+      val add = RuntimeFilter.keySketch(fresh, col(key), expectedKeys, fpp)
+      bf = Some(bf.fold(add) { b => b.mergeInPlace(add); b })
+    }
+    for (p <- persistPath; s <- bf) save(s, p)
+  }
+
+  /** Atomic envelope write: tmp + rename, so a crash mid-save leaves
+    * the previous durable sketch intact. */
+  private def save(s: BloomFilter, p: String): Unit = {
+    val (fs, path) = SinkFs.fs(p)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path.getParent, s".${path.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try RuntimeFilter.saveSketch(s, out) finally out.close()
+    // rename-over requires deleting the target first on RawLocalFS
+    if (fs.exists(path)) fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"could not publish sketch at $p")
   }
 }

@@ -108,6 +108,36 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(semi == Set(2L, 6L))
   }
 
+  test("sketch envelope: roundtrip preserves probes; scheme mismatches are refused") {
+    val h = Seq("addr_1", "addr_2", "addr_3").toDF("k")
+    val bf = RuntimeFilter.keySketch(h, col("k"), 100)
+    val out = new java.io.ByteArrayOutputStream()
+    RuntimeFilter.saveSketch(bf, out)
+    val loaded = RuntimeFilter.loadSketch(
+      new java.io.ByteArrayInputStream(out.toByteArray))
+    val got = RuntimeFilter.bloomPrunedAntiJoin(
+        Seq("addr_2", "addr_9").toDF("k"), col("k"), h, col("k"), loaded)
+      .as[String].collect().toSet
+    assert(got == Set("addr_9"), "roundtripped sketch must prune identically")
+    // RAW BloomFilter bytes carry no keying version — a sketch built
+    // under the retired cast-long scheme would probe false for every
+    // true match (silent false negatives). The envelope refuses them.
+    val raw = new java.io.ByteArrayOutputStream()
+    bf.writeTo(raw)
+    intercept[IllegalArgumentException] {
+      RuntimeFilter.loadSketch(new java.io.ByteArrayInputStream(raw.toByteArray))
+    }
+    // a correctly-enveloped sketch from a RETIRED keying scheme (v1)
+    // must be rejected by version, not accepted by magic alone
+    val v1 = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(v1)
+    d.writeInt(0x47525346); d.writeInt(1); bf.writeTo(d); d.flush()
+    val e = intercept[IllegalArgumentException] {
+      RuntimeFilter.loadSketch(new java.io.ByteArrayInputStream(v1.toByteArray))
+    }
+    assert(e.getMessage.contains("v1"), s"mismatch message must name the scheme: ${e.getMessage}")
+  }
+
   test("BloomMightContainLong: codegen and interpreted eval agree; FP-only") {
     val bf = BloomFilter.create(1000, 0.01)
     (0L until 500L).foreach(bf.putLong)

@@ -79,6 +79,21 @@ class MultimodalSpec extends SparkSpec {
       == Some((2, 48000, 32, 12345L)))
   }
 
+  test("WavCodec: non-PCM format tags yield None, not PCM-assumed metadata") {
+    // a float (3) or WAVE_FORMAT_EXTENSIBLE (0xFFFE) file parsed
+    // under PCM assumptions returns plausible-but-wrong fields
+    // (bits/blockAlign of the container, not the codec) — the
+    // header-only contract is None for unsupported input
+    val good = Multimodal.wavBytes(2, 44100, 16, 100, withJunk = false)
+    assert(Multimodal.WavCodec.parse(good).isDefined, "sanity: PCM parses")
+    for (tag <- Seq(0, 3, 6, 0xFFFE)) {
+      val b = good.clone()
+      b(20) = tag.toByte; b(21) = (tag >> 8).toByte // fmt payload offset 0
+      assert(Multimodal.WavCodec.parse(b).isEmpty,
+        s"format tag $tag is not integer PCM and must not parse")
+    }
+  }
+
   test("WavCodec: malformed bytes yield None, never an exception") {
     val good = Multimodal.wavBytes(2, 44100, 16, 100, withJunk = false)
     val cases = Seq(

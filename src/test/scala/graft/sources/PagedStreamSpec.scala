@@ -183,6 +183,56 @@ class PagedStreamSpec extends SparkSpec {
       == Seq((1L, "body:1"), (2L, "body:2")))
   }
 
+  test("directory fetcher: a _manifest replaces the per-task listing, same semantics") {
+    // at millions of spooled pages a full list+sort per fetch task is
+    // O(P log P) metadata work × N tasks; the spooler-written manifest
+    // makes each task one small sequential read instead
+    val dir = java.nio.file.Files.createTempDirectory("spoolman").toString
+    def spool(c: Long): Unit = java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, s"page-$c.html"), s"body:$c".getBytes)
+    (1L to 12L).foreach(spool)
+    DirectoryPageFetcher.writeManifest(dir)
+    val f = new DirectoryPageFetcher
+    assert(f.latestAvailable(dir) == 12L)
+    assert(f.fetch(dir, 8L, 12L).toSeq
+      == (9L to 12L).map(c => (c, s"body:$c")),
+      "manifest-served positions must match the listing's numeric order")
+    // the manifest is AUTHORITATIVE: pages spooled after it are
+    // invisible until the spooler republishes — visibility moves
+    // atomically with the manifest, never with a half-written file
+    spool(13L)
+    assert(f.latestAvailable(dir) == 12L,
+      "unpublished pages must stay invisible under a manifest")
+    DirectoryPageFetcher.writeManifest(dir)
+    assert(f.latestAvailable(dir) == 13L)
+    // a manifest violating cursor-ascending order corrupts the
+    // position↔cursor monotone contract — refuse loudly
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, DirectoryPageFetcher.ManifestName),
+      "page-2.html\npage-1.html\n".getBytes)
+    intercept[IllegalArgumentException] { f.latestAvailable(dir) }
+  }
+
+  test("directory fetcher: strict cursor parse — suffixed strays ignored, true duplicates refused") {
+    // a PREFIX parse maps page-12.html and page-12old.html both to
+    // cursor 12: two files at adjacent positions under one cursor
+    // value, breaking the unique-cursor contract downstream
+    // cursor-keyed dedup relies on. Strict parse: page-12old is a
+    // stray (full basename minus extension must be numeric).
+    val dir = java.nio.file.Files.createTempDirectory("spooldup").toString
+    def put(name: String): Unit = java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, name), s"b:$name".getBytes)
+    put("page-11.html"); put("page-12.html"); put("page-12old.html")
+    val f = new DirectoryPageFetcher
+    assert(f.latestAvailable(dir) == 2L,
+      "page-12old.html is a stray, not a second cursor-12 page")
+    assert(f.fetch(dir, 0L, 2L).map(_._1).toSeq == Seq(11L, 12L))
+    // two REAL files for one cursor (differing only in extension)
+    // cannot be silently ordered — fail loudly like the short-read guard
+    put("page-12.txt")
+    intercept[IllegalArgumentException] { f.latestAvailable(dir) }
+  }
+
   test("fetcher-backed batch read matches the fetcher's pages") {
     val got = PagedTable.read(spark, "unregistered-feed",
         fetcher = Some(classOf[SyntheticPageFetcher].getName))

@@ -94,6 +94,50 @@ class KeyedSinkSpec extends SparkSpec {
     }
   }
 
+  test("retention lag: a superseded version inside the lag window survives retire()") {
+    // the reader-holding-a-just-retired-snapshot race: a reader that
+    // resolved current() right before a rotate must keep a usable
+    // snapshot for at least the lag window — age is measured from the
+    // version's _SUCCESS commit time
+    val dir = Files.createTempDirectory("graft-docstore-lag").toString
+    val sink = new ParquetDocStoreSink(dir, keys = Seq("k"),
+      orderCols = Seq("ver"), keepVersions = 2,
+      retentionLagMs = 60L * 60 * 1000)
+    def versions: Set[Long] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("v="))
+        .map(_.getName.stripPrefix("v=").toLong).toSet
+    sink.upsert(Seq(("a", 1L, "x1")).toDF("k", "ver", "v"), batchId = 0L)
+    sink.upsert(Seq(("b", 1L, "y1")).toDF("k", "ver", "v"), batchId = 1L)
+    sink.upsert(Seq(("a", 2L, "x2")).toDF("k", "ver", "v"), batchId = 2L)
+    assert(versions == Set(0L, 1L, 2L),
+      s"v=0 is superseded but inside the 1h lag — it must survive, got $versions")
+    // age v=0 past the lag (backdate its commit marker): the next
+    // rotate may now retire it, and ONLY it — v=1 is still fresh
+    new java.io.File(dir, "v=0/_SUCCESS")
+      .setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    sink.upsert(Seq(("c", 1L, "z1")).toDF("k", "ver", "v"), batchId = 3L)
+    assert(versions == Set(1L, 2L, 3L),
+      s"aged-out v=0 retired, in-lag v=1 retained, got $versions")
+  }
+
+  test("doc-store markers resolve through Hadoop FS — file: URIs work") {
+    // alreadyApplied/versionDirs via java.io.File silently return
+    // false/empty on a URI path: the replay-erasure guard would
+    // disengage and an empty replay would erase a committed batch
+    val dir = "file:" + Files.createTempDirectory("graft-docstore-uri").toString
+    val sink = new ParquetDocStoreSink(dir, keys = Seq("k"), orderCols = Seq("ver"))
+    sink.upsert(Seq(("a", 1L, "x1")).toDF("k", "ver", "v"), batchId = 0L)
+    sink.upsert(Seq(("b", 1L, "y1")).toDF("k", "ver", "v"), batchId = 1L)
+    assert(sink.alreadyApplied(1L),
+      "the durable-applied signal must hold on a file: URI store")
+    sink.upsert(Seq.empty[(String, Long, String)].toDF("k", "ver", "v"),
+      batchId = 1L) // dedup-filtered replay
+    assert(sink.current(spark).get.as[(String, Long, String)].collect().toSet
+      == Set(("a", 1L, "x1"), ("b", 1L, "y1")),
+      "empty replay on a URI-addressed store erased committed rows")
+  }
+
   test("startIngest routes through a swapped-in doc-store sink") {
     val ckpt = Files.createTempDirectory("graft-sink-ckpt").toString
     val ms = MemoryStream[(Timestamp, Long, String, Long, Double)]
