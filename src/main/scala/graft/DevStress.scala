@@ -347,6 +347,22 @@ object DevStress {
       val mx = pos.agg(max(col("pos"))).head().getLong(0)
       println(f"[stress] x$factor%-3d global_index max_pos       ${mx}%10d (rows ${n}%d)")
     }
+    // BPE vocabulary training: per-iteration cost must be FLAT in K
+    // (each round is one scan of the cached symbol corpus + a pair
+    // groupBy over tiny cardinality + a 1-row top collect; the corpus
+    // only shrinks as merges fuse). Timing K=4 vs K=8 on the
+    // replicated corpus: sec/iter should be ~equal, not growing.
+    if (wants("bpe_vocab")) {
+      val words = spark.read.parquet("/tmp/stress_docs")
+        .select(explode(split(col("text"), " ")).as("w"))
+      for (k <- Seq(4, 8)) {
+        val t0 = System.nanoTime()
+        val rows = graft.operators.Bpe.trainVocab(words, iters = k).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[stress] x$factor%-3d bpe_vocab_k$k%-13s $secs%8.2f s  $rows%10d rows" +
+          f"  (${secs / k}%.2f s/iter)")
+      }
+    }
     // fuzzy blocking at width: replication floods every title block
     // with `factor` copies — the membership cap is what keeps the
     // self-join from going quadratic in the flood (same argument as

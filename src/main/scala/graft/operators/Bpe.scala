@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full BPE vocabulary training (Sennrich et al. 2016) — the
+  * tokenizer-training job an LLM-data user runs over a corpus, as a
+  * distributed fixed-point loop composed from the proven single merge
+  * step (tx_bpe_merge_step / tx_bpe_apply_merge).
+  *
+  * Representation: a word is a STRING whose every character is one
+  * symbol. Iteration k fuses the corpus-wide most-frequent adjacent
+  * symbol pair into a fresh single-character symbol from the Unicode
+  * private-use area (U+E000+k) — the "growing symbol alphabet" — so
+  * the whole loop stays in codegen'd string ops: pairs are
+  * `substr(i, 2)`, the merge is ONE left-to-right non-overlapping
+  * `replace`, and no array-of-symbols representation (with its
+  * interpreted higher-order folds) ever materializes. The driver
+  * holds only the alphabet map (K entries: symbol char → expanded
+  * token), never corpus data; each iteration's learned pair rides
+  * into the next re-segmentation scan as a plan literal.
+  *
+  * Scale shape per iteration: one scan of the CACHED symbol corpus →
+  * position explode + substr (scan-stage, no shuffle) → pair groupBy
+  * with map-side partial counts (pair cardinality ≪ corpus: at most
+  * |alphabet|², tiny) → TakeOrderedAndProject top-1 (bounded heaps,
+  * not a sort) → a 1-row collect. Re-segmentation is scan-stage; the
+  * new corpus is cached and the predecessor unpersisted as soon as
+  * the successor is materialized, so at most two corpus snapshots are
+  * live. K iterations = K such passes, each cost-flat (the corpus
+  * only shrinks as merges fuse symbols) — measured in DevStress
+  * (`bpe_vocab` probe). The loop runs on a [[LoopWidth]]-sized
+  * session like PageRank: ~3 stages per round at full session width
+  * over a small cached frame would be pure task-scheduling overhead.
+  *
+  * Determinism: counts are exact longs and the tiebreak (n DESC,
+  * pair ASC — binary collation in both engines) totally orders
+  * candidates, so the learned table is partition-count invariant and
+  * hash-replayable by the unrolled SQL oracle ([[sqlVocab]]).
+  *
+  * Contract: input symbols must stay below U+E000 (the corpus here is
+  * ASCII; a production caller with exotic text picks a truly unused
+  * base). The reference has no tokenizer training — this serves the
+  * training-data side of the engine.
+  */
+object Bpe {
+
+  /** Merges learned by tx_bpe_vocab ("K≈8"). */
+  val Iters = 8
+
+  /** First learned-symbol codepoint (Unicode private-use area). */
+  val SentinelBase = 0xE000
+
+  /** Adjacent-pair counts of a symbol corpus `w` — the shared
+    * pair-count core (explode positions → substr → map-side-combined
+    * groupBy). */
+  private def pairCounts(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+
+  /** Train `iters` merges over `words` (column `w`: one symbol per
+    * character). Returns the learned merge table — (rank, token, n):
+    * merge rank in learning order, the merged token EXPANDED to base
+    * characters, and its pair count at learning time. All iterative
+    * work happens here (each round's top-1 collect is the action);
+    * the returned frame is K local rows. */
+  def trainVocab(words: DataFrame, iters: Int = Iters): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = words.sparkSession
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val base = words.select(col("w")).filter(length(col("w")) >= 2)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frames += base
+      val nWords = base.count()
+      val p = LoopWidth.partitionsFor(nWords, spark)
+      val merges = LoopWidth.onSizedSession(base, p) { corpus0 =>
+        var corpus = corpus0
+        var prev: Option[DataFrame] = None
+        // symbol char → fully-expanded token (base characters only)
+        val alphabet = scala.collection.mutable.Map.empty[Char, String]
+        val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+        var k = 0
+        var exhausted = false
+        while (k < iters && !exhausted) {
+          val top = pairCounts(corpus)
+            .orderBy(col("n").desc, col("pair")).limit(1).collect()
+          // this action materialized `corpus`'s cache — the previous
+          // snapshot is no longer needed by anything downstream
+          prev.foreach(_.unpersist(blocking = false))
+          prev = None
+          if (top.isEmpty) exhausted = true // corpus merged to single symbols
+          else {
+            val pair = top(0).getString(0)
+            val n = top(0).getLong(1)
+            val sym = (SentinelBase + k).toChar
+            // expansion closes over prior merges: alphabet values are
+            // already fully expanded, so one char-wise pass is exact
+            val token = pair.map(c => alphabet.getOrElse(c, c.toString)).mkString
+            alphabet(sym) = token
+            learned += ((k.toLong, token, n))
+            if (k < iters - 1) { // the last merge needs no re-segment
+              val next = corpus
+                .select(replace(col("w"), lit(pair), lit(sym.toString)).as("w"))
+                .filter(length(col("w")) >= 2)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+              frames += next
+              prev = Some(corpus)
+              corpus = next
+            }
+            k += 1
+          }
+        }
+        learned.toSeq
+      }
+      spark.createDataFrame(merges).toDF("rank", "token", "n")
+    } finally frames.foreach(_.unpersist(blocking = false))
+  }
+
+  /** The unrolled DuckDB oracle: `iters` iterations of exactly the
+    * loop above as chained CTEs over `w0(w)` (which the caller
+    * provides, mirroring the Spark-side tokenization). Each iteration
+    * k emits `t{k}` (top pair + count), `w{k+1}` (re-segmented
+    * corpus) and `x{k}` (the merge row with the pair expanded through
+    * every prior iteration's token — prior tokens contain no
+    * sentinels, so a flat replace chain is exact). */
+  def sqlVocab(iters: Int = Iters): String = {
+    def pairSrc(k: Int) =
+      s"""(SELECT substr(w, i, 2) AS pair
+         |   FROM w$k, UNNEST(generate_series(1, length(w) - 1)) AS g(i))"""
+        .stripMargin
+    val ctes = (0 until iters).map { k =>
+      val expand = (0 until k).foldLeft(s"(SELECT pair FROM t$k)") {
+        (acc, j) => s"replace($acc, chr(${SentinelBase + j}), (SELECT token FROM x$j))"
+      }
+      val t =
+        s"""t$k AS (SELECT pair, count(*) AS n FROM ${pairSrc(k)}
+           |  GROUP BY pair ORDER BY n DESC, pair LIMIT 1)""".stripMargin
+      val x =
+        s"""x$k AS (SELECT CAST($k AS BIGINT) AS rank, $expand AS token,
+           |  (SELECT n FROM t$k) AS n)""".stripMargin
+      val w = if (k < iters - 1)
+        Seq(s"""w${k + 1} AS (SELECT w FROM (
+               |  SELECT replace(w, (SELECT pair FROM t$k),
+               |                 chr(${SentinelBase + k})) AS w FROM w$k)
+               |  WHERE length(w) >= 2)""".stripMargin)
+      else Seq.empty
+      Seq(t, x) ++ w
+    }
+    val unions = (0 until iters)
+      .map(k => s"SELECT rank, token, n FROM x$k").mkString("\nUNION ALL ")
+    ctes.flatten.mkString(",\n") + "\n" + unions
+  }
+}

@@ -236,6 +236,18 @@ object TextPack extends QueryPack {
         .orderBy(col("n").desc, col("pair")).limit(50)
     }),
 
+    // ...and the FULL vocabulary training loop: K merges learned in
+    // sequence, each fusing the corpus-wide top pair into a fresh
+    // private-use symbol (the growing alphabet), re-segmenting, and
+    // recounting — the complete tokenizer-training job composed from
+    // the proven per-step dataflow. Output is the learned merge
+    // table (rank, token expanded to base characters, count). Loop
+    // design + scale shape in [[Bpe]]; oracle is the same loop
+    // unrolled as chained CTEs ([[Bpe.sqlVocab]]).
+    "tx_bpe_vocab" -> ((s, dir) =>
+      Bpe.trainVocab(tokenized(s, dir)
+        .select(explode(col("toks")).as("w")))),
+
     // PII detection — the audit complement of p_redact_pages: regex
     // match counts per document, over text with deterministically
     // INJECTED contacts (id-derived emails / IPv4s), so the expected
@@ -514,6 +526,12 @@ object TextPack extends QueryPack {
         |      FROM ww2, UNNEST(generate_series(1, length(w) - 1)) AS g(i))
         |SELECT pair, count(*) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    "tx_bpe_vocab" ->
+      s"""WITH w0 AS (SELECT w FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 2),
+         |${Bpe.sqlVocab()}""".stripMargin,
 
     "tx_pii_scan" ->
       """SELECT doc_id,

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The full BPE training loop ([[Bpe.trainVocab]]): differential
+  * against a driver-local reference trainer with the same declared
+  * semantics (overlapping pair counts, left-to-right non-overlapping
+  * merge, n DESC / pair ASC tiebreak), expansion through the growing
+  * alphabet, and partition-count invariance of the learned table.
+  */
+class BpeVocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Local mirror of the distributed loop — same counting, same
+    * greedy replace (java String.replace is left-to-right
+    * non-overlapping, matching Spark's `replace`), same tiebreak. */
+  private def refTrain(words0: Seq[String], iters: Int): Seq[(Long, String, Long)] = {
+    var words = words0.filter(_.length >= 2)
+    val alphabet = scala.collection.mutable.Map.empty[Char, String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var k = 0
+    var stop = false
+    while (k < iters && !stop) {
+      val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      words.foreach { w =>
+        (0 until w.length - 1).foreach(i => counts(w.substring(i, i + 2)) += 1)
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val (pair, n) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+        val sym = (Bpe.SentinelBase + k).toChar
+        out += ((k.toLong, pair.map(c => alphabet.getOrElse(c, c.toString)).mkString, n))
+        alphabet(sym) = out.last._2
+        words = words.map(_.replace(pair, sym.toString)).filter(_.length >= 2)
+        k += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def train(words: Seq[String], iters: Int,
+                    parts: Int = 4): Seq[(Long, String, Long)] =
+    Bpe.trainVocab(words.toDF("w").repartition(parts), iters)
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+
+  test("hand corpus: merges fuse in frequency order and expand to base chars") {
+    // "ab" occurs 5x across the corpus, "bc" 3x once ab is fused:
+    // iteration 0 must learn ab; the fused symbol then pairs with c
+    val corpus = Seq("abc", "abc", "abc", "abd", "abd", "xy")
+    val got = train(corpus, 3)
+    val ref = refTrain(corpus, 3)
+    assert(got == ref, s"distributed $got != reference $ref")
+    assert(got.head._2 == "ab" && got.head._3 == 5L,
+      s"iteration 0 must learn the corpus-wide top pair, got ${got.head}")
+    // every learned token expands to BASE characters only — no
+    // private-use sentinel may leak into the table
+    assert(got.forall(_._2.forall(_ < Bpe.SentinelBase.toChar)),
+      s"unexpanded sentinel leaked: $got")
+    // later merges build ON the fused symbol: some token beyond rank 0
+    // must strictly contain an earlier token
+    assert(got.exists(m => m._1 > 0 && got.exists(e =>
+      e._1 < m._1 && m._2.contains(e._2) && m._2 != e._2)),
+      s"no merge composed a prior merge — the alphabet did not grow: $got")
+  }
+
+  test("differential: random corpora match the reference trainer exactly") {
+    val rnd = new scala.util.Random(42)
+    (0 until 5).foreach { trial =>
+      val corpus = Seq.fill(120) {
+        (0 until (2 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      val iters = 2 + trial // 2..6 merges
+      val got = train(corpus, iters)
+      val ref = refTrain(corpus, iters)
+      assert(got == ref,
+        s"trial $trial (iters=$iters): distributed $got != reference $ref")
+    }
+  }
+
+  test("the learned table is partition-count invariant") {
+    val rnd = new scala.util.Random(7)
+    val corpus = Seq.fill(300) {
+      (0 until (2 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    }
+    val a = train(corpus, 6, parts = 1)
+    val b = train(corpus, 6, parts = 13)
+    assert(a == b, s"partitioning leaked into the merge table:\n$a\n$b")
+  }
+
+  test("words collapsing to one symbol drop out; tiny corpora stop early") {
+    // "aa" fuses to a single symbol after merge 0 and must stop
+    // contributing pairs; with nothing left the loop ends early with
+    // fewer rows than requested instead of emitting null merges
+    val got = train(Seq("aa", "aa", "aa"), 5)
+    val ref = refTrain(Seq("aa", "aa", "aa"), 5)
+    assert(got == ref)
+    assert(got == Seq((0L, "aa", 3L)),
+      s"one merge exhausts this corpus, got $got")
+  }
+}
