@@ -121,6 +121,49 @@ object SamplePack extends QueryPack {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("bin_tokens"))),
 
+    // Epoch ASSEMBLY — shuffle → pack → feed composed into the one
+    // artifact a training run actually reads: documents packed into
+    // fixed-budget sequences (the same contiguous fill as
+    // sp_pack_sequences), then the epoch permutation assigned on the
+    // PACKED SEQUENCES (not raw docs — shuffling docs after packing
+    // would tear sequences apart; shuffling before packing would make
+    // bins epoch-dependent and defeat pack caching). Output: one row
+    // per document slot — (pos, source, lang, bin, slot, doc_id,
+    // n_tokens) — where `pos` is the sequence's total-order rank under
+    // an md5-derived key (GlobalIndex two-pass enumeration, never a
+    // one-task window) and `slot` orders docs within their sequence.
+    // Scale shape: the permutation runs at SEQUENCE grain (≈ corpus
+    // tokens / budget rows — orders of magnitude below doc grain);
+    // the positions then join back onto the doc-grain pack on the
+    // (source, lang, bin) shard key, and the slot window is
+    // partitioned by the same key. A trainer reads ORDER BY pos, slot.
+    "sp_epoch_feed" -> ((s, dir) => {
+      val binned = Sampling.packBins(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        shard = Seq(col("source"), col("lang")),
+        order = Seq(col("doc_id")), tokens = col("n_tokens"),
+        budget = PackBudget)
+      val seqs = binned.groupBy(col("source"), col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("source"), col("lang"), col("bin"),
+          graft.functions.Hashing.h32(concat(lit("e0_"), col("source"),
+            lit("_"), col("lang"), lit("_"),
+            col("bin").cast("string"))).as("k"))
+      val positioned = GlobalIndex.withPosition(seqs,
+          Seq(col("k"), col("source"), col("lang"), col("bin")), "pos")
+        .select(col("source"), col("lang"), col("bin"), col("pos"))
+      val slotW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("lang"), col("bin"))
+        .orderBy(col("doc_id"))
+      binned
+        .withColumn("slot", (row_number().over(slotW) - 1).cast("long"))
+        .join(positioned, Seq("source", "lang", "bin"))
+        .select(col("pos"), col("source"), col("lang"), col("bin"),
+          col("slot"), col("doc_id"), col("n_tokens"))
+    }),
+
     // Packing QA — the metric a training-data pipeline actually
     // watches over the packer: per-shard fill ratio, overflow bins
     // (a doc starting near the boundary runs past the budget — the
@@ -339,6 +382,33 @@ object SamplePack extends QueryPack {
          |SELECT source, lang, CAST(bin AS BIGINT) AS bin,
          |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
          |FROM b GROUP BY 1, 2, 3""".stripMargin,
+
+    // the oracle MAY use one-task windows (single DuckDB node); the
+    // Spark side must not (GlobalIndex at sequence grain)
+    "sp_epoch_feed" ->
+      s"""WITH t AS (SELECT doc_id, source, lang,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |b AS (SELECT doc_id, source, lang, n_tokens,
+         |        CAST((sum(n_tokens) OVER (PARTITION BY source, lang
+         |           ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |         - n_tokens) // $PackBudget AS BIGINT) AS bin
+         |      FROM t),
+         |s AS (SELECT source, lang, bin,
+         |        ${graft.functions.Hashing.sqlH32(
+                    "'e0_' || source || '_' || lang || '_' || CAST(bin AS VARCHAR)")} AS k
+         |      FROM b GROUP BY 1, 2, 3),
+         |p AS (SELECT source, lang, bin,
+         |        CAST(row_number() OVER (ORDER BY k, source, lang, bin) - 1
+         |          AS BIGINT) AS pos
+         |      FROM s),
+         |slots AS (SELECT doc_id, source, lang, bin, n_tokens,
+         |            CAST(row_number() OVER (PARTITION BY source, lang, bin
+         |              ORDER BY doc_id) - 1 AS BIGINT) AS slot
+         |          FROM b)
+         |SELECT p.pos, slots.source, slots.lang, slots.bin, slots.slot,
+         |       slots.doc_id, slots.n_tokens
+         |FROM slots JOIN p USING (source, lang, bin)""".stripMargin,
 
     "sp_pack_efficiency" ->
       s"""WITH t AS (SELECT doc_id, source, lang,

@@ -26,6 +26,7 @@ class InvarianceSpec extends SparkSpec {
     "mm_feature_extract",   // float histogram division
     "tx_quality",           // dround ratio combinations
     "sp_epoch_shuffle",     // zipWithIndex positions across range widths
+    "sp_epoch_feed",        // pack bins + sequence-grain permutation + slot windows
     "sim_sq8_topk",         // quantized-decode float ranking
     "ds_fuzzy_apply")       // blocked pairs + components fixpoint
 
