@@ -191,6 +191,35 @@ class DirectoryPageFetcher extends PageFetcher {
   }
 }
 
+/** I3 wired into the fetch path: a [[PageFetcher]] decorator that
+  * retries transient failures with the reference's linear backoff
+  * ([[Retry.withLinearBackoff]] — bitcoinabuse/main.go:29-36) so a
+  * flaky remote poll doesn't kill the Spark task (and with it the
+  * whole micro-batch). `fetch` materializes the range INSIDE the
+  * retry: ranges are bounded (`pagesPerPartition`), and re-fetching
+  * the whole range on a mid-iteration failure is exactly what the
+  * SPI's re-fetchable-by-position contract allows — retrying a
+  * half-consumed iterator would double-serve pages instead.
+  * Permanent failures still propagate after `maxAttempts`, so
+  * task-level behavior (fail the task, engine retries per
+  * `spark.task.maxFailures`) is unchanged.
+  *
+  * Not named directly: [[PageFetcher.instantiate]] builds it from a
+  * `retry:<attempts>:<baseMillis>:<fqcn>` spec, which is what the
+  * source's `fetcherRetries` / `fetcherRetryMillis` options compile
+  * to — the spec string travels in the partition like any fetcher
+  * class name. */
+final class RetryingPageFetcher(inner: PageFetcher, policy: Retry.Backoff,
+                                sleep: Long => Unit = Thread.sleep)
+  extends PageFetcher {
+  override def latestAvailable(feed: String): Long =
+    Retry.withLinearBackoff(policy, sleep)(() => inner.latestAvailable(feed))
+  override def fetch(feed: String, from: Long,
+                     until: Long): Iterator[(Long, String)] =
+    Retry.withLinearBackoff(policy, sleep)(
+      () => inner.fetch(feed, from, until).toVector).iterator
+}
+
 object DirectoryPageFetcher {
   /** Spooler-written listing: one page filename per line, position
     * (cursor-ascending) order. Presence switches [[DirectoryPageFetcher]]
@@ -227,13 +256,23 @@ object DirectoryPageFetcher {
 }
 
 private[sources] object PageFetcher {
-  def instantiate(fqcn: String): PageFetcher =
-    Class.forName(fqcn, true, Thread.currentThread().getContextClassLoader)
-      .getDeclaredConstructor().newInstance() match {
-      case f: PageFetcher => f
-      case other => throw new IllegalArgumentException(
-        s"fetcher class $fqcn is not a PageFetcher: ${other.getClass}")
-    }
+  private val RetrySpec = """retry:(\d+):(\d+):(.+)""".r
+
+  /** A bare FQCN, or `retry:<attempts>:<baseMillis>:<fqcn>` for the
+    * [[RetryingPageFetcher]]-decorated form (what the
+    * `fetcherRetries` option compiles to). */
+  def instantiate(spec: String): PageFetcher = spec match {
+    case RetrySpec(attempts, base, fqcn) =>
+      new RetryingPageFetcher(instantiate(fqcn),
+        Retry.Backoff(base.toLong, attempts.toInt))
+    case fqcn =>
+      Class.forName(fqcn, true, Thread.currentThread().getContextClassLoader)
+        .getDeclaredConstructor().newInstance() match {
+        case f: PageFetcher => f
+        case other => throw new IllegalArgumentException(
+          s"fetcher class $fqcn is not a PageFetcher: ${other.getClass}")
+      }
+  }
 }
 
 class PagedTableProvider extends TableProvider with DataSourceRegister {
@@ -256,8 +295,29 @@ class PagedTableProvider extends TableProvider with DataSourceRegister {
         s"option 'maxPagesPerTrigger' must be positive, got $n")
       n
     }
-    val fetcherClass = Option(opts.get("fetcher"))
+    val baseFetcher = Option(opts.get("fetcher"))
       .getOrElse(classOf[RegistryPageFetcher].getName)
+    // transient-failure policy (I3): >0 retries compile the fetcher
+    // into its retry-decorated spec, carried like any class name
+    val retries = Option(opts.get("fetcherRetries")).map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"option 'fetcherRetries' must be a non-negative integer, got '$v'")
+      }
+      require(n >= 0, s"option 'fetcherRetries' must be >= 0, got $n")
+      n
+    }.getOrElse(0)
+    val retryMillis = Option(opts.get("fetcherRetryMillis")).map { v =>
+      val n = try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"option 'fetcherRetryMillis' must be a non-negative integer, got '$v'")
+      }
+      require(n >= 0, s"option 'fetcherRetryMillis' must be >= 0, got $n")
+      n
+    }.getOrElse(1000L)
+    val fetcherClass =
+      if (retries > 0) s"retry:$retries:$retryMillis:$baseFetcher"
+      else baseFetcher
     // fail at load() time, not in a task: a typo'd class name must not
     // surface as N executor-side ClassNotFoundExceptions
     PageFetcher.instantiate(fetcherClass)

@@ -233,6 +233,26 @@ class PagedStreamSpec extends SparkSpec {
     intercept[IllegalArgumentException] { f.latestAvailable(dir) }
   }
 
+  test("fetcherRetries option: a transiently-failing feed reads end-to-end") {
+    // one transient failure per op (driver availability poll AND the
+    // first reader fetch) — the decorated fetcher retries through and
+    // the result is identical to a healthy feed
+    FlakyPageFetcher.reset(failures = 1)
+    val got = spark.read.format("graft-paged").option("feed", "flaky")
+      .option("fetcher", classOf[FlakyPageFetcher].getName)
+      .option("fetcherRetries", "3").option("fetcherRetryMillis", "1")
+      .load().as[(Long, String)].collect().toSet
+    assert(got == (1L to 3L).map(i => (i, s"flaky:$i")).toSet)
+    // without the option the same flakiness kills the read — the
+    // decoration is opt-in, base behavior unchanged
+    FlakyPageFetcher.reset(failures = 1)
+    intercept[Exception] {
+      spark.read.format("graft-paged").option("feed", "flaky")
+        .option("fetcher", classOf[FlakyPageFetcher].getName)
+        .load().collect()
+    }
+  }
+
   test("fetcher-backed batch read matches the fetcher's pages") {
     val got = PagedTable.read(spark, "unregistered-feed",
         fetcher = Some(classOf[SyntheticPageFetcher].getName))

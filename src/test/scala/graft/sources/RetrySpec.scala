@@ -2,6 +2,32 @@ package graft.sources
 
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Fails transiently: every fetch/availability call errors until its
+  * per-key counter reaches the configured failure budget, then serves
+  * synthesized pages. Companion state so the no-arg-constructed
+  * instance (the instantiate path) shares the counters. */
+class FlakyPageFetcher extends PageFetcher {
+  import FlakyPageFetcher._
+  override def latestAvailable(feed: String): Long =
+    { trip("avail"); 3L }
+  override def fetch(feed: String, from: Long,
+                     until: Long): Iterator[(Long, String)] = {
+    trip("fetch")
+    (from until until).iterator.map(i => (i + 1, s"flaky:${i + 1}"))
+  }
+}
+object FlakyPageFetcher {
+  val failuresBeforeSuccess = new java.util.concurrent.atomic.AtomicInteger(0)
+  val calls = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+  def reset(failures: Int): Unit = { failuresBeforeSuccess.set(failures); calls.clear() }
+  private[sources] def trip(op: String): Unit = {
+    val n = calls.computeIfAbsent(op,
+      _ => new java.util.concurrent.atomic.AtomicInteger(0)).incrementAndGet()
+    if (n <= failuresBeforeSuccess.get())
+      throw new java.io.IOException(s"transient $op failure $n")
+  }
+}
+
 class RetrySpec extends AnyFunSuite {
   test("linear backoff: sleeps grow by the base, succeeds when f does") {
     var sleeps = Vector.empty[Long]
@@ -23,6 +49,41 @@ class RetrySpec extends AnyFunSuite {
       }
     }
     assert(calls == 3 && e.getMessage == "fail 3")
+  }
+
+  test("RetryingPageFetcher: transient fetch failures retry; pages identical") {
+    FlakyPageFetcher.reset(failures = 2)
+    var sleeps = Vector.empty[Long]
+    val f = new RetryingPageFetcher(new FlakyPageFetcher,
+      Retry.Backoff(100, 4), s => sleeps :+= s)
+    assert(f.fetch("feed", 0L, 3L).toSeq
+      == Seq((1L, "flaky:1"), (2L, "flaky:2"), (3L, "flaky:3")),
+      "the retried fetch must serve the exact range, no dup/skip")
+    assert(sleeps == Vector(100L, 200L), "linear backoff between attempts")
+    assert(f.latestAvailable("feed") == 3L) // counter already tripped
+  }
+
+  test("RetryingPageFetcher: permanent failures still propagate") {
+    FlakyPageFetcher.reset(failures = Int.MaxValue)
+    val f = new RetryingPageFetcher(new FlakyPageFetcher,
+      Retry.Backoff(1, 3), _ => ())
+    val e = intercept[java.io.IOException] { f.fetch("feed", 0L, 1L).toSeq }
+    assert(e.getMessage.contains("failure 3"),
+      "exhausted attempts must rethrow the LAST error — task fails as before")
+  }
+
+  test("instantiate compiles retry specs; malformed specs fail loudly") {
+    FlakyPageFetcher.reset(failures = 1)
+    val f = PageFetcher.instantiate(
+      s"retry:3:0:${classOf[FlakyPageFetcher].getName}")
+    assert(f.isInstanceOf[RetryingPageFetcher])
+    assert(f.fetch("feed", 1L, 3L).toSeq
+      == Seq((2L, "flaky:2"), (3L, "flaky:3")))
+    // a bare FQCN still instantiates undecorated
+    assert(PageFetcher.instantiate(classOf[FlakyPageFetcher].getName)
+      .isInstanceOf[FlakyPageFetcher])
+    // garbage in the spec position must not resolve as a class name
+    intercept[Exception] { PageFetcher.instantiate("retry:x:y:NoSuch") }
   }
 
   test("thread interrupt propagates immediately, no retry") {
