@@ -206,27 +206,34 @@ object DedupPack extends QueryPack {
     // non-boilerplate shingle space; the oracle applies the same cap.
     "ds_jaccard_pairs" -> ((s, dir) => jaccardPairs(tokenized(s, dir))),
 
-    // Typo-granularity near-dup pairs (edit distance ≤ 2 on the
-    // 3-token title key): the record-linkage rung UNDER the shingle
-    // methods — MinHash/Jaccard need shared tokens, but "labelmian"
-    // vs "labelmain" shares none at the token level. Candidates come
-    // from two blocking passes (4-char prefix ∪ 4-char suffix of the
-    // title — a single-character edit can break one of them, not
-    // both unless it straddles; the two-pass union is the standard
-    // multi-block trade, declared like LSH band recall); blocks are
-    // capped at [[FuzzyBlockCap]] lowest ids through the native
-    // bounded heap so a boilerplate title prefix can't go quadratic.
-    // levenshtein verifies pairs — identical semantics both engines.
+    // Typo- AND reorder-granularity near-dup pairs on the 3-token
+    // title key: the record-linkage rung UNDER the shingle methods —
+    // MinHash/Jaccard need shared tokens, but "labelmian" vs
+    // "labelmain" shares none at the token level, and "main label x"
+    // vs "label main x" sits at a large CHARACTER distance. Candidates
+    // come from three blocking passes (4-char prefix ∪ 4-char suffix —
+    // a single-character edit can break one, not both unless it
+    // straddles — ∪ the sorted-token key, which word swaps leave
+    // unchanged; the multi-block union is the standard trade,
+    // declared like LSH band recall); every block is capped at
+    // [[FuzzyBlockCap]] lowest ids through the native bounded heap so
+    // a boilerplate title can't go quadratic. [[fuzzyNear]] verifies
+    // pairs — identical semantics both engines.
     "ds_fuzzy_pairs" -> ((s, dir) =>
       fuzzyPairs(Tables.documents(s, dir))),
 
     // ...the blocking scheme's own audit (the ds_lsh_recall pattern):
-    // ground truth = ALL-pairs levenshtein ≤ 2 on a bounded probe
+    // ground truth = ALL-pairs under the full near-dup predicate
+    // (char levenshtein ≤ 2 OR word reorder) on a bounded probe
     // subset (exact, affordable at FuzzyRecallProbeN docs), compared
-    // against what the prefix ∪ suffix blocking surfaces on the same
-    // subset. Honest by construction: pairs whose single edit
-    // straddles both block keys are the declared recall loss, and
-    // this query REPORTS it instead of asserting it away.
+    // against what the prefix ∪ suffix ∪ sorted-token blocking
+    // surfaces on the same subset. Honest by construction: pairs
+    // whose single edit straddles both char block keys AND perturbs
+    // the sorted-token key are the declared recall loss, and this
+    // query REPORTS it instead of asserting it away. (Measured on
+    // sf0.01: reorder truth pairs are invisible to the two char
+    // passes alone — the sorted-token pass is what recovers them;
+    // numbers in SCALE.md.)
     "ds_fuzzy_recall" -> ((s, dir) => {
       val sub = Tables.documents(s, dir)
         .filter(col("doc_id") < FuzzyRecallProbeN)
@@ -234,7 +241,7 @@ object DedupPack extends QueryPack {
         array_join(slice(split(col("text"), " "), 1, 3), " ").as("title"))
       val truth = t.alias("a").join(t.alias("b"),
           col("a.doc_id") < col("b.doc_id"))
-        .filter(levenshtein(col("a.title"), col("b.title")) <= 2)
+        .filter(fuzzyNear(col("a.title"), col("b.title"), 2))
         .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       val cand = fuzzyPairs(sub).select(col("a"), col("b"))
       val hit = truth.join(cand, Seq("a", "b"), "left_semi")
@@ -573,11 +580,28 @@ object DedupPack extends QueryPack {
     * vacuous audit). */
   val FuzzyRecallProbeN = 500
 
-  /** The ds_fuzzy_pairs body over a documents frame: prefix- and
-    * suffix-blocked candidates, capped per block, verified by
-    * levenshtein ≤ `maxDist` on the 3-token title. */
+  /** The declared fuzzy near-dup predicate on two titles: a
+    * typo-granularity match (levenshtein ≤ `maxDist` characters) OR a
+    * word REORDER (identical sorted token multisets — "label main x"
+    * vs "main label x", which sits at a large CHARACTER distance and
+    * is invisible to char-level verification). Both halves replay
+    * identically in DuckDB ([[fuzzyNearSql]]). */
+  private def fuzzyNear(ta: Column, tb: Column, maxDist: Int): Column =
+    levenshtein(ta, tb) <= maxDist ||
+      array_sort(split(ta, " ")) === array_sort(split(tb, " "))
+
+  /** The ds_fuzzy_pairs body over a documents frame: candidates from
+    * THREE blocking passes — 4-char prefix, 4-char suffix, and the
+    * sorted-token key (tokens of the title sorted and rejoined: a
+    * word swap leaves it unchanged, so reordered near-dups land in
+    * one block even though both character blocks break) — each
+    * capped at `cap` lowest ids per block, then verified by
+    * [[fuzzyNear]]. `dist` reports the character levenshtein (for a
+    * pure reorder it exceeds `maxDist` by construction — the
+    * token-level match is what admitted the pair). */
   def fuzzyPairs(docs: DataFrame, maxDist: Int = 2,
-                 cap: Int = FuzzyBlockCap): DataFrame = {
+                 cap: Int = FuzzyBlockCap,
+                 sortedTokenPass: Boolean = true): DataFrame = {
     val t = docs.select(col("doc_id"),
       array_join(slice(split(col("text"), " "), 1, 3), " ").as("title"))
     def pass(key: Column): DataFrame = {
@@ -590,10 +614,14 @@ object DedupPack extends QueryPack {
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
           col("x.title").as("ta"), col("y.title").as("tb"))
     }
-    pass(substring(col("title"), 1, 4))
+    val charPasses = pass(substring(col("title"), 1, 4))
       .unionByName(pass(substring(reverse(col("title")), 1, 4)))
-      .distinct()
-      .filter(levenshtein(col("ta"), col("tb")) <= maxDist)
+    val all = if (sortedTokenPass)
+      charPasses.unionByName(
+        pass(array_join(array_sort(split(col("title"), " ")), " ")))
+    else charPasses
+    all.distinct()
+      .filter(fuzzyNear(col("ta"), col("tb"), maxDist))
       .select(col("a"), col("b"),
         levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
   }
@@ -683,9 +711,16 @@ object DedupPack extends QueryPack {
       |               AS BIGINT) AS simhash
       |        FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** The [[fuzzyNear]] predicate in DuckDB: char levenshtein ≤ 2 OR
+    * identical sorted token multisets (word reorder). */
+  private def fuzzyNearSql(ta: String, tb: String): String =
+    s"(levenshtein($ta, $tb) <= 2 OR " +
+      s"list_sort(string_split($ta, ' ')) = list_sort(string_split($tb, ' ')))"
+
   /** Shared oracle fragment: the fuzzy blocking candidates (t, pb,
-    * sb, cand CTEs) — the single SQL source for ds_fuzzy_pairs and
-    * ds_fuzzy_apply, mirroring [[fuzzyPairs]]'s candidate stage. */
+    * sb, kb, cand CTEs) — the single SQL source for ds_fuzzy_pairs
+    * and ds_fuzzy_apply, mirroring [[fuzzyPairs]]'s candidate stage
+    * (prefix ∪ suffix ∪ sorted-token blocks, per-block cap). */
   private def fuzzyCandSql(where: String = ""): String =
     s"""t AS (SELECT doc_id,
        |    array_to_string(string_split(text, ' ')[1:3], ' ') AS title
@@ -696,6 +731,11 @@ object DedupPack extends QueryPack {
        |sb AS (SELECT doc_id, title, substr(reverse(title), 1, 4) AS blk,
        |         row_number() OVER (PARTITION BY substr(reverse(title), 1, 4)
        |           ORDER BY doc_id) AS rn FROM t),
+       |kb AS (SELECT doc_id, title,
+       |         array_to_string(list_sort(string_split(title, ' ')), ' ') AS blk,
+       |         row_number() OVER (
+       |           PARTITION BY array_to_string(list_sort(string_split(title, ' ')), ' ')
+       |           ORDER BY doc_id) AS rn FROM t),
        |cand AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b, x.title AS ta, y.title AS tb
        |  FROM (SELECT * FROM pb WHERE rn <= $FuzzyBlockCap) x
@@ -705,6 +745,11 @@ object DedupPack extends QueryPack {
        |  SELECT x.doc_id, y.doc_id, x.title, y.title
        |  FROM (SELECT * FROM sb WHERE rn <= $FuzzyBlockCap) x
        |  JOIN (SELECT * FROM sb WHERE rn <= $FuzzyBlockCap) y
+       |    ON x.blk = y.blk AND x.doc_id < y.doc_id
+       |  UNION
+       |  SELECT x.doc_id, y.doc_id, x.title, y.title
+       |  FROM (SELECT * FROM kb WHERE rn <= $FuzzyBlockCap) x
+       |  JOIN (SELECT * FROM kb WHERE rn <= $FuzzyBlockCap) y
        |    ON x.blk = y.blk AND x.doc_id < y.doc_id)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
@@ -799,15 +844,15 @@ object DedupPack extends QueryPack {
     "ds_fuzzy_pairs" ->
       s"""WITH ${fuzzyCandSql()}
          |SELECT a, b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
-         |FROM cand WHERE levenshtein(ta, tb) <= 2""".stripMargin,
+         |FROM cand WHERE ${fuzzyNearSql("ta", "tb")}""".stripMargin,
 
     "ds_fuzzy_recall" ->
       s"""WITH ${fuzzyCandSql(s"WHERE doc_id < $FuzzyRecallProbeN")},
          |truth AS (SELECT x.doc_id AS a, y.doc_id AS b
          |  FROM t x JOIN t y ON x.doc_id < y.doc_id
-         |  WHERE levenshtein(x.title, y.title) <= 2),
+         |  WHERE ${fuzzyNearSql("x.title", "y.title")}),
          |cp AS (SELECT DISTINCT a, b FROM cand
-         |       WHERE levenshtein(ta, tb) <= 2),
+         |       WHERE ${fuzzyNearSql("ta", "tb")}),
          |hit AS (SELECT * FROM truth
          |        WHERE EXISTS (SELECT 1 FROM cp
          |                      WHERE cp.a = truth.a AND cp.b = truth.b))
@@ -823,7 +868,7 @@ object DedupPack extends QueryPack {
     // engine's star-contraction result (both compute the SAME groups)
     "ds_fuzzy_apply" ->
       s"""WITH RECURSIVE ${fuzzyCandSql()},
-         |close AS (SELECT a, b FROM cand WHERE levenshtein(ta, tb) <= 2),
+         |close AS (SELECT a, b FROM cand WHERE ${fuzzyNearSql("ta", "tb")}),
          |e AS (SELECT a, b FROM close UNION SELECT b, a FROM close),
          |reach(a, b) AS (
          |  SELECT a, b FROM e
