@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Full BPE vocabulary training (Sennrich et al. 2016) — the
@@ -60,28 +60,32 @@ object Bpe {
       .select(col("w").substr(col("i"), lit(2)).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
 
-  /** Train `iters` merges over `words` (column `w`: one symbol per
-    * character). Returns the learned merge table — (rank, token, n):
-    * merge rank in learning order, the merged token EXPANDED to base
-    * characters, and its pair count at learning time. All iterative
-    * work happens here (each round's top-1 collect is the action);
-    * the returned frame is K local rows. */
-  def trainVocab(words: DataFrame, iters: Int = Iters): DataFrame = {
+  /** One learned merge in SYMBOL space: the 2-char pair fused, the
+    * fresh symbol char it became, the fully-expanded token, and the
+    * pair count at learning time. */
+  final case class Merge(rank: Int, pair: String, sym: Char,
+                         token: String, n: Long)
+
+  /** The training loop proper: `iters` merges over `words` (column
+    * `w`: one symbol per character), returned in SYMBOL space so
+    * [[encode]] can replay them. All iterative work happens here
+    * (each round's top-1 collect is the action). */
+  def trainMerges(words: DataFrame, iters: Int = Iters): Seq[Merge] = {
     import org.apache.spark.storage.StorageLevel
-    val spark = words.sparkSession
     val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
+      val spark = words.sparkSession
       val base = words.select(col("w")).filter(length(col("w")) >= 2)
         .persist(StorageLevel.MEMORY_AND_DISK)
       frames += base
       val nWords = base.count()
       val p = LoopWidth.partitionsFor(nWords, spark)
-      val merges = LoopWidth.onSizedSession(base, p) { corpus0 =>
+      LoopWidth.onSizedSession(base, p) { corpus0 =>
         var corpus = corpus0
         var prev: Option[DataFrame] = None
         // symbol char → fully-expanded token (base characters only)
         val alphabet = scala.collection.mutable.Map.empty[Char, String]
-        val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+        val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
         var k = 0
         var exhausted = false
         while (k < iters && !exhausted) {
@@ -100,7 +104,7 @@ object Bpe {
             // already fully expanded, so one char-wise pass is exact
             val token = pair.map(c => alphabet.getOrElse(c, c.toString)).mkString
             alphabet(sym) = token
-            learned += ((k.toLong, token, n))
+            learned += Merge(k, pair, sym, token, n)
             if (k < iters - 1) { // the last merge needs no re-segment
               val next = corpus
                 .select(replace(col("w"), lit(pair), lit(sym.toString)).as("w"))
@@ -115,23 +119,40 @@ object Bpe {
         }
         learned.toSeq
       }
-      spark.createDataFrame(merges).toDF("rank", "token", "n")
     } finally frames.foreach(_.unpersist(blocking = false))
   }
 
-  /** The unrolled DuckDB oracle: `iters` iterations of exactly the
-    * loop above as chained CTEs over `w0(w)` (which the caller
-    * provides, mirroring the Spark-side tokenization). Each iteration
-    * k emits `t{k}` (top pair + count), `w{k+1}` (re-segmented
-    * corpus) and `x{k}` (the merge row with the pair expanded through
-    * every prior iteration's token — prior tokens contain no
-    * sentinels, so a flat replace chain is exact). */
-  def sqlVocab(iters: Int = Iters): String = {
+  /** Train `iters` merges and return the learned merge table —
+    * (rank, token, n) with tokens EXPANDED to base characters; K
+    * local rows (the distributed work ran in [[trainMerges]]). */
+  def trainVocab(words: DataFrame, iters: Int = Iters): DataFrame = {
+    val spark = words.sparkSession
+    spark.createDataFrame(
+        trainMerges(words, iters).map(m => (m.rank.toLong, m.token, m.n)))
+      .toDF("rank", "token", "n")
+  }
+
+  /** Apply a learned merge table to a symbol column: the K merges
+    * chain as K nested scan-stage `replace`s in ONE projection —
+    * applying a trained tokenizer costs a single pass over the
+    * corpus, no shuffle, no loop. Rank order is load-bearing (merge
+    * k's pair may contain symbols minted by merges < k). */
+  def encodeCol(w: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.rank).foldLeft(w)((c, m) =>
+      replace(c, lit(m.pair), lit(m.sym.toString)))
+
+  /** The training loop unrolled as DuckDB CTEs over `w0(w)` (which
+    * the caller provides, mirroring the Spark-side tokenization).
+    * Each iteration k emits `t{k}` (top pair + count), `w{k+1}`
+    * (re-segmented corpus) and `x{k}` (the merge row with the pair
+    * expanded through every prior iteration's token — prior tokens
+    * contain no sentinels, so a flat replace chain is exact). */
+  private def sqlTrainCtes(iters: Int): String = {
     def pairSrc(k: Int) =
       s"""(SELECT substr(w, i, 2) AS pair
          |   FROM w$k, UNNEST(generate_series(1, length(w) - 1)) AS g(i))"""
         .stripMargin
-    val ctes = (0 until iters).map { k =>
+    (0 until iters).flatMap { k =>
       val expand = (0 until k).foldLeft(s"(SELECT pair FROM t$k)") {
         (acc, j) => s"replace($acc, chr(${SentinelBase + j}), (SELECT token FROM x$j))"
       }
@@ -148,9 +169,23 @@ object Bpe {
                |  WHERE length(w) >= 2)""".stripMargin)
       else Seq.empty
       Seq(t, x) ++ w
-    }
+    }.mkString(",\n")
+  }
+
+  /** The full vocab oracle: training CTEs + the K merge rows. */
+  def sqlVocab(iters: Int = Iters): String = {
     val unions = (0 until iters)
       .map(k => s"SELECT rank, token, n FROM x$k").mkString("\nUNION ALL ")
-    ctes.flatten.mkString(",\n") + "\n" + unions
+    sqlTrainCtes(iters) + "\n" + unions
   }
+
+  /** [[encodeCol]] in SQL: the K learned pairs (selected by the
+    * training CTEs) chained as nested replaces in rank order. */
+  def sqlEncodeExpr(w: String, iters: Int = Iters): String =
+    (0 until iters).foldLeft(w)((acc, k) =>
+      s"replace($acc, (SELECT pair FROM t$k), chr(${SentinelBase + k}))")
+
+  /** The encode oracle fragment: training CTEs reusable beside a
+    * caller-provided doc-grain track. */
+  def sqlTrainCtesForEncode(iters: Int = Iters): String = sqlTrainCtes(iters)
 }

@@ -248,6 +248,32 @@ object TextPack extends QueryPack {
       Bpe.trainVocab(tokenized(s, dir)
         .select(explode(col("toks")).as("w")))),
 
+    // ...and the tokenizer APPLY: the trained merge table encodes the
+    // corpus in ONE scan — the K merges chain as K nested codegen'd
+    // replaces in a single projection ([[Bpe.encodeCol]]), no loop
+    // and no shuffle on the apply side (training ran once; encoding
+    // 100 TB is then embarrassingly parallel). Output is the per-doc
+    // tokenization profile: word count, base symbols before, symbols
+    // after the merges, and the compression ratio — the metric a
+    // tokenizer owner watches per corpus slice.
+    "tx_bpe_encode" -> ((s, dir) => {
+      val words = tokenized(s, dir)
+        .select(col("doc_id"), explode(col("toks")).as("w"))
+      val merges = Bpe.trainMerges(words.select(col("w")))
+      words
+        .select(col("doc_id"), length(col("w")).cast("long").as("before"),
+          length(Bpe.encodeCol(col("w"), merges)).cast("long").as("after"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("before")).as("n_chars"),
+          sum(col("after")).as("n_symbols"))
+        .select(col("doc_id"), col("n_words"), col("n_chars"),
+          col("n_symbols"),
+          when(col("n_chars") > 0, graft.Det.dround(
+            col("n_symbols").cast("double") / col("n_chars"), 4))
+            .as("compression"))
+    }),
+
     // PII detection — the audit complement of p_redact_pages: regex
     // match counts per document, over text with deterministically
     // INJECTED contacts (id-derived emails / IPv4s), so the expected
@@ -532,6 +558,24 @@ object TextPack extends QueryPack {
          |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
          |  WHERE length(w) >= 2),
          |${Bpe.sqlVocab()}""".stripMargin,
+
+    "tx_bpe_encode" ->
+      s"""WITH w0 AS (SELECT w FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 2),
+         |${Bpe.sqlTrainCtesForEncode()},
+         |d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |      FROM documents),
+         |e AS (SELECT doc_id, length(w) AS before,
+         |        length(${Bpe.sqlEncodeExpr("w")}) AS after
+         |      FROM d)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(before) AS BIGINT) AS n_chars,
+         |  CAST(sum(after) AS BIGINT) AS n_symbols,
+         |  CASE WHEN sum(before) > 0 THEN ${graft.Det.droundSql(
+              "CAST(sum(after) AS DOUBLE) / CAST(sum(before) AS DOUBLE)", 4)}
+         |  END AS compression
+         |FROM e GROUP BY doc_id""".stripMargin,
 
     "tx_pii_scan" ->
       """SELECT doc_id,

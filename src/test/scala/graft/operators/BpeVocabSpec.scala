@@ -88,6 +88,31 @@ class BpeVocabSpec extends SparkSpec {
     assert(a == b, s"partitioning leaked into the merge table:\n$a\n$b")
   }
 
+  test("encode: one-scan apply reproduces the loop's final segmentation") {
+    // encoding with the learned table must equal what iterating the
+    // training replaces produces — the chained single-projection
+    // apply and the loop are the same function
+    val rnd = new scala.util.Random(11)
+    val corpus = Seq.fill(150) {
+      (0 until (2 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }
+    val iters = 5
+    val merges = Bpe.trainMerges(corpus.toDF("w"), iters)
+    assert(merges.size == iters)
+    // local replay of the chained replaces, in rank order
+    def refEncode(w: String): String =
+      merges.sortBy(_.rank).foldLeft(w)((s, m) => s.replace(m.pair, m.sym.toString))
+    val got = corpus.toDF("w")
+      .select(col("w"), Bpe.encodeCol(col("w"), merges).as("enc"))
+      .as[(String, String)].collect()
+    got.foreach { case (w, enc) =>
+      assert(enc == refEncode(w), s"encode of '$w' diverged: $enc")
+    }
+    // merges actually fire: some word got strictly shorter
+    assert(got.exists { case (w, enc) => enc.length < w.length },
+      "no merge applied anywhere — vacuous encode")
+  }
+
   test("words collapsing to one symbol drop out; tiny corpora stop early") {
     // "aa" fuses to a single symbol after merge 0 and must stop
     // contributing pairs; with nothing left the loop ends early with
