@@ -277,6 +277,20 @@ object DedupPack extends QueryPack {
     "ds_chunk_dedup" -> ((s, dir) =>
       chunkDedup(Tables.documents(s, dir), ChunkW)),
 
+    // Content-DEFINED chunking (the FastCDC/rsync family at token
+    // granularity): a chunk boundary is declared wherever the TOKEN's
+    // own hash ≡ 0 (mod CdcMod), not at fixed offsets — so an
+    // insertion or deletion perturbs only its own chunk and the
+    // boundaries RESYNCHRONIZE at the next boundary token, where
+    // ds_chunk_dedup's fixed windows shift every later chunk of the
+    // doc (one early edit destroys all downstream dedup). Per-doc
+    // rollup of chunk duplication: n_chunks, chunks whose content
+    // hash recurs corpus-wide, and the duplicated-token share. Scale
+    // shape: the boundary flag is a scan-stage expression; the
+    // running chunk id is a window PARTITIONED BY doc (bounded by doc
+    // length, never global); chunk hashes partial-aggregate map-side.
+    "ds_cdc_chunks" -> ((s, dir) => cdcChunks(tokenized(s, dir))),
+
     // Duplicated-SUBSTRING coverage (the ExactSubstr form of Lee et
     // al., "Deduplicating Training Data Makes Language Models
     // Better", ACL 2022 — approximated with fixed k-gram seeds
@@ -407,6 +421,43 @@ object DedupPack extends QueryPack {
             col("w.chunk").as("chunk")))),
           x => x.getField("chunk")), " ").as("dedup_text"),
         count(lit(1)).as("n_kept"))
+
+  /** Content-defined boundary modulus: a token whose h32 ≡ 0 (mod
+    * this) OPENS a new chunk — mean chunk length ≈ CdcMod tokens
+    * (geometric), sized to the synthetic doc lengths like
+    * [[SpanGram]]. */
+  val CdcMod = 8
+
+  /** The ds_cdc_chunks body over a (doc_id, toks) frame. */
+  def cdcChunks(tokens: DataFrame): DataFrame = {
+    val tok = tokens.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val chunked = tok
+      .withColumn("b",
+        when(Hashing.h32(col("tok")) % CdcMod === 0, 1L).otherwise(0L))
+      .withColumn("chunk", sum(col("b")).over(w))
+    // chunk content in POSITION order via the sort_array(struct)
+    // idiom — collect_list alone would hash partition-arrival order
+    val chunks = chunked.groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("n_toks"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ")).as("h"))
+    val hist = chunks.groupBy("h").agg(count(lit(1)).as("cnt"))
+    chunks.join(hist, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(col("n_toks")).as("all_toks"),
+        sum(when(col("cnt") > 1, col("n_toks")).otherwise(0L)).as("dup_toks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        graft.Det.dround(col("dup_toks").cast("double") / col("all_toks"), 4)
+          .as("dup_token_frac"))
+  }
 
   /** Seed gram width for ds_dup_spans: spans shorter than this many
     * tokens are not considered duplication (Lee et al. use 50 BPE
@@ -969,6 +1020,28 @@ object DedupPack extends QueryPack {
          |       count(*) AS n_kept
          |FROM ranked WHERE rn = 1
          |GROUP BY doc_id""".stripMargin,
+
+    "ds_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |tok AS (SELECT doc_id, g.j AS pos, ts[g.j + 1] AS tok
+         |        FROM t, UNNEST(generate_series(0, len(ts) - 1)) AS g(j)),
+         |c AS (SELECT doc_id, pos, tok,
+         |        sum(CASE WHEN ${Hashing.sqlH32("tok")} % $CdcMod = 0
+         |                 THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY pos
+         |                ROWS UNBOUNDED PRECEDING) AS chunk
+         |      FROM tok),
+         |ch AS (SELECT doc_id, chunk, count(*) AS n_toks,
+         |         md5(array_to_string(list(tok ORDER BY pos), ' ')) AS h
+         |       FROM c GROUP BY doc_id, chunk),
+         |hist AS (SELECT h, count(*) AS cnt FROM ch GROUP BY h)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_chunks,
+         |  ${graft.Det.droundSql(
+              "CAST(sum(CASE WHEN cnt > 1 THEN n_toks ELSE 0 END) AS DOUBLE)" +
+                " / sum(n_toks)", 4)} AS dup_token_frac
+         |FROM ch JOIN hist USING (h) GROUP BY doc_id""".stripMargin,
 
     "ds_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts

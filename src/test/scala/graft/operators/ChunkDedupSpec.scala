@@ -55,6 +55,51 @@ class ChunkDedupSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("cdcChunks: boundaries resynchronize after an insertion — fixed windows can't") {
+    // doc 20 = a 64-token body; doc 21 = the SAME body with one token
+    // prepended. Under fixed windows every chunk of 21 is shifted and
+    // nothing dedups; under content-defined boundaries the chunking
+    // resynchronizes at the first boundary token after the insertion,
+    // so the tail chunks hash identically across the two docs.
+    val body = (1 to 64).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((20L, body), (21L, s"inserted $body"),
+        (22L, (1 to 40).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val got = DedupPack.cdcChunks(toks)
+      .select("doc_id", "n_chunks", "n_dup_chunks", "dup_token_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(20L)._3 > 0 && got(21L)._3 > 0,
+      s"post-insertion chunks must re-align and dedup: $got")
+    assert(got(21L)._4 > 0.5,
+      s"most of the shifted doc should still dedup via resync: ${got(21L)}")
+    assert(got(22L)._3 == 0, s"unrelated doc must not dedup: ${got(22L)}")
+    // the CONTRAST: fixed 8-token windows on the same pair share no
+    // passage (the one-token shift desyncs every window), which is
+    // exactly the weakness the content-defined boundaries remove
+    val fixed = DedupPack.chunkDedup(docs.filter(col("doc_id") < 22L), 8)
+      .agg(sum(col("n_kept"))).head().getLong(0)
+    val totalChunks = 8 + 9 // 64/8 windows + 65-token doc's 9 windows
+    assert(fixed == totalChunks,
+      s"fixed windows unexpectedly deduped across the shift: kept $fixed of $totalChunks")
+  }
+
+  test("cdcChunks: identical docs dedup fully; rollup is exact") {
+    val docs = Seq((1L, "p q r s t u v w x y z"),
+        (2L, "p q r s t u v w x y z"))
+      .toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val got = DedupPack.cdcChunks(toks)
+      .select("doc_id", "n_chunks", "n_dup_chunks", "dup_token_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == 2)
+    got.foreach { case (id, n, dup, frac) =>
+      assert(n == dup, s"doc $id: every chunk recurs in the twin, got $dup/$n")
+      assert(frac == 1.0, s"doc $id: all tokens duplicated, got $frac")
+    }
+  }
+
   test("decontaminate: train doc sharing an eval n-gram is flagged") {
     val sf = "/root/testdata/sf0.001"
     val out = DedupPack.queries("ds_decontaminate")(spark, sf)
