@@ -30,6 +30,17 @@ object MultimodalPack extends QueryPack {
         Multimodal.syntheticImages(Tables.documents(s, dir))).toDF()
     }),
 
+    // REAL legacy-image header decode: GIF logical-screen descriptor
+    // (the one LITTLE-endian image container here — PNG/JPEG are BE)
+    // and both BMP DIB layouts (core u16 dims; info i32 dims with the
+    // negative-height top-down flag the parser must abs). Same
+    // decodeHeaders plumbing, same oracle-replays-the-generator gate.
+    "mm_gif_bmp_meta" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.decodeHeaders(
+        Multimodal.syntheticLegacyImages(Tables.documents(s, dir))).toDF()
+    }),
+
     // REAL audio header decode: RIFF chunk walk over genuine WAV byte
     // layouts ([[graft.sources.Multimodal.WavCodec]]) — little-endian
     // fields, junk-chunk hops, word-alignment pad bytes. The oracle
@@ -194,6 +205,13 @@ object MultimodalPack extends QueryPack {
     "mm_decode_headers" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+        |  CAST(16 + doc_id % 1000 AS INTEGER) AS width,
+        |  CAST(16 + (doc_id * 7) % 800 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
+
+    "mm_gif_bmp_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'bmp' END AS fmt,
         |  CAST(16 + doc_id % 1000 AS INTEGER) AS width,
         |  CAST(16 + (doc_id * 7) % 800 AS INTEGER) AS height
         |FROM documents""".stripMargin,

@@ -58,6 +58,8 @@ object Multimodal {
       if (isPng(b)) parsePng(b)
       else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
         parseJpeg(b)
+      else if (isGif(b)) parseGif(b)
+      else if (isBmp(b)) parseBmp(b)
       else None
 
     private def isPng(b: Array[Byte]): Boolean =
@@ -103,6 +105,54 @@ object Multimodal {
         }
       }
       None // ran out of bytes before any SOF
+    }
+
+    private def u16le(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+    private def i32le(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+    /** GIF: "GIF87a"/"GIF89a" signature, then the logical screen
+      * descriptor's width/height as u16 LITTLE-endian at offsets 6/8
+      * — the one image container here whose dims are LE (PNG/JPEG are
+      * BE; an endianness mix-up reads plausible nonsense). */
+    private[Multimodal] def isGif(b: Array[Byte]): Boolean =
+      b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+    private def parseGif(b: Array[Byte]): Option[(String, Int, Int)] = {
+      val (w, h) = (u16le(b, 6), u16le(b, 8))
+      if (w > 0 && h > 0) Some(("gif", w, h)) else None
+    }
+
+    /** BMP: "BM" file header, then a DIB header whose SIZE field
+      * (u32le at 14) selects the layout — BITMAPCOREHEADER (12:
+      * u16le dims at 18/20) vs BITMAPINFOHEADER+ (≥ 40: i32le dims
+      * at 18/22, where a NEGATIVE height means top-down row order —
+      * the magnitude is the pixel height). Anything else is an
+      * unknown DIB → None, same discipline as the non-PCM WAV tag. */
+    private[Multimodal] def isBmp(b: Array[Byte]): Boolean =
+      b.length >= 18 && b(0) == 'B' && b(1) == 'M'
+
+    private def parseBmp(b: Array[Byte]): Option[(String, Int, Int)] = {
+      if (b.length < 18 + 4) return None
+      i32le(b, 14) match {
+        case 12 =>
+          if (b.length < 22) return None
+          val (w, h) = (u16le(b, 18), u16le(b, 20))
+          if (w > 0 && h > 0) Some(("bmp", w, h)) else None
+        case sz if sz >= 40 =>
+          if (b.length < 26) return None
+          val w = i32le(b, 18)
+          val h = i32le(b, 22)
+          // h == Int.MinValue has no positive magnitude; reject
+          if (w > 0 && h != 0 && h != Int.MinValue)
+            Some(("bmp", w, math.abs(h)))
+          else None
+        case _ => None
+      }
     }
   }
 
@@ -381,6 +431,30 @@ object Multimodal {
     soi ++ app0 ++ dqt ++ sof0
   }
 
+  /** Valid minimal GIF: signature + logical screen descriptor (the
+    * dims live there; no image data needed for a header scan). */
+  def gifBytes(w: Int, h: Int, v89: Boolean): Array[Byte] = {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    (if (v89) "GIF89a" else "GIF87a").getBytes ++
+      le16(w) ++ le16(h) ++ Array[Byte](0x11, 0, 0) // flags, bg, aspect
+  }
+
+  /** Valid minimal BMP: "BM" file header + either DIB layout. `core`
+    * emits BITMAPCOREHEADER (u16 dims); otherwise BITMAPINFOHEADER,
+    * with `topDown` storing the height NEGATIVE (the top-down row
+    * order flag a parser must abs, not reject). */
+  def bmpBytes(w: Int, h: Int, core: Boolean, topDown: Boolean): Array[Byte] = {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val fileHeader = "BM".getBytes ++ le32(54) ++ le32(0) ++ le32(54)
+    if (core)
+      fileHeader ++ le32(12) ++ le16(w) ++ le16(h) ++ le16(1) ++ le16(24)
+    else
+      fileHeader ++ le32(40) ++ le32(w) ++ le32(if (topDown) -h else h) ++
+        le16(1) ++ le16(24) ++ le32(0) ++ le32(0)
+  }
+
   /** Deterministic REAL image binaries from `documents`: doc_id-derived
     * dimensions wrapped in an actual PNG IHDR (even ids) or JPEG
     * APP0+DQT+SOF0 sequence (odd ids). The parse is then a genuine
@@ -394,6 +468,27 @@ object Multimodal {
       val h = (16 + (id * 7) % 800).toInt
       if (id % 2 == 0) MediaRow(id, "image/png", pngBytes(w, h))
       else MediaRow(id, "image/jpeg", jpegBytes(w, h))
+    })
+  }
+
+  /** The legacy-format twin of [[syntheticImages]]: GIF (even ids,
+    * alternating 87a/89a signatures) and BMP (odd ids — core-header
+    * u16 layout on multiples of 3, else info-header, every fifth
+    * stored top-down with a NEGATIVE height the parser must abs).
+    * Same doc_id-derived dimension formulas, so one oracle replays
+    * all four image formats arithmetically. */
+  def syntheticLegacyImages(docs: DataFrame)(implicit s: SparkSession): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (16 + id % 1000).toInt
+      val h = (16 + (id * 7) % 800).toInt
+      if (id % 2 == 0)
+        MediaRow(id, "image/gif", gifBytes(w, h, v89 = id % 4 == 0))
+      else if (id % 3 == 0)
+        MediaRow(id, "image/bmp", bmpBytes(w, h, core = true, topDown = false))
+      else
+        MediaRow(id, "image/bmp", bmpBytes(w, h, core = false,
+          topDown = id % 5 == 0))
     })
   }
 

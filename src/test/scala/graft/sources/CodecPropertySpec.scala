@@ -59,6 +59,29 @@ class CodecPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("GIF/BMP round-trip across signatures, DIB layouts, and row orders") {
+    val gen = for {
+      w <- Gen.choose(1, 65535)
+      h <- Gen.choose(1, 65535)
+      v89 <- Gen.oneOf(true, false)
+      topDown <- Gen.oneOf(true, false)
+    } yield (w, h, v89, topDown)
+    (1 to Trials).foreach { i =>
+      val (w, h, v89, topDown) = sample(gen, i)
+      assert(Multimodal.HeaderCodec.parse(Multimodal.gifBytes(w, h, v89))
+        == Some(("gif", w, h)), s"gif seed $i ($w, $h, $v89)")
+      // core header carries u16 dims — in range here by construction
+      assert(Multimodal.HeaderCodec.parse(
+        Multimodal.bmpBytes(w, h, core = true, topDown = false))
+        == Some(("bmp", w, h)), s"bmp core seed $i ($w, $h)")
+      // info header: a negative stored height means top-down rows;
+      // the parser must return the magnitude, not reject or negate
+      assert(Multimodal.HeaderCodec.parse(
+        Multimodal.bmpBytes(w, h, core = false, topDown = topDown))
+        == Some(("bmp", w, h)), s"bmp info seed $i ($w, $h, $topDown)")
+    }
+  }
+
   test("codecs never throw on arbitrary byte garbage") {
     val gen = Gen.choose(0, 64).flatMap(n =>
       Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
@@ -71,7 +94,8 @@ class CodecPropertySpec extends AnyFunSuite {
     // adversarial prefixes: real magics with garbage tails must not
     // throw either (truncation mid-structure)
     val prefixes = Seq("RIFF".getBytes, Array[Byte](0, 0, 0, 16) ++
-      "ftyp".getBytes, Array(0xff, 0xd8, 0xff).map(_.toByte))
+      "ftyp".getBytes, Array(0xff, 0xd8, 0xff).map(_.toByte),
+      "GIF89a".getBytes, "BM".getBytes)
     for (p <- prefixes; i <- 1 to 10) {
       val bytes = p ++ sample(gen, i + 500).toArray
       Multimodal.WavCodec.parse(bytes)

@@ -79,6 +79,34 @@ class MultimodalSpec extends SparkSpec {
       == Some((2, 48000, 32, 12345L)))
   }
 
+  test("GIF/BMP: LE dims, unknown DIBs rejected, Int.MinValue height safe") {
+    // GIF dims are LITTLE-endian — a BE read of (300, 200) would
+    // yield (11265, 51201); the exact recovery pins the endianness
+    assert(Multimodal.HeaderCodec.parse(Multimodal.gifBytes(300, 200, v89 = true))
+      == Some(("gif", 300, 200)))
+    assert(Multimodal.HeaderCodec.parse(Multimodal.gifBytes(300, 200, v89 = false))
+      == Some(("gif", 300, 200)))
+    // GIF of a wrong version char is not a GIF
+    val badSig = Multimodal.gifBytes(10, 10, v89 = true)
+    badSig(4) = '6'
+    assert(Multimodal.HeaderCodec.parse(badSig).isEmpty)
+    // BMP with an unknown DIB header size (e.g. 16) is rejected, not
+    // parsed under the wrong field layout
+    val weird = Multimodal.bmpBytes(10, 10, core = false, topDown = false)
+    weird(14) = 16; weird(15) = 0; weird(16) = 0; weird(17) = 0
+    assert(Multimodal.HeaderCodec.parse(weird).isEmpty)
+    // stored height Int.MinValue has no positive magnitude — reject,
+    // never return a negative "abs"
+    val minH = Multimodal.bmpBytes(10, 10, core = false, topDown = false)
+    minH(22) = 0; minH(23) = 0; minH(24) = 0; minH(25) = 0x80.toByte
+    assert(Multimodal.HeaderCodec.parse(minH).isEmpty)
+    // zero dims out of spec for both containers
+    assert(Multimodal.HeaderCodec.parse(
+      Multimodal.gifBytes(0, 10, v89 = true)).isEmpty)
+    assert(Multimodal.HeaderCodec.parse(
+      Multimodal.bmpBytes(10, 0, core = true, topDown = false)).isEmpty)
+  }
+
   test("WavCodec: non-PCM format tags yield None, not PCM-assumed metadata") {
     // a float (3) or WAVE_FORMAT_EXTENSIBLE (0xFFFE) file parsed
     // under PCM assumptions returns plausible-but-wrong fields
