@@ -514,6 +514,62 @@ object QueryLayerPack extends QueryPack {
           (abs(col("approx") - col("exact_users")).cast("double")
             <= col("exact_users").cast("double") * 0.15).as("approx_ok"))),
 
+    // Count-min-sketch heavy hitters — the fourth sketch next to HLL
+    // (q_approx_distinct), the KLL-style percentile sketch, and the
+    // bloom filter: a fixed-size, map-side-mergeable frequency table
+    // over a key space too large to count exactly in memory (the
+    // 100 TB move for "who are the hot keys"). The sketch rides
+    // Spark's own CountMinSketch through df.stat (partial sketches
+    // add counter-wise — commutative, so the estimate is partition-
+    // order invariant for a fixed seed). Raw estimates are algorithm-
+    // specific, so the HASHED surface is the q_approx_distinct
+    // pattern: exact top-k counts plus the two CMS contract booleans
+    // — never-underestimate (a hard guarantee) and the ε·N
+    // overestimate bound (probabilistic in the seed, deterministic
+    // for this fixed seed + data).
+    "q_heavy_hitters" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"))
+      val eps = 0.001
+      val cms = ev.stat.countMinSketch(col("user_id"), eps = eps,
+        confidence = 0.99, seed = 42)
+      val total = cms.totalCount()
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("user_id")).limit(20)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val rows = top.map { case (uid, exact) =>
+        val est = cms.estimateCount(uid)
+        (uid, exact, est >= exact,
+          est <= exact + (eps * total).toLong)
+      }.toSeq
+      s.createDataFrame(rows)
+        .toDF("user_id", "exact", "never_under", "bound_ok")
+    }),
+
+    // Batch sessionization — the classic gap-based session carve the
+    // streaming twin (st_session_windows) does with state: a new
+    // session opens where the gap from the user's previous event
+    // exceeds 30 min (lag window), session ids are the running sum of
+    // those breaks, and the rollup is one more agg on the SAME
+    // user-partitioned exchange. All windows partition by user —
+    // bounded per key, never global.
+    "q_sessionize" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap_s", unix_timestamp(col("ts"))
+          - unix_timestamp(lag(col("ts"), 1).over(w)))
+        .withColumn("brk",
+          when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+        .withColumn("session", sum(col("brk")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      ev.groupBy(col("user_id"), col("session"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_timestamp(max(col("ts")))
+            - unix_timestamp(min(col("ts")))).as("sess_seconds"))
+    }),
+
     // Fixed-point PageRank (3 damped rounds) over the supplier →
     // customer fulfillment graph — link-centrality as a corpus
     // quality signal, the second iterative graph op next to
@@ -891,6 +947,32 @@ object QueryLayerPack extends QueryPack {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  TRUE AS approx_ok
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // CMS contract booleans asserted TRUE (a FALSE on the Spark side
+    // = sketch out of contract = hash miss), exact top-k replayed
+    "q_heavy_hitters" ->
+      """SELECT user_id, count(*) AS exact,
+        |  TRUE AS never_under, TRUE AS bound_ok
+        |FROM events GROUP BY user_id
+        |ORDER BY exact DESC, user_id LIMIT 20""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |           FROM events),
+        |g AS (SELECT user_id, ts, event_id,
+        |        date_diff('second',
+        |          lag(ts, 1) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id), ts) AS gap_s
+        |      FROM e),
+        |sess AS (SELECT user_id, ts,
+        |           CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800
+        |                         THEN 1 ELSE 0 END)
+        |             OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+        |         FROM g)
+        |SELECT user_id, session, count(*) AS n_events,
+        |  date_diff('second', min(ts), max(ts)) AS sess_seconds
+        |FROM sess GROUP BY user_id, session""".stripMargin,
 
     "q_percentiles_approx" ->
       """SELECT l_returnflag,

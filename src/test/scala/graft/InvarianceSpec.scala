@@ -27,6 +27,8 @@ class InvarianceSpec extends SparkSpec {
     "tx_quality",           // dround ratio combinations
     "sp_epoch_shuffle",     // zipWithIndex positions across range widths
     "sp_epoch_feed",        // pack bins + sequence-grain permutation + slot windows
+    "q_sessionize",         // lag + running-sum session ids across user windows
+    "ds_cdc_chunks",        // per-doc chunk windows + corpus-wide hash histogram
     "sim_sq8_topk",         // quantized-decode float ranking
     "ds_fuzzy_apply")       // blocked pairs + components fixpoint
 
