@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (Raghavan et al. 2007) — the third
+  * iterative graph operator next to [[PageRank]] and [[Components]]:
+  * community detection as a corpus-structure signal (near-dup
+  * *neighborhoods*, source cliques, citation clusters — the grouping
+  * that components can't see because it requires DENSITY, not mere
+  * reachability).
+  *
+  * Semantics (declared): labels start as the node id; each round
+  * every node adopts the most frequent label among its NEIGHBORS'
+  * current labels, tiebreaking on the smallest label; rounds are
+  * synchronous (all nodes update from the same snapshot), which is
+  * what makes the result deterministic and oracle-replayable —
+  * asynchronous LPA is order-dependent by construction. A fixed
+  * small round count (2 here) is the useful regime: LPA's signal
+  * forms in the first rounds and oscillation risk grows after.
+  *
+  * Scale shape per round: ONE shuffle-join of the label frame onto
+  * the cached symmetric edges + one map-side-combined (node, label)
+  * count + the argmax as `min(struct(-cnt, label))` — an ordinary
+  * partial-aggregable agg, NOT a per-node sort window. Edges are
+  * cached once, hash-partitioned on the join side; the loop runs on
+  * a [[LoopWidth]]-sized session like PageRank. Integer counts and
+  * the total (cnt, label) tiebreak make every round exact-replayable.
+  */
+object LabelProp {
+
+  /** `iters` synchronous rounds over `edges(a, b)` (made symmetric
+    * here); returns (node, label) fully materialized with loop
+    * caches released. */
+  def propagate(edges: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val sym = edges.select(col("a"), col("b"))
+        .union(edges.select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frames += sym
+      val nEdges = sym.count()
+      val p = LoopWidth.partitionsFor(nEdges, spark)
+      LoopWidth.onSizedSession(sym, p) { eBase =>
+        val e = eBase.repartition(p, col("a"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        frames += e
+        var labels = e.select(col("a").as("node")).distinct()
+          .withColumn("label", col("node"))
+        (1 to iters).foreach { _ =>
+          val counts = e
+            .join(labels.withColumnRenamed("node", "a"), "a")
+            .groupBy(col("b").as("node"), col("label"))
+            .agg(count(lit(1)).as("cnt"))
+          // argmax by (cnt DESC, label ASC) as a partial-aggregable
+          // min(struct(-cnt, label)) — never a per-node sort window
+          labels = counts.groupBy("node")
+            .agg(min(struct((-col("cnt")).as("nc"), col("label").as("lab")))
+              .as("m"))
+            .select(col("node"), col("m.lab").as("label"))
+        }
+        labels.localCheckpoint(eager = true)
+      }
+    } finally frames.foreach(_.unpersist(blocking = false))
+  }
+
+  /** One unrolled round as oracle CTEs: needs `e(a, b)` (symmetric)
+    * and `l{t-1}(node, label)` in scope; emits `c{t}` and `l{t}`.
+    * The struct min mirrors [[propagate]]'s tiebreak exactly. */
+  def sqlStepCtes(t: Int): String =
+    s"""c$t AS (SELECT e.b AS node, l.label, count(*) AS cnt
+       |  FROM e JOIN l${t - 1} l ON e.a = l.node
+       |  GROUP BY e.b, l.label),
+       |l$t AS (SELECT node,
+       |    (min(struct_pack(nc := -cnt, lab := label))).lab AS label
+       |  FROM c$t GROUP BY node)""".stripMargin
+}

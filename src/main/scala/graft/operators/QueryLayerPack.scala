@@ -589,6 +589,20 @@ object QueryLayerPack extends QueryPack {
       PageRank.fixedPoint(edges, iters = 3)
     }),
 
+    // Synchronous label propagation (2 rounds) over the same
+    // supplier → customer graph as q_pagerank — community detection
+    // as the third iterative graph op (density grouping, where
+    // components see only reachability). Loop design + the
+    // partial-aggregable argmax in [[LabelProp]].
+    "q_labelprop" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("a"),
+          (col("o_custkey") + lit(CustOffset)).as("b"))
+      LabelProp.propagate(edges, iters = 2)
+    }),
+
     // approx_percentile (KLL-style sketch): the 100 TB form of
     // q_percentiles — exact `percentile` buffers every value of a
     // group in executor memory, a sketch keeps a bounded summary and
@@ -939,6 +953,18 @@ object QueryLayerPack extends QueryPack {
          |${PageRank.sqlStepCtes(2)},
          |${PageRank.sqlStepCtes(3)}
          |SELECT node, rank FROM r3""".stripMargin,
+
+    // symmetric edges once, then the 2 unrolled argmax rounds
+    // (LabelProp.sqlStepCtes is the shared fragment source)
+    "q_labelprop" ->
+      s"""WITH ed AS (SELECT DISTINCT l_suppkey AS a,
+         |                  o_custkey + $CustOffset AS b
+         |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+         |l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+         |${LabelProp.sqlStepCtes(1)},
+         |${LabelProp.sqlStepCtes(2)}
+         |SELECT node, label FROM l2""".stripMargin,
 
     // The sketch queries hash their deterministic surface: exact
     // values + error-bound booleans the oracle asserts as TRUE (a

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Synchronous LPA: differential against a local reference with the
+  * same declared semantics (neighbor-only votes, (cnt DESC, label
+  * ASC) tiebreak, synchronous snapshots), a hand case pinning the
+  * sync/oscillation behavior, and partition invariance. */
+class LabelPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refProp(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = (edges ++ edges.map(e => (e._2, e._1))).distinct
+    val nbrs = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = nbrs.keys.map(n => n -> n).toMap
+    (1 to iters).foreach { _ =>
+      labels = nbrs.map { case (n, ns) =>
+        val votes = ns.map(labels).groupBy(identity).view.mapValues(_.size)
+        n -> votes.toSeq.minBy { case (lab, cnt) => (-cnt, lab) }._1
+      }
+    }
+    labels
+  }
+
+  private def prop(edges: Seq[(Long, Long)], iters: Int,
+                   parts: Int = 4): Map[Long, Long] =
+    LabelProp.propagate(edges.toDF("a", "b").repartition(parts), iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("two cliques with a bridge: density groups each clique, bridge doesn't merge") {
+    // clique {1,2,3}, clique {10,11,12}, bridge 3-10: by round 3 each
+    // clique is uniform on one label and the two communities stay
+    // distinct — the density grouping components cannot express
+    // (reachability would merge everything through the bridge)
+    val cl = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val got = prop(cl, 3)
+    val ref = refProp(cl, 3)
+    assert(got == ref, s"distributed $got != reference $ref")
+    assert(got(1L) == got(2L) && got(2L) == got(3L),
+      s"left clique must be one community: $got")
+    assert(got(10L) == got(11L) && got(11L) == got(12L),
+      s"right clique must be one community: $got")
+    assert(got(1L) != got(10L), s"bridge must not merge the cliques: $got")
+  }
+
+  test("star graph: synchronous rounds swap center and leaves (declared)") {
+    // leaves adopt the center's label while the center adopts the
+    // leaves' — the classic sync-LPA oscillation, pinned here as the
+    // DECLARED deterministic behavior (async would be order-dependent)
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L))
+    val r1 = prop(star, 1)
+    assert(r1 == Map(10L -> 1L, 1L -> 10L, 2L -> 10L, 3L -> 10L), s"$r1")
+    val r2 = prop(star, 2)
+    assert(r2 == refProp(star, 2), s"$r2")
+  }
+
+  test("differential: random graphs match the reference exactly") {
+    val rnd = new scala.util.Random(13)
+    (0 until 4).foreach { trial =>
+      val n = 30
+      val edges = Seq.fill(60)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val iters = 1 + trial % 3
+      val got = prop(edges, iters)
+      val ref = refProp(edges, iters)
+      assert(got == ref, s"trial $trial iters=$iters: $got != $ref")
+    }
+  }
+
+  test("labels are partition-count invariant") {
+    val rnd = new scala.util.Random(29)
+    val edges = Seq.fill(80)(
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    assert(prop(edges, 2, parts = 1) == prop(edges, 2, parts = 11))
+  }
+}
