@@ -291,6 +291,12 @@ object DedupPack extends QueryPack {
     // length, never global); chunk hashes partial-aggregate map-side.
     "ds_cdc_chunks" -> ((s, dir) => cdcChunks(tokenized(s, dir))),
 
+    // ...and its APPLY step: first occurrence of each chunk content
+    // wins, docs reassemble from surviving chunks — ds_chunk_dedup's
+    // retention rule at content-defined granularity, so the dedup
+    // survives the insert/shift edits that break the fixed windows.
+    "ds_cdc_apply" -> ((s, dir) => cdcApply(tokenized(s, dir))),
+
     // Duplicated-SUBSTRING coverage (the ExactSubstr form of Lee et
     // al., "Deduplicating Training Data Makes Language Models
     // Better", ACL 2022 — approximated with fixed k-gram seeds
@@ -428,25 +434,32 @@ object DedupPack extends QueryPack {
     * [[SpanGram]]. */
   val CdcMod = 8
 
-  /** The ds_cdc_chunks body over a (doc_id, toks) frame. */
-  def cdcChunks(tokens: DataFrame): DataFrame = {
+  /** Content-defined chunk grain shared by ds_cdc_chunks and
+    * ds_cdc_apply: (doc_id, chunk, n_toks, text, h) with chunk text
+    * assembled in POSITION order via the sort_array(struct) idiom —
+    * collect_list alone would hash partition-arrival order. */
+  def cdcChunked(tokens: DataFrame): DataFrame = {
     val tok = tokens.select(col("doc_id"),
       posexplode(col("toks")).as(Seq("pos", "tok")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val chunked = tok
+    tok
       .withColumn("b",
         when(Hashing.h32(col("tok")) % CdcMod === 0, 1L).otherwise(0L))
       .withColumn("chunk", sum(col("b")).over(w))
-    // chunk content in POSITION order via the sort_array(struct)
-    // idiom — collect_list alone would hash partition-arrival order
-    val chunks = chunked.groupBy(col("doc_id"), col("chunk"))
+      .groupBy(col("doc_id"), col("chunk"))
       .agg(count(lit(1)).as("n_toks"),
-        md5(array_join(transform(
+        array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok")), " ")).as("h"))
+          x => x.getField("tok")), " ").as("text"))
+      .withColumn("h", md5(col("text")))
+  }
+
+  /** The ds_cdc_chunks body over a (doc_id, toks) frame. */
+  def cdcChunks(tokens: DataFrame): DataFrame = {
+    val chunks = cdcChunked(tokens)
     val hist = chunks.groupBy("h").agg(count(lit(1)).as("cnt"))
     chunks.join(hist, Seq("h"))
       .groupBy("doc_id")
@@ -458,6 +471,23 @@ object DedupPack extends QueryPack {
         graft.Det.dround(col("dup_toks").cast("double") / col("all_toks"), 4)
           .as("dup_token_frac"))
   }
+
+  /** The ds_cdc_apply body: first occurrence of each chunk content
+    * wins (min (doc_id, chunk) — the [[chunkDedup]] retention rule at
+    * CDC granularity); docs reassemble from surviving chunks in chunk
+    * order. The winner pick is a map-side-combined min(struct), the
+    * reassembly one groupBy per doc. */
+  def cdcApply(tokens: DataFrame): DataFrame =
+    cdcChunked(tokens)
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("chunk"), col("text"))).as("w"))
+      .groupBy(col("w.doc_id").as("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("w.chunk").as("chunk"),
+            col("w.text").as("text")))),
+          x => x.getField("text")), " ").as("dedup_text"),
+        count(lit(1)).as("n_kept"))
 
   /** Seed gram width for ds_dup_spans: spans shorter than this many
     * tokens are not considered duplication (Lee et al. use 50 BPE
@@ -762,6 +792,24 @@ object DedupPack extends QueryPack {
       |               AS BIGINT) AS simhash
       |        FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** Shared oracle fragment: the content-defined chunk grain (t,
+    * tok, c, ch CTEs — `ch(doc_id, chunk, n_toks, txt, h)`) mirroring
+    * [[cdcChunked]]. */
+  private def cdcChunkSql(): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |tok AS (SELECT doc_id, g.j AS pos, ts[g.j + 1] AS tok
+       |        FROM t, UNNEST(generate_series(0, len(ts) - 1)) AS g(j)),
+       |c AS (SELECT doc_id, pos, tok,
+       |        sum(CASE WHEN ${Hashing.sqlH32("tok")} % $CdcMod = 0
+       |                 THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS UNBOUNDED PRECEDING) AS chunk
+       |      FROM tok),
+       |ch AS (SELECT doc_id, chunk, count(*) AS n_toks,
+       |         array_to_string(list(tok ORDER BY pos), ' ') AS txt,
+       |         md5(array_to_string(list(tok ORDER BY pos), ' ')) AS h
+       |       FROM c GROUP BY doc_id, chunk)""".stripMargin
+
   /** The [[fuzzyNear]] predicate in DuckDB: char levenshtein ≤ 2 OR
     * identical sorted token multisets (word reorder). */
   private def fuzzyNearSql(ta: String, tb: String): String =
@@ -1022,18 +1070,7 @@ object DedupPack extends QueryPack {
          |GROUP BY doc_id""".stripMargin,
 
     "ds_cdc_chunks" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |tok AS (SELECT doc_id, g.j AS pos, ts[g.j + 1] AS tok
-         |        FROM t, UNNEST(generate_series(0, len(ts) - 1)) AS g(j)),
-         |c AS (SELECT doc_id, pos, tok,
-         |        sum(CASE WHEN ${Hashing.sqlH32("tok")} % $CdcMod = 0
-         |                 THEN 1 ELSE 0 END)
-         |          OVER (PARTITION BY doc_id ORDER BY pos
-         |                ROWS UNBOUNDED PRECEDING) AS chunk
-         |      FROM tok),
-         |ch AS (SELECT doc_id, chunk, count(*) AS n_toks,
-         |         md5(array_to_string(list(tok ORDER BY pos), ' ')) AS h
-         |       FROM c GROUP BY doc_id, chunk),
+      s"""WITH ${cdcChunkSql()},
          |hist AS (SELECT h, count(*) AS cnt FROM ch GROUP BY h)
          |SELECT doc_id, count(*) AS n_chunks,
          |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
@@ -1042,6 +1079,18 @@ object DedupPack extends QueryPack {
               "CAST(sum(CASE WHEN cnt > 1 THEN n_toks ELSE 0 END) AS DOUBLE)" +
                 " / sum(n_toks)", 4)} AS dup_token_frac
          |FROM ch JOIN hist USING (h) GROUP BY doc_id""".stripMargin,
+
+    "ds_cdc_apply" ->
+      s"""WITH ${cdcChunkSql()},
+         |ranked AS (SELECT doc_id, chunk, txt,
+         |             row_number() OVER (PARTITION BY h
+         |                                ORDER BY doc_id, chunk) AS rn
+         |           FROM ch)
+         |SELECT doc_id,
+         |       string_agg(txt, ' ' ORDER BY chunk) AS dedup_text,
+         |       count(*) AS n_kept
+         |FROM ranked WHERE rn = 1
+         |GROUP BY doc_id""".stripMargin,
 
     "ds_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts

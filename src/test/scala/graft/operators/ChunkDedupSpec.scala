@@ -100,6 +100,24 @@ class ChunkDedupSpec extends SparkSpec {
     }
   }
 
+  test("cdcApply: first occurrence wins; docs reassemble in chunk order") {
+    // identical docs: the earlier doc keeps everything, the later
+    // one loses every chunk and disappears from the output; a doc
+    // with fresh content keeps all chunks and reassembles exactly
+    val docs = Seq((5L, "p q r s t u v w"), (6L, "p q r s t u v w"),
+        (7L, "fresh words only here"))
+      .toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val byId = DedupPack.cdcApply(toks)
+      .select("doc_id", "dedup_text", "n_kept")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId.contains(5L) && !byId.contains(6L),
+      s"the later twin must lose every chunk: $byId")
+    assert(byId(5L)._1 == "p q r s t u v w",
+      s"winner must reassemble its full text in order: ${byId(5L)}")
+    assert(byId(7L)._1 == "fresh words only here", s"${byId(7L)}")
+  }
+
   test("decontaminate: train doc sharing an eval n-gram is flagged") {
     val sf = "/root/testdata/sf0.001"
     val out = DedupPack.queries("ds_decontaminate")(spark, sf)
