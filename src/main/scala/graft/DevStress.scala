@@ -347,6 +347,37 @@ object DevStress {
       val mx = pos.agg(max(col("pos"))).head().getLong(0)
       println(f"[stress] x$factor%-3d global_index max_pos       ${mx}%10d (rows ${n}%d)")
     }
+    // content-defined chunking at width: token-grain explode + a
+    // per-doc window + chunk-hash partial aggs — wall must track
+    // input tokens (the dup_spans cost class), and replication makes
+    // every chunk a corpus-wide duplicate (worst-case histogram skew:
+    // each chunk hash carries `factor` copies, partial-agg bounded)
+    if (wants("cdc_chunks")) {
+      val cdcToks = spark.read.parquet("/tmp/stress_docs")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      time("cdc_chunks", DedupPack.cdcChunks(cdcToks))
+      time("cdc_apply", DedupPack.cdcApply(cdcToks))
+    }
+
+    // label propagation: same graph shape as pagerank — per round one
+    // join of labels onto cached symmetric edges + a map-side argmax
+    // agg; wall must track edges, not rounds × width
+    if (wants("labelprop")) {
+      val li = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+      val e1 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("a"),
+          (col("o_custkey") + lit(1L << 40)).as("b"))
+      val shift = 1L << 50
+      val eBig = e1.crossJoin(spark.range(factor).select(col("id").as("rep")))
+        .select((col("a") + col("rep") * shift).as("a"),
+          (col("b") + col("rep") * shift).as("b"))
+      val t0 = System.nanoTime()
+      val n2 = graft.operators.LabelProp.propagate(eBig, iters = 2).count()
+      println(f"[stress] x$factor%-3d labelprop_2rounds         ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n2%10d rows")
+    }
+
     // BPE vocabulary training: per-iteration cost must be FLAT in K
     // (each round is one scan of the cached symbol corpus + a pair
     // groupBy over tiny cardinality + a 1-row top collect; the corpus
