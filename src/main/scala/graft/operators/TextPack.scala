@@ -43,6 +43,25 @@ object TextPack extends QueryPack {
     * to the rounded score, so the cut is engine-exact. */
   val QualityBar = 0.55
 
+  /** tx_gopher_rules bounds. Token bounds follow the published rule
+    * shape (min length, max length); the word-length band and
+    * stopword floor are tightened from the published English-crawl
+    * values so every rule fires on a measurable slice of the
+    * synthetic corpus (mean word length here spans 3.7–5.3) — the
+    * rules are configuration, the integer-compare evaluation is the
+    * operator. */
+  val GopherMinTokens = 50L
+  val GopherMaxTokens = 100000L
+  val GopherWordLenLo = 4L
+  val GopherWordLenHi = 8L
+  val GopherMinStopHits = 2L
+
+  /** tx_bm25_topk query terms + result size. Mid-df corpus terms
+    * (df ≈ 380–394 of 500 at sf0.01) so idf, tf, and length
+    * normalization all contribute to the ranking. */
+  val Bm25Terms = Seq("vector", "hash", "merge")
+  val Bm25K = 10
+
   /** tx_chunk_windows geometry: window tokens / stride tokens. The
     * 16-token overlap is the context-continuity margin a pretraining
     * or retrieval chunker keeps across boundaries. */
@@ -399,7 +418,85 @@ object TextPack extends QueryPack {
         .select(
           col("doc_id"),
           Hashing.h32(col("text")).as("fp_text"),
-          array_min(col("hs")).as("fp_min_shingle")))
+          array_min(col("hs")).as("fp_min_shingle"))),
+
+    // Gopher/Dolma-style composite rule filter — the cheap pass/fail
+    // gate a pretraining pipeline runs FIRST, before any dedup or
+    // model scoring touches a byte. Five rules, every comparison an
+    // integer cross-multiply (mean-word-length ∈ [lo,hi] is checked
+    // as lo·n ≤ Σlen ≤ hi·n — no floats anywhere), so the verdicts
+    // hash-replay exactly. Pure scan stage: at 100 TB this is one
+    // pass with zero shuffles, and the `pass` predicate pushes into
+    // any downstream scan that filters on it.
+    "tx_gopher_rules" -> ((s, dir) =>
+      tokenized(s, dir)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          isum(transform(col("toks"), t => length(t).cast("long")))
+            .as("sum_len"),
+          stopCount(col("toks"), stopEn ++ stopEs ++ stopDe).cast("long")
+            .as("n_stop"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") < GopherMinTokens).as("flag_short"),
+          (col("n_tokens") > GopherMaxTokens).as("flag_long"),
+          (col("sum_len") < lit(GopherWordLenLo) * col("n_tokens") ||
+            col("sum_len") > lit(GopherWordLenHi) * col("n_tokens"))
+            .as("flag_word_len"),
+          (col("n_stop") < GopherMinStopHits).as("flag_stopword"),
+          ((col("n_tokens") - col("n_distinct")) * 2 > col("n_tokens"))
+            .as("flag_repetition"))
+        .withColumn("n_flags",
+          col("flag_short").cast("long") + col("flag_long").cast("long") +
+            col("flag_word_len").cast("long") +
+            col("flag_stopword").cast("long") +
+            col("flag_repetition").cast("long"))
+        .withColumn("pass", col("n_flags") === 0)),
+
+    // BM25 retrieval: global top-K documents for a fixed conjunctive
+    // term set over the inverted-index dataflow. IDF uses the exact
+    // RATIONAL Robertson form (N−df+½)/(df+½) instead of its log —
+    // libm is not bit-identical across engines (the tx_tfidf_terms
+    // precedent); with k1 = 6/5 and b = 3/4 the whole per-term score
+    // clears denominators into two exact long products and ONE IEEE
+    // division:  (2N−2df+1)·22·tf·T / ((2df+1)·(10·tf·T + 3T + 9·dl·N)).
+    // Per-doc totals accumulate as 1e-8 fixed-point longs (order-free
+    // sum). Plan: the term filter pushes into the scan, df is a
+    // |Q|-row broadcast, corpus stats a 1-row broadcast, and the
+    // global cut is TakeOrderedAndProject (per-partition bounded
+    // top-K, never a full sort). At 100 TB: one scan + one
+    // doc_id-keyed partial-agg shuffle over matched docs only.
+    "tx_bm25_topk" -> ((s, dir) => {
+      val toks = tokenized(s, dir)
+      val stats = toks.agg(count(lit(1)).as("n"),
+        sum(size(col("toks")).cast("long")).as("t"))
+      val hits = toks
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          explode(col("toks")).as("token"))
+        .filter(col("token").isInCollection(Bm25Terms))
+        .groupBy(col("doc_id"), col("dl"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = hits.groupBy("token").agg(count(lit(1)).as("df"))
+      val perTerm = hits.join(broadcast(dfreq), Seq("token"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          ((lit(2) * col("n") - lit(2) * col("df") + lit(1)).cast("double") *
+            (lit(22) * col("tf") * col("t")).cast("double") /
+            ((lit(2) * col("df") + lit(1)).cast("double") *
+              (lit(10) * col("tf") * col("t") + lit(3) * col("t") +
+                lit(9) * col("dl") * col("n")).cast("double")))
+            .as("term_score"))
+      // no rank column: (score desc, doc_id) is a total order, so
+      // top-K membership + score IS the ranking — a rank window over
+      // even K rows would plan unpartitioned (banned engine-wide,
+      // PlanContractSpec); tx_top_ngrams sets the precedent
+      perTerm.groupBy("doc_id")
+        .agg((sum(floor(col("term_score") * lit(1e8) + lit(0.5))
+            .cast("long")) / lit(1e8)).as("score"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(Bm25K)
+    })
   )
 
   private def sqlStop(words: Seq[String]): String =
@@ -632,6 +729,53 @@ object TextPack extends QueryPack {
         |SELECT t.doc_id,
         |       ('0x' || substr(md5(t.text), 1, 8))::BIGINT AS fp_text,
         |       mn.fp_min_shingle
-        |FROM t JOIN mn ON t.doc_id = mn.doc_id""".stripMargin
+        |FROM t JOIN mn ON t.doc_id = mn.doc_id""".stripMargin,
+
+    "tx_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST($nToks AS BIGINT) AS n_tokens,
+         |    CAST($nDistinct AS BIGINT) AS n_distinct,
+         |    CAST(list_sum(list_transform(string_split(text, ' '),
+         |      x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS sum_len,
+         |    CAST(${sqlStop(stopEn ++ stopEs ++ stopDe)} AS BIGINT) AS n_stop
+         |  FROM documents),
+         |f AS (SELECT doc_id, n_tokens,
+         |    n_tokens < $GopherMinTokens AS flag_short,
+         |    n_tokens > $GopherMaxTokens AS flag_long,
+         |    (sum_len < $GopherWordLenLo * n_tokens OR
+         |     sum_len > $GopherWordLenHi * n_tokens) AS flag_word_len,
+         |    n_stop < $GopherMinStopHits AS flag_stopword,
+         |    (n_tokens - n_distinct) * 2 > n_tokens AS flag_repetition
+         |  FROM t)
+         |SELECT *,
+         |  CAST(flag_short AS BIGINT) + CAST(flag_long AS BIGINT) +
+         |    CAST(flag_word_len AS BIGINT) + CAST(flag_stopword AS BIGINT) +
+         |    CAST(flag_repetition AS BIGINT) AS n_flags,
+         |  NOT (flag_short OR flag_long OR flag_word_len OR flag_stopword
+         |       OR flag_repetition) AS pass
+         |FROM f""".stripMargin,
+
+    "tx_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |st AS (SELECT count(*) AS n, CAST(sum(len(ts)) AS BIGINT) AS t FROM t),
+         |hit AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+         |          unnest(ts) AS token FROM t),
+         |tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM hit
+         |       WHERE token IN (${Bm25Terms.map(w => s"'$w'").mkString(", ")})
+         |       GROUP BY 1, 2, 3),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |term AS (SELECT tf.doc_id,
+         |    CAST(2 * st.n - 2 * df.df + 1 AS DOUBLE) *
+         |      CAST(22 * tf.tf * st.t AS DOUBLE) /
+         |      (CAST(2 * df.df + 1 AS DOUBLE) *
+         |       CAST(10 * tf.tf * st.t + 3 * st.t + 9 * tf.dl * st.n AS DOUBLE))
+         |      AS ts
+         |  FROM tf JOIN df USING (token) CROSS JOIN st),
+         |sc AS (SELECT doc_id,
+         |    CAST(sum(CAST(floor(ts * 1e8 + 0.5) AS BIGINT)) AS BIGINT) / 1e8
+         |      AS score,
+         |    count(*) AS n_terms FROM term GROUP BY 1)
+         |SELECT doc_id, n_terms, score
+         |FROM sc ORDER BY score DESC, doc_id LIMIT $Bm25K""".stripMargin
   )
 }

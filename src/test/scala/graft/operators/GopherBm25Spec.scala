@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Handcrafted semantics for the Gopher-rule gate and BM25 ranking —
+  * the oracle pins them on the sf corpus; these pin each rule / score
+  * component on rows built to isolate it.
+  */
+class GopherBm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("gbsf").toString
+    rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val filler =
+    (1 to 60).map(i => s"word$i").mkString(" ") // 60 distinct 5-6 char tokens
+
+  test("tx_gopher_rules: each rule fires in isolation; clean doc passes") {
+    val dir = docsDir(Seq(
+      // 1: clean — 60 distinct mid-length words + 2 stopwords
+      (1L, s"$filler the and"),
+      // 2: short — 3 tokens (also trips stopword + word-len floor is
+      //    fine: mean len 5)
+      (2L, "words words words"),
+      // 3: word-len — 60 one-char tokens (mean 1 < lo), distinct? no —
+      //    use distinct single chars a-z plus digits repeated… keep it
+      //    repetitive-free by using 52 distinct 1-char symbols
+      (3L, (('a' to 'z') ++ ('A' to 'Z')).map(_.toString).mkString(" ") +
+        " the and " + (1 to 10).map(i => s"w$i").mkString(" ")),
+      // 4: stopword — long diverse doc with zero stopwords
+      (4L, filler),
+      // 5: repetition — 60 tokens, only 10 distinct, stopwords present
+      (5L, ("the and " + (1 to 58).map(i => s"w${i % 8}").mkString(" ")))))
+    val got = TextPack.queries("tx_gopher_rules")(spark, dir)
+      .select("doc_id", "flag_short", "flag_long", "flag_word_len",
+        "flag_stopword", "flag_repetition", "pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, false, false, false, false, false, true)))
+    assert(got(2L)._2, "3 tokens must flag short")
+    assert(!got(2L)._7)
+    assert(got(3L)._4, "1-char tokens must flag word_len")
+    assert(!got(3L)._2 && !got(3L)._6)
+    assert(got(4L) == ((4L, false, false, false, true, false, false)))
+    assert(got(5L)._6, "10 distinct of 60 must flag repetition")
+    assert(!got(5L)._5)
+  }
+
+  test("tx_bm25_topk: tf raises, doc length damps, rarity raises idf") {
+    val pad = (1 to 20).map(i => s"p$i").mkString(" ")
+    val longPad = (1 to 200).map(i => s"q$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, s"vector vector vector $pad"), // high tf, short
+      (2L, s"vector $pad"),               // low tf, short
+      (3L, s"vector vector vector $longPad"), // high tf, long doc
+      (4L, s"merge $pad"),                // rarer term (df=1 vs 3)
+      (5L, s"no match here $pad")))
+    val got = TextPack.queries("tx_bm25_topk")(spark, dir)
+      .select("doc_id", "score")
+      .as[(Long, Double)].collect()
+    val score = got.toMap
+    assert(!score.contains(5L), "doc without query terms is unranked")
+    assert(score(1L) > score(2L), "higher tf outranks at equal length")
+    assert(score(1L) > score(3L), "same tf in a longer doc is damped")
+    // df(merge)=1 < df(vector)=3 → idf(merge) > idf(vector); at equal
+    // tf and equal length the rarer term scores higher
+    assert(score(4L) > score(2L), "rarer term outranks at equal tf/len")
+  }
+}
