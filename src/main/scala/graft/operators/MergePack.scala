@@ -161,6 +161,43 @@ object MergePack extends QueryPack {
         .select(col("user_id").cast("string").as("addr"),
           col("event_type").as("name"), lit("events").as("src"))
       Merge.mergeBySource(current, incoming, "src")
+    }),
+
+    // Snapshot diff — the delta a snapshot-rotating store (the
+    // ParquetDocStoreSink shape) publishes between two as-of views
+    // instead of shipping the full table: latest event per
+    // (user, event_type) entity over a 2-day ACTIVITY window at two
+    // cutoffs, full-outer joined into added / removed / changed rows
+    // (unchanged rows are the point — they're dropped; at sf0.01 the
+    // three classes split ~168/186/~260). Latest-per-key is the
+    // max(struct(ts, id, …)) argmax (map-side combinable partial
+    // agg, the q_argmax_latest precedent — never a per-entity sort
+    // window); the diff join is key-partitioned. At 100 TB: two
+    // pruned scans (the ts predicates reach the scan), two partial
+    // aggs, one co-partitioned join.
+    "m_snapshot_diff" -> ((s, dir) => {
+      def snap(from: String, upTo: String) = Tables.events(s, dir)
+        .filter(col("ts") >= lit(from).cast("timestamp") &&
+          col("ts") < lit(upTo).cast("timestamp"))
+        .groupBy("user_id", "event_type")
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+      val a = snap("2024-01-13 00:00:00", "2024-01-15 00:00:00")
+        .select(col("user_id"), col("event_type"),
+          col("m.event_id").as("old_event_id"),
+          col("m.value").as("old_value"))
+      val b = snap("2024-01-23 00:00:00", "2024-01-25 00:00:00")
+        .select(col("user_id"), col("event_type"),
+          col("m.event_id").as("new_event_id"),
+          col("m.value").as("new_value"))
+      a.join(b, Seq("user_id", "event_type"), "full_outer")
+        .withColumn("change",
+          when(col("old_event_id").isNull, "added")
+            .when(col("new_event_id").isNull, "removed")
+            .when(col("old_event_id") =!= col("new_event_id"), "changed"))
+        .filter(col("change").isNotNull)
+        .select(col("user_id"), col("event_type"), col("change"),
+          col("old_event_id"), col("old_value"),
+          col("new_event_id"), col("new_value"))
     })
   )
 
@@ -259,6 +296,33 @@ object MergePack extends QueryPack {
         |         'docs' AS src FROM documents
         |  UNION ALL
         |  SELECT CAST(user_id AS VARCHAR), event_type, 'events'
-        |  FROM events WHERE event_type IN ('click', 'view'))""".stripMargin
+        |  FROM events WHERE event_type IN ('click', 'view'))""".stripMargin,
+
+    // row_number over (ts DESC, event_id DESC) = max(struct(ts, id)):
+    // event_id is unique, so both pick the identical latest row
+    "m_snapshot_diff" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |             event_type, value FROM events),
+        |s1 AS (SELECT user_id, event_type, event_id, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e WHERE ts >= TIMESTAMP '2024-01-13 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1),
+        |s2 AS (SELECT user_id, event_type, event_id, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e WHERE ts >= TIMESTAMP '2024-01-23 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-25 00:00:00') WHERE rn = 1)
+        |SELECT coalesce(s2.user_id, s1.user_id) AS user_id,
+        |  coalesce(s2.event_type, s1.event_type) AS event_type,
+        |  CASE WHEN s1.user_id IS NULL THEN 'added'
+        |       WHEN s2.user_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change,
+        |  s1.event_id AS old_event_id, s1.value AS old_value,
+        |  s2.event_id AS new_event_id, s2.value AS new_value
+        |FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+        |  AND s1.event_type = s2.event_type
+        |WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+        |   OR s1.event_id <> s2.event_id""".stripMargin
   )
 }

@@ -20,6 +20,11 @@ object SamplePack extends QueryPack {
     * test SF. */
   val PackBudget = 2048
 
+  /** sp_token_budget global budget — ~⅓ of the sf0.01 corpus's
+    * ~27 k tokens, so derived rates spread well below saturation
+    * across the four weight classes. */
+  val TokenBudget = 10000L
+
   /** sp_time_split cutoff — mid-range of the events fixture's
     * 2024-01 span at every SF, so both splits are populated. Kept as
     * a STRING and cast in the session (UTC) timezone —
@@ -313,6 +318,51 @@ object SamplePack extends QueryPack {
         .groupBy("bin")
         .agg(count(lit(1)).as("n"), min(col("n_chars")).as("lo_chars"),
           max(col("n_chars")).as("hi_chars"))
+    }),
+
+    // Token-budget mix planner + apply: given a global token budget
+    // and per-source target weights, derive the per-source sampling
+    // rate that lands the mixture on target, then apply it as a
+    // deterministic hash sample and report planned-vs-actual — the
+    // job that turns "50% web / 30% books / 20% code" into an actual
+    // corpus. Weights here key off the source index (four weight
+    // classes) so the plan exercises under- and over-subscribed
+    // sources; rates are per-mille integers, divisions are floors of
+    // exact-long doubles (< 2^53, bit-identical both engines). Plan:
+    // one per-source agg (|S| rows), rates broadcast back onto the
+    // scan, the rate filter runs scan-stage, one more per-source agg
+    // — at 100 TB two corpus scans and two |S|-row shuffles, nothing
+    // keyed wider than the source dimension.
+    "sp_token_budget" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+      val wpm = ((regexp_extract(col("source"), "([0-9]+)", 1)
+        .cast("long") % 4 + 1) * lit(20)).as("weight_permille")
+      val totals = d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .withColumn("weight_permille", wpm)
+        .withColumn("desired_tokens",
+          floor(col("weight_permille").cast("double") * lit(TokenBudget)
+            / lit(1000)).cast("long"))
+        .withColumn("rate_permille",
+          least(lit(1000L), floor(col("desired_tokens").cast("double")
+            * lit(1000) / col("n_tokens")).cast("long")))
+      val sampled = d
+        .join(broadcast(totals.select(col("source"), col("rate_permille"))),
+          Seq("source"))
+        .filter(graft.functions.Hashing.h32(
+          concat(lit("tb#"), col("doc_id").cast("string"))) % 1000
+          < col("rate_permille"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("sampled_docs"),
+          sum(col("n_toks")).as("sampled_tokens"))
+      totals.join(sampled, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("weight_permille"), col("desired_tokens"),
+          col("rate_permille"),
+          coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"),
+          coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
     })
   )
 
@@ -499,6 +549,36 @@ object SamplePack extends QueryPack {
         |      FROM documents d CROSS JOIN cuts)
         |SELECT bin, count(*) AS n, min(n_chars) AS lo_chars,
         |       max(n_chars) AS hi_chars
-        |FROM b GROUP BY bin""".stripMargin
+        |FROM b GROUP BY bin""".stripMargin,
+
+    "sp_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |tot AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |    (CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4 + 1)
+         |      * 20 AS weight_permille
+         |  FROM d GROUP BY source),
+         |plan AS (SELECT *,
+         |    CAST(floor(CAST(weight_permille AS DOUBLE) * $TokenBudget
+         |      / 1000) AS BIGINT) AS desired_tokens
+         |  FROM tot),
+         |rated AS (SELECT *,
+         |    least(1000, CAST(floor(CAST(desired_tokens AS DOUBLE) * 1000
+         |      / n_tokens) AS BIGINT)) AS rate_permille
+         |  FROM plan),
+         |got AS (SELECT d.source, count(*) AS sampled_docs,
+         |    CAST(sum(d.n_toks) AS BIGINT) AS sampled_tokens
+         |  FROM d JOIN rated USING (source)
+         |  WHERE ${graft.functions.Hashing.sqlH32(
+                  "'tb#' || CAST(doc_id AS VARCHAR)")} % 1000
+         |    < rated.rate_permille
+         |  GROUP BY d.source)
+         |SELECT r.source, r.n_docs, r.n_tokens, r.weight_permille,
+         |  r.desired_tokens, r.rate_permille,
+         |  coalesce(g.sampled_docs, 0) AS sampled_docs,
+         |  coalesce(g.sampled_tokens, 0) AS sampled_tokens
+         |FROM rated r LEFT JOIN got g ON r.source = g.source""".stripMargin
   )
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Handcrafted semantics for the token-budget mix planner and the
+  * snapshot diff — the oracle pins both on the sf corpus; these pin
+  * the rate math (incl. saturation) and each diff class on rows
+  * built to isolate them.
+  */
+class BudgetDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sp_token_budget: rates hit the target; oversubscribed source saturates") {
+    val dir = java.nio.file.Files.createTempDirectory("tbsf").toString
+    // src1 (class 2, weight 40‰ → wants 400 tokens) has only 30
+    // tokens available → rate saturates at 1000‰ and every doc
+    // samples; src0 (class 1, weight 20‰ → wants 200 of 4000) rates
+    // at 50‰.
+    val docs =
+      (1 to 400).map(i => (i.toLong, ("w " * 9).trim + " w", "en", "src0")) ++
+        (401 to 403).map(i => (i.toLong, ("w " * 9).trim + " w", "en", "src1"))
+    docs.map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = SamplePack.queries("sp_token_budget")(spark, dir)
+      .select("source", "n_tokens", "weight_permille", "desired_tokens",
+        "rate_permille", "sampled_tokens")
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val (_, n0, w0, d0, r0, s0) = got("src0")
+    assert((n0, w0, d0) == ((4000L, 20L, 200L)))
+    assert(r0 == 50L, s"rate = floor(1000·200/4000) = 50, got $r0")
+    // hash sample at 50‰ over 400 docs: close to, never exactly, the
+    // plan — assert the band, the oracle pins the exact draw
+    assert(s0 > 0 && s0 < 1000, s"sampled_tokens $s0 out of band")
+    val (_, n1, w1, d1, r1, s1) = got("src1")
+    assert((n1, w1, d1) == ((30L, 40L, 400L)))
+    assert(r1 == 1000L, "undersupplied source must saturate at 1000‰")
+    assert(s1 == 30L, "saturated rate keeps every token")
+  }
+
+  test("m_snapshot_diff: added/removed/changed isolated; unchanged dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("sdsf").toString
+    def ev(id: Long, ts: String, user: Long, tpe: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(ts), user, tpe, v, "{}")
+    Seq(
+      // user 1 click: in window A only → removed
+      ev(1, "2024-01-14 10:00:00", 1, "click", 1.0),
+      // user 2 view: in window B only → added
+      ev(2, "2024-01-24 10:00:00", 2, "view", 2.0),
+      // user 3 click: later event in B → changed, latest-per-window
+      // resolved by ts then event_id (4 beats 3 in A; 6 beats 5 in B)
+      ev(3, "2024-01-14 09:00:00", 3, "click", 3.0),
+      ev(4, "2024-01-14 11:00:00", 3, "click", 3.5),
+      ev(5, "2024-01-24 09:00:00", 3, "click", 4.0),
+      ev(6, "2024-01-24 09:00:00", 3, "click", 4.5), // ts tie → id wins
+      // user 4 purchase: SAME latest event id cannot happen across
+      // disjoint windows; unchanged is unreachable by construction —
+      // outside both windows → absent entirely
+      ev(7, "2024-01-01 00:00:00", 4, "purchase", 9.9))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = MergePack.queries("m_snapshot_diff")(spark, dir)
+      .select("user_id", "event_type", "change", "old_event_id",
+        "new_event_id")
+      .as[(Long, String, String, Option[Long], Option[Long])]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got((1L, "click")) == ((1L, "click", "removed", Some(1L), None)))
+    assert(got((2L, "view")) == ((2L, "view", "added", None, Some(2L))))
+    assert(got((3L, "click")) ==
+      ((3L, "click", "changed", Some(4L), Some(6L))),
+      "latest = max(ts, event_id) per window")
+    assert(!got.contains((4L, "purchase")), "out-of-window entity absent")
+  }
+}
