@@ -370,6 +370,44 @@ object SimilarityPack extends QueryPack {
           coalesce(col("is_dup"), lit(false)).as("is_dup"))
     }),
 
+    // Medoid / coreset selection: per cluster, the member with the
+    // highest total cosine to its peers — the representative a
+    // dataset-distillation or cluster-labeling pass keeps (one doc
+    // standing in for the cluster). Same blocking argument as
+    // SemDeDup directly above: pairs form ONLY within a cluster, so
+    // the quadratic is bounded by cluster size (k ∝ N keeps that
+    // flat — the ds_semantic_dedup scale probe's rule; a per-cluster
+    // peer cap is the further bound if one cluster degenerates).
+    // Per-pair cosines quantize to 1e-8 fixed-point longs, so the
+    // per-member sums are order-free and the argmax replays exactly.
+    // Singleton clusters have no peers and are (documented) absent.
+    "sim_medoid" -> ((s, dir) => {
+      val cents = IndexCache.centroids(s, dir)
+      val assigned = emb(s, dir).filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("nrm"),
+          KMeans.assign(
+            KMeans.scores(KMeans.quantized(col("embedding")), cents))
+            .as("cluster"))
+      val sums = assigned.alias("a").join(assigned.alias("b"),
+          col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.cluster").as("cluster"), col("a.vec_id").as("vec_id"),
+          floor((Similarity.dot(col("a.embedding"), col("b.embedding"))
+            / (col("a.nrm") * col("b.nrm"))) * lit(1e8) + lit(0.5))
+            .cast("long").as("cu"))
+        .groupBy("cluster", "vec_id")
+        .agg(sum(col("cu")).as("su"), count(lit(1)).as("n_peers"))
+      sums.groupBy("cluster")
+        .agg(max(struct(col("su"), (-col("vec_id")).as("nv"),
+          col("vec_id"), col("n_peers"))).as("m"))
+        .select(col("cluster"), col("m.vec_id").as("medoid"),
+          (col("m.n_peers") + 1).as("n_members"),
+          graft.Det.dround(
+            col("m.su").cast("double") / lit(1e8) / col("m.n_peers"), 6)
+            .as("mean_cos"))
+    }),
+
     // Index self-measurement ("measure, don't guess" applied to the
     // index itself): candidate recall AND precision of the capped
     // banded-LSH stage against exact ground truth, on a bounded probe
@@ -999,7 +1037,28 @@ object SimilarityPack extends QueryPack {
          |SELECT g.vec_id, g.cluster,
          |       EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = g.vec_id)
          |         AS is_dup
-         |FROM a3 g""".stripMargin
+         |FROM a3 g""".stripMargin,
+
+    // same trained assignment; max(struct(su, -vec_id)) = row_number
+    // over (su DESC, vec_id ASC)
+    "sim_medoid" ->
+      s"""WITH ${KMeans.sqlTrainCtes(2)},
+         |asg AS (SELECT a.vec_id, a.cluster, e.embedding
+         |        FROM a3 a JOIN embeddings e ON a.vec_id = e.vec_id),
+         |s AS (SELECT a.cluster, a.vec_id,
+         |        CAST(sum(CAST(floor(
+         |          ${sqlCos("a.embedding", "b.embedding")} * 1e8 + 0.5)
+         |          AS BIGINT)) AS BIGINT) AS su,
+         |        count(*) AS n_peers
+         |      FROM asg a JOIN asg b
+         |        ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+         |      GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+         |        ORDER BY su DESC, vec_id) AS rn FROM s)
+         |SELECT cluster, vec_id AS medoid, n_peers + 1 AS n_members,
+         |  ${graft.Det.droundSql("CAST(su AS DOUBLE) / 1e8 / n_peers", 6)}
+         |    AS mean_cos
+         |FROM r WHERE rn = 1""".stripMargin
   )
 
   /** Shared tail of the two ANN top-k oracles: exact-cosine scoring +

@@ -43,4 +43,38 @@ class SemanticDedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("sim_medoid: the medoid maximizes summed peer cosine in its cluster") {
+    val medoids = graft.SparkEntry.queries("sim_medoid")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val clusters = graft.SparkEntry.queries("ds_semantic_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCluster = clusters.groupBy(_._2)
+    assert(medoids.keySet == byCluster.keySet.filter(byCluster(_).length > 1),
+      "one medoid per non-singleton cluster")
+    for ((cl, members) <- byCluster if members.length > 1) {
+      // same quantization as the operator: 1e-8 fixed-point per pair
+      def su(id: Long): Long = members.collect {
+        case (peer, _) if peer != id =>
+          math.floor(cos(emb(id), emb(peer)) * 1e8 + 0.5).toLong
+      }.sum
+      val best = members.map(_._1).map(id => (id, su(id)))
+        .maxBy { case (id, s) => (s, -id) }
+      val (medoid, nMembers) = medoids(cl)
+      assert(medoid == best._1,
+        s"cluster $cl: medoid $medoid, recompute ${best._1}")
+      assert(nMembers == members.length)
+    }
+  }
 }
