@@ -49,11 +49,24 @@ object LoopWidth {
     * returns stay bound to the loop session — callers get
     * fixed-width plans (loop results are checkpoint-backed, so their
     * width is already decided). */
-  def onSizedSession[T](df: DataFrame, p: Int)(body: DataFrame => T): T = {
-    val spark = df.sparkSession
-    val name = "__graft_loop_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    df.createGlobalTempView(name)
+  def onSizedSession[T](df: DataFrame, p: Int)(body: DataFrame => T): T =
+    onSizedSession2(df, df, p)((a, _) => body(a))
+
+  /** Two-frame form for loops whose rounds join a second cached input
+    * (the classifier's features + labels): both frames re-base onto
+    * the ONE loop session, so every round's join plans at the sized
+    * width instead of mixing sessions. */
+  def onSizedSession2[T](df1: DataFrame, df2: DataFrame, p: Int)
+                        (body: (DataFrame, DataFrame) => T): T = {
+    val spark = df1.sparkSession
+    def view(df: DataFrame): String = {
+      val name = "__graft_loop_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      df.createGlobalTempView(name)
+      name
+    }
+    val n1 = view(df1)
+    val n2 = if (df2 eq df1) n1 else view(df2)
     try {
       val loopSession = spark.newSession()
       spark.conf.getAll.foreach { case (k, v) =>
@@ -63,7 +76,11 @@ object LoopWidth {
         catch { case _: org.apache.spark.sql.AnalysisException => () }
       }
       loopSession.conf.set("spark.sql.shuffle.partitions", p.toString)
-      body(loopSession.table(s"global_temp.$name"))
-    } finally spark.catalog.dropGlobalTempView(name)
+      body(loopSession.table(s"global_temp.$n1"),
+        loopSession.table(s"global_temp.$n2"))
+    } finally {
+      spark.catalog.dropGlobalTempView(n1)
+      if (n2 != n1) spark.catalog.dropGlobalTempView(n2)
+    }
   }
 }

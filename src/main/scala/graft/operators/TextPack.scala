@@ -56,6 +56,13 @@ object TextPack extends QueryPack {
   val GopherWordLenHi = 8L
   val GopherMinStopHits = 2L
 
+  /** Classifier label bar — the corpus MEDIAN quality (0.263 at
+    * sf0.01), so the weak labels split ~50/50 and the trained model
+    * has signal on both sides ([[QualityBar]] sits above the whole
+    * corpus and would yield all-negative labels — fine for a pass
+    * gate, degenerate for training). */
+  val ClfQualityBar = 0.26
+
   /** tx_bm25_topk query terms + result size. Mid-df corpus terms
     * (df ≈ 380–394 of 500 at sf0.01) so idf, tf, and length
     * normalization all contribute to the ranking. */
@@ -496,8 +503,46 @@ object TextPack extends QueryPack {
           count(lit(1)).as("n_terms"))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(Bm25K)
+    }),
+
+    // Quality-classifier TRAINING ([[Classifier]]): K full-batch GD
+    // steps over hashed presence features with weak quality labels —
+    // output is the learned 64-weight model (1e-6 units). The whole
+    // loop is fixed-point exact, so the oracle replays every step
+    // unrolled ([[Classifier.sqlTrainCtes]]).
+    "tx_classifier_train" -> ((s, dir) => {
+      val model = Classifier.train(
+        Classifier.features(tokenized(s, dir)), clfLabels(s, dir))
+      Classifier.weightsDF(s, model.w)
+    }),
+
+    // ...and the APPLY: score every doc under the trained model — one
+    // broadcast join of the 64-row weight table + one doc-keyed
+    // partial agg; at 100 TB scoring is one pass (the training loop
+    // ran once). Emits per-doc probability (units), the weak label,
+    // and the verdict — the frame a curation gate filters on.
+    "tx_classifier_score" -> ((s, dir) => {
+      val feat = Classifier.features(tokenized(s, dir))
+      val lab = clfLabels(s, dir)
+      val model = Classifier.train(feat, lab)
+      val z = Classifier.zOf(feat, model, s)
+      val zEmpty = math.floor(model.offset.toDouble / 1000).toLong
+      val p = Classifier.pUnits(coalesce(col("z"), lit(zEmpty)))
+      lab.join(z, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("y") === Classifier.Units).as("label"),
+          p.as("p_units"),
+          (p >= lit(Classifier.Units / 2)).as("predicted"))
+        .withColumn("correct", col("predicted") === col("label"))
     })
   )
+
+  /** Weak labels for the classifier: y = Units iff the rounded
+    * quality score clears [[ClfQualityBar]]. */
+  private def clfLabels(s: SparkSession, dir: String): DataFrame =
+    qualityFrame(s, dir).select(col("doc_id"),
+      when(col("quality") >= ClfQualityBar, Classifier.Units)
+        .otherwise(0L).as("y"))
 
   private def sqlStop(words: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), t -> list_contains([${words.map(w => s"'$w'").mkString(", ")}], t)))"
@@ -776,6 +821,58 @@ object TextPack extends QueryPack {
          |      AS score,
          |    count(*) AS n_terms FROM term GROUP BY 1)
          |SELECT doc_id, n_terms, score
-         |FROM sc ORDER BY score DESC, doc_id LIMIT $Bm25K""".stripMargin
+         |FROM sc ORDER BY score DESC, doc_id LIMIT $Bm25K""".stripMargin,
+
+    "tx_classifier_train" ->
+      s"""WITH $clfCtes
+         |SELECT j, w FROM w${Classifier.Iters}""".stripMargin,
+
+    "tx_classifier_score" ->
+      s"""WITH $clfCtes,
+         |bf AS (SELECT (SELECT w FROM w${Classifier.Iters}
+         |               WHERE j = ${Classifier.Dim}) * 1000
+         |  - coalesce((SELECT CAST(sum(w.w * fm.m) AS BIGINT)
+         |              FROM w${Classifier.Iters} w
+         |              JOIN fm ON w.j = fm.j), 0) AS b),
+         |z AS (SELECT l.doc_id, l.y,
+         |        ${Classifier.sqlZ(
+                 "coalesce(CAST(sum(w.w * f.x) AS BIGINT), 0) + (SELECT b FROM bf)")} AS z
+         |      FROM lab l LEFT JOIN feat f ON l.doc_id = f.doc_id
+         |                 LEFT JOIN w${Classifier.Iters} w ON f.j = w.j
+         |      GROUP BY l.doc_id, l.y)
+         |SELECT doc_id, y = ${Classifier.Units} AS label,
+         |  ${Classifier.sqlPUnits("z")} AS p_units,
+         |  ${Classifier.sqlPUnits("z")} >= ${Classifier.Units / 2}
+         |    AS predicted,
+         |  (${Classifier.sqlPUnits("z")} >= ${Classifier.Units / 2})
+         |    = (y = ${Classifier.Units}) AS correct
+         |FROM z""".stripMargin
   )
+
+  /** Shared classifier-oracle prologue: features, weak labels (the
+    * same two-stage-rounded quality cut as tx_quality), and the
+    * unrolled training loop. */
+  private lazy val clfCtes: String =
+    s"""feat AS (SELECT doc_id, j,
+       |    CAST(floor(CAST(count(*) AS DOUBLE) * 1000 / any_value(n))
+       |      AS BIGINT) AS x
+       |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n,
+       |          ${Hashing.sqlH32("t")} % ${Classifier.Dim} AS j
+       |        FROM (SELECT doc_id, text,
+       |                unnest(string_split(text, ' ')) AS t
+       |              FROM documents))
+       |  GROUP BY doc_id, j),
+       |lab AS (SELECT doc_id,
+       |    CASE WHEN q >= $ClfQualityBar THEN ${Classifier.Units}
+       |         ELSE 0 END AS y
+       |  FROM (SELECT doc_id, ${Det.droundSql(
+              "0.4 * diversity + 0.3 * stop_ratio + 0.3 * long_ratio", 4)} AS q
+       |    FROM (SELECT doc_id,
+       |      ${Det.droundSql(s"CAST(${sqlStop(stopEn)} AS DOUBLE) / $nToks", 4)} AS stop_ratio,
+       |      ${Det.droundSql(s"CAST($nDistinct AS DOUBLE) / $nToks", 4)} AS diversity,
+       |      ${Det.droundSql(
+              s"CAST(len(list_filter(string_split(text, ' '), t -> length(t) >= 6)) AS DOUBLE) / $nToks",
+              4)} AS long_ratio
+       |      FROM documents))),
+       |${Classifier.sqlTrainCtes()}""".stripMargin
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Classifier training semantics — the oracle replays the full loop
+  * on the sf corpus; these pin learnability and the engineering
+  * invariants on controlled inputs.
+  */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 24 docs, perfectly separable: positives spend their mass in
+  // buckets 1/2, negatives in buckets 3/4 (x sums to ~1000 like real
+  // per-mille features)
+  private def fixture = {
+    val feat = (0 until 24).flatMap { d =>
+      val pos = d % 2 == 0
+      val (a, b) = if (pos) (1L, 2L) else (3L, 4L)
+      Seq((d.toLong, a, 500L), (d.toLong, b, 400L), (d.toLong, 5L, 100L))
+    }.toDF("doc_id", "j", "x")
+    val lab = (0 until 24)
+      .map(d => (d.toLong, if (d % 2 == 0) Classifier.Units else 0L))
+      .toDF("doc_id", "y")
+    (feat, lab)
+  }
+
+  test("train separates a separable fixture perfectly") {
+    val (feat, lab) = fixture
+    val model = Classifier.train(feat, lab)
+    val z = Classifier.zOf(feat, model, spark)
+    val got = lab.join(z, Seq("doc_id"))
+      .select(col("doc_id"), (col("y") === Classifier.Units).as("label"),
+        (Classifier.pUnits(col("z")) >= Classifier.Units / 2).as("pred"))
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(got.length == 24)
+    got.foreach { case (d, label, pred) =>
+      assert(pred == label, s"doc $d misclassified")
+    }
+    // the learned structure, not just the verdicts: positive-bucket
+    // weights above negative-bucket weights; shared bucket 5 between
+    assert(model.w(1) > model.w(5) && model.w(2) > model.w(5))
+    assert(model.w(3) < model.w(5) && model.w(4) < model.w(5))
+  }
+
+  test("trained weights are partition-count invariant") {
+    val (feat, lab) = fixture
+    val a = Classifier.train(feat, lab)
+    val b = Classifier.train(feat.repartition(7), lab.repartition(5))
+    assert(a.w.toSeq == b.w.toSeq, "weights depend on partitioning")
+    assert(a.m == b.m)
+  }
+
+  test("real-corpus training beats the majority baseline (sf0.01)") {
+    // the claim in the scaladoc: 0.582 vs 0.526 at sf0.01 — pinned
+    // loosely (strictly above majority) so label-balance drift in a
+    // regenerated fixture doesn't false-fail
+    val got = graft.SparkEntry.queries("tx_classifier_score")(
+      spark, "/root/testdata/sf0.01")
+      .select(col("label"), col("correct"))
+      .as[(Boolean, Boolean)].collect()
+    val n = got.length.toDouble
+    val majority = math.max(got.count(_._1), got.count(!_._1)) / n
+    val acc = got.count(_._2) / n
+    assert(acc > majority, s"trained acc $acc not above majority $majority")
+  }
+}
