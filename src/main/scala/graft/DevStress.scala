@@ -402,6 +402,29 @@ object DevStress {
       time("fuzzy_pairs",
         DedupPack.fuzzyPairs(spark.read.parquet("/tmp/stress_docs")))
     }
+    // classifier training: per-step cost must be FLAT in K (each step
+    // is one broadcast join + doc-keyed agg + one j-keyed agg over
+    // the CACHED sparse pairs; model state is 65 longs). Labels here
+    // are a cheap parity split — the label function doesn't affect
+    // the cost shape, only the gradient values.
+    if (wants("classifier")) {
+      val toks = spark.read.parquet("/tmp/stress_docs")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val feat = graft.operators.Classifier.features(toks)
+      // hash-parity labels: a plain doc_id % 2 split cancels EXACTLY
+      // across replicas (identical features, balanced labels → G = 0)
+      val lab = toks.select(col("doc_id"),
+        (graft.functions.Hashing.h32(col("doc_id").cast("string")) % 2
+          * graft.operators.Classifier.Units).as("y"))
+      for (k <- Seq(4, 8)) {
+        val t0 = System.nanoTime()
+        val nnz = graft.operators.Classifier.train(feat, lab, iters = k)
+          .w.count(_ != 0)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[stress] x$factor%-3d classifier_k$k%-13s $secs%8.2f s" +
+          f"  ($nnz%d nonzero w, ${secs / k}%.2f s/iter)")
+      }
+    }
     spark.stop()
   }
 }
