@@ -74,6 +74,19 @@ object IndexCache {
       (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
     }
 
+  /** The trained quality-classifier model over `dir`'s documents
+    * (weak labels + K GD steps, [[Classifier]]) — shared by
+    * tx_classifier_train and tx_classifier_score exactly like the
+    * centroid artifact: one training per process per corpus, every
+    * consumer reads the 65-long memo. Deterministic by the same
+    * argument (fixed-point exact loop), so the oracles replay the
+    * identical unrolled training whichever query triggers the build.
+    * `build` is caller-supplied because the label function lives
+    * with the query pack (TextPack wires its quality-bar labels). */
+  def classifierModel(dir: String)(build: => Classifier.Model)
+      : Classifier.Model =
+    cached(s"clf:$dir")(build)
+
   /** Drop every memoized artifact (tests that mutate a dir in place). */
   def clear(): Unit = memo.clear()
 }

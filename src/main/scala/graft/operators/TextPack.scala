@@ -511,8 +511,8 @@ object TextPack extends QueryPack {
     // loop is fixed-point exact, so the oracle replays every step
     // unrolled ([[Classifier.sqlTrainCtes]]).
     "tx_classifier_train" -> ((s, dir) => {
-      val model = Classifier.train(
-        Classifier.features(tokenized(s, dir)), clfLabels(s, dir))
+      val model = IndexCache.classifierModel(dir)(Classifier.train(
+        Classifier.features(tokenized(s, dir)), clfLabels(s, dir)))
       Classifier.weightsDF(s, model.w)
     }),
 
@@ -524,7 +524,8 @@ object TextPack extends QueryPack {
     "tx_classifier_score" -> ((s, dir) => {
       val feat = Classifier.features(tokenized(s, dir))
       val lab = clfLabels(s, dir)
-      val model = Classifier.train(feat, lab)
+      val model = IndexCache.classifierModel(dir)(
+        Classifier.train(feat, lab))
       val z = Classifier.zOf(feat, model, s)
       val zEmpty = math.floor(model.offset.toDouble / 1000).toLong
       val p = Classifier.pUnits(coalesce(col("z"), lit(zEmpty)))
