@@ -30,7 +30,13 @@ class InvarianceSpec extends SparkSpec {
     "q_sessionize",         // lag + running-sum session ids across user windows
     "ds_cdc_chunks",        // per-doc chunk windows + corpus-wide hash histogram
     "sim_sq8_topk",         // quantized-decode float ranking
-    "ds_fuzzy_apply")       // blocked pairs + components fixpoint
+    "ds_fuzzy_apply",       // blocked pairs + components fixpoint
+    "tx_bm25_topk",         // fixed-point term sums + float ranking cut
+    "sim_medoid",           // fixed-point pair-cosine sums + struct argmax
+    "sp_token_budget",      // floor-division rates + hash-sample rollup
+    "m_snapshot_diff")      // two argmax snapshots + full-outer diff
+    // (classifier weights pinned in ClassifierSpec — the IndexCache
+    // memo would make an entry here read the first build twice)
 
   test("entry (driver smoke) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
