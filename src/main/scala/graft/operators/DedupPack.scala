@@ -39,7 +39,12 @@ object DedupPack extends QueryPack {
     * (they have no signature — and the SQL oracle naturally omits
     * them, so the Spark side must too). */
   private def signatures(s: SparkSession, dir: String): DataFrame =
-    tokenized(s, dir)
+    signaturesFrom(tokenized(s, dir))
+
+  /** [[signatures]] over any (doc_id, toks) frame — the incremental
+    * path signs base and delta slices separately. */
+  private def signaturesFrom(tokens: DataFrame): DataFrame =
+    tokens
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         transform(Hashing.shingles(col("toks"), 3),
@@ -66,8 +71,10 @@ object DedupPack extends QueryPack {
   }
 
   /** (doc_id, band, key) — one row per LSH band. */
-  private def bands(s: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(s, dir)
+  private def bands(s: SparkSession, dir: String): DataFrame =
+    bandsFrom(signatures(s, dir))
+
+  private def bandsFrom(sig: DataFrame): DataFrame = {
     val sigCols = (0 until Hashing.NumPerms).map(i => col(s"mh$i"))
     val bandStructs = (0 until Hashing.NumBands).map(b =>
       struct(lit(b).as("band"), Hashing.bandKey(sigCols, b).as("key")))
@@ -345,6 +352,53 @@ object DedupPack extends QueryPack {
       // the sketch-build scan that follows
       RuntimeFilter.bloomPrunedAntiJoin(batch, col("h"), history, col("h"),
         expectedKeys = math.max(history.count(), 1L))
+    }),
+
+    // Incremental NEAR-dup — the LSH counterpart of the exact-hash
+    // incremental dedup above: a delta batch (doc_id % 10 == 0)
+    // probes the band-bucketed MinHash INDEX of the established base
+    // instead of all-pairs-ing against history. In production the
+    // base band table is a materialized index appended per batch;
+    // here both sides derive in-plan (same signatures, same band
+    // keys as ds_minhash_pairs). Cost is |delta|·bands probe rows
+    // joined against the bucketed index + an exact-Jaccard verify
+    // loaded ONLY with the candidates (shingle joins are
+    // candidate-semi-joined, never corpus×corpus). Output: every
+    // delta doc with its best base near-match (max Jaccard, min
+    // base id) or a clean bill.
+    "ds_incremental_neardup" -> ((s, dir) => {
+      val toks = tokenized(s, dir).filter(size(col("toks")) >= 3)
+      val isDelta = col("doc_id") % 10 === 0
+      val baseBands = bandsFrom(signaturesFrom(toks.filter(!isDelta)))
+      val deltaBands = bandsFrom(signaturesFrom(toks.filter(isDelta)))
+      val cand = deltaBands.alias("d").join(baseBands.alias("b"),
+          col("d.band") === col("b.band") && col("d.key") === col("b.key"))
+        .select(col("d.doc_id").as("d_id"), col("b.doc_id").as("base_id"))
+        .distinct()
+      val sh = hashedShingles(toks)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val shared = cand
+        .join(sh.alias("sa"), col("d_id") === col("sa.doc_id"))
+        .join(sh.alias("sb"), col("base_id") === col("sb.doc_id") &&
+          col("sa.shingle") === col("sb.shingle"))
+        .groupBy(col("d_id"), col("base_id"))
+        .agg(count(lit(1)).as("shared"))
+      val verified = shared
+        .join(sizes.alias("za"), col("d_id") === col("za.doc_id"))
+        .join(sizes.alias("zb"), col("base_id") === col("zb.doc_id"))
+        .select(col("d_id"), col("base_id"),
+          graft.Det.dround(col("shared").cast("double") /
+            (col("za.sz") + col("zb.sz") - col("shared")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+      val best = verified.groupBy("d_id")
+        .agg(max(struct(col("jaccard"), (-col("base_id")).as("nb"),
+          col("base_id"))).as("m"))
+        .select(col("d_id").as("doc_id"), col("m.base_id").as("dup_of"),
+          col("m.jaccard").as("jaccard"))
+      toks.filter(isDelta).select(col("doc_id"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of").isNotNull.as("is_neardup"),
+          col("dup_of"), col("jaccard"))
     }),
   )
 
@@ -1119,6 +1173,37 @@ object DedupPack extends QueryPack {
          |SELECT doc_id, h FROM d b
          |WHERE doc_id % 5 = 0
          |  AND NOT EXISTS (SELECT 1 FROM d h2
-         |                  WHERE h2.doc_id % 5 <> 0 AND h2.h = b.h)""".stripMargin
+         |                  WHERE h2.doc_id % 5 <> 0 AND h2.h = b.h)""".stripMargin,
+
+    // one shared signature build, parity-filtered into delta probes
+    // vs base index — identical to signing the slices separately
+    "ds_incremental_neardup" ->
+      s"""$sigCte,
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT d.doc_id, b.doc_id AS base_id
+         |         FROM bands d JOIN bands b
+         |           ON d.band = b.band AND d.key = b.key
+         |         WHERE d.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+         |ss AS (SELECT DISTINCT doc_id, h FROM hh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM ss GROUP BY doc_id),
+         |shr AS (SELECT c.doc_id, c.base_id, count(*) AS shared
+         |        FROM cand c JOIN ss a ON a.doc_id = c.doc_id
+         |                    JOIN ss b ON b.doc_id = c.base_id AND a.h = b.h
+         |        GROUP BY c.doc_id, c.base_id),
+         |vf AS (SELECT s.doc_id, s.base_id,
+         |         ${graft.Det.droundSql(
+                  "CAST(s.shared AS DOUBLE) / (za.sz + zb.sz - s.shared)", 4)}
+         |           AS jaccard
+         |       FROM shr s JOIN sz za ON s.doc_id = za.doc_id
+         |                  JOIN sz zb ON s.base_id = zb.doc_id),
+         |vv AS (SELECT * FROM vf WHERE jaccard >= 0.5),
+         |best AS (SELECT doc_id, base_id AS dup_of, jaccard FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY jaccard DESC, base_id) AS rn FROM vv)
+         |         WHERE rn = 1)
+         |SELECT d.doc_id, best.dup_of IS NOT NULL AS is_neardup,
+         |       best.dup_of, best.jaccard
+         |FROM (SELECT doc_id FROM sig WHERE doc_id % 10 = 0) d
+         |LEFT JOIN best USING (doc_id)""".stripMargin
   )
 }

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** ds_incremental_neardup semantics on rows built to isolate the
+  * rules: delta docs probe the BASE index only (delta–delta dups
+  * invisible by design), the verify is exact Jaccard, and the best
+  * match is (max jaccard, min base id).
+  */
+class IncrementalNeardupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("delta probes base only; best match deterministic") {
+    val dir = java.nio.file.Files.createTempDirectory("indsf").toString
+    val boiler = (1 to 20).map(i => s"tok$i").mkString(" ")
+    Seq(
+      // base (id % 10 != 0)
+      (1L, boiler),                       // near-identical to delta 10
+      (2L, s"$boiler extra"),             // ALSO close to delta 10, id 2 > 1
+      (3L, (1 to 20).map(i => s"other$i").mkString(" ")),
+      // delta (id % 10 == 0)
+      (10L, boiler),                      // dups base 1 (jaccard 1.0) and 2
+      (20L, (1 to 20).map(i => s"fresh$i").mkString(" ")), // clean
+      (30L, (1 to 20).map(i => s"delta$i").mkString(" ")), // dup of 40 only
+      (40L, (1 to 20).map(i => s"delta$i").mkString(" "))) // dup of 30 only
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = DedupPack.queries("ds_incremental_neardup")(spark, dir)
+      .select("doc_id", "is_neardup", "dup_of")
+      .as[(Long, Boolean, Option[Long])].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(10L, 20L, 30L, 40L), "delta grain only")
+    assert(got(10L)._2 && got(10L)._3 == Some(1L),
+      "exact copy must win over the superset doc (max jaccard)")
+    assert(!got(20L)._2 && got(20L)._3.isEmpty)
+    // 30 and 40 duplicate each other but BOTH are delta — the base
+    // index knows neither, so neither is flagged (they meet in the
+    // NEXT index build, exactly like a production append-only index)
+    assert(!got(30L)._2 && !got(40L)._2)
+  }
+}
