@@ -505,6 +505,55 @@ object TextPack extends QueryPack {
         .limit(Bm25K)
     }),
 
+    // Dataset card — the per-(source, lang) datasheet a corpus ships
+    // with, composing signals from three families into one audited
+    // artifact: volume (docs/tokens), exact-dup rate (corpus-wide
+    // content hashes, not just within-slice), Gopher-gate pass rate,
+    // and language-ID agreement with the labeled lang. Per-doc
+    // signals are scan-stage; the dup flag joins the doc's content
+    // hash against the corpus-wide hash counts (one shuffle on the
+    // 32-char hash); the rollup is one partial-agg shuffle to |S×L|
+    // rows. Ratios dround'd per the engine-wide rule.
+    "tx_dataset_card" -> ((s, dir) => {
+      val toks = tokenized(s, dir, "text", "source", "lang")
+      val sEn = stopCount(col("toks"), stopEn)
+      val sEs = stopCount(col("toks"), stopEs)
+      val sDe = stopCount(col("toks"), stopDe)
+      val perDoc = toks.select(
+        col("source"), col("lang"), md5(col("text")).as("h"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        isum(transform(col("toks"), t => length(t).cast("long")))
+          .as("sum_len"),
+        (sEn + sEs + sDe).cast("long").as("n_stop"),
+        when(sEn >= sEs && sEn >= sDe, "en")
+          .when(sEs >= sDe, "es").otherwise("de").as("predicted"))
+      val dupCounts = perDoc.groupBy("h").agg(count(lit(1)).as("n_copies"))
+      val flagged = perDoc.join(dupCounts, Seq("h"))
+        .select(col("source"), col("lang"), col("n_tokens"),
+          (col("n_copies") > 1).as("is_dup"),
+          (!(col("n_tokens") < GopherMinTokens) &&
+            !(col("n_tokens") > GopherMaxTokens) &&
+            !(col("sum_len") < lit(GopherWordLenLo) * col("n_tokens") ||
+              col("sum_len") > lit(GopherWordLenHi) * col("n_tokens")) &&
+            !(col("n_stop") < GopherMinStopHits) &&
+            !((col("n_tokens") - col("n_distinct")) * 2 > col("n_tokens")))
+            .as("gopher_pass"),
+          (col("predicted") === col("lang")).as("lang_agree"))
+      flagged.groupBy("source", "lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        Det.dround(sum(col("n_tokens")).cast("double") / count(lit(1)), 2)
+          .as("avg_tokens"),
+        sum(col("is_dup").cast("long")).as("n_dup_docs"),
+        Det.dround(sum(col("is_dup").cast("long")).cast("double")
+          / count(lit(1)), 4).as("dup_rate"),
+        Det.dround(sum(col("gopher_pass").cast("long")).cast("double")
+          / count(lit(1)), 4).as("gopher_pass_rate"),
+        Det.dround(sum(col("lang_agree").cast("long")).cast("double")
+          / count(lit(1)), 4).as("lang_agree_rate"))
+    }),
+
     // Quality-classifier TRAINING ([[Classifier]]): K full-batch GD
     // steps over hashed presence features with weak quality labels —
     // output is the learned 64-weight model (1e-6 units). The whole
@@ -823,6 +872,46 @@ object TextPack extends QueryPack {
          |    count(*) AS n_terms FROM term GROUP BY 1)
          |SELECT doc_id, n_terms, score
          |FROM sc ORDER BY score DESC, doc_id LIMIT $Bm25K""".stripMargin,
+
+    "tx_dataset_card" ->
+      s"""WITH pd AS (SELECT source, lang, md5(text) AS h,
+         |    CAST($nToks AS BIGINT) AS n_tokens,
+         |    CAST($nDistinct AS BIGINT) AS n_distinct,
+         |    CAST(list_sum(list_transform(string_split(text, ' '),
+         |      x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS sum_len,
+         |    CAST(${sqlStop(stopEn ++ stopEs ++ stopDe)} AS BIGINT) AS n_stop,
+         |    CASE WHEN ${sqlStop(stopEn)} >= ${sqlStop(stopEs)}
+         |          AND ${sqlStop(stopEn)} >= ${sqlStop(stopDe)} THEN 'en'
+         |         WHEN ${sqlStop(stopEs)} >= ${sqlStop(stopDe)} THEN 'es'
+         |         ELSE 'de' END AS predicted
+         |  FROM documents),
+         |dc AS (SELECT h, count(*) AS n_copies FROM pd GROUP BY h),
+         |f AS (SELECT source, lang, n_tokens,
+         |        n_copies > 1 AS is_dup,
+         |        (NOT (n_tokens < $GopherMinTokens)
+         |         AND NOT (n_tokens > $GopherMaxTokens)
+         |         AND NOT (sum_len < $GopherWordLenLo * n_tokens OR
+         |                  sum_len > $GopherWordLenHi * n_tokens)
+         |         AND NOT (n_stop < $GopherMinStopHits)
+         |         AND NOT ((n_tokens - n_distinct) * 2 > n_tokens))
+         |          AS gopher_pass,
+         |        predicted = lang AS lang_agree
+         |      FROM pd JOIN dc USING (h))
+         |SELECT source, lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  ${Det.droundSql("CAST(sum(n_tokens) AS DOUBLE) / count(*)", 2)}
+         |    AS avg_tokens,
+         |  CAST(sum(CAST(is_dup AS BIGINT)) AS BIGINT) AS n_dup_docs,
+         |  ${Det.droundSql(
+            "CAST(sum(CAST(is_dup AS BIGINT)) AS DOUBLE) / count(*)", 4)}
+         |    AS dup_rate,
+         |  ${Det.droundSql(
+            "CAST(sum(CAST(gopher_pass AS BIGINT)) AS DOUBLE) / count(*)", 4)}
+         |    AS gopher_pass_rate,
+         |  ${Det.droundSql(
+            "CAST(sum(CAST(lang_agree AS BIGINT)) AS DOUBLE) / count(*)", 4)}
+         |    AS lang_agree_rate
+         |FROM f GROUP BY source, lang""".stripMargin,
 
     "tx_classifier_train" ->
       s"""WITH $clfCtes

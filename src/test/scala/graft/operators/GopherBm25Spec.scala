@@ -71,4 +71,26 @@ class GopherBm25Spec extends SparkSpec {
     // tf and equal length the rarer term scores higher
     assert(score(4L) > score(2L), "rarer term outranks at equal tf/len")
   }
+
+  test("tx_dataset_card: dup flag is corpus-wide, rates per slice") {
+    val dir = java.nio.file.Files.createTempDirectory("cardsf").toString
+    val dup = "copied body " * 30
+    // the duplicate pair SPANS slices (src a/en and src b/en): both
+    // copies must flag is_dup in their own slice — a within-slice
+    // hash count would miss them
+    Seq((1L, dup, "en", "a"), (2L, dup, "en", "b"),
+        (3L, s"$filler the and", "en", "a"))
+      .map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextPack.queries("tx_dataset_card")(spark, dir)
+      .select("source", "lang", "n_docs", "n_dup_docs", "gopher_pass_rate")
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got(("a", "en")) == ((2L, 1L, 0.5)),
+      "slice a: doc 1 dup (cross-slice), doc 3 passes gopher")
+    assert(got(("b", "en"))._2 == 1L, "slice b's copy flags too")
+    // "copied body" ×30 = 60 tokens, 2 distinct → repetition-flagged
+    assert(got(("b", "en"))._3 == 0.0)
+  }
 }
