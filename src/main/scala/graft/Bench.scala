@@ -123,7 +123,13 @@ object Bench {
     // far over the driver's ~2 KB stdout-tail capture (BENCH_r02–r04
     // all arrived truncated and unparseable).
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"errors":$errs,"sf":"$sfDir","merge_rows_per_sec":$mergeRate,"retimed":$retimedJson,$cal}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    // GRAFT_BENCH_OUT reroutes the full record for contract checks /
+    // dev runs at other SFs — an sf0.001 smoke run must NOT clobber
+    // the committed sf0.1 baseline the regression gate compares to
+    // (it happened once; bench_gate then flagged phantom 2–5×
+    // "regressions" that were just the SF mismatch)
+    val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The stdout JSON line must survive that 2 KB tail whole (plus
     // sbt's ~100-char epilogue), or the round has NO parsed bench.
