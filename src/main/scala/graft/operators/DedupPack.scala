@@ -173,6 +173,29 @@ object DedupPack extends QueryPack {
         .join(losers, Seq("doc_id"), "left_anti")
     }),
 
+    // Retention by VALUE, not by id: within each near-dup group keep
+    // the member with the MOST CONTENT (n_chars DESC, doc_id ASC
+    // tiebreak) — the curation rule production dedups actually apply
+    // (keep the longest/highest-quality copy; min-id keeps whichever
+    // crawl happened to come first). Same dataflow with any score
+    // column swapped in (e.g. TextPack's quality composite). The
+    // winner is a map-side-combined max(struct(score, -doc_id)) per
+    // group — never a per-group sort; losers anti-join the corpus
+    // exactly like ds_dedup_apply.
+    "ds_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val members = Components.connectedComponents(candidatePairs(s, dir))
+        .join(docs, col("node") === docs("doc_id"))
+      val winners = members.groupBy(col("rep"))
+        .agg(max(struct(col("n_chars").as("s"), (-col("doc_id")).as("nid")))
+          .as("w"))
+        .select(col("rep"), (-col("w.nid")).as("keep_id"))
+      val losers = members.join(winners, Seq("rep"))
+        .filter(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+    }),
+
     // The at-scale composition SCALE.md prescribes: LSH candidates
     // FIRST (bounded equi-join), exact Jaccard verification only on
     // those pairs — so the quadratic-risk shingle self-join never
@@ -905,6 +928,28 @@ object DedupPack extends QueryPack {
        |  JOIN (SELECT * FROM kb WHERE rn <= $FuzzyBlockCap) y
        |    ON x.blk = y.blk AND x.doc_id < y.doc_id)""".stripMargin
 
+  /** sig → bands → candidate pairs → transitive closure → `groups`
+    * (doc_id, rep) — the shared prefix of every groups-consuming
+    * oracle (ds_dedup_apply, ds_keep_best). */
+  private lazy val groupsChain =
+    s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |bands AS ($bandsSql),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.key = b.key
+       |          AND a.doc_id < b.doc_id),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM cand
+       |      UNION SELECT doc_b, doc_a FROM cand),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |groups AS (SELECT n AS doc_id, min(m) AS rep FROM (
+       |    SELECT a AS n, least(a, b) AS m FROM reach
+       |    UNION ALL
+       |    SELECT DISTINCT a, a FROM e)
+       |  GROUP BY n)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "ds_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
@@ -958,26 +1003,23 @@ object DedupPack extends QueryPack {
          |WHERE floor((CAST(shared AS DOUBLE) / (za.sz + zb.sz - shared)) * 1e4 + 0.5) / 1e4 >= 0.5""".stripMargin,
 
     "ds_dedup_apply" ->
-      s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |bands AS ($bandsSql),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.key = b.key
-         |          AND a.doc_id < b.doc_id),
-         |e AS (SELECT doc_a AS a, doc_b AS b FROM cand
-         |      UNION SELECT doc_b, doc_a FROM cand),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM e
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-         |groups AS (SELECT n AS doc_id, min(m) AS rep FROM (
-         |    SELECT a AS n, least(a, b) AS m FROM reach
-         |    UNION ALL
-         |    SELECT DISTINCT a, a FROM e)
-         |  GROUP BY n)
+      s"""$groupsChain
          |SELECT d.doc_id, d.n_chars FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM groups g
          |                  WHERE g.doc_id = d.doc_id AND g.doc_id <> g.rep)""".stripMargin,
+
+    // same groups, retention by VALUE: rn=1 ⇔ the argmax the engine
+    // computes as max(struct(n_chars, -doc_id)) per rep
+    "ds_keep_best" ->
+      s"""$groupsChain,
+         |m AS (SELECT g.doc_id, g.rep, d.n_chars
+         |      FROM groups g JOIN documents d ON d.doc_id = g.doc_id),
+         |w AS (SELECT doc_id,
+         |        row_number() OVER (PARTITION BY rep
+         |          ORDER BY n_chars DESC, doc_id) AS rn FROM m)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM w
+         |                  WHERE w.doc_id = d.doc_id AND w.rn > 1)""".stripMargin,
 
     "ds_simhash" -> s"WITH $simhashCte\nSELECT doc_id, simhash FROM sim",
 

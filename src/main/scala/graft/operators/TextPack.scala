@@ -262,6 +262,34 @@ object TextPack extends QueryPack {
         .orderBy(col("n").desc, col("pair")).limit(50)
     }),
 
+    // The SECOND tokenizer family: WordPiece-style greedy
+    // longest-match segmentation with hard-EM vocabulary refinement
+    // (top-down piece selection, vs BPE's bottom-up merges). All
+    // passes after the word count run at DISTINCT-WORD grain —
+    // the SentencePiece training trick that makes tokenizer training
+    // Zipf-cheap at 100 TB. Design + scale shape in [[Wordpiece]].
+    "tx_wordpiece_vocab" -> ((s, dir) =>
+      Wordpiece.trainVocab(Tables.documents(s, dir))),
+
+    // The trained tokenizer's segmentation of the word inventory
+    // itself — the artifact a tokenizer owner reviews (which words
+    // split, into what): one unrolled scan-stage pass over distinct
+    // words, no shuffle after the word count.
+    "tx_wordpiece_segment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = Wordpiece.train(docs).map(_._1)
+      Wordpiece.segmented(Wordpiece.wordCounts(docs), vocab)
+        .select(col("w"), col("cnt"), col("n_pieces"), col("seg"))
+    }),
+
+    // Tokenizer APPLY at corpus scale: distinct words segment ONCE,
+    // then a broadcast join carries piece counts back onto the token
+    // stream — per-doc compression profile like tx_bpe_encode.
+    "tx_wordpiece_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Wordpiece.encode(docs, Wordpiece.train(docs).map(_._1))
+    }),
+
     // ...and the FULL vocabulary training loop: K merges learned in
     // sequence, each fusing the corpus-wide top pair into a fresh
     // private-use symbol (the growing alphabet), re-segmenting, and
@@ -744,6 +772,32 @@ object TextPack extends QueryPack {
         |      FROM ww2, UNNEST(generate_series(1, length(w) - 1)) AS g(i))
         |SELECT pair, count(*) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    // the training loop unrolled: init vocab from substring counts,
+    // then EmIters segment-and-reselect rounds (Wordpiece.sqlVocab)
+    "tx_wordpiece_vocab" -> Wordpiece.sqlVocab(),
+
+    "tx_wordpiece_segment" ->
+      s"""WITH ${Wordpiece.sqlTrainCtes()},
+         |${Wordpiece.sqlSegmentCtes("f", s"v${Wordpiece.EmIters}")}
+         |SELECT w, cnt, CAST(np AS BIGINT) AS n_pieces, seg
+         |FROM f${Wordpiece.MaxWordLen}""".stripMargin,
+
+    "tx_wordpiece_encode" ->
+      s"""WITH ${Wordpiece.sqlTrainCtes()},
+         |${Wordpiece.sqlSegmentCtes("f", s"v${Wordpiece.EmIters}")},
+         |wn AS (SELECT w, np FROM f${Wordpiece.MaxWordLen}),
+         |d AS (SELECT doc_id, w FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents) WHERE length(w) >= 1)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(length(d.w)) AS BIGINT) AS n_chars,
+         |  CAST(sum(np) AS BIGINT) AS n_pieces,
+         |  ${graft.Det.droundSql(
+              "CAST(sum(np) AS DOUBLE) / CAST(sum(length(d.w)) AS DOUBLE)",
+              4)} AS compression
+         |FROM d JOIN wn ON d.w = wn.w
+         |GROUP BY doc_id""".stripMargin,
 
     "tx_bpe_vocab" ->
       s"""WITH w0 AS (SELECT w FROM (

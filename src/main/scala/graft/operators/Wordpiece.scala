@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WordPiece-style subword tokenizer: greedy longest-match-first
+  * segmentation (the WordPiece/BERT inference rule, Wu et al. 2016)
+  * with hard-EM vocabulary refinement — the second tokenizer-training
+  * family next to [[Bpe]] (merge-based). Where BPE grows the
+  * vocabulary bottom-up one fusion at a time, this selects a
+  * candidate piece inventory top-down and refines it by actual usage:
+  *
+  *   1. word counts — the corpus collapses to DISTINCT-WORD grain
+  *      weighted by frequency (exactly how SentencePiece trains: the
+  *      Zipf head makes distinct words orders of magnitude fewer than
+  *      running tokens, so every later pass costs |vocabulary of
+  *      words|, not |corpus|);
+  *   2. candidate pieces = all substrings of length 2..[[MaxPieceLen]]
+  *      weighted by containing-word counts; initial vocab = top
+  *      [[VocabMulti]] by weight;
+  *   3. EM round: segment every distinct word greedily against the
+  *      current vocab (single characters are the implicit fallback, so
+  *      segmentation always succeeds), count piece usage weighted by
+  *      word counts, re-select the top [[VocabMulti]] pieces by usage
+  *      — [[EmIters]] rounds (hard-EM: the Viterbi-style argmax
+  *      assignment is deterministic integer work, unlike soft-EM's
+  *      order-sensitive float expectations, so the oracle can replay
+  *      it exactly).
+  *
+  * Scale shape: the only corpus-size pass is the word count (one
+  * map-side-combined groupBy). Everything after runs at distinct-word
+  * grain: candidate explode is Σ|w|·L rows per WORD, segmentation is
+  * an unrolled [[MaxWordLen]]-step scan-stage expression chain (pure
+  * codegen'd substr/CASE — no interpreted folds, no shuffle), usage
+  * is a groupBy over ≤ |vocab| + |alphabet| keys. The vocab rides
+  * into each scan as IN-list plan literals (≤ [[VocabMulti]] strings;
+  * at a production 30k vocab this becomes a broadcast InSet — still
+  * scan-stage). Driver state is the vocab only, never corpus data.
+  * Encoding a corpus under the trained vocab is the same unrolled
+  * chain over distinct words + one broadcast join back to tokens —
+  * compare [[Bpe.encodeCol]]'s replace chain.
+  *
+  * Determinism: all counts are exact longs; vocab selection totally
+  * orders by (n DESC, piece ASC); greedy segmentation is a pure
+  * function of (word, vocab). The unroll depth [[MaxWordLen]] bounds
+  * segmentable word length (single-char fallback advances ≥ 1 char
+  * per step); a production caller sizes it to the corpus max word
+  * length — here the corpus max is 8 and the unroll carries margin.
+  *
+  * The reference has no tokenizer training (cf. labelmain's scope);
+  * this serves the training-data side of the engine like [[Bpe]].
+  */
+object Wordpiece {
+
+  /** Longest candidate piece, in characters. */
+  val MaxPieceLen = 4
+
+  /** Multi-char vocabulary size (single chars are implicit). */
+  val VocabMulti = 24
+
+  /** Hard-EM refinement rounds after the frequency-based init. */
+  val EmIters = 2
+
+  /** Segmentation unroll depth = max segmentable word length. */
+  val MaxWordLen = 12
+
+  /** Distinct words weighted by corpus frequency — the grain every
+    * later pass runs at. */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Substring candidates (length 2..[[MaxPieceLen]]) weighted by
+    * containing-word counts, one row per (piece). */
+  def candidates(wc: DataFrame): DataFrame =
+    wc.filter(length(col("w")) >= 2)
+      .select(col("w"), col("cnt"),
+        explode(sequence(lit(2), least(length(col("w")), lit(MaxPieceLen))))
+          .as("L"))
+      .select(col("w"), col("cnt"), col("L"),
+        explode(sequence(lit(1), length(col("w")) - col("L") + 1)).as("i"))
+      .select(col("w").substr(col("i"), col("L")).as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum(col("cnt")).as("n"))
+
+  /** Greedy longest-match segmentation of the `w` column against a
+    * fixed vocab: an unrolled [[MaxWordLen]]-step chain of codegen'd
+    * substr/CASE columns (each step consumes the longest vocab piece
+    * at the cursor, else one character). Adds `piece_1..piece_N`
+    * (null past end-of-word), `n_pieces`, and `seg` (pieces joined by
+    * '|'). Steps are separate projections so the cursor expression
+    * stays linear in depth, not exponential. */
+  def segmented(words: DataFrame, vocab: Seq[String]): DataFrame = {
+    val byLen: Map[Int, Seq[String]] = vocab.groupBy(_.length)
+    def inV(c: Column, len: Int): Column =
+      byLen.get(len).map(c.isInCollection(_)).getOrElse(lit(false))
+    var df = words.withColumn("pos_1", lit(1))
+    for (t <- 1 to MaxWordLen) {
+      val pos = col(s"pos_$t")
+      val len = (MaxPieceLen to 2 by -1).foldRight(lit(1): Column) {
+        (l, fallback) => when(inV(col("w").substr(pos, lit(l)), l), lit(l))
+          .otherwise(fallback)
+      }
+      df = df
+        .withColumn(s"len_$t", len)
+        .withColumn(s"piece_$t",
+          when(pos <= length(col("w")),
+            col("w").substr(pos, col(s"len_$t"))))
+        .withColumn(s"pos_${t + 1}", pos + col(s"len_$t"))
+    }
+    val pieceCols = (1 to MaxWordLen).map(t => col(s"piece_$t"))
+    df.withColumn("n_pieces",
+        pieceCols.map(p => when(p.isNotNull, lit(1L)).otherwise(lit(0L)))
+          .reduce(_ + _))
+      .withColumn("seg", concat_ws("|", pieceCols: _*))
+  }
+
+  /** Multi-char piece usage of a segmentation, weighted by word
+    * counts — the M-step input. */
+  def pieceUsage(seg: DataFrame): DataFrame = {
+    val pieceCols = (1 to MaxWordLen).map(t => col(s"piece_$t"))
+    seg.select(col("cnt"), explode(array(pieceCols: _*)).as("piece"))
+      .filter(col("piece").isNotNull && length(col("piece")) >= 2)
+      .groupBy("piece").agg(sum(col("cnt")).as("n"))
+  }
+
+  private def top(scored: DataFrame): Seq[(String, Long)] =
+    scored.orderBy(col("n").desc, col("piece")).limit(VocabMulti)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** The training loop: frequency-init then [[EmIters]] hard-EM
+    * rounds. Returns (piece, usage) in selection order — rank i is
+    * the i-th element. Runs on a [[LoopWidth]]-sized session: every
+    * round is 2–3 stages over the cached word frame, and full session
+    * width over a distinct-word frame would be scheduling overhead
+    * (the PageRank lesson). */
+  def train(docs: DataFrame, iters: Int = EmIters): Seq[(String, Long)] = {
+    import org.apache.spark.storage.StorageLevel
+    val wc = wordCounts(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nWords = wc.count()
+      val p = LoopWidth.partitionsFor(nWords, docs.sparkSession)
+      LoopWidth.onSizedSession(wc, p) { words =>
+        var vocab = top(candidates(words))
+        for (_ <- 1 to iters)
+          vocab = top(pieceUsage(segmented(words, vocab.map(_._1))))
+        vocab
+      }
+    } finally wc.unpersist(blocking = false)
+  }
+
+  /** Trained vocab as a frame: (rank, piece, n) — [[VocabMulti]]
+    * local rows; the distributed work ran in [[train]]. */
+  def trainVocab(docs: DataFrame, iters: Int = EmIters): DataFrame =
+    docs.sparkSession.createDataFrame(
+        train(docs, iters).zipWithIndex.map { case ((piece, n), i) =>
+          (i.toLong, piece, n) })
+      .toDF("rank", "piece", "n")
+
+  /** Corpus encoded under the trained vocab: per-doc word/char/piece
+    * counts + compression. One segmentation pass over DISTINCT words,
+    * then a broadcast join back onto the token stream — applying the
+    * tokenizer never re-segments repeated words. */
+  def encode(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    val wc = wordCounts(docs)
+    val wn = segmented(wc, vocab).select(col("w"), col("n_pieces"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(broadcast(wn), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("n_pieces")).as("n_pieces"))
+      .withColumn("compression",
+        graft.Det.dround(col("n_pieces").cast("double")
+          / col("n_chars").cast("double"), 4))
+  }
+
+  // ---- DuckDB oracle fragments (unrolled, mirroring the loop) ----
+
+  /** `wc` CTE body over `documents`. */
+  def sqlWordCounts: String =
+    """wc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) >= 1 GROUP BY w)""".stripMargin
+
+  /** Candidate scoring + initial vocab `v0`. */
+  def sqlInitCtes: String =
+    s"""cand AS MATERIALIZED (SELECT substr(w, i, L) AS piece, cnt
+       |  FROM wc,
+       |       UNNEST(generate_series(2, least(length(w), $MaxPieceLen))) AS gl(L),
+       |       UNNEST(generate_series(1, length(w) - L + 1)) AS gi(i)
+       |  WHERE length(w) >= 2),
+       |u0 AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS n FROM cand GROUP BY piece),
+       |v0 AS MATERIALIZED (SELECT piece, n FROM u0 ORDER BY n DESC, piece LIMIT $VocabMulti)""".stripMargin
+
+  /** One unrolled greedy segmentation of `wc` under vocab CTE
+    * `$vocab`, CTE names prefixed `$pfx`: step CTEs `${pfx}1..N`
+    * (each emits that step's `piece` and carries pos/np/seg), then
+    * `${pfx}p` (piece rows) and `${pfx}u` (multi-char usage). The
+    * final step CTE `${pfx}$MaxWordLen` holds complete np/seg. */
+  def sqlSegmentCtes(pfx: String, vocab: String): String = {
+    val step0 =
+      s"""${pfx}0 AS MATERIALIZED (SELECT w, cnt, 1 AS pos,
+         |  CAST(NULL AS VARCHAR) AS piece, '' AS seg, 0 AS np FROM wc)""".stripMargin
+    val steps = (1 to MaxWordLen).map { t =>
+      val lenCase = (MaxPieceLen to 2 by -1).map { l =>
+        s"WHEN substr(w, pos, $l) IN (SELECT piece FROM $vocab WHERE length(piece) = $l) THEN $l"
+      }.mkString("CASE ", " ", " ELSE 1 END")
+      s"""${pfx}$t AS MATERIALIZED (
+         |  SELECT w, cnt, pos + len AS pos,
+         |    CASE WHEN pos <= length(w) THEN substr(w, pos, len) END AS piece,
+         |    CASE WHEN pos <= length(w) THEN
+         |      CASE WHEN seg = '' THEN substr(w, pos, len)
+         |           ELSE seg || '|' || substr(w, pos, len) END
+         |    ELSE seg END AS seg,
+         |    np + CASE WHEN pos <= length(w) THEN 1 ELSE 0 END AS np
+         |  FROM (SELECT w, cnt, pos, seg, np, $lenCase AS len
+         |        FROM ${pfx}${t - 1}))""".stripMargin
+    }
+    val union = (1 to MaxWordLen)
+      .map(t => s"SELECT piece, cnt FROM ${pfx}$t WHERE piece IS NOT NULL")
+      .mkString("\n  UNION ALL ")
+    val p = s"${pfx}p AS MATERIALIZED (\n  $union)"
+    val u =
+      s"""${pfx}u AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM ${pfx}p WHERE length(piece) >= 2 GROUP BY piece)""".stripMargin
+    (Seq(step0) ++ steps ++ Seq(p, u)).mkString(",\n")
+  }
+
+  /** The full training unroll: init + `iters` EM rounds. The final
+    * vocab CTE is `v$iters`; its usage CTE is `e${iters - 1}u`. */
+  def sqlTrainCtes(iters: Int = EmIters): String = {
+    val rounds = (0 until iters).map { t =>
+      sqlSegmentCtes(s"e$t", s"v$t") + ",\n" +
+        s"""v${t + 1} AS MATERIALIZED (SELECT piece, n FROM e${t}u
+           |  ORDER BY n DESC, piece LIMIT $VocabMulti)""".stripMargin
+    }
+    (Seq(sqlWordCounts, sqlInitCtes) ++ rounds).mkString(",\n")
+  }
+
+  /** The vocab-query oracle: training CTEs + ranked final vocab. */
+  def sqlVocab(iters: Int = EmIters): String =
+    s"""WITH ${sqlTrainCtes(iters)}
+       |SELECT CAST(row_number() OVER (ORDER BY n DESC, piece) - 1 AS BIGINT)
+       |         AS rank, piece, n
+       |FROM v$iters""".stripMargin
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** WordPiece training/segmentation invariants — differential against
+  * a local reference segmenter, plus the partition-invariance pin
+  * every trained artifact carries. */
+class WordpieceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Local greedy longest-match reference (the spec's independent
+    * implementation of the same rule). */
+  private def refSegment(w: String, vocab: Set[String]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = 0
+    while (pos < w.length) {
+      val l = (Wordpiece.MaxPieceLen to 2 by -1)
+        .find(l => pos + l <= w.length && vocab(w.substring(pos, pos + l)))
+        .getOrElse(1)
+      out += w.substring(pos, pos + l)
+      pos += l
+    }
+    out.toSeq
+  }
+
+  private val docs = Seq(
+    (0L, "internationalization nation nation inter"),
+    (1L, "nation internal international liner"),
+    (2L, "inline inline inter nation antinational"),
+    (3L, "x yz internationalization"))
+    .toDF("doc_id", "text")
+
+  test("segmentation matches the reference greedy rule and reassembles") {
+    val vocab = Wordpiece.train(docs).map(_._1)
+    assert(vocab.nonEmpty && vocab.forall(p =>
+      p.length >= 2 && p.length <= Wordpiece.MaxPieceLen))
+    val rows = Wordpiece.segmented(Wordpiece.wordCounts(docs), vocab)
+      .select($"w", $"seg", $"n_pieces").collect()
+    val vset = vocab.toSet
+    rows.foreach { r =>
+      val (w, seg, np) = (r.getString(0), r.getString(1), r.getLong(2))
+      val expected = refSegment(w, vset)
+      assert(seg === expected.mkString("|"), s"word $w")
+      assert(np === expected.length.toLong, s"word $w")
+      assert(seg.replace("|", "") === w, s"word $w reassembly")
+      expected.filter(_.length >= 2).foreach(p =>
+        assert(vset(p), s"piece $p of $w not in vocab"))
+    }
+  }
+
+  test("EM refinement only reweights toward actually-used pieces") {
+    // initial vocab contains substrings greedy never uses (inner
+    // fragments shadowed by longer pieces); after an EM round every
+    // surviving piece has nonzero greedy usage.
+    val vocab = Wordpiece.train(docs, iters = 1)
+    val wc = Wordpiece.wordCounts(docs)
+    // recompute usage under the PREVIOUS vocab (iteration 0's init)
+    val init = Wordpiece.train(docs, iters = 0)
+    val usage = Wordpiece.pieceUsage(
+        Wordpiece.segmented(wc, init.map(_._1)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    vocab.foreach { case (p, n) =>
+      assert(usage.getOrElse(p, 0L) === n, s"piece $p usage mismatch")
+      assert(n > 0L)
+    }
+  }
+
+  test("trained vocab is partition-count invariant") {
+    val a = Wordpiece.train(docs.repartition(1))
+    val b = Wordpiece.train(docs.repartition(7))
+    assert(a === b)
+  }
+
+  test("encode rollup is consistent with per-word segmentation") {
+    val vocab = Wordpiece.train(docs).map(_._1)
+    val vset = vocab.toSet
+    val enc = Wordpiece.encode(docs, vocab).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val local = docs.select($"doc_id", $"text").collect().map { r =>
+      val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+      r.getLong(0) -> ((toks.length.toLong,
+        toks.map(_.length.toLong).sum,
+        toks.map(w => refSegment(w, vset).length.toLong).sum))
+    }.toMap
+    assert(enc === local)
+  }
+}
