@@ -61,6 +61,25 @@ object MultimodalPack extends QueryPack {
         Multimodal.syntheticVideos(Tables.documents(s, dir))).toDF()
     }),
 
+    // WARC archive round trip — the crawl-interchange ingest leg
+    // ([[graft.sources.Warc]]): documents spool into per-source
+    // WARC/1.0 archives (even-hash sources as per-record gzip
+    // members, the warc.gz shape; odd raw), then the strict record
+    // walker parses them back. The oracle replays what the writer
+    // encoded straight from `documents` — a walker bug (off-by-one
+    // on the CRLFCRLF terminator, character-vs-octet Content-Length,
+    // a desync after a gzip member) breaks position, length, or the
+    // payload md5. Parallelism is the archive count; no shuffle
+    // after the per-source repartition that builds them.
+    "mm_warc_roundtrip" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.sources.Warc.parseArchives(
+          graft.sources.Warc.archivesFromDocuments(Tables.documents(s, dir)))
+        .toDF()
+        .select(col("source"), col("pos"), col("doc_id"),
+          col("content_length"), md5(col("payload")).as("payload_md5"))
+    }),
+
     // Cross-modality corpus profile — the rollup a media curation
     // pipeline monitors: every REAL decoder (PNG/JPEG dims, WAV and
     // MP4 durations) feeding one per-kind summary. Decodes stay
@@ -214,6 +233,17 @@ object MultimodalPack extends QueryPack {
         |  CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'bmp' END AS fmt,
         |  CAST(16 + doc_id % 1000 AS INTEGER) AS width,
         |  CAST(16 + (doc_id * 7) % 800 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
+
+    // the writer's facts, straight from the table: position = rank
+    // in the per-source doc_id spool order, Content-Length = octet
+    // (strlen) length, md5 over the same UTF-8 bytes
+    "mm_warc_roundtrip" ->
+      """SELECT source,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+        |       AS BIGINT) AS pos,
+        |  doc_id, CAST(strlen(text) AS BIGINT) AS content_length,
+        |  md5(text) AS payload_md5
         |FROM documents""".stripMargin,
 
     // integer arithmetic throughout (duration is floor division), so

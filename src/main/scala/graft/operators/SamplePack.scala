@@ -25,6 +25,10 @@ object SamplePack extends QueryPack {
     * across the four weight classes. */
   val TokenBudget = 10000L
 
+  /** sp_source_cap per-source keep count — under the 25-docs-per-
+    * source fixture density at every SF, so the cap actually cuts. */
+  val SourceCap = 15
+
   /** sp_time_split cutoff — mid-range of the events fixture's
     * 2024-01 span at every SF, so both splits are populated. Kept as
     * a STRING and cast in the session (UTC) timezone —
@@ -83,6 +87,21 @@ object SamplePack extends QueryPack {
           .select(col("doc_id"), col("source"), col("lang")),
         strata = Seq(col("source"), col("lang")), key = col("doc_id"),
         salt = "s3", k = 5)),
+
+    // Per-source document cap — the "at most K pages per domain"
+    // curation rule (bounds any one crawl source's share of the
+    // corpus regardless of its raw size). Keeps the K best docs per
+    // source by content (n_chars DESC, doc_id ASC tiebreak) through
+    // the native TopKPerKey bounded heaps: ≤ K rows per source per
+    // input partition cross the shuffle, so a mega-domain with 10⁹
+    // pages ships K rows, not 10⁹ into a window sort.
+    "sp_source_cap" -> ((s, dir) =>
+      graft.plans.TopKPerKey.topKPerKey(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        keys = Seq(col("source")),
+        order = Seq(col("n_chars").desc, col("doc_id").asc),
+        k = SourceCap)),
 
     // Weighted source mixing — per-source sampling rates (the
     // "dataset weights" step of corpus assembly) as one scan-stage
@@ -401,6 +420,15 @@ object SamplePack extends QueryPack {
                        "'s3#' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= 5""".stripMargin,
+
+    // rn=1..K ⇔ the K-bounded heap the engine keeps per source
+    "sp_source_cap" ->
+      s"""SELECT doc_id, source, n_chars FROM (
+         |  SELECT doc_id, source, n_chars,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= $SourceCap""".stripMargin,
 
     "sp_weighted_mix" ->
       s"""SELECT doc_id, source FROM documents

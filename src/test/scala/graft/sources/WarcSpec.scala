@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The WARC walker's contract: exact round trip (headers, payload,
+  * order) over raw and gzip-member archives, octet (not character)
+  * lengths, and LOUD failure on every malformation class — a walker
+  * that resyncs silently corrupts every record after a tear. */
+class WarcSpec extends SparkSpec {
+
+  private def rec(id: Long, body: String): Array[Byte] =
+    Warc.record(Seq("WARC-Record-ID" -> s"urn:graft:$id"),
+      body.getBytes(UTF_8))
+
+  test("round trip: records come back in order with exact payloads") {
+    val bodies = Seq("plain ascii", "文字は多バイト", "", "trailing \r\n inside")
+    val archive = bodies.zipWithIndex
+      .map { case (b, i) => rec(i.toLong, b) }
+      .reduce(_ ++ _)
+    val back = Warc.records(archive).toList
+    assert(back.map(r => new String(r.payload, UTF_8)) == bodies)
+    assert(back.map(_.headers("WARC-Record-ID")) ==
+      bodies.indices.map(i => s"urn:graft:$i"))
+  }
+
+  test("Content-Length counts octets, not characters") {
+    val body = "五文字です" // 5 chars, 15 UTF-8 octets
+    val r = Warc.records(rec(1, body)).next()
+    assert(r.headers("Content-Length") == "15")
+    assert(r.payload.length == 15)
+  }
+
+  test("gzip members: mixed multi-member archive parses like raw") {
+    val raw = Seq(rec(1, "one"), rec(2, "two"), rec(3, "three"))
+    val gz = raw.map(Warc.gzipMember).reduce(_ ++ _)
+    assert(Warc.isGzip(gz))
+    val back = Warc.records(gz).toList
+    assert(back.map(r => new String(r.payload, UTF_8)) ==
+      Seq("one", "two", "three"))
+  }
+
+  test("malformations fail loudly with the byte offset") {
+    val good = rec(7, "payload")
+    // torn payload: declared length overruns the archive
+    val torn = good.dropRight(10)
+    val e1 = intercept[IllegalStateException](Warc.records(torn).toList)
+    assert(e1.getMessage.contains("overruns") ||
+      e1.getMessage.contains("terminated"))
+    // version desync: garbage before a record
+    val desync = "HTTP/1.1 200 OK\r\n".getBytes(UTF_8) ++ good
+    val e2 = intercept[IllegalStateException](Warc.records(desync).toList)
+    assert(e2.getMessage.contains("record marker"))
+    // missing Content-Length
+    val noLen = ("WARC/1.0\r\nWARC-Record-ID: urn:graft:9\r\n\r\n" +
+      "body\r\n\r\n").getBytes(UTF_8)
+    val e3 = intercept[IllegalStateException](Warc.records(noLen).toList)
+    assert(e3.getMessage.contains("Content-Length"))
+    // payload shorter than declared → terminator check trips
+    val lied = ("WARC/1.0\r\nContent-Length: 2\r\n\r\n" +
+      "body\r\n\r\n").getBytes(UTF_8)
+    val e4 = intercept[IllegalStateException](Warc.records(lied).toList)
+    assert(e4.getMessage.contains("terminator"))
+  }
+
+  test("writer rejects caller-supplied Content-Length and CRLF smuggling") {
+    intercept[IllegalArgumentException](
+      Warc.record(Seq("Content-Length" -> "3"), Array[Byte](1)))
+    intercept[IllegalArgumentException](
+      Warc.record(Seq("X" -> "a\r\nInjected: yes"), Array[Byte](1)))
+  }
+
+  test("spark round trip: every doc survives per-source archiving") {
+    implicit val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "srcA", "alpha"), (2L, "srcA", "beta 多バイト"),
+      (3L, "srcB", "gamma"), (10L, "srcA", "delta"))
+      .toDF("doc_id", "source", "text")
+    val out = Warc.parseArchives(Warc.archivesFromDocuments(docs))
+      .toDF()
+      .select(col("source"), col("pos"), col("doc_id"),
+        col("content_length"),
+        col("payload").cast("string").as("body"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(out == Set(
+      ("srcA", 0L, 1L, 5L, "alpha"),
+      ("srcA", 1L, 2L, 17L, "beta 多バイト"),
+      ("srcA", 2L, 10L, 5L, "delta"),
+      ("srcB", 0L, 3L, 5L, "gamma")))
+  }
+}
