@@ -290,6 +290,33 @@ object TextPack extends QueryPack {
       Wordpiece.encode(docs, Wordpiece.train(docs).map(_._1))
     }),
 
+    // The THIRD tokenizer family: unigram-LM (SentencePiece-style) —
+    // Viterbi-OPTIMAL segmentation under per-piece scores, trained by
+    // pruning a large seed inventory DOWN by measured usage (vs
+    // BPE's bottom-up growth and WordPiece's greedy re-selection).
+    // Hard-count scores and an integer-lexicographic DP objective
+    // keep training exactly replayable. Design, the deviation from
+    // soft-EM, and the scale shape in [[Unigram]].
+    "tx_unigram_vocab" -> ((s, dir) =>
+      Unigram.trainVocab(Tables.documents(s, dir))),
+
+    // Viterbi segmentation of the word inventory under the trained
+    // scores — where this family visibly beats greedy: the DP finds
+    // fewer-piece splits greedy longest-match misses.
+    "tx_unigram_segment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Unigram.viterbi(Unigram.wordCounts(docs),
+          Unigram.train(docs).scores)
+        .select(col("w"), col("cnt"), col("n_pieces"), col("seg"))
+    }),
+
+    // Tokenizer APPLY: distinct words Viterbi-segment once, then a
+    // broadcast join carries piece counts onto the token stream.
+    "tx_unigram_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Unigram.encode(docs, Unigram.train(docs))
+    }),
+
     // ...and the FULL vocabulary training loop: K merges learned in
     // sequence, each fusing the corpus-wide top pair into a fresh
     // private-use symbol (the growing alphabet), re-segmenting, and
@@ -797,6 +824,32 @@ object TextPack extends QueryPack {
               "CAST(sum(np) AS DOUBLE) / CAST(sum(length(d.w)) AS DOUBLE)",
               4)} AS compression
          |FROM d JOIN wn ON d.w = wn.w
+         |GROUP BY doc_id""".stripMargin,
+
+    // prune-down training unrolled: seed scores from substring
+    // counts, then PruneIters Viterbi-and-prune rounds (Unigram.*)
+    "tx_unigram_vocab" -> Unigram.sqlVocab(),
+
+    "tx_unigram_segment" ->
+      s"""WITH ${Unigram.sqlTrainCtes()},
+         |${Unigram.sqlViterbiCtes("f_", s"us${Unigram.PruneIters}")}
+         |SELECT w, cnt, CAST(np AS BIGINT) AS n_pieces, seg
+         |FROM f_seg""".stripMargin,
+
+    "tx_unigram_encode" ->
+      s"""WITH ${Unigram.sqlTrainCtes()},
+         |${Unigram.sqlViterbiCtes("f_", s"us${Unigram.PruneIters}")},
+         |uwn AS (SELECT w, np FROM f_seg),
+         |ud AS (SELECT doc_id, w FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents) WHERE length(w) >= 1)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(length(ud.w)) AS BIGINT) AS n_chars,
+         |  CAST(sum(np) AS BIGINT) AS n_pieces,
+         |  ${graft.Det.droundSql(
+              "CAST(sum(np) AS DOUBLE) / CAST(sum(length(ud.w)) AS DOUBLE)",
+              4)} AS compression
+         |FROM ud JOIN uwn ON ud.w = uwn.w
          |GROUP BY doc_id""".stripMargin,
 
     "tx_bpe_vocab" ->

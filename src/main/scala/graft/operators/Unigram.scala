@@ -1,0 +1,314 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenizer (the SentencePiece unigram model,
+  * Kudo 2018) — the THIRD tokenizer family next to [[Bpe]] (bottom-up
+  * merges) and [[Wordpiece]] (greedy longest-match + re-selection).
+  * What distinguishes it:
+  *
+  *   - segmentation is VITERBI-OPTIMAL, not greedy: a dynamic program
+  *     picks the best split of each word under per-piece scores.
+  *     Greedy longest-match is measurably suboptimal — with pieces
+  *     {ab, bcd}, greedy splits "abcd" as ab|c|d (3 pieces) where the
+  *     optimum is a|bcd (2) — and UnigramSpec pins exactly that case;
+  *   - training PRUNES DOWN: seed a large candidate inventory, then
+  *     iteratively re-segment and drop the least-used pieces until
+  *     the target size — top-down attrition, vs BPE/WordPiece growth
+  *     or re-selection.
+  *
+  * Determinism (the oracle must replay training bit-for-bit):
+  * SentencePiece's soft-EM maximizes Σ log p(piece) with float
+  * probabilities; floats order-dependent across engines, log not
+  * bit-identical. This implementation is the hard-count analog — a
+  * CONSCIOUS DEVIATION in the PageRank-fixed-point tradition: piece
+  * scores are exact usage counts, and the Viterbi objective is the
+  * lexicographic integer tuple
+  *
+  *   minimize (n_pieces, −Σ score(piece), seg-string)
+  *
+  * — fewest pieces first (the dominant term of the log-prob objective
+  * under Zipf scores), then most-frequent pieces, then a total
+  * lexicographic tiebreak so the chosen SEGMENTATION (not just its
+  * cost) is unique. All comparisons are int/long/binary-string —
+  * identical in Spark and DuckDB.
+  *
+  * Scale shape (same as [[Wordpiece]]): the corpus collapses to
+  * distinct-word grain in ONE map-side-combined word count; every
+  * later pass — candidate explode, the DP, usage — runs at that
+  * grain. The DP itself is an unrolled [[MaxWordLen]]-step chain of
+  * codegen'd struct columns (position i's best cost folds ≤
+  * [[MaxPieceLen]] candidate transitions with `least` over structs) —
+  * scan-stage, zero shuffle; scores ride the plan as map literals
+  * (≤ seed + alphabet entries; a production 30k vocab becomes a
+  * broadcast map the same way). The prune loop holds only the
+  * (piece, count) inventory on the driver — never corpus data — and
+  * runs on a [[LoopWidth]]-sized session like the other iterative
+  * operators. Segmentation unroll depth [[MaxWordLen]] bounds
+  * segmentable word length; longer words are excluded on BOTH engine
+  * and oracle sides (fixture max is 8 — nothing is dropped at test
+  * SFs; a production caller sizes the unroll to the corpus).
+  *
+  * The `seg` path string joins pieces with '|'; words containing the
+  * separator are excluded from the word inventory on both sides (the
+  * usage split would mis-count them).
+  *
+  * The reference has no tokenizer training (labelmain's scope ends at
+  * label storage); this family serves the engine's training-data
+  * mandate like [[Bpe]]/[[Wordpiece]].
+  */
+object Unigram {
+
+  /** Longest candidate piece, in characters. */
+  val MaxPieceLen = 4
+
+  /** Seed multi-char inventory size (pruning starts here). */
+  val SeedMulti = 48
+
+  /** Final multi-char vocabulary size (pruning ends here). */
+  val TargetMulti = 24
+
+  /** Prune rounds; round t keeps `SeedMulti − t·(SeedMulti −
+    * TargetMulti)/PruneIters` pieces (48 → 36 → 24). */
+  val PruneIters = 2
+
+  /** Viterbi unroll depth = max segmentable word length. */
+  val MaxWordLen = 12
+
+  /** Unreachable-position cost marker; any real np ≤ MaxWordLen. */
+  val Sentinel = 9999
+
+  private def keepAt(t: Int, iters: Int): Int =
+    SeedMulti - t * (SeedMulti - TargetMulti) / iters
+
+  /** Distinct words weighted by corpus frequency, separator-free. */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1 && !col("w").contains("|"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Substring candidates of length 1..[[MaxPieceLen]] weighted by
+    * containing-word counts — length-1 rows are the ALPHABET (always
+    * kept; they guarantee every word segments), longer rows seed the
+    * prunable inventory. */
+  def candidates(wc: DataFrame): DataFrame =
+    wc.select(col("w"), col("cnt"),
+        explode(sequence(lit(1), least(length(col("w")), lit(MaxPieceLen))))
+          .as("L"))
+      .select(col("w"), col("cnt"), col("L"),
+        explode(sequence(lit(1), length(col("w")) - col("L") + 1)).as("i"))
+      .select(col("w").substr(col("i"), col("L")).as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum(col("cnt")).as("n"))
+
+  /** Viterbi segmentation of the `w` column under `scores`
+    * (piece → count; must contain every multi-char vocab piece —
+    * single chars score COALESCE 0, so segmentation always succeeds).
+    * Emits (w, cnt, n_pieces, seg); words longer than [[MaxWordLen]]
+    * are excluded. */
+  def viterbi(words: DataFrame, scores: Map[String, Long]): DataFrame = {
+    val byLen: Map[Int, Map[String, Long]] =
+      scores.groupBy(_._1.length).map { case (l, m) => (l, m) }
+    def scoreOf(piece: Column, len: Int): Column = byLen.get(len) match {
+      case Some(m) if m.nonEmpty =>
+        val ks = m.keys.toSeq.sorted
+        element_at(map_from_arrays(
+          array(ks.map(lit): _*),
+          array(ks.map(k => lit(m(k))): _*)), piece)
+      case _ => lit(null).cast("long")
+    }
+    val sentinel = struct(lit(Sentinel).as("np"), lit(0L).as("neg"),
+      lit("").as("seg"))
+    var df = words.withColumn("b_1",
+      struct(lit(0).as("np"), lit(0L).as("neg"), lit("").as("seg")))
+    for (i <- 2 to MaxWordLen + 1) {
+      val cands = for (j <- math.max(1, i - MaxPieceLen) to i - 1) yield {
+        val len = i - j
+        val piece = col("w").substr(lit(j), lit(len))
+        val sc = scoreOf(piece, len)
+        val bj = col(s"b_$j")
+        val valid = lit(i - 1) <= length(col("w")) &&
+          bj("np") < lit(Sentinel) &&
+          (if (len == 1) lit(true) else sc.isNotNull)
+        when(valid, struct(
+          (bj("np") + lit(1)).as("np"),
+          (bj("neg") - coalesce(sc, lit(0L))).as("neg"),
+          when(bj("seg") === "", piece)
+            .otherwise(concat(bj("seg"), lit("|"), piece)).as("seg")))
+          .otherwise(sentinel)
+      }
+      df = df.withColumn(s"b_$i",
+        if (cands.size == 1) cands.head else least(cands: _*))
+    }
+    df.filter(length(col("w")) <= MaxWordLen)
+      .withColumn("best", element_at(
+        array((2 to MaxWordLen + 1).map(i => col(s"b_$i")): _*),
+        length(col("w"))))
+      .select(col("w"), col("cnt"),
+        col("best.np").cast("long").as("n_pieces"), col("best.seg").as("seg"))
+  }
+
+  /** Piece usage of a Viterbi segmentation, weighted by word counts
+    * (all lengths — alphabet weights re-estimate too). */
+  def usage(seg: DataFrame): DataFrame =
+    seg.select(col("cnt"), explode(split(col("seg"), "\\|")).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).as("n"))
+
+  /** Trained state: ranked multi-char vocab + alphabet weights. */
+  final case class Trained(vocab: Seq[(String, Long)],
+                           alphabet: Map[String, Long]) {
+    def scores: Map[String, Long] = vocab.toMap ++ alphabet
+  }
+
+  private def rankTake(xs: Seq[(String, Long)], k: Int): Seq[(String, Long)] =
+    xs.sortWith { case ((pa, na), (pb, nb)) =>
+      na > nb || (na == nb && pa < pb) }.take(k)
+
+  /** The prune-down training loop. Driver state is the (piece, count)
+    * inventory only; each round is one Viterbi pass + one usage agg
+    * over the cached distinct-word frame on a sized loop session. */
+  def train(docs: DataFrame, iters: Int = PruneIters): Trained = {
+    import org.apache.spark.storage.StorageLevel
+    val wc = wordCounts(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nWords = wc.count()
+      val p = LoopWidth.partitionsFor(nWords, docs.sparkSession)
+      LoopWidth.onSizedSession(wc, p) { words =>
+        val cand = candidates(words)
+        var alpha: Map[String, Long] = cand
+          .filter(length(col("piece")) === 1)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        var multi: Seq[(String, Long)] = rankTake(
+          cand.filter(length(col("piece")) >= 2)
+            .orderBy(col("n").desc, col("piece")).limit(SeedMulti)
+            .collect().map(r => (r.getString(0), r.getLong(1))).toSeq,
+          SeedMulti)
+        for (t <- 1 to iters) {
+          val u = usage(viterbi(words, multi.toMap ++ alpha))
+            .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+          multi = rankTake(
+            multi.map { case (piece, _) => (piece, u.getOrElse(piece, 0L)) },
+            keepAt(t, iters))
+          alpha = alpha.map { case (c, _) => (c, u.getOrElse(c, 0L)) }
+        }
+        Trained(rankTake(multi, multi.size), alpha)
+      }
+    } finally wc.unpersist(blocking = false)
+  }
+
+  /** Trained multi-char vocab as a frame: (rank, piece, n). */
+  def trainVocab(docs: DataFrame, iters: Int = PruneIters): DataFrame =
+    docs.sparkSession.createDataFrame(
+        train(docs, iters).vocab.zipWithIndex.map { case ((piece, n), i) =>
+          (i.toLong, piece, n) })
+      .toDF("rank", "piece", "n")
+
+  /** Corpus encoded under the trained scores: per-doc token/char/
+    * piece counts + compression — one Viterbi pass over DISTINCT
+    * words, then a broadcast join back onto the token stream. Words
+    * outside the inventory (separator-bearing, over-length) drop via
+    * the inner join on both engine and oracle sides. */
+  def encode(docs: DataFrame, trained: Trained): DataFrame = {
+    val wn = viterbi(wordCounts(docs), trained.scores)
+      .select(col("w"), col("n_pieces"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(broadcast(wn), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("n_pieces")).as("n_pieces"))
+      .withColumn("compression",
+        graft.Det.dround(col("n_pieces").cast("double")
+          / col("n_chars").cast("double"), 4))
+  }
+
+  // ---- DuckDB oracle fragments (unrolled, mirroring the loop) ----
+
+  /** Separator-free word counts + all-length candidate scoring +
+    * alphabet `ua0` + seed vocab `uv0`. */
+  def sqlSeedCtes: String =
+    s"""uwc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 1 AND w NOT LIKE '%|%' GROUP BY w),
+       |ucand AS MATERIALIZED (SELECT substr(w, i, L) AS piece,
+       |    CAST(sum(cnt) AS BIGINT) AS n
+       |  FROM uwc,
+       |       UNNEST(generate_series(1, least(length(w), $MaxPieceLen))) AS gl(L),
+       |       UNNEST(generate_series(1, length(w) - L + 1)) AS gi(i)
+       |  GROUP BY piece),
+       |ua0 AS MATERIALIZED (SELECT piece, n FROM ucand WHERE length(piece) = 1),
+       |uv0 AS MATERIALIZED (SELECT piece, n FROM ucand WHERE length(piece) >= 2
+       |  ORDER BY n DESC, piece LIMIT $SeedMulti)""".stripMargin
+
+  /** One unrolled Viterbi DP over `uwc` with score CTE `$scores`
+    * (piece, n), CTEs prefixed `$pfx`: positions `${pfx}1..N+1`, then
+    * readout `${pfx}seg` (w, cnt, np, seg) and usage `${pfx}u`. */
+  def sqlViterbiCtes(pfx: String, scores: String): String = {
+    val p1 =
+      s"""${pfx}1 AS (SELECT w, cnt, 0 AS np, CAST(0 AS BIGINT) AS neg,
+         |  '' AS seg FROM uwc)""".stripMargin
+    val steps = (2 to MaxWordLen + 1).map { i =>
+      val blocks = (math.max(1, i - MaxPieceLen) to i - 1).map { j =>
+        val len = i - j
+        s"""SELECT b.w, b.cnt, b.np + 1 AS np,
+           |  CAST(b.neg - COALESCE(s.n, 0) AS BIGINT) AS neg,
+           |  CASE WHEN b.seg = '' THEN b.p
+           |       ELSE b.seg || '|' || b.p END AS seg
+           |FROM (SELECT w, cnt, np, neg, seg, substr(w, $j, $len) AS p
+           |      FROM ${pfx}$j
+           |      WHERE np < $Sentinel AND length(w) >= ${i - 1}) b
+           |LEFT JOIN $scores s ON s.piece = b.p
+           |WHERE ($len = 1 OR s.n IS NOT NULL)""".stripMargin
+      }
+      val sent = s"SELECT w, cnt, $Sentinel AS np, CAST(0 AS BIGINT) AS neg, '' AS seg FROM uwc"
+      s"""${pfx}$i AS MATERIALIZED (
+         |  SELECT w, cnt, np, neg, seg FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY w
+         |      ORDER BY np, neg, seg) AS rn FROM (
+         |${(blocks :+ sent).mkString("\nUNION ALL\n")}))
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val readout = (2 to MaxWordLen + 1)
+      .map(i => s"SELECT w, cnt, np, neg, seg FROM ${pfx}$i WHERE length(w) = ${i - 1}")
+      .mkString("\nUNION ALL\n")
+    val seg =
+      s"""${pfx}seg AS MATERIALIZED (SELECT w, cnt, np, seg FROM (
+         |$readout) WHERE np < $Sentinel)""".stripMargin
+    val u =
+      s"""${pfx}u AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM (SELECT unnest(string_split(seg, '|')) AS piece, cnt
+         |        FROM ${pfx}seg)
+         |  GROUP BY piece)""".stripMargin
+    (Seq(p1) ++ steps ++ Seq(seg, u)).mkString(",\n")
+  }
+
+  /** Training unroll: seed + `iters` prune rounds. Final vocab CTE is
+    * `uv$iters`, final alphabet `ua$iters`, final scores `us$iters`. */
+  def sqlTrainCtes(iters: Int = PruneIters): String = {
+    val rounds = (0 until iters).map { t =>
+      val keep = keepAt(t + 1, iters)
+      s"""us$t AS (SELECT piece, n FROM uv$t
+         |  UNION ALL SELECT piece, n FROM ua$t),
+         |${sqlViterbiCtes(s"r${t}_", s"us$t")},
+         |uv${t + 1} AS MATERIALIZED (
+         |  SELECT v.piece, CAST(COALESCE(g.n, 0) AS BIGINT) AS n
+         |  FROM uv$t v LEFT JOIN r${t}_u g ON g.piece = v.piece
+         |  ORDER BY n DESC, v.piece LIMIT $keep),
+         |ua${t + 1} AS MATERIALIZED (
+         |  SELECT a.piece, CAST(COALESCE(g.n, 0) AS BIGINT) AS n
+         |  FROM ua0 a LEFT JOIN r${t}_u g ON g.piece = a.piece)""".stripMargin
+    }
+    val finalScores =
+      s"""us$iters AS (SELECT piece, n FROM uv$iters
+         |  UNION ALL SELECT piece, n FROM ua$iters)""".stripMargin
+    (Seq(sqlSeedCtes) ++ rounds ++ Seq(finalScores)).mkString(",\n")
+  }
+
+  /** The vocab-query oracle: ranked final multi-char vocab. */
+  def sqlVocab(iters: Int = PruneIters): String =
+    s"""WITH ${sqlTrainCtes(iters)}
+       |SELECT CAST(row_number() OVER (ORDER BY n DESC, piece) - 1 AS BIGINT)
+       |         AS rank, piece, n
+       |FROM uv$iters""".stripMargin
+}

@@ -34,7 +34,12 @@ class InvarianceSpec extends SparkSpec {
     "tx_bm25_topk",         // fixed-point term sums + float ranking cut
     "sim_medoid",           // fixed-point pair-cosine sums + struct argmax
     "sp_token_budget",      // floor-division rates + hash-sample rollup
-    "m_snapshot_diff")      // two argmax snapshots + full-outer diff
+    "m_snapshot_diff",      // two argmax snapshots + full-outer diff
+    "ds_keep_best",         // per-group struct argmax + anti-join
+    "sp_source_cap",        // TopKPerKey heaps under value ties
+    "mm_warc_roundtrip")    // per-source archive spool + record walk
+    // (wordpiece/unigram vocab invariance pinned in their own specs —
+    // training loops collect through a sized session)
     // (classifier weights pinned in ClassifierSpec — the IndexCache
     // memo would make an entry here read the first build twice)
 

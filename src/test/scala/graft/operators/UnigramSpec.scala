@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The unigram family's contracts: the DP is genuinely OPTIMAL under
+  * the declared objective (checked against brute-force enumeration),
+  * strictly better than greedy where greedy is suboptimal, and
+  * training is deterministic across partition counts. */
+class UnigramSpec extends SparkSpec {
+
+  private def wordsDf(ws: (String, Long)*): DataFrame = {
+    implicit val s = spark
+    import s.implicits._
+    ws.toDF("w", "cnt")
+  }
+
+  /** Brute-force best segmentation under Unigram's objective:
+    * enumerate every split whose multi-char pieces are scored,
+    * minimize (np, −Σscore, seg). */
+  private def bruteBest(w: String, scores: Map[String, Long]): (Int, Long, String) = {
+    def segs(s: String): Seq[List[String]] =
+      if (s.isEmpty) Seq(Nil)
+      else (1 to math.min(Unigram.MaxPieceLen, s.length)).flatMap { l =>
+        val p = s.take(l)
+        if (l == 1 || scores.contains(p)) segs(s.drop(l)).map(p :: _)
+        else Nil
+      }
+    segs(w).map { pieces =>
+      (pieces.length, -pieces.map(p => scores.getOrElse(p, 0L)).sum,
+        pieces.mkString("|"))
+    }.min
+  }
+
+  test("viterbi matches brute-force optimum on every word") {
+    val scores = Map("ab" -> 10L, "bcd" -> 8L, "abc" -> 3L, "cd" -> 5L,
+      "a" -> 4L, "b" -> 3L, "c" -> 2L, "d" -> 1L, "x" -> 0L)
+    val words = Seq("abcd", "abcdabcd", "axbcd", "dcba", "a", "ababab",
+      "cdcdcd", "xxxx")
+    val got = Unigram.viterbi(
+        wordsDf(words.map((_, 1L)): _*), scores)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(2).toInt, -1L, r.getString(3)))).toMap
+    words.foreach { w =>
+      val (np, neg, seg) = bruteBest(w, scores)
+      assert(got(w)._1 == np, s"$w: np ${got(w)._1} != optimal $np")
+      assert(got(w)._3 == seg, s"$w: seg ${got(w)._3} != optimal $seg")
+    }
+  }
+
+  test("viterbi beats greedy longest-match on the classic case") {
+    // greedy eats 'ab' first and strands c|d (3 pieces); the optimum
+    // is a|bcd (2) — the defining difference of this family
+    val scores = Map("ab" -> 100L, "bcd" -> 1L,
+      "a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L)
+    val r = Unigram.viterbi(wordsDf(("abcd", 1L)), scores).collect().head
+    assert(r.getLong(2) == 2L && r.getString(3) == "a|bcd")
+    val greedy = Wordpiece.segmented(wordsDf(("abcd", 1L)),
+      Seq("ab", "bcd")).select(col("n_pieces")).collect().head.getLong(0)
+    assert(greedy == 3L)
+  }
+
+  test("tie-break is total: equal-cost paths pick the lexicographic seg") {
+    // 'aa'+'bb' and 'aab'+'b'? different np. Use two 2-splits of 'aabb'
+    // with identical scores: a|abb vs aa|bb vs aab|b — same np=2,
+    // same sum → lexicographically smallest seg wins
+    val scores = Map("abb" -> 5L, "aa" -> 5L, "bb" -> 0L, "aab" -> 5L,
+      "a" -> 0L, "b" -> 0L)
+    // sums: a|abb = 5, aa|bb = 5, aab|b = 5 — all (2, -5); min seg
+    val r = Unigram.viterbi(wordsDf(("aabb", 1L)), scores).collect().head
+    assert(r.getString(3) == Seq("a|abb", "aa|bb", "aab|b").min)
+  }
+
+  test("words beyond the unroll depth are excluded, not corrupted") {
+    val long = "x" * (Unigram.MaxWordLen + 1)
+    val out = Unigram.viterbi(wordsDf((long, 1L), ("ok", 1L)),
+      Map("o" -> 1L, "k" -> 1L, "x" -> 1L)).collect()
+    assert(out.map(_.getString(0)).toSet == Set("ok"))
+  }
+
+  test("trained vocab is partition-count invariant and sized to target") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val a = Unigram.train(docs)
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val b = Unigram.train(docs.repartition(13))
+      assert(a.vocab == b.vocab)
+      assert(a.alphabet == b.alphabet)
+      assert(a.vocab.size == Unigram.TargetMulti)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("encode rollup is consistent with per-word segmentation") {
+    implicit val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "aa bb aa"), (2L, "ccc")).toDF("doc_id", "text")
+    val t = Unigram.Trained(Seq("aa" -> 2L, "cc" -> 1L),
+      Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+    val out = Unigram.encode(docs, t).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1: aa→1 piece ×2, bb→2 pieces; doc 2: ccc → cc|c = 2
+    assert(out(1L) == ((3L, 6L, 4L)))
+    assert(out(2L) == ((1L, 3L, 2L)))
+  }
+}
