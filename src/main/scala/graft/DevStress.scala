@@ -425,6 +425,32 @@ object DevStress {
           f"  ($nnz%d nonzero w, ${secs / k}%.2f s/iter)")
       }
     }
+    // WARC spool + walk: wall must track BYTES (archives are factor×
+    // fatter per source; the walk is one sequential pass per archive,
+    // parallelism = archive count — constant here, so sec ≈ linear in
+    // factor is the honest expectation, not sublinear)
+    if (wants("warc_roundtrip")) {
+      implicit val sp = spark
+      time("warc_roundtrip",
+        graft.sources.Warc.parseArchives(
+          graft.sources.Warc.archivesFromDocuments(
+            spark.read.parquet("/tmp/stress_docs"))).toDF())
+    }
+    // unigram training: cost must track DISTINCT WORDS (the grain
+    // every post-wordcount pass runs at), not raw tokens — suffixing
+    // every word with doc_id%factor grows the distinct-word inventory
+    // ~factor× while the Zipf corpus itself is the same bytes
+    if (wants("unigram_train")) {
+      val suffixed = spark.read.parquet("/tmp/stress_docs")
+        .select(col("doc_id"),
+          array_join(transform(split(col("text"), " "),
+              w => concat(w, lit("~"), (col("doc_id") % factor).cast("string"))),
+            " ").as("text"))
+      val nw = graft.operators.Unigram.wordCounts(suffixed).count()
+      val t0 = System.nanoTime()
+      val v = graft.operators.Unigram.trainVocab(suffixed).count()
+      println(f"[stress] x$factor%-3d unigram_train            ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($nw%d distinct words, $v%d vocab rows)")
+    }
     spark.stop()
   }
 }
