@@ -29,6 +29,11 @@ object SamplePack extends QueryPack {
     * source fixture density at every SF, so the cap actually cuts. */
   val SourceCap = 15
 
+  /** sp_shard_manifest sequences per output shard — small enough
+    * that every test SF produces several shards (including a partial
+    * tail shard, the boundary a resuming reader must handle). */
+  val SeqsPerShard = 16
+
   /** sp_time_split cutoff — mid-range of the events fixture's
     * 2024-01 span at every SF, so both splits are populated. Kept as
     * a STRING and cast in the session (UTC) timezone —
@@ -186,6 +191,37 @@ object SamplePack extends QueryPack {
         .join(positioned, Seq("source", "lang", "bin"))
         .select(col("pos"), col("source"), col("lang"), col("bin"),
           col("slot"), col("doc_id"), col("n_tokens"))
+    }),
+
+    // Output SHARD manifest — the WebDataset-style artifact the
+    // training loader reads FIRST: packed sequences, in epoch order,
+    // grouped into fixed-count shards (shard = pos DIV SeqsPerShard),
+    // one manifest row per shard with its position span and token
+    // mass. A resumable reader seeks to shard ⌊resume_pos /
+    // SeqsPerShard⌋ and skips whole shards by the manifest instead
+    // of scanning the feed. Scale shape: everything runs at SEQUENCE
+    // grain (the sp_epoch_feed argument); the manifest rollup is one
+    // partial-agg groupBy over ~|sequences| / SeqsPerShard keys.
+    "sp_shard_manifest" -> ((s, dir) => {
+      val seqStats = Sampling.packBins(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"),
+            col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          shard = Seq(col("source"), col("lang")),
+          order = Seq(col("doc_id")), tokens = col("n_tokens"),
+          budget = PackBudget)
+        .groupBy(col("source"), col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+        .withColumn("k", graft.functions.Hashing.h32(
+          concat(lit("e0_"), col("source"), lit("_"), col("lang"),
+            lit("_"), col("bin").cast("string"))))
+      GlobalIndex.withPosition(seqStats,
+          Seq(col("k"), col("source"), col("lang"), col("bin")), "pos")
+        .withColumn("shard", expr(s"pos DIV $SeqsPerShard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_seqs"), sum(col("n_docs")).as("n_docs"),
+          sum(col("seq_tokens")).as("shard_tokens"),
+          min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
     }),
 
     // Packing QA — the metric a training-data pipeline actually
@@ -487,6 +523,31 @@ object SamplePack extends QueryPack {
          |SELECT p.pos, slots.source, slots.lang, slots.bin, slots.slot,
          |       slots.doc_id, slots.n_tokens
          |FROM slots JOIN p USING (source, lang, bin)""".stripMargin,
+
+    // the oracle MAY use one-task windows (single DuckDB node); the
+    // Spark side must not (GlobalIndex at sequence grain)
+    "sp_shard_manifest" ->
+      s"""WITH t AS (SELECT doc_id, source, lang,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |b AS (SELECT doc_id, source, lang, n_tokens,
+         |        CAST((sum(n_tokens) OVER (PARTITION BY source, lang
+         |           ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |         - n_tokens) // $PackBudget AS BIGINT) AS bin
+         |      FROM t),
+         |s AS (SELECT source, lang, bin, count(*) AS n_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+         |        ${graft.functions.Hashing.sqlH32(
+                    "'e0_' || source || '_' || lang || '_' || CAST(bin AS VARCHAR)")} AS k
+         |      FROM b GROUP BY 1, 2, 3),
+         |p AS (SELECT *, CAST(row_number() OVER (ORDER BY k, source, lang, bin)
+         |          - 1 AS BIGINT) AS pos
+         |      FROM s)
+         |SELECT pos // $SeqsPerShard AS shard, count(*) AS n_seqs,
+         |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |       CAST(sum(seq_tokens) AS BIGINT) AS shard_tokens,
+         |       min(pos) AS first_pos, max(pos) AS last_pos
+         |FROM p GROUP BY 1""".stripMargin,
 
     "sp_pack_efficiency" ->
       s"""WITH t AS (SELECT doc_id, source, lang,

@@ -290,6 +290,31 @@ object SimilarityPack extends QueryPack {
         .join(losers, Seq("vec_id"), "left_anti")
     }),
 
+    // SEMANTIC decontamination — the embedding-space complement of
+    // ds_decontaminate's n-gram overlap: flag every corpus vector
+    // within cos ≥ 0.3 of ANY eval-set vector (paraphrased benchmark
+    // leakage that exact n-grams miss), with the best-matching eval
+    // item as evidence. Scale shape: the eval set is SMALL by nature
+    // (benchmarks are 10³–10⁵ rows) → it broadcasts; every (corpus ×
+    // eval) cosine is scan-stage FloatDot; the per-vector argmax is
+    // a map-side-combined max(struct) — each vector's pairs live in
+    // one input partition, so ≤ 1 row per vector crosses the
+    // exchange. Never an index rebuild, never a corpus self-join.
+    "ds_decon_semantic" -> ((s, dir) => {
+      val evals = emb(s, dir).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("evec"))
+      emb(s, dir).filter(col("vec_id") % 50 =!= 0)
+        .crossJoin(broadcast(evals))
+        .select(col("vec_id"), col("eval_id"),
+          Similarity.cosine(col("embedding"), col("evec")).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos").as("c"), (-col("eval_id")).as("nid")))
+          .as("m"))
+        .select(col("vec_id"), (-col("m.nid")).as("eval_id"),
+          graft.Det.dround(col("m.c"), 6).as("cos"))
+    }),
+
     // ANN top-k SEARCH (the user-facing query the pairs feed): each
     // query vector (vec_id < 10) ranked against its co-bucket
     // candidates, exact-cosine re-rank, top-3. Rank selection runs
@@ -840,6 +865,24 @@ object SimilarityPack extends QueryPack {
          |JOIN embeddings ea ON vec_a = ea.vec_id
          |JOIN embeddings eb ON vec_b = eb.vec_id
          |WHERE ${sqlCos("ea.embedding", "eb.embedding")} >= 0.3""".stripMargin,
+
+    // rn=1 under (raw cos DESC, eval_id) ⇔ the engine's
+    // max(struct(cos, −eval_id)) — both engines compute the same
+    // IEEE cosine, so the raw ordering agrees; only the OUTPUT cos
+    // is rounded
+    "ds_decon_semantic" ->
+      s"""WITH ev AS (SELECT vec_id AS eval_id, embedding AS evec
+         |            FROM embeddings WHERE vec_id % 50 = 0),
+         |cor AS (SELECT vec_id, embedding FROM embeddings
+         |        WHERE vec_id % 50 <> 0),
+         |p AS (SELECT cor.vec_id, ev.eval_id,
+         |        ${sqlCos("cor.embedding", "ev.evec")} AS cos
+         |      FROM cor CROSS JOIN ev),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cos DESC, eval_id) AS rn
+         |      FROM p WHERE cos >= 0.3)
+         |SELECT vec_id, eval_id, ${graft.Det.droundSql("cos", 6)} AS cos
+         |FROM f WHERE rn = 1""".stripMargin,
 
     // transitive closure over the close pairs, then drop every
     // non-representative node — same recursive-CTE shape as
