@@ -80,6 +80,25 @@ object MultimodalPack extends QueryPack {
           col("content_length"), md5(col("payload")).as("payload_md5"))
     }),
 
+    // The response-record layer on top: payloads are full HTTP/1.1
+    // messages (status line + headers + body — what crawl archives
+    // actually carry), parsed by [[graft.sources.Warc.parseHttp]]
+    // after the record walk. The oracle replays the status/
+    // content-type/body rules straight from `documents`; a parse bug
+    // (CRLF off-by-one in the header block, body sliced at the wrong
+    // offset) breaks status, octets, or the body md5.
+    "mm_warc_http" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.sources.Warc.parseHttpRecords(
+          graft.sources.Warc.responseArchivesFromDocuments(
+            Tables.documents(s, dir)))
+        .toDF()
+        .select(col("source"), col("doc_id"), col("status"),
+          col("content_type"),
+          length(col("body")).cast("long").as("body_octets"),
+          md5(col("body")).as("body_md5"))
+    }),
+
     // Cross-modality corpus profile — the rollup a media curation
     // pipeline monitors: every REAL decoder (PNG/JPEG dims, WAV and
     // MP4 durations) feeding one per-kind summary. Decodes stay
@@ -233,6 +252,15 @@ object MultimodalPack extends QueryPack {
         |  CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'bmp' END AS fmt,
         |  CAST(16 + doc_id % 1000 AS INTEGER) AS width,
         |  CAST(16 + (doc_id * 7) % 800 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
+
+    "mm_warc_http" ->
+      """SELECT source, doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS status,
+        |  'text/' || lang AS content_type,
+        |  CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+        |            ELSE strlen(text) END AS BIGINT) AS body_octets,
+        |  md5(CASE WHEN doc_id % 13 = 0 THEN '' ELSE text END) AS body_md5
         |FROM documents""".stripMargin,
 
     // the writer's facts, straight from the table: position = rank

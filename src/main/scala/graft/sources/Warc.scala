@@ -165,6 +165,65 @@ object Warc {
     }
   }
 
+  // ---- HTTP response payloads (the WARC-Type: response shape) ----
+
+  /** A serialized HTTP/1.1 response — what a crawl's `response`
+    * records actually carry as their payload (Content-Type:
+    * application/http in real WARCs): status line, headers, blank
+    * line, body bytes. */
+  def httpResponse(status: Int, reason: String,
+                   headers: Seq[(String, String)],
+                   body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(body.length + 128)
+    out.write(s"HTTP/1.1 $status $reason".getBytes(US_ASCII)); out.write(Crlf)
+    headers.foreach { case (k, v) =>
+      out.write(s"$k: $v".getBytes(UTF_8)); out.write(Crlf)
+    }
+    out.write(Crlf)
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** Parse an HTTP response payload into (status, headers, body).
+    * None when the payload is not an HTTP message (e.g. a `resource`
+    * record) — the caller's routing signal, not an error: a crawl
+    * archive legitimately mixes record types. Malformed-after-the-
+    * signature still returns None; strictness lives at the RECORD
+    * layer (Content-Length framing), not inside payloads the crawler
+    * captured verbatim from arbitrary servers. */
+  def parseHttp(payload: Array[Byte]): Option[(Int, Map[String, String], Array[Byte])] = {
+    if (payload.length < 12 ||
+        !new String(payload, 0, 5, US_ASCII).equals("HTTP/"))
+      return None
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i + 1 < payload.length &&
+             !(payload(i) == '\r' && payload(i + 1) == '\n')) i += 1
+      if (i + 1 < payload.length) i else -1
+    }
+    val se = lineEnd(0)
+    if (se < 0) return None
+    val statusLine = new String(payload, 0, se, US_ASCII).split(" ", 3)
+    if (statusLine.length < 2) return None
+    val status = statusLine(1).toIntOption.getOrElse(return None)
+    var p = se + 2
+    var headers = Map.empty[String, String]
+    while (true) {
+      val he = lineEnd(p)
+      if (he < 0) return None
+      if (he == p)
+        return Some((status, headers,
+          java.util.Arrays.copyOfRange(payload, p + 2, payload.length)))
+      val line = new String(payload, p, he - p, UTF_8)
+      val c = line.indexOf(':')
+      if (c < 1) return None
+      headers += (line.substring(0, c).trim.toLowerCase
+        -> line.substring(c + 1).trim)
+      p = he + 2
+    }
+    None // unreachable
+  }
+
   // ---- Spark plumbing: documents → per-source archives → records ----
 
   final case class ArchiveRow(source: String, archive: Array[Byte])
@@ -224,5 +283,105 @@ object Warc {
           r.headers("Content-Length").toLong, r.payload)
       }
     })
+  }
+
+  final case class HttpRecord(source: String, doc_id: Long, status: Int,
+                              content_type: String, body: Array[Byte])
+
+  /** `response`-type archives: each record's payload is a full
+    * HTTP/1.1 message (status line + headers + body) — the shape
+    * real crawl archives carry. Status/content-type derive
+    * deterministically from the doc so the oracle can replay them:
+    * doc_id % 13 == 0 → a bodiless 404, else 200 with the text as
+    * body; content-type echoes the doc language. Same per-source
+    * spool + gzip-member mix as [[archivesFromDocuments]]. */
+  def responseArchivesFromDocuments(docs: DataFrame)
+                                   (implicit s: SparkSession): Dataset[ArchiveRow] = {
+    import s.implicits._
+    docs.select(col("source"), col("doc_id"), col("lang"), col("text"))
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .as[(String, Long, String, String)]
+      .mapPartitions { it =>
+        val bySource = new scala.collection.mutable.LinkedHashMap[
+          String, ByteArrayOutputStream]()
+        it.foreach { case (source, id, lang, text) =>
+          val gz = math.abs(source.hashCode % 2) == 0
+          val notFound = id % 13 == 0
+          val http = httpResponse(
+            if (notFound) 404 else 200,
+            if (notFound) "Not Found" else "OK",
+            Seq("Content-Type" -> s"text/$lang"),
+            if (notFound) Array.emptyByteArray else text.getBytes(UTF_8))
+          val rec = record(Seq(
+            "WARC-Type" -> "response",
+            "WARC-Record-ID" -> s"urn:graft:$id",
+            "WARC-Target-URI" -> s"https://$source.example/$id"), http)
+          val out = bySource.getOrElseUpdate(source,
+            new ByteArrayOutputStream(1 << 16))
+          out.write(if (gz) gzipMember(rec) else rec)
+        }
+        bySource.iterator.map { case (src, out) =>
+          ArchiveRow(src, out.toByteArray)
+        }
+      }
+  }
+
+  /** Response archives → parsed HTTP fields per record. Records
+    * whose payload is not an HTTP message are dropped (the
+    * dead-letter split is the caller's move, as with the header
+    * codecs). */
+  def parseHttpRecords(arch: Dataset[ArchiveRow])
+                      (implicit s: SparkSession): Dataset[HttpRecord] = {
+    import s.implicits._
+    parseArchives(arch).mapPartitions(_.flatMap { r =>
+      parseHttp(r.payload).map { case (status, headers, body) =>
+        HttpRecord(r.source, r.doc_id, status,
+          headers.getOrElse("content-type", ""), body)
+      }
+    })
+  }
+
+  // ---- Structured Streaming ingest: archive files → record rows ----
+
+  /** Streaming ingest of a growing archive directory — the
+    * continuous form of the batch round trip: each newly-landed
+    * `*.warc` / `*.warc.gz` file is one streamed row (Spark's
+    * binaryFile source tracks seen files through the checkpoint, so
+    * an archive is walked EXACTLY once across restarts), flatMapped
+    * through the strict record walk, appended as parquet. Archive
+    * files must arrive complete (write-then-rename spool discipline
+    * — the same contract as the file source itself); a torn archive
+    * fails its task loudly rather than ingesting desynced records.
+    * Source name derives from the file name (spool convention:
+    * `<source>.warc[.gz]`). */
+  def startIngest(spark: SparkSession, feedDir: String, outDir: String,
+                  ckptDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    spark.readStream.format("binaryFile")
+      // the source's fixed schema, stated explicitly (streaming file
+      // sources refuse to infer)
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY"))
+      .option("pathGlobFilter", "*.warc*")
+      .load(feedDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val base = path.substring(path.lastIndexOf('/') + 1)
+        val source = base.stripSuffix(".gz").stripSuffix(".warc")
+        records(bytes).zipWithIndex.map { case (r, i) =>
+          ParsedRecord(source, i.toLong,
+            r.headers.getOrElse("WARC-Record-ID", "urn:graft:-1")
+              .stripPrefix("urn:graft:").toLong,
+            r.headers("Content-Length").toLong, r.payload)
+        }
+      }
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
   }
 }

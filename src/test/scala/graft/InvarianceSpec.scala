@@ -38,6 +38,7 @@ class InvarianceSpec extends SparkSpec {
     "ds_keep_best",         // per-group struct argmax + anti-join
     "sp_source_cap",        // TopKPerKey heaps under value ties
     "mm_warc_roundtrip",    // per-source archive spool + record walk
+    "mm_warc_http",         // HTTP payload parse after the record walk
     "ds_decon_semantic",    // float cos argmax vs broadcast eval set
     "sp_shard_manifest")    // sequence-grain positions → shard rollup
     // (wordpiece/unigram vocab invariance pinned in their own specs —

@@ -72,6 +72,57 @@ class WarcSpec extends SparkSpec {
       Warc.record(Seq("X" -> "a\r\nInjected: yes"), Array[Byte](1)))
   }
 
+  test("HTTP payloads: status/headers/body round-trip; non-HTTP → None") {
+    val body = "<html>多バイト</html>".getBytes(UTF_8)
+    val http = Warc.httpResponse(200, "OK",
+      Seq("Content-Type" -> "text/html", "X-Crawl" -> "graft"), body)
+    val Some((status, headers, b)) = Warc.parseHttp(http)
+    assert(status == 200)
+    assert(headers("content-type") == "text/html")
+    assert(headers("x-crawl") == "graft")
+    assert(b.sameElements(body))
+    // empty body (the 404 shape)
+    val Some((s404, _, b404)) =
+      Warc.parseHttp(Warc.httpResponse(404, "Not Found", Nil, Array.emptyByteArray))
+    assert(s404 == 404 && b404.isEmpty)
+    // a resource record's raw payload is not an HTTP message
+    assert(Warc.parseHttp("just text".getBytes(UTF_8)).isEmpty)
+    assert(Warc.parseHttp(Array.emptyByteArray).isEmpty)
+    // body containing CRLFCRLF must NOT truncate (headers end at the
+    // FIRST blank line; the rest is body verbatim)
+    val tricky = "a\r\n\r\nb".getBytes(UTF_8)
+    val Some((_, _, tb)) = Warc.parseHttp(Warc.httpResponse(200, "OK", Nil, tricky))
+    assert(tb.sameElements(tricky))
+  }
+
+  test("streaming ingest: each archive file is walked exactly once across restarts") {
+    val dir = java.nio.file.Files.createTempDirectory("warc-stream")
+    val feed = dir.resolve("feed"); java.nio.file.Files.createDirectory(feed)
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def spool(name: String, recs: Seq[Array[Byte]]): Unit = {
+      // write-then-rename: the file source must never see a torn file
+      val tmp = feed.resolve(s".$name.tmp")
+      java.nio.file.Files.write(tmp, recs.reduce(_ ++ _))
+      java.nio.file.Files.move(tmp, feed.resolve(name))
+    }
+    spool("srcA.warc", Seq(rec(1, "one"), rec(2, "two")))
+    Warc.startIngest(spark, feed.toString, out, ckpt).awaitTermination()
+    val first = spark.read.parquet(out)
+    assert(first.count() == 2)
+    // a new archive lands; restart picks up ONLY the new file
+    spool("srcB.warc.gz", Seq(Warc.gzipMember(rec(3, "three"))))
+    Warc.startIngest(spark, feed.toString, out, ckpt).awaitTermination()
+    val rows = spark.read.parquet(out)
+      .select("source", "doc_id", "content_length").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(("srcA", 1L, 3L), ("srcA", 2L, 3L), ("srcB", 3L, 5L)),
+      s"got $rows")
+    // idempotent: a third run with nothing new appends nothing
+    Warc.startIngest(spark, feed.toString, out, ckpt).awaitTermination()
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
   test("spark round trip: every doc survives per-source archiving") {
     implicit val s = spark
     import s.implicits._
