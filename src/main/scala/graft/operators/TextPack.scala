@@ -317,6 +317,34 @@ object TextPack extends QueryPack {
       Unigram.encode(docs, Unigram.train(docs))
     }),
 
+    // The tokenizer BAKE-OFF: all three families trained on the same
+    // corpus, corpus-level compression side by side — the one-number
+    // answer to "which tokenizer fits this corpus" a tokenizer owner
+    // actually decides by. Every rollup runs at DISTINCT-WORD grain
+    // (Σ cnt·units over the word inventory — applying a trained
+    // tokenizer never re-processes repeated words); BPE's unit is
+    // post-merge symbols, WordPiece/unigram count pieces — all three
+    // are units-per-char, directly comparable.
+    "tx_tokenizer_compare" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val wc = Wordpiece.wordCounts(docs)
+      val merges = Bpe.trainMerges(
+        docs.select(explode(split(col("text"), " ")).as("w")))
+      def roll(df: DataFrame, family: String, units: Column) = df
+        .agg(sum(col("cnt") * length(col("w")).cast("long")).as("chars"),
+          sum(col("cnt") * units).as("units"))
+        .select(lit(family).as("family"), col("chars"), col("units"))
+      val bpe = roll(wc, "bpe",
+        length(Bpe.encodeCol(col("w"), merges)).cast("long"))
+      val wp = roll(Wordpiece.segmented(wc, Wordpiece.train(docs).map(_._1)),
+        "wordpiece", col("n_pieces"))
+      val un = roll(Unigram.viterbi(Unigram.wordCounts(docs),
+        Unigram.train(docs).scores), "unigram", col("n_pieces"))
+      bpe.unionByName(wp).unionByName(un)
+        .withColumn("compression", graft.Det.dround(
+          col("units").cast("double") / col("chars").cast("double"), 4))
+    }),
+
     // ...and the FULL vocabulary training loop: K merges learned in
     // sequence, each fusing the corpus-wide top pair into a fresh
     // private-use symbol (the growing alphabet), re-segmenting, and
@@ -825,6 +853,39 @@ object TextPack extends QueryPack {
               4)} AS compression
          |FROM d JOIN wn ON d.w = wn.w
          |GROUP BY doc_id""".stripMargin,
+
+    // all three training unrolls side by side (CTE namespaces are
+    // disjoint by construction: w0/t*/x* BPE, wc/cand/e*/v*
+    // WordPiece, uwc/ucand/r*/uv* unigram), then one rollup each at
+    // distinct-word grain
+    "tx_tokenizer_compare" ->
+      s"""WITH w0 AS (SELECT w FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 2),
+         |${Bpe.sqlTrainCtesForEncode()},
+         |${Wordpiece.sqlTrainCtes()},
+         |${Wordpiece.sqlSegmentCtes("f", s"v${Wordpiece.EmIters}")},
+         |${Unigram.sqlTrainCtes()},
+         |${Unigram.sqlViterbiCtes("f_", s"us${Unigram.PruneIters}")},
+         |r AS (
+         |  SELECT 'bpe' AS family,
+         |    CAST(sum(cnt * length(w)) AS BIGINT) AS chars,
+         |    CAST(sum(cnt * length(${Bpe.sqlEncodeExpr("w")})) AS BIGINT)
+         |      AS units
+         |  FROM wc
+         |  UNION ALL
+         |  SELECT 'wordpiece', CAST(sum(cnt * length(w)) AS BIGINT),
+         |    CAST(sum(cnt * np) AS BIGINT)
+         |  FROM f${Wordpiece.MaxWordLen}
+         |  UNION ALL
+         |  SELECT 'unigram', CAST(sum(cnt * length(w)) AS BIGINT),
+         |    CAST(sum(cnt * np) AS BIGINT)
+         |  FROM f_seg)
+         |SELECT family, chars, units,
+         |  ${graft.Det.droundSql(
+              "CAST(units AS DOUBLE) / CAST(chars AS DOUBLE)", 4)}
+         |    AS compression
+         |FROM r""".stripMargin,
 
     // prune-down training unrolled: seed scores from substring
     // counts, then PruneIters Viterbi-and-prune rounds (Unigram.*)
