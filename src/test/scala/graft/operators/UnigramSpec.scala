@@ -49,6 +49,41 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("viterbi matches brute force across random vocabularies and words") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], seed: Long): T =
+      g(Gen.Parameters.default, Seed(seed)).get
+    val alpha = "abc"
+    val wordGen = for {
+      n <- Gen.choose(1, Unigram.MaxWordLen)
+      cs <- Gen.listOfN(n, Gen.oneOf(alpha.toSeq))
+    } yield cs.mkString
+    val trialGen = for {
+      nPieces <- Gen.choose(1, 6)
+      pieces <- Gen.listOfN(nPieces, for {
+        l <- Gen.choose(2, Unigram.MaxPieceLen)
+        cs <- Gen.listOfN(l, Gen.oneOf(alpha.toSeq))
+      } yield cs.mkString)
+      scores <- Gen.listOfN(nPieces + alpha.length, Gen.choose(0L, 50L))
+      words <- Gen.listOfN(6, wordGen)
+    } yield {
+      val keys = (pieces.distinct ++ alpha.map(_.toString))
+      (keys.zip(scores).toMap, words.distinct)
+    }
+    (1 to 25).foreach { i =>
+      val (scores, words) = sample(trialGen, i)
+      val got = Unigram.viterbi(wordsDf(words.map((_, 1L)): _*), scores)
+        .collect().map(r => (r.getString(0),
+          (r.getLong(2).toInt, r.getString(3)))).toMap
+      words.foreach { w =>
+        val (np, _, seg) = bruteBest(w, scores)
+        assert(got(w) == ((np, seg)),
+          s"seed $i word $w: got ${got(w)}, optimal ($np, $seg), scores $scores")
+      }
+    }
+  }
+
   test("viterbi beats greedy longest-match on the classic case") {
     // greedy eats 'ab' first and strands c|d (3 pieces); the optimum
     // is a|bcd (2) — the defining difference of this family

@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generator laws of the WARC layer across the parameter space the
+  * sf oracles don't reach: arbitrary binary payloads (including
+  * bytes that LOOK like record structure), random header sets,
+  * random record counts, random gzip/raw member mixes — and the
+  * strictness law: truncating a valid archive anywhere inside a
+  * record's framing must throw, never yield a silently-shortened
+  * record list. Pure byte work, no Spark session. */
+class WarcPropertySpec extends AnyFunSuite {
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g(Gen.Parameters.default, Seed(seed)).get
+
+  private val Trials = 50
+
+  private val headerName: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map("X-" + _.mkString.take(16))
+
+  private val payloadGen: Gen[Array[Byte]] = Gen.frequency(
+    3 -> Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+    // adversarial payloads carrying record-structure look-alikes:
+    // the Content-Length framing must make these inert
+    1 -> Gen.const("WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n".getBytes(UTF_8)),
+    1 -> Gen.const("\r\n\r\n".getBytes(UTF_8)))
+
+  private val recordGen: Gen[(List[(String, String)], Array[Byte])] = for {
+    names <- Gen.listOfN(3, headerName)
+    vals <- Gen.listOfN(3, Gen.alphaNumStr.map(_.take(24)))
+    payload <- payloadGen
+  } yield (names.distinct.zip(vals), payload)
+
+  test("archive round-trip for random records, payloads, and gzip mixes") {
+    val gen = for {
+      n <- Gen.choose(1, 8)
+      recs <- Gen.listOfN(n, recordGen)
+      gz <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield recs.zip(gz)
+    (1 to Trials).foreach { i =>
+      val recs = sample(gen, i)
+      // an archive is all-raw or all-gzip-members (real warc.gz is
+      // all-members; the walker decides from the leading bytes) —
+      // exercise both shapes per trial
+      val allRaw = recs.map { case ((hs, p), _) => Warc.record(hs, p) }
+        .reduce(_ ++ _)
+      val back = Warc.records(allRaw).toList
+      assert(back.length == recs.length, s"seed $i count")
+      back.zip(recs).zipWithIndex.foreach { case ((got, ((hs, p), _)), j) =>
+        assert(got.payload.sameElements(p), s"seed $i rec $j payload")
+        hs.foreach { case (k, v) =>
+          assert(got.headers(k) == v, s"seed $i rec $j header $k") }
+        assert(got.headers("Content-Length") == p.length.toString)
+      }
+      val allGz = recs.map { case ((hs, p), _) =>
+        Warc.gzipMember(Warc.record(hs, p)) }.reduce(_ ++ _)
+      val backGz = Warc.records(allGz).toList
+      assert(backGz.length == recs.length, s"seed $i gz count")
+      backGz.zip(recs).foreach { case (got, ((_, p), _)) =>
+        assert(got.payload.sameElements(p), s"seed $i gz payload") }
+    }
+  }
+
+  test("strictness: any in-record truncation of a raw archive throws") {
+    val gen = recordGen
+    (1 to Trials).foreach { i =>
+      val (hs, p) = sample(gen, i)
+      val rec = Warc.record(hs, p)
+      // cut at a random point strictly inside the record
+      val cut = 1 + sample(Gen.choose(0, rec.length - 2), i * 7919L)
+      val torn = rec.take(cut)
+      intercept[IllegalStateException] {
+        Warc.records(torn).toList
+      }
+    }
+  }
+
+  test("HTTP payload round-trip for random statuses, headers, bodies") {
+    val gen = for {
+      status <- Gen.choose(100, 599)
+      names <- Gen.listOfN(2, headerName)
+      vals <- Gen.listOfN(2, Gen.alphaNumStr.map(_.take(24)))
+      body <- payloadGen
+    } yield (status, names.distinct.zip(vals), body)
+    (1 to Trials).foreach { i =>
+      val (status, hs, body) = sample(gen, i)
+      val Some((s2, h2, b2)) =
+        Warc.parseHttp(Warc.httpResponse(status, "R", hs, body))
+      assert(s2 == status, s"seed $i status")
+      hs.foreach { case (k, v) =>
+        assert(h2(k.toLowerCase) == v, s"seed $i header $k") }
+      assert(b2.sameElements(body), s"seed $i body")
+    }
+  }
+}
