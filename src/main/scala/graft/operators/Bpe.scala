@@ -122,15 +122,16 @@ object Bpe {
     } finally frames.foreach(_.unpersist(blocking = false))
   }
 
-  /** Train `iters` merges and return the learned merge table —
-    * (rank, token, n) with tokens EXPANDED to base characters; K
-    * local rows (the distributed work ran in [[trainMerges]]). */
-  def trainVocab(words: DataFrame, iters: Int = Iters): DataFrame = {
-    val spark = words.sparkSession
-    spark.createDataFrame(
-        trainMerges(words, iters).map(m => (m.rank.toLong, m.token, m.n)))
+  /** A learned merge table as a frame — (rank, token, n) with tokens
+    * EXPANDED to base characters; K local rows (the distributed work
+    * ran in [[trainMerges]]). */
+  def vocabFrame(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[Merge]): DataFrame =
+    spark.createDataFrame(merges.map(m => (m.rank.toLong, m.token, m.n)))
       .toDF("rank", "token", "n")
-  }
+
+  def trainVocab(words: DataFrame, iters: Int = Iters): DataFrame =
+    vocabFrame(words.sparkSession, trainMerges(words, iters))
 
   /** Apply a learned merge table to a symbol column: the K merges
     * chain as K nested scan-stage `replace`s in ONE projection —

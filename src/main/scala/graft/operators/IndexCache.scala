@@ -87,6 +87,24 @@ object IndexCache {
       : Classifier.Model =
     cached(s"clf:$dir")(build)
 
+  /** Trained tokenizer artifacts — BPE merge table, WordPiece vocab,
+    * unigram model — one training per corpus per process, exactly
+    * the classifier/centroid accounting: vocab/segment/encode/
+    * bake-off consumers all read the memo (tables of ≤ K rows),
+    * whichever query triggers the build. Deterministic by each
+    * family's fixed-point/integer training contract, so the oracles
+    * replay the identical unrolled training regardless of build
+    * order. `build` is caller-supplied: the word tokenization lives
+    * with the query pack. */
+  def bpeMerges(dir: String)(build: => Seq[Bpe.Merge]): Seq[Bpe.Merge] =
+    cached(s"bpe:$dir")(build)
+
+  def wordpieceVocab(dir: String)(build: => Seq[(String, Long)]): Seq[(String, Long)] =
+    cached(s"wp:$dir")(build)
+
+  def unigramModel(dir: String)(build: => Unigram.Trained): Unigram.Trained =
+    cached(s"uni:$dir")(build)
+
   /** Drop every memoized artifact (tests that mutate a dir in place). */
   def clear(): Unit = memo.clear()
 }

@@ -43,6 +43,20 @@ object TextPack extends QueryPack {
     * to the rounded score, so the cut is engine-exact. */
   val QualityBar = 0.55
 
+  // Tokenizer artifacts through the [[IndexCache]] memo — one
+  // training per corpus per process; vocab/segment/encode/bake-off
+  // consumers read the memoized table (the centroid accounting).
+  private def bpeMergesFor(s: SparkSession, dir: String): Seq[Bpe.Merge] =
+    IndexCache.bpeMerges(dir)(Bpe.trainMerges(
+      tokenized(s, dir).select(explode(col("toks")).as("w"))))
+
+  private def wpVocabFor(s: SparkSession, dir: String): Seq[(String, Long)] =
+    IndexCache.wordpieceVocab(dir)(
+      Wordpiece.train(Tables.documents(s, dir)))
+
+  private def uniFor(s: SparkSession, dir: String): Unigram.Trained =
+    IndexCache.unigramModel(dir)(Unigram.train(Tables.documents(s, dir)))
+
   /** tx_gopher_rules bounds. Token bounds follow the published rule
     * shape (min length, max length); the word-length band and
     * stopword floor are tightened from the published English-crawl
@@ -269,26 +283,24 @@ object TextPack extends QueryPack {
     // the SentencePiece training trick that makes tokenizer training
     // Zipf-cheap at 100 TB. Design + scale shape in [[Wordpiece]].
     "tx_wordpiece_vocab" -> ((s, dir) =>
-      Wordpiece.trainVocab(Tables.documents(s, dir))),
+      Wordpiece.vocabFrame(s, wpVocabFor(s, dir))),
 
     // The trained tokenizer's segmentation of the word inventory
     // itself — the artifact a tokenizer owner reviews (which words
     // split, into what): one unrolled scan-stage pass over distinct
     // words, no shuffle after the word count.
-    "tx_wordpiece_segment" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val vocab = Wordpiece.train(docs).map(_._1)
-      Wordpiece.segmented(Wordpiece.wordCounts(docs), vocab)
-        .select(col("w"), col("cnt"), col("n_pieces"), col("seg"))
-    }),
+    "tx_wordpiece_segment" -> ((s, dir) =>
+      Wordpiece.segmented(
+          Wordpiece.wordCounts(Tables.documents(s, dir)),
+          wpVocabFor(s, dir).map(_._1))
+        .select(col("w"), col("cnt"), col("n_pieces"), col("seg"))),
 
     // Tokenizer APPLY at corpus scale: distinct words segment ONCE,
     // then a broadcast join carries piece counts back onto the token
     // stream — per-doc compression profile like tx_bpe_encode.
-    "tx_wordpiece_encode" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Wordpiece.encode(docs, Wordpiece.train(docs).map(_._1))
-    }),
+    "tx_wordpiece_encode" -> ((s, dir) =>
+      Wordpiece.encode(Tables.documents(s, dir),
+        wpVocabFor(s, dir).map(_._1))),
 
     // The THIRD tokenizer family: unigram-LM (SentencePiece-style) —
     // Viterbi-OPTIMAL segmentation under per-piece scores, trained by
@@ -298,24 +310,21 @@ object TextPack extends QueryPack {
     // keep training exactly replayable. Design, the deviation from
     // soft-EM, and the scale shape in [[Unigram]].
     "tx_unigram_vocab" -> ((s, dir) =>
-      Unigram.trainVocab(Tables.documents(s, dir))),
+      Unigram.vocabFrame(s, uniFor(s, dir).vocab)),
 
     // Viterbi segmentation of the word inventory under the trained
     // scores — where this family visibly beats greedy: the DP finds
     // fewer-piece splits greedy longest-match misses.
-    "tx_unigram_segment" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Unigram.viterbi(Unigram.wordCounts(docs),
-          Unigram.train(docs).scores)
-        .select(col("w"), col("cnt"), col("n_pieces"), col("seg"))
-    }),
+    "tx_unigram_segment" -> ((s, dir) =>
+      Unigram.viterbi(
+          Unigram.wordCounts(Tables.documents(s, dir)),
+          uniFor(s, dir).scores)
+        .select(col("w"), col("cnt"), col("n_pieces"), col("seg"))),
 
     // Tokenizer APPLY: distinct words Viterbi-segment once, then a
     // broadcast join carries piece counts onto the token stream.
-    "tx_unigram_encode" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Unigram.encode(docs, Unigram.train(docs))
-    }),
+    "tx_unigram_encode" -> ((s, dir) =>
+      Unigram.encode(Tables.documents(s, dir), uniFor(s, dir))),
 
     // The tokenizer BAKE-OFF: all three families trained on the same
     // corpus, corpus-level compression side by side — the one-number
@@ -328,18 +337,16 @@ object TextPack extends QueryPack {
     "tx_tokenizer_compare" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val wc = Wordpiece.wordCounts(docs)
-      val merges = Bpe.trainMerges(
-        docs.select(explode(split(col("text"), " ")).as("w")))
       def roll(df: DataFrame, family: String, units: Column) = df
         .agg(sum(col("cnt") * length(col("w")).cast("long")).as("chars"),
           sum(col("cnt") * units).as("units"))
         .select(lit(family).as("family"), col("chars"), col("units"))
       val bpe = roll(wc, "bpe",
-        length(Bpe.encodeCol(col("w"), merges)).cast("long"))
-      val wp = roll(Wordpiece.segmented(wc, Wordpiece.train(docs).map(_._1)),
+        length(Bpe.encodeCol(col("w"), bpeMergesFor(s, dir))).cast("long"))
+      val wp = roll(Wordpiece.segmented(wc, wpVocabFor(s, dir).map(_._1)),
         "wordpiece", col("n_pieces"))
       val un = roll(Unigram.viterbi(Unigram.wordCounts(docs),
-        Unigram.train(docs).scores), "unigram", col("n_pieces"))
+        uniFor(s, dir).scores), "unigram", col("n_pieces"))
       bpe.unionByName(wp).unionByName(un)
         .withColumn("compression", graft.Det.dround(
           col("units").cast("double") / col("chars").cast("double"), 4))
@@ -354,8 +361,7 @@ object TextPack extends QueryPack {
     // design + scale shape in [[Bpe]]; oracle is the same loop
     // unrolled as chained CTEs ([[Bpe.sqlVocab]]).
     "tx_bpe_vocab" -> ((s, dir) =>
-      Bpe.trainVocab(tokenized(s, dir)
-        .select(explode(col("toks")).as("w")))),
+      Bpe.vocabFrame(s, bpeMergesFor(s, dir))),
 
     // ...and the tokenizer APPLY: the trained merge table encodes the
     // corpus in ONE scan — the K merges chain as K nested codegen'd
@@ -368,7 +374,7 @@ object TextPack extends QueryPack {
     "tx_bpe_encode" -> ((s, dir) => {
       val words = tokenized(s, dir)
         .select(col("doc_id"), explode(col("toks")).as("w"))
-      val merges = Bpe.trainMerges(words.select(col("w")))
+      val merges = bpeMergesFor(s, dir)
       words
         .select(col("doc_id"), length(col("w")).cast("long").as("before"),
           length(Bpe.encodeCol(col("w"), merges)).cast("long").as("after"))

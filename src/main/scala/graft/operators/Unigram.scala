@@ -196,12 +196,15 @@ object Unigram {
     } finally wc.unpersist(blocking = false)
   }
 
-  /** Trained multi-char vocab as a frame: (rank, piece, n). */
-  def trainVocab(docs: DataFrame, iters: Int = PruneIters): DataFrame =
-    docs.sparkSession.createDataFrame(
-        train(docs, iters).vocab.zipWithIndex.map { case ((piece, n), i) =>
-          (i.toLong, piece, n) })
+  /** A trained multi-char vocab as a frame: (rank, piece, n). */
+  def vocabFrame(spark: org.apache.spark.sql.SparkSession,
+                 vocab: Seq[(String, Long)]): DataFrame =
+    spark.createDataFrame(
+        vocab.zipWithIndex.map { case ((piece, n), i) => (i.toLong, piece, n) })
       .toDF("rank", "piece", "n")
+
+  def trainVocab(docs: DataFrame, iters: Int = PruneIters): DataFrame =
+    vocabFrame(docs.sparkSession, train(docs, iters).vocab)
 
   /** Corpus encoded under the trained scores: per-doc token/char/
     * piece counts + compression — one Viterbi pass over DISTINCT

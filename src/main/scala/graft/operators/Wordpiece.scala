@@ -149,13 +149,16 @@ object Wordpiece {
     } finally wc.unpersist(blocking = false)
   }
 
-  /** Trained vocab as a frame: (rank, piece, n) — [[VocabMulti]]
+  /** A trained vocab as a frame: (rank, piece, n) — [[VocabMulti]]
     * local rows; the distributed work ran in [[train]]. */
-  def trainVocab(docs: DataFrame, iters: Int = EmIters): DataFrame =
-    docs.sparkSession.createDataFrame(
-        train(docs, iters).zipWithIndex.map { case ((piece, n), i) =>
-          (i.toLong, piece, n) })
+  def vocabFrame(spark: org.apache.spark.sql.SparkSession,
+                 vocab: Seq[(String, Long)]): DataFrame =
+    spark.createDataFrame(
+        vocab.zipWithIndex.map { case ((piece, n), i) => (i.toLong, piece, n) })
       .toDF("rank", "piece", "n")
+
+  def trainVocab(docs: DataFrame, iters: Int = EmIters): DataFrame =
+    vocabFrame(docs.sparkSession, train(docs, iters))
 
   /** Corpus encoded under the trained vocab: per-doc word/char/piece
     * counts + compression. One segmentation pass over DISTINCT words,
