@@ -41,6 +41,19 @@ object MultimodalPack extends QueryPack {
         Multimodal.syntheticLegacyImages(Tables.documents(s, dir))).toDF()
     }),
 
+    // REAL modern-image header decode: WebP across all three
+    // bitstream variants (VP8X u24le canvas, VP8L packed 14-bit
+    // dims, VP8 u16le after the start code — one container, three
+    // layouts) and TIFF in both byte orders × both inline IFD value
+    // types (the one dual-endian format here). Same decodeHeaders
+    // plumbing and oracle-replays-the-generator gate; eight real
+    // image layouts now flow through one decode path.
+    "mm_webp_tiff_meta" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.decodeHeaders(
+        Multimodal.syntheticModernImages(Tables.documents(s, dir))).toDF()
+    }),
+
     // REAL audio header decode: RIFF chunk walk over genuine WAV byte
     // layouts ([[graft.sources.Multimodal.WavCodec]]) — little-endian
     // fields, junk-chunk hops, word-alignment pad bytes. The oracle
@@ -250,6 +263,13 @@ object MultimodalPack extends QueryPack {
     "mm_gif_bmp_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'bmp' END AS fmt,
+        |  CAST(16 + doc_id % 1000 AS INTEGER) AS width,
+        |  CAST(16 + (doc_id * 7) % 800 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
+
+    "mm_webp_tiff_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'webp' ELSE 'tiff' END AS fmt,
         |  CAST(16 + doc_id % 1000 AS INTEGER) AS width,
         |  CAST(16 + (doc_id * 7) % 800 AS INTEGER) AS height
         |FROM documents""".stripMargin,

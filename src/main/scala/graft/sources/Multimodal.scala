@@ -60,6 +60,8 @@ object Multimodal {
         parseJpeg(b)
       else if (isGif(b)) parseGif(b)
       else if (isBmp(b)) parseBmp(b)
+      else if (isWebp(b)) parseWebp(b)
+      else if (isTiff(b)) parseTiff(b)
       else None
 
     private def isPng(b: Array[Byte]): Boolean =
@@ -153,6 +155,98 @@ object Multimodal {
           else None
         case _ => None
       }
+    }
+
+    /** WebP: a RIFF container ("RIFF"…"WEBP") whose dimensions live
+      * in whichever bitstream chunk appears — and each of the THREE
+      * variants encodes them differently: VP8X (extended) stores
+      * canvas (width−1)/(height−1) as u24 LITTLE-endian; VP8L
+      * (lossless) packs 14-bit (width−1)/(height−1) LSB-first after
+      * a 0x2F signature byte; VP8 (lossy) carries u16le dims after a
+      * 3-byte frame tag + the 9D 01 2A start code. The chunk walk is
+      * the WAV walk (u32le sizes, word-alignment pad). */
+    private[Multimodal] def isWebp(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P'
+
+    private def u24le(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+
+    private def u32le(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+    private def parseWebp(b: Array[Byte]): Option[(String, Int, Int)] = {
+      var p = 12L
+      while (p + 8 <= b.length) {
+        val i = p.toInt
+        val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = u32le(b, i + 4)
+        val payload = i + 8
+        id match {
+          case "VP8X" if size >= 10 && payload + 10 <= b.length =>
+            val w = u24le(b, payload + 4) + 1
+            val h = u24le(b, payload + 7) + 1
+            return Some(("webp", w, h))
+          case "VP8L" if size >= 5 && payload + 5 <= b.length =>
+            if (b(payload) != 0x2f.toByte) return None
+            val bits = u32le(b, payload + 1)
+            val w = (bits & 0x3fff).toInt + 1
+            val h = ((bits >> 14) & 0x3fff).toInt + 1
+            return Some(("webp", w, h))
+          case "VP8 " if size >= 10 && payload + 10 <= b.length =>
+            if (!((b(payload + 3) & 0xff) == 0x9d &&
+                  (b(payload + 4) & 0xff) == 0x01 &&
+                  (b(payload + 5) & 0xff) == 0x2a)) return None
+            val w = u16le(b, payload + 6) & 0x3fff
+            val h = u16le(b, payload + 8) & 0x3fff
+            if (w > 0 && h > 0) return Some(("webp", w, h)) else return None
+          case _ => // unknown chunk (ICCP/EXIF/ANIM/…): hop it
+        }
+        p += 8 + size + size % 2
+      }
+      None
+    }
+
+    /** TIFF: the one DUAL-endian container here — "II" (little) or
+      * "MM" (big) selects the byte order for EVERYTHING after, magic
+      * 42, then an IFD at a u32 offset: u16 entry count and 12-byte
+      * entries (tag, type, count, value). Dimensions are tags 256/
+      * 257, stored inline as SHORT (type 3, u16 in the FIRST value
+      * bytes) or LONG (type 4, full u32) — a parser that assumes one
+      * endianness or one value type reads plausible nonsense. */
+    private[Multimodal] def isTiff(b: Array[Byte]): Boolean =
+      b.length >= 8 && (
+        (b(0) == 'I' && b(1) == 'I' && u16le(b, 2) == 42) ||
+        (b(0) == 'M' && b(1) == 'M' && u16(b, 2) == 42))
+
+    private def parseTiff(b: Array[Byte]): Option[(String, Int, Int)] = {
+      val le = b(0) == 'I'
+      def rd16(i: Int): Int = if (le) u16le(b, i) else u16(b, i)
+      def rd32(i: Int): Long = if (le) u32le(b, i) else u32(b, i)
+      val ifd = rd32(4)
+      if (ifd < 8 || ifd + 2 > b.length) return None
+      val n = rd16(ifd.toInt)
+      var (w, h) = (-1L, -1L)
+      var k = 0
+      while (k < n) {
+        val e = ifd.toInt + 2 + k * 12
+        if (e + 12 > b.length) return None
+        val tag = rd16(e)
+        if (tag == 256 || tag == 257) {
+          val v = rd16(e + 2) match {
+            case 3 => rd16(e + 8).toLong // SHORT, left-justified
+            case 4 => rd32(e + 8) // LONG
+            case _ => return None
+          }
+          if (tag == 256) w = v else h = v
+        }
+        k += 1
+      }
+      if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+        Some(("tiff", w.toInt, h.toInt))
+      else None
     }
   }
 
@@ -468,6 +562,80 @@ object Multimodal {
       val h = (16 + (id * 7) % 800).toInt
       if (id % 2 == 0) MediaRow(id, "image/png", pngBytes(w, h))
       else MediaRow(id, "image/jpeg", jpegBytes(w, h))
+    })
+  }
+
+  /** Valid minimal WebP: RIFF/WEBP + one bitstream chunk in the
+    * requested variant ("vp8x": u24le canvas-minus-one; "vp8l":
+    * packed 14-bit dims after the 0x2F signature; "vp8": u16le dims
+    * after the frame tag + 9D 01 2A start code). `withExtra` opens
+    * with an odd-sized unknown chunk (forces the hop AND the
+    * alignment pad, the WAV JUNK trick). */
+  def webpBytes(w: Int, h: Int, variant: String,
+                withExtra: Boolean = false): Array[Byte] = {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le24(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val chunk = variant match {
+      case "vp8x" =>
+        "VP8X".getBytes ++ le32(10) ++ Array.fill[Byte](4)(0) ++
+          le24(w - 1) ++ le24(h - 1)
+      case "vp8l" =>
+        val bits = (w - 1).toLong | ((h - 1).toLong << 14)
+        "VP8L".getBytes ++ le32(5) ++ Array(0x2f.toByte) ++
+          le32(bits.toInt).take(4) ++ Array[Byte](0) // 5-byte payload + pad
+      case "vp8" =>
+        "VP8 ".getBytes ++ le32(10) ++ Array.fill[Byte](3)(0) ++
+          Array(0x9d.toByte, 0x01.toByte, 0x2a.toByte) ++
+          le16(w) ++ le16(h)
+      case other => sys.error(s"unknown webp variant $other")
+    }
+    val extra = if (withExtra)
+      "XTRA".getBytes ++ le32(5) ++ Array.fill[Byte](5)(0x78) ++
+        Array[Byte](0) // odd payload + its alignment pad
+    else Array.emptyByteArray
+    val body = extra ++ chunk
+    "RIFF".getBytes ++ le32(4 + body.length) ++ "WEBP".getBytes ++ body
+  }
+
+  /** Valid minimal TIFF: byte-order mark + magic 42 + one IFD with
+    * width/height entries — `bigEndian` flips EVERY multi-byte field,
+    * `shortType` stores the dims as left-justified SHORTs instead of
+    * LONGs (both inline layouts a real parser must handle). */
+  def tiffBytes(w: Int, h: Int, bigEndian: Boolean,
+                shortType: Boolean): Array[Byte] = {
+    def n16(v: Int) = if (bigEndian) Array((v >> 8).toByte, v.toByte)
+      else Array(v.toByte, (v >> 8).toByte)
+    def n32(v: Int) = if (bigEndian)
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    else Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def entry(tag: Int, v: Int) =
+      if (shortType) n16(tag) ++ n16(3) ++ n32(1) ++ n16(v) ++ n16(0)
+      else n16(tag) ++ n16(4) ++ n32(1) ++ n32(v)
+    val order = if (bigEndian) "MM" else "II"
+    order.getBytes ++ n16(42) ++ n32(8) ++ // IFD directly after header
+      n16(2) ++ entry(256, w) ++ entry(257, h) ++ n32(0) // next-IFD = none
+  }
+
+  /** The modern-format twin of [[syntheticImages]]: WebP across all
+    * THREE bitstream variants (ids cycle vp8x/vp8l/vp8, every sixth
+    * opening with an unknown chunk the walker must hop) and TIFF in
+    * both byte orders × both inline value types. Same dimension
+    * formulas as the other image generators (14-bit-safe), so one
+    * oracle replays six more real layouts arithmetically. */
+  def syntheticModernImages(docs: DataFrame)(implicit s: SparkSession): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (16 + id % 1000).toInt
+      val h = (16 + (id * 7) % 800).toInt
+      if (id % 2 == 0) {
+        val variant = Seq("vp8x", "vp8l", "vp8")((id / 2 % 3).toInt)
+        MediaRow(id, "image/webp",
+          webpBytes(w, h, variant, withExtra = id % 6 == 0))
+      } else
+        MediaRow(id, "image/tiff",
+          tiffBytes(w, h, bigEndian = id % 4 == 1, shortType = id % 3 == 0))
     })
   }
 

@@ -82,6 +82,46 @@ class CodecPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("WebP round-trip across all three bitstream variants") {
+    val gen = for {
+      w <- Gen.choose(1, 16384) // 14-bit-safe for vp8l
+      h <- Gen.choose(1, 16384)
+      variant <- Gen.oneOf("vp8x", "vp8l", "vp8")
+      extra <- Gen.oneOf(true, false)
+    } yield (w, h, variant, extra)
+    (1 to Trials).foreach { i =>
+      val (w, h, variant, extra) = sample(gen, i)
+      // vp8 stores dims in 14 bits of a u16 — cap accordingly
+      val (cw, ch) = if (variant == "vp8") (w min 16383, h min 16383)
+        else (w, h)
+      assert(Multimodal.HeaderCodec.parse(
+        Multimodal.webpBytes(cw, ch, variant, extra))
+        == Some(("webp", cw, ch)), s"webp seed $i ($cw, $ch, $variant, $extra)")
+    }
+  }
+
+  test("TIFF round-trip across byte orders and inline value types") {
+    val gen = for {
+      w <- Gen.choose(1, 65535) // SHORT-safe
+      h <- Gen.choose(1, 65535)
+      be <- Gen.oneOf(true, false)
+      short <- Gen.oneOf(true, false)
+    } yield (w, h, be, short)
+    (1 to Trials).foreach { i =>
+      val (w, h, be, short) = sample(gen, i)
+      assert(Multimodal.HeaderCodec.parse(
+        Multimodal.tiffBytes(w, h, bigEndian = be, shortType = short))
+        == Some(("tiff", w, h)), s"tiff seed $i ($w, $h, $be, $short)")
+      // LONG entries carry dims past u16 — big-image TIFFs
+      if (!short) {
+        val (bw, bh) = (w + 70000, h + 70000)
+        assert(Multimodal.HeaderCodec.parse(
+          Multimodal.tiffBytes(bw, bh, bigEndian = be, shortType = false))
+          == Some(("tiff", bw, bh)), s"tiff long seed $i")
+      }
+    }
+  }
+
   test("codecs never throw on arbitrary byte garbage") {
     val gen = Gen.choose(0, 64).flatMap(n =>
       Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
@@ -95,7 +135,10 @@ class CodecPropertySpec extends AnyFunSuite {
     // throw either (truncation mid-structure)
     val prefixes = Seq("RIFF".getBytes, Array[Byte](0, 0, 0, 16) ++
       "ftyp".getBytes, Array(0xff, 0xd8, 0xff).map(_.toByte),
-      "GIF89a".getBytes, "BM".getBytes)
+      "GIF89a".getBytes, "BM".getBytes,
+      "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WEBP".getBytes,
+      "II".getBytes ++ Array[Byte](42, 0), // real LE TIFF magic
+      "MM".getBytes ++ Array[Byte](0, 42)) // real BE TIFF magic
     for (p <- prefixes; i <- 1 to 10) {
       val bytes = p ++ sample(gen, i + 500).toArray
       Multimodal.WavCodec.parse(bytes)
