@@ -112,6 +112,26 @@ object MultimodalPack extends QueryPack {
           md5(col("body")).as("body_md5"))
     }),
 
+    // The crawl→media composition END TO END, every layer byte-real:
+    // PNG/JPEG binaries spool into per-mime WARC response archives
+    // (bodies wrapped in genuine HTTP/1.1 messages), the strict
+    // record walk + HTTP parse recover them, and the header codec
+    // reads the dimensions back off the recovered bytes. Three real
+    // parsers composed; a framing bug in ANY layer (record
+    // desync, header/body split, dimension offset) breaks the hash.
+    "mm_warc_media" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      graft.sources.Warc.parseHttpRecords(
+          graft.sources.Warc.mediaResponseArchives(
+            Multimodal.syntheticImages(Tables.documents(s, dir)).toDF()))
+        .flatMap { r =>
+          Multimodal.HeaderCodec.parse(r.body).map { case (fmt, w, h) =>
+            (r.doc_id, r.content_type, fmt, w, h) }
+        }
+        .toDF("doc_id", "content_type", "fmt", "width", "height")
+    }),
+
     // Cross-modality corpus profile — the rollup a media curation
     // pipeline monitors: every REAL decoder (PNG/JPEG dims, WAV and
     // MP4 durations) feeding one per-kind summary. Decodes stay
@@ -270,6 +290,15 @@ object MultimodalPack extends QueryPack {
     "mm_webp_tiff_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'webp' ELSE 'tiff' END AS fmt,
+        |  CAST(16 + doc_id % 1000 AS INTEGER) AS width,
+        |  CAST(16 + (doc_id * 7) % 800 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
+
+    "mm_warc_media" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+        |       ELSE 'image/jpeg' END AS content_type,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
         |  CAST(16 + doc_id % 1000 AS INTEGER) AS width,
         |  CAST(16 + (doc_id * 7) % 800 AS INTEGER) AS height
         |FROM documents""".stripMargin,

@@ -327,6 +327,38 @@ object Warc {
       }
   }
 
+  /** `response` archives over MEDIA rows — (doc_id, mime, content)
+    * spooled per mime type, each record a 200 response whose
+    * Content-Type is the mime and whose body is the raw media bytes.
+    * The crawl-side producer of the multimodal decode path: archive →
+    * record walk → HTTP parse → header codec, all byte-real. */
+  def mediaResponseArchives(media: DataFrame)
+                           (implicit s: SparkSession): Dataset[ArchiveRow] = {
+    import s.implicits._
+    media.select(col("mime").as("source"), col("doc_id"), col("content"))
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .as[(String, Long, Array[Byte])]
+      .mapPartitions { it =>
+        val bySource = new scala.collection.mutable.LinkedHashMap[
+          String, ByteArrayOutputStream]()
+        it.foreach { case (mime, id, content) =>
+          val gz = math.abs(mime.hashCode % 2) == 0
+          val rec = record(Seq(
+            "WARC-Type" -> "response",
+            "WARC-Record-ID" -> s"urn:graft:$id",
+            "WARC-Target-URI" -> s"https://crawl.example/$id"),
+            httpResponse(200, "OK", Seq("Content-Type" -> mime), content))
+          val out = bySource.getOrElseUpdate(mime,
+            new ByteArrayOutputStream(1 << 16))
+          out.write(if (gz) gzipMember(rec) else rec)
+        }
+        bySource.iterator.map { case (src, out) =>
+          ArchiveRow(src, out.toByteArray)
+        }
+      }
+  }
+
   /** Response archives → parsed HTTP fields per record. Records
     * whose payload is not an HTTP message are dropped (the
     * dead-letter split is the caller's move, as with the header

@@ -39,6 +39,7 @@ class InvarianceSpec extends SparkSpec {
     "sp_source_cap",        // TopKPerKey heaps under value ties
     "mm_warc_roundtrip",    // per-source archive spool + record walk
     "mm_warc_http",         // HTTP payload parse after the record walk
+    "mm_warc_media",        // archive → HTTP → header codec, composed
     "ds_decon_semantic",    // float cos argmax vs broadcast eval set
     "sp_shard_manifest")    // sequence-grain positions → shard rollup
     // (wordpiece/unigram vocab invariance pinned in their own specs —
