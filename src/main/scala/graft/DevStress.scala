@@ -451,6 +451,19 @@ object DevStress {
       val v = graft.operators.Unigram.trainVocab(suffixed).count()
       println(f"[stress] x$factor%-3d unigram_train            ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($nw%d distinct words, $v%d vocab rows)")
     }
+    // crawl→text extraction: archives are factor× fatter, paragraph
+    // count grows factor×, but the FREQUENT set stays ~constant
+    // (banners/footer — replication only raises their df), so the
+    // removal join stays a broadcast and wall must track bytes, not
+    // the df of the hottest paragraph
+    if (wants("crawl_text")) {
+      implicit val sp = spark
+      time("crawl_text",
+        graft.operators.CrawlText.curated(
+          graft.sources.Warc.parseHttpRecords(
+            graft.sources.Warc.htmlResponseArchives(
+              spark.read.parquet("/tmp/stress_docs"))).toDF()))
+    }
     spark.stop()
   }
 }

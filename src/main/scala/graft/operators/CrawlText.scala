@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Crawl-page main-content extraction + cross-document boilerplate
+  * removal — the text leg of the crawl ingestion family (the media
+  * leg is `mm_warc_media`). The reference's scrapers pull page HTML
+  * and regex out the content they want per page
+  * (bitcoinabuse/main.go:115-131, walletexplorer/main.py:27-44);
+  * this is the corpus-level form a training-data pipeline needs:
+  * per-page tag stripping is not enough, because the chrome a site
+  * stamps on EVERY page (cookie banners, footers) survives any
+  * single-page heuristic. The fix is the CCNet/C4 rule — drop
+  * paragraphs whose document frequency across the corpus exceeds a
+  * bound; content is what is NOT repeated.
+  *
+  * Dataflow and 100 TB shape:
+  *  1. page → paragraphs: script stripping, `<p>` capture, entity
+  *     unescape — all scan-stage column expressions (regexp +
+  *     higher-order only on short arrays); zero shuffles.
+  *  2. paragraph df: groupBy(xxhash64(para)) with countDistinct —
+  *     partial aggregation combines map-side, so the shuffle carries
+  *     (hash, partial) not paragraphs. Cardinality ~ unique
+  *     paragraphs; the hot keys (the boilerplate itself) are exactly
+  *     the ones map-side combine collapses hardest.
+  *  3. frequent set (df >= [[MinDf]]): tiny by construction —
+  *     boilerplate is the ~0.01% of paragraphs repeated everywhere —
+  *     so the removal join is a BROADCAST anti-join, not a shuffle.
+  *  4. reassembly: one groupBy(doc_id) with an order-carrying
+  *     struct collect; per-doc paragraph counts are page-bounded, so
+  *     no skew.
+  * Net: one wide shuffle (df) + one keyed shuffle (reassembly) per
+  * corpus pass, both combine-friendly — the same budget CCNet's
+  * published pipeline spends.
+  */
+object CrawlText {
+
+  /** A paragraph seen in at least this many distinct docs is chrome,
+    * not content (CCNet uses the same order of magnitude). Fixture
+    * geometry keeps this decisive at every SF: per-source banners
+    * have df >= 23, genuine text df <= 2. */
+  val MinDf = 10
+
+  /** Post-removal word floor: a page left with fewer words than this
+    * was all chrome — drop it (the C4 short-page rule). */
+  val MinWords = 5
+
+  /** Entity unescape for [[graft.sources.Warc.htmlEscape]]'s five.
+    * `&amp;` is rewritten LAST so writer-escaped sequences like
+    * `&amp;lt;` decode to the literal `&lt;` the author typed, not
+    * to `<`. */
+  private def unescape(c: Column): Column = {
+    val step = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+    step.foldLeft(c) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to))
+    }
+  }
+
+  /** HTTP records (status, content_type, body) → one row per main
+    * `<p>` paragraph: (doc_id, lang, pos, para). Non-200 and
+    * non-HTML records drop here (the status gate); `<script>` blocks
+    * are removed BEFORE paragraph capture — the writer plants a
+    * unique fake `<p>` inside a script string literal per page, so
+    * skipping this step pollutes every downstream hash. */
+  def paragraphs(pages: DataFrame): DataFrame = {
+    val page = col("body").cast("string")
+    val noScript = regexp_replace(page, "(?s)<script.*?</script>", "")
+    pages
+      .filter(col("status") === 200 && col("content_type") === "text/html")
+      .select(col("doc_id"),
+        regexp_extract(page, "<html lang=\"([a-z]+)\">", 1).as("lang"),
+        regexp_extract_all(noScript, lit("<p>(.*?)</p>"), lit(1)).as("ps"))
+      .select(col("doc_id"), col("lang"), posexplode(col("ps")))
+      .select(col("doc_id"), col("lang"), col("pos"),
+        unescape(col("col")).as("para"))
+  }
+
+  /** The boilerplate inventory: paragraphs with document frequency
+    * >= [[MinDf]], with their df — what a curation owner reviews
+    * before trusting the removal. Grouping key is the 64-bit hash
+    * (the 100 TB shuffle carries hashes, not text); the paragraph
+    * text rides along as min() — identical within a group short of
+    * a 64-bit collision. */
+  def boilerplate(paras: DataFrame): DataFrame =
+    paras.groupBy(xxhash64(col("para")).as("h"))
+      .agg(min(col("para")).as("para"),
+        countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= MinDf)
+
+  /** The full extraction: paragraphs, minus the frequent set
+    * (broadcast anti-join on the hash), reassembled per doc in page
+    * order, short pages gated. Output is the curated text's
+    * fingerprint surface: (doc_id, lang, n_chars, text_md5). */
+  def curated(pages: DataFrame): DataFrame = {
+    val paras = paragraphs(pages)
+    val chrome = broadcast(boilerplate(paras).select(col("h")))
+    val kept = paras
+      .withColumn("h", xxhash64(col("para")))
+      .join(chrome, Seq("h"), "left_anti")
+    val joined = kept.groupBy(col("doc_id"), col("lang"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x("para")), "\n").as("xt"))
+    joined
+      .filter(size(split(col("xt"), "\\s+")) >= MinWords)
+      .select(col("doc_id"), col("lang"),
+        length(col("xt")).cast("long").as("n_chars"),
+        md5(col("xt")).as("text_md5"))
+  }
+}

@@ -673,6 +673,39 @@ object TextPack extends QueryPack {
           p.as("p_units"),
           (p >= lit(Classifier.Units / 2)).as("predicted"))
         .withColumn("correct", col("predicted") === col("label"))
+    }),
+
+    // Crawl → curated TEXT, end to end, every layer byte-real: pages
+    // spool into per-source WARC response archives (full HTTP/1.1
+    // messages whose 200 bodies are synthetic-but-adversarial HTML),
+    // the strict record walk + HTTP parse recover them, and
+    // [[CrawlText]] extracts main content — script stripping (a
+    // unique fake <p> hides in each page's script), entity unescape
+    // (the ref paragraph carries a literal '&'), cross-doc paragraph
+    // document-frequency boilerplate removal (per-source cookie
+    // banners, the global footer), page-order reassembly, and the
+    // short-page gate. The oracle replays the invariant straight off
+    // `documents`: extracted text == original text + the ref line,
+    // for exactly the non-404 docs.
+    "tx_crawl_text_e2e" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      CrawlText.curated(graft.sources.Warc.parseHttpRecords(
+        graft.sources.Warc.htmlResponseArchives(
+          Tables.documents(s, dir))).toDF())
+    }),
+
+    // The boilerplate inventory the e2e removal is built on: every
+    // paragraph repeated across >= MinDf distinct docs, with its df —
+    // per-source banners and the global footer, never genuine text
+    // (fixture max text-df is 2). What a curation owner audits
+    // before trusting frequency-based removal.
+    "tx_boilerplate_df" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      CrawlText.boilerplate(CrawlText.paragraphs(
+          graft.sources.Warc.parseHttpRecords(
+            graft.sources.Warc.htmlResponseArchives(
+              Tables.documents(s, dir))).toDF()))
+        .select(col("para"), col("df"))
     })
   )
 
@@ -1110,7 +1143,46 @@ object TextPack extends QueryPack {
          |    AS predicted,
          |  (${Classifier.sqlPUnits("z")} >= ${Classifier.Units / 2})
          |    = (y = ${Classifier.Units}) AS correct
-         |FROM z""".stripMargin
+         |FROM z""".stripMargin,
+
+    // the writer's facts replayed: a non-404 doc's extracted text is
+    // its original text + the ref line (banner/footer/script trap all
+    // removed), UNLESS the text itself is chrome-frequent (df >=
+    // MinDf — dead at current fixture geometry, stated so the rule is
+    // the oracle's, not the engine's); then the word gate
+    "tx_crawl_text_e2e" ->
+      s"""WITH nf AS (SELECT doc_id, lang, text FROM documents
+         |            WHERE doc_id % 13 <> 0),
+         |d AS (SELECT doc_id, lang, text,
+         |        count(*) OVER (PARTITION BY text) AS df FROM nf),
+         |x AS (SELECT doc_id, lang,
+         |        CASE WHEN df >= ${CrawlText.MinDf}
+         |             THEN 'ref &' || CAST(doc_id AS VARCHAR)
+         |             ELSE text || chr(10) ||
+         |                  'ref &' || CAST(doc_id AS VARCHAR)
+         |        END AS xt
+         |      FROM d)
+         |SELECT doc_id, lang, CAST(strlen(xt) AS BIGINT) AS n_chars,
+         |  md5(xt) AS text_md5
+         |FROM x
+         |WHERE len(regexp_split_to_array(xt, '\\s+')) >= ${CrawlText.MinWords}""".stripMargin,
+
+    // chrome = banner (per source) + footer (global); genuine text
+    // and ref paragraphs stay under MinDf by fixture geometry
+    "tx_boilerplate_df" ->
+      s"""WITH nf AS (SELECT doc_id, source, text FROM documents
+         |            WHERE doc_id % 13 <> 0),
+         |p AS (
+         |  SELECT doc_id, 'Welcome to ' || source ||
+         |         ' cookie notice applies' AS para FROM nf
+         |  UNION ALL SELECT doc_id, text FROM nf
+         |  UNION ALL SELECT doc_id,
+         |    'ref &' || CAST(doc_id AS VARCHAR) FROM nf
+         |  UNION ALL SELECT doc_id,
+         |    '(c) example.org all rights reserved' FROM nf)
+         |SELECT para, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |FROM p GROUP BY para
+         |HAVING count(DISTINCT doc_id) >= ${CrawlText.MinDf}""".stripMargin
   )
 
   /** Shared classifier-oracle prologue: features, weak labels (the

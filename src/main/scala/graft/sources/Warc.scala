@@ -327,6 +327,78 @@ object Warc {
       }
   }
 
+  /** Minimal HTML escaping (the five characters that break markup).
+    * The page writer routes ALL text through this, so extraction's
+    * unescape is exercised by construction — the per-doc ref
+    * paragraph carries a literal `&` precisely so a pipeline that
+    * skips the unescape step diverges on the content hash. */
+  def htmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&#39;")
+
+  /** One synthetic crawl page. Deliberately adversarial in the ways
+    * real pages are: a `<script>` holding a UNIQUE fake paragraph in
+    * a string literal (naive `<p>` capture ingests `trk<id>` into
+    * every doc — frequency filtering can NOT remove it, only real
+    * script stripping can), a per-source cookie banner and a global
+    * footer paragraph (removable only by the cross-doc paragraph
+    * document-frequency pass — the CCNet/C4 boilerplate rule), and
+    * a per-doc entity-escaped ref paragraph (removable by nothing;
+    * recoverable only through a correct unescape). */
+  def htmlPage(source: String, id: Long, lang: String, text: String): String =
+    s"""<html lang="$lang">
+       |<head><title>doc $id</title>
+       |<script>var trk = "<p>trk$id</p>";</script>
+       |</head><body>
+       |<nav>Home | About | Contact</nav>
+       |<div id="main">
+       |<p>Welcome to $source cookie notice applies</p>
+       |<p>${htmlEscape(text)}</p>
+       |<p>ref ${htmlEscape(s"&$id")}</p>
+       |</div>
+       |<footer><p>(c) example.org all rights reserved</p></footer>
+       |</body></html>""".stripMargin
+
+  /** `response` archives whose 200 bodies are full HTML pages built
+    * by [[htmlPage]] — the crawl-to-TEXT producer (the main event of
+    * a web-scale training corpus, next to [[mediaResponseArchives]]'s
+    * crawl-to-media). Status rule matches
+    * [[responseArchivesFromDocuments]]: doc_id % 13 == 0 → bodiless
+    * 404, so the status gate downstream is real. Same per-source
+    * spool + gzip-member mix. */
+  def htmlResponseArchives(docs: DataFrame)
+                          (implicit s: SparkSession): Dataset[ArchiveRow] = {
+    import s.implicits._
+    docs.select(col("source"), col("doc_id"), col("lang"), col("text"))
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .as[(String, Long, String, String)]
+      .mapPartitions { it =>
+        val bySource = new scala.collection.mutable.LinkedHashMap[
+          String, ByteArrayOutputStream]()
+        it.foreach { case (source, id, lang, text) =>
+          val gz = math.abs(source.hashCode % 2) == 0
+          val notFound = id % 13 == 0
+          val http = httpResponse(
+            if (notFound) 404 else 200,
+            if (notFound) "Not Found" else "OK",
+            Seq("Content-Type" -> "text/html"),
+            if (notFound) Array.emptyByteArray
+            else htmlPage(source, id, lang, text).getBytes(UTF_8))
+          val rec = record(Seq(
+            "WARC-Type" -> "response",
+            "WARC-Record-ID" -> s"urn:graft:$id",
+            "WARC-Target-URI" -> s"https://$source.example/$id"), http)
+          val out = bySource.getOrElseUpdate(source,
+            new ByteArrayOutputStream(1 << 16))
+          out.write(if (gz) gzipMember(rec) else rec)
+        }
+        bySource.iterator.map { case (src, out) =>
+          ArchiveRow(src, out.toByteArray)
+        }
+      }
+  }
+
   /** `response` archives over MEDIA rows — (doc_id, mime, content)
     * spooled per mime type, each record a 200 response whose
     * Content-Type is the mime and whose body is the raw media bytes.

@@ -41,7 +41,9 @@ class InvarianceSpec extends SparkSpec {
     "mm_warc_http",         // HTTP payload parse after the record walk
     "mm_warc_media",        // archive → HTTP → header codec, composed
     "ds_decon_semantic",    // float cos argmax vs broadcast eval set
-    "sp_shard_manifest")    // sequence-grain positions → shard rollup
+    "sp_shard_manifest",    // sequence-grain positions → shard rollup
+    "tx_crawl_text_e2e",    // paragraph df + ordered reassembly + md5
+    "tx_boilerplate_df")    // countDistinct over paragraph hashes
     // (wordpiece/unigram vocab invariance pinned in their own specs —
     // training loops collect through a sized session)
     // (classifier weights pinned in ClassifierSpec — the IndexCache

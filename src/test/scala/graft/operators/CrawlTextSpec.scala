@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Warc
+import org.apache.spark.sql.functions._
+
+/** The crawl→text extraction contract, end to end over a corpus
+  * built to punish shortcuts: the script trap (a unique fake `<p>`
+  * per page inside a script string) must NOT leak into output, the
+  * per-source banner and global footer must be removed by the
+  * df pass alone, the entity-escaped ref line must decode back to a
+  * literal `&`, 404 pages must vanish, and a page left all-chrome
+  * must fall to the word gate. */
+class CrawlTextSpec extends SparkSpec {
+
+  // 12 docs in one source (banner df = 12 >= MinDf), one 404
+  // (doc_id 13), one doc whose text IS below the word gate once
+  // reduced to chrome — via text that repeats across >= MinDf docs.
+  private def fixture() = {
+    import spark.implicits._
+    val shared = "common boiler text repeated on every page of this ring"
+    val rows =
+      (1L to 10L).map(i => (i, s"unique body words for document $i", "en", "s0")) ++
+      Seq((11L, shared, "en", "s0"), (12L, shared, "en", "s0"),
+          (13L, "this doc is a 404 and never extracted", "en", "s0")) ++
+      (14L to 22L).map(i => (i, shared, "en", "s0"))
+    rows.toDF("doc_id", "text", "lang", "source")
+  }
+
+  private def pages() = {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    Warc.parseHttpRecords(Warc.htmlResponseArchives(fixture())).toDF()
+  }
+
+  test("escape/unescape: page survives hostile text byte-exact") {
+    val hostile = "a & b <c> \"d\" 'e' &amp; already-escaped"
+    val esc = Warc.htmlEscape(hostile)
+    assert(!esc.contains("<c>") && esc.contains("&amp;amp;"))
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = Seq((1L, hostile, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val paras = CrawlText.paragraphs(
+      Warc.parseHttpRecords(Warc.htmlResponseArchives(docs)).toDF())
+    val body = paras.filter(col("pos") === 1)
+      .select("para").as[String].head()
+    assert(body == hostile)
+  }
+
+  test("script trap never leaks; banner and footer are df-removed") {
+    val paras = CrawlText.paragraphs(pages())
+    assert(paras.filter(col("para").contains("trk")).count() == 0)
+    val out = CrawlText.curated(pages())
+    // 404 absent
+    assert(out.filter(col("doc_id") === 13).count() == 0)
+    // docs 1-10: text + ref line survive; chrome-only docs fall to
+    // the word gate (their shared text is df-frequent, leaving only
+    // the 2-word ref line)
+    assert(out.count() == 10)
+    import spark.implicits._
+    val expected = md5(lit("unique body words for document 7\nref &7"))
+    val got = CrawlText.curated(pages())
+      .filter(col("doc_id") === 7).select(col("text_md5")).as[String].head()
+    val want = fixture().sparkSession.range(1)
+      .select(expected.as("m")).as[String].head()
+    assert(got == want)
+  }
+
+  test("boilerplate inventory: banner, footer, and the shared ring") {
+    val inv = CrawlText.boilerplate(CrawlText.paragraphs(pages()))
+    import spark.implicits._
+    val got = inv.select("para", "df").as[(String, Long)].collect().toMap
+    assert(got("Welcome to s0 cookie notice applies") == 21)
+    assert(got("(c) example.org all rights reserved") == 21)
+    assert(got("common boiler text repeated on every page of this ring") == 11)
+    assert(got.size == 3)
+  }
+}
