@@ -93,12 +93,21 @@ object CrawlText {
     * (broadcast anti-join on the hash), reassembled per doc in page
     * order, short pages gated. Output is the curated text's
     * fingerprint surface: (doc_id, lang, n_chars, text_md5). */
-  def curated(pages: DataFrame): DataFrame = {
-    val paras = paragraphs(pages)
-    val chrome = broadcast(boilerplate(paras).select(col("h")))
-    val kept = paras
+  def curated(pages: DataFrame): DataFrame =
+    curatedWithChrome(pages,
+      boilerplate(paragraphs(pages)).select(col("h")))
+
+  /** [[curated]] against a PRE-LEARNED chrome inventory (`h` =
+    * xxhash64 of the paragraph) instead of one learned from these
+    * very pages — the production split: document frequency is a
+    * corpus-level artifact trained offline (like [[IndexCache]]'s
+    * centroids), then applied to any slice — a later crawl wave, a
+    * single archive, a micro-batch
+    * ([[graft.streaming.CrawlStream]]). */
+  def curatedWithChrome(pages: DataFrame, chrome: DataFrame): DataFrame = {
+    val kept = paragraphs(pages)
       .withColumn("h", xxhash64(col("para")))
-      .join(chrome, Seq("h"), "left_anti")
+      .join(broadcast(chrome.select(col("h"))), Seq("h"), "left_anti")
     val joined = kept.groupBy(col("doc_id"), col("lang"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("para")))),

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.operators.CrawlText
+import graft.sources.Warc
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Continuous crawl curation — the streaming composition of
+  * [[Warc.startIngest]]'s archive feed and [[CrawlText]]'s
+  * extraction. Each newly-landed `<source>.warc[.gz]` file is walked
+  * once (binaryFile source + checkpoint = exactly-once per archive
+  * across restarts), its records parsed as HTTP responses, and the
+  * batch curated against a PRE-LEARNED chrome inventory.
+  *
+  * The design decision worth stating: the paragraph-df pass is NOT
+  * recomputed per trigger. Document frequency is corpus-level truth —
+  * a micro-batch can't see it, and rescanning history every trigger
+  * to rebuild it is the driver-bottleneck shape this engine bans.
+  * So chrome is an OFFLINE artifact (retrained on the growing bronze
+  * at whatever cadence the owner picks, like index centroids) and
+  * the stream applies it as a broadcast anti-join — new chrome takes
+  * effect at the next artifact refresh, exactly how production
+  * curation pipelines stage blocklists.
+  *
+  * Write discipline: per-batch `ingest_batch=<id>` directory with
+  * overwrite + the committer's `_SUCCESS` marker as the durable
+  * applied signal ([[BronzeParquetSink]]'s contract) — a replayed
+  * batch rewrites its own directory byte-identically instead of
+  * appending duplicates.
+  */
+object CrawlStream {
+
+  /** Archive feed → curated parquet. `chrome` is the learned
+    * boilerplate inventory (`h` column, [[CrawlText.boilerplate]]
+    * hashes). */
+  def startCuration(spark: SparkSession, feedDir: String, outDir: String,
+                    ckptDir: String, chrome: DataFrame): StreamingQuery = {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val frozen = chrome.select(col("h")).collect().map(_.getLong(0))
+    spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY"))
+      .option("pathGlobFilter", "*.warc*")
+      .load(feedDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val base = path.substring(path.lastIndexOf('/') + 1)
+        val source = base.stripSuffix(".gz").stripSuffix(".warc")
+        Warc.records(bytes).flatMap { r =>
+          val id = r.headers.getOrElse("WARC-Record-ID", "urn:graft:-1")
+            .stripPrefix("urn:graft:").toLong
+          Warc.parseHttp(r.payload).map { case (status, headers, body) =>
+            Warc.HttpRecord(source, id, status,
+              headers.getOrElse("content-type", ""), body)
+          }
+        }
+      }
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Warc.HttpRecord],
+                       batchId: Long) =>
+        val dir = s"$outDir/ingest_batch=$batchId"
+        if (!SinkFs.exists(s"$dir/_SUCCESS")) {
+          val sess = batch.sparkSession
+          val chromeDf = sess.createDataFrame(
+            sess.sparkContext.parallelize(frozen.toSeq.map(Tuple1(_)), 1))
+            .toDF("h")
+          CrawlText.curatedWithChrome(batch.toDF(), chromeDf)
+            .write.mode(SaveMode.Overwrite).parquet(dir)
+        }
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

