@@ -66,6 +66,34 @@ class CrawlTextSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("property: hostile texts survive the full archive round trip") {
+    // Texts stitched from the fragments most likely to break a layer:
+    // bare specials (escape), entity-looking runs (unescape order),
+    // tag-looking runs incl. the paragraph terminator itself (capture
+    // regex), script-looking runs (strip), multibyte (byte framing).
+    val frags = Seq("&", "<", ">", "\"", "'", "&amp;", "&lt;", "&amp;lt;",
+      "<p>", "</p>", "<script>", "</script>", "plain", "words",
+      "文字", "émoji", "a&b<c>d")
+    val rnd = new scala.util.Random(42)
+    val texts = (0 until 60).map { i =>
+      (1 to 1 + rnd.nextInt(12)).map(_ => frags(rnd.nextInt(frags.size)))
+        .mkString(" ")
+    }
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val ids = texts.indices.map(i => (i / 12) * 13 + 1 + (i % 12)) // skip %13==0
+    val docs = ids.zip(texts).map { case (id, t) => (id.toLong, t, "en", "s0") }
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CrawlText.paragraphs(
+        Warc.parseHttpRecords(Warc.htmlResponseArchives(docs)).toDF())
+      .filter(col("pos") === 1)
+      .select("doc_id", "para").as[(Long, String)].collect().toMap
+    ids.zip(texts).foreach { case (id, t) =>
+      assert(got.get(id.toLong).contains(t),
+        s"doc $id: <<${got.get(id.toLong)}>> != <<$t>>")
+    }
+  }
+
   test("boilerplate inventory: banner, footer, and the shared ring") {
     val inv = CrawlText.boilerplate(CrawlText.paragraphs(pages()))
     import spark.implicits._
