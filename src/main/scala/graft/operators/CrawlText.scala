@@ -94,7 +94,13 @@ object CrawlText {
     * order, short pages gated. Output is the curated text's
     * fingerprint surface: (doc_id, lang, n_chars, text_md5). */
   def curated(pages: DataFrame): DataFrame =
-    curatedWithChrome(pages,
+    fingerprint(curatedText(pages))
+
+  /** The curated corpus ITSELF — (doc_id, lang, xt) — for consumers
+    * that keep processing the text (near-dup dedup, tokenization)
+    * rather than fingerprinting it. */
+  def curatedText(pages: DataFrame): DataFrame =
+    curatedTextWithChrome(pages,
       boilerplate(paragraphs(pages)).select(col("h")))
 
   /** [[curated]] against a PRE-LEARNED chrome inventory (`h` =
@@ -104,18 +110,43 @@ object CrawlText {
     * centroids), then applied to any slice — a later crawl wave, a
     * single archive, a micro-batch
     * ([[graft.streaming.CrawlStream]]). */
-  def curatedWithChrome(pages: DataFrame, chrome: DataFrame): DataFrame = {
+  def curatedWithChrome(pages: DataFrame, chrome: DataFrame): DataFrame =
+    fingerprint(curatedTextWithChrome(pages, chrome))
+
+  private def fingerprint(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), col("lang"),
+      length(col("xt")).cast("long").as("n_chars"),
+      md5(col("xt")).as("text_md5"))
+
+  def curatedTextWithChrome(pages: DataFrame, chrome: DataFrame): DataFrame = {
     val kept = paragraphs(pages)
       .withColumn("h", xxhash64(col("para")))
       .join(broadcast(chrome.select(col("h"))), Seq("h"), "left_anti")
-    val joined = kept.groupBy(col("doc_id"), col("lang"))
+    kept.groupBy(col("doc_id"), col("lang"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("para")))),
           x => x("para")), "\n").as("xt"))
-    joined
       .filter(size(split(col("xt"), "\\s+")) >= MinWords)
-      .select(col("doc_id"), col("lang"),
-        length(col("xt")).cast("long").as("n_chars"),
-        md5(col("xt")).as("text_md5"))
   }
+
+  /** The DuckDB form of the curated corpus — a parenthesized
+    * derived-table SQL yielding (doc_id, lang, xt), replaying the
+    * writer's facts straight off `documents` (the tx_crawl_text_e2e
+    * invariant): non-404 docs, chrome-frequent text dropped, the ref
+    * line appended, then the word gate. The ONE authority every
+    * crawl-composition oracle builds on. */
+  val sqlCuratedSrc: String =
+    s"""(WITH nf0 AS (SELECT doc_id, lang, text FROM documents
+       |              WHERE doc_id % 13 <> 0),
+       |d0 AS (SELECT doc_id, lang, text,
+       |         count(*) OVER (PARTITION BY text) AS df FROM nf0),
+       |x0 AS (SELECT doc_id, lang,
+       |         CASE WHEN df >= $MinDf
+       |              THEN 'ref &' || CAST(doc_id AS VARCHAR)
+       |              ELSE text || chr(10) ||
+       |                   'ref &' || CAST(doc_id AS VARCHAR)
+       |         END AS xt
+       |       FROM d0)
+       |SELECT doc_id, lang, xt FROM x0
+       |WHERE len(regexp_split_to_array(xt, '\\s+')) >= $MinWords)""".stripMargin
 }

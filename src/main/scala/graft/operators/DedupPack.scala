@@ -61,14 +61,17 @@ object DedupPack extends QueryPack {
 
   /** MinHash-LSH candidate pairs (doc_a < doc_b): the shared input of
     * the grouping/apply queries. */
-  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val b = bands(s, dir)
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame =
+    candidatePairsFrom(bands(s, dir))
+
+  /** Candidate pairs over any banded frame — the corpus path and the
+    * crawl composition share it. */
+  private def candidatePairsFrom(b: DataFrame): DataFrame =
     b.alias("a").join(b.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-  }
 
   /** (doc_id, band, key) — one row per LSH band. */
   private def bands(s: SparkSession, dir: String): DataFrame =
@@ -194,6 +197,30 @@ object DedupPack extends QueryPack {
         .filter(col("doc_id") =!= col("keep_id"))
         .select(col("doc_id"))
       docs.join(losers, Seq("doc_id"), "left_anti")
+    }),
+
+    // The 100 TB pipeline in ONE oracled query: crawl archives →
+    // HTTP parse → HTML main-content extraction + boilerplate removal
+    // ([[CrawlText]]) → MinHash-LSH near-dup dedup over the EXTRACTED
+    // text — what a web-scale corpus build actually runs, with every
+    // layer's output feeding the next (a bug anywhere shifts the
+    // shingle stream, the signatures, the candidate pairs, and the
+    // survivor set). Same banded-join + components dataflow as
+    // ds_dedup_apply; the only new fact is the corpus source.
+    "ds_crawl_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val corpus = CrawlText.curatedText(
+        graft.sources.Warc.parseHttpRecords(
+          graft.sources.Warc.htmlResponseArchives(
+            Tables.documents(s, dir))).toDF())
+      val toks = corpus.select(col("doc_id"), split(col("xt"), " ").as("toks"))
+      val losers = Components.connectedComponents(
+          candidatePairsFrom(bandsFrom(signaturesFrom(toks))))
+        .filter(col("node") =!= col("rep"))
+        .select(col("node").as("doc_id"))
+      corpus.select(col("doc_id"),
+          length(col("xt")).cast("long").as("n_chars"))
+        .join(losers, Seq("doc_id"), "left_anti")
     }),
 
     // The at-scale composition SCALE.md prescribes: LSH candidates
@@ -823,14 +850,19 @@ object DedupPack extends QueryPack {
     s"min((h * ${2 * i + 1} + ${7919 * i + 1}) % ${Hashing.MinhashPrime}) AS mh$i")
     .mkString(",\n         ")
 
-  private val sigCte =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+  /** [[sigCte]] over any (doc_id, text) source SQL — `documents`
+    * for the corpus oracles, the curated-crawl derived table for
+    * the composition ([[graft.operators.CrawlText.sqlCuratedSrc]]). */
+  private def sigCteOver(src: String) =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM $src),
        |sh AS (SELECT doc_id, ts[j+1] || ' ' || ts[j+2] || ' ' || ts[j+3] AS s
        |       FROM t, UNNEST(generate_series(0, len(ts) - 3)) AS g(j)),
        |hh AS (SELECT doc_id, ${Hashing.sqlH32("s")} AS h FROM sh),
        |sig AS (SELECT doc_id,
        |         $sigSqlCols
        |        FROM hh GROUP BY doc_id)""".stripMargin
+
+  private val sigCte = sigCteOver("documents")
 
   private val bandsSql = (0 until Hashing.NumBands).map(b =>
     s"SELECT doc_id, $b AS band, concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS key FROM sig")
@@ -931,8 +963,11 @@ object DedupPack extends QueryPack {
   /** sig → bands → candidate pairs → transitive closure → `groups`
     * (doc_id, rep) — the shared prefix of every groups-consuming
     * oracle (ds_dedup_apply, ds_keep_best). */
-  private lazy val groupsChain =
-    s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+  private lazy val groupsChain = groupsChainOver("documents")
+
+  /** [[groupsChain]] over any (doc_id, text) source SQL. */
+  private def groupsChainOver(src: String) =
+    s"""${sigCteOver(src).replaceFirst("WITH ", "WITH RECURSIVE ")},
        |bands AS ($bandsSql),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b
@@ -1020,6 +1055,16 @@ object DedupPack extends QueryPack {
          |SELECT d.doc_id, d.n_chars FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM w
          |                  WHERE w.doc_id = d.doc_id AND w.rn > 1)""".stripMargin,
+
+    // the whole chain over the CURATED corpus (CrawlText.sqlCuratedSrc
+    // replays extraction; the groups chain replays dedup over xt)
+    "ds_crawl_dedup" ->
+      s"""${groupsChainOver(
+             s"(SELECT doc_id, xt AS text FROM ${CrawlText.sqlCuratedSrc} c0) crawl")}
+         |SELECT d.doc_id, CAST(strlen(d.xt) AS BIGINT) AS n_chars
+         |FROM ${CrawlText.sqlCuratedSrc} d
+         |WHERE NOT EXISTS (SELECT 1 FROM groups g
+         |                  WHERE g.doc_id = d.doc_id AND g.doc_id <> g.rep)""".stripMargin,
 
     "ds_simhash" -> s"WITH $simhashCte\nSELECT doc_id, simhash FROM sim",
 

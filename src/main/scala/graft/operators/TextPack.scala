@@ -1151,21 +1151,9 @@ object TextPack extends QueryPack {
     // MinDf — dead at current fixture geometry, stated so the rule is
     // the oracle's, not the engine's); then the word gate
     "tx_crawl_text_e2e" ->
-      s"""WITH nf AS (SELECT doc_id, lang, text FROM documents
-         |            WHERE doc_id % 13 <> 0),
-         |d AS (SELECT doc_id, lang, text,
-         |        count(*) OVER (PARTITION BY text) AS df FROM nf),
-         |x AS (SELECT doc_id, lang,
-         |        CASE WHEN df >= ${CrawlText.MinDf}
-         |             THEN 'ref &' || CAST(doc_id AS VARCHAR)
-         |             ELSE text || chr(10) ||
-         |                  'ref &' || CAST(doc_id AS VARCHAR)
-         |        END AS xt
-         |      FROM d)
-         |SELECT doc_id, lang, CAST(strlen(xt) AS BIGINT) AS n_chars,
+      s"""SELECT doc_id, lang, CAST(strlen(xt) AS BIGINT) AS n_chars,
          |  md5(xt) AS text_md5
-         |FROM x
-         |WHERE len(regexp_split_to_array(xt, '\\s+')) >= ${CrawlText.MinWords}""".stripMargin,
+         |FROM ${CrawlText.sqlCuratedSrc} c""".stripMargin,
 
     // chrome = banner (per source) + footer (global); genuine text
     // and ref paragraphs stay under MinDf by fixture geometry

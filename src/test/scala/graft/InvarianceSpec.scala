@@ -43,7 +43,8 @@ class InvarianceSpec extends SparkSpec {
     "ds_decon_semantic",    // float cos argmax vs broadcast eval set
     "sp_shard_manifest",    // sequence-grain positions → shard rollup
     "tx_crawl_text_e2e",    // paragraph df + ordered reassembly + md5
-    "tx_boilerplate_df")    // countDistinct over paragraph hashes
+    "tx_boilerplate_df",    // countDistinct over paragraph hashes
+    "ds_crawl_dedup")       // extraction + banded join + components
     // (wordpiece/unigram vocab invariance pinned in their own specs —
     // training loops collect through a sized session)
     // (classifier weights pinned in ClassifierSpec — the IndexCache
