@@ -129,6 +129,26 @@ object CrawlText {
       .filter(size(split(col("xt"), "\\s+")) >= MinWords)
   }
 
+  /** The chrome artifact for `dir`'s fixture crawl, learned ONCE per
+    * corpus per process through [[IndexCache]] (the centroid
+    * accounting): every crawl consumer — extraction, the audit
+    * inventory, the dedup composition — reads the memo instead of
+    * re-running the paragraph-df pass. The collect is the
+    * centroid-collect class (chrome is the handful of repeated
+    * paragraphs, never the corpus). */
+  def chromeFor(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val rows = IndexCache.chromeInventory(dir) {
+      boilerplate(paragraphs(graft.sources.Warc.parseHttpRecords(
+          graft.sources.Warc.htmlResponseArchives(
+            graft.Tables.documents(s, dir))).toDF()))
+        .select(col("h"), col("para"), col("df"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    }
+    import sp.implicits._
+    rows.toDF("h", "para", "df")
+  }
+
   /** The DuckDB form of the curated corpus — a parenthesized
     * derived-table SQL yielding (doc_id, lang, xt), replaying the
     * writer's facts straight off `documents` (the tx_crawl_text_e2e

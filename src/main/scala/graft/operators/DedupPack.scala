@@ -209,10 +209,11 @@ object DedupPack extends QueryPack {
     // ds_dedup_apply; the only new fact is the corpus source.
     "ds_crawl_dedup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val corpus = CrawlText.curatedText(
+      val corpus = CrawlText.curatedTextWithChrome(
         graft.sources.Warc.parseHttpRecords(
           graft.sources.Warc.htmlResponseArchives(
-            Tables.documents(s, dir))).toDF())
+            Tables.documents(s, dir))).toDF(),
+        CrawlText.chromeFor(s, dir))
       val toks = corpus.select(col("doc_id"), split(col("xt"), " ").as("toks"))
       val losers = Components.connectedComponents(
           candidatePairsFrom(bandsFrom(signaturesFrom(toks))))

@@ -102,6 +102,12 @@ object IndexCache {
   def wordpieceVocab(dir: String)(build: => Seq[(String, Long)]): Seq[(String, Long)] =
     cached(s"wp:$dir")(build)
 
+  /** The crawl-chrome inventory (h, para, df) — a handful of rows by
+    * construction (per-source banners + the global footer); see
+    * [[CrawlText.chromeFor]]. */
+  def chromeInventory(dir: String)(build: => Seq[(Long, String, Long)]): Seq[(Long, String, Long)] =
+    cached(s"chrome:$dir")(build)
+
   def unigramModel(dir: String)(build: => Unigram.Trained): Unigram.Trained =
     cached(s"uni:$dir")(build)
 

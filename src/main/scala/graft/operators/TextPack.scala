@@ -689,9 +689,11 @@ object TextPack extends QueryPack {
     // for exactly the non-404 docs.
     "tx_crawl_text_e2e" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      CrawlText.curated(graft.sources.Warc.parseHttpRecords(
-        graft.sources.Warc.htmlResponseArchives(
-          Tables.documents(s, dir))).toDF())
+      CrawlText.curatedWithChrome(
+        graft.sources.Warc.parseHttpRecords(
+          graft.sources.Warc.htmlResponseArchives(
+            Tables.documents(s, dir))).toDF(),
+        CrawlText.chromeFor(s, dir))
     }),
 
     // The boilerplate inventory the e2e removal is built on: every
@@ -699,14 +701,8 @@ object TextPack extends QueryPack {
     // per-source banners and the global footer, never genuine text
     // (fixture max text-df is 2). What a curation owner audits
     // before trusting frequency-based removal.
-    "tx_boilerplate_df" -> ((s, dir) => {
-      implicit val sp: SparkSession = s
-      CrawlText.boilerplate(CrawlText.paragraphs(
-          graft.sources.Warc.parseHttpRecords(
-            graft.sources.Warc.htmlResponseArchives(
-              Tables.documents(s, dir))).toDF()))
-        .select(col("para"), col("df"))
-    })
+    "tx_boilerplate_df" -> ((s, dir) =>
+      CrawlText.chromeFor(s, dir).select(col("para"), col("df")))
   )
 
   /** Weak labels for the classifier: y = Units iff the rounded
