@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * removal — the text leg of the crawl ingestion family (the media
   * leg is `mm_warc_media`). The reference's scrapers pull page HTML
   * and regex out the content they want per page
-  * (bitcoinabuse/main.go:115-131, walletexplorer/main.py:27-44);
+  * (bitcoinabuse/main.go:134-136, walletexplorer/main.go:233-236);
   * this is the corpus-level form a training-data pipeline needs:
   * per-page tag stripping is not enough, because the chrome a site
   * stamps on EVERY page (cookie banners, footers) survives any
