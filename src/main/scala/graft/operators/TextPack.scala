@@ -483,6 +483,40 @@ object TextPack extends QueryPack {
             .as("familiarity"))
     }),
 
+    // The REAL LM quality filter (the CCNet/KenLM class, upgraded
+    // from tx_lm_familiarity's frequency proxy): train an add-one
+    // smoothed bigram LM on the corpus, score every doc by bigram
+    // cross-entropy and perplexity — outliers (gibberish scores high,
+    // boilerplate low) are what the published pipelines cut on.
+    // Scale shape: log-probs are computed once per BIGRAM TYPE
+    // (Zipf-bounded grain, like the tokenizer trainings), quantized
+    // to 1e-4 units as LONGS so the per-doc sum is exact and
+    // order-free; the corpus-grain work is one shuffle join on the
+    // bigram + one doc-keyed partial agg. Vocab size rides a
+    // broadcast one-row frame (the scalar-subquery pattern).
+    "tx_lm_perplexity" -> ((s, dir) => {
+      val toks = tokenized(s, dir)
+      val bg = toks.select(col("doc_id"),
+          explode(Hashing.shingles(col("toks"), 2)).as("ng"))
+        .withColumn("a", element_at(split(col("ng"), " "), 1))
+      val cab = bg.groupBy("ng").agg(count(lit(1)).as("cab"))
+      val ca = bg.groupBy("a").agg(count(lit(1)).as("ca"))
+      val v = toks.select(explode(col("toks")).as("w"))
+        .agg(countDistinct(col("w")).as("vs"))
+      val lp = cab.withColumn("a", element_at(split(col("ng"), " "), 1))
+        .join(ca, Seq("a"))
+        .crossJoin(broadcast(v))
+        .select(col("ng"),
+          floor(log2((col("cab") + lit(1.0)) / (col("ca") + col("vs")))
+            * lit(1e4) + lit(0.5)).cast("long").as("lpu"))
+      bg.join(lp, Seq("ng"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          Det.dround(-sum(col("lpu")).cast("double")
+            / (count(lit(1)) * lit(1e4)), 4).as("cross_entropy"))
+        .withColumn("ppl", Det.dround(pow(lit(2.0), col("cross_entropy")), 4))
+    }),
+
     // Percentile-band length filter (the Gopher/C4 "not too short,
     // not too long" gate with data-derived thresholds): keep docs
     // whose n_chars sits within [p05, p95] of the corpus. The
@@ -1009,6 +1043,32 @@ object TextPack extends QueryPack {
         |    AS familiarity
         |FROM bg JOIN freq USING (ng)
         |GROUP BY doc_id""".stripMargin,
+
+    // per-bigram-type log-probs quantized to 1e-4 LONG units, per-doc
+    // exact long sums, then the one rounded division (and ppl from
+    // the ROUNDED entropy) — the cross-engine float discipline
+    "tx_lm_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |           FROM documents),
+         |bg AS (SELECT doc_id, ts[j+1] || ' ' || ts[j+2] AS ng,
+         |              ts[j+1] AS a
+         |       FROM t, UNNEST(generate_series(0, len(ts) - 2)) AS g(j)),
+         |cb AS (SELECT ng, count(*) AS cab FROM bg GROUP BY ng),
+         |caa AS (SELECT a, count(*) AS ca FROM bg GROUP BY a),
+         |vv AS (SELECT count(DISTINCT w) AS vs FROM
+         |         (SELECT unnest(ts) AS w FROM t)),
+         |lp AS (SELECT cb.ng,
+         |         CAST(floor(log2((cab + 1.0) / (ca + vs)) * 1e4 + 0.5)
+         |           AS BIGINT) AS lpu
+         |       FROM cb JOIN caa ON string_split(cb.ng, ' ')[1] = caa.a
+         |       CROSS JOIN vv)
+         |SELECT doc_id, n_bigrams, ce AS cross_entropy,
+         |  ${Det.droundSql("power(2.0, ce)", 4)} AS ppl
+         |FROM (SELECT doc_id, count(*) AS n_bigrams,
+         |        ${Det.droundSql(
+                  "-(CAST(sum(lpu) AS DOUBLE)) / (count(*) * 1e4)", 4)} AS ce
+         |      FROM bg JOIN lp USING (ng)
+         |      GROUP BY doc_id)""".stripMargin,
 
     "tx_length_band" ->
       s"""WITH th AS (SELECT

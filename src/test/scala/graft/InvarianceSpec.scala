@@ -44,7 +44,8 @@ class InvarianceSpec extends SparkSpec {
     "sp_shard_manifest",    // sequence-grain positions → shard rollup
     "tx_crawl_text_e2e",    // paragraph df + ordered reassembly + md5
     "tx_boilerplate_df",    // countDistinct over paragraph hashes
-    "ds_crawl_dedup")       // extraction + banded join + components
+    "ds_crawl_dedup",       // extraction + banded join + components
+    "tx_lm_perplexity")     // quantized log-prob long sums + pow chain
     // (wordpiece/unigram vocab invariance pinned in their own specs —
     // training loops collect through a sized session)
     // (classifier weights pinned in ClassifierSpec — the IndexCache
