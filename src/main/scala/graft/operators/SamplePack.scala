@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryPack, Tables}
+import graft.{Det, QueryPack, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -40,6 +40,64 @@ object SamplePack extends QueryPack {
     * `Timestamp.valueOf` would parse it in the JVM-default zone and
     * silently shift the split boundary on non-UTC machines. */
   val TimeSplitCutoff = "2024-01-20 00:00:00"
+
+  /** DSIR feature-hash width. 256 buckets keep the two bucket-LMs a
+    * broadcast-trivial table at any corpus size while still
+    * separating the synthetic sources' vocabularies. */
+  val DsirBuckets = 256
+
+  /** DSIR target slice — the "quality corpus" whose distribution the
+    * selection tilts toward; everything else is the raw pool being
+    * selected from. */
+  val DsirTarget = "src0"
+
+  /** sp_dsir_sample keep count. */
+  val DsirK = 64
+
+  /** Per-doc DSIR importance weight (Data Selection via Importance
+    * Resampling, Xie et al. 2023 — the published method for tilting a
+    * raw crawl toward a quality target): unigram+bigram features hash
+    * into [[DsirBuckets]] buckets (md5-derived, engine-portable),
+    * add-one smoothed bucket LMs are fit to the target slice and the
+    * raw pool, and every pool doc scores the log-likelihood ratio of
+    * its features. Scale shape: feature hashing is scan-stage; the
+    * two bucket LMs are B-row aggregates broadcast back; the per-doc
+    * score is ONE map-side-combined groupBy over scan-stage
+    * broadcast-joined rows. Log-ratios are quantized once per BUCKET
+    * to 1e-4 long units (the tx_lm_perplexity discipline), so the
+    * per-doc sums are exact and order-free. Returns (doc_id, n_feats,
+    * lwu) with lwu in 1e-4 units. */
+  private def dsirScored(s: SparkSession, dir: String): DataFrame = {
+    val B = DsirBuckets
+    val feats = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(concat(col("toks"),
+          graft.functions.Hashing.shingles(col("toks"), 2))).as("ng"))
+      .withColumn("b",
+        pmod(graft.functions.Hashing.h32(col("ng")), lit(B.toLong)))
+    val tot = feats.agg(
+      sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("ttot"),
+      sum(when(col("source") =!= DsirTarget, 1L).otherwise(0L)).as("rtot"))
+    val tc = feats.filter(col("source") === DsirTarget)
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val rc = feats.filter(col("source") =!= DsirTarget)
+      .groupBy("b").agg(count(lit(1)).as("rc"))
+    val ratio = s.range(B.toLong).select(col("id").as("b"))
+      .join(tc, Seq("b"), "left").join(rc, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        floor((log2((coalesce(col("tc"), lit(0L)) + lit(1.0))
+            / (col("ttot") + lit(B)))
+          - log2((coalesce(col("rc"), lit(0L)) + lit(1.0))
+            / (col("rtot") + lit(B))))
+          * lit(1e4) + lit(0.5)).cast("long").as("lru"))
+    feats.filter(col("source") =!= DsirTarget)
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("lru")).as("lwu"))
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Epoch shuffle: each training epoch is a deterministic
@@ -418,6 +476,63 @@ object SamplePack extends QueryPack {
           col("rate_permille"),
           coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"),
           coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
+    }),
+
+    // DSIR scoring half: every raw-pool doc's importance weight
+    // (hashed-n-gram log-likelihood ratio toward the target slice) —
+    // see [[dsirScored]] for the dataflow and the 100 TB shape.
+    "sp_dsir_weights" -> ((s, dir) =>
+      dsirScored(s, dir).select(col("doc_id"), col("n_feats"),
+        Det.dround(col("lwu").cast("double") / lit(1e4), 4).as("logw"))),
+
+    // DSIR resampling half: Gumbel top-k over the importance weights.
+    // Adding standalone Gumbel noise to each log-weight and keeping
+    // the global top-k IS weight-proportional sampling without
+    // replacement (the Gumbel-max trick); the noise is deterministic
+    // (md5-hash uniform per doc_id) so the draw replays exactly in
+    // both engines. Noise and key stay in 1e-4 long units end to end
+    // — the cut compares exact longs, doc_id breaks ties — and the
+    // global cut is TakeOrderedAndProject (never a full sort).
+    "sp_dsir_sample" -> ((s, dir) => {
+      val u = (graft.functions.Hashing.h32(
+        concat(lit("dsir#"), col("doc_id").cast("string"))) + lit(0.5)) /
+        lit(4294967296.0)
+      val gu = floor(-log(-log(u)) * lit(1e4) + lit(0.5)).cast("long")
+      dsirScored(s, dir)
+        .withColumn("ku", col("lwu") + gu)
+        .orderBy(col("ku").desc, col("doc_id").asc)
+        .limit(DsirK)
+        .select(col("doc_id"),
+          Det.dround(col("ku").cast("double") / lit(1e4), 4).as("sel_key"))
+    }),
+
+    // CCNet-style perplexity partition: head/middle/tail thirds of
+    // the corpus by LM cross-entropy (the published head/middle/tail
+    // cut that decides which slice trains, which backfills, which is
+    // dropped), rolled up per (bucket, lang). The model is THE same
+    // add-one bigram LM as tx_lm_perplexity ([[TextPack
+    // .bigramEntropy]] — one definition, both queries). Thresholds
+    // are exact percentiles of the rounded entropy broadcast back as
+    // a scalar frame (the tx_length_band pattern); the band test
+    // compares rounded values so both engines cut on identical
+    // literals.
+    "sp_ppl_buckets" -> ((s, dir) => {
+      val ent = TextPack.bigramEntropy(s, dir)
+      val th = ent.agg(
+        Det.dround(expr(
+          "percentile(cross_entropy, 0.3333333333333333d)"), 4).as("t1"),
+        Det.dround(expr(
+          "percentile(cross_entropy, 0.6666666666666666d)"), 4).as("t2"))
+      ent.join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .crossJoin(broadcast(th))
+        .withColumn("bucket",
+          when(col("cross_entropy") <= col("t1"), "head")
+            .when(col("cross_entropy") <= col("t2"), "middle")
+            .otherwise("tail"))
+        .groupBy("bucket", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          Det.davg(col("cross_entropy"), 4).as("avg_ce"))
     })
   )
 
@@ -668,6 +783,91 @@ object SamplePack extends QueryPack {
          |  r.desired_tokens, r.rate_permille,
          |  coalesce(g.sampled_docs, 0) AS sampled_docs,
          |  coalesce(g.sampled_tokens, 0) AS sampled_tokens
-         |FROM rated r LEFT JOIN got g ON r.source = g.source""".stripMargin
+         |FROM rated r LEFT JOIN got g ON r.source = g.source""".stripMargin,
+
+    "sp_dsir_weights" ->
+      s"""$dsirDocSql
+         |SELECT doc_id, n_feats,
+         |  ${Det.droundSql("CAST(lwu AS DOUBLE) / 1e4", 4)} AS logw
+         |FROM doc""".stripMargin,
+
+    "sp_dsir_sample" ->
+      s"""$dsirDocSql,
+         |key AS (SELECT doc_id, lwu + CAST(floor(
+         |    -ln(-ln(((${graft.functions.Hashing.sqlH32(
+                "'dsir#' || CAST(doc_id AS VARCHAR)")}) + 0.5)
+         |      / 4294967296.0)) * 1e4 + 0.5) AS BIGINT) AS ku
+         |  FROM doc)
+         |SELECT doc_id,
+         |  ${Det.droundSql("CAST(ku AS DOUBLE) / 1e4", 4)} AS sel_key
+         |FROM key ORDER BY ku DESC, doc_id LIMIT $DsirK""".stripMargin,
+
+    "sp_ppl_buckets" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |           FROM documents),
+         |bg AS (SELECT doc_id, ts[j+1] || ' ' || ts[j+2] AS ng,
+         |              ts[j+1] AS a
+         |       FROM t, UNNEST(generate_series(0, len(ts) - 2)) AS g(j)),
+         |cb AS (SELECT ng, count(*) AS cab FROM bg GROUP BY ng),
+         |caa AS (SELECT a, count(*) AS ca FROM bg GROUP BY a),
+         |vv AS (SELECT count(DISTINCT w) AS vs FROM
+         |         (SELECT unnest(ts) AS w FROM t)),
+         |lp AS (SELECT cb.ng,
+         |         CAST(floor(log2((cab + 1.0) / (ca + vs)) * 1e4 + 0.5)
+         |           AS BIGINT) AS lpu
+         |       FROM cb JOIN caa ON string_split(cb.ng, ' ')[1] = caa.a
+         |       CROSS JOIN vv),
+         |ent AS (SELECT doc_id,
+         |          ${Det.droundSql(
+                    "-(CAST(sum(lpu) AS DOUBLE)) / (count(*) * 1e4)",
+                    4)} AS ce
+         |        FROM bg JOIN lp USING (ng)
+         |        GROUP BY doc_id),
+         |th AS (SELECT
+         |    ${Det.droundSql(
+                "quantile_cont(ce, 0.3333333333333333)", 4)} AS t1,
+         |    ${Det.droundSql(
+                "quantile_cont(ce, 0.6666666666666666)", 4)} AS t2
+         |  FROM ent)
+         |SELECT bucket, lang, count(*) AS n_docs,
+         |  ${Det.davgSql("ce", 4)} AS avg_ce
+         |FROM (SELECT CASE WHEN ce <= t1 THEN 'head'
+         |                  WHEN ce <= t2 THEN 'middle'
+         |                  ELSE 'tail' END AS bucket, lang, ce
+         |      FROM ent JOIN documents USING (doc_id), th)
+         |GROUP BY bucket, lang""".stripMargin
   )
+
+  /** Shared DSIR oracle prefix: feature hashing, the two bucket LMs,
+    * and the per-doc weight CTE (`doc`) — spliced into both DSIR
+    * oracles so the model definition exists once on the SQL side too. */
+  private def dsirDocSql: String =
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+       |           FROM documents),
+       |feats AS (
+       |  SELECT doc_id, source,
+       |    ${graft.functions.Hashing.sqlH32("ng")} % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, source, unnest(ts) AS ng FROM t
+       |        UNION ALL
+       |        SELECT doc_id, source, ts[j+1] || ' ' || ts[j+2] AS ng
+       |        FROM t, UNNEST(generate_series(0, len(ts) - 2)) AS g(j))),
+       |tot AS (SELECT
+       |    sum(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) AS ttot,
+       |    sum(CASE WHEN source <> '$DsirTarget' THEN 1 ELSE 0 END) AS rtot
+       |  FROM feats),
+       |tc AS (SELECT b, count(*) AS tc FROM feats
+       |       WHERE source = '$DsirTarget' GROUP BY b),
+       |rc AS (SELECT b, count(*) AS rc FROM feats
+       |       WHERE source <> '$DsirTarget' GROUP BY b),
+       |ratio AS (SELECT g.b, CAST(floor(
+       |    (log2((coalesce(tc, 0) + 1.0) / (ttot + $DsirBuckets))
+       |     - log2((coalesce(rc, 0) + 1.0) / (rtot + $DsirBuckets)))
+       |    * 1e4 + 0.5) AS BIGINT) AS lru
+       |  FROM (SELECT unnest(generate_series(0, ${DsirBuckets - 1})) AS b)
+       |    g(b)
+       |  LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN tot),
+       |doc AS (SELECT doc_id, count(*) AS n_feats,
+       |    CAST(sum(lru) AS BIGINT) AS lwu
+       |  FROM feats JOIN ratio USING (b)
+       |  WHERE source <> '$DsirTarget' GROUP BY doc_id)""".stripMargin
 }

@@ -43,6 +43,38 @@ object TextPack extends QueryPack {
     * to the rounded score, so the cut is engine-exact. */
   val QualityBar = 0.55
 
+  /** Per-doc add-one smoothed bigram cross-entropy — the
+    * tx_lm_perplexity training + scoring dataflow, factored out so
+    * SamplePack's CCNet-style perplexity bucketing composes the SAME
+    * model (one definition to keep the Spark and oracle sides in
+    * lockstep). Log-probs are computed once per bigram TYPE
+    * (Zipf-bounded grain), quantized to 1e-4 long units so the
+    * per-doc sums are exact and order-free; vocab size rides a
+    * broadcast one-row frame. Returns (doc_id, n_bigrams,
+    * cross_entropy) with the entropy already [[Det.dround]]'d. */
+  private[operators] def bigramEntropy(s: SparkSession,
+                                       dir: String): DataFrame = {
+    val toks = tokenized(s, dir)
+    val bg = toks.select(col("doc_id"),
+        explode(Hashing.shingles(col("toks"), 2)).as("ng"))
+      .withColumn("a", element_at(split(col("ng"), " "), 1))
+    val cab = bg.groupBy("ng").agg(count(lit(1)).as("cab"))
+    val ca = bg.groupBy("a").agg(count(lit(1)).as("ca"))
+    val v = toks.select(explode(col("toks")).as("w"))
+      .agg(countDistinct(col("w")).as("vs"))
+    val lp = cab.withColumn("a", element_at(split(col("ng"), " "), 1))
+      .join(ca, Seq("a"))
+      .crossJoin(broadcast(v))
+      .select(col("ng"),
+        floor(log2((col("cab") + lit(1.0)) / (col("ca") + col("vs")))
+          * lit(1e4) + lit(0.5)).cast("long").as("lpu"))
+    bg.join(lp, Seq("ng"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        Det.dround(-sum(col("lpu")).cast("double")
+          / (count(lit(1)) * lit(1e4)), 4).as("cross_entropy"))
+  }
+
   // Tokenizer artifacts through the [[IndexCache]] memo — one
   // training per corpus per process; vocab/segment/encode/bake-off
   // consumers read the memoized table (the centroid accounting).
@@ -494,21 +526,44 @@ object TextPack extends QueryPack {
     // order-free; the corpus-grain work is one shuffle join on the
     // bigram + one doc-keyed partial agg. Vocab size rides a
     // broadcast one-row frame (the scalar-subquery pattern).
-    "tx_lm_perplexity" -> ((s, dir) => {
+    "tx_lm_perplexity" -> ((s, dir) =>
+      bigramEntropy(s, dir)
+        .withColumn("ppl",
+          Det.dround(pow(lit(2.0), col("cross_entropy")), 4))),
+
+    // Kneser-Ney smoothed bigram perplexity — the KenLM-class
+    // smoothing the published perplexity filters actually ship
+    // (add-one overweights unseen mass badly on Zipfian text; KN's
+    // absolute discounting + continuation backoff is the standard
+    // fix). Interpolated form, D = 0.75:
+    //   P(w|a) = (max(c(a,w)-D, 0) + D·N1+(a·)·Pcont(w)) / c(a·)
+    //   Pcont(w) = N1+(·w) / N1+(··)
+    // Every continuation statistic is a count over the BIGRAM-TYPE
+    // table (Zipf-bounded grain, like the add-one model's vocab
+    // scalar): N1+(a·)/N1+(·w) are one groupBy each over the type
+    // table, N1+(··) rides a broadcast one-row frame. Same
+    // engine-exactness discipline: per-type log-probs quantized to
+    // 1e-4 long units, per-doc sums exact and order-free.
+    "tx_lm_kn_ppl" -> ((s, dir) => {
       val toks = tokenized(s, dir)
       val bg = toks.select(col("doc_id"),
           explode(Hashing.shingles(col("toks"), 2)).as("ng"))
         .withColumn("a", element_at(split(col("ng"), " "), 1))
       val cab = bg.groupBy("ng").agg(count(lit(1)).as("cab"))
+        .withColumn("a", element_at(split(col("ng"), " "), 1))
+        .withColumn("w", element_at(split(col("ng"), " "), 2))
       val ca = bg.groupBy("a").agg(count(lit(1)).as("ca"))
-      val v = toks.select(explode(col("toks")).as("w"))
-        .agg(countDistinct(col("w")).as("vs"))
-      val lp = cab.withColumn("a", element_at(split(col("ng"), " "), 1))
-        .join(ca, Seq("a"))
-        .crossJoin(broadcast(v))
+      val f1 = cab.groupBy("a").agg(count(lit(1)).as("n1fa"))
+      val p1 = cab.groupBy("w").agg(count(lit(1)).as("n1pw"))
+      val nb = cab.agg(count(lit(1)).as("nbt"))
+      val lp = cab.join(ca, Seq("a")).join(f1, Seq("a")).join(p1, Seq("w"))
+        .crossJoin(broadcast(nb))
         .select(col("ng"),
-          floor(log2((col("cab") + lit(1.0)) / (col("ca") + col("vs")))
-            * lit(1e4) + lit(0.5)).cast("long").as("lpu"))
+          floor(log2(
+            (greatest(col("cab") - lit(0.75), lit(0.0))
+              + lit(0.75) * col("n1fa")
+                * (col("n1pw").cast("double") / col("nbt")))
+            / col("ca")) * lit(1e4) + lit(0.5)).cast("long").as("lpu"))
       bg.join(lp, Seq("ng"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
@@ -1062,6 +1117,37 @@ object TextPack extends QueryPack {
          |           AS BIGINT) AS lpu
          |       FROM cb JOIN caa ON string_split(cb.ng, ' ')[1] = caa.a
          |       CROSS JOIN vv)
+         |SELECT doc_id, n_bigrams, ce AS cross_entropy,
+         |  ${Det.droundSql("power(2.0, ce)", 4)} AS ppl
+         |FROM (SELECT doc_id, count(*) AS n_bigrams,
+         |        ${Det.droundSql(
+                  "-(CAST(sum(lpu) AS DOUBLE)) / (count(*) * 1e4)", 4)} AS ce
+         |      FROM bg JOIN lp USING (ng)
+         |      GROUP BY doc_id)""".stripMargin,
+
+    // KN continuation counts are groupBys over the bigram-TYPE table
+    // (cb); float-op order in lp matches the Spark side token for
+    // token so the quantized units agree bit-exactly
+    "tx_lm_kn_ppl" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |           FROM documents),
+         |bg AS (SELECT doc_id, ts[j+1] || ' ' || ts[j+2] AS ng,
+         |              ts[j+1] AS a
+         |       FROM t, UNNEST(generate_series(0, len(ts) - 2)) AS g(j)),
+         |cb AS (SELECT ng, count(*) AS cab,
+         |              string_split(ng, ' ')[1] AS a,
+         |              string_split(ng, ' ')[2] AS w
+         |       FROM bg GROUP BY ng),
+         |caa AS (SELECT a, count(*) AS ca FROM bg GROUP BY a),
+         |f1 AS (SELECT a, count(*) AS n1fa FROM cb GROUP BY a),
+         |p1 AS (SELECT w, count(*) AS n1pw FROM cb GROUP BY w),
+         |nb AS (SELECT count(*) AS nbt FROM cb),
+         |lp AS (SELECT cb.ng, CAST(floor(log2(
+         |         (greatest(cab - 0.75, 0.0)
+         |          + (0.75 * n1fa) * (CAST(n1pw AS DOUBLE) / nbt)) / ca)
+         |         * 1e4 + 0.5) AS BIGINT) AS lpu
+         |       FROM cb JOIN caa USING (a) JOIN f1 USING (a)
+         |       JOIN p1 USING (w) CROSS JOIN nb)
          |SELECT doc_id, n_bigrams, ce AS cross_entropy,
          |  ${Det.droundSql("power(2.0, ce)", 4)} AS ppl
          |FROM (SELECT doc_id, count(*) AS n_bigrams,

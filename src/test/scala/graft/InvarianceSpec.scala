@@ -45,7 +45,11 @@ class InvarianceSpec extends SparkSpec {
     "tx_crawl_text_e2e",    // paragraph df + ordered reassembly + md5
     "tx_boilerplate_df",    // countDistinct over paragraph hashes
     "ds_crawl_dedup",       // extraction + banded join + components
-    "tx_lm_perplexity")     // quantized log-prob long sums + pow chain
+    "tx_lm_perplexity",     // quantized log-prob long sums + pow chain
+    "tx_lm_kn_ppl",         // KN continuation counts + quantized sums
+    "sp_dsir_weights",      // hashed-bucket LM log-ratio long sums
+    "sp_dsir_sample",       // Gumbel top-k cut on exact long keys
+    "sp_ppl_buckets")       // percentile thresholds over rounded entropy
     // (wordpiece/unigram vocab invariance pinned in their own specs —
     // training loops collect through a sized session)
     // (classifier weights pinned in ClassifierSpec — the IndexCache
