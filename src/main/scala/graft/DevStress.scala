@@ -464,6 +464,36 @@ object DevStress {
             graft.sources.Warc.htmlResponseArchives(
               spark.read.parquet("/tmp/stress_docs"))).toDF()))
     }
+    // the full corpus-assembly composition at factor× input, with
+    // per-stage wall: extraction scales in bytes, the gates are
+    // scan-stage, dedup is the banded LSH join (replication floods
+    // the near-dup graph — every replica ring collapses to one
+    // survivor), decon/mix/pack run on the post-dedup corpus, which
+    // replication does NOT grow — so end-to-end wall must track the
+    // EARLY stages, and the tail must stay ~flat.
+    if (wants("corpus_e2e")) {
+      implicit val sp = spark
+      val sdocs = spark.read.parquet("/tmp/stress_docs")
+      val semb = Tables.embeddings(spark, sf).crossJoin(
+          spark.range(factor).select(col("id").as("rep")))
+        .select((col("vec_id") * factor + col("rep")).as("vec_id"),
+          col("embedding"), col("label"))
+      // offline artifacts (chrome, classifier) trained on the BASE
+      // corpus — the production split: artifacts refresh on their own
+      // cadence, the pipeline applies them to the fatter crawl wave
+      val chrome = graft.operators.CrawlText.chromeFor(spark, sf)
+      val model = graft.operators.TextPack.classifierModelFor(spark, sf)
+      val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val t0 = System.nanoTime()
+      val manifest = graft.operators.SamplePack.corpusManifest(
+        spark, sdocs, semb, chrome, model,
+        onStage = (n, ns) => stages += (n -> ns))
+      val rows = manifest.count()
+      val total = (System.nanoTime() - t0) / 1e9
+      val perStage = stages.map { case (n, ns) => f"$n=${ns / 1e9}%.2f" }
+        .mkString(" ")
+      println(f"[stress] x$factor%-3d corpus_e2e              $total%8.2f s  $rows%10d rows  ($perStage tail=${total - stages.map(_._2).sum / 1e9}%.2f)")
+    }
     spark.stop()
   }
 }

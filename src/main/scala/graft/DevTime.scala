@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only repeat timer for ONE registered query — the jitter-study
+  * instrument (SCALE.md): N back-to-back timings of the same query in
+  * one warmed session, with the Bench calibration sentinel before and
+  * after so a reader can tell ambient drift from the query's own
+  * variance. Usage: runMain graft.DevTime <query-name> [runs]
+  * (SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as in Bench). */
+object DevTime {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: DevTime <query-name> [runs]")
+    val name = args(0)
+    val runs = if (args.length > 1) args(1).toInt else 3
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Tables.names.foreach(n => Tables.read(spark, sfDir, n).limit(1).count())
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(100000000L).selectExpr("id % 997 AS k")
+        .groupBy("k").count()
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinel() // untimed codegen first-touch
+    val s0 = sentinel()
+    val q = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name'"))
+    val times = (1 to runs).map { i =>
+      val t0 = System.nanoTime()
+      q(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[devtime] $name run$i $t%.2f s")
+      t
+    }
+    val s1 = sentinel()
+    println(f"[devtime] $name runs=${times.map(t => f"$t%.2f").mkString("/")} " +
+      f"sentinel=$s0%.2f->$s1%.2f")
+    spark.stop()
+  }
+}

@@ -19,6 +19,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the SAME float ops in both engines, so results are bit-identical.
   * Use for ratios/averages of doubles; plain `round` stays fine for
   * exact DECIMAL sums.
+  *
+  * TRANSCENDENTAL-PARITY CAVEAT: this contract makes +,·,/,floor
+  * bit-identical; it does NOT extend to libm functions. A query that
+  * quantizes `log`/`log2`/`pow` output (tx_lm_*'s 1e-4 log-prob
+  * units, sp_dsir_sample's Gumbel key `floor(-log(-log(u))·1e4+.5)`)
+  * additionally assumes JVM StrictMath-adjacent libm and DuckDB's
+  * libm agree to the last bit ON THE VALUES THE QUERY FEEDS THEM —
+  * both allow ~1 ulp of slack, so a value landing within an ulp of a
+  * .5e-4 unit boundary can round to different longs per engine and
+  * flip a top-k cut. Holds empirically across every oracled corpus
+  * here; a corpus that trips it needs the integer-only derivation
+  * (rational log approximation over longs) instead of wider scales.
   */
 object Det {
   import org.apache.spark.sql.Column

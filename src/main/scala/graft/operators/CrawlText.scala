@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   *  1. page → paragraphs: script stripping, `<p>` capture, entity
   *     unescape — all scan-stage column expressions (regexp +
   *     higher-order only on short arrays); zero shuffles.
-  *  2. paragraph df: groupBy(xxhash64(para)) with countDistinct —
-  *     partial aggregation combines map-side, so the shuffle carries
-  *     (hash, partial) not paragraphs. Cardinality ~ unique
-  *     paragraphs; the hot keys (the boilerplate itself) are exactly
-  *     the ones map-side combine collapses hardest.
+  *  2. paragraph df: groupBy(lang, xxhash64(para)) with
+  *     countDistinct — per LANGUAGE, the CCNet grouping (frequency
+  *     is language-relative). Partial aggregation combines map-side,
+  *     so the shuffle carries (lang, hash, partial) not paragraphs.
+  *     Cardinality ~ unique paragraphs; the hot keys (the
+  *     boilerplate itself) are exactly the ones map-side combine
+  *     collapses hardest.
   *  3. frequent set (df >= [[MinDf]]): tiny by construction —
   *     boilerplate is the ~0.01% of paragraphs repeated everywhere —
   *     so the removal join is a BROADCAST anti-join, not a shuffle.
@@ -36,10 +38,15 @@ import org.apache.spark.sql.functions._
   */
 object CrawlText {
 
-  /** A paragraph seen in at least this many distinct docs is chrome,
-    * not content (CCNet uses the same order of magnitude). Fixture
-    * geometry keeps this decisive at every SF: per-source banners
-    * have df >= 23, genuine text df <= 2. */
+  /** A paragraph seen in at least this many distinct SAME-LANGUAGE
+    * docs is chrome, not content (CCNet buckets by language first and
+    * uses the same order of magnitude). Fixture geometry keeps the
+    * rule decisive at every SF: genuine text df <= 2 within any lang;
+    * a per-source banner's in-lang df is its (source, lang) doc count
+    * — above the bar in the big cells, legitimately below it in
+    * sparse ones, where the banner correctly SURVIVES (a language
+    * slice too small to establish frequency is content until proven
+    * chrome). */
   val MinDf = 10
 
   /** Post-removal word floor: a page left with fewer words than this
@@ -77,14 +84,17 @@ object CrawlText {
         unescape(col("col")).as("para"))
   }
 
-  /** The boilerplate inventory: paragraphs with document frequency
-    * >= [[MinDf]], with their df — what a curation owner reviews
-    * before trusting the removal. Grouping key is the 64-bit hash
-    * (the 100 TB shuffle carries hashes, not text); the paragraph
-    * text rides along as min() — identical within a group short of
-    * a 64-bit collision. */
+  /** The boilerplate inventory, PER LANGUAGE (the CCNet form: df is
+    * language-relative — a navigation phrase ubiquitous in one
+    * language's slice is ordinary prose in another's, and a global
+    * df either misses the first or butchers the second): paragraphs
+    * with document frequency >= [[MinDf]] WITHIN their language,
+    * with the df — what a curation owner reviews before trusting the
+    * removal. Grouping key is (lang, 64-bit hash) — the 100 TB
+    * shuffle carries hashes, not text; the paragraph text rides
+    * along as min(), identical within a group short of a collision. */
   def boilerplate(paras: DataFrame): DataFrame =
-    paras.groupBy(xxhash64(col("para")).as("h"))
+    paras.groupBy(col("lang"), xxhash64(col("para")).as("h"))
       .agg(min(col("para")).as("para"),
         countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= MinDf)
@@ -101,10 +111,10 @@ object CrawlText {
     * rather than fingerprinting it. */
   def curatedText(pages: DataFrame): DataFrame =
     curatedTextWithChrome(pages,
-      boilerplate(paragraphs(pages)).select(col("h")))
+      boilerplate(paragraphs(pages)).select(col("lang"), col("h")))
 
-  /** [[curated]] against a PRE-LEARNED chrome inventory (`h` =
-    * xxhash64 of the paragraph) instead of one learned from these
+  /** [[curated]] against a PRE-LEARNED chrome inventory ((lang, h),
+    * h = xxhash64 of the paragraph) instead of one learned from these
     * very pages — the production split: document frequency is a
     * corpus-level artifact trained offline (like [[IndexCache]]'s
     * centroids), then applied to any slice — a later crawl wave, a
@@ -121,7 +131,8 @@ object CrawlText {
   def curatedTextWithChrome(pages: DataFrame, chrome: DataFrame): DataFrame = {
     val kept = paragraphs(pages)
       .withColumn("h", xxhash64(col("para")))
-      .join(broadcast(chrome.select(col("h"))), Seq("h"), "left_anti")
+      .join(broadcast(chrome.select(col("lang"), col("h"))),
+        Seq("lang", "h"), "left_anti")
     kept.groupBy(col("doc_id"), col("lang"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("para")))),
@@ -136,37 +147,69 @@ object CrawlText {
     * re-running the paragraph-df pass. The collect is the
     * centroid-collect class (chrome is the handful of repeated
     * paragraphs, never the corpus). */
+  /** The curated corpus (doc_id, lang, xt) for `dir`'s fixture
+    * crawl — archives spooled from `documents`, parsed, extracted
+    * against the memoized chrome artifact. The ONE engine-side
+    * authority the crawl compositions (tx_crawl_text_e2e,
+    * ds_crawl_dedup, sp_corpus_e2e) build on, mirroring
+    * [[sqlCuratedSrc]] on the oracle side. */
+  def curatedFor(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    curatedTextWithChrome(
+      graft.sources.Warc.parseHttpRecords(
+        graft.sources.Warc.htmlResponseArchives(
+          graft.Tables.documents(s, dir))).toDF(),
+      chromeFor(s, dir))
+  }
+
   def chromeFor(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     implicit val sp: org.apache.spark.sql.SparkSession = s
     val rows = IndexCache.chromeInventory(dir) {
       boilerplate(paragraphs(graft.sources.Warc.parseHttpRecords(
           graft.sources.Warc.htmlResponseArchives(
             graft.Tables.documents(s, dir))).toDF()))
-        .select(col("h"), col("para"), col("df"))
-        .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .select(col("lang"), col("h"), col("para"), col("df"))
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
     }
     import sp.implicits._
-    rows.toDF("h", "para", "df")
+    rows.toDF("lang", "h", "para", "df")
   }
 
   /** The DuckDB form of the curated corpus — a parenthesized
     * derived-table SQL yielding (doc_id, lang, xt), replaying the
     * writer's facts straight off `documents` (the tx_crawl_text_e2e
-    * invariant): non-404 docs, chrome-frequent text dropped, the ref
-    * line appended, then the word gate. The ONE authority every
-    * crawl-composition oracle builds on. */
+    * invariant), under the PER-LANGUAGE df rule: non-404 docs; the
+    * per-source banner survives iff its (source, lang) slice holds
+    * fewer than [[MinDf]] non-404 docs (banner df within the lang =
+    * that cell count); the doc's own text drops iff the same text
+    * repeats in >= [[MinDf]] same-lang docs; the ref line always
+    * stays; the global footer survives iff the whole language slice
+    * is under [[MinDf]]; then the word gate. Page order — banner,
+    * text, ref, footer — is the writer's ([[graft.sources.Warc
+    * .htmlPage]]). The ONE authority every crawl-composition oracle
+    * builds on. */
   val sqlCuratedSrc: String =
-    s"""(WITH nf0 AS (SELECT doc_id, lang, text FROM documents
+    s"""(WITH nf0 AS (SELECT doc_id, lang, source, text FROM documents
        |              WHERE doc_id % 13 <> 0),
-       |d0 AS (SELECT doc_id, lang, text,
-       |         count(*) OVER (PARTITION BY text) AS df FROM nf0),
-       |x0 AS (SELECT doc_id, lang,
-       |         CASE WHEN df >= $MinDf
-       |              THEN 'ref &' || CAST(doc_id AS VARCHAR)
-       |              ELSE text || chr(10) ||
-       |                   'ref &' || CAST(doc_id AS VARCHAR)
-       |         END AS xt
-       |       FROM d0)
+       |cell0 AS (SELECT source, lang, count(*) AS n FROM nf0 GROUP BY 1, 2),
+       |langn0 AS (SELECT lang, count(*) AS n FROM nf0 GROUP BY 1),
+       |d0 AS (SELECT doc_id, lang, source, text,
+       |         count(*) OVER (PARTITION BY lang, text) AS dft FROM nf0),
+       |x0 AS (SELECT d0.doc_id, d0.lang,
+       |         concat(
+       |           CASE WHEN cell0.n >= $MinDf THEN ''
+       |                ELSE 'Welcome to ' || d0.source ||
+       |                     ' cookie notice applies' || chr(10) END,
+       |           CASE WHEN d0.dft >= $MinDf THEN ''
+       |                ELSE d0.text || chr(10) END,
+       |           'ref &' || CAST(d0.doc_id AS VARCHAR),
+       |           CASE WHEN langn0.n >= $MinDf THEN ''
+       |                ELSE chr(10) ||
+       |                     '(c) example.org all rights reserved' END) AS xt
+       |       FROM d0
+       |       JOIN cell0 ON d0.source = cell0.source AND d0.lang = cell0.lang
+       |       JOIN langn0 ON d0.lang = langn0.lang)
        |SELECT doc_id, lang, xt FROM x0
        |WHERE len(regexp_split_to_array(xt, '\\s+')) >= $MinWords)""".stripMargin
 }

@@ -42,8 +42,9 @@ object DedupPack extends QueryPack {
     signaturesFrom(tokenized(s, dir))
 
   /** [[signatures]] over any (doc_id, toks) frame — the incremental
-    * path signs base and delta slices separately. */
-  private def signaturesFrom(tokens: DataFrame): DataFrame =
+    * path signs base and delta slices separately; the corpus pipeline
+    * signs the curated crawl text. */
+  private[operators] def signaturesFrom(tokens: DataFrame): DataFrame =
     tokens
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
@@ -66,7 +67,7 @@ object DedupPack extends QueryPack {
 
   /** Candidate pairs over any banded frame — the corpus path and the
     * crawl composition share it. */
-  private def candidatePairsFrom(b: DataFrame): DataFrame =
+  private[operators] def candidatePairsFrom(b: DataFrame): DataFrame =
     b.alias("a").join(b.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -77,7 +78,7 @@ object DedupPack extends QueryPack {
   private def bands(s: SparkSession, dir: String): DataFrame =
     bandsFrom(signatures(s, dir))
 
-  private def bandsFrom(sig: DataFrame): DataFrame = {
+  private[operators] def bandsFrom(sig: DataFrame): DataFrame = {
     val sigCols = (0 until Hashing.NumPerms).map(i => col(s"mh$i"))
     val bandStructs = (0 until Hashing.NumBands).map(b =>
       struct(lit(b).as("band"), Hashing.bandKey(sigCols, b).as("key")))
@@ -965,6 +966,14 @@ object DedupPack extends QueryPack {
     * (doc_id, rep) — the shared prefix of every groups-consuming
     * oracle (ds_dedup_apply, ds_keep_best). */
   private lazy val groupsChain = groupsChainOver("documents")
+
+  /** [[groupsChainOver]] WITHOUT the `WITH RECURSIVE` prefix — for
+    * composition INSIDE a larger recursive WITH chain (sp_corpus_e2e
+    * places it after its gate CTEs). Claims the CTE names t, sh, hh,
+    * sig, bands, cand, e, reach, groups — callers must not reuse
+    * them. */
+  private[operators] def groupsCtesOver(src: String): String =
+    groupsChainOver(src).stripPrefix("WITH RECURSIVE ")
 
   /** [[groupsChain]] over any (doc_id, text) source SQL. */
   private def groupsChainOver(src: String) =

@@ -30,8 +30,121 @@ object IndexCache {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
-  private def cached[T <: AnyRef](key: String)(build: => T): T =
-    memo.computeIfAbsent(key, _ => build).asInstanceOf[T]
+  /** Envelope format version (layout of the header below). */
+  val FormatVersion = 1
+  private val Magic = 0x47524958 // "GRIX"
+
+  /** Disk root for persisted artifacts — when set, every trained
+    * artifact is saved in a versioned envelope (atomic tmp + rename)
+    * and a FRESH PROCESS loads it instead of retraining: the
+    * "offline index production" half of SURVEY §7.2 step 6 that the
+    * process memo alone could not give (the [[graft.streaming
+    * .SeenSet]] treatment applied to centroids, codebooks, SQ8 cuts,
+    * classifier weights, tokenizer vocabs, and the chrome
+    * inventory). None (default) keeps the memo process-local — the
+    * per-round bench accounting stays one-training-per-pass. Loading
+    * is correctness-neutral by the same argument as the memo:
+    * training is deterministic, so the persisted artifact is
+    * bit-identical to a retrain; a corrupted, truncated, or
+    * version-mismatched envelope is REJECTED with a loud warning and
+    * the retrain runs (identical semantics, one training more
+    * expensive). Keyed by (artifact kind, trainer version, corpus
+    * dir) — a trainer-semantics change bumps its kind version and
+    * orphans stale envelopes rather than serving them. */
+  @volatile var persistDir: Option[String] =
+    sys.props.get("graft.indexCache.dir")
+      .orElse(sys.env.get("GRAFT_INDEX_CACHE_DIR"))
+
+  /** Trainer versions per artifact kind — bump when the training
+    * semantics change so persisted envelopes from the old trainer
+    * are rejected instead of silently served. chrome is v2: round 10
+    * made the inventory per-language (CCNet's grouping). */
+  private val TrainerVersion = Map(
+    "cent" -> 1, "pq" -> 1, "sq8" -> 1, "clf" -> 1,
+    "bpe" -> 1, "wp" -> 1, "uni" -> 1, "chrome" -> 2)
+
+  /** Trainings actually RUN by this process (loads don't count) —
+    * what the restart spec observes. */
+  private val builds = new java.util.concurrent.atomic.AtomicLong(0L)
+  def buildCount: Long = builds.get()
+
+  private def envelopeFile(root: String, kind: String, dir: String): java.io.File = {
+    val v = TrainerVersion(kind)
+    // corpus dir hashed into the name; the full dir string is also
+    // stamped INSIDE the envelope and checked on load (hash collision
+    // must not serve another corpus's artifact)
+    val h = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    new java.io.File(root, s"${kind}_v${v}_$h.bin")
+  }
+
+  private def save(root: String, kind: String, dir: String, value: AnyRef): Unit =
+    try {
+      val f = envelopeFile(root, kind, dir)
+      f.getParentFile.mkdirs()
+      val tmp = java.io.File.createTempFile(f.getName, ".tmp", f.getParentFile)
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(tmp)))
+      try {
+        out.writeInt(Magic)
+        out.writeInt(FormatVersion)
+        out.writeUTF(kind)
+        out.writeInt(TrainerVersion(kind))
+        out.writeUTF(dir)
+        new java.io.ObjectOutputStream(out).writeObject(value)
+      } finally out.close()
+      // atomic publish: a crash mid-save leaves no torn envelope
+      java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case e: Exception =>
+        // persistence is an optimization; never fail the query for it
+        System.err.println(
+          s"IndexCache: could not persist $kind for $dir (${e.getMessage})")
+    }
+
+  private def load[T <: AnyRef](root: String, kind: String, dir: String): Option[T] = {
+    val f = envelopeFile(root, kind, dir)
+    if (!f.exists()) return None
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(f)))
+    try {
+      val magic = in.readInt()
+      require(magic == Magic,
+        f"not a graft index envelope (magic 0x$magic%08x)")
+      val fv = in.readInt()
+      require(fv == FormatVersion, s"envelope format v$fv, expected " +
+        s"v$FormatVersion")
+      val k = in.readUTF()
+      require(k == kind, s"envelope holds '$k', expected '$kind'")
+      val tv = in.readInt()
+      require(tv == TrainerVersion(kind),
+        s"$kind trained under v$tv but this trainer is " +
+          s"v${TrainerVersion(kind)} — retraining")
+      val d = in.readUTF()
+      require(d == dir, s"envelope trained over '$d', expected '$dir'")
+      Some(new java.io.ObjectInputStream(in).readObject().asInstanceOf[T])
+    } catch {
+      case e: Exception =>
+        System.err.println(
+          s"IndexCache: rejecting persisted $kind at $f " +
+            s"(${e.getMessage}); retraining")
+        None
+    } finally in.close()
+  }
+
+  private def cached[T <: AnyRef](key: String)(build: => T): T = {
+    val kind = key.takeWhile(_ != ':')
+    val dir = key.dropWhile(_ != ':').drop(1)
+    memo.computeIfAbsent(key, _ =>
+      persistDir.flatMap(root => load[T](root, kind, dir)).getOrElse {
+        val v = build
+        builds.incrementAndGet()
+        persistDir.foreach(root => save(root, kind, dir, v))
+        v
+      }).asInstanceOf[T]
+  }
 
   /** Full-vector Lloyd centroids (2 steps, k = [[KMeans.K]]) over the
     * quantized embeddings of `dir` — the artifact sim_kmeans_assign /
@@ -102,10 +215,11 @@ object IndexCache {
   def wordpieceVocab(dir: String)(build: => Seq[(String, Long)]): Seq[(String, Long)] =
     cached(s"wp:$dir")(build)
 
-  /** The crawl-chrome inventory (h, para, df) — a handful of rows by
-    * construction (per-source banners + the global footer); see
+  /** The crawl-chrome inventory (lang, h, para, df) — per-language
+    * (trainer v2), a handful of rows by construction (per-source
+    * banners + the global footer, once per language); see
     * [[CrawlText.chromeFor]]. */
-  def chromeInventory(dir: String)(build: => Seq[(Long, String, Long)]): Seq[(Long, String, Long)] =
+  def chromeInventory(dir: String)(build: => Seq[(String, Long, String, Long)]): Seq[(String, Long, String, Long)] =
     cached(s"chrome:$dir")(build)
 
   def unigramModel(dir: String)(build: => Unigram.Trained): Unigram.Trained =

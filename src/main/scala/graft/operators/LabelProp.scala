@@ -20,11 +20,20 @@ import org.apache.spark.sql.functions._
   * forms in the first rounds and oscillation risk grows after.
   *
   * Scale shape per round: ONE shuffle-join of the label frame onto
-  * the cached symmetric edges + one map-side-combined (node, label)
-  * count + the argmax as `min(struct(-cnt, label))` — an ordinary
-  * partial-aggregable agg, NOT a per-node sort window. Edges are
-  * cached once, hash-partitioned on the join side; the loop runs on
-  * a [[LoopWidth]]-sized session like PageRank. Integer counts and
+  * the cached symmetric edges, then ONE exchange of the (b, label)
+  * contribution rows hash-partitioned on `b` that BOTH downstream
+  * aggs reuse — the (node, label) count and the argmax
+  * `min(struct(-cnt, label))` each cluster on a superset of {b}, so
+  * neither inserts its own exchange (two rounds of reshuffling the
+  * same rows, previously). The argmax stays an ordinary
+  * partial-aggregable agg, NOT a per-node sort window. The trade is
+  * explicit: the shared exchange carries per-edge contribution rows
+  * (no map-side count combine) — at LPA's early rounds neighbor
+  * labels are near-distinct so the combine bought little, and one
+  * fewer exchange per round wins on stage latency (the local[32]
+  * jitter study's many-stage penalty). Edges are cached once,
+  * hash-partitioned on the join side; the loop runs on a
+  * [[LoopWidth]]-sized session like PageRank. Integer counts and
   * the total (cnt, label) tiebreak make every round exact-replayable.
   */
 object LabelProp {
@@ -51,16 +60,24 @@ object LabelProp {
         var labels = e.select(col("a").as("node")).distinct()
           .withColumn("label", col("node"))
         (1 to iters).foreach { _ =>
-          val counts = e
+          // ONE exchange per round on `b` (the receiving node): both
+          // the (node, label) count and the argmax cluster on subsets
+          // of {b, label} ⊇ {b}, so HashPartitioning(b) satisfies
+          // BOTH aggs and neither re-shuffles — previously the count
+          // exchanged on (node, label) and the argmax re-exchanged on
+          // node, two exchanges over the same rows per round.
+          val contrib = e
             .join(labels.withColumnRenamed("node", "a"), "a")
-            .groupBy(col("b").as("node"), col("label"))
+            .select(col("b"), col("label"))
+            .repartition(p, col("b"))
+          val counts = contrib.groupBy(col("b"), col("label"))
             .agg(count(lit(1)).as("cnt"))
           // argmax by (cnt DESC, label ASC) as a partial-aggregable
           // min(struct(-cnt, label)) — never a per-node sort window
-          labels = counts.groupBy("node")
+          labels = counts.groupBy(col("b"))
             .agg(min(struct((-col("cnt")).as("nc"), col("label").as("lab")))
               .as("m"))
-            .select(col("node"), col("m.lab").as("label"))
+            .select(col("b").as("node"), col("m.lab").as("label"))
         }
         labels.localCheckpoint(eager = true)
       }

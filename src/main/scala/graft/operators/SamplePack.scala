@@ -34,6 +34,18 @@ object SamplePack extends QueryPack {
     * tail shard, the boundary a resuming reader must handle). */
   val SeqsPerShard = 16
 
+  /** sp_corpus_e2e gopher token floor — the one tuned knob of the
+    * published rule set (50 is the English-crawl value; the synthetic
+    * corpus averages ~55 tokens/doc, so the crawl-pipeline run uses a
+    * floor sized to keep the post-gate stages — dedup, decon, mix,
+    * pack — exercised rather than starved). */
+  val CorpusMinTokens = 20L
+
+  /** sp_corpus_e2e sequences per shard — smaller than
+    * [[SeqsPerShard]] so the pipeline's (smaller) surviving corpus
+    * still spans several shards including a partial tail. */
+  val CorpusSeqsPerShard = 4
+
   /** sp_time_split cutoff — mid-range of the events fixture's
     * 2024-01 span at every SF, so both splits are populated. Kept as
     * a STRING and cast in the session (UTC) timezone —
@@ -327,6 +339,34 @@ object SamplePack extends QueryPack {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    // The FULL corpus-assembly job, end to end, as ONE oracled query
+    // — the composition a pretraining-data team actually ships (the
+    // reference's entire value is likewise its one e2e loop,
+    // bitcoinabuse/main.go:85-252): crawl archives → HTTP parse →
+    // main-content extraction with per-language chrome removal
+    // (CrawlText) → Gopher rule gate → trained-classifier gate (model
+    // trained once on the reference corpus, applied to the crawl —
+    // the offline-artifact split) → LM self-perplexity band (add-one
+    // bigram LM trained on the gated crawl itself, keep the
+    // best-modeled two thirds) → exact content dedup → MinHash-LSH
+    // near-dup dedup → semantic decontamination vs the broadcast eval
+    // set → temperature-flattened source mixing → fixed-budget
+    // sequence packing → the training-loader shard manifest.
+    //
+    // 100 TB shape: every stage is one of the already-audited plans
+    // (scan-stage gates, broadcast anti-joins, banded LSH equi-join,
+    // sequence-grain GlobalIndex); the three localCheckpoints stand
+    // in for the lake-table writes a production build does between
+    // stages — without them the 10-stage self-joining lineage grows
+    // exponentially (each stage re-derives its parent's whole crawl
+    // subtree), which no production pipeline would run either.
+    "sp_corpus_e2e" -> ((s, dir) =>
+      corpusManifest(s,
+        docs = Tables.documents(s, dir),
+        emb = Tables.embeddings(s, dir),
+        chrome = CrawlText.chromeFor(s, dir),
+        model = TextPack.classifierModelFor(s, dir))),
+
     // Cluster-balanced sample: k-means assignment as the stratum,
     // then exact 16 vectors per cluster in salted-hash order. The
     // centroids come from the shared build-once [[IndexCache]] — the
@@ -536,6 +576,114 @@ object SamplePack extends QueryPack {
     })
   )
 
+  /** The sp_corpus_e2e dataflow over EXPLICIT inputs — shared by the
+    * registered query and DevStress's ×N scale probe. `chrome` is the
+    * per-language boilerplate inventory ((lang, h)); `model` the
+    * trained quality classifier (the offline artifacts a production
+    * run loads, not retrains). `onStage` fires after each
+    * materialized stage with (name, nanos) — the three
+    * localCheckpoints stand in for the lake-table writes a production
+    * corpus build does between stages (without them the 10-stage
+    * self-joining lineage re-derives its parent's whole crawl subtree
+    * at every reference — exponential plan growth no production
+    * pipeline would run either).
+    *
+    * Stages: crawl extraction → Gopher gate ([[CorpusMinTokens]]
+    * floor) → classifier gate → LM self-perplexity band (add-one
+    * bigram LM trained on the gated crawl itself, keep cross-entropy
+    * ≤ the 2/3 percentile) → exact dedup → MinHash-LSH near-dup →
+    * semantic decon vs the broadcast eval slice → temperature mix →
+    * fixed-budget pack → shard manifest at sequence grain. */
+  private[graft] def corpusManifest(s: SparkSession, docs: DataFrame,
+      emb: DataFrame, chrome: DataFrame, model: Classifier.Model,
+      onStage: (String, Long) => Unit = (_, _) => ()): DataFrame = {
+    implicit val sp: SparkSession = s
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      onStage(name, System.nanoTime() - t0); r
+    }
+    // crawl → curated corpus (doc_id, lang, xt); materialized once
+    val cur = timed("extract")(CrawlText.curatedTextWithChrome(
+        graft.sources.Warc.parseHttpRecords(
+          graft.sources.Warc.htmlResponseArchives(docs)).toDF(),
+        chrome).localCheckpoint(true))
+    // gate 1: Gopher composite rules over the extracted text
+    val wsToks = cur.select(col("doc_id"),
+      split(col("xt"), "\\s+").as("toks"))
+    val gok = TextPack.gopherFrame(wsToks, minTokens = CorpusMinTokens)
+      .filter(col("pass")).select("doc_id")
+    // gate 2: the trained quality classifier, scored over the crawl
+    val z = Classifier.zOf(Classifier.features(wsToks), model, s)
+    val zEmpty = math.floor(model.offset.toDouble / 1000).toLong
+    val cok = cur.select("doc_id").join(z, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        Classifier.pUnits(coalesce(col("z"), lit(zEmpty))).as("p"))
+      .filter(col("p") >= lit(Classifier.Units / 2)).select("doc_id")
+    val s1 = cur.join(gok, Seq("doc_id")).join(cok, Seq("doc_id"))
+    // gate 3: LM self-perplexity band
+    val ent = TextPack.bigramEntropyOf(
+      s1.select(col("doc_id"), split(col("xt"), " ").as("toks")))
+    val th = ent.agg(Det.dround(
+      expr("percentile(cross_entropy, 0.6666666666666666d)"), 4).as("t"))
+    val s2 = timed("quality_gates")(s1.join(
+        ent.crossJoin(broadcast(th))
+          .filter(col("cross_entropy") <= col("t")).select("doc_id"),
+        Seq("doc_id"))
+      .localCheckpoint(true))
+    // dedup, exact then near: min-doc_id keeper per content hash,
+    // then the banded MinHash-LSH chain over the survivors
+    val keep = s2.groupBy(md5(col("xt")).as("ch"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val s3 = s2.join(keep, Seq("doc_id"))
+    val losers = Components.connectedComponents(
+        DedupPack.candidatePairsFrom(DedupPack.bandsFrom(
+          DedupPack.signaturesFrom(
+            s3.select(col("doc_id"), split(col("xt"), " ").as("toks"))))))
+      .filter(col("node") =!= col("rep"))
+      .select(col("node").as("doc_id"))
+    val s4 = timed("dedup")(s3.join(losers, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true))
+    // semantic decon: drop eval members and anything within
+    // cos ≥ 0.3 of the broadcast eval set (doc_id = vec_id)
+    val evals = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("evec"))
+    val flagged = emb.filter(col("vec_id") % 50 =!= 0)
+      .join(s4.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+      .crossJoin(broadcast(evals))
+      .filter(graft.functions.Similarity.cosine(
+        col("embedding"), col("evec")) >= 0.3)
+      .select(col("vec_id").as("doc_id")).distinct()
+    val s5 = s4.filter(col("doc_id") % 50 =!= 0)
+      .join(flagged, Seq("doc_id"), "left_anti")
+    // temperature mix over the SURVIVING corpus's source counts
+    val withSrc = s5.join(docs.select(col("doc_id"), col("source")),
+      Seq("doc_id"))
+    val rates = Sampling.temperatureRates(withSrc, col("source"),
+      basePct = 10, maxPct = 90)
+    val s6 = withSrc.join(broadcast(rates), Seq("source"))
+      .filter(Sampling.bucket(col("doc_id"), "corp") < col("rate"))
+    // pack into PackBudget-token sequences per (source, lang);
+    // manifest at sequence grain (the sp_shard_manifest plan)
+    val seqStats = Sampling.packBins(
+        s6.select(col("doc_id"), col("source"), col("lang"),
+          size(split(col("xt"), "\\s+")).cast("long").as("n_tokens")),
+        shard = Seq(col("source"), col("lang")),
+        order = Seq(col("doc_id")), tokens = col("n_tokens"),
+        budget = PackBudget)
+      .groupBy(col("source"), col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+      .withColumn("k", graft.functions.Hashing.h32(
+        concat(lit("ce0_"), col("source"), lit("_"), col("lang"),
+          lit("_"), col("bin").cast("string"))))
+    GlobalIndex.withPosition(seqStats,
+        Seq(col("k"), col("source"), col("lang"), col("bin")), "pos")
+      .withColumn("shard", expr(s"pos DIV $CorpusSeqsPerShard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_seqs"), sum(col("n_docs")).as("n_docs"),
+        sum(col("seq_tokens")).as("shard_tokens"),
+        min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
+  }
+
   override def oracles: Map[String, String] = Map(
     // the oracle MAY use the one-task window — it runs on a single
     // DuckDB node by definition; the Spark side must not (GlobalIndex)
@@ -693,6 +841,129 @@ object SamplePack extends QueryPack {
          |SELECT b.doc_id, b.source, b.n_chars
          |FROM base b JOIN keep k ON b.doc_id = k.doc_id
          |WHERE ${Sampling.sqlBucket("b.doc_id", "cur")} < 50""".stripMargin,
+
+    // every stage of the corpus build replayed in one chain: the
+    // curated-crawl invariant, the gopher/classifier/perplexity
+    // gates, both dedup granularities (groups chain = the engine's
+    // star contraction), decon, the mix, the pack, the manifest
+    "sp_corpus_e2e" -> {
+      val stops = (TextPack.stopEn ++ TextPack.stopEs ++ TextPack.stopDe)
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      val D = Classifier.Dim; val I = Classifier.Iters
+      s"""WITH RECURSIVE
+         |cur AS MATERIALIZED (SELECT doc_id, lang, xt FROM ${CrawlText.sqlCuratedSrc} cc),
+         |ctk AS MATERIALIZED (SELECT doc_id, lang, xt,
+         |          regexp_split_to_array(xt, '\\s+') AS wt FROM cur),
+         |gok AS (SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      CAST(len(wt) AS BIGINT) AS n_tokens,
+         |      CAST(len(list_distinct(wt)) AS BIGINT) AS n_distinct,
+         |      CAST(list_sum(list_transform(wt,
+         |        t2 -> CAST(length(t2) AS BIGINT))) AS BIGINT) AS sum_len,
+         |      CAST(len(list_filter(wt,
+         |        t2 -> list_contains($stops, t2))) AS BIGINT) AS n_stop
+         |    FROM ctk)
+         |  WHERE NOT (n_tokens < $CorpusMinTokens)
+         |    AND NOT (n_tokens > ${TextPack.GopherMaxTokens})
+         |    AND NOT (sum_len < ${TextPack.GopherWordLenLo} * n_tokens OR
+         |             sum_len > ${TextPack.GopherWordLenHi} * n_tokens)
+         |    AND NOT (n_stop < ${TextPack.GopherMinStopHits})
+         |    AND NOT ((n_tokens - n_distinct) * 2 > n_tokens)),
+         |${TextPack.clfCtes},
+         |bfx AS (SELECT (SELECT w FROM w$I WHERE j = $D) * 1000
+         |  - coalesce((SELECT CAST(sum(w.w * fm.m) AS BIGINT)
+         |              FROM w$I w JOIN fm ON w.j = fm.j), 0) AS b),
+         |featx AS MATERIALIZED (SELECT doc_id, j,
+         |    CAST(floor(CAST(count(*) AS DOUBLE) * 1000 / any_value(n))
+         |      AS BIGINT) AS x
+         |  FROM (SELECT doc_id, len(wt) AS n,
+         |          ${graft.functions.Hashing.sqlH32("t2")} % $D AS j
+         |        FROM (SELECT doc_id, wt, unnest(wt) AS t2 FROM ctk))
+         |  GROUP BY doc_id, j),
+         |zx AS MATERIALIZED (SELECT c2.doc_id,
+         |    ${Classifier.sqlZ(
+               s"coalesce(CAST(sum(w.w * f.x) AS BIGINT), 0) + (SELECT b FROM bfx)")} AS z
+         |  FROM cur c2 LEFT JOIN featx f ON c2.doc_id = f.doc_id
+         |              LEFT JOIN w$I w ON f.j = w.j
+         |  GROUP BY c2.doc_id),
+         |cok AS (SELECT doc_id FROM zx
+         |        WHERE ${Classifier.sqlPUnits("z")} >= ${Classifier.Units / 2}),
+         |s1 AS MATERIALIZED (SELECT ctk.doc_id, ctk.lang, ctk.xt FROM ctk
+         |       JOIN gok USING (doc_id) JOIN cok USING (doc_id)),
+         |lt AS MATERIALIZED (SELECT doc_id, string_split(xt, ' ') AS ts FROM s1),
+         |lbg AS MATERIALIZED (SELECT doc_id, ts[j+1] || ' ' || ts[j+2] AS ng,
+         |               ts[j+1] AS a
+         |        FROM lt, UNNEST(generate_series(0, len(ts) - 2)) AS gsr(j)),
+         |lcb AS (SELECT ng, count(*) AS cab FROM lbg GROUP BY ng),
+         |lca AS (SELECT a, count(*) AS ca FROM lbg GROUP BY a),
+         |lvv AS (SELECT count(DISTINCT w2) AS vs FROM
+         |          (SELECT unnest(ts) AS w2 FROM lt)),
+         |llp AS (SELECT lcb.ng,
+         |          CAST(floor(log2((cab + 1.0) / (ca + vs)) * 1e4 + 0.5)
+         |            AS BIGINT) AS lpu
+         |        FROM lcb JOIN lca ON string_split(lcb.ng, ' ')[1] = lca.a
+         |        CROSS JOIN lvv),
+         |lce AS MATERIALIZED (SELECT doc_id,
+         |          ${Det.droundSql(
+                    "-(CAST(sum(lpu) AS DOUBLE)) / (count(*) * 1e4)", 4)} AS ce
+         |        FROM lbg JOIN llp USING (ng) GROUP BY doc_id),
+         |lth AS (SELECT ${Det.droundSql(
+                   "quantile_cont(ce, 0.6666666666666666)", 4)} AS t FROM lce),
+         |s2 AS MATERIALIZED (SELECT s1.doc_id, s1.lang, s1.xt FROM s1
+         |       JOIN lce USING (doc_id) CROSS JOIN lth
+         |       WHERE lce.ce <= lth.t),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(xt)),
+         |s3 AS MATERIALIZED (SELECT s2.* FROM s2 JOIN ex USING (doc_id)),
+         |${DedupPack.groupsCtesOver("(SELECT doc_id, xt AS text FROM s3) crawl")},
+         |s4 AS MATERIALIZED (SELECT s3.* FROM s3
+         |       WHERE NOT EXISTS (SELECT 1 FROM groups gg
+         |                         WHERE gg.doc_id = s3.doc_id
+         |                           AND gg.doc_id <> gg.rep)),
+         |ev2 AS (SELECT vec_id AS eval_id, embedding AS evec
+         |        FROM embeddings WHERE vec_id % 50 = 0),
+         |dflag AS (SELECT DISTINCT e2.vec_id AS doc_id
+         |  FROM embeddings e2 JOIN s4 ON e2.vec_id = s4.doc_id
+         |  CROSS JOIN ev2
+         |  WHERE e2.vec_id % 50 <> 0
+         |    AND ${graft.functions.Similarity.sqlCos("e2.embedding", "ev2.evec")} >= 0.3),
+         |s5 AS MATERIALIZED (SELECT s4.* FROM s4
+         |       WHERE s4.doc_id % 50 <> 0
+         |         AND NOT EXISTS (SELECT 1 FROM dflag
+         |                         WHERE dflag.doc_id = s4.doc_id)),
+         |s5s AS MATERIALIZED (SELECT s5.doc_id, d.source, s5.lang, s5.xt
+         |        FROM s5 JOIN documents d USING (doc_id)),
+         |mr AS (SELECT source, count(*) AS n,
+         |         sum(count(*)) OVER () AS total FROM s5s GROUP BY source),
+         |mrate AS (SELECT source,
+         |            least(90, CAST(floor(10.0 *
+         |              sqrt(CAST(total AS DOUBLE) / n) + 0.5) AS BIGINT))
+         |              AS rate
+         |          FROM mr),
+         |s6 AS MATERIALIZED (SELECT s5s.* FROM s5s JOIN mrate USING (source)
+         |       WHERE ${Sampling.sqlBucket("s5s.doc_id", "corp")} < rate),
+         |pt AS (SELECT doc_id, source, lang,
+         |         CAST(len(regexp_split_to_array(xt, '\\s+')) AS BIGINT)
+         |           AS n_tokens
+         |       FROM s6),
+         |pb AS MATERIALIZED (SELECT doc_id, source, lang, n_tokens,
+         |         CAST((sum(n_tokens) OVER (PARTITION BY source, lang
+         |            ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |          - n_tokens) // $PackBudget AS BIGINT) AS bin
+         |       FROM pt),
+         |ps AS (SELECT source, lang, bin, count(*) AS n_docs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+         |         ${graft.functions.Hashing.sqlH32(
+                   "'ce0_' || source || '_' || lang || '_' || CAST(bin AS VARCHAR)")} AS k
+         |       FROM pb GROUP BY 1, 2, 3),
+         |pp AS (SELECT *, CAST(row_number() OVER (ORDER BY k, source, lang, bin)
+         |           - 1 AS BIGINT) AS pos
+         |       FROM ps)
+         |SELECT pos // $CorpusSeqsPerShard AS shard, count(*) AS n_seqs,
+         |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |       CAST(sum(seq_tokens) AS BIGINT) AS shard_tokens,
+         |       min(pos) AS first_pos, max(pos) AS last_pos
+         |FROM pp GROUP BY 1""".stripMargin
+    },
 
     // the trained assignment (a3, same unrolled CTEs as
     // sim_kmeans_assign) re-cut per cluster in salted-hash order

@@ -23,9 +23,9 @@ object TextPack extends QueryPack {
     * without limit (df stays exact, computed before the cap). */
   val PostingCap = 32
 
-  private val stopEn = Seq("the", "a", "of", "in", "and")
-  private val stopEs = Seq("el", "la", "de", "en", "y")
-  private val stopDe = Seq("der", "die", "das", "und", "ein")
+  private[operators] val stopEn = Seq("the", "a", "of", "in", "and")
+  private[operators] val stopEs = Seq("el", "la", "de", "en", "y")
+  private[operators] val stopDe = Seq("der", "die", "das", "und", "ein")
 
   private def stopCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
@@ -53,8 +53,15 @@ object TextPack extends QueryPack {
     * broadcast one-row frame. Returns (doc_id, n_bigrams,
     * cross_entropy) with the entropy already [[Det.dround]]'d. */
   private[operators] def bigramEntropy(s: SparkSession,
-                                       dir: String): DataFrame = {
-    val toks = tokenized(s, dir)
+                                       dir: String): DataFrame =
+    bigramEntropyOf(tokenized(s, dir))
+
+  /** [[bigramEntropy]] over any (doc_id, toks) frame — the corpus
+    * pipeline trains the LM on the CURATED crawl corpus itself (the
+    * CCNet shape: model the target distribution, score every doc
+    * against it). Docs with fewer than 2 tokens have no bigrams and
+    * are absent (both engines' inner join). */
+  private[operators] def bigramEntropyOf(toks: DataFrame): DataFrame = {
     val bg = toks.select(col("doc_id"),
         explode(Hashing.shingles(col("toks"), 2)).as("ng"))
       .withColumn("a", element_at(split(col("ng"), " "), 1))
@@ -613,30 +620,7 @@ object TextPack extends QueryPack {
     // hash-replay exactly. Pure scan stage: at 100 TB this is one
     // pass with zero shuffles, and the `pass` predicate pushes into
     // any downstream scan that filters on it.
-    "tx_gopher_rules" -> ((s, dir) =>
-      tokenized(s, dir)
-        .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
-          isum(transform(col("toks"), t => length(t).cast("long")))
-            .as("sum_len"),
-          stopCount(col("toks"), stopEn ++ stopEs ++ stopDe).cast("long")
-            .as("n_stop"))
-        .select(col("doc_id"), col("n_tokens"),
-          (col("n_tokens") < GopherMinTokens).as("flag_short"),
-          (col("n_tokens") > GopherMaxTokens).as("flag_long"),
-          (col("sum_len") < lit(GopherWordLenLo) * col("n_tokens") ||
-            col("sum_len") > lit(GopherWordLenHi) * col("n_tokens"))
-            .as("flag_word_len"),
-          (col("n_stop") < GopherMinStopHits).as("flag_stopword"),
-          ((col("n_tokens") - col("n_distinct")) * 2 > col("n_tokens"))
-            .as("flag_repetition"))
-        .withColumn("n_flags",
-          col("flag_short").cast("long") + col("flag_long").cast("long") +
-            col("flag_word_len").cast("long") +
-            col("flag_stopword").cast("long") +
-            col("flag_repetition").cast("long"))
-        .withColumn("pass", col("n_flags") === 0)),
+    "tx_gopher_rules" -> ((s, dir) => gopherFrame(tokenized(s, dir))),
 
     // BM25 retrieval: global top-K documents for a fixed conjunctive
     // term set over the inverted-index dataflow. IDF uses the exact
@@ -737,11 +721,8 @@ object TextPack extends QueryPack {
     // output is the learned 64-weight model (1e-6 units). The whole
     // loop is fixed-point exact, so the oracle replays every step
     // unrolled ([[Classifier.sqlTrainCtes]]).
-    "tx_classifier_train" -> ((s, dir) => {
-      val model = IndexCache.classifierModel(dir)(Classifier.train(
-        Classifier.features(tokenized(s, dir)), clfLabels(s, dir)))
-      Classifier.weightsDF(s, model.w)
-    }),
+    "tx_classifier_train" -> ((s, dir) =>
+      Classifier.weightsDF(s, classifierModelFor(s, dir).w)),
 
     // ...and the APPLY: score every doc under the trained model — one
     // broadcast join of the 64-row weight table + one doc-keyed
@@ -751,8 +732,7 @@ object TextPack extends QueryPack {
     "tx_classifier_score" -> ((s, dir) => {
       val feat = Classifier.features(tokenized(s, dir))
       val lab = clfLabels(s, dir)
-      val model = IndexCache.classifierModel(dir)(
-        Classifier.train(feat, lab))
+      val model = classifierModelFor(s, dir)
       val z = Classifier.zOf(feat, model, s)
       val zEmpty = math.floor(model.offset.toDouble / 1000).toLong
       val p = Classifier.pUnits(coalesce(col("z"), lit(zEmpty)))
@@ -786,13 +766,55 @@ object TextPack extends QueryPack {
     }),
 
     // The boilerplate inventory the e2e removal is built on: every
-    // paragraph repeated across >= MinDf distinct docs, with its df —
-    // per-source banners and the global footer, never genuine text
-    // (fixture max text-df is 2). What a curation owner audits
-    // before trusting frequency-based removal.
+    // paragraph repeated across >= MinDf distinct SAME-LANGUAGE docs,
+    // with its per-lang df (the CCNet grouping) — per-source banners
+    // in their big language cells and the global footer per language,
+    // never genuine text (fixture max same-lang text-df is 2). What a
+    // curation owner audits before trusting frequency-based removal.
     "tx_boilerplate_df" -> ((s, dir) =>
-      CrawlText.chromeFor(s, dir).select(col("para"), col("df")))
+      CrawlText.chromeFor(s, dir).select(col("lang"), col("para"), col("df")))
   )
+
+  /** The tx_gopher_rules evaluation over any (doc_id, toks) frame —
+    * shared with the corpus pipeline, which gates the CURATED crawl
+    * text by the same five integer-compare rules. `minTokens` is the
+    * one configurable bound (the published pipelines tune exactly
+    * this knob per corpus; sp_corpus_e2e runs a lower floor sized to
+    * its fixture so the post-gate stages stay exercised). */
+  private[operators] def gopherFrame(toks: DataFrame,
+      minTokens: Long = GopherMinTokens): DataFrame =
+    toks
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        isum(transform(col("toks"), t => length(t).cast("long")))
+          .as("sum_len"),
+        stopCount(col("toks"), stopEn ++ stopEs ++ stopDe).cast("long")
+          .as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") < minTokens).as("flag_short"),
+        (col("n_tokens") > GopherMaxTokens).as("flag_long"),
+        (col("sum_len") < lit(GopherWordLenLo) * col("n_tokens") ||
+          col("sum_len") > lit(GopherWordLenHi) * col("n_tokens"))
+          .as("flag_word_len"),
+        (col("n_stop") < GopherMinStopHits).as("flag_stopword"),
+        ((col("n_tokens") - col("n_distinct")) * 2 > col("n_tokens"))
+          .as("flag_repetition"))
+      .withColumn("n_flags",
+        col("flag_short").cast("long") + col("flag_long").cast("long") +
+          col("flag_word_len").cast("long") +
+          col("flag_stopword").cast("long") +
+          col("flag_repetition").cast("long"))
+      .withColumn("pass", col("n_flags") === 0)
+
+  /** The trained quality-classifier model for `dir` (the tx_classifier
+    * memo) — shared with the corpus pipeline, which scores the
+    * CURATED crawl text under the model trained on the reference
+    * corpus (train once offline, apply to every crawl wave). */
+  private[graft] def classifierModelFor(s: SparkSession,
+                                        dir: String): Classifier.Model =
+    IndexCache.classifierModel(dir)(Classifier.train(
+      Classifier.features(tokenized(s, dir)), clfLabels(s, dir)))
 
   /** Weak labels for the classifier: y = Units iff the rounded
     * quality score clears [[ClfQualityBar]]. */
@@ -1287,38 +1309,42 @@ object TextPack extends QueryPack {
          |    = (y = ${Classifier.Units}) AS correct
          |FROM z""".stripMargin,
 
-    // the writer's facts replayed: a non-404 doc's extracted text is
-    // its original text + the ref line (banner/footer/script trap all
-    // removed), UNLESS the text itself is chrome-frequent (df >=
-    // MinDf — dead at current fixture geometry, stated so the rule is
-    // the oracle's, not the engine's); then the word gate
+    // the writer's facts replayed under the per-language df rule
+    // (CrawlText.sqlCuratedSrc): script trap always stripped, banner
+    // removed iff its (source, lang) cell clears MinDf, text dropped
+    // iff same-lang-repeated >= MinDf (dead at current fixture
+    // geometry, stated so the rule is the oracle's), ref always
+    // kept, footer removed iff the lang slice clears MinDf; then the
+    // word gate
     "tx_crawl_text_e2e" ->
       s"""SELECT doc_id, lang, CAST(strlen(xt) AS BIGINT) AS n_chars,
          |  md5(xt) AS text_md5
          |FROM ${CrawlText.sqlCuratedSrc} c""".stripMargin,
 
-    // chrome = banner (per source) + footer (global); genuine text
-    // and ref paragraphs stay under MinDf by fixture geometry
+    // chrome per LANGUAGE: banner df within a lang = its (source,
+    // lang) doc count, footer df = the lang's doc count; genuine
+    // text and ref paragraphs stay under MinDf by fixture geometry
     "tx_boilerplate_df" ->
-      s"""WITH nf AS (SELECT doc_id, source, text FROM documents
+      s"""WITH nf AS (SELECT doc_id, lang, source, text FROM documents
          |            WHERE doc_id % 13 <> 0),
          |p AS (
-         |  SELECT doc_id, 'Welcome to ' || source ||
+         |  SELECT doc_id, lang, 'Welcome to ' || source ||
          |         ' cookie notice applies' AS para FROM nf
-         |  UNION ALL SELECT doc_id, text FROM nf
-         |  UNION ALL SELECT doc_id,
+         |  UNION ALL SELECT doc_id, lang, text FROM nf
+         |  UNION ALL SELECT doc_id, lang,
          |    'ref &' || CAST(doc_id AS VARCHAR) FROM nf
-         |  UNION ALL SELECT doc_id,
+         |  UNION ALL SELECT doc_id, lang,
          |    '(c) example.org all rights reserved' FROM nf)
-         |SELECT para, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-         |FROM p GROUP BY para
+         |SELECT lang, para, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |FROM p GROUP BY lang, para
          |HAVING count(DISTINCT doc_id) >= ${CrawlText.MinDf}""".stripMargin
   )
 
   /** Shared classifier-oracle prologue: features, weak labels (the
     * same two-stage-rounded quality cut as tx_quality), and the
-    * unrolled training loop. */
-  private lazy val clfCtes: String =
+    * unrolled training loop. Shared with the corpus-pipeline oracle
+    * (sp_corpus_e2e scores the curated corpus under w{Iters}). */
+  private[operators] lazy val clfCtes: String =
     s"""feat AS (SELECT doc_id, j,
        |    CAST(floor(CAST(count(*) AS DOUBLE) * 1000 / any_value(n))
        |      AS BIGINT) AS x

@@ -41,8 +41,13 @@ import org.apache.spark.sql.functions._
   * codegen'd struct columns (position i's best cost folds ≤
   * [[MaxPieceLen]] candidate transitions with `least` over structs) —
   * scan-stage, zero shuffle; scores ride the plan as map literals
-  * (≤ seed + alphabet entries; a production 30k vocab becomes a
-  * broadcast map the same way). The prune loop holds only the
+  * (≤ seed + alphabet entries, and the DP re-states the map once per
+  * transition site — ~[[MaxWordLen]]·[[MaxPieceLen]] literal copies,
+  * fine at this vocab size but NOT a broadcast: a production 30k
+  * vocab would inline ~10⁶ literals and blow up codegen, so that
+  * regime needs the broadcast-join segmentation variant — segment
+  * positions exploded, pieces equi-joined against the broadcast
+  * vocab frame, best path refolded — before the scores scale). The prune loop holds only the
   * (piece, count) inventory on the driver — never corpus data — and
   * runs on a [[LoopWidth]]-sized session like the other iterative
   * operators. Segmentation unroll depth [[MaxWordLen]] bounds

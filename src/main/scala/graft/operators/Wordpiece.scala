@@ -89,12 +89,24 @@ object Wordpiece {
     * at the cursor, else one character). Adds `piece_1..piece_N`
     * (null past end-of-word), `n_pieces`, and `seg` (pieces joined by
     * '|'). Steps are separate projections so the cursor expression
-    * stays linear in depth, not exponential. */
+    * stays linear in depth, not exponential.
+    *
+    * Words longer than [[MaxWordLen]] characters are EXCLUDED here,
+    * on both the engine and oracle sides (the [[Unigram]] exclusion
+    * rule): every kept word completes within the unroll (each step
+    * consumes ≥ 1 character), so a truncated segmentation — piece
+    * columns stopping mid-word with `n_pieces` silently undercounting
+    * — cannot occur. The bound is conservative (a longer word might
+    * still fit in ≤ [[MaxWordLen]] multi-char pieces), but it is the
+    * only vocab-independent rule both engines can apply identically;
+    * a production caller sizes [[MaxWordLen]] to the corpus max word
+    * length, as the training scaladoc already requires. */
   def segmented(words: DataFrame, vocab: Seq[String]): DataFrame = {
     val byLen: Map[Int, Seq[String]] = vocab.groupBy(_.length)
     def inV(c: Column, len: Int): Column =
       byLen.get(len).map(c.isInCollection(_)).getOrElse(lit(false))
-    var df = words.withColumn("pos_1", lit(1))
+    var df = words.filter(length(col("w")) <= MaxWordLen)
+      .withColumn("pos_1", lit(1))
     for (t <- 1 to MaxWordLen) {
       val pos = col(s"pos_$t")
       val len = (MaxPieceLen to 2 by -1).foldRight(lit(1): Column) {
@@ -205,7 +217,8 @@ object Wordpiece {
   def sqlSegmentCtes(pfx: String, vocab: String): String = {
     val step0 =
       s"""${pfx}0 AS MATERIALIZED (SELECT w, cnt, 1 AS pos,
-         |  CAST(NULL AS VARCHAR) AS piece, '' AS seg, 0 AS np FROM wc)""".stripMargin
+         |  CAST(NULL AS VARCHAR) AS piece, '' AS seg, 0 AS np FROM wc
+         |  WHERE length(w) <= $MaxWordLen)""".stripMargin
     val steps = (1 to MaxWordLen).map { t =>
       val lenCase = (MaxPieceLen to 2 by -1).map { l =>
         s"WHEN substr(w, pos, $l) IN (SELECT piece FROM $vocab WHERE length(piece) = $l) THEN $l"

@@ -88,10 +88,10 @@ object Warc {
   def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && b(0) == 0x1f.toByte && b(1) == 0x8b.toByte
 
-  /** Decompress a (possibly multi-member) gzip stream fully.
-    * GZIPInputStream consumes concatenated members natively, so the
-    * result is the raw records back-to-back — the walker then runs
-    * unchanged on compressed and raw archives. */
+  /** Decompress a (possibly multi-member) gzip stream fully —
+    * a TEST convenience (specs compare whole small archives); the
+    * production walk ([[records]]) streams and never holds a full
+    * decompressed archive. */
   def gunzipAll(blob: Array[Byte]): Array[Byte] = {
     val in = new GZIPInputStream(new ByteArrayInputStream(blob))
     val out = new ByteArrayOutputStream(blob.length * 3 + 64)
@@ -101,65 +101,113 @@ object Warc {
     out.toByteArray
   }
 
-  /** Walk an archive into its records, in order. Gzip archives are
-    * transparently decompressed first. LOUD on malformation: version
-    * mismatch, header block without CRLF termination, missing or
-    * non-numeric Content-Length, truncated payload, and a missing
-    * record terminator all throw with the archive byte offset. */
-  def records(archive: Array[Byte]): Iterator[WarcRecord] = {
-    val b = if (isGzip(archive)) gunzipAll(archive) else archive
+  /** Byte cursor over a record stream: single-byte peek/read for the
+    * header walk, bulk read for payloads, and a running DECOMPRESSED
+    * offset for loud errors. */
+  private final class Cursor(in: java.io.InputStream) {
+    private var pos = 0L
+    private var peeked: Int = -2 // -2 = nothing buffered
+    def offset: Long = pos
+    def peek(): Int = { if (peeked == -2) peeked = in.read(); peeked }
+    def read(): Int = {
+      val b = peek(); peeked = -2; if (b >= 0) pos += 1; b
+    }
+    /** Exactly `len` bytes, or -1 short at end of stream. */
+    def readFully(buf: Array[Byte], len: Int): Int = {
+      var n = 0
+      if (len > 0 && peeked != -2) {
+        if (peeked == -1) return 0
+        buf(0) = peeked.toByte; peeked = -2; n = 1
+      }
+      while (n < len) {
+        val r = in.read(buf, n, len - n)
+        if (r < 0) { pos += n; return n }
+        n += r
+      }
+      pos += n; n
+    }
+  }
 
-    def fail(off: Int, msg: String): Nothing =
+  /** Walk an archive into its records, in order, STREAMING: gzip
+    * archives decompress through `GZIPInputStream` (multi-member
+    * streams consume natively), and the walker materializes ONE
+    * record at a time — memory is the current record + the gzip
+    * window, never the decompressed archive, so archive size is
+    * bounded by the writer's roll budget, not by task memory or the
+    * 2 GB array limit. LOUD on malformation: version mismatch, header
+    * block without CRLF termination, missing or non-numeric
+    * Content-Length, truncated payload, and a missing record
+    * terminator all throw with the (decompressed) archive byte
+    * offset. */
+  def records(archive: Array[Byte]): Iterator[WarcRecord] = {
+    val base = new ByteArrayInputStream(archive)
+    recordsFrom(
+      if (isGzip(archive))
+        new java.io.BufferedInputStream(new GZIPInputStream(base), 1 << 16)
+      else base)
+  }
+
+  /** The streaming walk over any record stream — the [[records]]
+    * engine, directly usable over a file/object-store stream so a
+    * production reader never loads the archive blob at all. */
+  def recordsFrom(in: java.io.InputStream): Iterator[WarcRecord] = {
+    val c = new Cursor(in)
+
+    def fail(off: Long, msg: String): Nothing =
       throw new IllegalStateException(
         s"malformed WARC archive at byte $off: $msg")
 
-    /** Next CRLF at/after `from`, or -1. */
-    def lineEnd(from: Int): Int = {
-      var i = from
-      while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
-      if (i + 1 < b.length) i else -1
+    /** One CRLF-terminated line as UTF-8 (CR forbidden inside by the
+      * writer); None at a clean end-of-stream BEFORE any byte. */
+    def line(start: Long, what: String): String = {
+      val buf = new ByteArrayOutputStream(64)
+      var b = c.read()
+      while (b != '\r') {
+        if (b == -1) fail(start, s"$what never terminated")
+        buf.write(b)
+        b = c.read()
+      }
+      if (c.read() != '\n') fail(c.offset, s"CR without LF in $what")
+      new String(buf.toByteArray, UTF_8)
     }
 
     new Iterator[WarcRecord] {
-      private var p = 0
-      override def hasNext: Boolean = p < b.length
+      override def hasNext: Boolean = c.peek() != -1
       override def next(): WarcRecord = {
-        val start = p
-        val ve = lineEnd(p)
-        if (ve < 0) fail(start, "no version line")
-        val version = new String(b, p, ve - p, US_ASCII)
+        val start = c.offset
+        val version = line(start, "version line")
         if (version != Version)
           fail(start, s"expected '$Version' record marker, got '$version'" +
             " — a desynced walker reads payload bytes as a version line")
-        p = ve + 2
         var headers = Map.empty[String, String]
         var blank = false
         while (!blank) {
-          val he = lineEnd(p)
-          if (he < 0) fail(start, "header block never terminated")
-          if (he == p) { blank = true; p += 2 }
+          val at = c.offset
+          val l = line(start, "header block")
+          if (l.isEmpty) blank = true
           else {
-            val line = new String(b, p, he - p, UTF_8)
-            val c = line.indexOf(':')
-            if (c < 1) fail(p, s"header line without ': ': '$line'")
-            headers += (line.substring(0, c).trim -> line.substring(c + 1).trim)
-            p = he + 2
+            val colon = l.indexOf(':')
+            if (colon < 1) fail(at, s"header line without ': ': '$l'")
+            headers += (l.substring(0, colon).trim
+              -> l.substring(colon + 1).trim)
           }
         }
         val len = headers.getOrElse("Content-Length",
             fail(start, "record without Content-Length"))
           .toLongOption.filter(_ >= 0)
           .getOrElse(fail(start, "non-numeric Content-Length"))
-        if (len > Int.MaxValue - 4 || p + len + 4 > b.length)
+        if (len > Int.MaxValue - 8)
+          fail(start, s"payload of $len octets exceeds the single-record " +
+            "bound — roll the archive at the writer")
+        val payload = new Array[Byte](len.toInt)
+        val got = c.readFully(payload, len.toInt)
+        if (got < len)
           fail(start, s"payload of $len octets overruns the archive " +
-            s"(${b.length - p} bytes remain) — torn archive")
-        val payload = java.util.Arrays.copyOfRange(b, p, p + len.toInt)
-        p += len.toInt
-        if (!(b(p) == '\r' && b(p + 1) == '\n' &&
-              b(p + 2) == '\r' && b(p + 3) == '\n'))
-          fail(p, "missing CRLFCRLF record terminator — Content-Length " +
-            "does not cover the payload that was written")
-        p += 4
+            s"($got bytes remain) — torn archive")
+        if (!(c.read() == '\r' && c.read() == '\n' &&
+              c.read() == '\r' && c.read() == '\n'))
+          fail(c.offset, "missing CRLFCRLF record terminator — " +
+            "Content-Length does not cover the payload that was written")
         WarcRecord(headers, payload)
       }
     }
@@ -228,42 +276,152 @@ object Warc {
 
   final case class ArchiveRow(source: String, archive: Array[Byte])
 
+  /** An archive plus its member-offset MANIFEST: `offsets(i)` /
+    * `lengths(i)` frame member i in the COMPRESSED archive bytes
+    * (one member = one record; for raw archives the "member" is the
+    * raw record extent). The manifest is what the spooler writes
+    * beside each archive in production: members concatenate into a
+    * valid archive, so any run of consecutive members is ITSELF a
+    * valid archive — a fat archive splits across tasks on manifest
+    * boundaries instead of being walked by one ([[slices]]). */
+  final case class ManifestedArchive(source: String, archive: Array[Byte],
+                                     offsets: Array[Long],
+                                     lengths: Array[Long])
+
   final case class ParsedRecord(source: String, pos: Long, doc_id: Long,
                                 content_length: Long, payload: Array[Byte])
+
+  /** A manifest-boundary slice: a valid archive holding members
+    * `firstMember until firstMember+n` of its parent. */
+  final case class ArchiveSlice(source: String, archive: Array[Byte],
+                                firstMember: Long)
+
+  /** Streaming per-source spool: rows arrive SORTED by (source, key)
+    * within the partition (the repartition + sortWithinPartitions the
+    * producers do), so each source's archive is emitted — and its
+    * buffer released — the moment the iterator moves to the next
+    * source. Per-task memory is ONE archive even when several sources
+    * hash to the same partition (the writer's byte-budget roll bounds
+    * the archive itself in production). Emits the member manifest
+    * alongside. */
+  private def spool[T](it: Iterator[T])(sourceOf: T => String)
+                      (recordOf: T => Array[Byte]): Iterator[ManifestedArchive] =
+    new Iterator[ManifestedArchive] {
+      private var pending: Option[T] =
+        if (it.hasNext) Some(it.next()) else None
+      override def hasNext: Boolean = pending.isDefined
+      override def next(): ManifestedArchive = {
+        val src = sourceOf(pending.get)
+        val gz = math.abs(src.hashCode % 2) == 0
+        val out = new ByteArrayOutputStream(1 << 16)
+        val offs = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val lens = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (pending.isDefined && sourceOf(pending.get) == src) {
+          val rec = recordOf(pending.get)
+          val member = if (gz) gzipMember(rec) else rec
+          offs += out.size().toLong; lens += member.length.toLong
+          out.write(member)
+          pending = if (it.hasNext) Some(it.next()) else None
+        }
+        ManifestedArchive(src, out.toByteArray, offs.toArray, lens.toArray)
+      }
+    }
 
   /** One archive per source: docs hash to their source's partition,
     * records concatenate in doc_id order (the spooler's append
     * order). Sources hashing EVEN become `warc.gz`-style per-record
     * gzip member archives, odd stay raw — both shapes flow through
-    * one parse path downstream. Per-run memory is one archive — the
-    * writer-side byte-budget roll bounds it in production (scaladoc
-    * above); the fixture's per-source volume stands in for that
-    * budget here. */
+    * one parse path downstream. */
   def archivesFromDocuments(docs: DataFrame)
                            (implicit s: SparkSession): Dataset[ArchiveRow] = {
+    import s.implicits._
+    manifestedArchivesFromDocuments(docs)
+      .map(m => ArchiveRow(m.source, m.archive))
+  }
+
+  /** [[archivesFromDocuments]] with the member manifest kept — the
+    * production spool shape (directive: offset/length per member
+    * beside each archive, so readers split fat archives). */
+  def manifestedArchivesFromDocuments(docs: DataFrame)
+      (implicit s: SparkSession): Dataset[ManifestedArchive] = {
     import s.implicits._
     docs.select(col("source"), col("doc_id"), col("text"))
       .repartition(col("source"))
       .sortWithinPartitions(col("source"), col("doc_id"))
       .as[(String, Long, String)]
-      .mapPartitions { it =>
-        val bySource = new scala.collection.mutable.LinkedHashMap[
-          String, ByteArrayOutputStream]()
-        it.foreach { case (source, id, text) =>
-          val gz = math.abs(source.hashCode % 2) == 0
-          val rec = record(Seq(
-            "WARC-Type" -> "resource",
-            "WARC-Record-ID" -> s"urn:graft:$id",
-            "WARC-Target-URI" -> s"https://$source.example/$id"),
-            text.getBytes(UTF_8))
-          val out = bySource.getOrElseUpdate(source,
-            new ByteArrayOutputStream(1 << 16))
-          out.write(if (gz) gzipMember(rec) else rec)
+      .mapPartitions(it => spool(it)(_._1) { case (source, id, text) =>
+        record(Seq(
+          "WARC-Type" -> "resource",
+          "WARC-Record-ID" -> s"urn:graft:$id",
+          "WARC-Target-URI" -> s"https://$source.example/$id"),
+          text.getBytes(UTF_8))
+      })
+  }
+
+  /** Cut a manifested archive into slices of at most `sliceBytes`
+    * compressed bytes, on member boundaries — each slice is itself a
+    * valid archive, so the strict walker runs unchanged per slice.
+    * The manifest must TILE the archive (offsets contiguous from 0,
+    * lengths summing to the byte count); a stale or torn manifest
+    * fails loudly rather than serving mid-member bytes as records. */
+  def slices(m: ManifestedArchive, sliceBytes: Long): Iterator[ArchiveSlice] = {
+    require(m.offsets.length == m.lengths.length,
+      s"archive ${m.source}: manifest offsets/lengths lengths differ")
+    var expect = 0L
+    var i = 0
+    while (i < m.offsets.length) {
+      if (m.offsets(i) != expect)
+        throw new IllegalStateException(
+          s"archive ${m.source}: manifest does not tile — member $i at " +
+            s"offset ${m.offsets(i)}, expected $expect")
+      expect += m.lengths(i); i += 1
+    }
+    if (expect != m.archive.length)
+      throw new IllegalStateException(
+        s"archive ${m.source}: manifest covers $expect bytes of " +
+          s"${m.archive.length} — stale manifest")
+    new Iterator[ArchiveSlice] {
+      private var member = 0
+      override def hasNext: Boolean = member < m.offsets.length
+      override def next(): ArchiveSlice = {
+        val first = member
+        var bytes = 0L
+        // always take at least one member, then fill to the budget
+        while (member < m.offsets.length &&
+               (member == first || bytes + m.lengths(member) <= sliceBytes)) {
+          bytes += m.lengths(member); member += 1
         }
-        bySource.iterator.map { case (src, out) =>
-          ArchiveRow(src, out.toByteArray)
-        }
+        ArchiveSlice(m.source,
+          java.util.Arrays.copyOfRange(m.archive, m.offsets(first).toInt,
+            (m.offsets(first) + bytes).toInt),
+          first.toLong)
       }
+    }
+  }
+
+  /** Manifested archives → parsed records with slice-level
+    * parallelism: each archive explodes into ≤ `sliceBytes` slices on
+    * member boundaries, every slice walks independently, and `pos` is
+    * re-based by the slice's first-member index so the output is
+    * IDENTICAL to the unsliced walk — the split is free of semantic
+    * drift by construction. */
+  def parseArchivesSliced(mans: Dataset[ManifestedArchive], sliceBytes: Long)
+                         (implicit s: SparkSession): Dataset[ParsedRecord] = {
+    import s.implicits._
+    mans.flatMap(m => slices(m, sliceBytes))
+      // slices of one fat archive land on different tasks
+      .repartition(col("source"), col("firstMember"))
+      .mapPartitions(_.flatMap { sl =>
+        records(sl.archive).zipWithIndex.map { case (r, i) =>
+          val id = r.headers.getOrElse("WARC-Record-ID",
+              throw new IllegalStateException(
+                s"archive ${sl.source}: record ${sl.firstMember + i} has " +
+                  "no WARC-Record-ID"))
+            .stripPrefix("urn:graft:").toLong
+          ParsedRecord(sl.source, sl.firstMember + i, id,
+            r.headers("Content-Length").toLong, r.payload)
+        }
+      })
   }
 
   /** Archives → one row per record: walk position, the doc id parsed
@@ -302,29 +460,18 @@ object Warc {
       .repartition(col("source"))
       .sortWithinPartitions(col("source"), col("doc_id"))
       .as[(String, Long, String, String)]
-      .mapPartitions { it =>
-        val bySource = new scala.collection.mutable.LinkedHashMap[
-          String, ByteArrayOutputStream]()
-        it.foreach { case (source, id, lang, text) =>
-          val gz = math.abs(source.hashCode % 2) == 0
-          val notFound = id % 13 == 0
-          val http = httpResponse(
-            if (notFound) 404 else 200,
-            if (notFound) "Not Found" else "OK",
-            Seq("Content-Type" -> s"text/$lang"),
-            if (notFound) Array.emptyByteArray else text.getBytes(UTF_8))
-          val rec = record(Seq(
-            "WARC-Type" -> "response",
-            "WARC-Record-ID" -> s"urn:graft:$id",
-            "WARC-Target-URI" -> s"https://$source.example/$id"), http)
-          val out = bySource.getOrElseUpdate(source,
-            new ByteArrayOutputStream(1 << 16))
-          out.write(if (gz) gzipMember(rec) else rec)
-        }
-        bySource.iterator.map { case (src, out) =>
-          ArchiveRow(src, out.toByteArray)
-        }
-      }
+      .mapPartitions(it => spool(it)(_._1) { case (source, id, lang, text) =>
+        val notFound = id % 13 == 0
+        val http = httpResponse(
+          if (notFound) 404 else 200,
+          if (notFound) "Not Found" else "OK",
+          Seq("Content-Type" -> s"text/$lang"),
+          if (notFound) Array.emptyByteArray else text.getBytes(UTF_8))
+        record(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Record-ID" -> s"urn:graft:$id",
+          "WARC-Target-URI" -> s"https://$source.example/$id"), http)
+      }.map(m => ArchiveRow(m.source, m.archive)))
   }
 
   /** Minimal HTML escaping (the five characters that break markup).
@@ -373,30 +520,19 @@ object Warc {
       .repartition(col("source"))
       .sortWithinPartitions(col("source"), col("doc_id"))
       .as[(String, Long, String, String)]
-      .mapPartitions { it =>
-        val bySource = new scala.collection.mutable.LinkedHashMap[
-          String, ByteArrayOutputStream]()
-        it.foreach { case (source, id, lang, text) =>
-          val gz = math.abs(source.hashCode % 2) == 0
-          val notFound = id % 13 == 0
-          val http = httpResponse(
-            if (notFound) 404 else 200,
-            if (notFound) "Not Found" else "OK",
-            Seq("Content-Type" -> "text/html"),
-            if (notFound) Array.emptyByteArray
-            else htmlPage(source, id, lang, text).getBytes(UTF_8))
-          val rec = record(Seq(
-            "WARC-Type" -> "response",
-            "WARC-Record-ID" -> s"urn:graft:$id",
-            "WARC-Target-URI" -> s"https://$source.example/$id"), http)
-          val out = bySource.getOrElseUpdate(source,
-            new ByteArrayOutputStream(1 << 16))
-          out.write(if (gz) gzipMember(rec) else rec)
-        }
-        bySource.iterator.map { case (src, out) =>
-          ArchiveRow(src, out.toByteArray)
-        }
-      }
+      .mapPartitions(it => spool(it)(_._1) { case (source, id, lang, text) =>
+        val notFound = id % 13 == 0
+        val http = httpResponse(
+          if (notFound) 404 else 200,
+          if (notFound) "Not Found" else "OK",
+          Seq("Content-Type" -> "text/html"),
+          if (notFound) Array.emptyByteArray
+          else htmlPage(source, id, lang, text).getBytes(UTF_8))
+        record(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Record-ID" -> s"urn:graft:$id",
+          "WARC-Target-URI" -> s"https://$source.example/$id"), http)
+      }.map(m => ArchiveRow(m.source, m.archive)))
   }
 
   /** `response` archives over MEDIA rows — (doc_id, mime, content)
@@ -411,24 +547,13 @@ object Warc {
       .repartition(col("source"))
       .sortWithinPartitions(col("source"), col("doc_id"))
       .as[(String, Long, Array[Byte])]
-      .mapPartitions { it =>
-        val bySource = new scala.collection.mutable.LinkedHashMap[
-          String, ByteArrayOutputStream]()
-        it.foreach { case (mime, id, content) =>
-          val gz = math.abs(mime.hashCode % 2) == 0
-          val rec = record(Seq(
-            "WARC-Type" -> "response",
-            "WARC-Record-ID" -> s"urn:graft:$id",
-            "WARC-Target-URI" -> s"https://crawl.example/$id"),
-            httpResponse(200, "OK", Seq("Content-Type" -> mime), content))
-          val out = bySource.getOrElseUpdate(mime,
-            new ByteArrayOutputStream(1 << 16))
-          out.write(if (gz) gzipMember(rec) else rec)
-        }
-        bySource.iterator.map { case (src, out) =>
-          ArchiveRow(src, out.toByteArray)
-        }
-      }
+      .mapPartitions(it => spool(it)(_._1) { case (mime, id, content) =>
+        record(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Record-ID" -> s"urn:graft:$id",
+          "WARC-Target-URI" -> s"https://crawl.example/$id"),
+          httpResponse(200, "OK", Seq("Content-Type" -> mime), content))
+      }.map(m => ArchiveRow(m.source, m.archive)))
   }
 
   /** Response archives → parsed HTTP fields per record. Records

@@ -32,13 +32,29 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object CrawlStream {
 
   /** Archive feed → curated parquet. `chrome` is the learned
-    * boilerplate inventory (`h` column, [[CrawlText.boilerplate]]
-    * hashes). */
+    * boilerplate inventory ((lang, h) columns,
+    * [[CrawlText.boilerplate]]'s per-language hashes).
+    *
+    * `driftDir`, when set, turns on the CHROME DRIFT MONITOR: the
+    * frozen artifact goes stale the day a site redesigns (a new
+    * banner is not in the inventory, so it leaks into every curated
+    * doc until the next offline retrain). Per batch, the monitor
+    * runs the same [[CrawlText.boilerplate]] df pass over the
+    * BATCH's own paragraphs, anti-joins the frozen set, and writes
+    * every NEW frequent paragraph — (lang, h, para, df) — under
+    * `driftDir/ingest_batch=<id>` with the same `_SUCCESS`
+    * replay-idempotent discipline as the output. Curation owners
+    * watch this inventory to see leakage BEFORE it poisons the
+    * corpus; the output contract itself is unchanged (the stream
+    * never self-edits chrome — batch-local df is not corpus truth,
+    * it is an alarm). */
   def startCuration(spark: SparkSession, feedDir: String, outDir: String,
-                    ckptDir: String, chrome: DataFrame): StreamingQuery = {
+                    ckptDir: String, chrome: DataFrame,
+                    driftDir: Option[String] = None): StreamingQuery = {
     implicit val s: SparkSession = spark
     import s.implicits._
-    val frozen = chrome.select(col("h")).collect().map(_.getLong(0))
+    val frozen = chrome.select(col("lang"), col("h")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
     spark.readStream.format("binaryFile")
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY"))
@@ -65,10 +81,23 @@ object CrawlStream {
         if (!SinkFs.exists(s"$dir/_SUCCESS")) {
           val sess = batch.sparkSession
           val chromeDf = sess.createDataFrame(
-            sess.sparkContext.parallelize(frozen.toSeq.map(Tuple1(_)), 1))
-            .toDF("h")
+            sess.sparkContext.parallelize(frozen.toSeq, 1))
+            .toDF("lang", "h")
           CrawlText.curatedWithChrome(batch.toDF(), chromeDf)
             .write.mode(SaveMode.Overwrite).parquet(dir)
+        }
+        driftDir.foreach { dd =>
+          val drift = s"$dd/ingest_batch=$batchId"
+          if (!SinkFs.exists(s"$drift/_SUCCESS")) {
+            val sess = batch.sparkSession
+            val chromeDf = sess.createDataFrame(
+              sess.sparkContext.parallelize(frozen.toSeq, 1))
+              .toDF("lang", "h")
+            CrawlText.boilerplate(CrawlText.paragraphs(batch.toDF()))
+              .join(org.apache.spark.sql.functions.broadcast(chromeDf),
+                Seq("lang", "h"), "left_anti")
+              .write.mode(SaveMode.Overwrite).parquet(drift)
+          }
         }
       }
       .option("checkpointLocation", ckptDir)

@@ -49,7 +49,8 @@ class InvarianceSpec extends SparkSpec {
     "tx_lm_kn_ppl",         // KN continuation counts + quantized sums
     "sp_dsir_weights",      // hashed-bucket LM log-ratio long sums
     "sp_dsir_sample",       // Gumbel top-k cut on exact long keys
-    "sp_ppl_buckets")       // percentile thresholds over rounded entropy
+    "sp_ppl_buckets",       // percentile thresholds over rounded entropy
+    "sp_corpus_e2e")        // the full 10-stage corpus composition
     // (wordpiece/unigram vocab invariance pinned in their own specs —
     // training loops collect through a sized session)
     // (classifier weights pinned in ClassifierSpec — the IndexCache

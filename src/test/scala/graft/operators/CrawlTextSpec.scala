@@ -97,10 +97,43 @@ class CrawlTextSpec extends SparkSpec {
   test("boilerplate inventory: banner, footer, and the shared ring") {
     val inv = CrawlText.boilerplate(CrawlText.paragraphs(pages()))
     import spark.implicits._
-    val got = inv.select("para", "df").as[(String, Long)].collect().toMap
-    assert(got("Welcome to s0 cookie notice applies") == 21)
-    assert(got("(c) example.org all rights reserved") == 21)
-    assert(got("common boiler text repeated on every page of this ring") == 11)
+    val got = inv.select("lang", "para", "df").as[(String, String, Long)]
+      .collect().map { case (l, p, d) => (l, p) -> d }.toMap
+    assert(got(("en", "Welcome to s0 cookie notice applies")) == 21)
+    assert(got(("en", "(c) example.org all rights reserved")) == 21)
+    assert(got(("en",
+      "common boiler text repeated on every page of this ring")) == 11)
     assert(got.size == 3)
+  }
+
+  test("chrome is per-language: same paragraph, chrome in en, content in fr") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // one source; the same promo text on 12 en pages (df=12 >= MinDf
+    // in en) and 2 fr pages (df=2 < MinDf in fr). The en slice also
+    // clears the banner/footer bar; the 2-doc fr slice does not.
+    val promo = "limited time offer applies to every visitor today"
+    val ids = (1L to 15L).filter(_ % 13 != 0) // writer 404s %13==0
+    val docs = ids.map(i =>
+        (i, promo, if (i <= 12) "en" else "fr", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val pages = Warc.parseHttpRecords(Warc.htmlResponseArchives(docs)).toDF()
+    // inventory: promo + banner + footer are chrome in en ONLY
+    val inv = CrawlText.boilerplate(CrawlText.paragraphs(pages))
+      .select("lang", "para").as[(String, String)].collect().toSet
+    assert(inv.contains(("en", promo)))
+    assert(!inv.exists(_._1 == "fr"))
+    // en docs: everything but the 2-word ref line removed → word gate
+    val out = CrawlText.curatedText(pages)
+      .select("doc_id", "lang", "xt").as[(Long, String, String)].collect()
+    assert(out.forall(_._2 == "fr"),
+      s"en docs must gate out, got ${out.toSeq}")
+    // fr docs: banner + promo + ref + footer ALL survive (nothing
+    // established frequency inside the fr slice)
+    val fr = out.map(r => r._1 -> r._3).toMap
+    assert(fr.keySet == Set(14L, 15L))
+    assert(fr(14L) ==
+      s"Welcome to s0 cookie notice applies\n$promo\nref &14\n" +
+        "(c) example.org all rights reserved")
   }
 }

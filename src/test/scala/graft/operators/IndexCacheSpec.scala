@@ -2,10 +2,15 @@ package graft.operators
 
 import graft.SparkSpec
 
-/** Build-once index reuse: the memo returns the SAME trained artifact
-  * on every call (no retraining), and that artifact is bit-identical
-  * to a direct in-query training — so memoization can never change a
-  * query's result, only remove redundant Lloyd jobs.
+/** The offline-index production contract: trained artifacts persisted
+  * in a versioned envelope survive a process restart (simulated by
+  * clearing the process memo), a mismatched or torn envelope falls
+  * back to retrain with a loud warning, and the loaded artifact is
+  * value-identical to the retrained one (training is deterministic).
+  *
+  * Specs run serially within the suite; persistDir is restored after
+  * each scenario so the rest of the test JVM keeps the default
+  * memo-only behavior (bench accounting: one training per process).
   */
 class IndexCacheSpec extends SparkSpec {
 
@@ -36,5 +41,99 @@ class IndexCacheSpec extends SparkSpec {
     assert(!(first eq rebuilt))
     assert(first.zip(rebuilt).forall { case (a, b) =>
       a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+  }
+
+  private def withPersistDir[T](body: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    val prev = IndexCache.persistDir
+    IndexCache.persistDir = Some(dir)
+    // the memo may hold artifacts trained before this spec ran
+    IndexCache.clear()
+    try body(dir)
+    finally { IndexCache.persistDir = prev; IndexCache.clear() }
+  }
+
+  test("two processes train once total: the second loads the envelope") {
+    withPersistDir { _ =>
+      var trainings = 0
+      def get(): Seq[(String, Long)] =
+        IndexCache.wordpieceVocab("/corpus/a") {
+          trainings += 1; Seq(("ab", 7L), ("cd", 3L))
+        }
+      val first = get()
+      assert(trainings == 1)
+      assert(get() eq first) // same-process memo hit
+      assert(trainings == 1)
+      // "process 2": fresh memo, same persist dir
+      IndexCache.clear()
+      val second = get()
+      assert(trainings == 1, "the restart retrained despite the envelope")
+      assert(second == first)
+    }
+  }
+
+  test("a Spark-trained artifact round-trips value-identical") {
+    withPersistDir { _ =>
+      val dir = "/root/testdata/sf0.001"
+      val before = IndexCache.buildCount
+      val trained = IndexCache.centroids(spark, dir)
+      assert(IndexCache.buildCount == before + 1)
+      IndexCache.clear()
+      val loaded = IndexCache.centroids(spark, dir)
+      assert(IndexCache.buildCount == before + 1,
+        "restart retrained centroids despite the envelope")
+      assert(loaded.length == trained.length)
+      loaded.zip(trained).foreach { case (l, t) =>
+        assert(l.sameElements(t))
+      }
+    }
+  }
+
+  test("corrupted, cross-corpus, and wrong-kind envelopes retrain loudly") {
+    withPersistDir { root =>
+      var trainings = 0
+      def get(dir: String): Seq[(String, Long)] =
+        IndexCache.wordpieceVocab(dir) {
+          trainings += 1; Seq((s"piece-$dir", trainings.toLong))
+        }
+      get("/corpus/a")
+      assert(trainings == 1)
+      // corrupt the envelope in place (truncate past the header)
+      val files = new java.io.File(root).listFiles()
+      assert(files.nonEmpty)
+      val f = files.head
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      java.nio.file.Files.write(f.toPath, bytes.take(bytes.length / 2))
+      IndexCache.clear()
+      get("/corpus/a")
+      assert(trainings == 2, "a torn envelope must retrain, not serve garbage")
+      // a DIFFERENT corpus never reads this envelope (dir is stamped
+      // inside and checked, beyond the filename hash)
+      IndexCache.clear()
+      get("/corpus/b")
+      assert(trainings == 3)
+      // and the retrain re-published a good envelope: restart loads it
+      IndexCache.clear()
+      get("/corpus/a")
+      assert(trainings == 3)
+    }
+  }
+
+  test("without persistDir the memo stays process-local") {
+    val prev = IndexCache.persistDir
+    IndexCache.persistDir = None
+    IndexCache.clear()
+    try {
+      var trainings = 0
+      def get(): Seq[(String, Long)] =
+        IndexCache.wordpieceVocab("/corpus/c") {
+          trainings += 1; Seq(("x", 1L))
+        }
+      get(); get()
+      assert(trainings == 1)
+      IndexCache.clear()
+      get()
+      assert(trainings == 2, "no envelope should exist without persistDir")
+    } finally { IndexCache.persistDir = prev; IndexCache.clear() }
   }
 }

@@ -40,6 +40,7 @@ class WordpieceSpec extends SparkSpec {
     val vset = vocab.toSet
     rows.foreach { r =>
       val (w, seg, np) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(w.length <= Wordpiece.MaxWordLen)
       val expected = refSegment(w, vset)
       assert(seg === expected.mkString("|"), s"word $w")
       assert(np === expected.length.toLong, s"word $w")
@@ -47,6 +48,24 @@ class WordpieceSpec extends SparkSpec {
       expected.filter(_.length >= 2).foreach(p =>
         assert(vset(p), s"piece $p of $w not in vocab"))
     }
+  }
+
+  test("over-length words are excluded, never silently truncated") {
+    // 'internationalization' (20 chars) exceeds MaxWordLen=12: a
+    // truncating segmenter would emit it with n_pieces stopping at 12
+    // and seg missing the tail; the exclusion rule drops it instead,
+    // on both the engine and (by the same WHERE) the oracle side.
+    val vocab = Wordpiece.train(docs).map(_._1)
+    val segged = Wordpiece.segmented(Wordpiece.wordCounts(docs), vocab)
+      .select($"w", $"seg").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(!segged.contains("internationalization"))
+    // every emitted segmentation reassembles COMPLETELY
+    segged.foreach { case (w, seg) =>
+      assert(seg.replace("|", "") === w, s"word $w truncated")
+    }
+    // boundary: a word of exactly MaxWordLen chars still segments
+    assert(segged.contains("antinational"))
   }
 
   test("EM refinement only reweights toward actually-used pieces") {
@@ -79,7 +98,10 @@ class WordpieceSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
     val local = docs.select($"doc_id", $"text").collect().map { r =>
-      val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+      // the exclusion rule: over-length words don't encode (they are
+      // absent from the segmentation table on both engines)
+      val toks = r.getString(1).split(" ")
+        .filter(w => w.nonEmpty && w.length <= Wordpiece.MaxWordLen)
       r.getLong(0) -> ((toks.length.toLong,
         toks.map(_.length.toLong).sum,
         toks.map(w => refSegment(w, vset).length.toLong).sum))

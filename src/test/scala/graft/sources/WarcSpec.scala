@@ -123,6 +123,71 @@ class WarcSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 3)
   }
 
+  test("walker is streaming: memory stays bounded by one record") {
+    // many records through the iterator without holding the archive's
+    // decompressed form: sum payload lengths lazily and confirm the
+    // walk agrees with the writer's count
+    val n = 200
+    val archive = (0 until n).map(i => rec(i.toLong, "x" * (i % 97)))
+      .reduce(_ ++ _)
+    val it = Warc.records(archive)
+    var seen = 0
+    it.foreach { r => assert(r.payload.length == seen % 97); seen += 1 }
+    assert(seen == n)
+  }
+
+  test("manifest slicing: sliced parse is identical to the unsliced walk") {
+    implicit val s = spark
+    import s.implicits._
+    val docs = (1L to 40L).map(i =>
+        (i, if (i % 3 == 0) "srcA" else "srcB", s"body of document $i"))
+      .toDF("doc_id", "source", "text")
+    val mans = Warc.manifestedArchivesFromDocuments(docs).collect()
+    // the manifest tiles each archive: one member per doc, contiguous
+    mans.foreach { m =>
+      assert(m.offsets.length == m.lengths.length)
+      assert(m.offsets.head == 0L)
+      assert(m.offsets.zip(m.lengths).map { case (o, l) => o + l }
+        .zip(m.offsets.tail).forall { case (end, next) => end == next })
+      assert(m.offsets.last + m.lengths.last == m.archive.length)
+    }
+    val unsliced = Warc.parseArchives(
+        Warc.archivesFromDocuments(docs)).toDF()
+      .select("source", "pos", "doc_id", "content_length")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // tiny budget → every archive splits into several slices
+    val sliced = Warc.parseArchivesSliced(
+        Warc.manifestedArchivesFromDocuments(docs), sliceBytes = 300L).toDF()
+      .select("source", "pos", "doc_id", "content_length")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(sliced == unsliced)
+    assert(sliced.size == 40)
+    // and a budget larger than any archive degenerates to one slice
+    val one = mans.map(m => Warc.slices(m, Long.MaxValue).toList)
+    assert(one.forall(_.size == 1))
+    assert(one.flatten.forall(_.firstMember == 0L))
+  }
+
+  test("manifest slicing: a stale or torn manifest fails loudly") {
+    implicit val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "srcA", "alpha"), (2L, "srcA", "beta"))
+      .toDF("doc_id", "source", "text")
+    val m = Warc.manifestedArchivesFromDocuments(docs).collect().head
+    // gap: second member offset shifted
+    val gap = m.copy(offsets = m.offsets.updated(1, m.offsets(1) + 1))
+    val e1 = intercept[IllegalStateException](
+      Warc.slices(gap, 100L).toList)
+    assert(e1.getMessage.contains("does not tile"))
+    // stale: manifest shorter than the archive
+    val stale = m.copy(offsets = m.offsets.take(1), lengths = m.lengths.take(1))
+    val e2 = intercept[IllegalStateException](
+      Warc.slices(stale, 100L).toList)
+    assert(e2.getMessage.contains("stale manifest"))
+  }
+
   test("spark round trip: every doc survives per-source archiving") {
     implicit val s = spark
     import s.implicits._

@@ -48,20 +48,33 @@ class CrawlStreamSpec extends SparkSpec {
     // chrome is the OFFLINE artifact — learned from the wave-1 corpus
     val chrome = CrawlText.boilerplate(CrawlText.paragraphs(
       Warc.parseHttpRecords(Warc.htmlResponseArchives(wave1)).toDF()))
-      .select(col("h"))
+      .select(col("lang"), col("h"))
 
-    CrawlStream.startCuration(spark, feed, out, ckpt, chrome)
+    val drift = s"$dir/drift"
+    CrawlStream.startCuration(spark, feed, out, ckpt, chrome, Some(drift))
       .awaitTermination()
     val afterW1 = spark.read.parquet(out)
     // doc 26 is a 404 (26 % 13 == 0); the other 23 survive
     assert(afterW1.count() == 23)
+    // wave 1 IS the chrome's training corpus: nothing drifts
+    assert(spark.read.parquet(drift).count() == 0,
+      "wave-1 banners are in the artifact; the monitor must stay quiet")
 
     // wave 2 lands (52 is a 404); restart tails ONLY the new archive.
     // gamma's banner is NOT in the wave-1 chrome artifact — it stays
     // in gamma's text until the next artifact refresh, by design.
     land(feed, docs(41 to 52, "gamma"))
-    CrawlStream.startCuration(spark, feed, out, ckpt, chrome)
+    CrawlStream.startCuration(spark, feed, out, ckpt, chrome, Some(drift))
       .awaitTermination()
+    // ...and the DRIFT MONITOR fires on exactly the new chrome: the
+    // gamma banner clears the batch-local df bar (11 non-404 docs),
+    // the footer is already frozen, genuine text stays under df
+    val drifted = spark.read.parquet(drift)
+      .select("lang", "para", "df").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(drifted ==
+      Set(("en", "Welcome to gamma cookie notice applies", 11L)),
+      s"drift inventory: $drifted")
     val afterW2 = spark.read.parquet(out)
     assert(afterW2.count() == 34)
     assert(afterW2.select("doc_id").distinct().count() == 34,
