@@ -263,6 +263,52 @@ object SamplePack extends QueryPack {
           col("slot"), col("doc_id"), col("n_tokens"))
     }),
 
+    // The INPUT-IDS feed — tokenizer → pack composed into the
+    // artifact a training loop actually consumes: every doc encoded
+    // under the TRAINED BPE merge table (the tx_bpe_* memo), its
+    // real symbol count driving the pack (not whitespace counts),
+    // and the symbol stream itself riding each doc slot as `ids`
+    // (one char = one token id; words separated by '|', sentinels
+    // in the U+E000 private-use block by construction). A trainer
+    // reads ORDER BY pos, slot and maps chars to int ids 1:1.
+    // Scale shape: encoding is K nested codegen'd replaces in the
+    // scan stage (no loop, no shuffle — the tx_bpe_encode plan);
+    // the pack and the sequence-grain permutation are exactly
+    // sp_epoch_feed's. The ids column makes the feed byte-real:
+    // a packing bug, an encode-order bug, or a permutation bug all
+    // shift the hash.
+    "sp_token_feed" -> ((s, dir) => {
+      val merges = TextPack.bpeMergesFor(s, dir)
+      val enc = Tables.documents(s, dir).select(
+          col("doc_id"), col("source"), col("lang"),
+          transform(split(col("text"), " "),
+            w => Bpe.encodeCol(w, merges)).as("encs"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          array_join(col("encs"), "|").as("ids"),
+          length(array_join(col("encs"), "")).cast("long").as("n_tokens"))
+      val binned = Sampling.packBins(enc,
+        shard = Seq(col("source"), col("lang")),
+        order = Seq(col("doc_id")), tokens = col("n_tokens"),
+        budget = PackBudget)
+      val seqs = binned.groupBy(col("source"), col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("source"), col("lang"), col("bin"),
+          graft.functions.Hashing.h32(concat(lit("tf0_"), col("source"),
+            lit("_"), col("lang"), lit("_"),
+            col("bin").cast("string"))).as("k"))
+      val positioned = GlobalIndex.withPosition(seqs,
+          Seq(col("k"), col("source"), col("lang"), col("bin")), "pos")
+        .select(col("source"), col("lang"), col("bin"), col("pos"))
+      val slotW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("lang"), col("bin"))
+        .orderBy(col("doc_id"))
+      binned
+        .withColumn("slot", (row_number().over(slotW) - 1).cast("long"))
+        .join(positioned, Seq("source", "lang", "bin"))
+        .select(col("pos"), col("source"), col("lang"), col("bin"),
+          col("slot"), col("doc_id"), col("n_tokens"), col("ids"))
+    }),
+
     // Output SHARD manifest — the WebDataset-style artifact the
     // training loader reads FIRST: packed sequences, in epoch order,
     // grouped into fixed-count shards (shard = pos DIV SeqsPerShard),
@@ -786,6 +832,46 @@ object SamplePack extends QueryPack {
          |SELECT p.pos, slots.source, slots.lang, slots.bin, slots.slot,
          |       slots.doc_id, slots.n_tokens
          |FROM slots JOIN p USING (source, lang, bin)""".stripMargin,
+
+    // the trained-merge CTEs replay the tokenizer; the encode chain
+    // mirrors Bpe.encodeCol per word; the rest is sp_epoch_feed's
+    // pack + permutation (the oracle MAY use one-task windows)
+    "sp_token_feed" ->
+      s"""WITH w0 AS (SELECT w FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 2),
+         |${Bpe.sqlTrainCtesForEncode()},
+         |dsp AS (SELECT doc_id, source, lang,
+         |          string_split(text, ' ') AS ws FROM documents),
+         |dw AS (SELECT doc_id, source, lang, ws[i] AS w, i
+         |       FROM dsp, UNNEST(generate_series(1, len(ws))) AS gsq(i)),
+         |de AS (SELECT doc_id, source, lang, i,
+         |         ${Bpe.sqlEncodeExpr("w")} AS enc FROM dw),
+         |df2 AS (SELECT doc_id, any_value(source) AS source,
+         |          any_value(lang) AS lang,
+         |          string_agg(enc, '|' ORDER BY i) AS ids,
+         |          CAST(sum(length(enc)) AS BIGINT) AS n_tokens
+         |        FROM de GROUP BY doc_id),
+         |fb AS (SELECT doc_id, source, lang, ids, n_tokens,
+         |         CAST((sum(n_tokens) OVER (PARTITION BY source, lang
+         |            ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |          - n_tokens) // $PackBudget AS BIGINT) AS bin
+         |       FROM df2),
+         |fs AS (SELECT source, lang, bin,
+         |         ${graft.functions.Hashing.sqlH32(
+                     "'tf0_' || source || '_' || lang || '_' || CAST(bin AS VARCHAR)")} AS k
+         |       FROM fb GROUP BY 1, 2, 3),
+         |fp AS (SELECT source, lang, bin,
+         |         CAST(row_number() OVER (ORDER BY k, source, lang, bin) - 1
+         |           AS BIGINT) AS pos
+         |       FROM fs),
+         |fslots AS (SELECT doc_id, source, lang, bin, n_tokens, ids,
+         |             CAST(row_number() OVER (PARTITION BY source, lang, bin
+         |               ORDER BY doc_id) - 1 AS BIGINT) AS slot
+         |           FROM fb)
+         |SELECT fp.pos, fslots.source, fslots.lang, fslots.bin, fslots.slot,
+         |       fslots.doc_id, fslots.n_tokens, fslots.ids
+         |FROM fslots JOIN fp USING (source, lang, bin)""".stripMargin,
 
     // the oracle MAY use one-task windows (single DuckDB node); the
     // Spark side must not (GlobalIndex at sequence grain)

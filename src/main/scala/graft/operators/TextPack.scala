@@ -85,7 +85,7 @@ object TextPack extends QueryPack {
   // Tokenizer artifacts through the [[IndexCache]] memo — one
   // training per corpus per process; vocab/segment/encode/bake-off
   // consumers read the memoized table (the centroid accounting).
-  private def bpeMergesFor(s: SparkSession, dir: String): Seq[Bpe.Merge] =
+  private[operators] def bpeMergesFor(s: SparkSession, dir: String): Seq[Bpe.Merge] =
     IndexCache.bpeMerges(dir)(Bpe.trainMerges(
       tokenized(s, dir).select(explode(col("toks")).as("w"))))
 
