@@ -41,6 +41,14 @@ object SamplePack extends QueryPack {
     * pack — exercised rather than starved). */
   val CorpusMinTokens = 20L
 
+  /** sp_token_feed word-boundary token: U+E0FF, in the private-use
+    * block ABOVE every BPE merge sentinel (U+E000 + k, k < iters) —
+    * corpus text cannot contain it (the writer never emits
+    * private-use codepoints), so the id stream is unambiguous where
+    * an ASCII separator would silently corrupt on a word that
+    * legitimately contains it. */
+  val TokenFeedSep: Char = 0xE0FF.toChar
+
   /** sp_corpus_e2e sequences per shard — smaller than
     * [[SeqsPerShard]] so the pipeline's (smaller) surviving corpus
     * still spans several shards including a partial tail. */
@@ -268,9 +276,12 @@ object SamplePack extends QueryPack {
     // under the TRAINED BPE merge table (the tx_bpe_* memo), its
     // real symbol count driving the pack (not whitespace counts),
     // and the symbol stream itself riding each doc slot as `ids`
-    // (one char = one token id; words separated by '|', sentinels
-    // in the U+E000 private-use block by construction). A trainer
-    // reads ORDER BY pos, slot and maps chars to int ids 1:1.
+    // (one char = one token id; the word-boundary token is
+    // [[TokenFeedSep]], from the same U+E0xx private-use block as
+    // the BPE merge sentinels — corpus text can never collide with
+    // it, unlike an ASCII separator, which a word could legitimately
+    // contain and silently corrupt the stream). A trainer reads
+    // ORDER BY pos, slot and maps chars to int ids 1:1.
     // Scale shape: encoding is K nested codegen'd replaces in the
     // scan stage (no loop, no shuffle — the tx_bpe_encode plan);
     // the pack and the sequence-grain permutation are exactly
@@ -284,7 +295,7 @@ object SamplePack extends QueryPack {
           transform(split(col("text"), " "),
             w => Bpe.encodeCol(w, merges)).as("encs"))
         .select(col("doc_id"), col("source"), col("lang"),
-          array_join(col("encs"), "|").as("ids"),
+          array_join(col("encs"), TokenFeedSep.toString).as("ids"),
           length(array_join(col("encs"), "")).cast("long").as("n_tokens"))
       val binned = Sampling.packBins(enc,
         shard = Seq(col("source"), col("lang")),
@@ -639,7 +650,14 @@ object SamplePack extends QueryPack {
     * bigram LM trained on the gated crawl itself, keep cross-entropy
     * ≤ the 2/3 percentile) → exact dedup → MinHash-LSH near-dup →
     * semantic decon vs the broadcast eval slice → temperature mix →
-    * fixed-budget pack → shard manifest at sequence grain. */
+    * fixed-budget pack → shard manifest at sequence grain.
+    *
+    * Checkpoint lifecycle: the three stage frames' blocks are
+    * reclaimed by the ContextCleaner when the returned plan (and the
+    * intermediates it references) become unreachable — per-call
+    * residency is three SMALL post-gate frames (the curated corpus
+    * and two shrinking survivor sets), not unbounded growth, and a
+    * production run replaces them with real lake-table writes. */
   private[graft] def corpusManifest(s: SparkSession, docs: DataFrame,
       emb: DataFrame, chrome: DataFrame, model: Classifier.Model,
       onStage: (String, Long) => Unit = (_, _) => ()): DataFrame = {
@@ -849,7 +867,7 @@ object SamplePack extends QueryPack {
          |         ${Bpe.sqlEncodeExpr("w")} AS enc FROM dw),
          |df2 AS (SELECT doc_id, any_value(source) AS source,
          |          any_value(lang) AS lang,
-         |          string_agg(enc, '|' ORDER BY i) AS ids,
+         |          string_agg(enc, chr(${TokenFeedSep.toInt}) ORDER BY i) AS ids,
          |          CAST(sum(length(enc)) AS BIGINT) AS n_tokens
          |        FROM de GROUP BY doc_id),
          |fb AS (SELECT doc_id, source, lang, ids, n_tokens,

@@ -203,7 +203,7 @@ object Warc {
         val got = c.readFully(payload, len.toInt)
         if (got < len)
           fail(start, s"payload of $len octets overruns the archive " +
-            s"($got bytes remain) — torn archive")
+            s"(only $got present) — torn archive")
         if (!(c.read() == '\r' && c.read() == '\n' &&
               c.read() == '\r' && c.read() == '\n'))
           fail(c.offset, "missing CRLFCRLF record terminator — " +
