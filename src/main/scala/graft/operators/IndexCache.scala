@@ -58,10 +58,12 @@ object IndexCache {
   /** Trainer versions per artifact kind — bump when the training
     * semantics change so persisted envelopes from the old trainer
     * are rejected instead of silently served. chrome is v2: round 10
-    * made the inventory per-language (CCNet's grouping). */
+    * made the inventory per-language (CCNet's grouping). uni is v2:
+    * round 10 moved training to the soft-EM forward–backward E-step
+    * (Kudo's published form) from Viterbi-hard counts. */
   private val TrainerVersion = Map(
     "cent" -> 1, "pq" -> 1, "sq8" -> 1, "clf" -> 1,
-    "bpe" -> 1, "wp" -> 1, "uni" -> 1, "chrome" -> 2)
+    "bpe" -> 1, "wp" -> 1, "uni" -> 2, "chrome" -> 2)
 
   /** Trainings actually RUN by this process (loads don't count) —
     * what the restart spec observes. */

@@ -18,21 +18,29 @@ import org.apache.spark.sql.functions._
   *     the target size — top-down attrition, vs BPE/WordPiece growth
   *     or re-selection.
   *
-  * Determinism (the oracle must replay training bit-for-bit):
-  * SentencePiece's soft-EM maximizes Σ log p(piece) with float
-  * probabilities; floats order-dependent across engines, log not
-  * bit-identical. This implementation is the hard-count analog — a
-  * CONSCIOUS DEVIATION in the PageRank-fixed-point tradition: piece
-  * scores are exact usage counts, and the Viterbi objective is the
-  * lexicographic integer tuple
+  * Training is the published SOFT-EM (round 10): the E-step computes
+  * EXPECTED piece usage over ALL segmentations via an unrolled
+  * forward–backward DP ([[expectedUsage]]) — not the single Viterbi
+  * path's hard counts — and the M-step re-ranks the prunable
+  * inventory by expectation. Determinism (the oracle must replay
+  * training bit-for-bit) comes from the engine-parity float
+  * discipline rather than avoiding floats: the DP is a FIXED
+  * expression tree (identical IEEE ops in identical syntactic order
+  * in both engines), and every occurrence's expectation quantizes to
+  * [[UsageScale]] long units BEFORE the cross-word sum, so the only
+  * aggregation is an exact order-free integer sum (the tx_lm_*
+  * precedent applied to a DP).
+  *
+  * DECODE stays Viterbi under the trained scores, with the
+  * lexicographic integer objective
   *
   *   minimize (n_pieces, −Σ score(piece), seg-string)
   *
   * — fewest pieces first (the dominant term of the log-prob objective
-  * under Zipf scores), then most-frequent pieces, then a total
+  * under Zipf scores), then highest-scored pieces, then a total
   * lexicographic tiebreak so the chosen SEGMENTATION (not just its
-  * cost) is unique. All comparisons are int/long/binary-string —
-  * identical in Spark and DuckDB.
+  * cost) is unique. All decode comparisons are int/long/binary-string
+  * — identical in Spark and DuckDB.
   *
   * Scale shape (same as [[Wordpiece]]): the corpus collapses to
   * distinct-word grain in ONE map-side-combined word count; every
@@ -154,10 +162,97 @@ object Unigram {
   }
 
   /** Piece usage of a Viterbi segmentation, weighted by word counts
-    * (all lengths — alphabet weights re-estimate too). */
+    * (all lengths — alphabet weights re-estimate too). Retained as
+    * the HARD-EM step for comparison; training now uses
+    * [[expectedUsage]] (soft EM). */
   def usage(seg: DataFrame): DataFrame =
     seg.select(col("cnt"), explode(split(col("seg"), "\\|")).as("piece"))
       .groupBy("piece").agg(sum(col("cnt")).as("n"))
+
+  /** Fixed-point scale of expected-usage units: piece scores after a
+    * soft round are `floor(expected_count · 1e4 + 0.5)` longs. */
+  val UsageScale = 1e4
+
+  /** SOFT-EM expected piece usage under `scores` — the published
+    * unigram-LM E-step (Kudo 2018): every segmentation of a word
+    * contributes its posterior probability, computed by an unrolled
+    * forward–backward DP instead of the earlier Viterbi-hard argmax
+    * (which gave the single best path weight 1 and every other path
+    * 0). Piece probability p = units / Σ units over the current
+    * inventory; forward α and backward β run as a fixed
+    * [[MaxWordLen]]-step chain of codegen'd double columns, and each
+    * piece occurrence (j, len) contributes
+    * cnt · α_j · p · β_(j+len) / Z.
+    *
+    * Cross-engine float discipline (the tx_lm_* rule applied to a
+    * DP): the DP is a FIXED expression tree — both engines run the
+    * identical IEEE ops in the identical syntactic order (terms
+    * summed j-ascending, products parenthesized left) — and each
+    * occurrence's expectation quantizes to [[UsageScale]] LONG units
+    * BEFORE the cross-word sum, so aggregation is exact and
+    * order-free. Zero-unit contributions are dropped on both sides.
+    *
+    * Z > 0 always: the alphabet is score-clamped ≥ 1 unit by the
+    * M-step, so the all-single-char path has positive weight for
+    * every word the unroll admits. Words longer than [[MaxWordLen]]
+    * are excluded (the Viterbi rule). */
+  def expectedUsage(words: DataFrame, scores: Map[String, Long]): DataFrame = {
+    val total: Long = scores.values.sum
+    val byLen: Map[Int, Map[String, Long]] =
+      scores.groupBy(_._1.length).map { case (l, m) => (l, m) }
+    def pOf(piece: Column, len: Int): Column = byLen.get(len) match {
+      case Some(m) if m.nonEmpty =>
+        val ks = m.keys.toSeq.sorted
+        element_at(map_from_arrays(
+          array(ks.map(lit): _*),
+          array(ks.map(k => lit(m(k).toDouble / total)): _*)), piece)
+      case _ => lit(null).cast("double")
+    }
+    var df = words.filter(length(col("w")) <= MaxWordLen)
+      .withColumn("fa_1", lit(1.0))
+    // forward: α_i = Σ_j α_j · p(w[j..i)), terms j-ascending
+    for (i <- 2 to MaxWordLen + 1) {
+      val terms = (math.max(1, i - MaxPieceLen) to i - 1).map { j =>
+        val len = i - j
+        coalesce(col(s"fa_$j") * pOf(col("w").substr(lit(j), lit(len)), len),
+          lit(0.0))
+      }
+      df = df.withColumn(s"fa_$i", terms.reduce(_ + _))
+    }
+    // backward: β_i = 1 at i = n+1; 0 past it (out-of-word lookups
+    // miss the length-keyed score map, so their terms are 0)
+    for (i <- MaxWordLen + 1 to 1 by -1) {
+      val terms = (1 to MaxPieceLen).filter(l => i + l <= MaxWordLen + 1)
+        .map { l =>
+          coalesce(pOf(col("w").substr(lit(i), lit(l)), l) * col(s"fb_${i + l}"),
+            lit(0.0))
+        }
+      val rest = if (terms.isEmpty) lit(0.0) else terms.reduce(_ + _)
+      df = df.withColumn(s"fb_$i",
+        when(length(col("w")) + lit(1) === lit(i), lit(1.0)).otherwise(rest))
+    }
+    val z = element_at(
+      array((2 to MaxWordLen + 1).map(i => col(s"fa_$i")): _*),
+      length(col("w")))
+    // every admissible occurrence's quantized contribution
+    val occs = for {
+      j <- 1 to MaxWordLen
+      len <- 1 to MaxPieceLen if j + len <= MaxWordLen + 1
+    } yield {
+      val p = pOf(col("w").substr(lit(j), lit(len)), len)
+      struct(
+        col("w").substr(lit(j), lit(len)).as("piece"),
+        floor(col("cnt").cast("double") *
+            (((col(s"fa_$j") * p) * col(s"fb_${j + len}")) / col("zz")) *
+            lit(UsageScale) + lit(0.5))
+          .cast("long").as("u"))
+    }
+    df.withColumn("zz", z)
+      .select(explode(array(occs: _*)).as("o"))
+      .select(col("o.piece").as("piece"), col("o.u").as("u"))
+      .filter(col("u") > 0)
+      .groupBy("piece").agg(sum(col("u")).as("n"))
+  }
 
   /** Trained state: ranked multi-char vocab + alphabet weights. */
   final case class Trained(vocab: Seq[(String, Long)],
@@ -189,12 +284,17 @@ object Unigram {
             .collect().map(r => (r.getString(0), r.getLong(1))).toSeq,
           SeedMulti)
         for (t <- 1 to iters) {
-          val u = usage(viterbi(words, multi.toMap ++ alpha))
+          // soft E-step: expected usage under the current scores;
+          // M-step: re-rank the prunable inventory by expectation,
+          // clamp the alphabet ≥ 1 unit (it must never die — the
+          // single-char fallback is what keeps Z > 0 for every word)
+          val u = expectedUsage(words, multi.toMap ++ alpha)
             .collect().map(r => (r.getString(0), r.getLong(1))).toMap
           multi = rankTake(
             multi.map { case (piece, _) => (piece, u.getOrElse(piece, 0L)) },
             keepAt(t, iters))
-          alpha = alpha.map { case (c, _) => (c, u.getOrElse(c, 0L)) }
+          alpha = alpha.map { case (c, _) =>
+            (c, math.max(1L, u.getOrElse(c, 0L))) }
         }
         Trained(rankTake(multi, multi.size), alpha)
       }
@@ -291,20 +391,90 @@ object Unigram {
     (Seq(p1) ++ steps ++ Seq(seg, u)).mkString(",\n")
   }
 
-  /** Training unroll: seed + `iters` prune rounds. Final vocab CTE is
-    * `uv$iters`, final alphabet `ua$iters`, final scores `us$iters`. */
+  /** One unrolled forward–backward E-step over `uwc` with score CTE
+    * `$scores` (piece, n), CTEs prefixed `$pfx` — the SQL twin of
+    * [[expectedUsage]]: probability CTE `${pfx}p` (piece → n/T as
+    * DOUBLE, T an exact-long scalar), forward CTEs `${pfx}f2..f13`
+    * and backward `${pfx}b13..b1` each adding one column via LEFT
+    * JOIN score lookups (terms in the SAME syntactic order as the
+    * engine — j-ascending sums, left-parenthesized products), then
+    * the per-occurrence quantized contributions and their exact long
+    * sum `${pfx}u`. */
+  def sqlExpectedCtes(pfx: String, scores: String): String = {
+    val pcte =
+      s"""${pfx}t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM $scores),
+         |${pfx}p AS MATERIALIZED (SELECT piece,
+         |  CAST(n AS DOUBLE) / (SELECT t FROM ${pfx}t) AS p FROM $scores)""".stripMargin
+    val f1 =
+      s"""${pfx}f1 AS (SELECT w, cnt, CAST(1.0 AS DOUBLE) AS fa_1 FROM uwc
+         |  WHERE length(w) <= $MaxWordLen)""".stripMargin
+    val fwd = (2 to MaxWordLen + 1).map { i =>
+      val js = math.max(1, i - MaxPieceLen) to i - 1
+      val joins = js.map { j =>
+        s"LEFT JOIN ${pfx}p s${j}_${i - j} ON s${j}_${i - j}.piece = substr(b.w, $j, ${i - j})"
+      }.mkString("\n  ")
+      val terms = js.map { j =>
+        s"COALESCE(b.fa_$j * s${j}_${i - j}.p, 0.0)"
+      }.mkString(" + ")
+      s"""${pfx}f$i AS MATERIALIZED (SELECT b.*, $terms AS fa_$i
+         |  FROM ${pfx}f${i - 1} b
+         |  $joins)""".stripMargin
+    }
+    val bwd = (MaxWordLen + 1 to 1 by -1).map { i =>
+      val ls = (1 to MaxPieceLen).filter(l => i + l <= MaxWordLen + 1)
+      val joins = ls.map { l =>
+        s"LEFT JOIN ${pfx}p q${i}_$l ON q${i}_$l.piece = substr(b.w, $i, $l)"
+      }.mkString("\n  ")
+      val rest =
+        if (ls.isEmpty) "0.0"
+        else ls.map(l => s"COALESCE(q${i}_$l.p * b.fb_${i + l}, 0.0)")
+          .mkString(" + ")
+      val src = if (i == MaxWordLen + 1) s"${pfx}f${MaxWordLen + 1}"
+                else s"${pfx}b${i + 1}"
+      s"""${pfx}b$i AS MATERIALIZED (SELECT b.*,
+         |  CASE WHEN length(b.w) + 1 = $i THEN CAST(1.0 AS DOUBLE)
+         |       ELSE $rest END AS fb_$i
+         |  FROM $src b
+         |  $joins)""".stripMargin
+    }
+    val zExpr = s"[${(2 to MaxWordLen + 1).map(i => s"fa_$i").mkString(", ")}][length(w)]"
+    val occ = (for {
+      j <- 1 to MaxWordLen
+      len <- 1 to MaxPieceLen if j + len <= MaxWordLen + 1
+    } yield
+      s"""SELECT cnt, substr(w, $j, $len) AS piece, fa_$j AS faj,
+         |  fb_${j + len} AS fbe, zz FROM ${pfx}z""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    val u =
+      s"""${pfx}z AS MATERIALIZED (SELECT *, $zExpr AS zz FROM ${pfx}b1),
+         |${pfx}c AS MATERIALIZED (
+         |  SELECT t2.piece,
+         |    CAST(floor(t2.cnt * (((t2.faj * s.p) * t2.fbe) / t2.zz)
+         |      * $UsageScale + 0.5) AS BIGINT) AS u
+         |  FROM (
+         |$occ) t2
+         |  JOIN ${pfx}p s ON s.piece = t2.piece),
+         |${pfx}u AS MATERIALIZED (SELECT piece, CAST(sum(u) AS BIGINT) AS n
+         |  FROM ${pfx}c WHERE u > 0 GROUP BY piece)""".stripMargin
+    (Seq(pcte, f1) ++ fwd ++ bwd ++ Seq(u)).mkString(",\n")
+  }
+
+  /** Training unroll: seed + `iters` soft-EM prune rounds (the
+    * forward–backward E-step, [[sqlExpectedCtes]]); the alphabet is
+    * clamped ≥ 1 unit each round. Final vocab CTE is `uv$iters`,
+    * final alphabet `ua$iters`, final scores `us$iters`. */
   def sqlTrainCtes(iters: Int = PruneIters): String = {
     val rounds = (0 until iters).map { t =>
       val keep = keepAt(t + 1, iters)
       s"""us$t AS (SELECT piece, n FROM uv$t
          |  UNION ALL SELECT piece, n FROM ua$t),
-         |${sqlViterbiCtes(s"r${t}_", s"us$t")},
+         |${sqlExpectedCtes(s"r${t}_", s"us$t")},
          |uv${t + 1} AS MATERIALIZED (
          |  SELECT v.piece, CAST(COALESCE(g.n, 0) AS BIGINT) AS n
          |  FROM uv$t v LEFT JOIN r${t}_u g ON g.piece = v.piece
          |  ORDER BY n DESC, v.piece LIMIT $keep),
          |ua${t + 1} AS MATERIALIZED (
-         |  SELECT a.piece, CAST(COALESCE(g.n, 0) AS BIGINT) AS n
+         |  SELECT a.piece, greatest(1, CAST(COALESCE(g.n, 0) AS BIGINT)) AS n
          |  FROM ua0 a LEFT JOIN r${t}_u g ON g.piece = a.piece)""".stripMargin
     }
     val finalScores =

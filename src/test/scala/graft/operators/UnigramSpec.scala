@@ -33,6 +33,56 @@ class UnigramSpec extends SparkSpec {
     }.min
   }
 
+  /** Brute-force soft E-step: enumerate EVERY segmentation, weight by
+    * the product of piece probabilities, and accumulate each piece's
+    * posterior-weighted occurrence count — the ground truth the
+    * forward–backward DP must reproduce. */
+  private def bruteExpected(w: String, cnt: Long,
+                            scores: Map[String, Long]): Map[String, Double] = {
+    val total = scores.values.sum.toDouble
+    def segs(s: String): Seq[List[String]] =
+      if (s.isEmpty) Seq(Nil)
+      else (1 to math.min(Unigram.MaxPieceLen, s.length)).flatMap { l =>
+        val p = s.take(l)
+        // soft-EM path space: every piece IN THE INVENTORY (singles
+        // not in the alphabet map weigh 0 and kill the path)
+        if (scores.contains(p)) segs(s.drop(l)).map(p :: _)
+        else Nil
+      }
+    val weighted = segs(w).map { pieces =>
+      (pieces, pieces.map(p => scores(p) / total).product)
+    }
+    val z = weighted.map(_._2).sum
+    weighted.flatMap { case (pieces, wt) =>
+      pieces.map(p => p -> cnt * wt / z)
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+  }
+
+  test("soft E-step matches brute-force expected counts over all segmentations") {
+    val scores = Map("ab" -> 10L, "bcd" -> 8L, "abc" -> 3L, "cd" -> 5L,
+      "a" -> 4L, "b" -> 3L, "c" -> 2L, "d" -> 1L)
+    val words = Seq(("abcd", 3L), ("ababab", 1L), ("dcba", 2L),
+      ("a", 5L), ("cdcdcd", 1L), ("abcdabcd", 1L))
+    val got = Unigram.expectedUsage(wordsDf(words: _*), scores)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = words.map { case (w, c) => bruteExpected(w, c, scores) }
+      .foldLeft(Map.empty[String, Double]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (p, e)) =>
+          a + (p -> (a.getOrElse(p, 0.0) + e)) }
+      }
+    want.foreach { case (piece, e) =>
+      // DP quantizes each per-word occurrence before summing; brute
+      // sums doubles — allow one unit per contributing word
+      val wantU = math.floor(e * Unigram.UsageScale + 0.5).toLong
+      val gotU = got.getOrElse(piece, 0L)
+      assert(math.abs(gotU - wantU) <= words.size,
+        s"piece $piece: dp $gotU vs brute $wantU")
+    }
+    // and the expectation really is SOFT: the non-Viterbi piece 'abc'
+    // gets nonzero mass from 'abcd' (hard counts gave it exactly 0)
+    assert(got.getOrElse("abc", 0L) > 0L)
+  }
+
   test("viterbi matches brute-force optimum on every word") {
     val scores = Map("ab" -> 10L, "bcd" -> 8L, "abc" -> 3L, "cd" -> 5L,
       "a" -> 4L, "b" -> 3L, "c" -> 2L, "d" -> 1L, "x" -> 0L)
