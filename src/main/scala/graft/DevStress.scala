@@ -95,6 +95,23 @@ object DevStress {
     // one row per doc at any factor; wall should track input tokens.
     time("dup_spans", DedupPack.dupSpans(toks))
 
+    // suffix-array spans at factor×: replication multiplies the
+    // position count (and makes every doc a true duplicate, so the
+    // LCP step runs at its worst case — every adjacent pair extends
+    // to full doc length). Construction is the doubling chain: wall
+    // should track positions (shard-local sorts), never pairs².
+    time("sa_spans", graft.operators.SuffixArray.spanCoverage(
+      renamed, DedupPack.SpanGram,
+      graft.operators.SuffixArray.ranked(
+        graft.operators.SuffixArray.positions(renamed))))
+    // same probe at 4× the shard count — the production parallelism
+    // knob (more shards = smaller shard-local sorts, more tasks)
+    time("sa_spans_sharded", graft.operators.SuffixArray.spanCoverage(
+      renamed, DedupPack.SpanGram,
+      graft.operators.SuffixArray.ranked(
+        graft.operators.SuffixArray.positions(renamed,
+          graft.operators.SuffixArray.NShards * 4))))
+
     // mega-component span dedup: ONE 16-token boilerplate sentence
     // appended to EVERY doc (the "sentence spanning 10^5 docs" case),
     // natural tokens salted per-doc so the boiler grams are the ONLY

@@ -377,6 +377,15 @@ object DedupPack extends QueryPack {
     // and passage-level (ds_chunk_dedup).
     "ds_dup_spans_apply" -> ((s, dir) => dupSpansApply(tokenized(s, dir))),
 
+    // Exact maximal duplicated spans via per-shard suffix arrays
+    // (prefix doubling + LCP rank descent — Lee et al.'s ExactSubstr
+    // design; see operators/SuffixArray.scala): per-doc coverage of
+    // positions whose maximal match is >= SpanGram tokens, and the
+    // longest repeated substrings with their text. Complements the
+    // shingle pass above with EXACT match lengths.
+    "ds_sa_spans" -> ((s, dir) => SuffixArray.saSpans(s, dir)),
+    "ds_sa_lrs" -> ((s, dir) => SuffixArray.saLrs(s, dir)),
+
     // Decontamination: flag training docs sharing full 8-token
     // n-grams with the held-out eval slice (doc_id % 50 == 0 plays
     // the benchmark suite). The eval n-gram set is tiny relative to
@@ -1203,6 +1212,12 @@ object DedupPack extends QueryPack {
          |SELECT t.doc_id, COALESCE(agg.dedup_text, '') AS dedup_text,
          |       COALESCE(agg.n_kept, 0::BIGINT) AS n_kept
          |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // Suffix-array replay: the identical prefix-doubling rounds
+    // (dense_rank windows), SA adjacency, and LCP rank descent as
+    // the engine — all-integer, so bit-for-bit (SuffixArray.sql*).
+    "ds_sa_spans" -> SuffixArray.sqlSpans,
+    "ds_sa_lrs" -> SuffixArray.sqlLrs,
 
     "ds_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts

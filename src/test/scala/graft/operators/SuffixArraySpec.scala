@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Suffix-array contracts: the prefix-doubling order IS the suffix
+  * order (brute-force suffix sort), the rank-descent LCP is exact
+  * (brute-force compare), coverage agrees with the independent
+  * shingle-hash span pass on a single shard, and document boundaries
+  * never leak spans (the sentinel argument, pinned). */
+class SuffixArraySpec extends SparkSpec {
+
+  private def docsDf(ds: (Long, String)*): DataFrame = {
+    implicit val s = spark
+    import s.implicits._
+    ds.toDF("doc_id", "text")
+  }
+
+  /** Per-shard concatenation with the same sentinels the operator
+    * appends; returns (gpos → token) and the non-sentinel gpos set. */
+  private def corpus(ds: Seq[(Long, String)], nShards: Int)
+      : Map[Long, (Vector[String], Vector[Long])] =
+    ds.groupBy(_._1 % nShards).map { case (shard, docs) =>
+      var toks = Vector.empty[String]
+      var real = Vector.empty[Long]
+      docs.sortBy(_._1).foreach { case (id, text) =>
+        val ts = text.split(" ", -1).toVector
+        real ++= (toks.size until toks.size + ts.size).map(_.toLong)
+        toks ++= ts :+ (SuffixArray.Sentinel + id)
+      }
+      shard -> (toks, real)
+    }
+
+  private def bruteLcp(t: Vector[String], i: Int, j: Int): Long = {
+    var l = 0
+    while (i + l < t.size && j + l < t.size && t(i + l) == t(j + l)) l += 1
+    l.toLong
+  }
+
+  private val fixture = Seq(
+    1L -> "a b c d e f g h i j",
+    2L -> "x y a b c d e f g h i j z",
+    3L -> "p q r s t u v w p q r s t u v w p q",
+    4L -> "m n o",
+    6L -> "a b c d e f g h i j")
+
+  test("doubling order matches brute-force suffix sort per shard") {
+    for (nShards <- Seq(1, 2)) {
+      val ranks = SuffixArray.ranked(
+        SuffixArray.positions(docsDf(fixture: _*), nShards))
+      val got = ranks.filter(!col("sent"))
+        .select(col("shard"), col("gpos"), col(s"rk${SuffixArray.K}"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (sh, rows) =>
+          sh -> rows.sortBy(r => (r.getLong(2), r.getLong(1)))
+            .map(_.getLong(1)).toVector
+        }
+      corpus(fixture, nShards).foreach { case (shard, (toks, real)) =>
+        val want = real.sortBy(p => toks.drop(p.toInt))(
+          Ordering.Implicits.seqOrdering[Vector, String])
+        assert(got(shard) == want, s"shard $shard, nShards=$nShards")
+      }
+    }
+  }
+
+  test("slice-compare lcp is exact on every SA-adjacent pair") {
+    val df = docsDf(fixture: _*)
+    val ranks = SuffixArray.ranked(SuffixArray.positions(df, 2))
+    val pairs = SuffixArray.saPairs(ranks, df)
+      .select(col("shard"), col("i"), col("j"), col("lcp")).collect()
+    val byShard = corpus(fixture, 2)
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (toks, _) = byShard(r.getLong(0))
+      val want = bruteLcp(toks, r.getLong(1).toInt, r.getLong(2).toInt)
+      assert(r.getLong(3) == want,
+        s"pair (${r.getLong(1)}, ${r.getLong(2)}) in shard ${r.getLong(0)}")
+    }
+  }
+
+  test("single-shard SA coverage equals the shingle-hash span pass") {
+    // randomized: small alphabet forces rich duplication, including
+    // overlapping self-repeats — the case interval folds get wrong
+    val rnd = new scala.util.Random(41)
+    val docs = (0L until 24L).map { id =>
+      val n = 6 + rnd.nextInt(30)
+      id -> Seq.fill(n)("ab" (rnd.nextInt(2)).toString).mkString(" ")
+    }
+    val df = docsDf(docs: _*)
+    val sa = SuffixArray.spanCoverage(df, DedupPack.SpanGram,
+        SuffixArray.ranked(SuffixArray.positions(df, 1)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sh = DedupPack.dupSpans(
+        df.select(col("doc_id"), split(col("text"), " ").as("toks")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sa == sh)
+    assert(sa.values.exists(_._2 > 0), "fixture must contain duplication")
+  }
+
+  test("spans never leak across document boundaries") {
+    // doc 1 + doc 3 concatenate to exactly doc 5's 8-gram; with the
+    // per-doc sentinel no >= 8-token match exists anywhere
+    val docs = docsDf(
+      1L -> "k1 k2 p q r s",
+      3L -> "t u v w k3 k4",
+      5L -> "p q r s t u v w")
+    val cov = SuffixArray.spanCoverage(docs, DedupPack.SpanGram,
+        SuffixArray.ranked(SuffixArray.positions(docs, 1)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cov == Map(1L -> 0L, 3L -> 0L, 5L -> 0L))
+  }
+
+  test("longest repeated substring reports the exact planted span") {
+    val span = (1 to 11).map(i => s"w$i").mkString(" ")
+    val docs = docsDf(
+      0L -> s"front $span tail1 tail2",
+      4L -> s"$span other tokens here",   // same shard as 0 (mod 4)
+      1L -> "unrelated text one two three four five six seven")
+    val top = SuffixArray.longestSpans(docs,
+        SuffixArray.ranked(SuffixArray.positions(docs, SuffixArray.NShards)))
+      .collect()
+    assert(top.nonEmpty)
+    val best = top.maxBy(_.getLong(2))
+    assert(best.getLong(2) == 11L)
+    assert(best.getString(3) == span)
+  }
+}
