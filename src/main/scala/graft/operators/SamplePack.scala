@@ -29,6 +29,16 @@ object SamplePack extends QueryPack {
     * source fixture density at every SF, so the cap actually cuts. */
   val SourceCap = 15
 
+  /** sp_unimax_mix epoch cap C (UniMax's one knob): no source may be
+    * allocated more than C × its own token count. */
+  val UniMaxEpochCap = 2L
+
+  /** sp_unimax_mix total budget as permille of the corpus's tokens —
+    * 1.9× the corpus with C = 2 puts the waterfill level INSIDE the
+    * per-source capacity range at every SF (sizes spread ±15%), so
+    * the fixture exercises both capped and uncapped sources. */
+  val UniMaxBudgetPermille = 1900L
+
   /** sp_shard_manifest sequences per output shard — small enough
     * that every test SF produces several shards (including a partial
     * tail shard, the boundary a resuming reader must handle). */
@@ -211,6 +221,39 @@ object SamplePack extends QueryPack {
       docs.join(broadcast(rates), Seq("source"))
         .filter(Sampling.bucket(col("doc_id"), "temp") < col("rate"))
         .select(col("doc_id"), col("source"))
+    }),
+
+    // UniMax source mixing (Chung et al. 2023): distribute a total
+    // token budget across sources as uniformly as possible subject
+    // to a per-source epoch cap — the published fairer alternative
+    // to temperature mixing above (which over-samples tiny sources
+    // into many epochs). Integer-exact greedy in capacity order:
+    // alloc = min(cap, remaining DIV sources_left); the ≤ N−1 token
+    // remainder of floor division stays unallocated (declared).
+    // Scale shape: the per-source token count is one map-side-
+    // combined groupBy; the greedy itself is inherently sequential
+    // over SOURCES — language-count cardinality (UniMax's own n is
+    // ~100) — so it runs on the driver like every vocab-bounded
+    // loop, never touching row-grain data.
+    "sp_unimax_mix" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_toks"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val total = counts.map(_._2).sum
+      var rem = total * UniMaxBudgetPermille / 1000
+      val ordered = counts
+        .map { case (src, n) => (src, n, n * UniMaxEpochCap) }
+        .sortBy { case (src, _, cap) => (cap, src) }
+      val rows = ordered.zipWithIndex.map { case ((src, n, cap), i) =>
+        val alloc = math.min(cap, rem / (ordered.length - i))
+        rem -= alloc
+        (src, n, cap, alloc, alloc * 1000 / n)
+      }
+      val sess = s
+      import sess.implicits._
+      rows.toSeq.toDF("source", "n_toks", "cap_toks", "alloc_toks",
+        "epochs_permille")
     }),
 
     // Contiguous sequence packing into fixed 2048-token bins per
@@ -810,6 +853,38 @@ object SamplePack extends QueryPack {
          |          FROM r)
          |SELECT d.doc_id, d.source FROM documents d JOIN rates USING (source)
          |WHERE ${Sampling.sqlBucket("d.doc_id", "temp")} < rate""".stripMargin,
+
+    // UniMax greedy replay: the recursive CTE walks sources in the
+    // same (capacity, source) order with the same integer floor
+    // divisions — all BIGINT, bit-for-bit.
+    "sp_unimax_mix" ->
+      s"""WITH RECURSIVE src AS (
+         |  SELECT source,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS t,
+         |               count(*) AS nsrc FROM src),
+         |ord AS (SELECT source, n_toks,
+         |          n_toks * $UniMaxEpochCap AS cap_toks,
+         |          row_number() OVER (ORDER BY n_toks * $UniMaxEpochCap,
+         |                             source) AS k
+         |        FROM src),
+         |step(k, rem, alloc, source) AS (
+         |  SELECT 0, (SELECT t * $UniMaxBudgetPermille // 1000 FROM tot),
+         |         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+         |  UNION ALL
+         |  SELECT o.k,
+         |    s.rem - least(o.cap_toks,
+         |      s.rem // ((SELECT nsrc FROM tot) - o.k + 1)),
+         |    least(o.cap_toks,
+         |      s.rem // ((SELECT nsrc FROM tot) - o.k + 1)),
+         |    o.source
+         |  FROM step s JOIN ord o ON o.k = s.k + 1)
+         |SELECT o.source, o.n_toks, o.cap_toks,
+         |       st.alloc AS alloc_toks,
+         |       st.alloc * 1000 // o.n_toks AS epochs_permille
+         |FROM step st JOIN ord o ON o.k = st.k
+         |WHERE st.k >= 1""".stripMargin,
 
     "sp_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, source, lang,

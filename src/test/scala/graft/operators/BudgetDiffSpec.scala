@@ -75,4 +75,45 @@ class BudgetDiffSpec extends SparkSpec {
       "latest = max(ts, event_id) per window")
     assert(!got.contains((4L, "purchase")), "out-of-window entity absent")
   }
+
+  test("sp_unimax_mix: waterfill allocation respects cap, budget, fairness") {
+    val dir = java.nio.file.Files.createTempDirectory("umsf").toString
+    // three tiny sources (capped at C epochs) + two large (waterfill)
+    val docs =
+      Seq((1L, "a " * 49 + "a", "srcA"), (2L, "b " * 49 + "b", "srcB"),
+        (3L, "c " * 59 + "c", "srcC")) ++
+        (10 to 29).map(i => (i.toLong, "d " * 49 + "d", "srcD")) ++
+        (30 to 49).map(i => (i.toLong, "e " * 59 + "e", "srcE")) ++
+        (50 to 69).map(i => (i.toLong, "f " * 59 + "f", "srcF"))
+    docs.map { case (id, t, src) => (id, t.trim, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = SamplePack.queries("sp_unimax_mix")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    val totals = Map("srcA" -> 50L, "srcB" -> 50L, "srcC" -> 60L,
+      "srcD" -> 1000L, "srcE" -> 1200L, "srcF" -> 1200L)
+    val budget = totals.values.sum * SamplePack.UniMaxBudgetPermille / 1000
+    got.foreach { case (src, (n, cap, alloc, _)) =>
+      assert(n == totals(src), src)
+      assert(cap == n * SamplePack.UniMaxEpochCap, src)
+      assert(alloc <= cap, s"$src over its epoch cap")
+    }
+    // undersized sources saturate at exactly C epochs (srcD's fair
+    // share exceeds its cap too — the waterfill level sits between
+    // its capacity and srcE/F's); the uncapped pair splits the rest
+    // evenly, under their caps
+    Seq("srcA", "srcB", "srcC", "srcD").foreach { src =>
+      assert(got(src)._3 == got(src)._2, s"$src must be capped")
+      assert(got(src)._4 == SamplePack.UniMaxEpochCap * 1000)
+    }
+    assert(math.abs(got("srcE")._3 - got("srcF")._3) <= 1L,
+      "uncapped sources get near-identical allocations")
+    assert(got("srcE")._3 < got("srcE")._2, "srcE must be waterfilled")
+    val used = got.values.map(_._3).sum
+    assert(used <= budget && budget - used < got.size,
+      "budget exhausted up to the floor-division remainder")
+  }
 }
