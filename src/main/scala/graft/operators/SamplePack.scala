@@ -39,6 +39,54 @@ object SamplePack extends QueryPack {
     * the fixture exercises both capped and uncapped sources. */
   val UniMaxBudgetPermille = 1900L
 
+  /** The UniMax greedy, shared by sp_unimax_mix and
+    * sp_unimax_sample: (source, n_toks, cap_toks, alloc_toks) in
+    * (capacity, source) walk order. Distributed token count, then a
+    * driver-side walk at SOURCE cardinality (bounded state). */
+  private def unimaxAllocs(s: SparkSession, dir: String)
+      : Seq[(String, Long, Long, Long)] = {
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var rem = counts.map(_._2).sum * UniMaxBudgetPermille / 1000
+    val ordered = counts
+      .map { case (src, n) => (src, n, n * UniMaxEpochCap) }
+      .sortBy { case (src, _, cap) => (cap, src) }
+    ordered.zipWithIndex.map { case ((src, n, cap), i) =>
+      val alloc = math.min(cap, rem / (ordered.length - i))
+      rem -= alloc
+      (src, n, cap, alloc)
+    }.toSeq
+  }
+
+  /** CTE block shared by both UniMax oracles: `src` (per-source
+    * counts), `tot`, `ord` (capacity walk order), `step` (the
+    * recursive greedy). Spliced after WITH RECURSIVE. */
+  private def unimaxSqlCtes: String =
+    s"""src AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS t,
+       |               count(*) AS nsrc FROM src),
+       |ord AS (SELECT source, n_toks,
+       |          n_toks * $UniMaxEpochCap AS cap_toks,
+       |          row_number() OVER (ORDER BY n_toks * $UniMaxEpochCap,
+       |                             source) AS k
+       |        FROM src),
+       |step(k, rem, alloc, source) AS (
+       |  SELECT 0, (SELECT t * $UniMaxBudgetPermille // 1000 FROM tot),
+       |         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+       |  UNION ALL
+       |  SELECT o.k,
+       |    s.rem - least(o.cap_toks,
+       |      s.rem // ((SELECT nsrc FROM tot) - o.k + 1)),
+       |    least(o.cap_toks,
+       |      s.rem // ((SELECT nsrc FROM tot) - o.k + 1)),
+       |    o.source
+       |  FROM step s JOIN ord o ON o.k = s.k + 1)""".stripMargin
+
   /** sp_shard_manifest sequences per output shard — small enough
     * that every test SF produces several shards (including a partial
     * tail shard, the boundary a resuming reader must handle). */
@@ -236,24 +284,44 @@ object SamplePack extends QueryPack {
     // ~100) — so it runs on the driver like every vocab-bounded
     // loop, never touching row-grain data.
     "sp_unimax_mix" -> ((s, dir) => {
-      val counts = Tables.documents(s, dir)
-        .groupBy(col("source"))
-        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_toks"))
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      val total = counts.map(_._2).sum
-      var rem = total * UniMaxBudgetPermille / 1000
-      val ordered = counts
-        .map { case (src, n) => (src, n, n * UniMaxEpochCap) }
-        .sortBy { case (src, _, cap) => (cap, src) }
-      val rows = ordered.zipWithIndex.map { case ((src, n, cap), i) =>
-        val alloc = math.min(cap, rem / (ordered.length - i))
-        rem -= alloc
-        (src, n, cap, alloc, alloc * 1000 / n)
-      }
       val sess = s
       import sess.implicits._
-      rows.toSeq.toDF("source", "n_toks", "cap_toks", "alloc_toks",
-        "epochs_permille")
+      unimaxAllocs(s, dir)
+        .map { case (src, n, cap, alloc) =>
+          (src, n, cap, alloc, alloc * 1000 / n) }
+        .toDF("source", "n_toks", "cap_toks", "alloc_toks",
+          "epochs_permille")
+    }),
+
+    // ...and the multiset it denotes: each doc with its repeat count
+    // n_epochs = full epochs + membership in the partial epoch — the
+    // greedy hash-order fill of the allocation's remainder (the
+    // straddling doc is included, so the partial epoch's tokens
+    // reach the allocation). One shuffle: the per-source running sum
+    // over the deterministic hash order; the ≤|sources|-row
+    // allocation table broadcasts onto the scan.
+    "sp_unimax_sample" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val al = unimaxAllocs(s, dir)
+        .map { case (src, n, _, alloc) => (src, alloc / n, alloc % n) }
+        .toDF("source", "full_epochs", "partial_toks")
+      val h = graft.functions.Hashing.h32(
+        concat(lit("umx#"), col("doc_id").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("h"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("nt"), h.as("h"))
+        .withColumn("cum_prev", coalesce(sum("nt").over(w), lit(0L)))
+        .join(broadcast(al), Seq("source"))
+        .select(col("doc_id"), col("source"),
+          (col("full_epochs") +
+            when(col("cum_prev") < col("partial_toks"), 1L).otherwise(0L))
+            .as("n_epochs"))
+        .filter(col("n_epochs") > 0)
     }),
 
     // Contiguous sequence packing into fixed 2048-token bins per
@@ -858,33 +926,36 @@ object SamplePack extends QueryPack {
     // same (capacity, source) order with the same integer floor
     // divisions — all BIGINT, bit-for-bit.
     "sp_unimax_mix" ->
-      s"""WITH RECURSIVE src AS (
-         |  SELECT source,
-         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
-         |  FROM documents GROUP BY source),
-         |tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS t,
-         |               count(*) AS nsrc FROM src),
-         |ord AS (SELECT source, n_toks,
-         |          n_toks * $UniMaxEpochCap AS cap_toks,
-         |          row_number() OVER (ORDER BY n_toks * $UniMaxEpochCap,
-         |                             source) AS k
-         |        FROM src),
-         |step(k, rem, alloc, source) AS (
-         |  SELECT 0, (SELECT t * $UniMaxBudgetPermille // 1000 FROM tot),
-         |         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
-         |  UNION ALL
-         |  SELECT o.k,
-         |    s.rem - least(o.cap_toks,
-         |      s.rem // ((SELECT nsrc FROM tot) - o.k + 1)),
-         |    least(o.cap_toks,
-         |      s.rem // ((SELECT nsrc FROM tot) - o.k + 1)),
-         |    o.source
-         |  FROM step s JOIN ord o ON o.k = s.k + 1)
+      s"""WITH RECURSIVE $unimaxSqlCtes
          |SELECT o.source, o.n_toks, o.cap_toks,
          |       st.alloc AS alloc_toks,
          |       st.alloc * 1000 // o.n_toks AS epochs_permille
          |FROM step st JOIN ord o ON o.k = st.k
          |WHERE st.k >= 1""".stripMargin,
+
+    // sample replay: full epochs by integer division; the partial
+    // epoch via the same hash-ordered running sum (window PARTITIONED
+    // by source — the oracle and engine agree on the straddling doc).
+    "sp_unimax_sample" ->
+      s"""WITH RECURSIVE $unimaxSqlCtes,
+         |al AS (SELECT o.source, o.n_toks, st.alloc FROM step st
+         |       JOIN ord o ON o.k = st.k WHERE st.k >= 1),
+         |d AS (SELECT doc_id, source,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         |        ${graft.functions.Hashing.sqlH32(
+                   "'umx#' || CAST(doc_id AS VARCHAR)")} AS h
+         |      FROM documents),
+         |c AS (SELECT *, COALESCE(sum(nt) OVER (PARTITION BY source
+         |        ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |        AND 1 PRECEDING), 0) AS cum_prev FROM d)
+         |SELECT c.doc_id, c.source,
+         |       (al.alloc // al.n_toks +
+         |        CASE WHEN c.cum_prev < al.alloc % al.n_toks
+         |             THEN 1 ELSE 0 END) AS n_epochs
+         |FROM c JOIN al USING (source)
+         |WHERE al.alloc // al.n_toks +
+         |      CASE WHEN c.cum_prev < al.alloc % al.n_toks
+         |           THEN 1 ELSE 0 END > 0""".stripMargin,
 
     "sp_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, source, lang,

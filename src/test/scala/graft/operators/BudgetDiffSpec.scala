@@ -115,5 +115,28 @@ class BudgetDiffSpec extends SparkSpec {
     val used = got.values.map(_._3).sum
     assert(used <= budget && budget - used < got.size,
       "budget exhausted up to the floor-division remainder")
+
+    // ...and the sampled multiset realizes the allocation: capped
+    // sources repeat every doc exactly C times; waterfilled ones mix
+    // full and partial epochs, with total sampled tokens within one
+    // straddling doc of the allocation
+    val perDoc = docs.map { case (id, t, src) =>
+      id -> (src, t.trim.split(" ").length.toLong) }.toMap
+    val sample = SamplePack.queries("sp_unimax_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val sampledToks = sample.groupBy(_._2).map { case (src, xs) =>
+      src -> xs.map(x => x._3 * perDoc(x._1)._2).sum
+    }
+    Seq("srcA", "srcB", "srcC", "srcD").foreach { src =>
+      assert(sample.filter(_._2 == src)
+        .forall(_._3 == SamplePack.UniMaxEpochCap), s"$src repeats at C")
+      assert(sampledToks(src) == got(src)._3, s"$src sampled == alloc")
+    }
+    Seq("srcE", "srcF").foreach { src =>
+      assert(sample.filter(_._2 == src).map(_._3).toSet == Set(1L, 2L),
+        s"$src mixes full and partial epochs")
+      val over = sampledToks(src) - got(src)._3
+      assert(over >= 0 && over < 60, s"$src overshoot is the straddler")
+    }
   }
 }
