@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Suffix-array contracts: the prefix-doubling order IS the suffix
-  * order (brute-force suffix sort), the rank-descent LCP is exact
+  * order (brute-force suffix sort), the slice-compare LCP is exact
   * (brute-force compare), coverage agrees with the independent
   * shingle-hash span pass on a single shard, and document boundaries
   * never leak spans (the sentinel argument, pinned). */
