@@ -99,6 +99,49 @@ class SuffixArraySpec extends SparkSpec {
     assert(sa.values.exists(_._2 > 0), "fixture must contain duplication")
   }
 
+  test("multi-shard coverage matches brute-force per-shard maximal spans") {
+    val rnd = new scala.util.Random(43)
+    val docs = (0L until 30L).map { id =>
+      val n = 6 + rnd.nextInt(25)
+      id -> Seq.fill(n)("abc" (rnd.nextInt(3)).toString).mkString(" ")
+    }
+    val df = docsDf(docs: _*)
+    val got = SuffixArray.spanCoverage(df, DedupPack.SpanGram,
+        SuffixArray.ranked(SuffixArray.positions(df, 3)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // brute: per shard, dup_len(p) = max lcp against EVERY other
+    // suffix (not just SA neighbors — this checks the restriction
+    // property too); coverage = union of [p, p+dup_len), dup_len >= w
+    val brute = docs.groupBy(_._1 % 3).flatMap { case (_, ds) =>
+      var toks = Vector.empty[String]
+      var where = Vector.empty[(Long, Long)] // gpos-indexed (doc, pos)
+      ds.sortBy(_._1).foreach { case (id, text) =>
+        val ts = text.split(" ", -1)
+        where ++= ts.indices.map(i => (id, i.toLong))
+        toks ++= ts :+ (SuffixArray.Sentinel + id)
+        where ++= Seq((-1L, -1L)) // sentinel slot
+      }
+      val real = where.zipWithIndex.filter(_._1._1 >= 0)
+      val dls = real.map { case ((id, pos), g) =>
+        val dl = real.filter(_._2 != g)
+          .map(o => bruteLcp(toks, g, o._2)).foldLeft(0L)(math.max)
+        (id, pos, dl)
+      }
+      dls.groupBy(_._1).map { case (id, xs) =>
+        val iv = xs.filter(_._3 >= DedupPack.SpanGram)
+          .map(x => (x._2, x._2 + x._3)).sortBy(identity)
+        var covered = 0L; var prevEnd = 0L
+        iv.foreach { case (s0, e0) =>
+          covered += math.max(0L, e0 - math.max(s0, prevEnd))
+          prevEnd = math.max(prevEnd, e0)
+        }
+        id -> covered
+      }
+    }
+    assert(got == brute)
+    assert(got.values.exists(_ > 0), "fixture must contain duplication")
+  }
+
   test("spans never leak across document boundaries") {
     // doc 1 + doc 3 concatenate to exactly doc 5's 8-gram; with the
     // per-doc sentinel no >= 8-token match exists anywhere
