@@ -193,15 +193,12 @@ object SuffixArray {
         col("doc_j") === col("doc_b_"))
     val za = slice(col("ts_a"), (col("pos") + 1).cast("int"), lit(MaxLcp))
     val zb = slice(col("ts_b"), (col("pos_j") + 1).cast("int"), lit(MaxLcp))
-    // first mismatch position over the zipped slices (null-padded to
-    // the longer one; null != anything) — 0 means one slice is a
-    // prefix of the other, where lcp = the shorter length
-    val firstNe = array_position(
-      zip_with(za, zb, (x, y) => coalesce(x === y, lit(false))), false)
+    // codegen'd single-pass prefix walk (plans/CommonPrefixLen) —
+    // stops at the first mismatch; one slice a prefix of the other
+    // gives the shorter length (sentinels differ right after)
     withTs.select(col("shard"), col("doc_id"), col("pos"),
       col("i"), col("j"),
-      when(firstNe === 0, least(size(za), size(zb)).cast("long"))
-        .otherwise(firstNe - 1).as("lcp"))
+      graft.plans.CommonPrefixLen.of(za, zb).as("lcp"))
   }
 
   /** dup_len per suffix: max lcp over the (≤2) SA neighbors — by the
