@@ -148,8 +148,16 @@ object SuffixArray {
   private def rankedFor(docs: DataFrame, key: String): DataFrame =
     cached.synchronized {
       Option(cached.get(key)).getOrElse {
-        val r = ranked(positions(docs)).persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // NARROW projection before the persist: consumers only need
+        // the SA key — caching the full doubling frame (every rk_k +
+        // the token column) cost 4.7 s in columnar cache build at
+        // sf0.1 vs 0.8 s for the whole doubling chain itself
+        // (measured; the wide cache was the dominant construction
+        // cost, not the 17 window stages).
+        val r = ranked(positions(docs))
+          .select(col("shard"), col("gpos"), col("doc_id"), col("pos"),
+            col("sent"), col(s"rk$K"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         r.count() // materialize once, here, so no consumer re-runs it
         cached.put(key, r)
         if (cached.size > MaxCached) {
@@ -259,17 +267,33 @@ object SuffixArray {
 
   // ---- registered query bodies -------------------------------------
 
-  def saSpans(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  /** Both queries run on a [[LoopWidth]]-sized session: every window
+    * here partitions by shard, so at the test session's 32-wide
+    * shuffles 17 sequential window stages each schedule 28 EMPTY
+    * tasks — the construction was measured scheduling-bound, the
+    * PageRank/BPE pathology. Width min(NShards, parallelism) is
+    * exact: window parallelism cannot exceed the shard count, and a
+    * production NShards (~10⁵ archives-worth) clears any cluster
+    * width, so the cap only ever binds at toy scale. */
+  private def sized[T](spark: org.apache.spark.sql.SparkSession,
+                       dir: String)(body: DataFrame => T): T = {
     val docs = graft.Tables.documents(spark, dir)
-    spanCoverage(docs, DedupPack.SpanGram,
-      rankedFor(docs, System.identityHashCode(spark) + "|" + dir))
+    val p = math.min(NShards,
+      math.max(1, spark.sparkContext.defaultParallelism))
+    LoopWidth.onSizedSession(docs, p)(body)
   }
 
-  def saLrs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables.documents(spark, dir)
-    longestSpans(docs,
-      rankedFor(docs, System.identityHashCode(spark) + "|" + dir))
-  }
+  def saSpans(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    sized(spark, dir) { docs =>
+      spanCoverage(docs, DedupPack.SpanGram,
+        rankedFor(docs, System.identityHashCode(spark) + "|" + dir))
+    }
+
+  def saLrs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    sized(spark, dir) { docs =>
+      longestSpans(docs,
+        rankedFor(docs, System.identityHashCode(spark) + "|" + dir))
+    }
 
   // ---- DuckDB oracle ------------------------------------------------
 
