@@ -378,7 +378,7 @@ object DedupPack extends QueryPack {
     "ds_dup_spans_apply" -> ((s, dir) => dupSpansApply(tokenized(s, dir))),
 
     // Exact maximal duplicated spans via per-shard suffix arrays
-    // (prefix doubling + LCP rank descent — Lee et al.'s ExactSubstr
+    // (prefix doubling + capped LCP extension — Lee et al.'s ExactSubstr
     // design; see operators/SuffixArray.scala): per-doc coverage of
     // positions whose maximal match is >= SpanGram tokens, and the
     // longest repeated substrings with their text. Complements the
@@ -1214,7 +1214,7 @@ object DedupPack extends QueryPack {
          |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     // Suffix-array replay: the identical prefix-doubling rounds
-    // (dense_rank windows), SA adjacency, and LCP rank descent as
+    // (dense_rank windows), SA adjacency, and capped LCP compare as
     // the engine — all-integer, so bit-for-bit (SuffixArray.sql*).
     "ds_sa_spans" -> SuffixArray.sqlSpans,
     "ds_sa_lrs" -> SuffixArray.sqlLrs,

@@ -139,8 +139,8 @@ object SuffixArray {
   /** Bounded memo of persisted rank frames (the [[GlobalIndex]]
     * cache discipline): both registered queries — and repeated
     * Verify/Bench calls — reuse one materialized doubling chain per
-    * (session, corpus) instead of re-running 2(K+1) window sorts per
-    * descent branch. Evicted frames stay CORRECT (lineage recomputes
+    * (session, corpus) instead of re-running the doubling chain per
+    * consumer. Evicted frames stay CORRECT (lineage recomputes
     * from shuffle files); they just lose the cache. */
   private val cached = new java.util.LinkedHashMap[String, DataFrame]()
   private val MaxCached = 2
