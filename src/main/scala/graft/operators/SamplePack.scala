@@ -324,6 +324,24 @@ object SamplePack extends QueryPack {
         .filter(col("n_epochs") > 0)
     }),
 
+    // Corpus export as size-bounded jsonl.gz shards (the Dolma /
+    // RedPajama interchange format) and READ-BACK through Spark's
+    // own JSON parser in FAILFAST mode — the aggregate is computed
+    // from the parsed shards, so any writer/reader infidelity (a
+    // mis-escaped line, a torn gzip member, a wrong shard cut)
+    // breaks the compare against the oracle's replay over the
+    // original table. sources/JsonlShards has the format contract.
+    "sp_jsonl_shards" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.sources.JsonlShards.parseShards(
+          graft.sources.JsonlShards.shardsFromDocuments(
+            Tables.documents(s, dir)))
+        .groupBy(col("source"), col("shard_idx"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_toks"),
+          sum(graft.functions.Hashing.h32(col("text"))).as("content_h"))
+    }),
+
     // Contiguous sequence packing into fixed 2048-token bins per
     // (source, lang) shard: one shuffle on the shard key, running sum
     // within the shard, then per-bin stats ride the same partitioning.
@@ -956,6 +974,29 @@ object SamplePack extends QueryPack {
          |WHERE al.alloc // al.n_toks +
          |      CASE WHEN c.cum_prev < al.alloc % al.n_toks
          |           THEN 1 ELSE 0 END > 0""".stripMargin,
+
+    // Shard-assignment replay at byte grain: line length = fixed
+    // overhead + field lengths (the corpus needs no JSON escapes —
+    // checked; the writer's escape path is pinned in the spec), and
+    // shard_idx = prev-bytes div budget via one source-partitioned
+    // window. The content hash-sum is order-free (exact long sum).
+    "sp_jsonl_shards" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, text,
+         |    CAST(${graft.sources.JsonlShards.LineOverhead}
+         |         + strlen(CAST(doc_id AS VARCHAR)) + strlen(lang)
+         |         + strlen(source) + strlen(text) AS BIGINT) AS lb
+         |  FROM documents),
+         |c AS (SELECT *, COALESCE(sum(lb) OVER (PARTITION BY source
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND 1 PRECEDING), 0) AS prev FROM d)
+         |SELECT source,
+         |  CAST(prev // ${graft.sources.JsonlShards.ShardBytes} AS BIGINT)
+         |    AS shard_idx,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks,
+         |  CAST(sum(${graft.functions.Hashing.sqlH32("text")}) AS BIGINT)
+         |    AS content_h
+         |FROM c GROUP BY 1, 2""".stripMargin,
 
     "sp_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, source, lang,

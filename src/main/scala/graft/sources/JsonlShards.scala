@@ -1,0 +1,161 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus export as size-bounded `.jsonl.gz` shards — the interchange
+  * format trainers and curation stacks actually ingest (Dolma and the
+  * RedPajama releases ship exactly this: one JSON object per line,
+  * gzip per shard), plus the read-back path that proves fidelity.
+  *
+  * Shard assignment is the [[graft.operators.Sampling.packBins]]
+  * rule at BYTE grain: docs walk in doc_id order within their
+  * source, and a line lands in the shard its starting (uncompressed)
+  * byte offset falls into — `shard_idx = prev_bytes div budget` — so
+  * a shard may overrun the budget by at most one line (the declared
+  * sp_pack_sequences convention, chosen over exact-fit rolling
+  * because one window replay reproduces it in SQL). Rolling on
+  * UNCOMPRESSED bytes is deliberate: compressed size depends on the
+  * deflate implementation, uncompressed size is engine-replayable.
+  *
+  * Serialization is MANUAL (fixed field order, minimal JSON escapes)
+  * rather than `to_json`: the byte layout is part of the shard
+  * contract (the oracle replays line lengths), and a library
+  * serializer's field ordering or float formatting is not a contract.
+  * Parse-back uses Spark's own JSON parser in FAILFAST mode — a torn
+  * line is a job failure, not a silent null row (the WARC loud-tear
+  * rule).
+  *
+  * 100 TB: the spool repartitions by source and writes shards
+  * sequentially per partition (one pass, one shard's lines buffered
+  * at a time); the gzip member is the unit of read parallelism —
+  * gzip is non-splittable, so shard SIZE is the knob, exactly the
+  * WARC archive argument ([[Warc]] scaladoc). Reference analog:
+  * none — the reference has no export path; this closes the last
+  * mile of corpus assembly (manifest → actual shard artifacts).
+  */
+object JsonlShards {
+
+  /** Uncompressed bytes per shard — sized so every test SF yields
+    * several shards per source including a partial tail. Production
+    * uses ~1 GB (the gzip-member parallelism unit). */
+  val ShardBytes = 1024L
+
+  final case class Shard(source: String, shard_idx: Long,
+                         n_docs: Long, data: Array[Byte])
+
+  /** JSON string escape: backslash, quote, and control chars (the
+    * mandatory set). The corpus needs none of them — the ORACLE
+    * counts raw strlen on that basis — but the writer must stay
+    * correct for any input (pinned with an escape fixture in the
+    * spec). */
+  def esc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"' => b.append("\\\"")
+      case c if c < 0x20 =>
+        b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  /** One document's line, newline included. Field order is the
+    * contract: id, lang, source, text. */
+  def line(id: Long, lang: String, source: String, text: String): String =
+    s"""{"id":$id,"lang":"${esc(lang)}","source":"${esc(source)}","text":"${esc(text)}"}""" + "\n"
+
+  /** Fixed per-line byte overhead beyond the four field values —
+    * spliced into the oracle's line-length replay. */
+  val LineOverhead: Long =
+    line(0L, "", "", "").length.toLong - 1 // minus the id digit
+
+  private def gzip(lines: Seq[String]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(bos)
+    lines.foreach(l => gz.write(l.getBytes(UTF_8)))
+    gz.close()
+    bos.toByteArray
+  }
+
+  /** Spool `docs` into per-source jsonl.gz shards. One pass per
+    * source partition; only the current shard's lines are buffered. */
+  def shardsFromDocuments(docs: DataFrame, budget: Long = ShardBytes)
+                         (implicit s: SparkSession): Dataset[Shard] = {
+    import s.implicits._
+    docs.select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .as[(Long, String, String, String)]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Shard]
+        var curSource: String = null
+        var curIdx = -1L
+        var bytes = 0L
+        var lines = scala.collection.mutable.ArrayBuffer.empty[String]
+        def flush(): Unit = if (lines.nonEmpty) {
+          out += Shard(curSource, curIdx, lines.size.toLong, gzip(lines.toSeq))
+          lines = scala.collection.mutable.ArrayBuffer.empty[String]
+        }
+        it.foreach { case (id, lang, source, text) =>
+          if (source != curSource) {
+            flush(); curSource = source; curIdx = -1L; bytes = 0L
+          }
+          val l = line(id, lang, source, text)
+          val idx = bytes / budget // the line starts in this shard
+          if (idx != curIdx) { flush(); curIdx = idx }
+          lines += l
+          bytes += l.length
+        }
+        flush()
+        out.iterator
+      }
+  }
+
+  private val DocSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("text", StringType)))
+
+  /** Read shards back: gunzip, split lines, parse each with Spark's
+    * JSON parser in FAILFAST mode. Output one row per document:
+    * (shard_source, shard_idx, doc_id, lang, source, text). */
+  def parseShards(shards: Dataset[Shard])
+                 (implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    shards
+      .flatMap { sh =>
+        val raw = new String(
+          readAll(new GZIPInputStream(
+            new java.io.ByteArrayInputStream(sh.data))), UTF_8)
+        val ls = raw.split("\n", -1).filter(_.nonEmpty)
+        require(ls.length == sh.n_docs,
+          s"shard ${sh.source}/${sh.shard_idx}: ${ls.length} lines, " +
+            s"manifest says ${sh.n_docs}")
+        ls.map(l => (sh.source, sh.shard_idx, l))
+      }
+      .toDF("shard_source", "shard_idx", "line")
+      .select(col("shard_source"), col("shard_idx"),
+        from_json(col("line"), DocSchema,
+          java.util.Map.of("mode", "FAILFAST")).as("d"))
+      .select(col("shard_source"), col("shard_idx"),
+        col("d.id").as("doc_id"), col("d.lang").as("lang"),
+        col("d.source").as("source"), col("d.text").as("text"))
+  }
+
+  private def readAll(in: java.io.InputStream): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    bos.toByteArray
+  }
+}

@@ -1,0 +1,92 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The jsonl.gz export contract: exact roundtrip including every
+  * JSON escape class (the oracle's raw-strlen shortcut is only valid
+  * because the CORPUS needs no escapes — the writer itself must
+  * handle them), the byte-grain shard-roll rule, and loud failure on
+  * torn shards and malformed lines. */
+class JsonlShardsSpec extends SparkSpec {
+
+  private implicit def s: org.apache.spark.sql.SparkSession = spark
+
+  private def docsDf(rows: (Long, String, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "lang", "source", "text")
+  }
+
+  test("roundtrip is exact, including escape-needing text") {
+    val rows = Seq(
+      (1L, "en", "srcA", """he said "hi" and left"""),
+      (2L, "en", "srcA", "back\\slash and\ttab"),
+      (3L, "de", "srcA", "line\nbreak plus  control"),
+      (4L, "en", "srcB", ""),
+      (5L, "ja", "srcB", "文字は多バイト"))
+    val back = JsonlShards.parseShards(
+        JsonlShards.shardsFromDocuments(docsDf(rows: _*)))
+      .select("doc_id", "lang", "source", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(back == rows.toSet)
+  }
+
+  test("shard roll follows the prev-bytes div budget rule") {
+    // ~60-byte lines against a 150-byte budget: several shards per
+    // source with a partial tail; replay the rule line by line
+    val rows = (0L until 12L).map(i => (i, "en", "s0", "x " * 9 + "x"))
+    val shards = JsonlShards.shardsFromDocuments(docsDf(rows: _*), budget = 150L)
+      .collect().sortBy(_.shard_idx)
+    assert(shards.length > 2, "fixture must roll")
+    var bytes = 0L
+    val wantIdx = rows.map { case (id, lang, src, text) =>
+      val idx = bytes / 150L
+      bytes += JsonlShards.line(id, lang, src, text).length
+      idx
+    }
+    val wantCounts = wantIdx.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(shards.map(sh => sh.shard_idx -> sh.n_docs).toMap == wantCounts)
+    // parse-back attributes every doc to its assigned shard
+    val got = JsonlShards.parseShards(
+        spark.createDataset(shards.toSeq)(
+          org.apache.spark.sql.Encoders.product[JsonlShards.Shard]))
+      .select("shard_idx", "doc_id").collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(got == rows.map(_._1).zip(wantIdx).toMap)
+  }
+
+  test("a torn gzip shard fails loudly") {
+    val shards = JsonlShards.shardsFromDocuments(
+      docsDf((1L, "en", "s0", "some text here"))).collect()
+    val torn = shards.head.copy(
+      data = shards.head.data.dropRight(4)) // truncated member
+    intercept[org.apache.spark.SparkException] {
+      JsonlShards.parseShards(
+        spark.createDataset(Seq(torn))(
+          org.apache.spark.sql.Encoders.product[JsonlShards.Shard]))
+        .count()
+    }
+  }
+
+  test("a malformed line fails the job, not a silent null row") {
+    val bad = JsonlShards.Shard("s0", 0L, 1L, gzipOf("{not json\n"))
+    intercept[org.apache.spark.SparkException] {
+      // collect, not count: a count-only plan prunes the parse
+      // projection away and would never evaluate the bad line
+      JsonlShards.parseShards(
+        spark.createDataset(Seq(bad))(
+          org.apache.spark.sql.Encoders.product[JsonlShards.Shard]))
+        .collect()
+    }
+  }
+
+  private def gzipOf(s0: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(s0.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    gz.close()
+    bos.toByteArray
+  }
+}
