@@ -553,6 +553,28 @@ object SamplePack extends QueryPack {
         chrome = CrawlText.chromeFor(s, dir),
         model = TextPack.classifierModelFor(s, dir))),
 
+    // ...and the same pipeline's OTHER artifact: the surviving
+    // corpus written as jsonl.gz shards and read back — crawl →
+    // extract → gates → dedup → decon → mix → EXPORT, aggregated
+    // from the parsed shards so the whole chain INCLUDING the
+    // writer/reader is under the oracle.
+    "sp_corpus_export" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val cur = corpusCurated(s,
+        docs = Tables.documents(s, dir),
+        emb = Tables.embeddings(s, dir),
+        chrome = CrawlText.chromeFor(s, dir),
+        model = TextPack.classifierModelFor(s, dir))
+      graft.sources.JsonlShards.parseShards(
+          graft.sources.JsonlShards.shardsFromDocuments(
+            cur.select(col("doc_id"), col("lang"), col("source"),
+              col("xt").as("text"))))
+        .groupBy(col("source"), col("shard_idx"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_toks"),
+          sum(graft.functions.Hashing.h32(col("text"))).as("content_h"))
+    }),
+
     // Cluster-balanced sample: k-means assignment as the stratum,
     // then exact 16 vectors per cluster in salted-hash order. The
     // centroids come from the shared build-once [[IndexCache]] — the
@@ -787,7 +809,13 @@ object SamplePack extends QueryPack {
     * residency is three SMALL post-gate frames (the curated corpus
     * and two shrinking survivor sets), not unbounded growth, and a
     * production run replaces them with real lake-table writes. */
-  private[graft] def corpusManifest(s: SparkSession, docs: DataFrame,
+  /** The corpus-assembly pipeline up to its LAST doc-grain stage —
+    * crawl → extract → quality gates → exact+near dedup → semantic
+    * decon → temperature mix — returning the surviving corpus
+    * (source, doc_id, lang, xt). [[corpusManifest]] packs it into
+    * the sequence manifest; sp_corpus_export writes it as jsonl.gz
+    * shards (the two artifacts a data team actually ships). */
+  private[graft] def corpusCurated(s: SparkSession, docs: DataFrame,
       emb: DataFrame, chrome: DataFrame, model: Classifier.Model,
       onStage: (String, Long) => Unit = (_, _) => ()): DataFrame = {
     implicit val sp: SparkSession = s
@@ -853,8 +881,15 @@ object SamplePack extends QueryPack {
       Seq("doc_id"))
     val rates = Sampling.temperatureRates(withSrc, col("source"),
       basePct = 10, maxPct = 90)
-    val s6 = withSrc.join(broadcast(rates), Seq("source"))
+    withSrc.join(broadcast(rates), Seq("source"))
       .filter(Sampling.bucket(col("doc_id"), "corp") < col("rate"))
+  }
+
+  private[graft] def corpusManifest(s: SparkSession, docs: DataFrame,
+      emb: DataFrame, chrome: DataFrame, model: Classifier.Model,
+      onStage: (String, Long) => Unit = (_, _) => ()): DataFrame = {
+    implicit val sp: SparkSession = s
+    val s6 = corpusCurated(s, docs, emb, chrome, model, onStage)
     // pack into PackBudget-token sequences per (source, lang);
     // manifest at sequence grain (the sp_shard_manifest plan)
     val seqStats = Sampling.packBins(
@@ -875,6 +910,107 @@ object SamplePack extends QueryPack {
       .agg(count(lit(1)).as("n_seqs"), sum(col("n_docs")).as("n_docs"),
         sum(col("seq_tokens")).as("shard_tokens"),
         min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
+  }
+
+  /** The e2e oracle's shared CTE prefix — crawl-extract through
+    * the temperature-mixed surviving corpus (final CTE `s6`:
+    * doc_id, lang, xt, source). Spliced after WITH RECURSIVE by
+    * both sp_corpus_e2e and sp_corpus_export. */
+  private def corpusSqlPrefix: String = {
+    val stops = (TextPack.stopEn ++ TextPack.stopEs ++ TextPack.stopDe)
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val D = Classifier.Dim; val I = Classifier.Iters
+    s"""|cur AS MATERIALIZED (SELECT doc_id, lang, xt FROM ${CrawlText.sqlCuratedSrc} cc),
+         |ctk AS MATERIALIZED (SELECT doc_id, lang, xt,
+         |          regexp_split_to_array(xt, '\\s+') AS wt FROM cur),
+         |gok AS (SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      CAST(len(wt) AS BIGINT) AS n_tokens,
+         |      CAST(len(list_distinct(wt)) AS BIGINT) AS n_distinct,
+         |      CAST(list_sum(list_transform(wt,
+         |        t2 -> CAST(length(t2) AS BIGINT))) AS BIGINT) AS sum_len,
+         |      CAST(len(list_filter(wt,
+         |        t2 -> list_contains($stops, t2))) AS BIGINT) AS n_stop
+         |    FROM ctk)
+         |  WHERE NOT (n_tokens < $CorpusMinTokens)
+         |    AND NOT (n_tokens > ${TextPack.GopherMaxTokens})
+         |    AND NOT (sum_len < ${TextPack.GopherWordLenLo} * n_tokens OR
+         |             sum_len > ${TextPack.GopherWordLenHi} * n_tokens)
+         |    AND NOT (n_stop < ${TextPack.GopherMinStopHits})
+         |    AND NOT ((n_tokens - n_distinct) * 2 > n_tokens)),
+         |${TextPack.clfCtes},
+         |bfx AS (SELECT (SELECT w FROM w$I WHERE j = $D) * 1000
+         |  - coalesce((SELECT CAST(sum(w.w * fm.m) AS BIGINT)
+         |              FROM w$I w JOIN fm ON w.j = fm.j), 0) AS b),
+         |featx AS MATERIALIZED (SELECT doc_id, j,
+         |    CAST(floor(CAST(count(*) AS DOUBLE) * 1000 / any_value(n))
+         |      AS BIGINT) AS x
+         |  FROM (SELECT doc_id, len(wt) AS n,
+         |          ${graft.functions.Hashing.sqlH32("t2")} % $D AS j
+         |        FROM (SELECT doc_id, wt, unnest(wt) AS t2 FROM ctk))
+         |  GROUP BY doc_id, j),
+         |zx AS MATERIALIZED (SELECT c2.doc_id,
+         |    ${Classifier.sqlZ(
+               s"coalesce(CAST(sum(w.w * f.x) AS BIGINT), 0) + (SELECT b FROM bfx)")} AS z
+         |  FROM cur c2 LEFT JOIN featx f ON c2.doc_id = f.doc_id
+         |              LEFT JOIN w$I w ON f.j = w.j
+         |  GROUP BY c2.doc_id),
+         |cok AS (SELECT doc_id FROM zx
+         |        WHERE ${Classifier.sqlPUnits("z")} >= ${Classifier.Units / 2}),
+         |s1 AS MATERIALIZED (SELECT ctk.doc_id, ctk.lang, ctk.xt FROM ctk
+         |       JOIN gok USING (doc_id) JOIN cok USING (doc_id)),
+         |lt AS MATERIALIZED (SELECT doc_id, string_split(xt, ' ') AS ts FROM s1),
+         |lbg AS MATERIALIZED (SELECT doc_id, ts[j+1] || ' ' || ts[j+2] AS ng,
+         |               ts[j+1] AS a
+         |        FROM lt, UNNEST(generate_series(0, len(ts) - 2)) AS gsr(j)),
+         |lcb AS (SELECT ng, count(*) AS cab FROM lbg GROUP BY ng),
+         |lca AS (SELECT a, count(*) AS ca FROM lbg GROUP BY a),
+         |lvv AS (SELECT count(DISTINCT w2) AS vs FROM
+         |          (SELECT unnest(ts) AS w2 FROM lt)),
+         |llp AS (SELECT lcb.ng,
+         |          CAST(floor(log2((cab + 1.0) / (ca + vs)) * 1e4 + 0.5)
+         |            AS BIGINT) AS lpu
+         |        FROM lcb JOIN lca ON string_split(lcb.ng, ' ')[1] = lca.a
+         |        CROSS JOIN lvv),
+         |lce AS MATERIALIZED (SELECT doc_id,
+         |          ${Det.droundSql(
+                    "-(CAST(sum(lpu) AS DOUBLE)) / (count(*) * 1e4)", 4)} AS ce
+         |        FROM lbg JOIN llp USING (ng) GROUP BY doc_id),
+         |lth AS (SELECT ${Det.droundSql(
+                   "quantile_cont(ce, 0.6666666666666666)", 4)} AS t FROM lce),
+         |s2 AS MATERIALIZED (SELECT s1.doc_id, s1.lang, s1.xt FROM s1
+         |       JOIN lce USING (doc_id) CROSS JOIN lth
+         |       WHERE lce.ce <= lth.t),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(xt)),
+         |s3 AS MATERIALIZED (SELECT s2.* FROM s2 JOIN ex USING (doc_id)),
+         |${DedupPack.groupsCtesOver("(SELECT doc_id, xt AS text FROM s3) crawl")},
+         |s4 AS MATERIALIZED (SELECT s3.* FROM s3
+         |       WHERE NOT EXISTS (SELECT 1 FROM groups gg
+         |                         WHERE gg.doc_id = s3.doc_id
+         |                           AND gg.doc_id <> gg.rep)),
+         |ev2 AS (SELECT vec_id AS eval_id, embedding AS evec
+         |        FROM embeddings WHERE vec_id % 50 = 0),
+         |dflag AS (SELECT DISTINCT e2.vec_id AS doc_id
+         |  FROM embeddings e2 JOIN s4 ON e2.vec_id = s4.doc_id
+         |  CROSS JOIN ev2
+         |  WHERE e2.vec_id % 50 <> 0
+         |    AND ${graft.functions.Similarity.sqlCos("e2.embedding", "ev2.evec")} >= 0.3),
+         |s5 AS MATERIALIZED (SELECT s4.* FROM s4
+         |       WHERE s4.doc_id % 50 <> 0
+         |         AND NOT EXISTS (SELECT 1 FROM dflag
+         |                         WHERE dflag.doc_id = s4.doc_id)),
+         |s5s AS MATERIALIZED (SELECT s5.doc_id, d.source, s5.lang, s5.xt
+         |        FROM s5 JOIN documents d USING (doc_id)),
+         |mr AS (SELECT source, count(*) AS n,
+         |         sum(count(*)) OVER () AS total FROM s5s GROUP BY source),
+         |mrate AS (SELECT source,
+         |            least(90, CAST(floor(10.0 *
+         |              sqrt(CAST(total AS DOUBLE) / n) + 0.5) AS BIGINT))
+         |              AS rate
+         |          FROM mr),
+         |s6 AS MATERIALIZED (SELECT s5s.* FROM s5s JOIN mrate USING (source)
+         |       WHERE ${Sampling.sqlBucket("s5s.doc_id", "corp")} < rate)
+""".stripMargin
   }
 
   override def oracles: Map[String, String] = Map(
@@ -1138,100 +1274,8 @@ object SamplePack extends QueryPack {
     // gates, both dedup granularities (groups chain = the engine's
     // star contraction), decon, the mix, the pack, the manifest
     "sp_corpus_e2e" -> {
-      val stops = (TextPack.stopEn ++ TextPack.stopEs ++ TextPack.stopDe)
-        .map(w => s"'$w'").mkString("[", ", ", "]")
-      val D = Classifier.Dim; val I = Classifier.Iters
       s"""WITH RECURSIVE
-         |cur AS MATERIALIZED (SELECT doc_id, lang, xt FROM ${CrawlText.sqlCuratedSrc} cc),
-         |ctk AS MATERIALIZED (SELECT doc_id, lang, xt,
-         |          regexp_split_to_array(xt, '\\s+') AS wt FROM cur),
-         |gok AS (SELECT doc_id FROM (
-         |    SELECT doc_id,
-         |      CAST(len(wt) AS BIGINT) AS n_tokens,
-         |      CAST(len(list_distinct(wt)) AS BIGINT) AS n_distinct,
-         |      CAST(list_sum(list_transform(wt,
-         |        t2 -> CAST(length(t2) AS BIGINT))) AS BIGINT) AS sum_len,
-         |      CAST(len(list_filter(wt,
-         |        t2 -> list_contains($stops, t2))) AS BIGINT) AS n_stop
-         |    FROM ctk)
-         |  WHERE NOT (n_tokens < $CorpusMinTokens)
-         |    AND NOT (n_tokens > ${TextPack.GopherMaxTokens})
-         |    AND NOT (sum_len < ${TextPack.GopherWordLenLo} * n_tokens OR
-         |             sum_len > ${TextPack.GopherWordLenHi} * n_tokens)
-         |    AND NOT (n_stop < ${TextPack.GopherMinStopHits})
-         |    AND NOT ((n_tokens - n_distinct) * 2 > n_tokens)),
-         |${TextPack.clfCtes},
-         |bfx AS (SELECT (SELECT w FROM w$I WHERE j = $D) * 1000
-         |  - coalesce((SELECT CAST(sum(w.w * fm.m) AS BIGINT)
-         |              FROM w$I w JOIN fm ON w.j = fm.j), 0) AS b),
-         |featx AS MATERIALIZED (SELECT doc_id, j,
-         |    CAST(floor(CAST(count(*) AS DOUBLE) * 1000 / any_value(n))
-         |      AS BIGINT) AS x
-         |  FROM (SELECT doc_id, len(wt) AS n,
-         |          ${graft.functions.Hashing.sqlH32("t2")} % $D AS j
-         |        FROM (SELECT doc_id, wt, unnest(wt) AS t2 FROM ctk))
-         |  GROUP BY doc_id, j),
-         |zx AS MATERIALIZED (SELECT c2.doc_id,
-         |    ${Classifier.sqlZ(
-               s"coalesce(CAST(sum(w.w * f.x) AS BIGINT), 0) + (SELECT b FROM bfx)")} AS z
-         |  FROM cur c2 LEFT JOIN featx f ON c2.doc_id = f.doc_id
-         |              LEFT JOIN w$I w ON f.j = w.j
-         |  GROUP BY c2.doc_id),
-         |cok AS (SELECT doc_id FROM zx
-         |        WHERE ${Classifier.sqlPUnits("z")} >= ${Classifier.Units / 2}),
-         |s1 AS MATERIALIZED (SELECT ctk.doc_id, ctk.lang, ctk.xt FROM ctk
-         |       JOIN gok USING (doc_id) JOIN cok USING (doc_id)),
-         |lt AS MATERIALIZED (SELECT doc_id, string_split(xt, ' ') AS ts FROM s1),
-         |lbg AS MATERIALIZED (SELECT doc_id, ts[j+1] || ' ' || ts[j+2] AS ng,
-         |               ts[j+1] AS a
-         |        FROM lt, UNNEST(generate_series(0, len(ts) - 2)) AS gsr(j)),
-         |lcb AS (SELECT ng, count(*) AS cab FROM lbg GROUP BY ng),
-         |lca AS (SELECT a, count(*) AS ca FROM lbg GROUP BY a),
-         |lvv AS (SELECT count(DISTINCT w2) AS vs FROM
-         |          (SELECT unnest(ts) AS w2 FROM lt)),
-         |llp AS (SELECT lcb.ng,
-         |          CAST(floor(log2((cab + 1.0) / (ca + vs)) * 1e4 + 0.5)
-         |            AS BIGINT) AS lpu
-         |        FROM lcb JOIN lca ON string_split(lcb.ng, ' ')[1] = lca.a
-         |        CROSS JOIN lvv),
-         |lce AS MATERIALIZED (SELECT doc_id,
-         |          ${Det.droundSql(
-                    "-(CAST(sum(lpu) AS DOUBLE)) / (count(*) * 1e4)", 4)} AS ce
-         |        FROM lbg JOIN llp USING (ng) GROUP BY doc_id),
-         |lth AS (SELECT ${Det.droundSql(
-                   "quantile_cont(ce, 0.6666666666666666)", 4)} AS t FROM lce),
-         |s2 AS MATERIALIZED (SELECT s1.doc_id, s1.lang, s1.xt FROM s1
-         |       JOIN lce USING (doc_id) CROSS JOIN lth
-         |       WHERE lce.ce <= lth.t),
-         |ex AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(xt)),
-         |s3 AS MATERIALIZED (SELECT s2.* FROM s2 JOIN ex USING (doc_id)),
-         |${DedupPack.groupsCtesOver("(SELECT doc_id, xt AS text FROM s3) crawl")},
-         |s4 AS MATERIALIZED (SELECT s3.* FROM s3
-         |       WHERE NOT EXISTS (SELECT 1 FROM groups gg
-         |                         WHERE gg.doc_id = s3.doc_id
-         |                           AND gg.doc_id <> gg.rep)),
-         |ev2 AS (SELECT vec_id AS eval_id, embedding AS evec
-         |        FROM embeddings WHERE vec_id % 50 = 0),
-         |dflag AS (SELECT DISTINCT e2.vec_id AS doc_id
-         |  FROM embeddings e2 JOIN s4 ON e2.vec_id = s4.doc_id
-         |  CROSS JOIN ev2
-         |  WHERE e2.vec_id % 50 <> 0
-         |    AND ${graft.functions.Similarity.sqlCos("e2.embedding", "ev2.evec")} >= 0.3),
-         |s5 AS MATERIALIZED (SELECT s4.* FROM s4
-         |       WHERE s4.doc_id % 50 <> 0
-         |         AND NOT EXISTS (SELECT 1 FROM dflag
-         |                         WHERE dflag.doc_id = s4.doc_id)),
-         |s5s AS MATERIALIZED (SELECT s5.doc_id, d.source, s5.lang, s5.xt
-         |        FROM s5 JOIN documents d USING (doc_id)),
-         |mr AS (SELECT source, count(*) AS n,
-         |         sum(count(*)) OVER () AS total FROM s5s GROUP BY source),
-         |mrate AS (SELECT source,
-         |            least(90, CAST(floor(10.0 *
-         |              sqrt(CAST(total AS DOUBLE) / n) + 0.5) AS BIGINT))
-         |              AS rate
-         |          FROM mr),
-         |s6 AS MATERIALIZED (SELECT s5s.* FROM s5s JOIN mrate USING (source)
-         |       WHERE ${Sampling.sqlBucket("s5s.doc_id", "corp")} < rate),
+         |$corpusSqlPrefix,
          |pt AS (SELECT doc_id, source, lang,
          |         CAST(len(regexp_split_to_array(xt, '\\s+')) AS BIGINT)
          |           AS n_tokens
@@ -1254,6 +1298,30 @@ object SamplePack extends QueryPack {
          |       CAST(sum(seq_tokens) AS BIGINT) AS shard_tokens,
          |       min(pos) AS first_pos, max(pos) AS last_pos
          |FROM pp GROUP BY 1""".stripMargin
+    },
+
+    // the export artifact: the same surviving-corpus prefix, then
+    // the jsonl byte-grain shard replay (sp_jsonl_shards's tail over
+    // s6's xt instead of documents.text)
+    "sp_corpus_export" -> {
+      s"""WITH RECURSIVE
+         |$corpusSqlPrefix,
+         |jd AS (SELECT doc_id, lang, source, xt,
+         |    CAST(${graft.sources.JsonlShards.LineOverhead}
+         |         + strlen(CAST(doc_id AS VARCHAR)) + strlen(lang)
+         |         + strlen(source) + strlen(xt) AS BIGINT) AS lb
+         |  FROM s6),
+         |jc AS (SELECT *, COALESCE(sum(lb) OVER (PARTITION BY source
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND 1 PRECEDING), 0) AS prev FROM jd)
+         |SELECT source,
+         |  CAST(prev // ${graft.sources.JsonlShards.ShardBytes} AS BIGINT)
+         |    AS shard_idx,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len(string_split(xt, ' '))) AS BIGINT) AS n_toks,
+         |  CAST(sum(${graft.functions.Hashing.sqlH32("xt")}) AS BIGINT)
+         |    AS content_h
+         |FROM jc GROUP BY 1, 2""".stripMargin
     },
 
     // the trained assignment (a3, same unrolled CTEs as
