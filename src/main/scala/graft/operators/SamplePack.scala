@@ -547,11 +547,7 @@ object SamplePack extends QueryPack {
     // exponentially (each stage re-derives its parent's whole crawl
     // subtree), which no production pipeline would run either.
     "sp_corpus_e2e" -> ((s, dir) =>
-      corpusManifest(s,
-        docs = Tables.documents(s, dir),
-        emb = Tables.embeddings(s, dir),
-        chrome = CrawlText.chromeFor(s, dir),
-        model = TextPack.classifierModelFor(s, dir))),
+      manifestFrom(s, corpusCuratedFor(s, dir))),
 
     // ...and the same pipeline's OTHER artifact: the surviving
     // corpus written as jsonl.gz shards and read back — crawl →
@@ -560,11 +556,7 @@ object SamplePack extends QueryPack {
     // writer/reader is under the oracle.
     "sp_corpus_export" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val cur = corpusCurated(s,
-        docs = Tables.documents(s, dir),
-        emb = Tables.embeddings(s, dir),
-        chrome = CrawlText.chromeFor(s, dir),
-        model = TextPack.classifierModelFor(s, dir))
+      val cur = corpusCuratedFor(s, dir)
       graft.sources.JsonlShards.parseShards(
           graft.sources.JsonlShards.shardsFromDocuments(
             cur.select(col("doc_id"), col("lang"), col("source"),
@@ -809,6 +801,34 @@ object SamplePack extends QueryPack {
     * residency is three SMALL post-gate frames (the curated corpus
     * and two shrinking survivor sets), not unbounded growth, and a
     * production run replaces them with real lake-table writes. */
+  /** Bounded memo of the curated corpus per (session, corpus dir) —
+    * the production accounting: the pipeline computes the surviving
+    * corpus ONCE and derives both artifacts (manifest + export) from
+    * it. The value is checkpoint-backed ([[corpusCurated]]'s stages
+    * already localCheckpoint), so the memo holds small plans, not
+    * live caches. */
+  private val curatedMemo =
+    new java.util.LinkedHashMap[String, DataFrame]()
+
+  private[graft] def corpusCuratedFor(s: SparkSession, dir: String): DataFrame =
+    curatedMemo.synchronized {
+      val key = System.identityHashCode(s) + "|" + dir
+      Option(curatedMemo.get(key)).getOrElse {
+        val cur = corpusCurated(s,
+          docs = Tables.documents(s, dir),
+          emb = Tables.embeddings(s, dir),
+          chrome = CrawlText.chromeFor(s, dir),
+          model = TextPack.classifierModelFor(s, dir))
+          .localCheckpoint(true)
+        curatedMemo.put(key, cur)
+        if (curatedMemo.size > 2) {
+          val it = curatedMemo.entrySet().iterator()
+          it.next(); it.remove()
+        }
+        cur
+      }
+    }
+
   /** The corpus-assembly pipeline up to its LAST doc-grain stage —
     * crawl → extract → quality gates → exact+near dedup → semantic
     * decon → temperature mix — returning the surviving corpus
@@ -887,9 +907,12 @@ object SamplePack extends QueryPack {
 
   private[graft] def corpusManifest(s: SparkSession, docs: DataFrame,
       emb: DataFrame, chrome: DataFrame, model: Classifier.Model,
-      onStage: (String, Long) => Unit = (_, _) => ()): DataFrame = {
+      onStage: (String, Long) => Unit = (_, _) => ()): DataFrame =
+    manifestFrom(s, corpusCurated(s, docs, emb, chrome, model, onStage))
+
+  /** The manifest tail over an already-curated corpus frame. */
+  private[graft] def manifestFrom(s: SparkSession, s6: DataFrame): DataFrame = {
     implicit val sp: SparkSession = s
-    val s6 = corpusCurated(s, docs, emb, chrome, model, onStage)
     // pack into PackBudget-token sequences per (source, lang);
     // manifest at sequence grain (the sp_shard_manifest plan)
     val seqStats = Sampling.packBins(
