@@ -112,6 +112,15 @@ object DevStress {
         graft.operators.SuffixArray.positions(renamed,
           graft.operators.SuffixArray.NShards * 4))))
 
+    // jsonl export: spool factor× docs into gzip shards and parse
+    // every line back — one sequential pass per source partition,
+    // so wall should track bytes; the per-doc parse dominates
+    {
+      implicit val sp: SparkSession = spark
+      time("jsonl_roundtrip", graft.sources.JsonlShards.parseShards(
+        graft.sources.JsonlShards.shardsFromDocuments(renamed)))
+    }
+
     // mega-component span dedup: ONE 16-token boilerplate sentence
     // appended to EVERY doc (the "sentence spanning 10^5 docs" case),
     // natural tokens salted per-doc so the boiler grams are the ONLY
