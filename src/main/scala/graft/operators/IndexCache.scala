@@ -63,7 +63,7 @@ object IndexCache {
     * (Kudo's published form) from Viterbi-hard counts. */
   private val TrainerVersion = Map(
     "cent" -> 1, "pq" -> 1, "sq8" -> 1, "clf" -> 1,
-    "bpe" -> 1, "wp" -> 1, "uni" -> 2, "chrome" -> 2)
+    "bpe" -> 1, "bpeb" -> 1, "wp" -> 1, "uni" -> 2, "chrome" -> 2)
 
   /** Trainings actually RUN by this process (loads don't count) —
     * what the restart spec observes. */
@@ -213,6 +213,12 @@ object IndexCache {
     * with the query pack. */
   def bpeMerges(dir: String)(build: => Seq[Bpe.Merge]): Seq[Bpe.Merge] =
     cached(s"bpe:$dir")(build)
+
+  /** Byte-level BPE merge table (over GPT-2 byte-remapped pretokens
+    * with the Ġ space marker) — distinct artifact from the char-level
+    * table: the alphabets differ, so the merges do too. */
+  def bpeByteMerges(dir: String)(build: => Seq[Bpe.Merge]): Seq[Bpe.Merge] =
+    cached(s"bpeb:$dir")(build)
 
   def wordpieceVocab(dir: String)(build: => Seq[(String, Long)]): Seq[(String, Long)] =
     cached(s"wp:$dir")(build)

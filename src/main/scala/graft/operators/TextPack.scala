@@ -89,6 +89,26 @@ object TextPack extends QueryPack {
     IndexCache.bpeMerges(dir)(Bpe.trainMerges(
       tokenized(s, dir).select(explode(col("toks")).as("w"))))
 
+  /** Byte-level pretokens (the GPT-2 feed): each word byte-remapped
+    * through [[graft.plans.ByteRemap]], with the space ATTACHED to
+    * its following word — " word" remaps to "Ġword", the signature
+    * marker — so the concatenation of pretokens is the remap of the
+    * document and no byte is lost. The corpus is ASCII, where the
+    * remap is identity on word bytes and the oracle writes chr(288)
+    * for the marker; the non-ASCII byte-fallback path (é → "Ã©") is
+    * pinned in ByteRemapSpec. */
+  private def bytePretokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("i", "w0")))
+      .select(col("doc_id"), graft.plans.ByteRemap.of(
+        when(col("i") === 0, col("w0"))
+          .otherwise(concat(lit(" "), col("w0")))).as("w"))
+
+  private[operators] def bpeByteMergesFor(s: SparkSession, dir: String): Seq[Bpe.Merge] =
+    IndexCache.bpeByteMerges(dir)(Bpe.trainMerges(
+      bytePretokens(s, dir).select(col("w"))))
+
   private def wpVocabFor(s: SparkSession, dir: String): Seq[(String, Long)] =
     IndexCache.wordpieceVocab(dir)(
       Wordpiece.train(Tables.documents(s, dir)))
@@ -425,6 +445,34 @@ object TextPack extends QueryPack {
           col("n_symbols"),
           when(col("n_chars") > 0, graft.Det.dround(
             col("n_symbols").cast("double") / col("n_chars"), 4))
+            .as("compression"))
+    }),
+
+    // BYTE-LEVEL BPE — the GPT-2 production form: train and encode
+    // over byte-remapped pretokens with the attached-space Ġ marker
+    // ([[bytePretokens]]), so merges learn "Ġthe"-style units and
+    // the tokenizer has byte fallback (no OOV by construction). Same
+    // loop and apply machinery as the char-level family — only the
+    // feed differs — so the scale shape is unchanged: training at
+    // pretoken grain on a LoopWidth session, encoding one codegen'd
+    // replace chain per scan.
+    "tx_bpe_bytes_vocab" -> ((s, dir) =>
+      Bpe.vocabFrame(s, bpeByteMergesFor(s, dir))),
+
+    "tx_bpe_bytes_encode" -> ((s, dir) => {
+      val words = bytePretokens(s, dir)
+      val merges = bpeByteMergesFor(s, dir)
+      words
+        .select(col("doc_id"), length(col("w")).cast("long").as("before"),
+          length(Bpe.encodeCol(col("w"), merges)).cast("long").as("after"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pretoks"),
+          sum(col("before")).as("n_bytes"),
+          sum(col("after")).as("n_symbols"))
+        .select(col("doc_id"), col("n_pretoks"), col("n_bytes"),
+          col("n_symbols"),
+          when(col("n_bytes") > 0, graft.Det.dround(
+            col("n_symbols").cast("double") / col("n_bytes"), 4))
             .as("compression"))
     }),
 
@@ -1077,6 +1125,41 @@ object TextPack extends QueryPack {
          |      FROM d)
          |SELECT doc_id, count(*) AS n_words,
          |  CAST(sum(before) AS BIGINT) AS n_chars,
+         |  CAST(sum(after) AS BIGINT) AS n_symbols,
+         |  CASE WHEN sum(before) > 0 THEN ${graft.Det.droundSql(
+              "CAST(sum(after) AS DOUBLE) / CAST(sum(before) AS DOUBLE)", 4)}
+         |  END AS compression
+         |FROM e GROUP BY doc_id""".stripMargin,
+
+    // byte-level replay: the corpus is ASCII, where ByteRemap is
+    // identity on word bytes and the attached space is chr(288) 'Ġ'
+    // (the non-ASCII byte-fallback path is pinned in ByteRemapSpec);
+    // training/encode CTEs are the same Bpe machinery over the
+    // pretoken feed
+    "tx_bpe_bytes_vocab" ->
+      s"""WITH bw AS (SELECT doc_id,
+         |    CASE WHEN i = 1 THEN ts[CAST(i AS INTEGER)]
+         |         ELSE chr(288) || ts[CAST(i AS INTEGER)] END AS w
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+         |        FROM documents),
+         |       UNNEST(generate_series(1, len(ts))) AS g(i)),
+         |w0 AS (SELECT w FROM bw WHERE length(w) >= 2),
+         |${Bpe.sqlVocab()}""".stripMargin,
+
+    "tx_bpe_bytes_encode" ->
+      s"""WITH bw AS (SELECT doc_id,
+         |    CASE WHEN i = 1 THEN ts[CAST(i AS INTEGER)]
+         |         ELSE chr(288) || ts[CAST(i AS INTEGER)] END AS w
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+         |        FROM documents),
+         |       UNNEST(generate_series(1, len(ts))) AS g(i)),
+         |w0 AS (SELECT w FROM bw WHERE length(w) >= 2),
+         |${Bpe.sqlTrainCtesForEncode()},
+         |e AS (SELECT doc_id, length(w) AS before,
+         |        length(${Bpe.sqlEncodeExpr("w")}) AS after
+         |      FROM bw)
+         |SELECT doc_id, count(*) AS n_pretoks,
+         |  CAST(sum(before) AS BIGINT) AS n_bytes,
          |  CAST(sum(after) AS BIGINT) AS n_symbols,
          |  CASE WHEN sum(before) > 0 THEN ${graft.Det.droundSql(
               "CAST(sum(after) AS DOUBLE) / CAST(sum(before) AS DOUBLE)", 4)}

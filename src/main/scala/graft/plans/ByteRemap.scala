@@ -1,0 +1,89 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** GPT-2's byte-to-unicode remap as a codegen'd expression: every
+  * UTF-8 BYTE of the input becomes exactly one printable character —
+  * printable bytes (33–126, 161–172, 174–255) keep their codepoint,
+  * the 68 remaining bytes take 256+n in ascending byte order (so
+  * space → U+0120 'Ġ', newline → U+010A 'Ċ'). This is the published
+  * injective map that lets byte-level BPE treat arbitrary bytes as a
+  * string alphabet with no unprintable symbols and no OOV: a
+  * non-ASCII character trains/encodes as its UTF-8 byte sequence
+  * (é → "Ã©"), the byte-fallback property production tokenizers rely
+  * on.
+  *
+  * An expression (not a UDF, not a per-char translate): the remap is
+  * BYTE-grain, so string functions — which see characters — cannot
+  * express it; the generated loop walks the UTF8String's bytes once.
+  * Output chars all sit below U+0400, so the result is 1 UTF-16 char
+  * per input byte.
+  */
+case class ByteRemap(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"byte_remap requires string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val out = new Array[Char](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = ByteRemap.Table(bytes(i) & 0xff)
+      i += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val table = ctx.addReferenceObj("byteRemapTable",
+        ByteRemap.Table, "char[]")
+      val bytes = ctx.freshName("bytes")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $s.getBytes();
+         |char[] $out = new char[$bytes.length];
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $out[$i] = $table[$bytes[$i] & 0xff];
+         |}
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String
+         |  .fromString(new String($out));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ByteRemap {
+
+  /** The published table: identity on printable bytes, 256+n (n in
+    * ascending byte order) on the rest. Injective by construction. */
+  val Table: Array[Char] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val t = new Array[Char](256)
+    var next = 256
+    for (b <- 0 until 256) {
+      if (keep(b)) t(b) = b.toChar
+      else { t(b) = next.toChar; next += 1 }
+    }
+    t
+  }
+
+  def of(c: Column): Column =
+    GraftShim.column(ByteRemap(GraftShim.expression(c)))
+}

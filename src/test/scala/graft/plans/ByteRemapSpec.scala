@@ -1,0 +1,51 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The GPT-2 byte-encoder contract: published table vectors, byte
+  * (not char) grain on multi-byte input, injectivity, and
+  * interpreted/codegen agreement. */
+class ByteRemapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def remap(s0: String): String =
+    Seq(s0).toDF("s").select(ByteRemap.of(col("s")).as("r"))
+      .collect().head.getString(0)
+
+  test("published table vectors") {
+    assert(remap(" ") == "Ġ")          // space → Ġ
+    assert(remap("\n") == "Ċ")         // newline → Ċ
+    assert(remap("\u007f") == "ġ")     // DEL → ġ (256 + 33)
+    assert(remap("A!~") == "A!~")           // printable ASCII keeps
+    assert(remap(" the") == "Ġthe")    // the pretoken marker
+  }
+
+  test("multi-byte input remaps at BYTE grain (byte fallback)") {
+    // é = 0xC3 0xA9; both bytes are in the keep set → "Ã©"
+    assert(remap("é") == "Ã©")
+    // 文 = 0xE6 0x96 0x87: 0xE6 → 'æ' (keep), 0x96/0x87 are in the
+    // remapped block (129→..., walk the table to the expected chars)
+    val t = ByteRemap.Table
+    assert(remap("文") == new String(Array(t(0xe6), t(0x96), t(0x87))))
+    assert(remap("文").length == 3, "one char per input byte")
+  }
+
+  test("the table is injective over all 256 bytes") {
+    assert(ByteRemap.Table.toSet.size == 256)
+    // keep-set bytes are identity; the rest land at 256+n ascending
+    assert(ByteRemap.Table('a'.toInt) == 'a')
+    assert(ByteRemap.Table(0) == 256.toChar)
+    assert(ByteRemap.Table(32) == 288.toChar)
+    assert(ByteRemap.Table(173) == ByteRemap.Table(160) + 1,
+      "0xAD follows 0xA0 in the remapped block")
+  }
+
+  test("whole-document remap equals pretoken concatenation") {
+    // the attached-space pretokenization loses no byte: remap(doc)
+    // == first pretoken ++ remapped " w" units
+    val doc = "alpha beta gamma"
+    val pretoks = Seq(remap("alpha"), remap(" beta"), remap(" gamma"))
+    assert(remap(doc) == pretoks.mkString)
+  }
+}
