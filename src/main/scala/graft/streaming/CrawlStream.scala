@@ -47,10 +47,25 @@ object CrawlStream {
     * watch this inventory to see leakage BEFORE it poisons the
     * corpus; the output contract itself is unchanged (the stream
     * never self-edits chrome — batch-local df is not corpus truth,
-    * it is an alarm). */
+    * it is an alarm).
+    *
+    * `exportDir`, when set, additionally ships each batch's curated
+    * docs as `.jsonl.gz` shard FILES ([[graft.sources.JsonlShards]]
+    * — the trainer-interchange layout) under
+    * `exportDir/ingest_batch=<id>/<source>_<shard>.jsonl.gz`, with
+    * an explicit `_SUCCESS` touched only after every shard landed —
+    * the same replay-idempotent marker discipline as the parquet
+    * output, so a restarted batch rewrites its own directory
+    * byte-identically. Shard blobs stream to the driver one
+    * partition at a time (`toLocalIterator` — memory holds ONE
+    * shard) and write through the Hadoop FS; a micro-batch is one
+    * trigger's archives, so the sequential write is bounded by the
+    * trigger size, not the corpus.
+    */
   def startCuration(spark: SparkSession, feedDir: String, outDir: String,
                     ckptDir: String, chrome: DataFrame,
-                    driftDir: Option[String] = None): StreamingQuery = {
+                    driftDir: Option[String] = None,
+                    exportDir: Option[String] = None): StreamingQuery = {
     implicit val s: SparkSession = spark
     import s.implicits._
     val frozen = chrome.select(col("lang"), col("h")).collect()
@@ -85,6 +100,29 @@ object CrawlStream {
             .toDF("lang", "h")
           CrawlText.curatedWithChrome(batch.toDF(), chromeDf)
             .write.mode(SaveMode.Overwrite).parquet(dir)
+        }
+        exportDir.foreach { ed =>
+          val dir2 = s"$ed/ingest_batch=$batchId"
+          if (!SinkFs.exists(s"$dir2/_SUCCESS")) {
+            val sess = batch.sparkSession
+            val chromeDf = sess.createDataFrame(
+              sess.sparkContext.parallelize(frozen.toSeq, 1))
+              .toDF("lang", "h")
+            val curated = CrawlText
+              .curatedTextWithChrome(batch.toDF(), chromeDf)
+              .join(batch.toDF().select(col("doc_id"), col("source"))
+                .distinct(), Seq("doc_id"))
+              .select(col("doc_id"), col("lang"), col("source"),
+                col("xt").as("text"))
+            val it = graft.sources.JsonlShards
+              .shardsFromDocuments(curated)(sess).toLocalIterator()
+            while (it.hasNext) {
+              val sh = it.next()
+              SinkFs.writeBytes(
+                s"$dir2/${sh.source}_${sh.shard_idx}.jsonl.gz", sh.data)
+            }
+            SinkFs.touch(s"$dir2/_SUCCESS")
+          }
         }
         driftDir.foreach { dd =>
           val drift = s"$dd/ingest_batch=$batchId"

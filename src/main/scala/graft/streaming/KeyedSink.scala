@@ -66,6 +66,15 @@ private[streaming] object SinkFs {
     val (f, path) = fs(p)
     f.delete(path, true)
   }
+
+  /** Create-or-overwrite `p` with `data` (shard artifacts, markers). */
+  def writeBytes(p: String, data: Array[Byte]): Unit = {
+    val (f, path) = fs(p)
+    val out = f.create(path, true)
+    try out.write(data) finally out.close()
+  }
+
+  def touch(p: String): Unit = writeBytes(p, Array.emptyByteArray)
 }
 
 /** Append-only bronze parquet: each micro-batch owns an

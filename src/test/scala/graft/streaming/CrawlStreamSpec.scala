@@ -96,4 +96,71 @@ class CrawlStreamSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).toSet
     assert(batchDirs.forall(_.startsWith("ingest_batch=")), s"$batchDirs")
   }
+
+  test("streaming jsonl export ships each batch's curated docs as shards") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val dir = Files.createTempDirectory("graft-crawl-x").toString
+    val feed = s"$dir/feed"; val out = s"$dir/curated"; val ckpt = s"$dir/ckpt"
+    val export = s"$dir/export"
+    Files.createDirectories(Paths.get(feed))
+    val corpus = docs(1 to 12, "alpha").union(docs(21 to 32, "beta"))
+    land(feed, corpus)
+    val chrome = CrawlText.boilerplate(CrawlText.paragraphs(
+      Warc.parseHttpRecords(Warc.htmlResponseArchives(corpus)).toDF()))
+      .select(col("lang"), col("h"))
+
+    CrawlStream.startCuration(spark, feed, out, ckpt, chrome,
+      exportDir = Some(export)).awaitTermination()
+
+    val batchDir = new java.io.File(export).listFiles()
+      .filter(_.isDirectory).map(_.getPath).toSeq match {
+      case Seq(one) => one
+      case other => fail(s"expected one batch dir, got $other")
+    }
+    assert(new java.io.File(s"$batchDir/_SUCCESS").exists(),
+      "marker lands only after every shard")
+    val files = new java.io.File(batchDir).listFiles()
+      .filter(_.getName.endsWith(".jsonl.gz"))
+    assert(files.nonEmpty)
+    val mtimes = files.map(f => f.getName -> f.lastModified()).toMap
+
+    // parse every shard back: the export IS the curated batch output
+    val shards = files.map { f =>
+      val name = f.getName.stripSuffix(".jsonl.gz")
+      val cut = name.lastIndexOf('_')
+      graft.sources.JsonlShards.Shard(name.substring(0, cut),
+        name.substring(cut + 1).toLong, -1L,
+        Files.readAllBytes(f.toPath))
+    }.map(sh => sh.copy(n_docs = countLines(sh.data)))
+    val parsed = graft.sources.JsonlShards.parseShards(
+      spark.createDataset(shards.toSeq)(
+        org.apache.spark.sql.Encoders.product[graft.sources.JsonlShards.Shard]))
+    val curatedMd5 = spark.read.parquet(out)
+      .select("doc_id", "text_md5").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exportedMd5 = parsed.select(col("doc_id"), md5(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(exportedMd5 == curatedMd5,
+      "exported shards must carry exactly the curated text")
+
+    // restart with the same checkpoint: the marker short-circuits —
+    // no shard file is rewritten
+    CrawlStream.startCuration(spark, feed, out, ckpt, chrome,
+      exportDir = Some(export)).awaitTermination()
+    val after = new java.io.File(batchDir).listFiles()
+      .filter(_.getName.endsWith(".jsonl.gz"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(after == mtimes, "applied batch must not rewrite shards")
+  }
+
+  private def countLines(gz: Array[Byte]): Long = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(gz))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    new String(out.toByteArray,
+      java.nio.charset.StandardCharsets.UTF_8).count(_ == '\n').toLong
+  }
 }
