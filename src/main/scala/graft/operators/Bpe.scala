@@ -148,45 +148,49 @@ object Bpe {
     * (re-segmented corpus) and `x{k}` (the merge row with the pair
     * expanded through every prior iteration's token — prior tokens
     * contain no sentinels, so a flat replace chain is exact). */
-  private def sqlTrainCtes(iters: Int): String = {
+  private def sqlTrainCtes(iters: Int, pfx: String): String = {
     def pairSrc(k: Int) =
       s"""(SELECT substr(w, i, 2) AS pair
-         |   FROM w$k, UNNEST(generate_series(1, length(w) - 1)) AS g(i))"""
+         |   FROM ${pfx}w$k, UNNEST(generate_series(1, length(w) - 1)) AS g(i))"""
         .stripMargin
     (0 until iters).flatMap { k =>
-      val expand = (0 until k).foldLeft(s"(SELECT pair FROM t$k)") {
-        (acc, j) => s"replace($acc, chr(${SentinelBase + j}), (SELECT token FROM x$j))"
+      val expand = (0 until k).foldLeft(s"(SELECT pair FROM ${pfx}t$k)") {
+        (acc, j) => s"replace($acc, chr(${SentinelBase + j}), (SELECT token FROM ${pfx}x$j))"
       }
       val t =
-        s"""t$k AS (SELECT pair, count(*) AS n FROM ${pairSrc(k)}
+        s"""${pfx}t$k AS (SELECT pair, count(*) AS n FROM ${pairSrc(k)}
            |  GROUP BY pair ORDER BY n DESC, pair LIMIT 1)""".stripMargin
       val x =
-        s"""x$k AS (SELECT CAST($k AS BIGINT) AS rank, $expand AS token,
-           |  (SELECT n FROM t$k) AS n)""".stripMargin
+        s"""${pfx}x$k AS (SELECT CAST($k AS BIGINT) AS rank, $expand AS token,
+           |  (SELECT n FROM ${pfx}t$k) AS n)""".stripMargin
       val w = if (k < iters - 1)
-        Seq(s"""w${k + 1} AS (SELECT w FROM (
-               |  SELECT replace(w, (SELECT pair FROM t$k),
-               |                 chr(${SentinelBase + k})) AS w FROM w$k)
+        Seq(s"""${pfx}w${k + 1} AS (SELECT w FROM (
+               |  SELECT replace(w, (SELECT pair FROM ${pfx}t$k),
+               |                 chr(${SentinelBase + k})) AS w FROM ${pfx}w$k)
                |  WHERE length(w) >= 2)""".stripMargin)
       else Seq.empty
       Seq(t, x) ++ w
     }.mkString(",\n")
   }
 
-  /** The full vocab oracle: training CTEs + the K merge rows. */
-  def sqlVocab(iters: Int = Iters): String = {
+  /** The full vocab oracle: training CTEs + the K merge rows. `pfx`
+    * namespaces every CTE (and the `${pfx}w0` feed it reads), so two
+    * BPE trainings — e.g. char-level and byte-level — can share one
+    * statement. */
+  def sqlVocab(iters: Int = Iters, pfx: String = ""): String = {
     val unions = (0 until iters)
-      .map(k => s"SELECT rank, token, n FROM x$k").mkString("\nUNION ALL ")
-    sqlTrainCtes(iters) + "\n" + unions
+      .map(k => s"SELECT rank, token, n FROM ${pfx}x$k").mkString("\nUNION ALL ")
+    sqlTrainCtes(iters, pfx) + "\n" + unions
   }
 
   /** [[encodeCol]] in SQL: the K learned pairs (selected by the
     * training CTEs) chained as nested replaces in rank order. */
-  def sqlEncodeExpr(w: String, iters: Int = Iters): String =
+  def sqlEncodeExpr(w: String, iters: Int = Iters, pfx: String = ""): String =
     (0 until iters).foldLeft(w)((acc, k) =>
-      s"replace($acc, (SELECT pair FROM t$k), chr(${SentinelBase + k}))")
+      s"replace($acc, (SELECT pair FROM ${pfx}t$k), chr(${SentinelBase + k}))")
 
   /** The encode oracle fragment: training CTEs reusable beside a
     * caller-provided doc-grain track. */
-  def sqlTrainCtesForEncode(iters: Int = Iters): String = sqlTrainCtes(iters)
+  def sqlTrainCtesForEncode(iters: Int = Iters, pfx: String = ""): String =
+    sqlTrainCtes(iters, pfx)
 }

@@ -406,7 +406,13 @@ object TextPack extends QueryPack {
         "wordpiece", col("n_pieces"))
       val un = roll(Unigram.viterbi(Unigram.wordCounts(docs),
         uniFor(s, dir).scores), "unigram", col("n_pieces"))
-      bpe.unionByName(wp).unionByName(un)
+      // the byte-level family rolls over PRETOKEN counts (chars =
+      // remapped bytes incl. the Ġ marker — its own comparable basis)
+      val bwc = bytePretokens(s, dir).groupBy(col("w"))
+        .agg(count(lit(1)).as("cnt"))
+      val bb = roll(bwc, "bpe_bytes",
+        length(Bpe.encodeCol(col("w"), bpeByteMergesFor(s, dir))).cast("long"))
+      bpe.unionByName(wp).unionByName(un).unionByName(bb)
         .withColumn("compression", graft.Det.dround(
           col("units").cast("double") / col("chars").cast("double"), 4))
     }),
@@ -1061,6 +1067,15 @@ object TextPack extends QueryPack {
          |${Wordpiece.sqlSegmentCtes("f", s"v${Wordpiece.EmIters}")},
          |${Unigram.sqlTrainCtes()},
          |${Unigram.sqlViterbiCtes("f_", s"us${Unigram.PruneIters}")},
+         |bbw AS (SELECT doc_id,
+         |    CASE WHEN i = 1 THEN ts[CAST(i AS INTEGER)]
+         |         ELSE chr(288) || ts[CAST(i AS INTEGER)] END AS w
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+         |        FROM documents),
+         |       UNNEST(generate_series(1, len(ts))) AS g(i)),
+         |bw0 AS (SELECT w FROM bbw WHERE length(w) >= 2),
+         |bwc AS (SELECT w, count(*)::BIGINT AS cnt FROM bbw GROUP BY w),
+         |${Bpe.sqlTrainCtesForEncode(pfx = "b")},
          |r AS (
          |  SELECT 'bpe' AS family,
          |    CAST(sum(cnt * length(w)) AS BIGINT) AS chars,
@@ -1074,7 +1089,12 @@ object TextPack extends QueryPack {
          |  UNION ALL
          |  SELECT 'unigram', CAST(sum(cnt * length(w)) AS BIGINT),
          |    CAST(sum(cnt * np) AS BIGINT)
-         |  FROM f_seg)
+         |  FROM f_seg
+         |  UNION ALL
+         |  SELECT 'bpe_bytes', CAST(sum(cnt * length(w)) AS BIGINT),
+         |    CAST(sum(cnt * length(${Bpe.sqlEncodeExpr("w", pfx = "b")}))
+         |      AS BIGINT)
+         |  FROM bwc)
          |SELECT family, chars, units,
          |  ${graft.Det.droundSql(
               "CAST(units AS DOUBLE) / CAST(chars AS DOUBLE)", 4)}
