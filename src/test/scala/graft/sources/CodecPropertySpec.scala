@@ -146,4 +146,28 @@ class CodecPropertySpec extends AnyFunSuite {
       Multimodal.HeaderCodec.parse(bytes)
     }
   }
+
+  test("jsonl escape law: esc is injective and JSON-parseable for any string") {
+    // arbitrary unicode strings, biased toward the escape classes
+    val gen = Gen.listOf(Gen.frequency(
+      (4, Gen.alphaNumChar),
+      (2, Gen.oneOf('"', '\\', '\n', '\t', '\r', '\u0000', '\u001f')),
+      (1, Gen.oneOf('é', '文', 'Ġ', '\u00a0')))).map(_.mkString)
+    (1 to Trials).foreach { i =>
+      val s = sample(gen, i + 900)
+      val line = JsonlShards.line(7L, "xx", "src", s)
+      // the line must parse back to exactly the input via a strict
+      // JSON reader (Jackson — the same parser family Spark uses)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(line)
+      assert(node.get("text").asText() == s, s"trial $i")
+      assert(node.get("id").asLong() == 7L)
+      // byte-length contract the shard-roll oracle relies on: for
+      // escape-free ASCII the line length is overhead + field lengths
+      if (s.forall(c => c >= 0x20 && c != '"' && c != '\\' && c < 0x7f)) {
+        assert(line.length ==
+          JsonlShards.LineOverhead + 1 + 2 + 3 + s.length)
+      }
+    }
+  }
 }
