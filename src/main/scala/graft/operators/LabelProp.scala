@@ -31,8 +31,11 @@ import org.apache.spark.sql.functions._
   * (no map-side count combine) — at LPA's early rounds neighbor
   * labels are near-distinct so the combine bought little, and one
   * fewer exchange per round wins on stage latency (the local[32]
-  * jitter study's many-stage penalty). Edges are cached once,
-  * hash-partitioned on the join side; the loop runs on a
+  * jitter study's many-stage penalty). Prep is ONE exchange too: the
+  * symmetric dedup rides the loop's a-partitioning (subset-clustering
+  * satisfaction) instead of a distinct-then-repartition pair, and
+  * round 1 skips the label join entirely (the identity labeling makes
+  * a neighbor's label its id). The loop runs on a
   * [[LoopWidth]]-sized session like PageRank. Integer counts and
   * the total (cnt, label) tiebreak make every round exact-replayable.
   */
@@ -46,30 +49,47 @@ object LabelProp {
     val spark = edges.sparkSession
     val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
-      val sym = edges.select(col("a"), col("b"))
+      val raw = edges.select(col("a"), col("b"))
         .union(edges.select(col("b").as("a"), col("a").as("b")))
-        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-      frames += sym
-      val nEdges = sym.count()
+      frames += raw
+      // sizing off the PRE-dedup count — an upper bound is exactly
+      // what a width heuristic wants, and counting before the dedup
+      // lets the dedup ride the loop exchange below instead of
+      // spending its own
+      val nEdges = raw.count()
       val p = LoopWidth.partitionsFor(nEdges, spark)
-      LoopWidth.onSizedSession(sym, p) { eBase =>
+      LoopWidth.onSizedSession(raw, p) { eBase =>
+        // ONE exchange covers BOTH symmetric-dedup and loop layout:
+        // HashPartitioning(a) routes every copy of an (a, b) pair to
+        // one partition (equal a ⇒ equal target), and an aggregate
+        // clustered on (a, b) accepts any partitioning on a SUBSET of
+        // its keys — so dropDuplicates aggregates in place and its
+        // output keeps the a-partitioning the round joins need.
+        // Previously distinct() exchanged on (a, b) and the loop
+        // re-exchanged the result on `a`: two full-frame shuffles
+        // where one suffices.
         val e = eBase.repartition(p, col("a"))
+          .dropDuplicates("a", "b")
           .persist(StorageLevel.MEMORY_AND_DISK)
         frames += e
-        var labels = e.select(col("a").as("node")).distinct()
-          .withColumn("label", col("node"))
-        (1 to iters).foreach { _ =>
+        var labels: DataFrame = null
+        (1 to iters).foreach { i =>
           // ONE exchange per round on `b` (the receiving node): both
           // the (node, label) count and the argmax cluster on subsets
           // of {b, label} ⊇ {b}, so HashPartitioning(b) satisfies
           // BOTH aggs and neither re-shuffles — previously the count
           // exchanged on (node, label) and the argmax re-exchanged on
           // node, two exchanges over the same rows per round.
-          val contrib = e
-            .join(labels.withColumnRenamed("node", "a"), "a")
-            .select(col("b"), col("label"))
-            .repartition(p, col("b"))
+          val contrib = (if (i == 1)
+            // round 1 runs against the IDENTITY labeling (label =
+            // node id), so neighbor a's label IS a — no materialized
+            // l0 frame, no distinct over nodes, no first join
+            e.select(col("b"), col("a").as("label"))
+          else
+            e.join(labels.withColumnRenamed("node", "a"), "a")
+              .select(col("b"), col("label"))
+          ).repartition(p, col("b"))
           val counts = contrib.groupBy(col("b"), col("label"))
             .agg(count(lit(1)).as("cnt"))
           // argmax by (cnt DESC, label ASC) as a partial-aggregable
@@ -79,6 +99,9 @@ object LabelProp {
               .as("m"))
             .select(col("b").as("node"), col("m.lab").as("label"))
         }
+        if (labels == null) // iters == 0: the identity labeling
+          labels = e.select(col("a").as("node")).distinct()
+            .withColumn("label", col("node"))
         labels.localCheckpoint(eager = true)
       }
     } finally frames.foreach(_.unpersist(blocking = false))
