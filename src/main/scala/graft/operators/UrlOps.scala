@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + registered-domain extraction — the crawl
+  * FRONT-END a web-scale training corpus needs before any text ever
+  * flows: the same page arrives under dozens of spellings (scheme or
+  * host case, default ports, `www.`, tracking params, param order,
+  * trailing slashes, fragments), and URL-level dedup is the cheapest
+  * cut in the whole pipeline because it needs no content at all. The
+  * reference works one URL template per site
+  * (bitcoinabuse/main.go:97-99, walletexplorer/main.go:203-207); this
+  * is the corpus-level form — C4/CCNet dedupe by normalized URL
+  * before the expensive content passes.
+  *
+  * 100 TB shape: [[canonicalize]] and [[registeredDomain]] are pure
+  * scalar Catalyst expression chains (regexp + array higher-order on
+  * short arrays — no UDF), so they run at scan speed inside the
+  * parquet-read stage; dedup is then one hash-partial groupBy on the
+  * canonical string, domain stats one combine-friendly groupBy,
+  * blocklisting a broadcast anti-join (blocklists are thousands of
+  * rows, never corpus-scale), and per-domain caps ride the native
+  * [[graft.plans.TopKPerKey]] operator (k rows per domain per
+  * partition cross the exchange, never a per-domain sort).
+  *
+  * Canonical form (declared): lowercase scheme and host, `www.`
+  * prefix dropped, default ports (`:80` http, `:443` https)
+  * stripped, ONE trailing slash off a non-root path, fragment
+  * dropped, tracking params removed (`utm_*` prefix and the
+  * `ref`/`fbclid`/`gclid` names), remaining query params sorted
+  * bytewise. Idempotent by construction (UrlOpsSpec pins it).
+  */
+object UrlOps {
+
+  /** Multi-part public suffixes the registered-domain heuristic
+    * recognizes (a stand-in for the full public-suffix list, which is
+    * an external artifact at production; the MECHANISM — last-2 vs
+    * last-3 labels on a suffix table — is the real thing). */
+  val MultiPartTlds: Seq[String] = Seq("co.uk", "com.au", "co.jp")
+
+  /** Deterministic URL fixture off `documents`: every 3 consecutive
+    * doc_ids are one logical PAGE (doc_id div 3) crawled under three
+    * spellings — www + plain params / bare host + default port +
+    * reordered params + utm / uppercase-WWW + trailing slash + utm +
+    * ref + fragment — so canonicalization collapses exactly the
+    * variant triples and nothing else. Every 7th page sits on the
+    * co.uk form of its source domain (exercising the multi-part
+    * suffix), every 11th carries a REAL port that must survive, and
+    * every 4th has no genuine query (its utm-only variants must
+    * canonicalize to no `?` at all). */
+  def urls(docs: DataFrame): DataFrame = {
+    val page = expr("doc_id div 3")
+    val v = col("doc_id") % 3
+    // the SITE derives from the PAGE (not the doc's `source`, which
+    // rotates per doc_id — page-mates must share a host or the
+    // variant triple could never collapse)
+    val site = concat(lit("site"), (page % 20).cast("string"))
+    val tld = when(page % 7 === 0, "co.uk").otherwise("com")
+    val sub = when(v === 0, "www.").when(v === 1, "").otherwise("WWW.")
+    val schm = when(v === 1, "HTTPS").otherwise("https")
+    val port = when(page % 11 === 0, ":8443")
+      .when(v === 1, ":443").otherwise("")
+    val pth = concat(lit("/p/"), page.cast("string"),
+      when(v === 2, "/").otherwise(""))
+    val ab = concat(lit("a="), (page % 5).cast("string"),
+      lit("&b="), (page % 3).cast("string"))
+    val ba = concat(lit("b="), (page % 3).cast("string"),
+      lit("&a="), (page % 5).cast("string"))
+    val hasQ = page % 4 =!= 0
+    val query = when(v === 0,
+        when(hasQ, concat(lit("?"), ab)).otherwise(""))
+      .when(v === 1,
+        when(hasQ, concat(lit("?"), ba, lit("&utm_source=feed")))
+          .otherwise("?utm_source=feed"))
+      .otherwise(
+        when(hasQ, concat(lit("?utm_campaign=x&"), ab, lit("&ref=rss")))
+          .otherwise("?ref=rss"))
+    val frag = when(v === 2, "#sec").otherwise("")
+    docs.select(col("doc_id"), col("n_chars"),
+      concat(schm, lit("://"), sub, site, lit("."), tld,
+        port, pth, query, frag).as("url"))
+  }
+
+  /** The canonical form of `url` (contract in the object doc). */
+  def canonicalize(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val hostport = regexp_extract(url, "^[A-Za-z]+://([^/?#]*)", 1)
+    val rawhost = lower(regexp_extract(hostport, "^([^:]*)", 1))
+    val host = when(rawhost.startsWith("www."),
+      rawhost.substr(lit(5), length(rawhost))).otherwise(rawhost)
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val portPart = when(port === "" ||
+        (scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80"), "")
+      .otherwise(concat(lit(":"), port))
+    val rawpath = regexp_extract(url, "^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
+    val p1 = when(rawpath === "", "/").otherwise(rawpath)
+    canonicalAssemble(scheme, host, portPart, canonicalPath(p1),
+      canonicalQuery(url))
+  }
+
+  private def canonicalPath(p1: Column): Column =
+    when(length(p1) > 1 && p1.endsWith("/"),
+      p1.substr(lit(1), length(p1) - 1)).otherwise(p1)
+
+  private def canonicalQuery(url: Column): Column = {
+    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = filter(split(q, "&"), x =>
+      x =!= "" && !x.startsWith("utm_") &&
+        !element_at(split(x, "="), 1).isin("ref", "fbclid", "gclid"))
+    val qs = array_join(array_sort(kept), "&")
+    when(qs === "", "").otherwise(concat(lit("?"), qs))
+  }
+
+  private def canonicalAssemble(scheme: Column, host: Column,
+      portPart: Column, path: Column, qPart: Column): Column =
+    concat(scheme, lit("://"), host, portPart, path, qPart)
+
+  /** Host of a CANONICAL url (already lowercased, www-stripped). */
+  def hostOf(canonical: Column): Column =
+    regexp_extract(canonical, "^[A-Za-z]+://([^/?#:]*)", 1)
+
+  /** Registered domain of a host: last two labels, or last three when
+    * the last two form a multi-part public suffix ([[MultiPartTlds]]).
+    */
+  def registeredDomain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val last2 = array_join(slice(parts, greatest(n - 1, lit(1)), lit(2)), ".")
+    val last3 = array_join(slice(parts, greatest(n - 2, lit(1)), lit(3)), ".")
+    when(last2.isin(MultiPartTlds: _*), last3).otherwise(last2)
+  }
+
+  // ---------------------------------------------------------------
+  // DuckDB twins — each replays the exact expression above.
+  // ---------------------------------------------------------------
+
+  /** Derived-table SQL yielding (doc_id, n_chars, url) — the
+    * fixture [[urls]] replayed off `documents`. */
+  val sqlUrlSrc: String =
+    """(SELECT doc_id, n_chars,
+      |  (CASE WHEN doc_id % 3 = 1 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+      |        WHEN doc_id % 3 = 1 THEN '' ELSE 'WWW.' END) ||
+      |  'site' || CAST((doc_id // 3) % 20 AS VARCHAR) || '.' ||
+      |  (CASE WHEN (doc_id // 3) % 7 = 0 THEN 'co.uk' ELSE 'com' END) ||
+      |  (CASE WHEN (doc_id // 3) % 11 = 0 THEN ':8443'
+      |        WHEN doc_id % 3 = 1 THEN ':443' ELSE '' END) ||
+      |  '/p/' || CAST(doc_id // 3 AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 3 = 2 THEN '/' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN
+      |     CASE WHEN (doc_id // 3) % 4 <> 0 THEN
+      |       '?a=' || CAST((doc_id // 3) % 5 AS VARCHAR) ||
+      |       '&b=' || CAST((doc_id // 3) % 3 AS VARCHAR) ELSE '' END
+      |   WHEN doc_id % 3 = 1 THEN
+      |     CASE WHEN (doc_id // 3) % 4 <> 0 THEN
+      |       '?b=' || CAST((doc_id // 3) % 3 AS VARCHAR) ||
+      |       '&a=' || CAST((doc_id // 3) % 5 AS VARCHAR) ||
+      |       '&utm_source=feed' ELSE '?utm_source=feed' END
+      |   ELSE
+      |     CASE WHEN (doc_id // 3) % 4 <> 0 THEN
+      |       '?utm_campaign=x&a=' || CAST((doc_id // 3) % 5 AS VARCHAR) ||
+      |       '&b=' || CAST((doc_id // 3) % 3 AS VARCHAR) ||
+      |       '&ref=rss' ELSE '?ref=rss' END
+      |   END) ||
+      |  (CASE WHEN doc_id % 3 = 2 THEN '#sec' ELSE '' END) AS url
+      | FROM documents)""".stripMargin
+
+  /** Derived-table SQL yielding (doc_id, n_chars, url, host,
+    * domain, canonical) — [[sqlUrlSrc]] run through the exact
+    * [[canonicalize]] / [[registeredDomain]] expressions. */
+  val sqlCanonSrc: String =
+    s"""(WITH u0 AS (SELECT * FROM $sqlUrlSrc uu),
+       |c1 AS (SELECT doc_id, n_chars, url,
+       |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+       |    regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1) AS hostport,
+       |    regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+       |    regexp_extract(url, '\\?([^#]*)', 1) AS q
+       |  FROM u0),
+       |c2 AS (SELECT doc_id, n_chars, url, scheme, q,
+       |    lower(regexp_extract(hostport, '^([^:]*)', 1)) AS rawhost,
+       |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+       |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS p1
+       |  FROM c1),
+       |c3 AS (SELECT doc_id, n_chars, url, scheme, port,
+       |    CASE WHEN starts_with(rawhost, 'www.')
+       |         THEN substr(rawhost, 5) ELSE rawhost END AS host,
+       |    CASE WHEN length(p1) > 1 AND p1 LIKE '%/'
+       |         THEN substr(p1, 1, length(p1) - 1) ELSE p1 END AS path,
+       |    coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+       |      x -> x <> '' AND NOT starts_with(x, 'utm_')
+       |           AND string_split(x, '=')[1] NOT IN
+       |             ('ref', 'fbclid', 'gclid'))), '&'), '') AS qs
+       |  FROM c2),
+       |c4 AS (SELECT doc_id, n_chars, url, host,
+       |    string_split(host, '.') AS parts,
+       |    scheme || '://' || host ||
+       |    (CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+       |               OR (scheme = 'http' AND port = '80')
+       |          THEN '' ELSE ':' || port END) ||
+       |    path ||
+       |    (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical
+       |  FROM c3),
+       |c5 AS (SELECT doc_id, n_chars, url, host, canonical,
+       |    array_to_string(
+       |      list_slice(parts, greatest(1, len(parts) - 1), len(parts)),
+       |      '.') AS last2,
+       |    array_to_string(
+       |      list_slice(parts, greatest(1, len(parts) - 2), len(parts)),
+       |      '.') AS last3
+       |  FROM c4)
+       |SELECT doc_id, n_chars, url, host, canonical,
+       |  CASE WHEN last2 IN (${MultiPartTlds.map("'" + _ + "'").mkString(", ")})
+       |       THEN last3 ELSE last2 END AS domain
+       |FROM c5)""".stripMargin
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.functions.Hashing
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** URL/domain-level corpus curation — the crawl front-end family
+  * ([[UrlOps]]): canonical-URL dedup, registered-domain inventory,
+  * domain blocklisting, per-domain caps. These run BEFORE content
+  * ever flows (URL strings only), which is what makes them the
+  * cheapest cut in a web-scale pipeline; the reference's per-site
+  * scrapers each hardcode one URL shape
+  * (bitcoinabuse/main.go:97-99), this is the corpus-level form.
+  *
+  * Plans, per query: canon is a pure scan-stage expression chain;
+  * dedup one hash-partial groupBy on the canonical string; stats one
+  * combine-friendly groupBy on the (tiny-domain-domain) key;
+  * blocklist a BROADCAST anti-join (blocklists are thousands of
+  * rows); cap the native [[graft.plans.TopKPerKey]] partial/final
+  * pair — k rows per domain per partition cross the exchange, never
+  * a per-domain sort window.
+  */
+object WebCurationPack extends QueryPack {
+
+  /** Per-domain keep budget for `wc_domain_cap` — small enough to
+    * BIND on the fixture's .com domains at every oracle SF. */
+  val CapK = 8
+
+  /** (doc_id, source, n_chars, url, host, canonical, domain) — the
+    * shared head every query builds on. */
+  private def canon(s: SparkSession, dir: String): DataFrame = {
+    val u = UrlOps.urls(Tables.documents(s, dir))
+    val c = UrlOps.canonicalize(col("url"))
+    val withC = u.withColumn("canonical", c)
+      .withColumn("host", UrlOps.hostOf(col("canonical")))
+    withC.withColumn("domain", UrlOps.registeredDomain(col("host")))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the canonicalizer itself, row by row — scheme/host case,
+    // www-strip, default vs real ports, trailing slash, fragment,
+    // tracking-param removal, param sort all land in one string
+    "wc_url_canon" -> ((s, dir) =>
+      canon(s, dir).select(col("doc_id"), col("url"), col("canonical"))),
+
+    // URL-level dedup: the fixture's variant triples collapse to one
+    // canonical each; survivor = first crawl (min doc_id), with the
+    // collapse counts a curation owner audits
+    "wc_url_dedup" -> ((s, dir) =>
+      canon(s, dir).groupBy(col("canonical"))
+        .agg(min(col("doc_id")).as("survivor_doc"),
+          count(lit(1)).as("n_urls"),
+          countDistinct(col("url")).as("n_forms"))),
+
+    // registered-domain inventory: docs, distinct canonical pages,
+    // and the char mass per domain — the mix-planning surface
+    // (sp_temperature_mix's per-source weights, at domain grain)
+    "wc_domain_stats" -> ((s, dir) =>
+      canon(s, dir).groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("canonical")).as("n_pages"),
+          sum(col("n_chars")).as("chars"))),
+
+    // domain blocklist: the list is a tiny standalone frame (here a
+    // deterministic hash-subset of the observed domains, standing in
+    // for the external blocklist artifact) applied as a BROADCAST
+    // anti-join on the registered domain — subdomains of a blocked
+    // domain die with it because the join key is the REGISTERED
+    // domain, not the host
+    "wc_blocklist" -> ((s, dir) => {
+      val c = canon(s, dir)
+      val blocked = c.select(col("domain")).distinct()
+        .filter(Hashing.h32(col("domain")) % 5 === 0)
+      c.join(broadcast(blocked), Seq("domain"), "left_anti")
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // per-domain cap: keep the CapK largest docs per registered
+    // domain (n_chars DESC, doc_id ASC tiebreak) via the native
+    // bounded-heap TopKPerKey — the C4-style "no domain dominates"
+    // rule at URL grain, same operator family as sp_source_cap
+    "wc_domain_cap" -> ((s, dir) => {
+      val c = canon(s, dir)
+      graft.plans.TopKPerKey.topKPerKey(c,
+        Seq(col("domain")),
+        Seq(col("n_chars").desc, col("doc_id").asc), CapK)
+        .select(col("domain"), col("doc_id"), col("n_chars"))
+    }))
+
+  override def oracles: Map[String, String] = Map(
+    "wc_url_canon" ->
+      s"""SELECT doc_id, url, canonical FROM ${UrlOps.sqlCanonSrc} c""",
+
+    "wc_url_dedup" ->
+      s"""SELECT canonical, min(doc_id) AS survivor_doc,
+         |  count(*) AS n_urls, count(DISTINCT url) AS n_forms
+         |FROM ${UrlOps.sqlCanonSrc} c GROUP BY canonical""".stripMargin,
+
+    "wc_domain_stats" ->
+      s"""SELECT domain, count(*) AS n_docs,
+         |  count(DISTINCT canonical) AS n_pages,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM ${UrlOps.sqlCanonSrc} c GROUP BY domain""".stripMargin,
+
+    "wc_blocklist" ->
+      s"""SELECT domain, count(*) AS n_docs
+         |FROM ${UrlOps.sqlCanonSrc} c
+         |WHERE ${Hashing.sqlH32("domain")} % 5 <> 0
+         |GROUP BY domain""".stripMargin,
+
+    "wc_domain_cap" ->
+      s"""SELECT domain, doc_id, n_chars FROM (
+         |  SELECT domain, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |  FROM ${UrlOps.sqlCanonSrc} c) WHERE rn <= $CapK""".stripMargin)
+}

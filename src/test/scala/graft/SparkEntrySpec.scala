@@ -12,7 +12,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "QueryLayerPack" -> QueryLayerPack, "DedupPack" -> DedupPack,
     "SimilarityPack" -> SimilarityPack, "TextPack" -> TextPack,
     "MultimodalPack" -> MultimodalPack, "StreamingPack" -> StreamingPack,
-    "SamplePack" -> SamplePack)
+    "SamplePack" -> SamplePack, "WebCurationPack" -> WebCurationPack)
 
   test("no query name collisions across packs") {
     val all = packs.flatMap { case (n, p) => p.queries.keys.map(_ -> n) }

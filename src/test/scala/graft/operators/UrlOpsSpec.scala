@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** [[UrlOps]] canonicalization laws on hostile inputs, plus the
+  * idempotence law and registered-domain edges — the cases the
+  * fixture's regular geometry can't reach. */
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url")
+      .select(UrlOps.canonicalize(col("url")).as("c"))
+      .as[String].collect().toSeq
+
+  private def dom(hosts: String*): Seq[String] =
+    hosts.toDF("h")
+      .select(UrlOps.registeredDomain(col("h")).as("d"))
+      .as[String].collect().toSeq
+
+  test("case, www, default port, fragment, tracking params, param order") {
+    assert(canon(
+      "HTTPS://WWW.Example.COM:443/A/b/?b=2&a=1&utm_source=x#frag",
+      "https://example.com/A/b?a=1&b=2",
+      "HTTP://example.com:80/A/b?utm_campaign=y&b=2&fbclid=z&a=1"
+    ) == Seq(
+      "https://example.com/A/b?a=1&b=2",
+      "https://example.com/A/b?a=1&b=2",
+      "http://example.com/A/b?a=1&b=2"))
+  }
+
+  test("real ports survive; default port of the OTHER scheme survives") {
+    assert(canon(
+      "https://a.com:8443/x",
+      "http://a.com:443/x", // 443 is not http's default — keep
+      "https://a.com:80/x"  // 80 is not https's default — keep
+    ) == Seq(
+      "https://a.com:8443/x",
+      "http://a.com:443/x",
+      "https://a.com:80/x"))
+  }
+
+  test("paths: missing -> /, root slash kept, ONE trailing slash off") {
+    assert(canon(
+      "https://a.com",
+      "https://a.com/",
+      "https://a.com?x=1",
+      "https://a.com/p//" // one slash off (declared: ONE)
+    ) == Seq(
+      "https://a.com/",
+      "https://a.com/",
+      "https://a.com/?x=1",
+      "https://a.com/p/"))
+  }
+
+  test("queries: utm-only -> no '?', empty '?' dropped, '&&' collapsed") {
+    assert(canon(
+      "https://a.com/p?utm_source=f&utm_medium=m",
+      "https://a.com/p?",
+      "https://a.com/p?a=1&&b=2",
+      "https://a.com/p?ref=rss#only-frag"
+    ) == Seq(
+      "https://a.com/p",
+      "https://a.com/p",
+      "https://a.com/p?a=1&b=2",
+      "https://a.com/p"))
+  }
+
+  test("param names survive unless exact-blocked: 'reference=1' stays") {
+    assert(canon("https://a.com/p?reference=1&ref=2") ==
+      Seq("https://a.com/p?reference=1"))
+  }
+
+  test("canonicalize is idempotent") {
+    val raw = Seq(
+      "HTTPS://WWW.Example.COM:443/A/b/?b=2&a=1&utm_source=x#frag",
+      "https://a.com", "https://a.com/p?ref=rss#f",
+      "http://WWW.B.CO.UK:8080/x/?z=1&y=2")
+    val once = canon(raw: _*)
+    assert(canon(once: _*) == once)
+  }
+
+  test("registered domain: plain, multi-part suffix, deep subdomains") {
+    assert(dom(
+      "example.com", "a.b.example.com", "example.co.uk",
+      "a.example.co.uk", "localhost", "example.com.au"
+    ) == Seq(
+      "example.com", "example.com", "example.co.uk",
+      "example.co.uk", "localhost", "example.com.au"))
+  }
+}
