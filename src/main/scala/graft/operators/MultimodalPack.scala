@@ -228,8 +228,52 @@ object MultimodalPack extends QueryPack {
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("doc_id"),
           graft.Det.dround(col("cos"), 6).as("cos"))
+    }),
+
+    // perceptual image hashing: decoded thumbnail grids (decode
+    // STUBBED, plumbing real) → 63-bit dHash as one codegen'd
+    // projection — the image analog of ds_simhash
+    "mm_dhash" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      dhashed(s, dir)
+    }),
+
+    // ...and image NEAR-DUP pairs through the SimHash banding
+    // pattern: 7 bands × 9 bits tile the 63-bit hash, so pigeonhole
+    // guarantees a shared band within HamCap=6 bits — candidates are
+    // an equi-join on (band, key), the popcount filter runs inside
+    // the join projection, and the fixture's bumped variants are the
+    // ground-truth dup pairs the query must recover
+    "mm_dhash_dups" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import graft.operators.PerceptualHash.{Bands, HamCap, bandKey}
+      val h = dhashed(s, dir)
+      val banded = h.select(col("img_id"), col("dhash"),
+          explode(array((0 until Bands).map(b0 => struct(
+            lit(b0.toLong).as("band"),
+            bandKey(col("dhash"), b0).as("key"))): _*)).as("bk"))
+        .select(col("img_id"), col("dhash"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      banded.alias("a").join(banded.alias("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.img_id") < col("b.img_id"))
+        .select(col("a.img_id").as("img_a"), col("b.img_id").as("img_b"),
+          expr("CAST(bit_count(a.dhash ^ b.dhash) AS BIGINT)")
+            .as("hamming"))
+        .filter(col("hamming") <= HamCap)
+        .distinct()
     })
   )
+
+  /** (img_id, dhash) over the near-dup image fixture — the shared
+    * head of the perceptual-hash queries. */
+  private def dhashed(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    Multimodal.decodePixels(
+        Multimodal.syntheticNearDupImages(Tables.documents(s, dir))).toDF()
+      .select(col("img_id"),
+        graft.operators.PerceptualHash.dhash(col("pixels")).as("dhash"))
+  }
 
   /** The mm_feature_extract oracle body, reused as a CTE by the
     * feature-topk oracle. */
@@ -429,6 +473,49 @@ object MultimodalPack extends QueryPack {
          |  FROM (SELECT * FROM nz WHERE doc_id < 10) q
          |  CROSS JOIN nz v
          |  WHERE v.doc_id <> q.doc_id)
-         |WHERE rank <= 3""".stripMargin
+         |WHERE rank <= 3""".stripMargin,
+
+    "mm_dhash" ->
+      s"""WITH $dhashCte
+         |SELECT img_id, dhash FROM h""".stripMargin,
+
+    "mm_dhash_dups" ->
+      s"""WITH $dhashCte,
+         |banded AS (SELECT img_id, dhash, band,
+         |             (dhash >> (band * ${PerceptualHash.BandBits}))
+         |               & ${(1L << PerceptualHash.BandBits) - 1} AS key
+         |           FROM h, (SELECT unnest(generate_series(0,
+         |             ${PerceptualHash.Bands - 1})) AS band)),
+         |cand AS (SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b,
+         |           a.dhash AS ha, b.dhash AS hb
+         |         FROM banded a JOIN banded b
+         |           ON a.band = b.band AND a.key = b.key
+         |          AND a.img_id < b.img_id)
+         |SELECT img_a, img_b,
+         |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(ha, hb)) <= ${PerceptualHash.HamCap}""".stripMargin
   )
+
+  /** The decoded-grid + dHash oracle body: pixels cycle the doc's
+    * text bytes (the stub decode's declared formula, ASCII byte≡char
+    * like the feature oracle), variant 1 bumps byte 0 by +16, and the
+    * hash replays [[graft.operators.PerceptualHash.dhash]]'s 63
+    * comparisons arithmetically. */
+  private val dhashCte =
+    """imgs AS (SELECT doc_id + v AS img_id, v, text,
+      |           strlen(text) AS n
+      |         FROM documents, (SELECT unnest([0, 1]) AS v)
+      |         WHERE doc_id % 2 = 0),
+      |px AS (SELECT img_id, list_transform(generate_series(0, 71), i ->
+      |           ascii(substr(text, (i % n) + 1, 1)) +
+      |           CASE WHEN v = 1 AND (i % n) = 0 THEN 16 ELSE 0 END) AS ps
+      |       FROM imgs),
+      |h AS (SELECT img_id,
+      |        CAST(list_sum(list_transform(generate_series(0, 62), k ->
+      |          CASE WHEN ps[(k // 8) * 9 + (k % 8) + 2]
+      |                  > ps[(k // 8) * 9 + (k % 8) + 1]
+      |               THEN (1::BIGINT << k) ELSE 0::BIGINT END))
+      |          AS BIGINT) AS dhash
+      |      FROM px)""".stripMargin
 }

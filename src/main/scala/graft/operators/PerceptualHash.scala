@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Perceptual image hashing (dHash, Krawetz's difference hash) — the
+  * IMAGE leg of near-dup dedup: text has MinHash/SimHash
+  * ([[DedupPack]]), images hash their decoded thumbnail's horizontal
+  * gradient signs, so re-encodes, metadata edits, and small
+  * brightness changes land a few Hamming bits apart while different
+  * images land ~half the bits apart. Input is the decoded
+  * [[graft.sources.Multimodal.PixelImage]] grid (decode stubbed, the
+  * Spark plumbing real — the brief's multimodal contract).
+  *
+  * The hash is 63 bits, not 64: bit 63 would need `1::BIGINT << 63`,
+  * which overflows DuckDB's checked BIGINT shift — the last of the
+  * 8×8 comparisons is dropped so the value stays positive and
+  * cross-engine exact (declared).
+  *
+  * 100 TB shape: [[dhash]] is a STATIC unroll of 63 element_at
+  * comparisons — one codegen'd projection at scan/decode stage, no
+  * higher-order lambda (the interpreted-fold tax), no shuffle. The
+  * dedup join is then the SimHash banding pattern: [[Bands]] bands of
+  * [[BandBits]] bits tile the hash exactly, so pigeonhole GUARANTEES
+  * a shared band for any pair within [[HamCap]] bits — candidate
+  * generation is an equi-join on (band, key), never an all-pairs
+  * scan, and the popcount filter runs inside the join projection
+  * before the pair dedup shuffle.
+  */
+object PerceptualHash {
+  import graft.sources.Multimodal.GridW
+
+  /** 63 bits = [[Bands]] × [[BandBits]] exactly; pigeonhole over 7
+    * bands is valid for ≤ 6 bit errors (⌈63/(6+1)⌉ = 9 = BandBits). */
+  val Bands = 7
+  val BandBits = 9
+  val HamCap = 6
+
+  /** 63-bit dHash of a row-major [[graft.sources.Multimodal.GridH]] ×
+    * [[GridW]] pixel grid: bit k (k = 8·row + col, k < 63) set iff
+    * pixel(row, col+1) > pixel(row, col). */
+  def dhash(px: Column): Column =
+    (0 until 63).map { k =>
+      val i = (k / 8) * GridW + (k % 8) // 0-based grid index
+      when(element_at(px, i + 2) > element_at(px, i + 1), lit(1L << k))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Band key `b` of a dhash: bits [9b, 9b+9). */
+  def bandKey(h: Column, b: Int): Column =
+    shiftright(h, b * BandBits).bitwiseAND(lit((1L << BandBits) - 1))
+}

@@ -732,4 +732,52 @@ object Multimodal {
       MediaFeature(r.doc_id, h.map(c => (c / n).toFloat))
     })
   }
+
+  /** A decoded grayscale thumbnail grid — the perceptual-hash input
+    * surface ([[graft.operators.PerceptualHash]]). */
+  case class PixelImage(img_id: Long, pixels: Array[Int])
+
+  /** Thumbnail grid shape: dHash compares HORIZONTAL neighbors on an
+    * 8-row grid, so the grid is one column wider (9) than the hash's
+    * 8 bits per row. */
+  val GridW = 9
+  val GridH = 8
+
+  /** Near-dup IMAGE fixture: every EVEN doc becomes two image
+    * variants — img_id = doc_id (pristine) and doc_id + 1 (content
+    * byte 0 bumped by +16: the "one region brightened" edit) — so
+    * the perceptual-hash family has ground-truth near-dup pairs a
+    * few Hamming bits apart by construction, while unrelated images
+    * stay far. Content is the doc's text bytes (ASCII by fixture
+    * construction — the same byte≡char assumption
+    * mm_feature_extract's oracle already leans on). */
+  def syntheticNearDupImages(docs: DataFrame)(implicit s: SparkSession): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val base = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bumped = base.clone()
+        bumped(0) = (bumped(0) + 16).toByte
+        Seq(MediaRow(id, "image/png", base),
+          MediaRow(id + 1, "image/png", bumped))
+      }
+  }
+
+  /** STUBBED pixel decode ([[FakeCodec]]'s contract, grid-shaped): a
+    * real build decodes `content` with a codec library and resizes to
+    * [[GridH]]×[[GridW]] grayscale; the stand-in cycles the content
+    * bytes through the grid, so the "pixels" are deterministic,
+    * content-sensitive, and oracle-replayable. The Spark-side shape —
+    * partition-wise batch decode of binary rows into fixed-size int
+    * grids — is the production plumbing, and it is what the hash and
+    * the banded dedup join actually consume. */
+  def decodePixels(media: Dataset[MediaRow])(implicit s: SparkSession): Dataset[PixelImage] = {
+    import s.implicits._
+    media.mapPartitions(_.map { r =>
+      val n = r.content.length
+      PixelImage(r.doc_id,
+        Array.tabulate(GridW * GridH)(i => r.content(i % n) & 0xff))
+    })
+  }
 }

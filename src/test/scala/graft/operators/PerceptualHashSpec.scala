@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Multimodal
+import org.apache.spark.sql.functions._
+
+/** [[PerceptualHash]] laws: the column expression against a plain
+  * Scala reference, the metric properties the dedup join leans on,
+  * and the pigeonhole guarantee of the banding layout. */
+class PerceptualHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refDhash(px: Array[Int]): Long =
+    (0 until 63).foldLeft(0L) { (acc, k) =>
+      val i = (k / 8) * Multimodal.GridW + (k % 8)
+      if (px(i + 1) > px(i)) acc | (1L << k) else acc
+    }
+
+  private def sparkDhash(grids: Seq[Array[Int]]): Seq[Long] =
+    grids.zipWithIndex.map { case (g, i) => (i.toLong, g) }
+      .toDF("id", "px")
+      .select(col("id"), PerceptualHash.dhash(col("px")).as("h"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq.map(_._2)
+
+  test("column expression matches the scala reference on random grids") {
+    val rnd = new scala.util.Random(7)
+    val grids = Seq.fill(50)(Array.fill(72)(rnd.nextInt(256)))
+    assert(sparkDhash(grids) == grids.map(refDhash))
+  }
+
+  test("dhash is invariant to brightness SHIFT, sensitive to reorder") {
+    val rnd = new scala.util.Random(11)
+    val g = Array.fill(72)(rnd.nextInt(128))
+    val brighter = g.map(_ + 100) // gradient signs unchanged
+    val reversed = g.reverse
+    val Seq(h, hb, hr) = sparkDhash(Seq(g, brighter, reversed))
+    assert(h == hb, "monotone brightness change must not move the hash")
+    assert(java.lang.Long.bitCount(h ^ hr) > PerceptualHash.HamCap,
+      "a structurally different image must not land within the dup radius")
+  }
+
+  test("decode + hash: identical bytes collide, one-byte bump stays near") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a completely different text body with other characters entirely"))
+      .toDF("doc_id", "text")
+    val hs = Multimodal.decodePixels(Multimodal.syntheticNearDupImages(docs))
+      .toDF()
+      .select(col("img_id"), PerceptualHash.dhash(col("pixels")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(java.lang.Long.bitCount(hs(0L) ^ hs(1L)) <= PerceptualHash.HamCap,
+      "bumped variant must stay within the dup radius")
+    assert(java.lang.Long.bitCount(hs(2L) ^ hs(3L)) <= PerceptualHash.HamCap)
+    assert(java.lang.Long.bitCount(hs(0L) ^ hs(2L)) > PerceptualHash.HamCap,
+      "different texts must stay apart")
+  }
+
+  test("banding pigeonhole: every pair within HamCap shares a band") {
+    // adversarial: flip exactly HamCap bits spread maximally — one
+    // per band can cover at most HamCap of the 7 bands, so at least
+    // one band must survive untouched
+    val rnd = new scala.util.Random(13)
+    (1 to 200).foreach { _ =>
+      val h = rnd.nextLong() & ((1L << 63) - 1)
+      val flips = rnd.shuffle((0 until 63).toList)
+        .take(PerceptualHash.HamCap)
+      val h2 = flips.foldLeft(h)((a, b) => a ^ (1L << b))
+      val shared = (0 until PerceptualHash.Bands).exists { b =>
+        ((h >> (b * PerceptualHash.BandBits)) &
+          ((1L << PerceptualHash.BandBits) - 1)) ==
+        ((h2 >> (b * PerceptualHash.BandBits)) &
+          ((1L << PerceptualHash.BandBits) - 1))
+      }
+      assert(shared, s"no shared band for $h vs $h2")
+    }
+  }
+}
