@@ -520,6 +520,36 @@ object DevStress {
         .mkString(" ")
       println(f"[stress] x$factor%-3d corpus_e2e              $total%8.2f s  $rows%10d rows  ($perStage tail=${total - stages.map(_._2).sum / 1e9}%.2f)")
     }
+    // URL canonicalization + domain rollup: the canonicalizer is a
+    // pure scan-stage expression chain, so wall must track ROWS; the
+    // stats groupBy carries map-side partial counts on the (small)
+    // domain key
+    if (wants("url_canon")) {
+      val u = graft.operators.UrlOps.urls(
+          spark.read.parquet("/tmp/stress_docs"))
+        .withColumn("canonical",
+          graft.operators.UrlOps.canonicalize(col("url")))
+      val withDom = u.withColumn("domain",
+        graft.operators.UrlOps.registeredDomain(
+          graft.operators.UrlOps.hostOf(col("canonical"))))
+      time("url_canon", withDom.groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("canonical").as("n_pages")))
+    }
+    // perceptual dhash under replication: every replica of a doc
+    // hashes IDENTICALLY, so band buckets flood factor-deep and the
+    // near-dup pair output grows ~factor² per base image — the
+    // honest dup-flood shape (the pairs ARE the dup set, same class
+    // as the jaccard probe); the hash pass itself must stay
+    // scan-linear, and the 16-bit band width is what keeps
+    // UNRELATED hashes from meeting (candidates ≈ true-dup pairs +
+    // N²/2¹⁶ noise per band)
+    if (wants("dhash")) {
+      val sdocs = spark.read.parquet("/tmp/stress_docs")
+      val h = graft.operators.MultimodalPack.dhashOf(spark, sdocs)
+      time("dhash_hash", h)
+      time("dhash_dups", graft.operators.MultimodalPack.dhashDups(h))
+    }
     spark.stop()
   }
 }

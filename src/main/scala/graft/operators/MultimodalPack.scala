@@ -239,40 +239,45 @@ object MultimodalPack extends QueryPack {
     }),
 
     // ...and image NEAR-DUP pairs through the SimHash banding
-    // pattern: 7 bands × 9 bits tile the 63-bit hash, so pigeonhole
-    // guarantees a shared band within HamCap=6 bits — candidates are
+    // pattern: 4 bands × 16 bits cover the 63-bit hash, so pigeonhole
+    // guarantees a shared band within HamCap=3 bits — candidates are
     // an equi-join on (band, key), the popcount filter runs inside
-    // the join projection, and the fixture's bumped variants are the
-    // ground-truth dup pairs the query must recover
-    "mm_dhash_dups" -> ((s, dir) => {
-      implicit val sp: SparkSession = s
-      import graft.operators.PerceptualHash.{Bands, HamCap, bandKey}
-      val h = dhashed(s, dir)
-      val banded = h.select(col("img_id"), col("dhash"),
-          explode(array((0 until Bands).map(b0 => struct(
-            lit(b0.toLong).as("band"),
-            bandKey(col("dhash"), b0).as("key"))): _*)).as("bk"))
-        .select(col("img_id"), col("dhash"),
-          col("bk.band").as("band"), col("bk.key").as("key"))
-      banded.alias("a").join(banded.alias("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.img_id") < col("b.img_id"))
-        .select(col("a.img_id").as("img_a"), col("b.img_id").as("img_b"),
-          expr("CAST(bit_count(a.dhash ^ b.dhash) AS BIGINT)")
-            .as("hamming"))
-        .filter(col("hamming") <= HamCap)
-        .distinct()
-    })
+    // the join projection, and the fixture's bumped variants (≤ 3
+    // flipped bits by construction) are the ground-truth dup pairs
+    // the query must recover
+    "mm_dhash_dups" -> ((s, dir) => dhashDups(dhashed(s, dir)))
   )
 
   /** (img_id, dhash) over the near-dup image fixture — the shared
     * head of the perceptual-hash queries. */
-  private def dhashed(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dhashed(s: SparkSession, dir: String): DataFrame =
+    dhashOf(s, Tables.documents(s, dir))
+
+  private[graft] def dhashOf(s: SparkSession, docs: DataFrame): DataFrame = {
     implicit val sp: SparkSession = s
     Multimodal.decodePixels(
-        Multimodal.syntheticNearDupImages(Tables.documents(s, dir))).toDF()
+        Multimodal.syntheticNearDupImages(docs)).toDF()
       .select(col("img_id"),
-        graft.operators.PerceptualHash.dhash(col("pixels")).as("dhash"))
+        PerceptualHash.dhash(col("pixels")).as("dhash"))
+  }
+
+  /** The banded Hamming near-dup join over (img_id, dhash) rows. */
+  private[graft] def dhashDups(h: DataFrame): DataFrame = {
+    import graft.operators.PerceptualHash.{Bands, HamCap, bandKey}
+    val banded = h.select(col("img_id"), col("dhash"),
+        explode(array((0 until Bands).map(b0 => struct(
+          lit(b0.toLong).as("band"),
+          bandKey(col("dhash"), b0).as("key"))): _*)).as("bk"))
+      .select(col("img_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.img_id") < col("b.img_id"))
+      .select(col("a.img_id").as("img_a"), col("b.img_id").as("img_b"),
+        expr("CAST(bit_count(a.dhash ^ b.dhash) AS BIGINT)")
+          .as("hamming"))
+      .filter(col("hamming") <= HamCap)
+      .distinct()
   }
 
   /** The mm_feature_extract oracle body, reused as a CTE by the

@@ -21,20 +21,27 @@ import org.apache.spark.sql.functions._
   * comparisons — one codegen'd projection at scan/decode stage, no
   * higher-order lambda (the interpreted-fold tax), no shuffle. The
   * dedup join is then the SimHash banding pattern: [[Bands]] bands of
-  * [[BandBits]] bits tile the hash exactly, so pigeonhole GUARANTEES
-  * a shared band for any pair within [[HamCap]] bits — candidate
-  * generation is an equi-join on (band, key), never an all-pairs
-  * scan, and the popcount filter runs inside the join projection
-  * before the pair dedup shuffle.
+  * [[BandBits]] bits (the top band 15, since the hash is 63 bits), so
+  * pigeonhole GUARANTEES a shared band for any pair within [[HamCap]]
+  * bits — candidate generation is an equi-join on (band, key), never
+  * an all-pairs scan, and the popcount filter runs inside the join
+  * projection before the pair dedup shuffle. Band WIDTH is the scale
+  * dial: 16-bit keys give 65,536 buckets per band, so random
+  * non-dup hashes collide at ~N²/2¹⁶ per band — a 9-bit layout
+  * (tried first for a 6-bit radius) floods every bucket at corpus
+  * scale, the multi-index-hashing bucket-width rule.
   */
 object PerceptualHash {
   import graft.sources.Multimodal.GridW
 
-  /** 63 bits = [[Bands]] × [[BandBits]] exactly; pigeonhole over 7
-    * bands is valid for ≤ 6 bit errors (⌈63/(6+1)⌉ = 9 = BandBits). */
-  val Bands = 7
-  val BandBits = 9
-  val HamCap = 6
+  /** 4 bands × 16 bits cover the 63-bit hash (top band 15 bits);
+    * pigeonhole over 4 bands is valid for ≤ 3 bit errors — and the
+    * fixture's one-byte bump provably flips ≤ 3 bits (bit 0 from
+    * pixel 0, plus at most two comparisons around pixel n when the
+    * content is shorter than the 72-pixel grid). */
+  val Bands = 4
+  val BandBits = 16
+  val HamCap = 3
 
   /** 63-bit dHash of a row-major [[graft.sources.Multimodal.GridH]] ×
     * [[GridW]] pixel grid: bit k (k = 8·row + col, k < 63) set iff

@@ -87,6 +87,28 @@ object WebCurationPack extends QueryPack {
         Seq(col("domain")),
         Seq(col("n_chars").desc, col("doc_id").asc), CapK)
         .select(col("domain"), col("doc_id"), col("n_chars"))
+    }),
+
+    // the whole front-end as ONE query — the admission list a crawl
+    // coordinator ships downstream: canonicalize → URL-dedup
+    // (survivor = first crawl) → blocklist (broadcast anti-join) →
+    // per-domain cap (bounded-heap top-k). Emits the doc_ids that
+    // may enter content processing, with their domain and canonical
+    // URL — a bug in ANY stage shifts the admitted set
+    "wc_front_e2e" -> ((s, dir) => {
+      val c = canon(s, dir)
+      val survivors = c.groupBy(col("canonical"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .join(c.select(col("doc_id"), col("domain"), col("n_chars")),
+          Seq("doc_id"))
+      val blocked = c.select(col("domain")).distinct()
+        .filter(Hashing.h32(col("domain")) % 5 === 0)
+      val admitted = survivors
+        .join(broadcast(blocked), Seq("domain"), "left_anti")
+      graft.plans.TopKPerKey.topKPerKey(admitted,
+        Seq(col("domain")),
+        Seq(col("n_chars").desc, col("doc_id").asc), CapK)
+        .select(col("doc_id"), col("domain"), col("canonical"))
     }))
 
   override def oracles: Map[String, String] = Map(
@@ -115,5 +137,18 @@ object WebCurationPack extends QueryPack {
          |  SELECT domain, doc_id, n_chars,
          |    row_number() OVER (PARTITION BY domain
          |      ORDER BY n_chars DESC, doc_id ASC) AS rn
-         |  FROM ${UrlOps.sqlCanonSrc} c) WHERE rn <= $CapK""".stripMargin)
+         |  FROM ${UrlOps.sqlCanonSrc} c) WHERE rn <= $CapK""".stripMargin,
+
+    "wc_front_e2e" ->
+      s"""WITH c AS (SELECT * FROM ${UrlOps.sqlCanonSrc} cc),
+         |surv AS (SELECT canonical, min(doc_id) AS doc_id
+         |         FROM c GROUP BY canonical),
+         |adm AS (SELECT s.doc_id, c.domain, s.canonical, c.n_chars
+         |        FROM surv s JOIN c ON s.doc_id = c.doc_id
+         |        WHERE ${Hashing.sqlH32("c.domain")} % 5 <> 0)
+         |SELECT doc_id, domain, canonical FROM (
+         |  SELECT doc_id, domain, canonical,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |  FROM adm) WHERE rn <= $CapK""".stripMargin)
 }
