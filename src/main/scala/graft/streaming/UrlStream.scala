@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.operators.UrlOps
+import graft.sources.Warc
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming URL admission — the crawl front-end
+  * ([[graft.operators.UrlOps]], `wc_front_e2e`) run CONTINUOUSLY over
+  * a growing archive directory: a crawler re-fetches the same page
+  * under many spellings across waves, and admission = "first crawl of
+  * each CANONICAL url wins" must hold across micro-batches and
+  * process restarts without ever re-scanning the admitted store per
+  * trigger.
+  *
+  * Per batch: the Target-URI of every landed record canonicalizes at
+  * scan stage; the batch keeps its first record per canonical (one
+  * aggregation — a recrawl WITHIN the batch collapses here); then
+  * cross-batch admission runs through the persisted [[BloomSeenSet]]
+  * — definitely-new canonicals pass with zero history I/O, the ~fpp
+  * sliver takes the exact anti-join, and the committed sketch
+  * survives restarts beside the checkpoint (one history scan per
+  * deployment lifetime, the [[SeenSet]] discipline).
+  *
+  * Write discipline: per-batch `ingest_batch=<id>` directory,
+  * overwrite + `_SUCCESS` as the durable applied signal. The history
+  * the seen-set consults reads ONLY `_SUCCESS`-complete batch
+  * directories — a crashed batch's partial directory must not count
+  * as "seen", or its replay would filter itself to empty and
+  * overwrite the partial dir with nothing (the replay-erasure shape
+  * [[KeyedSink.alreadyApplied]] guards against). A batch whose
+  * `_SUCCESS` exists is a checkpoint-commit replay: the store
+  * already has it, so the body is skipped and its keys re-fold into
+  * the sketch (idempotent).
+  */
+object UrlStream {
+
+  /** (doc_id, url, canonical) stream off a growing WARC archive
+    * directory — `WARC-Target-URI` per record (the real crawl-archive
+    * convention), canonicalized by the same scan-stage chain as the
+    * batch family. Records without a Target-URI drop (metadata
+    * records are not admissible fetches). */
+  def canonicalFeed(spark: SparkSession, feedDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY"))
+      .option("pathGlobFilter", "*.warc*")
+      .load(feedDir)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(bytes => Warc.records(bytes).flatMap { r =>
+        r.headers.get("WARC-Target-URI").map { uri =>
+          (r.headers.getOrElse("WARC-Record-ID", "urn:graft:-1")
+            .stripPrefix("urn:graft:").toLong, uri)
+        }
+      })
+      .toDF("doc_id", "url")
+      .withColumn("canonical", UrlOps.canonicalize(col("url")))
+  }
+
+  /** The admitted store: every `_SUCCESS`-complete batch directory
+    * under `outDir` (see the object doc for why partial directories
+    * are EXCLUDED), empty-schema frame when none landed yet. */
+  def admitted(spark: SparkSession, outDir: String): DataFrame = {
+    val done = SinkFs.list(outDir)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("ingest_batch=") &&
+        SinkFs.exists(s"${st.getPath}/_SUCCESS") &&
+        // a fully-duplicate batch lands `_SUCCESS` with zero part
+        // files; schema inference needs at least one
+        SinkFs.list(st.getPath.toString)
+          .exists(_.getPath.getName.endsWith(".parquet")))
+      .map(_.getPath.toString)
+    if (done.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "canonical STRING, doc_id BIGINT, url STRING"))
+    else spark.read.parquet(done: _*)
+      .select(col("canonical"), col("doc_id"), col("url"))
+  }
+
+  def startAdmission(spark: SparkSession, feedDir: String, outDir: String,
+                     ckptDir: String, seen: BloomSeenSet): StreamingQuery =
+    canonicalFeed(spark, feedDir).writeStream
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dir = s"$outDir/ingest_batch=$batchId"
+        val sess = batch.sparkSession
+        if (SinkFs.exists(s"$dir/_SUCCESS")) {
+          // checkpoint-commit replay: the store has the batch; re-fold
+          // its keys (idempotent) so a restarted process stays exact.
+          // An all-duplicate batch landed `_SUCCESS` with no part
+          // files — nothing to fold, and nothing to schema-infer.
+          if (SinkFs.list(dir).exists(_.getPath.getName.endsWith(".parquet")))
+            seen.commit(sess.read.parquet(dir).select(col("canonical")))
+        } else {
+          // within-batch first-crawl: one survivor per canonical, the
+          // min (doc_id, url) struct carrying the first record's url
+          val firsts = batch
+            .groupBy(col("canonical"))
+            .agg(min(struct(col("doc_id"), col("url"))).as("m"))
+            .select(col("canonical"), col("m.doc_id").as("doc_id"),
+              col("m.url").as("url"))
+          val fresh = seen.filterNew(firsts, admitted(sess, outDir))
+            .persist()
+          try {
+            fresh.write.mode(SaveMode.Overwrite).parquet(dir)
+            seen.commit(fresh) // AFTER the rows landed
+          } finally fresh.unpersist()
+        }
+      }
+      .start()
+}

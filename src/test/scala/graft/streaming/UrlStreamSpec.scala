@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.sources.Warc
+
+/** The streaming URL-admission contract: canonical variants collapse
+  * within a batch, a later wave's recrawl of an admitted canonical is
+  * NOT re-admitted, the seen-sketch survives restarts, metadata
+  * records without a Target-URI drop, and a checkpoint replay leaves
+  * the store byte-identical. */
+class UrlStreamSpec extends SparkSpec {
+
+  private def rec(id: Long, uri: Option[String]): Array[Byte] =
+    Warc.record(
+      Seq("WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"urn:graft:$id") ++
+        uri.map("WARC-Target-URI" -> _),
+      s"payload $id".getBytes("UTF-8"))
+
+  private def land(feed: String, name: String,
+                   recs: Seq[Array[Byte]]): Unit =
+    Files.write(Paths.get(feed, name),
+      recs.foldLeft(Array.emptyByteArray)(_ ++ _))
+
+  test("first-crawl admission across waves, variants collapse, restart keeps the sketch") {
+    val dir = Files.createTempDirectory("graft-urls").toString
+    val feed = s"$dir/feed"; val out = s"$dir/admitted"
+    val ckpt = s"$dir/ckpt"; val sketch = s"$dir/url.sketch"
+    Files.createDirectories(Paths.get(feed))
+
+    // wave 1: two spellings of page 1 (case, default port, param
+    // order, utm, fragment), one page 2, one metadata record with no
+    // Target-URI (must drop)
+    land(feed, "w1.warc", Seq(
+      rec(1, Some("HTTPS://WWW.Example.COM:443/p/1?b=2&a=1&utm_source=x#f")),
+      rec(2, Some("https://example.com/p/1?a=1&b=2")),
+      rec(3, Some("https://example.com/p/2")),
+      rec(9, None)))
+    val seen1 = new BloomSeenSet("canonical", expectedKeys = 1000,
+      persistPath = Some(sketch))
+    UrlStream.startAdmission(spark, feed, out, ckpt, seen1)
+      .awaitTermination()
+    val w1 = UrlStream.admitted(spark, out).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(w1 == Set(
+      ("https://example.com/p/1?a=1&b=2", 1L),
+      ("https://example.com/p/2", 3L)),
+      s"wave 1 admitted: $w1")
+
+    // wave 2: a recrawl of page 1 under yet another spelling (must
+    // NOT re-admit) plus a genuinely new page 3
+    land(feed, "w2.warc", Seq(
+      rec(4, Some("https://Example.com/p/1?utm_campaign=z&b=2&a=1")),
+      rec(5, Some("https://example.com/p/3"))))
+    UrlStream.startAdmission(spark, feed, out, ckpt, seen1)
+      .awaitTermination()
+    val w2 = UrlStream.admitted(spark, out).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(w2 == w1 + (("https://example.com/p/3", 5L)),
+      s"after wave 2: $w2")
+
+    // restart: a FRESH process loads the persisted sketch; a wave-3
+    // recrawl still dedups, a new page still admits
+    land(feed, "w3.warc", Seq(
+      rec(6, Some("https://www.example.com/p/2")),
+      rec(7, Some("https://example.com/p/4"))))
+    val seen2 = new BloomSeenSet("canonical", expectedKeys = 1000,
+      persistPath = Some(sketch))
+    UrlStream.startAdmission(spark, feed, out, ckpt, seen2)
+      .awaitTermination()
+    val w3 = UrlStream.admitted(spark, out).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(w3 == w2 + (("https://example.com/p/4", 7L)),
+      s"after wave 3: $w3")
+
+    // replay with no new archives: checkpoint says all consumed —
+    // the store must stay byte-identical (no batch even fires)
+    val before = UrlStream.admitted(spark, out).collect().length
+    UrlStream.startAdmission(spark, feed, out, ckpt, seen2)
+      .awaitTermination()
+    assert(UrlStream.admitted(spark, out).collect().length == before)
+  }
+
+  test("an all-duplicate wave lands an empty batch without corrupting history") {
+    val dir = Files.createTempDirectory("graft-urls2").toString
+    val feed = s"$dir/feed"; val out = s"$dir/admitted"
+    val ckpt = s"$dir/ckpt"
+    Files.createDirectories(Paths.get(feed))
+    land(feed, "w1.warc", Seq(rec(1, Some("https://a.com/x"))))
+    val seen = new BloomSeenSet("canonical", expectedKeys = 1000)
+    UrlStream.startAdmission(spark, feed, out, ckpt, seen)
+      .awaitTermination()
+    land(feed, "w2.warc", Seq(rec(2, Some("https://A.com/x"))))
+    UrlStream.startAdmission(spark, feed, out, ckpt, seen)
+      .awaitTermination()
+    val rows = UrlStream.admitted(spark, out).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("https://a.com/x", 1L)), s"admitted: $rows")
+  }
+}
