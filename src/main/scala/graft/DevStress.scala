@@ -525,13 +525,9 @@ object DevStress {
     // stats groupBy carries map-side partial counts on the (small)
     // domain key
     if (wants("url_canon")) {
-      val u = graft.operators.UrlOps.urls(
-          spark.read.parquet("/tmp/stress_docs"))
-        .withColumn("canonical",
-          graft.operators.UrlOps.canonicalize(col("url")))
-      val withDom = u.withColumn("domain",
-        graft.operators.UrlOps.registeredDomain(
-          graft.operators.UrlOps.hostOf(col("canonical"))))
+      val withDom = graft.operators.UrlOps.withUrlParts(
+        graft.operators.UrlOps.urls(
+          spark.read.parquet("/tmp/stress_docs")), col("url"))
       time("url_canon", withDom.groupBy("domain")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct("canonical").as("n_pages")))

@@ -29,13 +29,8 @@ object WebCurationPack extends QueryPack {
 
   /** (doc_id, source, n_chars, url, host, canonical, domain) — the
     * shared head every query builds on. */
-  private def canon(s: SparkSession, dir: String): DataFrame = {
-    val u = UrlOps.urls(Tables.documents(s, dir))
-    val c = UrlOps.canonicalize(col("url"))
-    val withC = u.withColumn("canonical", c)
-      .withColumn("host", UrlOps.hostOf(col("canonical")))
-    withC.withColumn("domain", UrlOps.registeredDomain(col("host")))
-  }
+  private def canon(s: SparkSession, dir: String): DataFrame =
+    UrlOps.withUrlParts(UrlOps.urls(Tables.documents(s, dir)), col("url"))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the canonicalizer itself, row by row — scheme/host case,

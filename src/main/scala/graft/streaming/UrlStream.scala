@@ -57,7 +57,8 @@ object UrlStream {
         }
       })
       .toDF("doc_id", "url")
-      .withColumn("canonical", UrlOps.canonicalize(col("url")))
+      .transform(d => UrlOps.withUrlParts(d, col("url"))
+        .select(col("doc_id"), col("url"), col("canonical")))
   }
 
   /** The admitted store: every `_SUCCESS`-complete batch directory

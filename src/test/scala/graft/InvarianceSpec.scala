@@ -50,7 +50,10 @@ class InvarianceSpec extends SparkSpec {
     "sp_dsir_weights",      // hashed-bucket LM log-ratio long sums
     "sp_dsir_sample",       // Gumbel top-k cut on exact long keys
     "sp_ppl_buckets",       // percentile thresholds over rounded entropy
-    "sp_corpus_e2e")        // the full 10-stage corpus composition
+    "sp_corpus_e2e",        // the full 10-stage corpus composition
+    "wc_url_dedup",         // canonical groupBy min-survivor
+    "wc_front_e2e",         // canon dedup + anti-join + TopKPerKey caps
+    "mm_dhash_dups")        // banded Hamming join + pair distinct
     // (wordpiece/unigram vocab invariance pinned in their own specs —
     // training loops collect through a sized session)
     // (classifier weights pinned in ClassifierSpec — the IndexCache

@@ -81,6 +81,29 @@ class UrlOpsSpec extends SparkSpec {
     assert(canon(once: _*) == once)
   }
 
+  test("staged production parse equals the composed reference exactly") {
+    // withUrlParts is the production path (linear expression tree);
+    // canonicalize/hostOf/registeredDomain are the composed
+    // reference — any drift between them is a bug in one of the two
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/A/b/?b=2&a=1&utm_source=x#frag",
+      "https://a.com", "https://a.com/p?ref=rss#f",
+      "http://WWW.B.CO.UK:8080/x/?z=1&y=2",
+      "https://a.com/p?", "https://deep.sub.example.co.uk/q?x=1",
+      "https://a.com:8443/x", "http://a.com:80/")
+    val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    val staged = UrlOps.withUrlParts(df, col("url"))
+      .select("doc_id", "canonical", "host", "domain")
+    val composed = df
+      .withColumn("canonical", UrlOps.canonicalize(col("url")))
+      .withColumn("host", UrlOps.hostOf(col("canonical")))
+      .withColumn("domain", UrlOps.registeredDomain(col("host")))
+      .select("doc_id", "canonical", "host", "domain")
+    assert(staged.exceptAll(composed).isEmpty &&
+      composed.exceptAll(staged).isEmpty)
+  }
+
   test("registered domain: plain, multi-part suffix, deep subdomains") {
     assert(dom(
       "example.com", "a.b.example.com", "example.co.uk",
