@@ -245,8 +245,35 @@ object MultimodalPack extends QueryPack {
     // the join projection, and the fixture's bumped variants (≤ 3
     // flipped bits by construction) are the ground-truth dup pairs
     // the query must recover
-    "mm_dhash_dups" -> ((s, dir) => dhashDups(dhashed(s, dir)))
+    "mm_dhash_dups" -> ((s, dir) => dhashDups(dhashed(s, dir))),
+
+    // the AUDIO near-dup leg: REAL mono-PCM WAVs (data payload, junk
+    // hops, sign-extension) decoded by a genuine RIFF walk, window
+    // energies extracted partition-wise, and the sign-delta
+    // fingerprint as the same static-unroll codegen shape as dhash —
+    // a decode bug (missed pad, wrong endianness, no sign extension)
+    // shifts samples and breaks the hash
+    "mm_audio_fp" -> ((s, dir) => audioFped(s, dir)),
+
+    // ...and audio near-dup pairs through the IDENTICAL banded
+    // Hamming machinery as the image leg — the bumped one-sample
+    // transient moves at most one bit, so the ground-truth pairs sit
+    // inside the pigeonhole-guaranteed radius
+    "mm_audio_fp_dups" -> ((s, dir) =>
+      dhashDups(audioFped(s, dir)
+          .select(col("snd_id").as("img_id"), col("fp").as("dhash")))
+        .select(col("img_a").as("snd_a"), col("img_b").as("snd_b"),
+          col("hamming")))
   )
+
+  /** (snd_id, fp) over the near-dup audio fixture. */
+  private def audioFped(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    Multimodal.windowEnergies(Multimodal.decodePcm16(
+        Multimodal.syntheticNearDupAudio(Tables.documents(s, dir))))
+      .select(col("snd_id"),
+        PerceptualHash.audioFp(col("energies")).as("fp"))
+  }
 
   /** (img_id, dhash) over the near-dup image fixture — the shared
     * head of the perceptual-hash queries. */
@@ -484,6 +511,27 @@ object MultimodalPack extends QueryPack {
       s"""WITH $dhashCte
          |SELECT img_id, dhash FROM h""".stripMargin,
 
+    "mm_audio_fp" ->
+      s"""WITH $audioCte
+         |SELECT snd_id, fp FROM ah""".stripMargin,
+
+    "mm_audio_fp_dups" ->
+      s"""WITH $audioCte,
+         |banded AS (SELECT snd_id, fp, band,
+         |             (fp >> (band * ${PerceptualHash.BandBits}))
+         |               & ${(1L << PerceptualHash.BandBits) - 1} AS key
+         |           FROM ah, (SELECT unnest(generate_series(0,
+         |             ${PerceptualHash.Bands - 1})) AS band)),
+         |cand AS (SELECT DISTINCT a.snd_id AS snd_a, b.snd_id AS snd_b,
+         |           a.fp AS fa, b.fp AS fb
+         |         FROM banded a JOIN banded b
+         |           ON a.band = b.band AND a.key = b.key
+         |          AND a.snd_id < b.snd_id)
+         |SELECT snd_a, snd_b,
+         |  CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(fa, fb)) <= ${PerceptualHash.HamCap}""".stripMargin,
+
     "mm_dhash_dups" ->
       s"""WITH $dhashCte,
          |banded AS (SELECT img_id, dhash, band,
@@ -507,6 +555,33 @@ object MultimodalPack extends QueryPack {
     * like the feature oracle), variant 1 bumps byte 0 by +16, and the
     * hash replays [[graft.operators.PerceptualHash.dhash]]'s 63
     * comparisons arithmetically. */
+  /** The audio-fingerprint oracle body: samples replay the
+    * generator's byte−64 formula off the doc text (sample 0 bumped
+    * +16 on the odd variant), window energies as nested list sums,
+    * the 63 sign-delta comparisons arithmetically. The REAL RIFF
+    * decode on the Spark side must land exactly these numbers. */
+  private val audioCte = {
+    import graft.sources.Multimodal.{FpFrame, FpWindows}
+    s"""snds AS (SELECT doc_id + v AS snd_id, v, text,
+       |           strlen(text) AS n
+       |         FROM documents, (SELECT unnest([0, 1]) AS v)
+       |         WHERE doc_id % 2 = 0),
+       |es AS (SELECT snd_id,
+       |         list_transform(generate_series(0, ${FpWindows - 1}), w ->
+       |           list_sum(list_transform(generate_series(0, ${FpFrame - 1}), j ->
+       |             abs(ascii(substr(text, ((w * $FpFrame + j) % n) + 1, 1))
+       |                 - 64 +
+       |                 CASE WHEN v = 1 AND w * $FpFrame + j = 0
+       |                      THEN 16 ELSE 0 END)))) AS e
+       |       FROM snds),
+       |ah AS (SELECT snd_id,
+       |         CAST(list_sum(list_transform(generate_series(0, 62), k ->
+       |           CASE WHEN e[k + 2] > e[k + 1]
+       |                THEN (1::BIGINT << k) ELSE 0::BIGINT END))
+       |           AS BIGINT) AS fp
+       |       FROM es)""".stripMargin
+  }
+
   private val dhashCte =
     """imgs AS (SELECT doc_id + v AS img_id, v, text,
       |           strlen(text) AS n

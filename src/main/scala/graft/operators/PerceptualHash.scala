@@ -53,7 +53,20 @@ object PerceptualHash {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Band key `b` of a dhash: bits [9b, 9b+9). */
+  /** Band key `b` of a hash: bits [16b, 16b+16). */
   def bandKey(h: Column, b: Int): Column =
     shiftright(h, b * BandBits).bitwiseAND(lit((1L << BandBits) - 1))
+
+  /** 63-bit AUDIO fingerprint (Haitsma–Kalker sign-delta family) over
+    * a clip's [[graft.sources.Multimodal.FpWindows]] window energies:
+    * bit k set iff energy(k+1) > energy(k) — the same static-unroll
+    * codegen shape as [[dhash]], one dimension instead of a grid.
+    * Robust to gain changes (energies scale together, signs hold) the
+    * way dhash is robust to brightness; shares [[Bands]]/[[HamCap]]
+    * and the banded join verbatim. */
+  def audioFp(energies: Column): Column =
+    (0 until 63).map { k =>
+      when(element_at(energies, k + 2) > element_at(energies, k + 1),
+        lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
 }

@@ -764,6 +764,129 @@ object Multimodal {
       }
   }
 
+  /** A decoded PCM clip — the audio-fingerprint input surface. */
+  case class AudioClip(snd_id: Long, samples: Array[Int])
+
+  /** Fingerprint frame shape: [[FpWindows]] windows of [[FpFrame]]
+    * samples each; the sign-delta fingerprint compares ADJACENT
+    * window energies, so 64 windows carry the 63-bit hash. */
+  val FpWindows = 64
+  val FpFrame = 8
+
+  /** A REAL mono 16-bit PCM WAV with an actual data payload (the
+    * header-only [[wavBytes]] carries none): RIFF/WAVE, optional odd
+    * JUNK chunk (the hop + alignment-pad trap), PCM fmt, and the
+    * samples as little-endian 16-bit words. */
+  def wavPcmBytes(samples: Array[Int], withJunk: Boolean): Array[Byte] = {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Long) = Array(v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val junk = if (withJunk)
+      "JUNK".getBytes ++ le32(7) ++ Array.fill[Byte](7)(0x6a) ++
+        Array[Byte](0)
+    else Array.emptyByteArray
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(8000L * 2) ++ le16(2) ++ le16(16)
+    val data = "data".getBytes ++ le32(samples.length * 2L) ++
+      samples.flatMap(le16)
+    val body = junk ++ fmt ++ data
+    "RIFF".getBytes ++ le32(4 + body.length) ++ "WAVE".getBytes ++ body
+  }
+
+  /** Near-dup AUDIO fixture (the [[syntheticNearDupImages]] twin):
+    * every EVEN doc becomes two mono PCM WAVs — snd_id = doc_id
+    * (pristine) and doc_id + 1 (SAMPLE 0 bumped by +16, a one-frame
+    * transient) — with [[FpWindows]]·[[FpFrame]] samples derived from
+    * the doc's text bytes (sample j = byte(j mod n) − 64; ASCII
+    * byte≡char, the established oracle assumption). Bumping exactly
+    * one SAMPLE (not the text byte, which cycles into many samples)
+    * confines the edit to window 0, so the fingerprint moves at most
+    * ONE bit — ground truth inside [[graft.operators.PerceptualHash
+    * .HamCap]] by construction. Every third clip opens with a JUNK
+    * chunk the decoder must hop. */
+  def syntheticNearDupAudio(docs: DataFrame)(implicit s: SparkSession): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        def samples(bump: Boolean): Array[Int] =
+          Array.tabulate(FpWindows * FpFrame) { j =>
+            val v = (b(j % b.length) & 0xff) - 64
+            if (bump && j == 0) v + 16 else v
+          }
+        Seq(
+          MediaRow(id, "audio/wav",
+            wavPcmBytes(samples(bump = false), withJunk = id % 3 == 0)),
+          MediaRow(id + 1, "audio/wav",
+            wavPcmBytes(samples(bump = true), withJunk = id % 3 == 0)))
+      }
+  }
+
+  /** REAL PCM decode — the payload-reading extension of [[WavCodec]]'s
+    * header walk: same RIFF chunk hops, word-alignment pads, and PCM
+    * format gate, but the data chunk's SAMPLES are read (mono 16-bit
+    * only — the fingerprint contract). Malformed or truncated bytes
+    * yield no row, never an exception. */
+  def decodePcm16(media: Dataset[MediaRow])(implicit s: SparkSession): Dataset[AudioClip] = {
+    import s.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val b = r.content
+      def u16le(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      def u32le(i: Int) = (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+      def tag(i: Int) = new String(b, i, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+      else {
+        // chunk order is not mandated — collect fmt and data
+        // independently (the WavCodec discipline), decode when both
+        // are in hand
+        var p = 12L
+        var fmtOk = false
+        var fmtSeen = false
+        var data: Option[(Int, Int)] = None // (payload offset, bytes)
+        while (p + 8 <= b.length && (!fmtSeen || data.isEmpty)) {
+          val i = p.toInt
+          val size = u32le(i + 4)
+          tag(i) match {
+            case "fmt " if size >= 16 && p + 8 + 16 <= b.length =>
+              fmtSeen = true
+              // mono integer PCM 16-bit only
+              fmtOk = u16le(i + 8) == 1 && u16le(i + 10) == 1 &&
+                u16le(i + 22) == 16
+            case "data" if p + 8 + size <= b.length =>
+              data = Some((i + 8, size.toInt))
+            case _ => ()
+          }
+          p += 8 + size + size % 2
+        }
+        data.filter(_ => fmtOk).map { case (off, bytes) =>
+          AudioClip(r.doc_id, Array.tabulate(bytes / 2) { j =>
+            (u16le(off + 2 * j) << 16) >> 16 // sign-extend
+          })
+        }
+      }
+    })
+  }
+
+  /** Per-window energy of a clip: [[FpWindows]] sums of |sample| over
+    * [[FpFrame]]-sample frames — the partition-wise feature step the
+    * fingerprint expression consumes (the [[extractFeatures]]
+    * convention). Clips shorter than the frame span drop. */
+  def windowEnergies(clips: Dataset[AudioClip])(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    clips.flatMap { c =>
+      if (c.samples.length < FpWindows * FpFrame) None
+      else Some((c.snd_id, Array.tabulate(FpWindows) { w =>
+        var e = 0L
+        var j = 0
+        while (j < FpFrame) { e += math.abs(c.samples(w * FpFrame + j)); j += 1 }
+        e
+      }))
+    }.toDF("snd_id", "energies")
+  }
+
   /** STUBBED pixel decode ([[FakeCodec]]'s contract, grid-shaped): a
     * real build decodes `content` with a codec library and resizes to
     * [[GridH]]×[[GridW]] grayscale; the stand-in cycles the content

@@ -53,7 +53,8 @@ class InvarianceSpec extends SparkSpec {
     "sp_corpus_e2e",        // the full 10-stage corpus composition
     "wc_url_dedup",         // canonical groupBy min-survivor
     "wc_front_e2e",         // canon dedup + anti-join + TopKPerKey caps
-    "mm_dhash_dups")        // banded Hamming join + pair distinct
+    "mm_dhash_dups",        // banded Hamming join + pair distinct
+    "mm_audio_fp_dups")     // PCM decode + energies + banded join
     // (wordpiece/unigram vocab invariance pinned in their own specs —
     // training loops collect through a sized session)
     // (classifier weights pinned in ClassifierSpec — the IndexCache

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Multimodal
+import org.apache.spark.sql.functions._
+
+/** The audio leg of [[PerceptualHash]]: the REAL PCM decode against
+  * the generator's samples (round trip through the RIFF container),
+  * the fingerprint laws the dedup leans on, and the decode's
+  * malformed-input contract. */
+class AudioFpSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val s: org.apache.spark.sql.SparkSession = spark
+
+  private def clip(samples: Array[Int], junk: Boolean = false): Array[Byte] =
+    Multimodal.wavPcmBytes(samples, withJunk = junk)
+
+  private def decode(rows: (Long, Array[Byte])*): Map[Long, Array[Int]] =
+    Multimodal.decodePcm16(
+        rows.map { case (id, b) => Multimodal.MediaRow(id, "audio/wav", b) }
+          .toDS())
+      .collect().map(c => c.snd_id -> c.samples).toMap
+
+  test("PCM round trip: decoded samples equal the generator's, junk hopped") {
+    val rnd = new scala.util.Random(3)
+    val a = Array.fill(512)(rnd.nextInt(65536) - 32768) // full 16-bit range
+    val got = decode((1L, clip(a)), (2L, clip(a, junk = true)))
+    assert(got(1L).sameElements(a), "plain container")
+    assert(got(2L).sameElements(a), "junk chunk must hop, not desync")
+  }
+
+  test("malformed inputs drop, never throw") {
+    val ok = clip(Array.fill(16)(5))
+    val stereo = {
+      // flip the channel count field (offset: RIFF(12)+fmt hdr(8)+format(2)=22)
+      val b = ok.clone(); b(22) = 2; b
+    }
+    val truncated = ok.take(ok.length - 7)
+    val notRiff = "nope".getBytes ++ ok.drop(4)
+    val got = decode((1L, ok), (2L, stereo), (3L, truncated), (4L, notRiff))
+    assert(got.keySet == Set(1L), s"survivors: ${got.keySet}")
+  }
+
+  test("fingerprint matches the scala reference; gain shift is invariant") {
+    val rnd = new scala.util.Random(9)
+    val samples = Array.fill(512)(rnd.nextInt(200) - 100)
+    def energies(ss: Array[Int]): Array[Long] =
+      Array.tabulate(64)(w =>
+        (0 until 8).map(j => math.abs(ss(w * 8 + j)).toLong).sum)
+    def refFp(e: Array[Long]): Long =
+      (0 until 63).foldLeft(0L)((acc, k) =>
+        if (e(k + 1) > e(k)) acc | (1L << k) else acc)
+    val doubled = samples.map(_ * 2)
+    val fps = Seq((1L, energies(samples)), (2L, energies(doubled)))
+      .toDF("snd_id", "energies")
+      .select(col("snd_id"), PerceptualHash.audioFp(col("energies")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == refFp(energies(samples)))
+    assert(fps(1L) == fps(2L),
+      "uniform gain scales every energy together — signs, and the fp, hold")
+  }
+
+  test("one-sample transient moves at most one bit") {
+    val docs = Seq(
+      (0L, "some steady signal text that cycles through the window frames"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val fps = Multimodal.windowEnergies(Multimodal.decodePcm16(
+        Multimodal.syntheticNearDupAudio(docs)))
+      .select(col("snd_id"), PerceptualHash.audioFp(col("energies")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(java.lang.Long.bitCount(fps(0L) ^ fps(1L)) <= 1,
+      "the bump sits in window 0 and can flip only bit 0")
+  }
+}
