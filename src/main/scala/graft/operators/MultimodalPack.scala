@@ -263,7 +263,40 @@ object MultimodalPack extends QueryPack {
       dhashDups(audioFped(s, dir)
           .select(col("snd_id").as("img_id"), col("fp").as("dhash")))
         .select(col("img_a").as("snd_a"), col("img_b").as("snd_b"),
-          col("hamming")))
+          col("hamming"))),
+
+    // the image-dedup APPLY step (the ds_dedup_apply shape at image
+    // grain): near-dup pairs → connected components → every
+    // non-representative drops, the surviving library remains —
+    // min-id retention, one component walk, never all-pairs
+    "mm_dhash_apply" -> ((s, dir) => {
+      val h = dhashed(s, dir)
+      val losers = Components.connectedComponents(
+          dhashDups(h).select(col("img_a"), col("img_b")),
+          "img_a", "img_b")
+        .filter(col("node") =!= col("rep"))
+        .select(col("node").as("img_id"))
+      h.join(losers, Seq("img_id"), "left_anti")
+    }),
+
+    // ...and the crawl-composed form: the near-dup image corpus
+    // spooled into WARC response archives, recovered through the
+    // strict record walk + HTTP parse, THEN deduped — the media twin
+    // of ds_crawl_dedup. The archive trip must be byte-exact or the
+    // hashes (and this oracle, which replays the pre-spool bytes)
+    // break.
+    "mm_crawl_dhash_dups" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val recovered = graft.sources.Warc.parseHttpRecords(
+          graft.sources.Warc.mediaResponseArchives(
+            Multimodal.syntheticNearDupImages(
+              Tables.documents(s, dir)).toDF()))
+        .map(r => Multimodal.MediaRow(r.doc_id, r.content_type, r.body))
+      dhashDups(Multimodal.decodePixels(recovered).toDF()
+        .select(col("img_id"),
+          PerceptualHash.dhash(col("pixels")).as("dhash")))
+    })
   )
 
   /** (snd_id, fp) over the near-dup audio fixture. */
@@ -515,6 +548,33 @@ object MultimodalPack extends QueryPack {
       s"""WITH $audioCte
          |SELECT snd_id, fp FROM ah""".stripMargin,
 
+    "mm_dhash_apply" ->
+      s"""WITH RECURSIVE $dhashCte,
+         |$dhashPairCtes,
+         |e AS (SELECT img_a AS a, img_b AS b FROM pairs
+         |      UNION SELECT img_b, img_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |groups AS (SELECT n AS img_id, min(m) AS rep FROM (
+         |    SELECT a AS n, least(a, b) AS m FROM reach
+         |    UNION ALL
+         |    SELECT DISTINCT a, a FROM e)
+         |  GROUP BY n)
+         |SELECT h.img_id, h.dhash FROM h
+         |WHERE NOT EXISTS (SELECT 1 FROM groups g
+         |                  WHERE g.img_id = h.img_id
+         |                    AND g.img_id <> g.rep)""".stripMargin,
+
+    // the archive round trip is byte-identity, so the oracle is the
+    // SAME pair derivation as mm_dhash_dups — any spool/walk/parse
+    // drift on the Spark side shows up as a hash mismatch here
+    "mm_crawl_dhash_dups" ->
+      s"""WITH $dhashCte,
+         |$dhashPairCtes
+         |SELECT img_a, img_b, hamming FROM pairs""".stripMargin,
+
     "mm_audio_fp_dups" ->
       s"""WITH $audioCte,
          |banded AS (SELECT snd_id, fp, band,
@@ -534,21 +594,27 @@ object MultimodalPack extends QueryPack {
 
     "mm_dhash_dups" ->
       s"""WITH $dhashCte,
-         |banded AS (SELECT img_id, dhash, band,
-         |             (dhash >> (band * ${PerceptualHash.BandBits}))
-         |               & ${(1L << PerceptualHash.BandBits) - 1} AS key
-         |           FROM h, (SELECT unnest(generate_series(0,
-         |             ${PerceptualHash.Bands - 1})) AS band)),
-         |cand AS (SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b,
-         |           a.dhash AS ha, b.dhash AS hb
-         |         FROM banded a JOIN banded b
-         |           ON a.band = b.band AND a.key = b.key
-         |          AND a.img_id < b.img_id)
-         |SELECT img_a, img_b,
-         |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-         |FROM cand
-         |WHERE bit_count(xor(ha, hb)) <= ${PerceptualHash.HamCap}""".stripMargin
+         |$dhashPairCtes
+         |SELECT img_a, img_b, hamming FROM pairs""".stripMargin
   )
+
+  /** The banded-pair derivation over `h(img_id, dhash)` — shared by
+    * every image-dedup oracle (pairs, apply, crawl-composed). */
+  private lazy val dhashPairCtes =
+    s"""banded AS (SELECT img_id, dhash, band,
+       |             (dhash >> (band * ${PerceptualHash.BandBits}))
+       |               & ${(1L << PerceptualHash.BandBits) - 1} AS key
+       |           FROM h, (SELECT unnest(generate_series(0,
+       |             ${PerceptualHash.Bands - 1})) AS band)),
+       |cand AS (SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b,
+       |           a.dhash AS ha, b.dhash AS hb
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.key = b.key
+       |          AND a.img_id < b.img_id),
+       |pairs AS (SELECT img_a, img_b,
+       |            CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |          FROM cand
+       |          WHERE bit_count(xor(ha, hb)) <= ${PerceptualHash.HamCap})""".stripMargin
 
   /** The decoded-grid + dHash oracle body: pixels cycle the doc's
     * text bytes (the stub decode's declared formula, ASCII byte≡char
