@@ -114,4 +114,44 @@ class PropertySpec extends SparkSpec {
       assert(fast == brute, s"seed $i")
     }
   }
+
+  test("URL canonicalize: total, idempotent, staged == composed on hostile inputs") {
+    // generator biased toward the canonicalizer's edges: empty
+    // segments, repeated separators, utm-prefixes, default and junk
+    // ports, bare hosts, fragment-only tails
+    val seg = Gen.oneOf("", "a", "A", "www", "WWW.x", "p%20q", "utm_x",
+      "co.uk", "..", "x.y.z")
+    val port = Gen.oneOf("", ":443", ":80", ":8443", ":0443")
+    val query = Gen.oneOf("", "?", "?a=1", "?utm_a=1&b=2&&a=1",
+      "?ref=x&reference=y", "?b=2&a=1#f", "?=v&k=")
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "https")
+      h1 <- seg; h2 <- seg; p <- port
+      path <- Gen.oneOf("", "/", "/x", "/x/", "/x//y/")
+      q <- query
+    } yield s"$scheme://$h1.$h2$p$path$q"
+    val urls = (1 to 40).map(i => sample(urlGen, i.toLong)).toList
+    val df1 = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    val staged = UrlOps.withUrlParts(df1, col("url"))
+      .select(col("doc_id"), col("canonical"), col("host"), col("domain"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    val composed = df1
+      .withColumn("canonical", UrlOps.canonicalize(col("url")))
+      .withColumn("host", UrlOps.hostOf(col("canonical")))
+      .withColumn("domain", UrlOps.registeredDomain(col("host")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getString(3), r.getString(4))).toMap
+    assert(staged == composed, "staged and composed must never drift")
+    // idempotence over whatever came out
+    val canons = staged.values.map(_._1).toList.distinct
+    val df2 = canons.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    val again = UrlOps.withUrlParts(df2, col("url"))
+      .select(col("url"), col("canonical"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    again.foreach { case (u, c) =>
+      assert(u == c, s"canonicalize not idempotent on '$u' -> '$c'") }
+  }
 }
