@@ -189,9 +189,17 @@ object CrawlText {
     * text, ref, footer — is the writer's ([[graft.sources.Warc
     * .htmlPage]]). The ONE authority every crawl-composition oracle
     * builds on. */
-  val sqlCuratedSrc: String =
+  val sqlCuratedSrc: String = sqlCuratedSrcWhere("")
+
+  /** [[sqlCuratedSrc]] over an ADMITTED subset of `documents`:
+    * `extra` is appended to the non-404 filter (e.g. the URL
+    * front-end's admission predicate), and every downstream df
+    * threshold recomputes over the subset — frequency is
+    * corpus-relative, so a different corpus legitimately has
+    * different chrome. */
+  def sqlCuratedSrcWhere(extra: String): String =
     s"""(WITH nf0 AS (SELECT doc_id, lang, source, text FROM documents
-       |              WHERE doc_id % 13 <> 0),
+       |              WHERE doc_id % 13 <> 0$extra),
        |cell0 AS (SELECT source, lang, count(*) AS n FROM nf0 GROUP BY 1, 2),
        |langn0 AS (SELECT lang, count(*) AS n FROM nf0 GROUP BY 1),
        |d0 AS (SELECT doc_id, lang, source, text,

@@ -104,7 +104,40 @@ object WebCurationPack extends QueryPack {
         Seq(col("domain")),
         Seq(col("n_chars").desc, col("doc_id").asc), CapK)
         .select(col("doc_id"), col("domain"), col("canonical"))
+    }),
+
+    // the missing link between the URL front-end and the content
+    // pipeline: ONLY admitted doc_ids are spooled into crawl
+    // archives, extracted, and chrome-curated — with the chrome
+    // inventory learned from the ADMITTED corpus itself (document
+    // frequency is corpus-relative: admitting a different corpus
+    // legitimately changes what counts as chrome, and the oracle
+    // recomputes every df threshold over the subset)
+    "wc_admitted_text" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val capped = admittedIds(s, dir)
+      val docs = Tables.documents(s, dir).join(capped, Seq("doc_id"))
+      CrawlText.curated(
+        graft.sources.Warc.parseHttpRecords(
+          graft.sources.Warc.htmlResponseArchives(docs)).toDF())
     }))
+
+  /** The admission set (the wc_front_e2e chain) as bare doc_ids. */
+  private def admittedIds(s: SparkSession, dir: String): DataFrame = {
+    val c = canon(s, dir)
+    val survivors = c.groupBy(col("canonical"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(c.select(col("doc_id"), col("domain"), col("n_chars")),
+        Seq("doc_id"))
+    val blocked = c.select(col("domain")).distinct()
+      .filter(Hashing.h32(col("domain")) % 5 === 0)
+    val admitted = survivors
+      .join(broadcast(blocked), Seq("domain"), "left_anti")
+    graft.plans.TopKPerKey.topKPerKey(admitted,
+      Seq(col("domain")),
+      Seq(col("n_chars").desc, col("doc_id").asc), CapK)
+      .select(col("doc_id"))
+  }
 
   override def oracles: Map[String, String] = Map(
     "wc_url_canon" ->
@@ -135,15 +168,28 @@ object WebCurationPack extends QueryPack {
          |  FROM ${UrlOps.sqlCanonSrc} c) WHERE rn <= $CapK""".stripMargin,
 
     "wc_front_e2e" ->
-      s"""WITH c AS (SELECT * FROM ${UrlOps.sqlCanonSrc} cc),
-         |surv AS (SELECT canonical, min(doc_id) AS doc_id
-         |         FROM c GROUP BY canonical),
-         |adm AS (SELECT s.doc_id, c.domain, s.canonical, c.n_chars
-         |        FROM surv s JOIN c ON s.doc_id = c.doc_id
-         |        WHERE ${Hashing.sqlH32("c.domain")} % 5 <> 0)
-         |SELECT doc_id, domain, canonical FROM (
-         |  SELECT doc_id, domain, canonical,
-         |    row_number() OVER (PARTITION BY domain
-         |      ORDER BY n_chars DESC, doc_id ASC) AS rn
-         |  FROM adm) WHERE rn <= $CapK""".stripMargin)
+      s"""WITH $admissionCtes
+         |SELECT doc_id, domain, canonical FROM adm_capped""".stripMargin,
+
+    "wc_admitted_text" ->
+      s"""WITH $admissionCtes
+         |SELECT doc_id, lang, CAST(strlen(xt) AS BIGINT) AS n_chars,
+         |  md5(xt) AS text_md5
+         |FROM ${CrawlText.sqlCuratedSrcWhere(
+              " AND doc_id IN (SELECT doc_id FROM adm_capped)")} x""".stripMargin)
+
+  /** The admission chain as shared CTEs ending in
+    * `adm_capped(doc_id, domain, canonical)`. */
+  private lazy val admissionCtes =
+    s"""c AS (SELECT * FROM ${UrlOps.sqlCanonSrc} cc),
+       |surv AS (SELECT canonical, min(doc_id) AS doc_id
+       |         FROM c GROUP BY canonical),
+       |adm AS (SELECT s.doc_id, c.domain, s.canonical, c.n_chars
+       |        FROM surv s JOIN c ON s.doc_id = c.doc_id
+       |        WHERE ${Hashing.sqlH32("c.domain")} % 5 <> 0),
+       |adm_capped AS (SELECT doc_id, domain, canonical FROM (
+       |  SELECT doc_id, domain, canonical,
+       |    row_number() OVER (PARTITION BY domain
+       |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+       |  FROM adm) WHERE rn <= $CapK)""".stripMargin
 }
