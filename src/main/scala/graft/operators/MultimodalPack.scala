@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalPack extends QueryPack {
 
+  /** Minimum near-dup frame pairs for a video pair to count as
+    * sharing a scene (mm_video_scenes). */
+  val MinSharedScenes = 2
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -264,6 +268,31 @@ object MultimodalPack extends QueryPack {
           .select(col("snd_id").as("img_id"), col("fp").as("dhash")))
         .select(col("img_a").as("snd_a"), col("img_b").as("snd_b"),
           col("hamming"))),
+
+    // the VIDEO leg: shared-SCENE detection at frame grain — every
+    // sampled frame hashes like an image, near-dup frame pairs come
+    // from the same banded join, and the video-pair overlap count is
+    // one partial-agg rollup on top. The fixture's variant videos
+    // re-encode exactly SharedFrames frames, so ground truth is a
+    // known overlap the query must land on; cross-video frame
+    // matching never compares all frames — only banded candidates
+    "mm_video_scenes" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val r = Multimodal.FrameRadix
+      val h = Multimodal.decodePixels(
+          Multimodal.syntheticSharedSceneVideos(Tables.documents(s, dir)))
+        .toDF()
+        .select(col("img_id"),
+          PerceptualHash.dhash(col("pixels")).as("dhash"))
+      dhashDups(h)
+        .select(expr(s"img_a div $r").as("va"), expr(s"img_b div $r").as("vb"))
+        .filter(col("va") =!= col("vb"))
+        .select(least(col("va"), col("vb")).as("vid_a"),
+          greatest(col("va"), col("vb")).as("vid_b"))
+        .groupBy(col("vid_a"), col("vid_b"))
+        .agg(count(lit(1)).as("shared_frames"))
+        .filter(col("shared_frames") >= MinSharedScenes)
+    }),
 
     // the image-dedup APPLY step (the ds_dedup_apply shape at image
     // grain): near-dup pairs → connected components → every
@@ -548,6 +577,31 @@ object MultimodalPack extends QueryPack {
       s"""WITH $audioCte
          |SELECT snd_id, fp FROM ah""".stripMargin,
 
+    "mm_video_scenes" -> {
+      import graft.sources.Multimodal.{FrameRadix => R, SharedFrames, VideoFrames}
+      s"""WITH fr AS (SELECT (doc_id + v) * $R + f AS img_id,
+         |       CASE WHEN v = 1 AND f >= $SharedFrames
+         |            THEN 10 + f ELSE f END AS rot,
+         |       CASE WHEN v = 1 AND f < $SharedFrames THEN 1 ELSE 0 END AS bump,
+         |       text, strlen(text) AS n
+         |     FROM documents,
+         |       (SELECT unnest([0, 1]) AS v),
+         |       (SELECT unnest(generate_series(0, ${VideoFrames - 1})) AS f)
+         |     WHERE doc_id % 2 = 0),
+         |px AS (SELECT img_id, list_transform(generate_series(0, 71), i ->
+         |         ascii(substr(text, ((i + rot) % n) + 1, 1)) +
+         |         CASE WHEN bump = 1 AND (i % n) = 0 THEN 16 ELSE 0 END) AS ps
+         |       FROM fr),
+         |$dhashHSql,
+         |$dhashPairCtes,
+         |vp AS (SELECT least(img_a // $R, img_b // $R) AS vid_a,
+         |              greatest(img_a // $R, img_b // $R) AS vid_b
+         |       FROM pairs WHERE img_a // $R <> img_b // $R)
+         |SELECT vid_a, vid_b, count(*) AS shared_frames
+         |FROM vp GROUP BY vid_a, vid_b
+         |HAVING count(*) >= $MinSharedScenes""".stripMargin
+    },
+
     "mm_dhash_apply" ->
       s"""WITH RECURSIVE $dhashCte,
          |$dhashPairCtes,
@@ -648,8 +702,21 @@ object MultimodalPack extends QueryPack {
        |       FROM es)""".stripMargin
   }
 
+  /** The dHash-from-pixels CTE: needs `px(img_id, ps)` in scope —
+    * replays [[graft.operators.PerceptualHash.dhash]]'s 63
+    * comparisons arithmetically, shared by the image and video
+    * oracle heads. */
+  private val dhashHSql =
+    """h AS (SELECT img_id,
+      |        CAST(list_sum(list_transform(generate_series(0, 62), k ->
+      |          CASE WHEN ps[(k // 8) * 9 + (k % 8) + 2]
+      |                  > ps[(k // 8) * 9 + (k % 8) + 1]
+      |               THEN (1::BIGINT << k) ELSE 0::BIGINT END))
+      |          AS BIGINT) AS dhash
+      |      FROM px)""".stripMargin
+
   private val dhashCte =
-    """imgs AS (SELECT doc_id + v AS img_id, v, text,
+    s"""imgs AS (SELECT doc_id + v AS img_id, v, text,
       |           strlen(text) AS n
       |         FROM documents, (SELECT unnest([0, 1]) AS v)
       |         WHERE doc_id % 2 = 0),
@@ -657,11 +724,5 @@ object MultimodalPack extends QueryPack {
       |           ascii(substr(text, (i % n) + 1, 1)) +
       |           CASE WHEN v = 1 AND (i % n) = 0 THEN 16 ELSE 0 END) AS ps
       |       FROM imgs),
-      |h AS (SELECT img_id,
-      |        CAST(list_sum(list_transform(generate_series(0, 62), k ->
-      |          CASE WHEN ps[(k // 8) * 9 + (k % 8) + 2]
-      |                  > ps[(k // 8) * 9 + (k % 8) + 1]
-      |               THEN (1::BIGINT << k) ELSE 0::BIGINT END))
-      |          AS BIGINT) AS dhash
-      |      FROM px)""".stripMargin
+      |$dhashHSql""".stripMargin
 }

@@ -887,6 +887,48 @@ object Multimodal {
     }.toDF("snd_id", "energies")
   }
 
+  /** Frames per video / frame-id radix for the shared-scene fixture:
+    * `frame_uid = video_id * FrameRadix + frame_no`. */
+  val VideoFrames = 6
+  val FrameRadix = 8
+
+  /** Frames of the variant video shared (re-encoded) with its base —
+    * the rest are unique footage. */
+  val SharedFrames = 4
+
+  /** Shared-scene VIDEO fixture: every EVEN doc becomes two videos of
+    * [[VideoFrames]] frames each — frame f's bytes are the doc's text
+    * ROTATED left by f (distinct deterministic footage per frame).
+    * The variant video (id + 1) RE-ENCODES the first [[SharedFrames]]
+    * frames (byte 0 bumped +16, the image-fixture edit) and replaces
+    * the rest with unique footage (rotation 10 + f) — so the
+    * ground-truth video pair shares exactly the re-encoded frames,
+    * and frame-grain perceptual matching must recover that overlap.
+    * Rows are FRAMES (`frame_uid` in doc_id), ready for
+    * [[decodePixels]]. */
+  def syntheticSharedSceneVideos(docs: DataFrame)(implicit s: SparkSession): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = b.length
+        def frame(rot: Int, bump: Boolean): Array[Byte] = {
+          val c = Array.tabulate(n)(j => b((j + rot) % n))
+          if (bump) c(0) = (c(0) + 16).toByte
+          c
+        }
+        (0 until VideoFrames).flatMap { f =>
+          Seq(
+            MediaRow(id * FrameRadix + f, "video/frame",
+              frame(f, bump = false)),
+            MediaRow((id + 1) * FrameRadix + f, "video/frame",
+              if (f < SharedFrames) frame(f, bump = true)
+              else frame(10 + f, bump = false)))
+        }
+      }
+  }
+
   /** STUBBED pixel decode ([[FakeCodec]]'s contract, grid-shaped): a
     * real build decodes `content` with a codec library and resizes to
     * [[GridH]]×[[GridW]] grayscale; the stand-in cycles the content

@@ -56,6 +56,29 @@ class PerceptualHashSpec extends SparkSpec {
       "different texts must stay apart")
   }
 
+  test("shared-scene fixture: the variant video overlaps in exactly SharedFrames frames") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a completely different text body with other characters entirely"))
+      .toDF("doc_id", "text")
+    val hs = Multimodal.decodePixels(
+        Multimodal.syntheticSharedSceneVideos(docs)).toDF()
+      .select(col("img_id"), PerceptualHash.dhash(col("pixels")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val r = Multimodal.FrameRadix
+    def shared(va: Long, vb: Long): Int =
+      (for {
+        (ia, ha) <- hs.toSeq if ia / r == va
+        (ib, hb) <- hs.toSeq if ib / r == vb
+        if java.lang.Long.bitCount(ha ^ hb) <= PerceptualHash.HamCap
+      } yield 1).sum
+    assert(shared(0L, 1L) == Multimodal.SharedFrames,
+      "re-encoded frames match, unique footage does not")
+    assert(shared(2L, 3L) == Multimodal.SharedFrames)
+    assert(shared(0L, 2L) == 0, "different texts share no frames")
+  }
+
   test("banding pigeonhole: every pair within HamCap shares a band") {
     // adversarial: flip exactly HamCap bits spread maximally — one
     // per band can cover at most HamCap of the 7 bands, so at least
