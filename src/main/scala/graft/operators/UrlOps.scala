@@ -24,8 +24,8 @@ import org.apache.spark.sql.functions._
   * [[graft.plans.TopKPerKey]] operator (k rows per domain per
   * partition cross the exchange, never a per-domain sort).
   *
-  * Canonical form (declared): lowercase scheme and host, `www.`
-  * prefix dropped, default ports (`:80` http, `:443` https)
+  * Canonical form (declared): lowercase scheme and host, the whole
+  * leading `www.` RUN dropped, default ports (`:80` http, `:443` https)
   * stripped, ONE trailing slash off a non-root path, fragment
   * dropped, tracking params removed (`utm_*` prefix and the
   * `ref`/`fbclid`/`gclid` names), remaining query params sorted
@@ -114,9 +114,8 @@ object UrlOps {
             !element_at(split(x, "="), 1).isin("ref", "fbclid", "gclid"))),
         "&"))
     val d3 = d2
-      .withColumn("host", when(col("_u_rawhost").startsWith("www."),
-        col("_u_rawhost").substr(lit(5), length(col("_u_rawhost"))))
-        .otherwise(col("_u_rawhost")))
+      .withColumn("host",
+        regexp_replace(col("_u_rawhost"), "^(www\\.)+", ""))
       .withColumn("_u_portPart", when(col("_u_port") === "" ||
           (col("_u_scheme") === "https" && col("_u_port") === "443") ||
           (col("_u_scheme") === "http" && col("_u_port") === "80"), "")
@@ -151,8 +150,10 @@ object UrlOps {
     val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
     val hostport = regexp_extract(url, "^[A-Za-z]+://([^/?#]*)", 1)
     val rawhost = lower(regexp_extract(hostport, "^([^:]*)", 1))
-    val host = when(rawhost.startsWith("www."),
-      rawhost.substr(lit(5), length(rawhost))).otherwise(rawhost)
+    // the whole LEADING RUN of www. prefixes, not one — a single
+    // strip left www.www.x at www.x and broke idempotence (caught by
+    // the PropertySpec hostile generator)
+    val host = regexp_replace(rawhost, "^(www\\.)+", "")
     val port = regexp_extract(hostport, ":([0-9]+)$", 1)
     val portPart = when(port === "" ||
         (scheme === "https" && port === "443") ||
@@ -248,8 +249,7 @@ object UrlOps {
        |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS p1
        |  FROM c1),
        |c3 AS (SELECT doc_id, n_chars, url, scheme, port,
-       |    CASE WHEN starts_with(rawhost, 'www.')
-       |         THEN substr(rawhost, 5) ELSE rawhost END AS host,
+       |    regexp_replace(rawhost, '^(www\\.)+', '') AS host,
        |    CASE WHEN length(p1) > 1 AND p1 LIKE '%/'
        |         THEN substr(p1, 1, length(p1) - 1) ELSE p1 END AS path,
        |    coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),

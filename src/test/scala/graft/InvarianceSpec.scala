@@ -54,7 +54,9 @@ class InvarianceSpec extends SparkSpec {
     "wc_url_dedup",         // canonical groupBy min-survivor
     "wc_front_e2e",         // canon dedup + anti-join + TopKPerKey caps
     "mm_dhash_dups",        // banded Hamming join + pair distinct
-    "mm_audio_fp_dups")     // PCM decode + energies + banded join
+    "mm_audio_fp_dups",     // PCM decode + energies + banded join
+    "mm_video_scenes",      // frame pairs + video-pair rollup
+    "wc_admitted_text")     // admission chain + df-relative chrome + md5
     // (wordpiece/unigram vocab invariance pinned in their own specs —
     // training loops collect through a sized session)
     // (classifier weights pinned in ClassifierSpec — the IndexCache
