@@ -16,6 +16,10 @@ object MultimodalPack extends QueryPack {
     * sharing a scene (mm_video_scenes). */
   val MinSharedScenes = 2
 
+  /** Probe-subset bound for the brute-force side of mm_dhash_recall
+    * (img_ids below this — all-pairs stays trivially affordable). */
+  val DhashProbeN = 200
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -292,6 +296,29 @@ object MultimodalPack extends QueryPack {
         .groupBy(col("vid_a"), col("vid_b"))
         .agg(count(lit(1)).as("shared_frames"))
         .filter(col("shared_frames") >= MinSharedScenes)
+    }),
+
+    // the banded index auditing its own recall (the ds_lsh_recall
+    // pattern): brute-force truth = ALL pairs within HamCap on a
+    // bounded probe subset, compared against what the banding
+    // surfaces on the same subset. For THIS index the audit is a
+    // proof check, not a measurement — pigeonhole over 4 bands
+    // guarantees recall 1.0 at radius 3, and the oracle asserts the
+    // counts EQUAL (a banding bug fails the hash, not a comment)
+    "mm_dhash_recall" -> ((s, dir) => {
+      val sub = dhashed(s, dir).filter(col("img_id") < DhashProbeN)
+      val truth = sub.alias("a").join(sub.alias("b"),
+          col("a.img_id") < col("b.img_id"))
+        .filter(expr("bit_count(a.dhash ^ b.dhash)") <= PerceptualHash.HamCap)
+        .select(col("a.img_id").as("img_a"), col("b.img_id").as("img_b"))
+      val cand = dhashDups(sub).select(col("img_a"), col("img_b"))
+      val hit = truth.join(cand, Seq("img_a", "img_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          (col("n_hit") === col("n_true") &&
+            col("n_cand") === col("n_true")).as("pigeonhole_ok"))
     }),
 
     // the image-dedup APPLY step (the ds_dedup_apply shape at image
@@ -601,6 +628,20 @@ object MultimodalPack extends QueryPack {
          |FROM vp GROUP BY vid_a, vid_b
          |HAVING count(*) >= $MinSharedScenes""".stripMargin
     },
+
+    // pigeonhole makes banded candidates EQUAL brute-force truth at
+    // this radius — the oracle replays truth and asserts the equality
+    "mm_dhash_recall" ->
+      s"""WITH $dhashCte,
+         |sub AS (SELECT img_id, dhash FROM h WHERE img_id < $DhashProbeN),
+         |truth AS (SELECT a.img_id AS img_a, b.img_id AS img_b
+         |          FROM sub a JOIN sub b ON a.img_id < b.img_id
+         |          WHERE bit_count(xor(a.dhash, b.dhash))
+         |                <= ${PerceptualHash.HamCap})
+         |SELECT (SELECT count(*) FROM truth) AS n_true,
+         |       (SELECT count(*) FROM truth) AS n_cand,
+         |       (SELECT count(*) FROM truth) AS n_hit,
+         |       TRUE AS pigeonhole_ok""".stripMargin,
 
     "mm_dhash_apply" ->
       s"""WITH RECURSIVE $dhashCte,
