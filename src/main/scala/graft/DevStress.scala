@@ -546,6 +546,18 @@ object DevStress {
       time("dhash_hash", h)
       time("dhash_dups", graft.operators.MultimodalPack.dhashDups(h))
     }
+    // audio fingerprint: the REAL RIFF data-chunk walk (vs dhash's
+    // stub grid) — decode+energies+fp must stay linear in clip bytes
+    // (one ~1 KB clip per row); the pair join is the dhash_dups class
+    if (wants("audio_fp")) {
+      implicit val sp = spark
+      val clips = graft.sources.Multimodal.decodePcm16(
+        graft.sources.Multimodal.syntheticNearDupAudio(
+          spark.read.parquet("/tmp/stress_docs")))
+      time("audio_fp", graft.sources.Multimodal.windowEnergies(clips)
+        .select(col("snd_id"),
+          graft.operators.PerceptualHash.audioFp(col("energies")).as("fp")))
+    }
     spark.stop()
   }
 }
