@@ -298,6 +298,20 @@ object MultimodalPack extends QueryPack {
         .filter(col("shared_frames") >= MinSharedScenes)
     }),
 
+    // ...and the audio APPLY step, completing the modality symmetry:
+    // near-dup clips → components → the surviving clip library
+    "mm_audio_fp_apply" -> ((s, dir) => {
+      val h = audioFped(s, dir)
+        .select(col("snd_id").as("img_id"), col("fp").as("dhash"))
+      val losers = Components.connectedComponents(
+          dhashDups(h).select(col("img_a"), col("img_b")),
+          "img_a", "img_b")
+        .filter(col("node") =!= col("rep"))
+        .select(col("node").as("img_id"))
+      h.join(losers, Seq("img_id"), "left_anti")
+        .select(col("img_id").as("snd_id"), col("dhash").as("fp"))
+    }),
+
     // the banded index auditing its own recall (the ds_lsh_recall
     // pattern): brute-force truth = ALL pairs within HamCap on a
     // bounded probe subset, compared against what the banding
@@ -628,6 +642,26 @@ object MultimodalPack extends QueryPack {
          |FROM vp GROUP BY vid_a, vid_b
          |HAVING count(*) >= $MinSharedScenes""".stripMargin
     },
+
+    "mm_audio_fp_apply" ->
+      s"""WITH RECURSIVE $audioCte,
+         |h AS (SELECT snd_id AS img_id, fp AS dhash FROM ah),
+         |$dhashPairCtes,
+         |e AS (SELECT img_a AS a, img_b AS b FROM pairs
+         |      UNION SELECT img_b, img_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |groups AS (SELECT n AS img_id, min(m) AS rep FROM (
+         |    SELECT a AS n, least(a, b) AS m FROM reach
+         |    UNION ALL
+         |    SELECT DISTINCT a, a FROM e)
+         |  GROUP BY n)
+         |SELECT h.img_id AS snd_id, h.dhash AS fp FROM h
+         |WHERE NOT EXISTS (SELECT 1 FROM groups g
+         |                  WHERE g.img_id = h.img_id
+         |                    AND g.img_id <> g.rep)""".stripMargin,
 
     // pigeonhole makes banded candidates EQUAL brute-force truth at
     // this radius — the oracle replays truth and asserts the equality
