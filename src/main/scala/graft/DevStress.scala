@@ -55,8 +55,11 @@ object DevStress {
     val n = spark.read.parquet("/tmp/stress_docs").count()
 
     /** Times a noop-sink materialization; row count rides the action.
-      * Probes not matching the CLI filter are skipped (-1). */
-    def time(name: String, df: DataFrame): Long = {
+      * Probes not matching the CLI filter are skipped (-1). The
+      * frame is by-name: operators with EAGER internal stages
+      * (knnGraphOver's per-round checkpoints) must build inside the
+      * clock, and a skipped probe must not pay them at all. */
+    def time(name: String, df: => DataFrame): Long = {
       if (only.nonEmpty && !name.contains(only)) return -1L
       System.gc()
       val obs = new Observation()
@@ -251,6 +254,15 @@ object DevStress {
       pairs(SimilarityPack.capBuckets(hotBuckets)))
     if (hc > 0 && hu >= 0)
       println(f"[stress] x$factor%-3d hot-bucket reduction      ${hu.toDouble / hc}%8.2fx")
+
+    // NN-Descent k-NN graph over factor× embeddings: per-round
+    // candidates are bounded by (2K)² per node, so wall should track
+    // N linearly — the bound that separates it from the O(N²) brute
+    // graph (sim_knn_graph's 100 TB argument, measured)
+    val knnVecs = bigEmb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.Similarity.norm(col("embedding")).as("nrm"))
+    time("knn_graph", SimilarityPack.knnGraphOver(knnVecs))
 
     // pagerank: the q_pagerank edge graph replicated factor× with
     // shifted node ids (disjoint copies of the original graph — same

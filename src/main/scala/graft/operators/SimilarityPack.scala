@@ -138,6 +138,120 @@ object SimilarityPack extends QueryPack {
       .filter(col("cos") >= minCos)
   }
 
+  /** k-NN-graph (NN-Descent, Dong et al. WWW'11) parameters: K
+    * neighbors kept per node, [[KnnRounds]] refinement rounds —
+    * unrolled identically in the oracle CTE chain. The seed strides
+    * replace the paper's random init deterministically: node i's j-th
+    * seed is (i + stride_j) mod N, distinct primes spreading each
+    * node's initial pool across the id space (a ring seed — strides
+    * 1..K — gives adjacent nodes near-identical neighborhoods:
+    * measured recall@6 collapsed 0.35 → 0.08 on this corpus; see
+    * sim_knn_graph_recall). */
+  val KnnSeedStrides: Seq[Int] = Seq(1, 19, 83, 173, 311, 433)
+  val KnnK: Int = KnnSeedStrides.length
+  val KnnRounds = 3
+
+  /** Embeddings with the norm precomputed per ROW, so cosine inside
+    * any pair join is one FloatDot per pair instead of three. */
+  private def normedVecs(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+
+  /** Deterministic NN-Descent seed graph: node i points at ids
+    * (i+1 .. i+K) mod N, N = max(id)+1 as a 1-row broadcast (no
+    * driver collect). Ids are dense in the generator; a seed edge
+    * landing on a missing/null-embedding id simply drops in the
+    * first scoring join — NN-Descent needs only SOME seed, the
+    * rounds do the work. */
+  def nnDescentSeed(vecs: DataFrame): DataFrame = {
+    val n = vecs.agg((max(col("vec_id")) + 1).as("n"))
+    vecs.select(col("vec_id").as("src"))
+      .crossJoin(broadcast(n))
+      .select(col("src"),
+        explode(array(KnnSeedStrides.map(lit): _*)).as("j"), col("n"))
+      .select(col("src"), ((col("src") + col("j")) % col("n")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** One NN-Descent refinement: candidates = the UNDIRECTED current
+    * graph plus its neighbor-of-neighbor closure, scored by exact
+    * cosine, cut to the K best per node through the native
+    * bounded-heap [[graft.plans.TopKPerKey]] (partial heaps below
+    * the exchange — never a global sort). Returns (src, dst, cos).
+    *
+    * 100 TB shape: every frame in the round carries ids only until
+    * the final scoring join re-attaches embeddings by equi-join, and
+    * the candidate set is bounded by (2K)² per node — each round is
+    * O(N·K²) pairs and O(N·K²·d) flops however large N grows, vs the
+    * O(N²·d) brute-force graph. That linear-per-round bound (not any
+    * index quality argument) is why NN-Descent is the standard
+    * distributed k-NN-graph construction. */
+  def nnDescentRound(edges: DataFrame, vecs: DataFrame, p: Int): DataFrame = {
+    // no dedup on the undirected view: duplicate rows only duplicate
+    // candidates, and the single exchange below removes those — the
+    // SET matches the oracle's UNION either way
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val non = und.alias("a").join(und.alias("b"),
+        col("a.dst") === col("b.src") && col("a.src") =!= col("b.dst"))
+      .select(col("a.src").as("src"), col("b.dst").as("dst"))
+    // ONE exchange both dedups the candidate set and lands the
+    // src-partitioning the keep-K needs (LabelProp's exchange-fusion:
+    // dropDuplicates clusters on a SUBSET of its keys, so
+    // HashPartitioning(src) satisfies it in place)
+    val cand = non.union(und)
+      .repartition(p, col("src"))
+      .dropDuplicates("src", "dst")
+    val scored = cand
+      .join(vecs.select(col("vec_id").as("dst"), col("embedding").as("de"),
+        col("nrm").as("dn")), Seq("dst"))
+      .join(vecs.select(col("vec_id").as("src"), col("embedding").as("se"),
+        col("nrm").as("sn")), Seq("src"))
+      .select(col("src"), col("dst"),
+        (Similarity.dot(col("se"), col("de"))
+          / (col("sn") * col("dn"))).as("cos"))
+    graft.plans.TopKPerKey.topKPerKey(scored,
+      keys = Seq(col("src")),
+      order = Seq(col("cos").desc, col("dst").asc), k = KnnK)
+  }
+
+  /** The NN-Descent loop over a prepared (vec_id, embedding, nrm)
+    * frame: persist the vectors (every round joins them twice),
+    * size the loop session off the candidate-frame bound
+    * N·(2K)² ([[LoopWidth]] — at kilobyte frames the rounds would
+    * otherwise be pure task-scheduling overhead), and
+    * localCheckpoint each round's K-row-per-node output. The
+    * checkpoint is CORRECTNESS-OF-COST, not style: a round reads its
+    * predecessor five times (two und legs × the NoN self-join plus
+    * the union), so un-truncated lineage re-executes 5^rounds copies
+    * of the seed — the first cut of this operator measured 19.9 s on
+    * 2 000 vectors from exactly that; this form probes 5.4 s at x1
+    * and 15.6 s at x16 (the DevStress knn_graph row). */
+  def knnGraphOver(vRaw: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = vRaw.sparkSession
+    val persisted = vRaw.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = persisted.count()
+      val p = LoopWidth.partitionsFor(n * (2L * KnnK) * (2L * KnnK), spark)
+      LoopWidth.onSizedSession(persisted, p) { vecs =>
+        var edges = nnDescentSeed(vecs)
+        (1 to KnnRounds).foreach { _ =>
+          edges = nnDescentRound(edges.select(col("src"), col("dst")),
+            vecs, p).localCheckpoint(eager = true)
+        }
+        edges
+      }
+    } finally persisted.unpersist(blocking = false)
+  }
+
+  /** The converged (src, dst, cos) k-NN graph after [[KnnRounds]]
+    * refinements of the deterministic seed. */
+  def knnGraph(s: SparkSession, dir: String): DataFrame =
+    knnGraphOver(normedVecs(s, dir))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-3 per query (queries = vec_id < 10),
     // query side broadcast; ranking on the exact double (bit-identical
@@ -592,6 +706,55 @@ object SimilarityPack extends QueryPack {
       adcTop2(index.join(broadcast(q), Seq("centroid"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"), adcScore.as("score")))
+    }),
+
+    // k-NN graph via NN-Descent — the graph-ANN family (the index
+    // behind HNSW-style search and kNN-graph dedup/SemDeDup
+    // clustering) built the distributed way: iterate "a neighbor of
+    // my neighbor is probably my neighbor" — candidate = undirected
+    // neighbor-of-neighbor closure, exact-cosine score, keep-K — for
+    // KnnRounds rounds from a deterministic seed. Each round is
+    // id-only joins + one embedding re-join, O(N·K²) pairs: linear
+    // in corpus size where the brute-force graph is quadratic.
+    "sim_knn_graph" -> ((s, dir) => {
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("dst"))
+      knnGraph(s, dir).withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("src").as("vec_id"), col("rank"),
+          col("dst").as("nbr_id"), graft.Det.dround(col("cos"), 6).as("cos"))
+    }),
+
+    // ...and the graph auditing its own recall (the ds_lsh_recall
+    // convention: an index ships with a measured recall number, not
+    // a formula): final-graph neighbors vs brute-force cosine top-K
+    // truth on the vec_id % 10 probe subset. Truth is quadratic ONLY
+    // over the bounded probe slice (broadcast query side); both
+    // counts reduce to 1-row aggs composed via broadcast — no
+    // driver-side arithmetic.
+    "sim_knn_graph_recall" -> ((s, dir) => {
+      val g = knnGraph(s, dir).filter(col("src") % 10 === 0)
+        .select(col("src"), col("dst"))
+      val v = normedVecs(s, dir)
+      val q = v.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("src"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val truth = graft.plans.TopKPerKey.topKPerKey(
+        v.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("src"))
+          .select(col("src"), col("vec_id").as("dst"),
+            (Similarity.dot(col("qe"), col("embedding"))
+              / (col("qn") * col("nrm"))).as("cos")),
+        keys = Seq(col("src")),
+        order = Seq(col("cos").desc, col("dst").asc), k = KnnK)
+        .select(col("src"), col("dst"))
+      val hits = g.join(truth, Seq("src", "dst"))
+        .agg(count(lit(1)).as("hits"))
+      truth.agg(countDistinct(col("src")).as("n_probes"),
+          count(lit(1)).as("possible"))
+        .crossJoin(broadcast(hits))
+        .select(col("n_probes"), col("possible"), col("hits"),
+          graft.Det.dround(
+            col("hits").cast("double") / col("possible"), 4).as("recall"))
     })
   )
 
@@ -1101,8 +1264,73 @@ object SimilarityPack extends QueryPack {
          |SELECT cluster, vec_id AS medoid, n_peers + 1 AS n_members,
          |  ${graft.Det.droundSql("CAST(su AS DOUBLE) / 1e8 / n_peers", 6)}
          |    AS mean_cos
-         |FROM r WHERE rn = 1""".stripMargin
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    "sim_knn_graph" ->
+      s"""WITH $knnCtes
+         |SELECT src AS vec_id,
+         |       row_number() OVER (PARTITION BY src
+         |         ORDER BY cos DESC, dst) AS rank,
+         |       dst AS nbr_id,
+         |       floor(cos * 1e6 + 0.5) / 1e6 AS cos
+         |FROM e$KnnRounds""".stripMargin,
+
+    "sim_knn_graph_recall" ->
+      s"""WITH $knnCtes,
+         |g AS (SELECT src, dst FROM e$KnnRounds WHERE src % 10 = 0),
+         |tr AS (SELECT src, dst FROM (
+         |        SELECT q.vec_id AS src, v.vec_id AS dst,
+         |               row_number() OVER (PARTITION BY q.vec_id
+         |                 ORDER BY ${sqlCos("q.embedding", "v.embedding")} DESC,
+         |                          v.vec_id) AS rn
+         |        FROM (SELECT * FROM embeddings
+         |              WHERE vec_id % 10 = 0 AND embedding IS NOT NULL) q
+         |        CROSS JOIN embeddings v
+         |        WHERE v.vec_id <> q.vec_id AND v.embedding IS NOT NULL)
+         |      WHERE rn <= $KnnK),
+         |h AS (SELECT count(*) AS hits FROM g JOIN tr USING (src, dst)),
+         |p AS (SELECT count(DISTINCT src) AS n_probes,
+         |             count(*) AS possible FROM tr)
+         |SELECT p.n_probes, p.possible, h.hits,
+         |       floor(CAST(h.hits AS DOUBLE) / p.possible * 1e4 + 0.5) / 1e4
+         |         AS recall
+         |FROM p CROSS JOIN h""".stripMargin
   )
+
+  /** Unrolled NN-Descent CTE chain: seed e0 = (i → (i+j) mod N),
+    * then per round i the undirected closure u_i → candidates nb_i →
+    * exact-cosine keep-K e_i — the SQL mirror of [[nnDescentRound]]
+    * (UNION's set semantics = the Spark side's distinct). */
+  private lazy val knnCtes: String = {
+    val seed =
+      s"""nn AS (SELECT max(vec_id) + 1 AS n FROM embeddings),
+         |e0 AS (SELECT DISTINCT e.vec_id AS src,
+         |              (e.vec_id + t.j) % nn.n AS dst
+         |       FROM embeddings e CROSS JOIN nn
+         |       CROSS JOIN (SELECT unnest([${KnnSeedStrides.mkString(", ")}])
+         |                     AS j) t
+         |       WHERE e.embedding IS NOT NULL
+         |         AND (e.vec_id + t.j) % nn.n <> e.vec_id)""".stripMargin
+    val rounds = (1 to KnnRounds).map { i =>
+      s"""u$i AS (SELECT src, dst FROM e${i - 1}
+         |        UNION SELECT dst, src FROM e${i - 1}),
+         |nb$i AS (SELECT a.src, b.dst FROM u$i a JOIN u$i b
+         |           ON a.dst = b.src AND a.src <> b.dst
+         |         UNION SELECT src, dst FROM u$i),
+         |s$i AS (SELECT src, dst, cos,
+         |          row_number() OVER (PARTITION BY src
+         |            ORDER BY cos DESC, dst) AS rn
+         |        FROM (SELECT c.src, c.dst,
+         |                ${sqlCos("es.embedding", "ed.embedding")} AS cos
+         |              FROM nb$i c
+         |              JOIN embeddings es ON c.src = es.vec_id
+         |              JOIN embeddings ed ON c.dst = ed.vec_id
+         |              WHERE es.embedding IS NOT NULL
+         |                AND ed.embedding IS NOT NULL)),
+         |e$i AS (SELECT src, dst, cos FROM s$i WHERE rn <= $KnnK)""".stripMargin
+    }
+    (seed +: rounds).mkString(",\n")
+  }
 
   /** Shared tail of the two ANN top-k oracles: exact-cosine scoring +
     * rank ≤ 3 over a `qcand(query_id, vec_id)` CTE. */

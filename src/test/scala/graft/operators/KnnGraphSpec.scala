@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.Similarity
+import org.apache.spark.sql.functions._
+
+/** NN-Descent k-NN graph (sim_knn_graph): on a corpus with real
+  * cluster structure the refinement rounds must converge the seed
+  * graph (which starts fully cluster-blind: stride seeds land ~uniform
+  * across ids) onto the true within-cluster neighbor lists. */
+class KnnGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 tight clusters x 7 members in 8-dim space: member j of cluster
+  // c is the unit vector e_c plus a small distinct jitter in dim 4+c,
+  // so each node's true top-6 is exactly its 6 cluster peers and
+  // every within-cluster cosine strictly beats every cross-cluster one
+  private def vecs = {
+    val rows = (0 until 28).map { i =>
+      val c = i / 7
+      val emb = Array.fill(8)(0.0f)
+      emb(c) = 1.0f
+      emb(4 + c) = 0.001f * (i % 7)
+      (i.toLong, emb)
+    }
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+  }
+
+  test("converges to the exact cluster-peer neighbor lists") {
+    val g = SimilarityPack.knnGraphOver(vecs)
+      .select("src", "dst").collect()
+    assert(g.length == 28 * SimilarityPack.KnnK)
+    g.foreach { r =>
+      val (src, dst) = (r.getLong(0), r.getLong(1))
+      assert(src != dst, s"self loop at $src")
+      assert(src / 7 == dst / 7,
+        s"$src kept cross-cluster neighbor $dst")
+    }
+    // per node: all 6 peers, each exactly once
+    val bySrc = g.groupBy(_.getLong(0))
+    assert(bySrc.size == 28)
+    bySrc.foreach { case (src, rows) =>
+      val ds = rows.map(_.getLong(1)).toSet
+      val c = src / 7
+      assert(ds == (c * 7 until (c + 1) * 7).map(_.toLong).toSet - src)
+    }
+  }
+
+  test("seed graph is deterministic, spread, and self-loop-free") {
+    val seed = SimilarityPack.nnDescentSeed(vecs)
+    val rows = seed.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.distinct.length)
+    assert(rows.forall { case (s, d) => s != d })
+    // strides mod 28 are distinct, so every node carries a full fan-out
+    assert(rows.groupBy(_._1).forall(_._2.length == SimilarityPack.KnnK))
+    // determinism: a second build is row-identical
+    val again = SimilarityPack.nnDescentSeed(vecs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.sorted.sameElements(again.sorted))
+  }
+}
