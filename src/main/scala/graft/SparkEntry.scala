@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     ExtractPack, MergePack, QueryLayerPack, DedupPack, SimilarityPack,
-    TextPack, MultimodalPack, StreamingPack, SamplePack, WebCurationPack)
+    TextPack, MultimodalPack, StreamingPack, SamplePack, WebCurationPack,
+    CodePack)
 
   /** Flagship query (SURVEY §7.3: labels of every address with
     * provenance) on sf0.001; driver smoke-checks rows>0. */

@@ -12,7 +12,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "QueryLayerPack" -> QueryLayerPack, "DedupPack" -> DedupPack,
     "SimilarityPack" -> SimilarityPack, "TextPack" -> TextPack,
     "MultimodalPack" -> MultimodalPack, "StreamingPack" -> StreamingPack,
-    "SamplePack" -> SamplePack, "WebCurationPack" -> WebCurationPack)
+    "SamplePack" -> SamplePack, "WebCurationPack" -> WebCurationPack,
+    "CodePack" -> CodePack)
 
   test("no query name collisions across packs") {
     val all = packs.flatMap { case (n, p) => p.queries.keys.map(_ -> n) }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The-Stack/StarCoder code gates (tx_code_rules): each rule must
+  * fire on exactly its adversarial injection and a clean file must
+  * pass them all. doc_ids are chosen so each hits ONE fixture
+  * injection slice (7→license, 11→blob, 13→data, 17→autogen,
+  * 19→xml); 1 hits none. */
+class CodePackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rulesFor(ids: Long*) = {
+    val docs = ids.map(i => (i, "alpha beta gamma delta")).toDF("doc_id", "text")
+    CodePack.ruleFrame(CodePack.codeFiles(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+  }
+
+  test("clean file passes; each injection trips its own rule") {
+    val r = rulesFor(1L, 7L, 11L, 13L, 17L, 19L)
+    assert(r(1L).getAs[Boolean]("pass"))
+    assert(r(1L).getAs[Long]("n_flags") == 0)
+
+    // 7: SPDX header present; 7 % 3 == 1 → Apache-2.0 → permissive,
+    // so the file still PASSES (license recorded, not flagged)
+    assert(r(7L).getAs[String]("license") == "Apache-2.0")
+    assert(r(7L).getAs[Boolean]("pass"))
+
+    // 11: 1212-char blob line → long-line (and avg-line on this
+    // 4-word file); nothing else
+    assert(r(11L).getAs[Boolean]("flag_long_line"))
+    assert(r(11L).getAs[Long]("max_line") > CodePack.MaxLineLen)
+    assert(!r(11L).getAs[Boolean]("pass"))
+
+    // 13: 972-char digit line → low alpha fraction, under the 1000
+    // line cap
+    assert(r(13L).getAs[Boolean]("flag_low_alpha"))
+    assert(!r(13L).getAs[Boolean]("flag_long_line"))
+
+    // 17: generated marker
+    assert(r(17L).getAs[Boolean]("flag_autogen"))
+    assert(!r(17L).getAs[Boolean]("pass"))
+
+    // 19: XML declaration heads the file
+    assert(r(19L).getAs[Boolean]("flag_xml"))
+  }
+
+  test("copyleft SPDX id flags; MIT does not") {
+    // 21 % 7 == 0 and 21 % 3 == 0 → MIT; 35 % 7 == 0, 35 % 3 == 2 →
+    // GPL-3.0-only
+    val r = rulesFor(21L, 35L)
+    assert(r(21L).getAs[String]("license") == "MIT")
+    assert(!r(21L).getAs[Boolean]("flag_copyleft"))
+    assert(r(35L).getAs[String]("license") == "GPL-3.0-only")
+    assert(r(35L).getAs[Boolean]("flag_copyleft"))
+    assert(!r(35L).getAs[Boolean]("pass"))
+  }
+
+  test("line accounting is exact on a known file") {
+    // doc 1: no injections — 4 body lines 'val w = "w"'
+    val r = rulesFor(1L)(1L)
+    assert(r.getAs[Long]("n_lines") == 4)
+    assert(r.getAs[Long]("max_line") == "val gamma = \"gamma\"".length)
+  }
+}
