@@ -386,6 +386,22 @@ object DedupPack extends QueryPack {
     "ds_sa_spans" -> ((s, dir) => SuffixArray.saSpans(s, dir)),
     "ds_sa_lrs" -> ((s, dir) => SuffixArray.saLrs(s, dir)),
 
+    // Winnowing (MOSS; Schleimer et al. SIGMOD'03) fingerprints:
+    // within every window of WinnowW consecutive shingle hashes keep
+    // the minimum (rightmost on ties). Unlike the fixed-stride
+    // sampling of ds_dup_spans or tx_fingerprint's global min, the
+    // window rule carries the winnowing GUARANTEE: any exact match of
+    // ≥ WinnowK+WinnowW−1 tokens shares at least one selected
+    // fingerprint, whatever its alignment. Pure scan stage — the
+    // per-window argmin runs as nested array HOFs, zero shuffles.
+    "ds_winnow_fp" -> ((s, dir) => winnowFps(tokenized(s, dir))),
+
+    // ...and the MOSS-style candidate pairs: docs sharing
+    // ≥ WinnowMinShared distinct rare fingerprints. df-capped like
+    // every hash-sharing join in this pack (a boilerplate fingerprint
+    // floods C(df,2) pairs; the cap bounds any posting list).
+    "ds_winnow_pairs" -> ((s, dir) => winnowPairs(tokenized(s, dir))),
+
     // Decontamination: flag training docs sharing full 8-token
     // n-grams with the held-out eval slice (doc_id % 50 == 0 plays
     // the benchmark suite). The eval n-gram set is tiny relative to
@@ -756,6 +772,62 @@ object DedupPack extends QueryPack {
           .otherwise(-1L)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Winnowing parameters: shingle width k, window w. The winnowing
+    * theorem pins the guarantee length at k+w−1 = 6 tokens; w=4 keeps
+    * the expected fingerprint density at 2/(w+1) = 40% of positions. */
+  val WinnowK = 3
+  val WinnowW = 4
+
+  /** Posting-list df cap for [[winnowPairs]] (the [[JaccardDfCap]]
+    * convention applied to fingerprints). */
+  val WinnowDfCap = 5
+
+  /** Candidate-pair bar: distinct shared rare fingerprints. */
+  val WinnowMinShared = 2
+
+  /** (doc_id, fp, pos) winnowing fingerprints of a (doc_id, toks)
+    * frame: shingle-hash the doc, then per window of [[WinnowW]]
+    * hashes select the min, rightmost occurrence on ties (robust
+    * winnowing — re-selecting the SAME (hash, pos) across overlapping
+    * windows collapses in the array_distinct, which is what bounds
+    * density). All array HOFs in the scan stage. */
+  def winnowFps(tokens: DataFrame): DataFrame = {
+    val hs = transform(Hashing.shingles(col("toks"), WinnowK),
+      s => Hashing.h32(s))
+    tokens
+      .filter(size(col("toks")) >= WinnowK + WinnowW - 1)
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(0), size(col("hs")) - WinnowW),
+          p => {
+            val win = slice(col("hs"), p + 1, lit(WinnowW))
+            val m = array_min(win)
+            struct(m.as("fp"),
+              (p.cast("long") + lit(WinnowW.toLong)
+                - array_position(reverse(win), m)).as("pos"))
+          })).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("f"))
+      .select(col("doc_id"), col("f.fp").as("fp"), col("f.pos").as("pos"))
+  }
+
+  /** (doc_a, doc_b, shared) MOSS candidate pairs over winnowing
+    * fingerprints: equi-join on fingerprint hash restricted to
+    * df ≤ [[WinnowDfCap]] postings, count distinct shared prints,
+    * keep pairs at ≥ [[WinnowMinShared]]. The exchange carries
+    * (doc_id, fp) only. */
+  def winnowPairs(tokens: DataFrame): DataFrame = {
+    val fp = winnowFps(tokens).select(col("doc_id"), col("fp")).distinct()
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowDfCap).select("fp")
+    val pruned = fp.join(rare, Seq("fp"))
+    pruned.alias("a").join(pruned.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= WinnowMinShared)
+  }
+
   /** Shingles with df ≤ [[JaccardDfCap]] survive into the pair join.
     * 5 is exercised at sf0.01 (29 shingles dropped); at corpus scale
     * the cap would be set from the df distribution of the boilerplate
@@ -1004,6 +1076,33 @@ object DedupPack extends QueryPack {
        |    SELECT DISTINCT a, a FROM e)
        |  GROUP BY n)""".stripMargin
 
+  /** Relational replay of [[winnowFps]]: lateral window starts ×
+    * in-window positions, rightmost-min via row_number ordered
+    * (h ASC, j DESC); the DISTINCT mirrors array_distinct. */
+  private lazy val winnowFpCtes: String = {
+    val shingle = Hashing.sqlH32(
+      (1 to WinnowK).map(o => s"ts[j+$o]").mkString(" || ' ' || "))
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |      WHERE len(string_split(text, ' '))
+       |            >= ${WinnowK + WinnowW - 1}),
+       |hsq AS (SELECT doc_id, j, $shingle AS h
+       |        FROM t, UNNEST(generate_series(0, len(ts) - $WinnowK))
+       |               AS g(j)),
+       |mx AS (SELECT doc_id, max(j) AS mj FROM hsq GROUP BY doc_id),
+       |wst AS (SELECT doc_id, p
+       |        FROM mx, UNNEST(generate_series(0, mj - ${WinnowW - 1}))
+       |               AS g(p)),
+       |wcand AS (SELECT w.doc_id, w.p, h.h, h.j
+       |          FROM wst w JOIN hsq h ON h.doc_id = w.doc_id
+       |            AND h.j BETWEEN w.p AND w.p + ${WinnowW - 1}),
+       |wsel AS (SELECT doc_id, p, h, j,
+       |           row_number() OVER (PARTITION BY doc_id, p
+       |             ORDER BY h, j DESC) AS rn
+       |         FROM wcand),
+       |wfp AS (SELECT DISTINCT doc_id, h AS fp, CAST(j AS BIGINT) AS pos
+       |        FROM wsel WHERE rn = 1)""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
     "ds_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
@@ -1218,6 +1317,22 @@ object DedupPack extends QueryPack {
     // the engine — all-integer, so bit-for-bit (SuffixArray.sql*).
     "ds_sa_spans" -> SuffixArray.sqlSpans,
     "ds_sa_lrs" -> SuffixArray.sqlLrs,
+
+    "ds_winnow_fp" ->
+      s"""WITH $winnowFpCtes
+         |SELECT doc_id, fp, pos FROM wfp""".stripMargin,
+
+    "ds_winnow_pairs" ->
+      s"""WITH $winnowFpCtes,
+         |d AS (SELECT DISTINCT doc_id, fp FROM wfp),
+         |rare AS (SELECT fp FROM d GROUP BY fp
+         |         HAVING count(*) <= $WinnowDfCap)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       count(*) AS shared
+         |FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |JOIN rare r ON r.fp = a.fp
+         |GROUP BY 1, 2
+         |HAVING count(*) >= $WinnowMinShared""".stripMargin,
 
     "ds_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Winnowing (ds_winnow_fp / ds_winnow_pairs): the selection must
+  * honor the winnowing guarantee — any exact match of at least
+  * k+w-1 tokens shares a selected fingerprint WHATEVER its alignment
+  * inside the two documents — and the rightmost-min tie rule. */
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fps(docs: (Long, String)*) = {
+    val df = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    DedupPack.winnowFps(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+  }
+
+  test("guarantee: a 6-token shared run yields a shared fingerprint at every alignment") {
+    val run = "q w e r t y" // k+w-1 = 6 tokens
+    // embed the run at different offsets inside distinct filler
+    val pads = Seq("aa bb cc dd", "x1 x2", "z9 z8 z7 z6 z5 z4 z3")
+    for (pad <- pads) {
+      val sel = fps(1L -> s"$run $pad", 2L -> s"$pad $run")
+      val h1 = sel.filter(_._1 == 1L).map(_._2).toSet
+      val h2 = sel.filter(_._1 == 2L).map(_._2).toSet
+      assert((h1 & h2).nonEmpty,
+        s"no shared fingerprint for pad '$pad'")
+    }
+  }
+
+  test("ties select the rightmost minimum") {
+    // a doc of one repeated token: every shingle hash is equal, so
+    // every window is an all-tie — the selected position must be the
+    // window's LAST slot each time
+    val sel = fps(1L -> Seq.fill(10)("tok").mkString(" "))
+    // 8 shingles, windows start 0..4, rightmost = p + w - 1
+    val expect = (0 to 4).map(p => (p + DedupPack.WinnowW - 1).toLong).toSet
+    assert(sel.map(_._3).toSet == expect)
+  }
+
+  test("pairs: shared-run docs surface, disjoint docs do not") {
+    // long enough that the guarantee yields >= WinnowMinShared
+    // distinct shared fingerprints (one per w-window of the run)
+    val shared = "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12 k13 k14"
+    val df = Seq(
+      1L -> s"$shared p1 p2 p3",
+      2L -> s"q1 q2 $shared",
+      3L -> "r1 r2 r3 r4 r5 r6 r7 r8").toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val pairs = DedupPack.winnowPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}
