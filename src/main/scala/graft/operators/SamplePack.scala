@@ -756,6 +756,34 @@ object SamplePack extends QueryPack {
     // a scalar frame (the tx_length_band pattern); the band test
     // compares rounded values so both engines cut on identical
     // literals.
+    // Curriculum feed (the curriculum-learning data op): a global
+    // training order that streams easy docs first — band = bigram
+    // cross-entropy tercile (sp_ppl_buckets' difficulty model),
+    // hash-shuffled WITHIN a band so band-internal order is
+    // deterministic but uncorrelated with doc ids. The band cut is a
+    // 1-row broadcast; the global position is GlobalIndex's
+    // range-partition + per-partition sort + zipWithIndex — never a
+    // one-task global window, so the feed assembles at any corpus
+    // size.
+    "sp_curriculum" -> ((s, dir) => {
+      val ent = TextPack.bigramEntropy(s, dir)
+      val th = ent.agg(
+        Det.dround(expr(
+          "percentile(cross_entropy, 0.3333333333333333d)"), 4).as("t1"),
+        Det.dround(expr(
+          "percentile(cross_entropy, 0.6666666666666666d)"), 4).as("t2"))
+      val banded = ent.crossJoin(broadcast(th))
+        .select(col("doc_id"),
+          when(col("cross_entropy") <= col("t1"), 0L)
+            .when(col("cross_entropy") <= col("t2"), 1L)
+            .otherwise(2L).as("band"),
+          graft.functions.Hashing.h32(
+            concat(lit("cur_"), col("doc_id").cast("string"))).as("k"))
+      GlobalIndex.withPosition(banded,
+          Seq(col("band"), col("k"), col("doc_id")), "pos")
+        .select(col("doc_id"), col("band"), col("pos"))
+    }),
+
     "sp_ppl_buckets" -> ((s, dir) => {
       val ent = TextPack.bigramEntropy(s, dir)
       val th = ent.agg(
@@ -1455,33 +1483,21 @@ object SamplePack extends QueryPack {
          |  ${Det.droundSql("CAST(ku AS DOUBLE) / 1e4", 4)} AS sel_key
          |FROM key ORDER BY ku DESC, doc_id LIMIT $DsirK""".stripMargin,
 
+    "sp_curriculum" ->
+      s"""WITH $pplEntCtes,
+         |b AS (SELECT doc_id,
+         |        CASE WHEN ce <= t1 THEN 0
+         |             WHEN ce <= t2 THEN 1
+         |             ELSE 2 END AS band,
+         |        ${graft.functions.Hashing.sqlH32("'cur_' || doc_id")} AS k
+         |      FROM ent, th)
+         |SELECT doc_id, CAST(band AS BIGINT) AS band,
+         |  CAST(row_number() OVER (ORDER BY band, k, doc_id) - 1
+         |    AS BIGINT) AS pos
+         |FROM b""".stripMargin,
+
     "sp_ppl_buckets" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
-         |           FROM documents),
-         |bg AS (SELECT doc_id, ts[j+1] || ' ' || ts[j+2] AS ng,
-         |              ts[j+1] AS a
-         |       FROM t, UNNEST(generate_series(0, len(ts) - 2)) AS g(j)),
-         |cb AS (SELECT ng, count(*) AS cab FROM bg GROUP BY ng),
-         |caa AS (SELECT a, count(*) AS ca FROM bg GROUP BY a),
-         |vv AS (SELECT count(DISTINCT w) AS vs FROM
-         |         (SELECT unnest(ts) AS w FROM t)),
-         |lp AS (SELECT cb.ng,
-         |         CAST(floor(log2((cab + 1.0) / (ca + vs)) * 1e4 + 0.5)
-         |           AS BIGINT) AS lpu
-         |       FROM cb JOIN caa ON string_split(cb.ng, ' ')[1] = caa.a
-         |       CROSS JOIN vv),
-         |ent AS (SELECT doc_id,
-         |          ${Det.droundSql(
-                    "-(CAST(sum(lpu) AS DOUBLE)) / (count(*) * 1e4)",
-                    4)} AS ce
-         |        FROM bg JOIN lp USING (ng)
-         |        GROUP BY doc_id),
-         |th AS (SELECT
-         |    ${Det.droundSql(
-                "quantile_cont(ce, 0.3333333333333333)", 4)} AS t1,
-         |    ${Det.droundSql(
-                "quantile_cont(ce, 0.6666666666666666)", 4)} AS t2
-         |  FROM ent)
+      s"""WITH $pplEntCtes
          |SELECT bucket, lang, count(*) AS n_docs,
          |  ${Det.davgSql("ce", 4)} AS avg_ce
          |FROM (SELECT CASE WHEN ce <= t1 THEN 'head'
@@ -1490,6 +1506,38 @@ object SamplePack extends QueryPack {
          |      FROM ent JOIN documents USING (doc_id), th)
          |GROUP BY bucket, lang""".stripMargin
   )
+
+  /** Shared bigram-cross-entropy oracle CTEs (`ent(doc_id, ce)` plus
+    * the tercile thresholds `th(t1, t2)`) — the SQL mirror of
+    * [[TextPack.bigramEntropy]], spliced into sp_ppl_buckets and
+    * sp_curriculum so the difficulty model exists once per side. */
+  private def pplEntCtes: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS ts
+       |           FROM documents),
+       |bg AS (SELECT doc_id, ts[j+1] || ' ' || ts[j+2] AS ng,
+       |              ts[j+1] AS a
+       |       FROM t, UNNEST(generate_series(0, len(ts) - 2)) AS g(j)),
+       |cb AS (SELECT ng, count(*) AS cab FROM bg GROUP BY ng),
+       |caa AS (SELECT a, count(*) AS ca FROM bg GROUP BY a),
+       |vv AS (SELECT count(DISTINCT w) AS vs FROM
+       |         (SELECT unnest(ts) AS w FROM t)),
+       |lp AS (SELECT cb.ng,
+       |         CAST(floor(log2((cab + 1.0) / (ca + vs)) * 1e4 + 0.5)
+       |           AS BIGINT) AS lpu
+       |       FROM cb JOIN caa ON string_split(cb.ng, ' ')[1] = caa.a
+       |       CROSS JOIN vv),
+       |ent AS (SELECT doc_id,
+       |          ${Det.droundSql(
+                  "-(CAST(sum(lpu) AS DOUBLE)) / (count(*) * 1e4)",
+                  4)} AS ce
+       |        FROM bg JOIN lp USING (ng)
+       |        GROUP BY doc_id),
+       |th AS (SELECT
+       |    ${Det.droundSql(
+              "quantile_cont(ce, 0.3333333333333333)", 4)} AS t1,
+       |    ${Det.droundSql(
+              "quantile_cont(ce, 0.6666666666666666)", 4)} AS t2
+       |  FROM ent)""".stripMargin
 
   /** Shared DSIR oracle prefix: feature hashing, the two bucket LMs,
     * and the per-doc weight CTE (`doc`) — spliced into both DSIR
