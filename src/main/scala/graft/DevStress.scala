@@ -92,6 +92,19 @@ object DevStress {
     time("jaccard_pairs",
       DedupPack.jaccardPairs(toks, dfCap = DedupPack.JaccardDfCap * factor))
 
+    // winnowing: same flood shape as jaccard (replicas fingerprint
+    // identically, so every posting list is factor-deep) — scale the
+    // df cap with the factor so the probe measures the selection +
+    // join, not the cap
+    time("winnow_pairs", DedupPack.winnowPairs(toks,
+      dfCap = DedupPack.WinnowDfCap * factor))
+
+    // code gates: pure scan-stage string expressions — wall should be
+    // linear in bytes with zero shuffles
+    time("code_rules",
+      graft.operators.CodePack.ruleFrame(
+        graft.operators.CodePack.codeFiles(renamed)))
+
     // dup spans: replication makes EVERY gram a ≥2-occurrence seed,
     // so this measures the operator's worst case — 100% semi-join
     // selectivity and full-length per-doc interval folds. Output is

@@ -790,24 +790,33 @@ object DedupPack extends QueryPack {
     * hashes select the min, rightmost occurrence on ties (robust
     * winnowing — re-selecting the SAME (hash, pos) across overlapping
     * windows collapses in the array_distinct, which is what bounds
-    * density). All array HOFs in the scan stage. */
+    * density). All array HOFs in the scan stage.
+    *
+    * The token array and the shingle-hash array are LET-BOUND through
+    * single-element transform lambdas (`element_at(transform(array(e),
+    * v => body), 1)`): a lambda argument evaluates once per row, where
+    * a projected alias referenced from inside the window lambda gets
+    * re-inlined by projection collapse — the first cut re-split and
+    * re-hashed the whole doc PER WINDOW slot (the UrlOps staging
+    * lesson, compounded by the HOF nesting: a ×5 DevStress probe that
+    * now runs in seconds had not finished in 20 minutes). */
   def winnowFps(tokens: DataFrame): DataFrame = {
-    val hs = transform(Hashing.shingles(col("toks"), WinnowK),
-      s => Hashing.h32(s))
-    tokens
-      .filter(size(col("toks")) >= WinnowK + WinnowW - 1)
-      .select(col("doc_id"), hs.as("hs"))
-      .select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(0), size(col("hs")) - WinnowW),
+    val fps = element_at(transform(array(col("toks")), tv =>
+      element_at(transform(
+        array(transform(Hashing.shingles(tv, WinnowK),
+          s => Hashing.h32(s))),
+        hsv => array_distinct(transform(
+          sequence(lit(0), size(hsv) - WinnowW),
           p => {
-            val win = slice(col("hs"), p + 1, lit(WinnowW))
+            val win = slice(hsv, p + 1, lit(WinnowW))
             val m = array_min(win)
             struct(m.as("fp"),
               (p.cast("long") + lit(WinnowW.toLong)
                 - array_position(reverse(win), m)).as("pos"))
-          })).as("fps"))
-      .select(col("doc_id"), explode(col("fps")).as("f"))
+          }))), 1)), 1)
+    tokens
+      .filter(size(col("toks")) >= WinnowK + WinnowW - 1)
+      .select(col("doc_id"), explode(fps).as("f"))
       .select(col("doc_id"), col("f.fp").as("fp"), col("f.pos").as("pos"))
   }
 
@@ -816,10 +825,11 @@ object DedupPack extends QueryPack {
     * df ≤ [[WinnowDfCap]] postings, count distinct shared prints,
     * keep pairs at ≥ [[WinnowMinShared]]. The exchange carries
     * (doc_id, fp) only. */
-  def winnowPairs(tokens: DataFrame): DataFrame = {
+  def winnowPairs(tokens: DataFrame,
+                  dfCap: Int = WinnowDfCap): DataFrame = {
     val fp = winnowFps(tokens).select(col("doc_id"), col("fp")).distinct()
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= WinnowDfCap).select("fp")
+      .filter(col("df") <= dfCap).select("fp")
     val pruned = fp.join(rare, Seq("fp"))
     pruned.alias("a").join(pruned.alias("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
