@@ -1086,13 +1086,31 @@ object DedupPack extends QueryPack {
        |    SELECT DISTINCT a, a FROM e)
        |  GROUP BY n)""".stripMargin
 
-  /** Relational replay of [[winnowFps]]: lateral window starts ×
-    * in-window positions, rightmost-min via row_number ordered
-    * (h ASC, j DESC); the DISTINCT mirrors array_distinct. */
-  private lazy val winnowFpCtes: String = {
+  /** The [[winnowPairs]] tail over the `wfp` CTE — the df-capped
+    * shared-fingerprint pair rollup, shared with CodePack's clone
+    * oracle. */
+  def winnowPairsTail: String =
+    s"""d AS (SELECT DISTINCT doc_id, fp FROM wfp),
+       |rare AS (SELECT fp FROM d GROUP BY fp
+       |         HAVING count(*) <= $WinnowDfCap)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       count(*) AS shared
+       |FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |JOIN rare r ON r.fp = a.fp
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $WinnowMinShared""".stripMargin
+
+  /** Relational replay of [[winnowFps]] over any (doc_id, text)
+    * source select: lateral window starts × in-window positions,
+    * rightmost-min via row_number ordered (h ASC, j DESC); the
+    * DISTINCT mirrors array_distinct. Public so compositions over
+    * other corpora (CodePack's clone detection) replay the same
+    * selection. */
+  def winnowCtes(docSrc: String): String = {
     val shingle = Hashing.sqlH32(
       (1 to WinnowK).map(o => s"ts[j+$o]").mkString(" || ' ' || "))
-    s"""t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    s"""wt0 AS ($docSrc),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM wt0
        |      WHERE len(string_split(text, ' '))
        |            >= ${WinnowK + WinnowW - 1}),
        |hsq AS (SELECT doc_id, j, $shingle AS h
@@ -1329,20 +1347,12 @@ object DedupPack extends QueryPack {
     "ds_sa_lrs" -> SuffixArray.sqlLrs,
 
     "ds_winnow_fp" ->
-      s"""WITH $winnowFpCtes
+      s"""WITH ${winnowCtes("SELECT doc_id, text FROM documents")}
          |SELECT doc_id, fp, pos FROM wfp""".stripMargin,
 
     "ds_winnow_pairs" ->
-      s"""WITH $winnowFpCtes,
-         |d AS (SELECT DISTINCT doc_id, fp FROM wfp),
-         |rare AS (SELECT fp FROM d GROUP BY fp
-         |         HAVING count(*) <= $WinnowDfCap)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       count(*) AS shared
-         |FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |JOIN rare r ON r.fp = a.fp
-         |GROUP BY 1, 2
-         |HAVING count(*) >= $WinnowMinShared""".stripMargin,
+      s"""WITH ${winnowCtes("SELECT doc_id, text FROM documents")},
+         |$winnowPairsTail""".stripMargin,
 
     "ds_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts

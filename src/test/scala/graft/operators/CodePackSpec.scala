@@ -57,6 +57,22 @@ class CodePackSpec extends SparkSpec {
     assert(!r(35L).getAs[Boolean]("pass"))
   }
 
+  test("clone detection: identical bodies pair, distinct bodies do not") {
+    // ids 1, 2 share the text (identical code bodies, no injection
+    // slices hit); id 3 is disjoint
+    val docs = Seq(
+      1L -> "alpha beta gamma delta eps zeta eta theta",
+      2L -> "alpha beta gamma delta eps zeta eta theta",
+      3L -> "one two three four five six seven eight")
+      .toDF("doc_id", "text")
+    val code = CodePack.codeFiles(docs)
+      .select(col("doc_id"),
+        split(translate(col("code"), "\n", " "), " ").as("toks"))
+    val pairs = DedupPack.winnowPairs(code).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("line accounting is exact on a known file") {
     // doc 1: no injections — 4 body lines 'val w = "w"'
     val r = rulesFor(1L)(1L)
