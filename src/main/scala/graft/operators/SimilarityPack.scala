@@ -708,6 +708,31 @@ object SimilarityPack extends QueryPack {
         .select(col("query_id"), col("vec_id"), adcScore.as("score")))
     }),
 
+    // ...and the kNN-GRAPH dedup — ds_embed_dedup's exact retention
+    // rule (cos ≥ 0.3 pairs → components → non-representatives drop)
+    // with candidates from the NN-Descent graph instead of the LSH
+    // buckets. The two strategies bound the candidate set differently
+    // (bucket caps vs K-per-node) and their survivor sets are
+    // directly comparable on the same corpus — the production choice
+    // is whichever index the fleet already maintains.
+    "ds_knn_dedup" -> ((s, dir) => {
+      val close = knnGraph(s, dir).filter(col("cos") >= 0.3)
+        .select(least(col("src"), col("dst")).as("vec_a"),
+          greatest(col("src"), col("dst")).as("vec_b"))
+        .distinct()
+      // star-alternation CC, not min-propagation: the K-regular graph
+      // thresholded at a bar sign-LSH barely recalls is chain-shaped
+      // (barely-similar vectors linking into long paths), and plain
+      // propagation is O(diameter) rounds — it measurably failed to
+      // converge in 20 on the 50-vector test slice, while the star
+      // form is O(log n) by construction
+      val losers = Components.largeSmallStar(close, "vec_a", "vec_b")
+        .filter(col("node") =!= col("rep"))
+        .select(col("node").as("vec_id"))
+      emb(s, dir).select(col("vec_id"))
+        .join(losers, Seq("vec_id"), "left_anti")
+    }),
+
     // k-NN graph via NN-Descent — the graph-ANN family (the index
     // behind HNSW-style search and kNN-graph dedup/SemDeDup
     // clustering) built the distributed way: iterate "a neighbor of
@@ -1275,6 +1300,27 @@ object SimilarityPack extends QueryPack {
          |       floor(cos * 1e6 + 0.5) / 1e6 AS cos
          |FROM e$KnnRounds""".stripMargin,
 
+    "ds_knn_dedup" ->
+      s"""WITH RECURSIVE $knnCtes,
+         |close AS (SELECT DISTINCT least(src, dst) AS vec_a,
+         |                 greatest(src, dst) AS vec_b
+         |          FROM e$KnnRounds WHERE cos >= 0.3),
+         |e AS (SELECT vec_a AS a, vec_b AS b FROM close
+         |      UNION SELECT vec_b, vec_a FROM close),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |groups AS (SELECT n AS vec_id, min(m) AS rep FROM (
+         |    SELECT a AS n, least(a, b) AS m FROM reach
+         |    UNION ALL
+         |    SELECT DISTINCT a, a FROM e)
+         |  GROUP BY n)
+         |SELECT v.vec_id FROM embeddings v
+         |WHERE NOT EXISTS (SELECT 1 FROM groups g
+         |                  WHERE g.vec_id = v.vec_id
+         |                    AND g.vec_id <> g.rep)""".stripMargin,
+
     "sim_knn_graph_recall" ->
       s"""WITH $knnCtes,
          |g AS (SELECT src, dst FROM e$KnnRounds WHERE src % 10 = 0),
@@ -1311,12 +1357,19 @@ object SimilarityPack extends QueryPack {
          |                     AS j) t
          |       WHERE e.embedding IS NOT NULL
          |         AND (e.vec_id + t.j) % nn.n <> e.vec_id)""".stripMargin
+    // dedup is EXPLICIT (DISTINCT over UNION ALL), never UNION set
+    // semantics: under WITH RECURSIVE (the ds_knn_dedup composition)
+    // DuckDB leaves a top-level UNION in a non-recursive CTE body
+    // UNDEDUPED — measured nb1 = join-output + u1 row counts exactly —
+    // and row_number then ranks the duplicates into the keep-K
     val rounds = (1 to KnnRounds).map { i =>
-      s"""u$i AS (SELECT src, dst FROM e${i - 1}
-         |        UNION SELECT dst, src FROM e${i - 1}),
-         |nb$i AS (SELECT a.src, b.dst FROM u$i a JOIN u$i b
+      s"""u$i AS (SELECT DISTINCT src, dst FROM (
+         |        SELECT src, dst FROM e${i - 1}
+         |        UNION ALL SELECT dst, src FROM e${i - 1})),
+         |nb$i AS (SELECT DISTINCT src, dst FROM (
+         |         SELECT a.src, b.dst FROM u$i a JOIN u$i b
          |           ON a.dst = b.src AND a.src <> b.dst
-         |         UNION SELECT src, dst FROM u$i),
+         |         UNION ALL SELECT src, dst FROM u$i)),
          |s$i AS (SELECT src, dst, cos,
          |          row_number() OVER (PARTITION BY src
          |            ORDER BY cos DESC, dst) AS rn
