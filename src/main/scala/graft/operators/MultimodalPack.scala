@@ -366,6 +366,33 @@ object MultimodalPack extends QueryPack {
       dhashDups(Multimodal.decodePixels(recovered).toDF()
         .select(col("img_id"),
           PerceptualHash.dhash(col("pixels")).as("dhash")))
+    }),
+
+    // LAION-style PAIR curation — the multimodal ds_keep_best: image
+    // near-dup groups (dhash pairs → components) each keep the pair
+    // with the BEST caption. Caption = the image id's source document
+    // (the fixture maps base and bumped variants onto real doc ids);
+    // quality = caption token count, ties to the lowest img_id via
+    // the max(struct) argmax — a map-side partial agg, never a
+    // per-group sort. Singleton images (no near-dup) are their own
+    // group through the coalesce.
+    "mm_pair_dedup" -> ((s, dir) => {
+      val h = dhashed(s, dir)
+      val groups = Components.connectedComponents(
+        dhashDups(h).select(col("img_a"), col("img_b")), "img_a", "img_b")
+      val caps = Tables.documents(s, dir)
+        .select(col("doc_id").as("img_id"),
+          size(split(col("text"), " ")).cast("long").as("cap_tokens"))
+      h.select(col("img_id"))
+        .join(groups.withColumnRenamed("node", "img_id"),
+          Seq("img_id"), "left")
+        .select(col("img_id"), coalesce(col("rep"), col("img_id")).as("grp"))
+        .join(caps, Seq("img_id"))
+        .groupBy("grp")
+        .agg(max(struct(col("cap_tokens"), (-col("img_id")).as("ni"),
+          col("img_id"))).as("m"))
+        .select(col("grp"), col("m.img_id").as("img_id"),
+          col("m.cap_tokens").as("cap_tokens"))
     })
   )
 
@@ -695,6 +722,32 @@ object MultimodalPack extends QueryPack {
          |WHERE NOT EXISTS (SELECT 1 FROM groups g
          |                  WHERE g.img_id = h.img_id
          |                    AND g.img_id <> g.rep)""".stripMargin,
+
+    "mm_pair_dedup" ->
+      s"""WITH RECURSIVE $dhashCte,
+         |$dhashPairCtes,
+         |e AS (SELECT img_a AS a, img_b AS b FROM pairs
+         |      UNION SELECT img_b, img_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |groups AS (SELECT n AS img_id, min(m) AS rep FROM (
+         |    SELECT a AS n, least(a, b) AS m FROM reach
+         |    UNION ALL
+         |    SELECT DISTINCT a, a FROM e)
+         |  GROUP BY n),
+         |caps AS (SELECT doc_id AS img_id,
+         |           CAST(len(string_split(text, ' ')) AS BIGINT)
+         |             AS cap_tokens
+         |         FROM documents),
+         |g2 AS (SELECT h.img_id, coalesce(g.rep, h.img_id) AS grp
+         |       FROM h LEFT JOIN groups g ON g.img_id = h.img_id),
+         |j AS (SELECT g2.grp, g2.img_id, c.cap_tokens,
+         |        row_number() OVER (PARTITION BY g2.grp
+         |          ORDER BY c.cap_tokens DESC, g2.img_id) AS rn
+         |      FROM g2 JOIN caps c ON c.img_id = g2.img_id)
+         |SELECT grp, img_id, cap_tokens FROM j WHERE rn = 1""".stripMargin,
 
     // the archive round trip is byte-identity, so the oracle is the
     // SAME pair derivation as mm_dhash_dups — any spool/walk/parse
