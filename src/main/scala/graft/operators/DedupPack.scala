@@ -411,6 +411,12 @@ object DedupPack extends QueryPack {
       decontaminate(tokenized(s, dir), ContamNgramW,
         col("doc_id") % 50 === 0)),
 
+    // ...and its APPLY form: excise exactly the leaked spans and
+    // rebuild the training doc, instead of dropping it wholesale.
+    "ds_decon_spans" -> ((s, dir) =>
+      deconSpans(tokenized(s, dir), ContamNgramW,
+        col("doc_id") % 50 === 0)),
+
     // Incremental (cross-snapshot) dedup: a new batch deduped
     // against accumulated history WITHOUT anti-joining the history
     // wholesale — the bloom sketch of history keys clears
@@ -510,6 +516,41 @@ object DedupPack extends QueryPack {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         graft.Det.dround(coalesce(col("n_shared"), lit(0L)).cast("double")
           / col("n_ngrams"), 4).as("contam_frac"))
+  }
+
+  /** Span-level decontamination — the production companion of
+    * [[decontaminate]]: instead of FLAGGING a contaminated doc, excise
+    * exactly the tokens covered by an eval-set w-gram and rebuild the
+    * doc from the survivors (the "exact-substring decon" shipped
+    * alongside minhash in published pipelines — dropping whole docs
+    * at the 13-gram bar throws away far more data than the leaked
+    * span). Plan shape: the eval n-gram set broadcasts (benchmarks
+    * are MBs against TB corpora), hit positions regroup per doc, and
+    * the excision is the dupSpansApply HOF pass — one O(n·m) scan per
+    * row, materialized once. */
+  def deconSpans(tokens: DataFrame, w: Int,
+                 evalPred: org.apache.spark.sql.Column): DataFrame = {
+    val k = lit(w.toLong)
+    val grams = tokens.filter(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        posexplode(Hashing.shingles(col("toks"), w)).as(Seq("pos", "ng")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("ng"))
+    val eval = grams.filter(evalPred).select("ng").distinct()
+    val hits = grams.filter(!evalPred).join(broadcast(eval), Seq("ng"))
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("hps"))
+    val hps = coalesce(col("hps"), array().cast("array<long>"))
+    val idxs = when(size(col("toks")) > 0,
+        sequence(lit(0L), size(col("toks")).cast("long") - 1))
+      .otherwise(array().cast("array<long>"))
+    val keptToks = transform(
+      filter(idxs, i => !exists(hps, p => p <= i && i < p + k)),
+      i => element_at(col("toks"), (i + 1).cast("int")))
+    tokens.filter(!evalPred)
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), keptToks.as("kept"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        size(col("kept")).cast("long").as("n_kept"))
   }
 
   /** Passage width for [[chunkDedup]]'s corpus-level passage dedup. */
@@ -1411,6 +1452,32 @@ object DedupPack extends QueryPack {
                "CAST(COALESCE(sh.n_shared, 0) AS DOUBLE) / tot.n_ngrams", 4)}
          |         AS contam_frac
          |FROM tot LEFT JOIN sh ON tot.doc_id = sh.doc_id""".stripMargin,
+
+    "ds_decon_spans" ->
+      s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |            FROM documents),
+         |dg AS (SELECT doc_id, g.i AS pos,
+         |         array_to_string(ts[g.i+1 : g.i+$ContamNgramW], ' ') AS ng
+         |       FROM dt, UNNEST(range(0, len(ts) - ${ContamNgramW - 1}))
+         |              AS g(i)),
+         |ev AS (SELECT DISTINCT ng FROM dg WHERE doc_id % 50 = 0),
+         |hp AS (SELECT dg.doc_id, dg.pos FROM dg JOIN ev USING (ng)
+         |       WHERE dg.doc_id % 50 <> 0),
+         |k0 AS (SELECT t.doc_id, u.i AS i, ts[u.i+1] AS tok
+         |       FROM dt t, UNNEST(generate_series(0, len(ts) - 1)) AS u(i)
+         |       WHERE t.doc_id % 50 <> 0),
+         |kx AS (SELECT doc_id, i, tok FROM k0
+         |       WHERE NOT EXISTS (SELECT 1 FROM hp
+         |                         WHERE hp.doc_id = k0.doc_id
+         |                           AND hp.pos <= k0.i
+         |                           AND k0.i < hp.pos + $ContamNgramW)),
+         |agg AS (SELECT doc_id,
+         |          string_agg(tok, ' ' ORDER BY i) AS clean_text,
+         |          count(*) AS n_kept FROM kx GROUP BY doc_id)
+         |SELECT t.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+         |       COALESCE(agg.n_kept, 0::BIGINT) AS n_kept
+         |FROM dt t LEFT JOIN agg USING (doc_id)
+         |WHERE t.doc_id % 50 <> 0""".stripMargin,
 
     // the plain anti-join the bloom-pruned form must equal (the
     // sketch only reroutes rows, never changes the result)

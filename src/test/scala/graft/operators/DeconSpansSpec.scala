@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Span-level decontamination (ds_decon_spans): exactly the tokens
+  * covered by an eval-set w-gram leave the training doc; everything
+  * else — including near-misses one token short — survives. */
+class DeconSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val W = 4
+
+  private def clean(docs: (Long, String)*): Map[Long, (String, Long)] = {
+    val df = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    DedupPack.deconSpans(df, W, col("doc_id") % 50 === 0)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+  }
+
+  test("a leaked w-gram is excised at its exact positions; the rest survives") {
+    val out = clean(
+      0L -> "e1 e2 e3 e4 other eval stuff",          // the eval doc
+      1L -> "a b e1 e2 e3 e4 c d",                   // leak mid-doc
+      2L -> "a b e2 e3 e4 c d e")                    // only 3 of 4 — no match
+    assert(!out.contains(0L), "eval docs never appear in the output")
+    assert(out(1L) == (("a b c d", 4L)))
+    assert(out(2L) == (("a b e2 e3 e4 c d e", 8L)))
+  }
+
+  test("overlapping leaks merge their spans; a fully-leaked doc empties") {
+    val out = clean(
+      0L -> "e1 e2 e3 e4 e5",                        // eval: two overlapping grams
+      1L -> "x e1 e2 e3 e4 e5 y",                    // both grams hit -> e1..e5 cut
+      2L -> "e1 e2 e3 e4")                           // nothing but the leak
+    assert(out(1L) == (("x y", 2L)))
+    assert(out(2L) == (("", 0L)))
+  }
+
+  test("docs shorter than w pass through untouched") {
+    val out = clean(0L -> "e1 e2 e3 e4", 1L -> "a b c")
+    assert(out(1L) == (("a b c", 3L)))
+  }
+}
