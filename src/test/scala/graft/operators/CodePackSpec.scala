@@ -59,15 +59,18 @@ class CodePackSpec extends SparkSpec {
 
   test("clone detection: identical bodies pair, distinct bodies do not") {
     // ids 1, 2 share the text (identical code bodies, no injection
-    // slices hit); id 3 is disjoint
+    // slices hit); id 3 is disjoint. Long enough that the line-grain
+    // winnowing yields >= WinnowMinShared DISTINCT fingerprints (a
+    // handful of lines can collapse to one min across all windows)
+    val words = (1 to 24).map(i => s"w$i").mkString(" ")
     val docs = Seq(
-      1L -> "alpha beta gamma delta eps zeta eta theta",
-      2L -> "alpha beta gamma delta eps zeta eta theta",
-      3L -> "one two three four five six seven eight")
+      1L -> words,
+      2L -> words,
+      3L -> (1 to 24).map(i => s"z$i").mkString(" "))
       .toDF("doc_id", "text")
     val code = CodePack.codeFiles(docs)
       .select(col("doc_id"),
-        split(translate(col("code"), "\n", " "), " ").as("toks"))
+        split(translate(col("code"), " \n", "_ "), " ").as("toks"))
     val pairs = DedupPack.winnowPairs(code).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)))
