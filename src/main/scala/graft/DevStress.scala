@@ -277,6 +277,11 @@ object DevStress {
         graft.functions.Similarity.norm(col("embedding")).as("nrm"))
     time("knn_graph", SimilarityPack.knnGraphOver(knnVecs))
 
+    // graph SEARCH over factor× vectors: per-query state is B rows and
+    // each round's exchange carries (qid, node) ids only — wall should
+    // track query count (vec_id % 10 scales with N), never N²
+    time("knn_search", SimilarityPack.knnSearchOver(knnVecs))
+
     // pagerank: the q_pagerank edge graph replicated factor× with
     // shifted node ids (disjoint copies of the original graph — same
     // structure, factor× edges). Wall should track edge count: each

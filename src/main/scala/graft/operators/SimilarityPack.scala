@@ -279,12 +279,20 @@ object SimilarityPack extends QueryPack {
     * beam (the entry's best neighbor for its own query IS itself —
     * its out-edges are exactly what we want expanded) and drop only
     * at the final cut. */
-  def knnSearch(s: SparkSession, dir: String): DataFrame = {
+  def knnSearch(s: SparkSession, dir: String): DataFrame =
+    knnSearchOver(normedVecs(s, dir))
+
+  /** The search loop over a prepared (vec_id, embedding, nrm) frame —
+    * public so DevStress probes the production stages. */
+  def knnSearchOver(vRaw: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val vecs = normedVecs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    // graph first: knnGraphOver manages (and releases) its own cache
+    // of vRaw and returns a checkpointed frame, so the persist below
+    // is fresh for the scoring joins
+    val edges = knnGraphOver(vRaw).select(col("src"), col("dst"))
+      .localCheckpoint(eager = true)
+    val vecs = vRaw.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val edges = knnGraph(s, dir).select(col("src"), col("dst"))
-        .localCheckpoint(eager = true)
       val q = vecs.filter(col("vec_id") % 10 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           col("nrm").as("qn"))

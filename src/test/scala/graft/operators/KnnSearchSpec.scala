@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Graph search (sim_knn_search) on a corpus with real cluster
+  * structure: with one entry point falling in each cluster, every
+  * probe query's beam must stay inside its own cluster and surface
+  * its true peers. The fixture is written as a real embeddings
+  * parquet dir because the query reads through Tables.embeddings. */
+class KnnSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 308 vectors in 4 tight clusters of 77 (cluster = vec_id / 77), so
+  // the fixed SearchEntries {0, 101, 211, 307} land one per cluster.
+  // Member j of cluster c = unit e_c plus a small distinct jitter.
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("knnsearch").toString
+    val rows = (0 until 308).map { i =>
+      val c = i / 77
+      val emb = Array.fill(8)(0.0f)
+      emb(c) = 1.0f
+      emb(4 + c) = 0.0005f * (i % 77)
+      (i.toLong, emb, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("every probe's results stay in its own cluster") {
+    val out = SimilarityPack.queries("sim_knn_search")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val qids = out.map(_._1).distinct
+    // probes are vec_id % 10 == 0 — 31 of them, spread over clusters
+    assert(qids.length == 31)
+    out.foreach { case (qid, _, nbr) =>
+      assert(nbr != qid)
+      assert(qid / 77 == nbr / 77,
+        s"query $qid left its cluster: neighbor $nbr")
+    }
+    // full fan-out: the within-cluster graph region holds far more
+    // than KnnK candidates, so every query fills its K slots
+    assert(out.groupBy(_._1).forall(_._2.length == SimilarityPack.KnnK))
+  }
+
+  test("entry-near probes find their true nearest peer; ranks are cos-ordered") {
+    val rows = SimilarityPack.queries("sim_knn_search")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // per query, rank order must agree with cos order
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // The jitter chain is 1-D, so the greedy frontier advances only
+    // ~K/2 ids per round (query 20 from entry 0 reaches node 12 in 3
+    // rounds — measured; the O(dist/K)-rounds chain walk is the known
+    // greedy-search geometry HNSW's long links shortcut). The exact
+    // nearest peer is therefore only guaranteed for probes CLOSE to an
+    // entry point {0, 101, 211, 307}:
+    val top1 = rows.filter(_._2 == 1L).map(r => r._1 -> r._3).toMap
+    Seq(0L, 100L, 210L).foreach { q =>
+      assert(math.abs(top1(q) - q) == 1,
+        s"entry-near query $q top-1 was ${top1(q)}")
+    }
+  }
+}
