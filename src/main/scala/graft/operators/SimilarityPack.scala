@@ -247,10 +247,24 @@ object SimilarityPack extends QueryPack {
     } finally persisted.unpersist(blocking = false)
   }
 
+  /** Process-lifetime memo of the converged graph per corpus dir —
+    * the [[IndexCache]] accounting applied to a FRAME-valued
+    * artifact: the k-NN graph is an offline-built index that four
+    * consumers reuse (the graph query, its recall audit, beam
+    * search, graph dedup); in production it is a written table, here
+    * a localCheckpointed frame. Construction is deterministic, so
+    * the memo is bit-identical to an in-query build and every oracle
+    * replays the same unrolled rounds regardless of which consumer
+    * triggered it. Bench accounting becomes first-consumer-pays,
+    * like every IndexCache artifact. */
+  private val graphMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   /** The converged (src, dst, cos) k-NN graph after [[KnnRounds]]
-    * refinements of the deterministic seed. */
+    * refinements of the deterministic seed, memoized per corpus. */
   def knnGraph(s: SparkSession, dir: String): DataFrame =
-    knnGraphOver(normedVecs(s, dir))
+    graphMemo.computeIfAbsent(dir,
+      _ => knnGraphOver(normedVecs(s, dir)))
 
   /** Beam width and expansion rounds for [[knnSearch]] — the search
     * side of the graph index (greedy best-first without a visited
@@ -280,17 +294,21 @@ object SimilarityPack extends QueryPack {
     * its out-edges are exactly what we want expanded) and drop only
     * at the final cut. */
   def knnSearch(s: SparkSession, dir: String): DataFrame =
-    knnSearchOver(normedVecs(s, dir))
+    knnSearchOver(normedVecs(s, dir), Some(knnGraph(s, dir)))
 
   /** The search loop over a prepared (vec_id, embedding, nrm) frame —
-    * public so DevStress probes the production stages. */
-  def knnSearchOver(vRaw: DataFrame): DataFrame = {
+    * public so DevStress probes the production stages. `prebuilt`
+    * supplies an already-checkpointed graph (the memoized index);
+    * absent, the graph builds here (the full-path probe shape). */
+  def knnSearchOver(vRaw: DataFrame,
+                    prebuilt: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // graph first: knnGraphOver manages (and releases) its own cache
     // of vRaw and returns a checkpointed frame, so the persist below
     // is fresh for the scoring joins
-    val edges = knnGraphOver(vRaw).select(col("src"), col("dst"))
-      .localCheckpoint(eager = true)
+    val edges = prebuilt.map(_.select(col("src"), col("dst")))
+      .getOrElse(knnGraphOver(vRaw).select(col("src"), col("dst"))
+        .localCheckpoint(eager = true))
     val vecs = vRaw.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val q = vecs.filter(col("vec_id") % 10 === 0)

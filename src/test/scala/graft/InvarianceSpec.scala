@@ -57,12 +57,14 @@ class InvarianceSpec extends SparkSpec {
     "mm_audio_fp_dups",     // PCM decode + energies + banded join
     "mm_video_scenes",      // frame pairs + video-pair rollup
     "wc_admitted_text",     // admission chain + df-relative chrome + md5
-    "sim_knn_graph",        // NN-Descent loop: heaps + float ranking + checkpoints
     "ds_winnow_pairs",      // window argmin fps + df cap + pair counts
     "mm_audio_fp_apply",    // fp dups → components fixpoint → anti-join
     "sp_curriculum")        // entropy terciles + zipWithIndex positions
     // (wordpiece/unigram vocab invariance pinned in their own specs —
     // training loops collect through a sized session)
+    // (sim_knn_graph invariance pinned in KnnGraphSpec over the
+    // UNMEMOIZED builder — the per-dir graph memo would make an
+    // entry here read the first build twice)
     // (classifier weights pinned in ClassifierSpec — the IndexCache
     // memo would make an entry here read the first build twice)
 

@@ -48,6 +48,22 @@ class KnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("graph identical at 4 vs 13 shuffle partitions (unmemoized builder)") {
+    // the InvarianceSpec check, run here over knnGraphOver directly —
+    // the registered query memoizes per corpus dir, which would make
+    // a second partition-width run read the first build
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val a = SimilarityPack.knnGraphOver(vecs)
+        .select("src", "dst").collect().map(_.toSeq).toSet
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val b = SimilarityPack.knnGraphOver(vecs)
+        .select("src", "dst").collect().map(_.toSeq).toSet
+      assert(a == b && a.nonEmpty)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("seed graph is deterministic, spread, and self-loop-free") {
     val seed = SimilarityPack.nnDescentSeed(vecs)
     val rows = seed.collect().map(r => (r.getLong(0), r.getLong(1)))
