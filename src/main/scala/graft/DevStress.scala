@@ -588,6 +588,32 @@ object DevStress {
         .select(col("snd_id"),
           graft.operators.PerceptualHash.audioFp(col("energies")).as("fp")))
     }
+    // SFT conversation curation: turn synthesis + explode is
+    // scan-linear in turns; the curation chain adds the template-df
+    // groupBy (hot keys ARE the templates — map-side combine) and
+    // the response-dedup hash groupBy. Replicated docs share texts,
+    // so every dup-response group floods factor-deep — the honest
+    // dedup stress — while the admitted output stays input-linear.
+    if (wants("ift")) {
+      val sdocs = spark.read.parquet("/tmp/stress_docs")
+      time("ift_turns", graft.operators.IftPack.turns(sdocs))
+      time("ift_curated", graft.operators.IftPack.curated(sdocs))
+    }
+    // Mergeable sketches: replicas collapse in the (source, hash)
+    // distinct, so kmv_sketch runs factor× input into CONSTANT
+    // sketch state (the 100 TB claim: shuffle carries K longs per
+    // source). The salted variant grows the distinct set ~factor×
+    // instead, exercising the estimator at growing n while the
+    // sketch rows stay at K per source either way.
+    if (wants("kmv_sketch", "minhash_sig")) {
+      val sdocs = spark.read.parquet("/tmp/stress_docs")
+      time("kmv_sketch", graft.operators.SketchPack.kmvSketch(sdocs))
+      val salted = sdocs.withColumn("text",
+        concat(col("text"), lit(" rep"), col("doc_id") % factor))
+      time("kmv_sketch_salted",
+        graft.operators.SketchPack.kmvSketch(salted))
+      time("minhash_sig", graft.operators.SketchPack.sigOf(sdocs))
+    }
     spark.stop()
   }
 }

@@ -13,7 +13,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     ExtractPack, MergePack, QueryLayerPack, DedupPack, SimilarityPack,
     TextPack, MultimodalPack, StreamingPack, SamplePack, WebCurationPack,
-    CodePack)
+    CodePack, IftPack, SketchPack)
 
   /** Flagship query (SURVEY §7.3: labels of every address with
     * provenance) on sf0.001; driver smoke-checks rows>0. */

@@ -59,7 +59,10 @@ class InvarianceSpec extends SparkSpec {
     "wc_admitted_text",     // admission chain + df-relative chrome + md5
     "ds_winnow_pairs",      // window argmin fps + df cap + pair counts
     "mm_audio_fp_apply",    // fp dups → components fixpoint → anti-join
-    "sp_curriculum")        // entropy terciles + zipWithIndex positions
+    "sp_curriculum",        // entropy terciles + zipWithIndex positions
+    "ift_curated_e2e",      // gate + template df + dedup survivor chain
+    "q_kmv_union",          // TopKPerKey min-K heaps merged across keys
+    "ds_source_minhash")    // min() signature partials + pair join
     // (wordpiece/unigram vocab invariance pinned in their own specs —
     // training loops collect through a sized session)
     // (sim_knn_graph invariance pinned in KnnGraphSpec over the

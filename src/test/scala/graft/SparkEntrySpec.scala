@@ -13,7 +13,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "SimilarityPack" -> SimilarityPack, "TextPack" -> TextPack,
     "MultimodalPack" -> MultimodalPack, "StreamingPack" -> StreamingPack,
     "SamplePack" -> SamplePack, "WebCurationPack" -> WebCurationPack,
-    "CodePack" -> CodePack)
+    "CodePack" -> CodePack, "IftPack" -> IftPack, "SketchPack" -> SketchPack)
 
   test("no query name collisions across packs") {
     val all = packs.flatMap { case (n, p) => p.queries.keys.map(_ -> n) }

@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins the SFT conversation-curation family against an independent
+  * plain-Scala reimplementation of the fixture synthesis and every
+  * gate — no Spark expressions, no SQL — so a defect that shifted
+  * BOTH the query and its DuckDB oracle (they share the synthesis
+  * formulas) would still be caught here.
+  */
+class IftPackSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private case class Turn(idx: Long, role: String, content: String)
+
+  /** Independent model of the synthesized conversation. */
+  private def synth(convId: Long, text: String): Seq[Turn] = {
+    val n = (2 * (1 + convId % 3)).toInt
+    def sub(pos: Int, len: Int): String =
+      if (pos > text.length) ""
+      else text.substring(pos - 1, math.min(text.length, pos - 1 + len))
+    (0 until n).map { i =>
+      val role =
+        if (convId % 13 == 0 && i == 1) "user"
+        else if (i % 2 == 0) "user" else "assistant"
+      val content =
+        if (role == "user") {
+          if (convId % 7 == 0 && i == 0) IftPack.Template
+          else s"Q$convId.$i: " + sub(1 + i * 17, 40)
+        } else {
+          if (convId % 17 == 0 && i == 1) ""
+          else if (convId % 5 == 0 && i == 1) IftPack.Canned
+          else "A: " + sub(1 + i * 17, 60) +
+            (if (convId % 11 == 0 && i == n - 1) " " + IftPack.Eot else "")
+        }
+      Turn(i.toLong, role, content)
+    }
+  }
+
+  private lazy val docs: Seq[(Long, String, String)] =
+    graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  private lazy val model: Map[Long, Seq[Turn]] =
+    docs.map { case (id, text, _) => id -> synth(id, text) }.toMap
+
+  private def scrub(s: String): String =
+    IftPack.SpecialTokens.foldLeft(s)((acc, t) => acc.replace(t, ""))
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+
+  test("ift_turns matches the independent synthesis exactly") {
+    val got = run("ift_turns").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getString(4)))
+      .toSet
+    val want = model.flatMap { case (id, ts) =>
+      ts.map(t => (id, t.idx, t.role, t.content))
+    }.toSet
+    assert(got == want)
+    // every defect class is present in the fixture
+    val turns = model.toSeq.flatMap { case (id, ts) => ts.map(id -> _) }
+    assert(turns.exists { case (id, t) => t.content.contains(IftPack.Eot) })
+    assert(turns.exists { case (_, t) => t.content.isEmpty })
+    assert(turns.count { case (_, t) => t.content == IftPack.Canned } > 1)
+    assert(turns.count { case (_, t) => t.content == IftPack.Template } >=
+      IftPack.TemplateDf)
+  }
+
+  test("ift_struct_gate flags exactly the structurally-broken convs") {
+    val want = model.map { case (id, ts) =>
+      val repeat = ts.sliding(2).exists(p => p(0).role == p(1).role)
+      val empty = ts.exists(_.content.isEmpty)
+      val badStart = ts.head.role != "user"
+      val badEnd = ts.last.role != "assistant"
+      id -> (repeat, empty, badStart, badEnd,
+        !(repeat || empty || badStart || badEnd))
+    }
+    val got = run("ift_struct_gate").collect().map(r =>
+      r.getLong(0) -> (r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+        r.getBoolean(6), r.getBoolean(7))).toMap
+    assert(got == want)
+    // the planted slices actually fire
+    assert(model.keys.filter(_ % 13 == 0).forall(id => !got(id)._5))
+    assert(model.keys.filter(_ % 17 == 0).forall(id => !got(id)._5))
+    assert(got.values.count(_._5) > 0, "gate admits nothing — fixture broken")
+  }
+
+  test("ift_special_tokens counts the scrub delta per conversation") {
+    val want = model.flatMap { case (id, ts) =>
+      val removed = ts.map(t => t.content.length - scrub(t.content).length)
+      val flagged = removed.count(_ > 0)
+      if (flagged > 0) Some((id, flagged.toLong,
+        removed.map(_.toLong).sum))
+      else None
+    }.toSet
+    val got = run("ift_special_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("ift_template_prompts finds the planted template and only it") {
+    val got = run("ift_template_prompts").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val wantCount = model.count { case (_, ts) =>
+      ts.exists(t => t.role == "user" && t.content == IftPack.Template)
+    }
+    assert(got.keySet == Set(IftPack.Template))
+    assert(got(IftPack.Template) == wantCount.toLong)
+  }
+
+  test("ift_response_dedup groups duplicated assistant turns") {
+    val resp = model.toSeq.flatMap { case (id, ts) =>
+      ts.filter(t => t.role == "assistant" && t.content.nonEmpty)
+        .map(t => (t.content, id))
+    }
+    val want = resp.groupBy(_._1).filter(_._2.size > 1).map {
+      case (c, xs) => (c, xs.size.toLong,
+        xs.map(_._2).distinct.size.toLong, xs.map(_._2).min)
+    }.toSet
+    val got = run("ift_response_dedup").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    assert(want.exists(_._1 == IftPack.Canned))
+  }
+
+  test("ift_curated_e2e admits exactly gate ∩ ¬template ∩ dedup-survivors") {
+    val pass = model.filter { case (_, ts) =>
+      !ts.sliding(2).exists(p => p(0).role == p(1).role) &&
+        !ts.exists(_.content.isEmpty) &&
+        ts.head.role == "user" && ts.last.role == "assistant"
+    }.keySet
+    val templates = model.toSeq.flatMap { case (id, ts) =>
+      ts.filter(_.role == "user").map(t => (t.content, id))
+    }.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= IftPack.TemplateDf)
+      .keySet
+    val templated = model.filter { case (_, ts) =>
+      ts.exists(t => t.role == "user" && templates.contains(t.content))
+    }.keySet
+    val resp = model.toSeq.flatMap { case (id, ts) =>
+      ts.filter(t => t.role == "assistant" && t.content.nonEmpty)
+        .map(t => (t.content, id))
+    }
+    val losers = resp.groupBy(_._1).filter(_._2.size > 1).flatMap {
+      case (_, xs) =>
+        val survivor = xs.map(_._2).min
+        xs.map(_._2).filter(_ != survivor)
+    }.toSet
+    val admitted = pass -- templated -- losers
+    val want = admitted.map { id =>
+      val ts = model(id)
+      (id, ts.size.toLong, ts.map(t => scrub(t.content).length.toLong).sum)
+    }
+    val got = run("ift_curated_e2e").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(admitted.nonEmpty && admitted.size < model.size)
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins the mergeable-sketch family against an independent
+  * plain-Scala reimplementation (JDK MessageDigest md5, scala
+  * collections): KMV per-source sketches and estimates, the
+  * mergeability law (min-K of a union == min-K over unioned per-key
+  * min-K sets), the KMV error bound on the estimating branch, and
+  * the MinHash signature overlap matrix vs exact set Jaccard.
+  */
+class SketchPackSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  private def h32(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
+
+  private def perm(h: Long, i: Int): Long =
+    (h * (2L * i + 1) + (7919L * i + 1)) % graft.functions.Hashing.MinhashPrime
+
+  /** Independent model of SketchPack.items. */
+  private lazy val items: Set[(String, Long)] =
+    graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "source").collect()
+      .map { r =>
+        val (id, text, src) = (r.getLong(0), r.getString(1), r.getString(2))
+        val item =
+          if (id % 3 == 0) "shared#" + (h32(text) % 12) else text
+        (src, h32(item))
+      }.toSet
+
+  private def kmv(hs: Set[Long]): (Long, Long, Long) = {
+    val kept = hs.toSeq.sorted.take(SketchPack.K)
+    val kth = kept.max
+    val n = kept.size.toLong
+    val est = if (n < SketchPack.K) n else SketchPack.EstNum / kth
+    (kth, n, est)
+  }
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+
+  test("q_kmv_distinct matches the independent KMV model per source") {
+    val bySrc = items.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(_._2)
+    }
+    val want = bySrc.map { case (s, hs) =>
+      val (kth, n, est) = kmv(hs)
+      (s, hs.size.toLong, n, kth, est)
+    }.toSet
+    val got = run("q_kmv_distinct").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want)
+  }
+
+  test("KMV mergeability: union of per-source sketches == direct sketch") {
+    val bySrc = items.groupBy(_._1).map(_._2.map(_._2))
+    val mergedKeep = bySrc.flatMap(
+      _.toSeq.sorted.take(SketchPack.K)).toSet
+    val all = items.map(_._2)
+    assert(kmv(mergedKeep) == kmv(all),
+      "min-K over unioned per-key min-K sets must equal the direct min-K")
+    val row = run("q_kmv_union").collect().head
+    assert(row.getBoolean(5), "merged_eq_direct must hold in-query")
+    val (exact, est) = (row.getLong(0), row.getLong(3))
+    assert(exact > SketchPack.K, "corpus must exercise the estimator branch")
+    assert(math.abs(est - exact).toDouble / exact < 0.4,
+      s"KMV estimate $est too far from exact $exact (bound ~3/sqrt(K))")
+  }
+
+  test("ds_source_overlap matches exact set Jaccard per pair") {
+    val bySrc = items.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    val srcs = bySrc.keys.toSeq.sorted
+    def dr4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val want = (for {
+      a <- srcs; b <- srcs if a < b
+      common = (bySrc(a) intersect bySrc(b)).size
+      if common > 0
+    } yield (a, b, common.toLong,
+      dr4(common.toDouble / (bySrc(a).size + bySrc(b).size - common)))).toSet
+    val got = run("ds_source_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "planted shared items produce no overlap")
+  }
+
+  test("ds_source_minhash matches the independent signature model") {
+    val bySrc = items.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    val srcs = bySrc.keys.toSeq.sorted
+    val np = graft.functions.Hashing.NumPerms
+    val sig = bySrc.map { case (s, hs) =>
+      s -> (0 until np).map(i => hs.map(perm(_, i)).min)
+    }
+    def dr4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val want = (for {
+      a <- srcs; b <- srcs if a < b
+    } yield {
+      val agree = (0 until np).count(i => sig(a)(i) == sig(b)(i)).toLong
+      val common = (bySrc(a) intersect bySrc(b)).size
+      (a, b, agree, dr4(agree.toDouble / np),
+        dr4(common.toDouble /
+          (bySrc(a).size + bySrc(b).size - common)))
+    }).toSet
+    val got = run("ds_source_minhash").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == want)
+    assert(want.size == srcs.size * (srcs.size - 1) / 2,
+      "every source pair must appear in the signature matrix")
+  }
+}
