@@ -265,6 +265,16 @@ object DedupPack extends QueryPack {
     // non-boilerplate shingle space; the oracle applies the same cap.
     "ds_jaccard_pairs" -> ((s, dir) => jaccardPairs(tokenized(s, dir))),
 
+    // Per-document n-gram NOVELTY score — the memorization-risk
+    // audit (repeated n-grams are what models memorize; Lee et al.'s
+    // dedup paper motivates exactly this measurement): the fraction
+    // of a doc's distinct 3-token shingles that appear in no OTHER
+    // document. This is the jaccard front-end WITHOUT the pair join:
+    // one gram-df agg (hot shingles combine map-side) + a join back
+    // on the same shingle key (exchange reused) + a doc-grain rollup
+    // — linear in tokens at every scale, no pair set anywhere.
+    "ds_novelty_score" -> ((s, dir) => noveltyScore(tokenized(s, dir))),
+
     // Typo- AND reorder-granularity near-dup pairs on the 3-token
     // title key: the record-linkage rung UNDER the shingle methods —
     // MinHash/Jaccard need shared tokens, but "labelmian" vs
@@ -986,6 +996,20 @@ object DedupPack extends QueryPack {
       .filter(col("jaccard") >= 0.2)
   }
 
+  /** The ds_novelty_score body over any (doc_id, toks) frame —
+    * factored out so DevStress can drive it at replicated scale. */
+  def noveltyScore(tokens: DataFrame): DataFrame = {
+    val sh = hashedShingles(tokens)
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        graft.Det.dround(lit(1.0) - col("n_shared").cast("double") /
+          col("n_grams").cast("double"), 4).as("novelty"))
+  }
+
   private val sigSqlCols = (0 until Hashing.NumPerms).map(i =>
     s"min((h * ${2 * i + 1} + ${7919 * i + 1}) % ${Hashing.MinhashPrime}) AS mh$i")
     .mkString(",\n         ")
@@ -1315,6 +1339,19 @@ object DedupPack extends QueryPack {
          |SELECT d.doc_id FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM groups g
          |                  WHERE g.doc_id = d.doc_id AND g.doc_id <> g.rep)""".stripMargin,
+
+    "ds_novelty_score" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         ${Hashing.sqlH32("ts[j+1] || ' ' || ts[j+2] || ' ' || ts[j+3]")} AS shingle
+        |       FROM t, UNNEST(generate_series(0, len(ts) - 3)) AS g(j)),
+        |d AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+        |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  ${graft.Det.droundSql(
+             "1.0 - CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)",
+             4)} AS novelty
+        |FROM sh JOIN d USING (shingle) GROUP BY sh.doc_id""".stripMargin,
 
     "ds_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

@@ -174,7 +174,51 @@ object IftPack extends QueryPack {
     // keeps its group) → special-token scrub, emitting the admitted
     // conversations with their clean char mass — a bug in ANY stage
     // shifts the admitted set
-    "ift_curated_e2e" -> ((s, dir) => curated(Tables.documents(s, dir))))
+    "ift_curated_e2e" -> ((s, dir) => curated(Tables.documents(s, dir))),
+
+    // preference-pair (DPO/RLHF data) validation at pair grain:
+    // degenerate ties (chosen == rejected teach nothing) and the
+    // per-pair length relation — pure scan-stage expressions
+    "ift_pref_gate" -> ((s, dir) =>
+      prefPairs(Tables.documents(s, dir))
+        .select(col("pair_id"), col("source"),
+          length(col("chosen")).cast("long").as("len_chosen"),
+          length(col("rejected")).cast("long").as("len_rejected"),
+          (col("chosen") === col("rejected")).as("flag_tie"),
+          (length(col("chosen")) > length(col("rejected")))
+            .as("chosen_longer"))),
+
+    // the length-bias audit a preference dataset ships with: among
+    // non-tie pairs per source, how often is chosen simply LONGER?
+    // (a reward model trained on length-skewed pairs learns length,
+    // not quality — this rate is what the curation owner watches)
+    "ift_pref_length_bias" -> ((s, dir) =>
+      prefPairs(Tables.documents(s, dir))
+        .filter(col("chosen") =!= col("rejected"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(length(col("chosen")) > length(col("rejected")), 1L)
+            .otherwise(0L)).as("n_chosen_longer"))
+        .select(col("source"), col("n_pairs"), col("n_chosen_longer"),
+          graft.Det.dround(col("n_chosen_longer").cast("double") /
+            col("n_pairs").cast("double"), 4).as("bias_rate"))))
+
+  /** Synthesized preference pairs: one (prompt, chosen, rejected)
+    * triple per doc, with a degenerate-tie slice (%9: rejected ==
+    * chosen) and an anti-bias slice (%7: rejected LONGER than
+    * chosen) so both audit queries fire on known subsets. */
+  def prefPairs(docs: DataFrame): DataFrame = {
+    val chosen = concat(lit("A: "), col("text").substr(lit(1), lit(80)))
+    docs.select(col("doc_id").as("pair_id"), col("source"),
+      concat(lit("P"), col("doc_id").cast("string"), lit(": "),
+        col("text").substr(lit(1), lit(40))).as("prompt"),
+      chosen.as("chosen"),
+      when(col("doc_id") % 9 === 0, chosen)
+        .when(col("doc_id") % 7 === 0,
+          concat(chosen, lit(" moreover it continues at considerable length")))
+        .otherwise(concat(lit("A: "), col("text").substr(lit(21), lit(40))))
+        .as("rejected"))
+  }
 
   /** The full curation chain over any documents-shaped frame —
     * `ift_curated_e2e`'s body, exposed for the DevStress probe.
@@ -240,6 +284,18 @@ object IftPack extends QueryPack {
        |        unnest(range(0, 2 * (1 + doc_id % 3))) AS turn_idx
        |      FROM documents)""".stripMargin
 
+  /** The SQL twin of [[prefPairs]]. */
+  private val prefSql: String =
+    """SELECT doc_id AS pair_id, source,
+      |  'P' || CAST(doc_id AS VARCHAR) || ': ' || substr(text, 1, 40)
+      |    AS prompt,
+      |  'A: ' || substr(text, 1, 80) AS chosen,
+      |  CASE WHEN doc_id % 9 = 0 THEN 'A: ' || substr(text, 1, 80)
+      |       WHEN doc_id % 7 = 0 THEN 'A: ' || substr(text, 1, 80) ||
+      |         ' moreover it continues at considerable length'
+      |       ELSE 'A: ' || substr(text, 21, 40) END AS rejected
+      |FROM documents""".stripMargin
+
   private val gateCtes: String =
     s"""t AS ($turnsSql),
        |g AS (SELECT conv_id,
@@ -293,6 +349,25 @@ object IftPack extends QueryPack {
          |  min(conv_id) AS survivor_conv
          |FROM t WHERE role = 'assistant' AND content <> ''
          |GROUP BY content HAVING count(*) > 1""".stripMargin,
+
+    "ift_pref_gate" ->
+      s"""WITH p AS ($prefSql)
+         |SELECT pair_id, source,
+         |  CAST(length(chosen) AS BIGINT) AS len_chosen,
+         |  CAST(length(rejected) AS BIGINT) AS len_rejected,
+         |  chosen = rejected AS flag_tie,
+         |  length(chosen) > length(rejected) AS chosen_longer
+         |FROM p""".stripMargin,
+
+    "ift_pref_length_bias" ->
+      s"""WITH p AS ($prefSql)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN length(chosen) > length(rejected)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_chosen_longer,
+         |  ${graft.Det.droundSql(
+             "CAST(sum(CASE WHEN length(chosen) > length(rejected) " +
+             "THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)} AS bias_rate
+         |FROM p WHERE chosen <> rejected GROUP BY source""".stripMargin,
 
     "ift_curated_e2e" ->
       s"""WITH $gateCtes,

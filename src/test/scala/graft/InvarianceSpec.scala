@@ -61,6 +61,7 @@ class InvarianceSpec extends SparkSpec {
     "mm_audio_fp_apply",    // fp dups → components fixpoint → anti-join
     "sp_curriculum",        // entropy terciles + zipWithIndex positions
     "ift_curated_e2e",      // gate + template df + dedup survivor chain
+    "ds_novelty_score",     // gram df + join-back + dround ratio
     "q_kmv_union",          // TopKPerKey min-K heaps merged across keys
     "ds_source_minhash")    // min() signature partials + pair join
     // (wordpiece/unigram vocab invariance pinned in their own specs —

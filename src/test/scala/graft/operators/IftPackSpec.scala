@@ -128,6 +128,44 @@ class IftPackSpec extends SparkSpec {
     assert(want.exists(_._1 == IftPack.Canned))
   }
 
+  test("ift_pref gates fire on the planted tie and anti-bias slices") {
+    def sub(t: String, pos: Int, len: Int): String =
+      if (pos > t.length) ""
+      else t.substring(pos - 1, math.min(t.length, pos - 1 + len))
+    val pairs = docs.map { case (id, text, src) =>
+      val chosen = "A: " + sub(text, 1, 80)
+      val rejected =
+        if (id % 9 == 0) chosen
+        else if (id % 7 == 0)
+          chosen + " moreover it continues at considerable length"
+        else "A: " + sub(text, 21, 40)
+      (id, src, chosen, rejected)
+    }
+    val gateWant = pairs.map { case (id, src, c, r) =>
+      (id, src, c.length.toLong, r.length.toLong, c == r, c.length > r.length)
+    }.toSet
+    val gateGot = run("ift_pref_gate").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5))).toSet
+    assert(gateGot == gateWant)
+    // ties are exactly the %9 slice; the %7 (non-%9) slice is longer
+    // on the REJECTED side, everything else on the chosen side
+    assert(gateGot.filter(_._5).map(_._1) ==
+      docs.map(_._1).filter(_ % 9 == 0).toSet)
+    def dr4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val biasWant = pairs.filter(p => p._3 != p._4).groupBy(_._2)
+      .map { case (src, xs) =>
+        val longer = xs.count(p => p._3.length > p._4.length)
+        (src, xs.size.toLong, longer.toLong, dr4(longer.toDouble / xs.size))
+      }.toSet
+    val biasGot = run("ift_pref_length_bias").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(biasGot == biasWant)
+    assert(biasWant.forall(b => b._4 > 0.0 && b._4 < 1.0),
+      "both bias directions must be present per source")
+  }
+
   test("ift_curated_e2e admits exactly gate ∩ ¬template ∩ dedup-survivors") {
     val pass = model.filter { case (_, ts) =>
       !ts.sliding(2).exists(p => p(0).role == p(1).role) &&

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** ds_novelty_score pinned against an independent plain-Scala model
+  * (JDK md5, scala collections) plus the boundary facts: a doc whose
+  * every shingle is shared scores 0, a fully unique doc scores 1. */
+class NoveltySpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  private def h32(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
+
+  private def shingleHashes(text: String): Set[Long] = {
+    val ts = text.split(" ", -1)
+    if (ts.length < 3) Set.empty
+    else (0 to ts.length - 3)
+      .map(j => h32(s"${ts(j)} ${ts(j + 1)} ${ts(j + 2)}")).toSet
+  }
+
+  test("novelty matches the independent model at sf0.001") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val grams = docs.map { case (id, t) => id -> shingleHashes(t) }
+      .filter(_._2.nonEmpty)
+    val df = grams.flatMap(_._2).groupBy(identity).map {
+      case (h, xs) => h -> xs.size
+    }
+    def dr4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val want = grams.map { case (id, hs) =>
+      val shared = hs.count(df(_) > 1)
+      (id, hs.size.toLong, shared.toLong,
+        dr4(1.0 - shared.toDouble / hs.size))
+    }.toSet
+    val got = graft.SparkEntry.queries("ds_novelty_score")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want)
+    // the corpus must exercise both shared and unique grams
+    assert(want.exists(_._4 < 1.0) && want.exists(_._4 > 0.0))
+  }
+
+  test("boundary: full duplication scores 0, full uniqueness scores 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split}
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // exact dup of 1 → both score 0
+      (3L, "zeta eta theta iota")     // no shingle shared → scores 1
+    ).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val got = DedupPack.noveltyScore(toks).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 0.0, 3L -> 1.0))
+  }
+}
