@@ -201,7 +201,55 @@ object IftPack extends QueryPack {
             .otherwise(0L)).as("n_chosen_longer"))
         .select(col("source"), col("n_pairs"), col("n_chosen_longer"),
           graft.Det.dround(col("n_chosen_longer").cast("double") /
-            col("n_pairs").cast("double"), 4).as("bias_rate"))))
+            col("n_pairs").cast("double"), 4).as("bias_rate"))),
+
+    // the SFT TRAINING FEED — curation → chat render → pack → epoch
+    // positions composed into the artifact a fine-tune loop reads:
+    // admitted conversations (the ift_curated_e2e chain) rendered
+    // into '<role> content' transcripts as a PURE ARRAY EXPRESSION
+    // over the one-row-per-conversation frame (zero extra shuffle —
+    // no per-turn regroup, the conversation row already holds its
+    // ordered turns), special tokens scrubbed from the rendered
+    // text, whitespace token counts driving the same contiguous
+    // fixed-budget pack as sp_pack_sequences, and the epoch
+    // permutation assigned at SEQUENCE grain (GlobalIndex — never a
+    // one-task window). text_md5 rides each slot so a render bug, a
+    // scrub bug, a packing bug, or a permutation bug all shift the
+    // hash. A trainer reads ORDER BY pos, slot.
+    "ift_sft_feed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val rendered = convs(docs)
+        .join(curated(docs).select(col("conv_id")), Seq("conv_id"),
+          "left_semi")
+        .select(col("conv_id"), col("source"),
+          concat_ws("\n", transform(col("turns"), t =>
+            concat(lit("<"), t.getField("role"), lit("> "),
+              t.getField("content")))).as("raw"))
+        .select(col("conv_id"), col("source"),
+          expr(scrubSql("raw")).as("rendered"))
+        .select(col("conv_id"), col("source"), col("rendered"),
+          size(split(col("rendered"), " ")).cast("long").as("n_tokens"))
+      val binned = Sampling.packBins(rendered,
+        shard = Seq(col("source")), order = Seq(col("conv_id")),
+        tokens = col("n_tokens"), budget = SamplePack.PackBudget)
+      val seqs = binned.groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_convs"))
+        .select(col("source"), col("bin"),
+          graft.functions.Hashing.h32(concat(lit("sf0_"), col("source"),
+            lit("_"), col("bin").cast("string"))).as("k"))
+      val positioned = GlobalIndex.withPosition(seqs,
+          Seq(col("k"), col("source"), col("bin")), "pos")
+        .select(col("source"), col("bin"), col("pos"))
+      val slotW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("bin"))
+        .orderBy(col("conv_id"))
+      binned
+        .withColumn("slot", (row_number().over(slotW) - 1).cast("long"))
+        .join(positioned, Seq("source", "bin"))
+        .select(col("pos"), col("source"), col("bin"), col("slot"),
+          col("conv_id"), col("n_tokens"), md5(col("rendered"))
+            .as("text_md5"))
+    }))
 
   /** Synthesized preference pairs: one (prompt, chosen, rejected)
     * triple per doc, with a degenerate-tie slice (%9: rejected ==
@@ -370,25 +418,66 @@ object IftPack extends QueryPack {
          |FROM p WHERE chosen <> rejected GROUP BY source""".stripMargin,
 
     "ift_curated_e2e" ->
-      s"""WITH $gateCtes,
-         |tmpl AS (SELECT content AS prompt FROM t WHERE role = 'user'
-         |  GROUP BY content HAVING count(DISTINCT conv_id) >= $TemplateDf),
-         |dups AS (SELECT content, min(conv_id) AS survivor_conv
-         |  FROM t WHERE role = 'assistant' AND content <> ''
-         |  GROUP BY content HAVING count(*) > 1),
-         |templated AS (SELECT DISTINCT conv_id FROM t
-         |  WHERE role = 'user' AND content IN (SELECT prompt FROM tmpl)),
-         |losers AS (SELECT DISTINCT t.conv_id FROM t
-         |  JOIN dups ON t.content = dups.content
-         |  WHERE t.role = 'assistant' AND t.conv_id <> dups.survivor_conv),
+      s"""WITH $admCtes,
          |clean AS (SELECT conv_id,
          |    CAST(sum(length(${scrubSql("content")})) AS BIGINT)
          |      AS clean_chars
          |  FROM t GROUP BY conv_id)
-         |SELECT g.conv_id, g.n_turns, clean.clean_chars
-         |FROM g JOIN clean ON g.conv_id = clean.conv_id
-         |WHERE NOT (flag_role_repeat OR flag_empty_turn OR flag_bad_start
-         |           OR flag_bad_end)
-         |  AND g.conv_id NOT IN (SELECT conv_id FROM templated)
-         |  AND g.conv_id NOT IN (SELECT conv_id FROM losers)""".stripMargin)
+         |SELECT adm.conv_id, adm.n_turns, clean.clean_chars
+         |FROM adm JOIN clean ON adm.conv_id = clean.conv_id""".stripMargin,
+
+    // the oracle MAY use one-task windows (single DuckDB node); the
+    // Spark side must not (GlobalIndex at sequence grain)
+    "ift_sft_feed" ->
+      s"""WITH $admCtes,
+         |rend0 AS (SELECT t.conv_id, any_value(t.source) AS source,
+         |    string_agg('<' || role || '> ' || content, chr(10)
+         |      ORDER BY turn_idx) AS raw
+         |  FROM t JOIN adm ON t.conv_id = adm.conv_id
+         |  GROUP BY t.conv_id),
+         |r AS (SELECT conv_id, source, rendered,
+         |    CAST(len(string_split(rendered, ' ')) AS BIGINT) AS n_tokens
+         |  FROM (SELECT conv_id, source, ${scrubSql("raw")} AS rendered
+         |        FROM rend0)),
+         |b AS (SELECT conv_id, source, rendered, n_tokens,
+         |    CAST((sum(n_tokens) OVER (PARTITION BY source
+         |       ORDER BY conv_id ROWS UNBOUNDED PRECEDING)
+         |     - n_tokens) // ${SamplePack.PackBudget} AS BIGINT) AS bin
+         |  FROM r),
+         |sq AS (SELECT source, bin,
+         |    ${graft.functions.Hashing.sqlH32(
+              "'sf0_' || source || '_' || CAST(bin AS VARCHAR)")} AS k
+         |  FROM b GROUP BY 1, 2),
+         |p AS (SELECT source, bin,
+         |    CAST(row_number() OVER (ORDER BY k, source, bin) - 1
+         |      AS BIGINT) AS pos
+         |  FROM sq),
+         |slots AS (SELECT conv_id, source, bin, n_tokens, rendered,
+         |    CAST(row_number() OVER (PARTITION BY source, bin
+         |      ORDER BY conv_id) - 1 AS BIGINT) AS slot
+         |  FROM b)
+         |SELECT p.pos, slots.source, slots.bin, slots.slot,
+         |  slots.conv_id, slots.n_tokens, md5(slots.rendered) AS text_md5
+         |FROM slots JOIN p USING (source, bin)""".stripMargin)
+
+  /** The curation chain as shared CTEs ending in
+    * `adm(conv_id, n_turns)` — the SQL twin of [[curated]]'s
+    * admission set. */
+  private lazy val admCtes: String =
+    s"""$gateCtes,
+       |tmpl AS (SELECT content AS prompt FROM t WHERE role = 'user'
+       |  GROUP BY content HAVING count(DISTINCT conv_id) >= $TemplateDf),
+       |dups AS (SELECT content, min(conv_id) AS survivor_conv
+       |  FROM t WHERE role = 'assistant' AND content <> ''
+       |  GROUP BY content HAVING count(*) > 1),
+       |templated AS (SELECT DISTINCT conv_id FROM t
+       |  WHERE role = 'user' AND content IN (SELECT prompt FROM tmpl)),
+       |losers AS (SELECT DISTINCT t.conv_id FROM t
+       |  JOIN dups ON t.content = dups.content
+       |  WHERE t.role = 'assistant' AND t.conv_id <> dups.survivor_conv),
+       |adm AS (SELECT g.conv_id, g.n_turns FROM g
+       |  WHERE NOT (flag_role_repeat OR flag_empty_turn OR flag_bad_start
+       |             OR flag_bad_end)
+       |    AND g.conv_id NOT IN (SELECT conv_id FROM templated)
+       |    AND g.conv_id NOT IN (SELECT conv_id FROM losers))""".stripMargin
 }

@@ -166,6 +166,33 @@ class IftPackSpec extends SparkSpec {
       "both bias directions must be present per source")
   }
 
+  test("ift_sft_feed covers exactly the admitted convs, once each, " +
+      "with a valid sequence permutation") {
+    val feed = run("ift_sft_feed").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val admitted = run("ift_curated_e2e").collect().map(_.getLong(0)).toSet
+    assert(feed.map(_._5).toSet == admitted, "feed rows != admitted convs")
+    assert(feed.map(_._5).distinct.length == feed.length,
+      "a conversation appears in more than one slot")
+    // pos is a permutation over sequences; slots are dense per sequence
+    val bySeq = feed.groupBy(f => (f._2, f._3))
+    val poss = bySeq.values.map(_.head._1).toSeq.sorted
+    assert(poss == (0L until bySeq.size.toLong))
+    bySeq.values.foreach { xs =>
+      assert(xs.map(_._1).distinct.length == 1, "pos differs within a bin")
+      assert(xs.map(_._4).sorted.toSeq == (0L until xs.length.toLong),
+        "slots not dense within a sequence")
+    }
+    // bins respect the budget: a sequence's tokens minus its LAST doc
+    // fit under PackBudget (contiguous fill semantics)
+    bySeq.values.foreach { xs =>
+      val sorted = xs.sortBy(_._4).map(_._6)
+      assert(sorted.init.sum < SamplePack.PackBudget,
+        "bin overfilled beyond the contiguous-fill rule")
+    }
+  }
+
   test("ift_curated_e2e admits exactly gate ∩ ¬template ∩ dedup-survivors") {
     val pass = model.filter { case (_, ts) =>
       !ts.sliding(2).exists(p => p(0).role == p(1).role) &&
