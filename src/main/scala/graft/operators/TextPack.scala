@@ -387,6 +387,34 @@ object TextPack extends QueryPack {
 
     // The tokenizer BAKE-OFF: all three families trained on the same
     // corpus, corpus-level compression side by side — the one-number
+    // Per-LANGUAGE fertility audit of the trained BPE — the
+    // multilingual-equity check a tokenizer owner runs before
+    // shipping: units per word (fertility) and chars per unit by
+    // language. A tokenizer trained on a mixed corpus systematically
+    // over-segments its minority languages (higher fertility =
+    // more compute per char at train AND inference time for those
+    // langs); this rollup is where that shows. Same distinct-word
+    // grain as tx_tokenizer_compare, just keyed by (lang, word).
+    "tx_fertility_by_lang" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val wc = docs.select(col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      wc.withColumn("n_units",
+          length(Bpe.encodeCol(col("w"), bpeMergesFor(s, dir)))
+            .cast("long"))
+        .groupBy("lang")
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * length(col("w")).cast("long")).as("n_chars"),
+          sum(col("cnt") * col("n_units")).as("n_units"))
+        .select(col("lang"), col("n_words"), col("n_chars"),
+          col("n_units"),
+          graft.Det.dround(col("n_units").cast("double") /
+            col("n_words").cast("double"), 4).as("fertility"),
+          graft.Det.dround(col("n_chars").cast("double") /
+            col("n_units").cast("double"), 4).as("chars_per_unit"))
+    }),
+
     // answer to "which tokenizer fits this corpus" a tokenizer owner
     // actually decides by. Every rollup runs at DISTINCT-WORD grain
     // (Σ cnt·units over the word inventory — applying a trained
@@ -1058,6 +1086,28 @@ object TextPack extends QueryPack {
     // disjoint by construction: w0/t*/x* BPE, wc/cand/e*/v*
     // WordPiece, uwc/ucand/r*/uv* unigram), then one rollup each at
     // distinct-word grain
+    "tx_fertility_by_lang" ->
+      s"""WITH w0 AS (SELECT w FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 2),
+         |${Bpe.sqlTrainCtesForEncode()},
+         |lwc AS (SELECT lang, w, count(*) AS cnt FROM (
+         |    SELECT lang, unnest(string_split(text, ' ')) AS w
+         |    FROM documents) GROUP BY 1, 2),
+         |le AS (SELECT lang, w, cnt,
+         |    CAST(length(${Bpe.sqlEncodeExpr("w")}) AS BIGINT) AS n_units
+         |  FROM lwc)
+         |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
+         |  CAST(sum(cnt * length(w)) AS BIGINT) AS n_chars,
+         |  CAST(sum(cnt * n_units) AS BIGINT) AS n_units,
+         |  ${graft.Det.droundSql(
+             "CAST(sum(cnt * n_units) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)",
+             4)} AS fertility,
+         |  ${graft.Det.droundSql(
+             "CAST(sum(cnt * length(w)) AS DOUBLE) / " +
+             "CAST(sum(cnt * n_units) AS DOUBLE)", 4)} AS chars_per_unit
+         |FROM le GROUP BY lang""".stripMargin,
+
     "tx_tokenizer_compare" ->
       s"""WITH w0 AS (SELECT w FROM (
          |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
