@@ -100,6 +100,29 @@ object DedupPack extends QueryPack {
     // MinHash-LSH candidate pairs: band equi-join (4 bands × 2 rows).
     "ds_minhash_pairs" -> ((s, dir) => candidatePairs(s, dir)),
 
+    // Split-LEAKAGE audit — near-dup pairs that straddle the
+    // train/val/test assignment ([[SamplePack.splitCol]]): a test doc
+    // with a near-duplicate in train inflates eval scores without any
+    // verbatim contamination, which is why eval hygiene runs the
+    // NEAR-dup detector across splits, not just exact matching.
+    // Candidates come from the same LSH banding as ds_minhash_pairs
+    // (recall-first, the decon convention); the split columns are
+    // scan-stage expressions joined onto the pair endpoints (two
+    // broadcast-eligible id→split maps, never a re-shuffle of text).
+    "ds_split_leakage" -> ((s, dir) => {
+      val splits = Tables.documents(s, dir)
+        .select(col("doc_id"), SamplePack.corpusSplit(col("doc_id"))
+          .as("split"))
+      candidatePairs(s, dir)
+        .join(splits.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("split", "split_a"), Seq("doc_a"))
+        .join(splits.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("split", "split_b"), Seq("doc_b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("doc_a"), col("doc_b"), col("split_a"),
+          col("split_b"))
+    }),
+
     // SimHash (32-bit, token-set weighted bit votes) as pure array
     // expressions: distinct-token hashes materialized once, then 32
     // per-bit vote folds — zero shuffles and no 32× row blowup, so it
@@ -1216,6 +1239,19 @@ object DedupPack extends QueryPack {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
+
+    "ds_split_leakage" ->
+      s"""$sigCte,
+         |bands AS ($bandsSql),
+         |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  ${SamplePack.corpusSplitSql("doc_a")} AS split_a,
+         |  ${SamplePack.corpusSplitSql("doc_b")} AS split_b
+         |FROM prs
+         |WHERE ${SamplePack.corpusSplitSql("doc_a")} <>
+         |      ${SamplePack.corpusSplitSql("doc_b")}""".stripMargin,
 
     // Transitive closure over the candidate pairs via recursive CTE;
     // rep = min over the reachable set ∪ self.

@@ -29,6 +29,19 @@ object SamplePack extends QueryPack {
     * source fixture density at every SF, so the cap actually cuts. */
   val SourceCap = 15
 
+  /** The corpus split rule — ONE definition shared by the manifest
+    * (`sp_split_stats`) and the leakage audit (`ds_split_leakage`):
+    * [[Sampling.splitAssign]] under salt "s2", 80/10/10. An audit
+    * keyed on a different salt would check a split nobody trains on. */
+  def corpusSplit(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Sampling.splitAssign(id, "s2", trainPct = 80, valPct = 10)
+
+  /** The DuckDB twin of [[corpusSplit]]. */
+  def corpusSplitSql(idExpr: String): String =
+    s"""CASE WHEN ${Sampling.sqlBucket(idExpr, "s2")} < 80 THEN 'train'
+       |     WHEN ${Sampling.sqlBucket(idExpr, "s2")} < 90 THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
   /** sp_unimax_mix epoch cap C (UniMax's one knob): no source may be
     * allocated more than C × its own token count. */
   val UniMaxEpochCap = 2L
@@ -211,9 +224,7 @@ object SamplePack extends QueryPack {
     // source: one partial-agg shuffle over scan-stage assignment.
     "sp_split_stats" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .withColumn("split",
-          Sampling.splitAssign(col("doc_id"), "s2", trainPct = 80,
-            valPct = 10))
+        .withColumn("split", corpusSplit(col("doc_id")))
         .groupBy(col("split"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"))),
