@@ -594,10 +594,19 @@ object DevStress {
     // the response-dedup hash groupBy. Replicated docs share texts,
     // so every dup-response group floods factor-deep — the honest
     // dedup stress — while the admitted output stays input-linear.
-    if (wants("ift")) {
+    if (wants("ift_turns", "ift_curated", "ift_feed")) {
       val sdocs = spark.read.parquet("/tmp/stress_docs")
       time("ift_turns", graft.operators.IftPack.turns(sdocs))
       time("ift_curated", graft.operators.IftPack.curated(sdocs))
+      time("ift_feed", graft.operators.IftPack.sftFeed(sdocs))
+    }
+    // novelty: under replication EVERY shingle is corpus-shared, so
+    // all docs score 0 — the probe measures the gram-grain df agg +
+    // join-back at flooded df, the dup_spans input-linear class
+    if (wants("novelty")) {
+      val toks = spark.read.parquet("/tmp/stress_docs")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      time("novelty", graft.operators.DedupPack.noveltyScore(toks))
     }
     // Mergeable sketches: replicas collapse in the (source, hash)
     // distinct, so kmv_sketch runs factor× input into CONSTANT

@@ -189,6 +189,20 @@ object Bpe {
     (0 until iters).foldLeft(w)((acc, k) =>
       s"replace($acc, (SELECT pair FROM ${pfx}t$k), chr(${SentinelBase + k}))")
 
+  /** Inverse of [[encodeCol]]: each sentinel expands to its FULLY
+    * EXPANDED token (`Merge.token` carries the pair expanded through
+    * every prior merge, so it contains no sentinels and one flat
+    * replace chain in any order is exact — the x$k convention the
+    * SQL training CTEs already use). */
+  def decodeCol(e: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(e)((c, m) =>
+      replace(c, lit(m.sym.toString), lit(m.token)))
+
+  /** The DuckDB twin of [[decodeCol]] over the training CTEs. */
+  def sqlDecodeExpr(e: String, iters: Int = Iters, pfx: String = ""): String =
+    (0 until iters).foldLeft(e)((acc, j) =>
+      s"replace($acc, chr(${SentinelBase + j}), (SELECT token FROM ${pfx}x$j))")
+
   /** The encode oracle fragment: training CTEs reusable beside a
     * caller-provided doc-grain track. */
   def sqlTrainCtesForEncode(iters: Int = Iters, pfx: String = ""): String =

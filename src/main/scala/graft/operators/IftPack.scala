@@ -216,40 +216,43 @@ object IftPack extends QueryPack {
     // one-task window). text_md5 rides each slot so a render bug, a
     // scrub bug, a packing bug, or a permutation bug all shift the
     // hash. A trainer reads ORDER BY pos, slot.
-    "ift_sft_feed" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val rendered = convs(docs)
-        .join(curated(docs).select(col("conv_id")), Seq("conv_id"),
-          "left_semi")
-        .select(col("conv_id"), col("source"),
-          concat_ws("\n", transform(col("turns"), t =>
-            concat(lit("<"), t.getField("role"), lit("> "),
-              t.getField("content")))).as("raw"))
-        .select(col("conv_id"), col("source"),
-          expr(scrubSql("raw")).as("rendered"))
-        .select(col("conv_id"), col("source"), col("rendered"),
-          size(split(col("rendered"), " ")).cast("long").as("n_tokens"))
-      val binned = Sampling.packBins(rendered,
-        shard = Seq(col("source")), order = Seq(col("conv_id")),
-        tokens = col("n_tokens"), budget = SamplePack.PackBudget)
-      val seqs = binned.groupBy(col("source"), col("bin"))
-        .agg(count(lit(1)).as("n_convs"))
-        .select(col("source"), col("bin"),
-          graft.functions.Hashing.h32(concat(lit("sf0_"), col("source"),
-            lit("_"), col("bin").cast("string"))).as("k"))
-      val positioned = GlobalIndex.withPosition(seqs,
-          Seq(col("k"), col("source"), col("bin")), "pos")
-        .select(col("source"), col("bin"), col("pos"))
-      val slotW = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source"), col("bin"))
-        .orderBy(col("conv_id"))
-      binned
-        .withColumn("slot", (row_number().over(slotW) - 1).cast("long"))
-        .join(positioned, Seq("source", "bin"))
-        .select(col("pos"), col("source"), col("bin"), col("slot"),
-          col("conv_id"), col("n_tokens"), md5(col("rendered"))
-            .as("text_md5"))
-    }))
+    "ift_sft_feed" -> ((s, dir) => sftFeed(Tables.documents(s, dir))))
+
+  /** The full feed composition over any documents-shaped frame —
+    * `ift_sft_feed`'s body, exposed for the DevStress probe. */
+  def sftFeed(docs: DataFrame): DataFrame = {
+    val rendered = convs(docs)
+      .join(curated(docs).select(col("conv_id")), Seq("conv_id"),
+        "left_semi")
+      .select(col("conv_id"), col("source"),
+        concat_ws("\n", transform(col("turns"), t =>
+          concat(lit("<"), t.getField("role"), lit("> "),
+            t.getField("content")))).as("raw"))
+      .select(col("conv_id"), col("source"),
+        expr(scrubSql("raw")).as("rendered"))
+      .select(col("conv_id"), col("source"), col("rendered"),
+        size(split(col("rendered"), " ")).cast("long").as("n_tokens"))
+    val binned = Sampling.packBins(rendered,
+      shard = Seq(col("source")), order = Seq(col("conv_id")),
+      tokens = col("n_tokens"), budget = SamplePack.PackBudget)
+    val seqs = binned.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_convs"))
+      .select(col("source"), col("bin"),
+        graft.functions.Hashing.h32(concat(lit("sf0_"), col("source"),
+          lit("_"), col("bin").cast("string"))).as("k"))
+    val positioned = GlobalIndex.withPosition(seqs,
+        Seq(col("k"), col("source"), col("bin")), "pos")
+      .select(col("source"), col("bin"), col("pos"))
+    val slotW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("bin"))
+      .orderBy(col("conv_id"))
+    binned
+      .withColumn("slot", (row_number().over(slotW) - 1).cast("long"))
+      .join(positioned, Seq("source", "bin"))
+      .select(col("pos"), col("source"), col("bin"), col("slot"),
+        col("conv_id"), col("n_tokens"), md5(col("rendered"))
+          .as("text_md5"))
+  }
 
   /** Synthesized preference pairs: one (prompt, chosen, rejected)
     * triple per doc, with a degenerate-tie slice (%9: rejected ==

@@ -387,6 +387,26 @@ object TextPack extends QueryPack {
 
     // The tokenizer BAKE-OFF: all three families trained on the same
     // corpus, corpus-level compression side by side — the one-number
+    // Tokenizer ROUND-TRIP audit: decode(encode(w)) must equal w for
+    // every distinct word in the corpus — the lossless-ness check a
+    // tokenizer team runs before shipping a vocab (a merge table
+    // whose sentinel leaks into real text, or whose expansion table
+    // drifted from its pair table, fails here and nowhere else).
+    // Distinct-word grain; both directions are flat codegen'd
+    // replace chains in the scan stage.
+    "tx_bpe_roundtrip" -> ((s, dir) => {
+      val merges = bpeMergesFor(s, dir)
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w")).distinct()
+        .select(col("w"),
+          Bpe.decodeCol(Bpe.encodeCol(col("w"), merges), merges).as("rt"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(col("rt") =!= col("w"), 1L).otherwise(0L))
+            .as("n_mismatch"))
+        .select(col("n_words"), col("n_mismatch"),
+          (col("n_mismatch") === 0L).as("roundtrip_ok"))
+    }),
+
     // Per-LANGUAGE fertility audit of the trained BPE — the
     // multilingual-equity check a tokenizer owner runs before
     // shipping: units per word (fertility) and chars per unit by
@@ -1086,6 +1106,22 @@ object TextPack extends QueryPack {
     // disjoint by construction: w0/t*/x* BPE, wc/cand/e*/v*
     // WordPiece, uwc/ucand/r*/uv* unigram), then one rollup each at
     // distinct-word grain
+    "tx_bpe_roundtrip" ->
+      s"""WITH w0 AS (SELECT w FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 2),
+         |${Bpe.sqlTrainCtesForEncode()},
+         |wd AS (SELECT DISTINCT w FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+         |rt AS (SELECT w,
+         |    ${Bpe.sqlDecodeExpr(Bpe.sqlEncodeExpr("w"))} AS rt
+         |  FROM wd)
+         |SELECT CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(CASE WHEN rt <> w THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_mismatch,
+         |  sum(CASE WHEN rt <> w THEN 1 ELSE 0 END) = 0 AS roundtrip_ok
+         |FROM rt""".stripMargin,
+
     "tx_fertility_by_lang" ->
       s"""WITH w0 AS (SELECT w FROM (
          |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)

@@ -113,6 +113,28 @@ class BpeVocabSpec extends SparkSpec {
       "no merge applied anywhere — vacuous encode")
   }
 
+  test("decode inverts encode; a drifted expansion table fails the roundtrip") {
+    import graft.Tables
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.trainMerges(
+      docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2), Bpe.Iters)
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+    val rt = words.select(col("w"),
+        Bpe.decodeCol(Bpe.encodeCol(col("w"), merges), merges).as("rt"))
+      .filter(col("rt") =!= col("w")).count()
+    assert(rt == 0L, s"$rt words fail decode(encode(w)) == w")
+    // sabotage one expansion: the roundtrip audit must catch it
+    val bad = merges.zipWithIndex.map { case (m, i) =>
+      if (i == 0) m.copy(token = m.token + "X") else m
+    }
+    val broken = words.select(col("w"),
+        Bpe.decodeCol(Bpe.encodeCol(col("w"), bad), bad).as("rt"))
+      .filter(col("rt") =!= col("w")).count()
+    assert(broken > 0L, "a corrupted expansion table went undetected")
+  }
+
   test("words collapsing to one symbol drop out; tiny corpora stop early") {
     // "aa" fuses to a single symbol after merge 0 and must stop
     // contributing pairs; with nothing left the loop ends early with
