@@ -614,7 +614,7 @@ object DevStress {
     // source). The salted variant grows the distinct set ~factor×
     // instead, exercising the estimator at growing n while the
     // sketch rows stay at K per source either way.
-    if (wants("kmv_sketch", "minhash_sig")) {
+    if (wants("kmv_sketch", "kmv_sketch_salted", "minhash_sig")) {
       val sdocs = spark.read.parquet("/tmp/stress_docs")
       time("kmv_sketch", graft.operators.SketchPack.kmvSketch(sdocs))
       val salted = sdocs.withColumn("text",

@@ -235,8 +235,7 @@ object IftPack extends QueryPack {
     val binned = Sampling.packBins(rendered,
       shard = Seq(col("source")), order = Seq(col("conv_id")),
       tokens = col("n_tokens"), budget = SamplePack.PackBudget)
-    val seqs = binned.groupBy(col("source"), col("bin"))
-      .agg(count(lit(1)).as("n_convs"))
+    val seqs = binned.select(col("source"), col("bin")).distinct()
       .select(col("source"), col("bin"),
         graft.functions.Hashing.h32(concat(lit("sf0_"), col("source"),
           lit("_"), col("bin").cast("string"))).as("k"))

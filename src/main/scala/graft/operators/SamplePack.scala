@@ -1093,13 +1093,10 @@ object SamplePack extends QueryPack {
 
     // DuckDB sum(BIGINT) widens to HUGEINT — cast back to match Spark
     "sp_split_stats" ->
-      s"""SELECT CASE WHEN b < 80 THEN 'train'
-         |            WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      s"""SELECT ${corpusSplitSql("doc_id")} AS split,
          |       source, count(*) AS n_docs,
          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
-         |FROM (SELECT source, n_chars,
-         |        ${Sampling.sqlBucket("doc_id", "s2")} AS b
-         |      FROM documents)
+         |FROM documents
          |GROUP BY 1, 2""".stripMargin,
 
     "sp_stratified_k" ->

@@ -96,8 +96,13 @@ object SketchPack extends QueryPack {
 
   /** Per-source MinHash signatures over any documents-shaped frame
     * (one map-side-combined agg) — the DevStress probe surface. */
-  def sigOf(docs: DataFrame): DataFrame =
-    items(docs).groupBy("source")
+  def sigOf(docs: DataFrame): DataFrame = sigOfItems(items(docs))
+
+  /** Signature agg over an already-built (source, ih) items frame —
+    * callers holding the items projection (ds_source_minhash) pass
+    * it here instead of paying the corpus scan + per-row md5 twice. */
+  def sigOfItems(it: DataFrame): DataFrame =
+    it.groupBy("source")
       .agg(min(Hashing.permuted(col("ih"), 0)).as("m0"),
         (1 until Hashing.NumPerms).map(i =>
           min(Hashing.permuted(col("ih"), i)).as(s"m$i")): _*)
@@ -181,7 +186,7 @@ object SketchPack extends QueryPack {
     // zero-overlap ones with exact 0
     "ds_source_minhash" -> ((s, dir) => {
       val it = items(Tables.documents(s, dir))
-      val sig = sigOf(Tables.documents(s, dir))
+      val sig = sigOfItems(it)
       val sz = it.groupBy("source")
         .agg(count(lit(1)).cast("long").as("n"))
       val a = sig.as("a"); val b = sig.as("b")

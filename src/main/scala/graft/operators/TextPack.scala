@@ -385,8 +385,6 @@ object TextPack extends QueryPack {
     "tx_unigram_encode" -> ((s, dir) =>
       Unigram.encode(Tables.documents(s, dir), uniFor(s, dir))),
 
-    // The tokenizer BAKE-OFF: all three families trained on the same
-    // corpus, corpus-level compression side by side — the one-number
     // Tokenizer ROUND-TRIP audit: decode(encode(w)) must equal w for
     // every distinct word in the corpus — the lossless-ness check a
     // tokenizer team runs before shipping a vocab (a merge table
@@ -435,6 +433,8 @@ object TextPack extends QueryPack {
             col("n_units").cast("double"), 4).as("chars_per_unit"))
     }),
 
+    // The tokenizer BAKE-OFF: all three families trained on the same
+    // corpus, corpus-level compression side by side — the one-number
     // answer to "which tokenizer fits this corpus" a tokenizer owner
     // actually decides by. Every rollup runs at DISTINCT-WORD grain
     // (Σ cnt·units over the word inventory — applying a trained

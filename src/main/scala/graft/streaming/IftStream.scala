@@ -104,17 +104,21 @@ object IftStream {
               .filter(col("role") === "user" && isTemplate)
               .select(col("conv_id")).distinct()
             val cand = pass.join(templated, Seq("conv_id"), "left_anti")
-            val resp = respPairs(b)
-              .join(cand, Seq("conv_id"), "left_semi")
             // within-batch: first conv per response wins; a conv
-            // losing ANY of its responses drops entirely
-            val batchLosers = resp
-              .join(resp.groupBy("rkey")
+            // losing ANY of its responses drops entirely. Survivors
+            // are chosen over ALL conversations — not the gate/
+            // template-filtered pool — exactly as the batch form's
+            // dupResponses does: if the min conv is itself dropped
+            // (e.g. templated), the response trains ZERO times, it
+            // does not fall through to the next conv
+            val respAll = respPairs(b)
+            val batchLosers = respAll
+              .join(respAll.groupBy("rkey")
                 .agg(min(col("conv_id")).as("survivor")), Seq("rkey"))
               .filter(col("conv_id") =!= col("survivor"))
               .select(col("conv_id")).distinct()
             val cand2 = cand.join(batchLosers, Seq("conv_id"), "left_anti")
-            val candResp = resp.join(cand2, Seq("conv_id"), "left_semi")
+            val candResp = respAll.join(cand2, Seq("conv_id"), "left_semi")
             // cross-batch: responses seen in any landed batch kill
             // their conv; zero history I/O when the sketch says all
             // responses are definitely new

@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   * state is artifact-sized (K longs per key — the vocab-bounded
   * collect convention), never row-scaled.
   *
-  * Durability follows [[BloomSeenSet]]: with `persistPath` set, the
-  * state is saved inside every [[update]] in a versioned envelope
-  * (magic + version + k), written atomically (tmp + rename) so a
-  * crash mid-save leaves the previous artifact intact; a fresh
-  * process loads it on construction and continues counting. A torn
+  * Durability: with `persistPath` set, the state is saved inside
+  * every [[update]] in a versioned envelope (magic + version + k)
+  * via a park-then-publish rename protocol (tmp in, previous
+  * artifact parked as `.old` until the publish lands) so NO crash
+  * point loses accumulated state — a crash between the renames
+  * recovers from `.old` with a loud warning; a fresh process loads
+  * on construction and continues counting. A torn
   * or scheme-mismatched envelope (including a different k — sketches
   * of different widths must not merge) is rejected with a loud
   * warning and the state starts empty: estimates then cover only
@@ -86,6 +88,16 @@ final class KmvStats(k: Int = 64, persistPath: Option[String] = None) {
   // assigned — an instance Magic would read as 0 inside load)
   import KmvStats.{Magic, Version}
 
+  private def bak(path: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(path.getParent, s"${path.getName}.old")
+
+  /** Publish protocol without a no-state window (unlike BloomSeenSet,
+    * whose sketch rebuilds from history, this state is NOT derivable
+    * — losing it silently would undercount forever): write tmp →
+    * park the current artifact as .old → rename tmp in → drop .old.
+    * A crash between the two renames leaves .old, which [[load]]
+    * falls back to with a warning (it lags by exactly the batch being
+    * saved, and the NEXT update's save republishes the full state). */
   private def save(p: String): Unit = {
     val (fs, path) = SinkFs.fs(p)
     val tmp = new org.apache.hadoop.fs.Path(
@@ -102,13 +114,28 @@ final class KmvStats(k: Int = 64, persistPath: Option[String] = None) {
       }
       d.flush()
     } finally out.close()
-    if (fs.exists(path)) fs.delete(path, false)
+    val old = bak(path)
+    if (fs.exists(path)) {
+      if (fs.exists(old)) fs.delete(old, false)
+      if (!fs.rename(path, old))
+        throw new java.io.IOException(s"could not park KMV state at $old")
+    }
     if (!fs.rename(tmp, path))
       throw new java.io.IOException(s"could not publish KMV state at $p")
+    if (fs.exists(old)) fs.delete(old, false)
   }
 
   private def load(p: String): Option[Map[String, Vector[Long]]] = {
-    val (fs, path) = SinkFs.fs(p)
+    val (fs, path0) = SinkFs.fs(p)
+    // crash-between-renames fallback: the parked previous artifact
+    val path =
+      if (fs.exists(path0)) path0
+      else if (fs.exists(bak(path0))) {
+        System.err.println(
+          s"KmvStats: primary state missing at $p, recovering from " +
+            s"${bak(path0)} (lags by the batch whose save crashed)")
+        bak(path0)
+      } else path0
     if (!fs.exists(path)) None
     else {
       val in = fs.open(path)

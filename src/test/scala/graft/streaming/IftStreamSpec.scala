@@ -67,6 +67,25 @@ class IftStreamSpec extends SparkSpec {
       .map(_.toSeq).toSet == before)
   }
 
+  test("a dropped survivor does not hand its response to the next conv " +
+      "(batch-form parity)") {
+    // 35 is the min conv of the canned-response group but is itself
+    // template-dropped (35%7==0 plants the template prompt, 35%5==0
+    // the canned response); 40 shares the canned response. The batch
+    // form's dupResponses picks survivors over ALL conversations, so
+    // 40 is a dup LOSER and the canned response trains zero times —
+    // a survivor chosen from the filtered pool would wrongly admit 40.
+    val dir = Files.createTempDirectory("graft-ift3").toString
+    val feed = s"$dir/feed"; val out = s"$dir/sft"
+    docsDf(Seq(35L, 40L, 1L)).coalesce(1).write.mode("append").parquet(feed)
+    val seen = new BloomSeenSet("rkey", expectedKeys = 1000)
+    IftStream.startIntake(spark, feed, out, s"$dir/ckpt", seen,
+      Seq(IftPack.Template)).awaitTermination()
+    assert(admittedIds(out) == Set(1L),
+      "only the clean conv may land: 35 is templated, 40 loses its " +
+        "canned response to the dropped survivor 35")
+  }
+
   test("the landed rows reproduce their response keys (store needs no key column)") {
     val dir = Files.createTempDirectory("graft-ift2").toString
     val feed = s"$dir/feed"; val out = s"$dir/sft"

@@ -63,6 +63,28 @@ class KmvStatsSpec extends SparkSpec {
       "post-restart folding must continue the same sketch")
   }
 
+  test("a crash between the publish renames recovers from the parked artifact") {
+    val dir = java.nio.file.Files.createTempDirectory("kmv").toString
+    val p = s"$dir/stats.kmv"
+    val a = new KmvStats(16, Some(p))
+    a.update(frame(batch1))
+    // simulate the crash window: primary parked as .old, publish never
+    // happened (this is exactly the on-disk state after the first
+    // rename succeeds and the process dies)
+    java.nio.file.Files.move(java.nio.file.Paths.get(p),
+      java.nio.file.Paths.get(s"$dir/stats.kmv.old"))
+    val crcP = java.nio.file.Paths.get(s"$dir/.stats.kmv.crc")
+    if (java.nio.file.Files.exists(crcP))
+      java.nio.file.Files.move(crcP,
+        java.nio.file.Paths.get(s"$dir/.stats.kmv.old.crc"))
+    val r = new KmvStats(16, Some(p))
+    assert(r.snapshot == a.snapshot,
+      "recovery must read the parked previous artifact, not start empty")
+    r.update(frame(batch2)) // republishes the full state at the primary
+    val r2 = new KmvStats(16, Some(p))
+    assert(r2.snapshot == directMinK(batch1 ++ batch2, 16))
+  }
+
   test("torn or wrong-width envelopes reset loudly, never merge") {
     val dir = java.nio.file.Files.createTempDirectory("kmv").toString
     val p = s"$dir/stats.kmv"
