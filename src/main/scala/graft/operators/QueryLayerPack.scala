@@ -202,6 +202,60 @@ object QueryLayerPack extends QueryPack {
           col("value"))
     }),
 
+    // Data-quality CONTRACT suite — the Deequ-style constraint gate
+    // a warehouse runs before promoting a load: key uniqueness,
+    // referential integrity across the star schema, null/empty and
+    // range checks, accepted-value domains. One row per check with
+    // its violation count; a CI gate greps `pass`. Every check is a
+    // scan-stage predicate + one partial aggregation (uniqueness =
+    // count − distinct on the key; referential = broadcast-eligible
+    // anti-join count) — output cardinality = |checks| at any scale.
+    "q_dq_contracts" -> ((s, dir) => {
+      def row(table: String, check: String, viol: DataFrame): DataFrame =
+        viol.select(lit(table).as("tbl"), lit(check).as("chk"),
+          col("n_violations"),
+          (col("n_violations") === 0L).as("pass"))
+      def uniq(df: DataFrame, table: String, key: String): DataFrame =
+        row(table, s"unique:$key", df.agg(
+          (count(col(key)) - countDistinct(col(key))).as("n_violations")))
+      def refi(child: DataFrame, ck: String, parent: DataFrame,
+               pk: String, table: String, check: String): DataFrame =
+        row(table, check,
+          child.select(col(ck)).join(parent.select(col(pk)),
+              col(ck) === col(pk), "left_anti")
+            .agg(count(lit(1)).cast("long").as("n_violations")))
+      def pred(df: DataFrame, table: String, check: String,
+               bad: org.apache.spark.sql.Column): DataFrame =
+        row(table, check, df.agg(
+          sum(when(bad, 1L).otherwise(0L)).as("n_violations")))
+      val (c, o, l, p, d, e) = (Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir),
+        Tables.part(s, dir), Tables.documents(s, dir),
+        Tables.events(s, dir))
+      Seq(
+        uniq(c, "customer", "c_custkey"),
+        uniq(o, "orders", "o_orderkey"),
+        uniq(d, "documents", "doc_id"),
+        refi(o, "o_custkey", c, "c_custkey", "orders",
+          "ref:o_custkey->customer"),
+        refi(l, "l_orderkey", o, "o_orderkey", "lineitem",
+          "ref:l_orderkey->orders"),
+        refi(l, "l_partkey", p, "p_partkey", "lineitem",
+          "ref:l_partkey->part"),
+        pred(o, "orders", "range:o_totalprice>0",
+          col("o_totalprice") <= 0 || col("o_totalprice").isNull),
+        pred(l, "lineitem", "range:l_discount_0_1",
+          col("l_discount") < 0 || col("l_discount") > 1 ||
+            col("l_discount").isNull),
+        pred(l, "lineitem", "domain:l_returnflag_RAN",
+          !col("l_returnflag").isin("R", "A", "N") ||
+            col("l_returnflag").isNull),
+        pred(d, "documents", "notempty:text",
+          col("text").isNull || length(col("text")) === 0),
+        pred(e, "events", "notnull:ts", col("ts").isNull)
+      ).reduce(_.unionByName(_))
+    }),
+
     // Fixed-width histogram — the distribution-profiling primitive
     // behind every "pick the filter threshold" decision. Binning is
     // a scan-stage floor division (same IEEE op both engines), then
@@ -802,6 +856,48 @@ object QueryLayerPack extends QueryPack {
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
         |       count(*) AS n
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_dq_contracts" -> {
+      def uniq(table: String, key: String) =
+        s"""SELECT '$table' AS tbl, 'unique:$key' AS chk,
+           |  CAST(count($key) - count(DISTINCT $key) AS BIGINT)
+           |    AS n_violations,
+           |  (count($key) - count(DISTINCT $key)) = 0 AS pass
+           |FROM $table""".stripMargin
+      def refi(child: String, ck: String, parent: String, pk: String,
+               check: String) =
+        s"""SELECT '$child' AS tbl, '$check' AS chk,
+           |  CAST(count(*) AS BIGINT) AS n_violations,
+           |  count(*) = 0 AS pass
+           |FROM $child a LEFT JOIN $parent b ON a.$ck = b.$pk
+           |WHERE b.$pk IS NULL""".stripMargin
+      def pred(table: String, check: String, bad: String) =
+        s"""SELECT '$table' AS tbl, '$check' AS chk,
+           |  CAST(sum(CASE WHEN $bad THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violations,
+           |  sum(CASE WHEN $bad THEN 1 ELSE 0 END) = 0 AS pass
+           |FROM $table""".stripMargin
+      Seq(
+        uniq("customer", "c_custkey"),
+        uniq("orders", "o_orderkey"),
+        uniq("documents", "doc_id"),
+        refi("orders", "o_custkey", "customer", "c_custkey",
+          "ref:o_custkey->customer"),
+        refi("lineitem", "l_orderkey", "orders", "o_orderkey",
+          "ref:l_orderkey->orders"),
+        refi("lineitem", "l_partkey", "part", "p_partkey",
+          "ref:l_partkey->part"),
+        pred("orders", "range:o_totalprice>0",
+          "o_totalprice <= 0 OR o_totalprice IS NULL"),
+        pred("lineitem", "range:l_discount_0_1",
+          "l_discount < 0 OR l_discount > 1 OR l_discount IS NULL"),
+        pred("lineitem", "domain:l_returnflag_RAN",
+          "l_returnflag NOT IN ('R', 'A', 'N') OR l_returnflag IS NULL"),
+        pred("documents", "notempty:text",
+          "text IS NULL OR length(text) = 0"),
+        pred("events", "notnull:ts", "ts IS NULL")
+      ).mkString("", "\nUNION ALL\n", "")
+    },
 
     "m_scd2_intervals" ->
       """SELECT user_id, event_type, event_id, value,

@@ -1,0 +1,57 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** q_dq_contracts must CATCH violations, not just bless clean data:
+  * a corrupted mini-warehouse with one planted defect per contract
+  * class yields exactly the expected violation counts. */
+class DqContractsSpec extends SparkSpec {
+
+  test("every contract catches its planted violation class") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dq").toString
+
+    // duplicate customer key
+    Seq(1L, 1L, 2L).toDF("c_custkey")
+      .write.parquet(s"$dir/customer.parquet")
+    // duplicate order key, one orphan custkey, one non-positive price
+    Seq((10L, 1L, 100.0), (10L, 2L, -5.0), (11L, 99L, 50.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq(5L).toDF("p_partkey").write.parquet(s"$dir/part.parquet")
+    // one orphan order ref, one orphan part ref, two discount-range
+    // breaks, one out-of-domain returnflag
+    Seq((10L, 5L, 0.5, "R"), (99L, 5L, 1.5, "X"), (10L, 77L, -0.1, "A"))
+      .toDF("l_orderkey", "l_partkey", "l_discount", "l_returnflag")
+      .write.parquet(s"$dir/lineitem.parquet")
+    // duplicate doc id, one empty and one null text
+    Seq((1L, Some("x")), (1L, Some("")), (2L, None))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    // one null ts
+    Seq(Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")), None)
+      .toDF("ts").write.parquet(s"$dir/events.parquet")
+
+    val got = graft.SparkEntry.queries("q_dq_contracts")(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    val want = Map(
+      "unique:c_custkey" -> 1L,
+      "unique:o_orderkey" -> 1L,
+      "unique:doc_id" -> 1L,
+      "ref:o_custkey->customer" -> 1L,
+      "ref:l_orderkey->orders" -> 1L,
+      "ref:l_partkey->part" -> 1L,
+      "range:o_totalprice>0" -> 1L,
+      "range:l_discount_0_1" -> 2L,
+      "domain:l_returnflag_RAN" -> 1L,
+      "notempty:text" -> 2L,
+      "notnull:ts" -> 1L)
+    assert(got == want)
+    // pass must mirror the violation count exactly
+    val rows = graft.SparkEntry.queries("q_dq_contracts")(spark, dir)
+      .collect().map(r => (r.getLong(2), r.getBoolean(3)))
+    rows.foreach { case (n, pass) => assert(pass == (n == 0L)) }
+  }
+}
