@@ -256,6 +256,37 @@ object QueryLayerPack extends QueryPack {
       ).reduce(_.unionByName(_))
     }),
 
+    // Column PROFILING — the analyzer half of the Deequ pairing
+    // (q_dq_contracts asserts, this one measures): per profiled
+    // column, row count, null count, exact distinct cardinality, and
+    // completeness. Each profile is one partial aggregation over its
+    // table; output cardinality = |profiled columns| at any scale.
+    // (At 100 TB the distinct count is where q_kmv_distinct's
+    // mergeable sketch substitutes for the exact countDistinct —
+    // same surface, synopsis-backed.)
+    "q_dq_profile" -> ((s, dir) => {
+      def prof(df: DataFrame, table: String, c: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col(c)).as("n_distinct"))
+          .select(lit(table).as("tbl"), lit(c).as("col_name"),
+            col("n_rows"), col("n_null"), col("n_distinct"),
+            graft.Det.dround((col("n_rows") - col("n_null"))
+              .cast("double") / col("n_rows").cast("double"), 4)
+              .as("completeness"))
+      Seq(
+        prof(Tables.customer(s, dir), "customer", "c_mktsegment"),
+        prof(Tables.customer(s, dir), "customer", "c_acctbal"),
+        prof(Tables.orders(s, dir), "orders", "o_orderstatus"),
+        prof(Tables.orders(s, dir), "orders", "o_orderpriority"),
+        prof(Tables.lineitem(s, dir), "lineitem", "l_returnflag"),
+        prof(Tables.documents(s, dir), "documents", "lang"),
+        prof(Tables.documents(s, dir), "documents", "source"),
+        prof(Tables.events(s, dir), "events", "event_type"),
+        prof(Tables.events(s, dir), "events", "props")
+      ).reduce(_.unionByName(_))
+    }),
+
     // Fixed-width histogram — the distribution-profiling primitive
     // behind every "pick the filter threshold" decision. Binning is
     // a scan-stage floor division (same IEEE op both engines), then
@@ -856,6 +887,30 @@ object QueryLayerPack extends QueryPack {
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
         |       count(*) AS n
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_dq_profile" -> {
+      def prof(table: String, c: String) =
+        s"""SELECT '$table' AS tbl, '$c' AS col_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  ${graft.Det.droundSql(
+              s"CAST(count(*) - sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) " +
+              "AS DOUBLE) / count(*)", 4)} AS completeness
+           |FROM $table""".stripMargin
+      Seq(
+        prof("customer", "c_mktsegment"),
+        prof("customer", "c_acctbal"),
+        prof("orders", "o_orderstatus"),
+        prof("orders", "o_orderpriority"),
+        prof("lineitem", "l_returnflag"),
+        prof("documents", "lang"),
+        prof("documents", "source"),
+        prof("events", "event_type"),
+        prof("events", "props")
+      ).mkString("", "\nUNION ALL\n", "")
+    },
 
     "q_dq_contracts" -> {
       def uniq(table: String, key: String) =
