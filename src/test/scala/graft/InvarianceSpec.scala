@@ -63,6 +63,7 @@ class InvarianceSpec extends SparkSpec {
     "ift_curated_e2e",      // gate + template df + dedup survivor chain
     "ds_novelty_score",     // gram df + join-back + dround ratio
     "ift_sft_feed",         // curation chain + pack + GlobalIndex positions
+    "q_dq_profile",         // per-column partial aggs + dround completeness
     "q_kmv_union",          // TopKPerKey min-K heaps merged across keys
     "ds_source_minhash")    // min() signature partials + pair join
     // (wordpiece/unigram vocab invariance pinned in their own specs —
