@@ -879,8 +879,49 @@ object SimilarityPack extends QueryPack {
         .select(col("n_probes"), col("possible"), col("hits"),
           graft.Det.dround(
             col("hits").cast("double") / col("possible"), 4).as("recall"))
+    }),
+
+    // Top principal component of the embedding matrix: ONE
+    // map-side-combined Gramian pass (≤ d(d+1)/2 rows per partition
+    // cross the exchange), then fixed-point power iteration on
+    // driver-bounded d² state (Pca.scaladoc) — the
+    // whitening/rotation front-end of an embedding index. Output is
+    // the 64-row eigenvector in VNorm units, integer-exact in both
+    // engines.
+    "sim_pca_power" -> ((s, dir) => {
+      val cells = Pca.gramUpper(
+          emb(s, dir).filter(col("embedding").isNotNull))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val v = Pca.powerIterate(cells.toSeq, PcaDim)
+      import s.implicits._
+      v.toSeq.zipWithIndex.map { case (u, i) => (i, u) }
+        .toDF("dim", "v")
+    }),
+
+    // Corpus projected onto the PC: the eigenvector (from the same
+    // bounded-state loop) unrolled into a 64-term scan-stage integer
+    // dot — no joins, no shuffles. Scores stay in raw integer units
+    // (scale-4 q × VNorm v — max |score| ≈ 4e10, deep inside a
+    // long), so both engines emit identical longs with no division
+    // anywhere. The whitened coordinate every downstream consumer
+    // (drift monitors, index rotations, PCA'd dedup) reads.
+    "sim_pca_project" -> ((s, dir) => {
+      val cells = Pca.gramUpper(
+          emb(s, dir).filter(col("embedding").isNotNull))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val v = Pca.powerIterate(cells.toSeq, PcaDim)
+      val score = (0 until PcaDim).map(j =>
+        Pca.quant(get(col("embedding"), lit(j))) * lit(v(j)))
+        .reduce(_ + _)
+      emb(s, dir).filter(col("embedding").isNotNull)
+        .select(col("vec_id"), score.as("score"))
     })
   )
+
+  /** Embedding dimensionality (TESTDATA: fixed 64 at every SF). The
+    * oracle SQL is a static string, so the dim is a compile-time
+    * constant; PcaSpec asserts the fixture agrees. */
+  val PcaDim = 64
 
   /** SemDeDup cosine threshold: same near-dup bar as the LSH path
     * (ds_embed_dedup), so the two strategies are comparable on the
@@ -1071,7 +1112,28 @@ object SimilarityPack extends QueryPack {
        |            ON a.band = b.band AND a.bucket = b.bucket
        |           AND a.vec_id <> b.vec_id)""".stripMargin
 
+  /** Shared PCA oracle prelude + the unrolled power loop (v0..vT) +
+    * the sign fix — the SQL twin of gramUpper∘powerIterate. */
+  private val pcaCtes: String = {
+    val steps = (1 to Pca.Iters).map(Pca.sqlStepCtes).mkString(",\n")
+    s"""${Pca.sqlPrelude(
+         "SELECT vec_id, embedding FROM embeddings " +
+           "WHERE embedding IS NOT NULL", PcaDim)},
+       |$steps,
+       |${Pca.sqlSignFix(Pca.Iters)}""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "sim_pca_power" ->
+      s"""WITH $pcaCtes
+         |SELECT dim, v FROM vec""".stripMargin,
+
+    "sim_pca_project" ->
+      s"""WITH $pcaCtes
+         |SELECT q.vec_id, CAST(sum(q.q * vec.v) AS BIGINT) AS score
+         |FROM q JOIN vec ON vec.dim = q.dim
+         |GROUP BY q.vec_id""".stripMargin,
+
     "sim_cosine_topk" ->
       s"""SELECT query_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos FROM (
          |  SELECT q.vec_id AS query_id, v.vec_id,

@@ -47,6 +47,48 @@ object SketchPack extends QueryPack {
     * the estimator — both branches oracled at every SF. */
   val K = 64
 
+  /** Count-min sketch shape (Cormode & Muthukrishnan, J. Algorithms
+    * 2005): [[CmsDepth]] independent hash rows × [[CmsWidth]] counters.
+    * W=512 puts the sf0.1 key inventory (1,500 user ids) well past the
+    * collision point so the min-over-rows estimator is genuinely
+    * exercised, while sf0.001's 15 keys land collision-free — both
+    * regimes oracled. Every counter is an integer event count, so the
+    * ESTIMATES replay bit-identically in DuckDB (the KMV argument). */
+  val CmsDepth = 4
+  val CmsWidth = 512
+
+  /** Heavy keys audited by q_cms_freq: the exact top-N frequent ids. */
+  val CmsProbes = 20
+
+  /** The per-event cell array: row r ∈ [0, D) paired with column
+    * h_r(key) mod W — one scan-stage array expression, D rows per
+    * event after posexplode. */
+  private def cmsCells(h: Column): Column =
+    array((0 until CmsDepth).map(i =>
+      (Hashing.permuted(h, i) % CmsWidth).cast("long")): _*)
+
+  private def cmsKeyHash: Column = Hashing.h32(col("user_id").cast("string"))
+
+  /** CMS frame (r, c, cnt) over any (user_id) frame — ≤ D·W rows at
+    * ANY input size (the DevStress probe surface). The groupBy
+    * combines map-side, so the exchange carries ≤ D·W rows per
+    * partition however many events scanned. */
+  def cmsSketch(ev: DataFrame): DataFrame =
+    ev.select(posexplode(cmsCells(cmsKeyHash)).as(Seq("r", "c")))
+      .groupBy("r", "c").agg(count(lit(1)).cast("long").as("cnt"))
+
+  /** The SQL twin of [[cmsSketch]]'s cell generation: r comes from an
+    * unnest, the permuted hash is computed algebraically in r (the
+    * Scala side unrolls the same arithmetic per i). */
+  private def cmsCellsSql(src: String): String =
+    s"""SELECT ri.r,
+       |    (h * (2 * ri.r + 1) + 7919 * ri.r + 1)
+       |      % ${Hashing.MinhashPrime} % $CmsWidth AS c
+       |  FROM (SELECT ${Hashing.sqlH32("CAST(user_id AS VARCHAR)")} AS h
+       |        FROM $src) hh
+       |  CROSS JOIN (SELECT unnest([${(0 until CmsDepth).mkString(", ")}])
+       |              AS r) ri""".stripMargin
+
   /** (K−1)·2³² — the KMV estimator numerator, exact in a long. */
   val EstNum: Long = (K - 1) * 4294967296L
 
@@ -216,6 +258,64 @@ object SketchPack extends QueryPack {
             (col("n_a") + col("n_b") -
               coalesce(col("n_common"), lit(0L))).cast("double"), 4)
             .as("exact_jac"))
+    }),
+
+    // count-min frequency synopsis: the D×W counter matrix (≤ 2,048
+    // rows at ANY corpus size) + the point-query estimate for the
+    // exact top-20 heavy keys, with CMS's one-sided guarantee pinned
+    // per key (never_under: est ≥ exact, by construction of min over
+    // D overcounting rows). The sketch side is one scan + one
+    // map-side-combined agg; the probe side joins 20·D cells against
+    // the BROADCAST sketch — at 100 TB the sketch is the kilobytes-
+    // sized artifact a stats service ships, the probes never rescan.
+    "q_cms_freq" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"))
+      val sketch = cmsSketch(ev)
+      val exact = ev.groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_exact"))
+      val probes = graft.plans.TopKPerKey.topKPerKey(
+          exact.withColumn("g", lit(1)),
+          Seq(col("g")),
+          Seq(col("n_exact").desc, col("user_id").asc), CmsProbes)
+        .drop("g")
+      probes
+        .select(col("user_id"), col("n_exact"),
+          posexplode(cmsCells(cmsKeyHash)).as(Seq("r", "c")))
+        .join(broadcast(sketch), Seq("r", "c"))
+        .groupBy("user_id", "n_exact")
+        .agg(min(col("cnt")).as("est"))
+        .select(col("user_id"), col("n_exact"), col("est"),
+          (col("est") >= col("n_exact")).as("never_under"))
+    }),
+
+    // CMS mergeability law as a query: per-shard sketches (sharded by
+    // event_type — the "one sketch per ingest batch" shape) summed
+    // cellwise must equal the direct corpus sketch, cell for cell.
+    // Output is ONE row: cell inventories, the total mass audit
+    // (Σ cnt = D · |events| on both paths), and the law booleans.
+    "q_cms_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+      val cells = ev.select(col("event_type").as("shard"),
+        posexplode(cmsCells(cmsKeyHash)).as(Seq("r", "c")))
+      val perShard = cells.groupBy("shard", "r", "c")
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val merged = perShard.groupBy("r", "c")
+        .agg(sum(col("cnt")).as("cnt"))
+      val direct = cells.groupBy("r", "c")
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val j = merged.as("m")
+        .join(direct.as("d"), Seq("r", "c"), "full_outer")
+      j.agg(
+          count(lit(1)).cast("long").as("n_cells"),
+          sum(coalesce(col("m.cnt"), lit(0L))).as("mass_merged"),
+          sum(coalesce(col("d.cnt"), lit(0L))).as("mass_direct"),
+          sum(when(coalesce(col("m.cnt"), lit(-1L)) =!=
+            coalesce(col("d.cnt"), lit(-2L)), 1L).otherwise(0L))
+            .cast("long").as("n_mismatch"))
+        .select(col("n_cells"), col("mass_merged"), col("mass_direct"),
+          (col("n_mismatch") === 0L).as("merged_eq_direct"),
+          (col("mass_merged") === col("mass_direct"))
+            .as("mass_preserved"))
     }))
 
   /** Permuted-hash SQL twin (DedupPack.scala:990's convention). */
@@ -308,5 +408,52 @@ object SketchPack extends QueryPack {
          |FROM sig a JOIN sig b ON a.source < b.source
          |LEFT JOIN com ON com.src_a = a.source AND com.src_b = b.source
          |JOIN sz za ON za.source = a.source
-         |JOIN sz zb ON zb.source = b.source""".stripMargin)
+         |JOIN sz zb ON zb.source = b.source""".stripMargin,
+
+    "q_cms_freq" ->
+      s"""WITH cells AS (${cmsCellsSql("events")}),
+         |sk AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM cells GROUP BY r, c),
+         |ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM events GROUP BY user_id),
+         |probes AS (SELECT user_id, n_exact FROM ex
+         |  ORDER BY n_exact DESC, user_id LIMIT $CmsProbes),
+         |pc AS (SELECT p.user_id, p.n_exact, ri.r,
+         |    (h * (2 * ri.r + 1) + 7919 * ri.r + 1)
+         |      % ${Hashing.MinhashPrime} % $CmsWidth AS c
+         |  FROM (SELECT user_id, n_exact,
+         |      ${Hashing.sqlH32("CAST(user_id AS VARCHAR)")} AS h
+         |    FROM probes) p
+         |  CROSS JOIN (SELECT unnest([${(0 until CmsDepth).mkString(", ")}])
+         |              AS r) ri)
+         |SELECT pc.user_id, pc.n_exact, min(sk.cnt) AS est,
+         |  min(sk.cnt) >= pc.n_exact AS never_under
+         |FROM pc JOIN sk ON pc.r = sk.r AND pc.c = sk.c
+         |GROUP BY pc.user_id, pc.n_exact""".stripMargin,
+
+    "q_cms_merge" ->
+      s"""WITH cells AS (SELECT shard, ri.r,
+         |    (h * (2 * ri.r + 1) + 7919 * ri.r + 1)
+         |      % ${Hashing.MinhashPrime} % $CmsWidth AS c
+         |  FROM (SELECT event_type AS shard,
+         |      ${Hashing.sqlH32("CAST(user_id AS VARCHAR)")} AS h
+         |    FROM events) hh
+         |  CROSS JOIN (SELECT unnest([${(0 until CmsDepth).mkString(", ")}])
+         |              AS r) ri),
+         |per_shard AS (SELECT shard, r, c,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM cells GROUP BY shard, r, c),
+         |merged AS (SELECT r, c, CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM per_shard GROUP BY r, c),
+         |direct AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM cells GROUP BY r, c)
+         |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(coalesce(m.cnt, 0)) AS BIGINT) AS mass_merged,
+         |  CAST(sum(coalesce(d.cnt, 0)) AS BIGINT) AS mass_direct,
+         |  sum(CASE WHEN coalesce(m.cnt, -1) <> coalesce(d.cnt, -2)
+         |    THEN 1 ELSE 0 END) = 0 AS merged_eq_direct,
+         |  sum(coalesce(m.cnt, 0)) = sum(coalesce(d.cnt, 0))
+         |    AS mass_preserved
+         |FROM merged m FULL OUTER JOIN direct d
+         |  ON m.r = d.r AND m.c = d.c""".stripMargin)
 }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins [[Pca]] against an independent JVM model (no Spark, no shared
+  * code paths beyond the constants) and audits that the fixed-point
+  * loop actually finds the dominant direction — determinism is the
+  * oracle's job, dominance is this spec's. */
+class PcaSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val d = graft.operators.SimilarityPack.PcaDim
+
+  /** Raw embedding rows (vec_id ascending). */
+  private lazy val rows: Array[Array[Float]] =
+    graft.Tables.embeddings(spark, sfDir)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  private def quant(x: Double): Long = math.floor(x * 1e4 + 0.5).toLong
+
+  /** Independent exact integer Gramian. */
+  private lazy val gram: Array[Array[Long]] = {
+    val g = Array.ofDim[Long](d, d)
+    rows.foreach { v =>
+      val q = v.map(x => quant(x.toDouble))
+      var i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) { g(i)(j) += q(i) * q(j); j += 1 }
+        i += 1
+      }
+    }
+    var i = 1
+    while (i < d) { var j = 0; while (j < i) { g(i)(j) = g(j)(i); j += 1 }; i += 1 }
+    g
+  }
+
+  /** Model re-implementation of the fixed-point loop. */
+  private def modelVec(): Array[Long] = {
+    def tdiv(n: Long, m: Long): Long = if (n < 0) -((-n) / m) else n / m
+    val maxAbs = gram.flatten.map(math.abs).max
+    val gn = gram.map(_.map(v => tdiv(math.abs(v) * Pca.GNorm, maxAbs) *
+      math.signum(v)))
+    var v = Array.fill(d)(Pca.VNorm)
+    (1 to Pca.Iters).foreach { _ =>
+      val w = Array.tabulate(d)(i => (0 until d).map(j => gn(i)(j) * v(j)).sum)
+      val m = w.map(math.abs).max
+      v = w.map(x => tdiv(math.abs(x) * Pca.VNorm, m) * math.signum(x))
+    }
+    val lead = (0 until d).minBy(i => (-math.abs(v(i)), i))
+    if (v(lead) < 0) v.map(-_) else v
+  }
+
+  test("fixture contract: embeddings are 64-dim (the oracle constant)") {
+    assert(rows.forall(_.length == d))
+  }
+
+  test("sim_pca_power matches the independent fixed-point model") {
+    val got = graft.SparkEntry.queries("sim_pca_power")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = modelVec()
+    assert(got.size == d)
+    (0 until d).foreach(i => assert(got(i) == want(i),
+      s"dim $i: got ${got(i)} want ${want(i)}"))
+  }
+
+  test("the fixed-point PC captures the dominant variance " +
+    "(Rayleigh quotient ≥ 0.95 of a converged double reference)") {
+    // The corpus is near-isotropic (λ₂/λ₁ ≈ 0.93), so eigenVECTOR
+    // alignment is the wrong bar — any direction with a comparable
+    // Rayleigh quotient whitens equally well. Reference: 300 rounds
+    // of double-precision power iteration (its Rayleigh quotient
+    // converges at (λ₂/λ₁)^2t — effectively λ₁ here).
+    def rayleigh(x: Array[Double]): Double = {
+      val gx = Array.tabulate(d)(i =>
+        (0 until d).map(j => gram(i)(j).toDouble * x(j)).sum)
+      (0 until d).map(i => x(i) * gx(i)).sum /
+        (0 until d).map(i => x(i) * x(i)).sum
+    }
+    var u = Array.fill(d)(1.0)
+    (1 to 300).foreach { _ =>
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => gram(i)(j).toDouble * u(j)).sum)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      u = w.map(_ / n)
+    }
+    val ratio = rayleigh(modelVec().map(_.toDouble)) / rayleigh(u)
+    assert(ratio >= 0.95,
+      s"fixed-point PC captures only $ratio of the dominant variance")
+  }
+
+  test("sim_pca_project: scores are the exact integer dot, and the " +
+    "normalized PC variance dominates every coordinate axis") {
+    val v = modelVec()
+    val got = graft.SparkEntry.queries("sim_pca_project")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qs = rows.map(_.map(x => quant(x.toDouble)))
+    qs.indices.foreach { id =>
+      val want = (0 until d).map(j => qs(id)(j) * v(j)).sum
+      assert(got(id.toLong) == want, s"vec $id score mismatch")
+    }
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val v2 = v.map(x => x.toDouble).map(x => x * x).sum
+    val pcVar = variance(qs.indices.map(id =>
+      (0 until d).map(j => qs(id)(j) * v(j)).sum.toDouble)) / v2
+    val axisVars = (0 until d).map(j => variance(qs.map(_(j).toDouble)))
+    assert(pcVar >= axisVars.max * 0.999,
+      s"PC variance $pcVar below best axis ${axisVars.max}")
+  }
+}

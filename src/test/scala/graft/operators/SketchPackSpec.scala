@@ -117,4 +117,72 @@ class SketchPackSpec extends SparkSpec {
     assert(want.size == srcs.size * (srcs.size - 1) / 2,
       "every source pair must appear in the signature matrix")
   }
+
+  // ---- count-min sketch ----
+
+  /** Independent CMS model over a (user_id → freq) map. */
+  private def cmsModel(freq: Map[Long, Long])
+      : (Map[(Int, Long), Long], Long => Long) = {
+    val cells = freq.toSeq.flatMap { case (uid, n) =>
+      val h = h32(uid.toString)
+      (0 until SketchPack.CmsDepth).map(i =>
+        ((i, perm(h, i) % SketchPack.CmsWidth), n))
+    }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val est = (uid: Long) => {
+      val h = h32(uid.toString)
+      (0 until SketchPack.CmsDepth)
+        .map(i => cells((i, perm(h, i) % SketchPack.CmsWidth))).min
+    }
+    (cells, est)
+  }
+
+  test("q_cms_freq matches the independent CMS model on the fixture") {
+    val freq = graft.Tables.events(spark, sfDir)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (cells, est) = cmsModel(freq)
+    val sketch = SketchPack.cmsSketch(
+        graft.Tables.events(spark, sfDir).select("user_id"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(sketch == cells, "sketch cells must match the model")
+    val probes = freq.toSeq.sortBy { case (u, n) => (-n, u) }
+      .take(SketchPack.CmsProbes)
+    val got = run("q_cms_freq").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    assert(got.keySet == probes.map(_._1).toSet)
+    probes.foreach { case (u, n) =>
+      assert(got(u) == ((n, est(u), true)),
+        s"probe $u: exact=$n model-est=${est(u)} got=${got(u)}")
+    }
+  }
+
+  test("CMS collision regime: never_under holds for EVERY key, and " +
+    "collisions force est > exact somewhere") {
+    import spark.implicits._
+    // 3,000 distinct keys into 512 columns: collisions guaranteed in
+    // every row, so min-over-rows must overcount SOME key while never
+    // undercounting ANY (the one-sided CMS contract).
+    val ev = (0L until 6000L).map(i => i % 3000L).toDF("user_id")
+    val freq = (0L until 3000L).map(_ -> 2L).toMap
+    val (cells, est) = cmsModel(freq)
+    val sketch = SketchPack.cmsSketch(ev).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(sketch == cells)
+    assert(sketch.size <= SketchPack.CmsDepth * SketchPack.CmsWidth,
+      "cell inventory must be bounded by D*W at any key count")
+    val ests = freq.keys.map(est)
+    assert(ests.forall(_ >= 2L), "CMS must never undercount")
+    assert(ests.exists(_ > 2L),
+      "3000 keys in 512 columns must collide somewhere")
+  }
+
+  test("q_cms_merge pins the cellwise-sum mergeability law") {
+    val row = run("q_cms_merge").collect().head
+    assert(row.getBoolean(3), "merged_eq_direct must hold")
+    assert(row.getBoolean(4), "total mass must be preserved")
+    val nEvents = graft.Tables.events(spark, sfDir).count()
+    assert(row.getLong(1) == SketchPack.CmsDepth * nEvents,
+      "sketch mass must be D rows per event")
+  }
 }
