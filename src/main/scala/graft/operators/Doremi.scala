@@ -1,0 +1,137 @@
+package graft.operators
+
+/** DoReMi-style domain reweighting (Xie et al., "DoReMi: Optimizing
+  * Data Mixtures Speeds Up Language Model Pretraining", NeurIPS
+  * 2023) — the data-side half of the published algorithm: given a
+  * per-domain excess loss, run the Group-DRO multiplicative-weights
+  * update that shifts mixture weight toward domains the model finds
+  * hard, against a baseline that MOVES with the mixture (the
+  * weighted mean excess), so the update is genuinely iterative.
+  *
+  * Deviations from the paper, declared: (1) the published loop
+  * interleaves proxy-model RETRAINING between weight updates — a
+  * training-cluster concern, not a data-pipeline one; this operator
+  * consumes a fixed per-domain loss (here: the engine's add-one
+  * bigram LM cross-entropy, [[TextPack.bigramEntropy]] — the same
+  * CCNet-style hardness model sp_ppl_buckets uses) the way a
+  * pipeline would consume a logged proxy-loss table. (2) the
+  * exponentiated-gradient update exp(η·ĝ) is linearized to
+  * (1 + η·ĝ), floor-clamped — the standard polynomial
+  * multiplicative-weights variant — so the whole loop is integer
+  * arithmetic and replays bit-identically in the DuckDB oracle
+  * (the PageRank/KMeans discipline; libm exp has no cross-engine
+  * parity contract).
+  *
+  * Scale shape: the distributed work is ONE per-domain aggregation
+  * over the corpus (map-side combined, |domains| rows out); the
+  * loop runs on driver-bounded |domains| state like the UniMax
+  * greedy; the sampling pass is a scan-stage hash filter against
+  * the broadcast ≤|domains|-row rate table. Nothing row-grain ever
+  * loops.
+  */
+object Doremi {
+
+  /** Initial weight per domain, in millionths. */
+  val W0 = 1000000L
+
+  /** Linearized step size: factor = 1e6 + Eta·(excess − baseline),
+    * with excess in 1e-4 cross-entropy units. The fixture's
+    * per-domain spread is ~400 units around the corpus mean, so
+    * Eta = 1000 moves factors ±~20%/round — separation without
+    * clamp saturation ([[FloorFactor]] guards pathological inputs:
+    * a domain 900+ units below the moving baseline). */
+  val Eta = 1000L
+  val FloorFactor = 100000L
+
+  /** Multiplicative-weights rounds. Weights grow ≤ 1.5×/round, so
+    * w ≤ W0·1.5⁸ ≈ 2.6e7 and every product in the loop stays ≤
+    * ~4e13 — integer-exact with five orders of headroom. */
+  val Rounds = 8
+
+  /** sp_doremi_sample target: expected share under UNIFORM weights,
+    * in bucket-percent grain (rate = min(100, share·|D|·BasePct)). */
+  val BasePct = 50L
+
+  /** Uniform-smoothing mass in millionths (the paper's final step:
+    * mix the learned weights with the uniform distribution). Besides
+    * matching the published output, the α/|D| floor keeps every
+    * domain alive — without it the integer trajectory of a domain
+    * pinned at [[FloorFactor]] truncates to literal 0 in ~8 rounds
+    * and the mixture silently drops the domain (DoremiSpec pins
+    * this). */
+  val SmoothAlpha = 100000L
+
+  /** One domain row: (source, n_docs, sum of per-doc cross-entropy
+    * in 1e-4 units). */
+  type Dom = (String, Long, Long)
+
+  /** The full driver-side computation: per-domain mean loss, excess
+    * over the corpus mean (clipped at 0), [[Rounds]] MW rounds with
+    * the moving weighted baseline, uniform smoothing. Returns
+    * (source, n_docs, loss_units, excess_units, w_units,
+    * share_units, rate_pct) sorted by source; share_units is the
+    * smoothed mixture in millionths (sums to ~1e6 up to floor
+    * truncation). */
+  def reweight(doms: Seq[Dom])
+      : Seq[(String, Long, Long, Long, Long, Long, Long)] = {
+    require(doms.nonEmpty, "no domains")
+    val totN = doms.map(_._2).sum
+    val totU = doms.map(_._3).sum
+    val lref = totU / totN
+    val base = doms.sortBy(_._1).map { case (src, n, su) =>
+      val l = su / n
+      (src, n, l, math.max(0L, l - lref))
+    }
+    var w = Array.fill(base.length)(W0)
+    (1 to Rounds).foreach { _ =>
+      val sw = w.sum
+      val b = w.zip(base).map { case (wi, (_, _, _, e)) => wi * e }.sum / sw
+      w = w.zip(base).map { case (wi, (_, _, _, e)) =>
+        wi * math.max(FloorFactor, 1000000L + Eta * (e - b)) / 1000000L
+      }
+    }
+    val sw = w.sum
+    val nd = base.length
+    base.zip(w).map { case ((src, n, l, e), wi) =>
+      val share = wi * (1000000L - SmoothAlpha) / sw + SmoothAlpha / nd
+      (src, n, l, e, wi, share,
+        math.min(100L, share * nd * BasePct / 1000000L))
+    }
+  }
+
+  /** One MW round as oracle CTEs over `w{t-1}(source, n, l, e, w)`.
+    * Every CTE is MATERIALIZED: w{t} is referenced by both s{t+1}
+    * and w{t+1}, and inlining would re-expand the whole upstream
+    * per-domain aggregation 2^Rounds times (the Pca lesson). */
+  def sqlStepCtes(t: Int): String =
+    s"""s$t AS MATERIALIZED (SELECT
+       |    CAST(sum(w * e) AS BIGINT) // CAST(sum(w) AS BIGINT) AS b
+       |  FROM w${t - 1}),
+       |w$t AS MATERIALIZED (SELECT source, n, l, e,
+       |    w * greatest($FloorFactor, 1000000 + $Eta * (e - b))
+       |      // 1000000 AS w
+       |  FROM w${t - 1}, s$t)""".stripMargin
+
+  /** Oracle prelude: `dom` → `ref` → `w0`. Expects `ceu(source,
+    * ceu)` in scope (per-doc cross-entropy units joined to source). */
+  def sqlPrelude: String =
+    s"""dom AS MATERIALIZED (SELECT source,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(ceu) AS BIGINT) AS su
+       |  FROM ceu GROUP BY source),
+       |ref AS MATERIALIZED (SELECT
+       |    CAST(sum(su) AS BIGINT) // CAST(sum(n) AS BIGINT) AS lref
+       |  FROM dom),
+       |w0 AS MATERIALIZED (SELECT source, n, su // n AS l,
+       |    greatest(0, su // n - lref) AS e,
+       |    CAST($W0 AS BIGINT) AS w
+       |  FROM dom, ref)""".stripMargin
+
+  /** Final-select fragments: the smoothing and rate formulas' SQL
+    * twins (over `w` from the last round plus `fin(sw, nd)`). */
+  def sqlShare(nDoms: String, sw: String): String =
+    s"(w * ${1000000L - SmoothAlpha} // $sw + $SmoothAlpha // $nDoms)"
+
+  def sqlRate(nDoms: String, sw: String): String =
+    s"least(100, ${sqlShare(nDoms, sw)} * $nDoms * $BasePct // 1000000)"
+}

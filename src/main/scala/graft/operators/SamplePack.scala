@@ -812,8 +812,56 @@ object SamplePack extends QueryPack {
         .groupBy("bucket", "lang")
         .agg(count(lit(1)).as("n_docs"),
           Det.davg(col("cross_entropy"), 4).as("avg_ce"))
+    }),
+
+    // DoReMi domain reweighting (Doremi.scaladoc for the published
+    // algorithm and the declared deviations): per-domain mean bigram
+    // cross-entropy (ONE map-side-combined agg over the corpus —
+    // the same hardness model as sp_ppl_buckets), then the
+    // Group-DRO multiplicative-weights loop with a moving weighted
+    // baseline at driver-bounded |domains| state (the UniMax greedy
+    // pattern). Output: the learned mixture, 20 rows.
+    "sp_doremi_weights" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      Doremi.reweight(domLosses(s, dir))
+        .toDF("source", "n_docs", "loss_units", "excess_units",
+          "w_units", "share_units", "rate_pct")
+    }),
+
+    // ...and the corpus it denotes: deterministic hash-bucket
+    // sampling at the learned per-domain rates — the broadcast
+    // ≤|domains|-row rate table against the scan, the
+    // sp_temperature_mix shape with DoReMi rates instead of
+    // temperature rates.
+    "sp_doremi_sample" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val rates = Doremi.reweight(domLosses(s, dir))
+        .map { case (src, _, _, _, _, _, rate) => (src, rate) }
+        .toDF("source", "rate")
+      Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .join(broadcast(rates), Seq("source"))
+        .filter(Sampling.bucket(col("doc_id"), "doremi") < col("rate"))
+        .select(col("doc_id"), col("source"))
     })
   )
+
+  /** Per-domain loss rows for [[Doremi.reweight]]: (source, n_docs,
+    * Σ per-doc cross-entropy units) — cross_entropy is already
+    * dround4'd, so floor(ce·1e4+0.5) is an exact integer roundtrip
+    * on both engines. */
+  private def domLosses(s: SparkSession, dir: String): Seq[Doremi.Dom] =
+    TextPack.bigramEntropy(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .select(col("source"),
+        floor(col("cross_entropy") * lit(1e4) + lit(0.5))
+          .cast("long").as("ceu"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("ceu")).as("su"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
 
   /** The sp_corpus_e2e dataflow over EXPLICIT inputs — shared by the
     * registered query and DevStress's ×N scale probe. `chrome` is the
@@ -1512,8 +1560,42 @@ object SamplePack extends QueryPack {
          |                  WHEN ce <= t2 THEN 'middle'
          |                  ELSE 'tail' END AS bucket, lang, ce
          |      FROM ent JOIN documents USING (doc_id), th)
-         |GROUP BY bucket, lang""".stripMargin
+         |GROUP BY bucket, lang""".stripMargin,
+
+    "sp_doremi_weights" ->
+      s"""WITH $doremiCtes
+         |SELECT source, n AS n_docs, l AS loss_units,
+         |  e AS excess_units, w AS w_units,
+         |  ${Doremi.sqlShare("nd", "sw")} AS share_units,
+         |  ${Doremi.sqlRate("nd", "sw")} AS rate_pct
+         |FROM w${Doremi.Rounds}, fin""".stripMargin,
+
+    "sp_doremi_sample" ->
+      s"""WITH $doremiCtes,
+         |rates AS (SELECT source,
+         |    ${Doremi.sqlRate("nd", "sw")} AS rate
+         |  FROM w${Doremi.Rounds}, fin)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN rates USING (source)
+         |WHERE ${Sampling.sqlBucket("d.doc_id", "doremi")}
+         |  < rates.rate""".stripMargin
   )
+
+  /** Shared DoReMi oracle CTEs: the bigram-entropy model, the
+    * per-domain loss units, and the unrolled MW loop — the SQL twin
+    * of domLosses∘[[Doremi.reweight]]. */
+  private def doremiCtes: String = {
+    val steps = (1 to Doremi.Rounds).map(Doremi.sqlStepCtes).mkString(",\n")
+    s"""$pplEntCtes,
+       |ceu AS MATERIALIZED (SELECT d.source,
+       |    CAST(floor(ce * 1e4 + 0.5) AS BIGINT) AS ceu
+       |  FROM ent JOIN documents d USING (doc_id)),
+       |${Doremi.sqlPrelude},
+       |$steps,
+       |fin AS (SELECT CAST(sum(w) AS BIGINT) AS sw,
+       |    CAST(count(*) AS BIGINT) AS nd
+       |  FROM w${Doremi.Rounds})""".stripMargin
+  }
 
   /** Shared bigram-cross-entropy oracle CTEs (`ent(doc_id, ce)` plus
     * the tercile thresholds `th(t1, t2)`) — the SQL mirror of

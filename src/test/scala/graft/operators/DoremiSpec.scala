@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins [[Doremi]]'s multiplicative-weights dynamics on synthetic
+  * loss tables (the model properties) and the registered queries'
+  * wiring on the fixture (the oracle already replays the full
+  * arithmetic independently in DuckDB). */
+class DoremiSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("weight mass moves monotonically toward the max-excess domain") {
+    // three domains: cold (below ref), warm, hot — per-doc sums built
+    // so means are 1000/1400/1800 units with ref 1400
+    val doms = Seq(("cold", 10L, 10000L), ("warm", 10L, 14000L),
+      ("hot", 10L, 18000L))
+    val out = Doremi.reweight(doms).map(r => r._1 -> r).toMap
+    assert(out("cold")._4 == 0L, "below-ref domain must clip to 0 excess")
+    assert(out("warm")._4 == 0L, "at-ref domain has 0 excess")
+    assert(out("hot")._4 == 400L)
+    assert(out("hot")._5 > Doremi.W0,
+      "the hot domain must GAIN weight across rounds")
+    assert(out("cold")._5 < Doremi.W0,
+      "a zero-excess domain must LOSE weight to the moving baseline")
+    assert(out("cold")._5 == out("warm")._5,
+      "equal-excess domains must track identical weight trajectories")
+    assert(out("hot")._6 > out("cold")._6, "shares follow weights")
+    assert(out("hot")._7 > out("cold")._7, "rates follow shares")
+  }
+
+  test("uniform losses are a fixed point: weights stay at W0") {
+    val doms = Seq(("a", 5L, 5000L), ("b", 5L, 5000L), ("c", 5L, 5000L))
+    Doremi.reweight(doms).foreach { case (_, _, _, e, w, share, rate) =>
+      assert(e == 0L && w == Doremi.W0)
+      // shares are equal by symmetry; the rate sits within one
+      // floor-truncation unit of BasePct (333333*3*50 // 1e6 = 49)
+      assert(share == 333333L)
+      assert(rate >= Doremi.BasePct - 1 && rate <= Doremi.BasePct)
+    }
+  }
+
+  test("the floor clamp binds instead of letting a factor go negative") {
+    // one domain 5,000 units above the rest: eta*(e-b) would push the
+    // cold factors far below zero without the clamp
+    val doms = Seq(("cold", 10L, 10000L), ("hot", 10L, 60000L))
+    val out = Doremi.reweight(doms)
+    // the raw cold weight truncates toward 0 under 8 clamped rounds;
+    // the uniform smoothing floor is what keeps the domain alive
+    assert(out.forall(_._6 >= Doremi.SmoothAlpha / doms.length),
+      "smoothed shares must respect the uniform floor")
+    val hot = out.find(_._1 == "hot").get
+    // all raw weight lands on hot, but smoothing caps its share at
+    // (1−α)+α/2 = 0.95 → rate 95, not the 100 saturation clamp
+    assert(hot._7 == 95L, "a runaway 2-domain mixture tops out at " +
+      s"the smoothed ceiling (got ${hot._7})")
+  }
+
+  test("sp_doremi_weights: per-domain stats wired to the corpus model") {
+    val rows = graft.SparkEntry.queries("sp_doremi_weights")(spark, sfDir)
+      .collect()
+    val srcs = graft.Tables.documents(spark, sfDir)
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet == srcs)
+    // loss_units must be the per-domain floor-mean of the SAME per-doc
+    // entropy frame the ppl buckets consume
+    val ce = TextPack.bigramEntropy(spark, sfDir)
+      .join(graft.Tables.documents(spark, sfDir)
+        .select("doc_id", "source"), Seq("doc_id"))
+      .collect()
+      .map(r => r.getString(3) -> math.floor(
+        r.getDouble(2) * 1e4 + 0.5).toLong)
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val xs = ce(r.getString(0)).map(_._2)
+      assert(r.getLong(2) == xs.sum / xs.length,
+        s"${r.getString(0)}: loss_units mismatch")
+      assert(r.getLong(6) >= 0L && r.getLong(6) <= 100L)
+    }
+  }
+
+  test("sp_doremi_sample: every kept doc passes its domain's bucket cut") {
+    val rates = graft.SparkEntry.queries("sp_doremi_weights")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(6)).toMap
+    val kept = graft.SparkEntry.queries("sp_doremi_sample")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.nonEmpty)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    kept.foreach { case (id, src) =>
+      val b = java.lang.Long.parseLong(
+        md5hex(s"doremi#$id").substring(0, 8), 16) % 100
+      assert(b < rates(src), s"doc $id bucket $b >= rate ${rates(src)}")
+    }
+  }
+}
