@@ -623,6 +623,37 @@ object DevStress {
         graft.operators.SketchPack.kmvSketch(salted))
       time("minhash_sig", graft.operators.SketchPack.sigOf(sdocs))
     }
+    // CMS: replicas multiply every user's event count by factor, but
+    // the cell inventory is ≤ D·W at any factor — the constant-state
+    // claim measured on the frequency side (kmv covers distincts).
+    // The salted variant grows the KEY inventory factor× into the
+    // same bounded cells (collision regime at scale).
+    if (wants("cms_sketch", "cms_sketch_salted")) {
+      val ev = Tables.events(spark, sf).select(col("user_id"))
+        .crossJoin(spark.range(factor).select(col("id").as("rep")))
+      time("cms_sketch", graft.operators.SketchPack.cmsSketch(
+        ev.select(col("user_id"))))
+      time("cms_sketch_salted", graft.operators.SketchPack.cmsSketch(
+        ev.select((col("user_id") + col("rep") * 1500).as("user_id"))))
+    }
+    // PCA Gramian: the d²-per-row explode is the declared scan cost;
+    // output is d(d+1)/2 = 2,080 cells at ANY factor — wall must
+    // track rows, the exchange must not.
+    if (wants("pca_gram")) {
+      time("pca_gram", graft.operators.Pca.gramUpper(
+        bigEmb.filter(col("embedding").isNotNull)))
+    }
+    // DoReMi domain losses: the ONE distributed pass behind
+    // sp_doremi_weights (bigram LM entropy + per-source rollup) at
+    // factor× docs; output stays at |domains| rows, the MW loop
+    // above it is driver math at domain cardinality.
+    if (wants("doremi_dom")) {
+      val sdocs = spark.read.parquet("/tmp/stress_docs")
+      time("doremi_dom", graft.operators.SamplePack.domLossFrame(
+        graft.operators.TextPack.bigramEntropyOf(
+          sdocs.select(col("doc_id"), split(col("text"), " ").as("toks"))),
+        sdocs))
+    }
     spark.stop()
   }
 }

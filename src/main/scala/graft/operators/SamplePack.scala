@@ -852,16 +852,22 @@ object SamplePack extends QueryPack {
     * dround4'd, so floor(ce·1e4+0.5) is an exact integer roundtrip
     * on both engines. */
   private def domLosses(s: SparkSession, dir: String): Seq[Doremi.Dom] =
-    TextPack.bigramEntropy(s, dir)
-      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
-        Seq("doc_id"))
+    domLossFrame(TextPack.bigramEntropy(s, dir),
+      Tables.documents(s, dir))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+  /** The ONE distributed pass behind the DoReMi loop: per-domain doc
+    * count + entropy-unit sum (map-side combined, |domains| rows out
+    * at any corpus size) — also the DevStress probe surface. */
+  private[graft] def domLossFrame(ent: DataFrame,
+                                  docs: DataFrame): DataFrame =
+    ent.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("source"),
         floor(col("cross_entropy") * lit(1e4) + lit(0.5))
           .cast("long").as("ceu"))
       .groupBy("source")
       .agg(count(lit(1)).cast("long").as("n"), sum(col("ceu")).as("su"))
-      .collect().toSeq
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
 
   /** The sp_corpus_e2e dataflow over EXPLICIT inputs — shared by the
     * registered query and DevStress's ×N scale probe. `chrome` is the

@@ -61,7 +61,7 @@ object TextPack extends QueryPack {
     * CCNet shape: model the target distribution, score every doc
     * against it). Docs with fewer than 2 tokens have no bigrams and
     * are absent (both engines' inner join). */
-  private[operators] def bigramEntropyOf(toks: DataFrame): DataFrame = {
+  private[graft] def bigramEntropyOf(toks: DataFrame): DataFrame = {
     val bg = toks.select(col("doc_id"),
         explode(Hashing.shingles(col("toks"), 2)).as("ng"))
       .withColumn("a", element_at(split(col("ng"), " "), 1))
