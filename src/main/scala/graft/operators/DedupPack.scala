@@ -86,7 +86,66 @@ object DedupPack extends QueryPack {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** ds_containment knobs: flag threshold, planted-excerpt id offset
+    * and selector (every doc_id % ExcerptMod == 0 contributes its
+    * first-40%-of-tokens excerpt as doc_id + ExcerptIdOffset — the
+    * SketchPack/CodePack injection convention, so the asymmetric case
+    * exists at every SF). */
+  val ContainTau = 0.8
+  val ExcerptIdOffset = 1000000L
+  val ExcerptMod = 7
+
+  /** The fixture corpus plus the planted excerpt slice, (doc_id,
+    * toks). A prefix's shingle set is a SUBSET of its source's, so
+    * every planted pair has containment exactly 1.0 on the excerpt
+    * side while Jaccard sits near 0.4 — the case the operator exists
+    * to catch. */
+  private def withExcerpts(base: DataFrame): DataFrame =
+    base.union(
+      base.filter(col("doc_id") % ExcerptMod === 0)
+        .select((col("doc_id") + lit(ExcerptIdOffset)).as("doc_id"),
+          slice(col("toks"), lit(1),
+            greatest(lit(3), floor(size(col("toks")) * lit(2) / lit(5))
+              .cast("int"))).as("toks")))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Asymmetric CONTAINMENT dedup (Broder 1997's containment
+    // coefficient |A∩B|/|A|): the excerpt/quote detector that
+    // symmetric Jaccard structurally misses — a 40% excerpt of a doc
+    // has Jaccard ≈ 0.4 (under every near-dup bar here) but
+    // containment 1.0. Same plan shape as ds_lsh_jaccard_verify:
+    // LSH candidates FIRST, exact verification only on those pairs.
+    // Declared recall contract: banding recalls by JACCARD, so a
+    // low-jaccard containment pair surfaces only when the excerpt
+    // shares a band with its source (P ≈ 1−(1−c²)^bands with c the
+    // per-perm containment; ≈ 0.5 for the 40% slice — the spec pins
+    // the measured planted recall, and a containment-heavy
+    // production workload would band with more, narrower bands).
+    "ds_containment" -> ((s, dir) => {
+      val corpus = withExcerpts(tokenized(s, dir))
+      val cand = candidatePairsFrom(bandsFrom(signaturesFrom(corpus)))
+      val sh = hashedShingles(corpus)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val shared = cand
+        .join(sh.alias("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.alias("sb"), col("doc_b") === col("sb.doc_id") &&
+          col("sa.shingle") === col("sb.shingle"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.alias("za"), col("doc_a") === col("za.doc_id"))
+        .join(sizes.alias("zb"), col("doc_b") === col("zb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          graft.Det.dround(col("shared").cast("double") / col("za.sz"), 4)
+            .as("cont_a"),
+          graft.Det.dround(col("shared").cast("double") / col("zb.sz"), 4)
+            .as("cont_b"))
+        .filter(greatest(col("cont_a"), col("cont_b")) >= ContainTau)
+        .select(col("doc_a"), col("doc_b"), col("cont_a"), col("cont_b"),
+          when(col("cont_a") >= col("cont_b"), col("doc_a"))
+            .otherwise(col("doc_b")).as("contained_id"))
+    }),
+
     // Exact dedup: content-hash groupBy; keeper = min doc_id. At scale
     // this is one shuffle on a 32-char key, never on the text itself.
     "ds_exact_dedup" -> ((s, dir) =>
@@ -1225,7 +1284,46 @@ object DedupPack extends QueryPack {
        |        FROM wsel WHERE rn = 1)""".stripMargin
   }
 
+  /** The excerpt-augmented corpus as (doc_id, text) SQL — the
+    * [[withExcerpts]] twin (same prefix length arithmetic: int
+    * products, one double divide, floor). */
+  private val containSrc =
+    s"""(SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + $ExcerptIdOffset AS doc_id,
+       |   array_to_string(ts0[1:greatest(3,
+       |     CAST(floor(len(ts0) * 2 / 5) AS INTEGER))], ' ') AS text
+       | FROM (SELECT doc_id, string_split(text, ' ') AS ts0
+       |       FROM documents WHERE doc_id % $ExcerptMod = 0))""".stripMargin
+
   override def oracles: Map[String, String] = Map(
+    "ds_containment" ->
+      s"""${sigCteOver(containSrc)},
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key
+         |          AND a.doc_id < b.doc_id),
+         |shd AS (SELECT DISTINCT doc_id, h FROM hh),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+         |shared AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
+         |           FROM cand c
+         |           JOIN shd a ON a.doc_id = c.doc_a
+         |           JOIN shd b ON b.doc_id = c.doc_b AND b.h = a.h
+         |           GROUP BY c.doc_a, c.doc_b),
+         |sc AS (SELECT doc_a, doc_b,
+         |    ${graft.Det.droundSql("CAST(shared AS DOUBLE) / za.sz", 4)}
+         |      AS cont_a,
+         |    ${graft.Det.droundSql("CAST(shared AS DOUBLE) / zb.sz", 4)}
+         |      AS cont_b
+         |  FROM shared
+         |  JOIN sizes za ON doc_a = za.doc_id
+         |  JOIN sizes zb ON doc_b = zb.doc_id)
+         |SELECT doc_a, doc_b, cont_a, cont_b,
+         |  CASE WHEN cont_a >= cont_b THEN doc_a ELSE doc_b END
+         |    AS contained_id
+         |FROM sc WHERE greatest(cont_a, cont_b) >= $ContainTau""".stripMargin,
+
     "ds_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
         |       count(*) AS n_copies

@@ -29,6 +29,9 @@ object QueryLayerPack extends QueryPack {
     * in the shared node universe. */
   val CustOffset: Long = 1L << 40
 
+  /** q_funnel step-3 window: purchase within 7 days of first view. */
+  val FunnelWindowSec: Long = 7L * 86400L
+
   /** The q22_cooccurrence body over any (day, user_id) cell frame —
     * factored out so DevStress can probe it at replicated scale.
     *
@@ -655,6 +658,53 @@ object QueryLayerPack extends QueryPack {
             - unix_timestamp(min(col("ts")))).as("sess_seconds"))
     }),
 
+    // Ordered-funnel analysis (view → click → purchase within 7
+    // days) — the product-analytics classic: each step is ONE
+    // filtered min-aggregation joined back on user_id, so all three
+    // stages cluster on the same key and the exchanges reuse; no
+    // windows, no per-user sorts. Step timestamps must strictly
+    // advance (min ts AFTER the previous step), the window gate
+    // binds step 3 to step 1.
+    "q_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id", "t1").agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id", "t1").agg(min(col("ts")).as("t3"))
+        .filter(unix_timestamp(col("t3")) - unix_timestamp(col("t1"))
+          <= FunnelWindowSec)
+      def cnt(df: DataFrame, step: Long, ty: String): DataFrame =
+        df.agg(count(lit(1)).cast("long").as("n_users"))
+          .select(lit(step).as("step"), lit(ty).as("event_type"),
+            col("n_users"))
+      cnt(s1, 1, "view").unionAll(cnt(s2, 2, "click"))
+        .unionAll(cnt(s3, 3, "purchase"))
+    }),
+
+    // Weekly cohort retention — the other warehouse classic: cohort
+    // = the user's first-event week, retention cell = distinct users
+    // of that cohort active in week offset k. One min-agg for the
+    // cohort assignment, one join back on user_id (exchange reused),
+    // one distinct-count rollup at (cohort, offset) grain — output
+    // cardinality is weeks², whatever the event volume.
+    "q_cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+      val first = ev.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+      ev.join(first, "user_id")
+        .select(col("user_id"),
+          date_trunc("week", col("first_ts")).cast("date").as("cohort_week"),
+          ((datediff(date_trunc("week", col("ts")).cast("date"),
+            date_trunc("week", col("first_ts")).cast("date")) / lit(7))
+            .cast("long")).as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // Fixed-point PageRank (3 damped rounds) over the supplier →
     // customer fulfillment graph — link-centrality as a corpus
     // quality signal, the second iterative graph op next to
@@ -1132,6 +1182,42 @@ object QueryLayerPack extends QueryPack {
         |  TRUE AS never_under, TRUE AS bound_ok
         |FROM events GROUP BY user_id
         |ORDER BY exact DESC, user_id LIMIT 20""".stripMargin,
+
+    "q_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type,
+         |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+         |       WHERE event_type = 'view' GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, s1.t1, min(e.ts) AS t2
+         |       FROM e JOIN s1 USING (user_id)
+         |       WHERE event_type = 'click' AND e.ts > s1.t1
+         |       GROUP BY e.user_id, s1.t1),
+         |s3 AS (SELECT e.user_id, s2.t1, min(e.ts) AS t3
+         |       FROM e JOIN s2 USING (user_id)
+         |       WHERE event_type = 'purchase' AND e.ts > s2.t2
+         |       GROUP BY e.user_id, s2.t1),
+         |s3w AS (SELECT * FROM s3
+         |        WHERE date_diff('second', t1, t3) <= $FunnelWindowSec)
+         |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+         |  CAST(count(*) AS BIGINT) AS n_users FROM s1
+         |UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+         |UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT)
+         |FROM s3w""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |f AS (SELECT user_id, min(ts) AS first_ts FROM e
+        |      GROUP BY user_id),
+        |cells AS (SELECT e.user_id,
+        |    CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+        |    (CAST(date_trunc('week', e.ts) AS DATE)
+        |      - CAST(date_trunc('week', f.first_ts) AS DATE)) // 7
+        |      AS week_offset
+        |  FROM e JOIN f USING (user_id))
+        |SELECT cohort_week, week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM cells GROUP BY cohort_week, week_offset""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id

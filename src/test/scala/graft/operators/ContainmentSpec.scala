@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins ds_containment's semantics: the planted excerpt slice scores
+  * containment exactly 1.0 on the excerpt side, the flag threshold
+  * is respected, and the LSH-banding recall on low-Jaccard
+  * containment pairs stays above the declared floor (the oracle
+  * replays the arithmetic; this spec owns the semantic claims). */
+class ContainmentSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val rows =
+    graft.SparkEntry.queries("ds_containment")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+
+  private def isExcerpt(id: Long): Boolean = id >= DedupPack.ExcerptIdOffset
+
+  test("every reported pair clears the threshold, and the contained " +
+    "side is the one whose shingles are covered") {
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, ca, cb, cid) =>
+      assert(math.max(ca, cb) >= DedupPack.ContainTau,
+        s"($a,$b) under threshold")
+      assert(cid == (if (ca >= cb) a else b))
+    }
+  }
+
+  test("planted excerpts score containment exactly 1.0 against their " +
+    "source (a prefix's shingle set is a subset)") {
+    val planted = rows.filter { case (a, b, _, _, _) =>
+      isExcerpt(b) && b - DedupPack.ExcerptIdOffset == a
+    }
+    assert(planted.nonEmpty, "no planted excerpt pair surfaced at all")
+    planted.foreach { case (a, b, ca, cb, cid) =>
+      assert(cb == 1.0, s"excerpt $b of $a scored cont_b=$cb, want 1.0")
+      // identical-content edge (a 3-token doc's 40% slice IS the doc):
+      // both sides 1.0 and the tie goes to doc_a; otherwise the
+      // excerpt must be flagged
+      if (ca < 1.0) assert(cid == b, s"excerpt $b not flagged in ($a,$b)")
+    }
+  }
+
+  test("banding recall on the planted low-Jaccard slice stays above " +
+    "the declared floor") {
+    // how many planted excerpts EXIST (source docs with >= 3 tokens,
+    // doc_id % ExcerptMod == 0) vs how many surfaced as pairs
+    val nPlanted = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % DedupPack.ExcerptMod === 0)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .count()
+    val surfaced = rows.count { case (a, b, _, _, _) =>
+      isExcerpt(b) && b - DedupPack.ExcerptIdOffset == a
+    }
+    val recall = surfaced.toDouble / nPlanted
+    // per-perm collision prob ≈ containment of the SOURCE side
+    // (≈ 0.4), bands hit with 1-(1-c^2)^4 ≈ 0.5; floor at 0.25
+    assert(recall >= 0.25,
+      s"planted containment recall $recall ($surfaced/$nPlanted)")
+    assert(recall < 1.0,
+      "fixture should exercise the declared-recall regime, not " +
+        "perfect recall — if this fires, tighten the scaladoc claim")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins q_funnel / q_cohort_retention against independent JVM models
+  * built from the raw collected events (java.time arithmetic — no
+  * shared Spark expressions). */
+class FunnelCohortSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** (user_id, event_type, micros). */
+  private lazy val events: Array[(Long, String, Long)] =
+    graft.Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime * 1000 +
+          (r.getTimestamp(2).getNanos / 1000) % 1000))
+
+  test("q_funnel matches the independent step model and is monotone") {
+    val byUser = events.groupBy(_._1)
+    def funnel(u: Array[(Long, String, Long)]) = {
+      val t1 = u.filter(_._2 == "view").map(_._3).minOption
+      val t2 = t1.flatMap(t =>
+        u.filter(e => e._2 == "click" && e._3 > t).map(_._3).minOption)
+      val t3 = t2.flatMap(t =>
+        u.filter(e => e._2 == "purchase" && e._3 > t).map(_._3).minOption)
+      // the window gate compares truncated SECONDS (the engine's
+      // unix_timestamp convention)
+      val inWin = for (a <- t1; c <- t3)
+        yield c / 1000000 - a / 1000000 <= QueryLayerPack.FunnelWindowSec
+      (t1.isDefined, t2.isDefined, t3.isDefined && inWin.getOrElse(false))
+    }
+    val steps = byUser.values.map(u => funnel(u.toArray)).toSeq
+    val want = Map(
+      (1L, "view") -> steps.count(_._1).toLong,
+      (2L, "click") -> steps.count(_._2).toLong,
+      (3L, "purchase") -> steps.count(_._3).toLong)
+    val got = graft.SparkEntry.queries("q_funnel")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == want)
+    assert(got((1L, "view")) >= got((2L, "click")))
+    assert(got((2L, "click")) >= got((3L, "purchase")))
+    assert(got((1L, "view")) > 0L)
+  }
+
+  test("q_cohort_retention matches the independent week-offset model") {
+    import java.time.{Instant, ZoneOffset, DayOfWeek}
+    import java.time.temporal.TemporalAdjusters
+    def week(micros: Long): java.time.LocalDate =
+      Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L))
+        .atZone(ZoneOffset.UTC).toLocalDate
+        .`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+    val byUser = events.groupBy(_._1)
+    val cells = byUser.toSeq.flatMap { case (uid, es) =>
+      val cohort = week(es.map(_._3).min)
+      es.map(e => (cohort,
+        java.time.temporal.ChronoUnit.DAYS.between(cohort, week(e._3)) / 7,
+        uid))
+    }.distinct
+    val want = cells.groupBy(c => (c._1, c._2))
+      .map { case (k, xs) => k -> xs.map(_._3).distinct.size.toLong }
+    val got = graft.SparkEntry.queries("q_cohort_retention")(spark, sfDir)
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == want)
+    assert(got.keys.map(_._2).max >= 1L,
+      "fixture must span at least two retention weeks")
+  }
+}
