@@ -63,7 +63,8 @@ object IndexCache {
     * (Kudo's published form) from Viterbi-hard counts. */
   private val TrainerVersion = Map(
     "cent" -> 1, "pq" -> 1, "sq8" -> 1, "clf" -> 1,
-    "bpe" -> 1, "bpeb" -> 1, "wp" -> 1, "uni" -> 2, "chrome" -> 2)
+    "bpe" -> 1, "bpeb" -> 1, "wp" -> 1, "uni" -> 2, "chrome" -> 2,
+    "pca" -> 1)
 
   /** Trainings actually RUN by this process (loads don't count) —
     * what the restart spec observes. */
@@ -187,6 +188,17 @@ object IndexCache {
           max(col("x").cast("double")).as("hi"))
         .orderBy("d").collect()
       (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+    }
+
+  /** The top-PC eigenvector of `dir`'s embeddings in [[Pca.VNorm]]
+    * units — one Gramian pass + the fixed-point power iteration,
+    * shared by sim_pca_power / sim_pca_project / sim_index_e2e. */
+  def pcaVector(s: SparkSession, dir: String): Array[Long] =
+    cached(s"pca:$dir") {
+      val cells = Pca.gramUpper(
+          Tables.embeddings(s, dir).filter(col("embedding").isNotNull))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      Pca.powerIterate(cells.toSeq, SimilarityPack.PcaDim)
     }
 
   /** The trained quality-classifier model over `dir`'s documents

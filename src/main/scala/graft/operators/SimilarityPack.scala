@@ -889,10 +889,7 @@ object SimilarityPack extends QueryPack {
     // the 64-row eigenvector in VNorm units, integer-exact in both
     // engines.
     "sim_pca_power" -> ((s, dir) => {
-      val cells = Pca.gramUpper(
-          emb(s, dir).filter(col("embedding").isNotNull))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-      val v = Pca.powerIterate(cells.toSeq, PcaDim)
+      val v = IndexCache.pcaVector(s, dir)
       import s.implicits._
       v.toSeq.zipWithIndex.map { case (u, i) => (i, u) }
         .toDF("dim", "v")
@@ -906,17 +903,46 @@ object SimilarityPack extends QueryPack {
     // anywhere. The whitened coordinate every downstream consumer
     // (drift monitors, index rotations, PCA'd dedup) reads.
     "sim_pca_project" -> ((s, dir) => {
-      val cells = Pca.gramUpper(
-          emb(s, dir).filter(col("embedding").isNotNull))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-      val v = Pca.powerIterate(cells.toSeq, PcaDim)
-      val score = (0 until PcaDim).map(j =>
-        Pca.quant(get(col("embedding"), lit(j))) * lit(v(j)))
-        .reduce(_ + _)
+      val v = IndexCache.pcaVector(s, dir)
       emb(s, dir).filter(col("embedding").isNotNull)
-        .select(col("vec_id"), score.as("score"))
+        .select(col("vec_id"), pcScore(v).as("score"))
+    }),
+
+    // Index-production composition — the job an embedding-index team
+    // actually ships, as ONE oracled query: train/load the coarse
+    // quantizer and the PC (both IndexCache artifacts — a production
+    // run loads, not retrains), assign every vector to its posting
+    // list, project onto the PC, and emit the per-list manifest
+    // (size, share, PC-coordinate range and sum — the balance +
+    // drift stats an index owner monitors). One scan over the corpus
+    // (assignment and projection are both scan-stage expressions),
+    // one partial-agg rollup to k rows, the total as a broadcast
+    // one-row frame.
+    "sim_index_e2e" -> ((s, dir) => {
+      val v = IndexCache.pcaVector(s, dir)
+      val lists = emb(s, dir).filter(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          Similarity.ivfAssign(col("embedding")).as("centroid"),
+          pcScore(v).as("pc"))
+        .groupBy("centroid")
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          min(col("pc")).as("pc_min"), max(col("pc")).as("pc_max"),
+          sum(col("pc")).as("pc_sum"))
+      val total = lists.agg(sum(col("n_vecs")).as("total"))
+      lists.crossJoin(broadcast(total))
+        .select(col("centroid"), col("n_vecs"),
+          graft.Det.dround(col("n_vecs").cast("double") /
+            col("total").cast("double"), 4).as("share"),
+          col("pc_min"), col("pc_max"), col("pc_sum"))
     })
   )
+
+  /** The PC projection as a 64-term codegen'd integer dot against
+    * the literal eigenvector. */
+  private def pcScore(v: Array[Long]): Column =
+    (0 until PcaDim).map(j =>
+      Pca.quant(get(col("embedding"), lit(j))) * lit(v(j)))
+      .reduce(_ + _)
 
   /** Embedding dimensionality (TESTDATA: fixed 64 at every SF). The
     * oracle SQL is a static string, so the dim is a compile-time
@@ -1133,6 +1159,22 @@ object SimilarityPack extends QueryPack {
          |SELECT q.vec_id, CAST(sum(q.q * vec.v) AS BIGINT) AS score
          |FROM q JOIN vec ON vec.dim = q.dim
          |GROUP BY q.vec_id""".stripMargin,
+
+    "sim_index_e2e" ->
+      s"""WITH $pcaCtes,
+         |$ivfCte,
+         |proj AS (SELECT q.vec_id, CAST(sum(q.q * vec.v) AS BIGINT) AS pc
+         |  FROM q JOIN vec ON vec.dim = q.dim GROUP BY q.vec_id),
+         |lists AS (SELECT a.centroid, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    min(pc) AS pc_min, max(pc) AS pc_max,
+         |    CAST(sum(pc) AS BIGINT) AS pc_sum
+         |  FROM assign a JOIN proj USING (vec_id) GROUP BY a.centroid),
+         |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total FROM lists)
+         |SELECT centroid, n_vecs,
+         |  ${graft.Det.droundSql(
+             "CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE)", 4)} AS share,
+         |  pc_min, pc_max, pc_sum
+         |FROM lists, tot""".stripMargin,
 
     "sim_cosine_topk" ->
       s"""SELECT query_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos FROM (

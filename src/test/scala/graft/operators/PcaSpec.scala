@@ -111,4 +111,27 @@ class PcaSpec extends SparkSpec {
     assert(pcVar >= axisVars.max * 0.999,
       s"PC variance $pcVar below best axis ${axisVars.max}")
   }
+
+  test("sim_index_e2e: the manifest is consistent with its oracled " +
+    "component queries (ivf balance + pca projection)") {
+    val manifest = graft.SparkEntry.queries("sim_index_e2e")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val balance = graft.SparkEntry.queries("sim_ivf_balance")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val proj = graft.SparkEntry.queries("sim_pca_project")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val assign = graft.SparkEntry.queries("sim_ivf_assign")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(manifest.keySet == balance.keySet)
+    manifest.foreach { case (c, (n, share, mn, mx, sm)) =>
+      assert(n == balance(c), s"list $c size disagrees with balance")
+      val pcs = assign.filter(_._2 == c).map(a => proj(a._1))
+      assert(mn == pcs.min && mx == pcs.max && sm == pcs.sum,
+        s"list $c PC stats disagree with project∘assign")
+      assert(share > 0.0 && share <= 1.0)
+    }
+    assert(manifest.values.map(_._1).sum == proj.size.toLong,
+      "every vector must land in exactly one posting list")
+  }
 }
