@@ -1,0 +1,191 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming frequency statistics via a count-min sketch — the
+  * continuous form of `q_cms_freq`/`q_cms_merge`
+  * ([[graft.operators.SketchPack]]): per-key frequency estimates and
+  * a heavy-hitter board maintained across micro-batches with NO
+  * history rescans, ever. The [[KmvStats]] twin on the frequency
+  * side (KMV answers "how many distinct", CMS answers "how often").
+  *
+  * Per batch, ONE distributed map-side-combined aggregation reduces
+  * the batch to ≤ D·W cell rows (the CMS is mergeable: cells add),
+  * plus one bounded-heap top-N of the batch's own key counts
+  * ([[graft.plans.TopKPerKey]]) to refresh the heavy-hitter
+  * CANDIDATE pool. Driver state is D·W longs + ≤ HeavyK tracked keys
+  * — artifact-sized, never row-scaled.
+  *
+  * Declared contract for the heavy-hitter board: estimates are CMS
+  * estimates (never under the true count, may overestimate by the
+  * usual εN); the CANDIDATE pool only sees keys that were top-N
+  * within at least one batch — a key spread so thin that it never
+  * makes any batch's top-N can evade the board even if its total is
+  * large (the standard batch-fold caveat vs per-item heap updates;
+  * with batches that are time-slices of one distribution, a global
+  * heavy hitter is a batch heavy hitter too). The SKETCH itself has
+  * no such caveat: `estimate(key)` is correct-per-CMS for EVERY key.
+  *
+  * Durability: same park-then-publish envelope protocol as
+  * [[KmvStats]] (tmp in → park previous as .old → publish → drop
+  * .old), with shape (depth/width) stamped in the envelope and
+  * REJECTED on mismatch — different-shape counter matrices must not
+  * add. A torn envelope resets loudly to empty.
+  */
+final class CmsStats(persistPath: Option[String] = None) {
+  import graft.operators.SketchPack.{CmsDepth, CmsWidth}
+  import CmsStats._
+
+  /** Tracked heavy-hitter keys; candidate pool refreshed per batch. */
+  val HeavyK = 20
+  private val BatchTopN = 32
+
+  private var counters: Array[Array[Long]] =
+    Array.ofDim[Long](CmsDepth, CmsWidth)
+  private var totalN: Long = 0L
+  private var tracked: Map[String, Long] = Map.empty // key -> last est
+
+  persistPath.flatMap(load).foreach { case (c, t, tr) =>
+    counters = c; totalN = t; tracked = tr
+  }
+
+  /** Fold one batch. `items` must expose `keyCol` as a string column;
+    * hashing is [[graft.functions.Hashing.h32]] (md5), identical to
+    * the JVM-side [[h32Jvm]] used for point estimates. */
+  def update(items: DataFrame, keyCol: String = "k"): Unit = {
+    val keyed = items.select(col(keyCol).cast("string").as("k"))
+    val h = graft.functions.Hashing.h32(col("k"))
+    val cellArr = array((0 until CmsDepth).map(i =>
+      (graft.functions.Hashing.permuted(h, i) % CmsWidth)
+        .cast("long")): _*)
+    val cells = keyed
+      .select(posexplode(cellArr).as(Seq("r", "c")))
+      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    var mass = 0L
+    cells.foreach { case (r, c, n) =>
+      counters(r)(c.toInt) += n
+      mass += n
+    }
+    totalN += mass / CmsDepth
+    val batchTop = graft.plans.TopKPerKey.topKPerKey(
+        keyed.groupBy("k").agg(count(lit(1)).as("n"))
+          .withColumn("g", lit(1)),
+        Seq(col("g")), Seq(col("n").desc, col("k").asc), BatchTopN)
+      .select("k").collect().map(_.getString(0))
+    tracked = (tracked.keySet ++ batchTop)
+      .map(k => k -> estimate(k)).toSeq
+      .sortBy { case (k, e) => (-e, k) }
+      .take(HeavyK).toMap
+    persistPath.foreach(save)
+  }
+
+  /** CMS point estimate (min over rows) — valid for ANY key. */
+  def estimate(key: String): Long = {
+    val h = h32Jvm(key)
+    (0 until CmsDepth).map { i =>
+      val c = ((h * (2L * i + 1) + (7919L * i + 1)) %
+        graft.functions.Hashing.MinhashPrime % CmsWidth).toInt
+      counters(i)(c)
+    }.min
+  }
+
+  /** Total items folded (exact — the εN bound's N). */
+  def total: Long = totalN
+
+  /** The heavy-hitter board: ≤ HeavyK (key, estimate), est-descending. */
+  def heavyHitters: Seq[(String, Long)] =
+    tracked.toSeq.sortBy { case (k, e) => (-e, k) }
+
+  /** Raw counter matrix (for specs and export). */
+  def snapshot: Array[Array[Long]] = counters.map(_.clone())
+
+  // ---- durable envelope (the KmvStats protocol) ------------------
+
+  private def bak(path: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(path.getParent, s"${path.getName}.old")
+
+  private def save(p: String): Unit = {
+    val (fs, path) = SinkFs.fs(p)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path.getParent, s".${path.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      val d = new java.io.DataOutputStream(out)
+      d.writeInt(Magic); d.writeInt(Version)
+      d.writeInt(CmsDepth); d.writeInt(CmsWidth)
+      d.writeLong(totalN)
+      counters.foreach(_.foreach(d.writeLong))
+      d.writeInt(tracked.size)
+      tracked.toSeq.sortBy(_._1).foreach { case (k, e) =>
+        d.writeUTF(k); d.writeLong(e)
+      }
+      d.flush()
+    } finally out.close()
+    val old = bak(path)
+    if (fs.exists(path)) {
+      if (fs.exists(old)) fs.delete(old, false)
+      if (!fs.rename(path, old))
+        throw new java.io.IOException(s"could not park CMS state at $old")
+    }
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"could not publish CMS state at $p")
+    if (fs.exists(old)) fs.delete(old, false)
+  }
+
+  private def load(p: String)
+      : Option[(Array[Array[Long]], Long, Map[String, Long])] = {
+    val (fs, path0) = SinkFs.fs(p)
+    val path =
+      if (fs.exists(path0)) path0
+      else if (fs.exists(bak(path0))) {
+        System.err.println(
+          s"CmsStats: primary state missing at $p, recovering from " +
+            s"${bak(path0)} (lags by the batch whose save crashed)")
+        bak(path0)
+      } else path0
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      try {
+        val d = new java.io.DataInputStream(in)
+        val magic = d.readInt()
+        require(magic == Magic, f"not a CMS envelope (magic 0x$magic%08x)")
+        val v = d.readInt()
+        require(v == Version, s"CMS envelope v$v, expected v$Version")
+        val (fd, fw) = (d.readInt(), d.readInt())
+        require(fd == CmsDepth && fw == CmsWidth,
+          s"CMS state persisted with ${fd}x$fw but this build uses " +
+            s"${CmsDepth}x$CmsWidth — different-shape matrices must not add")
+        val t = d.readLong()
+        val c = Array.fill(CmsDepth)(Array.fill(CmsWidth)(d.readLong()))
+        val n = d.readInt()
+        val tr = (0 until n).map { _ =>
+          val k = d.readUTF(); k -> d.readLong()
+        }.toMap
+        Some((c, t, tr))
+      } catch {
+        case e: Exception =>
+          System.err.println(
+            s"CmsStats: rejecting persisted state at $p " +
+              s"(${e.getMessage}); starting empty — estimates cover " +
+              "only post-reset batches until a history replay")
+          None
+      } finally in.close()
+    }
+  }
+}
+
+object CmsStats {
+  private val Magic = 0x434D5331 // "CMS1"
+  private val Version = 1
+
+  /** JVM twin of [[graft.functions.Hashing.h32]] (md5 prefix32). */
+  def h32Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+}
