@@ -53,6 +53,20 @@ class IndexCacheSpec extends SparkSpec {
     finally { IndexCache.persistDir = prev; IndexCache.clear() }
   }
 
+  test("pcaVector memoizes, persists, and a fresh process loads it") {
+    withPersistDir { _ =>
+      val before = IndexCache.buildCount
+      val first = IndexCache.pcaVector(spark, dir)
+      assert(IndexCache.buildCount == before + 1)
+      assert(first eq IndexCache.pcaVector(spark, dir))
+      IndexCache.clear() // "fresh process"
+      val loaded = IndexCache.pcaVector(spark, dir)
+      assert(IndexCache.buildCount == before + 1,
+        "the second process must LOAD the envelope, not retrain")
+      assert(!(first eq loaded) && first.sameElements(loaded))
+    }
+  }
+
   test("two processes train once total: the second loads the envelope") {
     withPersistDir { _ =>
       var trainings = 0
