@@ -32,6 +32,11 @@ object QueryLayerPack extends QueryPack {
   /** q_funnel step-3 window: purchase within 7 days of first view. */
   val FunnelWindowSec: Long = 7L * 86400L
 
+  /** Release-audit bars: minimum equivalence-class size (k-anonymity)
+    * and minimum sensitive-value diversity per class (l-diversity). */
+  val KAnonK = 5L
+  val LDiversityL = 3L
+
   /** The q22_cooccurrence body over any (day, user_id) cell frame —
     * factored out so DevStress can probe it at replicated scale.
     *
@@ -658,6 +663,37 @@ object QueryLayerPack extends QueryPack {
             - unix_timestamp(min(col("ts")))).as("sess_seconds"))
     }),
 
+    // k-anonymity audit (Sweeney 2002) — the governance companion to
+    // q_dq_contracts a data-release review runs: equivalence classes
+    // of the quasi-identifier tuple (nation, segment, balance band)
+    // with their sizes; a class under k = 5 re-identifies its
+    // members. ONE map-side-combined agg; output cardinality is the
+    // class inventory (bounded by the quasi-id domain product),
+    // whatever the row count. The fixture's quasi-id set genuinely
+    // FAILS k-anonymity — which is the audit's point.
+    "q_k_anonymity" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / lit(1000.0)).cast("long")
+            .as("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).cast("long").as("class_size"))
+        .withColumn("k_ok", col("class_size") >= KAnonK)),
+
+    // ...and l-diversity (Machanavajjhala 2007), the follow-up: a
+    // k-anonymous class is still leaky if its SENSITIVE values are
+    // uniform. Classes = (nation, segment); sensitive = the balance
+    // band; l = distinct sensitive values per class.
+    "q_l_diversity" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / lit(1000.0)).cast("long")
+            .as("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).cast("long").as("class_size"),
+          countDistinct(col("bal_band")).as("l_bands"))
+        .withColumn("l_ok", col("l_bands") >= LDiversityL)),
+
     // Ordered-funnel analysis (view → click → purchase within 7
     // days) — the product-analytics classic: each step is ONE
     // filtered min-aggregation joined back on user_id, so all three
@@ -1182,6 +1218,24 @@ object QueryLayerPack extends QueryPack {
         |  TRUE AS never_under, TRUE AS bound_ok
         |FROM events GROUP BY user_id
         |ORDER BY exact DESC, user_id LIMIT 20""".stripMargin,
+
+    "q_k_anonymity" ->
+      s"""SELECT c_nationkey, c_mktsegment,
+         |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         |  CAST(count(*) AS BIGINT) AS class_size,
+         |  count(*) >= $KAnonK AS k_ok
+         |FROM customer
+         |GROUP BY c_nationkey, c_mktsegment,
+         |  CAST(floor(c_acctbal / 1000.0) AS BIGINT)""".stripMargin,
+
+    "q_l_diversity" ->
+      s"""SELECT c_nationkey, c_mktsegment,
+         |  CAST(count(*) AS BIGINT) AS class_size,
+         |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+         |    AS BIGINT) AS l_bands,
+         |  count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+         |    >= $LDiversityL AS l_ok
+         |FROM customer GROUP BY c_nationkey, c_mktsegment""".stripMargin,
 
     "q_funnel" ->
       s"""WITH e AS (SELECT user_id, event_type,

@@ -54,4 +54,37 @@ class DqContractsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(2), r.getBoolean(3)))
     rows.foreach { case (n, pass) => assert(pass == (n == 0L)) }
   }
+
+  test("k-anonymity / l-diversity match an independent class model " +
+    "and the fixture exercises both verdicts") {
+    // sf0.01, not sf0.001: 150 customers can't form ANY class of 5
+    // under the banded quasi-id, so the smallest fixture would only
+    // exercise the violation verdict (measured: 0 ok / 144 viol at
+    // sf0.001 vs 10 ok / 891 viol at the driver's gate SF)
+    val dir = "/root/testdata/sf0.01"
+    val cust = graft.Tables.customer(spark, dir)
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        math.floor(r.getDouble(2) / 1000.0).toLong))
+    val classes = cust.groupBy(identity).map { case (k, xs) =>
+      k -> xs.length.toLong }
+    val gotK = graft.SparkEntry.queries("q_k_anonymity")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))
+        -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(gotK.keySet == classes.keySet)
+    classes.foreach { case (k, n) =>
+      assert(gotK(k) == ((n, n >= QueryLayerPack.KAnonK)))
+    }
+    assert(gotK.values.exists(_._2) && gotK.values.exists(!_._2),
+      "fixture must exercise both k verdicts")
+    val lModel = cust.groupBy(c => (c._1, c._2)).map { case (k, xs) =>
+      k -> (xs.length.toLong, xs.map(_._3).distinct.length.toLong) }
+    val gotL = graft.SparkEntry.queries("q_l_diversity")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1))
+        -> (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(gotL.keySet == lModel.keySet)
+    lModel.foreach { case (k, (n, l)) =>
+      assert(gotL(k) == ((n, l, l >= QueryLayerPack.LDiversityL)))
+    }
+  }
 }
