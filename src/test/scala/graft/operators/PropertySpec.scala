@@ -154,4 +154,49 @@ class PropertySpec extends SparkSpec {
     again.foreach { case (u, c) =>
       assert(u == c, s"canonicalize not idempotent on '$u' -> '$c'") }
   }
+
+  test("CMS sketch: union of batches == cellwise sum of their sketches " +
+    "(mergeability), over random key multisets") {
+    val keyGen = Gen.chooseNum(0L, 400L)
+    (1 to Trials).foreach { i =>
+      val a = sample(Gen.listOfN(200, keyGen), i.toLong)
+      val b = sample(Gen.listOfN(200, keyGen), i + 500L)
+      def cells(xs: List[Long]) =
+        SketchPack.cmsSketch(xs.toDF("user_id")).collect()
+          .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val (ca, cb, cu) = (cells(a), cells(b), cells(a ++ b))
+      val summed = (ca.keySet ++ cb.keySet).map(k =>
+        k -> (ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L))).toMap
+      assert(cu == summed, s"seed $i")
+    }
+  }
+
+  test("power iteration is invariant to Gramian cell order " +
+    "(the distributed collect's order is arbitrary)") {
+    val cellGen = Gen.chooseNum(-1000000L, 1000000L)
+    (1 to Trials).foreach { i =>
+      val d = 6
+      val vals = sample(Gen.listOfN(d * (d + 1) / 2, cellGen), i.toLong)
+      val cells = (for { a <- 0 until d; b <- a until d } yield (a, b))
+        .zip(vals).map { case ((a, b), v) => (a, b, v) }
+      if (cells.exists(_._3 != 0L)) {
+        val shuffled = new scala.util.Random(i).shuffle(cells)
+        assert(Pca.powerIterate(cells, d).toSeq ==
+          Pca.powerIterate(shuffled, d).toSeq, s"seed $i")
+      }
+    }
+  }
+
+  test("DoReMi reweighting is replication-invariant: scaling every " +
+    "domain's (n, sum) by the same factor changes nothing but n") {
+    val domGen = Gen.zip(Gen.chooseNum(1L, 50L), Gen.chooseNum(0L, 2000L))
+    (1 to Trials).foreach { i =>
+      val base = sample(Gen.listOfN(6, domGen), i.toLong).zipWithIndex
+        .map { case ((n, mean), j) => (s"d$j", n, n * mean) }
+      val scaled = base.map { case (s2, n, su) => (s2, n * 7, su * 7) }
+      val a = Doremi.reweight(base).map(r => (r._1, r._3, r._4, r._5, r._6, r._7))
+      val b = Doremi.reweight(scaled).map(r => (r._1, r._3, r._4, r._5, r._6, r._7))
+      assert(a == b, s"seed $i")
+    }
+  }
 }
