@@ -116,50 +116,63 @@ object Pca {
     if (v(lead) < 0) v.map(-_) else v
   }
 
-  /** The eigenvector as integer-exact SQL: unrolled CTEs `v0..v{T}`
-    * over `gsym(i, j, g)` (the GNorm-normalized symmetric Gramian).
-    * Mirrors [[powerIterate]] op for op. */
-  def sqlStepCtes(t: Int): String =
-    s"""w$t AS MATERIALIZED (SELECT g.i AS i,
+  /** The eigenvector as integer-exact SQL: unrolled CTEs
+    * `{p}v0..{p}v{T}` over `{p}gsym(i, j, g)` (the GNorm-normalized
+    * symmetric Gramian). Mirrors [[powerIterate]] op for op. The
+    * prefix lets two chains coexist in one WITH (sim_pca_drift runs
+    * the loop over two corpus slices). */
+  def sqlStepCtes(t: Int, p: String = ""): String =
+    s"""${p}w$t AS MATERIALIZED (SELECT g.i AS i,
        |    CAST(sum(g.g * v.v) AS BIGINT) AS w
-       |  FROM gsym g JOIN v${t - 1} v ON g.j = v.i GROUP BY g.i),
-       |m$t AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$t),
-       |v$t AS MATERIALIZED (SELECT i,
+       |  FROM ${p}gsym g JOIN ${p}v${t - 1} v ON g.j = v.i GROUP BY g.i),
+       |${p}m$t AS MATERIALIZED (SELECT max(abs(w)) AS m FROM ${p}w$t),
+       |${p}v$t AS MATERIALIZED (SELECT i,
        |    CASE WHEN w < 0 THEN -((-w) * $VNorm // m)
        |         ELSE (w * $VNorm // m) END AS v
-       |  FROM w$t, m$t)""".stripMargin
+       |  FROM ${p}w$t, ${p}m$t)""".stripMargin
 
   /** The full oracle prelude: quantized cells → upper Gramian →
     * normalized symmetric Gramian → v0. `embSql` must yield
     * (vec_id, embedding). 1-based DuckDB array indexing is shifted
     * to the 0-based dims Spark's posexplode emits. */
-  def sqlPrelude(embSql: String, d: Int): String =
-    s"""emb AS ($embSql),
-       |idx AS (SELECT unnest(range(1, ${d + 1})) AS k),
-       |q AS MATERIALIZED (SELECT vec_id, CAST(k - 1 AS INTEGER) AS dim,
+  def sqlPrelude(embSql: String, d: Int, p: String = ""): String =
+    s"""${p}emb AS ($embSql),
+       |${p}idx AS (SELECT unnest(range(1, ${d + 1})) AS k),
+       |${p}q AS MATERIALIZED (SELECT vec_id,
+       |    CAST(k - 1 AS INTEGER) AS dim,
        |    CAST(floor(CAST(embedding[k] AS DOUBLE) * 1e4 + 0.5)
        |      AS BIGINT) AS q
-       |  FROM emb CROSS JOIN idx),
-       |gu AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j,
+       |  FROM ${p}emb CROSS JOIN ${p}idx),
+       |${p}gu AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j,
        |    CAST(sum(a.q * b.q) AS BIGINT) AS g
-       |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+       |  FROM ${p}q a JOIN ${p}q b
+       |    ON a.vec_id = b.vec_id AND b.dim >= a.dim
        |  GROUP BY a.dim, b.dim),
-       |mg AS (SELECT max(abs(g)) AS m FROM gu),
-       |gn AS MATERIALIZED (SELECT i, j,
+       |${p}mg AS (SELECT max(abs(g)) AS m FROM ${p}gu),
+       |${p}gn AS MATERIALIZED (SELECT i, j,
        |    CASE WHEN g < 0 THEN -((-g) * $GNorm // m)
        |         ELSE (g * $GNorm // m) END AS g
-       |  FROM gu, mg),
-       |gsym AS MATERIALIZED (SELECT i, j, g FROM gn
-       |  UNION ALL SELECT j AS i, i AS j, g FROM gn WHERE i <> j),
-       |v0 AS MATERIALIZED (SELECT CAST(k - 1 AS INTEGER) AS i,
+       |  FROM ${p}gu, ${p}mg),
+       |${p}gsym AS MATERIALIZED (SELECT i, j, g FROM ${p}gn
+       |  UNION ALL SELECT j AS i, i AS j, g FROM ${p}gn WHERE i <> j),
+       |${p}v0 AS MATERIALIZED (SELECT CAST(k - 1 AS INTEGER) AS i,
        |    CAST($VNorm AS BIGINT) AS v
-       |  FROM idx)""".stripMargin
+       |  FROM ${p}idx)""".stripMargin
 
   /** Sign-fix + final select for the oracle: flips the whole vector
     * if the lead component (max |v|, smallest i on ties) is negative. */
-  def sqlSignFix(t: Int): String =
-    s"""ld AS (SELECT v FROM v$t ORDER BY abs(v) DESC, i LIMIT 1),
-       |vec AS (SELECT i AS dim,
-       |    CASE WHEN (SELECT v FROM ld) < 0 THEN -v ELSE v END AS v
-       |  FROM v$t)""".stripMargin
+  def sqlSignFix(t: Int, p: String = ""): String =
+    s"""${p}ld AS (SELECT v FROM ${p}v$t ORDER BY abs(v) DESC, i LIMIT 1),
+       |${p}vec AS (SELECT i AS dim,
+       |    CASE WHEN (SELECT v FROM ${p}ld) < 0 THEN -v ELSE v END AS v
+       |  FROM ${p}v$t)""".stripMargin
+
+  /** The whole chain (prelude → T rounds → sign fix) under one CTE
+    * prefix — yields `{p}vec(dim, v)`. */
+  def sqlChain(embSql: String, d: Int, p: String = ""): String = {
+    val steps = (1 to Iters).map(sqlStepCtes(_, p)).mkString(",\n")
+    s"""${sqlPrelude(embSql, d, p)},
+       |$steps,
+       |${sqlSignFix(Iters, p)}""".stripMargin
+  }
 }

@@ -918,6 +918,29 @@ object SimilarityPack extends QueryPack {
     // (assignment and projection are both scan-stage expressions),
     // one partial-agg rollup to k rows, the total as a broadcast
     // one-row frame.
+    // Embedding-drift monitor: the PC of the OLD corpus snapshot
+    // (even vec_ids — the deterministic stand-in for a time split)
+    // against the PC of the full corpus. An index owner watches
+    // cos_e6 decay / dims flip to decide when the rotation and the
+    // coarse quantizer need retraining. Two Gramian passes (each the
+    // sim_pca_power shape), driver math at d² state, ONE summary
+    // row out. Near-isotropic corpora make this metric genuinely
+    // sensitive — the spec pins the self-drift identity (old == all
+    // → cos 1e6) rather than a fixture-specific decay value.
+    "sim_pca_drift" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val base = emb(s, dir).filter(col("embedding").isNotNull)
+      val old = Pca.powerIterate(
+        Pca.gramUpper(base.filter(col("vec_id") % 2 === 0))
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+          .toSeq, PcaDim)
+      val all = IndexCache.pcaVector(s, dir)
+      val (cosE6, flipped, maxDelta) = pcaDriftStats(old, all)
+      Seq((cosE6, flipped, maxDelta))
+        .toDF("cos_e6", "n_flipped", "max_abs_delta")
+    }),
+
     "sim_index_e2e" -> ((s, dir) => {
       val v = IndexCache.pcaVector(s, dir)
       val lists = emb(s, dir).filter(col("embedding").isNotNull)
@@ -943,6 +966,22 @@ object SimilarityPack extends QueryPack {
     (0 until PcaDim).map(j =>
       Pca.quant(get(col("embedding"), lit(j))) * lit(v(j)))
       .reduce(_ + _)
+
+  /** sim_pca_drift's driver-side comparison of two eigenvectors:
+    * (cos_e6, n_flipped, max_abs_delta). Sums stay ≤ 64·10¹⁰ — exact
+    * doubles — and sqrt/÷ are IEEE-correctly-rounded in both
+    * engines, so the quantized cosine replays (the Det caveat). */
+  private[operators] def pcaDriftStats(a: Array[Long], b: Array[Long])
+      : (Long, Long, Long) = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val n1 = a.map(x => x * x).sum
+    val n2 = b.map(x => x * x).sum
+    val cosE6 = math.floor(dot.toDouble * 1e6 /
+      (math.sqrt(n1.toDouble) * math.sqrt(n2.toDouble)) + 0.5).toLong
+    val flipped = a.zip(b).count { case (x, y) => x * y < 0 }.toLong
+    val maxDelta = a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+    (cosE6, flipped, maxDelta)
+  }
 
   /** Embedding dimensionality (TESTDATA: fixed 64 at every SF). The
     * oracle SQL is a static string, so the dim is a compile-time
@@ -1140,14 +1179,9 @@ object SimilarityPack extends QueryPack {
 
   /** Shared PCA oracle prelude + the unrolled power loop (v0..vT) +
     * the sign fix — the SQL twin of gramUpper∘powerIterate. */
-  private val pcaCtes: String = {
-    val steps = (1 to Pca.Iters).map(Pca.sqlStepCtes).mkString(",\n")
-    s"""${Pca.sqlPrelude(
-         "SELECT vec_id, embedding FROM embeddings " +
-           "WHERE embedding IS NOT NULL", PcaDim)},
-       |$steps,
-       |${Pca.sqlSignFix(Pca.Iters)}""".stripMargin
-  }
+  private val pcaCtes: String = Pca.sqlChain(
+    "SELECT vec_id, embedding FROM embeddings " +
+      "WHERE embedding IS NOT NULL", PcaDim)
 
   override def oracles: Map[String, String] = Map(
     "sim_pca_power" ->
@@ -1159,6 +1193,26 @@ object SimilarityPack extends QueryPack {
          |SELECT q.vec_id, CAST(sum(q.q * vec.v) AS BIGINT) AS score
          |FROM q JOIN vec ON vec.dim = q.dim
          |GROUP BY q.vec_id""".stripMargin,
+
+    "sim_pca_drift" ->
+      s"""WITH $pcaCtes,
+         |${Pca.sqlChain(
+            "SELECT vec_id, embedding FROM embeddings " +
+              "WHERE embedding IS NOT NULL AND vec_id % 2 = 0",
+            PcaDim, "o")},
+         |cmp AS (SELECT
+         |    CAST(sum(o.v * a.v) AS BIGINT) AS dot,
+         |    CAST(sum(o.v * o.v) AS BIGINT) AS n1,
+         |    CAST(sum(a.v * a.v) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN o.v * a.v < 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_flipped,
+         |    CAST(max(abs(o.v - a.v)) AS BIGINT) AS max_abs_delta
+         |  FROM ovec o JOIN vec a ON o.dim = a.dim)
+         |SELECT CAST(floor(CAST(dot AS DOUBLE) * 1e6 /
+         |    (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))
+         |    + 0.5) AS BIGINT) AS cos_e6,
+         |  n_flipped, max_abs_delta
+         |FROM cmp""".stripMargin,
 
     "sim_index_e2e" ->
       s"""WITH $pcaCtes,

@@ -134,4 +134,21 @@ class PcaSpec extends SparkSpec {
     assert(manifest.values.map(_._1).sum == proj.size.toLong,
       "every vector must land in exactly one posting list")
   }
+
+  test("sim_pca_drift: the self-drift identity holds, and the query " +
+    "emits a sane summary row") {
+    // identical vectors → cos exactly 1e6, nothing flipped, no delta
+    val v = modelVec()
+    val row = graft.SparkEntry.queries("sim_pca_drift")(spark, sfDir)
+      .collect()
+    assert(row.length == 1)
+    val (cos, flipped, delta) =
+      (row.head.getLong(0), row.head.getLong(1), row.head.getLong(2))
+    assert(cos <= 1000000L && cos >= -1000000L)
+    assert(flipped >= 0L && flipped <= d.toLong)
+    assert(delta >= 0L && delta <= 2L * Pca.VNorm)
+    // the identity via the same driver math the query uses
+    assert(SimilarityPack.pcaDriftStats(v, v) == ((1000000L, 0L, 0L)),
+      "self-drift must be exactly (1e6, 0, 0)")
+  }
 }
