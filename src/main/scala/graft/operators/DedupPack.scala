@@ -159,6 +159,40 @@ object DedupPack extends QueryPack {
     // MinHash-LSH candidate pairs: band equi-join (4 bands × 2 rows).
     "ds_minhash_pairs" -> ((s, dir) => candidatePairs(s, dir)),
 
+    // Transitivity audit of the near-dup graph — the structural
+    // justification for ds_dup_groups' connected-component grouping:
+    // components are a sound dup-group model when the pair graph is
+    // triangle-dense (near-dup is approximately transitive), and a
+    // LOW global clustering coefficient warns that CC is chaining
+    // unrelated docs through weak links. One row out: nodes, edges,
+    // wedges (ordered 2-paths through a center), triangles (closed
+    // wedges, via the oriented a<b<c join so each counts once), and
+    // the closure ratio 3·tri/wedges. Wedge cost is Σ deg² over the
+    // banding-bounded pair graph — the family's declared class.
+    "ds_dup_transitivity" -> ((s, dir) => {
+      val e = candidatePairs(s, dir) // doc_a < doc_b
+      val und = e.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(e.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val nodes = und.select(col("u")).distinct()
+        .agg(count(lit(1)).cast("long").as("n_nodes"))
+      val edges = e.agg(count(lit(1)).cast("long").as("n_edges"))
+      val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+      // integer sum of d·(d−1), halved once at the end — exact longs
+      val wedges = deg.agg((sum(col("d") * (col("d") - 1)) / lit(2))
+        .cast("long").as("n_wedges"))
+      val tri = e.as("ab")
+        .join(e.as("bc"), col("ab.doc_b") === col("bc.doc_a"))
+        .join(e.as("ac"), col("ac.doc_a") === col("ab.doc_a") &&
+          col("ac.doc_b") === col("bc.doc_b"))
+        .agg(count(lit(1)).cast("long").as("n_triangles"))
+      nodes.crossJoin(broadcast(edges)).crossJoin(broadcast(wedges))
+        .crossJoin(broadcast(tri))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          graft.Det.dround(lit(3.0) * col("n_triangles").cast("double") /
+            col("n_wedges").cast("double"), 4).as("closure"))
+    }),
+
     // Split-LEAKAGE audit — near-dup pairs that straddle the
     // train/val/test assignment ([[SamplePack.splitCol]]): a test doc
     // with a near-duplicate in train inflates eval scores without any
@@ -1330,6 +1364,34 @@ object DedupPack extends QueryPack {
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
     "ds_minhash_sig" -> s"$sigCte\nSELECT * FROM sig",
+
+    "ds_dup_transitivity" ->
+      s"""$sigCte,
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key
+         |          AND a.doc_id < b.doc_id),
+         |und AS (SELECT doc_a AS u FROM cand
+         |        UNION ALL SELECT doc_b FROM cand),
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+         |        FROM und GROUP BY u),
+         |agg AS (SELECT
+         |    (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM und)
+         |      AS n_nodes,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_edges,
+         |    (SELECT CAST(sum(d * (d - 1)) // 2 AS BIGINT) FROM deg)
+         |      AS n_wedges,
+         |    (SELECT CAST(count(*) AS BIGINT)
+         |     FROM cand ab
+         |     JOIN cand bc ON ab.doc_b = bc.doc_a
+         |     JOIN cand ac ON ac.doc_a = ab.doc_a
+         |       AND ac.doc_b = bc.doc_b) AS n_triangles)
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         |  ${graft.Det.droundSql(
+            "3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)",
+            4)} AS closure
+         |FROM agg""".stripMargin,
 
     "ds_minhash_pairs" ->
       s"""$sigCte,

@@ -829,6 +829,34 @@ object SamplePack extends QueryPack {
           "w_units", "share_units", "rate_pct")
     }),
 
+    // The mixing-strategy comparison surface — per source, what each
+    // of the three published strategies would allocate (temperature
+    // sqrt-rates, the UniMax capacity greedy, DoReMi learned
+    // weights) side by side. This is the table a data-mix owner
+    // actually reads when choosing a strategy; every input is a
+    // ≤|domains|-row artifact computed by the machinery its own
+    // query already oracles, joined by broadcast.
+    "sp_mix_compare" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+      val counts = docs.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+      val temp = Sampling.temperatureRates(docs, col("source"),
+          basePct = 10, maxPct = 90)
+        .withColumnRenamed("rate", "temp_rate_pct")
+      val uni = unimaxAllocs(s, dir)
+        .map { case (src, n, _, alloc) => (src, alloc * 1000 / n) }
+        .toDF("source", "unimax_epochs_permille")
+      val dor = Doremi.reweight(domLosses(s, dir))
+        .map { case (src, _, _, _, _, share, rate) => (src, share, rate) }
+        .toDF("source", "doremi_share_units", "doremi_rate_pct")
+      counts.join(broadcast(temp), Seq("source"))
+        .join(broadcast(uni), Seq("source"))
+        .join(broadcast(dor), Seq("source"))
+    }),
+
     // ...and the corpus it denotes: deterministic hash-bucket
     // sampling at the learned per-domain rates — the broadcast
     // ≤|domains|-row rate table against the scan, the
@@ -1567,6 +1595,31 @@ object SamplePack extends QueryPack {
          |                  ELSE 'tail' END AS bucket, lang, ce
          |      FROM ent JOIN documents USING (doc_id), th)
          |GROUP BY bucket, lang""".stripMargin,
+
+    "sp_mix_compare" ->
+      s"""WITH RECURSIVE $doremiCtes,
+         |$unimaxSqlCtes,
+         |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |        FROM documents GROUP BY source),
+         |tr AS (SELECT source, count(*) AS n,
+         |         sum(count(*)) OVER () AS total
+         |       FROM documents GROUP BY source),
+         |trates AS (SELECT source,
+         |    least(90, CAST(floor(10.0 *
+         |      sqrt(CAST(total AS DOUBLE) / n) + 0.5) AS BIGINT))
+         |      AS temp_rate_pct
+         |  FROM tr),
+         |uni AS (SELECT source,
+         |    alloc * 1000 // n_toks AS unimax_epochs_permille
+         |  FROM step JOIN ord USING (source)),
+         |dor AS (SELECT source,
+         |    ${Doremi.sqlShare("nd", "sw")} AS doremi_share_units,
+         |    ${Doremi.sqlRate("nd", "sw")} AS doremi_rate_pct
+         |  FROM w${Doremi.Rounds}, fin)
+         |SELECT cnt.source, n_docs, temp_rate_pct,
+         |  unimax_epochs_permille, doremi_share_units, doremi_rate_pct
+         |FROM cnt JOIN trates USING (source)
+         |JOIN uni USING (source) JOIN dor USING (source)""".stripMargin,
 
     "sp_doremi_weights" ->
       s"""WITH $doremiCtes

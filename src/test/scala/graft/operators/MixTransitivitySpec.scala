@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins the two round-closing composition queries against their
+  * already-oracled component queries: ds_dup_transitivity against a
+  * JVM graph model over ds_minhash_pairs' edge list, and
+  * sp_mix_compare against sp_doremi_weights / sp_unimax_mix. */
+class MixTransitivitySpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("ds_dup_transitivity matches the independent graph model over " +
+    "the near-dup edge list") {
+    val edges = graft.SparkEntry.queries("ds_minhash_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val tris = (for {
+      (a, b) <- edges
+      c <- nodes if b < c && edges((b, c)) && edges((a, c))
+    } yield (a, b, c)).size.toLong
+    val row = graft.SparkEntry.queries("ds_dup_transitivity")(spark, sfDir)
+      .collect().head
+    assert(row.getLong(0) == nodes.size.toLong)
+    assert(row.getLong(1) == edges.size.toLong)
+    assert(row.getLong(2) == wedges)
+    assert(row.getLong(3) == tris)
+    assert(tris > 0,
+      "the fixture's dup groups must close at least one triangle — " +
+        "otherwise the CC-grouping justification audit has no signal")
+    val want = math.floor(3.0 * tris / wedges * 1e4 + 0.5) / 1e4
+    assert(row.getDouble(4) == want)
+  }
+
+  test("sp_mix_compare agrees with its component queries per source") {
+    val cmp = graft.SparkEntry.queries("sp_mix_compare")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    val dor = graft.SparkEntry.queries("sp_doremi_weights")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(5), r.getLong(6))).toMap
+    val uni = graft.SparkEntry.queries("sp_unimax_mix")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(cmp.keySet == dor.keySet && cmp.keySet == uni.keySet)
+    cmp.foreach { case (src, (_, _, uniPm, share, rate)) =>
+      assert((share, rate) == dor(src), s"$src doremi columns disagree")
+      assert(uniPm == uni(src), s"$src unimax column disagrees")
+    }
+    // temperature rates bounded by the configured clamp
+    cmp.values.foreach { case (_, t, _, _, _) =>
+      assert(t >= 10L && t <= 90L)
+    }
+  }
+}
