@@ -643,6 +643,25 @@ object DevStress {
       time("pca_gram", graft.operators.Pca.gramUpper(
         bigEmb.filter(col("embedding").isNotNull)))
     }
+    // Containment over a PER-TOKEN-salted replicated corpus: every
+    // token carries its replica's marker, so every shingle differs
+    // across replicas and cross-replica pairs vanish — the probe
+    // measures the candidates-first PIPELINE growing in docs while
+    // each replica's planted excerpts still pair with their own
+    // sources (output ∝ docs). A tail-only salt was measured first
+    // and rejected: replicas stayed genuine ~1.0-containment
+    // near-dups of each other, so output grew ~factor² (64 k pairs
+    // ×5 → 1.19 M ×20) — that run measures real duplication MASS,
+    // the ds_minhash family's declared class, not the pipeline.
+    if (wants("containment")) {
+      val salted = spark.read.parquet("/tmp/stress_docs")
+        .select(col("doc_id"),
+          transform(split(col("text"), " "),
+            w => concat(w, lit("#"),
+              (col("doc_id") % factor).cast("string"))).as("toks"))
+      time("containment", graft.operators.DedupPack.containmentPairs(
+        graft.operators.DedupPack.withExcerpts(salted)))
+    }
     // DoReMi domain losses: the ONE distributed pass behind
     // sp_doremi_weights (bigram LM entropy + per-source rollup) at
     // factor× docs; output stays at |domains| rows, the MW loop

@@ -95,12 +95,41 @@ object DedupPack extends QueryPack {
   val ExcerptIdOffset = 1000000L
   val ExcerptMod = 7
 
+  /** The ds_containment body over any (doc_id, toks) frame —
+    * candidates-first (the LSH banding), exact containment
+    * verification only on those pairs, the ContainTau flag and the
+    * contained-side pick. Factored out so DevStress can drive it at
+    * replicated scale. */
+  def containmentPairs(corpus: DataFrame): DataFrame = {
+    val cand = candidatePairsFrom(bandsFrom(signaturesFrom(corpus)))
+    val sh = hashedShingles(corpus)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shared = cand
+      .join(sh.alias("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.alias("sb"), col("doc_b") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.alias("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.alias("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.Det.dround(col("shared").cast("double") / col("za.sz"), 4)
+          .as("cont_a"),
+        graft.Det.dround(col("shared").cast("double") / col("zb.sz"), 4)
+          .as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= ContainTau)
+      .select(col("doc_a"), col("doc_b"), col("cont_a"), col("cont_b"),
+        when(col("cont_a") >= col("cont_b"), col("doc_a"))
+          .otherwise(col("doc_b")).as("contained_id"))
+  }
+
   /** The fixture corpus plus the planted excerpt slice, (doc_id,
     * toks). A prefix's shingle set is a SUBSET of its source's, so
     * every planted pair has containment exactly 1.0 on the excerpt
     * side while Jaccard sits near 0.4 — the case the operator exists
-    * to catch. */
-  private def withExcerpts(base: DataFrame): DataFrame =
+    * to catch. Public for the DevStress probe. */
+  def withExcerpts(base: DataFrame): DataFrame =
     base.union(
       base.filter(col("doc_id") % ExcerptMod === 0)
         .select((col("doc_id") + lit(ExcerptIdOffset)).as("doc_id"),
@@ -121,30 +150,8 @@ object DedupPack extends QueryPack {
     // per-perm containment; ≈ 0.5 for the 40% slice — the spec pins
     // the measured planted recall, and a containment-heavy
     // production workload would band with more, narrower bands).
-    "ds_containment" -> ((s, dir) => {
-      val corpus = withExcerpts(tokenized(s, dir))
-      val cand = candidatePairsFrom(bandsFrom(signaturesFrom(corpus)))
-      val sh = hashedShingles(corpus)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val shared = cand
-        .join(sh.alias("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sh.alias("sb"), col("doc_b") === col("sb.doc_id") &&
-          col("sa.shingle") === col("sb.shingle"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-      shared
-        .join(sizes.alias("za"), col("doc_a") === col("za.doc_id"))
-        .join(sizes.alias("zb"), col("doc_b") === col("zb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          graft.Det.dround(col("shared").cast("double") / col("za.sz"), 4)
-            .as("cont_a"),
-          graft.Det.dround(col("shared").cast("double") / col("zb.sz"), 4)
-            .as("cont_b"))
-        .filter(greatest(col("cont_a"), col("cont_b")) >= ContainTau)
-        .select(col("doc_a"), col("doc_b"), col("cont_a"), col("cont_b"),
-          when(col("cont_a") >= col("cont_b"), col("doc_a"))
-            .otherwise(col("doc_b")).as("contained_id"))
-    }),
+    "ds_containment" -> ((s, dir) =>
+      containmentPairs(withExcerpts(tokenized(s, dir)))),
 
     // Exact dedup: content-hash groupBy; keeper = min doc_id. At scale
     // this is one shuffle on a 32-char key, never on the text itself.
