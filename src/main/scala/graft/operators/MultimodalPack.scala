@@ -238,9 +238,12 @@ object MultimodalPack extends QueryPack {
           graft.Det.dround(col("cos"), 6).as("cos"))
     }),
 
-    // perceptual image hashing: decoded thumbnail grids (decode
-    // STUBBED, plumbing real) → 63-bit dHash as one codegen'd
-    // projection — the image analog of ds_simhash
+    // perceptual image hashing: REAL decoded thumbnail grids (genuine
+    // PNG zlib inflate + BMP pixel-array walk, luma'd and resized —
+    // [[graft.sources.Multimodal.PixelCodec]]) → 63-bit dHash as one
+    // codegen'd projection — the image analog of ds_simhash. The
+    // oracle replays the GRID the fixture encoded; a decoder bug
+    // (filter, stride, row order, channel order, resize) breaks it
     "mm_dhash" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       dhashed(s, dir)
@@ -658,7 +661,7 @@ object MultimodalPack extends QueryPack {
          |     WHERE doc_id % 2 = 0),
          |px AS (SELECT img_id, list_transform(generate_series(0, 71), i ->
          |         ascii(substr(text, ((i + rot) % n) + 1, 1)) +
-         |         CASE WHEN bump = 1 AND (i % n) = 0 THEN 16 ELSE 0 END) AS ps
+         |         CASE WHEN bump = 1 AND i = 0 THEN 16 ELSE 0 END) AS ps
          |       FROM fr),
          |$dhashHSql,
          |$dhashPairCtes,
@@ -799,10 +802,12 @@ object MultimodalPack extends QueryPack {
        |          WHERE bit_count(xor(ha, hb)) <= ${PerceptualHash.HamCap})""".stripMargin
 
   /** The decoded-grid + dHash oracle body: pixels cycle the doc's
-    * text bytes (the stub decode's declared formula, ASCII byte≡char
-    * like the feature oracle), variant 1 bumps byte 0 by +16, and the
-    * hash replays [[graft.operators.PerceptualHash.dhash]]'s 63
-    * comparisons arithmetically. */
+    * text bytes (the fixture's GRID formula — the bytes in between
+    * are genuine PNG/BMP the Spark side must really decode; ASCII
+    * byte≡char like the feature oracle), variant 1 bumps pixel 0 by
+    * +16, and the hash replays
+    * [[graft.operators.PerceptualHash.dhash]]'s 63 comparisons
+    * arithmetically. */
   /** The audio-fingerprint oracle body: samples replay the
     * generator's byte−64 formula off the doc text (sample 0 bumped
     * +16 on the odd variant), window energies as nested list sums,
@@ -850,7 +855,7 @@ object MultimodalPack extends QueryPack {
       |         WHERE doc_id % 2 = 0),
       |px AS (SELECT img_id, list_transform(generate_series(0, 71), i ->
       |           ascii(substr(text, (i % n) + 1, 1)) +
-      |           CASE WHEN v = 1 AND (i % n) = 0 THEN 16 ELSE 0 END) AS ps
+      |           CASE WHEN v = 1 AND i = 0 THEN 16 ELSE 0 END) AS ps
       |       FROM imgs),
       |$dhashHSql""".stripMargin
 }

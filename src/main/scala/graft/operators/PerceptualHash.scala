@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * gradient signs, so re-encodes, metadata edits, and small
   * brightness changes land a few Hamming bits apart while different
   * images land ~half the bits apart. Input is the decoded
-  * [[graft.sources.Multimodal.PixelImage]] grid (decode stubbed, the
-  * Spark plumbing real — the brief's multimodal contract).
+  * [[graft.sources.Multimodal.PixelImage]] grid — a REAL decode
+  * ([[graft.sources.Multimodal.PixelCodec]]: PNG zlib inflate +
+  * defilter, BMP pixel-array walk, luma, nearest-neighbor resize).
   *
   * The hash is 63 bits, not 64: bit 63 would need `1::BIGINT << 63`,
   * which overflows DuckDB's checked BIGINT shift — the last of the
@@ -36,9 +37,9 @@ object PerceptualHash {
 
   /** 4 bands × 16 bits cover the 63-bit hash (top band 15 bits);
     * pigeonhole over 4 bands is valid for ≤ 3 bit errors — and the
-    * fixture's one-byte bump provably flips ≤ 3 bits (bit 0 from
-    * pixel 0, plus at most two comparisons around pixel n when the
-    * content is shorter than the 72-pixel grid). */
+    * fixture's pixel-0 bump provably flips at most ONE bit (pixel 0
+    * participates only in comparison k = 0), well inside the
+    * radius. */
   val Bands = 4
   val BandBits = 16
   val HamCap = 3

@@ -743,24 +743,368 @@ object Multimodal {
   val GridW = 9
   val GridH = 8
 
-  /** Near-dup IMAGE fixture: every EVEN doc becomes two image
-    * variants — img_id = doc_id (pristine) and doc_id + 1 (content
-    * byte 0 bumped by +16: the "one region brightened" edit) — so
-    * the perceptual-hash family has ground-truth near-dup pairs a
-    * few Hamming bits apart by construction, while unrelated images
-    * stay far. Content is the doc's text bytes (ASCII by fixture
-    * construction — the same byte≡char assumption
-    * mm_feature_extract's oracle already leans on). */
+  /** REAL pixel codec — the decode leg the perceptual-hash family
+    * consumes, no stub left: PNG (8-bit grayscale or truecolor,
+    * genuine zlib streams inflated with `java.util.zip.Inflater`,
+    * all five row filters defiltered, chunk CRCs VERIFIED, IDAT
+    * allowed to split across chunks) and BMP (24-bit BI_RGB, the
+    * pixel-array offset honored, 4-byte row padding stripped, and
+    * both row orders — bottom-up positive height, top-down
+    * negative). Decoded luma then downsamples to the
+    * [[GridH]]×[[GridW]] thumbnail by integer nearest-neighbor
+    * (`src = out·dim/grid`, exact arithmetic both engines replay).
+    *
+    * Luma is the DYADIC integer transform `(3r + 4g + b) >> 3`
+    * (weights 0.375/0.5/0.125 — a shift-only approximation of the
+    * BT.601 0.299/0.587/0.114 mix): exact in integer math on both
+    * engines, and ASYMMETRIC in r/b so a channel-order bug in either
+    * decoder shifts the value (an equal-weight mix would hide a
+    * red/blue swap). The encoders spread a target luma v across
+    * channels as (v+d, v, v−3d), d = v mod 5, which the transform
+    * maps back to exactly v — so fixture grids survive an encode +
+    * full decode round trip bit-exactly and the DuckDB oracle can
+    * keep replaying the GRID formula while the bytes in between are
+    * a genuine compressed image.
+    *
+    * Malformed bytes (bad signature, failed CRC, truncated inflate,
+    * unknown filter, sub-grid dimensions) yield None, never an
+    * exception — the poisoned-row discipline of every walker here. */
+  object PixelCodec {
+    import java.util.zip.{CRC32, Deflater, Inflater}
+
+    /** Dyadic integer luma of a 24-bit pixel. */
+    def luma24(r: Int, g: Int, b: Int): Int = (3 * r + 4 * g + b) >> 3
+
+    /** Spread luma v across (r, g, b) so [[luma24]] recovers exactly
+      * v; d is clamped where v−3d would leave byte range. */
+    def spreadChannels(v: Int): (Int, Int, Int) = {
+      val d = if (v >= 15 && v <= 250) v % 5 else 0
+      (v + d, v, v - 3 * d)
+    }
+
+    // ---- encoders (fixture-side; real layouts, real compression) ----
+
+    /** 24-bit BI_RGB BMP carrying `px` (row-major top-down luma grid,
+      * w×h): channels spread per pixel, rows padded to 4 bytes,
+      * stored bottom-up unless `topDown` (negative height). */
+    def bmpEncode(px: Array[Int], w: Int, h: Int, topDown: Boolean): Array[Byte] = {
+      val stride = (w * 3 + 3) & ~3
+      val out = new Array[Byte](54 + stride * h)
+      def le16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+      def le32(i: Int, v: Int): Unit = {
+        out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+        out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+      }
+      out(0) = 'B'; out(1) = 'M'
+      le32(2, out.length); le32(10, 54) // file size, pixel-array offset
+      le32(14, 40); le32(18, w); le32(22, if (topDown) -h else h)
+      le16(26, 1); le16(28, 24); le32(30, 0) // planes, bpp, BI_RGB
+      var y = 0
+      while (y < h) {
+        val row = if (topDown) y else h - 1 - y // storage row y ← image row
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = spreadChannels(px(row * w + x))
+          val o = 54 + y * stride + x * 3
+          out(o) = b.toByte; out(o + 1) = g.toByte; out(o + 2) = r.toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** PNG carrying `px` (row-major luma, w×h): 8-bit grayscale or
+      * truecolor, each scanline filtered with type y mod 5 (all five
+      * filters round-trip in every image taller than 4 rows), the
+      * filtered stream deflated with a REAL zlib encoder and split
+      * across two IDAT chunks when it fits, chunk CRCs written. */
+    def pngEncode(px: Array[Int], w: Int, h: Int, rgb: Boolean): Array[Byte] = {
+      val ch = if (rgb) 3 else 1
+      val rowBytes = w * ch
+      val raw = new Array[Byte](h * (1 + rowBytes))
+      val prev = new Array[Int](rowBytes) // previous row, UNfiltered
+      val cur = new Array[Int](rowBytes)
+      var y = 0
+      while (y < h) {
+        val ft = y % 5
+        val base = y * (1 + rowBytes)
+        raw(base) = ft.toByte
+        var x = 0
+        while (x < w) {
+          if (rgb) {
+            val (r, g, b) = spreadChannels(px(y * w + x))
+            cur(3 * x) = r; cur(3 * x + 1) = g; cur(3 * x + 2) = b
+          } else cur(x) = px(y * w + x)
+          x += 1
+        }
+        var i = 0
+        while (i < rowBytes) {
+          val left = if (i >= ch) cur(i - ch) else 0
+          val up = if (y > 0) prev(i) else 0
+          val upLeft = if (y > 0 && i >= ch) prev(i - ch) else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, upLeft)
+          }
+          raw(base + 1 + i) = ((cur(i) - pred) & 0xff).toByte
+          i += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, rowBytes)
+        y += 1
+      }
+      val z = deflate(raw)
+      val ihdr = new Array[Byte](13)
+      def be32(a: Array[Byte], i: Int, v: Int): Unit = {
+        a(i) = (v >> 24).toByte; a(i + 1) = (v >> 16).toByte
+        a(i + 2) = (v >> 8).toByte; a(i + 3) = v.toByte
+      }
+      be32(ihdr, 0, w); be32(ihdr, 4, h)
+      ihdr(8) = 8; ihdr(9) = (if (rgb) 2 else 0).toByte // depth, color type
+      val idats =
+        if (z.length > 16) Seq(z.take(z.length / 2), z.drop(z.length / 2))
+        else Seq(z)
+      (PngSig ++ chunk("IHDR", ihdr) ++
+        idats.flatMap(chunk("IDAT", _)) ++ chunk("IEND", Array.emptyByteArray)).toArray
+    }
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new CRC32
+      crc.update(t); crc.update(data)
+      val out = new Array[Byte](12 + data.length)
+      def be32(i: Int, v: Long): Unit = {
+        out(i) = (v >> 24).toByte; out(i + 1) = (v >> 16).toByte
+        out(i + 2) = (v >> 8).toByte; out(i + 3) = v.toByte
+      }
+      be32(0, data.length)
+      System.arraycopy(t, 0, out, 4, 4)
+      System.arraycopy(data, 0, out, 8, data.length)
+      be32(8 + data.length, crc.getValue)
+      out
+    }
+
+    private def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+      try {
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        val bos = new java.io.ByteArrayOutputStream
+        while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+        bos.toByteArray
+      } finally d.end()
+    }
+
+    // ---- decoder (the production leg) ----
+
+    /** Decode any supported image into the [[GridH]]×[[GridW]] luma
+      * thumbnail, or None on malformed/undersized bytes. */
+    def decodeGrid(b: Array[Byte]): Option[Array[Int]] =
+      decodeLuma(b).flatMap { case (w, h, luma) =>
+        if (w < GridW || h < GridH) None // upsampling is out of contract
+        else Some(Array.tabulate(GridH * GridW) { i =>
+          val (gy, gx) = (i / GridW, i % GridW)
+          luma((gy * h / GridH) * w + gx * w / GridW)
+        })
+      }
+
+    /** Full-resolution (w, h, row-major luma) off real PNG or BMP
+      * bytes. */
+    def decodeLuma(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      if (b.length >= 8 && PngSig.indices.forall(i => b(i) == PngSig(i)))
+        decodePng(b)
+      else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+      else None
+
+    private def u16le(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def i32le(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def u32be(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+    private def decodeBmp(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      if (i32le(b, 14) < 40) return None // core-header files carry no 24-bit grid here
+      val w = i32le(b, 18)
+      val hRaw = i32le(b, 22)
+      val topDown = hRaw < 0
+      val h = math.abs(hRaw)
+      val off = i32le(b, 10)
+      if (w <= 0 || hRaw == 0 || hRaw == Int.MinValue || off < 54) return None
+      if (u16le(b, 28) != 24 || i32le(b, 30) != 0) return None // 24-bit BI_RGB only
+      val stride = (w * 3 + 3) & ~3
+      if (off.toLong + stride.toLong * h > b.length) return None // truncated pixel array
+      val luma = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val row = if (topDown) y else h - 1 - y
+        var x = 0
+        while (x < w) {
+          val o = off + y * stride + x * 3
+          luma(row * w + x) =
+            luma24(b(o + 2) & 0xff, b(o + 1) & 0xff, b(o) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, luma))
+    }
+
+    private def decodePng(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      // chunk walk: IHDR must lead; IDAT payloads CONCATENATE into one
+      // zlib stream; every CRC verified (a flipped bit drops the row,
+      // it must not produce a plausible wrong grid)
+      var p = 8
+      var w, h, colorType = -1
+      var iendSeen = false
+      val idat = new java.io.ByteArrayOutputStream
+      while (p + 8 <= b.length) {
+        val len = u32be(b, p)
+        if (len > Int.MaxValue - 12 || p + 12 + len > b.length) return None
+        val typ = new String(b, p + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val crc = new CRC32
+        crc.update(b, p + 4, 4 + len.toInt)
+        if (crc.getValue != u32be(b, p + 8 + len.toInt)) return None
+        typ match {
+          case "IHDR" =>
+            if (len != 13) return None
+            w = u32be(b, p + 8).toInt; h = u32be(b, p + 12).toInt
+            if (b(p + 16) != 8) return None // bit depth 8 only
+            colorType = b(p + 17) & 0xff
+            if (colorType != 0 && colorType != 2) return None
+            if ((b(p + 18) | b(p + 19) | b(p + 20)) != 0) return None // no interlace
+          case "IDAT" => idat.write(b, p + 8, len.toInt)
+          case "IEND" => iendSeen = true; p = b.length // stop the walk
+          case _ => () // ancillary chunk: hop
+        }
+        if (p < b.length) p += 12 + len.toInt
+      }
+      // a stream that never reached IEND is a torn file — reject it
+      // rather than decode a silently-partial image
+      if (!iendSeen || w <= 0 || h <= 0 || colorType < 0 || idat.size == 0)
+        return None
+      val ch = if (colorType == 2) 3 else 1
+      val rowBytes = w * ch
+      val raw = inflate(idat.toByteArray, h * (1 + rowBytes)).getOrElse(return None)
+      val luma = new Array[Int](w * h)
+      val prev = new Array[Int](rowBytes)
+      val cur = new Array[Int](rowBytes)
+      var y = 0
+      while (y < h) {
+        val base = y * (1 + rowBytes)
+        val ft = raw(base) & 0xff
+        if (ft > 4) return None
+        var i = 0
+        while (i < rowBytes) {
+          val left = if (i >= ch) cur(i - ch) else 0
+          val up = if (y > 0) prev(i) else 0
+          val upLeft = if (y > 0 && i >= ch) prev(i - ch) else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, upLeft)
+          }
+          cur(i) = ((raw(base + 1 + i) & 0xff) + pred) & 0xff
+          i += 1
+        }
+        var x = 0
+        while (x < w) {
+          luma(y * w + x) =
+            if (ch == 3) luma24(cur(3 * x), cur(3 * x + 1), cur(3 * x + 2))
+            else cur(x)
+          x += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, rowBytes)
+        y += 1
+      }
+      Some((w, h, luma))
+    }
+
+    /** Inflate a zlib stream to EXACTLY `expected` bytes; more, fewer,
+      * or a codec error is a malformed image (None). */
+    private def inflate(z: Array[Byte], expected: Int): Option[Array[Byte]] = {
+      val inf = new Inflater
+      try {
+        inf.setInput(z)
+        val out = new Array[Byte](expected)
+        var got = 0
+        while (got < expected && !inf.finished()) {
+          val n = inf.inflate(out, got, expected - got)
+          if (n == 0 && inf.needsInput()) return None // truncated stream
+          got += n
+        }
+        if (got == expected && (inf.finished() || inf.inflate(new Array[Byte](1)) == 0))
+          Some(out)
+        else None
+      } catch { case _: java.util.zip.DataFormatException => None }
+      finally inf.end()
+    }
+  }
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** The near-dup fixture's grid formula — pixel i of doc `text` is
+    * text byte (i mod n), the bumped variant brightening PIXEL 0 by
+    * +16 (one region edit → the dHash moves at most ONE bit, bit 0).
+    * Shared by the generators so image and video fixtures agree with
+    * the oracle's arithmetic replay. */
+  private def gridOf(b: Array[Byte], rot: Int, bump: Boolean): Array[Int] = {
+    val n = b.length
+    val g = Array.tabulate(GridW * GridH)(i => b((i + rot) % n) & 0xff)
+    if (bump) g(0) += 16
+    g
+  }
+
+  /** Expand a thumbnail grid to (GridW·s)×(GridH·s) block-constant
+    * pixels — nearest-neighbor downsampling recovers the grid exactly,
+    * so the RESIZE path is exercised without touching the oracle. */
+  private def expand(g: Array[Int], s: Int): Array[Int] =
+    if (s == 1) g
+    else Array.tabulate(GridW * s * GridH * s) { i =>
+      val (y, x) = (i / (GridW * s), i % (GridW * s))
+      g((y / s) * GridW + (x / s))
+    }
+
+  /** Near-dup IMAGE fixture over REAL encoded bytes: every EVEN doc
+    * becomes two images — img_id = doc_id (pristine, a genuine PNG:
+    * zlib-deflated scanlines cycling all five filters, grayscale or
+    * truecolor by id) and doc_id + 1 (pixel 0 brightened +16, RE-
+    * ENCODED as a 24-bit BMP at a DIFFERENT scale) — so recovering
+    * the pair proves both decoders, the channel-spread luma, and the
+    * nearest-neighbor resize agree bit-exactly, while unrelated
+    * images stay far. Pixels derive from the doc's text bytes (ASCII
+    * by fixture construction), so the DuckDB oracle replays the grid
+    * arithmetically without decoding anything. */
   def syntheticNearDupImages(docs: DataFrame)(implicit s: SparkSession): Dataset[MediaRow] = {
     import s.implicits._
     docs.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val base = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val bumped = base.clone()
-        bumped(0) = (bumped(0) + 16).toByte
-        Seq(MediaRow(id, "image/png", base),
-          MediaRow(id + 1, "image/png", bumped))
+        val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val sBase = 1 + (id % 4).toInt / 2 // 1 or 2, flips by pair
+        val sVar = 3 - sBase // the re-encode changes resolution too
+        val png = PixelCodec.pngEncode(
+          expand(gridOf(b, 0, bump = false), sBase),
+          GridW * sBase, GridH * sBase, rgb = id % 6 == 0)
+        val bmp = PixelCodec.bmpEncode(
+          expand(gridOf(b, 0, bump = true), sVar),
+          GridW * sVar, GridH * sVar, topDown = id % 10 == 0)
+        Seq(MediaRow(id, "image/png", png),
+          MediaRow(id + 1, "image/bmp", bmp))
       }
   }
 
@@ -896,12 +1240,15 @@ object Multimodal {
     * the rest are unique footage. */
   val SharedFrames = 4
 
-  /** Shared-scene VIDEO fixture: every EVEN doc becomes two videos of
-    * [[VideoFrames]] frames each — frame f's bytes are the doc's text
-    * ROTATED left by f (distinct deterministic footage per frame).
-    * The variant video (id + 1) RE-ENCODES the first [[SharedFrames]]
-    * frames (byte 0 bumped +16, the image-fixture edit) and replaces
-    * the rest with unique footage (rotation 10 + f) — so the
+  /** Shared-scene VIDEO fixture over REAL encoded frames: every EVEN
+    * doc becomes two videos of [[VideoFrames]] frames each — frame
+    * f's pixel grid cycles the doc's text ROTATED left by f (distinct
+    * deterministic footage per frame), encoded as genuine bytes (BMP
+    * on even frames, alternating row orders; PNG on odd). The variant
+    * video (id + 1) RE-ENCODES the first [[SharedFrames]] frames
+    * (pixel 0 brightened +16, the image-fixture edit — and in the
+    * OTHER format, so the shared-scene match crosses codecs) and
+    * replaces the rest with unique footage (rotation 10 + f) — so the
     * ground-truth video pair shares exactly the re-encoded frames,
     * and frame-grain perceptual matching must recover that overlap.
     * Rows are FRAMES (`frame_uid` in doc_id), ready for
@@ -912,37 +1259,35 @@ object Multimodal {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val n = b.length
-        def frame(rot: Int, bump: Boolean): Array[Byte] = {
-          val c = Array.tabulate(n)(j => b((j + rot) % n))
-          if (bump) c(0) = (c(0) + 16).toByte
-          c
+        def frame(rot: Int, bump: Boolean, alt: Boolean): Array[Byte] = {
+          val g = gridOf(b, rot, bump)
+          val bmpSide = (rot % 2 == 0) ^ alt
+          if (bmpSide) PixelCodec.bmpEncode(g, GridW, GridH, topDown = rot % 4 == 0)
+          else PixelCodec.pngEncode(g, GridW, GridH, rgb = rot % 3 == 0)
         }
         (0 until VideoFrames).flatMap { f =>
           Seq(
             MediaRow(id * FrameRadix + f, "video/frame",
-              frame(f, bump = false)),
+              frame(f, bump = false, alt = false)),
             MediaRow((id + 1) * FrameRadix + f, "video/frame",
-              if (f < SharedFrames) frame(f, bump = true)
-              else frame(10 + f, bump = false)))
+              if (f < SharedFrames) frame(f, bump = true, alt = true)
+              else frame(10 + f, bump = false, alt = false)))
         }
       }
   }
 
-  /** STUBBED pixel decode ([[FakeCodec]]'s contract, grid-shaped): a
-    * real build decodes `content` with a codec library and resizes to
-    * [[GridH]]×[[GridW]] grayscale; the stand-in cycles the content
-    * bytes through the grid, so the "pixels" are deterministic,
-    * content-sensitive, and oracle-replayable. The Spark-side shape —
-    * partition-wise batch decode of binary rows into fixed-size int
-    * grids — is the production plumbing, and it is what the hash and
-    * the banded dedup join actually consume. */
+  /** REAL pixel decode ([[PixelCodec]]): PNG chunks CRC-walked and
+    * zlib-inflated, all five filters defiltered, BMP pixel arrays
+    * unpadded in either row order, luma'd, and nearest-neighbor
+    * downsampled to the [[GridH]]×[[GridW]] grid. Partition-wise
+    * batch decode of binary rows into fixed-size int grids — the
+    * production plumbing the hash and the banded dedup join consume;
+    * unparseable rows drop (dead-letter split is the caller's move,
+    * the [[decodeHeaders]] discipline). */
   def decodePixels(media: Dataset[MediaRow])(implicit s: SparkSession): Dataset[PixelImage] = {
     import s.implicits._
-    media.mapPartitions(_.map { r =>
-      val n = r.content.length
-      PixelImage(r.doc_id,
-        Array.tabulate(GridW * GridH)(i => r.content(i % n) & 0xff))
+    media.mapPartitions(_.flatMap { r =>
+      PixelCodec.decodeGrid(r.content).map(PixelImage(r.doc_id, _))
     })
   }
 }

@@ -1,0 +1,101 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.Multimodal.{GridH, GridW, PixelCodec}
+
+/** [[Multimodal.PixelCodec]] laws — the REAL image decode the
+  * perceptual-hash family rides: encode→decode round trips for every
+  * layout variant, the resize contract, the luma asymmetry that makes
+  * channel-order bugs visible, and the never-throws discipline on
+  * malformed bytes. */
+class PixelCodecSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(42)
+  private def grid(): Array[Int] =
+    Array.fill(GridW * GridH)(32 + rnd.nextInt(120)) // ASCII-range values
+
+  private def expand(g: Array[Int], s: Int): Array[Int] =
+    Array.tabulate(GridW * s * GridH * s) { i =>
+      val (y, x) = (i / (GridW * s), i % (GridW * s))
+      g((y / s) * GridW + (x / s))
+    }
+
+  test("PNG round trip: grayscale and truecolor, scales 1 and 2, all five filters") {
+    for (rgb <- Seq(false, true); s <- Seq(1, 2)) {
+      val g = grid()
+      val bytes = PixelCodec.pngEncode(expand(g, s), GridW * s, GridH * s, rgb)
+      // GridH·s ≥ 8 rows with filter = row mod 5 ⇒ every filter used
+      assert(PixelCodec.decodeGrid(bytes).exists(_.sameElements(g)),
+        s"png rgb=$rgb scale=$s must round-trip the grid exactly")
+    }
+  }
+
+  test("BMP round trip: both row orders, scales 1 and 2, padding exercised") {
+    // GridW·3 = 27 bytes/row at scale 1 — stride pads to 28, so a
+    // decoder that forgets padding desyncs every row past the first
+    for (topDown <- Seq(false, true); s <- Seq(1, 2)) {
+      val g = grid()
+      val bytes = PixelCodec.bmpEncode(expand(g, s), GridW * s, GridH * s, topDown)
+      assert(PixelCodec.decodeGrid(bytes).exists(_.sameElements(g)),
+        s"bmp topDown=$topDown scale=$s must round-trip the grid exactly")
+    }
+  }
+
+  test("cross-format agreement: the same grid decodes identically from PNG and BMP") {
+    val g = grid()
+    val viaPng = PixelCodec.decodeGrid(
+      PixelCodec.pngEncode(g, GridW, GridH, rgb = true)).get
+    val viaBmp = PixelCodec.decodeGrid(
+      PixelCodec.bmpEncode(g, GridW, GridH, topDown = true)).get
+    assert(viaPng.sameElements(viaBmp) && viaPng.sameElements(g))
+  }
+
+  test("luma is asymmetric: a red/blue channel swap shifts the value") {
+    // (3r+4g+b)>>3 with the (v+d, v, v−3d) spread: swapping r and b
+    // yields v−d — visible whenever d = v mod 5 ≠ 0
+    val v = 67 // d = 2
+    val (r, g, b) = PixelCodec.spreadChannels(v)
+    assert(PixelCodec.luma24(r, g, b) == v)
+    assert(PixelCodec.luma24(b, g, r) != v,
+      "channel-order bug must not be invisible to the oracle")
+  }
+
+  test("malformed bytes yield None, never an exception") {
+    val g = grid()
+    val png = PixelCodec.pngEncode(g, GridW, GridH, rgb = false)
+    val bmp = PixelCodec.bmpEncode(g, GridW, GridH, topDown = false)
+    // flipped byte inside IDAT: the chunk CRC must catch it
+    val corrupt = png.clone()
+    corrupt(png.length - 20) = (corrupt(png.length - 20) ^ 0x40).toByte
+    assert(PixelCodec.decodeGrid(corrupt).isEmpty, "CRC must be verified")
+    // truncations at every prefix of both formats
+    (0 until png.length by 7).foreach { k =>
+      assert(PixelCodec.decodeGrid(png.take(k)).isEmpty) }
+    (0 until bmp.length by 7).foreach { k =>
+      assert(PixelCodec.decodeGrid(bmp.take(k)).isEmpty) }
+    // garbage and sub-grid dimensions
+    assert(PixelCodec.decodeGrid(Array.fill[Byte](100)(0x5a)).isEmpty)
+    val tiny = PixelCodec.bmpEncode(Array.fill(4 * 4)(50), 4, 4, topDown = false)
+    assert(PixelCodec.decodeGrid(tiny).isEmpty,
+      "sub-grid images are out of the resize contract")
+  }
+
+  test("multi-IDAT streams reassemble (encoder splits when it fits)") {
+    // a 2×-scale image compresses to well over 16 bytes ⇒ two IDATs
+    val g = grid()
+    val bytes = PixelCodec.pngEncode(expand(g, 2), GridW * 2, GridH * 2, rgb = true)
+    val idats = {
+      var p = 8; var n = 0
+      while (p + 8 <= bytes.length) {
+        val len = (((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
+          ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)).toInt
+        val typ = new String(bytes, p + 4, 4, "US-ASCII")
+        if (typ == "IDAT") n += 1
+        p += 12 + len
+      }
+      n
+    }
+    assert(idats == 2, s"expected a split IDAT stream, got $idats chunk(s)")
+    assert(PixelCodec.decodeGrid(bytes).exists(_.sameElements(g)))
+  }
+}
