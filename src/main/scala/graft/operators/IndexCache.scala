@@ -64,7 +64,7 @@ object IndexCache {
   private val TrainerVersion = Map(
     "cent" -> 1, "pq" -> 1, "sq8" -> 1, "clf" -> 1,
     "bpe" -> 1, "bpeb" -> 1, "wp" -> 1, "uni" -> 2, "chrome" -> 2,
-    "pca" -> 1)
+    "pca" -> 1, "psl" -> 1)
 
   /** Trainings actually RUN by this process (loads don't count) —
     * what the restart spec observes. */
@@ -244,6 +244,16 @@ object IndexCache {
 
   def unigramModel(dir: String)(build: => Unigram.Trained): Unigram.Trained =
     cached(s"uni:$dir")(build)
+
+  /** The public-suffix rule table ([[PublicSuffix]]) — NOT corpus-
+    * derived (key "bundled" names the artifact source, not a data
+    * dir): an external registry snapshot that rides the same
+    * versioned envelope, so a production deployment publishes the
+    * full fetched list once and every session loads it — version-
+    * checked, atomically replaced — instead of shipping a code
+    * change. */
+  def pslRules(build: => PublicSuffix.Rules): PublicSuffix.Rules =
+    cached("psl:bundled")(build)
 
   /** Drop every memoized artifact (tests that mutate a dir in place). */
   def clear(): Unit = memo.clear()

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Public-suffix list (PSL) — the registered-domain authority the
+  * crawl front-end keys on ([[UrlOps]]): domain caps, blocklists,
+  * and per-domain stats are only meaningful at the REGISTERED domain
+  * (`example.co.uk`, `user.github.io`), never at the bare last-2
+  * labels (which would merge every `.co.uk` site into one key and
+  * split nothing on `github.io`).
+  *
+  * The list itself is an external artifact (publicsuffix.org — the
+  * Mozilla-maintained registry every browser ships); [[Snapshot]] is
+  * a bundled SUBSET snapshot covering the major ccTLD registration
+  * hierarchies, the wildcard TLDs, their exception rules, and the
+  * high-traffic private-section suffixes. Production swaps in the
+  * full list through the same [[graft.operators.IndexCache]] envelope
+  * ([[rules]]) — versioned, atomically published, loud-rejected on
+  * format drift — without touching the resolution algorithm.
+  *
+  * Resolution implements the published PSL algorithm restricted to
+  * the snapshot's rule shapes (rules up to 3 labels, 1- and 2-label
+  * wildcard bases): exception rules win outright (public suffix =
+  * the rule minus its leading label), else the LONGEST matching rule
+  * (wildcard `*.X` matching any single label under X), else the
+  * default rule `*` (every bare TLD is a public suffix). The
+  * registered domain is the suffix plus one label; a host that IS a
+  * public suffix keeps itself (total function — a NULL here would
+  * poison downstream group keys).
+  *
+  * 100 TB shape: the rule sets are literal `isin` sets (Catalyst
+  * compiles them to O(1) hash probes inside whole-stage codegen), so
+  * resolution is a pure scan-stage expression — no join, no shuffle,
+  * no UDF; the artifact rides the driver→executor literal path the
+  * way a broadcast map would, with none of the join machinery.
+  */
+object PublicSuffix {
+
+  /** One loaded rule table. Seqs, not Sets, so the SQL twins render
+    * deterministically. */
+  case class Rules(normal2: Seq[String], normal3: Seq[String],
+                   wild1: Seq[String], wild2: Seq[String],
+                   exc2: Seq[String], exc3: Seq[String])
+    extends Serializable
+
+  /** Bundled snapshot (publicsuffix.org, ICANN + private sections;
+    * subset). normal2/normal3 = plain rules by label count; wild1/
+    * wild2 = wildcard BASES (`*.ck` → "ck", `*.kawasaki.jp` →
+    * "kawasaki.jp"); exc2/exc3 = exception rules (`!www.ck` →
+    * "www.ck") by their own label count. */
+  val Snapshot: Rules = Rules(
+    normal2 = Seq(
+      // ICANN ccTLD second-level registrations
+      "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk",
+      "sch.uk", "ac.uk", "gov.uk", "nhs.uk",
+      "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+      "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+      "gr.jp", "lg.jp",
+      "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
+      "art.br", "blog.br",
+      "co.in", "firm.in", "net.in", "org.in", "gen.in", "ind.in",
+      "ac.in", "edu.in", "res.in", "gov.in", "nic.in",
+      "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+      "geek.nz", "gen.nz", "kiwi.nz", "maori.nz",
+      "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+      "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+      "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar", "int.ar", "mil.ar",
+      "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+      "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+      "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+      "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+      "com.my", "net.my", "org.my", "edu.my", "gov.my",
+      "co.id", "net.id", "or.id", "web.id", "ac.id", "sch.id", "go.id",
+      "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "ac.kr",
+      "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "av.tr",
+      "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+      "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl",
+      "waw.pl",
+      "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il",
+      "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg",
+      "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
+      "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+      "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke",
+      "com.gh", "org.gh", "gov.gh", "edu.gh",
+      "co.th", "in.th", "ac.th", "go.th", "or.th", "net.th",
+      "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "ac.vn",
+      "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+      "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+      "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd", "ac.bd",
+      "com.co", "net.co", "org.co", "edu.co", "gov.co",
+      "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe",
+      "com.ve", "co.ve", "net.ve", "org.ve",
+      "com.ec", "com.uy", "com.py", "com.bo", "com.do", "com.gt",
+      "com.sv", "com.hn", "com.ni", "com.pa", "co.cr",
+      // private section (site-per-subdomain hosting)
+      "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
+      "appspot.com", "herokuapp.com", "firebaseapp.com", "web.app",
+      "netlify.app", "vercel.app", "pages.dev", "workers.dev",
+      "azurewebsites.net", "cloudapp.net", "cloudfront.net",
+      "repl.co", "glitch.me", "onrender.com", "fly.dev", "surge.sh",
+      "neocities.org", "weebly.com", "wixsite.com"),
+    normal3 = Seq(
+      // private section, 3-label
+      "blogspot.co.uk", "blogspot.com.au", "blogspot.co.nz",
+      "s3.amazonaws.com"),
+    wild1 = Seq("ck", "er", "kh", "mm", "np", "pg"),
+    wild2 = Seq( // the JP designated-city wildcards
+      "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+      "sapporo.jp", "sendai.jp", "yokohama.jp"),
+    exc2 = Seq("www.ck"),
+    exc3 = Seq( // !city.<designated-city>.jp
+      "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+      "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+      "city.yokohama.jp"))
+
+  /** The loaded rule table — [[Snapshot]] through the IndexCache
+    * versioned envelope (persisted when GRAFT_INDEX_CACHE_DIR is set,
+    * loud-rejected on version/format drift, rebuilt from the bundle
+    * otherwise). Production replaces the bundle with the full fetched
+    * list behind this same call. */
+  def rules: Rules = IndexCache.pslRules(Snapshot)
+
+  /** Public-suffix label count of a host, given its last-1/2/3 label
+    * strings — the PSL algorithm as one codegen'd `when` chain.
+    * Order: exceptions, then longest match (3-label plain, 2-label
+    * wildcard base ⇒ 3-label suffix, 2-label plain, 1-label wildcard
+    * base ⇒ 2-label suffix), then the default rule (1). A k-label
+    * string can never equal a rule of another label count, so no
+    * explicit size guards are needed. */
+  def suffixLabels(last1: Column, last2: Column, last3: Column): Column = {
+    val r = rules
+    when(last3.isin(r.exc3: _*), lit(2))
+      .when(last2.isin(r.exc2: _*), lit(1))
+      .when(last3.isin(r.normal3: _*), lit(3))
+      .when(last2.isin(r.wild2: _*), lit(3))
+      .when(last2.isin(r.normal2: _*), lit(2))
+      .when(last1.isin(r.wild1: _*), lit(2))
+      .otherwise(lit(1))
+  }
+
+  /** Registered domain from (host, its dot-split `parts`, their
+    * count, the suffix label count): suffix plus one label, or the
+    * whole host when it IS a public suffix. */
+  def domainFrom(host: Column, parts: Column, n: Column, sfx: Column): Column =
+    when(n > sfx,
+      array_join(slice(parts, n - sfx, sfx + lit(1)), ".")).otherwise(host)
+
+  // ---------------------------------------------------------------
+  // DuckDB twins — the same rule sets rendered into SQL, so every
+  // oracle is parametrized over the live table.
+  // ---------------------------------------------------------------
+
+  private def inList(xs: Seq[String]): String =
+    xs.map("'" + _ + "'").mkString(", ")
+
+  /** SQL for [[suffixLabels]] over last1/last2/last3 expressions. */
+  def sqlSuffixLabels(last1: String, last2: String, last3: String): String = {
+    val r = rules
+    s"""CASE WHEN $last3 IN (${inList(r.exc3)}) THEN 2
+       |     WHEN $last2 IN (${inList(r.exc2)}) THEN 1
+       |     WHEN $last3 IN (${inList(r.normal3)}) THEN 3
+       |     WHEN $last2 IN (${inList(r.wild2)}) THEN 3
+       |     WHEN $last2 IN (${inList(r.normal2)}) THEN 2
+       |     WHEN $last1 IN (${inList(r.wild1)}) THEN 2
+       |     ELSE 1 END""".stripMargin
+  }
+
+  /** SQL for [[domainFrom]] over host/parts/sfx expressions. */
+  def sqlDomainFrom(host: String, parts: String, sfx: String): String =
+    s"""CASE WHEN len($parts) > $sfx
+       |     THEN array_to_string(
+       |       list_slice($parts, len($parts) - $sfx, len($parts)), '.')
+       |     ELSE $host END""".stripMargin
+}

@@ -33,22 +33,24 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
-  /** Multi-part public suffixes the registered-domain heuristic
-    * recognizes (a stand-in for the full public-suffix list, which is
-    * an external artifact at production; the MECHANISM — last-2 vs
-    * last-3 labels on a suffix table — is the real thing). */
-  val MultiPartTlds: Seq[String] = Seq("co.uk", "com.au", "co.jp")
+  // Registered domains resolve against the REAL public-suffix list
+  // ([[PublicSuffix]]): a bundled publicsuffix.org snapshot (plain +
+  // wildcard + exception rules) loaded through the IndexCache
+  // versioned envelope, applied as literal isin sets in the scan
+  // stage — no join, no UDF.
 
   /** Deterministic URL fixture off `documents`: every 3 consecutive
     * doc_ids are one logical PAGE (doc_id div 3) crawled under three
     * spellings — www + plain params / bare host + default port +
     * reordered params + utm / uppercase-WWW + trailing slash + utm +
     * ref + fragment — so canonicalization collapses exactly the
-    * variant triples and nothing else. Every 7th page sits on the
-    * co.uk form of its source domain (exercising the multi-part
-    * suffix), every 11th carries a REAL port that must survive, and
-    * every 4th has no genuine query (its utm-only variants must
-    * canonicalize to no `?` at all). */
+    * variant triples and nothing else. Pages rotate through the PSL
+    * rule classes — every 13th on github.io (private-section suffix),
+    * every 17th under the *.ck wildcard, every 19th on the
+    * !city.kawasaki.jp exception, every 7th on co.uk — every 11th
+    * carries a REAL port that must survive, and every 4th has no
+    * genuine query (its utm-only variants must canonicalize to no
+    * `?` at all). */
   def urls(docs: DataFrame): DataFrame = {
     val page = expr("doc_id div 3")
     val v = col("doc_id") % 3
@@ -56,7 +58,16 @@ object UrlOps {
     // rotates per doc_id — page-mates must share a host or the
     // variant triple could never collapse)
     val site = concat(lit("site"), (page % 20).cast("string"))
-    val tld = when(page % 7 === 0, "co.uk").otherwise("com")
+    // suffix mix: a private-section suffix (github.io — registered
+    // domain must be THREE labels), a wildcard TLD (*.ck — the
+    // whole site label is part of the public suffix), an exception
+    // rule (!city.kawasaki.jp — every subdomain maps to the one
+    // city domain), the classic multi-part co.uk, and plain com
+    val tld = when(page % 13 === 0, "github.io")
+      .when(page % 17 === 0, "web.ck")
+      .when(page % 19 === 0, "city.kawasaki.jp")
+      .when(page % 7 === 0, "co.uk")
+      .otherwise("com")
     val sub = when(v === 0, "www.").when(v === 1, "").otherwise("WWW.")
     val schm = when(v === 1, "HTTPS").otherwise("https")
     val port = when(page % 11 === 0, ":8443")
@@ -132,14 +143,16 @@ object UrlOps {
       .withColumn("_u_parts", split(col("host"), "\\."))
       .withColumn("_u_n", size(col("_u_parts")))
     val d5 = d4
+      .withColumn("_u_last1", element_at(col("_u_parts"), col("_u_n")))
       .withColumn("_u_last2", array_join(
         slice(col("_u_parts"), greatest(col("_u_n") - 1, lit(1)), lit(2)), "."))
       .withColumn("_u_last3", array_join(
         slice(col("_u_parts"), greatest(col("_u_n") - 2, lit(1)), lit(3)), "."))
-    d5.withColumn("domain",
-        when(col("_u_last2").isin(MultiPartTlds: _*), col("_u_last3"))
-          .otherwise(col("_u_last2")))
-      .drop(d5.columns.filter(_.startsWith("_u_")): _*)
+    val d6 = d5.withColumn("_u_sfx", PublicSuffix.suffixLabels(
+      col("_u_last1"), col("_u_last2"), col("_u_last3")))
+    d6.withColumn("domain", PublicSuffix.domainFrom(
+        col("host"), col("_u_parts"), col("_u_n"), col("_u_sfx")))
+      .drop(d6.columns.filter(_.startsWith("_u_")): _*)
   }
 
   /** The canonical form of `url` (contract in the object doc) as ONE
@@ -186,15 +199,18 @@ object UrlOps {
   def hostOf(canonical: Column): Column =
     regexp_extract(canonical, "^[A-Za-z]+://([^/?#:]*)", 1)
 
-  /** Registered domain of a host: last two labels, or last three when
-    * the last two form a multi-part public suffix ([[MultiPartTlds]]).
-    */
+  /** Registered domain of a host: the public suffix (resolved against
+    * the [[PublicSuffix]] rule table — plain, wildcard, and exception
+    * rules, longest match) plus one label; a host that IS a public
+    * suffix keeps itself. */
   def registeredDomain(host: Column): Column = {
     val parts = split(host, "\\.")
     val n = size(parts)
+    val last1 = element_at(parts, n)
     val last2 = array_join(slice(parts, greatest(n - 1, lit(1)), lit(2)), ".")
     val last3 = array_join(slice(parts, greatest(n - 2, lit(1)), lit(3)), ".")
-    when(last2.isin(MultiPartTlds: _*), last3).otherwise(last2)
+    PublicSuffix.domainFrom(host, parts, n,
+      PublicSuffix.suffixLabels(last1, last2, last3))
   }
 
   // ---------------------------------------------------------------
@@ -209,7 +225,11 @@ object UrlOps {
       |  (CASE WHEN doc_id % 3 = 0 THEN 'www.'
       |        WHEN doc_id % 3 = 1 THEN '' ELSE 'WWW.' END) ||
       |  'site' || CAST((doc_id // 3) % 20 AS VARCHAR) || '.' ||
-      |  (CASE WHEN (doc_id // 3) % 7 = 0 THEN 'co.uk' ELSE 'com' END) ||
+      |  (CASE WHEN (doc_id // 3) % 13 = 0 THEN 'github.io'
+      |        WHEN (doc_id // 3) % 17 = 0 THEN 'web.ck'
+      |        WHEN (doc_id // 3) % 19 = 0 THEN 'city.kawasaki.jp'
+      |        WHEN (doc_id // 3) % 7 = 0 THEN 'co.uk'
+      |        ELSE 'com' END) ||
       |  (CASE WHEN (doc_id // 3) % 11 = 0 THEN ':8443'
       |        WHEN doc_id % 3 = 1 THEN ':443' ELSE '' END) ||
       |  '/p/' || CAST(doc_id // 3 AS VARCHAR) ||
@@ -266,16 +286,19 @@ object UrlOps {
        |    path ||
        |    (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical
        |  FROM c3),
-       |c5 AS (SELECT doc_id, n_chars, url, host, canonical,
+       |c5 AS (SELECT doc_id, n_chars, url, host, canonical, parts,
+       |    parts[len(parts)] AS last1,
        |    array_to_string(
        |      list_slice(parts, greatest(1, len(parts) - 1), len(parts)),
        |      '.') AS last2,
        |    array_to_string(
        |      list_slice(parts, greatest(1, len(parts) - 2), len(parts)),
        |      '.') AS last3
-       |  FROM c4)
+       |  FROM c4),
+       |c6 AS (SELECT doc_id, n_chars, url, host, canonical, parts,
+       |    ${PublicSuffix.sqlSuffixLabels("last1", "last2", "last3")} AS sfx
+       |  FROM c5)
        |SELECT doc_id, n_chars, url, host, canonical,
-       |  CASE WHEN last2 IN (${MultiPartTlds.map("'" + _ + "'").mkString(", ")})
-       |       THEN last3 ELSE last2 END AS domain
-       |FROM c5)""".stripMargin
+       |  ${PublicSuffix.sqlDomainFrom("host", "parts", "sfx")} AS domain
+       |FROM c6)""".stripMargin
 }

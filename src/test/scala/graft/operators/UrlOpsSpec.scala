@@ -112,4 +112,29 @@ class UrlOpsSpec extends SparkSpec {
       "example.com", "example.com", "example.co.uk",
       "example.co.uk", "localhost", "example.com.au"))
   }
+
+  test("PSL rule classes: private suffix, 3-label rule, wildcard, exception") {
+    assert(dom(
+      "user.github.io",         // private-section suffix: THREE labels
+      "deep.user.github.io",
+      "github.io",              // host IS a public suffix: kept whole
+      "blog.blogspot.co.uk",    // 3-label plain rule
+      "anything.ck",            // *.ck wildcard: host IS the suffix
+      "site.anything.ck",       // ...so the registrable is one deeper
+      "www.ck",                 // !www.ck exception: suffix is bare ck
+      "sub.www.ck",
+      "a.city.kawasaki.jp",     // !city.kawasaki.jp beats *.kawasaki.jp
+      "a.other.kawasaki.jp"     // the wildcard path for everyone else
+    ) == Seq(
+      "user.github.io",
+      "user.github.io",
+      "github.io",
+      "blog.blogspot.co.uk",
+      "anything.ck",
+      "site.anything.ck",
+      "www.ck",
+      "www.ck",
+      "city.kawasaki.jp",
+      "a.other.kawasaki.jp"))
+  }
 }
