@@ -51,6 +51,13 @@ object Hashing {
   def permuted(h: Column, i: Int): Column =
     (h * lit(2L * i + 1) + lit(7919L * i + 1)) % lit(MinhashPrime)
 
+  /** JVM twin of [[permuted]] — the ONE authority for driver-side
+    * point lookups against sketch cells folded by the Column form
+    * ([[graft.streaming.CmsStats.estimate]]); a constant change here
+    * moves both sides together. */
+  def permutedJvm(h: Long, i: Int): Long =
+    (h * (2L * i + 1) + (7919L * i + 1)) % MinhashPrime
+
   /** k-token shingles of a token array, as 'tok1 tok2 tok3' strings.
     * Pure array expression; empty array for docs shorter than k
     * (Spark's `sequence` would otherwise count DOWN for a negative

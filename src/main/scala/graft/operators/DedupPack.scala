@@ -132,7 +132,16 @@ object DedupPack extends QueryPack {
   def withExcerpts(base: DataFrame): DataFrame =
     base.union(
       base.filter(col("doc_id") % ExcerptMod === 0)
-        .select((col("doc_id") + lit(ExcerptIdOffset)).as("doc_id"),
+        // the id convention's precondition made LOUD: an excerpt id
+        // colliding with a real doc_id (corpora with ids >= the
+        // offset) would silently merge two docs' shingle sets in the
+        // union — fail the scan task instead
+        .select(when(col("doc_id") < lit(ExcerptIdOffset),
+            col("doc_id") + lit(ExcerptIdOffset))
+          .otherwise(raise_error(concat(
+            lit(s"withExcerpts: doc_id >= ExcerptIdOffset $ExcerptIdOffset "),
+            lit("collides with excerpt ids: "), col("doc_id"))))
+          .as("doc_id"),
           slice(col("toks"), lit(1),
             greatest(lit(3), floor(size(col("toks")) * lit(2) / lit(5))
               .cast("int"))).as("toks")))
@@ -196,8 +205,14 @@ object DedupPack extends QueryPack {
         .crossJoin(broadcast(tri))
         .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
           col("n_triangles"),
-          graft.Det.dround(lit(3.0) * col("n_triangles").cast("double") /
-            col("n_wedges").cast("double"), 4).as("closure"))
+          // zero-wedge graphs (a perfect matching) have no defined
+          // closure: Spark's x/0 yields NULL but DuckDB yields NaN,
+          // so the degenerate case must be pinned to NULL explicitly
+          // on BOTH engines
+          when(col("n_wedges") === 0, lit(null).cast("double"))
+            .otherwise(graft.Det.dround(
+              lit(3.0) * col("n_triangles").cast("double") /
+                col("n_wedges").cast("double"), 4)).as("closure"))
     }),
 
     // Split-LEAKAGE audit — near-dup pairs that straddle the
@@ -1395,9 +1410,9 @@ object DedupPack extends QueryPack {
          |     JOIN cand ac ON ac.doc_a = ab.doc_a
          |       AND ac.doc_b = bc.doc_b) AS n_triangles)
          |SELECT n_nodes, n_edges, n_wedges, n_triangles,
-         |  ${graft.Det.droundSql(
+         |  CASE WHEN n_wedges = 0 THEN NULL ELSE ${graft.Det.droundSql(
             "3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)",
-            4)} AS closure
+            4)} END AS closure
          |FROM agg""".stripMargin,
 
     "ds_minhash_pairs" ->

@@ -64,7 +64,7 @@ object IndexCache {
   private val TrainerVersion = Map(
     "cent" -> 1, "pq" -> 1, "sq8" -> 1, "clf" -> 1,
     "bpe" -> 1, "bpeb" -> 1, "wp" -> 1, "uni" -> 2, "chrome" -> 2,
-    "pca" -> 1, "psl" -> 1)
+    "pca" -> 2, "psl" -> 1) // pca v2: top-K by deflation (round 12)
 
   /** Trainings actually RUN by this process (loads don't count) —
     * what the restart spec observes. */
@@ -190,15 +190,18 @@ object IndexCache {
       (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
     }
 
-  /** The top-PC eigenvector of `dir`'s embeddings in [[Pca.VNorm]]
-    * units — one Gramian pass + the fixed-point power iteration,
-    * shared by sim_pca_power / sim_pca_project / sim_index_e2e. */
-  def pcaVector(s: SparkSession, dir: String): Array[Long] =
+  /** The top-[[SimilarityPack.PcaK]] eigenvectors of `dir`'s
+    * embeddings in [[Pca.VNorm]] units (component 0 = dominant) —
+    * one Gramian pass + the fixed-point deflation loop, shared by
+    * sim_pca_power / sim_pca_project / sim_pca_drift /
+    * sim_index_e2e. */
+  def pcaVectors(s: SparkSession, dir: String): Seq[Array[Long]] =
     cached(s"pca:$dir") {
       val cells = Pca.gramUpper(
           Tables.embeddings(s, dir).filter(col("embedding").isNotNull))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-      Pca.powerIterate(cells.toSeq, SimilarityPack.PcaDim)
+      Pca.powerIterateK(cells.toSeq, SimilarityPack.PcaDim,
+        SimilarityPack.PcaK)
     }
 
   /** The trained quality-classifier model over `dir`'s documents

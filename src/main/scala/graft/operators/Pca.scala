@@ -26,12 +26,22 @@ import org.apache.spark.sql.functions._
   * Scale shape: the pair explode costs d² rows per vector — the
   * irreducible cost of ANY Gramian — but the groupBy combines
   * map-side, so the single exchange carries ≤ d(d+1)/2 rows per
-  * partition regardless of corpus size. Overflow headroom: with
-  * |q| ≤ 10⁵ (embedding values |x| < 10 at scale 4), Gramian cells
-  * stay within a long up to ~10⁸ rows per job; beyond that the 100
-  * TB form shards the Gramian by row-range and merges per-shard
-  * cells (they sum exactly), which the mergeability of integer sums
-  * gives for free.
+  * partition regardless of corpus size. Overflow headroom: the
+  * Gramian SUM itself (|q| ≤ 10⁵ per dim, so ≤ 10¹⁰ per row pair)
+  * stays inside a long to ~10⁸ rows per job; the GNorm RESCALE of a
+  * cell is the tighter op (cell·10⁶) and runs in 128-bit — BigInt on
+  * the driver, HUGEINT in the oracle — so it never binds. Beyond
+  * ~10⁸ rows the 100 TB form shards the Gramian by row-range and
+  * merges per-shard cells (they sum exactly), which the mergeability
+  * of integer sums gives for free.
+  *
+  * TOP-K extraction ([[powerIterateK]]) runs Hotelling deflation on
+  * the same driver-bounded d² state: after each component, subtract
+  * the integer rank-1 term (λ̂/‖v‖²)·v·vᵀ (λ̂ the Rayleigh quotient
+  * in fixed point) and re-normalize the residual to max-abs
+  * [[GNorm]], restoring the power loop's overflow envelope exactly.
+  * Every deflation op is a truncating integer division replayed
+  * op-for-op by the oracle's unrolled CTEs ([[sqlChainK]]).
   *
   * Reference analog: none — the reference has no vector layer; this
   * extends the similarity family (SURVEY §7.2.6) the way PQ/IVF did.
@@ -92,16 +102,36 @@ object Pca {
     * cells. Returns the max-norm eigenvector in [[VNorm]] units,
     * sign-fixed so the largest-|v| component (smallest dim on ties)
     * is positive. */
-  def powerIterate(cells: Seq[(Int, Int, Long)], d: Int): Array[Long] = {
-    val g = Array.ofDim[Long](d, d)
+  def powerIterate(cells: Seq[(Int, Int, Long)], d: Int): Array[Long] =
+    powerIterateK(cells, d, 1).head
+
+  /** Top-K components by Hotelling deflation: power-iterate, subtract
+    * the fixed-point rank-1 term, re-normalize the residual to
+    * max-abs [[GNorm]] (restoring the loop's overflow envelope),
+    * repeat. Components come out in extraction order (0 =
+    * dominant). */
+  def powerIterateK(cells: Seq[(Int, Int, Long)], d: Int, k: Int)
+      : Seq[Array[Long]] = {
+    var g = Array.ofDim[Long](d, d)
     val maxAbs = cells.map { case (_, _, v) => math.abs(v) }.max
     require(maxAbs > 0, "degenerate Gramian: all-zero embeddings")
     cells.foreach { case (i, j, v) =>
-      // (|v|·GNorm div maxAbs)·sign — non-negative division only;
-      // |v|·GNorm ≤ ~7.2e16 stays in a long
-      val scaled = tdiv(math.abs(v) * GNorm, maxAbs) * math.signum(v)
+      // (|v|·GNorm div maxAbs)·sign in 128-bit: a raw-Gramian cell
+      // times GNorm overflows a long from ~10⁷ rows (ADVICE r11) —
+      // BigInt here, HUGEINT in the oracle's gn CTE, floor-identical
+      val scaled =
+        ((BigInt(math.abs(v)) * GNorm) / maxAbs).toLong * math.signum(v)
       g(i)(j) = scaled; g(j)(i) = scaled
     }
+    (0 until k).map { c =>
+      val v = powerLoop(g, d)
+      if (c < k - 1) g = deflate(g, v, d)
+      v
+    }
+  }
+
+  /** T rounds + deterministic sign fix over one normalized matrix. */
+  private def powerLoop(g: Array[Array[Long]], d: Int): Array[Long] = {
     var v = Array.fill(d)(VNorm)
     (1 to Iters).foreach { _ =>
       val w = Array.tabulate(d)(i =>
@@ -114,6 +144,34 @@ object Pca {
     // ties) points positive
     val lead = (0 until d).minBy(i => (-math.abs(v(i)), i))
     if (v(lead) < 0) v.map(-_) else v
+  }
+
+  /** Signed truncating division — [[tdiv]] with the sign carried. */
+  private def stdiv(n: Long, m: Long): Long =
+    if (n < 0) -((-n) / m) else n / m
+
+  /** One Hotelling deflation + [[GNorm]] re-normalization, all ops
+    * inside a long by construction: gv ≤ d·GNorm·VNorm ≈ 6.4e12,
+    * v·gv ≤ 6.4e17, λ̂ ≤ ~4e9, λ̂·v ≤ 4e14, residual·GNorm ≤ ~4e15.
+    * Mirrored op-for-op by [[sqlDeflateCtes]]. */
+  private def deflate(g: Array[Array[Long]], v: Array[Long], d: Int)
+      : Array[Array[Long]] = {
+    val gv = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * v(j)).sum)
+    val num = (0 until d).map(i => stdiv(v(i) * gv(i), VNorm)).sum
+    val vv = v.map(x => x * x).sum
+    val vvn = vv / VNorm // vv ≥ VNorm² (max-norm v), so vvn ≥ VNorm > 0
+    val lam = stdiv(num, vvn)
+    // rank-1 term λ̂·v·vᵀ/‖v‖², factored as ((λ̂·vᵢ)/vvn)·vⱼ/VNorm so
+    // every intermediate stays in a long; dividing by VNorm² instead
+    // of ‖v‖² here OVER-subtracts by up to d× (v is max-norm, not
+    // unit), leaving a NEGATIVE eigenvalue so dominant that the next
+    // power loop re-finds ±v — the bug the separation spec pins
+    val sd = v.map(vi => stdiv(lam * vi, vvn))
+    val resid = Array.tabulate(d, d)((i, j) =>
+      g(i)(j) - stdiv(sd(i) * v(j), VNorm))
+    val m2 = resid.flatten.map(math.abs).max
+    require(m2 > 0, "deflation annihilated the Gramian: rank < k")
+    Array.tabulate(d, d)((i, j) => stdiv(resid(i)(j) * GNorm, m2))
   }
 
   /** The eigenvector as integer-exact SQL: unrolled CTEs
@@ -150,14 +208,13 @@ object Pca {
        |  GROUP BY a.dim, b.dim),
        |${p}mg AS (SELECT max(abs(g)) AS m FROM ${p}gu),
        |${p}gn AS MATERIALIZED (SELECT i, j,
-       |    CASE WHEN g < 0 THEN -((-g) * $GNorm // m)
-       |         ELSE (g * $GNorm // m) END AS g
+       |    CASE WHEN g < 0
+       |         THEN -CAST((-CAST(g AS HUGEINT)) * $GNorm // m AS BIGINT)
+       |         ELSE CAST(CAST(g AS HUGEINT) * $GNorm // m AS BIGINT)
+       |    END AS g
        |  FROM ${p}gu, ${p}mg),
        |${p}gsym AS MATERIALIZED (SELECT i, j, g FROM ${p}gn
-       |  UNION ALL SELECT j AS i, i AS j, g FROM ${p}gn WHERE i <> j),
-       |${p}v0 AS MATERIALIZED (SELECT CAST(k - 1 AS INTEGER) AS i,
-       |    CAST($VNorm AS BIGINT) AS v
-       |  FROM ${p}idx)""".stripMargin
+       |  UNION ALL SELECT j AS i, i AS j, g FROM ${p}gn WHERE i <> j)""".stripMargin
 
   /** Sign-fix + final select for the oracle: flips the whole vector
     * if the lead component (max |v|, smallest i on ties) is negative. */
@@ -167,12 +224,74 @@ object Pca {
        |    CASE WHEN (SELECT v FROM ${p}ld) < 0 THEN -v ELSE v END AS v
        |  FROM ${p}v$t)""".stripMargin
 
-  /** The whole chain (prelude → T rounds → sign fix) under one CTE
-    * prefix — yields `{p}vec(dim, v)`. */
-  def sqlChain(embSql: String, d: Int, p: String = ""): String = {
-    val steps = (1 to Iters).map(sqlStepCtes(_, p)).mkString(",\n")
-    s"""${sqlPrelude(embSql, d, p)},
+  /** Signed truncating division as SQL (the [[stdiv]] twin). */
+  private def sqlStdiv(n: String, m: String): String =
+    s"CASE WHEN $n < 0 THEN -((-($n)) // ($m)) ELSE ($n) // ($m) END"
+
+  /** One Hotelling deflation in CTEs: consumes `{p}k{c}gsym` +
+    * `{p}k{c}vec`, yields the re-normalized `{p}k{c+1}gsym`. Mirrors
+    * [[deflate]] op for op — gv, the VNorm-scaled Rayleigh numerator,
+    * λ̂ by truncating division, the rank-1 subtraction, the GNorm
+    * re-normalization. */
+  def sqlDeflateCtes(c: Int, p: String = ""): String = {
+    val q = s"${p}k$c"
+    s"""${q}gv AS MATERIALIZED (SELECT g.i AS i,
+       |    CAST(sum(g.g * w.v) AS BIGINT) AS gv
+       |  FROM ${q}gsym g JOIN ${q}vec w ON g.j = w.dim GROUP BY g.i),
+       |${q}st AS (SELECT
+       |    CAST(sum(${sqlStdiv("w.v * g.gv", VNorm.toString)})
+       |      AS BIGINT) AS num,
+       |    CAST(sum(w.v * w.v) AS BIGINT) AS vv
+       |  FROM ${q}vec w JOIN ${q}gv g ON g.i = w.dim),
+       |${q}lam AS (SELECT
+       |    ${sqlStdiv("num", s"vv // $VNorm")} AS lam,
+       |    vv // $VNorm AS vvn FROM ${q}st),
+       |${q}sd AS (SELECT a.dim AS i,
+       |    ${sqlStdiv("l.lam * a.v", "l.vvn")} AS sd
+       |  FROM ${q}vec a, ${q}lam l),
+       |${q}dg AS MATERIALIZED (SELECT g.i, g.j,
+       |    g.g - (${sqlStdiv("s.sd * b.v", VNorm.toString)}) AS g
+       |  FROM ${q}gsym g JOIN ${q}sd s ON s.i = g.i
+       |  JOIN ${q}vec b ON b.dim = g.j),
+       |${q}dm AS (SELECT max(abs(g)) AS m FROM ${q}dg),
+       |${p}k${c + 1}gsym AS MATERIALIZED (SELECT i, j,
+       |    ${sqlStdiv(s"g * $GNorm", "m")} AS g
+       |  FROM ${q}dg, ${q}dm)""".stripMargin
+  }
+
+  /** One component's full loop under prefix `{p}k{c}`: v0 → T rounds
+    * → sign fix, yielding `{p}k{c}vec(dim, v)`. Requires
+    * `{p}k{c}gsym` and `{p}idx` in scope. */
+  private def sqlComponent(c: Int, p: String): String = {
+    val q = s"${p}k$c"
+    val steps = (1 to Iters).map(sqlStepCtes(_, q)).mkString(",\n")
+    s"""${q}v0 AS (SELECT CAST(k - 1 AS INTEGER) AS i,
+       |    CAST($VNorm AS BIGINT) AS v FROM ${p}idx),
        |$steps,
-       |${sqlSignFix(Iters, p)}""".stripMargin
+       |${sqlSignFix(Iters, q)}""".stripMargin
+  }
+
+  /** The whole TOP-1 chain (prelude → T rounds → sign fix) under one
+    * CTE prefix — yields `{p}vec(dim, v)`. */
+  def sqlChain(embSql: String, d: Int, p: String = ""): String =
+    sqlChainK(embSql, d, 1, p)
+
+  /** The TOP-K chain: prelude, then per component c the power loop on
+    * `{p}k{c}gsym` and (for c < k−1) the deflation to the next
+    * matrix. Yields `{p}vecs(component, dim, v)` over all components
+    * and the back-compat alias `{p}vec` = component 0. */
+  def sqlChainK(embSql: String, d: Int, k: Int, p: String = ""): String = {
+    val comps = (0 until k).map { c =>
+      val defl = if (c < k - 1) ",\n" + sqlDeflateCtes(c, p) else ""
+      s"${sqlComponent(c, p)}$defl"
+    }.mkString(",\n")
+    val union = (0 until k).map(c =>
+      s"SELECT CAST($c AS INTEGER) AS component, dim, v FROM ${p}k${c}vec")
+      .mkString("\n  UNION ALL ")
+    s"""${sqlPrelude(embSql, d, p)},
+       |${p}k0gsym AS (SELECT * FROM ${p}gsym),
+       |$comps,
+       |${p}vecs AS ($union),
+       |${p}vec AS (SELECT dim, v FROM ${p}k0vec)""".stripMargin
   }
 }

@@ -881,18 +881,19 @@ object SimilarityPack extends QueryPack {
             col("hits").cast("double") / col("possible"), 4).as("recall"))
     }),
 
-    // Top principal component of the embedding matrix: ONE
+    // Top-K principal components of the embedding matrix: ONE
     // map-side-combined Gramian pass (≤ d(d+1)/2 rows per partition
-    // cross the exchange), then fixed-point power iteration on
-    // driver-bounded d² state (Pca.scaladoc) — the
-    // whitening/rotation front-end of an embedding index. Output is
-    // the 64-row eigenvector in VNorm units, integer-exact in both
-    // engines.
+    // cross the exchange), then the fixed-point power + Hotelling-
+    // deflation loop on driver-bounded d² state (Pca.scaladoc) — the
+    // whitening/rotation front-end of an embedding index, now a
+    // k-dim rotation rather than one direction. Output is K×64
+    // (component, dim, v) rows in VNorm units, integer-exact in both
+    // engines (the oracle unrolls all K chains and the deflations).
     "sim_pca_power" -> ((s, dir) => {
-      val v = IndexCache.pcaVector(s, dir)
+      val vs = IndexCache.pcaVectors(s, dir)
       import s.implicits._
-      v.toSeq.zipWithIndex.map { case (u, i) => (i, u) }
-        .toDF("dim", "v")
+      (for { (v, c) <- vs.zipWithIndex; (u, i) <- v.zipWithIndex }
+        yield (c, i, u)).toDF("component", "dim", "v")
     }),
 
     // Corpus projected onto the PC: the eigenvector (from the same
@@ -903,7 +904,7 @@ object SimilarityPack extends QueryPack {
     // anywhere. The whitened coordinate every downstream consumer
     // (drift monitors, index rotations, PCA'd dedup) reads.
     "sim_pca_project" -> ((s, dir) => {
-      val v = IndexCache.pcaVector(s, dir)
+      val v = IndexCache.pcaVectors(s, dir).head
       emb(s, dir).filter(col("embedding").isNotNull)
         .select(col("vec_id"), pcScore(v).as("score"))
     }),
@@ -918,31 +919,36 @@ object SimilarityPack extends QueryPack {
     // (assignment and projection are both scan-stage expressions),
     // one partial-agg rollup to k rows, the total as a broadcast
     // one-row frame.
-    // Embedding-drift monitor: the PC of the OLD corpus snapshot
-    // (even vec_ids — the deterministic stand-in for a time split)
-    // against the PC of the full corpus. An index owner watches
-    // cos_e6 decay / dims flip to decide when the rotation and the
-    // coarse quantizer need retraining. Two Gramian passes (each the
-    // sim_pca_power shape), driver math at d² state, ONE summary
-    // row out. Near-isotropic corpora make this metric genuinely
-    // sensitive — the spec pins the self-drift identity (old == all
-    // → cos 1e6) rather than a fixture-specific decay value.
+    // Embedding-drift monitor at SUBSPACE grain: the top-K PCs of
+    // the OLD corpus snapshot (even vec_ids — the deterministic
+    // stand-in for a time split) against the top-K of the full
+    // corpus, compared as subspaces — affinity = mean squared
+    // cross-cosine (‖UᵀW‖²_F/k for orthonormal bases, the standard
+    // principal-angle summary), NOT one near-degenerate direction
+    // (the near-isotropic corpus makes single-vector cosine noisy;
+    // the k-dim subspace is what the rotation actually uses). An
+    // index owner watches affinity decay / diagonal cosines flip to
+    // decide when the rotation and the coarse quantizer need
+    // retraining. Two Gramian passes (each the sim_pca_power shape),
+    // driver math at d² state, ONE summary row out. The spec pins
+    // the self-drift identity rather than a fixture-specific decay.
     "sim_pca_drift" -> ((s, dir) => {
       val sess = s
       import sess.implicits._
       val base = emb(s, dir).filter(col("embedding").isNotNull)
-      val old = Pca.powerIterate(
+      val old = Pca.powerIterateK(
         Pca.gramUpper(base.filter(col("vec_id") % 2 === 0))
           .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-          .toSeq, PcaDim)
-      val all = IndexCache.pcaVector(s, dir)
-      val (cosE6, flipped, maxDelta) = pcaDriftStats(old, all)
-      Seq((cosE6, flipped, maxDelta))
-        .toDF("cos_e6", "n_flipped", "max_abs_delta")
+          .toSeq, PcaDim, PcaK)
+      val all = IndexCache.pcaVectors(s, dir)
+      val (aff, diagMin, flipped, maxDelta) = pcaSubspaceStats(old, all)
+      Seq((PcaK, aff, diagMin, flipped, maxDelta))
+        .toDF("k", "affinity_e6", "diag_cos_min_e6", "n_flipped",
+          "max_abs_delta")
     }),
 
     "sim_index_e2e" -> ((s, dir) => {
-      val v = IndexCache.pcaVector(s, dir)
+      val v = IndexCache.pcaVectors(s, dir).head
       val lists = emb(s, dir).filter(col("embedding").isNotNull)
         .select(col("vec_id"),
           Similarity.ivfAssign(col("embedding")).as("centroid"),
@@ -967,26 +973,49 @@ object SimilarityPack extends QueryPack {
       Pca.quant(get(col("embedding"), lit(j))) * lit(v(j)))
       .reduce(_ + _)
 
-  /** sim_pca_drift's driver-side comparison of two eigenvectors:
-    * (cos_e6, n_flipped, max_abs_delta). Sums stay ≤ 64·10¹⁰ — exact
-    * doubles — and sqrt/÷ are IEEE-correctly-rounded in both
-    * engines, so the quantized cosine replays (the Det caveat). */
-  private[operators] def pcaDriftStats(a: Array[Long], b: Array[Long])
-      : (Long, Long, Long) = {
+  /** Quantized cosine of two fixed-point vectors. Sums stay ≤
+    * 64·10¹⁰ — exact doubles — and sqrt/÷ are IEEE-correctly-rounded
+    * in both engines, so the e6 quantization replays (the Det
+    * caveat). */
+  private[operators] def cosE6(a: Array[Long], b: Array[Long]): Long = {
     val dot = a.zip(b).map { case (x, y) => x * y }.sum
     val n1 = a.map(x => x * x).sum
     val n2 = b.map(x => x * x).sum
-    val cosE6 = math.floor(dot.toDouble * 1e6 /
+    math.floor(dot.toDouble * 1e6 /
       (math.sqrt(n1.toDouble) * math.sqrt(n2.toDouble)) + 0.5).toLong
-    val flipped = a.zip(b).count { case (x, y) => x * y < 0 }.toLong
-    val maxDelta = a.zip(b).map { case (x, y) => math.abs(x - y) }.max
-    (cosE6, flipped, maxDelta)
+  }
+
+  /** sim_pca_drift's driver-side SUBSPACE comparison of two top-K
+    * bases: (affinity_e6, diag_cos_min_e6, n_flipped, max_abs_delta).
+    * Affinity = Σₐᵦ cos²(oldₐ, newᵦ)/K in e6 units — each cos_e6² is
+    * an exact integer ≤ 10¹², the K² sum stays < 2⁵³, so the double
+    * arithmetic is order-free and the floor replays. Flip/delta
+    * stats pair same-index components (the rotation consumer's
+    * view). */
+  private[operators] def pcaSubspaceStats(
+      old: Seq[Array[Long]], nw: Seq[Array[Long]])
+      : (Long, Long, Long, Long) = {
+    val k = old.size
+    val cross = for (a <- old; b <- nw) yield cosE6(a, b)
+    val affinity = math.floor(
+      cross.map(c => c.toDouble * c).sum / (k * 1e6) + 0.5).toLong
+    val diagMin = (0 until k).map(c => cosE6(old(c), nw(c))).min
+    val flipped = (0 until k).map(c =>
+      old(c).zip(nw(c)).count { case (x, y) => x * y < 0 }.toLong).sum
+    val maxDelta = (0 until k).map(c =>
+      old(c).zip(nw(c)).map { case (x, y) => math.abs(x - y) }.max).max
+    (affinity, diagMin, flipped, maxDelta)
   }
 
   /** Embedding dimensionality (TESTDATA: fixed 64 at every SF). The
     * oracle SQL is a static string, so the dim is a compile-time
     * constant; PcaSpec asserts the fixture agrees. */
   val PcaDim = 64
+
+  /** Principal components extracted by the deflation loop — enough
+    * to exercise two genuine deflation rounds while the oracle's
+    * unrolled K×Iters CTE chain stays cheap (64-row matvecs). */
+  val PcaK = 3
 
   /** SemDeDup cosine threshold: same near-dup bar as the LSH path
     * (ds_embed_dedup), so the two strategies are comparable on the
@@ -1177,16 +1206,18 @@ object SimilarityPack extends QueryPack {
        |            ON a.band = b.band AND a.bucket = b.bucket
        |           AND a.vec_id <> b.vec_id)""".stripMargin
 
-  /** Shared PCA oracle prelude + the unrolled power loop (v0..vT) +
-    * the sign fix — the SQL twin of gramUpper∘powerIterate. */
-  private val pcaCtes: String = Pca.sqlChain(
+  /** Shared PCA oracle prelude + the K unrolled power loops with
+    * their deflations + sign fixes — the SQL twin of
+    * gramUpper∘powerIterateK. Yields `vecs(component, dim, v)` and
+    * the component-0 alias `vec`. */
+  private val pcaCtes: String = Pca.sqlChainK(
     "SELECT vec_id, embedding FROM embeddings " +
-      "WHERE embedding IS NOT NULL", PcaDim)
+      "WHERE embedding IS NOT NULL", PcaDim, PcaK)
 
   override def oracles: Map[String, String] = Map(
     "sim_pca_power" ->
       s"""WITH $pcaCtes
-         |SELECT dim, v FROM vec""".stripMargin,
+         |SELECT component, dim, v FROM vecs""".stripMargin,
 
     "sim_pca_project" ->
       s"""WITH $pcaCtes
@@ -1196,23 +1227,38 @@ object SimilarityPack extends QueryPack {
 
     "sim_pca_drift" ->
       s"""WITH $pcaCtes,
-         |${Pca.sqlChain(
+         |${Pca.sqlChainK(
             "SELECT vec_id, embedding FROM embeddings " +
               "WHERE embedding IS NOT NULL AND vec_id % 2 = 0",
-            PcaDim, "o")},
-         |cmp AS (SELECT
-         |    CAST(sum(o.v * a.v) AS BIGINT) AS dot,
-         |    CAST(sum(o.v * o.v) AS BIGINT) AS n1,
-         |    CAST(sum(a.v * a.v) AS BIGINT) AS n2,
-         |    CAST(sum(CASE WHEN o.v * a.v < 0 THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_flipped,
-         |    CAST(max(abs(o.v - a.v)) AS BIGINT) AS max_abs_delta
-         |  FROM ovec o JOIN vec a ON o.dim = a.dim)
-         |SELECT CAST(floor(CAST(dot AS DOUBLE) * 1e6 /
-         |    (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))
-         |    + 0.5) AS BIGINT) AS cos_e6,
-         |  n_flipped, max_abs_delta
-         |FROM cmp""".stripMargin,
+            PcaDim, PcaK, "o")},
+         |onrm AS (SELECT component, CAST(sum(v * v) AS BIGINT) AS nn
+         |  FROM ovecs GROUP BY component),
+         |nnrm AS (SELECT component, CAST(sum(v * v) AS BIGINT) AS nn
+         |  FROM vecs GROUP BY component),
+         |cross_cos AS (SELECT o.component AS a, n.component AS b,
+         |    CAST(floor(CAST(sum(o.v * n.v) AS DOUBLE) * 1e6 /
+         |      (sqrt(CAST(any_value(oz.nn) AS DOUBLE)) *
+         |       sqrt(CAST(any_value(nz.nn) AS DOUBLE))) + 0.5)
+         |      AS BIGINT) AS c
+         |  FROM ovecs o JOIN vecs n ON o.dim = n.dim
+         |  JOIN onrm oz ON oz.component = o.component
+         |  JOIN nnrm nz ON nz.component = n.component
+         |  GROUP BY o.component, n.component),
+         |same AS (SELECT o.component AS c,
+         |    CAST(sum(CASE WHEN o.v * n.v < 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS flips,
+         |    CAST(max(abs(o.v - n.v)) AS BIGINT) AS delta
+         |  FROM ovecs o JOIN vecs n
+         |    ON o.component = n.component AND o.dim = n.dim
+         |  GROUP BY o.component)
+         |SELECT CAST($PcaK AS INTEGER) AS k,
+         |  (SELECT CAST(floor(sum(CAST(c AS DOUBLE) * c) /
+         |     ($PcaK * 1e6) + 0.5) AS BIGINT) FROM cross_cos)
+         |    AS affinity_e6,
+         |  (SELECT min(c) FROM cross_cos WHERE a = b)
+         |    AS diag_cos_min_e6,
+         |  (SELECT CAST(sum(flips) AS BIGINT) FROM same) AS n_flipped,
+         |  (SELECT max(delta) FROM same) AS max_abs_delta""".stripMargin,
 
     "sim_index_e2e" ->
       s"""WITH $pcaCtes,

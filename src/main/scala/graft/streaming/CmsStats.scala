@@ -81,13 +81,14 @@ final class CmsStats(persistPath: Option[String] = None) {
     persistPath.foreach(save)
   }
 
-  /** CMS point estimate (min over rows) — valid for ANY key. */
+  /** CMS point estimate (min over rows) — valid for ANY key. Cell
+    * addressing goes through [[graft.functions.Hashing.permutedJvm]],
+    * the JVM authority shared with the Column-side fold in [[update]]
+    * — the permutation constants cannot drift apart. */
   def estimate(key: String): Long = {
     val h = h32Jvm(key)
     (0 until CmsDepth).map { i =>
-      val c = ((h * (2L * i + 1) + (7919L * i + 1)) %
-        graft.functions.Hashing.MinhashPrime % CmsWidth).toInt
-      counters(i)(c)
+      counters(i)((graft.functions.Hashing.permutedJvm(h, i) % CmsWidth).toInt)
     }.min
   }
 

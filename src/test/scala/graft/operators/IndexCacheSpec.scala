@@ -53,17 +53,18 @@ class IndexCacheSpec extends SparkSpec {
     finally { IndexCache.persistDir = prev; IndexCache.clear() }
   }
 
-  test("pcaVector memoizes, persists, and a fresh process loads it") {
+  test("pcaVectors memoizes, persists, and a fresh process loads it") {
     withPersistDir { _ =>
       val before = IndexCache.buildCount
-      val first = IndexCache.pcaVector(spark, dir)
+      val first = IndexCache.pcaVectors(spark, dir)
       assert(IndexCache.buildCount == before + 1)
-      assert(first eq IndexCache.pcaVector(spark, dir))
+      assert(first eq IndexCache.pcaVectors(spark, dir))
       IndexCache.clear() // "fresh process"
-      val loaded = IndexCache.pcaVector(spark, dir)
+      val loaded = IndexCache.pcaVectors(spark, dir)
       assert(IndexCache.buildCount == before + 1,
         "the second process must LOAD the envelope, not retrain")
-      assert(!(first eq loaded) && first.sameElements(loaded))
+      assert(!(first eq loaded) && first.size == loaded.size &&
+        first.zip(loaded).forall { case (a, b) => a.sameElements(b) })
     }
   }
 

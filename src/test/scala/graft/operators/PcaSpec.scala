@@ -4,12 +4,14 @@ import graft.SparkSpec
 
 /** Pins [[Pca]] against an independent JVM model (no Spark, no shared
   * code paths beyond the constants) and audits that the fixed-point
-  * loop actually finds the dominant direction — determinism is the
-  * oracle's job, dominance is this spec's. */
+  * deflation loop actually finds the dominant directions —
+  * determinism is the oracle's job, dominance and separation are this
+  * spec's. */
 class PcaSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
   private val d = graft.operators.SimilarityPack.PcaDim
+  private val K = graft.operators.SimilarityPack.PcaK
 
   /** Raw embedding rows (vec_id ascending). */
   private lazy val rows: Array[Array[Float]] =
@@ -36,48 +38,76 @@ class PcaSpec extends SparkSpec {
     g
   }
 
-  /** Model re-implementation of the fixed-point loop. */
-  private def modelVec(): Array[Long] = {
-    def tdiv(n: Long, m: Long): Long = if (n < 0) -((-n) / m) else n / m
+  private def tdiv(n: Long, m: Long): Long = if (n < 0) -((-n) / m) else n / m
+
+  /** Model re-implementation of the fixed-point deflation loop. */
+  private lazy val modelVecs: Seq[Array[Long]] = {
     val maxAbs = gram.flatten.map(math.abs).max
-    val gn = gram.map(_.map(v => tdiv(math.abs(v) * Pca.GNorm, maxAbs) *
-      math.signum(v)))
-    var v = Array.fill(d)(Pca.VNorm)
-    (1 to Pca.Iters).foreach { _ =>
-      val w = Array.tabulate(d)(i => (0 until d).map(j => gn(i)(j) * v(j)).sum)
-      val m = w.map(math.abs).max
-      v = w.map(x => tdiv(math.abs(x) * Pca.VNorm, m) * math.signum(x))
+    var gn = gram.map(_.map(v =>
+      ((BigInt(math.abs(v)) * Pca.GNorm) / maxAbs).toLong * math.signum(v)))
+    def loop(): Array[Long] = {
+      var v = Array.fill(d)(Pca.VNorm)
+      (1 to Pca.Iters).foreach { _ =>
+        val w = Array.tabulate(d)(i => (0 until d).map(j => gn(i)(j) * v(j)).sum)
+        val m = w.map(math.abs).max
+        v = w.map(x => tdiv(math.abs(x) * Pca.VNorm, m) * math.signum(x))
+      }
+      val lead = (0 until d).minBy(i => (-math.abs(v(i)), i))
+      if (v(lead) < 0) v.map(-_) else v
     }
-    val lead = (0 until d).minBy(i => (-math.abs(v(i)), i))
-    if (v(lead) < 0) v.map(-_) else v
+    (0 until K).map { c =>
+      val v = loop()
+      if (c < K - 1) {
+        val gv = Array.tabulate(d)(i => (0 until d).map(j => gn(i)(j) * v(j)).sum)
+        val num = (0 until d).map(i => tdiv(v(i) * gv(i), Pca.VNorm)).sum
+        val vv = v.map(x => x * x).sum
+        val lam = tdiv(num, vv / Pca.VNorm)
+        val sd = v.map(vi => tdiv(lam * vi, vv / Pca.VNorm))
+        val resid = Array.tabulate(d, d)((i, j) =>
+          gn(i)(j) - tdiv(sd(i) * v(j), Pca.VNorm))
+        val m2 = resid.flatten.map(math.abs).max
+        gn = Array.tabulate(d, d)((i, j) => tdiv(resid(i)(j) * Pca.GNorm, m2))
+      }
+      v
+    }
   }
+
+  private def modelVec(): Array[Long] = modelVecs.head
 
   test("fixture contract: embeddings are 64-dim (the oracle constant)") {
     assert(rows.forall(_.length == d))
   }
 
-  test("sim_pca_power matches the independent fixed-point model") {
+  test("sim_pca_power matches the independent fixed-point deflation model") {
     val got = graft.SparkEntry.queries("sim_pca_power")(spark, sfDir)
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val want = modelVec()
-    assert(got.size == d)
-    (0 until d).foreach(i => assert(got(i) == want(i),
-      s"dim $i: got ${got(i)} want ${want(i)}"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.size == K * d)
+    modelVecs.zipWithIndex.foreach { case (want, c) =>
+      (0 until d).foreach(i => assert(got((c, i)) == want(i),
+        s"component $c dim $i: got ${got((c, i))} want ${want(i)}"))
+    }
   }
 
-  test("the fixed-point PC captures the dominant variance " +
-    "(Rayleigh quotient ≥ 0.95 of a converged double reference)") {
+  /** Rayleigh quotient of x against the exact Gramian. */
+  private def rayleigh(x: Array[Double]): Double = {
+    val gx = Array.tabulate(d)(i =>
+      (0 until d).map(j => gram(i)(j).toDouble * x(j)).sum)
+    (0 until d).map(i => x(i) * gx(i)).sum /
+      (0 until d).map(i => x(i) * x(i)).sum
+  }
+
+  private def cos(a: Array[Long], b: Array[Long]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    dot / math.sqrt(a.map(x => x.toDouble * x).sum) /
+      math.sqrt(b.map(x => x.toDouble * x).sum)
+  }
+
+  test("the fixed-point PCs capture dominant variance per component " +
+    "and come out pairwise separated") {
     // The corpus is near-isotropic (λ₂/λ₁ ≈ 0.93), so eigenVECTOR
     // alignment is the wrong bar — any direction with a comparable
     // Rayleigh quotient whitens equally well. Reference: 300 rounds
-    // of double-precision power iteration (its Rayleigh quotient
-    // converges at (λ₂/λ₁)^2t — effectively λ₁ here).
-    def rayleigh(x: Array[Double]): Double = {
-      val gx = Array.tabulate(d)(i =>
-        (0 until d).map(j => gram(i)(j).toDouble * x(j)).sum)
-      (0 until d).map(i => x(i) * gx(i)).sum /
-        (0 until d).map(i => x(i) * x(i)).sum
-    }
+    // of double-precision power iteration → effectively λ₁.
     var u = Array.fill(d)(1.0)
     (1 to 300).foreach { _ =>
       val w = Array.tabulate(d)(i =>
@@ -85,9 +115,20 @@ class PcaSpec extends SparkSpec {
       val n = math.sqrt(w.map(x => x * x).sum)
       u = w.map(_ / n)
     }
-    val ratio = rayleigh(modelVec().map(_.toDouble)) / rayleigh(u)
-    assert(ratio >= 0.95,
-      s"fixed-point PC captures only $ratio of the dominant variance")
+    val lam1 = rayleigh(u)
+    val r = modelVecs.map(v => rayleigh(v.map(_.toDouble)))
+    assert(r.head >= 0.95 * lam1,
+      s"component 0 captures only ${r.head / lam1} of the dominant variance")
+    // deflated components: still within the top of the spectrum (the
+    // near-isotropic corpus has λ₂, λ₃ ≈ 0.9·λ₁) — a deflation bug
+    // that re-finds component 0 or collapses to noise breaks one of
+    // the two pins below
+    r.tail.foreach(rc => assert(rc >= 0.7 * lam1,
+      s"a deflated component fell out of the top spectrum: $rc vs $lam1"))
+    for (a <- 0 until K; b <- a + 1 until K)
+      assert(math.abs(cos(modelVecs(a), modelVecs(b))) <= 0.35,
+        s"components $a and $b are not separated: " +
+          s"cos=${cos(modelVecs(a), modelVecs(b))}")
   }
 
   test("sim_pca_project: scores are the exact integer dot, and the " +
@@ -135,20 +176,28 @@ class PcaSpec extends SparkSpec {
       "every vector must land in exactly one posting list")
   }
 
-  test("sim_pca_drift: the self-drift identity holds, and the query " +
-    "emits a sane summary row") {
-    // identical vectors → cos exactly 1e6, nothing flipped, no delta
-    val v = modelVec()
+  test("sim_pca_drift: the subspace self-drift identity holds, and " +
+    "the query emits a sane summary row") {
     val row = graft.SparkEntry.queries("sim_pca_drift")(spark, sfDir)
       .collect()
     assert(row.length == 1)
-    val (cos, flipped, delta) =
-      (row.head.getLong(0), row.head.getLong(1), row.head.getLong(2))
-    assert(cos <= 1000000L && cos >= -1000000L)
-    assert(flipped >= 0L && flipped <= d.toLong)
+    val r = row.head
+    assert(r.getInt(0) == K)
+    val (aff, diagMin, flipped, delta) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    // affinity of two K-dim subspaces: ≥ 0, and ≤ K·1e6 by Cauchy-
+    // Schwarz on near-normal bases
+    assert(aff >= 0L && aff <= K * 1000000L)
+    assert(diagMin >= -1000000L && diagMin <= 1000000L)
+    assert(flipped >= 0L && flipped <= (K * d).toLong)
     assert(delta >= 0L && delta <= 2L * Pca.VNorm)
-    // the identity via the same driver math the query uses
-    assert(SimilarityPack.pcaDriftStats(v, v) == ((1000000L, 0L, 0L)),
-      "self-drift must be exactly (1e6, 0, 0)")
+    // the identity via the same driver math the query uses: identical
+    // bases → every diagonal cosine exactly 1e6, nothing flipped,
+    // affinity at least the diagonal mass
+    val (sa, sdiag, sfl, sdl) =
+      SimilarityPack.pcaSubspaceStats(modelVecs, modelVecs)
+    assert(sdiag == 1000000L && sfl == 0L && sdl == 0L,
+      "self-drift diagonals must be exact")
+    assert(sa >= 1000000L, "self-affinity must carry the diagonal mass")
   }
 }

@@ -17,8 +17,7 @@ class CmsStatsSpec extends SparkSpec {
   }
 
   private def perm(h: Long, i: Int): Long =
-    (h * (2L * i + 1) + (7919L * i + 1)) %
-      graft.functions.Hashing.MinhashPrime
+    graft.functions.Hashing.permutedJvm(h, i)
 
   /** Independent model: the full D×W matrix over a key multiset. */
   private def model(rows: Seq[String]): Array[Array[Long]] = {
