@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.SimilarityPack
+import graft.functions.Similarity
+
+object Sweep extends App {
+  val spark = SparkSession.builder()
+    .withExtensions(new graft.plans.GraftExtensions)
+    .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    val v = SimilarityPack.normedVecs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    v.count()
+    val q = v.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("src"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val truth = graft.plans.TopKPerKey.topKPerKey(
+      v.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("src"))
+        .select(col("src"), col("vec_id").as("dst"),
+          (Similarity.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos")),
+      keys = Seq(col("src")), order = Seq(col("cos").desc, col("dst").asc), k = SimilarityPack.KnnK)
+      .select(col("src"), col("dst")).localCheckpoint(true)
+    val possible = truth.count()
+    for ((bk, r) <- Seq((6, 3), (12, 3), (12, 4), (12, 5))) {
+      val t0 = System.nanoTime()
+      val g = SimilarityPack.knnGraphOver(v, bk, r)
+      val g6 = graft.plans.TopKPerKey.topKPerKey(g,
+        keys = Seq(col("src")), order = Seq(col("cos").desc, col("dst").asc), k = SimilarityPack.KnnK)
+        .filter(col("src") % 10 === 0).select(col("src"), col("dst"))
+      val hits = g6.join(truth, Seq("src", "dst")).count()
+      val hitsFull = g.filter(col("src") % 10 === 0).select(col("src"), col("dst"))
+        .join(truth, Seq("src", "dst")).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SWEEP dir=$dir buildK=$bk rounds=$r recall6=${hits.toDouble / possible}%.3f recallFull=${hitsFull.toDouble / possible}%.3f wall=$secs%.1f")
+    }
+    v.unpersist()
+  }
+  spark.stop()
+}

@@ -138,22 +138,62 @@ object SimilarityPack extends QueryPack {
       .filter(col("cos") >= minCos)
   }
 
-  /** k-NN-graph (NN-Descent, Dong et al. WWW'11) parameters: K
-    * neighbors kept per node, [[KnnRounds]] refinement rounds —
-    * unrolled identically in the oracle CTE chain. The seed strides
-    * replace the paper's random init deterministically: node i's j-th
-    * seed is (i + stride_j) mod N, distinct primes spreading each
-    * node's initial pool across the id space (a ring seed — strides
-    * 1..K — gives adjacent nodes near-identical neighborhoods:
-    * measured recall@6 collapsed 0.35 → 0.08 on this corpus; see
-    * sim_knn_graph_recall). */
-  val KnnSeedStrides: Seq[Int] = Seq(1, 19, 83, 173, 311, 433)
-  val KnnK: Int = KnnSeedStrides.length
-  val KnnRounds = 3
+  /** k-NN-graph (NN-Descent, Dong et al. WWW'11) parameters. The
+    * INDEX keeps [[KnnBuildK]] neighbors per node through
+    * [[KnnRounds]] refinement rounds (the paper's K — wider lists
+    * refine better because each round's candidate pool is the
+    * K-neighborhood closure; measured recall@6 at sf0.001/0.01:
+    * 0.36/0.35 at build-6×3 rounds → 0.85/0.89 at the shipped
+    * build-12×4 — sim_knn_graph_recall pins it per corpus);
+    * consumers that want the tight top-[[KnnK]] lists cut the kept
+    * lists per node. Unrolled identically in the oracle CTE chain.
+    * The seed strides replace the paper's random init
+    * deterministically: node i's j-th seed is (i + stride_j) mod N,
+    * distinct primes spreading each node's initial pool across the
+    * id space (a ring seed — strides 1..K — gives adjacent nodes
+    * near-identical neighborhoods: measured recall@6 collapsed
+    * 0.35 → 0.08 on this corpus). */
+  val KnnSeedStrides: Seq[Int] =
+    Seq(1, 19, 83, 173, 311, 433, 547, 659, 773, 883, 1009, 1123)
+  val KnnBuildK: Int = KnnSeedStrides.length
+  val KnnK: Int = 6
+  val KnnRounds = 4
+
+  /** Brute-force cosine top-[[KnnK]] truth for the vec_id % 10 probe
+    * subset of a normed frame — quadratic ONLY over the bounded
+    * probe slice (broadcast query side). Shared by the graph and
+    * search recall audits. */
+  private def bruteTruth(v: DataFrame): DataFrame = {
+    val q = v.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("src"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    graft.plans.TopKPerKey.topKPerKey(
+      v.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("src"))
+        .select(col("src"), col("vec_id").as("dst"),
+          (Similarity.dot(col("qe"), col("embedding"))
+            / (col("qn") * col("nrm"))).as("cos")),
+      keys = Seq(col("src")),
+      order = Seq(col("cos").desc, col("dst").asc), k = KnnK)
+      .select(col("src"), col("dst"))
+  }
+
+  /** The one-row recall summary over (src, dst) found-vs-truth
+    * frames: counts reduce to 1-row aggs composed via broadcast. */
+  private def recallRow(found: DataFrame, truth: DataFrame): DataFrame = {
+    val hits = found.join(truth, Seq("src", "dst"))
+      .agg(count(lit(1)).as("hits"))
+    truth.agg(countDistinct(col("src")).as("n_probes"),
+        count(lit(1)).as("possible"))
+      .crossJoin(broadcast(hits))
+      .select(col("n_probes"), col("possible"), col("hits"),
+        graft.Det.dround(
+          col("hits").cast("double") / col("possible"), 4).as("recall"))
+  }
 
   /** Embeddings with the norm precomputed per ROW, so cosine inside
     * any pair join is one FloatDot per pair instead of three. */
-  private def normedVecs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def normedVecs(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm"))
@@ -164,12 +204,13 @@ object SimilarityPack extends QueryPack {
     * landing on a missing/null-embedding id simply drops in the
     * first scoring join — NN-Descent needs only SOME seed, the
     * rounds do the work. */
-  def nnDescentSeed(vecs: DataFrame): DataFrame = {
+  def nnDescentSeed(vecs: DataFrame, buildK: Int = KnnBuildK): DataFrame = {
     val n = vecs.agg((max(col("vec_id")) + 1).as("n"))
     vecs.select(col("vec_id").as("src"))
       .crossJoin(broadcast(n))
       .select(col("src"),
-        explode(array(KnnSeedStrides.map(lit): _*)).as("j"), col("n"))
+        explode(array(KnnSeedStrides.take(buildK).map(lit): _*)).as("j"),
+        col("n"))
       .select(col("src"), ((col("src") + col("j")) % col("n")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
@@ -188,7 +229,8 @@ object SimilarityPack extends QueryPack {
     * O(N²·d) brute-force graph. That linear-per-round bound (not any
     * index quality argument) is why NN-Descent is the standard
     * distributed k-NN-graph construction. */
-  def nnDescentRound(edges: DataFrame, vecs: DataFrame, p: Int): DataFrame = {
+  def nnDescentRound(edges: DataFrame, vecs: DataFrame, p: Int,
+                     keepK: Int = KnnBuildK): DataFrame = {
     // no dedup on the undirected view: duplicate rows only duplicate
     // candidates, and the single exchange below removes those — the
     // SET matches the oracle's UNION either way
@@ -214,7 +256,7 @@ object SimilarityPack extends QueryPack {
           / (col("sn") * col("dn"))).as("cos"))
     graft.plans.TopKPerKey.topKPerKey(scored,
       keys = Seq(col("src")),
-      order = Seq(col("cos").desc, col("dst").asc), k = KnnK)
+      order = Seq(col("cos").desc, col("dst").asc), k = keepK)
   }
 
   /** The NN-Descent loop over a prepared (vec_id, embedding, nrm)
@@ -229,18 +271,19 @@ object SimilarityPack extends QueryPack {
     * of the seed — the first cut of this operator measured 19.9 s on
     * 2 000 vectors from exactly that; this form probes 5.4 s at x1
     * and 15.6 s at x16 (the DevStress knn_graph row). */
-  def knnGraphOver(vRaw: DataFrame): DataFrame = {
+  def knnGraphOver(vRaw: DataFrame, buildK: Int = KnnBuildK,
+                   rounds: Int = KnnRounds): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = vRaw.sparkSession
     val persisted = vRaw.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = persisted.count()
-      val p = LoopWidth.partitionsFor(n * (2L * KnnK) * (2L * KnnK), spark)
+      val p = LoopWidth.partitionsFor(n * (2L * buildK) * (2L * buildK), spark)
       LoopWidth.onSizedSession(persisted, p) { vecs =>
-        var edges = nnDescentSeed(vecs)
-        (1 to KnnRounds).foreach { _ =>
+        var edges = nnDescentSeed(vecs, buildK)
+        (1 to rounds).foreach { _ =>
           edges = nnDescentRound(edges.select(col("src"), col("dst")),
-            vecs, p).localCheckpoint(eager = true)
+            vecs, p, buildK).localCheckpoint(eager = true)
         }
         edges
       }
@@ -277,9 +320,11 @@ object SimilarityPack extends QueryPack {
   /** Fixed search entry points, spread across the id space — a
     * greedy beam cannot leave the entry's graph region on a sparse
     * graph (single entry 0 measured recall@6 = 0.18 on this corpus;
-    * these four spread entries measure 0.38 — ABOVE the graph's own
-    * 0.35, since the beam rescopes candidates exactly — and are the
-    * flat-graph stand-in for HNSW's upper-layer long links). Ids
+    * spread entries are the flat-graph stand-in for HNSW's
+    * upper-layer long links). With the build-12 graph the beam
+    * measures recall@6 = 0.85/0.83 at sf0.001/0.01
+    * (sim_knn_search_recall — within a point of the graph's own
+    * 0.85/0.89, since the beam rescopes candidates exactly). Ids
     * missing at a small SF simply drop in the scoring join. */
   val SearchEntries: Seq[Long] = Seq(0L, 101L, 211L, 307L)
 
@@ -856,29 +901,27 @@ object SimilarityPack extends QueryPack {
     // counts reduce to 1-row aggs composed via broadcast — no
     // driver-side arithmetic.
     "sim_knn_graph_recall" -> ((s, dir) => {
-      val g = knnGraph(s, dir).filter(col("src") % 10 === 0)
+      // recall@KnnK: the audit compares the graph's TOP-KnnK lists
+      // (cut from the KnnBuildK kept lists) against brute-force
+      // top-KnnK truth — same K on both sides, so the number is
+      // comparable across build configs
+      val g = graft.plans.TopKPerKey.topKPerKey(
+          knnGraph(s, dir).filter(col("src") % 10 === 0),
+          keys = Seq(col("src")),
+          order = Seq(col("cos").desc, col("dst").asc), k = KnnK)
         .select(col("src"), col("dst"))
-      val v = normedVecs(s, dir)
-      val q = v.filter(col("vec_id") % 10 === 0)
-        .select(col("vec_id").as("src"), col("embedding").as("qe"),
-          col("nrm").as("qn"))
-      val truth = graft.plans.TopKPerKey.topKPerKey(
-        v.crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= col("src"))
-          .select(col("src"), col("vec_id").as("dst"),
-            (Similarity.dot(col("qe"), col("embedding"))
-              / (col("qn") * col("nrm"))).as("cos")),
-        keys = Seq(col("src")),
-        order = Seq(col("cos").desc, col("dst").asc), k = KnnK)
-        .select(col("src"), col("dst"))
-      val hits = g.join(truth, Seq("src", "dst"))
-        .agg(count(lit(1)).as("hits"))
-      truth.agg(countDistinct(col("src")).as("n_probes"),
-          count(lit(1)).as("possible"))
-        .crossJoin(broadcast(hits))
-        .select(col("n_probes"), col("possible"), col("hits"),
-          graft.Det.dround(
-            col("hits").cast("double") / col("possible"), 4).as("recall"))
+      recallRow(g, bruteTruth(normedVecs(s, dir)))
+    }),
+
+    // ...and the SEARCH auditing its recall the same way: what the
+    // beam actually surfaces for the probe queries vs brute-force
+    // truth — the number the HNSW-layer comparison (and the
+    // SearchEntries scaladoc) cites. Same bounded probe slice, same
+    // broadcast-composed one-row aggs.
+    "sim_knn_search_recall" -> ((s, dir) => {
+      val found = knnSearch(s, dir)
+        .select(col("qid").as("src"), col("nbr_id").as("dst"))
+      recallRow(found, bruteTruth(normedVecs(s, dir)))
     }),
 
     // Top-K principal components of the embedding matrix: ONE
@@ -1637,18 +1680,31 @@ object SimilarityPack extends QueryPack {
 
     "sim_knn_graph_recall" ->
       s"""WITH $knnCtes,
-         |g AS (SELECT src, dst FROM e$KnnRounds WHERE src % 10 = 0),
-         |tr AS (SELECT src, dst FROM (
-         |        SELECT q.vec_id AS src, v.vec_id AS dst,
-         |               row_number() OVER (PARTITION BY q.vec_id
-         |                 ORDER BY ${sqlCos("q.embedding", "v.embedding")} DESC,
-         |                          v.vec_id) AS rn
-         |        FROM (SELECT * FROM embeddings
-         |              WHERE vec_id % 10 = 0 AND embedding IS NOT NULL) q
-         |        CROSS JOIN embeddings v
-         |        WHERE v.vec_id <> q.vec_id AND v.embedding IS NOT NULL)
-         |      WHERE rn <= $KnnK),
+         |g AS (SELECT src, dst FROM (
+         |        SELECT src, dst, row_number() OVER (PARTITION BY src
+         |          ORDER BY cos DESC, dst) AS grn
+         |        FROM e$KnnRounds WHERE src % 10 = 0)
+         |      WHERE grn <= $KnnK),
+         |$knnTruthCte,
          |h AS (SELECT count(*) AS hits FROM g JOIN tr USING (src, dst)),
+         |p AS (SELECT count(DISTINCT src) AS n_probes,
+         |             count(*) AS possible FROM tr)
+         |SELECT p.n_probes, p.possible, h.hits,
+         |       floor(CAST(h.hits AS DOUBLE) / p.possible * 1e4 + 0.5) / 1e4
+         |         AS recall
+         |FROM p CROSS JOIN h""".stripMargin,
+
+    "sim_knn_search_recall" ->
+      s"""WITH $knnCtes,
+         |$searchCtes,
+         |found AS (SELECT src, dst FROM (
+         |    SELECT qid AS src, node AS dst,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY cos DESC, node) AS rank
+         |    FROM qc$SearchRounds WHERE node <> qid)
+         |  WHERE rank <= $KnnK),
+         |$knnTruthCte,
+         |h AS (SELECT count(*) AS hits FROM found JOIN tr USING (src, dst)),
          |p AS (SELECT count(DISTINCT src) AS n_probes,
          |             count(*) AS possible FROM tr)
          |SELECT p.n_probes, p.possible, h.hits,
@@ -1656,6 +1712,20 @@ object SimilarityPack extends QueryPack {
          |         AS recall
          |FROM p CROSS JOIN h""".stripMargin
   )
+
+  /** Brute-force truth CTE `tr(src, dst)` for the probe subset — the
+    * SQL twin of [[bruteTruth]], shared by both recall oracles. */
+  private lazy val knnTruthCte: String =
+    s"""tr AS (SELECT src, dst FROM (
+       |        SELECT q.vec_id AS src, v.vec_id AS dst,
+       |               row_number() OVER (PARTITION BY q.vec_id
+       |                 ORDER BY ${sqlCos("q.embedding", "v.embedding")} DESC,
+       |                          v.vec_id) AS rn
+       |        FROM (SELECT * FROM embeddings
+       |              WHERE vec_id % 10 = 0 AND embedding IS NOT NULL) q
+       |        CROSS JOIN embeddings v
+       |        WHERE v.vec_id <> q.vec_id AND v.embedding IS NOT NULL)
+       |      WHERE rn <= $KnnK)""".stripMargin
 
   /** SQL mirror of [[knnSearch]]: unrolled monotone-beam rounds over
     * the graph CTEs' final e-frame (explicit DISTINCT dedup, the
@@ -1672,7 +1742,7 @@ object SimilarityPack extends QueryPack {
     val rounds = (1 to SearchRounds).map { i =>
       s"""qx$i AS (SELECT DISTINCT c.qid, g.dst AS node
          |         FROM qc${i - 1} c JOIN e$KnnRounds g ON c.node = g.src),
-         |qu$i AS (SELECT DISTINCT qid, node, cos FROM (
+         |qu$i AS MATERIALIZED (SELECT DISTINCT qid, node, cos FROM (
          |         SELECT qid, node, cos FROM qc${i - 1}
          |         UNION ALL
          |         SELECT x.qid, x.node,
@@ -1680,7 +1750,7 @@ object SimilarityPack extends QueryPack {
          |         FROM qx$i x JOIN qs q ON q.qid = x.qid
          |                     JOIN embeddings v ON v.vec_id = x.node
          |         WHERE v.embedding IS NOT NULL)),
-         |qc$i AS (SELECT qid, node, cos FROM (
+         |qc$i AS MATERIALIZED (SELECT qid, node, cos FROM (
          |         SELECT *, row_number() OVER (PARTITION BY qid
          |           ORDER BY cos DESC, node) AS rn FROM qu$i)
          |         WHERE rn <= $SearchBeam)""".stripMargin
@@ -1708,10 +1778,10 @@ object SimilarityPack extends QueryPack {
     // UNDEDUPED — measured nb1 = join-output + u1 row counts exactly —
     // and row_number then ranks the duplicates into the keep-K
     val rounds = (1 to KnnRounds).map { i =>
-      s"""u$i AS (SELECT DISTINCT src, dst FROM (
+      s"""u$i AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
          |        SELECT src, dst FROM e${i - 1}
          |        UNION ALL SELECT dst, src FROM e${i - 1})),
-         |nb$i AS (SELECT DISTINCT src, dst FROM (
+         |nb$i AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
          |         SELECT a.src, b.dst FROM u$i a JOIN u$i b
          |           ON a.dst = b.src AND a.src <> b.dst
          |         UNION ALL SELECT src, dst FROM u$i)),
@@ -1725,7 +1795,7 @@ object SimilarityPack extends QueryPack {
          |              JOIN embeddings ed ON c.dst = ed.vec_id
          |              WHERE es.embedding IS NOT NULL
          |                AND ed.embedding IS NOT NULL)),
-         |e$i AS (SELECT src, dst, cos FROM s$i WHERE rn <= $KnnK)""".stripMargin
+         |e$i AS MATERIALIZED (SELECT src, dst, cos FROM s$i WHERE rn <= $KnnBuildK)""".stripMargin
     }
     (seed +: rounds).mkString(",\n")
   }

@@ -29,7 +29,14 @@ class KnnGraphSpec extends SparkSpec {
   }
 
   test("converges to the exact cluster-peer neighbor lists") {
-    val g = SimilarityPack.knnGraphOver(vecs)
+    // the INDEX keeps KnnBuildK=12 neighbors (6 peers + the best
+    // cross-cluster filler); the true-neighbor contract lives in the
+    // top-KnnK cut, exactly as the recall audit measures it
+    val g = graft.plans.TopKPerKey.topKPerKey(
+        SimilarityPack.knnGraphOver(vecs),
+        keys = Seq(col("src")),
+        order = Seq(col("cos").desc, col("dst").asc),
+        k = SimilarityPack.KnnK)
       .select("src", "dst").collect()
     assert(g.length == 28 * SimilarityPack.KnnK)
     g.foreach { r =>
@@ -69,8 +76,11 @@ class KnnGraphSpec extends SparkSpec {
     val rows = seed.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.length == rows.distinct.length)
     assert(rows.forall { case (s, d) => s != d })
-    // strides mod 28 are distinct, so every node carries a full fan-out
-    assert(rows.groupBy(_._1).forall(_._2.length == SimilarityPack.KnnK))
+    // fan-out = DISTINCT strides mod N (primes collide at tiny N —
+    // 547 ≡ 659 ≡ 883 ≡ 15 mod 28; at corpus N they are distinct)
+    val expected = SimilarityPack.KnnSeedStrides.map(_ % 28).distinct
+      .count(_ != 0)
+    assert(rows.groupBy(_._1).forall(_._2.length == expected))
     // determinism: a second build is row-identical
     val again = SimilarityPack.nnDescentSeed(vecs)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
