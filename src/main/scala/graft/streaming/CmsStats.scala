@@ -19,13 +19,19 @@ import org.apache.spark.sql.functions._
   *
   * Declared contract for the heavy-hitter board: estimates are CMS
   * estimates (never under the true count, may overestimate by the
-  * usual εN); the CANDIDATE pool only sees keys that were top-N
-  * within at least one batch — a key spread so thin that it never
-  * makes any batch's top-N can evade the board even if its total is
-  * large (the standard batch-fold caveat vs per-item heap updates;
-  * with batches that are time-slices of one distribution, a global
-  * heavy hitter is a batch heavy hitter too). The SKETCH itself has
-  * no such caveat: `estimate(key)` is correct-per-CMS for EVERY key.
+  * usual εN); the CANDIDATE pool is a MERGEABLE Misra-Gries-style
+  * summary folded across batches — per batch, the exact distributed
+  * key counts are thresholded at batchN/[[MgCap]] (at most MgCap keys
+  * can exceed that, so the collect is bounded BY CONSTRUCTION, never
+  * rank-based), added keywise into the [[MgCap]]-slot driver summary,
+  * and the per-batch threshold accumulates into [[candidateErr]] —
+  * the standard MG undercount bound. Any key whose true total exceeds
+  * the accumulated bound (≈ N/MgCap, ~0.4% of the stream at cap 256)
+  * is GUARANTEED a summary slot, even if it never ranks in any single
+  * batch's top-N — the cross-batch-thin-key case a rank-based pool
+  * structurally misses (CmsStatsSpec plants exactly that key). The
+  * SKETCH itself has no caveat at all: `estimate(key)` is
+  * correct-per-CMS for EVERY key.
   *
   * Durability: same park-then-publish envelope protocol as
   * [[KmvStats]] (tmp in → park previous as .old → publish → drop
@@ -37,17 +43,25 @@ final class CmsStats(persistPath: Option[String] = None) {
   import graft.operators.SketchPack.{CmsDepth, CmsWidth}
   import CmsStats._
 
-  /** Tracked heavy-hitter keys; candidate pool refreshed per batch. */
+  /** Tracked heavy-hitter keys on the published board. */
   val HeavyK = 20
-  private val BatchTopN = 32
+
+  /** Candidate-summary capacity: per batch at most MgCap keys can
+    * exceed the batchN/MgCap collection threshold, so the driver
+    * collect AND the summary state are both ≤ MgCap by construction.
+    * Sized well above HeavyK so pruning pressure stays away from the
+    * board. */
+  val MgCap = 256
 
   private var counters: Array[Array[Long]] =
     Array.ofDim[Long](CmsDepth, CmsWidth)
   private var totalN: Long = 0L
+  private var summary: Map[String, Long] = Map.empty // key -> lower-bound count
+  private var summaryErr: Long = 0L // max undercount for any absent key
   private var tracked: Map[String, Long] = Map.empty // key -> last est
 
-  persistPath.flatMap(load).foreach { case (c, t, tr) =>
-    counters = c; totalN = t; tracked = tr
+  persistPath.flatMap(load).foreach { case (c, t, sm, se, tr) =>
+    counters = c; totalN = t; summary = sm; summaryErr = se; tracked = tr
   }
 
   /** Fold one batch. `items` must expose `keyCol` as a string column;
@@ -59,27 +73,64 @@ final class CmsStats(persistPath: Option[String] = None) {
     val cellArr = array((0 until CmsDepth).map(i =>
       (graft.functions.Hashing.permuted(h, i) % CmsWidth)
         .cast("long")): _*)
-    val cells = keyed
-      .select(posexplode(cellArr).as(Seq("r", "c")))
-      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-    var mass = 0L
-    cells.foreach { case (r, c, n) =>
-      counters(r)(c.toInt) += n
-      mass += n
-    }
-    totalN += mass / CmsDepth
-    val batchTop = graft.plans.TopKPerKey.topKPerKey(
-        keyed.groupBy("k").agg(count(lit(1)).as("n"))
-          .withColumn("g", lit(1)),
-        Seq(col("g")), Seq(col("n").desc, col("k").asc), BatchTopN)
-      .select("k").collect().map(_.getString(0))
-    tracked = (tracked.keySet ++ batchTop)
+    // ONE distributed pass: per-key exact counts feed both the CMS
+    // cell fold and the thresholded candidate collect
+    val keyCounts = keyed.groupBy("k").agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      val cells = keyCounts
+        .select(posexplode(cellArr).as(Seq("r", "c")), col("n"))
+        .groupBy("r", "c").agg(sum(col("n")).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      var mass = 0L
+      cells.foreach { case (r, c, n) =>
+        counters(r)(c.toInt) += n
+        mass += n
+      }
+      val batchN = mass / CmsDepth
+      totalN += batchN
+      // MG-style candidate fold: keys with batch count > batchN/MgCap
+      // (≤ MgCap of them can exist) merge keywise into the summary;
+      // every uncollected key undercounts by ≤ the threshold, which
+      // accumulates into the absent-key bound
+      val floorB = batchN / MgCap
+      val cand = keyCounts.filter(col("n") > floorB)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      summaryErr += floorB
+      val merged = cand.foldLeft(summary) { case (m, (k, n)) =>
+        m.updated(k, m.getOrElse(k, 0L) + n)
+      }
+      summary =
+        if (merged.size <= MgCap) merged
+        else {
+          // the CLASSIC Misra-Gries decrement: subtract the
+          // (MgCap+1)-th largest count θ from every entry and drop
+          // the non-positive ones. Each decrement removes ≥
+          // (MgCap+1)·θ summary mass while total inserted mass ≤ N,
+          // so Σθ ≤ N/(MgCap+1) — the published MG bound; θ
+          // accumulates into the undercount error alongside the
+          // collection floors (total err ≤ 2N/MgCap)
+          val sorted = merged.toSeq.sortBy { case (k, n) => (-n, k) }
+          val theta = sorted(MgCap)._2
+          summaryErr += theta
+          sorted.iterator.map { case (k, n) => k -> (n - theta) }
+            .filter(_._2 > 0).take(MgCap).toMap
+        }
+    } finally keyCounts.unpersist(blocking = false)
+    // the board ranks the summary's candidates by their CMS estimate
+    // (≥ true count ≥ the summary's lower bound)
+    tracked = summary.keysIterator
       .map(k => k -> estimate(k)).toSeq
       .sortBy { case (k, e) => (-e, k) }
       .take(HeavyK).toMap
     persistPath.foreach(save)
   }
+
+  /** The candidate summary (key → lower-bound count) and its
+    * absent-key undercount bound — the mergeable-summaries surface
+    * the spec pins. */
+  def candidates: Map[String, Long] = summary
+  def candidateErr: Long = summaryErr
 
   /** CMS point estimate (min over rows) — valid for ANY key. Cell
     * addressing goes through [[graft.functions.Hashing.permutedJvm]],
@@ -118,6 +169,11 @@ final class CmsStats(persistPath: Option[String] = None) {
       d.writeInt(CmsDepth); d.writeInt(CmsWidth)
       d.writeLong(totalN)
       counters.foreach(_.foreach(d.writeLong))
+      d.writeInt(summary.size)
+      summary.toSeq.sortBy(_._1).foreach { case (k, n) =>
+        d.writeUTF(k); d.writeLong(n)
+      }
+      d.writeLong(summaryErr)
       d.writeInt(tracked.size)
       tracked.toSeq.sortBy(_._1).foreach { case (k, e) =>
         d.writeUTF(k); d.writeLong(e)
@@ -136,7 +192,8 @@ final class CmsStats(persistPath: Option[String] = None) {
   }
 
   private def load(p: String)
-      : Option[(Array[Array[Long]], Long, Map[String, Long])] = {
+      : Option[(Array[Array[Long]], Long, Map[String, Long], Long,
+                Map[String, Long])] = {
     val (fs, path0) = SinkFs.fs(p)
     val path =
       if (fs.exists(path0)) path0
@@ -161,11 +218,16 @@ final class CmsStats(persistPath: Option[String] = None) {
             s"${CmsDepth}x$CmsWidth — different-shape matrices must not add")
         val t = d.readLong()
         val c = Array.fill(CmsDepth)(Array.fill(CmsWidth)(d.readLong()))
+        val ns = d.readInt()
+        val sm = (0 until ns).map { _ =>
+          val k = d.readUTF(); k -> d.readLong()
+        }.toMap
+        val se = d.readLong()
         val n = d.readInt()
         val tr = (0 until n).map { _ =>
           val k = d.readUTF(); k -> d.readLong()
         }.toMap
-        Some((c, t, tr))
+        Some((c, t, sm, se, tr))
       } catch {
         case e: Exception =>
           System.err.println(
@@ -180,7 +242,7 @@ final class CmsStats(persistPath: Option[String] = None) {
 
 object CmsStats {
   private val Magic = 0x434D5331 // "CMS1"
-  private val Version = 1
+  private val Version = 2 // v2: MG candidate summary in the envelope
 
   /** JVM twin of [[graft.functions.Hashing.h32]] (md5 prefix32). */
   def h32Jvm(s: String): Long = {

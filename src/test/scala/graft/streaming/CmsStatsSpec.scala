@@ -67,6 +67,39 @@ class CmsStatsSpec extends SparkSpec {
     assert(board.map(_._2) == board.map(_._2).sorted.reverse)
   }
 
+  test("the MG candidate pool surfaces a key frequent OVERALL but " +
+    "never in any single batch's top ranks") {
+    // 40 batches: 3 hot keys at 300 each (always the batch top), 32
+    // ROTATING medium keys at 30 each (different keys every batch, so
+    // each one's total stays 30 — they fill every batch's top ranks),
+    // and ONE spread key at 25/batch, ranked ~36th in every batch yet
+    // 4th overall (total 1000). A rank-based per-batch candidate pool
+    // (the pre-MG design) structurally missed it; the threshold-based
+    // MG fold must not: 25 > batchN/MgCap ≈ 8, so it is collected in
+    // every batch and its summary count is exact.
+    val st = new CmsStats()
+    (0 until 40).foreach { b =>
+      val batch =
+        (0 until 900).map(i => s"hot${i % 3}") ++
+          (0 until 32).flatMap(m => Seq.fill(30)(s"med${b}_$m")) ++
+          Seq.fill(25)("spread")
+      st.update(frame(batch))
+    }
+    assert(st.candidates.contains("spread"),
+      "the MG summary must hold the cross-batch-thin key")
+    // above-threshold every batch ⇒ collected exactly; the lower
+    // bound gives back at most the accumulated MG error
+    assert(st.candidates("spread") >= 25L * 40 - st.candidateErr &&
+      st.candidates("spread") <= 25L * 40)
+    val board = st.heavyHitters.map(_._1)
+    assert(board.take(4).toSet == Set("hot0", "hot1", "hot2", "spread"),
+      s"board top-4 ${board.take(4)} missed the spread key")
+    // the declared MG bound: absent keys undercount by at most
+    // candidateErr ≤ floors (≤ N/MgCap) + decrements (≤ N/MgCap)
+    assert(st.candidateErr <= 2 * st.total / st.MgCap + 40,
+      s"error bound ${st.candidateErr} exceeds the MG contract")
+  }
+
   test("a restart resumes from the durable envelope") {
     val dir = java.nio.file.Files.createTempDirectory("cms").toString
     val p = s"$dir/stats.cms"
