@@ -83,6 +83,103 @@ object UrlStream {
       .select(col("canonical"), col("doc_id"), col("url"))
   }
 
+  /** The admission → curation COMPOSITION as one continuous stream —
+    * the streaming twin of `wc_admitted_text`: per batch, every
+    * landed response record canonicalizes its Target-URI, the batch
+    * keeps its first record per canonical, cross-batch admission
+    * runs through the persisted sketch (the [[startAdmission]]
+    * discipline verbatim), and ONLY the admitted records' HTTP
+    * bodies flow into [[graft.operators.CrawlText]]'s chrome-curated
+    * extraction. The curated store carries (canonical, url) beside
+    * the text fingerprint, so the admitted history IS the curated
+    * store — no second bookkeeping table, and the `_SUCCESS`-replay /
+    * sketch-refold protocol applies to one directory tree.
+    *
+    * Chrome is the frozen offline artifact ([[CrawlStream]]'s
+    * staging argument); recrawls never reach extraction at all —
+    * the admission cut runs BEFORE the body parse fan-out, exactly
+    * where the batch front-end places it (URL work is cheap, content
+    * work is not). */
+  def startAdmittedCuration(spark: SparkSession, feedDir: String,
+                            outDir: String, ckptDir: String,
+                            chrome: DataFrame,
+                            seen: BloomSeenSet): StreamingQuery = {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val frozen = chrome.select(col("lang"), col("h")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY"))
+      .option("pathGlobFilter", "*.warc*")
+      .load(feedDir)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val base = path.substring(path.lastIndexOf('/') + 1)
+        val source = base.stripSuffix(".gz").stripSuffix(".warc")
+        Warc.records(bytes).flatMap { r =>
+          for {
+            uri <- r.headers.get("WARC-Target-URI")
+            (status, headers, body) <- Warc.parseHttp(r.payload)
+          } yield (source,
+            r.headers.getOrElse("WARC-Record-ID", "urn:graft:-1")
+              .stripPrefix("urn:graft:").toLong,
+            uri, status, headers.getOrElse("content-type", ""), body)
+        }
+      }
+      .toDF("source", "doc_id", "url", "status", "content_type", "body")
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dir = s"$outDir/ingest_batch=$batchId"
+        val sess = batch.sparkSession
+        if (SinkFs.exists(s"$dir/_SUCCESS")) {
+          if (SinkFs.list(dir).exists(_.getPath.getName.endsWith(".parquet")))
+            seen.commit(sess.read.parquet(dir).select(col("canonical")))
+        } else {
+          val canon = graft.operators.UrlOps
+            .withUrlParts(batch, col("url"))
+            .select(col("source"), col("doc_id"), col("url"),
+              col("canonical"), col("status"), col("content_type"),
+              col("body"))
+            .persist()
+          try {
+            val firsts = canon
+              .groupBy(col("canonical"))
+              .agg(min(struct(col("doc_id"), col("url"))).as("m"))
+              .select(col("canonical"), col("m.doc_id").as("doc_id"),
+                col("m.url").as("url"))
+            val fresh = seen
+              .filterNew(firsts, admitted(sess, outDir))
+              .persist()
+            try {
+              val chromeDf = sess.createDataFrame(
+                sess.sparkContext.parallelize(frozen.toSeq, 1))
+                .toDF("lang", "h")
+              // admission cut FIRST; only first-crawl bodies parse
+              val pages = canon.join(
+                fresh.select(col("doc_id")), Seq("doc_id"), "left_semi")
+              // LEFT join: an admitted fetch the curation dropped
+              // (404, non-html, short) still lands a store row with
+              // null curation columns — the store is the EXACT
+              // admission history the sketch's fpp sliver anti-joins,
+              // and the two must never diverge
+              fresh.join(
+                  graft.operators.CrawlText.curatedWithChrome(
+                    pages, chromeDf),
+                  Seq("doc_id"), "left")
+                .select(col("canonical"), col("doc_id"), col("url"),
+                  col("lang"), col("n_chars"), col("text_md5"))
+                .write.mode(SaveMode.Overwrite).parquet(dir)
+              seen.commit(fresh) // AFTER the rows landed
+            } finally fresh.unpersist()
+          } finally canon.unpersist()
+        }
+      }
+      .start()
+  }
+
   def startAdmission(spark: SparkSession, feedDir: String, outDir: String,
                      ckptDir: String, seen: BloomSeenSet): StreamingQuery =
     canonicalFeed(spark, feedDir).writeStream

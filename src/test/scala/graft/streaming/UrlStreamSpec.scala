@@ -83,6 +83,108 @@ class UrlStreamSpec extends SparkSpec {
     assert(UrlStream.admitted(spark, out).collect().length == before)
   }
 
+  // ---- admitted CURATION composition (the wc_admitted_text twin) --
+
+  private case class Page(id: Long, uri: String, lang: String,
+                          body: String, status: Int = 200)
+
+  private def httpRec(p: Page): Array[Byte] =
+    Warc.record(
+      Seq("WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"urn:graft:${p.id}",
+        "WARC-Target-URI" -> p.uri),
+      Warc.httpResponse(p.status, if (p.status == 200) "OK" else "Not Found",
+        Seq("Content-Type" -> "text/html"),
+        if (p.status == 200)
+          s"""<html lang="${p.lang}"><body><p>${p.body}</p></body></html>"""
+            .getBytes("UTF-8")
+        else Array.emptyByteArray))
+
+  private def emptyChrome = {
+    import spark.implicits._
+    Seq.empty[(String, Long)].toDF("lang", "h")
+  }
+
+  /** The BATCH composition over the same records — canonicalize →
+    * first per canonical → chrome-curate only those → left-join the
+    * outcome (the wc_admitted_text shape, null columns for admitted
+    * fetches curation dropped). */
+  private def batchTwin(pages: Seq[Page]) = {
+    import spark.implicits._
+    val recs = pages.map(p => (p.id, p.uri, p.status, "text/html",
+        (if (p.status == 200)
+          s"""<html lang="${p.lang}"><body><p>${p.body}</p></body></html>"""
+        else "").getBytes("UTF-8")))
+      .toDF("doc_id", "url", "status", "content_type", "body")
+    val canon = graft.operators.UrlOps.withUrlParts(recs,
+      org.apache.spark.sql.functions.col("url"))
+    import org.apache.spark.sql.functions._
+    val firsts = canon.groupBy(col("canonical"))
+      .agg(min(struct(col("doc_id"), col("url"))).as("m"))
+      .select(col("canonical"), col("m.doc_id").as("doc_id"),
+        col("m.url").as("url"))
+    val kept = canon.join(firsts.select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    firsts.join(
+        graft.operators.CrawlText.curatedWithChrome(kept, emptyChrome),
+        Seq("doc_id"), "left")
+      .select(col("canonical"), col("doc_id"), col("url"), col("lang"),
+        col("n_chars"), col("text_md5"))
+      .collect().map(_.toSeq).toSet
+  }
+
+  test("admitted curation: only first-crawl bodies curate, parity with " +
+    "the batch composition holds across a restart") {
+    val dir = Files.createTempDirectory("graft-urlcur").toString
+    val feed = s"$dir/feed"; val out = s"$dir/curated"
+    val ckpt = s"$dir/ckpt"; val sketch = s"$dir/url.sketch"
+    Files.createDirectories(Paths.get(feed))
+
+    // wave 1: two spellings of page A (different doc_ids), page B,
+    // and a 404 page D — admitted, but curation must drop its body
+    val a1 = Page(1, "HTTPS://WWW.Site.COM:443/a?b=2&a=1&utm_source=x#f",
+      "en", "the quick brown fox jumps over the lazy dog")
+    val a2 = Page(2, "https://site.com/a?a=1&b=2",
+      "en", "a recrawl body that must never be extracted")
+    val b = Page(3, "https://site.com/b",
+      "en", "an entirely different page with plenty of words")
+    val d = Page(6, "https://site.com/d", "en", "", status = 404)
+    land(feed, "w1.warc", Seq(a1, a2, b, d).map(httpRec))
+    val seen1 = new BloomSeenSet("canonical", expectedKeys = 1000,
+      persistPath = Some(sketch))
+    UrlStream.startAdmittedCuration(spark, feed, out, ckpt,
+        emptyChrome, seen1)
+      .awaitTermination()
+    val s1 = spark.read.parquet(s"$out/ingest_batch=0")
+      .collect().map(_.toSeq).toSet
+    assert(s1 == batchTwin(Seq(a1, a2, b, d)),
+      s"wave-1 store diverged from the batch composition: $s1")
+    // the 404 admitted with null curation columns
+    assert(s1.exists(r => r(1) == 6L && r(4) == null))
+
+    // restart: fresh sketch instance from disk; wave 2 recrawls A
+    // under a new spelling WITH A NEW BODY (if admission leaked, the
+    // new body would curate and change the store) plus new page C
+    val a3 = Page(7, "https://site.com/a/?a=1&b=2&utm_medium=m",
+      "en", "poisoned recrawl body that must not appear anywhere")
+    val c = Page(8, "https://site.com/c",
+      "en", "the genuinely new page of wave two with words")
+    land(feed, "w2.warc", Seq(a3, c).map(httpRec))
+    val seen2 = new BloomSeenSet("canonical", expectedKeys = 1000,
+      persistPath = Some(sketch))
+    UrlStream.startAdmittedCuration(spark, feed, out, ckpt,
+        emptyChrome, seen2)
+      .awaitTermination()
+    val all = spark.read.parquet(s"$out/ingest_batch=0",
+        s"$out/ingest_batch=1")
+      .collect().map(_.toSeq).toSet
+    // parity with the batch composition over BOTH waves' records
+    assert(all == batchTwin(Seq(a1, a2, b, d, a3, c)),
+      s"cross-restart store diverged: $all")
+    assert(all.size == 4, "A, B, D, C — and nothing else")
+    assert(!all.exists(_(1) == 7L), "the recrawl must not re-admit")
+  }
+
   test("an all-duplicate wave lands an empty batch without corrupting history") {
     val dir = Files.createTempDirectory("graft-urls2").toString
     val feed = s"$dir/feed"; val out = s"$dir/admitted"
