@@ -45,6 +45,37 @@ class KnnSearchSpec extends SparkSpec {
     assert(out.groupBy(_._1).forall(_._2.length == SimilarityPack.KnnK))
   }
 
+  test("hnsw search: every probe's results stay in its own cluster") {
+    // entries {0, 104, 208, 304} are layer-1 nodes (multiples of 8)
+    // landing one per cluster; the coarse rounds walk the 39-node
+    // layer-1 graph, the fine rounds the full graph — results must
+    // show the same cluster integrity as the flat search
+    val out = SimilarityPack.queries("sim_hnsw_search")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).distinct.length == 31)
+    out.foreach { case (qid, _, nbr) =>
+      assert(nbr != qid)
+      assert(qid / 77 == nbr / 77,
+        s"query $qid left its cluster: neighbor $nbr")
+    }
+    assert(out.groupBy(_._1).forall(_._2.length == SimilarityPack.KnnK))
+  }
+
+  test("hnsw holds recall with FEWER base-graph rounds than the flat beam") {
+    val sfDir = "/root/testdata/sf0.001"
+    def recallOf(q: String): Double =
+      SimilarityPack.queries(q)(spark, sfDir).collect().head.getDouble(3)
+    val flat = recallOf("sim_knn_search_recall")
+    val hnsw = recallOf("sim_hnsw_recall")
+    // the structural claim: the hierarchy replaces base-graph rounds
+    // with coarse-layer rounds...
+    assert(SimilarityPack.HnswFineRounds < SimilarityPack.SearchRounds)
+    // ...without giving the recall back (equal beam width)
+    assert(hnsw >= flat - 1e-9,
+      s"hnsw recall $hnsw fell below the flat beam's $flat")
+  }
+
   test("entry-near probes find their true nearest peer; ranks are cos-ordered") {
     val rows = SimilarityPack.queries("sim_knn_search")(spark, dir)
       .collect()
