@@ -282,6 +282,20 @@ object DevStress {
     // track query count (vec_id % 10 scales with N), never N²
     time("knn_search", SimilarityPack.knnSearchOver(knnVecs))
 
+    // HNSW top-down search: layer-1 graph over the 1/8 node subset +
+    // the descending beam — the coarse rounds run on an 8×-smaller
+    // graph, so total wall should sit BELOW flat search at equal beam
+    // width while the base-graph build dominates both
+    time("hnsw_search", {
+      val l1 = SimilarityPack.knnGraphOver(
+        knnVecs.filter(col("vec_id") % SimilarityPack.HnswLayerMod === 0))
+      val base = SimilarityPack.knnGraphOver(knnVecs)
+      SimilarityPack.beamSearchOver(knnVecs,
+        Seq.fill(SimilarityPack.HnswCoarseRounds)(l1) ++
+          Seq.fill(SimilarityPack.HnswFineRounds)(base),
+        SimilarityPack.HnswEntries)
+    })
+
     // pagerank: the q_pagerank edge graph replicated factor× with
     // shifted node ids (disjoint copies of the original graph — same
     // structure, factor× edges). Wall should track edge count: each
