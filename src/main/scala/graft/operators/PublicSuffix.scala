@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Public-suffix list (PSL) — the registered-domain authority the
@@ -29,11 +29,18 @@ import org.apache.spark.sql.functions._
   * public suffix keeps itself (total function — a NULL here would
   * poison downstream group keys).
   *
-  * 100 TB shape: the rule sets are literal `isin` sets (Catalyst
-  * compiles them to O(1) hash probes inside whole-stage codegen), so
-  * resolution is a pure scan-stage expression — no join, no shuffle,
-  * no UDF; the artifact rides the driver→executor literal path the
-  * way a broadcast map would, with none of the join machinery.
+  * 100 TB shape: the PRODUCTION resolution ([[joinParts]], used by
+  * [[UrlOps.withUrlParts]]) is three BROADCAST hash joins of the
+  * host's last-1/2/3 label strings against the per-label-count rule
+  * tables — O(1) codegen'd probes per row, plan size CONSTANT in the
+  * rule count (the full ~10k-rule list rides the same path; an
+  * earlier literal-`isin` form embedded every rule string in the
+  * expression tree, and plan/codegen-compile time alone doubled the
+  * wc_* family at 250 rules — measured, and it only worsens with the
+  * real list). [[suffixLabels]] keeps the literal-set form as the
+  * differential REFERENCE for specs (the FloatDot/withUrlParts
+  * convention), and the DuckDB twins render the same rules as CASE
+  * chains — semantics identical across all three forms.
   */
 object PublicSuffix {
 
@@ -145,6 +152,36 @@ object PublicSuffix {
   def domainFrom(host: Column, parts: Column, n: Column, sfx: Column): Column =
     when(n > sfx,
       array_join(slice(parts, n - sfx, sfx + lit(1)), ".")).otherwise(host)
+
+  /** The PRODUCTION resolution: broadcast-join `df`'s staged
+    * last1/last2/last3 columns against the rule tables and stage the
+    * suffix label count as `sfxOut`. Exceptions win, then longest
+    * match, then the default rule — the [[suffixLabels]] priority as
+    * a coalesce over the join results (a `when` with no otherwise is
+    * NULL when false, so each slot yields only its own case). */
+  def joinSuffix(df: DataFrame, last1: String, last2: String,
+                 last3: String, sfxOut: String): DataFrame = {
+    val spark = df.sparkSession
+    val r = rules
+    def tbl(rows: Seq[(String, Boolean, Int)], k: String): DataFrame =
+      spark.createDataFrame(rows).toDF(s"_psl_r$k", s"_psl_exc$k",
+        s"_psl_sfx$k")
+    // one row per rule string; label count keys which join sees it
+    val t3 = tbl(r.exc3.map((_, true, 2)) ++ r.normal3.map((_, false, 3)), "3")
+    val t2 = tbl(r.exc2.map((_, true, 1)) ++ r.wild2.map((_, false, 3)) ++
+      r.normal2.map((_, false, 2)), "2")
+    val t1 = tbl(r.wild1.map((_, false, 2)), "1")
+    df.join(broadcast(t3), col(last3) === col("_psl_r3"), "left")
+      .join(broadcast(t2), col(last2) === col("_psl_r2"), "left")
+      .join(broadcast(t1), col(last1) === col("_psl_r1"), "left")
+      .withColumn(sfxOut, coalesce(
+        when(col("_psl_exc3"), col("_psl_sfx3")),
+        when(col("_psl_exc2"), col("_psl_sfx2")),
+        col("_psl_sfx3"), col("_psl_sfx2"), col("_psl_sfx1"), lit(1)))
+      .drop("_psl_r3", "_psl_exc3", "_psl_sfx3",
+        "_psl_r2", "_psl_exc2", "_psl_sfx2",
+        "_psl_r1", "_psl_exc1", "_psl_sfx1")
+  }
 
   // ---------------------------------------------------------------
   // DuckDB twins — the same rule sets rendered into SQL, so every

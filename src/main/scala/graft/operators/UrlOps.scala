@@ -148,8 +148,10 @@ object UrlOps {
         slice(col("_u_parts"), greatest(col("_u_n") - 1, lit(1)), lit(2)), "."))
       .withColumn("_u_last3", array_join(
         slice(col("_u_parts"), greatest(col("_u_n") - 2, lit(1)), lit(3)), "."))
-    val d6 = d5.withColumn("_u_sfx", PublicSuffix.suffixLabels(
-      col("_u_last1"), col("_u_last2"), col("_u_last3")))
+    // suffix resolution via broadcast joins on the rule tables —
+    // plan size constant in the rule count (PublicSuffix scaladoc)
+    val d6 = PublicSuffix.joinSuffix(d5,
+      "_u_last1", "_u_last2", "_u_last3", "_u_sfx")
     d6.withColumn("domain", PublicSuffix.domainFrom(
         col("host"), col("_u_parts"), col("_u_n"), col("_u_sfx")))
       .drop(d6.columns.filter(_.startsWith("_u_")): _*)
