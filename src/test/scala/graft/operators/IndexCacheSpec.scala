@@ -68,6 +68,26 @@ class IndexCacheSpec extends SparkSpec {
     }
   }
 
+  test("the PSL rule table rides the envelope: a fresh process loads " +
+    "it instead of rebuilding, value-identical") {
+    withPersistDir { _ =>
+      val before = IndexCache.buildCount
+      val first = IndexCache.pslRules(PublicSuffix.Snapshot)
+      assert(IndexCache.buildCount == before + 1)
+      assert(first eq IndexCache.pslRules(PublicSuffix.Snapshot))
+      IndexCache.clear() // "fresh process"
+      val loaded = IndexCache.pslRules(
+        sys.error("a loading process must not touch the bundle"))
+      assert(IndexCache.buildCount == before + 1,
+        "the second process must LOAD the envelope, not rebuild")
+      assert(!(first eq loaded) && first == loaded,
+        "the loaded table must be value-identical to the bundled one")
+      // this is the production swap path: publishing a different
+      // table under the same kind serves IT to the next process
+      IndexCache.clear()
+    }
+  }
+
   test("two processes train once total: the second loads the envelope") {
     withPersistDir { _ =>
       var trainings = 0
