@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing + admission — the crawl-POLITENESS layer of the
+  * URL front-end ([[UrlOps]], [[WebCurationPack]]): before politeness,
+  * a crawler that canonicalizes and dedups perfectly still fetches
+  * pages the site told it not to. The file format and the match
+  * semantics are published (RFC 9309, the Robots Exclusion Protocol):
+  * line-oriented `field: value` records, `#` comments, groups formed
+  * by consecutive `User-agent` lines followed by `Allow`/`Disallow`
+  * rules, unknown fields (Sitemap, Crawl-delay) skipped without
+  * breaking the group, an EMPTY Disallow value meaning no restriction,
+  * and matching by LONGEST rule-path prefix with Allow winning
+  * length ties.
+  *
+  * Shape: the parser is a real per-partition line walk (the Warc
+  * discipline — robots files are opaque external bytes), producing a
+  * per-domain RULE TABLE that is tiny by construction (rules per
+  * domain, not pages); admission is then a BROADCAST join of that
+  * table onto the canonicalized URLs and a per-URL argmax over the
+  * handful of matching rules — `max(struct(match_len, allow))`, a
+  * map-side-combinable aggregation, never a per-URL sort. The
+  * fixture writes genuine robots.txt text (comments, CRLF, mixed
+  * case, stacked agents, the empty-Disallow case) from domain-hash
+  * arithmetic, so the DuckDB oracle replays the RULES without
+  * parsing anything — a parser bug (comment handling, group
+  * boundaries, case folding) diverges.
+  *
+  * Agent-group selection: the group for OUR agent ("graftbot") when
+  * one exists, else the `*` group — the most-specific-single-group
+  * form common to production implementations (RFC 9309 §2.2.1
+  * matches groups by specificity; merging multiple matching groups
+  * is the declared simplification).
+  */
+object RobotsOps {
+
+  /** The crawler's product token (lowercased for matching). */
+  val Agent = "graftbot"
+
+  /** Deterministic robots.txt per domain, derived from the domain
+    * hash: even-hash domains carry a graftbot-specific group (a
+    * one-digit Disallow prefix plus a two-digit Allow carve-back —
+    * the longest-match + tie pair), every domain carries a `*` group
+    * (full disallow on h%5, EMPTY disallow — no restriction — on
+    * h%7, else a one-digit prefix), with a comment, a Sitemap line,
+    * a Crawl-delay, mixed-case field names, and CRLF endings on the
+    * graftbot group — every hazard the parser must walk. */
+  def robotsTxt(domain: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = Hashing.h32(domain)
+    val a = (h % 10).cast("string")
+    val b = ((h / 10).cast("long") % 10).cast("string")
+    val c = ((h / 100).cast("long") % 10).cast("string")
+    concat_ws("\n",
+      concat(lit("# robots for "), domain),
+      concat(lit("Sitemap: https://"), domain, lit("/sitemap.xml")),
+      when(h % 2 === 0, concat(
+        lit("User-Agent: GraftBot\r\n"), // mixed case + CRLF endings
+        lit("Disallow: /p/"), a, lit("\r\n"),
+        lit("Allow: /p/"), a, b, lit("\r\n"),
+        lit("Crawl-delay: 2"))),
+      lit("User-agent: *"),
+      when(h % 5 === 0, lit("Disallow: / # everything"))
+        .when(h % 7 === 0, lit("Disallow:")) // empty value: no rule
+        .otherwise(concat(lit("Disallow: /p/"), c)))
+  }
+
+  /** (domain, robots) text for every distinct domain of a canon
+    * frame. */
+  def robotsFor(canon: DataFrame): DataFrame =
+    canon.select(col("domain")).distinct()
+      .select(col("domain"), robotsTxt(col("domain")).as("robots"))
+
+  /** One parsed rule line. */
+  case class RobotsRule(domain: String, agent: String, path: String,
+                        allow: Boolean)
+
+  /** The RFC 9309 line walk over one file: comment strip, trim,
+    * case-insensitive field names, consecutive User-agent lines
+    * stacking onto one group, rules attaching to every stacked
+    * agent, unknown fields skipped WITHOUT closing the group, empty
+    * rule values dropped. */
+  def parseRobots(domain: String, text: String): Seq[RobotsRule] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[RobotsRule]
+    var agents: List[String] = Nil
+    var inRules = false
+    text.split("\r?\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) {
+        val i = line.indexOf(':')
+        if (i > 0) {
+          val key = line.substring(0, i).trim.toLowerCase
+          val value = line.substring(i + 1).trim
+          key match {
+            case "user-agent" =>
+              // a UA line after rules STARTS A NEW GROUP; stacked UA
+              // lines before any rule share the group
+              if (inRules) { agents = Nil; inRules = false }
+              agents ::= value.toLowerCase
+            case "disallow" | "allow" =>
+              inRules = true
+              if (value.nonEmpty)
+                agents.foreach(a =>
+                  out += RobotsRule(domain, a, value, key == "allow"))
+            case _ => () // sitemap / crawl-delay / unknown: skip
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Partition-wise parse of a (domain, robots) frame into the rule
+    * table. */
+  def parseRules(files: DataFrame)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    files.select(col("domain"), col("robots")).as[(String, String)]
+      .flatMap { case (d, t) => parseRobots(d, t) }
+      .toDF()
+  }
+
+  /** The rules that apply to [[Agent]]: its own group's rules where
+    * one exists for the domain, else the `*` group's — derived from
+    * the PARSED table (one tiny per-domain agg + a broadcast-size
+    * semi-join, never from the generator's arithmetic). */
+  def rulesForAgent(rules: DataFrame): DataFrame = {
+    val hasBot = rules.filter(col("agent") === Agent)
+      .select(col("domain")).distinct()
+      .withColumn("has_bot", lit(true))
+    rules.join(hasBot, Seq("domain"), "left")
+      .filter((col("has_bot").isNotNull && col("agent") === Agent) ||
+        (col("has_bot").isNull && col("agent") === "*"))
+      .select(col("domain"), col("path"), col("allow"))
+  }
+
+  /** Admission verdict per URL: broadcast-join the agent's rule table
+    * by domain, keep matching rules (URL path starts with the rule
+    * path), argmax by (match length, allow) — RFC 9309 longest-match
+    * with Allow winning ties — and default-allow when nothing
+    * matches. `canon` needs (doc_id, canonical, domain). */
+  def admit(canon: DataFrame, agentRules: DataFrame): DataFrame = {
+    val withPath = canon.select(col("doc_id"), col("domain"),
+      regexp_extract(col("canonical"), "^[a-z]+://[^/]+(/[^?#]*)", 1)
+        .as("path"))
+    withPath
+      .join(broadcast(agentRules.withColumnRenamed("path", "rule_path")),
+        Seq("domain"), "left")
+      .select(col("doc_id"), col("domain"), col("path"),
+        when(col("path").isNotNull && col("rule_path").isNotNull &&
+            col("path").startsWith(col("rule_path")),
+          struct(length(col("rule_path")).as("len"),
+            col("allow").cast("int").as("allow"))).as("m"))
+      .groupBy(col("doc_id"), col("domain"), col("path"))
+      .agg(max(col("m")).as("best"))
+      .select(col("doc_id"), col("domain"), col("path"),
+        (col("best").isNull || col("best.allow") === 1).as("allowed"))
+  }
+}

@@ -106,6 +106,30 @@ object WebCurationPack extends QueryPack {
         .select(col("doc_id"), col("domain"), col("canonical"))
     }),
 
+    // robots.txt (RFC 9309) — the POLITENESS layer: genuine robots
+    // files (comments, CRLF, mixed-case fields, stacked agents,
+    // Sitemap/Crawl-delay noise, the empty-Disallow no-rule case)
+    // synthesized per domain, walked by the real line parser
+    // ([[RobotsOps.parseRobots]]). The oracle replays the RULES from
+    // the domain-hash arithmetic without parsing — a parser bug
+    // (group boundary, case fold, comment strip) diverges here
+    "wc_robots_rules" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      RobotsOps.parseRules(RobotsOps.robotsFor(canon(s, dir)))
+    }),
+
+    // ...and the admission verdict per canonical URL: the agent's
+    // group selected from the PARSED table, rules broadcast-joined
+    // by domain, longest-match with Allow winning ties, default
+    // allow — the per-URL argmax is max(struct(len, allow)), a
+    // map-side partial agg, never a per-URL sort
+    "wc_robots_admit" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val c = canon(s, dir)
+      RobotsOps.admit(c, RobotsOps.rulesForAgent(
+        RobotsOps.parseRules(RobotsOps.robotsFor(c))))
+    }),
+
     // the missing link between the URL front-end and the content
     // pipeline: ONLY admitted doc_ids are spooled into crawl
     // archives, extracted, and chrome-curated — with the chrome
@@ -176,7 +200,65 @@ object WebCurationPack extends QueryPack {
          |SELECT doc_id, lang, CAST(strlen(xt) AS BIGINT) AS n_chars,
          |  md5(xt) AS text_md5
          |FROM ${CrawlText.sqlCuratedSrcWhere(
-              " AND doc_id IN (SELECT doc_id FROM adm_capped)")} x""".stripMargin)
+              " AND doc_id IN (SELECT doc_id FROM adm_capped)")} x""".stripMargin,
+
+    // replays the RULES from the domain-hash arithmetic — never the
+    // text — so the Spark side's real line walk is what is verified
+    "wc_robots_rules" ->
+      s"""WITH $robotsRulesCtes
+         |SELECT domain, agent, path, allow FROM rules
+         |WHERE path IS NOT NULL""".stripMargin,
+
+    // longest-match with Allow on ties, encoded as max(len·2+allow)
+    // (length dominates, the allow bit breaks ties — the integer
+    // twin of the Spark side's max(struct(len, allow)))
+    "wc_robots_admit" ->
+      s"""WITH $robotsRulesCtes,
+         |sel AS (SELECT r.domain, r.path, r.allow
+         |        FROM rules r JOIN doms d ON r.domain = d.domain
+         |        WHERE r.path IS NOT NULL AND
+         |          ((d.h % 2 = 0 AND r.agent = 'graftbot') OR
+         |           (d.h % 2 <> 0 AND r.agent = '*'))),
+         |u AS (SELECT doc_id, domain,
+         |        regexp_extract(canonical,
+         |          '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path
+         |      FROM ${UrlOps.sqlCanonSrc} c),
+         |j AS (SELECT u.doc_id, u.domain, u.path,
+         |        r.path AS rp, r.allow
+         |      FROM u LEFT JOIN sel r ON u.domain = r.domain),
+         |m AS (SELECT doc_id, domain, path,
+         |        max(CASE WHEN rp IS NOT NULL AND starts_with(path, rp)
+         |                 THEN length(rp) * 2 + CAST(allow AS INT) END)
+         |          AS score
+         |      FROM j GROUP BY doc_id, domain, path)
+         |SELECT doc_id, domain, path,
+         |       (score IS NULL OR score % 2 = 1) AS allowed
+         |FROM m""".stripMargin)
+
+  /** The robots rule table replayed from the domain-hash arithmetic
+    * (the generator's formulas — [[RobotsOps.robotsTxt]]): graftbot
+    * group on even hashes (one-digit Disallow + two-digit Allow
+    * carve-back), `*` group everywhere (full disallow on h%5, NO
+    * rule on h%7 — the empty-Disallow case — else one digit). */
+  private lazy val robotsRulesCtes =
+    s"""doms AS (SELECT domain, ${Hashing.sqlH32("domain")} AS h
+       |  FROM (SELECT DISTINCT domain FROM ${UrlOps.sqlCanonSrc} cc)),
+       |rules AS (
+       |  SELECT domain, 'graftbot' AS agent,
+       |    '/p/' || CAST(h % 10 AS VARCHAR) AS path, FALSE AS allow
+       |  FROM doms WHERE h % 2 = 0
+       |  UNION ALL
+       |  SELECT domain, 'graftbot',
+       |    '/p/' || CAST(h % 10 AS VARCHAR) ||
+       |      CAST((h // 10) % 10 AS VARCHAR), TRUE
+       |  FROM doms WHERE h % 2 = 0
+       |  UNION ALL
+       |  SELECT domain, '*',
+       |    CASE WHEN h % 5 = 0 THEN '/'
+       |         WHEN h % 7 = 0 THEN NULL
+       |         ELSE '/p/' || CAST((h // 100) % 10 AS VARCHAR) END,
+       |    FALSE
+       |  FROM doms)""".stripMargin
 
   /** The admission chain as shared CTEs ending in
     * `adm_capped(doc_id, domain, canonical)`. */

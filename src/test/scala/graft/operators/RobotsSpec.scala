@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[RobotsOps]] laws: the RFC 9309 line walk on hostile files, the
+  * longest-match + Allow-tie semantics of the matcher, and the
+  * agent-group selection — the cases the fixture's regular hash
+  * geometry can't isolate. */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rules(text: String): Seq[(String, String, Boolean)] =
+    RobotsOps.parseRobots("d.com", text)
+      .map(r => (r.agent, r.path, r.allow))
+
+  test("parser: comments, CRLF, stacked agents, case, unknown fields, " +
+    "empty disallow") {
+    val text =
+      "# header comment\r\n" +
+        "Sitemap: https://d.com/s.xml\n" +
+        "User-Agent: AlphaBot\r\n" +
+        "User-agent: BetaBot # stacked onto the same group\n" +
+        "Crawl-delay: 7\n" + // unknown field must NOT break the group
+        "DISALLOW: /private # case-insensitive field\n" +
+        "Allow: /private/ok\r\n" +
+        "\n" +
+        "User-agent: *\n" +
+        "Disallow:\n" + // empty value: NO rule
+        "Disallow: /tmp"
+    val got = rules(text).toSet
+    assert(got == Set(
+      ("alphabot", "/private", false), ("betabot", "/private", false),
+      ("alphabot", "/private/ok", true), ("betabot", "/private/ok", true),
+      ("*", "/tmp", false)), s"parsed: $got")
+  }
+
+  test("parser: a User-agent line AFTER rules starts a NEW group") {
+    val text =
+      "User-agent: a\nDisallow: /x\n" +
+        "User-agent: b\nDisallow: /y"
+    assert(rules(text).toSet == Set(
+      ("a", "/x", false), ("b", "/y", false)),
+      "group b must not inherit group a's membership")
+  }
+
+  private def verdicts(ruleRows: Seq[(String, String, Boolean)],
+                       paths: Seq[String]): Map[String, Boolean] = {
+    val canon = paths.zipWithIndex
+      .map { case (p, i) => (i.toLong, s"https://d.com$p", "d.com") }
+      .toDF("doc_id", "canonical", "domain")
+    val ar = ruleRows.map { case (d, p, a) => (d, p, a) }
+      .toDF("domain", "path", "allow")
+    RobotsOps.admit(canon, ar).collect()
+      .map(r => paths(r.getLong(0).toInt) -> r.getBoolean(3)).toMap
+  }
+
+  test("matcher: longest match wins, Allow beats Disallow on ties, " +
+    "default allow") {
+    val rs = Seq(
+      ("d.com", "/p", false),
+      ("d.com", "/p/sub", true),  // longer: carves the subtree back
+      ("d.com", "/q", true),
+      ("d.com", "/q", false))     // same length: Allow must win
+    val v = verdicts(rs, Seq("/p/x", "/p/sub/x", "/q/y", "/elsewhere"))
+    assert(!v("/p/x"), "short disallow applies")
+    assert(v("/p/sub/x"), "the longer Allow carves the subtree back")
+    assert(v("/q/y"), "equal-length tie must go to Allow (RFC 9309)")
+    assert(v("/elsewhere"), "no matching rule defaults to allow")
+  }
+
+  test("matcher: full-site disallow blocks every path; no rules at " +
+    "all allows every path") {
+    val all = verdicts(Seq(("d.com", "/", false)),
+      Seq("/", "/p/1", "/anything?x=1"))
+    assert(all.values.forall(_ == false))
+    val none = verdicts(Seq.empty, Seq("/", "/p/1"))
+    assert(none.values.forall(_ == true))
+  }
+
+  test("agent selection: the bot's own group wins over *, absent bot " +
+    "group falls back to *") {
+    val parsed = Seq(
+      ("with.com", "graftbot", "/a", false),
+      ("with.com", "*", "/", false), // must NOT apply to graftbot
+      ("without.com", "*", "/b", false),
+      ("without.com", "otherbot", "/", false)) // other agents ignored
+      .toDF("domain", "agent", "path", "allow")
+    val sel = RobotsOps.rulesForAgent(parsed).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(sel == Set(
+      ("with.com", "/a", false),
+      ("without.com", "/b", false)), s"selected: $sel")
+  }
+
+  test("fixture law: every even-hash domain's graftbot group carves " +
+    "back exactly its two-digit Allow under its one-digit Disallow") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val doms = Seq("site1.com", "site2.co.uk", "site3.github.io")
+      .toDF("domain")
+    val parsed = RobotsOps.parseRules(
+      doms.select(col("domain"),
+        RobotsOps.robotsTxt(col("domain")).as("robots")))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getBoolean(3)))
+    parsed.groupBy(_._1).foreach { case (d, rs) =>
+      val bot = rs.filter(_._2 == "graftbot")
+      if (bot.nonEmpty) {
+        val dis = bot.find(!_._4).get._3
+        val alw = bot.find(_._4).get._3
+        assert(alw.startsWith(dis) && alw.length == dis.length + 1,
+          s"$d: allow $alw must extend disallow $dis by one digit")
+      }
+      assert(rs.exists(_._2 == "*") || rs.forall(_._2 == "graftbot"),
+        s"$d carries no * group rules only when its * disallow is empty")
+    }
+  }
+}
