@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link extraction + reference resolution — the crawl DISCOVERY side
+  * of the front-end ([[UrlOps]], [[RobotsOps]]): a crawler's frontier
+  * and every link-based quality signal (PageRank gating is a
+  * standard corpus filter) start from the href graph, and hrefs
+  * arrive in every RFC 3986 reference form — absolute, protocol-
+  * relative (`//host/p`), absolute-path (`/p/x`), relative
+  * (`sub/x`), dotted (`../q/x`), and same-document (`#frag`).
+  *
+  * Resolution is the published RFC 3986 §5 merge, expressed as a
+  * scan-stage `when` chain over the page's canonical base URL, with
+  * dot-segment removal as a BOUNDED repeated rewrite (two passes of
+  * `/seg/../ → /`; anchors deeper than two dot segments are out of
+  * the fixture's and most real pages' shape — a loop-to-fixpoint is
+  * the general form, declared). Resolved targets then ride the SAME
+  * canonicalizer as crawled URLs ([[UrlOps.withUrlParts]]), so the
+  * link graph's node space IS the admission pipeline's key space —
+  * which is what lets PageRank over the link graph gate the corpus
+  * without any id mapping.
+  *
+  * The fixture synthesizes real anchor markup per canonical page
+  * (every reference form planted by page arithmetic); extraction is
+  * a genuine `href="…"` scan. The oracle replays the href formulas
+  * and the resolution arithmetic — on this fixture full
+  * canonicalization is the identity on resolved targets minus the
+  * fragment (no www/ports/params planted in targets), so a
+  * canonicalizer that ALTERED a resolved target would hash-diverge.
+  */
+object LinkOps {
+
+  /** Canonical pages of a canon frame, with the page number and host
+    * the link formulas key on. */
+  def pages(canon: DataFrame): DataFrame =
+    canon.select(col("canonical")).distinct()
+      .withColumn("page",
+        regexp_extract(col("canonical"), "/p/([0-9]+)", 1).cast("long"))
+      .withColumn("host", UrlOps.hostOf(col("canonical")))
+
+  /** Real anchor markup for a page: every RFC 3986 reference form,
+    * planted by page arithmetic. */
+  def linkHtml(page: Column, host: Column): Column = concat_ws("\n",
+    lit("<html lang=\"en\"><body>"),
+    concat(lit("<p>page "), page.cast("string"), lit("</p>")),
+    concat(lit("<a href=\"/p/"), (page + 7).cast("string"),
+      lit("\">next</a>")),
+    concat(lit("<a href=\"../q/"), (page % 10).cast("string"),
+      lit("\">up</a>")),
+    concat(lit("<a href=\"sub/"), (page % 10).cast("string"),
+      lit("\">sub</a>")),
+    when(page % 4 === 0,
+      lit("<a href=\"https://hub.example/p/0\">hub</a>")),
+    when(page % 6 === 0,
+      concat(lit("<a href=\"//"), host, lit("/top\">mirror</a>"))),
+    when(page % 5 === 0, lit("<a href=\"#sec\">self</a>")),
+    lit("</body></html>"))
+
+  /** (canonical, href) — genuine regex extraction over the markup. */
+  def extractedHrefs(canon: DataFrame): DataFrame =
+    pages(canon)
+      .select(col("canonical"), col("page"), col("host"),
+        linkHtml(col("page"), col("host")).as("html"))
+      .select(col("canonical"),
+        explode(regexp_extract_all(col("html"),
+          lit("href=\"([^\"]+)\""), lit(1))).as("href"))
+
+  /** RFC 3986 §5 reference resolution against the page's canonical
+    * base: absolute kept, `//` gets the base scheme, `/` the origin,
+    * `#` the base document, anything else merges onto the base
+    * directory; then the bounded dot-segment removal. */
+  def resolve(base: Column, href: Column): Column = {
+    val scheme = regexp_extract(base, "^([a-z]+)://", 1)
+    val origin = regexp_extract(base, "^([a-z]+://[^/?#]+)", 1)
+    val basePath = regexp_extract(base, "^[a-z]+://[^/?#]+(/[^?#]*)", 1)
+    val baseDir = regexp_replace(basePath, "[^/]+$", "")
+    val joined =
+      when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href)
+        .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+        .when(href.startsWith("/"), concat(origin, href))
+        .when(href.startsWith("#"), concat(base, href))
+        .otherwise(concat(origin, baseDir, href))
+    // bounded dot-segment removal (two passes — the declared depth)
+    val p1 = regexp_replace(joined, "/[^/]+/\\.\\./", "/")
+    regexp_replace(p1, "/[^/]+/\\.\\./", "/")
+  }
+
+  /** (src, dst) canonical link edges: extract, resolve, run the
+    * TARGET through the same canonicalizer as crawled URLs, drop
+    * self-loops, dedup. One scan + the canonicalizer's broadcast
+    * rule joins + one distinct exchange. */
+  def linkGraph(canon: DataFrame): DataFrame = {
+    val resolved = extractedHrefs(canon)
+      .select(col("canonical").as("src"),
+        resolve(col("canonical"), col("href")).as("url"))
+    UrlOps.withUrlParts(resolved, col("url"))
+      .select(col("src"), col("canonical").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------
+  // DuckDB twins — the href formulas and the resolution arithmetic.
+  // ---------------------------------------------------------------
+
+  /** CTE `lpages(canonical, page, host, origin)` over a canon
+    * source. */
+  def sqlPagesCte(canonSrc: String): String =
+    s"""lpages AS (SELECT canonical,
+       |    CAST(regexp_extract(canonical, '/p/([0-9]+)', 1) AS BIGINT)
+       |      AS page,
+       |    regexp_extract(canonical, '^[a-z]+://([^/?#:]*)', 1) AS host,
+       |    regexp_extract(canonical, '^([a-z]+://[^/?#]+)', 1) AS origin
+       |  FROM (SELECT DISTINCT canonical FROM $canonSrc cc))""".stripMargin
+
+  /** CTE `ledges(src, dst)` — the generator's hrefs resolved
+    * arithmetically (canonicalization is the identity on these
+    * targets minus the fragment, see the object doc). */
+  val sqlEdgesCte: String =
+    s"""lraw AS (
+       |  SELECT canonical AS src,
+       |    origin || '/p/' || CAST(page + 7 AS VARCHAR) AS dst
+       |  FROM lpages
+       |  UNION ALL
+       |  SELECT canonical, origin || '/q/' || CAST(page % 10 AS VARCHAR)
+       |  FROM lpages
+       |  UNION ALL
+       |  SELECT canonical,
+       |    origin || '/p/sub/' || CAST(page % 10 AS VARCHAR)
+       |  FROM lpages
+       |  UNION ALL
+       |  SELECT canonical, 'https://hub.example/p/0'
+       |  FROM lpages WHERE page % 4 = 0
+       |  UNION ALL
+       |  SELECT canonical, 'https://' || host || '/top'
+       |  FROM lpages WHERE page % 6 = 0
+       |  UNION ALL
+       |  SELECT canonical, canonical
+       |  FROM lpages WHERE page % 5 = 0),
+       |ledges AS (SELECT DISTINCT src, dst FROM lraw
+       |           WHERE src <> dst)""".stripMargin
+}

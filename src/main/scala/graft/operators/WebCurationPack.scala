@@ -130,6 +130,23 @@ object WebCurationPack extends QueryPack {
         RobotsOps.parseRules(RobotsOps.robotsFor(c))))
     }),
 
+    // link extraction + RFC 3986 reference resolution — the crawl
+    // DISCOVERY side: real anchor markup per canonical page (every
+    // reference form: absolute, protocol-relative, absolute-path,
+    // relative, dotted, fragment-only), genuinely regex-extracted,
+    // resolved against the page's base, and the TARGET run through
+    // the same canonicalizer as crawled URLs. The oracle replays the
+    // href formulas and the resolution arithmetic ([[LinkOps]])
+    "wc_link_graph" -> ((s, dir) => LinkOps.linkGraph(canon(s, dir))),
+
+    // ...and PageRank over the REAL link graph — the link-based
+    // quality signal a corpus filter gates on, as the composition a
+    // crawl pipeline actually runs: canonicalize → link graph →
+    // fixed-point integer PageRank (the q_pagerank operator, node
+    // space = canonical URLs, no id mapping anywhere)
+    "wc_link_rank" -> ((s, dir) =>
+      PageRank.fixedPoint(LinkOps.linkGraph(canon(s, dir)), iters = 3)),
+
     // the missing link between the URL front-end and the content
     // pipeline: ONLY admitted doc_ids are spooled into crawl
     // archives, extracted, and chrome-curated — with the chrome
@@ -233,7 +250,27 @@ object WebCurationPack extends QueryPack {
          |      FROM j GROUP BY doc_id, domain, path)
          |SELECT doc_id, domain, path,
          |       (score IS NULL OR score % 2 = 1) AS allowed
-         |FROM m""".stripMargin)
+         |FROM m""".stripMargin,
+
+    "wc_link_graph" ->
+      s"""WITH ${LinkOps.sqlPagesCte(UrlOps.sqlCanonSrc)},
+         |${LinkOps.sqlEdgesCte}
+         |SELECT src, dst FROM ledges""".stripMargin,
+
+    // the q_pagerank oracle machinery over the replayed link edges —
+    // string node ids, same integer fixed-point rounds
+    "wc_link_rank" ->
+      s"""WITH ${LinkOps.sqlPagesCte(UrlOps.sqlCanonSrc)},
+         |${LinkOps.sqlEdgesCte},
+         |e AS (SELECT src, dst FROM ledges),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT node, CAST(${PageRank.Scale} AS BIGINT) AS rank
+         |       FROM n),
+         |${PageRank.sqlStepCtes(1)},
+         |${PageRank.sqlStepCtes(2)},
+         |${PageRank.sqlStepCtes(3)}
+         |SELECT node, rank FROM r3""".stripMargin)
 
   /** The robots rule table replayed from the domain-hash arithmetic
     * (the generator's formulas — [[RobotsOps.robotsTxt]]): graftbot

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** [[LinkOps]] resolution laws on hostile references — the RFC 3986
+  * cases the fixture's regular geometry can't isolate. */
+class LinkOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def res(base: String, hrefs: String*): Seq[String] =
+    hrefs.map(h => (base, h)).toDF("base", "href")
+      .select(LinkOps.resolve(col("base"), col("href")).as("r"))
+      .as[String].collect().toSeq
+
+  test("absolute, protocol-relative, absolute-path, relative, dotted, fragment") {
+    val base = "https://a.com:8443/p/5?x=1"
+    assert(res(base,
+      "https://other.org/z",        // absolute: kept verbatim
+      "//cdn.a.com/lib",            // protocol-relative: base scheme
+      "/root/x",                    // absolute-path: origin + path
+      "child/7",                    // relative: merges onto /p/
+      "../q/3",                     // dotted: one segment up
+      "#sec"                        // same-document
+    ) == Seq(
+      "https://other.org/z",
+      "https://cdn.a.com/lib",
+      "https://a.com:8443/root/x",
+      "https://a.com:8443/p/child/7",
+      "https://a.com:8443/q/3",
+      "https://a.com:8443/p/5?x=1#sec"))
+  }
+
+  test("two dot segments resolve (the declared bound); origin keeps the port") {
+    assert(res("https://h.io/a/b/c", "../../x") == Seq("https://h.io/x"))
+    assert(res("https://h.io:9999/a/b", "up/../y")
+      == Seq("https://h.io:9999/a/y"))
+  }
+
+  test("the graph drops self-loops and dedups repeated anchors") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val canon = Seq("https://site0.com/p/5", "https://site0.com/p/12")
+      .toDF("canonical")
+    val g = LinkOps.linkGraph(canon).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(g.length == g.distinct.length)
+    assert(g.forall { case (a, b) => a != b },
+      "the page-5 fragment self-link must not survive")
+    // page 12 (≡0 mod 6): its mirror link ("//host/top") resolves
+    // onto its own host; (≡0 mod 4): the absolute hub link rides too
+    assert(g.contains(("https://site0.com/p/12", "https://site0.com/top")))
+    assert(g.contains(("https://site0.com/p/12", "https://hub.example/p/0")))
+    // page 5's dotted link lands one directory up
+    assert(g.contains(("https://site0.com/p/5", "https://site0.com/q/5")))
+  }
+}
