@@ -147,6 +147,43 @@ object WebCurationPack extends QueryPack {
     "wc_link_rank" -> ((s, dir) =>
       PageRank.fixedPoint(LinkOps.linkGraph(canon(s, dir)), iters = 3)),
 
+    // the crawler's NEXT-FETCH list, closing the crawl loop as one
+    // query: link targets discovered from admitted pages, minus
+    // everything already crawled (anti-join on the canonical key —
+    // the same key space throughout), robots-gated on the TARGET's
+    // domain (targets on domains we have no robots for default to
+    // allowed), capped per registered domain through the native
+    // bounded-heap TopKPerKey (politeness budget — no domain floods
+    // the frontier). canonicalize → dedup → robots → links →
+    // frontier is the whole discovery cycle, every stage oracled
+    "wc_frontier" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val c = canon(s, dir)
+      val fresh = LinkOps.linkGraph(c).select(col("dst")).distinct()
+        .join(c.select(col("canonical").as("dst")).distinct(),
+          Seq("dst"), "left_anti")
+      val t = UrlOps.withUrlParts(fresh, col("dst"))
+        .select(col("dst"), col("domain"),
+          regexp_extract(col("dst"), "^[a-z]+://[^/]+(/[^?#]*)", 1)
+            .as("path"))
+      val rules = RobotsOps.rulesForAgent(RobotsOps.parseRules(
+        RobotsOps.robotsFor(c)))
+      val allowed = t
+        .join(broadcast(rules.withColumnRenamed("path", "rule_path")),
+          Seq("domain"), "left")
+        .select(col("dst"), col("domain"), col("path"),
+          when(col("rule_path").isNotNull &&
+              col("path").startsWith(col("rule_path")),
+            struct(length(col("rule_path")).as("len"),
+              col("allow").cast("int").as("allow"))).as("m"))
+        .groupBy(col("dst"), col("domain"))
+        .agg(max(col("m")).as("best"))
+        .filter(col("best").isNull || col("best.allow") === 1)
+      graft.plans.TopKPerKey.topKPerKey(allowed,
+          Seq(col("domain")), Seq(col("dst").asc), CapK)
+        .select(col("domain"), col("dst"))
+    }),
+
     // the missing link between the URL front-end and the content
     // pipeline: ONLY admitted doc_ids are spooled into crawl
     // archives, extracted, and chrome-curated — with the chrome
@@ -256,6 +293,56 @@ object WebCurationPack extends QueryPack {
       s"""WITH ${LinkOps.sqlPagesCte(UrlOps.sqlCanonSrc)},
          |${LinkOps.sqlEdgesCte}
          |SELECT src, dst FROM ledges""".stripMargin,
+
+    // discovery composed end to end: fresh targets (anti-join on the
+    // canonical key), target-domain PSL resolution, the robots
+    // verdict encoding, the per-domain cap
+    "wc_frontier" ->
+      s"""WITH $robotsRulesCtes,
+         |sel AS (SELECT r.domain, r.path, r.allow
+         |        FROM rules r JOIN doms d ON r.domain = d.domain
+         |        WHERE r.path IS NOT NULL AND
+         |          ((d.h % 2 = 0 AND r.agent = 'graftbot') OR
+         |           (d.h % 2 <> 0 AND r.agent = '*'))),
+         |${LinkOps.sqlPagesCte(UrlOps.sqlCanonSrc)},
+         |${LinkOps.sqlEdgesCte},
+         |tg AS (SELECT DISTINCT dst FROM ledges
+         |       WHERE dst NOT IN (SELECT DISTINCT canonical
+         |                         FROM ${UrlOps.sqlCanonSrc} c2)),
+         |td AS (SELECT dst,
+         |         regexp_extract(dst, '^[a-z]+://([^/?#:]*)', 1) AS host,
+         |         regexp_extract(dst, '^[a-z]+://[^/]+(/[^?#]*)', 1)
+         |           AS path
+         |       FROM tg),
+         |tl AS (SELECT dst, path, host,
+         |         string_split(host, '.') AS parts FROM td),
+         |tl2 AS (SELECT dst, path, host, parts,
+         |         parts[len(parts)] AS last1,
+         |         array_to_string(list_slice(parts,
+         |           greatest(1, len(parts) - 1), len(parts)), '.') AS last2,
+         |         array_to_string(list_slice(parts,
+         |           greatest(1, len(parts) - 2), len(parts)), '.') AS last3
+         |       FROM tl),
+         |ts AS (SELECT dst, path, host, parts,
+         |         ${PublicSuffix.sqlSuffixLabels("last1", "last2", "last3")}
+         |           AS sfx
+         |       FROM tl2),
+         |tdom AS (SELECT dst, path,
+         |         ${PublicSuffix.sqlDomainFrom("host", "parts", "sfx")}
+         |           AS domain
+         |       FROM ts),
+         |fj AS (SELECT t.dst, t.domain,
+         |         max(CASE WHEN r.path IS NOT NULL
+         |                   AND starts_with(t.path, r.path)
+         |                  THEN length(r.path) * 2 + CAST(r.allow AS INT)
+         |             END) AS score
+         |       FROM tdom t LEFT JOIN sel r ON t.domain = r.domain
+         |       GROUP BY t.dst, t.domain),
+         |fa AS (SELECT dst, domain FROM fj
+         |       WHERE score IS NULL OR score % 2 = 1),
+         |fc AS (SELECT domain, dst, row_number() OVER (
+         |         PARTITION BY domain ORDER BY dst) AS rn FROM fa)
+         |SELECT domain, dst FROM fc WHERE rn <= $CapK""".stripMargin,
 
     // the q_pagerank oracle machinery over the replayed link edges —
     // string node ids, same integer fixed-point rounds
