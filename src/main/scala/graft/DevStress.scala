@@ -584,6 +584,20 @@ object DevStress {
     // scan-linear, and the 16-bit band width is what keeps
     // UNRELATED hashes from meeting (candidates ≈ true-dup pairs +
     // N²/2¹⁶ noise per band)
+    // crawl discovery at factor× pages (replication shifts doc_ids,
+    // so the canonical page set grows with the factor): the link
+    // graph and the frontier must scale LINEARLY in pages — hrefs
+    // per page are constant, the robots RULE table is bounded by the
+    // domain count (fixed site inventory) at every factor, and the
+    // per-domain cap bounds the frontier output itself
+    if (wants("frontier", "link_graph")) {
+      implicit val sp = spark
+      val c = graft.operators.UrlOps.withUrlParts(
+        graft.operators.UrlOps.urls(spark.read.parquet("/tmp/stress_docs")),
+        col("url"))
+      time("link_graph", graft.operators.LinkOps.linkGraph(c))
+      time("frontier", graft.operators.WebCurationPack.frontierOver(c))
+    }
     if (wants("dhash")) {
       val sdocs = spark.read.parquet("/tmp/stress_docs")
       val h = graft.operators.MultimodalPack.dhashOf(spark, sdocs)

@@ -158,30 +158,7 @@ object WebCurationPack extends QueryPack {
     // frontier is the whole discovery cycle, every stage oracled
     "wc_frontier" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val c = canon(s, dir)
-      val fresh = LinkOps.linkGraph(c).select(col("dst")).distinct()
-        .join(c.select(col("canonical").as("dst")).distinct(),
-          Seq("dst"), "left_anti")
-      val t = UrlOps.withUrlParts(fresh, col("dst"))
-        .select(col("dst"), col("domain"),
-          regexp_extract(col("dst"), "^[a-z]+://[^/]+(/[^?#]*)", 1)
-            .as("path"))
-      val rules = RobotsOps.rulesForAgent(RobotsOps.parseRules(
-        RobotsOps.robotsFor(c)))
-      val allowed = t
-        .join(broadcast(rules.withColumnRenamed("path", "rule_path")),
-          Seq("domain"), "left")
-        .select(col("dst"), col("domain"), col("path"),
-          when(col("rule_path").isNotNull &&
-              col("path").startsWith(col("rule_path")),
-            struct(length(col("rule_path")).as("len"),
-              col("allow").cast("int").as("allow"))).as("m"))
-        .groupBy(col("dst"), col("domain"))
-        .agg(max(col("m")).as("best"))
-        .filter(col("best").isNull || col("best.allow") === 1)
-      graft.plans.TopKPerKey.topKPerKey(allowed,
-          Seq(col("domain")), Seq(col("dst").asc), CapK)
-        .select(col("domain"), col("dst"))
+      frontierOver(canon(s, dir))
     }),
 
     // the missing link between the URL front-end and the content
@@ -199,6 +176,34 @@ object WebCurationPack extends QueryPack {
         graft.sources.Warc.parseHttpRecords(
           graft.sources.Warc.htmlResponseArchives(docs)).toDF())
     }))
+
+  /** The wc_frontier body over any canon frame — public so DevStress
+    * probes the production stages. */
+  def frontierOver(c: DataFrame)(implicit s: SparkSession): DataFrame = {
+    val fresh = LinkOps.linkGraph(c).select(col("dst")).distinct()
+      .join(c.select(col("canonical").as("dst")).distinct(),
+        Seq("dst"), "left_anti")
+    val t = UrlOps.withUrlParts(fresh, col("dst"))
+      .select(col("dst"), col("domain"),
+        regexp_extract(col("dst"), "^[a-z]+://[^/]+(/[^?#]*)", 1)
+          .as("path"))
+    val rules = RobotsOps.rulesForAgent(RobotsOps.parseRules(
+      RobotsOps.robotsFor(c)))
+    val allowed = t
+      .join(broadcast(rules.withColumnRenamed("path", "rule_path")),
+        Seq("domain"), "left")
+      .select(col("dst"), col("domain"), col("path"),
+        when(col("rule_path").isNotNull &&
+            col("path").startsWith(col("rule_path")),
+          struct(length(col("rule_path")).as("len"),
+            col("allow").cast("int").as("allow"))).as("m"))
+      .groupBy(col("dst"), col("domain"))
+      .agg(max(col("m")).as("best"))
+      .filter(col("best").isNull || col("best.allow") === 1)
+    graft.plans.TopKPerKey.topKPerKey(allowed,
+        Seq(col("domain")), Seq(col("dst").asc), CapK)
+      .select(col("domain"), col("dst"))
+  }
 
   /** The admission set (the wc_front_e2e chain) as bare doc_ids. */
   private def admittedIds(s: SparkSession, dir: String): DataFrame = {
