@@ -82,9 +82,17 @@ object LinkOps {
         .when(href.startsWith("/"), concat(origin, href))
         .when(href.startsWith("#"), concat(base, href))
         .otherwise(concat(origin, baseDir, href))
-    // bounded dot-segment removal (two passes — the declared depth)
-    val p1 = regexp_replace(joined, "/[^/]+/\\.\\./", "/")
-    regexp_replace(p1, "/[^/]+/\\.\\./", "/")
+    // bounded dot-segment removal (two passes — the declared depth),
+    // applied to the PATH part only: a whole-URL rewrite would let a
+    // root-level ".." eat the authority ("https://h/../x" → "https:/x")
+    val jOrigin = regexp_extract(joined,
+      "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
+    val jPath = substring(joined, length(jOrigin) + 1, lit(1000000))
+    val p1 = regexp_replace(jPath, "/[^/]+/\\.\\./", "/")
+    val p2 = regexp_replace(p1, "/[^/]+/\\.\\./", "/")
+    // RFC 3986: ".." at the root resolves to the root itself
+    val p3 = regexp_replace(p2, "^(/\\.\\.)+(/|$)", "/")
+    concat(jOrigin, p3)
   }
 
   /** (src, dst) canonical link edges: extract, resolve, run the

@@ -100,10 +100,25 @@ object UrlStream {
     * the admission cut runs BEFORE the body parse fan-out, exactly
     * where the batch front-end places it (URL work is cheap, content
     * work is not). */
+  /** `frontierDir`, when set, turns on CONTINUOUS DISCOVERY: per
+    * batch, hrefs are extracted from the ADMITTED pages' real fetched
+    * bodies, resolved against each page's canonical base (RFC 3986 —
+    * [[graft.operators.LinkOps.resolve]]), canonicalized through the
+    * same chain as crawled URLs, and written minus everything already
+    * admitted — the crawler's next-fetch candidates, under the same
+    * `ingest_batch=<id>`/`_SUCCESS` replay discipline as the store.
+    * A target stays on the discovery list until it is actually
+    * CRAWLED (admitted), so consecutive batches may re-emit it — the
+    * fetch scheduler dedups, exactly as wc_frontier's batch form
+    * does with its per-domain cap; robots gating happens at fetch
+    * time once the target's robots.txt is itself fetched (the real
+    * crawler ordering — wc_robots_admit is that gate's batch
+    * form). */
   def startAdmittedCuration(spark: SparkSession, feedDir: String,
                             outDir: String, ckptDir: String,
                             chrome: DataFrame,
-                            seen: BloomSeenSet): StreamingQuery = {
+                            seen: BloomSeenSet,
+                            frontierDir: Option[String] = None): StreamingQuery = {
     implicit val s: SparkSession = spark
     import s.implicits._
     val frozen = chrome.select(col("lang"), col("h")).collect()
@@ -172,6 +187,33 @@ object UrlStream {
                 .select(col("canonical"), col("doc_id"), col("url"),
                   col("lang"), col("n_chars"), col("text_md5"))
                 .write.mode(SaveMode.Overwrite).parquet(dir)
+              frontierDir.foreach { fd =>
+                val dir2 = s"$fd/ingest_batch=$batchId"
+                if (!SinkFs.exists(s"$dir2/_SUCCESS")) {
+                  // hrefs of the admitted pages' REAL bodies (not a
+                  // fixture formula), resolved per page, run through
+                  // the full canonicalizer, minus everything the
+                  // store has admitted (this batch included — its
+                  // _SUCCESS just landed)
+                  val hrefs = pages
+                    .join(fresh.select(col("doc_id"),
+                      col("canonical").as("base")), Seq("doc_id"))
+                    .select(col("base"), explode(regexp_extract_all(
+                        col("body").cast("string"),
+                        lit("href=\"([^\"]+)\""), lit(1))).as("href"))
+                  val resolved = graft.operators.UrlOps.withUrlParts(
+                      hrefs.select(graft.operators.LinkOps
+                        .resolve(col("base"), col("href")).as("url")),
+                      col("url"))
+                    .select(col("canonical").as("dst"), col("domain"))
+                    .distinct()
+                  resolved
+                    .join(admitted(sess, outDir)
+                        .select(col("canonical").as("dst")),
+                      Seq("dst"), "left_anti")
+                    .write.mode(SaveMode.Overwrite).parquet(dir2)
+                }
+              }
               seen.commit(fresh) // AFTER the rows landed
             } finally fresh.unpersist()
           } finally canon.unpersist()

@@ -37,6 +37,13 @@ class LinkOpsSpec extends SparkSpec {
       == Seq("https://h.io:9999/a/y"))
   }
 
+  test("a root-level .. must not eat the authority (RFC 3986: resolves " +
+    "to the root)") {
+    assert(res("https://site.com/a", "../up") == Seq("https://site.com/up"))
+    assert(res("https://site.com/a", "../../deep")
+      == Seq("https://site.com/deep"))
+  }
+
   test("the graph drops self-loops and dedups repeated anchors") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val canon = Seq("https://site0.com/p/5", "https://site0.com/p/12")

@@ -86,7 +86,13 @@ class UrlStreamSpec extends SparkSpec {
   // ---- admitted CURATION composition (the wc_admitted_text twin) --
 
   private case class Page(id: Long, uri: String, lang: String,
-                          body: String, status: Int = 200)
+                          body: String, status: Int = 200,
+                          links: Seq[String] = Nil)
+
+  private def htmlOf(p: Page): String =
+    s"""<html lang="${p.lang}"><body><p>${p.body}</p>""" +
+      p.links.map(l => s"""<a href="$l">x</a>""").mkString +
+      "</body></html>"
 
   private def httpRec(p: Page): Array[Byte] =
     Warc.record(
@@ -95,9 +101,7 @@ class UrlStreamSpec extends SparkSpec {
         "WARC-Target-URI" -> p.uri),
       Warc.httpResponse(p.status, if (p.status == 200) "OK" else "Not Found",
         Seq("Content-Type" -> "text/html"),
-        if (p.status == 200)
-          s"""<html lang="${p.lang}"><body><p>${p.body}</p></body></html>"""
-            .getBytes("UTF-8")
+        if (p.status == 200) htmlOf(p).getBytes("UTF-8")
         else Array.emptyByteArray))
 
   private def emptyChrome = {
@@ -112,9 +116,7 @@ class UrlStreamSpec extends SparkSpec {
   private def batchTwin(pages: Seq[Page]) = {
     import spark.implicits._
     val recs = pages.map(p => (p.id, p.uri, p.status, "text/html",
-        (if (p.status == 200)
-          s"""<html lang="${p.lang}"><body><p>${p.body}</p></body></html>"""
-        else "").getBytes("UTF-8")))
+        (if (p.status == 200) htmlOf(p) else "").getBytes("UTF-8")))
       .toDF("doc_id", "url", "status", "content_type", "body")
     val canon = graft.operators.UrlOps.withUrlParts(recs,
       org.apache.spark.sql.functions.col("url"))
@@ -143,18 +145,30 @@ class UrlStreamSpec extends SparkSpec {
     // wave 1: two spellings of page A (different doc_ids), page B,
     // and a 404 page D — admitted, but curation must drop its body
     val a1 = Page(1, "HTTPS://WWW.Site.COM:443/a?b=2&a=1&utm_source=x#f",
-      "en", "the quick brown fox jumps over the lazy dog")
+      "en", "the quick brown fox jumps over the lazy dog",
+      links = Seq("/b", "/new1", "../up")) // /b admitted same batch
     val a2 = Page(2, "https://site.com/a?a=1&b=2",
-      "en", "a recrawl body that must never be extracted")
+      "en", "a recrawl body that must never be extracted",
+      links = Seq("/from-the-loser")) // dup record: must NOT discover
     val b = Page(3, "https://site.com/b",
-      "en", "an entirely different page with plenty of words")
+      "en", "an entirely different page with plenty of words",
+      links = Seq("//www.site.com/x")) // protocol-relative + www-strip
     val d = Page(6, "https://site.com/d", "en", "", status = 404)
     land(feed, "w1.warc", Seq(a1, a2, b, d).map(httpRec))
     val seen1 = new BloomSeenSet("canonical", expectedKeys = 1000,
       persistPath = Some(sketch))
+    val frontier = s"$dir/frontier"
     UrlStream.startAdmittedCuration(spark, feed, out, ckpt,
-        emptyChrome, seen1)
+        emptyChrome, seen1, frontierDir = Some(frontier))
       .awaitTermination()
+    val f0 = spark.read.parquet(s"$frontier/ingest_batch=0")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(f0 == Set(
+      ("https://site.com/new1", "site.com"),
+      ("https://site.com/up", "site.com"),
+      ("https://site.com/x", "site.com")),
+      s"wave-1 discovery: $f0") // /b excluded (admitted this batch);
+      // the losing duplicate's body contributed nothing
     val s1 = spark.read.parquet(s"$out/ingest_batch=0")
       .collect().map(_.toSeq).toSet
     assert(s1 == batchTwin(Seq(a1, a2, b, d)),
@@ -166,15 +180,25 @@ class UrlStreamSpec extends SparkSpec {
     // under a new spelling WITH A NEW BODY (if admission leaked, the
     // new body would curate and change the store) plus new page C
     val a3 = Page(7, "https://site.com/a/?a=1&b=2&utm_medium=m",
-      "en", "poisoned recrawl body that must not appear anywhere")
+      "en", "poisoned recrawl body that must not appear anywhere",
+      links = Seq("/poisoned-discovery")) // recrawl: no discovery either
     val c = Page(8, "https://site.com/c",
-      "en", "the genuinely new page of wave two with words")
+      "en", "the genuinely new page of wave two with words",
+      links = Seq("/new1", "/b")) // /new1 still unfetched: re-emitted;
+      // /b admitted in wave 1 (query-less canonical): excluded —
+      // note bare /a would NOT be excluded: page A's admitted
+      // canonical carries its query string, so /a is a different,
+      // uncrawled resource (the canonical key is exact by design)
     land(feed, "w2.warc", Seq(a3, c).map(httpRec))
     val seen2 = new BloomSeenSet("canonical", expectedKeys = 1000,
       persistPath = Some(sketch))
     UrlStream.startAdmittedCuration(spark, feed, out, ckpt,
-        emptyChrome, seen2)
+        emptyChrome, seen2, frontierDir = Some(frontier))
       .awaitTermination()
+    val f1 = spark.read.parquet(s"$frontier/ingest_batch=1")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(f1 == Set(("https://site.com/new1", "site.com")),
+      s"wave-2 discovery: $f1")
     val all = spark.read.parquet(s"$out/ingest_batch=0",
         s"$out/ingest_batch=1")
       .collect().map(_.toSeq).toSet
