@@ -576,14 +576,6 @@ object DevStress {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct("canonical").as("n_pages")))
     }
-    // perceptual dhash under replication: every replica of a doc
-    // hashes IDENTICALLY, so band buckets flood factor-deep and the
-    // near-dup pair output grows ~factor² per base image — the
-    // honest dup-flood shape (the pairs ARE the dup set, same class
-    // as the jaccard probe); the hash pass itself must stay
-    // scan-linear, and the 16-bit band width is what keeps
-    // UNRELATED hashes from meeting (candidates ≈ true-dup pairs +
-    // N²/2¹⁶ noise per band)
     // crawl discovery at factor× pages (replication shifts doc_ids,
     // so the canonical page set grows with the factor): the link
     // graph and the frontier must scale LINEARLY in pages — hrefs
@@ -598,6 +590,14 @@ object DevStress {
       time("link_graph", graft.operators.LinkOps.linkGraph(c))
       time("frontier", graft.operators.WebCurationPack.frontierOver(c))
     }
+    // perceptual dhash under replication: every replica of a doc
+    // hashes IDENTICALLY, so band buckets flood factor-deep and the
+    // near-dup pair output grows ~factor² per base image — the
+    // honest dup-flood shape (the pairs ARE the dup set, same class
+    // as the jaccard probe); the hash pass itself must stay
+    // scan-linear, and the 16-bit band width is what keeps
+    // UNRELATED hashes from meeting (candidates ≈ true-dup pairs +
+    // N²/2¹⁶ noise per band)
     if (wants("dhash")) {
       val sdocs = spark.read.parquet("/tmp/stress_docs")
       val h = graft.operators.MultimodalPack.dhashOf(spark, sdocs)

@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.SimilarityPack
-import graft.functions.Similarity
 
 object Sweep extends App {
   val spark = SparkSession.builder()
@@ -17,14 +16,10 @@ object Sweep extends App {
     val v = SimilarityPack.normedVecs(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     v.count()
-    val q = v.filter(col("vec_id") % 10 === 0)
-      .select(col("vec_id").as("src"), col("embedding").as("qe"), col("nrm").as("qn"))
-    val truth = graft.plans.TopKPerKey.topKPerKey(
-      v.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("src"))
-        .select(col("src"), col("vec_id").as("dst"),
-          (Similarity.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos")),
-      keys = Seq(col("src")), order = Seq(col("cos").desc, col("dst").asc), k = SimilarityPack.KnnK)
-      .select(col("src"), col("dst")).localCheckpoint(true)
+    // the SAME truth the registered recall audits use — reusing the
+    // production helper keeps the sweep's numbers comparable to
+    // sim_knn_graph_recall by construction
+    val truth = SimilarityPack.bruteTruth(v).localCheckpoint(true)
     val possible = truth.count()
     for ((bk, r) <- Seq((6, 3), (12, 3), (12, 4), (12, 5))) {
       val t0 = System.nanoTime()

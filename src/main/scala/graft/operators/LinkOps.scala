@@ -77,10 +77,17 @@ object LinkOps {
     val basePath = regexp_extract(base, "^[a-z]+://[^/?#]+(/[^?#]*)", 1)
     val baseDir = regexp_replace(basePath, "[^/]+$", "")
     val joined =
-      when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href)
+      // any scheme-prefixed reference is ABSOLUTE per RFC 3986 (a
+      // relative first segment cannot contain ':'), which keeps
+      // mailto:/javascript:/tel: anchors intact instead of gluing
+      // them onto the base directory — consumers that only fetch web
+      // resources filter on ^https?:// after resolution
+      when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), href)
         .when(href.startsWith("//"), concat(scheme, lit(":"), href))
         .when(href.startsWith("/"), concat(origin, href))
         .when(href.startsWith("#"), concat(base, href))
+        // query-only reference: base PATH + the new query (§5.3)
+        .when(href.startsWith("?"), concat(origin, basePath, href))
         .otherwise(concat(origin, baseDir, href))
     // bounded dot-segment removal (two passes — the declared depth),
     // applied to the PATH part only: a whole-URL rewrite would let a
@@ -103,6 +110,9 @@ object LinkOps {
     val resolved = extractedHrefs(canon)
       .select(col("canonical").as("src"),
         resolve(col("canonical"), col("href")).as("url"))
+      // only fetchable web URIs enter the graph (mailto:/javascript:
+      // anchors resolve absolute above and drop here)
+      .filter(col("url").rlike("^https?://"))
     UrlOps.withUrlParts(resolved, col("url"))
       .select(col("src"), col("canonical").as("dst"))
       .filter(col("src") =!= col("dst"))

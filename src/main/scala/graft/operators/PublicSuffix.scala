@@ -163,9 +163,21 @@ object PublicSuffix {
                  last3: String, sfxOut: String): DataFrame = {
     val spark = df.sparkSession
     val r = rules
-    def tbl(rows: Seq[(String, Boolean, Int)], k: String): DataFrame =
+    def tbl(rows: Seq[(String, Boolean, Int)], k: String): DataFrame = {
+      // a rule string appearing twice in one label-count table would
+      // FAN OUT every matching URL row through the join — silent row
+      // duplication into every downstream count. The bundled snapshot
+      // is collision-free; an externally published table must be too,
+      // loudly (duplicates with a consistent class would be silently
+      // harmless, but a plain/wildcard conflict would not — reject
+      // both shapes rather than guess)
+      val dups = rows.map(_._1).diff(rows.map(_._1).distinct)
+      require(dups.isEmpty,
+        s"PSL rule table carries duplicate rule strings: " +
+          s"${dups.distinct.take(5).mkString(", ")}")
       spark.createDataFrame(rows).toDF(s"_psl_r$k", s"_psl_exc$k",
         s"_psl_sfx$k")
+    }
     // one row per rule string; label count keys which join sees it
     val t3 = tbl(r.exc3.map((_, true, 2)) ++ r.normal3.map((_, false, 3)), "3")
     val t2 = tbl(r.exc2.map((_, true, 1)) ++ r.wild2.map((_, false, 3)) ++

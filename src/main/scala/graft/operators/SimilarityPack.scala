@@ -163,7 +163,7 @@ object SimilarityPack extends QueryPack {
     * subset of a normed frame — quadratic ONLY over the bounded
     * probe slice (broadcast query side). Shared by the graph and
     * search recall audits. */
-  private def bruteTruth(v: DataFrame): DataFrame = {
+  private[graft] def bruteTruth(v: DataFrame): DataFrame = {
     val q = v.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("src"), col("embedding").as("qe"),
         col("nrm").as("qn"))
@@ -180,7 +180,7 @@ object SimilarityPack extends QueryPack {
 
   /** The one-row recall summary over (src, dst) found-vs-truth
     * frames: counts reduce to 1-row aggs composed via broadcast. */
-  private def recallRow(found: DataFrame, truth: DataFrame): DataFrame = {
+  private[graft] def recallRow(found: DataFrame, truth: DataFrame): DataFrame = {
     val hits = found.join(truth, Seq("src", "dst"))
       .agg(count(lit(1)).as("hits"))
     truth.agg(countDistinct(col("src")).as("n_probes"),

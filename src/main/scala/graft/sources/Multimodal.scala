@@ -772,6 +772,15 @@ object Multimodal {
   object PixelCodec {
     import java.util.zip.{CRC32, Deflater, Inflater}
 
+    /** Dimension sanity bound: a crafted header can carry dimensions
+      * whose byte math overflows Int (PNG's CRC proves integrity, not
+      * sanity; BMP has no check at all) — w·3 wraps negative around
+      * 2³⁰ and array allocation throws instead of returning None.
+      * 2¹⁵ per side (a gigapixel as the product) is far above any
+      * legitimate thumbnail-decode input and keeps every
+      * stride/row-count product inside an Int. */
+    val MaxDim = 1 << 15
+
     /** Dyadic integer luma of a 24-bit pixel. */
     def luma24(r: Int, g: Int, b: Int): Int = (3 * r + 4 * g + b) >> 3
 
@@ -942,6 +951,7 @@ object Multimodal {
       val h = math.abs(hRaw)
       val off = i32le(b, 10)
       if (w <= 0 || hRaw == 0 || hRaw == Int.MinValue || off < 54) return None
+      if (w > MaxDim || h > MaxDim) return None // crafted dims: no overflow path
       if (u16le(b, 28) != 24 || i32le(b, 30) != 0) return None // 24-bit BI_RGB only
       val stride = (w * 3 + 3) & ~3
       if (off.toLong + stride.toLong * h > b.length) return None // truncated pixel array
@@ -994,6 +1004,7 @@ object Multimodal {
       // rather than decode a silently-partial image
       if (!iendSeen || w <= 0 || h <= 0 || colorType < 0 || idat.size == 0)
         return None
+      if (w > MaxDim || h > MaxDim) return None // crafted dims: no overflow path
       val ch = if (colorType == 2) 3 else 1
       val rowBytes = w * ch
       val raw = inflate(idat.toByteArray, h * (1 + rowBytes)).getOrElse(return None)

@@ -187,36 +187,54 @@ object UrlStream {
                 .select(col("canonical"), col("doc_id"), col("url"),
                   col("lang"), col("n_chars"), col("text_md5"))
                 .write.mode(SaveMode.Overwrite).parquet(dir)
-              frontierDir.foreach { fd =>
-                val dir2 = s"$fd/ingest_batch=$batchId"
-                if (!SinkFs.exists(s"$dir2/_SUCCESS")) {
-                  // hrefs of the admitted pages' REAL bodies (not a
-                  // fixture formula), resolved per page, run through
-                  // the full canonicalizer, minus everything the
-                  // store has admitted (this batch included — its
-                  // _SUCCESS just landed)
-                  val hrefs = pages
-                    .join(fresh.select(col("doc_id"),
-                      col("canonical").as("base")), Seq("doc_id"))
-                    .select(col("base"), explode(regexp_extract_all(
-                        col("body").cast("string"),
-                        lit("href=\"([^\"]+)\""), lit(1))).as("href"))
-                  val resolved = graft.operators.UrlOps.withUrlParts(
-                      hrefs.select(graft.operators.LinkOps
-                        .resolve(col("base"), col("href")).as("url")),
-                      col("url"))
-                    .select(col("canonical").as("dst"), col("domain"))
-                    .distinct()
-                  resolved
-                    .join(admitted(sess, outDir)
-                        .select(col("canonical").as("dst")),
-                      Seq("dst"), "left_anti")
-                    .write.mode(SaveMode.Overwrite).parquet(dir2)
-                }
-              }
               seen.commit(fresh) // AFTER the rows landed
             } finally fresh.unpersist()
           } finally canon.unpersist()
+        }
+        // discovery rides its OWN `_SUCCESS`, independently
+        // replayable: a crash between the store write and the
+        // frontier write leaves a completed store and a missing
+        // frontier dir, and the checkpoint replay lands HERE with
+        // the store branch a no-op — the admitted set for the batch
+        // is read back from the store (authoritative) and the
+        // replayed batch frame re-supplies the bodies
+        // deterministically
+        frontierDir.foreach { fd =>
+          val dir2 = s"$fd/ingest_batch=$batchId"
+          if (!SinkFs.exists(s"$dir2/_SUCCESS") &&
+              SinkFs.exists(s"$dir/_SUCCESS")) {
+            if (SinkFs.list(dir).exists(_.getPath.getName.endsWith(".parquet"))) {
+              // hrefs of the admitted pages' REAL bodies (not a
+              // fixture formula), resolved per page (RFC 3986), kept
+              // only when the target is a fetchable web URI (mailto:/
+              // javascript: anchors resolve absolute and drop here),
+              // run through the full canonicalizer, minus everything
+              // the store has admitted (this batch included)
+              val batchAdmitted = sess.read.parquet(dir)
+                .select(col("doc_id"), col("canonical").as("base"))
+              val hrefs = batch.select(col("doc_id"), col("body"))
+                .join(batchAdmitted, Seq("doc_id"))
+                .select(col("base"), explode(regexp_extract_all(
+                    col("body").cast("string"),
+                    lit("href=\"([^\"]+)\""), lit(1))).as("href"))
+              val web = hrefs
+                .select(graft.operators.LinkOps
+                  .resolve(col("base"), col("href")).as("url"))
+                .filter(col("url").rlike("^https?://"))
+              graft.operators.UrlOps.withUrlParts(web, col("url"))
+                .select(col("canonical").as("dst"), col("domain"))
+                .distinct()
+                .join(admitted(sess, outDir)
+                    .select(col("canonical").as("dst")),
+                  Seq("dst"), "left_anti")
+                .write.mode(SaveMode.Overwrite).parquet(dir2)
+            } else {
+              // all-duplicate batch: nothing admitted, nothing to
+              // discover — an EMPTY completed directory keeps the
+              // replay ledger exact
+              SinkFs.touch(s"$dir2/_SUCCESS")
+            }
+          }
         }
       }
       .start()

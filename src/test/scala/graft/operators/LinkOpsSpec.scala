@@ -44,6 +44,22 @@ class LinkOpsSpec extends SparkSpec {
       == Seq("https://site.com/deep"))
   }
 
+  test("non-hierarchical schemes stay absolute; query-only refs take " +
+    "the base path") {
+    val base = "https://site.com/list?page=1"
+    assert(res(base, "mailto:a@b.com", "javascript:void(0)", "tel:+123")
+      == Seq("mailto:a@b.com", "javascript:void(0)", "tel:+123"),
+      "scheme-prefixed references are absolute — never glued to the base")
+    assert(res(base, "?page=2") == Seq("https://site.com/list?page=2"),
+      "query-only reference resolves against the base PATH (§5.3)")
+    // ...and the graph keeps only fetchable web targets
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val g = LinkOps.linkGraph(
+      Seq("https://site0.com/p/5").toDF("canonical")).collect()
+      .map(_.getString(1))
+    assert(g.forall(_.startsWith("https://")))
+  }
+
   test("the graph drops self-loops and dedups repeated anchors") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val canon = Seq("https://site0.com/p/5", "https://site0.com/p/12")

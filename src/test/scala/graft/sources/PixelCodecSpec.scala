@@ -75,6 +75,25 @@ class PixelCodecSpec extends SparkSpec {
       assert(PixelCodec.decodeGrid(bmp.take(k)).isEmpty) }
     // garbage and sub-grid dimensions
     assert(PixelCodec.decodeGrid(Array.fill[Byte](100)(0x5a)).isEmpty)
+    // crafted HUGE dimensions: a valid-CRC PNG IHDR claiming 2^30
+    // width, and a BMP whose w*3 stride math would wrap negative —
+    // both must yield None, never an allocation/index throw
+    val hugePng = PixelCodec.pngEncode(grid(), GridW, GridH, rgb = false)
+    def be32(a: Array[Byte], i: Int, v: Int): Unit = {
+      a(i) = (v >> 24).toByte; a(i + 1) = (v >> 16).toByte
+      a(i + 2) = (v >> 8).toByte; a(i + 3) = v.toByte
+    }
+    be32(hugePng, 16, 1 << 30) // IHDR width field
+    val crc = new java.util.zip.CRC32
+    crc.update(hugePng, 12, 17) // re-seal type+data so the walk reaches it
+    be32(hugePng, 29, crc.getValue.toInt)
+    assert(PixelCodec.decodeGrid(hugePng).isEmpty,
+      "a crafted gigapixel IHDR must be rejected, not allocated")
+    val hugeBmp = PixelCodec.bmpEncode(grid(), GridW, GridH, topDown = false)
+    hugeBmp(18) = 0xAB.toByte; hugeBmp(19) = 0xAA.toByte
+    hugeBmp(20) = 0xAA.toByte; hugeBmp(21) = 0x2A.toByte // w ≈ 7.2e8
+    assert(PixelCodec.decodeGrid(hugeBmp).isEmpty,
+      "a BMP whose stride math would wrap must be rejected")
     val tiny = PixelCodec.bmpEncode(Array.fill(4 * 4)(50), 4, 4, topDown = false)
     assert(PixelCodec.decodeGrid(tiny).isEmpty,
       "sub-grid images are out of the resize contract")
