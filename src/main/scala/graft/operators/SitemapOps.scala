@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sitemap ingestion — the third discovery source of the crawl
+  * front-end (robots tells a crawler where NOT to go, links where
+  * pages point, sitemaps where the SITE wants it to go): the
+  * sitemaps.org `urlset` format, one file per host, `<url>` entries
+  * carrying `<loc>` and optionally `<lastmod>`.
+  *
+  * Parsing is scan-stage: `<url>…</url>` blocks captured with a lazy
+  * regex, then `loc`/`lastmod` extracted PER BLOCK — pairing through
+  * the block, never by zipping two independent extract-alls (which
+  * silently misaligns the moment one entry omits `lastmod`). The
+  * fixture synthesizes genuine XML per host (declaration, namespace,
+  * entries with and without lastmod, whitespace variation) from
+  * host-hash arithmetic, so the DuckDB oracle replays the entries
+  * without parsing.
+  *
+  * [[discovery]] then unifies the three sources: sitemap locs ∪ link
+  * targets, minus everything crawled, robots-gated per target domain,
+  * capped per domain — the production frontier feed, with a `via`
+  * column recording which source(s) surfaced each target (sitemap
+  * entries a site advertises but nobody links, and link targets no
+  * sitemap admits, are both real and both labeled).
+  */
+object SitemapOps {
+
+  /** Genuine sitemap XML for a host: h-derived page entries — one
+    * crawled-range page, one beyond-crawl page (fresh discovery), and
+    * one on the host's robots-DISALLOWED prefix (the gate interplay:
+    * a site can advertise what its robots then deny — the discovery
+    * union must drop it). Every third host omits lastmod on its
+    * second entry (the misalignment trap a block parser survives). */
+  def sitemapXml(host: Column): Column = {
+    val h = Hashing.h32(host)
+    val a = (h % 10).cast("string") // the robots Disallow digit
+    val p1 = (h % 89).cast("string")
+    val p2 = (h % 89 + 10000).cast("string")
+    val m = ((h % 12) + 1).cast("string")
+    concat_ws("\n",
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>"),
+      lit("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+      concat(lit("  <url><loc>https://"), host, lit("/p/"), p1,
+        lit("</loc><lastmod>2026-"), m, lit("-01</lastmod></url>")),
+      when(h % 3 === 0,
+        concat(lit("  <url>\n    <loc>https://"), host, lit("/p/"), p2,
+          lit("</loc>\n  </url>")))
+        .otherwise(concat(lit("  <url><loc>https://"), host, lit("/p/"),
+          p2, lit("</loc><lastmod>2026-"), m, lit("-15</lastmod></url>"))),
+      concat(lit("  <url><loc>https://"), host, lit("/p/"), a,
+        lit("99</loc><lastmod>2026-"), m, lit("-20</lastmod></url>")),
+      lit("</urlset>"))
+  }
+
+  /** (host, xml) per distinct host of a canon frame. */
+  def sitemapsFor(canon: DataFrame): DataFrame =
+    canon.select(col("host")).distinct()
+      .select(col("host"), sitemapXml(col("host")).as("xml"))
+
+  /** Parsed (host, loc, lastmod) rows — block-grain pairing; lastmod
+    * null when the entry omits it. */
+  def parseSitemaps(files: DataFrame): DataFrame =
+    files
+      .select(col("host"), explode(regexp_extract_all(col("xml"),
+        lit("(?s)<url>(.*?)</url>"), lit(1))).as("entry"))
+      .select(col("host"),
+        regexp_extract(col("entry"), "<loc>([^<]+)</loc>", 1).as("loc"),
+        when(col("entry").contains("<lastmod>"),
+          regexp_extract(col("entry"), "<lastmod>([^<]+)</lastmod>", 1))
+          .as("lastmod"))
+      .filter(col("loc") =!= "")
+
+  /** The unified discovery feed: sitemap locs ∪ link targets, minus
+    * crawled canonicals, robots-gated per target domain, capped per
+    * domain — (domain, dst, via). */
+  def discovery(canon: DataFrame): DataFrame = {
+    implicit val sess: org.apache.spark.sql.SparkSession = canon.sparkSession
+    val fromSitemap = parseSitemaps(sitemapsFor(canon))
+      .select(col("loc").as("url"), lit(true).as("via_sitemap"),
+        lit(false).as("via_link"))
+    val fromLinks = LinkOps.linkGraph(canon)
+      .select(col("dst").as("url"), lit(false).as("via_sitemap"),
+        lit(true).as("via_link"))
+    val candidates = UrlOps.withUrlParts(
+        fromSitemap.unionByName(fromLinks), col("url"))
+      .groupBy(col("canonical").as("dst"), col("domain"))
+      .agg(max(col("via_sitemap")).as("via_sitemap"),
+        max(col("via_link")).as("via_link"))
+      .join(canon.select(col("canonical").as("dst")).distinct(),
+        Seq("dst"), "left_anti")
+      .withColumn("path",
+        regexp_extract(col("dst"), "^[a-z]+://[^/]+(/[^?#]*)", 1))
+    val rules = RobotsOps.rulesForAgent(RobotsOps.parseRules(
+      RobotsOps.robotsFor(canon)))
+    val allowed = candidates
+      .join(broadcast(rules.withColumnRenamed("path", "rule_path")),
+        Seq("domain"), "left")
+      .select(col("dst"), col("domain"), col("via_sitemap"),
+        col("via_link"),
+        when(col("rule_path").isNotNull &&
+            col("path").startsWith(col("rule_path")),
+          struct(length(col("rule_path")).as("len"),
+            col("allow").cast("int").as("allow"))).as("m"))
+      .groupBy(col("dst"), col("domain"), col("via_sitemap"),
+        col("via_link"))
+      .agg(max(col("m")).as("best"))
+      .filter(col("best").isNull || col("best.allow") === 1)
+      .select(col("dst"), col("domain"),
+        when(col("via_sitemap") && col("via_link"), "both")
+          .when(col("via_sitemap"), "sitemap")
+          .otherwise("link").as("via"))
+    graft.plans.TopKPerKey.topKPerKey(allowed,
+        Seq(col("domain")), Seq(col("dst").asc), WebCurationPack.CapK)
+      .select(col("domain"), col("dst"), col("via"))
+  }
+
+  // ---------------------------------------------------------------
+  // DuckDB twins — the entry formulas replayed from host arithmetic.
+  // ---------------------------------------------------------------
+
+  /** CTE `smrows(host, loc, lastmod)` over `lpages` (needs
+    * [[LinkOps.sqlPagesCte]] in scope for the host inventory). */
+  val sqlSitemapCte: String = {
+    val h = Hashing.sqlH32("host")
+    s"""smhosts AS (SELECT DISTINCT host, $h AS h FROM lpages),
+       |smrows AS (
+       |  SELECT host, 'https://' || host || '/p/' ||
+       |    CAST(h % 89 AS VARCHAR) AS loc,
+       |    '2026-' || CAST((h % 12) + 1 AS VARCHAR) || '-01' AS lastmod
+       |  FROM smhosts
+       |  UNION ALL
+       |  SELECT host, 'https://' || host || '/p/' ||
+       |    CAST(h % 89 + 10000 AS VARCHAR),
+       |    CASE WHEN h % 3 = 0 THEN NULL
+       |         ELSE '2026-' || CAST((h % 12) + 1 AS VARCHAR) || '-15' END
+       |  FROM smhosts
+       |  UNION ALL
+       |  SELECT host, 'https://' || host || '/p/' ||
+       |    CAST(h % 10 AS VARCHAR) || '99',
+       |    '2026-' || CAST((h % 12) + 1 AS VARCHAR) || '-20'
+       |  FROM smhosts)""".stripMargin
+  }
+}

@@ -161,6 +161,19 @@ object WebCurationPack extends QueryPack {
       frontierOver(canon(s, dir))
     }),
 
+    // sitemap ingestion — the third discovery source: genuine
+    // urlset XML per host (declaration, namespace, entries with and
+    // without lastmod, whitespace variation), parsed at BLOCK grain
+    // so loc/lastmod stay paired when an entry omits lastmod
+    "wc_sitemap_urls" -> ((s, dir) =>
+      SitemapOps.parseSitemaps(SitemapOps.sitemapsFor(canon(s, dir)))),
+
+    // ...and the UNIFIED discovery feed: sitemap ∪ links, minus
+    // crawled, robots-gated per target domain (a site can advertise
+    // in its sitemap what its robots then deny — the union drops
+    // it), capped per domain, with the surfacing source(s) labeled
+    "wc_discovery" -> ((s, dir) => SitemapOps.discovery(canon(s, dir))),
+
     // the missing link between the URL front-end and the content
     // pipeline: ONLY admitted doc_ids are spooled into crawl
     // archives, extracted, and chrome-curated — with the chrome
@@ -348,6 +361,72 @@ object WebCurationPack extends QueryPack {
          |fc AS (SELECT domain, dst, row_number() OVER (
          |         PARTITION BY domain ORDER BY dst) AS rn FROM fa)
          |SELECT domain, dst FROM fc WHERE rn <= $CapK""".stripMargin,
+
+    "wc_sitemap_urls" ->
+      s"""WITH ${LinkOps.sqlPagesCte(UrlOps.sqlCanonSrc)},
+         |${SitemapOps.sqlSitemapCte}
+         |SELECT host, loc, lastmod FROM smrows""".stripMargin,
+
+    // the frontier oracle pattern with the two-source union and the
+    // via flags carried through the gate
+    "wc_discovery" ->
+      s"""WITH $robotsRulesCtes,
+         |sel AS (SELECT r.domain, r.path, r.allow
+         |        FROM rules r JOIN doms d ON r.domain = d.domain
+         |        WHERE r.path IS NOT NULL AND
+         |          ((d.h % 2 = 0 AND r.agent = 'graftbot') OR
+         |           (d.h % 2 <> 0 AND r.agent = '*'))),
+         |${LinkOps.sqlPagesCte(UrlOps.sqlCanonSrc)},
+         |${LinkOps.sqlEdgesCte},
+         |${SitemapOps.sqlSitemapCte},
+         |uni AS (SELECT loc AS dst, TRUE AS via_sitemap,
+         |               FALSE AS via_link FROM smrows
+         |        UNION ALL
+         |        SELECT dst, FALSE, TRUE FROM ledges),
+         |grp AS (SELECT dst, bool_or(via_sitemap) AS via_sitemap,
+         |               bool_or(via_link) AS via_link
+         |        FROM uni GROUP BY dst),
+         |tg AS (SELECT g.* FROM grp g
+         |       WHERE g.dst NOT IN (SELECT DISTINCT canonical
+         |                           FROM ${UrlOps.sqlCanonSrc} c2)),
+         |td AS (SELECT dst, via_sitemap, via_link,
+         |         regexp_extract(dst, '^[a-z]+://([^/?#:]*)', 1) AS host,
+         |         regexp_extract(dst, '^[a-z]+://[^/]+(/[^?#]*)', 1)
+         |           AS path
+         |       FROM tg),
+         |tl2 AS (SELECT *, string_split(host, '.') AS parts FROM td),
+         |tl3 AS (SELECT *,
+         |         parts[len(parts)] AS last1,
+         |         array_to_string(list_slice(parts,
+         |           greatest(1, len(parts) - 1), len(parts)), '.') AS last2,
+         |         array_to_string(list_slice(parts,
+         |           greatest(1, len(parts) - 2), len(parts)), '.') AS last3
+         |       FROM tl2),
+         |ts AS (SELECT *,
+         |         ${PublicSuffix.sqlSuffixLabels("last1", "last2", "last3")}
+         |           AS sfx
+         |       FROM tl3),
+         |tdom AS (SELECT dst, via_sitemap, via_link, path,
+         |         ${PublicSuffix.sqlDomainFrom("host", "parts", "sfx")}
+         |           AS domain
+         |       FROM ts),
+         |fj AS (SELECT t.dst, t.domain,
+         |         any_value(t.via_sitemap) AS via_sitemap,
+         |         any_value(t.via_link) AS via_link,
+         |         max(CASE WHEN r.path IS NOT NULL
+         |                   AND starts_with(t.path, r.path)
+         |                  THEN length(r.path) * 2 + CAST(r.allow AS INT)
+         |             END) AS score
+         |       FROM tdom t LEFT JOIN sel r ON t.domain = r.domain
+         |       GROUP BY t.dst, t.domain),
+         |fa AS (SELECT dst, domain,
+         |         CASE WHEN via_sitemap AND via_link THEN 'both'
+         |              WHEN via_sitemap THEN 'sitemap'
+         |              ELSE 'link' END AS via
+         |       FROM fj WHERE score IS NULL OR score % 2 = 1),
+         |fc AS (SELECT domain, dst, via, row_number() OVER (
+         |         PARTITION BY domain ORDER BY dst) AS rn FROM fa)
+         |SELECT domain, dst, via FROM fc WHERE rn <= $CapK""".stripMargin,
 
     // the q_pagerank oracle machinery over the replayed link edges —
     // string node ids, same integer fixed-point rounds
