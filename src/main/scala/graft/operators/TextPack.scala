@@ -169,6 +169,33 @@ object TextPack extends QueryPack {
           + lit(0.3) * col("long_ratio"), 4))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Flesch-Kincaid readability (the published grade formula over
+    // exact integer counts): sentences = [.!?]+ runs (min 1), words =
+    // whitespace tokens, syllables = vowel-group runs minus silent
+    // trailing e's, floored at one per word — the standard
+    // dictionary-free approximation, every count a portable
+    // regexp_count so the grade's two divisions are single IEEE ops
+    // both engines round identically. A readability band is a stock
+    // quality-mix signal (FineWeb-style curation buckets on it).
+    "tx_readability" -> ((s, dir) => {
+      val lowered = lower(col("text"))
+      val w = size(split(col("text"), " ")).cast("long")
+      val sen = greatest(
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long"), lit(1L))
+      val syl = greatest(
+        size(regexp_extract_all(lowered, lit("[aeiouy]+"), lit(0)))
+          .cast("long") -
+        size(regexp_extract_all(lowered,
+          lit("[bcdfghjklmnpqrstvwxz]e( |$)"), lit(0))).cast("long"),
+        w)
+      Tables.documents(s, dir).select(col("doc_id"),
+        w.as("n_words"), sen.as("n_sentences"), syl.as("n_syllables"),
+        Det.dround(lit(0.39) * (w.cast("double") / sen.cast("double")) +
+          lit(11.8) * (syl.cast("double") / w.cast("double")) -
+          lit(15.59), 4).as("fk_grade"))
+    }),
+
     // Token counting: whitespace tokens + a BPE-ish word/punct regex.
     "tx_token_stats" -> ((s, dir) =>
       tokenized(s, dir, "text", "n_chars").select(
@@ -932,6 +959,26 @@ object TextPack extends QueryPack {
   private val nDistinct = "len(list_distinct(string_split(text, ' ')))"
 
   override def oracles: Map[String, String] = Map(
+    // the same counts as portable regex scans; the grade's two
+    // divisions and the constant arithmetic are written identically
+    "tx_readability" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+         |      AS BIGINT), 1) AS n_sentences,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         |      AS BIGINT) AS raw_syl,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |      '[bcdfghjklmnpqrstvwxz]e( |${"$"})')) AS BIGINT) AS silent_e
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sentences,
+         |  greatest(raw_syl - silent_e, n_words) AS n_syllables,
+         |  ${graft.Det.droundSql(
+            "0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) " +
+              "+ 11.8 * (CAST(greatest(raw_syl - silent_e, n_words) AS DOUBLE) " +
+              "/ CAST(n_words AS DOUBLE)) - 15.59", 4)} AS fk_grade
+         |FROM t""".stripMargin,
+
     "tx_token_stats" ->
       s"""SELECT doc_id,
          |  $nToks AS n_tokens,
