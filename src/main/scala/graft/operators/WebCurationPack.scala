@@ -327,28 +327,7 @@ object WebCurationPack extends QueryPack {
          |tg AS (SELECT DISTINCT dst FROM ledges
          |       WHERE dst NOT IN (SELECT DISTINCT canonical
          |                         FROM ${UrlOps.sqlCanonSrc} c2)),
-         |td AS (SELECT dst,
-         |         regexp_extract(dst, '^[a-z]+://([^/?#:]*)', 1) AS host,
-         |         regexp_extract(dst, '^[a-z]+://[^/]+(/[^?#]*)', 1)
-         |           AS path
-         |       FROM tg),
-         |tl AS (SELECT dst, path, host,
-         |         string_split(host, '.') AS parts FROM td),
-         |tl2 AS (SELECT dst, path, host, parts,
-         |         parts[len(parts)] AS last1,
-         |         array_to_string(list_slice(parts,
-         |           greatest(1, len(parts) - 1), len(parts)), '.') AS last2,
-         |         array_to_string(list_slice(parts,
-         |           greatest(1, len(parts) - 2), len(parts)), '.') AS last3
-         |       FROM tl),
-         |ts AS (SELECT dst, path, host, parts,
-         |         ${PublicSuffix.sqlSuffixLabels("last1", "last2", "last3")}
-         |           AS sfx
-         |       FROM tl2),
-         |tdom AS (SELECT dst, path,
-         |         ${PublicSuffix.sqlDomainFrom("host", "parts", "sfx")}
-         |           AS domain
-         |       FROM ts),
+         |$targetDomainCtes,
          |fj AS (SELECT t.dst, t.domain,
          |         max(CASE WHEN r.path IS NOT NULL
          |                   AND starts_with(t.path, r.path)
@@ -389,27 +368,7 @@ object WebCurationPack extends QueryPack {
          |tg AS (SELECT g.* FROM grp g
          |       WHERE g.dst NOT IN (SELECT DISTINCT canonical
          |                           FROM ${UrlOps.sqlCanonSrc} c2)),
-         |td AS (SELECT dst, via_sitemap, via_link,
-         |         regexp_extract(dst, '^[a-z]+://([^/?#:]*)', 1) AS host,
-         |         regexp_extract(dst, '^[a-z]+://[^/]+(/[^?#]*)', 1)
-         |           AS path
-         |       FROM tg),
-         |tl2 AS (SELECT *, string_split(host, '.') AS parts FROM td),
-         |tl3 AS (SELECT *,
-         |         parts[len(parts)] AS last1,
-         |         array_to_string(list_slice(parts,
-         |           greatest(1, len(parts) - 1), len(parts)), '.') AS last2,
-         |         array_to_string(list_slice(parts,
-         |           greatest(1, len(parts) - 2), len(parts)), '.') AS last3
-         |       FROM tl2),
-         |ts AS (SELECT *,
-         |         ${PublicSuffix.sqlSuffixLabels("last1", "last2", "last3")}
-         |           AS sfx
-         |       FROM tl3),
-         |tdom AS (SELECT dst, via_sitemap, via_link, path,
-         |         ${PublicSuffix.sqlDomainFrom("host", "parts", "sfx")}
-         |           AS domain
-         |       FROM ts),
+         |$targetDomainCtes,
          |fj AS (SELECT t.dst, t.domain,
          |         any_value(t.via_sitemap) AS via_sitemap,
          |         any_value(t.via_link) AS via_link,
@@ -442,6 +401,33 @@ object WebCurationPack extends QueryPack {
          |${PageRank.sqlStepCtes(2)},
          |${PageRank.sqlStepCtes(3)}
          |SELECT node, rank FROM r3""".stripMargin)
+
+  /** PSL resolution of discovery TARGETS — from `tg(dst, …)` to
+    * `tdom(dst, …, path, domain)`, additive `SELECT *` stages so any
+    * passthrough columns (the via flags) survive. Shared by the
+    * frontier and discovery oracles. */
+  private lazy val targetDomainCtes: String =
+    s"""td AS (SELECT t.*,
+       |         regexp_extract(dst, '^[a-z]+://([^/?#:]*)', 1) AS host,
+       |         regexp_extract(dst, '^[a-z]+://[^/]+(/[^?#]*)', 1)
+       |           AS path
+       |       FROM tg t),
+       |tp AS (SELECT *, string_split(host, '.') AS parts FROM td),
+       |tl AS (SELECT *,
+       |         parts[len(parts)] AS last1,
+       |         array_to_string(list_slice(parts,
+       |           greatest(1, len(parts) - 1), len(parts)), '.') AS last2,
+       |         array_to_string(list_slice(parts,
+       |           greatest(1, len(parts) - 2), len(parts)), '.') AS last3
+       |       FROM tp),
+       |tx AS (SELECT *,
+       |         ${PublicSuffix.sqlSuffixLabels("last1", "last2", "last3")}
+       |           AS sfx
+       |       FROM tl),
+       |tdom AS (SELECT *,
+       |         ${PublicSuffix.sqlDomainFrom("host", "parts", "sfx")}
+       |           AS domain
+       |       FROM tx)""".stripMargin
 
   /** The robots rule table replayed from the domain-hash arithmetic
     * (the generator's formulas — [[RobotsOps.robotsTxt]]): graftbot
