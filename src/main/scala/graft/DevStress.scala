@@ -293,7 +293,8 @@ object DevStress {
       SimilarityPack.beamSearchOver(knnVecs,
         Seq.fill(SimilarityPack.HnswCoarseRounds)(l1) ++
           Seq.fill(SimilarityPack.HnswFineRounds)(base),
-        SimilarityPack.HnswEntries)
+        SimilarityPack.searchEntriesOf(knnVecs,
+          Some(SimilarityPack.HnswLayerMod)))
     })
 
     // pagerank: the q_pagerank edge graph replicated factor× with

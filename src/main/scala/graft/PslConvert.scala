@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{IndexCache, PublicSuffix}
+
+/** Converter from the raw publicsuffix.org list file into the
+  * versioned [[IndexCache]] PSL envelope — the production path for
+  * the full ~10k-rule list: fetch the file once (out of band),
+  * convert it here, and every session's [[PublicSuffix.rules]] loads
+  * the published table instead of the bundled snapshot.
+  *
+  * File format (publicsuffix.org/list): one rule per line, `//`
+  * comment lines, blank lines ignored, anything after whitespace on
+  * a rule line ignored, `!` prefix marking exception rules, `*.`
+  * prefix marking wildcard rules (whose BASE we store), rules
+  * matched case-insensitively (stored lowercased). Rules with `*`
+  * anywhere but the leftmost label are rejected loudly — the PSL
+  * spec reserves that form and no published list uses it, so
+  * encountering one means the input is not the list.
+  *
+  * Usage: `runMain graft.PslConvert <raw-psl-file>` with
+  * GRAFT_INDEX_CACHE_DIR set (or `graft.indexCache.dir`).
+  */
+object PslConvert {
+
+  /** Parse raw list text into a rule table. */
+  def parse(lines: Iterator[String]): PublicSuffix.Rules = {
+    val normal = Seq.newBuilder[String]
+    val wild = Seq.newBuilder[String]
+    val exc = Seq.newBuilder[String]
+    lines.foreach { raw =>
+      val line = raw.trim.takeWhile(!_.isWhitespace)
+      if (line.nonEmpty && !line.startsWith("//")) {
+        val rule = line.toLowerCase
+        if (rule.startsWith("!")) {
+          val r = rule.drop(1)
+          require(!r.contains("*") && r.nonEmpty,
+            s"malformed exception rule: '$raw'")
+          exc += r
+        } else if (rule.startsWith("*.")) {
+          val base = rule.drop(2)
+          require(!base.contains("*") && base.nonEmpty,
+            s"wildcard label must be leftmost and single: '$raw'")
+          wild += base
+        } else if (rule == "*") {
+          // the default rule is implicit in the resolver; skip
+        } else {
+          require(!rule.contains("*"),
+            s"wildcard label must be leftmost: '$raw'")
+          normal += rule
+        }
+      }
+    }
+    val r = PublicSuffix.Rules(normal.result().distinct,
+      wild.result().distinct, exc.result().distinct)
+    require(r.normal.nonEmpty,
+      "no plain rules parsed — this is not the public suffix list")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 1, "usage: PslConvert <raw-psl-file>")
+    val src = scala.io.Source.fromFile(args(0), "UTF-8")
+    val rules = try parse(src.getLines()) finally src.close()
+    IndexCache.publishPsl(rules)
+    println(s"[psl] published ${rules.normal.size} plain + " +
+      s"${rules.wild.size} wildcard + ${rules.exc.size} exception " +
+      s"rules (max match depth ${rules.maxMatchLabels}) to " +
+      s"${IndexCache.persistDir.get}")
+  }
+}

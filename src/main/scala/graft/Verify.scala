@@ -26,15 +26,32 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // a silently-empty enumeration must never produce a passing-looking
+    // empty artifact (round 12's driver gate arrived as `{}`): fail loud
+    // on an empty map and announce the count so the log itself is proof
+    // the full surface ran
+    require(SparkEntry.queries.nonEmpty,
+      "SparkEntry.queries is EMPTY — the gate would be vacuous")
+    require(SparkEntry.oracleSql.nonEmpty,
+      "SparkEntry.oracleSql is EMPTY — the gate would be vacuous")
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || name.contains(only) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+    println(s"[verify] ${selected.size} of ${SparkEntry.queries.size} " +
+      s"queries selected, ${SparkEntry.oracleSql.size} oracles")
+    require(selected.nonEmpty,
+      s"filter '$only' matched no queries — refusing a vacuous run")
+    var written = 0
+    selected.foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        written += 1
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    println(s"[verify] wrote $written/${selected.size} query outputs")
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${JsonStr.jstr(k)}: ${JsonStr.jstr(v)}" }
       .mkString("{", ",", "}")

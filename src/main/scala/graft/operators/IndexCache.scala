@@ -64,7 +64,11 @@ object IndexCache {
   private val TrainerVersion = Map(
     "cent" -> 1, "pq" -> 1, "sq8" -> 1, "clf" -> 1,
     "bpe" -> 1, "bpeb" -> 1, "wp" -> 1, "uni" -> 2, "chrome" -> 2,
-    "pca" -> 2, "psl" -> 1) // pca v2: top-K by deflation (round 12)
+    // pca v2: top-K by deflation (round 12). psl v2: arbitrary-depth
+    // rule table (round 13) — v1's fixed 1/2/3-label envelope shape
+    // can't express the real list's 4/5-label rules, so old envelopes
+    // are orphaned rather than mis-served.
+    "pca" -> 2, "psl" -> 2)
 
   /** Trainings actually RUN by this process (loads don't count) —
     * what the restart spec observes. */
@@ -257,6 +261,17 @@ object IndexCache {
     * change. */
   def pslRules(build: => PublicSuffix.Rules): PublicSuffix.Rules =
     cached("psl:bundled")(build)
+
+  /** Publish a PSL rule table into the envelope ([[graft.PslConvert]]
+    * — the "fetch the full list once, every session loads it" path).
+    * Requires a persist dir; the next process's [[pslRules]] loads
+    * this table instead of the bundle. */
+  def publishPsl(r: PublicSuffix.Rules): Unit = {
+    val root = persistDir.getOrElse(sys.error(
+      "publishPsl needs GRAFT_INDEX_CACHE_DIR (or graft.indexCache.dir)"))
+    save(root, "psl", "bundled", r)
+    memo.remove("psl:bundled")
+  }
 
   /** Drop every memoized artifact (tests that mutate a dir in place). */
   def clear(): Unit = memo.clear()

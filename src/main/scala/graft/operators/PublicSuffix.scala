@@ -13,51 +13,87 @@ import org.apache.spark.sql.functions._
   * The list itself is an external artifact (publicsuffix.org — the
   * Mozilla-maintained registry every browser ships); [[Snapshot]] is
   * a bundled SUBSET snapshot covering the major ccTLD registration
-  * hierarchies, the wildcard TLDs, their exception rules, and the
-  * high-traffic private-section suffixes. Production swaps in the
-  * full list through the same [[graft.operators.IndexCache]] envelope
-  * ([[rules]]) — versioned, atomically published, loud-rejected on
-  * format drift — without touching the resolution algorithm.
+  * hierarchies, the wildcard TLDs, their exception rules, and
+  * high-traffic private-section suffixes at every label depth the
+  * real list uses (up to the 5-label `s3.dualstack.*.amazonaws.com`
+  * shapes). Production swaps in the FULL fetched list through the
+  * same [[graft.operators.IndexCache]] envelope ([[rules]]) —
+  * versioned, atomically published, loud-rejected on format drift —
+  * via the [[graft.PslConvert]] converter main, without touching the
+  * resolution algorithm.
   *
-  * Resolution implements the published PSL algorithm restricted to
-  * the snapshot's rule shapes (rules up to 3 labels, 1- and 2-label
-  * wildcard bases): exception rules win outright (public suffix =
-  * the rule minus its leading label), else the LONGEST matching rule
-  * (wildcard `*.X` matching any single label under X), else the
-  * default rule `*` (every bare TLD is a public suffix). The
-  * registered domain is the suffix plus one label; a host that IS a
-  * public suffix keeps itself (total function — a NULL here would
-  * poison downstream group keys).
+  * Resolution implements the published PSL algorithm at ARBITRARY
+  * label depth: exception rules win outright (public suffix = the
+  * rule minus its leading label), else the matching rule with the
+  * MOST labels (wildcard `*.X` matching any single label under X, so
+  * its label count is the base's plus one), else the default rule
+  * `*` (every bare TLD is a public suffix). The registered domain is
+  * the suffix plus one label; a host that IS a public suffix keeps
+  * itself (total function — a NULL here would poison downstream
+  * group keys).
   *
-  * 100 TB shape: the PRODUCTION resolution ([[joinParts]], used by
-  * [[UrlOps.withUrlParts]]) is three BROADCAST hash joins of the
-  * host's last-1/2/3 label strings against the per-label-count rule
-  * tables — O(1) codegen'd probes per row, plan size CONSTANT in the
-  * rule count (the full ~10k-rule list rides the same path; an
-  * earlier literal-`isin` form embedded every rule string in the
+  * 100 TB shape: the PRODUCTION resolution ([[joinSuffix]], used by
+  * [[UrlOps.withUrlParts]]) is K BROADCAST hash joins (K =
+  * [[Rules.maxMatchLabels]] of the LOADED table — 5 for the real
+  * list) of the host's last-k label strings against per-label-count
+  * rule tables — O(1) codegen'd probes per row, plan size CONSTANT
+  * in the rule count (the full ~10k-rule list rides the same path;
+  * an earlier literal-`isin` form embedded every rule string in the
   * expression tree, and plan/codegen-compile time alone doubled the
   * wc_* family at 250 rules — measured, and it only worsens with the
   * real list). [[suffixLabels]] keeps the literal-set form as the
   * differential REFERENCE for specs (the FloatDot/withUrlParts
   * convention), and the DuckDB twins render the same rules as CASE
-  * chains — semantics identical across all three forms.
+  * chains — semantics identical across all three forms, all
+  * parametrized over the live table.
   */
 object PublicSuffix {
 
-  /** One loaded rule table. Seqs, not Sets, so the SQL twins render
+  /** One loaded rule table: raw rule strings by kind — `normal` as
+    * written, `wild` as the wildcard BASE (`*.ck` → "ck"), `exc`
+    * without the `!`. Label depth is free per rule (counted from the
+    * string); Seqs, not Sets, so the SQL twins render
     * deterministically. */
-  case class Rules(normal2: Seq[String], normal3: Seq[String],
-                   wild1: Seq[String], wild2: Seq[String],
-                   exc2: Seq[String], exc3: Seq[String])
-    extends Serializable
+  case class Rules(normal: Seq[String], wild: Seq[String],
+                   exc: Seq[String]) extends Serializable {
+
+    /** Deepest last-k label string any match probe needs: plain and
+      * exception rules match on their own label count, wildcards on
+      * the base's. */
+    def maxMatchLabels: Int =
+      ((normal ++ exc ++ wild).map(labelsOf) :+ 1).max
+
+    /** Match entries grouped by probe label count k: key (the last-k
+      * string to equal), the suffix label count it implies, and
+      * whether it is an exception — plain k-label rule ⇒ suffix k,
+      * wildcard base with k labels ⇒ suffix k+1, exception with k
+      * labels ⇒ suffix k−1. Entries with the same (k, key) are
+      * MERGED (max suffix per kind) so the broadcast join can never
+      * fan a host row out — the real list contains plain/wildcard
+      * pairs on one base. */
+    def matchEntries: Map[Int, Seq[(String, Option[Int], Option[Int])]] = {
+      val raw =
+        normal.map(r => (labelsOf(r), r, labelsOf(r), false)) ++
+          wild.map(b => (labelsOf(b), b, labelsOf(b) + 1, false)) ++
+          exc.map(r => (labelsOf(r), r, labelsOf(r) - 1, true))
+      raw.groupBy(e => (e._1, e._2)).toSeq
+        .map { case ((k, key), es) =>
+          val excSfx = es.filter(_._4).map(_._3).sorted.lastOption
+          val plainSfx = es.filterNot(_._4).map(_._3).sorted.lastOption
+          (k, (key, excSfx, plainSfx))
+        }
+        .groupBy(_._1)
+        .map { case (k, xs) => k -> xs.map(_._2).sortBy(_._1) }
+    }
+  }
+
+  /** Label count of a rule string. */
+  def labelsOf(rule: String): Int = rule.count(_ == '.') + 1
 
   /** Bundled snapshot (publicsuffix.org, ICANN + private sections;
-    * subset). normal2/normal3 = plain rules by label count; wild1/
-    * wild2 = wildcard BASES (`*.ck` → "ck", `*.kawasaki.jp` →
-    * "kawasaki.jp"); exc2/exc3 = exception rules (`!www.ck` →
-    * "www.ck") by their own label count. */
+    * subset). */
   val Snapshot: Rules = Rules(
-    normal2 = Seq(
+    normal = Seq(
       // ICANN ccTLD second-level registrations
       "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk",
       "sch.uk", "ac.uk", "gov.uk", "nhs.uk",
@@ -106,17 +142,27 @@ object PublicSuffix {
       "netlify.app", "vercel.app", "pages.dev", "workers.dev",
       "azurewebsites.net", "cloudapp.net", "cloudfront.net",
       "repl.co", "glitch.me", "onrender.com", "fly.dev", "surge.sh",
-      "neocities.org", "weebly.com", "wixsite.com"),
-    normal3 = Seq(
+      "neocities.org", "weebly.com", "wixsite.com",
       // private section, 3-label
       "blogspot.co.uk", "blogspot.com.au", "blogspot.co.nz",
-      "s3.amazonaws.com"),
-    wild1 = Seq("ck", "er", "kh", "mm", "np", "pg"),
-    wild2 = Seq( // the JP designated-city wildcards
+      "s3.amazonaws.com",
+      // private section, 4-label (the regional S3 website/API suffixes)
+      "s3.us-east-2.amazonaws.com", "s3.eu-north-1.amazonaws.com",
+      "s3.me-south-1.amazonaws.com", "s3.af-south-1.amazonaws.com",
+      // private section, 5-label (the dualstack S3 suffixes)
+      "s3.dualstack.us-east-1.amazonaws.com",
+      "s3.dualstack.eu-west-1.amazonaws.com"),
+    wild = Seq(
+      "ck", "er", "kh", "mm", "np", "pg",
+      // the JP designated-city wildcards
       "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
-      "sapporo.jp", "sendai.jp", "yokohama.jp"),
-    exc2 = Seq("www.ck"),
-    exc3 = Seq( // !city.<designated-city>.jp
+      "sapporo.jp", "sendai.jp", "yokohama.jp",
+      // private section: per-customer AWS hostnames (*.elb…, *.compute…)
+      "elb.amazonaws.com", "compute.amazonaws.com",
+      "compute-1.amazonaws.com", "elb.amazonaws.com.cn"),
+    exc = Seq(
+      "www.ck",
+      // !city.<designated-city>.jp
       "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
       "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
       "city.yokohama.jp"))
@@ -125,25 +171,41 @@ object PublicSuffix {
     * versioned envelope (persisted when GRAFT_INDEX_CACHE_DIR is set,
     * loud-rejected on version/format drift, rebuilt from the bundle
     * otherwise). Production replaces the bundle with the full fetched
-    * list behind this same call. */
+    * list behind this same call ([[graft.PslConvert]]). */
   def rules: Rules = IndexCache.pslRules(Snapshot)
 
-  /** Public-suffix label count of a host, given its last-1/2/3 label
-    * strings — the PSL algorithm as one codegen'd `when` chain.
-    * Order: exceptions, then longest match (3-label plain, 2-label
-    * wildcard base ⇒ 3-label suffix, 2-label plain, 1-label wildcard
-    * base ⇒ 2-label suffix), then the default rule (1). A k-label
-    * string can never equal a rule of another label count, so no
-    * explicit size guards are needed. */
-  def suffixLabels(last1: Column, last2: Column, last3: Column): Column = {
+  /** Match groups in PRECEDENCE order — exceptions first (deepest
+    * rule first), then non-exceptions by implied suffix depth
+    * descending: (probe label count k, isException, implied suffix,
+    * keys). Shared by the literal reference form and the SQL twins
+    * so the three resolution forms can never disagree on order. */
+  private def precedenceGroups(r: Rules)
+      : Seq[(Int, Boolean, Int, Seq[String])] = {
+    val flat = r.matchEntries.toSeq.flatMap { case (k, es) =>
+      es.flatMap { case (key, excSfx, plainSfx) =>
+        excSfx.map(s => (k, true, s, key)).toSeq ++
+          plainSfx.map(s => (k, false, s, key))
+      }
+    }
+    flat.groupBy(e => (e._1, e._2, e._3)).toSeq
+      .map { case ((k, exc, sfx), xs) => (k, exc, sfx, xs.map(_._4).sorted) }
+      .sortBy { case (k, exc, sfx, _) => (!exc, -sfx, -k) }
+  }
+
+  /** Public-suffix label count of a host, given its last-1..last-K
+    * label strings (`lastK(i)` = last i+1 labels) — the PSL
+    * algorithm as one literal `when` chain, the differential
+    * REFERENCE for [[joinSuffix]]. A k-label string can never equal
+    * a rule of another label count, so no explicit size guards are
+    * needed. */
+  def suffixLabels(lastK: Seq[Column]): Column = {
     val r = rules
-    when(last3.isin(r.exc3: _*), lit(2))
-      .when(last2.isin(r.exc2: _*), lit(1))
-      .when(last3.isin(r.normal3: _*), lit(3))
-      .when(last2.isin(r.wild2: _*), lit(3))
-      .when(last2.isin(r.normal2: _*), lit(2))
-      .when(last1.isin(r.wild1: _*), lit(2))
-      .otherwise(lit(1))
+    require(lastK.size >= r.maxMatchLabels,
+      s"need last-1..${r.maxMatchLabels} label strings, got ${lastK.size}")
+    precedenceGroups(r).foldLeft(null: Column) { case (acc, (k, _, sfx, keys)) =>
+      val cond = lastK(k - 1).isin(keys: _*)
+      if (acc == null) when(cond, lit(sfx)) else acc.when(cond, lit(sfx))
+    }.otherwise(lit(1))
   }
 
   /** Registered domain from (host, its dot-split `parts`, their
@@ -154,45 +216,45 @@ object PublicSuffix {
       array_join(slice(parts, n - sfx, sfx + lit(1)), ".")).otherwise(host)
 
   /** The PRODUCTION resolution: broadcast-join `df`'s staged
-    * last1/last2/last3 columns against the rule tables and stage the
-    * suffix label count as `sfxOut`. Exceptions win, then longest
-    * match, then the default rule — the [[suffixLabels]] priority as
-    * a coalesce over the join results (a `when` with no otherwise is
-    * NULL when false, so each slot yields only its own case). */
-  def joinSuffix(df: DataFrame, last1: String, last2: String,
-                 last3: String, sfxOut: String): DataFrame = {
+    * last-1..last-K columns (`lastCols(i)` names the last-(i+1)
+    * string) against the per-label-count rule tables and stage the
+    * suffix label count as `sfxOut`. Exceptions win (deepest first),
+    * then the deepest non-exception match, then the default rule —
+    * expressed as coalesce(greatest(exception slots),
+    * greatest(plain slots), 1): each join leaves per-k nullable
+    * exception/plain suffix columns, and `greatest` ignores NULLs. */
+  def joinSuffix(df: DataFrame, lastCols: Seq[String], sfxOut: String)
+      : DataFrame = {
     val spark = df.sparkSession
     val r = rules
-    def tbl(rows: Seq[(String, Boolean, Int)], k: String): DataFrame = {
-      // a rule string appearing twice in one label-count table would
-      // FAN OUT every matching URL row through the join — silent row
-      // duplication into every downstream count. The bundled snapshot
-      // is collision-free; an externally published table must be too,
-      // loudly (duplicates with a consistent class would be silently
-      // harmless, but a plain/wildcard conflict would not — reject
-      // both shapes rather than guess)
-      val dups = rows.map(_._1).diff(rows.map(_._1).distinct)
-      require(dups.isEmpty,
-        s"PSL rule table carries duplicate rule strings: " +
-          s"${dups.distinct.take(5).mkString(", ")}")
-      spark.createDataFrame(rows).toDF(s"_psl_r$k", s"_psl_exc$k",
-        s"_psl_sfx$k")
+    val k = r.maxMatchLabels
+    require(lastCols.size >= k,
+      s"need last-1..$k label columns, got ${lastCols.size}")
+    val entries = r.matchEntries
+    val joined = (1 to k).foldLeft(df) { (acc, i) =>
+      val rows = entries.getOrElse(i, Seq.empty)
+      if (rows.isEmpty) acc
+      else {
+        // one row per key by construction (matchEntries merges), so
+        // the left join can never duplicate a host row
+        val tbl = spark.createDataFrame(rows)
+          .toDF(s"_psl_r$i", s"_psl_e$i", s"_psl_p$i")
+        acc.join(broadcast(tbl), col(lastCols(i - 1)) === col(s"_psl_r$i"),
+          "left")
+      }
     }
-    // one row per rule string; label count keys which join sees it
-    val t3 = tbl(r.exc3.map((_, true, 2)) ++ r.normal3.map((_, false, 3)), "3")
-    val t2 = tbl(r.exc2.map((_, true, 1)) ++ r.wild2.map((_, false, 3)) ++
-      r.normal2.map((_, false, 2)), "2")
-    val t1 = tbl(r.wild1.map((_, false, 2)), "1")
-    df.join(broadcast(t3), col(last3) === col("_psl_r3"), "left")
-      .join(broadcast(t2), col(last2) === col("_psl_r2"), "left")
-      .join(broadcast(t1), col(last1) === col("_psl_r1"), "left")
+    val ks = (1 to k).filter(entries.contains)
+    def best(cols: Seq[Column]): Column = cols match {
+      case Seq(one) => one
+      case many => greatest(many: _*)
+    }
+    joined
       .withColumn(sfxOut, coalesce(
-        when(col("_psl_exc3"), col("_psl_sfx3")),
-        when(col("_psl_exc2"), col("_psl_sfx2")),
-        col("_psl_sfx3"), col("_psl_sfx2"), col("_psl_sfx1"), lit(1)))
-      .drop("_psl_r3", "_psl_exc3", "_psl_sfx3",
-        "_psl_r2", "_psl_exc2", "_psl_sfx2",
-        "_psl_r1", "_psl_exc1", "_psl_sfx1")
+        best(ks.map(i => col(s"_psl_e$i"))),
+        best(ks.map(i => col(s"_psl_p$i"))),
+        lit(1)))
+      .drop(ks.flatMap(i =>
+        Seq(s"_psl_r$i", s"_psl_e$i", s"_psl_p$i")): _*)
   }
 
   // ---------------------------------------------------------------
@@ -203,17 +265,27 @@ object PublicSuffix {
   private def inList(xs: Seq[String]): String =
     xs.map("'" + _ + "'").mkString(", ")
 
-  /** SQL for [[suffixLabels]] over last1/last2/last3 expressions. */
-  def sqlSuffixLabels(last1: String, last2: String, last3: String): String = {
+  /** SQL for [[suffixLabels]] over last-1..last-K expressions
+    * (`lastExprs(i)` = the last-(i+1) string) — the same precedence
+    * order rendered as a CASE chain. */
+  def sqlSuffixLabels(lastExprs: Seq[String]): String = {
     val r = rules
-    s"""CASE WHEN $last3 IN (${inList(r.exc3)}) THEN 2
-       |     WHEN $last2 IN (${inList(r.exc2)}) THEN 1
-       |     WHEN $last3 IN (${inList(r.normal3)}) THEN 3
-       |     WHEN $last2 IN (${inList(r.wild2)}) THEN 3
-       |     WHEN $last2 IN (${inList(r.normal2)}) THEN 2
-       |     WHEN $last1 IN (${inList(r.wild1)}) THEN 2
+    require(lastExprs.size >= r.maxMatchLabels,
+      s"need last-1..${r.maxMatchLabels} exprs, got ${lastExprs.size}")
+    val whens = precedenceGroups(r).map { case (k, _, sfx, keys) =>
+      s"WHEN ${lastExprs(k - 1)} IN (${inList(keys)}) THEN $sfx"
+    }
+    s"""CASE ${whens.mkString("\n     ")}
        |     ELSE 1 END""".stripMargin
   }
+
+  /** SQL rendering of the last-1..last-K label strings of a
+    * dot-split `parts` list expression, in [[sqlSuffixLabels]]'s
+    * order. */
+  def sqlLastLabels(parts: String): Seq[String] =
+    (1 to rules.maxMatchLabels).map(k =>
+      s"array_to_string(list_slice($parts, " +
+        s"greatest(1, len($parts) - ${k - 1}), len($parts)), '.')")
 
   /** SQL for [[domainFrom]] over host/parts/sfx expressions. */
   def sqlDomainFrom(host: String, parts: String, sfx: String): String =

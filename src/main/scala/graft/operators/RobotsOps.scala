@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Hashing
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** robots.txt parsing + admission — the crawl-POLITENESS layer of the
@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   * semantics are published (RFC 9309, the Robots Exclusion Protocol):
   * line-oriented `field: value` records, `#` comments, groups formed
   * by consecutive `User-agent` lines followed by `Allow`/`Disallow`
-  * rules, unknown fields (Sitemap, Crawl-delay) skipped without
-  * breaking the group, an EMPTY Disallow value meaning no restriction,
-  * and matching by LONGEST rule-path prefix with Allow winning
-  * length ties.
+  * rules, unknown fields (Sitemap) skipped without breaking the
+  * group, an EMPTY Disallow value meaning no restriction, matching by
+  * LONGEST rule-path match with Allow winning length ties, `*` inside
+  * a rule path matching any character run, and `$` anchoring the end
+  * of the match (§2.2.3). `Crawl-delay` (the de-facto extension RFC
+  * 9309 leaves out) is parsed into its own per-group table and drives
+  * the frontier's per-domain politeness budget
+  * ([[WebCurationPack.frontierOver]]).
   *
   * Shape: the parser is a real per-partition line walk (the Warc
   * discipline — robots files are opaque external bytes), producing a
@@ -22,37 +26,56 @@ import org.apache.spark.sql.functions._
   * domain, not pages); admission is then a BROADCAST join of that
   * table onto the canonicalized URLs and a per-URL argmax over the
   * handful of matching rules — `max(struct(match_len, allow))`, a
-  * map-side-combinable aggregation, never a per-URL sort. The
-  * fixture writes genuine robots.txt text (comments, CRLF, mixed
-  * case, stacked agents, the empty-Disallow case) from domain-hash
-  * arithmetic, so the DuckDB oracle replays the RULES without
-  * parsing anything — a parser bug (comment handling, group
-  * boundaries, case folding) diverges.
+  * map-side-combinable aggregation, never a per-URL sort. Plain
+  * rules match by codegen'd startsWith; only rules carrying `*`/`$`
+  * pay a regex probe ([[matchStruct]]). The fixture writes genuine
+  * robots.txt text (comments, CRLF, mixed case, stacked agents, TWO
+  * graftbot groups, wildcard and end-anchored rules, Crawl-delay
+  * lines, the empty-Disallow case) from domain-hash arithmetic, so
+  * the DuckDB oracle replays the RULES without parsing anything — a
+  * parser bug (comment handling, group boundaries, case folding)
+  * diverges.
   *
-  * Agent-group selection: the group for OUR agent ("graftbot") when
-  * one exists, else the `*` group — the most-specific-single-group
-  * form common to production implementations (RFC 9309 §2.2.1
-  * matches groups by specificity; merging multiple matching groups
-  * is the declared simplification).
+  * Agent-group selection: ALL groups for OUR agent ("graftbot")
+  * merge — RFC 9309 §2.2.1's "combine into one group" rule; rule and
+  * delay rows are flat (domain, agent)-keyed, so the union is the
+  * natural shape — with the `*` groups used only when no graftbot
+  * group exists. Declared simplifications: group existence is judged
+  * from RULE rows (a group carrying only a Crawl-delay does not flip
+  * selection), exact-token agent match (no product-token prefix
+  * matching), and `$` is treated as an anchor wherever it appears
+  * (RFC 9309 gives it meaning only at the end; mid-pattern `$` does
+  * not occur in practice).
   */
 object RobotsOps {
 
   /** The crawler's product token (lowercased for matching). */
   val Agent = "graftbot"
 
+  /** The scheduling window the frontier budgets Crawl-delay against:
+    * a domain demanding `Crawl-delay: 15` yields at most 60/15 = 4
+    * frontier slots per window. */
+  val FrontierWindowSec = 60
+
   /** Deterministic robots.txt per domain, derived from the domain
-    * hash: even-hash domains carry a graftbot-specific group (a
-    * one-digit Disallow prefix plus a two-digit Allow carve-back —
-    * the longest-match + tie pair), every domain carries a `*` group
-    * (full disallow on h%5, EMPTY disallow — no restriction — on
-    * h%7, else a one-digit prefix), with a comment, a Sitemap line,
-    * a Crawl-delay, mixed-case field names, and CRLF endings on the
-    * graftbot group — every hazard the parser must walk. */
+    * hash: even-hash domains carry a graftbot group (a one-digit
+    * Disallow prefix plus a two-digit Allow carve-back — the
+    * longest-match + tie pair — a wildcard end-anchored Disallow on
+    * h%3, and a Crawl-delay), h%4 domains a SECOND graftbot group
+    * (the §2.2.1 merge: an extra /q/ Disallow and a larger
+    * Crawl-delay), every domain a `*` group (full disallow on h%5,
+    * EMPTY disallow — no restriction — on h%7, else a one-digit
+    * prefix, plus a wildcard Allow on h%11 and a Crawl-delay on
+    * h%13), with a comment, a Sitemap line, mixed-case field names,
+    * and CRLF endings on the first graftbot group — every hazard the
+    * parser must walk. */
   def robotsTxt(domain: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val h = Hashing.h32(domain)
     val a = (h % 10).cast("string")
     val b = ((h / 10).cast("long") % 10).cast("string")
     val c = ((h / 100).cast("long") % 10).cast("string")
+    val e = ((h / 1000).cast("long") % 10).cast("string")
+    val f = ((h / 10000).cast("long") % 10).cast("string")
     concat_ws("\n",
       concat(lit("# robots for "), domain),
       concat(lit("Sitemap: https://"), domain, lit("/sitemap.xml")),
@@ -60,11 +83,21 @@ object RobotsOps {
         lit("User-Agent: GraftBot\r\n"), // mixed case + CRLF endings
         lit("Disallow: /p/"), a, lit("\r\n"),
         lit("Allow: /p/"), a, b, lit("\r\n"),
-        lit("Crawl-delay: 2"))),
+        when(h % 3 === 0,
+          concat(lit("Disallow: /p/*"), e, lit("$\r\n")))
+          .otherwise(lit("")),
+        lit("Crawl-delay: "),
+        when(h % 3 === 0, lit("15")).otherwise(lit("2")))),
+      when(h % 4 === 0, concat( // second graftbot group: §2.2.1 merge
+        lit("User-agent: graftbot\n"),
+        lit("Disallow: /q/"), c, lit("\n"),
+        lit("Crawl-delay: 30"))),
       lit("User-agent: *"),
       when(h % 5 === 0, lit("Disallow: / # everything"))
         .when(h % 7 === 0, lit("Disallow:")) // empty value: no rule
-        .otherwise(concat(lit("Disallow: /p/"), c)))
+        .otherwise(concat(lit("Disallow: /p/"), c)),
+      when(h % 11 === 0, concat(lit("Allow: /p/*"), f, lit("$"))),
+      when(h % 13 === 0, lit("Crawl-delay: 20")))
   }
 
   /** (domain, robots) text for every distinct domain of a canon
@@ -77,13 +110,20 @@ object RobotsOps {
   case class RobotsRule(domain: String, agent: String, path: String,
                         allow: Boolean)
 
+  /** One parsed Crawl-delay line (seconds). */
+  case class RobotsDelay(domain: String, agent: String, delay: Int)
+
   /** The RFC 9309 line walk over one file: comment strip, trim,
     * case-insensitive field names, consecutive User-agent lines
     * stacking onto one group, rules attaching to every stacked
     * agent, unknown fields skipped WITHOUT closing the group, empty
-    * rule values dropped. */
-  def parseRobots(domain: String, text: String): Seq[RobotsRule] = {
+    * rule values dropped. Crawl-delay lines attach to the group like
+    * rules (they are group body, so a later User-agent starts a new
+    * group); non-integer delay values are skipped. */
+  def parseRobotsAll(domain: String, text: String)
+      : (Seq[RobotsRule], Seq[RobotsDelay]) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[RobotsRule]
+    val dly = scala.collection.mutable.ArrayBuffer.empty[RobotsDelay]
     var agents: List[String] = Nil
     var inRules = false
     text.split("\r?\n").foreach { raw =>
@@ -104,27 +144,45 @@ object RobotsOps {
               if (value.nonEmpty)
                 agents.foreach(a =>
                   out += RobotsRule(domain, a, value, key == "allow"))
-            case _ => () // sitemap / crawl-delay / unknown: skip
+            case "crawl-delay" =>
+              inRules = true
+              value.toIntOption.filter(_ > 0).foreach(d =>
+                agents.foreach(a => dly += RobotsDelay(domain, a, d)))
+            case _ => () // sitemap / unknown: skip
           }
         }
       }
     }
-    out.toSeq
+    (out.toSeq, dly.toSeq)
   }
+
+  /** Rule rows only — see [[parseRobotsAll]]. */
+  def parseRobots(domain: String, text: String): Seq[RobotsRule] =
+    parseRobotsAll(domain, text)._1
 
   /** Partition-wise parse of a (domain, robots) frame into the rule
     * table. */
   def parseRules(files: DataFrame)(implicit s: SparkSession): DataFrame = {
     import s.implicits._
     files.select(col("domain"), col("robots")).as[(String, String)]
-      .flatMap { case (d, t) => parseRobots(d, t) }
+      .flatMap { case (d, t) => parseRobotsAll(d, t)._1 }
       .toDF()
   }
 
-  /** The rules that apply to [[Agent]]: its own group's rules where
-    * one exists for the domain, else the `*` group's — derived from
-    * the PARSED table (one tiny per-domain agg + a broadcast-size
-    * semi-join, never from the generator's arithmetic). */
+  /** Partition-wise parse of a (domain, robots) frame into the
+    * Crawl-delay table (domain, agent, delay). */
+  def parseDelays(files: DataFrame)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    files.select(col("domain"), col("robots")).as[(String, String)]
+      .flatMap { case (d, t) => parseRobotsAll(d, t)._2 }
+      .toDF()
+  }
+
+  /** The rules that apply to [[Agent]]: the union of all its groups'
+    * rules where any exist for the domain (§2.2.1 merge), else the
+    * `*` groups' — derived from the PARSED table (one tiny per-domain
+    * agg + a broadcast-size semi-join, never from the generator's
+    * arithmetic). */
   def rulesForAgent(rules: DataFrame): DataFrame = {
     val hasBot = rules.filter(col("agent") === Agent)
       .select(col("domain")).distinct()
@@ -135,11 +193,57 @@ object RobotsOps {
       .select(col("domain"), col("path"), col("allow"))
   }
 
+  /** The Crawl-delay that applies to [[Agent]] per domain: the MAX
+    * over its selected groups' delays (conservative when two merged
+    * groups disagree), group selection mirroring [[rulesForAgent]] —
+    * graftbot groups when any graftbot RULE exists for the domain,
+    * else `*`. Output (domain, delay); domains with no delay line
+    * are absent (the consumer defaults to its full cap). */
+  def delaysForAgent(rules: DataFrame, delays: DataFrame): DataFrame = {
+    val hasBot = rules.filter(col("agent") === Agent)
+      .select(col("domain")).distinct()
+      .withColumn("has_bot", lit(true))
+    delays.join(hasBot, Seq("domain"), "left")
+      .filter((col("has_bot").isNotNull && col("agent") === Agent) ||
+        (col("has_bot").isNull && col("agent") === "*"))
+      .groupBy(col("domain")).agg(max(col("delay")).as("delay"))
+  }
+
+  /** Per-domain frontier cap from the agent's Crawl-delay:
+    * min(capK, max(1, window div delay)) — a politeness TIME budget
+    * expressed in slots per [[FrontierWindowSec]], floored at one so
+    * a huge delay throttles rather than starves. Output
+    * (domain, cap); absent domains take the full `capK`. */
+  def frontierCaps(rules: DataFrame, delays: DataFrame, capK: Int): DataFrame =
+    delaysForAgent(rules, delays)
+      .select(col("domain"),
+        least(lit(capK), greatest(lit(1),
+          (lit(FrontierWindowSec) / col("delay")).cast("int"))).as("cap"))
+
+  /** Match struct for one (url path, rule) pair of the broadcast
+    * join: NULL when the rule does not match, else
+    * `struct(len, allow)` — the argmax payload for RFC 9309
+    * longest-match with Allow winning ties (len = RAW rule length,
+    * wildcards counted, the published precedence). Plain rules match
+    * by codegen'd prefix; rules carrying `*` or a trailing `$` match
+    * by a regex built from the rule (specials escaped, `*` → `.*`,
+    * `$` left anchoring). */
+  def matchStruct(path: Column, rulePath: Column, allow: Column): Column = {
+    val hasMeta = rulePath.contains("*") || rulePath.endsWith("$")
+    val rx = concat(lit("^"), regexp_replace(
+      regexp_replace(rulePath, "([.\\\\+?\\[\\](){}|^])", "\\\\$1"),
+      "\\*", ".*"))
+    val hit = when(hasMeta, regexp_like(path, rx))
+      .otherwise(path.startsWith(rulePath))
+    when(path.isNotNull && rulePath.isNotNull && hit,
+      struct(length(rulePath).as("len"), allow.cast("int").as("allow")))
+  }
+
   /** Admission verdict per URL: broadcast-join the agent's rule table
-    * by domain, keep matching rules (URL path starts with the rule
-    * path), argmax by (match length, allow) — RFC 9309 longest-match
-    * with Allow winning ties — and default-allow when nothing
-    * matches. `canon` needs (doc_id, canonical, domain). */
+    * by domain, keep matching rules ([[matchStruct]]), argmax by
+    * (match length, allow) — RFC 9309 longest-match with Allow
+    * winning ties — and default-allow when nothing matches. `canon`
+    * needs (doc_id, canonical, domain). */
   def admit(canon: DataFrame, agentRules: DataFrame): DataFrame = {
     val withPath = canon.select(col("doc_id"), col("domain"),
       regexp_extract(col("canonical"), "^[a-z]+://[^/]+(/[^?#]*)", 1)
@@ -148,13 +252,27 @@ object RobotsOps {
       .join(broadcast(agentRules.withColumnRenamed("path", "rule_path")),
         Seq("domain"), "left")
       .select(col("doc_id"), col("domain"), col("path"),
-        when(col("path").isNotNull && col("rule_path").isNotNull &&
-            col("path").startsWith(col("rule_path")),
-          struct(length(col("rule_path")).as("len"),
-            col("allow").cast("int").as("allow"))).as("m"))
+        matchStruct(col("path"), col("rule_path"), col("allow")).as("m"))
       .groupBy(col("doc_id"), col("domain"), col("path"))
       .agg(max(col("m")).as("best"))
       .select(col("doc_id"), col("domain"), col("path"),
         (col("best").isNull || col("best.allow") === 1).as("allowed"))
   }
+
+  // ---------------------------------------------------------------
+  // DuckDB twins.
+  // ---------------------------------------------------------------
+
+  /** SQL twin of [[matchStruct]] flattened to the integer argmax
+    * encoding `length(rule)*2 + allow` (length dominates, the allow
+    * bit breaks ties): NULL when no match. */
+  def sqlMatchScore(path: String, rp: String, allow: String): String =
+    s"""CASE WHEN $rp IS NOT NULL AND (
+       |       CASE WHEN $rp LIKE '%*%' OR $rp LIKE '%$$'
+       |            THEN regexp_matches($path, '^' || replace(
+       |              regexp_replace($rp,
+       |                '([.\\+?\\[\\](){}|^\\\\])', '\\\\\\1', 'g'),
+       |              '*', '.*'))
+       |            ELSE starts_with($path, $rp) END)
+       |     THEN length($rp) * 2 + CAST($allow AS INT) END""".stripMargin
 }

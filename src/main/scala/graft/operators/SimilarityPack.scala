@@ -317,16 +317,41 @@ object SimilarityPack extends QueryPack {
   val SearchBeam = 12
   val SearchRounds = 3
 
-  /** Fixed search entry points, spread across the id space — a
-    * greedy beam cannot leave the entry's graph region on a sparse
-    * graph (single entry 0 measured recall@6 = 0.18 on this corpus;
-    * spread entries are the flat-graph stand-in for HNSW's
-    * upper-layer long links). With the build-12 graph the beam
-    * measures recall@6 = 0.85/0.83 at sf0.001/0.01
-    * (sim_knn_search_recall — within a point of the graph's own
-    * 0.85/0.89, since the beam rescopes candidates exactly). Ids
-    * missing at a small SF simply drop in the scoring join. */
-  val SearchEntries: Seq[Long] = Seq(0L, 101L, 211L, 307L)
+  /** Beam entry strata — one entry per quarter of the live id
+    * range. */
+  val EntryStrata = 4
+
+  /** CORPUS-DERIVED search entry points, spread across the live id
+    * space: the minimum existing vec_id in each of [[EntryStrata]]
+    * equal-width slices of [lo, hi] — a greedy beam cannot leave the
+    * entry's graph region on a sparse graph (single entry measured
+    * recall@6 = 0.18 on this corpus; spread entries are the
+    * flat-graph stand-in for HNSW's upper-layer long links). Derived
+    * from the data, not hardcoded: ids need not be dense or 0-based
+    * (sharded/hashed id spaces land on real rows — an earlier fixed
+    * {0, 101, …} set silently returned an EMPTY search on any corpus
+    * whose ids start elsewhere), and an empty entry set FAILS LOUDLY
+    * instead. Two tiny aggs (the centroid-collect class — ≤
+    * [[EntryStrata]] rows ever reach the driver); `layerMod`
+    * restricts to the HNSW layer-1 membership. */
+  def searchEntriesOf(vecs: DataFrame, layerMod: Option[Int] = None)
+      : Seq[Long] = {
+    val base = layerMod.map(m => vecs.filter(col("vec_id") % m === 0))
+      .getOrElse(vecs)
+    val mm = base.agg(min(col("vec_id")), max(col("vec_id"))).head()
+    require(!mm.isNullAt(0),
+      "ANN search: no candidate vectors — the entry set would be empty" +
+        layerMod.fold("")(m => s" (layer mod $m)"))
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = hi - lo + 1
+    val entries = base
+      .groupBy(least(lit(EntryStrata - 1),
+        floor((col("vec_id") - lo) * EntryStrata / span)).as("stratum"))
+      .agg(min(col("vec_id")).as("node"))
+      .collect().map(_.getLong(1)).sorted.toSeq
+    require(entries.nonEmpty, "ANN search: entry derivation lost rows")
+    entries
+  }
 
   /** Graph search: every probe query (vec_id % 10) walks the built
     * k-NN graph from the fixed entry node 0 — score the frontier,
@@ -350,7 +375,8 @@ object SimilarityPack extends QueryPack {
     val edges = prebuilt.map(_.select(col("src"), col("dst")))
       .getOrElse(knnGraphOver(vRaw).select(col("src"), col("dst"))
         .localCheckpoint(eager = true))
-    beamSearchOver(vRaw, Seq.fill(SearchRounds)(edges), SearchEntries)
+    beamSearchOver(vRaw, Seq.fill(SearchRounds)(edges),
+      searchEntriesOf(vRaw))
   }
 
   /** The generic monotone-beam loop: round r expands the beam along
@@ -411,13 +437,13 @@ object SimilarityPack extends QueryPack {
     * 8× smaller), then [[HnswFineRounds]] rounds on the base graph
     * refine — FEWER base-graph rounds than the flat search's
     * [[SearchRounds]] at the same beam width, the top-down shortcut
-    * the flat SearchEntries only approximate. Measured recall@6
+    * the flat spread entries only approximate. Measured recall@6
     * (sim_hnsw_recall): 0.85/0.91 at sf0.001/0.01 — at or above both
     * the flat beam (0.85/0.83) and the graph's own lists (0.85/0.89)
     * with one fewer full-graph expansion. Entries are the layer-1
-    * members of the spread-entry set. */
+    * stratum anchors ([[searchEntriesOf]] restricted to layer
+    * members). */
   val HnswLayerMod = 8
-  val HnswEntries: Seq[Long] = Seq(0L, 104L, 208L, 304L)
   val HnswCoarseRounds = 2
   val HnswFineRounds = 2
 
@@ -435,7 +461,7 @@ object SimilarityPack extends QueryPack {
     beamSearchOver(normedVecs(s, dir),
       Seq.fill(HnswCoarseRounds)(hnswLayerGraph(s, dir)) ++
         Seq.fill(HnswFineRounds)(knnGraph(s, dir)),
-      HnswEntries)
+      searchEntriesOf(normedVecs(s, dir), Some(HnswLayerMod)))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-3 per query (queries = vec_id < 10),
@@ -962,7 +988,7 @@ object SimilarityPack extends QueryPack {
     // ...and the SEARCH auditing its recall the same way: what the
     // beam actually surfaces for the probe queries vs brute-force
     // truth — the number the HNSW-layer comparison (and the
-    // SearchEntries scaladoc) cites. Same bounded probe slice, same
+    // searchEntriesOf scaladoc) cites. Same bounded probe slice, same
     // broadcast-composed one-row aggs.
     "sim_knn_search_recall" -> ((s, dir) => {
       val found = knnSearch(s, dir)
@@ -1820,16 +1846,27 @@ object SimilarityPack extends QueryPack {
   /** SQL mirror of [[beamSearchOver]]: unrolled monotone-beam rounds
     * under name tag `t`, expanding round i along `schedule(i-1)`'s
     * edge CTE (explicit DISTINCT dedup, the WITH RECURSIVE UNION
-    * hazard). Ends at `${t}c${schedule.size}`. */
-  private def searchCtesFor(t: String, entries: Seq[Long],
+    * hazard). Entries replay [[searchEntriesOf]] — the stratum-min
+    * derivation over the rows matching `entryWhere` (the layer
+    * predicate for the HNSW chain, TRUE for the flat one). Ends at
+    * `${t}c${schedule.size}`. */
+  private def searchCtesFor(t: String, entryWhere: String,
                             schedule: Seq[String]): String = {
     val seed =
-      s"""${t}s AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      s"""${t}mm AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi
+         |        FROM embeddings
+         |        WHERE embedding IS NOT NULL AND ($entryWhere)),
+         |${t}ent AS (SELECT min(e.vec_id) AS node
+         |        FROM embeddings e CROSS JOIN ${t}mm
+         |        WHERE e.embedding IS NOT NULL AND ($entryWhere)
+         |        GROUP BY LEAST(${EntryStrata - 1},
+         |          ((e.vec_id - lo) * $EntryStrata) // (hi - lo + 1))),
+         |${t}s AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
          |       WHERE vec_id % 10 = 0 AND embedding IS NOT NULL),
          |${t}c0 AS (SELECT q.qid, v.vec_id AS node,
          |          ${sqlCos("q.qe", "v.embedding")} AS cos
          |        FROM ${t}s q JOIN embeddings v
-         |          ON v.vec_id IN (${entries.mkString(", ")})
+         |          ON v.vec_id IN (SELECT node FROM ${t}ent)
          |        WHERE v.embedding IS NOT NULL)""".stripMargin
     val rounds = schedule.zipWithIndex.map { case (edgeCte, i0) =>
       val i = i0 + 1
@@ -1851,7 +1888,7 @@ object SimilarityPack extends QueryPack {
     (seed +: rounds).mkString(",\n")
   }
 
-  private lazy val searchCtes: String = searchCtesFor("q", SearchEntries,
+  private lazy val searchCtes: String = searchCtesFor("q", "TRUE",
     Seq.fill(SearchRounds)(s"e$KnnRounds"))
 
   /** The HNSW search chain: the layer-1 graph CTEs (prefix l1) plus
@@ -1859,7 +1896,7 @@ object SimilarityPack extends QueryPack {
     * rounds on the base graph. */
   private lazy val hnswSearchCtes: String =
     s"""${knnCtesFor("l1", s"vec_id % $HnswLayerMod = 0")},
-       |${searchCtesFor("hq", HnswEntries,
+       |${searchCtesFor("hq", s"vec_id % $HnswLayerMod = 0",
           Seq.fill(HnswCoarseRounds)(s"l1e$KnnRounds") ++
             Seq.fill(HnswFineRounds)(s"e$KnnRounds"))}""".stripMargin
 

@@ -32,11 +32,15 @@ object SitemapOps {
     * crawled-range page, one beyond-crawl page (fresh discovery), and
     * one on the host's robots-DISALLOWED prefix (the gate interplay:
     * a site can advertise what its robots then deny — the discovery
-    * union must drop it). Every third host omits lastmod on its
-    * second entry (the misalignment trap a block parser survives). */
-  def sitemapXml(host: Column): Column = {
+    * union must drop it; the digit derives from the REGISTERED
+    * domain's hash because that is what keys the robots rule table —
+    * an earlier host-hash form left the interplay untested on hosts
+    * whose registered domain differs). Every third host omits lastmod
+    * on its second entry (the misalignment trap a block parser
+    * survives). */
+  def sitemapXml(host: Column, domain: Column): Column = {
     val h = Hashing.h32(host)
-    val a = (h % 10).cast("string") // the robots Disallow digit
+    val a = (Hashing.h32(domain) % 10).cast("string") // robots Disallow digit
     val p1 = (h % 89).cast("string")
     val p2 = (h % 89 + 10000).cast("string")
     val m = ((h % 12) + 1).cast("string")
@@ -55,10 +59,13 @@ object SitemapOps {
       lit("</urlset>"))
   }
 
-  /** (host, xml) per distinct host of a canon frame. */
+  /** (host, xml) per distinct host of a canon frame (the host's
+    * registered domain rides along into the generator — see
+    * [[sitemapXml]]). */
   def sitemapsFor(canon: DataFrame): DataFrame =
-    canon.select(col("host")).distinct()
-      .select(col("host"), sitemapXml(col("host")).as("xml"))
+    canon.select(col("host"), col("domain")).distinct()
+      .select(col("host"),
+        sitemapXml(col("host"), col("domain")).as("xml"))
 
   /** Parsed (host, loc, lastmod) rows — block-grain pairing; lastmod
     * null when the entry omits it. */
@@ -76,12 +83,13 @@ object SitemapOps {
   /** The unified discovery feed: sitemap locs ∪ link targets, minus
     * crawled canonicals, robots-gated per target domain, capped per
     * domain — (domain, dst, via). */
-  def discovery(canon: DataFrame): DataFrame = {
+  def discovery(canon: DataFrame, edges: Option[DataFrame] = None)
+      : DataFrame = {
     implicit val sess: org.apache.spark.sql.SparkSession = canon.sparkSession
     val fromSitemap = parseSitemaps(sitemapsFor(canon))
       .select(col("loc").as("url"), lit(true).as("via_sitemap"),
         lit(false).as("via_link"))
-    val fromLinks = LinkOps.linkGraph(canon)
+    val fromLinks = edges.getOrElse(LinkOps.linkGraph(canon))
       .select(col("dst").as("url"), lit(false).as("via_sitemap"),
         lit(true).as("via_link"))
     val candidates = UrlOps.withUrlParts(
@@ -93,17 +101,16 @@ object SitemapOps {
         Seq("dst"), "left_anti")
       .withColumn("path",
         regexp_extract(col("dst"), "^[a-z]+://[^/]+(/[^?#]*)", 1))
-    val rules = RobotsOps.rulesForAgent(RobotsOps.parseRules(
-      RobotsOps.robotsFor(canon)))
+    val files = RobotsOps.robotsFor(canon)
+    val parsed = RobotsOps.parseRules(files)
+    val rules = RobotsOps.rulesForAgent(parsed)
     val allowed = candidates
       .join(broadcast(rules.withColumnRenamed("path", "rule_path")),
         Seq("domain"), "left")
       .select(col("dst"), col("domain"), col("via_sitemap"),
         col("via_link"),
-        when(col("rule_path").isNotNull &&
-            col("path").startsWith(col("rule_path")),
-          struct(length(col("rule_path")).as("len"),
-            col("allow").cast("int").as("allow"))).as("m"))
+        RobotsOps.matchStruct(col("path"), col("rule_path"),
+          col("allow")).as("m"))
       .groupBy(col("dst"), col("domain"), col("via_sitemap"),
         col("via_link"))
       .agg(max(col("m")).as("best"))
@@ -112,20 +119,24 @@ object SitemapOps {
         when(col("via_sitemap") && col("via_link"), "both")
           .when(col("via_sitemap"), "sitemap")
           .otherwise("link").as("via"))
-    graft.plans.TopKPerKey.topKPerKey(allowed,
-        Seq(col("domain")), Seq(col("dst").asc), WebCurationPack.CapK)
-      .select(col("domain"), col("dst"), col("via"))
+    WebCurationPack.budgetCap(allowed,
+      RobotsOps.frontierCaps(parsed, RobotsOps.parseDelays(files),
+        WebCurationPack.CapK),
+      Seq("domain", "dst", "via"))
   }
 
   // ---------------------------------------------------------------
   // DuckDB twins — the entry formulas replayed from host arithmetic.
   // ---------------------------------------------------------------
 
-  /** CTE `smrows(host, loc, lastmod)` over `lpages` (needs
-    * [[LinkOps.sqlPagesCte]] in scope for the host inventory). */
-  val sqlSitemapCte: String = {
+  /** CTE `smrows(host, loc, lastmod)` over a canon source (the
+    * generator keys the third entry's digit on the REGISTERED
+    * domain's hash — the robots rule-table key). */
+  def sqlSitemapCte(canonSrc: String): String = {
     val h = Hashing.sqlH32("host")
-    s"""smhosts AS (SELECT DISTINCT host, $h AS h FROM lpages),
+    val hd = Hashing.sqlH32("domain")
+    s"""smhosts AS (SELECT host, $h AS h, $hd AS hd
+       |  FROM (SELECT DISTINCT host, domain FROM $canonSrc cs)),
        |smrows AS (
        |  SELECT host, 'https://' || host || '/p/' ||
        |    CAST(h % 89 AS VARCHAR) AS loc,
@@ -139,7 +150,7 @@ object SitemapOps {
        |  FROM smhosts
        |  UNION ALL
        |  SELECT host, 'https://' || host || '/p/' ||
-       |    CAST(h % 10 AS VARCHAR) || '99',
+       |    CAST(hd % 10 AS VARCHAR) || '99',
        |    '2026-' || CAST((h % 12) + 1 AS VARCHAR) || '-20'
        |  FROM smhosts)""".stripMargin
   }

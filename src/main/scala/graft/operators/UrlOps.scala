@@ -66,6 +66,11 @@ object UrlOps {
     val tld = when(page % 13 === 0, "github.io")
       .when(page % 17 === 0, "web.ck")
       .when(page % 19 === 0, "city.kawasaki.jp")
+      // a 4-label PLAIN private rule (regional S3) and a 3-label
+      // WILDCARD base (*.elb…) — the depths the old fixed-3 resolver
+      // could not express (registered domain = siteN.<4-label suffix>)
+      .when(page % 23 === 0, "s3.us-east-2.amazonaws.com")
+      .when(page % 29 === 0, "eu-z1.elb.amazonaws.com")
       .when(page % 7 === 0, "co.uk")
       .otherwise("com")
     val sub = when(v === 0, "www.").when(v === 1, "").otherwise("WWW.")
@@ -142,16 +147,16 @@ object UrlOps {
         col("host"), col("_u_portPart"), col("_u_path"), col("_u_qPart")))
       .withColumn("_u_parts", split(col("host"), "\\."))
       .withColumn("_u_n", size(col("_u_parts")))
-    val d5 = d4
-      .withColumn("_u_last1", element_at(col("_u_parts"), col("_u_n")))
-      .withColumn("_u_last2", array_join(
-        slice(col("_u_parts"), greatest(col("_u_n") - 1, lit(1)), lit(2)), "."))
-      .withColumn("_u_last3", array_join(
-        slice(col("_u_parts"), greatest(col("_u_n") - 2, lit(1)), lit(3)), "."))
+    // stage a last-k label string per probe depth of the LOADED rule
+    // table (5 for the real list) — arity follows the artifact
+    val ks = 1 to PublicSuffix.rules.maxMatchLabels
+    val d5 = ks.foldLeft(d4)((acc, k) => acc.withColumn(s"_u_last$k",
+      array_join(slice(col("_u_parts"),
+        greatest(col("_u_n") - (k - 1), lit(1)), lit(k)), ".")))
     // suffix resolution via broadcast joins on the rule tables —
     // plan size constant in the rule count (PublicSuffix scaladoc)
     val d6 = PublicSuffix.joinSuffix(d5,
-      "_u_last1", "_u_last2", "_u_last3", "_u_sfx")
+      ks.map(k => s"_u_last$k"), "_u_sfx")
     d6.withColumn("domain", PublicSuffix.domainFrom(
         col("host"), col("_u_parts"), col("_u_n"), col("_u_sfx")))
       .drop(d6.columns.filter(_.startsWith("_u_")): _*)
@@ -208,11 +213,10 @@ object UrlOps {
   def registeredDomain(host: Column): Column = {
     val parts = split(host, "\\.")
     val n = size(parts)
-    val last1 = element_at(parts, n)
-    val last2 = array_join(slice(parts, greatest(n - 1, lit(1)), lit(2)), ".")
-    val last3 = array_join(slice(parts, greatest(n - 2, lit(1)), lit(3)), ".")
+    val lastK = (1 to PublicSuffix.rules.maxMatchLabels).map(k =>
+      array_join(slice(parts, greatest(n - (k - 1), lit(1)), lit(k)), "."))
     PublicSuffix.domainFrom(host, parts, n,
-      PublicSuffix.suffixLabels(last1, last2, last3))
+      PublicSuffix.suffixLabels(lastK))
   }
 
   // ---------------------------------------------------------------
@@ -230,6 +234,8 @@ object UrlOps {
       |  (CASE WHEN (doc_id // 3) % 13 = 0 THEN 'github.io'
       |        WHEN (doc_id // 3) % 17 = 0 THEN 'web.ck'
       |        WHEN (doc_id // 3) % 19 = 0 THEN 'city.kawasaki.jp'
+      |        WHEN (doc_id // 3) % 23 = 0 THEN 's3.us-east-2.amazonaws.com'
+      |        WHEN (doc_id // 3) % 29 = 0 THEN 'eu-z1.elb.amazonaws.com'
       |        WHEN (doc_id // 3) % 7 = 0 THEN 'co.uk'
       |        ELSE 'com' END) ||
       |  (CASE WHEN (doc_id // 3) % 11 = 0 THEN ':8443'
@@ -257,7 +263,11 @@ object UrlOps {
   /** Derived-table SQL yielding (doc_id, n_chars, url, host,
     * domain, canonical) — [[sqlUrlSrc]] run through the exact
     * [[canonicalize]] / [[registeredDomain]] expressions. */
-  val sqlCanonSrc: String =
+  val sqlCanonSrc: String = {
+    val lastDefs = PublicSuffix.sqlLastLabels("parts").zipWithIndex
+      .map { case (e, i) => s"$e AS last${i + 1}" }.mkString(",\n       |    ")
+    val lastNames = (1 to PublicSuffix.rules.maxMatchLabels)
+      .map(k => s"last$k")
     s"""(WITH u0 AS (SELECT * FROM $sqlUrlSrc uu),
        |c1 AS (SELECT doc_id, n_chars, url,
        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
@@ -289,18 +299,13 @@ object UrlOps {
        |    (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical
        |  FROM c3),
        |c5 AS (SELECT doc_id, n_chars, url, host, canonical, parts,
-       |    parts[len(parts)] AS last1,
-       |    array_to_string(
-       |      list_slice(parts, greatest(1, len(parts) - 1), len(parts)),
-       |      '.') AS last2,
-       |    array_to_string(
-       |      list_slice(parts, greatest(1, len(parts) - 2), len(parts)),
-       |      '.') AS last3
+       |    $lastDefs
        |  FROM c4),
        |c6 AS (SELECT doc_id, n_chars, url, host, canonical, parts,
-       |    ${PublicSuffix.sqlSuffixLabels("last1", "last2", "last3")} AS sfx
+       |    ${PublicSuffix.sqlSuffixLabels(lastNames)} AS sfx
        |  FROM c5)
        |SELECT doc_id, n_chars, url, host, canonical,
        |  ${PublicSuffix.sqlDomainFrom("host", "parts", "sfx")} AS domain
        |FROM c6)""".stripMargin
+  }
 }

@@ -107,15 +107,23 @@ object WebCurationPack extends QueryPack {
     }),
 
     // robots.txt (RFC 9309) — the POLITENESS layer: genuine robots
-    // files (comments, CRLF, mixed-case fields, stacked agents,
-    // Sitemap/Crawl-delay noise, the empty-Disallow no-rule case)
+    // files (comments, CRLF, mixed-case fields, stacked agents, TWO
+    // graftbot groups, wildcard/end-anchored rules, Crawl-delay
+    // lines, Sitemap noise, the empty-Disallow no-rule case)
     // synthesized per domain, walked by the real line parser
-    // ([[RobotsOps.parseRobots]]). The oracle replays the RULES from
-    // the domain-hash arithmetic without parsing — a parser bug
+    // ([[RobotsOps.parseRobotsAll]]). The oracle replays the RULES
+    // from the domain-hash arithmetic without parsing — a parser bug
     // (group boundary, case fold, comment strip) diverges here
     "wc_robots_rules" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       RobotsOps.parseRules(RobotsOps.robotsFor(canon(s, dir)))
+    }),
+
+    // ...the parsed Crawl-delay table — the politeness TIME-budget
+    // input (frontier cap = f(window, delay), not a constant)
+    "wc_robots_delays" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      RobotsOps.parseDelays(RobotsOps.robotsFor(canon(s, dir)))
     }),
 
     // ...and the admission verdict per canonical URL: the agent's
@@ -137,7 +145,8 @@ object WebCurationPack extends QueryPack {
     // resolved against the page's base, and the TARGET run through
     // the same canonicalizer as crawled URLs. The oracle replays the
     // href formulas and the resolution arithmetic ([[LinkOps]])
-    "wc_link_graph" -> ((s, dir) => LinkOps.linkGraph(canon(s, dir))),
+    "wc_link_graph" -> ((s, dir) =>
+      LinkOps.linkGraphFor(dir, canon(s, dir))),
 
     // ...and PageRank over the REAL link graph — the link-based
     // quality signal a corpus filter gates on, as the composition a
@@ -145,7 +154,8 @@ object WebCurationPack extends QueryPack {
     // fixed-point integer PageRank (the q_pagerank operator, node
     // space = canonical URLs, no id mapping anywhere)
     "wc_link_rank" -> ((s, dir) =>
-      PageRank.fixedPoint(LinkOps.linkGraph(canon(s, dir)), iters = 3)),
+      PageRank.fixedPoint(LinkOps.linkGraphFor(dir, canon(s, dir)),
+        iters = 3)),
 
     // the crawler's NEXT-FETCH list, closing the crawl loop as one
     // query: link targets discovered from admitted pages, minus
@@ -158,7 +168,36 @@ object WebCurationPack extends QueryPack {
     // frontier is the whole discovery cycle, every stage oracled
     "wc_frontier" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      frontierOver(canon(s, dir))
+      frontierOver(canon(s, dir),
+        Some(LinkOps.linkGraphFor(dir, canon(s, dir))))
+    }),
+
+    // INCREMENTAL discovery — the crawl cycle without re-extracting
+    // every page: links come only from pages NEW since the previous
+    // snapshot (bloom-pruned anti-join on the canonical key — the
+    // ds_incremental_dedup pattern), unioned with the previous
+    // snapshot's persisted edge artifact; the frontier then runs on
+    // the merged edges. Per-page extraction is deterministic, so the
+    // result EQUALS the from-scratch frontier on the merged snapshot
+    // — the oracle IS wc_frontier's — while the extraction cost paid
+    // per cycle is |new pages|, not |corpus|
+    "wc_frontier_incr" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val c = canon(s, dir)
+      // the previous snapshot: pages whose page number ≢ 1 (mod 3) —
+      // a deterministic earlier-crawl slice at every SF
+      val prevPages = expr("doc_id div 3") % 3 =!= 1
+      val prevEdges = LinkOps.linkGraphFor(s"$dir#incr_prev",
+        c.filter(prevPages))
+      val allPages = c.select(col("canonical")).distinct()
+      val seen = c.filter(prevPages).select(col("canonical")).distinct()
+      val freshPages = RuntimeFilter.bloomPrunedAntiJoin(
+        allPages, col("canonical"), seen, col("canonical"),
+        expectedKeys = math.max(seen.count(), 1L))
+      // src sets are disjoint (old pages vs new pages), so the union
+      // needs no re-distinct
+      val merged = prevEdges.unionByName(LinkOps.linkGraph(freshPages))
+      frontierOver(c, Some(merged))
     }),
 
     // sitemap ingestion — the third discovery source: genuine
@@ -172,7 +211,8 @@ object WebCurationPack extends QueryPack {
     // crawled, robots-gated per target domain (a site can advertise
     // in its sitemap what its robots then deny — the union drops
     // it), capped per domain, with the surfacing source(s) labeled
-    "wc_discovery" -> ((s, dir) => SitemapOps.discovery(canon(s, dir))),
+    "wc_discovery" -> ((s, dir) => SitemapOps.discovery(canon(s, dir),
+      Some(LinkOps.linkGraphFor(dir, canon(s, dir))))),
 
     // the missing link between the URL front-end and the content
     // pipeline: ONLY admitted doc_ids are spooled into crawl
@@ -191,31 +231,54 @@ object WebCurationPack extends QueryPack {
     }))
 
   /** The wc_frontier body over any canon frame — public so DevStress
-    * probes the production stages. */
-  def frontierOver(c: DataFrame)(implicit s: SparkSession): DataFrame = {
-    val fresh = LinkOps.linkGraph(c).select(col("dst")).distinct()
+    * probes the production stages. `edges` supplies the prebuilt
+    * link-graph artifact ([[LinkOps.linkGraphFor]]); absent, the
+    * graph builds here (the full-path probe shape). */
+  def frontierOver(c: DataFrame, edges: Option[DataFrame] = None)
+      (implicit s: SparkSession): DataFrame = {
+    val fresh = edges.getOrElse(LinkOps.linkGraph(c))
+      .select(col("dst")).distinct()
       .join(c.select(col("canonical").as("dst")).distinct(),
         Seq("dst"), "left_anti")
     val t = UrlOps.withUrlParts(fresh, col("dst"))
       .select(col("dst"), col("domain"),
         regexp_extract(col("dst"), "^[a-z]+://[^/]+(/[^?#]*)", 1)
           .as("path"))
-    val rules = RobotsOps.rulesForAgent(RobotsOps.parseRules(
-      RobotsOps.robotsFor(c)))
+    val files = RobotsOps.robotsFor(c)
+    val parsed = RobotsOps.parseRules(files)
+    val rules = RobotsOps.rulesForAgent(parsed)
     val allowed = t
       .join(broadcast(rules.withColumnRenamed("path", "rule_path")),
         Seq("domain"), "left")
       .select(col("dst"), col("domain"), col("path"),
-        when(col("rule_path").isNotNull &&
-            col("path").startsWith(col("rule_path")),
-          struct(length(col("rule_path")).as("len"),
-            col("allow").cast("int").as("allow"))).as("m"))
+        RobotsOps.matchStruct(col("path"), col("rule_path"),
+          col("allow")).as("m"))
       .groupBy(col("dst"), col("domain"))
       .agg(max(col("m")).as("best"))
       .filter(col("best").isNull || col("best.allow") === 1)
-    graft.plans.TopKPerKey.topKPerKey(allowed,
-        Seq(col("domain")), Seq(col("dst").asc), CapK)
-      .select(col("domain"), col("dst"))
+    budgetCap(allowed,
+      RobotsOps.frontierCaps(parsed, RobotsOps.parseDelays(files), CapK),
+      Seq("domain", "dst"))
+  }
+
+  /** Per-domain politeness cap, Crawl-delay-aware: the native
+    * bounded-heap [[graft.plans.TopKPerKey]] bounds what crosses the
+    * exchange at [[CapK]] rows per domain (the scale lever — corpus-
+    * size input never sorts per key), then the per-domain TIME budget
+    * (`caps`: domain → slots per window, [[RobotsOps.frontierCaps]])
+    * trims that ≤CapK-per-domain OUTPUT with a partitioned
+    * row_number — a window over an output-bound frame, constant work
+    * per domain. Domains with no Crawl-delay keep the full CapK. */
+  def budgetCap(rows: DataFrame, caps: DataFrame, outCols: Seq[String])
+      : DataFrame = {
+    val topk = graft.plans.TopKPerKey.topKPerKey(rows,
+      Seq(col("domain")), Seq(col("dst").asc), CapK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col("dst").asc)
+    topk.withColumn("_rn", row_number().over(w))
+      .join(broadcast(caps), Seq("domain"), "left")
+      .filter(col("_rn") <= coalesce(col("cap"), lit(CapK)))
+      .select(outCols.map(col): _*)
   }
 
   /** The admission set (the wc_front_e2e chain) as bare doc_ids. */
@@ -235,7 +298,13 @@ object WebCurationPack extends QueryPack {
       .select(col("doc_id"))
   }
 
-  override def oracles: Map[String, String] = Map(
+  // the incremental cycle must EQUAL the from-scratch frontier on
+  // the merged snapshot — per-page extraction is deterministic, so
+  // wc_frontier_incr's oracle IS wc_frontier's
+  override def oracles: Map[String, String] =
+    baseOracles + ("wc_frontier_incr" -> baseOracles("wc_frontier"))
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "wc_url_canon" ->
       s"""SELECT doc_id, url, canonical FROM ${UrlOps.sqlCanonSrc} c""",
 
@@ -281,12 +350,22 @@ object WebCurationPack extends QueryPack {
          |SELECT domain, agent, path, allow FROM rules
          |WHERE path IS NOT NULL""".stripMargin,
 
+    // the Crawl-delay lines, same replay discipline (both graftbot
+    // groups' delays and the * group's)
+    "wc_robots_delays" ->
+      s"""WITH $robotsRulesCtes,
+         |$robotsCapsCtes
+         |SELECT domain, agent, CAST(delay AS INT) AS delay
+         |FROM rdelays""".stripMargin,
+
     // longest-match with Allow on ties, encoded as max(len·2+allow)
     // (length dominates, the allow bit breaks ties — the integer
-    // twin of the Spark side's max(struct(len, allow)))
+    // twin of the Spark side's max(struct(len, allow))); wildcard
+    // and end-anchored rules replay through the same regex build as
+    // [[RobotsOps.matchStruct]]
     "wc_robots_admit" ->
       s"""WITH $robotsRulesCtes,
-         |sel AS (SELECT r.domain, r.path, r.allow
+         |sel AS MATERIALIZED (SELECT r.domain, r.path, r.allow
          |        FROM rules r JOIN doms d ON r.domain = d.domain
          |        WHERE r.path IS NOT NULL AND
          |          ((d.h % 2 = 0 AND r.agent = 'graftbot') OR
@@ -299,8 +378,7 @@ object WebCurationPack extends QueryPack {
          |        r.path AS rp, r.allow
          |      FROM u LEFT JOIN sel r ON u.domain = r.domain),
          |m AS (SELECT doc_id, domain, path,
-         |        max(CASE WHEN rp IS NOT NULL AND starts_with(path, rp)
-         |                 THEN length(rp) * 2 + CAST(allow AS INT) END)
+         |        max(${RobotsOps.sqlMatchScore("path", "rp", "allow")})
          |          AS score
          |      FROM j GROUP BY doc_id, domain, path)
          |SELECT doc_id, domain, path,
@@ -317,7 +395,8 @@ object WebCurationPack extends QueryPack {
     // verdict encoding, the per-domain cap
     "wc_frontier" ->
       s"""WITH $robotsRulesCtes,
-         |sel AS (SELECT r.domain, r.path, r.allow
+         |$robotsCapsCtes,
+         |sel AS MATERIALIZED (SELECT r.domain, r.path, r.allow
          |        FROM rules r JOIN doms d ON r.domain = d.domain
          |        WHERE r.path IS NOT NULL AND
          |          ((d.h % 2 = 0 AND r.agent = 'graftbot') OR
@@ -329,35 +408,35 @@ object WebCurationPack extends QueryPack {
          |                         FROM ${UrlOps.sqlCanonSrc} c2)),
          |$targetDomainCtes,
          |fj AS (SELECT t.dst, t.domain,
-         |         max(CASE WHEN r.path IS NOT NULL
-         |                   AND starts_with(t.path, r.path)
-         |                  THEN length(r.path) * 2 + CAST(r.allow AS INT)
-         |             END) AS score
+         |         max(${RobotsOps.sqlMatchScore(
+                      "t.path", "r.path", "r.allow")}) AS score
          |       FROM tdom t LEFT JOIN sel r ON t.domain = r.domain
          |       GROUP BY t.dst, t.domain),
          |fa AS (SELECT dst, domain FROM fj
          |       WHERE score IS NULL OR score % 2 = 1),
-         |fc AS (SELECT domain, dst, row_number() OVER (
-         |         PARTITION BY domain ORDER BY dst) AS rn FROM fa)
-         |SELECT domain, dst FROM fc WHERE rn <= $CapK""".stripMargin,
+         |fc AS (SELECT f.domain, f.dst, row_number() OVER (
+         |         PARTITION BY f.domain ORDER BY f.dst) AS rn,
+         |         coalesce(rc.cap, $CapK) AS cap
+         |       FROM fa f LEFT JOIN rcaps rc ON f.domain = rc.domain)
+         |SELECT domain, dst FROM fc WHERE rn <= cap""".stripMargin,
 
     "wc_sitemap_urls" ->
-      s"""WITH ${LinkOps.sqlPagesCte(UrlOps.sqlCanonSrc)},
-         |${SitemapOps.sqlSitemapCte}
+      s"""WITH ${SitemapOps.sqlSitemapCte(UrlOps.sqlCanonSrc)}
          |SELECT host, loc, lastmod FROM smrows""".stripMargin,
 
     // the frontier oracle pattern with the two-source union and the
     // via flags carried through the gate
     "wc_discovery" ->
       s"""WITH $robotsRulesCtes,
-         |sel AS (SELECT r.domain, r.path, r.allow
+         |$robotsCapsCtes,
+         |sel AS MATERIALIZED (SELECT r.domain, r.path, r.allow
          |        FROM rules r JOIN doms d ON r.domain = d.domain
          |        WHERE r.path IS NOT NULL AND
          |          ((d.h % 2 = 0 AND r.agent = 'graftbot') OR
          |           (d.h % 2 <> 0 AND r.agent = '*'))),
          |${LinkOps.sqlPagesCte(UrlOps.sqlCanonSrc)},
          |${LinkOps.sqlEdgesCte},
-         |${SitemapOps.sqlSitemapCte},
+         |${SitemapOps.sqlSitemapCte(UrlOps.sqlCanonSrc)},
          |uni AS (SELECT loc AS dst, TRUE AS via_sitemap,
          |               FALSE AS via_link FROM smrows
          |        UNION ALL
@@ -372,10 +451,8 @@ object WebCurationPack extends QueryPack {
          |fj AS (SELECT t.dst, t.domain,
          |         any_value(t.via_sitemap) AS via_sitemap,
          |         any_value(t.via_link) AS via_link,
-         |         max(CASE WHEN r.path IS NOT NULL
-         |                   AND starts_with(t.path, r.path)
-         |                  THEN length(r.path) * 2 + CAST(r.allow AS INT)
-         |             END) AS score
+         |         max(${RobotsOps.sqlMatchScore(
+                      "t.path", "r.path", "r.allow")}) AS score
          |       FROM tdom t LEFT JOIN sel r ON t.domain = r.domain
          |       GROUP BY t.dst, t.domain),
          |fa AS (SELECT dst, domain,
@@ -383,18 +460,20 @@ object WebCurationPack extends QueryPack {
          |              WHEN via_sitemap THEN 'sitemap'
          |              ELSE 'link' END AS via
          |       FROM fj WHERE score IS NULL OR score % 2 = 1),
-         |fc AS (SELECT domain, dst, via, row_number() OVER (
-         |         PARTITION BY domain ORDER BY dst) AS rn FROM fa)
-         |SELECT domain, dst, via FROM fc WHERE rn <= $CapK""".stripMargin,
+         |fc AS (SELECT f.domain, f.dst, f.via, row_number() OVER (
+         |         PARTITION BY f.domain ORDER BY f.dst) AS rn,
+         |         coalesce(rc.cap, $CapK) AS cap
+         |       FROM fa f LEFT JOIN rcaps rc ON f.domain = rc.domain)
+         |SELECT domain, dst, via FROM fc WHERE rn <= cap""".stripMargin,
 
     // the q_pagerank oracle machinery over the replayed link edges —
     // string node ids, same integer fixed-point rounds
     "wc_link_rank" ->
       s"""WITH ${LinkOps.sqlPagesCte(UrlOps.sqlCanonSrc)},
          |${LinkOps.sqlEdgesCte},
-         |e AS (SELECT src, dst FROM ledges),
-         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |e AS MATERIALIZED (SELECT src, dst FROM ledges),
+         |n AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |d AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
          |r0 AS (SELECT node, CAST(${PageRank.Scale} AS BIGINT) AS rank
          |       FROM n),
          |${PageRank.sqlStepCtes(1)},
@@ -406,7 +485,12 @@ object WebCurationPack extends QueryPack {
     * `tdom(dst, …, path, domain)`, additive `SELECT *` stages so any
     * passthrough columns (the via flags) survive. Shared by the
     * frontier and discovery oracles. */
-  private lazy val targetDomainCtes: String =
+  private lazy val targetDomainCtes: String = {
+    val lastDefs = PublicSuffix.sqlLastLabels("parts").zipWithIndex
+      .map { case (e, i) => s"$e AS last${i + 1}" }.mkString(",\n       |         ")
+      .stripMargin
+    val lastNames = (1 to PublicSuffix.rules.maxMatchLabels)
+      .map(k => s"last$k")
     s"""td AS (SELECT t.*,
        |         regexp_extract(dst, '^[a-z]+://([^/?#:]*)', 1) AS host,
        |         regexp_extract(dst, '^[a-z]+://[^/]+(/[^?#]*)', 1)
@@ -414,30 +498,30 @@ object WebCurationPack extends QueryPack {
        |       FROM tg t),
        |tp AS (SELECT *, string_split(host, '.') AS parts FROM td),
        |tl AS (SELECT *,
-       |         parts[len(parts)] AS last1,
-       |         array_to_string(list_slice(parts,
-       |           greatest(1, len(parts) - 1), len(parts)), '.') AS last2,
-       |         array_to_string(list_slice(parts,
-       |           greatest(1, len(parts) - 2), len(parts)), '.') AS last3
+       |         $lastDefs
        |       FROM tp),
        |tx AS (SELECT *,
-       |         ${PublicSuffix.sqlSuffixLabels("last1", "last2", "last3")}
+       |         ${PublicSuffix.sqlSuffixLabels(lastNames)}
        |           AS sfx
        |       FROM tl),
        |tdom AS (SELECT *,
        |         ${PublicSuffix.sqlDomainFrom("host", "parts", "sfx")}
        |           AS domain
        |       FROM tx)""".stripMargin
+  }
 
   /** The robots rule table replayed from the domain-hash arithmetic
-    * (the generator's formulas — [[RobotsOps.robotsTxt]]): graftbot
-    * group on even hashes (one-digit Disallow + two-digit Allow
-    * carve-back), `*` group everywhere (full disallow on h%5, NO
-    * rule on h%7 — the empty-Disallow case — else one digit). */
+    * (the generator's formulas — [[RobotsOps.robotsTxt]]): first
+    * graftbot group on even hashes (one-digit Disallow + two-digit
+    * Allow carve-back, wildcard end-anchored Disallow on h%3), a
+    * SECOND graftbot group on h%4 (the §2.2.1 merge: /q/ Disallow),
+    * `*` group everywhere (full disallow on h%5, NO rule on h%7 —
+    * the empty-Disallow case — else one digit, plus a wildcard Allow
+    * on h%11). */
   private lazy val robotsRulesCtes =
-    s"""doms AS (SELECT domain, ${Hashing.sqlH32("domain")} AS h
+    s"""doms AS MATERIALIZED (SELECT domain, ${Hashing.sqlH32("domain")} AS h
        |  FROM (SELECT DISTINCT domain FROM ${UrlOps.sqlCanonSrc} cc)),
-       |rules AS (
+       |rules AS MATERIALIZED (
        |  SELECT domain, 'graftbot' AS agent,
        |    '/p/' || CAST(h % 10 AS VARCHAR) AS path, FALSE AS allow
        |  FROM doms WHERE h % 2 = 0
@@ -447,12 +531,48 @@ object WebCurationPack extends QueryPack {
        |      CAST((h // 10) % 10 AS VARCHAR), TRUE
        |  FROM doms WHERE h % 2 = 0
        |  UNION ALL
+       |  SELECT domain, 'graftbot',
+       |    '/p/*' || CAST((h // 1000) % 10 AS VARCHAR) || '$$', FALSE
+       |  FROM doms WHERE h % 2 = 0 AND h % 3 = 0
+       |  UNION ALL
+       |  SELECT domain, 'graftbot',
+       |    '/q/' || CAST((h // 100) % 10 AS VARCHAR), FALSE
+       |  FROM doms WHERE h % 4 = 0
+       |  UNION ALL
        |  SELECT domain, '*',
        |    CASE WHEN h % 5 = 0 THEN '/'
        |         WHEN h % 7 = 0 THEN NULL
        |         ELSE '/p/' || CAST((h // 100) % 10 AS VARCHAR) END,
        |    FALSE
-       |  FROM doms)""".stripMargin
+       |  FROM doms
+       |  UNION ALL
+       |  SELECT domain, '*',
+       |    '/p/*' || CAST((h // 10000) % 10 AS VARCHAR) || '$$', TRUE
+       |  FROM doms WHERE h % 11 = 0)""".stripMargin
+
+  /** The Crawl-delay table and the per-domain frontier caps replayed
+    * from the generator's arithmetic ([[RobotsOps.robotsTxt]] /
+    * [[RobotsOps.frontierCaps]]): graftbot delay 15 on h%3 else 2,
+    * 30 in the h%4 second group (merge takes the max), `*` delay 20
+    * on h%13; cap = min(CapK, max(1, window div delay)) under the
+    * same group selection as the rules. Needs `doms` in scope. */
+  private lazy val robotsCapsCtes =
+    s"""rdelays AS MATERIALIZED (
+       |  SELECT domain, 'graftbot' AS agent,
+       |    CASE WHEN h % 3 = 0 THEN 15 ELSE 2 END AS delay
+       |  FROM doms WHERE h % 2 = 0
+       |  UNION ALL
+       |  SELECT domain, 'graftbot', 30 FROM doms WHERE h % 4 = 0
+       |  UNION ALL
+       |  SELECT domain, '*', 20 FROM doms WHERE h % 13 = 0),
+       |rcaps AS MATERIALIZED (
+       |  SELECT d.domain,
+       |    LEAST($CapK, GREATEST(1,
+       |      ${RobotsOps.FrontierWindowSec} // max(d.delay))) AS cap
+       |  FROM rdelays d JOIN doms dd ON d.domain = dd.domain
+       |  WHERE (dd.h % 2 = 0 AND d.agent = 'graftbot')
+       |     OR (dd.h % 2 <> 0 AND d.agent = '*')
+       |  GROUP BY d.domain)""".stripMargin
 
   /** The admission chain as shared CTEs ending in
     * `adm_capped(doc_id, domain, canonical)`. */

@@ -781,6 +781,12 @@ object Multimodal {
       * stride/row-count product inside an Int. */
     val MaxDim = 1 << 15
 
+    /** Hard cap on the inflated scanline buffer (64 MiB ≈ a 4096×4096
+      * truecolor thumbnail with filter bytes): rejects zlib bombs whose
+      * headers are CRC-valid but whose decoded size is absurd for the
+      * thumbnail-decode path, before any allocation happens. */
+    val MaxRawBytes = 64L << 20
+
     /** Dyadic integer luma of a 24-bit pixel. */
     def luma24(r: Int, g: Int, b: Int): Int = (3 * r + 4 * g + b) >> 3
 
@@ -1007,7 +1013,15 @@ object Multimodal {
       if (w > MaxDim || h > MaxDim) return None // crafted dims: no overflow path
       val ch = if (colorType == 2) 3 else 1
       val rowBytes = w * ch
-      val raw = inflate(idat.toByteArray, h * (1 + rowBytes)).getOrElse(return None)
+      // size the raw buffer in Long: a CRC-valid truecolor header at
+      // MaxDim per side puts h*(1+3w) past Int.MaxValue (negative on
+      // wrap → NegativeArraySizeException, which the catch below does
+      // NOT cover), and even in-range dims would let a ~1 MB zlib bomb
+      // demand multi-GB allocations — cap at MaxRawBytes like
+      // decodeBmp's Long-widened truncation check
+      val expected = h.toLong * (1L + rowBytes.toLong)
+      if (expected > MaxRawBytes) return None
+      val raw = inflate(idat.toByteArray, expected.toInt).getOrElse(return None)
       val luma = new Array[Int](w * h)
       val prev = new Array[Int](rowBytes)
       val cur = new Array[Int](rowBytes)
@@ -1054,7 +1068,11 @@ object Multimodal {
         var got = 0
         while (got < expected && !inf.finished()) {
           val n = inf.inflate(out, got, expected - got)
-          if (n == 0 && inf.needsInput()) return None // truncated stream
+          // any zero-progress round is malformed: needsInput (truncated
+          // stream), needsDictionary (FDICT bit — Inflater stalls with
+          // needsInput()=false and finished()=false, which would spin
+          // this loop forever), or any other stall
+          if (n == 0) return None
           got += n
         }
         if (got == expected && (inf.finished() || inf.inflate(new Array[Byte](1)) == 0))

@@ -12,19 +12,24 @@ class KnnSearchSpec extends SparkSpec {
   import spark.implicits._
 
   // 308 vectors in 4 tight clusters of 77 (cluster = vec_id / 77), so
-  // the fixed SearchEntries {0, 101, 211, 307} land one per cluster.
-  // Member j of cluster c = unit e_c plus a small distinct jitter.
-  private lazy val dir: String = {
-    val d = java.nio.file.Files.createTempDirectory("knnsearch").toString
+  // the derived quartile entries {0, 77, 154, 231} (searchEntriesOf)
+  // land one per cluster. Member j of cluster c = unit e_c plus a
+  // small distinct jitter.
+  private def writeClusters(d: String, offset: Long): Unit = {
     val rows = (0 until 308).map { i =>
       val c = i / 77
       val emb = Array.fill(8)(0.0f)
       emb(c) = 1.0f
       emb(4 + c) = 0.0005f * (i % 77)
-      (i.toLong, emb, c)
+      (i.toLong + offset, emb, c)
     }
     rows.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+  }
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("knnsearch").toString
+    writeClusters(d, offset = 0L)
     d
   }
 
@@ -90,12 +95,41 @@ class KnnSearchSpec extends SparkSpec {
     // ~K/2 ids per round (query 20 from entry 0 reaches node 12 in 3
     // rounds — measured; the O(dist/K)-rounds chain walk is the known
     // greedy-search geometry HNSW's long links shortcut). The exact
-    // nearest peer is therefore only guaranteed for probes CLOSE to an
-    // entry point {0, 101, 211, 307}:
+    // nearest peer is therefore only guaranteed for probes CLOSE to a
+    // derived entry point {0, 77, 154, 231}:
     val top1 = rows.filter(_._2 == 1L).map(r => r._1 -> r._3).toMap
-    Seq(0L, 100L, 210L).foreach { q =>
+    Seq(0L, 80L, 160L).foreach { q =>
       assert(math.abs(top1(q) - q) == 1,
         s"entry-near query $q top-1 was ${top1(q)}")
     }
+  }
+
+  test("entries derive from the corpus: a nonzero id offset keeps the " +
+    "search alive and cluster-true (hardcoded ids would return empty)") {
+    val d = java.nio.file.Files.createTempDirectory("knnoffset").toString
+    writeClusters(d, offset = 100000L)
+    Seq("sim_knn_search", "sim_hnsw_search").foreach { q =>
+      val out = SimilarityPack.queries(q)(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      assert(out.nonEmpty, s"$q returned EMPTY on offset ids")
+      assert(out.map(_._1).distinct.length == 31)
+      out.foreach { case (qid, nbr) =>
+        assert((qid - 100000L) / 77 == (nbr - 100000L) / 77,
+          s"$q: query $qid left its cluster: neighbor $nbr")
+      }
+    }
+  }
+
+  test("an empty corpus fails the entry derivation loudly") {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("nrm", DoubleType))))
+    val e = intercept[IllegalArgumentException] {
+      SimilarityPack.searchEntriesOf(empty)
+    }
+    assert(e.getMessage.contains("entry set would be empty"))
   }
 }

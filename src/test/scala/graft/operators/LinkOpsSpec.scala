@@ -44,6 +44,34 @@ class LinkOpsSpec extends SparkSpec {
       == Seq("https://site.com/deep"))
   }
 
+  test("dot-segment removal runs to fixpoint: deep .. nests, single " +
+    "dots, and the RFC 3986 §5.2.4 trailing forms") {
+    // three and five levels up from nested bases (past the old 2-pass
+    // bound), excess levels stopping at the root
+    assert(res("https://h.io/a/b/c/d", "../../../x")
+      == Seq("https://h.io/x"))
+    assert(res("https://h.io/a/b/c/d/e/f", "../../../../../y")
+      == Seq("https://h.io/y"))
+    assert(res("https://h.io/a/b", "../../../../z")
+      == Seq("https://h.io/z"))
+    // single-dot segments: leading ./, interior /./ (also stacked),
+    // and the trailing /. and /.. forms
+    assert(res("https://h.io/p/5", "./x") == Seq("https://h.io/p/x"))
+    assert(res("https://h.io/p/5", "./a/./b") == Seq("https://h.io/p/a/b"))
+    assert(res("https://h.io/p/5", "././././x") == Seq("https://h.io/p/x"))
+    assert(res("https://h.io/p/5", "a/.") == Seq("https://h.io/p/a/"))
+    assert(res("https://h.io/a/b/c", "..") == Seq("https://h.io/a/"))
+    // mixed . and .. interleave (the §5.2.4 example shapes)
+    assert(res("https://h.io/a/b/c", "./../g") == Seq("https://h.io/a/g"))
+    assert(res("https://h.io/a/b/c", "g/../h/./i")
+      == Seq("https://h.io/a/b/h/i"))
+    // a dot inside a segment name is NOT a dot segment
+    assert(res("https://h.io/p/5", "v1.2/x") == Seq("https://h.io/p/v1.2/x"))
+    assert(res("https://h.io/p/5", ".well-known/a")
+      == Seq("https://h.io/p/.well-known/a"))
+    assert(res("https://h.io/p/5", "..x/y") == Seq("https://h.io/p/..x/y"))
+  }
+
   test("non-hierarchical schemes stay absolute; query-only refs take " +
     "the base path") {
     val base = "https://site.com/list?page=1"

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.{PslConvert, SparkSpec}
+import org.apache.spark.sql.functions.col
+
+/** [[PslConvert]] — the raw publicsuffix.org file format into the
+  * envelope, and full-depth resolution against a PUBLISHED table (the
+  * production swap path: the resolver's arity and rule sets follow
+  * the loaded artifact, not the bundle). */
+class PslConvertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rawList =
+    """// ===BEGIN ICANN DOMAINS===
+      |// ck : https://example/ck
+      |*.ck
+      |!www.ck
+      |com
+      |co.uk
+      |
+      |// ===BEGIN PRIVATE DOMAINS===
+      |// Amazon : https://aws.amazon.com
+      |s3.amazonaws.com
+      |s3.us-east-2.amazonaws.com
+      |s3.dualstack.us-east-1.amazonaws.com
+      |*.elb.amazonaws.com.cn
+      |GitHub.IO   trailing garbage ignored
+      |""".stripMargin
+
+  test("parse: comments, blanks, sections, case fold, kind prefixes, " +
+    "trailing tokens") {
+    val r = PslConvert.parse(rawList.linesIterator)
+    assert(r.normal == Seq("com", "co.uk", "s3.amazonaws.com",
+      "s3.us-east-2.amazonaws.com",
+      "s3.dualstack.us-east-1.amazonaws.com", "github.io"))
+    assert(r.wild == Seq("ck", "elb.amazonaws.com.cn"))
+    assert(r.exc == Seq("www.ck"))
+    assert(r.maxMatchLabels == 5)
+  }
+
+  test("parse rejects non-leftmost wildcards and non-list input loudly") {
+    intercept[IllegalArgumentException] {
+      PslConvert.parse(Iterator("com", "a.*.b"))
+    }
+    intercept[IllegalArgumentException] {
+      PslConvert.parse(Iterator("// only comments"))
+    }
+  }
+
+  test("published table swaps in for the bundle and drives full-depth " +
+    "resolution (resolver arity follows the artifact)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-psl").toString
+    val prev = IndexCache.persistDir
+    IndexCache.persistDir = Some(dir)
+    IndexCache.clear()
+    try {
+      IndexCache.publishPsl(PslConvert.parse(rawList.linesIterator))
+      val loaded = IndexCache.pslRules(
+        sys.error("a publish must serve the envelope, not the bundle"))
+      assert(loaded.maxMatchLabels == 5)
+      // resolution against the published table, at depths 1 through 5
+      val doms = Seq(
+        "a.example.com",                          // plain 1-label
+        "x.example.co.uk",                        // plain 2-label
+        "bucket.s3.us-east-2.amazonaws.com",      // plain 4-label
+        "b.s3.dualstack.us-east-1.amazonaws.com", // plain 5-label
+        "node.az.elb.amazonaws.com.cn",           // wild 4-label base
+        "sub.www.ck",                             // exception
+        "anything.web.ck"                         // wildcard *.ck
+      ).toDF("h").select(UrlOps.registeredDomain(col("h")).as("d"))
+        .as[String].collect().toSeq
+      assert(doms == Seq(
+        "example.com", "example.co.uk",
+        "bucket.s3.us-east-2.amazonaws.com",
+        "b.s3.dualstack.us-east-1.amazonaws.com",
+        "node.az.elb.amazonaws.com.cn",
+        "www.ck", "anything.web.ck"))
+      // the staged production join resolves identically against the
+      // same published table
+      val staged = UrlOps.withUrlParts(
+          Seq("https://deep.bucket.s3.us-east-2.amazonaws.com/p/1")
+            .toDF("url"), col("url"))
+        .select(col("domain")).as[String].head()
+      assert(staged == "bucket.s3.us-east-2.amazonaws.com")
+    } finally { IndexCache.persistDir = prev; IndexCache.clear() }
+  }
+}

@@ -106,7 +106,10 @@ class RobotsSpec extends SparkSpec {
     parsed.groupBy(_._1).foreach { case (d, rs) =>
       val bot = rs.filter(_._2 == "graftbot")
       if (bot.nonEmpty) {
-        val dis = bot.find(!_._4).get._3
+        // the /p/-prefix plain pair (wildcard and second-group /q/
+        // rules ride alongside)
+        val dis = bot.filter(r => !r._4 && r._3.startsWith("/p/") &&
+          !r._3.contains("*")).map(_._3).head
         val alw = bot.find(_._4).get._3
         assert(alw.startsWith(dis) && alw.length == dis.length + 1,
           s"$d: allow $alw must extend disallow $dis by one digit")
@@ -114,5 +117,73 @@ class RobotsSpec extends SparkSpec {
       assert(rs.exists(_._2 == "*") || rs.forall(_._2 == "graftbot"),
         s"$d carries no * group rules only when its * disallow is empty")
     }
+  }
+
+  test("parser: Crawl-delay lines attach to their group's agents and " +
+    "non-integer values are skipped") {
+    val text =
+      "User-agent: a\nUser-agent: b\nDisallow: /x\nCrawl-delay: 5\n" +
+        "User-agent: c\nCrawl-delay: oops\nDisallow: /y\n" +
+        "User-agent: *\nCrawl-delay: 10"
+    val (_, delays) = RobotsOps.parseRobotsAll("d.com", text)
+    assert(delays.map(d => (d.agent, d.delay)).toSet ==
+      Set(("a", 5), ("b", 5), ("*", 10)),
+      s"got: $delays — c's malformed delay must vanish, not crash")
+  }
+
+  test("RFC 9309 §2.2.1: two graftbot groups MERGE — the union of " +
+    "both groups' rules applies") {
+    val text =
+      "User-agent: graftbot\nDisallow: /a\n" +
+        "User-agent: other\nDisallow: /nope\n" +
+        "User-agent: graftbot\nDisallow: /b\nAllow: /a/ok"
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val parsed = Seq(("d.com", text)).toDF("domain", "robots")
+    val sel = RobotsOps.rulesForAgent(RobotsOps.parseRules(parsed))
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toSet
+    assert(sel == Set(("/a", false), ("/b", false), ("/a/ok", true)),
+      s"selected: $sel")
+  }
+
+  test("matcher: * spans any run (slashes included), $ anchors the " +
+    "end, raw length drives precedence, specials stay literal") {
+    // /p/*9$ vs the shorter plain pair
+    val rs = Seq(
+      ("d.com", "/p", true),
+      ("d.com", "/p/*9$", false))
+    val v = verdicts(rs, Seq("/p/19", "/p/sub/9", "/p/91", "/p/9x"))
+    assert(!v("/p/19"), "trailing-9 path hits the wildcard disallow")
+    assert(!v("/p/sub/9"), "* must cross slashes (RFC 9309 §2.2.3)")
+    assert(v("/p/91"), "$ anchors: 91 does not END with 9")
+    assert(v("/p/9x"), "$ anchors: 9x does not END with 9")
+    // a regex special in the rule is literal, not a metacharacter
+    val v2 = verdicts(Seq(("d.com", "/a.b", false)), Seq("/a.b/x", "/axb"))
+    assert(!v2("/a.b/x") && v2("/axb"),
+      "'.' in a rule path must match only a literal dot")
+    // wildcard Allow beats a SHORTER plain Disallow by raw length
+    val v3 = verdicts(Seq(
+      ("d.com", "/p", false),
+      ("d.com", "/p/*ok$", true)), Seq("/p/x-ok", "/p/x"))
+    assert(v3("/p/x-ok") && !v3("/p/x"))
+  }
+
+  test("frontierCaps: min(capK, max(1, window div delay)), group-" +
+    "selected, absent for undelayed domains") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val rules = Seq(("bot.com", "graftbot", "/x", false),
+      ("star.com", "*", "/y", false),
+      ("huge.com", "*", "/z", false))
+      .toDF("domain", "agent", "path", "allow")
+    val delays = Seq(
+      ("bot.com", "graftbot", 15), ("bot.com", "graftbot", 30),
+      ("bot.com", "*", 1),    // * delay must NOT apply: bot group exists
+      ("star.com", "*", 20),
+      ("huge.com", "*", 600), // budget floors at 1, never starves
+      ("nodelay.com", "otherbot", 9)) // other agents never selected
+      .toDF("domain", "agent", "delay")
+    val caps = RobotsOps.frontierCaps(rules, delays, capK = 8)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(caps == Map("bot.com" -> 2, "star.com" -> 3, "huge.com" -> 1),
+      s"got: $caps — merge takes max(15,30)=30 → 60/30=2")
   }
 }

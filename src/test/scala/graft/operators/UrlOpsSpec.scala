@@ -137,4 +137,28 @@ class UrlOpsSpec extends SparkSpec {
       "city.kawasaki.jp",
       "a.other.kawasaki.jp"))
   }
+
+  test("full-depth rules: 4-label plain, 5-label plain, deep wildcard " +
+    "bases (the real list's amazonaws shapes)") {
+    assert(dom(
+      "bucket.s3.us-east-2.amazonaws.com",       // 4-label plain rule
+      "deep.bucket.s3.us-east-2.amazonaws.com",
+      "s3.us-east-2.amazonaws.com",              // host IS the suffix
+      "b.s3.dualstack.us-east-1.amazonaws.com",  // 5-label plain rule
+      "vm.eu-z1.elb.amazonaws.com",       // *.elb…: 3-label wild base
+      "x.vm.eu-z1.elb.amazonaws.com",
+      "node.az.elb.amazonaws.com.cn",     // *.elb….cn: 4-label base —
+      "s3.amazonaws.com",                 // …while plain 3-label holds
+      "a.s3.amazonaws.com"
+    ) == Seq(
+      "bucket.s3.us-east-2.amazonaws.com",
+      "bucket.s3.us-east-2.amazonaws.com",
+      "s3.us-east-2.amazonaws.com",
+      "b.s3.dualstack.us-east-1.amazonaws.com",
+      "vm.eu-z1.elb.amazonaws.com",
+      "vm.eu-z1.elb.amazonaws.com",
+      "node.az.elb.amazonaws.com.cn",
+      "s3.amazonaws.com",
+      "a.s3.amazonaws.com"))
+  }
 }

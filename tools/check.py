@@ -2,32 +2,58 @@
 """Local stand-in for the driver's t2 gate: run graft.Verify first, then
 compare each spark parquet result against its DuckDB oracle.
 
-Usage: python3 tools/check.py <sfDir> <outDir>
+Usage: python3 tools/check.py <sfDir> <outDir> [--json <artifact.json>]
+
+With --json, also writes a driver-format correctness artifact
+(per-query {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err}) so the repo self-insures against an empty or
+missing driver-side CORRECTNESS file (round 12's arrived as `{}`).
 """
 import duckdb, json, sys, os, glob
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-def main():
-    sf, out = sys.argv[1], sys.argv[2]
+def connect(sf):
+    # fresh connection + an explicit spill dir: one pathological oracle
+    # plan must not exhaust the shared buffer pool for every query
+    # after it (observed: a failed 40 s plan left "Failed to allocate
+    # block of 16 KB" for the rest of the run)
     con = duckdb.connect()
+    os.makedirs("/tmp/duck_spill", exist_ok=True)
+    con.sql("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    return con
+
+def main():
+    sf, out = sys.argv[1], sys.argv[2]
+    json_path = None
+    if len(sys.argv) > 4 and sys.argv[3] == "--json":
+        json_path = sys.argv[4]
+    con = connect(sf)
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     failures = 0
+    report = {}
     names = sorted(os.listdir(out))
     for name in names:
         d = os.path.join(out, name)
         if not os.path.isdir(d):
             continue
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None,
+               "oracle_rows": None, "err": None}
+        report[name] = rec
         files = glob.glob(f"{d}/*.parquet")
         if not files:
             print(f"[MISS ] {name}: no spark output")
+            rec["err"] = "no spark output"
             failures += 1
             continue
         if name not in oracle:
             n = con.sql(f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
             print(f"[ROWS ] {name}: rows-only check, {n} rows")
+            rec.update(spark_rows=n, rows_match=n > 0,
+                       err="rows-only: no oracle")
             continue
         try:
             o = con.sql(oracle[name])
@@ -36,6 +62,7 @@ def main():
             scols = sorted(s.columns)
             if ocols != scols:
                 print(f"[COLS ] {name}: spark={scols} oracle={ocols}")
+                rec["err"] = f"columns differ: spark={scols} oracle={ocols}"
                 failures += 1
                 continue
             otypes = dict(zip(o.columns, map(str, o.types)))
@@ -45,7 +72,10 @@ def main():
                 # values may still compare equal via coercion, but the
                 # driver's hash may be dtype-sensitive — treat as failure
                 print(f"[TYPE ] {name}: {mism}")
+                rec["err"] = f"dtypes differ: {mism}"
                 failures += 1
+            else:
+                rec["schema_match"] = True
             cols = ", ".join(f'"{c}"' for c in ocols)
             con.sql(f"CREATE OR REPLACE TEMP TABLE _o AS SELECT {cols} FROM o")
             con.sql(f"CREATE OR REPLACE TEMP TABLE _s AS SELECT {cols} FROM s")
@@ -58,13 +88,16 @@ def main():
                 pdf.map(hash)
             except Exception as e:
                 print(f"[PANDA] {name}: driver-harness would fail: {type(e).__name__}: {e}")
+                rec["err"] = f"driver pandas hash would fail: {e}"
                 failures += 1
                 continue
             no = con.sql("SELECT count(*) FROM _o").fetchone()[0]
             ns = con.sql("SELECT count(*) FROM _s").fetchone()[0]
             d1 = con.sql("SELECT count(*) FROM (SELECT * FROM _o EXCEPT ALL SELECT * FROM _s)").fetchone()[0]
             d2 = con.sql("SELECT count(*) FROM (SELECT * FROM _s EXCEPT ALL SELECT * FROM _o)").fetchone()[0]
+            rec.update(spark_rows=ns, oracle_rows=no, rows_match=no == ns)
             if no == ns and d1 == 0 and d2 == 0:
+                rec["hash_match"] = True
                 print(f"[OK   ] {name}: {ns} rows")
             else:
                 failures += 1
@@ -72,11 +105,34 @@ def main():
                 con.sql("SELECT * FROM (SELECT 'oracle_only' AS side, * FROM (SELECT * FROM _o EXCEPT ALL SELECT * FROM _s) UNION ALL SELECT 'spark_only', * FROM (SELECT * FROM _s EXCEPT ALL SELECT * FROM _o)) LIMIT 6").show()
         except Exception as e:
             failures += 1
+            rec["err"] = str(e)
             print(f"[ERR  ] {name}: {e}")
+            if "Out of Memory" in str(e):
+                # a bad-allocation abort can leave the buffer pool
+                # unusable for every later query — reconnect
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = connect(sf)
     extra = [k for k in oracle if not os.path.isdir(os.path.join(out, k))]
     for k in extra:
         print(f"[MISS ] oracle without output: {k}")
+        report[k] = {"rows_match": False, "schema_match": False,
+                     "hash_match": False, "spark_rows": None,
+                     "oracle_rows": None, "err": "oracle without output"}
         failures += 1
+    if json_path:
+        # an empty report must read as failure, never as a clean gate
+        if not report:
+            report = {"_gate": {"rows_match": False, "schema_match": False,
+                                "hash_match": False, "spark_rows": None,
+                                "oracle_rows": None,
+                                "err": "EMPTY GATE: no query outputs found"}}
+            failures += 1
+        with open(json_path, "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
+        print(f"== wrote {json_path} ({len(report)} queries)")
     print(f"== {failures} failures")
     sys.exit(1 if failures else 0)
 

@@ -1,0 +1,20 @@
+#!/usr/bin/env bash
+# Self-insured t2 gate: run the exact driver recipe (graft.Verify at
+# sf0.01 + tools/check.py DuckDB compare) and commit the result as
+# CORRECTNESS_SELF.json in the driver's per-query format.
+#
+# Round 12's driver-side CORRECTNESS artifact arrived EMPTY ({}) while
+# the engine was 263/263 green — an empty gate nobody re-runs is
+# indistinguishable from a fully broken engine, so the repo now writes
+# its own artifact every round.
+#
+# Usage: tools/self_gate.sh [sfDir] [outDir]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF="${1:-/root/testdata/sf0.01}"
+OUT="${2:-/tmp/self_vout}"
+export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}"
+echo "== self_gate: Verify $SF -> $OUT (cpus=$SPARK_GRAFT_CPUS)"
+sbt --error "runMain graft.Verify $SF $OUT" 2>&1 | tail -20
+echo "== self_gate: check.py -> CORRECTNESS_SELF.json"
+python3 tools/check.py "$SF" "$OUT" --json CORRECTNESS_SELF.json
