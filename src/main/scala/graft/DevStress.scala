@@ -288,13 +288,13 @@ object DevStress {
     // width while the base-graph build dominates both
     time("hnsw_search", {
       val l1 = SimilarityPack.knnGraphOver(
-        knnVecs.filter(col("vec_id") % SimilarityPack.HnswLayerMod === 0))
+        knnVecs.filter(SimilarityPack.hnswMember(col("vec_id"))))
       val base = SimilarityPack.knnGraphOver(knnVecs)
       SimilarityPack.beamSearchOver(knnVecs,
         Seq.fill(SimilarityPack.HnswCoarseRounds)(l1) ++
           Seq.fill(SimilarityPack.HnswFineRounds)(base),
         SimilarityPack.searchEntriesOf(knnVecs,
-          Some(SimilarityPack.HnswLayerMod)))
+          Some(SimilarityPack.hnswMember(col("vec_id")))))
     })
 
     // pagerank: the q_pagerank edge graph replicated factor× with

@@ -317,9 +317,12 @@ object SimilarityPack extends QueryPack {
   val SearchBeam = 12
   val SearchRounds = 3
 
-  /** Beam entry strata — one entry per quarter of the live id
-    * range. */
-  val EntryStrata = 4
+  /** Beam entry strata — one entry per equal-width slice of the live
+    * id range (8: measured recall@6 flat/hnsw 0.88/0.91 at sf0.01 and
+    * 0.89/0.85 at sf0.001, vs 0.78/0.91 at 4 strata and the old fixed
+    * ids' 0.83/0.91 — denser seeds cover more graph regions for four
+    * extra scored rows per query, still within SearchBeam). */
+  val EntryStrata = 8
 
   /** CORPUS-DERIVED search entry points, spread across the live id
     * space: the minimum existing vec_id in each of [[EntryStrata]]
@@ -334,14 +337,14 @@ object SimilarityPack extends QueryPack {
     * instead. Two tiny aggs (the centroid-collect class — ≤
     * [[EntryStrata]] rows ever reach the driver); `layerMod`
     * restricts to the HNSW layer-1 membership. */
-  def searchEntriesOf(vecs: DataFrame, layerMod: Option[Int] = None)
+  def searchEntriesOf(vecs: DataFrame,
+                      layerPred: Option[org.apache.spark.sql.Column] = None)
       : Seq[Long] = {
-    val base = layerMod.map(m => vecs.filter(col("vec_id") % m === 0))
-      .getOrElse(vecs)
+    val base = layerPred.map(vecs.filter).getOrElse(vecs)
     val mm = base.agg(min(col("vec_id")), max(col("vec_id"))).head()
     require(!mm.isNullAt(0),
       "ANN search: no candidate vectors — the entry set would be empty" +
-        layerMod.fold("")(m => s" (layer mod $m)"))
+        layerPred.fold("")(_ => " (layer-restricted)"))
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val span = hi - lo + 1
     val entries = base
@@ -447,6 +450,26 @@ object SimilarityPack extends QueryPack {
   val HnswCoarseRounds = 2
   val HnswFineRounds = 2
 
+  /** HNSW level-1 membership — the published GEOMETRIC level draw
+    * (P(level ≥ ℓ) = HnswLayerMod^-ℓ) made deterministic: a node
+    * joins layer ℓ when the 32-bit hash of its id is ≡ 0 mod
+    * HnswLayerMod^ℓ. Hash-derived, not id-arithmetic: membership is
+    * uniform on ANY id space (offset, sharded, hashed), where the
+    * earlier `vec_id % 8` form skewed with the id distribution. The
+    * same predicate generalizes to deeper levels (mod 8^ℓ), but
+    * expected membership is n/64 at level 2 — empty more often than
+    * not below ~5k vectors — so the realized hierarchy here is
+    * 2-level (declared; a deeper corpus adds levels by the same
+    * formula without touching the search loop). */
+  def hnswMember(vecId: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    graft.functions.Hashing.h32(vecId.cast("string")) % HnswLayerMod === 0
+
+  /** SQL twin of [[hnswMember]]. */
+  def sqlHnswMember: String =
+    s"${graft.functions.Hashing.sqlH32("CAST(vec_id AS VARCHAR)")} " +
+      s"% $HnswLayerMod = 0"
+
   private val layerMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
@@ -454,14 +477,22 @@ object SimilarityPack extends QueryPack {
     * layer-1 node subset, memoized per corpus like [[knnGraph]]. */
   def hnswLayerGraph(s: SparkSession, dir: String): DataFrame =
     layerMemo.computeIfAbsent(dir, _ => knnGraphOver(
-      normedVecs(s, dir).filter(col("vec_id") % HnswLayerMod === 0)))
+      normedVecs(s, dir).filter(hnswMember(col("vec_id")))))
 
-  /** Top-down HNSW-style search over the two memoized graphs. */
+  /** Top-down HNSW-style search over the two memoized graphs. The
+    * seed set is the UNION of the layer-1 stratum anchors (they
+    * drive the coarse localization — only layer members have coarse
+    * out-edges) and the base stratum anchors (non-members ride the
+    * monotone beam untouched through the coarse rounds and expand in
+    * the fine rounds — so the hierarchy's seeds are a superset of
+    * the flat beam's and its recall floor follows). */
   def hnswSearch(s: SparkSession, dir: String): DataFrame =
     beamSearchOver(normedVecs(s, dir),
       Seq.fill(HnswCoarseRounds)(hnswLayerGraph(s, dir)) ++
         Seq.fill(HnswFineRounds)(knnGraph(s, dir)),
-      searchEntriesOf(normedVecs(s, dir), Some(HnswLayerMod)))
+      (searchEntriesOf(normedVecs(s, dir),
+        Some(hnswMember(col("vec_id")))) ++
+        searchEntriesOf(normedVecs(s, dir))).distinct.sorted)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-3 per query (queries = vec_id < 10),
@@ -1846,21 +1877,28 @@ object SimilarityPack extends QueryPack {
   /** SQL mirror of [[beamSearchOver]]: unrolled monotone-beam rounds
     * under name tag `t`, expanding round i along `schedule(i-1)`'s
     * edge CTE (explicit DISTINCT dedup, the WITH RECURSIVE UNION
-    * hazard). Entries replay [[searchEntriesOf]] — the stratum-min
-    * derivation over the rows matching `entryWhere` (the layer
-    * predicate for the HNSW chain, TRUE for the flat one). Ends at
-    * `${t}c${schedule.size}`. */
-  private def searchCtesFor(t: String, entryWhere: String,
+    * hazard). Entries replay [[searchEntriesOf]] — one stratum-min
+    * derivation per predicate in `entryWheres`, unioned (the HNSW
+    * chain passes the layer predicate AND the base TRUE; the flat
+    * one just TRUE). Ends at `${t}c${schedule.size}`. */
+  private def searchCtesFor(t: String, entryWheres: Seq[String],
                             schedule: Seq[String]): String = {
-    val seed =
-      s"""${t}mm AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi
+    val entCtes = entryWheres.zipWithIndex.map { case (w, i) =>
+      s"""${t}mm$i AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi
          |        FROM embeddings
-         |        WHERE embedding IS NOT NULL AND ($entryWhere)),
-         |${t}ent AS (SELECT min(e.vec_id) AS node
-         |        FROM embeddings e CROSS JOIN ${t}mm
-         |        WHERE e.embedding IS NOT NULL AND ($entryWhere)
+         |        WHERE embedding IS NOT NULL AND ($w)),
+         |${t}ent$i AS (SELECT min(e.vec_id) AS node
+         |        FROM embeddings e CROSS JOIN ${t}mm$i
+         |        WHERE e.embedding IS NOT NULL AND ($w)
          |        GROUP BY LEAST(${EntryStrata - 1},
-         |          ((e.vec_id - lo) * $EntryStrata) // (hi - lo + 1))),
+         |          ((e.vec_id - lo) * $EntryStrata) // (hi - lo + 1)))"""
+        .stripMargin
+    }.mkString(",\n")
+    val entUnion = entryWheres.indices
+      .map(i => s"SELECT node FROM ${t}ent$i").mkString(" UNION ")
+    val seed =
+      s"""$entCtes,
+         |${t}ent AS (SELECT DISTINCT node FROM ($entUnion)),
          |${t}s AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
          |       WHERE vec_id % 10 = 0 AND embedding IS NOT NULL),
          |${t}c0 AS (SELECT q.qid, v.vec_id AS node,
@@ -1888,15 +1926,15 @@ object SimilarityPack extends QueryPack {
     (seed +: rounds).mkString(",\n")
   }
 
-  private lazy val searchCtes: String = searchCtesFor("q", "TRUE",
+  private lazy val searchCtes: String = searchCtesFor("q", Seq("TRUE"),
     Seq.fill(SearchRounds)(s"e$KnnRounds"))
 
   /** The HNSW search chain: the layer-1 graph CTEs (prefix l1) plus
     * the descending beam — coarse rounds on the layer-1 graph, fine
     * rounds on the base graph. */
   private lazy val hnswSearchCtes: String =
-    s"""${knnCtesFor("l1", s"vec_id % $HnswLayerMod = 0")},
-       |${searchCtesFor("hq", s"vec_id % $HnswLayerMod = 0",
+    s"""${knnCtesFor("l1", sqlHnswMember)},
+       |${searchCtesFor("hq", Seq(sqlHnswMember, "TRUE"),
           Seq.fill(HnswCoarseRounds)(s"l1e$KnnRounds") ++
             Seq.fill(HnswFineRounds)(s"e$KnnRounds"))}""".stripMargin
 
