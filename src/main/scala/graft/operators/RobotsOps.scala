@@ -83,6 +83,10 @@ object RobotsOps {
         lit("User-Agent: GraftBot\r\n"), // mixed case + CRLF endings
         lit("Disallow: /p/"), a, lit("\r\n"),
         lit("Allow: /p/"), a, b, lit("\r\n"),
+        // a Sitemap line INSIDE a group: non-group field — it must
+        // surface in the sitemap table without closing the group
+        when(h % 6 === 0, concat(lit("Sitemap: https://"), domain,
+          lit("/sitemap2.xml\r\n"))).otherwise(lit("")),
         when(h % 3 === 0,
           concat(lit("Disallow: /p/*"), e, lit("$\r\n")))
           .otherwise(lit("")),
@@ -113,6 +117,11 @@ object RobotsOps {
   /** One parsed Crawl-delay line (seconds). */
   case class RobotsDelay(domain: String, agent: String, delay: Int)
 
+  /** One parsed Sitemap line — per RFC 9309 §2.2.4 sitemap is a
+    * NON-GROUP field: it belongs to the file, not to any user-agent
+    * group, wherever it appears. */
+  case class RobotsSitemap(domain: String, sitemap_url: String)
+
   /** The RFC 9309 line walk over one file: comment strip, trim,
     * case-insensitive field names, consecutive User-agent lines
     * stacking onto one group, rules attaching to every stacked
@@ -121,9 +130,10 @@ object RobotsOps {
     * rules (they are group body, so a later User-agent starts a new
     * group); non-integer delay values are skipped. */
   def parseRobotsAll(domain: String, text: String)
-      : (Seq[RobotsRule], Seq[RobotsDelay]) = {
+      : (Seq[RobotsRule], Seq[RobotsDelay], Seq[RobotsSitemap]) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[RobotsRule]
     val dly = scala.collection.mutable.ArrayBuffer.empty[RobotsDelay]
+    val sms = scala.collection.mutable.ArrayBuffer.empty[RobotsSitemap]
     var agents: List[String] = Nil
     var inRules = false
     text.split("\r?\n").foreach { raw =>
@@ -148,12 +158,16 @@ object RobotsOps {
               inRules = true
               value.toIntOption.filter(_ > 0).foreach(d =>
                 agents.foreach(a => dly += RobotsDelay(domain, a, d)))
-            case _ => () // sitemap / unknown: skip
+            case "sitemap" =>
+              // non-group field: recorded for the file regardless of
+              // position, and it neither opens nor closes a group
+              if (value.nonEmpty) sms += RobotsSitemap(domain, value)
+            case _ => () // unknown field: skip
           }
         }
       }
     }
-    (out.toSeq, dly.toSeq)
+    (out.toSeq, dly.toSeq, sms.toSeq)
   }
 
   /** Rule rows only — see [[parseRobotsAll]]. */
@@ -175,6 +189,18 @@ object RobotsOps {
     import s.implicits._
     files.select(col("domain"), col("robots")).as[(String, String)]
       .flatMap { case (d, t) => parseRobotsAll(d, t)._2 }
+      .toDF()
+  }
+
+  /** Partition-wise parse of a (domain, robots) frame into the
+    * advertised-sitemap table (domain, sitemap_url) — how a real
+    * crawler DISCOVERS a site's sitemaps (robots.txt is the published
+    * advertisement channel; fetching /sitemap.xml blind is the
+    * fallback). */
+  def parseSitemapUrls(files: DataFrame)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    files.select(col("domain"), col("robots")).as[(String, String)]
+      .flatMap { case (d, t) => parseRobotsAll(d, t)._3 }
       .toDF()
   }
 

@@ -38,7 +38,17 @@ object SitemapOps {
     * whose registered domain differs). Every third host omits lastmod
     * on its second entry (the misalignment trap a block parser
     * survives). */
-  def sitemapXml(host: Column, domain: Column): Column = {
+  def sitemapXml(host: Column, domain: Column): Column =
+    urlsetXml(host, domain, lit(-1))
+
+  /** One urlset document, or a PART of one for a host whose sitemap
+    * is sharded behind an index file: part -1 = all three entries
+    * (the single-file hosts), part 0 = the two /p/ page entries,
+    * part 1 = the robots-interplay entry — the union of the parts is
+    * exactly the single-file content, so indexing is a TRANSPORT
+    * detail and every downstream consumer (discovery, the oracle
+    * smrows replay) is part-agnostic. */
+  def urlsetXml(host: Column, domain: Column, part: Column): Column = {
     val h = Hashing.h32(host)
     val a = (Hashing.h32(domain) % 10).cast("string") // robots Disallow digit
     val p1 = (h % 89).cast("string")
@@ -47,25 +57,103 @@ object SitemapOps {
     concat_ws("\n",
       lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>"),
       lit("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
-      concat(lit("  <url><loc>https://"), host, lit("/p/"), p1,
-        lit("</loc><lastmod>2026-"), m, lit("-01</lastmod></url>")),
-      when(h % 3 === 0,
-        concat(lit("  <url>\n    <loc>https://"), host, lit("/p/"), p2,
-          lit("</loc>\n  </url>")))
-        .otherwise(concat(lit("  <url><loc>https://"), host, lit("/p/"),
-          p2, lit("</loc><lastmod>2026-"), m, lit("-15</lastmod></url>"))),
-      concat(lit("  <url><loc>https://"), host, lit("/p/"), a,
-        lit("99</loc><lastmod>2026-"), m, lit("-20</lastmod></url>")),
+      when(part =!= 1,
+        concat(lit("  <url><loc>https://"), host, lit("/p/"), p1,
+          lit("</loc><lastmod>2026-"), m, lit("-01</lastmod></url>"))),
+      when(part =!= 1,
+        when(h % 3 === 0,
+          concat(lit("  <url>\n    <loc>https://"), host, lit("/p/"), p2,
+            lit("</loc>\n  </url>")))
+          .otherwise(concat(lit("  <url><loc>https://"), host, lit("/p/"),
+            p2, lit("</loc><lastmod>2026-"), m, lit("-15</lastmod></url>")))),
+      when(part =!= 0,
+        concat(lit("  <url><loc>https://"), host, lit("/p/"), a,
+          lit("99</loc><lastmod>2026-"), m, lit("-20</lastmod></url>"))),
+      // the REFRESH advertisement: the host's own page K (K = the
+      // site index — guaranteed crawled: host siteK exists only if
+      // page K does), in its full canonical form INCLUDING the query
+      // string, with the XML-mandated &amp; escaping the parser must
+      // round-trip, and a year-end lastmod so the re-crawl
+      // comparison binds on most hosts
+      when(part =!= 0 && kStr(host) =!= "",
+        concat(lit("  <url><loc>https://"), host, lit("/p/"),
+          kStr(host), kQuery(host),
+          lit("</loc><lastmod>2026-12-28</lastmod></url>"))),
       lit("</urlset>"))
   }
 
-  /** (host, xml) per distinct host of a canon frame (the host's
-    * registered domain rides along into the generator — see
-    * [[sitemapXml]]). */
+  /** The host's site index as a string ("site7.com" → "7"). */
+  private def kStr(host: Column): Column =
+    regexp_extract(host, "^site([0-9]+)", 1)
+
+  /** The canonical query part of page K, XML-escaped (`&` → `&amp;`
+    * inside loc text per the sitemaps.org escaping table). */
+  private def kQuery(host: Column): Column = {
+    val k = kStr(host).cast("long")
+    when(k % 4 =!= 0, concat(lit("?a="), (k % 5).cast("string"),
+      lit("&amp;b="), (k % 3).cast("string"))).otherwise(lit(""))
+  }
+
+  /** A sitemaps.org INDEX document advertising the host's two urlset
+    * shards (one child with a lastmod, one without — the same
+    * pairing hazard as url entries). */
+  def sitemapIndexXml(host: Column): Column = {
+    val m = ((Hashing.h32(host) % 12) + 1).cast("string")
+    concat_ws("\n",
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>"),
+      lit("<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+      concat(lit("  <sitemap><loc>https://"), host,
+        lit("/sm/0.xml</loc></sitemap>")),
+      concat(lit("  <sitemap>\n    <loc>https://"), host,
+        lit("/sm/1.xml</loc>\n    <lastmod>2026-"), m,
+        lit("-02</lastmod>\n  </sitemap>")),
+      lit("</sitemapindex>"))
+  }
+
+  /** (host, domain, xml) per distinct host of a canon frame — every
+    * FOURTH host (by host hash) serves a sitemapindex instead of a
+    * flat urlset, the nesting [[resolveSitemaps]] flattens; the
+    * registered domain rides along into the generator (see
+    * [[sitemapXml]]) and the child resolution. */
   def sitemapsFor(canon: DataFrame): DataFrame =
     canon.select(col("host"), col("domain")).distinct()
+      .select(col("host"), col("domain"),
+        when(Hashing.h32(col("host")) % 4 === 0,
+          sitemapIndexXml(col("host")))
+          .otherwise(sitemapXml(col("host"), col("domain"))).as("xml"))
+
+  /** Flatten index files: hosts serving a `<sitemapindex>` have each
+    * child `<loc>` "fetched" (the deterministic generator keyed by
+    * the child URL's shard number — in production this is the nested
+    * HTTP fetch), single-file hosts pass through. Output
+    * (host, domain, xml) with urlset documents only. */
+  def resolveSitemaps(files: DataFrame): DataFrame = {
+    val isIdx = col("xml").contains("<sitemapindex")
+    val children = files.filter(isIdx)
+      .select(col("host"), col("domain"),
+        explode(regexp_extract_all(col("xml"),
+          lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1))).as("entry"))
+      .select(col("host"), col("domain"),
+        regexp_extract(col("entry"), "<loc>([^<]+)</loc>", 1).as("child"))
+      .filter(col("child") =!= "")
+      .select(col("host"), col("domain"),
+        urlsetXml(col("host"), col("domain"),
+          regexp_extract(col("child"), "/sm/([0-9])\\.xml", 1)
+            .cast("int")).as("xml"))
+    files.filter(!isIdx).unionByName(children)
+  }
+
+  /** The index fan-out itself — (host, child_loc) for every host
+    * whose sitemap is sharded. */
+  def indexChildren(files: DataFrame): DataFrame =
+    files.filter(col("xml").contains("<sitemapindex"))
       .select(col("host"),
-        sitemapXml(col("host"), col("domain")).as("xml"))
+        explode(regexp_extract_all(col("xml"),
+          lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1))).as("entry"))
+      .select(col("host"),
+        regexp_extract(col("entry"), "<loc>([^<]+)</loc>", 1)
+          .as("child_loc"))
+      .filter(col("child_loc") =!= "")
 
   /** Parsed (host, loc, lastmod) rows — block-grain pairing; lastmod
     * null when the entry omits it. */
@@ -74,7 +162,12 @@ object SitemapOps {
       .select(col("host"), explode(regexp_extract_all(col("xml"),
         lit("(?s)<url>(.*?)</url>"), lit(1))).as("entry"))
       .select(col("host"),
-        regexp_extract(col("entry"), "<loc>([^<]+)</loc>", 1).as("loc"),
+        // loc text is XML-escaped (URLs with query strings carry
+        // &amp; per the sitemaps.org escaping table) — unescape the
+        // minimal entity set back to the raw URL
+        regexp_replace(
+          regexp_extract(col("entry"), "<loc>([^<]+)</loc>", 1),
+          "&amp;", "&").as("loc"),
         when(col("entry").contains("<lastmod>"),
           regexp_extract(col("entry"), "<lastmod>([^<]+)</lastmod>", 1))
           .as("lastmod"))
@@ -86,7 +179,7 @@ object SitemapOps {
   def discovery(canon: DataFrame, edges: Option[DataFrame] = None)
       : DataFrame = {
     implicit val sess: org.apache.spark.sql.SparkSession = canon.sparkSession
-    val fromSitemap = parseSitemaps(sitemapsFor(canon))
+    val fromSitemap = parseSitemaps(resolveSitemaps(sitemapsFor(canon)))
       .select(col("loc").as("url"), lit(true).as("via_sitemap"),
         lit(false).as("via_link"))
     val fromLinks = edges.getOrElse(LinkOps.linkGraph(canon))
@@ -152,6 +245,16 @@ object SitemapOps {
        |  SELECT host, 'https://' || host || '/p/' ||
        |    CAST(hd % 10 AS VARCHAR) || '99',
        |    '2026-' || CAST((h % 12) + 1 AS VARCHAR) || '-20'
-       |  FROM smhosts)""".stripMargin
+       |  FROM smhosts
+       |  UNION ALL
+       |  SELECT host, 'https://' || host || '/p/' || k ||
+       |    CASE WHEN CAST(k AS BIGINT) % 4 <> 0
+       |         THEN '?a=' || CAST(CAST(k AS BIGINT) % 5 AS VARCHAR) ||
+       |              '&b=' || CAST(CAST(k AS BIGINT) % 3 AS VARCHAR)
+       |         ELSE '' END,
+       |    '2026-12-28'
+       |  FROM (SELECT host,
+       |          regexp_extract(host, '^site([0-9]+)', 1) AS k
+       |        FROM smhosts) WHERE k <> '')""".stripMargin
   }
 }

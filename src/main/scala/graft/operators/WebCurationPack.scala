@@ -126,6 +126,16 @@ object WebCurationPack extends QueryPack {
       RobotsOps.parseDelays(RobotsOps.robotsFor(canon(s, dir)))
     }),
 
+    // ...and the advertised-sitemap table — RFC 9309 §2.2.4's
+    // non-group field, the channel a crawler actually DISCOVERS
+    // sitemaps through (the h%6 fixture domains advertise a second
+    // one from INSIDE a user-agent group, which must neither vanish
+    // nor break the group)
+    "wc_robots_sitemaps" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      RobotsOps.parseSitemapUrls(RobotsOps.robotsFor(canon(s, dir)))
+    }),
+
     // ...and the admission verdict per canonical URL: the agent's
     // group selected from the PARSED table, rules broadcast-joined
     // by domain, longest-match with Allow winning ties, default
@@ -214,9 +224,43 @@ object WebCurationPack extends QueryPack {
     // sitemap ingestion — the third discovery source: genuine
     // urlset XML per host (declaration, namespace, entries with and
     // without lastmod, whitespace variation), parsed at BLOCK grain
-    // so loc/lastmod stay paired when an entry omits lastmod
+    // so loc/lastmod stay paired when an entry omits lastmod; every
+    // fourth host serves a sitemapINDEX whose child shards are
+    // resolved first (the nested-fetch transport detail — the parsed
+    // entry set is identical either way, which is exactly what the
+    // unchanged oracle pins)
     "wc_sitemap_urls" -> ((s, dir) =>
-      SitemapOps.parseSitemaps(SitemapOps.sitemapsFor(canon(s, dir)))),
+      SitemapOps.parseSitemaps(SitemapOps.resolveSitemaps(
+        SitemapOps.sitemapsFor(canon(s, dir))))),
+
+    // ...and the index fan-out itself: which hosts shard, and the
+    // child documents a crawler must fetch
+    "wc_sitemap_index" -> ((s, dir) =>
+      SitemapOps.indexChildren(SitemapOps.sitemapsFor(canon(s, dir)))),
+
+    // lastmod-driven RE-CRAWL scheduling — the freshness half of the
+    // crawl cycle (discovery finds new pages; this finds CHANGED
+    // ones): sitemap entries whose advertised lastmod is newer than
+    // the page's last fetch are due again. The crawl log is a
+    // deterministic stand-in (last-fetch month = canonical-hash
+    // arithmetic, replayed by the oracle); the sitemap side is
+    // host-bounded so it BROADCASTS against the corpus-scale crawl
+    // set — at 100 TB the join cost is one scan of the crawl log
+    "wc_recrawl" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val c = canon(s, dir)
+      val sm = SitemapOps.parseSitemaps(SitemapOps.resolveSitemaps(
+          SitemapOps.sitemapsFor(c)))
+        .filter(col("lastmod").isNotNull)
+        .select(col("loc").as("canonical"),
+          regexp_extract(col("lastmod"), "^2026-([0-9]+)-", 1)
+            .cast("int").as("modified_month"))
+      c.select(col("canonical")).distinct()
+        .join(broadcast(sm), Seq("canonical"))
+        .withColumn("crawled_month",
+          (Hashing.h32(col("canonical")) % 12 + 1).cast("int"))
+        .filter(col("modified_month") > col("crawled_month"))
+    }),
 
     // ...and the UNIFIED discovery feed: sitemap ∪ links, minus
     // crawled, robots-gated per target domain (a site can advertise
@@ -369,6 +413,17 @@ object WebCurationPack extends QueryPack {
          |SELECT domain, agent, CAST(delay AS INT) AS delay
          |FROM rdelays""".stripMargin,
 
+    // the Sitemap lines: one per domain at the header plus the h%6
+    // in-group second advertisement
+    "wc_robots_sitemaps" ->
+      s"""WITH $robotsRulesCtes
+         |SELECT domain,
+         |  'https://' || domain || '/sitemap.xml' AS sitemap_url
+         |FROM doms
+         |UNION ALL
+         |SELECT domain, 'https://' || domain || '/sitemap2.xml'
+         |FROM doms WHERE h % 6 = 0""".stripMargin,
+
     // longest-match with Allow on ties, encoded as max(len·2+allow)
     // (length dominates, the allow bit breaks ties — the integer
     // twin of the Spark side's max(struct(len, allow))); wildcard
@@ -434,6 +489,32 @@ object WebCurationPack extends QueryPack {
     "wc_sitemap_urls" ->
       s"""WITH ${SitemapOps.sqlSitemapCte(UrlOps.sqlCanonSrc)}
          |SELECT host, loc, lastmod FROM smrows""".stripMargin,
+
+    // the sharded hosts' child documents, replayed from host-hash
+    // arithmetic
+    "wc_sitemap_index" ->
+      s"""WITH ${SitemapOps.sqlSitemapCte(UrlOps.sqlCanonSrc)}
+         |SELECT host, 'https://' || host || '/sm/0.xml' AS child_loc
+         |FROM smhosts WHERE h % 4 = 0
+         |UNION ALL
+         |SELECT host, 'https://' || host || '/sm/1.xml'
+         |FROM smhosts WHERE h % 4 = 0""".stripMargin,
+
+    // sitemap lastmod vs the crawl log's month stand-in, same
+    // arithmetic both sides
+    "wc_recrawl" ->
+      s"""WITH ${SitemapOps.sqlSitemapCte(UrlOps.sqlCanonSrc)},
+         |rcrawled AS (SELECT DISTINCT canonical
+         |             FROM ${UrlOps.sqlCanonSrc} c2)
+         |SELECT cr.canonical,
+         |  CAST(regexp_extract(s.lastmod, '^2026-([0-9]+)-', 1) AS INT)
+         |    AS modified_month,
+         |  CAST(${Hashing.sqlH32("cr.canonical")} % 12 + 1 AS INT)
+         |    AS crawled_month
+         |FROM smrows s JOIN rcrawled cr ON s.loc = cr.canonical
+         |WHERE s.lastmod IS NOT NULL
+         |  AND CAST(regexp_extract(s.lastmod, '^2026-([0-9]+)-', 1) AS INT)
+         |      > ${Hashing.sqlH32("cr.canonical")} % 12 + 1""".stripMargin,
 
     // the frontier oracle pattern with the two-source union and the
     // via flags carried through the gate

@@ -125,10 +125,26 @@ class RobotsSpec extends SparkSpec {
       "User-agent: a\nUser-agent: b\nDisallow: /x\nCrawl-delay: 5\n" +
         "User-agent: c\nCrawl-delay: oops\nDisallow: /y\n" +
         "User-agent: *\nCrawl-delay: 10"
-    val (_, delays) = RobotsOps.parseRobotsAll("d.com", text)
+    val (_, delays, _) = RobotsOps.parseRobotsAll("d.com", text)
     assert(delays.map(d => (d.agent, d.delay)).toSet ==
       Set(("a", 5), ("b", 5), ("*", 10)),
       s"got: $delays — c's malformed delay must vanish, not crash")
+  }
+
+  test("Sitemap is a non-group field: recorded wherever it appears, " +
+    "without opening or closing the group around it") {
+    val text =
+      "Sitemap: https://d.com/top.xml\n" +
+        "User-agent: a\nDisallow: /x\n" +
+        "Sitemap: https://d.com/mid.xml\n" + // inside a's group body
+        "Allow: /x/ok\n" + // ...must still attach to a
+        "Sitemap:\n" // empty value: dropped
+    val (rules, _, sitemaps) = RobotsOps.parseRobotsAll("d.com", text)
+    assert(sitemaps.map(_.sitemap_url) ==
+      Seq("https://d.com/top.xml", "https://d.com/mid.xml"))
+    assert(rules.map(r => (r.path, r.allow)).toSet ==
+      Set(("/x", false), ("/x/ok", true)),
+      "the mid-group Sitemap line must not end group a")
   }
 
   test("RFC 9309 §2.2.1: two graftbot groups MERGE — the union of " +
