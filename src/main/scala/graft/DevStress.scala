@@ -293,8 +293,10 @@ object DevStress {
       SimilarityPack.beamSearchOver(knnVecs,
         Seq.fill(SimilarityPack.HnswCoarseRounds)(l1) ++
           Seq.fill(SimilarityPack.HnswFineRounds)(base),
-        SimilarityPack.searchEntriesOf(knnVecs,
-          Some(SimilarityPack.hnswMember(col("vec_id")))))
+        // the production seed shape: layer anchors ∪ base anchors
+        (SimilarityPack.searchEntriesOf(knnVecs,
+          Some(SimilarityPack.hnswMember(col("vec_id")))) ++
+          SimilarityPack.searchEntriesOf(knnVecs)).distinct.sorted)
     })
 
     // pagerank: the q_pagerank edge graph replicated factor× with

@@ -265,11 +265,19 @@ object IndexCache {
   /** Publish a PSL rule table into the envelope ([[graft.PslConvert]]
     * — the "fetch the full list once, every session loads it" path).
     * Requires a persist dir; the next process's [[pslRules]] loads
-    * this table instead of the bundle. */
+    * this table instead of the bundle. Unlike the cache saves (where
+    * persistence is an optimization and failures only cost a
+    * retrain), a publish that does not land silently leaves every
+    * session on the bundled subset — so the envelope is READ BACK
+    * and value-compared, and any mismatch fails loudly. */
   def publishPsl(r: PublicSuffix.Rules): Unit = {
     val root = persistDir.getOrElse(sys.error(
       "publishPsl needs GRAFT_INDEX_CACHE_DIR (or graft.indexCache.dir)"))
     save(root, "psl", "bundled", r)
+    val back = load[PublicSuffix.Rules](root, "psl", "bundled")
+    require(back.contains(r),
+      s"PSL publish did not land at $root (write failed or round-trip " +
+        "mismatch) — sessions would silently keep the bundled subset")
     memo.remove("psl:bundled")
   }
 

@@ -127,33 +127,35 @@ object SitemapOps {
     * the child URL's shard number — in production this is the nested
     * HTTP fetch), single-file hosts pass through. Output
     * (host, domain, xml) with urlset documents only. */
-  def resolveSitemaps(files: DataFrame): DataFrame = {
-    val isIdx = col("xml").contains("<sitemapindex")
-    val children = files.filter(isIdx)
+  /** The one authority for walking an index file's `<sitemap>`
+    * children: (host, domain, child_loc) rows for index-file rows of
+    * a (host, domain, xml) frame — [[resolveSitemaps]] fetches these
+    * locs, [[indexChildren]] reports them; a single extraction keeps
+    * the two from drifting. */
+  private def childLocs(files: DataFrame): DataFrame =
+    files.filter(col("xml").contains("<sitemapindex"))
       .select(col("host"), col("domain"),
         explode(regexp_extract_all(col("xml"),
           lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1))).as("entry"))
       .select(col("host"), col("domain"),
-        regexp_extract(col("entry"), "<loc>([^<]+)</loc>", 1).as("child"))
-      .filter(col("child") =!= "")
+        regexp_extract(col("entry"), "<loc>([^<]+)</loc>", 1)
+          .as("child_loc"))
+      .filter(col("child_loc") =!= "")
+
+  def resolveSitemaps(files: DataFrame): DataFrame = {
+    val children = childLocs(files)
       .select(col("host"), col("domain"),
         urlsetXml(col("host"), col("domain"),
-          regexp_extract(col("child"), "/sm/([0-9])\\.xml", 1)
+          regexp_extract(col("child_loc"), "/sm/([0-9])\\.xml", 1)
             .cast("int")).as("xml"))
-    files.filter(!isIdx).unionByName(children)
+    files.filter(!col("xml").contains("<sitemapindex"))
+      .unionByName(children)
   }
 
   /** The index fan-out itself — (host, child_loc) for every host
     * whose sitemap is sharded. */
   def indexChildren(files: DataFrame): DataFrame =
-    files.filter(col("xml").contains("<sitemapindex"))
-      .select(col("host"),
-        explode(regexp_extract_all(col("xml"),
-          lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1))).as("entry"))
-      .select(col("host"),
-        regexp_extract(col("entry"), "<loc>([^<]+)</loc>", 1)
-          .as("child_loc"))
-      .filter(col("child_loc") =!= "")
+    childLocs(files).select(col("host"), col("child_loc"))
 
   /** Parsed (host, loc, lastmod) rows — block-grain pairing; lastmod
     * null when the entry omits it. */
@@ -194,8 +196,10 @@ object SitemapOps {
         Seq("dst"), "left_anti")
       .withColumn("path",
         regexp_extract(col("dst"), "^[a-z]+://[^/]+(/[^?#]*)", 1))
-    val files = RobotsOps.robotsFor(canon)
-    val parsed = RobotsOps.parseRules(files)
+    // materialized once for the same reason as frontierOver: the
+    // rule/delay consumers reference these tiny frames 3-4 times
+    val files = RobotsOps.robotsFor(canon).localCheckpoint(true)
+    val parsed = RobotsOps.parseRules(files).localCheckpoint(true)
     val rules = RobotsOps.rulesForAgent(parsed)
     val allowed = candidates
       .join(broadcast(rules.withColumnRenamed("path", "rule_path")),
@@ -228,7 +232,7 @@ object SitemapOps {
   def sqlSitemapCte(canonSrc: String): String = {
     val h = Hashing.sqlH32("host")
     val hd = Hashing.sqlH32("domain")
-    s"""smhosts AS (SELECT host, $h AS h, $hd AS hd
+    s"""smhosts AS MATERIALIZED (SELECT host, $h AS h, $hd AS hd
        |  FROM (SELECT DISTINCT host, domain FROM $canonSrc cs)),
        |smrows AS (
        |  SELECT host, 'https://' || host || '/p/' ||

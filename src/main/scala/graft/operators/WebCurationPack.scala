@@ -299,8 +299,13 @@ object WebCurationPack extends QueryPack {
       .select(col("dst"), col("domain"),
         regexp_extract(col("dst"), "^[a-z]+://[^/]+(/[^?#]*)", 1)
           .as("path"))
-    val files = RobotsOps.robotsFor(c)
-    val parsed = RobotsOps.parseRules(files)
+    // the robots artifacts are domain-bounded (one file per domain, a
+    // handful of rule rows each) but their lineage reaches back
+    // through the full canon parse — materialize once so the three
+    // consumers (agent selection references the rules twice, the cap
+    // chain a third time) re-read rows instead of re-walking files
+    val files = RobotsOps.robotsFor(c).localCheckpoint(true)
+    val parsed = RobotsOps.parseRules(files).localCheckpoint(true)
     val rules = RobotsOps.rulesForAgent(parsed)
     val allowed = t
       .join(broadcast(rules.withColumnRenamed("path", "rule_path")),
