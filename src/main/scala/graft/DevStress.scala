@@ -282,22 +282,42 @@ object DevStress {
     // track query count (vec_id % 10 scales with N), never N²
     time("knn_search", SimilarityPack.knnSearchOver(knnVecs))
 
-    // HNSW top-down search: layer-1 graph over the 1/8 node subset +
-    // the descending beam — the coarse rounds run on an 8×-smaller
-    // graph, so total wall should sit BELOW flat search at equal beam
-    // width while the base-graph build dominates both
-    time("hnsw_search", {
-      val l1 = SimilarityPack.knnGraphOver(
-        knnVecs.filter(SimilarityPack.hnswMember(col("vec_id"))))
+    // HNSW top-down search with CORPUS-DERIVED depth (r14): the
+    // replicated corpus crosses the level thresholds the fixture SFs
+    // can't (sf0.1 × 20 = 40k vectors → depth 3), so this probe runs
+    // the production schedule at its REAL depth and measures the
+    // per-round EXPANSION sizes against the r13 fixed-2-level form —
+    // the deeper hierarchy's claim is fewer candidates scored for
+    // equal-or-better localization, and that number is what scales
+    // (expansion rows are the search's only corpus-bound exchange)
+    if (wants("hnsw_search", "hnsw_depth")) {
+      import scala.collection.mutable
+      val nVec = knnVecs.count()
+      val levels = SimilarityPack.hnswLevels(nVec)
+      val layerGraphs = (1 to levels).map(l => l ->
+        SimilarityPack.knnGraphOver(knnVecs.filter(
+          SimilarityPack.hnswMemberAt(col("vec_id"), l)))).toMap
       val base = SimilarityPack.knnGraphOver(knnVecs)
-      SimilarityPack.beamSearchOver(knnVecs,
-        Seq.fill(SimilarityPack.HnswCoarseRounds)(l1) ++
-          Seq.fill(SimilarityPack.HnswFineRounds)(base),
-        // the production seed shape: layer anchors ∪ base anchors
+      def entriesAt(top: Int) =
         (SimilarityPack.searchEntriesOf(knnVecs,
-          Some(SimilarityPack.hnswMember(col("vec_id")))) ++
-          SimilarityPack.searchEntriesOf(knnVecs)).distinct.sorted)
-    })
+          Some(SimilarityPack.hnswMemberAt(col("vec_id"), top))) ++
+          SimilarityPack.searchEntriesOf(knnVecs)).distinct.sorted
+      val deep = mutable.Buffer.empty[Long]
+      time(s"hnsw_search_depth$levels", SimilarityPack.beamSearchOver(
+        knnVecs,
+        SimilarityPack.hnswSchedule(levels).map(layerGraphs) ++
+          Seq.fill(SimilarityPack.HnswFineRounds)(base),
+        entriesAt(levels), Some(deep)))
+      val two = mutable.Buffer.empty[Long]
+      time("hnsw_search_2level", SimilarityPack.beamSearchOver(
+        knnVecs,
+        Seq.fill(2)(layerGraphs(1)) ++
+          Seq.fill(SimilarityPack.HnswFineRounds)(base),
+        entriesAt(1), Some(two)))
+      println(s"[stress] x$factor hnsw expanded candidates: " +
+        s"depth-$levels = ${deep.sum} ${deep.mkString("[", ",", "]")} " +
+        s"vs 2-level = ${two.sum} ${two.mkString("[", ",", "]")}")
+    }
 
     // pagerank: the q_pagerank edge graph replicated factor× with
     // shifted node ids (disjoint copies of the original graph — same

@@ -12,15 +12,35 @@ import graft.operators.{IndexCache, PublicSuffix}
   * comment lines, blank lines ignored, anything after whitespace on
   * a rule line ignored, `!` prefix marking exception rules, `*.`
   * prefix marking wildcard rules (whose BASE we store), rules
-  * matched case-insensitively (stored lowercased). Rules with `*`
-  * anywhere but the leftmost label are rejected loudly — the PSL
-  * spec reserves that form and no published list uses it, so
-  * encountering one means the input is not the list.
+  * matched case-insensitively (stored lowercased with Locale.ROOT —
+  * a Turkish default locale would fold 'I' to dotless 'ı' and
+  * silently orphan every rule containing it). The published list
+  * carries hundreds of Unicode (IDN) rules; hosts arrive in
+  * punycode, so each rule label is normalized through
+  * `java.net.IDN.toASCII` at parse time — stored raw they could
+  * never match any host. A label IDN rejects (rare, malformed)
+  * fails loudly rather than silently shipping a dead rule. Rules
+  * with `*` anywhere but the leftmost label are rejected loudly —
+  * the PSL spec reserves that form and no published list uses it,
+  * so encountering one means the input is not the list.
   *
   * Usage: `runMain graft.PslConvert <raw-psl-file>` with
   * GRAFT_INDEX_CACHE_DIR set (or `graft.indexCache.dir`).
   */
 object PslConvert {
+
+  /** Punycode-normalize one rule (label-wise IDN.toASCII; ASCII
+    * labels pass through unchanged). Loud on labels IDN rejects. */
+  private[graft] def toAscii(rule: String): String =
+    rule.split('.').map { label =>
+      if (label.forall(_ < 128)) label
+      else
+        try java.net.IDN.toASCII(label)
+        catch {
+          case e: IllegalArgumentException => throw new IllegalArgumentException(
+            s"PSL rule label '$label' is not IDN-encodable: ${e.getMessage}")
+        }
+    }.mkString(".")
 
   /** Parse raw list text into a rule table. */
   def parse(lines: Iterator[String]): PublicSuffix.Rules = {
@@ -30,7 +50,7 @@ object PslConvert {
     lines.foreach { raw =>
       val line = raw.trim.takeWhile(!_.isWhitespace)
       if (line.nonEmpty && !line.startsWith("//")) {
-        val rule = line.toLowerCase
+        val rule = toAscii(line.toLowerCase(java.util.Locale.ROOT))
         if (rule.startsWith("!")) {
           val r = rule.drop(1)
           require(!r.contains("*") && r.nonEmpty,

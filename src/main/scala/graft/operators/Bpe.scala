@@ -157,14 +157,23 @@ object Bpe {
       val expand = (0 until k).foldLeft(s"(SELECT pair FROM ${pfx}t$k)") {
         (acc, j) => s"replace($acc, chr(${SentinelBase + j}), (SELECT token FROM ${pfx}x$j))"
       }
+      // MATERIALIZED is load-bearing: every level references w$k
+      // 2-3 times (pair counting, re-segmentation) and t$k from
+      // several scalar subqueries — inlined, DuckDB re-derives the
+      // whole chain per reference, going exponential in the merge
+      // count (measured: tx_bpe_vocab 63.6 s inlined vs 0.2 s
+      // materialized at sf0.01, and the r12/r13 driver-gate
+      // timeouts trace here)
       val t =
-        s"""${pfx}t$k AS (SELECT pair, count(*) AS n FROM ${pairSrc(k)}
+        s"""${pfx}t$k AS MATERIALIZED (SELECT pair, count(*) AS n
+           |  FROM ${pairSrc(k)}
            |  GROUP BY pair ORDER BY n DESC, pair LIMIT 1)""".stripMargin
       val x =
-        s"""${pfx}x$k AS (SELECT CAST($k AS BIGINT) AS rank, $expand AS token,
+        s"""${pfx}x$k AS MATERIALIZED (
+           |  SELECT CAST($k AS BIGINT) AS rank, $expand AS token,
            |  (SELECT n FROM ${pfx}t$k) AS n)""".stripMargin
       val w = if (k < iters - 1)
-        Seq(s"""${pfx}w${k + 1} AS (SELECT w FROM (
+        Seq(s"""${pfx}w${k + 1} AS MATERIALIZED (SELECT w FROM (
                |  SELECT replace(w, (SELECT pair FROM ${pfx}t$k),
                |                 chr(${SentinelBase + k})) AS w FROM ${pfx}w$k)
                |  WHERE length(w) >= 2)""".stripMargin)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Build-once-reuse for trained vector-index artifacts — the
@@ -279,6 +279,98 @@ object IndexCache {
       s"PSL publish did not land at $root (write failed or round-trip " +
         "mismatch) — sessions would silently keep the bundled subset")
     memo.remove("psl:bundled")
+  }
+
+  // ---------------------------------------------------------------
+  // DataFrame artifacts — corpus-scale tables that must never ride
+  // the ObjectOutputStream envelope (that would collect them to the
+  // driver): persisted as PARQUET directories with the same
+  // versioned-key discipline. Production shape: the crawl cycle
+  // writes its edge table once per snapshot and every later cycle
+  // READS it — extraction cost per cycle is |new pages|, not
+  // |corpus| (wc_frontier_incr).
+  // ---------------------------------------------------------------
+
+  /** Trainer-version analog for frame artifacts. */
+  private val FrameVersion = Map("edges" -> 1)
+
+  /** Frame builds actually RUN by this process (persisted loads
+    * don't count) — the restart spec's observable for the parquet
+    * path, separate from [[buildCount]] so the envelope-artifact
+    * pins stay exact. */
+  private val frameBuildCounter =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  def frameBuildCount: Long = frameBuildCounter.get()
+
+  private def frameDir(root: String, kind: String, key: String): java.io.File = {
+    val v = FrameVersion(kind)
+    val h = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(key))
+    new java.io.File(root, s"${kind}_v${v}_$h.parquet")
+  }
+
+  /** The full key is stamped in a meta file INSIDE the directory and
+    * checked on load — the envelope's collision guard, parquet form.
+    * `_SUCCESS` (Spark's committed marker) must also exist: a torn
+    * write is rebuilt, never served (the streaming replay-guard
+    * discipline). */
+  private def frameValid(d: java.io.File, kind: String, key: String): Boolean = {
+    val meta = new java.io.File(d, "_graft_meta")
+    new java.io.File(d, "_SUCCESS").exists() && meta.exists() && {
+      val text = new String(java.nio.file.Files.readAllBytes(meta.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val ok = text == s"$kind\n${FrameVersion(kind)}\n$key"
+      if (!ok) System.err.println(
+        s"IndexCache: rejecting persisted frame at $d (key mismatch)")
+      ok
+    }
+  }
+
+  /** Persist-or-load a DataFrame artifact. No persist root → the
+    * caller's build runs (the process-memo accounting, one build per
+    * pass); with a root, the first process writes the parquet
+    * (atomic: tmp dir + rename) and every later process SCANS it —
+    * a distributed read, never a driver collect. Persistence is an
+    * optimization: any IO failure falls back to the built frame. */
+  def frame(s: SparkSession, kind: String, key: String)
+           (build: => DataFrame): DataFrame = persistDir match {
+    case None =>
+      frameBuildCounter.incrementAndGet()
+      build.localCheckpoint(eager = true)
+    case Some(root) =>
+      val d = frameDir(root, kind, key)
+      if (frameValid(d, kind, key)) s.read.parquet(d.getPath)
+      else {
+        val built = build
+        frameBuildCounter.incrementAndGet()
+        try {
+        d.getParentFile.mkdirs()
+        val tmp = new java.io.File(d.getParentFile,
+          d.getName + s".tmp${System.nanoTime()}")
+        built.write.parquet(tmp.getPath)
+        java.nio.file.Files.write(
+          new java.io.File(tmp, "_graft_meta").toPath,
+          s"$kind\n${FrameVersion(kind)}\n$key"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // a stale/torn target is replaced, not trusted (frameValid
+        // already said it is not servable)
+        if (d.exists()) deleteRecursively(d)
+        java.nio.file.Files.move(tmp.toPath, d.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        s.read.parquet(d.getPath)
+        } catch {
+          case e: Exception =>
+            System.err.println(
+              s"IndexCache: could not persist $kind frame for $key " +
+                s"(${e.getMessage}); serving the in-process build")
+            built.localCheckpoint(eager = true)
+        }
+      }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
   }
 
   /** Drop every memoized artifact (tests that mutate a dir in place). */

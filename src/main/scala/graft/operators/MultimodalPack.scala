@@ -5,10 +5,13 @@ import graft.sources.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Driver-facing multimodal queries. The decode is a deterministic
-  * stub (see [[graft.sources.Multimodal.FakeCodec]]), so the oracle
-  * can replay the formulas in SQL — verifying the whole
-  * Dataset/mapPartitions plumbing end-to-end, not the codec.
+/** Driver-facing multimodal queries. Every decode runs a REAL parser
+  * over genuine byte layouts (PNG/JPEG/GIF/BMP/WebP/TIFF headers,
+  * PNG/BMP pixels, RIFF/WAV, ISO-BMFF) — the fixtures encode
+  * doc_id-derived parameters INTO the bytes and the oracles replay
+  * those parameters arithmetically, so a parser bug (offset,
+  * endianness, mis-hopped chunk) hash-diverges while the oracle
+  * never needs a codec.
   */
 object MultimodalPack extends QueryPack {
 
@@ -21,6 +24,12 @@ object MultimodalPack extends QueryPack {
   val DhashProbeN = 200
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the unified media-metadata table over a MIXED corpus: real PNG
+    // bytes (IHDR dims), real WAV bytes (sample-frame count, junk
+    // chunks hopped), real MP4 bytes (frames from the parsed mvhd
+    // duration, both header versions) through ONE decode dispatch —
+    // the oracle replays the parameters each generator encoded,
+    // including every byte-length the containers produce
     "mm_decode_meta" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.decodeMeta(
@@ -190,7 +199,9 @@ object MultimodalPack extends QueryPack {
     }),
 
     // byte-histogram feature vectors — the multimodal→embedding
-    // bridge; unlike the decode stub this reads the actual bytes.
+    // bridge; format-agnostic by design (a byte histogram needs no
+    // container), so the fixture bytes are the documents' UTF-8 text,
+    // which keeps the oracle pure ascii() arithmetic.
     // Emitted in flat (doc_id, dim, value) form: the driver's pandas
     // harness cannot hash array cells, and serializing floats to
     // strings risks formatting divergence — exploding keeps the
@@ -199,7 +210,7 @@ object MultimodalPack extends QueryPack {
     "mm_feature_extract" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.extractFeatures(
-        Multimodal.mediaFromDocuments(Tables.documents(s, dir))).toDF()
+        Multimodal.textBytesFromDocuments(Tables.documents(s, dir))).toDF()
         .select(col("doc_id"),
           posexplode(col("feature")).as(Seq("dim", "value")))
         .select(col("doc_id"), col("dim").cast("long").as("dim"),
@@ -217,7 +228,7 @@ object MultimodalPack extends QueryPack {
       // zero-vector features (empty media) would make every cosine
       // NaN and float to rank 1 — excluded on BOTH engine sides
       val v = Multimodal.extractFeatures(
-          Multimodal.mediaFromDocuments(Tables.documents(s, dir))).toDF()
+          Multimodal.textBytesFromDocuments(Tables.documents(s, dir))).toDF()
         .select(col("doc_id"), col("feature"),
           Similarity.norm(col("feature")).as("nrm"))
         .filter(col("nrm") > 0)
@@ -468,18 +479,29 @@ object MultimodalPack extends QueryPack {
     graft.functions.Similarity.sqlCos(a, b)
 
   override def oracles: Map[String, String] = Map(
-    // strlen = BYTE length in DuckDB, matching the Spark side's
-    // UTF-8 cast-to-binary length even for non-ASCII text (plain
-    // length() counts characters and would diverge).
+    // byte lengths replay the container layouts themselves: a minimal
+    // PNG is 33 bytes (sig 8 + IHDR len/tag/payload/crc 25), a
+    // header-only WAV 44 (+16 when the junk chunk is present: id + size
+    // + 7 payload + 1 pad), an MP4 ftyp+free+moov{mvhd} 63 (v0) or 75
+    // (v1's three u64 fields) — so even the generators' framing is
+    // pinned, not just the parsed fields
     "mm_decode_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
         |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
         |       ELSE 'video/mp4' END AS mime,
-        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |  CAST(64 + strlen(text) % 577 AS INTEGER) AS width,
-        |  CAST(64 + (strlen(text) * 31 + doc_id) % 353 AS INTEGER) AS height,
-        |  CAST(1 + doc_id % 24 AS INTEGER) AS n_frames
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 33
+        |            WHEN doc_id % 3 = 1 THEN
+        |              44 + CASE WHEN doc_id % 9 = 1 THEN 16 ELSE 0 END
+        |            WHEN doc_id % 2 = 1 THEN 75 ELSE 63 END AS BIGINT)
+        |    AS n_bytes,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 64 + doc_id % 577
+        |            ELSE 0 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 64 + (doc_id * 31) % 353
+        |            ELSE 0 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+        |            WHEN doc_id % 3 = 1 THEN 1000 + (doc_id * 37) % 9000
+        |            ELSE 1 + doc_id % 24 END AS INTEGER) AS n_frames
         |FROM documents""".stripMargin,
 
     "mm_decode_headers" ->
@@ -609,8 +631,8 @@ object MultimodalPack extends QueryPack {
         |            ELSE greatest((height * 224) // greatest(width, height), 1)
         |       END AS INTEGER) AS out_h
         |FROM (SELECT doc_id,
-        |        CAST(64 + strlen(text) % 577 AS INTEGER) AS width,
-        |        CAST(64 + (strlen(text) * 31 + doc_id) % 353 AS INTEGER) AS height
+        |        CAST(64 + doc_id % 577 AS INTEGER) AS width,
+        |        CAST(64 + (doc_id * 31) % 353 AS INTEGER) AS height
         |      FROM documents WHERE doc_id % 3 = 0)""".stripMargin,
 
     // the corpus is ASCII (verified at all SFs), so a per-CHAR code

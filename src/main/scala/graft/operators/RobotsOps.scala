@@ -36,16 +36,21 @@ import org.apache.spark.sql.functions._
   * parser bug (comment handling, group boundaries, case folding)
   * diverges.
   *
-  * Agent-group selection: ALL groups for OUR agent ("graftbot")
-  * merge — RFC 9309 §2.2.1's "combine into one group" rule; rule and
-  * delay rows are flat (domain, agent)-keyed, so the union is the
-  * natural shape — with the `*` groups used only when no graftbot
-  * group exists. Declared simplifications: group existence is judged
-  * from RULE rows (a group carrying only a Crawl-delay does not flip
-  * selection), exact-token agent match (no product-token prefix
-  * matching), and `$` is treated as an anchor wherever it appears
-  * (RFC 9309 gives it meaning only at the end; mid-pattern `$` does
-  * not occur in practice).
+  * Agent-group selection (RFC 9309 §2.2.1): a group matches when its
+  * user-agent value is a case-insensitive PREFIX of our product
+  * token — real robots files bind `graftbot/1.2` and `graftbot-news`
+  * crawlers through shorter tokens routinely — and the MOST SPECIFIC
+  * (longest) matching value wins, with every group carrying that
+  * exact value merging ("combine into one group"); the `*` groups
+  * apply only when nothing matches. Group EXISTENCE counts both rule
+  * and Crawl-delay rows: a group that only sets a delay still
+  * selects its agent (its empty rule set means allow-everything, not
+  * fall-through to `*`). Prefixes of one token are totally ordered,
+  * so "longest matching value" is `max(agent)` — one tiny per-domain
+  * agg, exactly replayable in SQL. Declared simplification: `$` is
+  * treated as an anchor wherever it appears (RFC 9309 gives it
+  * meaning only at the end; mid-pattern `$` does not occur in
+  * practice).
   */
 object RobotsOps {
 
@@ -68,7 +73,11 @@ object RobotsOps {
     * prefix, plus a wildcard Allow on h%11 and a Crawl-delay on
     * h%13), with a comment, a Sitemap line, mixed-case field names,
     * and CRLF endings on the first graftbot group — every hazard the
-    * parser must walk. */
+    * parser must walk. Prefix-selection hazards (round 14): a
+    * shorter-prefix `Graft` group on h%3==1 (binds only when no
+    * graftbot group exists), a non-matching longer `graftbot-news`
+    * token on h%5==1 (never binds), a DELAY-ONLY graftbot group on
+    * odd h%3==2 domains (existence flips selection off `*`). */
   def robotsTxt(domain: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val h = Hashing.h32(domain)
     val a = (h % 10).cast("string")
@@ -96,6 +105,25 @@ object RobotsOps {
         lit("User-agent: graftbot\n"),
         lit("Disallow: /q/"), c, lit("\n"),
         lit("Crawl-delay: 30"))),
+      // a SHORTER-prefix group ("graft" prefix-matches "graftbot"):
+      // on even-h domains the graftbot groups are more specific and
+      // this one must NOT bind; on odd-h ∧ h%3==1 domains it is the
+      // best match and binds INSTEAD of `*`
+      when(h % 3 === 1, concat(
+        lit("User-agent: Graft\n"), // mixed case: the fold must land
+        lit("Disallow: /g/"), a, lit("\n"),
+        lit("Crawl-delay: 8"))),
+      // a LONGER token that is NOT a prefix of "graftbot": never
+      // binds, whatever else the file carries
+      when(h % 5 === 1, concat(
+        lit("User-agent: graftbot-news\n"),
+        lit("Disallow: /"))),
+      // a DELAY-ONLY graftbot group on odd domains: group existence
+      // must flip selection (no graftbot rules → allow everything,
+      // NOT the `*` rules), and the delay must drive the cap
+      when(h % 2 =!= 0 && h % 3 === 2, concat(
+        lit("User-agent: graftbot\n"),
+        lit("Crawl-delay: 25"))),
       lit("User-agent: *"),
       when(h % 5 === 0, lit("Disallow: / # everything"))
         .when(h % 7 === 0, lit("Disallow:")) // empty value: no rule
@@ -141,14 +169,15 @@ object RobotsOps {
       if (line.nonEmpty) {
         val i = line.indexOf(':')
         if (i > 0) {
-          val key = line.substring(0, i).trim.toLowerCase
+          val key = line.substring(0, i).trim
+            .toLowerCase(java.util.Locale.ROOT)
           val value = line.substring(i + 1).trim
           key match {
             case "user-agent" =>
               // a UA line after rules STARTS A NEW GROUP; stacked UA
               // lines before any rule share the group
               if (inRules) { agents = Nil; inRules = false }
-              agents ::= value.toLowerCase
+              agents ::= value.toLowerCase(java.util.Locale.ROOT)
             case "disallow" | "allow" =>
               inRules = true
               if (value.nonEmpty)
@@ -204,34 +233,47 @@ object RobotsOps {
       .toDF()
   }
 
-  /** The rules that apply to [[Agent]]: the union of all its groups'
-    * rules where any exist for the domain (§2.2.1 merge), else the
-    * `*` groups' — derived from the PARSED table (one tiny per-domain
-    * agg + a broadcast-size semi-join, never from the generator's
-    * arithmetic). */
-  def rulesForAgent(rules: DataFrame): DataFrame = {
-    val hasBot = rules.filter(col("agent") === Agent)
-      .select(col("domain")).distinct()
-      .withColumn("has_bot", lit(true))
-    rules.join(hasBot, Seq("domain"), "left")
-      .filter((col("has_bot").isNotNull && col("agent") === Agent) ||
-        (col("has_bot").isNull && col("agent") === "*"))
+  /** The selected agent value per domain — the LONGEST group value
+    * that prefix-matches [[Agent]] (§2.2.1 most-specific selection),
+    * judged over rule AND delay rows (delay-only groups count).
+    * Output (domain, sel_agent); domains with no matching group are
+    * absent (consumers fall through to `*`). Prefixes of one string
+    * are totally ordered, so longest = `max(agent)`. */
+  def selectedAgent(rules: DataFrame, delays: DataFrame): DataFrame =
+    rules.select(col("domain"), col("agent"))
+      .unionByName(delays.select(col("domain"), col("agent")))
+      .filter(col("agent") =!= "*" &&
+        lit(Agent).startsWith(col("agent")))
+      .groupBy(col("domain")).agg(max(col("agent")).as("sel_agent"))
+
+  /** The rules that apply to [[Agent]]: the union of the most-
+    * specific matching groups' rules ([[selectedAgent]] — all groups
+    * carrying that exact value merge, §2.2.1), else the `*` groups' —
+    * derived from the PARSED tables (one tiny per-domain agg + a
+    * broadcast-size join, never from the generator's arithmetic).
+    * `delays` participates only in group existence: a domain whose
+    * matching group sets just a Crawl-delay yields NO rule rows here
+    * (allow-everything), not the `*` rows. */
+  def rulesForAgent(rules: DataFrame, delays: DataFrame): DataFrame = {
+    val sel = selectedAgent(rules, delays)
+    rules.join(broadcast(sel), Seq("domain"), "left")
+      .filter((col("sel_agent").isNotNull &&
+          col("agent") === col("sel_agent")) ||
+        (col("sel_agent").isNull && col("agent") === "*"))
       .select(col("domain"), col("path"), col("allow"))
   }
 
   /** The Crawl-delay that applies to [[Agent]] per domain: the MAX
     * over its selected groups' delays (conservative when two merged
-    * groups disagree), group selection mirroring [[rulesForAgent]] —
-    * graftbot groups when any graftbot RULE exists for the domain,
-    * else `*`. Output (domain, delay); domains with no delay line
-    * are absent (the consumer defaults to its full cap). */
+    * groups disagree), group selection mirroring [[rulesForAgent]].
+    * Output (domain, delay); domains with no delay line are absent
+    * (the consumer defaults to its full cap). */
   def delaysForAgent(rules: DataFrame, delays: DataFrame): DataFrame = {
-    val hasBot = rules.filter(col("agent") === Agent)
-      .select(col("domain")).distinct()
-      .withColumn("has_bot", lit(true))
-    delays.join(hasBot, Seq("domain"), "left")
-      .filter((col("has_bot").isNotNull && col("agent") === Agent) ||
-        (col("has_bot").isNull && col("agent") === "*"))
+    val sel = selectedAgent(rules, delays)
+    delays.join(broadcast(sel), Seq("domain"), "left")
+      .filter((col("sel_agent").isNotNull &&
+          col("agent") === col("sel_agent")) ||
+        (col("sel_agent").isNull && col("agent") === "*"))
       .groupBy(col("domain")).agg(max(col("delay")).as("delay"))
   }
 
@@ -245,6 +287,14 @@ object RobotsOps {
       .select(col("domain"),
         least(lit(capK), greatest(lit(1),
           (lit(FrontierWindowSec) / col("delay")).cast("int"))).as("cap"))
+
+  /** SQL twin of [[selectedAgent]] over the generator's arithmetic
+    * (`d` = the doms alias): graftbot groups exist on even hashes
+    * (rules) and on odd h%3==2 (delay-only); the `graft` prefix group
+    * binds odd h%3==1 domains; everything else falls to `*`. */
+  def sqlSelAgent(d: String): String =
+    s"CASE WHEN $d.h % 2 = 0 OR $d.h % 3 = 2 THEN 'graftbot' " +
+      s"WHEN $d.h % 3 = 1 THEN 'graft' ELSE '*' END"
 
   /** Match struct for one (url path, rule) pair of the broadcast
     * join: NULL when the rule does not match, else

@@ -1319,7 +1319,7 @@ object SamplePack extends QueryPack {
     // mirrors Bpe.encodeCol per word; the rest is sp_epoch_feed's
     // pack + permutation (the oracle MAY use one-task windows)
     "sp_token_feed" ->
-      s"""WITH w0 AS (SELECT w FROM (
+      s"""WITH w0 AS MATERIALIZED (SELECT w FROM (
          |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
          |  WHERE length(w) >= 2),
          |${Bpe.sqlTrainCtesForEncode()},

@@ -347,9 +347,18 @@ object SimilarityPack extends QueryPack {
         layerPred.fold("")(_ => " (layer-restricted)"))
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val span = hi - lo + 1
+    // exact integer floor-division, matching the DuckDB twin's `//`
+    // (Spark's `/` is double division — floor of a double diverges
+    // from integer `//` once the product passes 2^53); the guard
+    // keeps the multiplication itself from wrapping Long on an
+    // extreme id span (DuckDB would silently widen to HUGEINT there)
+    require(span <= Long.MaxValue / EntryStrata,
+      s"ANN entry derivation: id span $span too wide for exact " +
+        s"stratum arithmetic (max ${Long.MaxValue / EntryStrata})")
     val entries = base
       .groupBy(least(lit(EntryStrata - 1),
-        floor((col("vec_id") - lo) * EntryStrata / span)).as("stratum"))
+        expr(s"(vec_id - ${lo}L) * $EntryStrata div ${span}L"))
+        .as("stratum"))
       .agg(min(col("vec_id")).as("node"))
       .collect().map(_.getLong(1)).sorted.toSeq
     require(entries.nonEmpty, "ANN search: entry derivation lost rows")
@@ -364,12 +373,15 @@ object SimilarityPack extends QueryPack {
   private val entriesMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
 
+  /** Stratum anchors, memoized per (corpus, layer level) — None =
+    * the full corpus (the flat beam's seeds), Some(ℓ) = level-ℓ
+    * members only (the hierarchy's top-layer seeds). */
   private def entriesFor(s: SparkSession, dir: String,
-                         layer: Boolean): Seq[Long] =
+                         layerLevel: Option[Int]): Seq[Long] =
     entriesMemo.computeIfAbsent(
-      s"$dir#${if (layer) "layer" else "base"}",
+      s"$dir#${layerLevel.fold("base")(l => s"layer$l")}",
       _ => searchEntriesOf(normedVecs(s, dir),
-        if (layer) Some(hnswMember(col("vec_id"))) else None))
+        layerLevel.map(l => hnswMemberAt(col("vec_id"), l))))
 
   /** Graph search: every probe query (vec_id % 10) walks the built
     * k-NN graph from the fixed entry node 0 — score the frontier,
@@ -383,7 +395,7 @@ object SimilarityPack extends QueryPack {
     * at the final cut. */
   def knnSearch(s: SparkSession, dir: String): DataFrame =
     knnSearchOver(normedVecs(s, dir), Some(knnGraph(s, dir)),
-      Some(entriesFor(s, dir, layer = false)))
+      Some(entriesFor(s, dir, layerLevel = None)))
 
   /** The search loop over a prepared (vec_id, embedding, nrm) frame —
     * public so DevStress probes the production stages. `prebuilt`
@@ -406,7 +418,9 @@ object SimilarityPack extends QueryPack {
     * graph last. Every frame in the loop carries (qid, node) ids
     * only; scoring re-joins vectors by equi-join. */
   def beamSearchOver(vRaw: DataFrame, schedule: Seq[DataFrame],
-                     entries: Seq[Long]): DataFrame = {
+                     entries: Seq[Long],
+                     probeExpanded: Option[scala.collection.mutable.Buffer[Long]] = None)
+      : DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val vecs = vRaw.persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -429,6 +443,9 @@ object SimilarityPack extends QueryPack {
             col("node") === col("src"))
           .select(col("qid"), col("dst").as("node"))
           .distinct()
+        // dev-probe only (None in production): per-round expansion
+        // sizes — the candidate-scoring cost a deeper hierarchy cuts
+        probeExpanded.foreach(_ += expand.count())
         cand = graft.plans.TopKPerKey.topKPerKey(
           cand.unionByName(score(expand))
             .dropDuplicates("qid", "node"),
@@ -446,69 +463,116 @@ object SimilarityPack extends QueryPack {
     } finally vecs.unpersist(blocking = false)
   }
 
-  /** HNSW layer structure (deterministic 2-level form of the
-    * published hierarchy): a node is a LAYER-1 node when
-    * [[hnswMember]] holds — the geometric level draw (p = 1/8) made
-    * deterministic through the id hash — and layer 1 carries its own
-    * NN-Descent graph over that ≈1/[[HnswLayerMod]] subset —
-    * long-range edges by construction, since its neighbors span 8×
-    * the node density. Search descends: [[HnswCoarseRounds]] beam
-    * rounds on the layer-1 graph localize the query's region cheaply
-    * (the graph is 8× smaller), then [[HnswFineRounds]] rounds on
-    * the base graph refine — FEWER base-graph rounds than the flat
-    * search's [[SearchRounds]] at the same beam width, the top-down
-    * shortcut the flat spread entries only approximate. Measured
-    * recall@6 (sim_hnsw_recall): 0.90/0.92 at sf0.001/0.01 — above
-    * both the flat beam (0.89/0.88) and the graph's own lists
-    * (0.85/0.89) with one fewer full-graph expansion. Entries are
-    * the union of the layer-1 and base stratum anchors (see
-    * [[hnswSearch]]). */
+  /** HNSW layer structure — the published hierarchy with CORPUS-
+    * DERIVED depth: a node joins level ℓ when the 32-bit hash of its
+    * id is ≡ 0 mod [[HnswLayerMod]]^ℓ ([[hnswMemberAt]] — the
+    * geometric level draw P(level ≥ ℓ) = 8^-ℓ made deterministic),
+    * and the realized depth is the largest ℓ whose EXPECTED
+    * membership n/8^ℓ still clears [[HnswMinLayerNodes]]
+    * ([[hnswLevels]]) — a 10⁹-vector corpus gets the published
+    * log-depth hierarchy, a 500-vector fixture keeps one upper
+    * layer, by the same formula. Each level carries its own
+    * NN-Descent graph over its subset — longer-range edges per
+    * level, since neighbors span 8× the previous density. Search
+    * descends one beam round per level, top level first
+    * ([[hnswSchedule]]; the single-layer corpus keeps the measured
+    * two level-1 rounds), then [[HnswFineRounds]] rounds on the
+    * base graph refine — FEWER base-graph rounds than the flat
+    * search's [[SearchRounds]] at the same beam width. Measured
+    * recall@6 (sim_hnsw_recall): 0.90/0.92 at sf0.001/0.01 (L=1
+    * there — unchanged from the 2-level form). Entries are the
+    * union of the TOP layer's stratum anchors and the base anchors
+    * (see [[hnswSearch]]). */
   val HnswLayerMod = 8
   val HnswCoarseRounds = 2
   val HnswFineRounds = 2
 
-  /** HNSW level-1 membership — the published GEOMETRIC level draw
-    * (P(level ≥ ℓ) = HnswLayerMod^-ℓ) made deterministic: a node
-    * joins layer ℓ when the 32-bit hash of its id is ≡ 0 mod
-    * HnswLayerMod^ℓ. Hash-derived, not id-arithmetic: membership is
-    * uniform on ANY id space (offset, sharded, hashed), where the
-    * earlier `vec_id % 8` form skewed with the id distribution. The
-    * same predicate generalizes to deeper levels (mod 8^ℓ), but
-    * expected membership is n/64 at level 2 — empty more often than
-    * not below ~5k vectors — so the realized hierarchy here is
-    * 2-level (declared; a deeper corpus adds levels by the same
-    * formula without touching the search loop). */
-  def hnswMember(vecId: org.apache.spark.sql.Column)
+  /** Minimum expected node count for an upper layer to exist: below
+    * this an NN-Descent graph over the members is too sparse to
+    * localize anything (and may be outright empty). */
+  val HnswMinLayerNodes = 64
+
+  /** Deepest level the static oracle unroll covers — 8^4 needs a
+    * ≥2M-vector corpus, far beyond any oracle SF; the engine-side
+    * formula itself has no cap. */
+  val HnswMaxLevels = 3
+
+  /** Corpus-derived hierarchy depth: max ℓ ≥ 1 with n / 8^ℓ ≥
+    * [[HnswMinLayerNodes]], capped at [[HnswMaxLevels]]. */
+  def hnswLevels(n: Long): Int = {
+    var l = 1
+    while (l < HnswMaxLevels &&
+      n / math.pow(HnswLayerMod, l + 1).toLong >= HnswMinLayerNodes)
+      l += 1
+    l
+  }
+
+  /** Level-ℓ membership: hash-derived (uniform on ANY id space —
+    * offset, sharded, hashed — where id arithmetic would skew), and
+    * NESTED by construction: level ℓ+1 members are a subset of
+    * level ℓ's, the published hierarchy invariant. */
+  def hnswMemberAt(vecId: org.apache.spark.sql.Column, level: Int)
       : org.apache.spark.sql.Column =
-    graft.functions.Hashing.h32(vecId.cast("string")) % HnswLayerMod === 0
+    graft.functions.Hashing.h32(vecId.cast("string")) %
+      math.pow(HnswLayerMod, level).toLong === 0
+
+  /** Level-1 membership (the base upper layer). */
+  def hnswMember(vecId: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = hnswMemberAt(vecId, 1)
+
+  /** SQL twin of [[hnswMemberAt]]. */
+  def sqlHnswMemberAt(level: Int): String =
+    s"${graft.functions.Hashing.sqlH32("CAST(vec_id AS VARCHAR)")} " +
+      s"% ${math.pow(HnswLayerMod, level).toLong} = 0"
 
   /** SQL twin of [[hnswMember]]. */
-  def sqlHnswMember: String =
-    s"${graft.functions.Hashing.sqlH32("CAST(vec_id AS VARCHAR)")} " +
-      s"% $HnswLayerMod = 0"
+  def sqlHnswMember: String = sqlHnswMemberAt(1)
 
   private val layerMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  /** The layer-1 (src, dst, cos) graph — NN-Descent over the
-    * layer-1 node subset, memoized per corpus like [[knnGraph]]. */
-  def hnswLayerGraph(s: SparkSession, dir: String): DataFrame =
-    layerMemo.computeIfAbsent(dir, _ => knnGraphOver(
-      normedVecs(s, dir).filter(hnswMember(col("vec_id")))))
+  /** The level-ℓ (src, dst, cos) graph — NN-Descent over the level's
+    * node subset, memoized per (corpus, level) like [[knnGraph]]. */
+  def hnswLayerGraphAt(s: SparkSession, dir: String, level: Int): DataFrame =
+    layerMemo.computeIfAbsent(s"$dir#l$level", _ => knnGraphOver(
+      normedVecs(s, dir).filter(hnswMemberAt(col("vec_id"), level))))
 
-  /** Top-down HNSW-style search over the two memoized graphs. The
-    * seed set is the UNION of the layer-1 stratum anchors (they
-    * drive the coarse localization — only layer members have coarse
-    * out-edges) and the base stratum anchors (non-members ride the
-    * monotone beam untouched through the coarse rounds and expand in
-    * the fine rounds — so the hierarchy's seeds are a superset of
-    * the flat beam's and its recall floor follows). */
-  def hnswSearch(s: SparkSession, dir: String): DataFrame =
+  /** The layer-1 graph (kept for probes/specs). */
+  def hnswLayerGraph(s: SparkSession, dir: String): DataFrame =
+    hnswLayerGraphAt(s, dir, 1)
+
+  private val vecCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Non-null vector count per corpus (one count scan, memoized —
+    * the depth formula's n). */
+  def vecCount(s: SparkSession, dir: String): Long =
+    vecCountMemo.computeIfAbsent(dir, _ =>
+      graft.Tables.embeddings(s, dir)
+        .filter(col("embedding").isNotNull).count())
+
+  /** The coarse-round LEVEL schedule for a depth-L hierarchy,
+    * top-down: one round per level L..1; the single-layer corpus
+    * keeps two level-1 rounds (the measured recall shape — one
+    * round under-localizes from spread entries). */
+  def hnswSchedule(levels: Int): Seq[Int] =
+    if (levels <= 1) Seq(1, 1) else (levels to 1 by -1)
+
+  /** Top-down HNSW-style search over the per-level memoized graphs.
+    * The seed set is the UNION of the TOP layer's stratum anchors
+    * (they drive the coarse localization — only layer members have
+    * coarse out-edges) and the base stratum anchors (non-members
+    * ride the monotone beam untouched through the coarse rounds and
+    * expand in the fine rounds — so the hierarchy's seeds are a
+    * superset of the flat beam's and its recall floor follows). */
+  def hnswSearch(s: SparkSession, dir: String): DataFrame = {
+    val levels = hnswLevels(vecCount(s, dir))
     beamSearchOver(normedVecs(s, dir),
-      Seq.fill(HnswCoarseRounds)(hnswLayerGraph(s, dir)) ++
+      hnswSchedule(levels).map(hnswLayerGraphAt(s, dir, _)) ++
         Seq.fill(HnswFineRounds)(knnGraph(s, dir)),
-      (entriesFor(s, dir, layer = true) ++
-        entriesFor(s, dir, layer = false)).distinct.sorted)
+      (entriesFor(s, dir, layerLevel = Some(levels)) ++
+        entriesFor(s, dir, layerLevel = None)).distinct.sorted)
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-3 per query (queries = vec_id < 10),
@@ -1949,12 +2013,42 @@ object SimilarityPack extends QueryPack {
     * the descending beam — coarse rounds on the layer-1 graph, fine
     * rounds on the base graph. */
   private lazy val hnswSearchCtes: String =
-    s"""${knnCtesFor("l1", sqlHnswMember)},
-       |${searchCtesFor("hq", Seq(sqlHnswMember, "TRUE"),
-          Seq.fill(HnswCoarseRounds)(s"l1e$KnnRounds") ++
-            Seq.fill(HnswFineRounds)(s"e$KnnRounds"))}""".stripMargin
+    s"""$sqlHmodsCte,
+       |${knnCtesFor("l1", sqlHnswMemberAt(1))},
+       |${knnCtesFor("l2", sqlHnswMemberAt(2))},
+       |${knnCtesFor("l3", sqlHnswMemberAt(3))},
+       |${searchCtesFor("hq", Seq(sqlTopMember, "TRUE"), Seq(
+            s"(SELECT * FROM l3e$KnnRounds WHERE (SELECT lvl FROM hmods) >= 3)",
+            s"(SELECT * FROM l2e$KnnRounds WHERE (SELECT lvl FROM hmods) >= 2)",
+            s"l1e$KnnRounds",
+            s"(SELECT * FROM l1e$KnnRounds WHERE (SELECT lvl FROM hmods) = 1)") ++
+          Seq.fill(HnswFineRounds)(s"e$KnnRounds"))}""".stripMargin
 
-  private lazy val HnswTotalRounds = HnswCoarseRounds + HnswFineRounds
+  /** The corpus-derived depth replayed in SQL ([[hnswLevels]]'s
+    * thresholds: n/8^ℓ ≥ [[HnswMinLayerNodes]]). */
+  private lazy val sqlHmodsCte =
+    s"""hmods AS MATERIALIZED (SELECT
+       |  CASE WHEN n >= ${HnswMinLayerNodes.toLong * 512} THEN 3
+       |       WHEN n >= ${HnswMinLayerNodes.toLong * 64} THEN 2
+       |       ELSE 1 END AS lvl
+       |  FROM (SELECT count(*) AS n FROM embeddings
+       |        WHERE embedding IS NOT NULL))""".stripMargin
+
+  /** TOP-layer membership under the data-dependent depth — the SQL
+    * twin of [[hnswMemberAt]] at level [[hnswLevels]](n). */
+  private lazy val sqlTopMember: String =
+    s"${graft.functions.Hashing.sqlH32("CAST(vec_id AS VARCHAR)")} % " +
+      "(CASE (SELECT lvl FROM hmods) WHEN 3 THEN 512 WHEN 2 THEN 64 " +
+      "ELSE 8 END) = 0"
+
+  /** The oracle unrolls FOUR coarse slots — levels 3/2/1 descending
+    * plus the single-layer pad round — each GATED on the replayed
+    * depth (an empty edge set is a beam no-op: the round's union
+    * adds nothing and the keep-K reproduces the previous beam), so
+    * one static string mirrors every realized depth: L=1 effective
+    * [1,1] (the measured two-round shape), L=2 [2,1], L=3 [3,2,1].
+    * Matches [[hnswSchedule]] exactly. */
+  private lazy val HnswTotalRounds = 4 + HnswFineRounds
 
   /** Unrolled NN-Descent CTE chain: seed e0 = (i → (i+j) mod N),
     * then per round i the undirected closure u_i → candidates nb_i →

@@ -187,11 +187,16 @@ object SitemapOps {
     val fromLinks = edges.getOrElse(LinkOps.linkGraph(canon))
       .select(col("dst").as("url"), lit(false).as("via_sitemap"),
         lit(true).as("via_link"))
+    // indeg rides the same union-dedup exchange: one row per distinct
+    // (src, dst) edge enters, so counting the link rows per canonical
+    // IS the target's in-degree (sitemap-only targets score 0 — a
+    // site advertising a page nobody links gets budget last)
     val candidates = UrlOps.withUrlParts(
         fromSitemap.unionByName(fromLinks), col("url"))
       .groupBy(col("canonical").as("dst"), col("domain"))
       .agg(max(col("via_sitemap")).as("via_sitemap"),
-        max(col("via_link")).as("via_link"))
+        max(col("via_link")).as("via_link"),
+        sum(when(col("via_link"), 1L).otherwise(0L)).as("indeg"))
       .join(canon.select(col("canonical").as("dst")).distinct(),
         Seq("dst"), "left_anti")
       .withColumn("path",
@@ -200,25 +205,25 @@ object SitemapOps {
     // rule/delay consumers reference these tiny frames 3-4 times
     val files = RobotsOps.robotsFor(canon).localCheckpoint(true)
     val parsed = RobotsOps.parseRules(files).localCheckpoint(true)
-    val rules = RobotsOps.rulesForAgent(parsed)
+    val delays = RobotsOps.parseDelays(files).localCheckpoint(true)
+    val rules = RobotsOps.rulesForAgent(parsed, delays)
     val allowed = candidates
       .join(broadcast(rules.withColumnRenamed("path", "rule_path")),
         Seq("domain"), "left")
       .select(col("dst"), col("domain"), col("via_sitemap"),
-        col("via_link"),
+        col("via_link"), col("indeg"),
         RobotsOps.matchStruct(col("path"), col("rule_path"),
           col("allow")).as("m"))
       .groupBy(col("dst"), col("domain"), col("via_sitemap"),
-        col("via_link"))
+        col("via_link"), col("indeg"))
       .agg(max(col("m")).as("best"))
       .filter(col("best").isNull || col("best.allow") === 1)
-      .select(col("dst"), col("domain"),
+      .select(col("dst"), col("domain"), col("indeg"),
         when(col("via_sitemap") && col("via_link"), "both")
           .when(col("via_sitemap"), "sitemap")
           .otherwise("link").as("via"))
     WebCurationPack.budgetCap(allowed,
-      RobotsOps.frontierCaps(parsed, RobotsOps.parseDelays(files),
-        WebCurationPack.CapK),
+      RobotsOps.frontierCaps(parsed, delays, WebCurationPack.CapK),
       Seq("domain", "dst", "via"))
   }
 

@@ -144,8 +144,9 @@ object WebCurationPack extends QueryPack {
     "wc_robots_admit" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val c = canon(s, dir)
+      val files = RobotsOps.robotsFor(c)
       RobotsOps.admit(c, RobotsOps.rulesForAgent(
-        RobotsOps.parseRules(RobotsOps.robotsFor(c))))
+        RobotsOps.parseRules(files), RobotsOps.parseDelays(files)))
     }),
 
     // link extraction + RFC 3986 reference resolution — the crawl
@@ -208,7 +209,20 @@ object WebCurationPack extends QueryPack {
       val pageNo =
         regexp_extract(col("canonical"), "/p/([0-9]+)", 1).cast("long")
       val seen = allPages.filter(pageNo % 3 =!= 1)
-      val prevEdges = LinkOps.linkGraphFor(s"$dir#incr_prev", seen)
+      // the PREVIOUS cycle's edge artifact: per-page extraction is
+      // deterministic and every edge keys on its src page, so the
+      // prior snapshot's table IS the current artifact restricted to
+      // previously-seen src pages — restriction commutes with
+      // extract/resolve/canonicalize/distinct. Reading the one
+      // persisted/memoized dir-keyed artifact here (a filter over a
+      // checkpoint or parquet scan) is the production "read last
+      // cycle's table" step; the earlier form re-EXTRACTED the whole
+      // 2/3 snapshot per run (r13 bench: 5.24 s vs 2.77 s from
+      // scratch — the double build the round-13 verdict flagged)
+      val srcPageNo =
+        regexp_extract(col("src"), "/p/([0-9]+)", 1).cast("long")
+      val prevEdges = LinkOps.linkGraphFor(dir, c)
+        .filter(srcPageNo % 3 =!= 1)
       // bloom sized from the table's metadata row count (docs/3 pages
       // upper-bounds the history side — oversizing only lowers fpp),
       // not a canon-rebuild count scan
@@ -240,12 +254,14 @@ object WebCurationPack extends QueryPack {
 
     // lastmod-driven RE-CRAWL scheduling — the freshness half of the
     // crawl cycle (discovery finds new pages; this finds CHANGED
-    // ones): sitemap entries whose advertised lastmod is newer than
-    // the page's last fetch are due again. The crawl log is a
-    // deterministic stand-in (last-fetch month = canonical-hash
-    // arithmetic, replayed by the oracle); the sitemap side is
-    // host-bounded so it BROADCASTS against the corpus-scale crawl
-    // set — at 100 TB the join cost is one scan of the crawl log
+    // ones): sitemap entries whose advertised lastmod is NEWER than
+    // the page's recorded fetch date are due again — a genuine
+    // date-vs-date comparison over the crawl log's fetched_at column
+    // ([[crawlLog]]; the h%6 cohort is fetched ON the year-end
+    // lastmod date, pinning the strict inequality at the boundary).
+    // The sitemap side is host-bounded so it BROADCASTS against the
+    // corpus-scale crawl set — at 100 TB the join cost is one scan
+    // of the crawl log
     "wc_recrawl" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val c = canon(s, dir)
@@ -253,13 +269,8 @@ object WebCurationPack extends QueryPack {
           SitemapOps.sitemapsFor(c)))
         .filter(col("lastmod").isNotNull)
         .select(col("loc").as("canonical"),
-          regexp_extract(col("lastmod"), "^2026-([0-9]+)-", 1)
-            .cast("int").as("modified_month"))
-      c.select(col("canonical")).distinct()
-        .join(broadcast(sm), Seq("canonical"))
-        .withColumn("crawled_month",
-          (Hashing.h32(col("canonical")) % 12 + 1).cast("int"))
-        .filter(col("modified_month") > col("crawled_month"))
+          to_date(col("lastmod")).as("modified"))
+      recrawlDue(crawlLog(c), sm)
     }),
 
     // ...and the UNIFIED discovery feed: sitemap ∪ links, minus
@@ -291,12 +302,17 @@ object WebCurationPack extends QueryPack {
     * graph builds here (the full-path probe shape). */
   def frontierOver(c: DataFrame, edges: Option[DataFrame] = None)
       (implicit s: SparkSession): DataFrame = {
+    // link-value per target: IN-DEGREE over the (already-distinct)
+    // edge set — the quality signal that orders each domain's
+    // politeness budget (budgetCap). Computed in the SAME exchange
+    // that used to dedup targets (groupBy replaces distinct), so the
+    // signal is free at any scale
     val fresh = edges.getOrElse(LinkOps.linkGraph(c))
-      .select(col("dst")).distinct()
+      .groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
       .join(c.select(col("canonical").as("dst")).distinct(),
         Seq("dst"), "left_anti")
     val t = UrlOps.withUrlParts(fresh, col("dst"))
-      .select(col("dst"), col("domain"),
+      .select(col("dst"), col("domain"), col("indeg"),
         regexp_extract(col("dst"), "^[a-z]+://[^/]+(/[^?#]*)", 1)
           .as("path"))
     // the robots artifacts are domain-bounded (one file per domain, a
@@ -306,40 +322,76 @@ object WebCurationPack extends QueryPack {
     // chain a third time) re-read rows instead of re-walking files
     val files = RobotsOps.robotsFor(c).localCheckpoint(true)
     val parsed = RobotsOps.parseRules(files).localCheckpoint(true)
-    val rules = RobotsOps.rulesForAgent(parsed)
+    val delays = RobotsOps.parseDelays(files).localCheckpoint(true)
+    val rules = RobotsOps.rulesForAgent(parsed, delays)
     val allowed = t
       .join(broadcast(rules.withColumnRenamed("path", "rule_path")),
         Seq("domain"), "left")
-      .select(col("dst"), col("domain"), col("path"),
+      .select(col("dst"), col("domain"), col("indeg"), col("path"),
         RobotsOps.matchStruct(col("path"), col("rule_path"),
           col("allow")).as("m"))
-      .groupBy(col("dst"), col("domain"))
+      .groupBy(col("dst"), col("domain"), col("indeg"))
       .agg(max(col("m")).as("best"))
       .filter(col("best").isNull || col("best.allow") === 1)
     budgetCap(allowed,
-      RobotsOps.frontierCaps(parsed, RobotsOps.parseDelays(files), CapK),
+      RobotsOps.frontierCaps(parsed, delays, CapK),
       Seq("domain", "dst"))
   }
 
-  /** Per-domain politeness cap, Crawl-delay-aware: the native
-    * bounded-heap [[graft.plans.TopKPerKey]] bounds what crosses the
-    * exchange at [[CapK]] rows per domain (the scale lever — corpus-
-    * size input never sorts per key), then the per-domain TIME budget
-    * (`caps`: domain → slots per window, [[RobotsOps.frontierCaps]])
-    * trims that ≤CapK-per-domain OUTPUT with a partitioned
-    * row_number — a window over an output-bound frame, constant work
-    * per domain. Domains with no Crawl-delay keep the full CapK. */
+  /** Per-domain politeness cap, Crawl-delay-aware and RANK-ordered:
+    * each domain's budget is spent on its highest-VALUE targets —
+    * in-degree descending (the link-quality signal the corpus
+    * already computes for PageRank gating), dst ascending as the
+    * deterministic tiebreak — not on the lexicographically smallest
+    * URLs. The native bounded-heap [[graft.plans.TopKPerKey]] bounds
+    * what crosses the exchange at [[CapK]] rows per domain (the
+    * scale lever — corpus-size input never sorts per key), then the
+    * per-domain TIME budget (`caps`: domain → slots per window,
+    * [[RobotsOps.frontierCaps]]) trims that ≤CapK-per-domain OUTPUT
+    * with a partitioned row_number over the same order — a window
+    * over an output-bound frame, constant work per domain. Domains
+    * with no Crawl-delay keep the full CapK. `rows` must carry an
+    * `indeg` column (0 for targets nothing links to, e.g.
+    * sitemap-only discoveries). */
   def budgetCap(rows: DataFrame, caps: DataFrame, outCols: Seq[String])
       : DataFrame = {
+    val order = Seq(col("indeg").desc, col("dst").asc)
     val topk = graft.plans.TopKPerKey.topKPerKey(rows,
-      Seq(col("domain")), Seq(col("dst").asc), CapK)
+      Seq(col("domain")), order, CapK)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("domain")).orderBy(col("dst").asc)
+      .partitionBy(col("domain")).orderBy(order: _*)
     topk.withColumn("_rn", row_number().over(w))
       .join(broadcast(caps), Seq("domain"), "left")
       .filter(col("_rn") <= coalesce(col("cap"), lit(CapK)))
       .select(outCols.map(col): _*)
   }
+
+  /** The crawl log: one (canonical, fetched_at DATE) row per crawled
+    * page. The fixture plants a real date per page — spread across
+    * the year by canonical-hash arithmetic, except the h%6 cohort,
+    * which is fetched exactly ON the sitemap generator's year-end
+    * lastmod (2026-12-28, [[SitemapOps.urlsetXml]]'s refresh entry)
+    * so equal-date pages exist by construction and the re-crawl
+    * comparison's STRICT inequality is pinned, not incidental. In
+    * production this column comes from the fetch pipeline's own log
+    * (the events table's ts discipline). */
+  def crawlLog(c: DataFrame): DataFrame = {
+    val h = Hashing.h32(col("canonical"))
+    c.select(col("canonical")).distinct()
+      .select(col("canonical"),
+        when(h % 6 === 0, to_date(lit("2026-12-28")))
+          .otherwise(date_add(to_date(lit("2026-01-01")),
+            (h % 358).cast("int"))).as("fetched_at"))
+  }
+
+  /** Pages due for re-crawl: advertised lastmod STRICTLY newer than
+    * the recorded fetch — equal dates mean the crawl already saw
+    * that revision. `sm` (canonical, modified) is host-bounded →
+    * broadcast; the log side scans once. */
+  def recrawlDue(log: DataFrame, sm: DataFrame): DataFrame =
+    log.join(broadcast(sm), Seq("canonical"))
+      .filter(col("modified") > col("fetched_at"))
+      .select(col("canonical"), col("modified"), col("fetched_at"))
 
   /** The admission set (the wc_front_e2e chain) as bare doc_ids. */
   private def admittedIds(s: SparkSession, dir: String): DataFrame = {
@@ -439,8 +491,7 @@ object WebCurationPack extends QueryPack {
          |sel AS MATERIALIZED (SELECT r.domain, r.path, r.allow
          |        FROM rules r JOIN doms d ON r.domain = d.domain
          |        WHERE r.path IS NOT NULL AND
-         |          ((d.h % 2 = 0 AND r.agent = 'graftbot') OR
-         |           (d.h % 2 <> 0 AND r.agent = '*'))),
+         |          r.agent = ${RobotsOps.sqlSelAgent("d")}),
          |u AS (SELECT doc_id, domain,
          |        regexp_extract(canonical,
          |          '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path
@@ -470,23 +521,24 @@ object WebCurationPack extends QueryPack {
          |sel AS MATERIALIZED (SELECT r.domain, r.path, r.allow
          |        FROM rules r JOIN doms d ON r.domain = d.domain
          |        WHERE r.path IS NOT NULL AND
-         |          ((d.h % 2 = 0 AND r.agent = 'graftbot') OR
-         |           (d.h % 2 <> 0 AND r.agent = '*'))),
+         |          r.agent = ${RobotsOps.sqlSelAgent("d")}),
          |${LinkOps.sqlPagesCte(UrlOps.sqlCanonSrc)},
          |${LinkOps.sqlEdgesCte},
-         |tg AS (SELECT DISTINCT dst FROM ledges
+         |tg AS (SELECT dst, count(*) AS indeg FROM ledges
          |       WHERE dst NOT IN (SELECT DISTINCT canonical
-         |                         FROM ${UrlOps.sqlCanonSrc} c2)),
+         |                         FROM ${UrlOps.sqlCanonSrc} c2)
+         |       GROUP BY dst),
          |$targetDomainCtes,
-         |fj AS (SELECT t.dst, t.domain,
+         |fj AS (SELECT t.dst, t.domain, any_value(t.indeg) AS indeg,
          |         max(${RobotsOps.sqlMatchScore(
                       "t.path", "r.path", "r.allow")}) AS score
          |       FROM tdom t LEFT JOIN sel r ON t.domain = r.domain
          |       GROUP BY t.dst, t.domain),
-         |fa AS (SELECT dst, domain FROM fj
+         |fa AS (SELECT dst, domain, indeg FROM fj
          |       WHERE score IS NULL OR score % 2 = 1),
          |fc AS (SELECT f.domain, f.dst, row_number() OVER (
-         |         PARTITION BY f.domain ORDER BY f.dst) AS rn,
+         |         PARTITION BY f.domain
+         |         ORDER BY f.indeg DESC, f.dst) AS rn,
          |         coalesce(rc.cap, $CapK) AS cap
          |       FROM fa f LEFT JOIN rcaps rc ON f.domain = rc.domain)
          |SELECT domain, dst FROM fc WHERE rn <= cap""".stripMargin,
@@ -505,21 +557,22 @@ object WebCurationPack extends QueryPack {
          |SELECT host, 'https://' || host || '/sm/1.xml'
          |FROM smhosts WHERE h % 4 = 0""".stripMargin,
 
-    // sitemap lastmod vs the crawl log's month stand-in, same
-    // arithmetic both sides
+    // the crawl log's planted fetch dates replayed from the same
+    // hash arithmetic; the comparison itself is genuine DATE > DATE
     "wc_recrawl" ->
       s"""WITH ${SitemapOps.sqlSitemapCte(UrlOps.sqlCanonSrc)},
-         |rcrawled AS (SELECT DISTINCT canonical
-         |             FROM ${UrlOps.sqlCanonSrc} c2)
-         |SELECT cr.canonical,
-         |  CAST(regexp_extract(s.lastmod, '^2026-([0-9]+)-', 1) AS INT)
-         |    AS modified_month,
-         |  CAST(${Hashing.sqlH32("cr.canonical")} % 12 + 1 AS INT)
-         |    AS crawled_month
-         |FROM smrows s JOIN rcrawled cr ON s.loc = cr.canonical
+         |rlog AS (SELECT canonical,
+         |    CASE WHEN h % 6 = 0 THEN DATE '2026-12-28'
+         |         ELSE DATE '2026-01-01' + CAST(h % 358 AS INTEGER)
+         |    END AS fetched_at
+         |  FROM (SELECT canonical, ${Hashing.sqlH32("canonical")} AS h
+         |        FROM (SELECT DISTINCT canonical
+         |              FROM ${UrlOps.sqlCanonSrc} c2)))
+         |SELECT l.canonical, CAST(s.lastmod AS DATE) AS modified,
+         |  l.fetched_at
+         |FROM smrows s JOIN rlog l ON s.loc = l.canonical
          |WHERE s.lastmod IS NOT NULL
-         |  AND CAST(regexp_extract(s.lastmod, '^2026-([0-9]+)-', 1) AS INT)
-         |      > ${Hashing.sqlH32("cr.canonical")} % 12 + 1""".stripMargin,
+         |  AND CAST(s.lastmod AS DATE) > l.fetched_at""".stripMargin,
 
     // the frontier oracle pattern with the two-source union and the
     // via flags carried through the gate
@@ -529,8 +582,7 @@ object WebCurationPack extends QueryPack {
          |sel AS MATERIALIZED (SELECT r.domain, r.path, r.allow
          |        FROM rules r JOIN doms d ON r.domain = d.domain
          |        WHERE r.path IS NOT NULL AND
-         |          ((d.h % 2 = 0 AND r.agent = 'graftbot') OR
-         |           (d.h % 2 <> 0 AND r.agent = '*'))),
+         |          r.agent = ${RobotsOps.sqlSelAgent("d")}),
          |${LinkOps.sqlPagesCte(UrlOps.sqlCanonSrc)},
          |${LinkOps.sqlEdgesCte},
          |${SitemapOps.sqlSitemapCte(UrlOps.sqlCanonSrc)},
@@ -539,7 +591,9 @@ object WebCurationPack extends QueryPack {
          |        UNION ALL
          |        SELECT dst, FALSE, TRUE FROM ledges),
          |grp AS (SELECT dst, bool_or(via_sitemap) AS via_sitemap,
-         |               bool_or(via_link) AS via_link
+         |               bool_or(via_link) AS via_link,
+         |               sum(CASE WHEN via_link THEN 1 ELSE 0 END)
+         |                 AS indeg
          |        FROM uni GROUP BY dst),
          |tg AS (SELECT g.* FROM grp g
          |       WHERE g.dst NOT IN (SELECT DISTINCT canonical
@@ -548,17 +602,19 @@ object WebCurationPack extends QueryPack {
          |fj AS (SELECT t.dst, t.domain,
          |         any_value(t.via_sitemap) AS via_sitemap,
          |         any_value(t.via_link) AS via_link,
+         |         any_value(t.indeg) AS indeg,
          |         max(${RobotsOps.sqlMatchScore(
                       "t.path", "r.path", "r.allow")}) AS score
          |       FROM tdom t LEFT JOIN sel r ON t.domain = r.domain
          |       GROUP BY t.dst, t.domain),
-         |fa AS (SELECT dst, domain,
+         |fa AS (SELECT dst, domain, indeg,
          |         CASE WHEN via_sitemap AND via_link THEN 'both'
          |              WHEN via_sitemap THEN 'sitemap'
          |              ELSE 'link' END AS via
          |       FROM fj WHERE score IS NULL OR score % 2 = 1),
          |fc AS (SELECT f.domain, f.dst, f.via, row_number() OVER (
-         |         PARTITION BY f.domain ORDER BY f.dst) AS rn,
+         |         PARTITION BY f.domain
+         |         ORDER BY f.indeg DESC, f.dst) AS rn,
          |         coalesce(rc.cap, $CapK) AS cap
          |       FROM fa f LEFT JOIN rcaps rc ON f.domain = rc.domain)
          |SELECT domain, dst, via FROM fc WHERE rn <= cap""".stripMargin,
@@ -614,7 +670,10 @@ object WebCurationPack extends QueryPack {
     * SECOND graftbot group on h%4 (the §2.2.1 merge: /q/ Disallow),
     * `*` group everywhere (full disallow on h%5, NO rule on h%7 —
     * the empty-Disallow case — else one digit, plus a wildcard Allow
-    * on h%11). */
+    * on h%11), the shorter-prefix `graft` group on h%3==1 (/g/
+    * Disallow) and the never-binding `graftbot-news` group on h%5==1
+    * (full Disallow) — both must appear in the PARSED table even
+    * where selection ignores them. */
   private lazy val robotsRulesCtes =
     s"""doms AS MATERIALIZED (SELECT domain, ${Hashing.sqlH32("domain")} AS h
        |  FROM (SELECT DISTINCT domain FROM ${UrlOps.sqlCanonSrc} cc)),
@@ -645,14 +704,23 @@ object WebCurationPack extends QueryPack {
        |  UNION ALL
        |  SELECT domain, '*',
        |    '/p/*' || CAST((h // 10000) % 10 AS VARCHAR) || '$$', TRUE
-       |  FROM doms WHERE h % 11 = 0)""".stripMargin
+       |  FROM doms WHERE h % 11 = 0
+       |  UNION ALL
+       |  SELECT domain, 'graft',
+       |    '/g/' || CAST(h % 10 AS VARCHAR), FALSE
+       |  FROM doms WHERE h % 3 = 1
+       |  UNION ALL
+       |  SELECT domain, 'graftbot-news', '/', FALSE
+       |  FROM doms WHERE h % 5 = 1)""".stripMargin
 
   /** The Crawl-delay table and the per-domain frontier caps replayed
     * from the generator's arithmetic ([[RobotsOps.robotsTxt]] /
     * [[RobotsOps.frontierCaps]]): graftbot delay 15 on h%3 else 2,
-    * 30 in the h%4 second group (merge takes the max), `*` delay 20
-    * on h%13; cap = min(CapK, max(1, window div delay)) under the
-    * same group selection as the rules. Needs `doms` in scope. */
+    * 30 in the h%4 second group (merge takes the max), graft 8 on
+    * h%3==1, the DELAY-ONLY graftbot 25 on odd h%3==2 domains, `*`
+    * delay 20 on h%13; cap = min(CapK, max(1, window div delay))
+    * under the same most-specific selection as the rules
+    * ([[RobotsOps.sqlSelAgent]]). Needs `doms` in scope. */
   private lazy val robotsCapsCtes =
     s"""rdelays AS MATERIALIZED (
        |  SELECT domain, 'graftbot' AS agent,
@@ -661,14 +729,18 @@ object WebCurationPack extends QueryPack {
        |  UNION ALL
        |  SELECT domain, 'graftbot', 30 FROM doms WHERE h % 4 = 0
        |  UNION ALL
+       |  SELECT domain, 'graft', 8 FROM doms WHERE h % 3 = 1
+       |  UNION ALL
+       |  SELECT domain, 'graftbot', 25
+       |  FROM doms WHERE h % 2 <> 0 AND h % 3 = 2
+       |  UNION ALL
        |  SELECT domain, '*', 20 FROM doms WHERE h % 13 = 0),
        |rcaps AS MATERIALIZED (
        |  SELECT d.domain,
        |    LEAST($CapK, GREATEST(1,
        |      ${RobotsOps.FrontierWindowSec} // max(d.delay))) AS cap
        |  FROM rdelays d JOIN doms dd ON d.domain = dd.domain
-       |  WHERE (dd.h % 2 = 0 AND d.agent = 'graftbot')
-       |     OR (dd.h % 2 <> 0 AND d.agent = '*')
+       |  WHERE d.agent = ${RobotsOps.sqlSelAgent("dd")}
        |  GROUP BY d.domain)""".stripMargin
 
   /** The admission chain as shared CTEs ending in

@@ -6,13 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing for training-data pipelines: media as
   * opaque `binary` columns with typed metadata, decoded per-partition.
   *
-  * The Spark-side machinery is real — schema, encoders, partition-wise
+  * The machinery is real end to end — schema, encoders, partition-wise
   * batching via `mapPartitions` (the JVM analog of `mapInPandas`:
   * one iterator per partition, no per-row scheduling, no driver
-  * collect) — while the decoder itself is a STUB: this container has
-  * no image/audio codecs, so [[FakeCodec]] derives metadata
-  * deterministically from the bytes. Swapping in a real codec changes
-  * only the function body, not the dataflow.
+  * collect) — and so are the decoders: header walks over genuine
+  * byte layouts ([[HeaderCodec]] for PNG/JPEG/GIF/BMP/WebP/TIFF,
+  * [[WavCodec]] for RIFF/WAV, [[Mp4Codec]] for ISO-BMFF) and the
+  * pixel decoders ([[PixelCodec]]: PNG zlib inflate + BMP pixel-array
+  * walk). This container has no codec LIBRARIES, so full bitstream
+  * decode (JPEG DCT, H.264) is out of scope — everything here parses
+  * real bytes with no external dependency.
   *
   * Scale: decode runs in the scan stage (narrow), frames explode via
   * flatMap (still narrow); the only shuffle anywhere is whatever
@@ -24,20 +27,6 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, mime: String, n_bytes: Long,
                        width: Int, height: Int, n_frames: Int)
 
-  /** STUB decoder — deterministic fake in place of a real codec.
-    * Formulas are pure functions of (doc_id, n_bytes) so the DuckDB
-    * oracle can replay them. A real implementation would parse
-    * `content` headers here (e.g. PNG IHDR / WAV fmt chunk). */
-  object FakeCodec {
-    def decode(r: MediaRow): MediaMeta = {
-      val n = r.content.length.toLong
-      MediaMeta(r.doc_id, r.mime, n,
-        width = (64 + n % 577).toInt,
-        height = (64 + (n * 31 + r.doc_id) % 353).toInt,
-        n_frames = (1 + r.doc_id % 24).toInt)
-    }
-  }
-
   /** REAL header parsing — the part of a codec that needs no codec
     * library: container signatures and dimension fields read straight
     * off the bytes. PNG: the IHDR chunk that must open every file
@@ -46,7 +35,7 @@ object Multimodal {
     * frames, so the parser hops APPn/DQT/COM/… until a
     * start-of-frame marker (C0–CF minus C4/C8/CC, which are
     * huffman/arithmetic tables) and reads height/width from the
-    * frame header. Runs partition-wise like [[FakeCodec]]; malformed
+    * frame header. Runs partition-wise ([[decodeHeaders]]); malformed
     * or truncated bytes yield None, never an exception — a poisoned
     * row must not kill a 100 TB scan task. */
   object HeaderCodec {
@@ -486,16 +475,38 @@ object Multimodal {
       }))
   }
 
-  /** Synthesize a media table from `documents` (text bytes stand in
-    * for encoded media; mime assigned round-robin by doc_id). */
+  /** Nominal frame rate for video frame-count metadata: the movie
+    * header (mvhd) declares duration and timescale but not a frame
+    * count — frames live in per-track sample tables a header-only
+    * walk doesn't reach — so frame-grain consumers (sampling) work
+    * from `duration × fps`, the standard container-level estimate. */
+  val NominalFps = 24
+
+  /** Synthesize a mixed-media table from `documents`: REAL encoded
+    * bytes per mime, round-robin by doc_id — a genuine PNG (IHDR
+    * dimensions from doc_id arithmetic), a genuine RIFF/WAV (PCM
+    * parameters, every third audio file opening with a junk chunk
+    * the walker must hop), a genuine ISO-BMFF MP4 (timescale =
+    * [[NominalFps]], duration in ticks, odd ids on the 64-bit v1
+    * mvhd path). The oracle replays the ENCODED parameters
+    * arithmetically; [[decodeMeta]] must recover them from the bytes. */
   def mediaFromDocuments(docs: DataFrame)(implicit s: SparkSession): Dataset[MediaRow] = {
     import s.implicits._
-    docs.select(col("doc_id"),
-        when(col("doc_id") % 3 === 0, "image/png")
-          .when(col("doc_id") % 3 === 1, "audio/wav")
-          .otherwise("video/mp4").as("mime"),
-        col("text").cast("binary").as("content"))
-      .as[MediaRow]
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      if (id % 3 == 0)
+        MediaRow(id, "image/png",
+          pngBytes((64 + id % 577).toInt, (64 + (id * 31) % 353).toInt))
+      else if (id % 3 == 1)
+        MediaRow(id, "audio/wav", wavBytes(
+          channels = 1 + (id % 2).toInt,
+          sampleRate = Array(8000, 16000, 22050, 44100, 48000)((id % 5).toInt),
+          bits = Array(8, 16, 24, 32)((id % 4).toInt),
+          nSamples = 1000 + (id * 37) % 9000,
+          withJunk = id % 9 == 1))
+      else
+        MediaRow(id, "video/mp4",
+          mp4Bytes(NominalFps, 1 + id % 24, v1 = id % 2 == 1))
+    })
   }
 
   case class ImageHeaderMeta(doc_id: Long, fmt: String, width: Int, height: Int)
@@ -671,15 +682,30 @@ object Multimodal {
       }))
   }
 
-  /** Partition-wise decode: one codec instance per partition, rows
-    * streamed through an iterator — the batch shape a real
-    * (expensive-to-init) codec needs. */
+  /** Partition-wise REAL decode into the unified media-metadata shape
+    * — one dispatch over the codec family per row, rows streamed
+    * through an iterator (the batch shape an expensive-to-init codec
+    * needs; these parsers are allocation-free walks, so init cost is
+    * nil). Images: parsed dimensions, one frame. Audio: parsed
+    * sample-frame count (dimensions 0 — sound has none). Video:
+    * frames = parsed duration scaled to [[NominalFps]] (see its doc —
+    * mvhd carries no frame count), dimensions 0 at the movie-header
+    * grain. Bytes no parser accepts are DROPPED, the same dead-letter
+    * discipline as [[decodeHeaders]]. */
   def decodeMeta(media: Dataset[MediaRow])(implicit s: SparkSession): Dataset[MediaMeta] = {
     import s.implicits._
-    media.mapPartitions { it =>
-      // real codec: init native lib once per partition here
-      it.map(FakeCodec.decode)
-    }
+    media.mapPartitions(_.flatMap { r =>
+      val n = r.content.length.toLong
+      HeaderCodec.parse(r.content).map { case (_, w, h) =>
+        MediaMeta(r.doc_id, r.mime, n, w, h, 1)
+      }.orElse(WavCodec.parse(r.content).map { case (_, _, _, frames) =>
+        MediaMeta(r.doc_id, r.mime, n, 0, 0,
+          math.min(frames, Int.MaxValue).toInt)
+      }).orElse(Mp4Codec.parse(r.content).map { case (_, _, ts, dur) =>
+        MediaMeta(r.doc_id, r.mime, n, 0, 0,
+          math.min(dur * NominalFps / ts, Int.MaxValue).toInt)
+      })
+    })
   }
 
   /** Frame sampling: every `step`-th frame of video media, exploded
@@ -712,6 +738,19 @@ object Multimodal {
       else MediaResizePlan(m.doc_id, m.width, m.height,
         math.max(m.width * box / mx, 1), math.max(m.height * box / mx, 1))
     })
+  }
+
+  /** Opaque-bytes frame for the FEATURE leg ([[extractFeatures]]):
+    * the documents' UTF-8 text bytes as a binary column. Feature
+    * extraction is format-agnostic by design (a byte histogram needs
+    * no container), and text bytes keep the oracle replayable as
+    * `ascii()` arithmetic — the decode queries get real container
+    * bytes from [[mediaFromDocuments]] instead. */
+  def textBytesFromDocuments(docs: DataFrame)(implicit s: SparkSession): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id"), lit("application/octet-stream").as("mime"),
+        col("text").cast("binary").as("content"))
+      .as[MediaRow]
   }
 
   case class MediaFeature(doc_id: Long, feature: Array[Float])

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** tx_langid learnability: the char-n-gram Naive Bayes must beat the
+  * majority-class baseline by a real margin on the fixture corpus —
+  * the oracle proves the ARITHMETIC replays; this pins that the
+  * model actually LEARNS the labels (measured 0.878 at sf0.001 over
+  * a 0.386 majority share). */
+class LangIdSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trained NB language-ID beats majority with margin (sf0.001)") {
+    val got = graft.SparkEntry.queries("tx_langid")(
+      spark, "/root/testdata/sf0.001")
+      .select(col("lang"), col("correct"))
+      .as[(String, Boolean)].collect()
+    val n = got.length.toDouble
+    assert(n > 0, "tx_langid produced no rows")
+    val majority =
+      got.groupBy(_._1).values.map(_.length).max / n
+    val acc = got.count(_._2) / n
+    assert(acc > majority + 0.1,
+      s"NB acc $acc must clear majority $majority by ≥ 0.1 — the " +
+        "trained model is supposed to LEARN, not mimic the baseline")
+    // the measured floor, with slack for a regenerated fixture
+    assert(acc >= 0.8, s"NB accuracy $acc below the 0.8 floor " +
+      "(measured 0.878 at sf0.001)")
+  }
+
+  test("every document long enough to carry one gram is scored") {
+    val dir = "/root/testdata/sf0.001"
+    val scored = graft.SparkEntry.queries("tx_langid")(spark, dir).count()
+    val eligible = graft.Tables.documents(spark, dir)
+      .filter(length(col("text")) >= TextPack.LangIdN).count()
+    assert(scored == eligible, s"$scored scored vs $eligible eligible")
+  }
+}

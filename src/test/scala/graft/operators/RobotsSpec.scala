@@ -78,6 +78,9 @@ class RobotsSpec extends SparkSpec {
     assert(none.values.forall(_ == true))
   }
 
+  private def noDelays =
+    Seq.empty[(String, String, Int)].toDF("domain", "agent", "delay")
+
   test("agent selection: the bot's own group wins over *, absent bot " +
     "group falls back to *") {
     val parsed = Seq(
@@ -86,11 +89,50 @@ class RobotsSpec extends SparkSpec {
       ("without.com", "*", "/b", false),
       ("without.com", "otherbot", "/", false)) // other agents ignored
       .toDF("domain", "agent", "path", "allow")
-    val sel = RobotsOps.rulesForAgent(parsed).collect()
+    val sel = RobotsOps.rulesForAgent(parsed, noDelays).collect()
       .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
     assert(sel == Set(
       ("with.com", "/a", false),
       ("without.com", "/b", false)), s"selected: $sel")
+  }
+
+  test("RFC 9309 §2.2.1 most-specific selection: a shorter prefix " +
+    "group binds only when no longer match exists; longer " +
+    "non-matching tokens never bind") {
+    val parsed = Seq(
+      // both a prefix group and the exact token: exact (longest) wins
+      ("both.com", "graft", "/short", false),
+      ("both.com", "graftbot", "/exact", false),
+      ("both.com", "*", "/", false),
+      // only the prefix group: it binds instead of *
+      ("pfx.com", "graft", "/g", false),
+      ("pfx.com", "*", "/", false),
+      // a LONGER token that is not a prefix of graftbot: never binds
+      ("news.com", "graftbot-news", "/", false),
+      ("news.com", "*", "/star", false))
+      .toDF("domain", "agent", "path", "allow")
+    val sel = RobotsOps.rulesForAgent(parsed, noDelays).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(sel == Set(
+      ("both.com", "/exact", false),
+      ("pfx.com", "/g", false),
+      ("news.com", "/star", false)), s"selected: $sel")
+  }
+
+  test("delay-only groups count for existence: a graftbot group " +
+    "carrying just a Crawl-delay suppresses the * rules AND its " +
+    "delay drives the cap") {
+    val parsed = Seq(("d.com", "*", "/", false))
+      .toDF("domain", "agent", "path", "allow")
+    val delays = Seq(("d.com", "graftbot", 25), ("d.com", "*", 2))
+      .toDF("domain", "agent", "delay")
+    val rules = RobotsOps.rulesForAgent(parsed, delays).collect()
+    assert(rules.isEmpty,
+      "the delay-only graftbot group exists, so * rules must NOT " +
+        s"apply (allow-everything), got: ${rules.mkString(",")}")
+    val d = RobotsOps.delaysForAgent(parsed, delays).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(d == Set(("d.com", 25)), s"got: $d")
   }
 
   test("fixture law: every even-hash domain's graftbot group carves " +
@@ -114,7 +156,8 @@ class RobotsSpec extends SparkSpec {
         assert(alw.startsWith(dis) && alw.length == dis.length + 1,
           s"$d: allow $alw must extend disallow $dis by one digit")
       }
-      assert(rs.exists(_._2 == "*") || rs.forall(_._2 == "graftbot"),
+      assert(rs.exists(_._2 == "*") || rs.forall(r =>
+        Set("graftbot", "graft", "graftbot-news").contains(r._2)),
         s"$d carries no * group rules only when its * disallow is empty")
     }
   }
@@ -155,7 +198,7 @@ class RobotsSpec extends SparkSpec {
         "User-agent: graftbot\nDisallow: /b\nAllow: /a/ok"
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val parsed = Seq(("d.com", text)).toDF("domain", "robots")
-    val sel = RobotsOps.rulesForAgent(RobotsOps.parseRules(parsed))
+    val sel = RobotsOps.rulesForAgent(RobotsOps.parseRules(parsed), noDelays)
       .collect().map(r => (r.getString(1), r.getBoolean(2))).toSet
     assert(sel == Set(("/a", false), ("/b", false), ("/a/ok", true)),
       s"selected: $sel")

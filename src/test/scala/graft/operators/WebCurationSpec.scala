@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[WebCurationPack]] laws the fixture's hash geometry can't
+  * isolate: the rank-ordered politeness budget and the re-crawl
+  * boundary semantics. */
+class WebCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("budgetCap: each domain's budget goes to the highest " +
+    "in-degree targets, dst ascending as the tiebreak") {
+    val rows = Seq(
+      // d.com: cap 2 — the two high-indeg targets must win even
+      // though they sort LAST lexicographically
+      ("d.com", "https://d.com/zz-popular", 9L),
+      ("d.com", "https://d.com/zy-popular", 9L),
+      ("d.com", "https://d.com/aa-obscure", 1L),
+      ("d.com", "https://d.com/ab-obscure", 1L),
+      // e.com: tie on indeg — dst ascending decides
+      ("e.com", "https://e.com/b", 3L),
+      ("e.com", "https://e.com/a", 3L),
+      ("e.com", "https://e.com/c", 3L))
+      .toDF("domain", "dst", "indeg")
+    val caps = Seq(("d.com", 2), ("e.com", 2)).toDF("domain", "cap")
+    val got = WebCurationPack.budgetCap(rows, caps, Seq("domain", "dst"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("d.com", "https://d.com/zy-popular"),
+      ("d.com", "https://d.com/zz-popular"),
+      ("e.com", "https://e.com/a"),
+      ("e.com", "https://e.com/b")), s"got: $got")
+  }
+
+  test("recrawlDue: strictly newer lastmod schedules, the equal-date " +
+    "boundary and older lastmods do not") {
+    val log = Seq(
+      ("https://d.com/new", java.sql.Date.valueOf("2026-03-01")),
+      ("https://d.com/same", java.sql.Date.valueOf("2026-06-15")),
+      ("https://d.com/old", java.sql.Date.valueOf("2026-09-01")))
+      .toDF("canonical", "fetched_at")
+    val sm = Seq(
+      ("https://d.com/new", java.sql.Date.valueOf("2026-03-02")),
+      ("https://d.com/same", java.sql.Date.valueOf("2026-06-15")),
+      ("https://d.com/old", java.sql.Date.valueOf("2026-08-31")))
+      .toDF("canonical", "modified")
+    val due = WebCurationPack.recrawlDue(log, sm)
+      .select(col("canonical")).as[String].collect().toSeq
+    assert(due == Seq("https://d.com/new"),
+      s"only the strictly-newer page is due; got $due")
+  }
+
+  test("crawlLog: the h%6 cohort is fetched exactly on the sitemap " +
+    "generator's year-end lastmod — the boundary exists by " +
+    "construction") {
+    val c = Seq.tabulate(60)(i => s"https://site$i.com/p/$i")
+      .toDF("canonical")
+    val log = WebCurationPack.crawlLog(c).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString)).toMap
+    val boundary = log.filter(_._2 == "2026-12-28")
+    assert(boundary.nonEmpty,
+      "no page fetched on 2026-12-28 — the strict-inequality " +
+        "boundary would be untested at fixture scale")
+    // and the spread cohort stays within the year (before year-end)
+    assert(log.values.forall(d => d >= "2026-01-01" && d <= "2026-12-28"))
+  }
+}
