@@ -292,31 +292,69 @@ object DevStress {
     // (expansion rows are the search's only corpus-bound exchange)
     if (wants("hnsw_search", "hnsw_depth")) {
       import scala.collection.mutable
-      val nVec = knnVecs.count()
+      // INTERPOLATED replicas, not copies: identical copies make the
+      // probe space 2 k isolated duplicate-clusters — NN-Descent
+      // edges all land INSIDE a cluster (your 6 nearest neighbors
+      // are your replicas), beams cannot travel, and brute-force
+      // "truth" is a cos-1.0 tie lottery, so recall measures nothing
+      // for ANY schedule (measured: 0.05–0.11 for every variant).
+      // Replica r of vector i is instead the point (1−t)·vᵢ + t·vᵢ₊₁
+      // (t = r/factor) — a smooth factor×-dense manifold through the
+      // base points, the structure real embedding spaces have and
+      // graph search is built for, with a well-defined top-K
+      val nxt = emb.filter(col("embedding").isNotNull)
+        .select((col("vec_id") - 1).as("vec_id"),
+          col("embedding").as("e2"))
+      val pvecs = emb.filter(col("embedding").isNotNull)
+        .join(nxt, Seq("vec_id"))
+        .crossJoin(spark.range(factor).select(col("id").as("rep")))
+        .select((col("vec_id") * factor + col("rep")).as("vec_id"),
+          expr(s"zip_with(embedding, e2, (x, y) -> CAST(" +
+            s"x * (1.0 - rep / CAST($factor AS DOUBLE)) + " +
+            s"y * (rep / CAST($factor AS DOUBLE)) AS FLOAT))")
+            .as("embedding"))
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.Similarity.norm(col("embedding")).as("nrm"))
+        .persist()
+      val nVec = pvecs.count()
       val levels = SimilarityPack.hnswLevels(nVec)
+      // (an 8-round build — NN-Descent's ~log n guidance — was
+      // probed and changed neither form's recall by >0.01: at this
+      // factor recall is ENTRY-TRAVEL-bound, not convergence-bound;
+      // see the SCALE.md round-14 row)
       val layerGraphs = (1 to levels).map(l => l ->
-        SimilarityPack.knnGraphOver(knnVecs.filter(
+        SimilarityPack.knnGraphOver(pvecs.filter(
           SimilarityPack.hnswMemberAt(col("vec_id"), l)))).toMap
-      val base = SimilarityPack.knnGraphOver(knnVecs)
+      val base = SimilarityPack.knnGraphOver(pvecs)
       def entriesAt(top: Int) =
-        (SimilarityPack.searchEntriesOf(knnVecs,
+        (SimilarityPack.searchEntriesOf(pvecs,
           Some(SimilarityPack.hnswMemberAt(col("vec_id"), top))) ++
-          SimilarityPack.searchEntriesOf(knnVecs)).distinct.sorted
+          SimilarityPack.searchEntriesOf(pvecs)).distinct.sorted
+      def run(name: String, sched: Seq[Int], top: Int,
+              counts: mutable.Buffer[Long]): DataFrame = {
+        var out: DataFrame = null
+        time(name, { out = SimilarityPack.beamSearchOver(pvecs,
+          sched.map(layerGraphs) ++
+            Seq.fill(SimilarityPack.HnswFineRounds)(base),
+          entriesAt(top), Some(counts)); out })
+        out
+      }
       val deep = mutable.Buffer.empty[Long]
-      time(s"hnsw_search_depth$levels", SimilarityPack.beamSearchOver(
-        knnVecs,
-        SimilarityPack.hnswSchedule(levels).map(layerGraphs) ++
-          Seq.fill(SimilarityPack.HnswFineRounds)(base),
-        entriesAt(levels), Some(deep)))
+      val deepRes = run(s"hnsw_search_depth$levels",
+        SimilarityPack.hnswSchedule(levels), levels, deep)
       val two = mutable.Buffer.empty[Long]
-      time("hnsw_search_2level", SimilarityPack.beamSearchOver(
-        knnVecs,
-        Seq.fill(2)(layerGraphs(1)) ++
-          Seq.fill(SimilarityPack.HnswFineRounds)(base),
-        entriesAt(1), Some(two)))
+      val twoRes = run("hnsw_search_2level", Seq(1, 1), 1, two)
+      // recall@K against the brute-force truth — the deep schedule
+      // must cut candidates WITHOUT giving recall back
+      val truth = SimilarityPack.bruteTruth(pvecs)
+        .localCheckpoint(eager = true)
+      def recall(res: DataFrame): Double = SimilarityPack.recallRow(
+        res.select(col("qid").as("src"), col("nbr_id").as("dst")), truth)
+        .collect()(0).getAs[Double]("recall")
       println(s"[stress] x$factor hnsw expanded candidates: " +
         s"depth-$levels = ${deep.sum} ${deep.mkString("[", ",", "]")} " +
-        s"vs 2-level = ${two.sum} ${two.mkString("[", ",", "]")}")
+        s"recall ${recall(deepRes)} vs 2-level = ${two.sum} " +
+        s"${two.mkString("[", ",", "]")} recall ${recall(twoRes)}")
     }
 
     // pagerank: the q_pagerank edge graph replicated factor× with

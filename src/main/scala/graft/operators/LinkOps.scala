@@ -164,12 +164,40 @@ object LinkOps {
   /** The memoized (src, dst) edge frame for a corpus key (`canon` is
     * only evaluated on a building call). */
   def linkGraphFor(key: String, canon: => DataFrame): DataFrame =
-    graphMemo.compute(key, (k, old) =>
-      if (old != null && !old.sparkSession.sparkContext.isStopped) old
+    edgeArtifact(key)(linkGraph(canon))
+
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def liveFrame(df: DataFrame): Boolean =
+    df != null && !df.sparkSession.sparkContext.isStopped
+
+  /** Memo/persist for an ARBITRARY deterministic edge-frame build —
+    * the general form of [[linkGraphFor]]: the incremental cycle
+    * registers its MERGED snapshot (previous artifact ∪ new-page
+    * extraction) here, so the extraction cost is paid once per cycle
+    * (the artifact WRITE) and every later consumer — including the
+    * next cycle — reads it, in-process via the memo and across
+    * processes via the [[IndexCache.frame]] parquet envelope.
+    * Per-key monitors rather than computeIfAbsent: a cycle build
+    * NESTS a [[linkGraphFor]] read of the dir artifact, which
+    * ConcurrentHashMap.compute forbids as a recursive update;
+    * nesting only ever goes cycle-key → dir-key, so the lock order
+    * is acyclic. */
+  def edgeArtifact(key: String)(build: => DataFrame): DataFrame = {
+    val cached = graphMemo.get(key)
+    if (liveFrame(cached)) cached
+    else buildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      val again = graphMemo.get(key)
+      if (liveFrame(again)) again
       else {
-        lazy val c = canon // one evaluation serves both session + build
-        IndexCache.frame(c.sparkSession, "edges", k)(linkGraph(c))
-      })
+        val b = build
+        val built = IndexCache.frame(b.sparkSession, "edges", key)(b)
+        graphMemo.put(key, built)
+        built
+      }
+    }
+  }
 
   /** (src, dst) canonical link edges: extract, resolve, run the
     * TARGET through the same canonicalizer as crawled URLs, drop

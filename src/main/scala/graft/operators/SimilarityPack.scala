@@ -474,11 +474,12 @@ object SimilarityPack extends QueryPack {
     * layer, by the same formula. Each level carries its own
     * NN-Descent graph over its subset — longer-range edges per
     * level, since neighbors span 8× the previous density. Search
-    * descends one beam round per level, top level first
-    * ([[hnswSchedule]]; the single-layer corpus keeps the measured
-    * two level-1 rounds), then [[HnswFineRounds]] rounds on the
-    * base graph refine — FEWER base-graph rounds than the flat
-    * search's [[SearchRounds]] at the same beam width. Measured
+    * descends the TOP TWO levels, one beam round each
+    * ([[hnswSchedule]] — the single-layer corpus keeps the measured
+    * two level-1 rounds, and the full L..1 descent is measured and
+    * rejected there), then [[HnswFineRounds]] rounds on the base
+    * graph refine — FEWER base-graph rounds than the flat search's
+    * [[SearchRounds]] at the same beam width. Measured
     * recall@6 (sim_hnsw_recall): 0.90/0.92 at sf0.001/0.01 (L=1
     * there — unchanged from the 2-level form). Entries are the
     * union of the TOP layer's stratum anchors and the base anchors
@@ -551,12 +552,19 @@ object SimilarityPack extends QueryPack {
       graft.Tables.embeddings(s, dir)
         .filter(col("embedding").isNotNull).count())
 
-  /** The coarse-round LEVEL schedule for a depth-L hierarchy,
-    * top-down: one round per level L..1; the single-layer corpus
-    * keeps two level-1 rounds (the measured recall shape — one
-    * round under-localizes from spread entries). */
+  /** The coarse-round LEVEL schedule for a depth-L hierarchy: the
+    * TOP TWO levels, descending — always exactly two coarse rounds.
+    * The single-layer corpus keeps two level-1 rounds (the measured
+    * recall shape — one round under-localizes from spread entries);
+    * a full per-level descent (L..1) was probed at ×20/depth-3 and
+    * REJECTED: the level-1 coarse round alone expanded 497 k
+    * candidates (the beam is fully populated by then, so a dense
+    * layer multiplies it), pushing the deep form ABOVE the 2-level
+    * form's total — the hierarchy's value is the top layers' long
+    * hops, and the base fine rounds already do dense local
+    * refinement (SCALE.md round-14 row). */
   def hnswSchedule(levels: Int): Seq[Int] =
-    if (levels <= 1) Seq(1, 1) else (levels to 1 by -1)
+    Seq(levels, math.max(levels - 1, 1))
 
   /** Top-down HNSW-style search over the per-level memoized graphs.
     * The seed set is the UNION of the TOP layer's stratum anchors
@@ -2018,10 +2026,16 @@ object SimilarityPack extends QueryPack {
        |${knnCtesFor("l2", sqlHnswMemberAt(2))},
        |${knnCtesFor("l3", sqlHnswMemberAt(3))},
        |${searchCtesFor("hq", Seq(sqlTopMember, "TRUE"), Seq(
-            s"(SELECT * FROM l3e$KnnRounds WHERE (SELECT lvl FROM hmods) >= 3)",
-            s"(SELECT * FROM l2e$KnnRounds WHERE (SELECT lvl FROM hmods) >= 2)",
-            s"l1e$KnnRounds",
-            s"(SELECT * FROM l1e$KnnRounds WHERE (SELECT lvl FROM hmods) = 1)") ++
+            s"""(SELECT * FROM l3e$KnnRounds
+               |   WHERE (SELECT lvl FROM hmods) = 3
+               |   UNION ALL SELECT * FROM l2e$KnnRounds
+               |   WHERE (SELECT lvl FROM hmods) = 2
+               |   UNION ALL SELECT * FROM l1e$KnnRounds
+               |   WHERE (SELECT lvl FROM hmods) = 1)""".stripMargin,
+            s"""(SELECT * FROM l2e$KnnRounds
+               |   WHERE (SELECT lvl FROM hmods) = 3
+               |   UNION ALL SELECT * FROM l1e$KnnRounds
+               |   WHERE (SELECT lvl FROM hmods) <= 2)""".stripMargin) ++
           Seq.fill(HnswFineRounds)(s"e$KnnRounds"))}""".stripMargin
 
   /** The corpus-derived depth replayed in SQL ([[hnswLevels]]'s
@@ -2041,14 +2055,13 @@ object SimilarityPack extends QueryPack {
       "(CASE (SELECT lvl FROM hmods) WHEN 3 THEN 512 WHEN 2 THEN 64 " +
       "ELSE 8 END) = 0"
 
-  /** The oracle unrolls FOUR coarse slots — levels 3/2/1 descending
-    * plus the single-layer pad round — each GATED on the replayed
-    * depth (an empty edge set is a beam no-op: the round's union
-    * adds nothing and the keep-K reproduces the previous beam), so
-    * one static string mirrors every realized depth: L=1 effective
-    * [1,1] (the measured two-round shape), L=2 [2,1], L=3 [3,2,1].
-    * Matches [[hnswSchedule]] exactly. */
-  private lazy val HnswTotalRounds = 4 + HnswFineRounds
+  /** The oracle's two coarse rounds pick their edge chain by the
+    * replayed depth — each round is a UNION of depth-gated selects
+    * over the three static level chains, so one static string
+    * mirrors every realized depth: L=1 → [1,1] (the measured
+    * two-round shape), L=2 → [2,1], L=3 → [3,2]. Matches
+    * [[hnswSchedule]] exactly. */
+  private lazy val HnswTotalRounds = 2 + HnswFineRounds
 
   /** Unrolled NN-Descent CTE chain: seed e0 = (i → (i+j) mod N),
     * then per round i the undirected closure u_i → candidates nb_i →

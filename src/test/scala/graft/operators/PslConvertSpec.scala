@@ -38,6 +38,25 @@ class PslConvertSpec extends SparkSpec {
     assert(r.maxMatchLabels == 5)
   }
 
+  test("IDN rules normalize to punycode at parse time; the case fold " +
+    "is locale-proof") {
+    // the published list carries Unicode rules (e.g. 中国, рф); hosts
+    // arrive punycoded, so the stored rule must be the xn-- form
+    val r = PslConvert.parse(Iterator("com", "中国", "*.公司.cn", "!例.中国"))
+    assert(r.normal == Seq("com", "xn--fiqs8s"))
+    assert(r.wild == Seq("xn--55qx5d.cn"))
+    assert(r.exc == Seq("xn--fsq.xn--fiqs8s"))
+    // Locale.ROOT fold: under a Turkish default locale a plain
+    // toLowerCase would map 'I' to dotless 'ı' and orphan the rule
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      val t = PslConvert.parse(Iterator("com", "GitHub.IO"))
+      assert(t.normal == Seq("com", "github.io"),
+        s"Turkish-locale fold corrupted the rule: ${t.normal}")
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("parse rejects non-leftmost wildcards and non-list input loudly") {
     intercept[IllegalArgumentException] {
       PslConvert.parse(Iterator("com", "a.*.b"))
