@@ -50,14 +50,17 @@ object PslConvert {
     lines.foreach { raw =>
       val line = raw.trim.takeWhile(!_.isWhitespace)
       if (line.nonEmpty && !line.startsWith("//")) {
-        val rule = toAscii(line.toLowerCase(java.util.Locale.ROOT))
+        // classify by the kind prefix FIRST, punycode only the rule
+        // BODY — toAscii over the whole line would encode the '!'
+        // or '*.' marker into the first label's xn-- form
+        val rule = line.toLowerCase(java.util.Locale.ROOT)
         if (rule.startsWith("!")) {
-          val r = rule.drop(1)
+          val r = toAscii(rule.drop(1))
           require(!r.contains("*") && r.nonEmpty,
             s"malformed exception rule: '$raw'")
           exc += r
         } else if (rule.startsWith("*.")) {
-          val base = rule.drop(2)
+          val base = toAscii(rule.drop(2))
           require(!base.contains("*") && base.nonEmpty,
             s"wildcard label must be leftmost and single: '$raw'")
           wild += base
@@ -66,7 +69,7 @@ object PslConvert {
         } else {
           require(!rule.contains("*"),
             s"wildcard label must be leftmost: '$raw'")
-          normal += rule
+          normal += toAscii(rule)
         }
       }
     }

@@ -154,6 +154,36 @@ class IndexCacheSpec extends SparkSpec {
     }
   }
 
+  test("frame artifacts: parquet envelope round-trips, a fresh " +
+    "process scans instead of rebuilding, and a torn write rebuilds") {
+    import org.apache.spark.sql.functions._
+    withPersistDir { root =>
+      def build = spark.range(100)
+        .select(concat(lit("https://a/"), col("id")).as("src"),
+          concat(lit("https://b/"), col("id")).as("dst"))
+      val b0 = IndexCache.frameBuildCount
+      val first = IndexCache.frame(spark, "edges", "spec-corpus")(build)
+      assert(IndexCache.frameBuildCount == b0 + 1)
+      assert(first.count() == 100)
+      // fresh process: the parquet envelope serves the scan, no build
+      val loaded = IndexCache.frame(spark, "edges", "spec-corpus")(
+        sys.error("must not rebuild: the envelope exists"))
+      assert(IndexCache.frameBuildCount == b0 + 1)
+      assert(loaded.orderBy("src").collect().toSeq ==
+        first.orderBy("src").collect().toSeq)
+      // a KEY mismatch under the same file name cannot happen (the
+      // key is hashed into the name AND stamped inside) — but a torn
+      // write (no _SUCCESS) must rebuild, not serve
+      val d = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("edges_")).head
+      new java.io.File(d, "_SUCCESS").delete()
+      val rebuilt = IndexCache.frame(spark, "edges", "spec-corpus")(build)
+      assert(IndexCache.frameBuildCount == b0 + 2,
+        "a torn envelope (no _SUCCESS) must rebuild")
+      assert(rebuilt.count() == 100)
+    }
+  }
+
   test("without persistDir the memo stays process-local") {
     val prev = IndexCache.persistDir
     IndexCache.persistDir = None
