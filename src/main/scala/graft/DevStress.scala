@@ -637,6 +637,15 @@ object DevStress {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct("canonical").as("n_pages")))
     }
+    // trained language-ID at factor× docs: ONE hashed-gram pass into
+    // a checkpointed (doc, lang, bucket) count frame; the NB model is
+    // langs × buckets rows at ANY factor (the constant-model claim),
+    // so wall must track input bytes while the broadcast grid and the
+    // argmax stay fixed-size
+    if (wants("langid")) {
+      time("langid", graft.operators.TextPack.langIdOver(
+        spark.read.parquet("/tmp/stress_docs")))
+    }
     // crawl discovery at factor× pages (replication shifts doc_ids,
     // so the canonical page set grows with the factor): the link
     // graph and the frontier must scale LINEARLY in pages — hrefs

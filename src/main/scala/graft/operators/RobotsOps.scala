@@ -175,9 +175,13 @@ object RobotsOps {
           key match {
             case "user-agent" =>
               // a UA line after rules STARTS A NEW GROUP; stacked UA
-              // lines before any rule share the group
+              // lines before any rule share the group. An EMPTY value
+              // is dropped (not a product token) — recorded, it would
+              // prefix-match EVERY crawler through the most-specific
+              // selection and bind rules no site intended
               if (inRules) { agents = Nil; inRules = false }
-              agents ::= value.toLowerCase(java.util.Locale.ROOT)
+              if (value.nonEmpty)
+                agents ::= value.toLowerCase(java.util.Locale.ROOT)
             case "disallow" | "allow" =>
               inRules = true
               if (value.nonEmpty)

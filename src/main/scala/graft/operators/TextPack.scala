@@ -43,6 +43,61 @@ object TextPack extends QueryPack {
     * accuracy hashed vs raw). */
   val LangIdBuckets = 32768
 
+  /** The tx_langid body over any documents frame — public so
+    * DevStress probes the production stages at replicated scale.
+    * One gram pass → checkpointed (doc, lang, bucket) counts →
+    * bounded NB model grid (langs × observed buckets) → broadcast
+    * scoring → integer argmax; see the tx_langid query comment. */
+  def langIdOver(docs: DataFrame): DataFrame = {
+    val grams = docs.filter(length(col("text")) >= LangIdN)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(s"transform(sequence(1, length(text) - ${LangIdN - 1}, " +
+          s"$LangIdStride), i -> substring(text, i, $LangIdN))")).as("gs"))
+      .select(col("doc_id"), col("lang"),
+        (Hashing.h32(col("gs")) % LangIdBuckets).as("g"))
+    // ONE pass over the gram explode (the per-gram md5 is the hot
+    // cost): lang rides the doc-grain groupBy for free (it is
+    // functionally dependent on doc_id — same exchange), and the
+    // training counts, vocabulary, and scoring all derive from the
+    // checkpointed (doc, lang, bucket) counts instead of each
+    // re-hashing the corpus (measured 5.3 → ~2.5 s at sf0.1)
+    val dgl = grams.groupBy(col("doc_id"), col("lang"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val dg = dgl.select(col("doc_id"), col("g"), col("c"))
+    val lg = dgl.groupBy(col("lang"), col("g"))
+      .agg(sum(col("c")).as("c"))
+    val vocab = dgl.select(col("g")).distinct()
+    val langs = docs.select(col("lang")).distinct()
+    val tot = lg.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+    val grid = vocab
+      .crossJoin(broadcast(langs))
+      .crossJoin(broadcast(vocab.agg(count(lit(1)).as("v"))))
+      .join(broadcast(tot), Seq("lang"))
+      .join(lg, Seq("lang", "g"), "left")
+      .select(col("lang"), col("g"),
+        floor(log2((coalesce(col("c"), lit(0L)) + lit(1.0))
+          / (col("t") + col("v"))) * 1e4 + lit(0.5))
+          .cast("long").as("w"))
+    val prior = docs.groupBy(col("lang")).agg(count(lit(1)).as("ld"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .select(col("lang"),
+        floor(log2(col("ld").cast("double") / col("n")) * 1e4
+          + lit(0.5)).cast("long").as("p"))
+    val pred = dg.join(broadcast(grid), Seq("g"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c") * col("w")).as("sw"))
+      .join(broadcast(prior), Seq("lang"))
+      .select(col("doc_id"), col("lang").as("cand"),
+        (col("sw") + col("p")).as("sc"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("sc"), col("cand"))).as("b"))
+      .select(col("doc_id"), col("b.cand").as("pred_lang"))
+    docs.select(col("doc_id"), col("lang")).join(pred, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        (col("lang") === col("pred_lang")).as("correct"))
+  }
+
   private[operators] val stopEn = Seq("the", "a", "of", "in", "and")
   private[operators] val stopEs = Seq("el", "la", "de", "en", "y")
   private[operators] val stopDe = Seq("der", "die", "das", "und", "ein")
@@ -258,56 +313,7 @@ object TextPack extends QueryPack {
     // 0.938/0.958 at sf0.001/0.01 over a 0.39/0.44 majority share
     // (pinned in LangIdSpec). Docs shorter than one gram carry no
     // evidence and are absent (inner join, mirrored in the oracle)
-    "tx_langid" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val grams = docs.filter(length(col("text")) >= LangIdN)
-        .select(col("doc_id"), col("lang"),
-          explode(expr(s"transform(sequence(1, length(text) - ${LangIdN - 1}, " +
-            s"$LangIdStride), i -> substring(text, i, $LangIdN))")).as("gs"))
-        .select(col("doc_id"), col("lang"),
-          (Hashing.h32(col("gs")) % LangIdBuckets).as("g"))
-      // ONE pass over the gram explode (the per-gram md5 is the hot
-      // cost): lang rides the doc-grain groupBy for free (it is
-      // functionally dependent on doc_id — same exchange), and the
-      // training counts, vocabulary, and scoring all derive from the
-      // checkpointed (doc, lang, bucket) counts instead of each
-      // re-hashing the corpus (measured 5.3 → ~2.5 s at sf0.1)
-      val dgl = grams.groupBy(col("doc_id"), col("lang"), col("g"))
-        .agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
-      val dg = dgl.select(col("doc_id"), col("g"), col("c"))
-      val lg = dgl.groupBy(col("lang"), col("g"))
-        .agg(sum(col("c")).as("c"))
-      val vocab = dgl.select(col("g")).distinct()
-      val langs = docs.select(col("lang")).distinct()
-      val tot = lg.groupBy(col("lang")).agg(sum(col("c")).as("t"))
-      val grid = vocab
-        .crossJoin(broadcast(langs))
-        .crossJoin(broadcast(vocab.agg(count(lit(1)).as("v"))))
-        .join(broadcast(tot), Seq("lang"))
-        .join(lg, Seq("lang", "g"), "left")
-        .select(col("lang"), col("g"),
-          floor(log2((coalesce(col("c"), lit(0L)) + lit(1.0))
-            / (col("t") + col("v"))) * 1e4 + lit(0.5))
-            .cast("long").as("w"))
-      val prior = docs.groupBy(col("lang")).agg(count(lit(1)).as("ld"))
-        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
-        .select(col("lang"),
-          floor(log2(col("ld").cast("double") / col("n")) * 1e4
-            + lit(0.5)).cast("long").as("p"))
-      val pred = dg.join(broadcast(grid), Seq("g"))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(sum(col("c") * col("w")).as("sw"))
-        .join(broadcast(prior), Seq("lang"))
-        .select(col("doc_id"), col("lang").as("cand"),
-          (col("sw") + col("p")).as("sc"))
-        .groupBy(col("doc_id"))
-        .agg(max(struct(col("sc"), col("cand"))).as("b"))
-        .select(col("doc_id"), col("b.cand").as("pred_lang"))
-      docs.select(col("doc_id"), col("lang")).join(pred, Seq("doc_id"))
-        .select(col("doc_id"), col("lang"), col("pred_lang"),
-          (col("lang") === col("pred_lang")).as("correct"))
-    }),
+    "tx_langid" -> ((s, dir) => langIdOver(Tables.documents(s, dir))),
 
     // Quality scoring: length/stopword/diversity ratios combined.
     "tx_quality" -> ((s, dir) => qualityFrame(s, dir)),

@@ -162,6 +162,15 @@ class RobotsSpec extends SparkSpec {
     }
   }
 
+  test("parser: an empty User-agent value is dropped — it would " +
+    "prefix-match every crawler through most-specific selection") {
+    val text = "User-agent:\nDisallow: /x\n" + // no product token
+      "User-agent: *\nDisallow: /y"
+    val got = rules(text).toSet
+    assert(got == Set(("*", "/y", false)),
+      s"the empty-token group's rules must bind nobody, got: $got")
+  }
+
   test("parser: Crawl-delay lines attach to their group's agents and " +
     "non-integer values are skipped") {
     val text =
