@@ -290,7 +290,7 @@ object DevStress {
     // the deeper hierarchy's claim is fewer candidates scored for
     // equal-or-better localization, and that number is what scales
     // (expansion rows are the search's only corpus-bound exchange)
-    if (wants("hnsw_search", "hnsw_depth")) {
+    if (wants("hnsw_search")) { // probe names below all contain it
       import scala.collection.mutable
       // INTERPOLATED replicas, not copies: identical copies make the
       // probe space 2 k isolated duplicate-clusters — NN-Descent
@@ -344,17 +344,22 @@ object DevStress {
         SimilarityPack.hnswSchedule(levels), levels, deep)
       val two = mutable.Buffer.empty[Long]
       val twoRes = run("hnsw_search_2level", Seq(1, 1), 1, two)
+      // a narrower time()-filter (e.g. only="hnsw_search_2level")
+      // skips one run and leaves its frame null — compare only when
+      // both ran (a `return` here would skip every later probe)
       // recall@K against the brute-force truth — the deep schedule
       // must cut candidates WITHOUT giving recall back
-      val truth = SimilarityPack.bruteTruth(pvecs)
-        .localCheckpoint(eager = true)
-      def recall(res: DataFrame): Double = SimilarityPack.recallRow(
-        res.select(col("qid").as("src"), col("nbr_id").as("dst")), truth)
-        .collect()(0).getAs[Double]("recall")
-      println(s"[stress] x$factor hnsw expanded candidates: " +
-        s"depth-$levels = ${deep.sum} ${deep.mkString("[", ",", "]")} " +
-        s"recall ${recall(deepRes)} vs 2-level = ${two.sum} " +
-        s"${two.mkString("[", ",", "]")} recall ${recall(twoRes)}")
+      if (deepRes != null && twoRes != null) {
+        val truth = SimilarityPack.bruteTruth(pvecs)
+          .localCheckpoint(eager = true)
+        def recall(res: DataFrame): Double = SimilarityPack.recallRow(
+          res.select(col("qid").as("src"), col("nbr_id").as("dst")), truth)
+          .collect()(0).getAs[Double]("recall")
+        println(s"[stress] x$factor hnsw expanded candidates: " +
+          s"depth-$levels = ${deep.sum} ${deep.mkString("[", ",", "]")} " +
+          s"recall ${recall(deepRes)} vs 2-level = ${two.sum} " +
+          s"${two.mkString("[", ",", "]")} recall ${recall(twoRes)}")
+      }
     }
 
     // pagerank: the q_pagerank edge graph replicated factor× with

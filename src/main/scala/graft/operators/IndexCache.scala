@@ -339,7 +339,22 @@ object IndexCache {
       build.localCheckpoint(eager = true)
     case Some(root) =>
       val d = frameDir(root, kind, key)
-      if (frameValid(d, kind, key)) s.read.parquet(d.getPath)
+      // the validity probe and the schema read are ALSO IO against a
+      // directory another process may be replacing right now — any
+      // failure there means "not servable", never a failed query
+      // (the same optimization-only contract as the write path)
+      val loaded =
+        try {
+          if (frameValid(d, kind, key)) Some(s.read.parquet(d.getPath))
+          else None
+        } catch {
+          case e: Exception =>
+            System.err.println(
+              s"IndexCache: persisted $kind frame for $key unreadable " +
+                s"(${e.getMessage}); rebuilding")
+            None
+        }
+      if (loaded.isDefined) loaded.get
       else {
         val built = build
         frameBuildCounter.incrementAndGet()

@@ -191,8 +191,14 @@ object LinkOps {
       val again = graphMemo.get(key)
       if (liveFrame(again)) again
       else {
-        val b = build
-        val built = IndexCache.frame(b.sparkSession, "edges", key)(b)
+        // the session comes from the thread, NOT from evaluating
+        // `build` — the incremental cycle's build block runs eager
+        // actions (checkpoints, counts, bloom construction), and
+        // forcing it just to learn the session would re-pay the full
+        // first-touch cost in every process that holds a perfectly
+        // valid persisted artifact
+        val built = IndexCache.frame(
+          org.apache.spark.sql.SparkSession.active, "edges", key)(build)
         graphMemo.put(key, built)
         built
       }

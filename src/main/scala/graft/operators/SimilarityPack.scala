@@ -485,7 +485,6 @@ object SimilarityPack extends QueryPack {
     * union of the TOP layer's stratum anchors and the base anchors
     * (see [[hnswSearch]]). */
   val HnswLayerMod = 8
-  val HnswCoarseRounds = 2
   val HnswFineRounds = 2
 
   /** Minimum expected node count for an upper layer to exist: below
@@ -517,17 +516,10 @@ object SimilarityPack extends QueryPack {
     graft.functions.Hashing.h32(vecId.cast("string")) %
       math.pow(HnswLayerMod, level).toLong === 0
 
-  /** Level-1 membership (the base upper layer). */
-  def hnswMember(vecId: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column = hnswMemberAt(vecId, 1)
-
   /** SQL twin of [[hnswMemberAt]]. */
   def sqlHnswMemberAt(level: Int): String =
     s"${graft.functions.Hashing.sqlH32("CAST(vec_id AS VARCHAR)")} " +
       s"% ${math.pow(HnswLayerMod, level).toLong} = 0"
-
-  /** SQL twin of [[hnswMember]]. */
-  def sqlHnswMember: String = sqlHnswMemberAt(1)
 
   private val layerMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
@@ -537,10 +529,6 @@ object SimilarityPack extends QueryPack {
   def hnswLayerGraphAt(s: SparkSession, dir: String, level: Int): DataFrame =
     layerMemo.computeIfAbsent(s"$dir#l$level", _ => knnGraphOver(
       normedVecs(s, dir).filter(hnswMemberAt(col("vec_id"), level))))
-
-  /** The layer-1 graph (kept for probes/specs). */
-  def hnswLayerGraph(s: SparkSession, dir: String): DataFrame =
-    hnswLayerGraphAt(s, dir, 1)
 
   private val vecCountMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()

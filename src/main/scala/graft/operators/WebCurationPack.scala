@@ -144,9 +144,14 @@ object WebCurationPack extends QueryPack {
     "wc_robots_admit" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val c = canon(s, dir)
-      val files = RobotsOps.robotsFor(c)
+      // the frontierOver discipline: the parsed frames are tiny but
+      // their lineage reaches back through the full canon parse, and
+      // rulesForAgent reads rules twice (selection ∪ join) plus the
+      // delays union — materialize once, re-read rows
+      val files = RobotsOps.robotsFor(c).localCheckpoint(true)
       RobotsOps.admit(c, RobotsOps.rulesForAgent(
-        RobotsOps.parseRules(files), RobotsOps.parseDelays(files)))
+        RobotsOps.parseRules(files).localCheckpoint(true),
+        RobotsOps.parseDelays(files).localCheckpoint(true)))
     }),
 
     // link extraction + RFC 3986 reference resolution — the crawl

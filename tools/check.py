@@ -42,10 +42,18 @@ def flush(json_path, report, failures, done=False):
                          "hash_match": False, "spark_rows": None,
                          "oracle_rows": None,
                          "err": "EMPTY GATE: no query outputs found"}}
-    tmp = json_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(out, f, indent=2, sort_keys=True)
-    os.replace(tmp, json_path)
+    # unique tmp per call: the SIGTERM handler flushes too, and a
+    # signal landing mid-json.dump must not share an inode with the
+    # interrupted write (the unwind would flush a stale buffer into
+    # the just-renamed artifact)
+    tmp = f"{json_path}.tmp.{os.getpid()}.{time.monotonic_ns()}"
+    try:
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=2, sort_keys=True)
+        os.replace(tmp, json_path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 def main():
     sf, out = sys.argv[1], sys.argv[2]
@@ -172,6 +180,9 @@ def main():
         report[k] = {"rows_match": False, "schema_match": False,
                      "hash_match": False, "spark_rows": None,
                      "oracle_rows": None, "err": "oracle without output"}
+        failures += 1
+    if not report:
+        # the artifact records the empty gate; the EXIT CODE must too
         failures += 1
     flush(json_path, report, failures, done=True)
     if json_path:
