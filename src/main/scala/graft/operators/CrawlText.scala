@@ -152,15 +152,56 @@ object CrawlText {
     * against the memoized chrome artifact. The ONE engine-side
     * authority the crawl compositions (tx_crawl_text_e2e,
     * ds_crawl_dedup, sp_corpus_e2e) build on, mirroring
-    * [[sqlCuratedSrc]] on the oracle side. */
+    * [[sqlCuratedSrc]] on the oracle side.
+    *
+    * Memoized per corpus dir and persisted through the
+    * [[IndexCache.frame]] parquet envelope (the link-graph artifact
+    * accounting, LinkOps.edgeArtifact): extraction IS the corpus
+    * build a production pipeline writes exactly once — CCNet ships
+    * the extracted corpus as a table and every downstream stage
+    * (dedup, tokenization, audit) reads it. In-process consumers
+    * share one checkpoint-backed frame (first-consumer-pays); across
+    * processes the artifact is a distributed parquet scan. A query
+    * that consumes the corpus twice (ds_crawl_dedup's LSH leg + its
+    * survivor anti-join) reads the materialization, not the
+    * Warc-parse chain, twice. Construction is deterministic, so memo,
+    * persisted table, and in-query build are value-identical and
+    * every oracle replays unchanged. Cached frames are validated
+    * against their owning session (the graphMemo discipline): a
+    * stopped session's checkpoint blocks are gone — rebuilt, never
+    * served. */
   def curatedFor(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    implicit val sp: org.apache.spark.sql.SparkSession = s
-    curatedTextWithChrome(
-      graft.sources.Warc.parseHttpRecords(
-        graft.sources.Warc.htmlResponseArchives(
-          graft.Tables.documents(s, dir))).toDF(),
-      chromeFor(s, dir))
+    val cached = curatedMemo.get(dir)
+    if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
+    else curatedLocks.computeIfAbsent(dir, _ => new Object).synchronized {
+      val again = curatedMemo.get(dir)
+      if (again != null && !again.sparkSession.sparkContext.isStopped) again
+      else {
+        val built = IndexCache.frame(s, "curated", dir) {
+          implicit val sp: org.apache.spark.sql.SparkSession = s
+          curatedTextWithChrome(
+            graft.sources.Warc.parseHttpRecords(
+              graft.sources.Warc.htmlResponseArchives(
+                graft.Tables.documents(s, dir))).toDF(),
+            chromeFor(s, dir))
+        }
+        curatedMemo.put(dir, built)
+        built
+      }
+    }
   }
+
+  /** [[curatedFor]] reduced to the fingerprint surface (doc_id, lang,
+    * n_chars, text_md5) — tx_crawl_text_e2e's shape, off the shared
+    * artifact. */
+  def curatedFingerprintFor(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    fingerprint(curatedFor(s, dir))
+
+  private val curatedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val curatedLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   def chromeFor(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     implicit val sp: org.apache.spark.sql.SparkSession = s

@@ -348,11 +348,9 @@ object DedupPack extends QueryPack {
     // ds_dedup_apply; the only new fact is the corpus source.
     "ds_crawl_dedup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val corpus = CrawlText.curatedTextWithChrome(
-        graft.sources.Warc.parseHttpRecords(
-          graft.sources.Warc.htmlResponseArchives(
-            Tables.documents(s, dir))).toDF(),
-        CrawlText.chromeFor(s, dir))
+      // the shared curated-corpus artifact: both consumers below (the
+      // LSH leg and the survivor anti-join) read one materialization
+      val corpus = CrawlText.curatedFor(s, dir)
       val toks = corpus.select(col("doc_id"), split(col("xt"), " ").as("toks"))
       val losers = Components.connectedComponents(
           candidatePairsFrom(bandsFrom(signaturesFrom(toks))))

@@ -292,7 +292,7 @@ object IndexCache {
   // ---------------------------------------------------------------
 
   /** Trainer-version analog for frame artifacts. */
-  private val FrameVersion = Map("edges" -> 1)
+  private val FrameVersion = Map("edges" -> 1, "curated" -> 1)
 
   /** Frame builds actually RUN by this process (persisted loads
     * don't count) — the restart spec's observable for the parquet

@@ -939,7 +939,8 @@ object SamplePack extends QueryPack {
           docs = Tables.documents(s, dir),
           emb = Tables.embeddings(s, dir),
           chrome = CrawlText.chromeFor(s, dir),
-          model = TextPack.classifierModelFor(s, dir))
+          model = TextPack.classifierModelFor(s, dir),
+          preCurated = Some(CrawlText.curatedFor(s, dir)))
           .localCheckpoint(true)
         curatedMemo.put(key, cur)
         if (curatedMemo.size > 2) {
@@ -958,17 +959,23 @@ object SamplePack extends QueryPack {
     * shards (the two artifacts a data team actually ships). */
   private[graft] def corpusCurated(s: SparkSession, docs: DataFrame,
       emb: DataFrame, chrome: DataFrame, model: Classifier.Model,
-      onStage: (String, Long) => Unit = (_, _) => ()): DataFrame = {
+      onStage: (String, Long) => Unit = (_, _) => (),
+      preCurated: Option[DataFrame] = None): DataFrame = {
     implicit val sp: SparkSession = s
     def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       onStage(name, System.nanoTime() - t0); r
     }
-    // crawl → curated corpus (doc_id, lang, xt); materialized once
-    val cur = timed("extract")(CrawlText.curatedTextWithChrome(
+    // crawl → curated corpus (doc_id, lang, xt); materialized once.
+    // A dir-keyed caller hands in the shared CrawlText.curatedFor
+    // artifact (already checkpoint/parquet-backed) instead of
+    // re-running the Warc-parse chain; DevStress's replicated corpora
+    // have no dir key and take the inline build.
+    val cur = timed("extract")(preCurated.getOrElse(
+      CrawlText.curatedTextWithChrome(
         graft.sources.Warc.parseHttpRecords(
           graft.sources.Warc.htmlResponseArchives(docs)).toDF(),
-        chrome).localCheckpoint(true))
+        chrome).localCheckpoint(true)))
     // gate 1: Gopher composite rules over the extracted text
     val wsToks = cur.select(col("doc_id"),
       split(col("xt"), "\\s+").as("toks"))

@@ -978,14 +978,8 @@ object TextPack extends QueryPack {
     // short-page gate. The oracle replays the invariant straight off
     // `documents`: extracted text == original text + the ref line,
     // for exactly the non-404 docs.
-    "tx_crawl_text_e2e" -> ((s, dir) => {
-      implicit val sp: SparkSession = s
-      CrawlText.curatedWithChrome(
-        graft.sources.Warc.parseHttpRecords(
-          graft.sources.Warc.htmlResponseArchives(
-            Tables.documents(s, dir))).toDF(),
-        CrawlText.chromeFor(s, dir))
-    }),
+    "tx_crawl_text_e2e" -> ((s, dir) =>
+      CrawlText.curatedFingerprintFor(s, dir)),
 
     // The boilerplate inventory the e2e removal is built on: every
     // paragraph repeated across >= MinDf distinct SAME-LANGUAGE docs,

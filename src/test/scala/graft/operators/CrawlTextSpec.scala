@@ -136,4 +136,27 @@ class CrawlTextSpec extends SparkSpec {
       s"Welcome to s0 cookie notice applies\n$promo\nref &14\n" +
         "(c) example.org all rights reserved")
   }
+
+  test("curatedFor: dir-keyed corpus artifact — memoized (no rebuild " +
+    "on re-read) and value-identical to an inline extraction") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val dir = "/root/testdata/sf0.001"
+    val first = CrawlText.curatedFor(spark, dir)
+    // memo serves every later consumer: same frame, zero new builds
+    val b1 = IndexCache.frameBuildCount
+    val again = CrawlText.curatedFor(spark, dir)
+    assert(again eq first,
+      "second consumer must read the memoized frame, not rebuild")
+    assert(IndexCache.frameBuildCount == b1)
+    // determinism: the artifact is value-identical to an un-memoized
+    // inline build (the contract that lets memo, parquet envelope,
+    // and in-query construction substitute for each other freely)
+    val inline = CrawlText.curatedTextWithChrome(
+      graft.sources.Warc.parseHttpRecords(
+        graft.sources.Warc.htmlResponseArchives(
+          graft.Tables.documents(spark, dir))).toDF(),
+      CrawlText.chromeFor(spark, dir))
+    assert(first.orderBy("doc_id").collect().toSeq ==
+      inline.orderBy("doc_id").collect().toSeq)
+  }
 }
