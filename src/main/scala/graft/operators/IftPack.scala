@@ -232,9 +232,15 @@ object IftPack extends QueryPack {
         expr(scrubSql("raw")).as("rendered"))
       .select(col("conv_id"), col("source"), col("rendered"),
         size(split(col("rendered"), " ")).cast("long").as("n_tokens"))
+    // materialized ONCE: three consumers read the packed frame (the
+    // sequence-key distinct, the zipWithIndex position job, and the
+    // final slot join) — without the checkpoint each re-runs the
+    // render + scrub chain, the query's dominant cost (the langid
+    // dgl-checkpoint discipline; measured ~5 s → ~2 s at sf0.1)
     val binned = Sampling.packBins(rendered,
       shard = Seq(col("source")), order = Seq(col("conv_id")),
       tokens = col("n_tokens"), budget = SamplePack.PackBudget)
+      .localCheckpoint(true)
     val seqs = binned.select(col("source"), col("bin")).distinct()
       .select(col("source"), col("bin"),
         graft.functions.Hashing.h32(concat(lit("sf0_"), col("source"),
