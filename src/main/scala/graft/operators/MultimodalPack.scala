@@ -315,8 +315,11 @@ object MultimodalPack extends QueryPack {
     // ...and the audio APPLY step, completing the modality symmetry:
     // near-dup clips → components → the surviving clip library
     "mm_audio_fp_apply" -> ((s, dir) => {
+      // checkpointed: consumed by the pair join AND the final
+      // survivor anti-join — one decode, not two
       val h = audioFped(s, dir)
         .select(col("snd_id").as("img_id"), col("fp").as("dhash"))
+        .localCheckpoint(true)
       val losers = Components.connectedComponents(
           dhashDups(h).select(col("img_a"), col("img_b")),
           "img_a", "img_b")
@@ -335,6 +338,7 @@ object MultimodalPack extends QueryPack {
     // counts EQUAL (a banding bug fails the hash, not a comment)
     "mm_dhash_recall" -> ((s, dir) => {
       val sub = dhashed(s, dir).filter(col("img_id") < DhashProbeN)
+        .localCheckpoint(true)
       val truth = sub.alias("a").join(sub.alias("b"),
           col("a.img_id") < col("b.img_id"))
         .filter(expr("bit_count(a.dhash ^ b.dhash)") <= PerceptualHash.HamCap)
@@ -354,7 +358,7 @@ object MultimodalPack extends QueryPack {
     // non-representative drops, the surviving library remains —
     // min-id retention, one component walk, never all-pairs
     "mm_dhash_apply" -> ((s, dir) => {
-      val h = dhashed(s, dir)
+      val h = dhashed(s, dir).localCheckpoint(true)
       val losers = Components.connectedComponents(
           dhashDups(h).select(col("img_a"), col("img_b")),
           "img_a", "img_b")
@@ -391,7 +395,7 @@ object MultimodalPack extends QueryPack {
     // per-group sort. Singleton images (no near-dup) are their own
     // group through the coalesce.
     "mm_pair_dedup" -> ((s, dir) => {
-      val h = dhashed(s, dir)
+      val h = dhashed(s, dir).localCheckpoint(true)
       val groups = Components.connectedComponents(
         dhashDups(h).select(col("img_a"), col("img_b")), "img_a", "img_b")
       val caps = Tables.documents(s, dir)
@@ -435,7 +439,13 @@ object MultimodalPack extends QueryPack {
   /** The banded Hamming near-dup join over (img_id, dhash) rows. */
   private[graft] def dhashDups(h: DataFrame): DataFrame = {
     import graft.operators.PerceptualHash.{Bands, HamCap, bandKey}
-    val banded = h.select(col("img_id"), col("dhash"),
+    // materialize the (img_id, dhash) projection ONCE (16-byte rows):
+    // the banded self-join otherwise re-runs the whole decode +
+    // perceptual-hash chain under BOTH sides (the winnowPairs
+    // discipline; video scenes measured 3.3 -> ~1.3 s at sf0.1)
+    val hd = h.select(col("img_id"), col("dhash"))
+      .localCheckpoint(eager = true)
+    val banded = hd.select(col("img_id"), col("dhash"),
         explode(array((0 until Bands).map(b0 => struct(
           lit(b0.toLong).as("band"),
           bandKey(col("dhash"), b0).as("key"))): _*)).as("bk"))
