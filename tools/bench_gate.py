@@ -66,6 +66,16 @@ def main():
         cal = max(0.5, min(2.0, s_old / s_new))
         print(f"[gate] sentinel {s_old:.2f}s -> {s_new:.2f}s "
               f"(normalizing new times by {cal:.2f}x)")
+    # Absolute-delta floor, in the REFERENCE host's time units: the
+    # sentinel ratio multiplies every query, so on a fast run every
+    # sub-3s query can cross a bare 2x ratio while the real delta is
+    # fractions of a second of fixed overhead (r14: six false flags
+    # at a uniform ~2x, all adjudicated steady-state by DevTime). A
+    # genuine regression on a query that small is invisible under
+    # host noise anyway -- require the normalized delta to exceed a
+    # few sentinel units (3x the reference sentinel) or 1s, whichever
+    # is larger.
+    floor = max(1.0, 3.0 * (s_old or 0.0))
     bad = []
     # A retimed baseline query reports the MIN of its samples -- the
     # right estimate of its cost, but a lucky sample makes a brittle
@@ -79,10 +89,11 @@ def main():
             continue  # new query / failed run -- not a regression signal
         t0 = max([t0] + o_ret.get(name, []))
         tn = t * cal
-        if tn > t0 * ratio and tn - t0 > 1.0:  # ratio AND absolute floor:
+        if tn > t0 * ratio and tn - t0 > floor:  # ratio AND absolute floor:
             # a 0.2s->0.5s micro-query is scheduling noise, not a find
             bad.append((name, t0, tn))
-    print(f"[gate] {len(nq)} queries, ref={ref}, threshold {ratio}x (+1s floor)")
+    print(f"[gate] {len(nq)} queries, ref={ref}, threshold {ratio}x "
+          f"(+{floor:.2f}s floor)")
     print(f"[gate] total {old['value']:.1f}s -> {new['value']:.1f}s")
     for name, t0, t in sorted(bad, key=lambda x: -x[2] / x[1]):
         print(f"[REGR] {name}: {t0:.2f}s -> {t:.2f}s normalized ({t / t0:.1f}x)")
