@@ -128,8 +128,19 @@ object CrawlText {
       length(col("xt")).cast("long").as("n_chars"),
       md5(col("xt")).as("text_md5"))
 
-  def curatedTextWithChrome(pages: DataFrame, chrome: DataFrame): DataFrame = {
-    val kept = paragraphs(pages)
+  def curatedTextWithChrome(pages: DataFrame, chrome: DataFrame): DataFrame =
+    curatedParasWithChrome(paragraphs(pages), chrome)
+
+  /** The extraction core at PARAGRAPH grain — (doc_id, lang, pos,
+    * para) minus the chrome set (broadcast anti-join on the hash),
+    * reassembled per doc in page order, short pages gated. Callers
+    * choose what `lang` means: the page's declared attribute
+    * ([[curatedTextWithChrome]]) or a model's prediction
+    * ([[predictedCuratedFor]] — the production path, where no
+    * declared label exists or is trusted). */
+  private def curatedParasWithChrome(paras: DataFrame,
+                                     chrome: DataFrame): DataFrame = {
+    val kept = paras
       .withColumn("h", xxhash64(col("para")))
       .join(broadcast(chrome.select(col("lang"), col("h"))),
         Seq("lang", "h"), "left_anti")
@@ -197,6 +208,89 @@ object CrawlText {
   def curatedFingerprintFor(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     fingerprint(curatedFor(s, dir))
+
+  /** The curated corpus keyed by PREDICTED language — (doc_id, lang,
+    * xt) where `lang` is what the trained NB language-ID
+    * ([[TextPack.predictLangOver]], the tx_langid model) assigns to
+    * each page's pre-chrome text, never the page's own declared
+    * attribute. This is the production form of the pipeline: at
+    * crawl scale there are no gold labels — CCNet runs fastText
+    * langid BEFORE any per-language stage — so the chrome inventory
+    * (document frequency is language-relative) groups on the
+    * model's output, and a page the model assigns to a different
+    * language than its markup claims is curated IN that predicted
+    * slice. Dataflow: one paragraph pass feeds both the per-doc
+    * pre-chrome concat the model scores (banner + body + ref +
+    * footer — chrome grams mostly miss the training vocabulary and
+    * carry no weight, so the page's own text decides) and the
+    * re-keyed paragraph rows; the chrome df pass and removal then
+    * run exactly [[curatedParasWithChrome]] over predicted keys.
+    *
+    * The model must not score the chrome itself: banner and footer
+    * text is language-neutral-ish boilerplate whose grams DO hit the
+    * training vocabulary ("Welcome to…", "cookie notice…"), and
+    * scoring them drags every page toward whichever language those
+    * grams favor (measured: raw-page scoring 0.65 agreement vs the
+    * gold label; chrome-stripped 0.95+). Stripping chrome before
+    * langid normally needs the language — the chicken-and-egg this
+    * whole path exists to break — but frequency does NOT need a
+    * language when it is GLOBAL and high: a paragraph repeated
+    * across >= [[MinDf]] docs of ANY language is chrome for scoring
+    * purposes. So the scoring text is the page minus the
+    * language-free global-df inventory (one extra hash-grain
+    * aggregation), and the per-language inventory then refines the
+    * REMOVAL under predicted keys.
+    *
+    * Same [[IndexCache.frame]] artifact discipline as [[curatedFor]]
+    * — extraction is paid once per corpus per process, downstream
+    * consumers scan the materialization. */
+  def predictedCuratedFor(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val key = "p:" + dir
+    val cached = curatedMemo.get(key)
+    if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
+    else curatedLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      val again = curatedMemo.get(key)
+      if (again != null && !again.sparkSession.sparkContext.isStopped) again
+      else {
+        val built = IndexCache.frame(s, "curatedp", dir) {
+          implicit val sp: org.apache.spark.sql.SparkSession = s
+          val docs = graft.Tables.documents(s, dir)
+          val paras = paragraphs(
+            graft.sources.Warc.parseHttpRecords(
+              graft.sources.Warc.htmlResponseArchives(docs)).toDF())
+            .select(col("doc_id"), col("pos"), col("para"))
+            .localCheckpoint(true)
+          // language-free global chrome: repeated across >= MinDf
+          // docs REGARDLESS of language — excluded from the text the
+          // model scores (not from the page; removal is decided by
+          // the per-predicted-language pass below)
+          val gchrome = paras
+            .groupBy(xxhash64(col("para")).as("h"))
+            .agg(countDistinct(col("doc_id")).as("df"))
+            .filter(col("df") >= MinDf)
+            .select(col("h"))
+          val pre = paras
+            .withColumn("h", xxhash64(col("para")))
+            .join(broadcast(gchrome), Seq("h"), "left_anti")
+            .groupBy(col("doc_id"))
+            .agg(array_join(
+              transform(
+                array_sort(collect_list(struct(col("pos"), col("para")))),
+                x => x("para")), "\n").as("text"))
+          val pred = TextPack.predictLangOver(docs, pre, "doc_id")
+          val keyed = paras.join(pred, Seq("doc_id"))
+            .select(col("doc_id"), col("pred_lang").as("lang"),
+              col("pos"), col("para"))
+            .localCheckpoint(true)
+          curatedParasWithChrome(keyed,
+            boilerplate(keyed).select(col("lang"), col("h")))
+        }
+        curatedMemo.put(key, built)
+        built
+      }
+    }
+  }
 
   private val curatedMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()

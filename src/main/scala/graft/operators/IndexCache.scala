@@ -292,7 +292,8 @@ object IndexCache {
   // ---------------------------------------------------------------
 
   /** Trainer-version analog for frame artifacts. */
-  private val FrameVersion = Map("edges" -> 1, "curated" -> 1)
+  private val FrameVersion =
+    Map("edges" -> 1, "curated" -> 1, "curatedp" -> 1, "fetchlog" -> 1)
 
   /** Frame builds actually RUN by this process (persisted loads
     * don't count) — the restart spec's observable for the parquet

@@ -43,31 +43,26 @@ object TextPack extends QueryPack {
     * accuracy hashed vs raw). */
   val LangIdBuckets = 32768
 
-  /** The tx_langid body over any documents frame — public so
-    * DevStress probes the production stages at replicated scale.
-    * One gram pass → checkpointed (doc, lang, bucket) counts →
-    * bounded NB model grid (langs × observed buckets) → broadcast
-    * scoring → integer argmax; see the tx_langid query comment. */
-  def langIdOver(docs: DataFrame): DataFrame = {
-    val grams = docs.filter(length(col("text")) >= LangIdN)
-      .select(col("doc_id"), col("lang"),
+  /** Hashed char-gram bucket rows of a `text` column: (keys…, g) —
+    * the shared gram extraction of the langid family ([[LangIdN]]
+    * chars at [[LangIdStride]] positions, h32 into [[LangIdBuckets]]
+    * buckets). Rows shorter than one gram carry no evidence and
+    * drop. */
+  private def langIdGramsOf(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.filter(length(col("text")) >= LangIdN)
+      .select(keys.map(col) :+
         explode(expr(s"transform(sequence(1, length(text) - ${LangIdN - 1}, " +
-          s"$LangIdStride), i -> substring(text, i, $LangIdN))")).as("gs"))
-      .select(col("doc_id"), col("lang"),
-        (Hashing.h32(col("gs")) % LangIdBuckets).as("g"))
-    // ONE pass over the gram explode (the per-gram md5 is the hot
-    // cost): lang rides the doc-grain groupBy for free (it is
-    // functionally dependent on doc_id — same exchange), and the
-    // training counts, vocabulary, and scoring all derive from the
-    // checkpointed (doc, lang, bucket) counts instead of each
-    // re-hashing the corpus (measured 5.3 → ~2.5 s at sf0.1)
-    val dgl = grams.groupBy(col("doc_id"), col("lang"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
-    val dg = dgl.select(col("doc_id"), col("g"), col("c"))
-    val lg = dgl.groupBy(col("lang"), col("g"))
-      .agg(sum(col("c")).as("c"))
-    val vocab = dgl.select(col("g")).distinct()
+          s"$LangIdStride), i -> substring(text, i, $LangIdN))")).as("gs"): _*)
+      .select(keys.map(col) :+
+        (Hashing.h32(col("gs")) % LangIdBuckets).as("g"): _*)
+
+  /** The NB model grid off per-(lang, bucket) training counts `lg`
+    * and the observed `vocab`: (lang, g, w) with add-one-smoothed
+    * log2 likelihoods quantized to 1e4-unit longs, plus the (lang, p)
+    * doc-share prior — both bounded at langs × buckets rows, always
+    * broadcast at scoring time. */
+  private def nbGridPrior(docs: DataFrame, lg: DataFrame,
+                          vocab: DataFrame): (DataFrame, DataFrame) = {
     val langs = docs.select(col("lang")).distinct()
     val tot = lg.groupBy(col("lang")).agg(sum(col("c")).as("t"))
     val grid = vocab
@@ -84,18 +79,75 @@ object TextPack extends QueryPack {
       .select(col("lang"),
         floor(log2(col("ld").cast("double") / col("n")) * 1e4
           + lit(0.5)).cast("long").as("p"))
-    val pred = dg.join(broadcast(grid), Seq("g"))
-      .groupBy(col("doc_id"), col("lang"))
+    (grid, prior)
+  }
+
+  /** Broadcast NB scoring of per-(id, bucket) count rows `sg` →
+    * (id, pred_lang): one grid join, one (id, lang) partial agg, an
+    * integer argmax (score ties break lang DESC — the max(struct)
+    * order, mirrored in every oracle's row_number). */
+  private def nbArgmax(sg: DataFrame, idCol: String, grid: DataFrame,
+                       prior: DataFrame): DataFrame =
+    sg.join(broadcast(grid), Seq("g"))
+      .groupBy(col(idCol), col("lang"))
       .agg(sum(col("c") * col("w")).as("sw"))
       .join(broadcast(prior), Seq("lang"))
-      .select(col("doc_id"), col("lang").as("cand"),
+      .select(col(idCol), col("lang").as("cand"),
         (col("sw") + col("p")).as("sc"))
-      .groupBy(col("doc_id"))
+      .groupBy(col(idCol))
       .agg(max(struct(col("sc"), col("cand"))).as("b"))
-      .select(col("doc_id"), col("b.cand").as("pred_lang"))
+      .select(col(idCol), col("b.cand").as("pred_lang"))
+
+  /** The tx_langid body over any documents frame — public so
+    * DevStress probes the production stages at replicated scale.
+    * One gram pass → checkpointed (doc, lang, bucket) counts →
+    * bounded NB model grid (langs × observed buckets) → broadcast
+    * scoring → integer argmax; see the tx_langid query comment. */
+  def langIdOver(docs: DataFrame): DataFrame = {
+    val grams = langIdGramsOf(docs, Seq("doc_id", "lang"))
+    // ONE pass over the gram explode (the per-gram md5 is the hot
+    // cost): lang rides the doc-grain groupBy for free (it is
+    // functionally dependent on doc_id — same exchange), and the
+    // training counts, vocabulary, and scoring all derive from the
+    // checkpointed (doc, lang, bucket) counts instead of each
+    // re-hashing the corpus (measured 5.3 → ~2.5 s at sf0.1)
+    val dgl = grams.groupBy(col("doc_id"), col("lang"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val dg = dgl.select(col("doc_id"), col("g"), col("c"))
+    val lg = dgl.groupBy(col("lang"), col("g"))
+      .agg(sum(col("c")).as("c"))
+    val vocab = dgl.select(col("g")).distinct()
+    val (grid, prior) = nbGridPrior(docs, lg, vocab)
+    val pred = nbArgmax(dg, "doc_id", grid, prior)
     docs.select(col("doc_id"), col("lang")).join(pred, Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("pred_lang"),
         (col("lang") === col("pred_lang")).as("correct"))
+  }
+
+  /** Language prediction for arbitrary (`idCol`, text) rows from an
+    * NB model trained on the LABELED `train` corpus — the production
+    * split the corpus pipeline needs: real crawl data carries no
+    * gold labels, so per-language processing (chrome inventories,
+    * mixing strata) keys on what a model trained offline PREDICTS
+    * (the CCNet discipline — fastText langid runs before any
+    * per-language stage). Training is the [[langIdOver]] dataflow
+    * minus the per-doc grain (pure (lang, bucket) aggregation);
+    * scoring is one broadcast grid join + an integer argmax. Rows
+    * whose grams all miss the training vocabulary carry no evidence
+    * and drop (the inner grid join, mirrored in the oracles). */
+  def predictLangOver(train: DataFrame, texts: DataFrame,
+                      idCol: String): DataFrame = {
+    val lg = langIdGramsOf(
+        train.select(col("lang"), col("text")), Seq("lang"))
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val vocab = lg.select(col("g")).distinct()
+    val (grid, prior) = nbGridPrior(train, lg, vocab)
+    val sg = langIdGramsOf(
+        texts.select(col(idCol), col("text")), Seq(idCol))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+    nbArgmax(sg, idCol, grid, prior)
   }
 
   private[operators] val stopEn = Seq("the", "a", "of", "in", "and")
@@ -988,7 +1040,29 @@ object TextPack extends QueryPack {
     // never genuine text (fixture max same-lang text-df is 2). What a
     // curation owner audits before trusting frequency-based removal.
     "tx_boilerplate_df" -> ((s, dir) =>
-      CrawlText.chromeFor(s, dir).select(col("lang"), col("para"), col("df")))
+      CrawlText.chromeFor(s, dir).select(col("lang"), col("para"), col("df"))),
+
+    // The crawl pipeline run the way production must run it: with NO
+    // gold labels past the model. The NB language-ID trains on the
+    // labeled documents table (the offline model artifact), predicts
+    // a language for every crawled page's pre-chrome text, and the
+    // WHOLE per-language curation — chrome document frequency,
+    // banner/footer cells, removal — keys on the PREDICTION
+    // (CrawlText.predictedCuratedFor; CCNet's ordering, where
+    // fastText langid precedes every per-language stage). Output
+    // carries both labels so the agreement rate is auditable; the
+    // oracle replays training, scoring, argmax, and the pred-keyed
+    // df thresholds in one statement.
+    "tx_crawl_langid_e2e" -> ((s, dir) =>
+      CrawlText.predictedCuratedFor(s, dir)
+        .select(col("doc_id"), col("lang").as("pred_lang"),
+          length(col("xt")).cast("long").as("n_chars"),
+          md5(col("xt")).as("text_md5"))
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("pred_lang"),
+          (col("lang") === col("pred_lang")).as("agree"),
+          col("n_chars"), col("text_md5")))
   )
 
   /** The tx_gopher_rules evaluation over any (doc_id, toks) frame —
@@ -1045,6 +1119,41 @@ object TextPack extends QueryPack {
   private val nToks = "len(string_split(text, ' '))"
   private val nDistinct = "len(list_distinct(string_split(text, ' ')))"
 
+  /** The NB language-ID TRAINING replay — gram explode, per-(lang,
+    * bucket) counts, vocabulary, smoothed log2-quantized weight grid,
+    * doc-share prior — shared verbatim by the tx_langid self-scoring
+    * oracle and the crawl-pipeline oracle (tx_crawl_langid_e2e),
+    * which scores a DIFFERENT text surface against the same model.
+    * Every multiply-consumed CTE MATERIALIZED (the round-14 gate-wall
+    * discipline). */
+  private lazy val sqlNbTrainCtes: String =
+    s"""lgrams AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    ${Hashing.sqlH32(s"substr(text, CAST(i AS INTEGER), $LangIdN)")}
+       |      % $LangIdBuckets AS g
+       |  FROM documents,
+       |    UNNEST(generate_series(1, strlen(text) - ${LangIdN - 1},
+       |                           $LangIdStride)) AS t(i)),
+       |llg AS MATERIALIZED (SELECT lang, g, count(*) AS c
+       |       FROM lgrams GROUP BY 1, 2),
+       |lv AS MATERIALIZED (SELECT count(DISTINCT g) AS v FROM lgrams),
+       |ltot AS MATERIALIZED (SELECT lang, sum(c) AS t
+       |        FROM llg GROUP BY 1),
+       |lgrid AS MATERIALIZED (
+       |  SELECT l.lang, vo.g,
+       |    CAST(floor(log2((coalesce(llg.c, 0) + 1.0) / (ltot.t + lv.v))
+       |      * 1e4 + 0.5) AS BIGINT) AS w
+       |  FROM (SELECT DISTINCT lang FROM documents) l
+       |  CROSS JOIN (SELECT DISTINCT g FROM lgrams) vo
+       |  CROSS JOIN lv
+       |  JOIN ltot ON ltot.lang = l.lang
+       |  LEFT JOIN llg ON llg.lang = l.lang AND llg.g = vo.g),
+       |lprior AS MATERIALIZED (
+       |  SELECT lang, CAST(floor(log2(count(*) * 1.0 /
+       |    (SELECT count(*) FROM documents)) * 1e4 + 0.5) AS BIGINT)
+       |    AS p
+       |  FROM documents GROUP BY 1)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     // the same counts as portable regex scans; the grade's two
     // divisions and the constant arithmetic are written identically
@@ -1094,34 +1203,9 @@ object TextPack extends QueryPack {
     // max(struct) order) — one unrolled statement, every CTE that
     // feeds two consumers MATERIALIZED
     "tx_langid" ->
-      s"""WITH lgrams AS MATERIALIZED (
-         |  SELECT doc_id, lang,
-         |    ${Hashing.sqlH32(s"substr(text, CAST(i AS INTEGER), $LangIdN)")}
-         |      % $LangIdBuckets AS g
-         |  FROM documents,
-         |    UNNEST(generate_series(1, strlen(text) - ${LangIdN - 1},
-         |                           $LangIdStride)) AS t(i)),
+      s"""WITH $sqlNbTrainCtes,
          |ldg AS MATERIALIZED (SELECT doc_id, g, count(*) AS c
          |       FROM lgrams GROUP BY 1, 2),
-         |llg AS MATERIALIZED (SELECT lang, g, count(*) AS c
-         |       FROM lgrams GROUP BY 1, 2),
-         |lv AS MATERIALIZED (SELECT count(DISTINCT g) AS v FROM lgrams),
-         |ltot AS MATERIALIZED (SELECT lang, sum(c) AS t
-         |        FROM llg GROUP BY 1),
-         |lgrid AS MATERIALIZED (
-         |  SELECT l.lang, vo.g,
-         |    CAST(floor(log2((coalesce(llg.c, 0) + 1.0) / (ltot.t + lv.v))
-         |      * 1e4 + 0.5) AS BIGINT) AS w
-         |  FROM (SELECT DISTINCT lang FROM documents) l
-         |  CROSS JOIN (SELECT DISTINCT g FROM lgrams) vo
-         |  CROSS JOIN lv
-         |  JOIN ltot ON ltot.lang = l.lang
-         |  LEFT JOIN llg ON llg.lang = l.lang AND llg.g = vo.g),
-         |lprior AS MATERIALIZED (
-         |  SELECT lang, CAST(floor(log2(count(*) * 1.0 /
-         |    (SELECT count(*) FROM documents)) * 1e4 + 0.5) AS BIGINT)
-         |    AS p
-         |  FROM documents GROUP BY 1),
          |lsc AS (SELECT ldg.doc_id, lgrid.lang,
          |          sum(ldg.c * lgrid.w) + any_value(lprior.p) AS s
          |        FROM ldg JOIN lgrid ON ldg.g = lgrid.g
@@ -1705,7 +1789,90 @@ object TextPack extends QueryPack {
          |    '(c) example.org all rights reserved' FROM nf)
          |SELECT lang, para, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
          |FROM p GROUP BY lang, para
-         |HAVING count(DISTINCT doc_id) >= ${CrawlText.MinDf}""".stripMargin
+         |HAVING count(DISTINCT doc_id) >= ${CrawlText.MinDf}""".stripMargin,
+
+    // the production-ordered crawl pipeline, one statement: NB
+    // training off the labeled table (the shared CTEs), scoring over
+    // each page's GLOBALLY-destriped text (the language-free df
+    // pre-pass: banner out iff its source cell clears MinDf across
+    // all languages, body out iff the same text repeats >= MinDf
+    // globally, footer out iff the corpus does — ref always scored),
+    // argmax with the lang-DESC tie-break, then the
+    // per-PREDICTED-language df thresholds — banner df = the
+    // (source, pred) cell, text df = the (pred, text) pair, footer
+    // df = the pred slice — and the word gate
+    "tx_crawl_langid_e2e" ->
+      s"""WITH $sqlNbTrainCtes,
+         |pnf AS MATERIALIZED (SELECT doc_id, lang, source, text
+         |  FROM documents WHERE doc_id % 13 <> 0),
+         |gsrc AS MATERIALIZED (SELECT source, count(*) AS n
+         |  FROM pnf GROUP BY 1),
+         |gtxt AS MATERIALIZED (SELECT text, count(*) AS n
+         |  FROM pnf GROUP BY 1),
+         |ptx AS MATERIALIZED (
+         |  SELECT f.doc_id, f.lang, f.source, f.text,
+         |    concat(
+         |      CASE WHEN gsrc.n >= ${CrawlText.MinDf} THEN ''
+         |           ELSE 'Welcome to ' || f.source ||
+         |                ' cookie notice applies' || chr(10) END,
+         |      CASE WHEN gtxt.n >= ${CrawlText.MinDf} THEN ''
+         |           ELSE f.text || chr(10) END,
+         |      'ref &' || CAST(f.doc_id AS VARCHAR),
+         |      CASE WHEN (SELECT count(*) FROM pnf)
+         |             >= ${CrawlText.MinDf} THEN ''
+         |           ELSE chr(10) ||
+         |                '(c) example.org all rights reserved' END)
+         |      AS ptext
+         |  FROM pnf f
+         |  JOIN gsrc ON f.source = gsrc.source
+         |  JOIN gtxt ON f.text = gtxt.text),
+         |pdg AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    ${Hashing.sqlH32(s"substr(ptext, CAST(i AS INTEGER), $LangIdN)")}
+         |      % $LangIdBuckets AS g, count(*) AS c
+         |  FROM ptx,
+         |    UNNEST(generate_series(1, strlen(ptext) - ${LangIdN - 1},
+         |                           $LangIdStride)) AS t(i)
+         |  GROUP BY 1, 2),
+         |psc AS (SELECT pdg.doc_id, lgrid.lang,
+         |          sum(pdg.c * lgrid.w) + any_value(lprior.p) AS s
+         |        FROM pdg JOIN lgrid ON pdg.g = lgrid.g
+         |        JOIN lprior ON lprior.lang = lgrid.lang
+         |        GROUP BY 1, 2),
+         |pd AS MATERIALIZED (
+         |  SELECT x.doc_id, x.lang, x.source, x.text, pp.plang FROM ptx x
+         |  JOIN (SELECT doc_id, lang AS plang FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY s DESC, lang DESC) AS rn FROM psc)
+         |        WHERE rn = 1) pp ON pp.doc_id = x.doc_id),
+         |cellp AS MATERIALIZED (SELECT source, plang, count(*) AS n
+         |         FROM pd GROUP BY 1, 2),
+         |langp AS MATERIALIZED (SELECT plang, count(*) AS n
+         |         FROM pd GROUP BY 1),
+         |dp AS (SELECT pd.*, count(*) OVER (PARTITION BY plang, text)
+         |         AS dft FROM pd),
+         |xp AS (SELECT dp.doc_id, dp.lang, dp.plang,
+         |         concat(
+         |           CASE WHEN cellp.n >= ${CrawlText.MinDf} THEN ''
+         |                ELSE 'Welcome to ' || dp.source ||
+         |                     ' cookie notice applies' || chr(10) END,
+         |           CASE WHEN dp.dft >= ${CrawlText.MinDf} THEN ''
+         |                ELSE dp.text || chr(10) END,
+         |           'ref &' || CAST(dp.doc_id AS VARCHAR),
+         |           CASE WHEN langp.n >= ${CrawlText.MinDf} THEN ''
+         |                ELSE chr(10) ||
+         |                     '(c) example.org all rights reserved' END)
+         |           AS xt
+         |       FROM dp
+         |       JOIN cellp ON dp.source = cellp.source
+         |         AND dp.plang = cellp.plang
+         |       JOIN langp ON dp.plang = langp.plang)
+         |SELECT doc_id, lang, plang AS pred_lang,
+         |  lang = plang AS agree,
+         |  CAST(strlen(xt) AS BIGINT) AS n_chars, md5(xt) AS text_md5
+         |FROM xp
+         |WHERE len(regexp_split_to_array(xt, '\\s+'))
+         |  >= ${CrawlText.MinWords}""".stripMargin
   )
 
   /** Shared classifier-oracle prologue: features, weak labels (the

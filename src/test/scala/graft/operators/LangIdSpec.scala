@@ -36,4 +36,30 @@ class LangIdSpec extends SparkSpec {
       .filter(length(col("text")) >= TextPack.LangIdN).count()
     assert(scored == eligible, s"$scored scored vs $eligible eligible")
   }
+
+  /** The wired pipeline (tx_crawl_langid_e2e): predicted-language
+    * curation must track the gold labels closely — BOTH in label
+    * agreement (the global-df chrome pre-pass keeps scoring off the
+    * banner/footer grams; raw-page scoring measured 0.65, stripped
+    * 0.95) and in the curated TEXT itself (a mispredicted doc lands
+    * in another language's df cell, which only changes its text when
+    * the cell crosses a MinDf boundary — measured 0.96 identical). */
+  test("predicted-language curation tracks gold labels (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val e2e = graft.SparkEntry.queries("tx_crawl_langid_e2e")(spark, dir)
+      .select(col("doc_id"), col("agree"), col("text_md5"))
+      .localCheckpoint(true)
+    val n = e2e.count().toDouble
+    assert(n > 0, "e2e produced no rows")
+    val agree = e2e.filter(col("agree")).count() / n
+    assert(agree >= 0.9,
+      s"label agreement $agree below the 0.9 floor (measured 0.954)")
+    val labelKeyed = CrawlText.curatedFingerprintFor(spark, dir)
+      .select(col("doc_id"), col("text_md5").as("lm"))
+    val sameText = e2e.join(labelKeyed, Seq("doc_id"))
+      .filter(col("text_md5") === col("lm")).count() / n
+    assert(sameText >= 0.9,
+      s"curated-text agreement $sameText below the 0.9 floor " +
+        "(measured 0.961)")
+  }
 }
