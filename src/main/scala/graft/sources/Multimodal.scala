@@ -971,12 +971,14 @@ object Multimodal {
         })
       }
 
-    /** Full-resolution (w, h, row-major luma) off real PNG or BMP
-      * bytes. */
+    /** Full-resolution (w, h, row-major luma) off real PNG, BMP, or
+      * baseline-JFIF JPEG bytes. */
     def decodeLuma(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
       if (b.length >= 8 && PngSig.indices.forall(i => b(i) == PngSig(i)))
         decodePng(b)
       else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+      else if (b.length >= 4 && (b(0) & 0xff) == 0xff &&
+        (b(1) & 0xff) == 0xd8) decodeJpeg(b)
       else None
 
     private def u16le(b: Array[Byte], i: Int): Int =
@@ -1120,6 +1122,476 @@ object Multimodal {
       } catch { case _: java.util.zip.DataFormatException => None }
       finally inf.end()
     }
+
+    // ---- JPEG (baseline JFIF, grayscale — SOF0 + Huffman + IDCT) --
+
+    /** Natural-order index per zigzag position (ITU T.81 Figure 5's
+      * scan order) — shared by encode and decode, and pinned against
+      * the published sequence in PixelCodecSpec. */
+    private val Zigzag: Array[Int] = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+    /** Encoder Huffman specs, carried in the file's own DHT segment
+      * (baseline JPEG requires only SOME prefix code there — the
+      * Annex K tables are "typical", not mandatory): 12 DC size
+      * categories as 4-bit canonical codes, all 162 AC (run, size)
+      * symbols — EOB, the 160 run 0-15 × size 1-10 grid, ZRL — as
+      * 9-bit canonical codes. Flat lengths keep the table definition
+      * original and trivially Kraft-valid (12 ≤ 2⁴, 162 ≤ 2⁹, the
+      * all-ones code unused in both); the DECODER builds its tables
+      * from whatever DHT any file carries, so it reads Annex-K
+      * streams just the same. */
+    private val JDcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    private val JDcVals = Array.tabulate(12)(_.toByte)
+    private val JAcBits = Array(0, 0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0)
+    private val JAcVals: Array[Byte] =
+      (0x00.toByte +: (for { r <- 0 to 15; s <- 1 to 10 }
+        yield ((r << 4) | s).toByte).toArray) :+ 0xf0.toByte
+
+    /** Canonical code assignment (T.81 F.2.2.3's generate_size/
+      * code tables): symbol i of length L gets the next code value in
+      * increasing (length, position) order. Returns per-symbol
+      * (code, length) keyed by symbol position in `vals`. */
+    private def canonicalCodes(bits: Array[Int]): Array[(Int, Int)] = {
+      val out = Array.newBuilder[(Int, Int)]
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        var i = 0
+        while (i < bits(l - 1)) { out += ((code, l)); code += 1; i += 1 }
+        code <<= 1
+        l += 1
+      }
+      out.result()
+    }
+
+    /** Forward 8×8 DCT (orthonormal JPEG scaling) of a level-shifted
+      * block — direct double-precision sums; encoder-side only, so
+      * the O(64²) form is fine (the fixture pays it once per block at
+      * generation). */
+    private def fdct8(f: Array[Double]): Array[Double] = {
+      val out = new Array[Double](64)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0.0
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              s += f(y * 8 + x) *
+                math.cos((2 * x + 1) * v * math.Pi / 16) *
+                math.cos((2 * y + 1) * u * math.Pi / 16)
+              x += 1
+            }
+            y += 1
+          }
+          val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+          val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+          out(u * 8 + v) = 0.25 * cu * cv * s
+          v += 1
+        }
+        u += 1
+      }
+      out
+    }
+
+    /** Inverse 8×8 DCT — the decoder's production leg, and the
+      * encoder's own check surface. Direct form mirrors [[fdct8]];
+      * PixelCodecSpec pins a reference block against an
+      * independently-written separable implementation. */
+    private def idct8(coef: Array[Double]): Array[Double] = {
+      val out = new Array[Double](64)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+              val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+              s += cu * cv * coef(u * 8 + v) *
+                math.cos((2 * x + 1) * v * math.Pi / 16) *
+                math.cos((2 * y + 1) * u * math.Pi / 16)
+              v += 1
+            }
+            u += 1
+          }
+          out(y * 8 + x) = 0.25 * s
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Bit-serial entropy writer with the FF→FF 00 stuffing rule. */
+    private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+      private var acc = 0
+      private var n = 0
+      def put(code: Int, len: Int): Unit = {
+        var i = len - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((code >> i) & 1)
+          n += 1
+          if (n == 8) {
+            out.write(acc)
+            if (acc == 0xff) out.write(0x00)
+            acc = 0; n = 0
+          }
+          i -= 1
+        }
+      }
+      /** Pad the final partial byte with 1-bits (T.81 F.1.2.3). */
+      def flush(): Unit = if (n > 0) {
+        acc = (acc << (8 - n)) | ((1 << (8 - n)) - 1)
+        out.write(acc)
+        if (acc == 0xff) out.write(0x00)
+        acc = 0; n = 0
+      }
+    }
+
+    /** Magnitude category of a coefficient (0 for 0; value bits =
+      * v if positive, v + 2^s − 1 if negative — T.81 F.1.2.1.2). */
+    private def category(v: Int): Int = {
+      var s = 0
+      var a = math.abs(v)
+      while (a != 0) { a >>= 1; s += 1 }
+      s
+    }
+
+    /** A REAL baseline JFIF grayscale JPEG carrying `px` (row-major
+      * luma, w×h): SOI, APP0, an all-ones DQT (quant step 1 — the
+      * near-lossless setting), SOF0, the canonical DHT pair above,
+      * SOS, and a genuine entropy-coded scan — per 8×8 block a float
+      * FDCT, round-to-integer quantization, zigzag, DC difference
+      * coding, and Huffman codes bit-packed with FF-stuffing.
+      *
+      * Lossless-exactness contract (the spreadChannels analogue):
+      * for BLOCK-CONSTANT content — every 8×8 block one value v, the
+      * shape [[expand]](grid, 8) produces — the DC coefficient is
+      * exactly 8·(v−128) (an integer: no quantization loss) and every
+      * AC coefficient is exactly 0, so decode reproduces v bit-exact
+      * and the fixture's grid survives encode + full decode while the
+      * oracle keeps replaying the grid arithmetically. General
+      * content rounds through quant step 1 (±2 typical); the fixture
+      * only feeds block-aligned grids. */
+    def jpegGrayEncode(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream
+      def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+      def seg(m: Int, payload: Array[Byte]): Unit = {
+        marker(m)
+        val len = payload.length + 2
+        out.write(len >> 8); out.write(len & 0xff)
+        out.write(payload, 0, payload.length)
+      }
+      marker(0xd8) // SOI
+      seg(0xe0, "JFIF".getBytes ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+      seg(0xdb, 0x00.toByte +: Array.fill[Byte](64)(1)) // DQT id 0, all 1s
+      seg(0xc0, Array[Byte](8, (h >> 8).toByte, (h & 0xff).toByte,
+        (w >> 8).toByte, (w & 0xff).toByte, 1, 1, 0x11, 0))
+      seg(0xc4, (0x00.toByte +: JDcBits.map(_.toByte)) ++ JDcVals)
+      seg(0xc4, (0x10.toByte +: JAcBits.map(_.toByte)) ++ JAcVals)
+      seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
+      val dcCodes = canonicalCodes(JDcBits) // position i = category i
+      val acCodes = canonicalCodes(JAcBits)
+      val acIndex = JAcVals.zipWithIndex.map { case (s, i) => (s & 0xff, i) }.toMap
+      val bw = new BitWriter(out)
+      val (bw8, bh8) = ((w + 7) / 8, (h + 7) / 8)
+      var pred = 0
+      var by = 0
+      while (by < bh8) {
+        var bx = 0
+        while (bx < bw8) {
+          val f = new Array[Double](64)
+          var i = 0
+          while (i < 64) {
+            val sy = math.min(h - 1, by * 8 + i / 8) // edge replication
+            val sx = math.min(w - 1, bx * 8 + i % 8)
+            f(i) = px(sy * w + sx) - 128.0
+            i += 1
+          }
+          val coef = fdct8(f).map(c => math.round(c).toInt)
+          // DC difference
+          val diff = coef(0) - pred
+          pred = coef(0)
+          val s0 = category(diff)
+          val (c0, l0) = dcCodes(s0)
+          bw.put(c0, l0)
+          if (s0 > 0)
+            bw.put(if (diff >= 0) diff else diff + (1 << s0) - 1, s0)
+          // AC run-length
+          var k = 1
+          var run = 0
+          while (k < 64) {
+            // size-10 is the largest AC code in the table (baseline's
+            // own ceiling): worst-case content at quant 1 can push a
+            // coefficient past ±1023 — saturate, as real encoders do
+            val v = math.max(-1023, math.min(1023, coef(Zigzag(k))))
+            if (v == 0) run += 1
+            else {
+              while (run >= 16) {
+                val (cz, lz) = acCodes(acIndex(0xf0)); bw.put(cz, lz)
+                run -= 16
+              }
+              val s = category(v)
+              val (c, l) = acCodes(acIndex((run << 4) | s))
+              bw.put(c, l)
+              bw.put(if (v >= 0) v else v + (1 << s) - 1, s)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) { val (ce, le) = acCodes(acIndex(0x00)); bw.put(ce, le) }
+          bx += 1
+        }
+        by += 1
+      }
+      bw.flush()
+      marker(0xd9) // EOI
+      out.toByteArray
+    }
+
+    /** A decode-side Huffman table: per code length, the canonical
+      * MINCODE/MAXCODE window and the first symbol index (T.81
+      * F.2.2.3's decoder tables), built from any DHT payload. */
+    private final class HuffTable(bits: Array[Int], vals: Array[Byte]) {
+      val minCode = new Array[Int](17)
+      val maxCode = Array.fill(17)(-1)
+      val valPtr = new Array[Int](17)
+      locally {
+        var code = 0
+        var p = 0
+        var l = 1
+        while (l <= 16) {
+          if (bits(l - 1) > 0) {
+            valPtr(l) = p
+            minCode(l) = code
+            code += bits(l - 1); p += bits(l - 1)
+            maxCode(l) = code - 1
+          }
+          code <<= 1
+          l += 1
+        }
+      }
+      def symbol(len: Int, code: Int): Int =
+        vals(valPtr(len) + code - minCode(len)) & 0xff
+    }
+
+    /** Bit-serial entropy reader: FF 00 destuffing; any other marker
+      * byte inside the scan ends it (RST handling is the caller's).
+      * Returns −1 past the end — every consumer turns that into a
+      * malformed-image None. */
+    private final class BitReader(b: Array[Byte], var p: Int) {
+      private var acc = 0
+      private var n = 0
+      var restartMarker: Int = -1 // the RSTn seen, if any
+      def bit(): Int = {
+        if (n == 0) {
+          if (p >= b.length) return -1
+          val v = b(p) & 0xff
+          p += 1
+          if (v == 0xff) {
+            if (p >= b.length) return -1
+            val m = b(p) & 0xff
+            if (m == 0x00) p += 1 // stuffed FF data byte
+            else if (m >= 0xd0 && m <= 0xd7) {
+              p += 1; restartMarker = m; return -1 // consumed RSTn
+            } else return -1 // a real marker: scan is over
+          }
+          acc = v; n = 8
+        }
+        n -= 1
+        (acc >> n) & 1
+      }
+      def align(): Unit = n = 0
+      def receive(len: Int): Int = {
+        var v = 0
+        var i = 0
+        while (i < len) {
+          val x = bit(); if (x < 0) return Int.MinValue
+          v = (v << 1) | x
+          i += 1
+        }
+        v
+      }
+      def decode(t: HuffTable): Int = {
+        var code = 0
+        var l = 1
+        while (l <= 16) {
+          val x = bit(); if (x < 0) return -1
+          code = (code << 1) | x
+          if (t.maxCode(l) >= 0 && code <= t.maxCode(l) &&
+            code >= t.minCode(l)) return t.symbol(l, code)
+          l += 1
+        }
+        -1
+      }
+    }
+
+    /** Sign-extend `v` read as a `len`-bit magnitude field (T.81
+      * EXTEND). */
+    private def extend(v: Int, len: Int): Int =
+      if (len == 0) 0
+      else if (v < (1 << (len - 1))) v - (1 << len) + 1
+      else v
+
+    /** Baseline JFIF grayscale decode: marker walk (DQT/DHT/SOF0/SOS
+      * collected, APPn/COM hopped, DRI honored), canonical Huffman
+      * decode with FF-stuffing and restart handling, dequantization,
+      * zigzag placement, double-precision IDCT, +128 level shift,
+      * clamp. Progressive (SOF2), arithmetic coding, multi-component
+      * scans, and 16-bit quant tables are out of this decoder's
+      * declared scope → None, the poisoned-row discipline. */
+    private def decodeJpeg(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      var p = 2
+      var w = -1
+      var h = -1
+      var qtId = -1
+      val qts = new Array[Array[Int]](4)
+      val dcT = new Array[HuffTable](4)
+      val acT = new Array[HuffTable](4)
+      var dcSel = -1
+      var acSel = -1
+      var restartInterval = 0
+      var scanAt = -1
+      while (scanAt < 0 && p + 4 <= b.length) {
+        if ((b(p) & 0xff) != 0xff) return None
+        val m = b(p + 1) & 0xff
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { p += 2 }
+        else if (m == 0xd9) return None // EOI before any scan
+        else {
+          val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+          if (len < 2 || p + 2 + len > b.length) return None
+          val q = p + 4 // payload start
+          m match {
+            case 0xdb => // DQT: one or more tables
+              var r = q
+              while (r < p + 2 + len) {
+                val pq = (b(r) & 0xff) >> 4
+                val tq = b(r) & 0x0f
+                if (pq != 0 || tq > 3 || r + 65 > p + 2 + len) return None
+                qts(tq) = Array.tabulate(64)(i => b(r + 1 + i) & 0xff)
+                r += 65
+              }
+            case 0xc4 => // DHT: one or more tables
+              var r = q
+              while (r < p + 2 + len) {
+                val tc = (b(r) & 0xff) >> 4
+                val th = b(r) & 0x0f
+                if (tc > 1 || th > 3 || r + 17 > p + 2 + len) return None
+                val bits = Array.tabulate(16)(i => b(r + 1 + i) & 0xff)
+                val nv = bits.sum
+                if (nv > 256 || r + 17 + nv > p + 2 + len) return None
+                val vals = java.util.Arrays.copyOfRange(b, r + 17, r + 17 + nv)
+                val t = new HuffTable(bits, vals)
+                if (tc == 0) dcT(th) = t else acT(th) = t
+                r += 17 + nv
+              }
+            case 0xc0 => // SOF0 baseline
+              if (len < 11 || b(q) != 8) return None
+              h = ((b(q + 1) & 0xff) << 8) | (b(q + 2) & 0xff)
+              w = ((b(q + 3) & 0xff) << 8) | (b(q + 4) & 0xff)
+              if ((b(q + 5) & 0xff) != 1) return None // gray only
+              if ((b(q + 7) & 0xff) != 0x11) return None // no subsampling
+              qtId = b(q + 8) & 0x0f
+            case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+                 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+              return None // non-baseline frame types
+            case 0xdd => // DRI
+              if (len < 4) return None
+              restartInterval = ((b(q) & 0xff) << 8) | (b(q + 1) & 0xff)
+            case 0xda => // SOS
+              if (len < 3 || (b(q) & 0xff) != 1) return None
+              dcSel = (b(q + 2) & 0xff) >> 4
+              acSel = b(q + 2) & 0x0f
+              scanAt = p + 2 + len
+            case _ => () // APPn / COM / others: hop
+          }
+          p += 2 + len
+        }
+      }
+      if (scanAt < 0 || w <= 0 || h <= 0) return None
+      if (w > MaxDim || h > MaxDim) return None
+      if (qtId < 0 || qts(qtId) == null) return None
+      if (dcSel < 0 || dcT(dcSel) == null || acT(acSel) == null) return None
+      val qt = qts(qtId)
+      val (dc, ac) = (dcT(dcSel), acT(acSel))
+      val (bw8, bh8) = ((w + 7) / 8, (h + 7) / 8)
+      val luma = new Array[Int](w * h)
+      val br = new BitReader(b, scanAt)
+      var pred = 0
+      var mcu = 0
+      var by = 0
+      while (by < bh8) {
+        var bx = 0
+        while (bx < bw8) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            // expect an RSTn boundary: realign, reset the predictor
+            br.align()
+            if (br.restartMarker < 0) {
+              // the marker byte is still ahead: consume it directly
+              var r = br.p
+              while (r + 1 < b.length && (b(r) & 0xff) == 0xff &&
+                (b(r + 1) & 0xff) == 0xff) r += 1
+              if (r + 1 >= b.length || (b(r) & 0xff) != 0xff ||
+                (b(r + 1) & 0xff) < 0xd0 || (b(r + 1) & 0xff) > 0xd7)
+                return None
+              br.p = r + 2
+            } else br.restartMarker = -1
+            pred = 0
+          }
+          val s0 = br.decode(dc)
+          if (s0 < 0 || s0 > 11) return None
+          val dv = br.receive(s0)
+          if (dv == Int.MinValue) return None
+          pred += extend(dv, s0)
+          val coef = new Array[Double](64)
+          coef(0) = pred.toDouble * qt(0)
+          var k = 1
+          var done = false
+          while (k < 64 && !done) {
+            val rs = br.decode(ac)
+            if (rs < 0) return None
+            val run = rs >> 4
+            val size = rs & 0x0f
+            if (size == 0) {
+              if (run == 15) k += 16 // ZRL
+              else done = true // EOB
+            } else {
+              k += run
+              if (k > 63 || size > 10) return None
+              val mv = br.receive(size)
+              if (mv == Int.MinValue) return None
+              coef(Zigzag(k)) = extend(mv, size).toDouble * qt(k)
+              k += 1
+            }
+          }
+          val pix = idct8(coef)
+          var i = 0
+          while (i < 64) {
+            val y = by * 8 + i / 8
+            val x = bx * 8 + i % 8
+            if (y < h && x < w) {
+              val v = math.round(pix(i) + 128.0).toInt
+              luma(y * w + x) = math.max(0, math.min(255, v))
+            }
+            i += 1
+          }
+          mcu += 1
+          bx += 1
+        }
+        by += 1
+      }
+      Some((w, h, luma))
+    }
   }
 
   private val PngSig =
@@ -1150,9 +1622,14 @@ object Multimodal {
   /** Near-dup IMAGE fixture over REAL encoded bytes: every EVEN doc
     * becomes two images — img_id = doc_id (pristine, a genuine PNG:
     * zlib-deflated scanlines cycling all five filters, grayscale or
-    * truecolor by id) and doc_id + 1 (pixel 0 brightened +16, RE-
-    * ENCODED as a 24-bit BMP at a DIFFERENT scale) — so recovering
-    * the pair proves both decoders, the channel-spread luma, and the
+    * truecolor by id) and doc_id + 1 (pixel 0 brightened +16,
+    * RE-ENCODED at a DIFFERENT scale: a 24-bit BMP for most pairs,
+    * and for the id % 6 == 4 cohort a REAL baseline JPEG — Huffman
+    * entropy scan, DCT coefficients, the formats a real crawl
+    * actually carries — expanded ×8 so every 8×8 block is one grid
+    * value and the DC-only encode is exactly lossless, see
+    * [[PixelCodec.jpegGrayEncode]]) — so recovering the pair proves
+    * all three decoders, the channel-spread luma, and the
     * nearest-neighbor resize agree bit-exactly, while unrelated
     * images stay far. Pixels derive from the doc's text bytes (ASCII
     * by fixture construction), so the DuckDB oracle replays the grid
@@ -1168,11 +1645,15 @@ object Multimodal {
         val png = PixelCodec.pngEncode(
           expand(gridOf(b, 0, bump = false), sBase),
           GridW * sBase, GridH * sBase, rgb = id % 6 == 0)
-        val bmp = PixelCodec.bmpEncode(
-          expand(gridOf(b, 0, bump = true), sVar),
-          GridW * sVar, GridH * sVar, topDown = id % 10 == 0)
-        Seq(MediaRow(id, "image/png", png),
-          MediaRow(id + 1, "image/bmp", bmp))
+        val variant =
+          if (id % 6 == 4)
+            MediaRow(id + 1, "image/jpeg", PixelCodec.jpegGrayEncode(
+              expand(gridOf(b, 0, bump = true), 8), GridW * 8, GridH * 8))
+          else
+            MediaRow(id + 1, "image/bmp", PixelCodec.bmpEncode(
+              expand(gridOf(b, 0, bump = true), sVar),
+              GridW * sVar, GridH * sVar, topDown = id % 10 == 0))
+        Seq(MediaRow(id, "image/png", png), variant)
       }
   }
 

@@ -117,4 +117,106 @@ class PixelCodecSpec extends SparkSpec {
     assert(idats == 2, s"expected a split IDAT stream, got $idats chunk(s)")
     assert(PixelCodec.decodeGrid(bytes).exists(_.sameElements(g)))
   }
+
+  // ---- JPEG (baseline JFIF gray) ----
+
+  test("JPEG round trip: block-constant content is exactly lossless") {
+    // expand ×8 ⇒ every 8×8 block one grid value ⇒ DC = 8(v−128)
+    // exactly, all AC exactly 0 — the encode is lossless by integer
+    // arithmetic, the lossless contract the near-dup fixture rides
+    val g = grid()
+    val bytes = PixelCodec.jpegGrayEncode(expand(g, 8), GridW * 8, GridH * 8)
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+    assert(PixelCodec.decodeGrid(bytes).exists(_.sameElements(g)),
+      "block-constant JPEG must round-trip the grid exactly")
+  }
+
+  test("JPEG general content: quant-1 encode decodes within tight tolerance") {
+    // non-block-aligned content pays real DCT quantization; with an
+    // all-ones quant table the coefficient rounding error is ≤ 0.5
+    // per coefficient — decoded pixels land within a few units
+    val w = 20; val h = 12 // forces edge-replication padding too
+    val px = Array.tabulate(w * h)(i => (i * 37 + (i * i) % 91) % 256)
+    val bytes = PixelCodec.jpegGrayEncode(px, w, h)
+    val out = PixelCodec.decodeLuma(bytes)
+    assert(out.isDefined, "general-content JPEG must decode")
+    val (dw, dh, luma) = out.get
+    assert(dw == w && dh == h)
+    val maxErr = px.indices.map(i => math.abs(luma(i) - px(i))).max
+    assert(maxErr <= 4, s"max pixel error $maxErr exceeds the quant-1 bound")
+  }
+
+  test("JPEG reference block: hand-assembled stream vs an independent IDCT") {
+    // The stream is built HERE, by independent code, from the spec's
+    // own understanding of T.81: canonical 4-bit DC / 9-bit AC codes
+    // (category i ↔ code i; AC symbol at table-position i ↔ code i),
+    // magnitude bits, EOB, 1-padding. One 8×8 block: DC 16, the
+    // zigzag-1 AC coefficient −3. Expected pixels come from the
+    // spec's OWN direct IDCT double loop — agreement pins the
+    // decoder's Huffman walk, dequant, zigzag placement, and IDCT
+    // against independently-written logic.
+    val bits = new StringBuilder
+    def putBits(v: Int, len: Int): Unit =
+      for (i <- (len - 1) to 0 by -1) bits.append((v >> i) & 1)
+    // AC table positions: 0 = EOB, then (run 0-15 × size 1-10) row
+    // by row, ZRL last ⇒ (run=0, size=2) sits at position 2
+    putBits(5, 4); putBits(16, 5)    // DC: category 5, value 16
+    putBits(2, 9); putBits(0, 2)     // AC (0,2), value bits 00 ⇒ −3
+    putBits(0, 9)                    // EOB
+    while (bits.length % 8 != 0) bits.append(1) // pad with 1s
+    val scan = bits.toString.grouped(8)
+      .map(s => Integer.parseInt(s, 2).toByte)
+      .flatMap(b => if ((b & 0xff) == 0xff) Seq(b, 0x00.toByte) else Seq(b))
+      .toArray
+    def seg(m: Int, p: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, m.toByte, ((p.length + 2) >> 8).toByte,
+        ((p.length + 2) & 0xff).toByte) ++ p
+    val dcVals = Array.tabulate(12)(_.toByte)
+    val acVals = (0x00.toByte +: (for { r <- 0 to 15; s <- 1 to 10 }
+      yield ((r << 4) | s).toByte).toArray) :+ 0xf0.toByte
+    val jpeg =
+      Array(0xff.toByte, 0xd8.toByte) ++
+        seg(0xdb, 0x00.toByte +: Array.fill[Byte](64)(1)) ++
+        seg(0xc0, Array[Byte](8, 0, 8, 0, 8, 1, 1, 0x11, 0)) ++
+        seg(0xc4, (0x00.toByte +: Array.tabulate[Byte](16)(i =>
+          if (i == 3) 12 else 0)) ++ dcVals) ++
+        seg(0xc4, (0x10.toByte +: Array.tabulate[Byte](16)(i =>
+          if (i == 8) 162.toByte else 0)) ++ acVals) ++
+        seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) ++
+        scan ++ Array(0xff.toByte, 0xd9.toByte)
+    // independent expected surface: direct IDCT of {DC=16, nat-1=−3}
+    val expected = Array.tabulate(64) { i =>
+      val (y, x) = (i / 8, i % 8)
+      var s = 0.0
+      for (u <- 0 until 8; v <- 0 until 8) {
+        val c = if (u == 0 && v == 0) 16.0
+          else if (u == 0 && v == 1) -3.0 else 0.0
+        if (c != 0.0) {
+          val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+          val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+          s += cu * cv * c * math.cos((2 * x + 1) * v * math.Pi / 16) *
+            math.cos((2 * y + 1) * u * math.Pi / 16)
+        }
+      }
+      math.max(0, math.min(255, math.round(0.25 * s + 128.0).toInt))
+    }
+    val got = PixelCodec.decodeLuma(jpeg)
+    assert(got.isDefined, "hand-assembled baseline stream must decode")
+    assert(got.get._3.sameElements(expected),
+      "decoder must match the independently-computed reference block")
+  }
+
+  test("JPEG malformed bytes yield None, never an exception") {
+    val ok = PixelCodec.jpegGrayEncode(
+      expand(grid(), 8), GridW * 8, GridH * 8)
+    assert(PixelCodec.decodeLuma(ok.take(20)).isEmpty, "truncated header")
+    assert(PixelCodec.decodeLuma(ok.dropRight(30)).isEmpty,
+      "a scan cut mid-entropy-stream must reject, not emit a torn image")
+    val progressive = ok.clone
+    // flip SOF0 (FFC0) to SOF2 (FFC2): progressive is out of scope
+    val sof = ok.indices.find(i => (ok(i) & 0xff) == 0xff &&
+      i + 1 < ok.length && (ok(i + 1) & 0xff) == 0xc0).get
+    progressive(sof + 1) = 0xc2.toByte
+    assert(PixelCodec.decodeLuma(progressive).isEmpty, "progressive rejected")
+  }
 }
