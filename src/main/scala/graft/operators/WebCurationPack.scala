@@ -270,12 +270,16 @@ object WebCurationPack extends QueryPack {
     // crawl cycle (discovery finds new pages; this finds CHANGED
     // ones): sitemap entries whose advertised lastmod is NEWER than
     // the page's recorded fetch date are due again — a genuine
-    // date-vs-date comparison over the crawl log's fetched_at column
-    // ([[crawlLog]]; the h%6 cohort is fetched ON the year-end
-    // lastmod date, pinning the strict inequality at the boundary).
-    // The sitemap side is host-bounded so it BROADCASTS against the
-    // corpus-scale crawl set — at 100 TB the join cost is one scan
-    // of the crawl log
+    // date-vs-date comparison against the fetch LOG, which is a real
+    // TABLE here ([[fetchLogFor]]: planted once beside the corpus
+    // through the IndexCache parquet envelope, the form the
+    // streaming admission path writes —
+    // [[graft.streaming.UrlStream]] stamps fetched_at on every
+    // admitted store row), not an in-query date synthesis. The h%6
+    // cohort is fetched ON the year-end lastmod date, pinning the
+    // strict inequality at the boundary. The sitemap side is
+    // host-bounded so it BROADCASTS against the corpus-scale log —
+    // at 100 TB the join cost is one scan of the fetch log
     "wc_recrawl" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val c = canon(s, dir)
@@ -284,7 +288,7 @@ object WebCurationPack extends QueryPack {
         .filter(col("lastmod").isNotNull)
         .select(col("loc").as("canonical"),
           to_date(col("lastmod")).as("modified"))
-      recrawlDue(crawlLog(c), sm)
+      recrawlDue(fetchLogFor(s, dir), sm)
     }),
 
     // ...and the UNIFIED discovery feed: sitemap ∪ links, minus
@@ -347,6 +351,8 @@ object WebCurationPack extends QueryPack {
       .groupBy(col("dst"), col("domain"), col("indeg"))
       .agg(max(col("m")).as("best"))
       .filter(col("best").isNull || col("best.allow") === 1)
+      // link-only targets: the value model is bare in-degree
+      .withColumn("score", col("indeg"))
     budgetCap(allowed,
       RobotsOps.frontierCaps(parsed, delays, CapK),
       Seq("domain", "dst"))
@@ -354,22 +360,25 @@ object WebCurationPack extends QueryPack {
 
   /** Per-domain politeness cap, Crawl-delay-aware and RANK-ordered:
     * each domain's budget is spent on its highest-VALUE targets —
-    * in-degree descending (the link-quality signal the corpus
-    * already computes for PageRank gating), dst ascending as the
-    * deterministic tiebreak — not on the lexicographically smallest
-    * URLs. The native bounded-heap [[graft.plans.TopKPerKey]] bounds
-    * what crosses the exchange at [[CapK]] rows per domain (the
-    * scale lever — corpus-size input never sorts per key), then the
-    * per-domain TIME budget (`caps`: domain → slots per window,
+    * `score` descending, dst ascending as the deterministic tiebreak
+    * — not on the lexicographically smallest URLs. The score is the
+    * caller's value model: the frontier uses bare in-degree (the
+    * link-quality signal the corpus already computes for PageRank
+    * gating); discovery BLENDS advertised-lastmod freshness on top
+    * ([[SitemapOps.freshnessBonus]]) so a page a fresh sitemap
+    * advertises but nothing links yet can still win a contended
+    * domain slot. The native bounded-heap [[graft.plans.TopKPerKey]]
+    * bounds what crosses the exchange at [[CapK]] rows per domain
+    * (the scale lever — corpus-size input never sorts per key), then
+    * the per-domain TIME budget (`caps`: domain → slots per window,
     * [[RobotsOps.frontierCaps]]) trims that ≤CapK-per-domain OUTPUT
     * with a partitioned row_number over the same order — a window
     * over an output-bound frame, constant work per domain. Domains
-    * with no Crawl-delay keep the full CapK. `rows` must carry an
-    * `indeg` column (0 for targets nothing links to, e.g.
-    * sitemap-only discoveries). */
+    * with no Crawl-delay keep the full CapK. `rows` must carry a
+    * `score` column (long). */
   def budgetCap(rows: DataFrame, caps: DataFrame, outCols: Seq[String])
       : DataFrame = {
-    val order = Seq(col("indeg").desc, col("dst").asc)
+    val order = Seq(col("score").desc, col("dst").asc)
     val topk = graft.plans.TopKPerKey.topKPerKey(rows,
       Seq(col("domain")), order, CapK)
     val w = org.apache.spark.sql.expressions.Window
@@ -380,15 +389,27 @@ object WebCurationPack extends QueryPack {
       .select(outCols.map(col): _*)
   }
 
-  /** The crawl log: one (canonical, fetched_at DATE) row per crawled
-    * page. The fixture plants a real date per page — spread across
-    * the year by canonical-hash arithmetic, except the h%6 cohort,
-    * which is fetched exactly ON the sitemap generator's year-end
-    * lastmod (2026-12-28, [[SitemapOps.urlsetXml]]'s refresh entry)
-    * so equal-date pages exist by construction and the re-crawl
-    * comparison's STRICT inequality is pinned, not incidental. In
-    * production this column comes from the fetch pipeline's own log
-    * (the events table's ts discipline). */
+  /** The fetch log as a corpus-dir ARTIFACT — a real (canonical,
+    * fetched_at) parquet table planted once beside the corpus
+    * through the [[IndexCache.frame]] envelope and SCANNED by every
+    * consumer, exactly the shape the streaming admission path
+    * writes into its store ([[graft.streaming.UrlStream]]'s
+    * fetched_at column). The batch fixture's writer is [[crawlLog]];
+    * wc_recrawl's oracle replays the writer's date arithmetic, the
+    * comparison itself reads the table. */
+  def fetchLogFor(s: SparkSession, dir: String): DataFrame =
+    IndexCache.frame(s, "fetchlog", dir)(crawlLog(canon(s, dir)))
+
+  /** The crawl-log fixture WRITER: one (canonical, fetched_at DATE)
+    * row per crawled page. Plants a real date per page — spread
+    * across the year by canonical-hash arithmetic, except the h%6
+    * cohort, which is fetched exactly ON the sitemap generator's
+    * year-end lastmod (2026-12-28, [[SitemapOps.urlsetXml]]'s
+    * refresh entry) so equal-date pages exist by construction and
+    * the re-crawl comparison's STRICT inequality is pinned, not
+    * incidental. Consumers read [[fetchLogFor]]'s planted table, not
+    * this builder; in production the column comes from the fetch
+    * pipeline's own log (the admitted store's fetched_at). */
   def crawlLog(c: DataFrame): DataFrame = {
     val h = Hashing.h32(col("canonical"))
     c.select(col("canonical")).distinct()
@@ -601,13 +622,15 @@ object WebCurationPack extends QueryPack {
          |${LinkOps.sqlEdgesCte},
          |${SitemapOps.sqlSitemapCte(UrlOps.sqlCanonSrc)},
          |uni AS (SELECT loc AS dst, TRUE AS via_sitemap,
-         |               FALSE AS via_link FROM smrows
+         |               FALSE AS via_link,
+         |               CAST(lastmod AS DATE) AS lm FROM smrows
          |        UNION ALL
-         |        SELECT dst, FALSE, TRUE FROM ledges),
+         |        SELECT dst, FALSE, TRUE, NULL FROM ledges),
          |grp AS (SELECT dst, bool_or(via_sitemap) AS via_sitemap,
          |               bool_or(via_link) AS via_link,
          |               sum(CASE WHEN via_link THEN 1 ELSE 0 END)
-         |                 AS indeg
+         |                 AS indeg,
+         |               max(lm) AS lm
          |        FROM uni GROUP BY dst),
          |tg AS (SELECT g.* FROM grp g
          |       WHERE g.dst NOT IN (SELECT DISTINCT canonical
@@ -617,18 +640,22 @@ object WebCurationPack extends QueryPack {
          |         any_value(t.via_sitemap) AS via_sitemap,
          |         any_value(t.via_link) AS via_link,
          |         any_value(t.indeg) AS indeg,
+         |         any_value(t.lm) AS lm,
          |         max(${RobotsOps.sqlMatchScore(
                       "t.path", "r.path", "r.allow")}) AS score
          |       FROM tdom t LEFT JOIN sel r ON t.domain = r.domain
          |       GROUP BY t.dst, t.domain),
-         |fa AS (SELECT dst, domain, indeg,
+         |fa AS (SELECT dst, domain,
+         |         indeg + CASE
+         |           WHEN lm >= DATE '${SitemapOps.FreshSince}' THEN 2
+         |           WHEN lm IS NOT NULL THEN 1 ELSE 0 END AS rank_score,
          |         CASE WHEN via_sitemap AND via_link THEN 'both'
          |              WHEN via_sitemap THEN 'sitemap'
          |              ELSE 'link' END AS via
          |       FROM fj WHERE score IS NULL OR score % 2 = 1),
          |fc AS (SELECT f.domain, f.dst, f.via, row_number() OVER (
          |         PARTITION BY f.domain
-         |         ORDER BY f.indeg DESC, f.dst) AS rn,
+         |         ORDER BY f.rank_score DESC, f.dst) AS rn,
          |         coalesce(rc.cap, $CapK) AS cap
          |       FROM fa f LEFT JOIN rcaps rc ON f.domain = rc.domain)
          |SELECT domain, dst, via FROM fc WHERE rn <= cap""".stripMargin,

@@ -61,11 +61,10 @@ object UrlStream {
         .select(col("doc_id"), col("url"), col("canonical")))
   }
 
-  /** The admitted store: every `_SUCCESS`-complete batch directory
-    * under `outDir` (see the object doc for why partial directories
-    * are EXCLUDED), empty-schema frame when none landed yet. */
-  def admitted(spark: SparkSession, outDir: String): DataFrame = {
-    val done = SinkFs.list(outDir)
+  /** The `_SUCCESS`-complete batch directories under `outDir` (see
+    * the object doc for why partial directories are EXCLUDED). */
+  private def completeBatchDirs(outDir: String): Seq[String] =
+    SinkFs.list(outDir)
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith("ingest_batch=") &&
         SinkFs.exists(s"${st.getPath}/_SUCCESS") &&
@@ -74,13 +73,36 @@ object UrlStream {
         SinkFs.list(st.getPath.toString)
           .exists(_.getPath.getName.endsWith(".parquet")))
       .map(_.getPath.toString)
+
+  private def emptyStore(spark: SparkSession, ddl: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
+  /** The admitted store: every complete batch directory, empty-schema
+    * frame when none landed yet. */
+  def admitted(spark: SparkSession, outDir: String): DataFrame = {
+    val done = completeBatchDirs(outDir)
     if (done.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "canonical STRING, doc_id BIGINT, url STRING"))
+      emptyStore(spark, "canonical STRING, doc_id BIGINT, url STRING")
     else spark.read.parquet(done: _*)
       .select(col("canonical"), col("doc_id"), col("url"))
+  }
+
+  /** The fetch LOG the admitted store doubles as: (canonical,
+    * fetched_at DATE) for every admitted first crawl — the real
+    * table [[graft.operators.WebCurationPack.recrawlDue]] compares
+    * sitemap lastmod claims against (wc_recrawl's batch fixture
+    * plants the same shape through the IndexCache envelope). One
+    * store, two read surfaces: admission history for the seen-set's
+    * exact sliver, fetch dates for re-crawl scheduling — no second
+    * bookkeeping table to drift. */
+  def fetchLog(spark: SparkSession, outDir: String): DataFrame = {
+    val done = completeBatchDirs(outDir)
+    if (done.isEmpty)
+      emptyStore(spark, "canonical STRING, fetched_at DATE")
+    else spark.read.parquet(done: _*)
+      .select(col("canonical"), col("fetched_at"))
   }
 
   /** The admission → curation COMPOSITION as one continuous stream —
@@ -185,7 +207,8 @@ object UrlStream {
                     pages, chromeDf),
                   Seq("doc_id"), "left")
                 .select(col("canonical"), col("doc_id"), col("url"),
-                  col("lang"), col("n_chars"), col("text_md5"))
+                  col("lang"), col("n_chars"), col("text_md5"),
+                  current_date().as("fetched_at"))
                 .write.mode(SaveMode.Overwrite).parquet(dir)
               seen.commit(fresh) // AFTER the rows landed
             } finally fresh.unpersist()
@@ -266,7 +289,10 @@ object UrlStream {
           val fresh = seen.filterNew(firsts, admitted(sess, outDir))
             .persist()
           try {
-            fresh.write.mode(SaveMode.Overwrite).parquet(dir)
+            // fetched_at: the batch's landing date — the fetch log
+            // [[fetchLog]] reads for re-crawl scheduling
+            fresh.withColumn("fetched_at", current_date())
+              .write.mode(SaveMode.Overwrite).parquet(dir)
             seen.commit(fresh) // AFTER the rows landed
           } finally fresh.unpersist()
         }

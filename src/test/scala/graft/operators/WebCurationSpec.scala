@@ -10,19 +10,19 @@ class WebCurationSpec extends SparkSpec {
   import spark.implicits._
 
   test("budgetCap: each domain's budget goes to the highest " +
-    "in-degree targets, dst ascending as the tiebreak") {
+    "score targets, dst ascending as the tiebreak") {
     val rows = Seq(
-      // d.com: cap 2 — the two high-indeg targets must win even
+      // d.com: cap 2 — the two high-score targets must win even
       // though they sort LAST lexicographically
       ("d.com", "https://d.com/zz-popular", 9L),
       ("d.com", "https://d.com/zy-popular", 9L),
       ("d.com", "https://d.com/aa-obscure", 1L),
       ("d.com", "https://d.com/ab-obscure", 1L),
-      // e.com: tie on indeg — dst ascending decides
+      // e.com: tie on score — dst ascending decides
       ("e.com", "https://e.com/b", 3L),
       ("e.com", "https://e.com/a", 3L),
       ("e.com", "https://e.com/c", 3L))
-      .toDF("domain", "dst", "indeg")
+      .toDF("domain", "dst", "score")
     val caps = Seq(("d.com", 2), ("e.com", 2)).toDF("domain", "cap")
     val got = WebCurationPack.budgetCap(rows, caps, Seq("domain", "dst"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
@@ -31,6 +31,32 @@ class WebCurationSpec extends SparkSpec {
       ("d.com", "https://d.com/zz-popular"),
       ("e.com", "https://e.com/a"),
       ("e.com", "https://e.com/b")), s"got: $got")
+  }
+
+  test("freshness blend: a fresh sitemap-only URL beats a stale " +
+    "once-linked URL in a full domain") {
+    // d.com, cap 2: the hub (indeg 3) always wins; the second slot is
+    // contested between a stale link (indeg 1, no lastmod → score 1)
+    // and a FRESH sitemap-only page (indeg 0, year-end lastmod →
+    // bonus 2 → score 2) that sorts LAST lexicographically — the
+    // blend, not the name and not bare in-degree, must decide
+    val rows = Seq(
+      ("d.com", "https://d.com/hub", 3L, null.asInstanceOf[String]),
+      ("d.com", "https://d.com/old-linked", 1L, null.asInstanceOf[String]),
+      ("d.com", "https://d.com/zz-fresh-sitemap", 0L, "2026-12-28"),
+      // a STALE sitemap-only page (bonus 1) ties the old link and
+      // loses on the dst tiebreak — freshness, not mere presence in
+      // a sitemap, is what buys the slot
+      ("d.com", "https://d.com/zz-stale-sitemap", 0L, "2026-02-01"))
+      .toDF("domain", "dst", "indeg", "lmStr")
+      .select(col("domain"), col("dst"),
+        (col("indeg") +
+          SitemapOps.freshnessBonus(to_date(col("lmStr")))).as("score"))
+    val caps = Seq(("d.com", 2)).toDF("domain", "cap")
+    val got = WebCurationPack.budgetCap(rows, caps, Seq("domain", "dst"))
+      .collect().map(_.getString(1)).toSet
+    assert(got == Set("https://d.com/hub",
+      "https://d.com/zz-fresh-sitemap"), s"got: $got")
   }
 
   test("recrawlDue: strictly newer lastmod schedules, the equal-date " +

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import graft.SparkSpec
 import graft.sources.Warc
+import org.apache.spark.sql.functions.col
 
 /** The streaming URL-admission contract: canonical variants collapse
   * within a batch, a later wave's recrawl of an admitted canonical is
@@ -48,6 +49,13 @@ class UrlStreamSpec extends SparkSpec {
       ("https://example.com/p/1?a=1&b=2", 1L),
       ("https://example.com/p/2", 3L)),
       s"wave 1 admitted: $w1")
+    // the store doubles as the fetch LOG: every admitted row carries
+    // the batch's landing date — the table re-crawl scheduling joins
+    val log1 = UrlStream.fetchLog(spark, out).collect()
+      .map(r => (r.getString(0), r.getDate(1))).toMap
+    assert(log1.keySet == w1.map(_._1), s"fetch log keys: ${log1.keySet}")
+    assert(log1.values.forall(_ != null),
+      "every admitted fetch must carry a fetched_at date")
 
     // wave 2: a recrawl of page 1 under yet another spelling (must
     // NOT re-admit) plus a genuinely new page 3
@@ -169,7 +177,13 @@ class UrlStreamSpec extends SparkSpec {
       ("https://site.com/x", "site.com")),
       s"wave-1 discovery: $f0") // /b excluded (admitted this batch);
       // the losing duplicate's body contributed nothing
-    val s1 = spark.read.parquet(s"$out/ingest_batch=0")
+    // drop the store's fetched_at (wall-clock grain) before the
+    // value-parity compare; its presence is pinned separately below
+    val store1 = spark.read.parquet(s"$out/ingest_batch=0")
+    assert(store1.columns.contains("fetched_at"),
+      "curated store rows must carry the fetch-log date")
+    assert(store1.filter(col("fetched_at").isNull).count() == 0)
+    val s1 = store1.drop("fetched_at")
       .collect().map(_.toSeq).toSet
     assert(s1 == batchTwin(Seq(a1, a2, b, d)),
       s"wave-1 store diverged from the batch composition: $s1")
@@ -201,6 +215,7 @@ class UrlStreamSpec extends SparkSpec {
       s"wave-2 discovery: $f1")
     val all = spark.read.parquet(s"$out/ingest_batch=0",
         s"$out/ingest_batch=1")
+      .drop("fetched_at")
       .collect().map(_.toSeq).toSet
     // parity with the batch composition over BOTH waves' records
     assert(all == batchTwin(Seq(a1, a2, b, d, a3, c)),
