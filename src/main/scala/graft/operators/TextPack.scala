@@ -82,11 +82,10 @@ object TextPack extends QueryPack {
     (grid, prior)
   }
 
-  /** Broadcast NB scoring of per-(id, bucket) count rows `sg` →
-    * (id, pred_lang): one grid join, one (id, lang) partial agg, an
-    * integer argmax (score ties break lang DESC — the max(struct)
-    * order, mirrored in every oracle's row_number). */
-  private def nbArgmax(sg: DataFrame, idCol: String, grid: DataFrame,
+  /** Per-(id, candidate) NB scores of per-(id, bucket) count rows
+    * `sg`: one broadcast grid join, one (id, lang) partial agg —
+    * (id, cand, sc) in 1e4-unit long score units. */
+  private def nbScores(sg: DataFrame, idCol: String, grid: DataFrame,
                        prior: DataFrame): DataFrame =
     sg.join(broadcast(grid), Seq("g"))
       .groupBy(col(idCol), col("lang"))
@@ -94,9 +93,34 @@ object TextPack extends QueryPack {
       .join(broadcast(prior), Seq("lang"))
       .select(col(idCol), col("lang").as("cand"),
         (col("sw") + col("p")).as("sc"))
+
+  /** Broadcast NB scoring of per-(id, bucket) count rows `sg` →
+    * (id, pred_lang): an integer argmax over [[nbScores]] (score
+    * ties break lang DESC — the max(struct) order, mirrored in every
+    * oracle's row_number). */
+  private def nbArgmax(sg: DataFrame, idCol: String, grid: DataFrame,
+                       prior: DataFrame): DataFrame =
+    nbScores(sg, idCol, grid, prior)
       .groupBy(col(idCol))
       .agg(max(struct(col("sc"), col("cand"))).as("b"))
       .select(col(idCol), col("b.cand").as("pred_lang"))
+
+  /** Winner AND runner-up per id — (id, c1, s1, s2): the margin
+    * surface. One doc-partitioned window over the langs-per-doc
+    * score rows (bounded fan: |langs| rows per id), then a pivot
+    * agg. */
+  private def nbTop2(sg: DataFrame, idCol: String, grid: DataFrame,
+                     prior: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("sc").desc, col("cand").desc)
+    nbScores(sg, idCol, grid, prior)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col(idCol))
+      .agg(max(when(col("rn") === 1, col("sc"))).as("s1"),
+        max(when(col("rn") === 1, col("cand"))).as("c1"),
+        max(when(col("rn") === 2, col("sc"))).as("s2"))
+  }
 
   /** The tx_langid body over any documents frame — public so
     * DevStress probes the production stages at replicated scale.
@@ -138,17 +162,75 @@ object TextPack extends QueryPack {
     * and drop (the inner grid join, mirrored in the oracles). */
   def predictLangOver(train: DataFrame, texts: DataFrame,
                       idCol: String): DataFrame = {
-    val lg = langIdGramsOf(
-        train.select(col("lang"), col("text")), Seq("lang"))
-      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
-    val vocab = lg.select(col("g")).distinct()
-    val (grid, prior) = nbGridPrior(train, lg, vocab)
+    val (grid, prior) = trainedModel(train)
     val sg = langIdGramsOf(
         texts.select(col(idCol), col("text")), Seq(idCol))
       .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
     nbArgmax(sg, idCol, grid, prior)
   }
+
+  private def trainedModel(train: DataFrame): (DataFrame, DataFrame) = {
+    val lg = langIdGramsOf(
+        train.select(col("lang"), col("text")), Seq("lang"))
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val vocab = lg.select(col("g")).distinct()
+    nbGridPrior(train, lg, vocab)
+  }
+
+  /** tx_langid_margin's und threshold, in the score's 1e4-unit log2
+    * scale (margin = winner − runner-up posterior, summed over the
+    * doc's grams). Calibrated on the fixture at sf0.01: in-family
+    * docs score a median margin ≈ 194 k units (each of ~100
+    * vocabulary grams contributes fractional-bit evidence), and only
+    * ~3% fall under 10 k — the genuinely ambiguous tail a
+    * CCNet-style pipeline drops anyway. A doc whose evidence CANCELS
+    * — out-of-family text whose few vocabulary contacts vote
+    * different languages, or genuinely mixed-language text —
+    * collapses toward the prior gap (hundreds of units). The pin for
+    * both sides lives in LangIdSpec. */
+  val LangIdUndMargin = 10000L
+
+  /** [[langIdOver]] plus the CONFIDENCE surface: the winning
+    * log-posterior margin (winner − runner-up, exact long units) and
+    * the und gate — an argmax alone assigns a confident wrong label
+    * to a language the model never trained on; below
+    * [[LangIdUndMargin]] the honest answer is "undetermined" (the
+    * fastText-pipeline threshold discipline). Output: (doc_id, lang,
+    * pred_lang ∈ langs ∪ {und}, margin). */
+  def langIdMarginOver(docs: DataFrame): DataFrame = {
+    val grams = langIdGramsOf(docs, Seq("doc_id", "lang"))
+    val dgl = grams.groupBy(col("doc_id"), col("lang"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val dg = dgl.select(col("doc_id"), col("g"), col("c"))
+    val lg = dgl.groupBy(col("lang"), col("g"))
+      .agg(sum(col("c")).as("c"))
+    val vocab = dgl.select(col("g")).distinct()
+    val (grid, prior) = nbGridPrior(docs, lg, vocab)
+    gateUnd(docs.select(col("doc_id"), col("lang"))
+      .join(nbTop2(dg, "doc_id", grid, prior), Seq("doc_id")))
+  }
+
+  /** The margin surface for arbitrary (`idCol`, lang, text) rows
+    * scored against a model trained on `train` — the spec's
+    * out-of-family probe (the scored rows are NOT in the training
+    * set, so a foreign doc's grams genuinely miss the vocabulary). */
+  def predictLangMarginOver(train: DataFrame, texts: DataFrame,
+                            idCol: String): DataFrame = {
+    val (grid, prior) = trainedModel(train)
+    val sg = langIdGramsOf(
+        texts.select(col(idCol), col("text")), Seq(idCol))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+    gateUnd(texts.select(col(idCol), col("lang"))
+      .join(nbTop2(sg, idCol, grid, prior), Seq(idCol)))
+  }
+
+  private def gateUnd(top2: DataFrame): DataFrame =
+    top2.select(col(top2.columns.head), col("lang"),
+      when(col("s1") - col("s2") < LangIdUndMargin, lit("und"))
+        .otherwise(col("c1")).as("pred_lang"),
+      (col("s1") - col("s2")).as("margin"))
 
   private[operators] val stopEn = Seq("the", "a", "of", "in", "and")
   private[operators] val stopEs = Seq("el", "la", "de", "en", "y")
@@ -366,6 +448,14 @@ object TextPack extends QueryPack {
     // (pinned in LangIdSpec). Docs shorter than one gram carry no
     // evidence and are absent (inner join, mirrored in the oracle)
     "tx_langid" -> ((s, dir) => langIdOver(Tables.documents(s, dir))),
+
+    // ...and its confidence surface: winner-minus-runner-up posterior
+    // margin in exact long units, gated to 'und' below
+    // LangIdUndMargin — the argmax alone would assign a confident
+    // wrong label to an out-of-family document (margin calibration
+    // and the out-of-family pin live in LangIdSpec)
+    "tx_langid_margin" -> ((s, dir) =>
+      langIdMarginOver(Tables.documents(s, dir))),
 
     // Quality scoring: length/stopword/diversity ratios combined.
     "tx_quality" -> ((s, dir) => qualityFrame(s, dir)),
@@ -1217,6 +1307,31 @@ object TextPack extends QueryPack {
          |SELECT d.doc_id, d.lang, p.pred_lang,
          |  d.lang = p.pred_lang AS correct
          |FROM documents d JOIN lpred p ON d.doc_id = p.doc_id""".stripMargin,
+
+    // the margin surface: same training + scoring CTEs, the top-2
+    // window pivot, and the und gate at the long-unit threshold
+    "tx_langid_margin" ->
+      s"""WITH $sqlNbTrainCtes,
+         |ldg AS MATERIALIZED (SELECT doc_id, g, count(*) AS c
+         |       FROM lgrams GROUP BY 1, 2),
+         |lsc AS (SELECT ldg.doc_id, lgrid.lang,
+         |          sum(ldg.c * lgrid.w) + any_value(lprior.p) AS s
+         |        FROM ldg JOIN lgrid ON ldg.g = lgrid.g
+         |        JOIN lprior ON lprior.lang = lgrid.lang
+         |        GROUP BY 1, 2),
+         |l2 AS (SELECT doc_id, lang, s, row_number() OVER (
+         |         PARTITION BY doc_id ORDER BY s DESC, lang DESC)
+         |         AS rn FROM lsc),
+         |la AS MATERIALIZED (SELECT doc_id,
+         |        max(CASE WHEN rn = 1 THEN s END) AS s1,
+         |        max(CASE WHEN rn = 1 THEN lang END) AS c1,
+         |        max(CASE WHEN rn = 2 THEN s END) AS s2
+         |      FROM l2 WHERE rn <= 2 GROUP BY 1)
+         |SELECT d.doc_id, d.lang,
+         |  CASE WHEN la.s1 - la.s2 < $LangIdUndMargin THEN 'und'
+         |       ELSE la.c1 END AS pred_lang,
+         |  CAST(la.s1 - la.s2 AS BIGINT) AS margin
+         |FROM documents d JOIN la ON la.doc_id = d.doc_id""".stripMargin,
 
     "tx_quality" ->
       s"""SELECT doc_id, n_tokens, stop_ratio, diversity, long_ratio,

@@ -37,6 +37,40 @@ class LangIdSpec extends SparkSpec {
     assert(scored == eligible, s"$scored scored vs $eligible eligible")
   }
 
+  /** The und gate (tx_langid_margin): the argmax alone labels EVERY
+    * doc with a trained language — an out-of-family doc whose few
+    * vocabulary contacts cancel, or a genuinely mixed-language doc,
+    * must gate to 'und' instead of receiving a confident wrong
+    * label; a clearly in-family doc must keep its label with a wide
+    * margin. */
+  test("langid margin: balanced/out-of-family evidence gates to und") {
+    val dir = "/root/testdata/sf0.001"
+    val train = graft.Tables.documents(spark, dir)
+    // the probe doc interleaves one top stopword per trained
+    // language around foreign filler — per-gram votes cancel and the
+    // margin collapses toward the prior gap (measured 1 044 units,
+    // a 10× cushion under the threshold; a single-language doc's
+    // median is ~194 k)
+    val mixed = Seq.fill(2)("the el der le").mkString(" ") + " qzv wxj"
+    val inFam = train.orderBy(col("doc_id")).limit(1)
+      .select(col("lang"), col("text")).collect()(0)
+    val probe = Seq(
+      (-1L, "xx", mixed),
+      (-2L, inFam.getString(0), inFam.getString(1)))
+      .toDF("doc_id", "lang", "text")
+    val got = TextPack.predictLangMarginOver(train, probe, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getLong(3))).toMap
+    val (mixPred, mixMargin) = got(-1L)
+    assert(mixPred == "und",
+      s"balanced-evidence doc must gate to und (margin $mixMargin)")
+    val (famPred, famMargin) = got(-2L)
+    assert(famPred == inFam.getString(0) &&
+      famMargin >= TextPack.LangIdUndMargin,
+      s"in-family doc must keep its label with margin " +
+        s"($famPred, $famMargin)")
+  }
+
   /** The wired pipeline (tx_crawl_langid_e2e): predicted-language
     * curation must track the gold labels closely — BOTH in label
     * agreement (the global-df chrome pre-pass keeps scoring off the
