@@ -362,6 +362,84 @@ object DevStress {
       }
     }
 
+    // HNSW over a ZIPF-CLUSTER mixture (r15): the three probe
+    // geometries above are each adversarial in a different way
+    // (replica ties, isolated clusters, a 1-D manifold); real
+    // embedding corpora are heavy-tailed cluster mixtures — a few
+    // huge topics, a long tail of small ones — with internal spread
+    // and inter-cluster bridges. Cluster k (of 64) draws points with
+    // P(k) ∝ 1/(k+1) (inverse-CDF on a deterministic low-discrepancy
+    // sequence, no RNG — resume-safe); each point blends its center
+    // toward the next center by a small deterministic t ∈ [0, 0.1),
+    // giving dense cores plus traversable bridges. The question on
+    // THIS geometry: does the top-two coarse schedule still trade
+    // recall for candidates the way the manifold probe showed?
+    if (wants("hnsw_zipf")) {
+      import scala.collection.mutable
+      val nC = 64
+      val baseVecs = emb.filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val nBase = baseVecs.count()
+      val centers = baseVecs.filter(col("vec_id") < nC)
+        .select(col("vec_id").as("k"), col("embedding").as("cv"))
+      val centers2 = centers.select(((col("k") + nC - 1) % nC).as("k"),
+        col("cv").as("cv2"))
+      val n = nBase * factor
+      val pts = spark.range(n).select(col("id"),
+        // low-discrepancy u ∈ [0,1): Knuth multiplicative hash
+        ((col("id") * 2654435761L) % 4294967296L).cast("double")
+          ./(lit(4294967296.0)).as("u"),
+        ((col("id") * 31) % 100).cast("double")./(lit(1000.0)).as("t"))
+        .select(col("id"), col("t"),
+          (floor(exp(col("u") * math.log(nC.toDouble))) - 1)
+            .cast("long").as("k"))
+      val zvecs = pts
+        .join(broadcast(centers), Seq("k"))
+        .join(broadcast(centers2), Seq("k"))
+        .select(col("id").as("vec_id"),
+          expr("zip_with(cv, cv2, (x, y) -> CAST(" +
+            "x * (1.0 - t) + y * t AS FLOAT))").as("embedding"))
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.Similarity.norm(col("embedding")).as("nrm"))
+        .persist()
+      val nVec = zvecs.count()
+      val levels = SimilarityPack.hnswLevels(nVec)
+      val layerGraphs = (1 to levels).map(l => l ->
+        SimilarityPack.knnGraphOver(zvecs.filter(
+          SimilarityPack.hnswMemberAt(col("vec_id"), l)))).toMap
+      val base = SimilarityPack.knnGraphOver(zvecs)
+      def entriesAt(top: Int) =
+        (SimilarityPack.searchEntriesOf(zvecs,
+          Some(SimilarityPack.hnswMemberAt(col("vec_id"), top))) ++
+          SimilarityPack.searchEntriesOf(zvecs)).distinct.sorted
+      def run(name: String, sched: Seq[Int], top: Int,
+              counts: mutable.Buffer[Long]): DataFrame = {
+        var out: DataFrame = null
+        time(name, { out = SimilarityPack.beamSearchOver(zvecs,
+          sched.map(layerGraphs) ++
+            Seq.fill(SimilarityPack.HnswFineRounds)(base),
+          entriesAt(top), Some(counts)); out })
+        out
+      }
+      val deep = mutable.Buffer.empty[Long]
+      val deepRes = run(s"hnsw_zipf_depth$levels",
+        SimilarityPack.hnswSchedule(levels), levels, deep)
+      val two = mutable.Buffer.empty[Long]
+      val twoRes = run("hnsw_zipf_2level", Seq(1, 1), 1, two)
+      if (deepRes != null && twoRes != null) {
+        val truth = SimilarityPack.bruteTruth(zvecs)
+          .localCheckpoint(eager = true)
+        def recall(res: DataFrame): Double = SimilarityPack.recallRow(
+          res.select(col("qid").as("src"), col("nbr_id").as("dst")), truth)
+          .collect()(0).getAs[Double]("recall")
+        println(s"[stress] x$factor hnsw_zipf ($nVec vecs, $nC clusters): " +
+          s"depth-$levels = ${deep.sum} ${deep.mkString("[", ",", "]")} " +
+          s"recall ${recall(deepRes)} vs 2-level = ${two.sum} " +
+          s"${two.mkString("[", ",", "]")} recall ${recall(twoRes)}")
+      }
+      zvecs.unpersist()
+    }
+
     // pagerank: the q_pagerank edge graph replicated factor× with
     // shifted node ids (disjoint copies of the original graph — same
     // structure, factor× edges). Wall should track edge count: each

@@ -278,7 +278,8 @@ object CrawlText {
               transform(
                 array_sort(collect_list(struct(col("pos"), col("para")))),
                 x => x("para")), "\n").as("text"))
-          val pred = TextPack.predictLangOver(docs, pre, "doc_id")
+          val pred = TextPack.predictLangWithModel(
+            TextPack.modelFor(s, dir), pre, "doc_id")
           val keyed = paras.join(pred, Seq("doc_id"))
             .select(col("doc_id"), col("pred_lang").as("lang"),
               col("pos"), col("para"))

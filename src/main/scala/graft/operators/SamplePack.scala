@@ -282,6 +282,25 @@ object SamplePack extends QueryPack {
         .select(col("doc_id"), col("source"))
     }),
 
+    // Temperature mixing over PREDICTED language — the production
+    // composition: crawl data has no gold labels, so the per-language
+    // shares the τ re-weighting flattens come from the trained
+    // langid's output riding the curated-corpus artifact
+    // (CrawlText.predictedCuratedFor — the same frame the chrome
+    // pass produced, scanned not retrained). A doc the model
+    // mis-assigns lands in that language's sampling stratum: the
+    // mixing follows the model because at 100 TB the model IS the
+    // label.
+    "sp_predlang_mix" -> ((s, dir) => {
+      val docs = CrawlText.predictedCuratedFor(s, dir)
+        .select(col("doc_id"), col("lang"))
+      val rates = Sampling.temperatureRates(docs, col("lang"),
+        basePct = 10, maxPct = 90)
+      docs.join(broadcast(rates), Seq("lang"))
+        .filter(Sampling.bucket(col("doc_id"), "plmix") < col("rate"))
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // UniMax source mixing (Chung et al. 2023): distribute a total
     // token budget across sources as uniformly as possible subject
     // to a per-source epoch cap — the published fairer alternative
@@ -1223,6 +1242,26 @@ object SamplePack extends QueryPack {
          |          FROM r)
          |SELECT d.doc_id, d.source FROM documents d JOIN rates USING (source)
          |WHERE ${Sampling.sqlBucket("d.doc_id", "temp")} < rate""".stripMargin,
+
+    // predicted-language mixing: the full pred-curation replay
+    // (shared CTEs through xp), the MinWords gate, then the same
+    // τ = 1/2 rate formula over PREDICTED language shares
+    "sp_predlang_mix" ->
+      s"""WITH ${TextPack.sqlPredCuratedCtes},
+         |pcur AS MATERIALIZED (
+         |  SELECT doc_id, plang AS lang FROM xp
+         |  WHERE len(regexp_split_to_array(xt, '\\s+'))
+         |    >= ${CrawlText.MinWords}),
+         |plr AS (SELECT lang, count(*) AS n,
+         |          sum(count(*)) OVER () AS total
+         |        FROM pcur GROUP BY lang),
+         |plrates AS (SELECT lang,
+         |              least(90, CAST(floor(10.0 *
+         |                sqrt(CAST(total AS DOUBLE) / n) + 0.5)
+         |                AS BIGINT)) AS rate
+         |            FROM plr)
+         |SELECT d.doc_id, d.lang FROM pcur d JOIN plrates USING (lang)
+         |WHERE ${Sampling.sqlBucket("d.doc_id", "plmix")} < rate""".stripMargin,
 
     // UniMax greedy replay: the recursive CTE walks sources in the
     // same (capacity, source) order with the same integer floor

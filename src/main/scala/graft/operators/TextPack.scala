@@ -122,27 +122,69 @@ object TextPack extends QueryPack {
         max(when(col("rn") === 2, col("sc"))).as("s2"))
   }
 
-  /** The tx_langid body over any documents frame — public so
-    * DevStress probes the production stages at replicated scale.
-    * One gram pass → checkpointed (doc, lang, bucket) counts →
-    * bounded NB model grid (langs × observed buckets) → broadcast
-    * scoring → integer argmax; see the tx_langid query comment. */
-  def langIdOver(docs: DataFrame): DataFrame = {
-    val grams = langIdGramsOf(docs, Seq("doc_id", "lang"))
-    // ONE pass over the gram explode (the per-gram md5 is the hot
-    // cost): lang rides the doc-grain groupBy for free (it is
-    // functionally dependent on doc_id — same exchange), and the
-    // training counts, vocabulary, and scoring all derive from the
-    // checkpointed (doc, lang, bucket) counts instead of each
-    // re-hashing the corpus (measured 5.3 → ~2.5 s at sf0.1)
-    val dgl = grams.groupBy(col("doc_id"), col("lang"), col("g"))
+  /** The checkpointed (doc_id, lang, bucket, c) gram-count frame —
+    * the ONE md5 pass over the corpus (the per-gram hash is the hot
+    * cost): lang rides the doc-grain groupBy for free (functionally
+    * dependent on doc_id — same exchange), and the training counts,
+    * vocabulary, model grid, AND every scoring consumer derive from
+    * it instead of re-hashing the corpus. */
+  private def dglOf(docs: DataFrame): DataFrame =
+    langIdGramsOf(docs, Seq("doc_id", "lang"))
+      .groupBy(col("doc_id"), col("lang"), col("g"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
-    val dg = dgl.select(col("doc_id"), col("g"), col("c"))
+
+  /** [[dglOf]] memoized per corpus dir (the curatedFor accounting):
+    * the langid family — tx_langid, tx_langid_margin, the trained
+    * model behind the crawl pipeline and pred-keyed mixing — pays
+    * the corpus gram-hash pass ONCE per process. */
+  private[operators] def dglFor(
+      s: SparkSession, dir: String): DataFrame = {
+    val cached = dglMemo.get(dir)
+    if (cached != null && !cached.sparkSession.sparkContext.isStopped)
+      cached
+    else dglLocks.computeIfAbsent(dir, _ => new Object).synchronized {
+      val again = dglMemo.get(dir)
+      if (again != null && !again.sparkSession.sparkContext.isStopped)
+        again
+      else {
+        val built = dglOf(Tables.documents(s, dir))
+        dglMemo.put(dir, built)
+        built
+      }
+    }
+  }
+  private val dglMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val dglLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** (grid, prior) off a dgl frame — the model the scoring consumers
+    * broadcast. */
+  private def modelFromDgl(docs: DataFrame,
+                           dgl: DataFrame): (DataFrame, DataFrame) = {
     val lg = dgl.groupBy(col("lang"), col("g"))
       .agg(sum(col("c")).as("c"))
     val vocab = dgl.select(col("g")).distinct()
-    val (grid, prior) = nbGridPrior(docs, lg, vocab)
+    nbGridPrior(docs, lg, vocab)
+  }
+
+  /** The trained NB model for `dir`'s corpus, off the memoized gram
+    * pass — what the crawl pipeline ([[CrawlText
+    * .predictedCuratedFor]]) and the mixing oracle consume. */
+  private[operators] def modelFor(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    modelFromDgl(Tables.documents(s, dir), dglFor(s, dir))
+
+  /** The tx_langid body over any documents frame — public so
+    * DevStress probes the production stages at replicated scale. */
+  def langIdOver(docs: DataFrame): DataFrame =
+    langIdOverDgl(docs, dglOf(docs))
+
+  private[operators] def langIdOverDgl(docs: DataFrame,
+                                       dgl: DataFrame): DataFrame = {
+    val dg = dgl.select(col("doc_id"), col("g"), col("c"))
+    val (grid, prior) = modelFromDgl(docs, dgl)
     val pred = nbArgmax(dg, "doc_id", grid, prior)
     docs.select(col("doc_id"), col("lang")).join(pred, Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("pred_lang"),
@@ -161,8 +203,15 @@ object TextPack extends QueryPack {
     * whose grams all miss the training vocabulary carry no evidence
     * and drop (the inner grid join, mirrored in the oracles). */
   def predictLangOver(train: DataFrame, texts: DataFrame,
-                      idCol: String): DataFrame = {
-    val (grid, prior) = trainedModel(train)
+                      idCol: String): DataFrame =
+    predictLangWithModel(trainedModel(train), texts, idCol)
+
+  /** [[predictLangOver]] against an ALREADY-TRAINED (grid, prior) —
+    * the artifact path ([[modelFor]]): consumers broadcast the
+    * bounded model instead of retraining per query. */
+  def predictLangWithModel(model: (DataFrame, DataFrame),
+                           texts: DataFrame, idCol: String): DataFrame = {
+    val (grid, prior) = model
     val sg = langIdGramsOf(
         texts.select(col(idCol), col("text")), Seq(idCol))
       .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
@@ -198,16 +247,13 @@ object TextPack extends QueryPack {
     * [[LangIdUndMargin]] the honest answer is "undetermined" (the
     * fastText-pipeline threshold discipline). Output: (doc_id, lang,
     * pred_lang ∈ langs ∪ {und}, margin). */
-  def langIdMarginOver(docs: DataFrame): DataFrame = {
-    val grams = langIdGramsOf(docs, Seq("doc_id", "lang"))
-    val dgl = grams.groupBy(col("doc_id"), col("lang"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+  def langIdMarginOver(docs: DataFrame): DataFrame =
+    langIdMarginOverDgl(docs, dglOf(docs))
+
+  private[operators] def langIdMarginOverDgl(docs: DataFrame,
+                                             dgl: DataFrame): DataFrame = {
     val dg = dgl.select(col("doc_id"), col("g"), col("c"))
-    val lg = dgl.groupBy(col("lang"), col("g"))
-      .agg(sum(col("c")).as("c"))
-    val vocab = dgl.select(col("g")).distinct()
-    val (grid, prior) = nbGridPrior(docs, lg, vocab)
+    val (grid, prior) = modelFromDgl(docs, dgl)
     gateUnd(docs.select(col("doc_id"), col("lang"))
       .join(nbTop2(dg, "doc_id", grid, prior), Seq("doc_id")))
   }
@@ -447,7 +493,8 @@ object TextPack extends QueryPack {
     // 0.938/0.958 at sf0.001/0.01 over a 0.39/0.44 majority share
     // (pinned in LangIdSpec). Docs shorter than one gram carry no
     // evidence and are absent (inner join, mirrored in the oracle)
-    "tx_langid" -> ((s, dir) => langIdOver(Tables.documents(s, dir))),
+    "tx_langid" -> ((s, dir) =>
+      langIdOverDgl(Tables.documents(s, dir), dglFor(s, dir))),
 
     // ...and its confidence surface: winner-minus-runner-up posterior
     // margin in exact long units, gated to 'und' below
@@ -455,7 +502,7 @@ object TextPack extends QueryPack {
     // wrong label to an out-of-family document (margin calibration
     // and the out-of-family pin live in LangIdSpec)
     "tx_langid_margin" -> ((s, dir) =>
-      langIdMarginOver(Tables.documents(s, dir))),
+      langIdMarginOverDgl(Tables.documents(s, dir), dglFor(s, dir))),
 
     // Quality scoring: length/stopword/diversity ratios combined.
     "tx_quality" -> ((s, dir) => qualityFrame(s, dir)),
@@ -1917,9 +1964,25 @@ object TextPack extends QueryPack {
     // (source, pred) cell, text df = the (pred, text) pair, footer
     // df = the pred slice — and the word gate
     "tx_crawl_langid_e2e" ->
-      s"""WITH $sqlNbTrainCtes,
-         |pnf AS MATERIALIZED (SELECT doc_id, lang, source, text
-         |  FROM documents WHERE doc_id % 13 <> 0),
+      s"""WITH $sqlPredCuratedCtes
+         |SELECT doc_id, lang, plang AS pred_lang,
+         |  lang = plang AS agree,
+         |  CAST(strlen(xt) AS BIGINT) AS n_chars, md5(xt) AS text_md5
+         |FROM xp
+         |WHERE len(regexp_split_to_array(xt, '\\s+'))
+         |  >= ${CrawlText.MinWords}""".stripMargin,
+  )
+
+  /** The predicted-language curated corpus replay, through `xp`
+    * (doc_id, lang [gold], plang [predicted], xt [curated text]) —
+    * NB training (shared CTEs), global-df destriped scoring text,
+    * argmax, and the pred-keyed chrome thresholds. Shared by
+    * tx_crawl_langid_e2e and the pred-keyed mixing oracle
+    * (sp_predlang_mix). Apply the MinWords gate at the consumer. */
+  lazy val sqlPredCuratedCtes: String =
+    s"""$sqlNbTrainCtes,
+       |pnf AS MATERIALIZED (SELECT doc_id, lang, source, text
+       |  FROM documents WHERE doc_id % 13 <> 0),
          |gsrc AS MATERIALIZED (SELECT source, count(*) AS n
          |  FROM pnf GROUP BY 1),
          |gtxt AS MATERIALIZED (SELECT text, count(*) AS n
@@ -1981,14 +2044,7 @@ object TextPack extends QueryPack {
          |       FROM dp
          |       JOIN cellp ON dp.source = cellp.source
          |         AND dp.plang = cellp.plang
-         |       JOIN langp ON dp.plang = langp.plang)
-         |SELECT doc_id, lang, plang AS pred_lang,
-         |  lang = plang AS agree,
-         |  CAST(strlen(xt) AS BIGINT) AS n_chars, md5(xt) AS text_md5
-         |FROM xp
-         |WHERE len(regexp_split_to_array(xt, '\\s+'))
-         |  >= ${CrawlText.MinWords}""".stripMargin
-  )
+         |       JOIN langp ON dp.plang = langp.plang)""".stripMargin
 
   /** Shared classifier-oracle prologue: features, weak labels (the
     * same two-stage-rounded quality cut as tx_quality), and the
