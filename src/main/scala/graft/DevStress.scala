@@ -729,6 +729,20 @@ object DevStress {
       time("langid", graft.operators.TextPack.langIdOver(
         spark.read.parquet("/tmp/stress_docs")))
     }
+    // the PREDICTED-language curation chain at factor× pages with the
+    // model trained on the BASE corpus (the corpus_e2e artifact
+    // split): the gram-score pass and paragraph machinery must track
+    // input bytes; the model grid stays langs × buckets broadcast;
+    // both chrome inventories (the language-free scoring strip and
+    // the per-predicted-language removal set) stay ~constant under
+    // replication (df only rises), so the anti-joins stay broadcast
+    if (wants("crawl_predlang")) {
+      implicit val sp = spark
+      val model = graft.operators.TextPack.modelFor(spark, sf)
+      time("crawl_predlang",
+        graft.operators.CrawlText.predictedCuratedOver(
+          spark.read.parquet("/tmp/stress_docs"), model))
+    }
     // crawl discovery at factor× pages (replication shifts doc_ids,
     // so the canonical page set grows with the factor): the link
     // graph and the frontier must scale LINEARLY in pages — hrefs

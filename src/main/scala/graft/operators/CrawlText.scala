@@ -255,42 +255,53 @@ object CrawlText {
       else {
         val built = IndexCache.frame(s, "curatedp", dir) {
           implicit val sp: org.apache.spark.sql.SparkSession = s
-          val docs = graft.Tables.documents(s, dir)
-          val paras = paragraphs(
-            graft.sources.Warc.parseHttpRecords(
-              graft.sources.Warc.htmlResponseArchives(docs)).toDF())
-            .select(col("doc_id"), col("pos"), col("para"))
-            .localCheckpoint(true)
-          // language-free global chrome: repeated across >= MinDf
-          // docs REGARDLESS of language — excluded from the text the
-          // model scores (not from the page; removal is decided by
-          // the per-predicted-language pass below)
-          val gchrome = paras
-            .groupBy(xxhash64(col("para")).as("h"))
-            .agg(countDistinct(col("doc_id")).as("df"))
-            .filter(col("df") >= MinDf)
-            .select(col("h"))
-          val pre = paras
-            .withColumn("h", xxhash64(col("para")))
-            .join(broadcast(gchrome), Seq("h"), "left_anti")
-            .groupBy(col("doc_id"))
-            .agg(array_join(
-              transform(
-                array_sort(collect_list(struct(col("pos"), col("para")))),
-                x => x("para")), "\n").as("text"))
-          val pred = TextPack.predictLangWithModel(
-            TextPack.modelFor(s, dir), pre, "doc_id")
-          val keyed = paras.join(pred, Seq("doc_id"))
-            .select(col("doc_id"), col("pred_lang").as("lang"),
-              col("pos"), col("para"))
-            .localCheckpoint(true)
-          curatedParasWithChrome(keyed,
-            boilerplate(keyed).select(col("lang"), col("h")))
+          predictedCuratedOver(graft.Tables.documents(s, dir),
+            TextPack.modelFor(s, dir))
         }
         curatedMemo.put(key, built)
         built
       }
     }
+  }
+
+  /** The predicted-language curation CHAIN over any documents frame
+    * and an already-trained langid model — [[predictedCuratedFor]]'s
+    * body, public so DevStress probes the production stages at
+    * replicated scale with the model trained on the BASE corpus (the
+    * corpus_e2e split: artifacts refresh on their own cadence, the
+    * pipeline applies them to the fatter crawl wave). */
+  def predictedCuratedOver(docs: DataFrame,
+      model: (DataFrame, DataFrame))(
+      implicit s: org.apache.spark.sql.SparkSession): DataFrame = {
+    val paras = paragraphs(
+      graft.sources.Warc.parseHttpRecords(
+        graft.sources.Warc.htmlResponseArchives(docs)).toDF())
+      .select(col("doc_id"), col("pos"), col("para"))
+      .localCheckpoint(true)
+    // language-free global chrome: repeated across >= MinDf docs
+    // REGARDLESS of language — excluded from the text the model
+    // scores (not from the page; removal is decided by the
+    // per-predicted-language pass below)
+    val gchrome = paras
+      .groupBy(xxhash64(col("para")).as("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= MinDf)
+      .select(col("h"))
+    val pre = paras
+      .withColumn("h", xxhash64(col("para")))
+      .join(broadcast(gchrome), Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x("para")), "\n").as("text"))
+    val pred = TextPack.predictLangWithModel(model, pre, "doc_id")
+    val keyed = paras.join(pred, Seq("doc_id"))
+      .select(col("doc_id"), col("pred_lang").as("lang"),
+        col("pos"), col("para"))
+      .localCheckpoint(true)
+    curatedParasWithChrome(keyed,
+      boilerplate(keyed).select(col("lang"), col("h")))
   }
 
   private val curatedMemo =

@@ -172,7 +172,7 @@ object TextPack extends QueryPack {
   /** The trained NB model for `dir`'s corpus, off the memoized gram
     * pass — what the crawl pipeline ([[CrawlText
     * .predictedCuratedFor]]) and the mixing oracle consume. */
-  private[operators] def modelFor(
+  def modelFor(
       s: SparkSession, dir: String): (DataFrame, DataFrame) =
     modelFromDgl(Tables.documents(s, dir), dglFor(s, dir))
 

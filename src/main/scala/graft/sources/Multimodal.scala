@@ -1168,10 +1168,19 @@ object Multimodal {
       out.result()
     }
 
+    /** cos((2x+1)·u·π/16) and the C(u) normalizers, PRECOMPUTED: the
+      * direct DCT sums below do 4096 multiply-adds per block, and an
+      * inline math.cos per term turned the first cut into ~40 M trig
+      * calls per image — the whole dhash family benched 10× slower
+      * until these became table lookups (bit-identical values: same
+      * arguments, evaluated once). */
+    private val CosT: Array[Array[Double]] =
+      Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+    private val CFac: Array[Double] =
+      Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2) else 1.0)
+
     /** Forward 8×8 DCT (orthonormal JPEG scaling) of a level-shifted
-      * block — direct double-precision sums; encoder-side only, so
-      * the O(64²) form is fine (the fixture pays it once per block at
-      * generation). */
+      * block — direct double-precision sums over the cosine table. */
     private def fdct8(f: Array[Double]): Array[Double] = {
       val out = new Array[Double](64)
       var u = 0
@@ -1183,16 +1192,12 @@ object Multimodal {
           while (y < 8) {
             var x = 0
             while (x < 8) {
-              s += f(y * 8 + x) *
-                math.cos((2 * x + 1) * v * math.Pi / 16) *
-                math.cos((2 * y + 1) * u * math.Pi / 16)
+              s += f(y * 8 + x) * CosT(x)(v) * CosT(y)(u)
               x += 1
             }
             y += 1
           }
-          val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
-          val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
-          out(u * 8 + v) = 0.25 * cu * cv * s
+          out(u * 8 + v) = 0.25 * CFac(u) * CFac(v) * s
           v += 1
         }
         u += 1
@@ -1203,9 +1208,19 @@ object Multimodal {
     /** Inverse 8×8 DCT — the decoder's production leg, and the
       * encoder's own check surface. Direct form mirrors [[fdct8]];
       * PixelCodecSpec pins a reference block against an
-      * independently-written separable implementation. */
+      * independently-written direct implementation. */
     private def idct8(coef: Array[Double]): Array[Double] = {
       val out = new Array[Double](64)
+      // DC-only fast path (the dominant case for block-aligned
+      // fixture content): sum collapses to its u=v=0 term, and
+      // multiplying by CosT(·)(0)=1.0 is exact, so this value is
+      // BIT-identical to the full loop's
+      var k = 1
+      while (k < 64 && coef(k) == 0.0) k += 1
+      if (k == 64) {
+        java.util.Arrays.fill(out, 0.25 * (CFac(0) * CFac(0) * coef(0)))
+        return out
+      }
       var y = 0
       while (y < 8) {
         var x = 0
@@ -1215,11 +1230,8 @@ object Multimodal {
           while (u < 8) {
             var v = 0
             while (v < 8) {
-              val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
-              val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
-              s += cu * cv * coef(u * 8 + v) *
-                math.cos((2 * x + 1) * v * math.Pi / 16) *
-                math.cos((2 * y + 1) * u * math.Pi / 16)
+              s += CFac(u) * CFac(v) * coef(u * 8 + v) *
+                CosT(x)(v) * CosT(y)(u)
               v += 1
             }
             u += 1
