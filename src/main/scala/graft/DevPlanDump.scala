@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: write `.explain("formatted")` output for queries to
+  * files — the round's plan-evidence artifacts (plans/r15/...).
+  * Usage: runMain graft.DevPlanDump <outDir> <suffix> <name-substr>[,..]
+  */
+object DevPlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: DevPlanDump <outDir> <suffix> <substr>[,..]")
+    val outDir = args(0)
+    val suffix = args(1)
+    val subs = args(2).split(",").toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => subs.exists(n.contains))
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"),
+        plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[plandump] $name -> $outDir/${name}_$suffix.txt")
+    }
+    spark.stop()
+  }
+}

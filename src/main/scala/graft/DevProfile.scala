@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only per-query task-metric profiler — the guide §1 instrument
+  * for local mode where the UI is disabled: for each named query, one
+  * noop-sink run with a listener summing task metrics, so wall time
+  * decomposes into executor compute, shuffle, GC and scheduling
+  * slack. Interpretation at local[32]: `taskTime/32` is the perfect-
+  * parallel floor; wall far above it with low task time means stage
+  * latency (many small stages) or driver work; wall ≈ taskTime/32
+  * means the query is compute-bound and the win must come from doing
+  * less work per row (guide §1.2 step 2).
+  *
+  * Usage: runMain graft.DevProfile <name-substring>[,<substr>...]
+  * (SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as in Bench).
+  */
+object DevProfile {
+  private class Sums extends SparkListener {
+    val lock = new Object
+    var jobs, stages, tasks = 0L
+    var taskTimeMs, gcMs, shufReadB, shufWriteB, fetchWaitMs, writeMs = 0L
+    var inputB, spillB, resultSerMs, deserMs = 0L
+    override def onJobStart(j: SparkListenerJobStart): Unit =
+      lock.synchronized { jobs += 1 }
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      lock.synchronized {
+        stages += 1
+        val (_, n, ms) = perStage.getOrElse(s.stageInfo.stageId, ("", 0L, 0L))
+        perStage(s.stageInfo.stageId) =
+          (s.stageInfo.name.takeWhile(_ != '\n').take(90), n, ms)
+      }
+    val perStage = scala.collection.mutable.LinkedHashMap
+      .empty[Int, (String, Long, Long)] // id -> (name, tasks, timeMs)
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = lock.synchronized {
+      tasks += 1
+      if (t.taskMetrics != null) {
+        val (nm, n, ms) = perStage.getOrElse(t.stageId, ("", 0L, 0L))
+        perStage(t.stageId) = (nm, n + 1, ms + t.taskMetrics.executorRunTime)
+      }
+      val m = t.taskMetrics
+      if (m != null) {
+        taskTimeMs += m.executorRunTime
+        gcMs += m.jvmGCTime
+        deserMs += m.executorDeserializeTime
+        resultSerMs += m.resultSerializationTime
+        inputB += m.inputMetrics.bytesRead
+        spillB += m.memoryBytesSpilled
+        shufReadB += m.shuffleReadMetrics.totalBytesRead
+        fetchWaitMs += m.shuffleReadMetrics.fetchWaitTime
+        shufWriteB += m.shuffleWriteMetrics.bytesWritten
+        writeMs += m.shuffleWriteMetrics.writeTime / 1000000L
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: DevProfile <name-substring>[,..] [runs]")
+    val subs = args(0).split(",").toSeq
+    val runs = if (args.length > 1) args(1).toInt else 1
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    // extra confs for A/B probes: GRAFT_PROF_CONF="k=v;k2=v2"
+    sys.env.get("GRAFT_PROF_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Tables.names.foreach(n => Tables.read(spark, sfDir, n).limit(1).count())
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => subs.exists(n.contains))
+    names.foreach { name =>
+      (1 to runs).foreach { r =>
+        System.gc()
+        val l = new Sums
+        spark.sparkContext.addSparkListener(l)
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // listener bus is async: give it a moment to drain (the bus
+        // drain API is private[spark]; a fixed sleep is fine for a
+        // dev instrument)
+        Thread.sleep(300)
+        spark.sparkContext.removeSparkListener(l)
+        println(f"[prof] $name%-24s r$r wall=$wall%6.2f s  " +
+          f"jobs=${l.jobs}%3d stages=${l.stages}%4d tasks=${l.tasks}%5d  " +
+          f"task=${l.taskTimeMs / 1000.0}%7.1f s (/$cpus=${l.taskTimeMs / 1000.0 / cpus.toInt}%5.2f) " +
+          f"gc=${l.gcMs / 1000.0}%5.2f deser=${l.deserMs / 1000.0}%5.2f " +
+          f"in=${l.inputB / 1e6}%7.1f MB sr=${l.shufReadB / 1e6}%7.1f MB " +
+          f"sw=${l.shufWriteB / 1e6}%7.1f MB fw=${l.fetchWaitMs / 1000.0}%5.2f " +
+          f"spill=${l.spillB / 1e6}%6.1f MB")
+        if (sys.env.get("GRAFT_PROF_STAGES").contains("1"))
+          l.perStage.toSeq.sortBy(-_._2._3).take(15).foreach {
+            case (id, (nm, n, ms)) =>
+              println(f"[prof.stage] $id%5d ${ms / 1000.0}%7.2f s  n=$n%4d  $nm")
+          }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -20,8 +20,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object LoopWidth {
 
-  /** Loop-frame rows per task. */
-  val RowsPerTask = 2000000L
+  /** Loop-frame rows per task. 250 k keeps per-task stage work in the
+    * 100–300 ms range: the round-15 profile caught the 2 M setting
+    * running q_labelprop's whole loop ONE-wide (1.27 M edge rows →
+    * p = 1 — 9.3 s of single-threaded join+agg work serialized across
+    * 13 stages for a 7.4 s wall), i.e. the opposite failure mode of
+    * the round-6 32-wide-kilobyte-frames lesson. Kilobyte frames
+    * still get p = 1 (rows/250 k + 1), a 10¹⁰-row graph still caps at
+    * cluster parallelism — only the mid-size regime changes. */
+  val RowsPerTask = 250000L
 
   def partitionsFor(rows: Long, spark: SparkSession): Int =
     math.min(

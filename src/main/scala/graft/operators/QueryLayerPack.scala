@@ -219,48 +219,66 @@ object QueryLayerPack extends QueryPack {
     // count − distinct on the key; referential = broadcast-eligible
     // anti-join count) — output cardinality = |checks| at any scale.
     "q_dq_contracts" -> ((s, dir) => {
-      def row(table: String, check: String, viol: DataFrame): DataFrame =
-        viol.select(lit(table).as("tbl"), lit(check).as("chk"),
-          col("n_violations"),
-          (col("n_violations") === 0L).as("pass"))
-      def uniq(df: DataFrame, table: String, key: String): DataFrame =
-        row(table, s"unique:$key", df.agg(
-          (count(col(key)) - countDistinct(col(key))).as("n_violations")))
+      // all of a table's checks ride ONE aggregation pass (each check
+      // is an aggregate expression; the per-check row shape comes
+      // back via an exploded struct array) — the earlier one-agg-per-
+      // check form ran 8 separate scan+agg chains over 5 tables for
+      // the same 11 rows. Referential checks keep their own anti-join
+      // chains (different join keys). Same rows, same oracle.
+      def checksOn(df: DataFrame, table: String,
+                   checks: Seq[(String, org.apache.spark.sql.Column)])
+          : DataFrame = {
+        val aggs = checks.zipWithIndex.map { case ((_, e), i) => e.as(s"v$i") }
+        df.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(checks.zipWithIndex.map { case ((name, _), i) =>
+            struct(lit(name).as("chk"), col(s"v$i").as("n_violations"))
+          }: _*)).as("c"))
+          .select(lit(table).as("tbl"), col("c.chk").as("chk"),
+            col("c.n_violations").as("n_violations"),
+            (col("c.n_violations") === 0L).as("pass"))
+      }
+      def uniqExpr(key: String): org.apache.spark.sql.Column =
+        count(col(key)) - countDistinct(col(key))
+      def predExpr(bad: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        sum(when(bad, 1L).otherwise(0L))
       def refi(child: DataFrame, ck: String, parent: DataFrame,
                pk: String, table: String, check: String): DataFrame =
-        row(table, check,
-          child.select(col(ck)).join(parent.select(col(pk)),
-              col(ck) === col(pk), "left_anti")
-            .agg(count(lit(1)).cast("long").as("n_violations")))
-      def pred(df: DataFrame, table: String, check: String,
-               bad: org.apache.spark.sql.Column): DataFrame =
-        row(table, check, df.agg(
-          sum(when(bad, 1L).otherwise(0L)).as("n_violations")))
+        child.select(col(ck)).join(parent.select(col(pk)),
+            col(ck) === col(pk), "left_anti")
+          .agg(count(lit(1)).cast("long").as("n_violations"))
+          .select(lit(table).as("tbl"), lit(check).as("chk"),
+            col("n_violations"),
+            (col("n_violations") === 0L).as("pass"))
       val (c, o, l, p, d, e) = (Tables.customer(s, dir),
         Tables.orders(s, dir), Tables.lineitem(s, dir),
         Tables.part(s, dir), Tables.documents(s, dir),
         Tables.events(s, dir))
       Seq(
-        uniq(c, "customer", "c_custkey"),
-        uniq(o, "orders", "o_orderkey"),
-        uniq(d, "documents", "doc_id"),
+        checksOn(c, "customer", Seq(
+          "unique:c_custkey" -> uniqExpr("c_custkey"))),
+        checksOn(o, "orders", Seq(
+          "unique:o_orderkey" -> uniqExpr("o_orderkey"),
+          "range:o_totalprice>0" -> predExpr(
+            col("o_totalprice") <= 0 || col("o_totalprice").isNull))),
+        checksOn(d, "documents", Seq(
+          "unique:doc_id" -> uniqExpr("doc_id"),
+          "notempty:text" -> predExpr(
+            col("text").isNull || length(col("text")) === 0))),
         refi(o, "o_custkey", c, "c_custkey", "orders",
           "ref:o_custkey->customer"),
         refi(l, "l_orderkey", o, "o_orderkey", "lineitem",
           "ref:l_orderkey->orders"),
         refi(l, "l_partkey", p, "p_partkey", "lineitem",
           "ref:l_partkey->part"),
-        pred(o, "orders", "range:o_totalprice>0",
-          col("o_totalprice") <= 0 || col("o_totalprice").isNull),
-        pred(l, "lineitem", "range:l_discount_0_1",
-          col("l_discount") < 0 || col("l_discount") > 1 ||
-            col("l_discount").isNull),
-        pred(l, "lineitem", "domain:l_returnflag_RAN",
-          !col("l_returnflag").isin("R", "A", "N") ||
-            col("l_returnflag").isNull),
-        pred(d, "documents", "notempty:text",
-          col("text").isNull || length(col("text")) === 0),
-        pred(e, "events", "notnull:ts", col("ts").isNull)
+        checksOn(l, "lineitem", Seq(
+          "range:l_discount_0_1" -> predExpr(
+            col("l_discount") < 0 || col("l_discount") > 1 ||
+              col("l_discount").isNull),
+          "domain:l_returnflag_RAN" -> predExpr(
+            !col("l_returnflag").isin("R", "A", "N") ||
+              col("l_returnflag").isNull))),
+        checksOn(e, "events", Seq(
+          "notnull:ts" -> predExpr(col("ts").isNull)))
       ).reduce(_.unionByName(_))
     }),
 
@@ -273,25 +291,38 @@ object QueryLayerPack extends QueryPack {
     // mergeable sketch substitutes for the exact countDistinct —
     // same surface, synopsis-backed.)
     "q_dq_profile" -> ((s, dir) => {
-      def prof(df: DataFrame, table: String, c: String): DataFrame =
-        df.agg(count(lit(1)).as("n_rows"),
-            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
-            countDistinct(col(c)).as("n_distinct"))
-          .select(lit(table).as("tbl"), lit(c).as("col_name"),
-            col("n_rows"), col("n_null"), col("n_distinct"),
-            graft.Det.dround((col("n_rows") - col("n_null"))
+      // all of a table's column profiles ride ONE aggregation pass
+      // (null counts and exact distincts are aggregate expressions;
+      // the per-column row shape comes back via an exploded struct
+      // array) — the earlier one-agg-per-column form ran 9 separate
+      // scan+agg chains over 5 tables for the same 9 rows. Same
+      // rows, same oracle. (Multiple exact countDistincts in one agg
+      // plan through Spark's Expand — still one scan, one exchange.)
+      def prof(df: DataFrame, table: String, cols: Seq[String]): DataFrame = {
+        val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c")))
+        df.agg(aggs.head, aggs.tail: _*)
+          .select(col("n_rows"), explode(array(cols.map(c =>
+            struct(lit(c).as("col_name"), col(s"nn_$c").as("n_null"),
+              col(s"nd_$c").as("n_distinct"))): _*)).as("p"))
+          .select(lit(table).as("tbl"), col("p.col_name").as("col_name"),
+            col("n_rows"), col("p.n_null").as("n_null"),
+            col("p.n_distinct").as("n_distinct"),
+            graft.Det.dround((col("n_rows") - col("p.n_null"))
               .cast("double") / col("n_rows").cast("double"), 4)
               .as("completeness"))
+      }
       Seq(
-        prof(Tables.customer(s, dir), "customer", "c_mktsegment"),
-        prof(Tables.customer(s, dir), "customer", "c_acctbal"),
-        prof(Tables.orders(s, dir), "orders", "o_orderstatus"),
-        prof(Tables.orders(s, dir), "orders", "o_orderpriority"),
-        prof(Tables.lineitem(s, dir), "lineitem", "l_returnflag"),
-        prof(Tables.documents(s, dir), "documents", "lang"),
-        prof(Tables.documents(s, dir), "documents", "source"),
-        prof(Tables.events(s, dir), "events", "event_type"),
-        prof(Tables.events(s, dir), "events", "props")
+        prof(Tables.customer(s, dir), "customer",
+          Seq("c_mktsegment", "c_acctbal")),
+        prof(Tables.orders(s, dir), "orders",
+          Seq("o_orderstatus", "o_orderpriority")),
+        prof(Tables.lineitem(s, dir), "lineitem", Seq("l_returnflag")),
+        prof(Tables.documents(s, dir), "documents",
+          Seq("lang", "source")),
+        prof(Tables.events(s, dir), "events",
+          Seq("event_type", "props"))
       ).reduce(_.unionByName(_))
     }),
 

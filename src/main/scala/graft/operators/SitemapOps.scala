@@ -197,10 +197,13 @@ object SitemapOps {
     * crawled canonicals, robots-gated per target domain, capped per
     * domain with the budget order blending in-degree and advertised
     * freshness — (domain, dst, via). */
-  def discovery(canon: DataFrame, edges: Option[DataFrame] = None)
+  def discovery(canon: DataFrame, edges: Option[DataFrame] = None,
+                robots: Option[(DataFrame, DataFrame, DataFrame)] = None,
+                sitemapRows: Option[DataFrame] = None)
       : DataFrame = {
     implicit val sess: org.apache.spark.sql.SparkSession = canon.sparkSession
-    val fromSitemap = parseSitemaps(resolveSitemaps(sitemapsFor(canon)))
+    val fromSitemap = sitemapRows
+      .getOrElse(parseSitemaps(resolveSitemaps(sitemapsFor(canon))))
       .select(col("loc").as("url"), lit(true).as("via_sitemap"),
         lit(false).as("via_link"), to_date(col("lastmod")).as("lm"))
     val fromLinks = edges.getOrElse(LinkOps.linkGraph(canon))
@@ -225,9 +228,12 @@ object SitemapOps {
         regexp_extract(col("dst"), "^[a-z]+://[^/]+(/[^?#]*)", 1))
     // materialized once for the same reason as frontierOver: the
     // rule/delay consumers reference these tiny frames 3-4 times
-    val files = RobotsOps.robotsFor(canon).localCheckpoint(true)
-    val parsed = RobotsOps.parseRules(files).localCheckpoint(true)
-    val delays = RobotsOps.parseDelays(files).localCheckpoint(true)
+    // (or arrive pre-parsed as the per-dir artifact)
+    val (_, parsed, delays) = robots.getOrElse {
+      val files = RobotsOps.robotsFor(canon).localCheckpoint(true)
+      (files, RobotsOps.parseRules(files).localCheckpoint(true),
+        RobotsOps.parseDelays(files).localCheckpoint(true))
+    }
     val rules = RobotsOps.rulesForAgent(parsed, delays)
     val allowed = candidates
       .join(broadcast(rules.withColumnRenamed("path", "rule_path")),

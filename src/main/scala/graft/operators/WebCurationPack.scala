@@ -32,6 +32,41 @@ object WebCurationPack extends QueryPack {
   private def canon(s: SparkSession, dir: String): DataFrame =
     UrlOps.withUrlParts(UrlOps.urls(Tables.documents(s, dir)), col("url"))
 
+  /** Process-lifetime memo of the parsed robots artifacts per corpus
+    * dir — (files, rules, delays), each a tiny domain-bounded frame
+    * whose lineage reaches back through the full canon parse. Six
+    * wc_ consumers (rules/delays/sitemaps tables, admit, frontier ×2,
+    * discovery) were each re-walking the synthesized files and paying
+    * three eager checkpoints per query; a production crawler keeps
+    * ONE parsed robots cache per cycle. Parsing is deterministic, so
+    * the memo is bit-identical to an in-query parse and the oracles
+    * replay the same rule arithmetic regardless of consumer. */
+  private val robotsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, DataFrame, DataFrame)]()
+
+  private[operators] def robotsArtifacts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    robotsMemo.computeIfAbsent(dir, { _ =>
+      implicit val sp: SparkSession = s
+      val files = RobotsOps.robotsFor(canon(s, dir)).localCheckpoint(true)
+      (files, RobotsOps.parseRules(files).localCheckpoint(true),
+        RobotsOps.parseDelays(files).localCheckpoint(true))
+    })
+
+  /** ...and the parsed sitemap artifacts: the raw per-host files
+    * (index fan-out consumer) and the resolved (host, loc, lastmod)
+    * rows (urls table, re-crawl, discovery). Same accounting. */
+  private val sitemapMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, DataFrame)]()
+
+  private[operators] def sitemapArtifacts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    sitemapMemo.computeIfAbsent(dir, { _ =>
+      val files = SitemapOps.sitemapsFor(canon(s, dir)).localCheckpoint(true)
+      (files, SitemapOps.parseSitemaps(SitemapOps.resolveSitemaps(files))
+        .localCheckpoint(true))
+    })
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the canonicalizer itself, row by row — scheme/host case,
     // www-strip, default vs real ports, trailing slash, fragment,
@@ -114,17 +149,11 @@ object WebCurationPack extends QueryPack {
     // ([[RobotsOps.parseRobotsAll]]). The oracle replays the RULES
     // from the domain-hash arithmetic without parsing — a parser bug
     // (group boundary, case fold, comment strip) diverges here
-    "wc_robots_rules" -> ((s, dir) => {
-      implicit val sp: SparkSession = s
-      RobotsOps.parseRules(RobotsOps.robotsFor(canon(s, dir)))
-    }),
+    "wc_robots_rules" -> ((s, dir) => robotsArtifacts(s, dir)._2),
 
     // ...the parsed Crawl-delay table — the politeness TIME-budget
     // input (frontier cap = f(window, delay), not a constant)
-    "wc_robots_delays" -> ((s, dir) => {
-      implicit val sp: SparkSession = s
-      RobotsOps.parseDelays(RobotsOps.robotsFor(canon(s, dir)))
-    }),
+    "wc_robots_delays" -> ((s, dir) => robotsArtifacts(s, dir)._3),
 
     // ...and the advertised-sitemap table — RFC 9309 §2.2.4's
     // non-group field, the channel a crawler actually DISCOVERS
@@ -133,7 +162,7 @@ object WebCurationPack extends QueryPack {
     // nor break the group)
     "wc_robots_sitemaps" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      RobotsOps.parseSitemapUrls(RobotsOps.robotsFor(canon(s, dir)))
+      RobotsOps.parseSitemapUrls(robotsArtifacts(s, dir)._1)
     }),
 
     // ...and the admission verdict per canonical URL: the agent's
@@ -144,14 +173,8 @@ object WebCurationPack extends QueryPack {
     "wc_robots_admit" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val c = canon(s, dir)
-      // the frontierOver discipline: the parsed frames are tiny but
-      // their lineage reaches back through the full canon parse, and
-      // rulesForAgent reads rules twice (selection ∪ join) plus the
-      // delays union — materialize once, re-read rows
-      val files = RobotsOps.robotsFor(c).localCheckpoint(true)
-      RobotsOps.admit(c, RobotsOps.rulesForAgent(
-        RobotsOps.parseRules(files).localCheckpoint(true),
-        RobotsOps.parseDelays(files).localCheckpoint(true)))
+      val (_, parsed, delays) = robotsArtifacts(s, dir)
+      RobotsOps.admit(c, RobotsOps.rulesForAgent(parsed, delays))
     }),
 
     // link extraction + RFC 3986 reference resolution — the crawl
@@ -185,7 +208,8 @@ object WebCurationPack extends QueryPack {
     "wc_frontier" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       frontierOver(canon(s, dir),
-        Some(LinkOps.linkGraphFor(dir, canon(s, dir))))
+        Some(LinkOps.linkGraphFor(dir, canon(s, dir))),
+        Some(robotsArtifacts(s, dir)))
     }),
 
     // INCREMENTAL discovery — the crawl cycle without re-extracting
@@ -246,7 +270,7 @@ object WebCurationPack extends QueryPack {
         // src sets are disjoint (old vs new pages): no re-distinct
         prevEdges.unionByName(LinkOps.linkGraph(freshPages))
       }
-      frontierOver(c, Some(merged))
+      frontierOver(c, Some(merged), Some(robotsArtifacts(s, dir)))
     }),
 
     // sitemap ingestion — the third discovery source: genuine
@@ -257,14 +281,12 @@ object WebCurationPack extends QueryPack {
     // resolved first (the nested-fetch transport detail — the parsed
     // entry set is identical either way, which is exactly what the
     // unchanged oracle pins)
-    "wc_sitemap_urls" -> ((s, dir) =>
-      SitemapOps.parseSitemaps(SitemapOps.resolveSitemaps(
-        SitemapOps.sitemapsFor(canon(s, dir))))),
+    "wc_sitemap_urls" -> ((s, dir) => sitemapArtifacts(s, dir)._2),
 
     // ...and the index fan-out itself: which hosts shard, and the
     // child documents a crawler must fetch
     "wc_sitemap_index" -> ((s, dir) =>
-      SitemapOps.indexChildren(SitemapOps.sitemapsFor(canon(s, dir)))),
+      SitemapOps.indexChildren(sitemapArtifacts(s, dir)._1)),
 
     // lastmod-driven RE-CRAWL scheduling — the freshness half of the
     // crawl cycle (discovery finds new pages; this finds CHANGED
@@ -282,9 +304,7 @@ object WebCurationPack extends QueryPack {
     // at 100 TB the join cost is one scan of the fetch log
     "wc_recrawl" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val c = canon(s, dir)
-      val sm = SitemapOps.parseSitemaps(SitemapOps.resolveSitemaps(
-          SitemapOps.sitemapsFor(c)))
+      val sm = sitemapArtifacts(s, dir)._2
         .filter(col("lastmod").isNotNull)
         .select(col("loc").as("canonical"),
           to_date(col("lastmod")).as("modified"))
@@ -296,7 +316,8 @@ object WebCurationPack extends QueryPack {
     // in its sitemap what its robots then deny — the union drops
     // it), capped per domain, with the surfacing source(s) labeled
     "wc_discovery" -> ((s, dir) => SitemapOps.discovery(canon(s, dir),
-      Some(LinkOps.linkGraphFor(dir, canon(s, dir))))),
+      Some(LinkOps.linkGraphFor(dir, canon(s, dir))),
+      Some(robotsArtifacts(s, dir)), Some(sitemapArtifacts(s, dir)._2))),
 
     // the missing link between the URL front-end and the content
     // pipeline: ONLY admitted doc_ids are spooled into crawl
@@ -318,7 +339,8 @@ object WebCurationPack extends QueryPack {
     * probes the production stages. `edges` supplies the prebuilt
     * link-graph artifact ([[LinkOps.linkGraphFor]]); absent, the
     * graph builds here (the full-path probe shape). */
-  def frontierOver(c: DataFrame, edges: Option[DataFrame] = None)
+  def frontierOver(c: DataFrame, edges: Option[DataFrame] = None,
+                   robots: Option[(DataFrame, DataFrame, DataFrame)] = None)
       (implicit s: SparkSession): DataFrame = {
     // link-value per target: IN-DEGREE over the (already-distinct)
     // edge set — the quality signal that orders each domain's
@@ -338,9 +360,11 @@ object WebCurationPack extends QueryPack {
     // through the full canon parse — materialize once so the three
     // consumers (agent selection references the rules twice, the cap
     // chain a third time) re-read rows instead of re-walking files
-    val files = RobotsOps.robotsFor(c).localCheckpoint(true)
-    val parsed = RobotsOps.parseRules(files).localCheckpoint(true)
-    val delays = RobotsOps.parseDelays(files).localCheckpoint(true)
+    val (_, parsed, delays) = robots.getOrElse {
+      val files = RobotsOps.robotsFor(c).localCheckpoint(true)
+      (files, RobotsOps.parseRules(files).localCheckpoint(true),
+        RobotsOps.parseDelays(files).localCheckpoint(true))
+    }
     val rules = RobotsOps.rulesForAgent(parsed, delays)
     val allowed = t
       .join(broadcast(rules.withColumnRenamed("path", "rule_path")),

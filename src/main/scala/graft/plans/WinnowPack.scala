@@ -1,0 +1,127 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Codegen'd winnowing selection over an array<long> of shingle
+  * hashes: for every window of `w` consecutive hashes emit the window
+  * minimum with its RIGHTMOST position on ties (robust winnowing,
+  * Schleimer et al. SIGMOD'03), deduplicated, packed as
+  * `fp << 32 | pos` longs — replacing the interpreted per-window
+  * `slice`/`array_min`/`array_position(reverse(...))` HOF chain that
+  * did O(w) boxed work per position with lambda-interpretation
+  * overhead on top ([[graft.operators.DedupPack.winnowFoldFps]] is
+  * the value-identical fold form kept as the differential reference,
+  * the MinHash8/SimHash32 convention).
+  *
+  * Equivalence of the dedup: the HOF form collects every window's
+  * (fp, pos) struct and applies `array_distinct`. A selected
+  * (fp, pos) can only repeat in CONSECUTIVE windows — a selection is
+  * dethroned by a strictly smaller (or equal-valued, righter) hash
+  * entering the window, and that hash leaves the window only after
+  * the dethroned position itself has left — so consecutive-dedup
+  * equals global distinct (WinnowSpec pins this differentially on
+  * the corpus fixture).
+  *
+  * Packing: `fp` is a 32-bit md5-prefix hash (< 2³²) and `pos` a
+  * token position (< 2³¹ for any real document), so the pair packs
+  * exactly into one long; consumers unpack with shift/mask. Null
+  * ELEMENTS are not supported (the callers hash non-null shingles of
+  * non-null text — same contract the fold form exercises); a null
+  * ARRAY propagates null, and an array shorter than `w` yields an
+  * empty selection (the HOF's sequence(0, m-w) would count down —
+  * callers filter those out, this simply returns empty).
+  */
+case class WinnowPack(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  require(w >= 1, s"winnow window must be >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft winnow requires array<bigint>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val out = new java.util.ArrayList[Long](math.max(0, n - w + 1))
+    var lastFp = -1L
+    var lastPos = -1L
+    var p = 0
+    while (p + w <= n) {
+      var m = xs.getLong(p)
+      var mp = p
+      var i = p + 1
+      while (i < p + w) {
+        val v = xs.getLong(i)
+        if (v <= m) { m = v; mp = i } // rightmost on ties
+        i += 1
+      }
+      if (m != lastFp || mp != lastPos) {
+        out.add((m << 32) | mp.toLong)
+        lastFp = m; lastPos = mp
+      }
+      p += 1
+    }
+    val arr = new Array[Long](out.size)
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val mp = ctx.freshName("mp")
+      val v = ctx.freshName("v")
+      val cnt = ctx.freshName("cnt")
+      val buf = ctx.freshName("buf")
+      val lastFp = ctx.freshName("lastFp")
+      val lastPos = ctx.freshName("lastPos")
+      val res = ctx.freshName("res")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $buf = new long[$n >= $w ? $n - $w + 1 : 0];
+         |int $cnt = 0;
+         |long $lastFp = -1L; long $lastPos = -1L;
+         |for (int $p = 0; $p + $w <= $n; $p++) {
+         |  long $m = $a.getLong($p);
+         |  int $mp = $p;
+         |  for (int $i = $p + 1; $i < $p + $w; $i++) {
+         |    long $v = $a.getLong($i);
+         |    if ($v <= $m) { $m = $v; $mp = $i; }
+         |  }
+         |  if ($m != $lastFp || (long) $mp != $lastPos) {
+         |    $buf[$cnt++] = ($m << 32) | (long) $mp;
+         |    $lastFp = $m; $lastPos = (long) $mp;
+         |  }
+         |}
+         |long[] $res = java.util.Arrays.copyOf($buf, $cnt);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($res);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowPack {
+  /** Column wrapper: array<long> shingle hashes → array<long> of
+    * packed `fp << 32 | pos` winnowing selections. */
+  def fps(hashes: Column, w: Int): Column =
+    GraftShim.column(WinnowPack(GraftShim.expression(hashes), w))
+}

@@ -40,6 +40,16 @@ class WinnowSpec extends SparkSpec {
     assert(sel.map(_._3).toSet == expect)
   }
 
+  test("native WinnowPack selection equals the interpreted HOF fold on the corpus") {
+    val toks = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val native = DedupPack.winnowFps(toks).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fold = DedupPack.winnowFoldFps(toks).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(native == fold && native.nonEmpty)
+  }
+
   test("pairs: shared-run docs surface, disjoint docs do not") {
     // long enough that the guarantee yields >= WinnowMinShared
     // distinct shared fingerprints (one per w-window of the run)
