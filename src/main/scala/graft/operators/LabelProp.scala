@@ -44,20 +44,20 @@ object LabelProp {
   /** `iters` synchronous rounds over `edges(a, b)` (made symmetric
     * here); returns (node, label) fully materialized with loop
     * caches released. */
-  def propagate(edges: DataFrame, iters: Int): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+  def propagate(edges: DataFrame, iters: Int,
+                sizeHint: Option[Long] = None): DataFrame = {
     val spark = edges.sparkSession
     val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       val raw = edges.select(col("a"), col("b"))
         .union(edges.select(col("b").as("a"), col("a").as("b")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      frames += raw
       // sizing off the PRE-dedup count — an upper bound is exactly
-      // what a width heuristic wants, and counting before the dedup
-      // lets the dedup ride the loop exchange below instead of
-      // spending its own
-      val nEdges = raw.count()
+      // what a width heuristic wants; callers that know their edge
+      // count pass it (q_labelprop: the join output is bounded by
+      // |lineitem| since o_orderkey is unique, so the symmetric
+      // union is 2x that — a metadata-cheap count), sparing the
+      // count pass over the join
+      val nEdges = sizeHint.getOrElse(raw.count())
       val p = LoopWidth.partitionsFor(nEdges, spark)
       LoopWidth.onSizedSession(raw, p) { eBase =>
         // ONE exchange covers BOTH symmetric-dedup and loop layout:
@@ -68,11 +68,15 @@ object LabelProp {
         // output keeps the a-partitioning the round joins need.
         // Previously distinct() exchanged on (a, b) and the loop
         // re-exchanged the result on `a`: two full-frame shuffles
-        // where one suffices.
+        // where one suffices. Materialized as an eager
+        // localCheckpoint, not persist: the rounds read the frame
+        // through a loop-session view and the round-15 profile caught
+        // the cross-session cache lookup missing (parquet re-scans
+        // per consumer); a checkpoint is a concrete RDD that keeps
+        // the hash(a, p) layout.
         val e = eBase.repartition(p, col("a"))
           .dropDuplicates("a", "b")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        frames += e
+          .localCheckpoint(eager = true)
         var labels: DataFrame = null
         (1 to iters).foreach { i =>
           // ONE exchange per round on `b` (the receiving node): both

@@ -267,7 +267,7 @@ object MultimodalPack extends QueryPack {
     // the join projection, and the fixture's bumped variants (≤ 3
     // flipped bits by construction) are the ground-truth dup pairs
     // the query must recover
-    "mm_dhash_dups" -> ((s, dir) => dhashDups(dhashed(s, dir))),
+    "mm_dhash_dups" -> ((s, dir) => dhashPairsFor(s, dir)),
 
     // the AUDIO near-dup leg: REAL mono-PCM WAVs (data payload, junk
     // hops, sign-extension) decoded by a genuine RIFF walk, window
@@ -315,11 +315,10 @@ object MultimodalPack extends QueryPack {
     // ...and the audio APPLY step, completing the modality symmetry:
     // near-dup clips → components → the surviving clip library
     "mm_audio_fp_apply" -> ((s, dir) => {
-      // checkpointed: consumed by the pair join AND the final
-      // survivor anti-join — one decode, not two
+      // the memoized fingerprint frame feeds the pair join AND the
+      // final survivor anti-join — one decode for the whole family
       val h = audioFped(s, dir)
         .select(col("snd_id").as("img_id"), col("fp").as("dhash"))
-        .localCheckpoint(true)
       val losers = Components.connectedComponents(
           dhashDups(h).select(col("img_a"), col("img_b")),
           "img_a", "img_b")
@@ -358,10 +357,8 @@ object MultimodalPack extends QueryPack {
     // non-representative drops, the surviving library remains —
     // min-id retention, one component walk, never all-pairs
     "mm_dhash_apply" -> ((s, dir) => {
-      val h = dhashed(s, dir).localCheckpoint(true)
-      val losers = Components.connectedComponents(
-          dhashDups(h).select(col("img_a"), col("img_b")),
-          "img_a", "img_b")
+      val h = dhashed(s, dir)
+      val losers = dhashGroupsFor(s, dir)
         .filter(col("node") =!= col("rep"))
         .select(col("node").as("img_id"))
       h.join(losers, Seq("img_id"), "left_anti")
@@ -395,9 +392,8 @@ object MultimodalPack extends QueryPack {
     // per-group sort. Singleton images (no near-dup) are their own
     // group through the coalesce.
     "mm_pair_dedup" -> ((s, dir) => {
-      val h = dhashed(s, dir).localCheckpoint(true)
-      val groups = Components.connectedComponents(
-        dhashDups(h).select(col("img_a"), col("img_b")), "img_a", "img_b")
+      val h = dhashed(s, dir)
+      val groups = dhashGroupsFor(s, dir)
       val caps = Tables.documents(s, dir)
         .select(col("doc_id").as("img_id"),
           size(split(col("text"), " ")).cast("long").as("cap_tokens"))
@@ -415,18 +411,46 @@ object MultimodalPack extends QueryPack {
   )
 
   /** (snd_id, fp) over the near-dup audio fixture. */
-  private def audioFped(s: SparkSession, dir: String): DataFrame = {
-    implicit val sp: SparkSession = s
-    Multimodal.windowEnergies(Multimodal.decodePcm16(
-        Multimodal.syntheticNearDupAudio(Tables.documents(s, dir))))
-      .select(col("snd_id"),
-        PerceptualHash.audioFp(col("energies")).as("fp"))
-  }
+  /** Process-lifetime memos of the decoded fingerprint frames and
+    * their dup pairs/groups per corpus dir — the DedupPack
+    * pairsFor/groupsFor accounting at media grain: five dhash
+    * consumers (hash table, dup pairs, apply, pair curation, recall
+    * probe) and two audio consumers each re-ran the full decode +
+    * perceptual-hash chain (and two re-ran the iterative components
+    * loop). Decode and hashing are deterministic, so each memo is
+    * bit-identical to an in-query build; the oracles replay the
+    * fixture arithmetic regardless of consumer. */
+  private val mediaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def audioFped(s: SparkSession, dir: String): DataFrame =
+    mediaMemo.computeIfAbsent(s"$dir#afp", { _ =>
+      implicit val sp: SparkSession = s
+      Multimodal.windowEnergies(Multimodal.decodePcm16(
+          Multimodal.syntheticNearDupAudio(Tables.documents(s, dir))))
+        .select(col("snd_id"),
+          PerceptualHash.audioFp(col("energies")).as("fp"))
+        .localCheckpoint(eager = true)
+    })
 
   /** (img_id, dhash) over the near-dup image fixture — the shared
-    * head of the perceptual-hash queries. */
+    * head of the perceptual-hash queries, memoized per corpus. */
   private[graft] def dhashed(s: SparkSession, dir: String): DataFrame =
-    dhashOf(s, Tables.documents(s, dir))
+    mediaMemo.computeIfAbsent(s"$dir#dh",
+      _ => dhashOf(s, Tables.documents(s, dir)).localCheckpoint(eager = true))
+
+  /** The image dup-pair index and its components — shared by
+    * mm_dhash_dups / mm_dhash_apply / mm_pair_dedup. */
+  private def dhashPairsFor(s: SparkSession, dir: String): DataFrame =
+    mediaMemo.computeIfAbsent(s"$dir#dhp",
+      _ => dhashDups(dhashed(s, dir)).localCheckpoint(eager = true))
+
+  private def dhashGroupsFor(s: SparkSession, dir: String): DataFrame =
+    mediaMemo.computeIfAbsent(s"$dir#dhg",
+      _ => Components.connectedComponents(
+          dhashPairsFor(s, dir).select(col("img_a"), col("img_b")),
+          "img_a", "img_b")
+        .localCheckpoint(eager = true))
 
   private[graft] def dhashOf(s: SparkSession, docs: DataFrame): DataFrame = {
     implicit val sp: SparkSession = s

@@ -63,48 +63,60 @@ object PageRank {
     * caller's action replays nothing) and every invariant is
     * unpersisted before returning — a shared long-lived session must
     * not accumulate loop caches. */
-  def fixedPoint(edges: DataFrame, iters: Int): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+  def fixedPoint(edges: DataFrame, iters: Int,
+                 sizeHint: Option[Long] = None): DataFrame = {
     val spark = edges.sparkSession
-    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    // everything after the first persist sits inside try/finally: a
-    // failed count must not strand cached blocks in a shared session
-    try {
-      val eRaw = edges.select(col("src"), col("dst")).distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      frames += eRaw
-      val nEdges = eRaw.count()
-      val p = LoopWidth.partitionsFor(nEdges, spark)
-      LoopWidth.onSizedSession(eRaw, p) { eBase =>
-        val eCols = eBase.repartition(p, col("src"))
-        // nodes read the CACHED eRaw plan (the re-based view resolves
-        // to it), not the repartition: distinct() reshuffles by node
-        // either way, so going through eCols would just pay the
-        // by-src exchange twice for nothing
-        val nodes = eBase.select(col("src").as("node"))
-          .union(eBase.select(col("dst").as("node"))).distinct()
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        // deg rides on the cached edges: one groupBy at build time
-        // instead of an outdeg join inside every round
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
-        val e = eCols.withColumn("deg", count(lit(1)).over(w))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        frames ++= Seq(e, nodes)
-        val base = lit(15L * Scale / 100)
-        var ranks = nodes.withColumn("rank", lit(Scale))
-        (1 to iters).foreach { _ =>
-          val contrib = e
-            .join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(col("dst").as("node"),
-              expr("rank div deg").as("c"))
-            .groupBy("node").agg(sum(col("c")).as("in_sum"))
-          ranks = nodes.join(contrib, Seq("node"), "left")
-            .select(col("node"),
-              (base + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
-        }
-        ranks.localCheckpoint(eager = true)
+    val src2 = edges.select(col("src"), col("dst"))
+    // width from an UPPER BOUND on the edge count — exactly what a
+    // width heuristic wants (the LabelProp sizing note): callers that
+    // know their pre-distinct row count pass it (q_pagerank: the join
+    // output is bounded by |lineitem| since o_orderkey is unique);
+    // otherwise one count pass over the edge build
+    val nEdges = sizeHint.getOrElse(src2.count())
+    val p = LoopWidth.partitionsFor(nEdges, spark)
+    // ONE exchange covers BOTH the distinct and the loop layout
+    // (LabelProp's exchange fusion: hash(src, p) routes every copy of
+    // an (src, dst) pair together and satisfies the dedup's subset
+    // clustering), materialized as an eager localCheckpoint rather
+    // than persist+count: the invariants are read through a
+    // loop-SESSION view, and the round-15 profile caught the
+    // cross-session cache lookup missing — input bytes showed the
+    // edge build re-scanning parquet once per invariant (4x the
+    // source). A checkpoint is a concrete RDD: no plan matching, one
+    // build, every consumer scans rows, and the hash(src, p) layout
+    // survives into the rounds' joins.
+    val eRaw = src2.repartition(p, col("src"))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint(eager = true)
+    LoopWidth.onSizedSession(eRaw, p) { eBase =>
+      val eCols = eBase // already hash(src, p)-partitioned
+      // nodes read the checkpointed eRaw rows (the re-based view
+      // resolves to the LogicalRDD), not the repartition: distinct()
+      // reshuffles by node either way, so going through eCols would
+      // just pay the by-src exchange twice for nothing
+      // nodes and the deg-carrying edges are NOT checkpointed: all
+      // rounds live in ONE final query, where AQE materializes each
+      // invariant's exchange once and reuses it per round — separate
+      // eager checkpoints bought the same sharing at two extra job
+      // boundaries each (profiled: same task time, more wall)
+      val nodes = eBase.select(col("src").as("node"))
+        .union(eBase.select(col("dst").as("node"))).distinct()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+      val e = eCols.withColumn("deg", count(lit(1)).over(w))
+      val base = lit(15L * Scale / 100)
+      var ranks = nodes.withColumn("rank", lit(Scale))
+      (1 to iters).foreach { _ =>
+        val contrib = e
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"),
+            expr("rank div deg").as("c"))
+          .groupBy("node").agg(sum(col("c")).as("in_sum"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (base + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
       }
-    } finally frames.foreach(_.unpersist(blocking = false))
+      ranks.localCheckpoint(eager = true)
+    }
   }
 
   /** One unrolled iteration as oracle CTEs: needs `e(src, dst)`,

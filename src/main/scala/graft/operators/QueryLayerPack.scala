@@ -788,7 +788,10 @@ object QueryLayerPack extends QueryPack {
       val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("src"),
           (col("o_custkey") + lit(CustOffset)).as("dst"))
-      PageRank.fixedPoint(edges, iters = 3)
+      // width hint: o_orderkey is unique, so |li join o| = |li| — a
+      // metadata-cheap count instead of materializing the join twice
+      PageRank.fixedPoint(edges, iters = 3,
+        sizeHint = Some(Tables.lineitem(s, dir).count()))
     }),
 
     // Synchronous label propagation (2 rounds) over the same
@@ -802,7 +805,8 @@ object QueryLayerPack extends QueryPack {
       val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("a"),
           (col("o_custkey") + lit(CustOffset)).as("b"))
-      LabelProp.propagate(edges, iters = 2)
+      LabelProp.propagate(edges, iters = 2,
+        sizeHint = Some(2L * Tables.lineitem(s, dir).count()))
     }),
 
     // approx_percentile (KLL-style sketch): the 100 TB form of

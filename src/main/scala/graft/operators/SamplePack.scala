@@ -158,16 +158,30 @@ object SamplePack extends QueryPack {
     * to 1e-4 long units (the tx_lm_perplexity discipline), so the
     * per-doc sums are exact and order-free. Returns (doc_id, n_feats,
     * lwu) with lwu in 1e-4 units. */
-  private def dsirScored(s: SparkSession, dir: String): DataFrame = {
+  private val dsirMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def dsirScored(s: SparkSession, dir: String): DataFrame =
+    // per-dir memo: the weights and the Gumbel-sample queries consume
+    // the same trained importance model (the bigramEntropy accounting)
+    dsirMemo.computeIfAbsent(dir,
+      _ => dsirScoredOf(s, dir).localCheckpoint(eager = true))
+
+  private def dsirScoredOf(s: SparkSession, dir: String): DataFrame = {
     val B = DsirBuckets
+    // the hashed-feature frame feeds FOUR consumers (the two totals,
+    // both bucket LMs, and the final scoring join) — project it down
+    // to (doc_id, source, bucket) and materialize once; the n-gram
+    // string exists only to hash
     val feats = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("source"),
         explode(concat(col("toks"),
           graft.functions.Hashing.shingles(col("toks"), 2))).as("ng"))
-      .withColumn("b",
-        pmod(graft.functions.Hashing.h32(col("ng")), lit(B.toLong)))
+      .select(col("doc_id"), col("source"),
+        pmod(graft.functions.Hashing.h32(col("ng")), lit(B.toLong)).as("b"))
+      .localCheckpoint(eager = true)
     val tot = feats.agg(
       sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("ttot"),
       sum(when(col("source") =!= DsirTarget, 1L).otherwise(0L)).as("rtot"))
@@ -898,11 +912,17 @@ object SamplePack extends QueryPack {
     * Σ per-doc cross-entropy units) — cross_entropy is already
     * dround4'd, so floor(ce·1e4+0.5) is an exact integer roundtrip
     * on both engines. */
+  private val domMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Doremi.Dom]]()
+
   private def domLosses(s: SparkSession, dir: String): Seq[Doremi.Dom] =
-    domLossFrame(TextPack.bigramEntropy(s, dir),
-      Tables.documents(s, dir))
-      .collect().toSeq
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // |domains|-row driver artifact, memoized per corpus dir: three
+    // DoReMi-family queries consume it (weights, sample, mix-compare)
+    domMemo.computeIfAbsent(dir, _ =>
+      domLossFrame(TextPack.bigramEntropy(s, dir),
+        Tables.documents(s, dir))
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
 
   /** The ONE distributed pass behind the DoReMi loop: per-domain doc
     * count + entropy-unit sum (map-side combined, |domains| rows out

@@ -438,16 +438,26 @@ object SimilarityPack extends QueryPack {
           explode(array(entries.map(lit): _*)).as("node")))
         .localCheckpoint(eager = true)
       schedule.foreach { edges =>
+        // no pre-score distinct: duplicate (qid, node) expansions
+        // score to the IDENTICAL deterministic cos and die in the
+        // post-union dedup below — the distinct's exchange bought
+        // nothing but a stage (the scoring joins are broadcast-sized,
+        // so dedup-before-scoring saves no shuffle bytes either)
         val expand = cand.select(col("qid"), col("node"))
           .join(edges.select(col("src"), col("dst")),
             col("node") === col("src"))
           .select(col("qid"), col("dst").as("node"))
-          .distinct()
-        // dev-probe only (None in production): per-round expansion
-        // sizes — the candidate-scoring cost a deeper hierarchy cuts
-        probeExpanded.foreach(_ += expand.count())
+        // dev-probe only (None in production): per-round DISTINCT
+        // expansion sizes — the candidate-scoring cost a deeper
+        // hierarchy cuts (distinct here keeps the probe's meaning)
+        probeExpanded.foreach(_ += expand.distinct().count())
+        // ONE exchange per round: hash(qid) satisfies both the
+        // (qid, node) dedup (clustering on a subset of its keys) and
+        // the final bounded-heap's ClusteredDistribution(qid) — the
+        // LabelProp exchange-fusion pattern
         cand = graft.plans.TopKPerKey.topKPerKey(
           cand.unionByName(score(expand))
+            .repartition(col("qid"))
             .dropDuplicates("qid", "node"),
           keys = Seq(col("qid")),
           order = Seq(col("cos").desc, col("node").asc), k = SearchBeam)

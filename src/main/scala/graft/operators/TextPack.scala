@@ -307,9 +307,18 @@ object TextPack extends QueryPack {
     * per-doc sums are exact and order-free; vocab size rides a
     * broadcast one-row frame. Returns (doc_id, n_bigrams,
     * cross_entropy) with the entropy already [[Det.dround]]'d. */
+  private val entMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private[operators] def bigramEntropy(s: SparkSession,
                                        dir: String): DataFrame =
-    bigramEntropyOf(tokenized(s, dir))
+    // process-lifetime memo per corpus dir (the IndexCache/dglFor
+    // accounting): the bigram LM is ONE trained artifact that six
+    // consumers read (tx_lm_perplexity, the CCNet buckets, the
+    // curriculum bands, and the three DoReMi-family queries via
+    // domLosses) — each was re-training it from scratch
+    entMemo.computeIfAbsent(dir,
+      _ => bigramEntropyOf(tokenized(s, dir)).localCheckpoint(eager = true))
 
   /** [[bigramEntropy]] over any (doc_id, toks) frame — the corpus
     * pipeline trains the LM on the CURATED crawl corpus itself (the
