@@ -122,6 +122,15 @@ object DedupPack extends QueryPack {
       _ => fuzzyPairs(Tables.documents(s, dir))
         .localCheckpoint(eager = true))
 
+  /** ...and the span-gram occurrence frame (doc_id, pos, gh) — the
+    * shared seed table of the coverage and excision span queries. */
+  private val spanGramsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def spanGramsFor(s: SparkSession, dir: String): DataFrame =
+    spanGramsMemo.computeIfAbsent(dir,
+      _ => spanGrams(tokenized(s, dir)).localCheckpoint(eager = true))
+
   /** (doc_id, band, key) — one row per LSH band. */
   private def bands(s: SparkSession, dir: String): DataFrame =
     bandsFrom(signatures(s, dir))
@@ -590,7 +599,8 @@ object DedupPack extends QueryPack {
     // regroup per doc (bounded by doc length), and the interval-union
     // fold is a per-row array op over sorted starts — integer-exact,
     // so it replays in SQL.
-    "ds_dup_spans" -> ((s, dir) => dupSpans(tokenized(s, dir))),
+    "ds_dup_spans" -> ((s, dir) =>
+      dupSpansOver(tokenized(s, dir), spanGramsFor(s, dir))),
 
     // The APPLY step of span dedup (Lee et al. remove all but one
     // copy): the globally-first occurrence of each duplicated gram
@@ -598,7 +608,8 @@ object DedupPack extends QueryPack {
     // reassemble from surviving tokens — span-granularity
     // deduplication, the third rung after doc-level (ds_dedup_apply)
     // and passage-level (ds_chunk_dedup).
-    "ds_dup_spans_apply" -> ((s, dir) => dupSpansApply(tokenized(s, dir))),
+    "ds_dup_spans_apply" -> ((s, dir) =>
+      dupSpansApplyOver(tokenized(s, dir), spanGramsFor(s, dir))),
 
     // Exact maximal duplicated spans via per-shard suffix arrays
     // (prefix doubling + capped LCP extension — Lee et al.'s ExactSubstr
@@ -907,8 +918,12 @@ object DedupPack extends QueryPack {
     * computed by a fold over the SORTED start positions — interval
     * ends are monotone at fixed k, so one (covered, prevEnd) pass is
     * exact. Docs shorter than one gram report dup_toks = 0. */
-  def dupSpans(docs: DataFrame): DataFrame = {
-    val grams = spanGrams(docs)
+  def dupSpans(docs: DataFrame): DataFrame =
+    dupSpansOver(docs, spanGrams(docs))
+
+  /** [[dupSpans]] over a prepared gram frame — the two span-dedup
+    * queries share one materialized [[spanGramsFor]] artifact. */
+  def dupSpansOver(docs: DataFrame, grams: DataFrame): DataFrame = {
     val dupSeeds = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("gh"))
     val k = lit(SpanGram.toLong)
@@ -973,9 +988,11 @@ object DedupPack extends QueryPack {
     * occurrences) — fine at real doc lengths; a coverage-bitmap fold
     * is the upgrade if m ever tracks n. Returns every doc
     * (fully-excised ones keep an empty dedup_text). */
-  def dupSpansApply(docs: DataFrame): DataFrame = {
+  def dupSpansApply(docs: DataFrame): DataFrame =
+    dupSpansApplyOver(docs, spanGrams(docs))
+
+  def dupSpansApplyOver(docs: DataFrame, grams: DataFrame): DataFrame = {
     val k = lit(SpanGram.toLong)
-    val grams = spanGrams(docs)
     val winners = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("n"),
         min(col("doc_id") * lit(SpanPosBase) + col("pos")).as("w"))

@@ -174,7 +174,7 @@ object IftPack extends QueryPack {
     // keeps its group) → special-token scrub, emitting the admitted
     // conversations with their clean char mass — a bug in ANY stage
     // shifts the admitted set
-    "ift_curated_e2e" -> ((s, dir) => curated(Tables.documents(s, dir))),
+    "ift_curated_e2e" -> ((s, dir) => curatedFor(s, dir)),
 
     // preference-pair (DPO/RLHF data) validation at pair grain:
     // degenerate ties (chosen == rejected teach nothing) and the
@@ -216,14 +216,31 @@ object IftPack extends QueryPack {
     // one-task window). text_md5 rides each slot so a render bug, a
     // scrub bug, a packing bug, or a permutation bug all shift the
     // hash. A trainer reads ORDER BY pos, slot.
-    "ift_sft_feed" -> ((s, dir) => sftFeed(Tables.documents(s, dir))))
+    "ift_sft_feed" -> ((s, dir) =>
+      sftFeedOver(Tables.documents(s, dir),
+        curatedFor(s, dir).select(col("conv_id")))))
 
   /** The full feed composition over any documents-shaped frame —
     * `ift_sft_feed`'s body, exposed for the DevStress probe. */
-  def sftFeed(docs: DataFrame): DataFrame = {
+  def sftFeed(docs: DataFrame): DataFrame =
+    sftFeedOver(docs, curated(docs).select(col("conv_id")))
+
+  /** Process-lifetime memo of the curated-conversation table per
+    * corpus dir — the curation chain (gates, template drop, dup-
+    * response dedup, scrub accounting) is ONE artifact that both the
+    * e2e query and the packed SFT feed consume; each was re-running
+    * the whole chain. */
+  private val curatedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def curatedFor(s: SparkSession, dir: String): DataFrame =
+    curatedMemo.computeIfAbsent(dir,
+      _ => curated(Tables.documents(s, dir)).localCheckpoint(eager = true))
+
+  /** [[sftFeed]] over a prepared curated conv-id frame. */
+  def sftFeedOver(docs: DataFrame, curatedIds: DataFrame): DataFrame = {
     val rendered = convs(docs)
-      .join(curated(docs).select(col("conv_id")), Seq("conv_id"),
-        "left_semi")
+      .join(curatedIds, Seq("conv_id"), "left_semi")
       .select(col("conv_id"), col("source"),
         concat_ws("\n", transform(col("turns"), t =>
           concat(lit("<"), t.getField("role"), lit("> "),
