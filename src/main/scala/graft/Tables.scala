@@ -20,6 +20,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Spread a narrow frame across the session width before a
+    * compute-dense per-row chain (codec walks, xpath parses, regex
+    * batteries, perceptual hashing): the fixture parquet is ONE row
+    * group, so a bare scan yields ONE task and the chain serializes
+    * on a single core however wide the session is. Gated on the
+    * current partition count, so a production lake scan (≥ width
+    * splits) is a no-op — scale-adaptive, not a local tune. Only for
+    * chains whose per-row cost dwarfs one exchange of the rows: a
+    * SUITE-WIDE spread of the documents/embeddings scans was measured
+    * and REJECTED — +0.3–0.6 s on dozens of light consumers (the
+    * extra exchange + 32-task stages) against the same handful of
+    * wins (OPTIMIZATION_r15.md batch 6). */
+  def widen(df: DataFrame): DataFrame = {
+    val p = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts has shipped as parquet TIMESTAMP(NANOS) in some

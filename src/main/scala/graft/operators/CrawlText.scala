@@ -109,9 +109,16 @@ object CrawlText {
   /** The curated corpus ITSELF — (doc_id, lang, xt) — for consumers
     * that keep processing the text (near-dup dedup, tokenization)
     * rather than fingerprinting it. */
-  def curatedText(pages: DataFrame): DataFrame =
-    curatedTextWithChrome(pages,
-      boilerplate(paragraphs(pages)).select(col("lang"), col("h")))
+  def curatedText(pages: DataFrame): DataFrame = {
+    // the paragraph frame feeds TWO passes — the df-learning pass
+    // (boilerplate) and the extraction anti-join — and its lineage is
+    // the whole archive-synthesis + HTTP/HTML parse chain; materialize
+    // it once so the second pass reads rows instead of re-walking the
+    // archives (the containmentPairs discipline)
+    val paras = paragraphs(pages).localCheckpoint(true)
+    curatedParasWithChrome(paras,
+      boilerplate(paras).select(col("lang"), col("h")))
+  }
 
   /** [[curated]] against a PRE-LEARNED chrome inventory ((lang, h),
     * h = xxhash64 of the paragraph) instead of one learned from these
@@ -190,10 +197,13 @@ object CrawlText {
       else {
         val built = IndexCache.frame(s, "curated", dir) {
           implicit val sp: org.apache.spark.sql.SparkSession = s
+          // widened: archive synthesis + WARC/HTTP parse + paragraph
+          // extraction is the per-row-dense chain the single-split
+          // fixture scan serializes
           curatedTextWithChrome(
             graft.sources.Warc.parseHttpRecords(
               graft.sources.Warc.htmlResponseArchives(
-                graft.Tables.documents(s, dir))).toDF(),
+                graft.Tables.widen(graft.Tables.documents(s, dir)))).toDF(),
             chromeFor(s, dir))
         }
         curatedMemo.put(dir, built)

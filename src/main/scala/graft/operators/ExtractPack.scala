@@ -40,8 +40,10 @@ object ExtractPack extends QueryPack {
     // production parser escapes entities before synthesis.
     "p4_xpath_cells" -> ((s, dir) => {
       // tokens projected first: a split() nested inside the transform
-      // lambda would re-split per element (lambdas are interpreted)
-      val docs = Tables.documents(s, dir)
+      // lambda would re-split per element (lambdas are interpreted);
+      // widened first — the per-row XML synthesis + xpath parse is
+      // the compute-dense chain the single-split scan serializes
+      val docs = Tables.widen(Tables.documents(s, dir))
         .select(split(col("text"), " ").as("toks"))
       val html = concat(lit("<r>"),
         concat_ws("", transform(col("toks"),

@@ -298,7 +298,8 @@ object MultimodalPack extends QueryPack {
       implicit val sp: SparkSession = s
       val r = Multimodal.FrameRadix
       val h = Multimodal.decodePixels(
-          Multimodal.syntheticSharedSceneVideos(Tables.documents(s, dir)))
+          Multimodal.syntheticSharedSceneVideos(
+            Tables.widen(Tables.documents(s, dir))))
         .toDF()
         .select(col("img_id"),
           PerceptualHash.dhash(col("pixels")).as("dhash"))
@@ -376,7 +377,7 @@ object MultimodalPack extends QueryPack {
       val recovered = graft.sources.Warc.parseHttpRecords(
           graft.sources.Warc.mediaResponseArchives(
             Multimodal.syntheticNearDupImages(
-              Tables.documents(s, dir)).toDF()))
+              Tables.widen(Tables.documents(s, dir))).toDF()))
         .map(r => Multimodal.MediaRow(r.doc_id, r.content_type, r.body))
       dhashDups(Multimodal.decodePixels(recovered).toDF()
         .select(col("img_id"),
@@ -427,7 +428,8 @@ object MultimodalPack extends QueryPack {
     mediaMemo.computeIfAbsent(s"$dir#afp", { _ =>
       implicit val sp: SparkSession = s
       Multimodal.windowEnergies(Multimodal.decodePcm16(
-          Multimodal.syntheticNearDupAudio(Tables.documents(s, dir))))
+          Multimodal.syntheticNearDupAudio(
+            Tables.widen(Tables.documents(s, dir)))))
         .select(col("snd_id"),
           PerceptualHash.audioFp(col("energies")).as("fp"))
         .localCheckpoint(eager = true)
@@ -454,8 +456,10 @@ object MultimodalPack extends QueryPack {
 
   private[graft] def dhashOf(s: SparkSession, docs: DataFrame): DataFrame = {
     implicit val sp: SparkSession = s
+    // widen before the codec walk: PNG/BMP/JPEG decode + dhash is the
+    // per-row-dense chain the single-split fixture scan serializes
     Multimodal.decodePixels(
-        Multimodal.syntheticNearDupImages(docs)).toDF()
+        Multimodal.syntheticNearDupImages(Tables.widen(docs))).toDF()
       .select(col("img_id"),
         PerceptualHash.dhash(col("pixels")).as("dhash"))
   }

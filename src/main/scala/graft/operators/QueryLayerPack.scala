@@ -179,10 +179,15 @@ object QueryLayerPack extends QueryPack {
     // (addr, name, day) cell frame (partial-agg'd map-side), never
     // the raw event stream.
     "q22_label_churn" -> ((s, dir) => {
+      // the distinct label-day frame feeds FIVE references below
+      // (labels twice, prev twice through its projection, days once)
+      // — materialize the one distinct pass instead of re-running the
+      // events scan + exchange per reference
       val labels = Tables.events(s, dir)
         .select(col("user_id").cast("string").as("addr"),
           col("event_type").as("name"),
           to_date(col("ts")).as("day")).distinct()
+        .localCheckpoint(eager = true)
       val days = labels.select(col("day")).distinct()
       val prev = labels.select(col("addr"), col("name"),
         date_add(col("day"), 1).as("day"))

@@ -142,10 +142,11 @@ object SuffixArray {
     * (session, corpus) instead of re-running the doubling chain per
     * consumer. Evicted frames stay CORRECT (lineage recomputes
     * from shuffle files); they just lose the cache. */
-  private val cached = new java.util.LinkedHashMap[String, DataFrame]()
+  private val cached =
+    new java.util.LinkedHashMap[String, (DataFrame, DataFrame)]()
   private val MaxCached = 2
 
-  private def rankedFor(docs: DataFrame, key: String): DataFrame =
+  private def builtFor(docs: DataFrame, key: String): (DataFrame, DataFrame) =
     cached.synchronized {
       Option(cached.get(key)).getOrElse {
         // NARROW projection before the persist: consumers only need
@@ -159,13 +160,23 @@ object SuffixArray {
             col("sent"), col(s"rk$K"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         r.count() // materialize once, here, so no consumer re-runs it
-        cached.put(key, r)
+        // the SA-adjacent pair frame (one small integer row per
+        // position) is the family's SECOND shared frame: both
+        // consumers — spans coverage and the LRS top-K — otherwise
+        // re-run the SA window plus the two doc joins and the LCP
+        // walk from the cached ranks
+        val p = saPairs(r, docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        cached.put(key, (r, p))
         if (cached.size > MaxCached) {
           val it = cached.entrySet().iterator()
-          it.next().getValue.unpersist(blocking = false)
+          val (er, ep) = it.next().getValue
+          er.unpersist(blocking = false)
+          ep.unpersist(blocking = false)
           it.remove()
         }
-        r
+        (r, p)
       }
     }
 
@@ -222,10 +233,12 @@ object SuffixArray {
     * dup_len ≥ w, via the packed (covered, prevEnd) long fold with
     * variable ends. Output (doc_id, n_toks, dup_toks). */
   def spanCoverage(docs: DataFrame, w: Int = DedupPack.SpanGram,
-                   ranks: DataFrame): DataFrame = {
+                   ranks: DataFrame,
+                   pairs: Option[DataFrame] = None): DataFrame = {
     val sa = ranks.filter(!col("sent"))
       .select(col("shard"), col("gpos"), col("doc_id"), col("pos"))
-    val entries = sa.join(dupLens(saPairs(ranks, docs)), Seq("shard", "gpos"))
+    val pr = pairs.getOrElse(saPairs(ranks, docs))
+    val entries = sa.join(dupLens(pr), Seq("shard", "gpos"))
       .filter(col("dl") >= w)
       .select(col("doc_id"),
         (col("pos") * B + col("pos") + col("dl")).as("pe"))
@@ -254,8 +267,9 @@ object SuffixArray {
     * doc. Output (doc_id, pos, len, span); (doc_id, pos) is unique
     * (one SA successor per suffix), so the cut is deterministic. */
   def longestSpans(docs: DataFrame, ranks: DataFrame,
-                   w: Int = DedupPack.SpanGram, n: Int = 10): DataFrame =
-    saPairs(ranks, docs)
+                   w: Int = DedupPack.SpanGram, n: Int = 10,
+                   pairs: Option[DataFrame] = None): DataFrame =
+    pairs.getOrElse(saPairs(ranks, docs))
       .filter(col("lcp") >= w)
       .orderBy(col("lcp").desc, col("doc_id"), col("pos"))
       .limit(n)
@@ -285,14 +299,14 @@ object SuffixArray {
 
   def saSpans(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     sized(spark, dir) { docs =>
-      spanCoverage(docs, DedupPack.SpanGram,
-        rankedFor(docs, System.identityHashCode(spark) + "|" + dir))
+      val (r, p) = builtFor(docs, System.identityHashCode(spark) + "|" + dir)
+      spanCoverage(docs, DedupPack.SpanGram, r, Some(p))
     }
 
   def saLrs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     sized(spark, dir) { docs =>
-      longestSpans(docs,
-        rankedFor(docs, System.identityHashCode(spark) + "|" + dir))
+      val (r, p) = builtFor(docs, System.identityHashCode(spark) + "|" + dir)
+      longestSpans(docs, r, pairs = Some(p))
     }
 
   // ---- DuckDB oracle ------------------------------------------------

@@ -329,7 +329,12 @@ object WebCurationPack extends QueryPack {
     "wc_admitted_text" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val capped = admittedIds(s, dir)
-      val docs = Tables.documents(s, dir).join(capped, Seq("doc_id"))
+      // scan side widened before the archive-synthesis + parse chain
+      // (the curatedFor discipline — the admitted subset re-runs it
+      // here because its chrome inventory is admitted-corpus-relative;
+      // the broadcast join preserves the width)
+      val docs = Tables.widen(Tables.documents(s, dir))
+        .join(broadcast(capped), Seq("doc_id"))
       CrawlText.curated(
         graft.sources.Warc.parseHttpRecords(
           graft.sources.Warc.htmlResponseArchives(docs)).toDF())
