@@ -121,8 +121,17 @@ object MergePack extends QueryPack {
     // The one query that pins the whole GraphQL data contract — page
     // envelope, nested report node, addresses array — to the oracle.
     "m3b_chainabuse_e2e" -> ((s, dir) =>
+      // pages spread before the parse: each row is a whole day's JSON
+      // page, AQE coalesces the groupBy(batch_id) exchange to a
+      // handful of partitions, and the from_json(nodeSchema) + explode
+      // walk is compute-dense per row (measured 5.6 task-s across 5
+      // tasks). Unconditional at page grain — page count is bounded
+      // by the calendar at any corpus scale, so the extra exchange
+      // moves kilobytes; Tables.widen's partition probe would force
+      // the aggregate to execute twice on this post-exchange frame
       graft.pipelines.ChainAbuse.endToEnd(
-        graft.pipelines.ChainAbuse.syntheticPages(Tables.events(s, dir)))),
+        graft.pipelines.ChainAbuse.syntheticPages(Tables.events(s, dir))
+          .repartition(math.max(1, s.sparkContext.defaultParallelism)))),
 
     // F2 (guard filters, walletexplorer/main.go:86-94): empty/blank
     // skip + positive-balance guard.

@@ -343,11 +343,20 @@ object MultimodalPack extends QueryPack {
           col("a.img_id") < col("b.img_id"))
         .filter(expr("bit_count(a.dhash ^ b.dhash)") <= PerceptualHash.HamCap)
         .select(col("a.img_id").as("img_a"), col("b.img_id").as("img_b"))
+      // the ds_fuzzy_recall fusion: materialize the twice-referenced
+      // pair frames once, then one tagged union + one aggregation
+      // replaces three 1-row aggs composed via crossJoin broadcasts
+      val truthC = truth.localCheckpoint(eager = true)
       val cand = dhashDups(sub).select(col("img_a"), col("img_b"))
-      val hit = truth.join(cand, Seq("img_a", "img_b"), "left_semi")
-      truth.agg(count(lit(1)).as("n_true"))
-        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .localCheckpoint(eager = true)
+      val hit = truthC.join(cand, Seq("img_a", "img_b"), "left_semi")
+      truthC.select(lit("t").as("k"))
+        .unionByName(cand.select(lit("c").as("k")))
+        .unionByName(hit.select(lit("h").as("k")))
+        .agg(
+          coalesce(sum(when(col("k") === "t", 1L)), lit(0L)).as("n_true"),
+          coalesce(sum(when(col("k") === "c", 1L)), lit(0L)).as("n_cand"),
+          coalesce(sum(when(col("k") === "h", 1L)), lit(0L)).as("n_hit"))
         .select(col("n_true"), col("n_cand"), col("n_hit"),
           (col("n_hit") === col("n_true") &&
             col("n_cand") === col("n_true")).as("pigeonhole_ok"))

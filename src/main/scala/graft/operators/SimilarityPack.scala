@@ -910,15 +910,29 @@ object SimilarityPack extends QueryPack {
       // scale for a RecallProbeN-vector audit. (Caps are applied on
       // the FULL corpus first, so bucket membership is unchanged.)
       val bc = cappedBuckets(s, dir).filter(col("vec_id") < RecallProbeN)
-      val cand = candidateIdPairs(bc)
-      val candP = probeCandidateIdPairs(bc)
-      val hit = truth.join(cand, Seq("vec_a", "vec_b"), "left_semi")
-      val hitP = truth.join(candP, Seq("vec_a", "vec_b"), "left_semi")
-      truth.agg(count(lit(1)).as("n_true"))
-        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-        .crossJoin(candP.agg(count(lit(1)).as("n_cand_probe")))
-        .crossJoin(hitP.agg(count(lit(1)).as("n_hit_probe")))
+      // truth (the quadratic probe-subset cos join) fed THREE
+      // references and each candidate set two — materialize each
+      // once, then ONE tagged union + one aggregation replaces five
+      // 1-row aggs composed via crossJoin broadcasts (the
+      // ds_fuzzy_recall fusion; coalesce keeps zero-rows = count's 0)
+      val truthC = truth.localCheckpoint(eager = true)
+      val cand = candidateIdPairs(bc).localCheckpoint(eager = true)
+      val candP = probeCandidateIdPairs(bc).localCheckpoint(eager = true)
+      val hit = truthC.join(cand, Seq("vec_a", "vec_b"), "left_semi")
+      val hitP = truthC.join(candP, Seq("vec_a", "vec_b"), "left_semi")
+      truthC.select(lit("t").as("k"))
+        .unionByName(cand.select(lit("c").as("k")))
+        .unionByName(hit.select(lit("h").as("k")))
+        .unionByName(candP.select(lit("cp").as("k")))
+        .unionByName(hitP.select(lit("hp").as("k")))
+        .agg(
+          coalesce(sum(when(col("k") === "t", 1L)), lit(0L)).as("n_true"),
+          coalesce(sum(when(col("k") === "c", 1L)), lit(0L)).as("n_cand"),
+          coalesce(sum(when(col("k") === "h", 1L)), lit(0L)).as("n_hit"),
+          coalesce(sum(when(col("k") === "cp", 1L)), lit(0L))
+            .as("n_cand_probe"),
+          coalesce(sum(when(col("k") === "hp", 1L)), lit(0L))
+            .as("n_hit_probe"))
         .select(col("n_true"), col("n_cand"), col("n_hit"),
           when(col("n_true") > 0, graft.Det.dround(
             col("n_hit").cast("double") / col("n_true"), 4)).as("recall"),
