@@ -31,8 +31,33 @@ object Tables {
     * SUITE-WIDE spread of the documents/embeddings scans was measured
     * and REJECTED — +0.3–0.6 s on dozens of light consumers (the
     * extra exchange + 32-task stages) against the same handful of
-    * wins (OPTIMIZATION_r15.md batch 6). */
+    * wins (OPTIMIZATION_r15.md batch 6).
+    *
+    * SCAN-SHAPED INPUT ONLY (enforced): the partition probe below is
+    * `df.rdd.getNumPartitions`, and on an AQE plan containing
+    * exchanges building that RDD EXECUTES the query stages below the
+    * last exchange — a caller handing in a post-aggregate frame would
+    * silently run its aggregation twice (once here, once at the real
+    * action). Such frames don't need the probe anyway: their width is
+    * the session's shuffle width by construction — use an
+    * unconditional `repartition(n)` there (MergePack.m3b does). */
   def widen(df: DataFrame): DataFrame = {
+    // The guard is STRUCTURAL (project/filter chains over leaf
+    // relations), not "no Exchange in sparkPlan": under AQE the
+    // exchanges are inserted during executedPlan preparation, so the
+    // pre-adaptive sparkPlan of an aggregate contains none — a
+    // physical-plan check silently passes exactly the frames it must
+    // refuse.
+    import org.apache.spark.sql.catalyst.plans.logical
+    val scanShaped = !df.queryExecution.optimizedPlan.exists {
+      case _: logical.Project | _: logical.Filter | _: logical.LeafNode => false
+      case _ => true
+    }
+    require(scanShaped,
+      "Tables.widen: scan-shaped input only (project/filter over a " +
+        "relation) — probing the partition count of a plan with " +
+        "exchanges executes its query stages (double-execution); " +
+        "use an explicit repartition(n) instead")
     val p = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }

@@ -90,7 +90,19 @@ object Components {
       val nEdges = edges0.count()
       if (reliable) dropFed()
       // loop width applies on a session CLONE (LoopWidth.onSizedSession)
-      // — a concurrent query on the shared session keeps its width
+      // — a concurrent query on the shared session keeps its width.
+      // MEASURED AND REVERTED (r16): (a) a dst-partitioned, dst-sorted
+      // edge checkpoint to co-partition the round joins — localCheckpoint
+      // under AQE publishes UnknownPartitioning (the adaptive final stage
+      // may coalesce, so the static layout is not guaranteed), so the
+      // rounds re-exchanged anyway and the extra exchange+sort was pure
+      // cost; (b) a 2-round unroll per materialization — the sf-scale
+      // dup graphs converge in 1–2 changing rounds, so batching rounds
+      // kept the SAME batch count while doubling per-batch plan depth
+      // (ds_embed_dedup 36 → 38 jobs). Both are recorded in
+      // OPTIMIZATION_r16.md; at this stage-latency regime AQE already
+      // broadcast-converts every small join, and the measured cost of a
+      // round is its stage COUNT, which neither idea reduced.
       LoopWidth.onSizedSession(edges0, LoopWidth.partitionsFor(nEdges, spark)) { edges =>
         // seed with the first neighbor-min pass (saves one iteration):
         // comp0 = min(node, min neighbor)
@@ -106,14 +118,16 @@ object Components {
             .join(labels, col("dst") === col("node"))
             .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
           // convergence flag computed IN the same pass — no extra join
-          val next = mat(labels
+          val raw = labels
             .join(neighborMin, col("node") === col("src"), "left")
             .select(col("node"),
               least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-              (coalesce(col("ncomp"), col("comp")) < col("comp")).as("changed")))
+              (coalesce(col("ncomp"), col("comp")) < col("comp")).as("changed"))
+          val next = mat(raw)
           // the single per-iteration action: materializes `next`'s
           // checkpoint and yields the changed count in the same job
           converged = next.filter(col("changed")).count() == 0
+          LoopWidth.devExplain(s"connectedComponents round $it", raw)
           dropFed()
           labels = next.drop("changed")
         }
@@ -159,6 +173,15 @@ object Components {
     // can hold duplicates (largeStar output); the canonical u > v
     // frame and its swap are provably disjoint, so deduping that
     // union would shuffle the whole edge set to remove nothing.
+    // MEASURED AND REVERTED (r16): rebuilding the round around three
+    // explicit hash(u) repartitions that the aggs/joins/dedups ride
+    // (the LabelProp exchange-fusion pattern) — a DataFrame referenced
+    // twice duplicates its subtree with FRESH exprIds, so
+    // EnsureRequirements cannot see the two copies as co-partitioned
+    // and inserts its exchanges anyway, while AQE already
+    // broadcast-converts each round's grouped-min join; the explicit
+    // repartitions only ADDED stages (ds_dup_groups_star 38 → 40
+    // jobs). Details in OPTIMIZATION_r16.md.
     def sym(e: DataFrame, dedup: Boolean): DataFrame = {
       val u = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       if (dedup) u.distinct() else u
@@ -212,14 +235,22 @@ object Components {
         var it = 0
         while (!converged && it < maxIter) {
           it += 1
-          val next = mat(smallStar(sym(largeStar(sym(edges, dedup = false)),
-            dedup = true)))
+          val raw = smallStar(sym(largeStar(sym(edges, dedup = false)),
+            dedup = true))
+          val next = mat(raw)
           // exact fixpoint test: same cardinality (carried over from the
-          // previous round — no recount of `edges`) and nothing new
+          // previous round — no recount of `edges`) and nothing new.
+          // The cardinality check short-circuits: the subset probe runs
+          // ONLY on the final candidate round, never per round. The
+          // probe is a co-partitioned left-anti peek (both sides leave
+          // their rounds hash(u)-partitioned), not exceptAll, which
+          // re-exchanged both full frames on (u, v).
           val nNext = next.count()
+          LoopWidth.devExplain(s"largeSmallStar round $it", raw)
           dropFed()
           converged = nNext == prevCount &&
-            next.exceptAll(edges).limit(1).count() == 0
+            next.join(edges, Seq("u", "v"), "left_anti")
+              .limit(1).count() == 0
           prevCount = nNext
           edges = next
         }

@@ -79,34 +79,46 @@ object LabelProp {
           .localCheckpoint(eager = true)
         var labels: DataFrame = null
         (1 to iters).foreach { i =>
-          // ONE exchange per round on `b` (the receiving node): both
-          // the (node, label) count and the argmax cluster on subsets
-          // of {b, label} ⊇ {b}, so HashPartitioning(b) satisfies
-          // BOTH aggs and neither re-shuffles — previously the count
-          // exchanged on (node, label) and the argmax re-exchanged on
-          // node, two exchanges over the same rows per round.
-          val contrib = (if (i == 1)
+          if (i == 1) {
             // round 1 runs against the IDENTITY labeling (label =
-            // node id), so neighbor a's label IS a — no materialized
-            // l0 frame, no distinct over nodes, no first join
-            e.select(col("b"), col("a").as("label"))
-          else
-            e.join(labels.withColumnRenamed("node", "a"), "a")
+            // node id), so neighbor a's label IS a — and on the
+            // DEDUPED edge frame every (b, label) count is exactly 1,
+            // collapsing the argmax tiebreak to plain min(neighbor):
+            // min(struct(-1, a)) over equal counts picks the smallest
+            // a. That turns the round's full-frame repartition + two
+            // rides into ONE map-side-combined agg (≤ |nodes| rows
+            // per partition cross the exchange, vs every edge row).
+            labels = e.groupBy(col("b")).agg(min(col("a")).as("label"))
+              .withColumnRenamed("b", "node")
+          } else {
+            // ONE exchange per round on `b` (the receiving node): both
+            // the (node, label) count and the argmax cluster on
+            // subsets of {b, label} ⊇ {b}, so HashPartitioning(b)
+            // satisfies BOTH aggs and neither re-shuffles — previously
+            // the count exchanged on (node, label) and the argmax
+            // re-exchanged on node, two exchanges over the same rows
+            // per round. The label join is co-partitioned (e is
+            // hash(a, p), labels leave every round hash(node, p)).
+            val contrib = e
+              .join(labels.withColumnRenamed("node", "a"), "a")
               .select(col("b"), col("label"))
-          ).repartition(p, col("b"))
-          val counts = contrib.groupBy(col("b"), col("label"))
-            .agg(count(lit(1)).as("cnt"))
-          // argmax by (cnt DESC, label ASC) as a partial-aggregable
-          // min(struct(-cnt, label)) — never a per-node sort window
-          labels = counts.groupBy(col("b"))
-            .agg(min(struct((-col("cnt")).as("nc"), col("label").as("lab")))
-              .as("m"))
-            .select(col("b").as("node"), col("m.lab").as("label"))
+              .repartition(p, col("b"))
+            val counts = contrib.groupBy(col("b"), col("label"))
+              .agg(count(lit(1)).as("cnt"))
+            // argmax by (cnt DESC, label ASC) as a partial-aggregable
+            // min(struct(-cnt, label)) — never a per-node sort window
+            labels = counts.groupBy(col("b"))
+              .agg(min(struct((-col("cnt")).as("nc"), col("label").as("lab")))
+                .as("m"))
+              .select(col("b").as("node"), col("m.lab").as("label"))
+          }
         }
         if (labels == null) // iters == 0: the identity labeling
           labels = e.select(col("a").as("node")).distinct()
             .withColumn("label", col("node"))
-        labels.localCheckpoint(eager = true)
+        val out = labels.localCheckpoint(eager = true)
+        LoopWidth.devExplain(s"labelprop $iters rounds", labels)
+        out
       }
     } finally frames.foreach(_.unpersist(blocking = false))
   }

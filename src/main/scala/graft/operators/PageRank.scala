@@ -85,24 +85,33 @@ object PageRank {
     // source). A checkpoint is a concrete RDD: no plan matching, one
     // build, every consumer scans rows, and the hash(src, p) layout
     // survives into the rounds' joins.
+    // deg is computed INSIDE the checkpoint: the window clusters on
+    // src, so it rides the repartition's hash(src, p) layout with no
+    // exchange — and checkpointing (src, dst, deg) together runs the
+    // window's per-partition sort ONCE. The round-15 form put the
+    // window AFTER the checkpoint, where no exchange separates it
+    // from the consuming joins: with nothing for AQE to reuse, every
+    // round's join re-sorted and re-counted the full edge frame (the
+    // r16 profile read 247.8 MB of blocks against a 13 MB source).
+    // The checkpoint's src sort order also survives into the rounds'
+    // SortMergeJoins (LogicalRDD keeps outputOrdering), so the edge
+    // side never re-sorts.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
     val eRaw = src2.repartition(p, col("src"))
       .dropDuplicates("src", "dst")
+      .withColumn("deg", count(lit(1)).over(w))
       .localCheckpoint(eager = true)
     LoopWidth.onSizedSession(eRaw, p) { eBase =>
-      val eCols = eBase // already hash(src, p)-partitioned
-      // nodes read the checkpointed eRaw rows (the re-based view
-      // resolves to the LogicalRDD), not the repartition: distinct()
-      // reshuffles by node either way, so going through eCols would
-      // just pay the by-src exchange twice for nothing
-      // nodes and the deg-carrying edges are NOT checkpointed: all
-      // rounds live in ONE final query, where AQE materializes each
-      // invariant's exchange once and reuses it per round — separate
-      // eager checkpoints bought the same sharing at two extra job
-      // boundaries each (profiled: same task time, more wall)
+      // nodes read the checkpointed rows (the re-based view resolves
+      // to the LogicalRDD): distinct() reshuffles by node either way.
+      // nodes are NOT checkpointed: all rounds live in ONE final
+      // query, where AQE materializes the invariant's exchange once
+      // and reuses it per round — a separate eager checkpoint bought
+      // the same sharing at two extra job boundaries (profiled: same
+      // task time, more wall)
       val nodes = eBase.select(col("src").as("node"))
         .union(eBase.select(col("dst").as("node"))).distinct()
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
-      val e = eCols.withColumn("deg", count(lit(1)).over(w))
+      val e = eBase // (src, dst, deg), hash(src, p)-partitioned
       val base = lit(15L * Scale / 100)
       var ranks = nodes.withColumn("rank", lit(Scale))
       (1 to iters).foreach { _ =>
@@ -115,7 +124,9 @@ object PageRank {
           .select(col("node"),
             (base + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
       }
-      ranks.localCheckpoint(eager = true)
+      val out = ranks.localCheckpoint(eager = true)
+      LoopWidth.devExplain(s"pagerank $iters rounds", ranks)
+      out
     }
   }
 

@@ -159,15 +159,23 @@ object SuffixArray {
           .select(col("shard"), col("gpos"), col("doc_id"), col("pos"),
             col("sent"), col(s"rk$K"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        r.count() // materialize once, here, so no consumer re-runs it
-        // the SA-adjacent pair frame (one small integer row per
-        // position) is the family's SECOND shared frame: both
-        // consumers — spans coverage and the LRS top-K — otherwise
-        // re-run the SA window plus the two doc joins and the LCP
-        // walk from the cached ranks
-        val p = saPairs(r, docs)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        p.count()
+        // a failed build must not leak the ranks cache: if either
+        // materializing count throws, unpersist before rethrowing
+        // (nothing was published to `cached` yet)
+        val p = try {
+          r.count() // materialize once, here, so no consumer re-runs it
+          // the SA-adjacent pair frame (one small integer row per
+          // position) is the family's SECOND shared frame: both
+          // consumers — spans coverage and the LRS top-K — otherwise
+          // re-run the SA window plus the two doc joins and the LCP
+          // walk from the cached ranks
+          val p0 = saPairs(r, docs)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try { p0.count(); p0 }
+          catch { case t: Throwable =>
+            p0.unpersist(blocking = false); throw t }
+        } catch { case t: Throwable =>
+          r.unpersist(blocking = false); throw t }
         cached.put(key, (r, p))
         if (cached.size > MaxCached) {
           val it = cached.entrySet().iterator()

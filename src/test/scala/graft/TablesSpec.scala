@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins Tables.widen's scan-only contract: the helper probes
+  * `df.rdd.getNumPartitions`, which on an AQE plan containing
+  * exchanges EXECUTES the query stages below the last exchange —
+  * handing it a post-aggregate frame would silently double-execute
+  * the aggregation. The guard must refuse such frames and stay a
+  * pass-through/no-op decision for scan-shaped ones.
+  */
+class TablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("widen refuses a frame whose plan contains an exchange") {
+    val agg = Seq(1, 2, 2, 3).toDF("k").groupBy("k").count()
+    val e = intercept[IllegalArgumentException](Tables.widen(agg))
+    assert(e.getMessage.contains("scan-shaped"))
+  }
+
+  test("widen spreads a narrow scan-shaped frame to session width") {
+    val p = spark.sparkContext.defaultParallelism
+    // a single tiny parquet file scans as ONE split — the fixture
+    // shape widen exists for
+    val dir = java.nio.file.Files.createTempDirectory("graft-widen").toString
+    Seq(1, 2, 3, 4).toDF("k").coalesce(1).write.mode("overwrite").parquet(dir)
+    val narrow = spark.read.parquet(dir)
+    assert(narrow.rdd.getNumPartitions < p, "fixture must scan narrow")
+    val w = Tables.widen(narrow)
+    assert(w.rdd.getNumPartitions == p)
+    assert(w.select(sum($"k")).as[Long].head() == 10L)
+  }
+
+  test("widen is identity when the input already has enough splits") {
+    val p = spark.sparkContext.defaultParallelism
+    val wide = spark.range(0, 100, 1, p * 2).toDF("k")
+    assert(Tables.widen(wide) eq wide)
+  }
+}
