@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only cardinality audit for the MinHash-LSH value-banding
+  * (guide §2.5 / SCALE.md): doc-level vs signature-level band-join
+  * candidate counts on the fixture corpus — the evidence that banding
+  * over distinct signatures bounds the hot-bucket quadraticity.
+  * Usage: runMain graft.operators.DevCard (SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS).
+  */
+object DevCard {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.functions.Hashing
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val sig = DedupPack.signaturesFrom(toks)
+      .localCheckpoint(eager = true)
+    val sigCols = (0 until Hashing.NumPerms).map(i => col(s"mh$i"))
+    val nDocs = sig.count()
+    val groups = sig.groupBy(sigCols: _*).agg(min(col("doc_id")).as("sid"),
+      count(lit(1)).as("n")).localCheckpoint(eager = true)
+    val nSigs = groups.count()
+    val maxGroup = groups.agg(max(col("n"))).head().getLong(0)
+    def rawBandMatches(b: org.apache.spark.sql.DataFrame): Long =
+      b.alias("a").join(b.alias("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id")).count()
+    val docBands = DedupPack.bandsFrom(sig)
+      .localCheckpoint(eager = true)
+    val valBands = DedupPack.bandsFrom(
+      groups.select(col("sid").as("doc_id") +: sigCols: _*))
+      .localCheckpoint(eager = true)
+    val docMatches = rawBandMatches(docBands)
+    val valMatches = rawBandMatches(valBands)
+    // the value-level path's OUTPUT work: expanded cross pairs + the
+    // same-signature pairs (both duplicate-free by construction)
+    val samePairs = groups.agg(sum(expr("n * (n - 1) DIV 2")))
+      .head().getLong(0)
+    println(s"[card] docs=$nDocs distinct_sigs=$nSigs max_sig_group=$maxGroup")
+    println(s"[card] band_join_matches doc_level=$docMatches " +
+      s"value_level=$valMatches same_sig_pairs=$samePairs")
+    spark.stop()
+  }
+}

@@ -60,19 +60,78 @@ object DedupPack extends QueryPack {
     (0 until Hashing.NumPerms).map(i =>
       array_min(transform(hs, h => Hashing.permuted(h, i))).as(s"mh$i"))
 
+  /** Process-lifetime memo of the corpus SIGNATURE table (doc_id,
+    * mh0..mh7) — the artifact the band table and the value-banded
+    * pair join both derive from (one tokenize → shingle → md5 →
+    * minhash pass per corpus). */
+  private val sigsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def sigsFor(s: SparkSession, dir: String): DataFrame =
+    sigsMemo.computeIfAbsent(dir,
+      _ => signatures(s, dir).localCheckpoint(eager = true))
+
   /** MinHash-LSH candidate pairs (doc_a < doc_b): the shared input of
     * the grouping/apply queries. */
   private def candidatePairs(s: SparkSession, dir: String): DataFrame =
-    bandJoin(bandsFor(s, dir))
+    candidatePairsFromSigCk(sigsFor(s, dir))
 
-  /** Candidate pairs over any banded frame — the corpus path and the
-    * crawl composition share it. The banded frame is materialized
-    * ONCE before the self-join (the winnowPairs discipline): both
-    * join sides otherwise re-run the whole tokenize → shingle → md5 →
-    * minhash chain, and the checkpoint is 4 short rows per doc —
-    * trivially smaller than one re-evaluation at any scale. */
-  private[operators] def candidatePairsFrom(b: DataFrame): DataFrame =
-    bandJoin(b.localCheckpoint(eager = true))
+  /** Candidate pairs over any SIGNATURE frame (doc_id, mh0..mh7) —
+    * the corpus path and the crawl/containment compositions share it.
+    *
+    * The band join runs over DISTINCT signature VALUES, docs expand
+    * after (r16 — the ds_simhash_pairs value-banding applied to the
+    * MinHash side, guide §2.5 hot-key skew): a band key is a function
+    * of the signature, so identical docs (exact dups, boilerplate)
+    * share every band key and a doc-level band bucket goes QUADRATIC
+    * in docs where it is merely dense in values. Equivalence, pinned
+    * by the unchanged oracles: a doc has ONE signature, so a cross-
+    * value doc pair descends from exactly one qualifying value pair,
+    * and same-value doc pairs (all four band keys equal) re-enter
+    * through the sid self-join — the result SET is identical to the
+    * doc-level band join. Cardinality audit at sf0.1 in SCALE.md.
+    *
+    * The signature frame is materialized ONCE before the self-joins
+    * (the winnowPairs discipline): the group/map/expand consumers
+    * otherwise re-run the whole tokenize → shingle → md5 → minhash
+    * chain, and the checkpoint is one 8-long row per doc — trivially
+    * smaller than one re-evaluation at any scale. */
+  private[operators] def candidatePairsFromSig(sigRaw: DataFrame): DataFrame =
+    candidatePairsFromSigCk(sigRaw.localCheckpoint(eager = true))
+
+  /** As above over an ALREADY-materialized signature frame (the
+    * corpus path passes the [[sigsFor]] memo — no second copy). */
+  private def candidatePairsFromSigCk(sig: DataFrame): DataFrame = {
+    val sigCols = (0 until Hashing.NumPerms).map(i => col(s"mh$i"))
+    // one row per distinct signature, keyed by its min doc_id — the
+    // deterministic value id the expansion joins back on. NOT
+    // checkpointed (measured: +2 jobs for nothing at fixture scale):
+    // its three consumers re-read the grouping's AQE-reused exchange,
+    // and the post-exchange agg is a linear pass at value grain.
+    val groups = sig.groupBy(sigCols: _*).agg(min(col("doc_id")).as("sid"))
+    // (doc_id, sid) membership map; sids are doc_ids, so the band
+    // join below emits (sid_a < sid_b) pairs directly
+    val docSid = sig.join(groups, (0 until Hashing.NumPerms)
+      .map(i => s"mh$i").toSeq)
+      .select(col("doc_id"), col("sid"))
+    val vpairs = bandJoin(bandsFrom(
+      groups.select(col("sid").as("doc_id") +: sigCols: _*)))
+    val cross = vpairs
+      .join(docSid.select(col("sid").as("doc_a"), col("doc_id").as("id_a")),
+        Seq("doc_a"))
+      .join(docSid.select(col("sid").as("doc_b"), col("doc_id").as("id_b")),
+        Seq("doc_b"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"))
+    val same = docSid.alias("x").join(docSid.alias("y"),
+        col("x.sid") === col("y.sid") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // cross (different sigs) and same (equal sigs) are disjoint, and
+    // each is duplicate-free (vpairs is distinct and a doc has one
+    // sid), so no final dedup is needed
+    cross.unionByName(same)
+  }
 
   private def bandJoin(bc: DataFrame): DataFrame =
     bc.alias("a").join(bc.alias("b"),
@@ -155,9 +214,11 @@ object DedupPack extends QueryPack {
     bandsMemo.computeIfAbsent(dir,
       _ => bands(s, dir).localCheckpoint(eager = true))
 
-  /** (doc_id, band, key) — one row per LSH band. */
+  /** (doc_id, band, key) — one row per LSH band (derived from the
+    * memoized signature table: one minhash pass per corpus feeds
+    * both the band index and the value-banded pair join). */
   private def bands(s: SparkSession, dir: String): DataFrame =
-    bandsFrom(signatures(s, dir))
+    bandsFrom(sigsFor(s, dir))
 
   private[operators] def bandsFrom(sig: DataFrame): DataFrame = {
     val sigCols = (0 until Hashing.NumPerms).map(i => col(s"mh$i"))
@@ -182,7 +243,7 @@ object DedupPack extends QueryPack {
     * contained-side pick. Factored out so DevStress can drive it at
     * replicated scale. */
   def containmentPairs(corpus: DataFrame): DataFrame = {
-    val cand = candidatePairsFrom(bandsFrom(signaturesFrom(corpus)))
+    val cand = candidatePairsFromSig(signaturesFrom(corpus))
     // the distinct hashed-shingle frame feeds THREE consumers below
     // (sizes + both pair-join legs) — materialize it once instead of
     // re-running the tokenize -> shingle -> md5 chain per consumer
@@ -463,7 +524,7 @@ object DedupPack extends QueryPack {
       val corpus = CrawlText.curatedFor(s, dir)
       val toks = corpus.select(col("doc_id"), split(col("xt"), " ").as("toks"))
       val losers = Components.connectedComponents(
-          candidatePairsFrom(bandsFrom(signaturesFrom(toks))))
+          candidatePairsFromSig(signaturesFrom(toks)))
         .filter(col("node") =!= col("rep"))
         .select(col("node").as("doc_id"))
       corpus.select(col("doc_id"),

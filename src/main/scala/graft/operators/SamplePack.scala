@@ -1044,9 +1044,9 @@ object SamplePack extends QueryPack {
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val s3 = s2.join(keep, Seq("doc_id"))
     val losers = Components.connectedComponents(
-        DedupPack.candidatePairsFrom(DedupPack.bandsFrom(
+        DedupPack.candidatePairsFromSig(
           DedupPack.signaturesFrom(
-            s3.select(col("doc_id"), split(col("xt"), " ").as("toks"))))))
+            s3.select(col("doc_id"), split(col("xt"), " ").as("toks")))))
       .filter(col("node") =!= col("rep"))
       .select(col("node").as("doc_id"))
     val s4 = timed("dedup")(s3.join(losers, Seq("doc_id"), "left_anti")
