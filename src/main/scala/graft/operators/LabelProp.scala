@@ -105,12 +105,18 @@ object LabelProp {
               .repartition(p, col("b"))
             val counts = contrib.groupBy(col("b"), col("label"))
               .agg(count(lit(1)).as("cnt"))
-            // argmax by (cnt DESC, label ASC) as a partial-aggregable
-            // min(struct(-cnt, label)) — never a per-node sort window
-            labels = counts.groupBy(col("b"))
-              .agg(min(struct((-col("cnt")).as("nc"), col("label").as("lab")))
-                .as("m"))
-              .select(col("b").as("node"), col("m.lab").as("label"))
+            // argmax by (cnt DESC, label ASC) through the native
+            // bounded-heap TopKPerKey at k=1 — r16: the previous
+            // min(struct(-cnt, label)) agg is NOT hash-aggregable
+            // (struct buffer), so it planned as SortAggregate and
+            // SORTED the whole counts frame per round (the profiled
+            // 4.4 s stage); the heap keeps one row per node below the
+            // (already satisfied) hash(b) clustering, no sort
+            // anywhere. Identical tiebreak, pinned by the oracle.
+            labels = graft.plans.TopKPerKey.topKPerKey(counts,
+                keys = Seq(col("b")),
+                order = Seq(col("cnt").desc, col("label").asc), k = 1)
+              .select(col("b").as("node"), col("label"))
           }
         }
         if (labels == null) // iters == 0: the identity labeling
