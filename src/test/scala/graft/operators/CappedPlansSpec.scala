@@ -62,7 +62,13 @@ class CappedPlansSpec extends SparkSpec {
       s"expected C($c,2) capped pairs, got ${pairs.length}")
     assert(pairs.forall { case (a, b) => a < c && b < c },
       "survivors must be the lowest vec_ids (deterministic cap)")
-    val plan = finalPlan(df)
+    // r16: sim_ann_pairs reads the per-corpus close-pairs memo, so
+    // its own plan is checkpoint-truncated (Scan ExistingRDD) — the
+    // cap's plan shape is asserted on the chain the memo BUILDS
+    val capped = SimilarityPack.capBuckets(SimilarityPack.bucketize(
+      graft.Tables.embeddings(spark, dir)))
+    capped.count()
+    val plan = finalPlan(capped)
     assert(topkCount(plan, c) >= 2,
       s"expected TopKPerKey $c partial+final in plan:\n$plan")
 
