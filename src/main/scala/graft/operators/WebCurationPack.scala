@@ -332,7 +332,14 @@ object WebCurationPack extends QueryPack {
       // scan side widened before the archive-synthesis + parse chain
       // (the curatedFor discipline — the admitted subset re-runs it
       // here because its chrome inventory is admitted-corpus-relative;
-      // the broadcast join preserves the width)
+      // the broadcast join preserves the width).
+      // PRODUCTION SIZING CAVEAT (r16, from the r15 advice): the
+      // explicit broadcast overrides autoBroadcastJoinThreshold, and
+      // admittedIds is CapK rows PER DOMAIN — bounded per domain but
+      // growing with domain count. The hint is load-bearing here (a
+      // shuffle join would destroy the widen), so a deployment whose
+      // admitted-id set outgrows executor memory must shard this
+      // query by domain range rather than drop the hint.
       val docs = Tables.widen(Tables.documents(s, dir))
         .join(broadcast(capped), Seq("doc_id"))
       CrawlText.curated(
