@@ -99,6 +99,15 @@ object DevStress {
     time("winnow_pairs", DedupPack.winnowPairs(toks,
       dfCap = DedupPack.WinnowDfCap * factor))
 
+    // MinHash-LSH band join, value-banded vs doc-level (r16):
+    // replicas share their source doc's SIGNATURE, so every band
+    // bucket holds `factor` copies of each original member — the
+    // boilerplate regime the value-banding exists for. Both forms
+    // emit the IDENTICAL candidate set (the candidatePairsFromSig
+    // equivalence argument); the probe measures the join-input gap.
+    time("band_pairs_value", DedupPack.devBandPairsValue(toks))
+    time("band_pairs_doclevel", DedupPack.devBandPairsDocLevel(toks))
+
     // code gates: pure scan-stage string expressions — wall should be
     // linear in bytes with zero shuffles
     time("code_rules",

@@ -133,6 +133,17 @@ object DedupPack extends QueryPack {
     cross.unionByName(same)
   }
 
+  /** Dev-probe bridges (DevStress `band_pairs_*`): the value-banded
+    * production path and the doc-level reference form over a token
+    * frame — identical candidate sets by the equivalence argument
+    * above; the stress probe measures the quadratic gap between them
+    * on a replica-heavy (boilerplate-regime) corpus. */
+  private[graft] def devBandPairsValue(tokens: DataFrame): DataFrame =
+    candidatePairsFromSig(signaturesFrom(tokens))
+  private[graft] def devBandPairsDocLevel(tokens: DataFrame): DataFrame =
+    bandJoin(bandsFrom(signaturesFrom(tokens))
+      .localCheckpoint(eager = true))
+
   private def bandJoin(bc: DataFrame): DataFrame =
     bc.alias("a").join(bc.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
